@@ -1,0 +1,49 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session + table-loading helpers shared by every entry point.
+  *
+  * The engine targets a multi-executor cluster; locally it runs `local[N]`.
+  * Scale-relevant defaults (AQE, shuffle partitions sized to cores, UTC) are
+  * set here so every query sees the same physical-planning environment.
+  */
+object Graft {
+
+  /** Build a session tuned for the local harness but with cluster-honest
+    * settings: AQE on (runtime re-plan + skew-join handling), broadcast
+    * threshold left at default, shuffle partitions = cores (the harness
+    * machine), UTC timezone for oracle parity.
+    */
+  def session(cpus: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cpus]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+      // reader rejects; read as long nanos and convert explicitly (the
+      // DuckDB oracle truncates the same column to micros — parity is at
+      // microsecond resolution via `ts div 1000`).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** The driver-provided synthetic tables (TESTDATA.md). */
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read one synthetic table from an sf directory. Plain parquet scan —
+    * column pruning + predicate pushdown happen in the consumer's plan.
+    */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+}

@@ -1,0 +1,294 @@
+package graft.queries
+
+import graft.core.Graft
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator inventory (SURVEY.md §2.2-2.7) expressed Spark-first
+  * over the synthetic tables, each with a DuckDB oracle.
+  *
+  * Float parity convention: any SUM over doubles goes through
+  * `CAST(x AS DECIMAL(38,6))` in BOTH engines — decimal addition is exact and
+  * order-independent, so Spark's partial-aggregation order and DuckDB's scan
+  * order can't produce last-ulp drift; the final value is cast back to double
+  * identically on both sides.
+  *
+  * Timestamp parity convention: `events.ts` is parquet TIMESTAMP(NANOS);
+  * Spark reads it as a nanosecond long (`nanosAsLong`), DuckDB truncates to
+  * microseconds on read — so both sides work in microseconds:
+  * Spark `ts div 1000` == DuckDB `epoch_us(ts)`.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Graft.table(s, dir, name)
+
+  /** events with a microsecond epoch column added (see parity note above). */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(38,6)")).cast("double")
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---------------------------------------------------------------- A2/A5
+    // Group-by rollup: the wallet_balances-style hash aggregation
+    // (ethereum_wallet_features.sql:278-325): SUM/AVG/COUNT/MIN/MAX plus a
+    // conditional aggregate, pure map-side-combinable hash agg.
+    QueryDef("q1_agg",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
+        |  CAST(SUM(CAST(CASE WHEN l_discount > 0.05 THEN l_quantity ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE) AS qty_high_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          max("l_quantity").cast("double").as("max_qty"),
+          dsum(when(col("l_discount") > 0.05, col("l_quantity")).otherwise(lit(0))).as("qty_high_disc"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // ------------------------------------------------------------------- A1
+    // Partition-pruned MAX watermark: two-phase max — restrict to the max
+    // month, then take the max id inside it
+    // (stage_data_ingestion_pipeline.py:50-57).
+    QueryDef("a1_watermark",
+      """WITH m AS (SELECT MAX(strftime(ts, '%Y-%m')) AS month FROM events)
+        |SELECT m.month AS month, MAX(e.event_id) AS wm, COUNT(*) AS n_rows
+        |FROM events e CROSS JOIN m
+        |WHERE strftime(e.ts, '%Y-%m') = m.month GROUP BY m.month""".stripMargin) { (s, dir) =>
+      val ev = events(s, dir)
+        .withColumn("month", date_format(timestamp_micros(col("ts_us")), "yyyy-MM"))
+      val maxMonth = ev.agg(max("month")).as("m")
+      ev.join(maxMonth, ev("month") === maxMonth("max(month)"))
+        .groupBy(ev("month").as("month"))
+        .agg(max("event_id").as("wm"), count(lit(1)).as("n_rows"))
+    },
+
+    // ------------------------------------------------------------------- A4
+    // FILTER'd aggregates (rugpull_features.sql:60-64): conditional sums and
+    // counts per group.
+    QueryDef("a4_filtered_agg",
+      """SELECT user_id,
+        |  CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE) AS purchase_value,
+        |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors,
+        |  COUNT(*) AS n_events
+        |FROM events GROUP BY user_id""".stripMargin) { (s, dir) =>
+      events(s, dir).groupBy("user_id").agg(
+        dsum(when(col("event_type") === "purchase", col("value")).otherwise(lit(0)))
+          .as("purchase_value"),
+        count(when(col("event_type") === "error", lit(1))).as("n_errors"),
+        count(lit(1)).as("n_events"))
+    },
+
+    // ------------------------------------------------------------------- A5
+    QueryDef("a5_count_distinct",
+      """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust,
+        |       COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").groupBy("o_orderstatus")
+        .agg(countDistinct("o_custkey").as("n_cust"), count(lit(1)).as("n_orders"))
+    },
+
+    // ------------------------------------------------------------------- A6
+    // GROUP BY + HAVING (missing-transaction detection shape,
+    // raw_data_ingestion_pipeline.py:769-810).
+    QueryDef("a6_having",
+      """SELECT o_custkey, COUNT(*) AS n
+        |FROM orders GROUP BY o_custkey HAVING COUNT(*) > 3""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").groupBy("o_custkey").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 3)
+    },
+
+    // ------------------------------------------------------------------- A9
+    QueryDef("a9_distinct",
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem") { (s, dir) =>
+      t(s, dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+    },
+
+    // ------------------------------------------------------------------- P3
+    // Monotonic incremental filter: watermark predicate pushed to the scan
+    // (ethereum_blocks.sql:32).
+    QueryDef("p3_incremental_filter",
+      """SELECT event_id, user_id, event_type
+        |FROM events WHERE epoch_us(ts) > 1704153600000000""".stripMargin) { (s, dir) =>
+      events(s, dir).filter(col("ts_us") > lit(1704153600000000L))
+        .select("event_id", "user_id", "event_type")
+    },
+
+    // ------------------------------------------------------------------- P5
+    // Blocklist filter (ethereum_wallet_features.sql:381-390).
+    QueryDef("p5_blocklist",
+      """SELECT user_id, COUNT(*) AS n
+        |FROM events WHERE user_id NOT IN (1, 2, 3) GROUP BY user_id""".stripMargin) { (s, dir) =>
+      events(s, dir).filter(!col("user_id").isin(1, 2, 3))
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+    },
+
+    // ------------------------------------------------------------------- P8
+    // Timestamp conversions both directions + month formatting
+    // (data_transformations.py:29-76).
+    QueryDef("p8_time_convert",
+      """SELECT event_id, epoch_us(ts) AS ts_us,
+        |  strftime(make_timestamp(epoch_us(ts)), '%Y-%m') AS month,
+        |  strftime(make_timestamp(epoch_us(ts)), '%Y-%m-%d %H:%M:%S') AS ts_readable,
+        |  epoch_us(ts) // 1000000 AS ts_sec
+        |FROM events""".stripMargin) { (s, dir) =>
+      events(s, dir).select(
+        col("event_id"),
+        col("ts_us"),
+        date_format(timestamp_micros(col("ts_us")), "yyyy-MM").as("month"),
+        date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd HH:mm:ss").as("ts_readable"),
+        expr("ts_us div 1000000").as("ts_sec"))
+    },
+
+    // ------------------------------------------------------------------- J3
+    // Anti-join dedup guard (NOT EXISTS): the INSERT-INTO dedup of every
+    // stage table (ethereum_blocks.sql:66-72).
+    QueryDef("j3_anti_join",
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    },
+
+    // ------------------------------------------------------------------- J4
+    // Big-big equi join + rollup: revenue per nation through
+    // customer⋈orders⋈lineitem, dims broadcast.
+    QueryDef("j4_join_rollup",
+      """SELECT n.n_name AS nation,
+        |  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+
+    // ------------------------------------------------------------------- J7
+    // Existence-flag left join: CASE WHEN right.key IS NOT NULL
+    // (ethereum_normal_transactions.sql:85-90).
+    QueryDef("j7_exists_flag",
+      """SELECT p.p_partkey, p.p_name,
+        |  CASE WHEN l.l_partkey IS NOT NULL THEN true ELSE false END AS ever_shipped
+        |FROM part p
+        |LEFT JOIN (SELECT DISTINCT l_partkey FROM lineitem) l
+        |  ON p.p_partkey = l.l_partkey""".stripMargin) { (s, dir) =>
+      val shipped = t(s, dir, "lineitem").select("l_partkey").distinct()
+      t(s, dir, "part")
+        .join(shipped, col("p_partkey") === col("l_partkey"), "left_outer")
+        .select(col("p_partkey"), col("p_name"),
+          col("l_partkey").isNotNull.as("ever_shipped"))
+    },
+
+    // ------------------------------------------------------------------ J13
+    // Scalar-subquery cross join: attach a global MAX to every row
+    // (ethereum_wallet_coin_balances.sql:128-131).
+    QueryDef("j13_scalar_subquery",
+      """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+        |FROM orders
+        |WHERE o_totalprice > 0.9 * (SELECT MAX(o_totalprice) FROM orders)""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val mx = o.agg(max("o_totalprice").as("mx"))
+      o.crossJoin(broadcast(mx))
+        .filter(col("o_totalprice") > lit(0.9) * col("mx"))
+        .select(col("o_orderkey"), col("o_totalprice").cast("double").as("price"))
+    },
+
+    // ------------------------------------------------------------------ J14
+    // EXISTS pruning (left semi): restrict a scan to keys touched by new
+    // data (ethereum_wallet_features.sql:431).
+    QueryDef("j14_semi_prune",
+      """SELECT c.c_custkey, c.c_acctbal FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "O"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_acctbal")
+    },
+
+    // ------------------------------------------------------------------- W3
+    // Running balance: signed cumulative SUM over a deterministic row order
+    // — the heart of ethereum_wallet_features.sql:100-121. rowsBetween (not
+    // range) because the tie-broken ROW order is load-bearing.
+    QueryDef("w3_running_balance",
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value
+        |                     WHEN event_type = 'error' THEN -value
+        |                     ELSE 0 END AS DECIMAL(38,6)))
+        |    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS balance
+        |FROM events""".stripMargin) { (s, dir) =>
+      val signed = when(col("event_type") === "purchase", col("value"))
+        .when(col("event_type") === "error", -col("value"))
+        .otherwise(lit(0))
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir).select(
+        col("user_id"), col("event_id"), col("ts_us"),
+        sum(signed.cast("decimal(38,6)")).over(w).cast("double").as("balance"))
+    },
+
+    // ------------------------------------------------------------------- W6
+    // Latest-row pick: top-1-per-group via ROW_NUMBER ... DESC
+    // (ethereum_wallet_features.sql:181-198).
+    QueryDef("w6_latest_pick",
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_type
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us").desc, col("event_id").desc)
+      events(s, dir).withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_type"))
+    },
+
+    // -------------------------------------------------------------- §2.7
+    // Role-pivot UNION ALL: each order doubled into a sender view and a
+    // receiver view with fee zeroed on the receiver side
+    // (ethereum_wallet_transactions.sql:86-147).
+    QueryDef("set_union_pivot",
+      """SELECT o_orderkey, o_custkey AS party, 'sender' AS role,
+        |  CAST(o_totalprice AS DOUBLE) AS amount,
+        |  CAST(o_totalprice * 0.001 AS DOUBLE) AS fee
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey + 100000 AS party, 'receiver' AS role,
+        |  CAST(o_totalprice AS DOUBLE) AS amount, 0.0 AS fee
+        |FROM orders""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val sender = o.select(
+        col("o_orderkey"), col("o_custkey").as("party"), lit("sender").as("role"),
+        col("o_totalprice").cast("double").as("amount"),
+        (col("o_totalprice") * lit(0.001)).cast("double").as("fee"))
+      val receiver = o.select(
+        col("o_orderkey"), (col("o_custkey") + 100000).as("party"),
+        lit("receiver").as("role"),
+        col("o_totalprice").cast("double").as("amount"), lit(0.0).as("fee"))
+      sender.unionByName(receiver)
+    }
+  )
+}

@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   private def registry: Seq[QueryDef] =
-    RelationalQueries.all
+    RelationalQueries.all ++ WindowQueries.all ++ JoinShapeQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -13,11 +13,13 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   private def registry: Seq[QueryDef] =
-    RelationalQueries.all ++ WindowQueries.all ++ JoinShapeQueries.all
+    RelationalQueries.all ++ WindowQueries.all ++ JoinShapeQueries.all ++
+      PipelineQueries.all ++ TextQueries.all ++ DedupQueries.all ++
+      SimilarityQueries.all ++ MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+    queries("flagship_wallet_features")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

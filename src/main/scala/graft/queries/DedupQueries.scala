@@ -1,0 +1,207 @@
+package graft.queries
+
+import graft.core.Graft
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline: exact hash dedup,
+  * n-gram Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+  *
+  * Scale design (the point of each variant):
+  *  - exact: one hash-shuffle on the content key — embarrassingly scalable.
+  *  - n-gram Jaccard: pairwise comparison is bounded by a blocking key so the
+  *    self-join shuffles on the block, never materializing the full N² pairs.
+  *  - MinHash+LSH: the scale path — per-doc signatures (map-side), band
+  *    buckets as the join key; candidate pairs are only same-bucket docs.
+  *  - SimHash: per-doc 16-bit signature via one explode+groupBy; collisions
+  *    group near-identical token multisets.
+  *  - embedding cosine: label-blocked pair join over integer-quantized
+  *    vectors (floor(x*1e6)) so the dot product is exact int arithmetic —
+  *    bit-identical across engines AND order-independent (no float-sum drift
+  *    at any parallelism).
+  *
+  * Hash parity: md5 is the one hash both Spark and DuckDB implement
+  * identically (hex string over UTF-8 bytes) — all signature hashing goes
+  * through md5, never engine-specific hash().
+  */
+object DedupQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Graft.table(s, dir, "documents").withColumn("tk", split(col("text"), " "))
+
+  /** Distinct word-3-gram shingles (Spark side). */
+  private val shinglesExpr =
+    expr("""array_distinct(transform(sequence(1, size(tk) - 2),
+           |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2))))""".stripMargin)
+
+  /** Distinct word-3-gram shingles (DuckDB side). */
+  private val shinglesSql =
+    """list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+      |  i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))""".stripMargin
+
+  /** Integer quantization of a float embedding: floor(x*1e6) per element.
+    * float→double is exact, double mult + floor are single IEEE ops — the
+    * resulting BIGINT vector is identical in both engines. */
+  private val quantSql =
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+  private val quantExpr =
+    expr("transform(embedding, x -> bigint(floor(cast(x as double) * 1000000)))")
+
+  private def emb(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExprs.register(s)
+    Graft.table(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), quantExpr.as("qv"))
+      .withColumn("nq", expr("long_dot(qv, qv)"))
+  }
+
+  /** Exact integer dot product of two quantized vectors — the native
+    * codegen'd [[graft.functions.LongDot]] expression (the pair-join hot
+    * path; HOF lambdas and unrolled element_at chains both measured 10-25×
+    * slower at sf0.1). */
+  private def qdot(a: String, b: String): Column = expr(s"long_dot($a, $b)")
+
+  val all: Seq[QueryDef] = Seq(
+
+    // --------------------------------------------------------------- DEDUP-1
+    // Exact dedup: hash-groupBy on the content hash, keep the lowest id.
+    // One shuffle on md5(text); at 100 TB this is the cheapest possible
+    // full-corpus dedup (map-side partial agg collapses per-partition dups).
+    QueryDef("d_exact_dedup",
+      """SELECT md5(text) AS content_key, MIN(doc_id) AS kept_doc_id,
+        |       COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin) { (s, dir) =>
+      Graft.table(s, dir, "documents")
+        .groupBy(md5(col("text")).as("content_key"))
+        .agg(min("doc_id").as("kept_doc_id"), count(lit(1)).as("n_copies"))
+    },
+
+    // --------------------------------------------------------------- DEDUP-2
+    // N-gram Jaccard near-dup: 3-gram shingle sets compared pairwise within a
+    // blocking key (first token) — the self-join shuffles on the block key,
+    // so the pair space is Σ block² not N².
+    QueryDef("d_ngram_jaccard",
+      s"""WITH sh AS (
+         |  SELECT doc_id, string_split(text,' ')[1] AS blk, $shinglesSql AS sh
+         |  FROM documents WHERE len(string_split(text,' ')) >= 3)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  len(list_intersect(a.sh, b.sh))
+         |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+         |FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.sh, b.sh))
+         |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.1""".stripMargin) { (s, dir) =>
+      val sh = docs(s, dir).filter(size(col("tk")) >= 3)
+        .select(col("doc_id"), element_at(col("tk"), 1).as("blk"), shinglesExpr.as("sh"))
+      val a = sh.select(col("doc_id").as("a_id"), col("blk"), col("sh").as("a_sh"))
+      val b = sh.select(col("doc_id").as("b_id"), col("blk").as("b_blk"), col("sh").as("b_sh"))
+      // |A∪B| = |A|+|B|-|A∩B| on already-distinct arrays: one set op per
+      // pair instead of two (the pair loop is the sf-scaling hot path).
+      val inter = size(array_intersect(col("a_sh"), col("b_sh")))
+      val jac = inter / (size(col("a_sh")) + size(col("b_sh")) - inter)
+      a.join(b, col("blk") === col("b_blk") && col("a_id") < col("b_id"))
+        .withColumn("jaccard", jac)
+        .filter(col("jaccard") >= 0.1)
+        .select("a_id", "b_id", "jaccard")
+    },
+
+    // --------------------------------------------------------------- DEDUP-3
+    // MinHash + LSH: k=8 signature (min of md5 under 8 salted "permutations")
+    // folded into 4 bands of 2; docs sharing any band bucket are candidate
+    // pairs. This is the 100 TB dedup path: signatures are one explode +
+    // groupBy, the candidate join shuffles on (band, hash) buckets only.
+    QueryDef("d_minhash_lsh",
+      s"""WITH sh AS (
+         |  SELECT doc_id, $shinglesSql AS sh
+         |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+         |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+         |sig AS (SELECT doc_id,
+         |  ${(0 until 8).map(i => s"min(md5('$i:' || s)) AS h$i").mkString(", ")}
+         |  FROM ex GROUP BY doc_id),
+         |bands AS (
+         |  ${(0 until 4).map(bnd =>
+              s"SELECT doc_id, $bnd AS band, md5(h${2 * bnd} || h${2 * bnd + 1}) AS bh FROM sig")
+              .mkString("\n  UNION ALL ")}),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+         |SELECT a_id, b_id FROM pairs""".stripMargin) { (s, dir) =>
+      val sh = docs(s, dir).filter(size(col("tk")) >= 3)
+        .select(col("doc_id"), explode(shinglesExpr).as("s"))
+      val sig = sh.groupBy("doc_id").agg(
+        (0 until 8).map(i => min(md5(concat(lit(s"$i:"), col("s")))).as(s"h$i")).head,
+        (1 until 8).map(i => min(md5(concat(lit(s"$i:"), col("s")))).as(s"h$i")): _*)
+      val bands = sig.select(col("doc_id"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"), md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bh"))): _*))
+          .as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      val a = bands.select(col("doc_id").as("a_id"), col("band"), col("bh"))
+      val b = bands.select(col("doc_id").as("b_id"), col("band").as("band2"), col("bh").as("bh2"))
+      a.join(b, col("band") === col("band2") && col("bh") === col("bh2") && col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+    },
+
+    // --------------------------------------------------------------- DEDUP-4
+    // SimHash: 16-bit signature — per distinct token take 16 bits of its md5,
+    // sum ±1 votes per bit position over the doc, sign-pack into an int.
+    // One explode + one groupBy; signature collisions = near-identical token
+    // sets. Bits are decoded from md5 hex digits with pure int arithmetic
+    // (instr on a hex alphabet), identical in both engines.
+    QueryDef("d_simhash", {
+      val voteSqls = (0 until 16).map { j =>
+        val di = j / 4 + 1; val p = 1 << (3 - j % 4)
+        s"SUM(CASE WHEN ((instr('0123456789abcdef', substr(hx, $di, 1)) - 1) // $p) % 2 = 1 THEN 1 ELSE -1 END) AS s$j"
+      }
+      val packSql = (0 until 16).map(j => s"CASE WHEN s$j >= 0 THEN ${1 << j} ELSE 0 END").mkString(" + ")
+      s"""WITH ex AS (
+         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+         |  FROM documents),
+         |h AS (SELECT doc_id, md5(t) AS hx FROM ex),
+         |votes AS (SELECT doc_id, ${voteSqls.mkString(", ")} FROM h GROUP BY doc_id),
+         |sig AS (SELECT doc_id, $packSql AS simhash FROM votes)
+         |SELECT doc_id, simhash, COUNT(*) OVER (PARTITION BY simhash) AS n_bucket
+         |FROM sig""".stripMargin
+    }) { (s, dir) =>
+      val ex = docs(s, dir)
+        .select(col("doc_id"), explode(array_distinct(col("tk"))).as("t"))
+        .withColumn("hx", md5(col("t")))
+      def vote(j: Int): Column = {
+        val di = j / 4 + 1; val p = 1 << (3 - j % 4)
+        sum(when(expr(s"((instr('0123456789abcdef', substring(hx, $di, 1)) - 1) div $p) % 2") === 1,
+          lit(1)).otherwise(lit(-1))).as(s"s$j")
+      }
+      val votes = ex.groupBy("doc_id").agg(vote(0), (1 until 16).map(vote): _*)
+      val pack = (0 until 16).map(j =>
+        when(col(s"s$j") >= 0, lit(1 << j)).otherwise(lit(0))).reduce(_ + _)
+      import org.apache.spark.sql.expressions.Window
+      votes.select(col("doc_id"), pack.as("simhash"))
+        .withColumn("n_bucket", count(lit(1)).over(Window.partitionBy("simhash")))
+    },
+
+    // --------------------------------------------------------------- DEDUP-5
+    // Embedding-cosine near-dup: label-blocked pair join over quantized
+    // vectors; cosine = int dot / (sqrt·sqrt) — exact ints then three IEEE
+    // ops, so parallelism cannot change the result. At 100 TB the blocking
+    // key would be an LSH bucket (see ann_lsh_bucket); labels stand in here.
+    QueryDef("d_embedding_dup",
+      s"""WITH n AS (
+         |  SELECT vec_id, label, $quantSql AS qv,
+         |    CAST(list_sum(list_transform($quantSql, x -> x * x)) AS BIGINT) AS nq
+         |  FROM embeddings)
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  CAST(list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1] * p[2])) AS BIGINT)
+         |    / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) AS cos_sim
+         |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE CAST(list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1] * p[2])) AS BIGINT)
+         |    / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) >= 0.35""".stripMargin) { (s, dir) =>
+      val n = emb(s, dir)
+      val a = n.select(col("vec_id").as("a_id"), col("label"), col("qv").as("a_qv"), col("nq").as("a_nq"))
+      val b = n.select(col("vec_id").as("b_id"), col("label").as("b_label"), col("qv").as("b_qv"), col("nq").as("b_nq"))
+      val cos = qdot("a_qv", "b_qv") / (sqrt(col("a_nq").cast("double")) * sqrt(col("b_nq").cast("double")))
+      a.join(b, col("label") === col("b_label") && col("a_id") < col("b_id"))
+        .withColumn("cos_sim", cos)
+        .filter(col("cos_sim") >= 0.35)
+        .select("a_id", "b_id", "cos_sim")
+    }
+  )
+}

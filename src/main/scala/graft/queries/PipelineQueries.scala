@@ -1,0 +1,198 @@
+package graft.queries
+
+import graft.core.Graft
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The flagship composite pipeline — the reference's wallet-features program
+  * (ethereum_wallet_features.sql:14-327) re-expressed end-to-end over
+  * `events` — plus the remaining §2 operator gaps (W10 FIRST_VALUE, J6
+  * self-join filter, J9 dedup'd-dim join, the §2.8 scalar/JSON surface, and
+  * the nondeterministic uuid source).
+  */
+object PipelineQueries {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Graft.table(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+
+  private val typePriority =
+    when(col("event_type") === "signup", 1)
+      .when(col("event_type") === "purchase", 2)
+      .when(col("event_type") === "click", 3)
+      .otherwise(4)
+
+  private val typePrioritySql =
+    """CASE event_type WHEN 'signup' THEN 1 WHEN 'purchase' THEN 2
+      |                WHEN 'click' THEN 3 ELSE 4 END""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------- FLAGSHIP
+    // The wallet-features program in one plan: deterministic event ordering
+    // (W1) → signed running balance over that order (W3) → per-entity rollup
+    // (A2): totals, conditional counts, min-positive balance (W5 shape),
+    // final balance via last-row pick (W6), first/last timestamps (W4).
+    //
+    // Scale shape: ONE shuffle on user_id serves every window (same
+    // partitioning reused), then the rollup is a map-side-combinable hash
+    // agg over already-co-located rows — Catalyst collapses the windows and
+    // the groupBy into a single exchange.
+    QueryDef("flagship_wallet_features",
+      s"""WITH ev AS (
+         |  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+         |  FROM events),
+         |ordered AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+         |    ORDER BY ts_us, $typePrioritySql, event_id) AS rn
+         |  FROM ev),
+         |bal AS (
+         |  SELECT *,
+         |    CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value
+         |                       WHEN event_type = 'error' THEN -value
+         |                       ELSE 0 END AS DECIMAL(38,6)))
+         |      OVER (PARTITION BY user_id ORDER BY rn
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS balance,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn DESC) AS rn_desc
+         |  FROM ordered)
+         |SELECT user_id,
+         |  COUNT(*) AS n_events,
+         |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
+         |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors,
+         |  CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END
+         |       AS DECIMAL(38,6))) AS DOUBLE) AS total_purchase_value,
+         |  MIN(ts_us) AS first_ts_us,
+         |  MAX(ts_us) AS last_ts_us,
+         |  CAST(MAX(balance) AS DOUBLE) AS max_balance,
+         |  COALESCE(CAST(MIN(CASE WHEN balance > 0 THEN balance END) AS DOUBLE), 0.0)
+         |    AS min_positive_balance,
+         |  CAST(MAX(CASE WHEN rn_desc = 1 THEN balance END) AS DOUBLE) AS final_balance
+         |FROM bal GROUP BY user_id""".stripMargin) { (s, dir) =>
+      val wOrd = Window.partitionBy("user_id").orderBy(col("ts_us"), typePriority, col("event_id"))
+      val ordered = events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts_us"))
+        .withColumn("rn", row_number().over(wOrd))
+      val signed = when(col("event_type") === "purchase", col("value"))
+        .when(col("event_type") === "error", -col("value"))
+        .otherwise(lit(0))
+      val wRun = Window.partitionBy("user_id").orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val bal = ordered
+        .withColumn("balance", sum(signed.cast("decimal(38,6)")).over(wRun).cast("double"))
+        .withColumn("rn_desc",
+          row_number().over(Window.partitionBy("user_id").orderBy(col("rn").desc)))
+      bal.groupBy("user_id").agg(
+        count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "purchase", lit(1))).as("n_purchases"),
+        count(when(col("event_type") === "error", lit(1))).as("n_errors"),
+        sum(when(col("event_type") === "purchase", col("value")).otherwise(lit(0))
+          .cast("decimal(38,6)")).cast("double").as("total_purchase_value"),
+        min("ts_us").as("first_ts_us"),
+        max("ts_us").as("last_ts_us"),
+        max("balance").cast("double").as("max_balance"),
+        coalesce(min(when(col("balance") > 0, col("balance"))).cast("double"), lit(0.0))
+          .as("min_positive_balance"),
+        max(when(col("rn_desc") === 1, col("balance"))).cast("double").as("final_balance"))
+    },
+
+    // ------------------------------------------------------------------ W10
+    // FIRST_VALUE boundary stitch (ethereum_wallet_features_with_auc.sql:
+    // 627-637): each event measures back to the partition's first event.
+    QueryDef("w10_first_value",
+      """SELECT event_id, user_id,
+        |  FIRST_VALUE(event_id) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id) AS first_event_id,
+        |  epoch_us(ts) - FIRST_VALUE(epoch_us(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id) AS us_since_first
+        |FROM events""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      events(s, dir).select(col("event_id"), col("user_id"),
+        first("event_id").over(w).as("first_event_id"),
+        (col("ts_us") - first("ts_us").over(w)).as("us_since_first"))
+    },
+
+    // ------------------------------------------------------------------- J6
+    // Left self-join used only as a filter (traces dropping rows that
+    // duplicate their parent tx, ethereum_internal_transactions.sql:31-36):
+    // drop clicks that co-occur (same user, same timestamp) with a signup.
+    QueryDef("j6_self_filter",
+      """SELECT e.event_id, e.user_id, e.event_type
+        |FROM events e
+        |LEFT JOIN (SELECT user_id, epoch_us(ts) AS s_ts, event_id AS s_id
+        |           FROM events WHERE event_type = 'signup') p
+        |  ON e.user_id = p.user_id AND epoch_us(e.ts) = p.s_ts
+        |WHERE NOT COALESCE(e.event_type = 'click' AND p.s_id IS NOT NULL, false)""".stripMargin) { (s, dir) =>
+      val ev = events(s, dir)
+      val parents = ev.filter(col("event_type") === "signup")
+        .select(col("user_id").as("p_user"), col("ts_us").as("s_ts"), col("event_id").as("s_id"))
+      ev.join(parents, col("user_id") === col("p_user") && col("ts_us") === col("s_ts"), "left_outer")
+        .filter(!coalesce(col("event_type") === "click" && col("s_id").isNotNull, lit(false)))
+        .select("event_id", "user_id", "event_type")
+    },
+
+    // ------------------------------------------------------------------- J9
+    // Inner join against a dedup'd dimension (ERC-20 metadata after a
+    // latest-per-contract pick, ethereum_erc20_transactions.sql:22-29,89-92):
+    // per brand keep the newest part, then broadcast-join fact rows to it.
+    QueryDef("j9_dim_dedup_join",
+      """WITH dim AS (
+        |  SELECT p_brand, p_partkey, p_retailprice FROM (
+        |    SELECT p_brand, p_partkey, p_retailprice,
+        |      ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_partkey DESC) AS rn
+        |    FROM part) WHERE rn = 1)
+        |SELECT d.p_brand, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem l JOIN dim d ON l.l_partkey = d.p_partkey
+        |GROUP BY d.p_brand""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("p_brand").orderBy(col("p_partkey").desc)
+      val dim = Graft.table(s, dir, "part")
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      Graft.table(s, dir, "lineitem")
+        .join(broadcast(dim), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(38,6)")).cast("double").as("sum_qty"))
+    },
+
+    // ----------------------------------------------------------------- §2.8
+    // Scalar/JSON function surface: json_extract_scalar → get_json_object
+    // (ethereum_wallet_features.sql:403-416), plus the string family the
+    // reference leans on (substr, lower/upper, ||, replace, length) and
+    // guarded try_cast.
+    QueryDef("f_scalar_surface",
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+        |  upper(event_type) AS type_upper,
+        |  substr(event_type, 1, 3) AS type_pre,
+        |  replace(event_type, 'c', 'C') AS type_repl,
+        |  length(event_type) AS type_len,
+        |  event_type || ':' || CAST(user_id AS VARCHAR) AS type_key,
+        |  TRY_CAST(event_type AS BIGINT) AS bad_cast,
+        |  COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), -1) AS prop_k_safe
+        |FROM events""".stripMargin) { (s, dir) =>
+      events(s, dir).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("prop_k"),
+        upper(col("event_type")).as("type_upper"),
+        substring(col("event_type"), 1, 3).as("type_pre"),
+        regexp_replace(col("event_type"), "c", "C").as("type_repl"),
+        length(col("event_type")).as("type_len"),
+        concat(col("event_type"), lit(":"), col("user_id").cast("string")).as("type_key"),
+        expr("try_cast(event_type AS BIGINT)").as("bad_cast"),
+        coalesce(expr("try_cast(get_json_object(props, '$.k') AS BIGINT)"), lit(-1L))
+          .as("prop_k_safe"))
+    },
+
+    // ----------------------------------------------------------------- MISC
+    // uuid() per row (ethereum_blocks.sql:35) — nondeterministic, so no
+    // oracle: the driver records a rows-only check. Shape: every row tagged
+    // with a v4 uuid + the deterministic month partition column.
+    QueryDef.noOracle("f_uuid_tag") { (s, dir) =>
+      events(s, dir).select(
+        col("event_id"),
+        expr("uuid()").as("row_uuid"),
+        date_format(timestamp_micros(col("ts_us")), "yyyy-MM").as("date_partition"))
+    }
+  )
+}

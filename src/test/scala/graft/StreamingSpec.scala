@@ -1,0 +1,70 @@
+package graft
+
+import graft.streaming.Streams
+import graft.streaming.Streams.Ev
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+/** Structured-Streaming face of the reference's micro-batch pattern:
+  * watermarked dedup, keyed state across batches (the incremental MERGE),
+  * and batch/stream equivalence of the balance recurrence. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int) = new Timestamp(1704067200000L + minute * 60000L)
+
+  test("dedupedWindowedAgg drops in-watermark duplicate event_ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.dedupedWindowedAgg(mem.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("dwa").outputMode("update").start()
+    try {
+      mem.addData(
+        Ev(1, ts(0), 1, "purchase", 10.0),
+        Ev(1, ts(1), 1, "purchase", 10.0), // duplicate id within watermark
+        Ev(2, ts(2), 1, "purchase", 5.0))
+      q.processAllAvailable()
+      val out = spark.table("dwa").as[(Timestamp, Long, Double, Long)].collect()
+      assert(out.map(_._4).sum == 2, s"expected 2 deduped events, got $out")
+      assert(out.map(_._3).sum == 15.0)
+    } finally q.stop()
+  }
+
+  test("runningBalance state across micro-batches ≡ batch recompute") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.runningBalance(mem.toDS())
+      .writeStream.format("memory").queryName("rb").outputMode("update").start()
+    try {
+      // batch 1
+      mem.addData(Ev(1, ts(0), 7, "purchase", 100.0), Ev(2, ts(1), 7, "error", 30.0))
+      q.processAllAvailable()
+      // batch 2 folds into stored state
+      mem.addData(Ev(3, ts(2), 7, "purchase", 5.0), Ev(4, ts(3), 8, "click", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("rb").as[(Long, Double, Long)].collect()
+        .groupBy(_._1).map { case (u, rows) => u -> rows.maxBy(_._3) }
+      assert(out(7L)._2 == 75.0) // 100 - 30 + 5, across two micro-batches
+      assert(out(7L)._3 == 3L)
+      assert(out(8L)._2 == 0.0)
+    } finally q.stop()
+  }
+
+  test("foreachBatchUpsert merges each micro-batch into the lake table") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val path = tmpDir("stream-sink")
+    val ckpt = tmpDir("stream-ckpt")
+    val balances = Streams.runningBalance(mem.toDS()).toDF()
+    val q = Streams.foreachBatchUpsert(balances, path, Seq("user_id"), ckpt)
+    try {
+      mem.addData(Ev(1, ts(0), 7, "purchase", 100.0))
+      q.processAllAvailable()
+      mem.addData(Ev(2, ts(1), 7, "error", 30.0), Ev(3, ts(2), 9, "purchase", 1.0))
+      q.processAllAvailable()
+      val out = spark.read.parquet(path).as[(Long, Double, Long)].collect()
+        .map(r => r._1 -> r._2).toMap
+      assert(out == Map(7L -> 70.0, 9L -> 1.0))
+    } finally q.stop()
+  }
+}

@@ -30,9 +30,18 @@ object DedupQueries {
     Graft.table(s, dir, "documents").withColumn("tk", split(col("text"), " "))
 
   /** Distinct word-3-gram shingles (Spark side). */
-  private val shinglesExpr =
-    expr("""array_distinct(transform(sequence(1, size(tk) - 2),
-           |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2))))""".stripMargin)
+  private val shinglesSqlSpark =
+    """array_distinct(transform(sequence(1, size(tk) - 2),
+      |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2))))""".stripMargin
+  private val shinglesExpr = expr(shinglesSqlSpark)
+
+  /** Shingle set as a sorted xxhash64 array — set sizes and intersection
+    * sizes are preserved (64-bit collisions over a ~10^4-shingle vocabulary
+    * are ~10^-11-probable), but the pairwise intersection becomes a
+    * primitive merge ([[graft.functions.SortedIntersectCount]]) instead of a
+    * per-pair boxed hash set. */
+  private val hashedShinglesExpr =
+    expr(s"array_sort(transform($shinglesSqlSpark, s -> xxhash64(s)))")
 
   /** Distinct word-3-gram shingles (DuckDB side). */
   private val shinglesSql =
@@ -89,13 +98,14 @@ object DedupQueries {
          |FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
          |WHERE len(list_intersect(a.sh, b.sh))
          |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.1""".stripMargin) { (s, dir) =>
+      graft.functions.VectorExprs.register(s)
       val sh = docs(s, dir).filter(size(col("tk")) >= 3)
-        .select(col("doc_id"), element_at(col("tk"), 1).as("blk"), shinglesExpr.as("sh"))
+        .select(col("doc_id"), element_at(col("tk"), 1).as("blk"), hashedShinglesExpr.as("sh"))
       val a = sh.select(col("doc_id").as("a_id"), col("blk"), col("sh").as("a_sh"))
       val b = sh.select(col("doc_id").as("b_id"), col("blk").as("b_blk"), col("sh").as("b_sh"))
-      // |A∪B| = |A|+|B|-|A∩B| on already-distinct arrays: one set op per
-      // pair instead of two (the pair loop is the sf-scaling hot path).
-      val inter = size(array_intersect(col("a_sh"), col("b_sh")))
+      // |A∩B| via the native sorted-merge expression; |A∪B| = |A|+|B|-|A∩B|
+      // on already-distinct sets — the pair loop is the sf-scaling hot path.
+      val inter = expr("sorted_intersect_count(a_sh, b_sh)")
       val jac = inter / (size(col("a_sh")) + size(col("b_sh")) - inter)
       a.join(b, col("blk") === col("b_blk") && col("a_id") < col("b_id"))
         .withColumn("jaccard", jac)

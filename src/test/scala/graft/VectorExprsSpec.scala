@@ -33,6 +33,18 @@ class VectorExprsSpec extends SparkSpec {
     assert(viaPlan == 32L && viaEval == 32L)
   }
 
+  test("sorted_intersect_count matches array_intersect size on seeded random sets") {
+    VectorExprs.register(spark)
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(200)((
+      Seq.fill(50)(rnd.nextInt(80).toLong).distinct.sorted,
+      Seq.fill(50)(rnd.nextInt(80).toLong).distinct.sorted))
+    val df = pairs.toDF("a", "b")
+    val got = df.select(expr("sorted_intersect_count(a, b)")).as[Long].collect().toSeq
+    val want = pairs.map { case (a, b) => a.toSet.intersect(b.toSet).size.toLong }
+    assert(got == want)
+  }
+
   test("long_dot is null-safe") {
     VectorExprs.register(spark)
     val df = Seq((Some(Seq(1L)), None: Option[Seq[Long]])).toDF("a", "b")

@@ -1,0 +1,199 @@
+package graft.pipeline
+
+import graft.core.Lakehouse
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's 4-layer medallion pipeline (SURVEY.md §0) end-to-end in
+  * Spark, over the synthetic `events` stream standing in for transactions:
+  *
+  *   CSV export → RAW (partitioned parquet, S1/S4)
+  *     → STAGE (typed, conflict-dedup'd W12, incremental anti-join S6)
+  *     → ANALYTICS (role-pivot UNION §2.7 + JSON props extraction)
+  *     → FEATURES (per-user rollup with running-balance features,
+  *        incrementally MERGEd with boundary stitching A7/W10, S7)
+  *     → SERVING export (document reshape A3 + chunked read S10, the
+  *        Mongo-sink analogue S9 modeled as a keyed table)
+  *
+  * The scale contract of each layer matches the reference's design intent:
+  * raw/stage/analytics shuffle only on their partition columns, features
+  * shuffles once on user_id, and the incremental path never rescans old
+  * event data — new events + the old per-user state are sufficient
+  * (the boundary-stitch algebra below), which is the property that makes
+  * the pipeline O(delta) instead of O(history) at 100 TB.
+  */
+object Medallion {
+
+  /** CSV export schema (S1): what an external exporter hands us. */
+  val csvSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts_us", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private def monthCol = date_format(timestamp_micros(col("ts_us")), "yyyy-MM")
+
+  def rawPath(root: String) = s"$root/raw/events"
+  def stagePath(root: String) = s"$root/stage/events"
+  def analyticsPath(root: String) = s"$root/analytics/user_transactions"
+  def featuresPath(root: String) = s"$root/features/user_features"
+  def servingPath(root: String) = s"$root/serving/user_documents"
+
+  // ---------------------------------------------------------------- RAW
+  /** S1 + S4: schema'd CSV scan, month partition derivation, partitioned
+    * append (raw keeps duplicates — dedup is stage's job, as in the
+    * reference). */
+  def ingestRaw(spark: SparkSession, csvDir: String, root: String): Unit = {
+    val df = spark.read.option("header", "true").schema(csvSchema).csv(csvDir)
+      .withColumn("date_partition", monthCol)
+    Lakehouse.appendPartitioned(df, rawPath(root), Seq("date_partition"))
+  }
+
+  // -------------------------------------------------------------- STAGE
+  /** W12 conflict dedup (latest row per event_id) + S6 incremental
+    * anti-join append guarded by the A1 partition-pruned watermark. */
+  def stage(spark: SparkSession, root: String): Unit = {
+    def cleaned(from: DataFrame): DataFrame = {
+      val w = Window.partitionBy("event_id").orderBy(col("ts_us").desc)
+      from.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+        .withColumn("ts_readable", timestamp_micros(col("ts_us")))
+    }
+    val raw = Lakehouse.read(spark, rawPath(root))
+    Lakehouse.loadIncremental(spark, stagePath(root),
+      watermarkCol = "ts_us", partitionCols = Seq("date_partition"),
+      keys = Seq("event_id", "date_partition"),
+      full = () => cleaned(raw),
+      incremental = wm => cleaned(raw.filter(col("ts_us") > lit(wm.toString.toLong))))
+  }
+
+  // ---------------------------------------------------------- ANALYTICS
+  /** §2.7 role pivot: each event doubled into an actor view and a
+    * counterparty view (counterparty from the JSON props, §2.8), fee borne
+    * by the actor side only — the wallet_transactions shape. */
+  def analytics(spark: SparkSession, root: String): Unit = {
+    def pivoted(from: DataFrame): DataFrame = {
+      val base = from.withColumn("counterparty",
+        coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(-1L)))
+      val actor = base.select(col("event_id"), col("ts_us"), col("date_partition"),
+        col("user_id").as("party"), lit("actor").as("role"),
+        col("event_type"), col("value"),
+        (col("value") * lit(0.001)).as("fee"))
+      val counter = base.select(col("event_id"), col("ts_us"), col("date_partition"),
+        col("counterparty").as("party"), lit("counterparty").as("role"),
+        col("event_type"), col("value"), lit(0.0).as("fee"))
+      actor.unionByName(counter)
+    }
+    val stageDf = Lakehouse.read(spark, stagePath(root))
+    Lakehouse.loadIncremental(spark, analyticsPath(root),
+      watermarkCol = "ts_us", partitionCols = Seq("date_partition"),
+      keys = Seq("event_id", "role", "date_partition"),
+      full = () => pivoted(stageDf),
+      incremental = wm => pivoted(stageDf.filter(col("ts_us") > lit(wm.toString.toLong))))
+  }
+
+  // ----------------------------------------------------------- FEATURES
+  /** Per-user features over the actor rows. Incremental runs see ONLY the
+    * new events plus the stored per-user state; full-history equivalence is
+    * guaranteed by the boundary-stitch algebra (the reference's W10/A7):
+    *
+    *   final' = final_old + Σ delta_new
+    *   max'   = max(max_old, final_old + running_max(delta_new))
+    *
+    * so the running-balance path never has to be replayed. */
+  def features(spark: SparkSession, root: String): Unit = {
+    val path = featuresPath(root)
+    val actor = Lakehouse.read(spark, analyticsPath(root)).filter(col("role") === "actor")
+
+    val signed = when(col("event_type") === "purchase", col("value"))
+      .when(col("event_type") === "error", -col("value")).otherwise(lit(0.0))
+
+    /** New-events aggregate: per-user count/sums plus the running-balance
+      * path summary (total delta + max prefix of the delta path). */
+    def delta(events: DataFrame): DataFrame = {
+      val wRun = Window.partitionBy("party").orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events
+        .withColumn("run", sum(signed.cast("decimal(38,6)")).over(wRun).cast("double"))
+        .groupBy(col("party").as("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "purchase", col("value")).otherwise(lit(0.0))
+            .cast("decimal(38,6)")).cast("double").as("total_purchase_value"),
+          min("ts_us").as("first_ts_us"),
+          max("ts_us").as("last_ts_us"),
+          sum(signed.cast("decimal(38,6)")).cast("double").as("delta_balance"),
+          max("run").as("delta_max_run"))
+    }
+
+    if (!Lakehouse.tableExists(spark, path)) {
+      val d = delta(actor)
+      Lakehouse.ctas(d.select(
+        col("user_id"), col("n_events"), col("total_purchase_value"),
+        col("first_ts_us"), col("last_ts_us"),
+        col("delta_balance").as("final_balance"),
+        col("delta_max_run").as("max_balance")), path)
+    } else {
+      val wm = Lakehouse.read(spark, path).agg(max("last_ts_us")).head.getLong(0)
+      val d = delta(actor.filter(col("ts_us") > lit(wm))).alias("d")
+      val old = Lakehouse.read(spark, path).alias("o")
+      // A7 state merge with W10 boundary stitch, touched users only.
+      val merged = d.join(old, col("d.user_id") === col("o.user_id"), "left_outer")
+        .select(
+          col("d.user_id").as("user_id"),
+          (col("d.n_events") + coalesce(col("o.n_events"), lit(0L))).as("n_events"),
+          (col("d.total_purchase_value") + coalesce(col("o.total_purchase_value"), lit(0.0)))
+            .as("total_purchase_value"),
+          least(col("d.first_ts_us"), coalesce(col("o.first_ts_us"), col("d.first_ts_us")))
+            .as("first_ts_us"),
+          greatest(col("d.last_ts_us"), coalesce(col("o.last_ts_us"), col("d.last_ts_us")))
+            .as("last_ts_us"),
+          (coalesce(col("o.final_balance"), lit(0.0)) + col("d.delta_balance"))
+            .as("final_balance"),
+          greatest(
+            coalesce(col("o.max_balance"), lit(Double.MinValue)),
+            coalesce(col("o.final_balance"), lit(0.0)) + col("d.delta_max_run"))
+            .as("max_balance"))
+      Lakehouse.mergeUpsert(spark, merged, path, Seq("user_id"))
+    }
+  }
+
+  // ------------------------------------------------------------ SERVING
+  /** S9/S10: the document-store export — features reshaped into one nested
+    * document per user (walletAddress rename + A3 metric map), streamed in
+    * driver-side chunks via toLocalIterator (the reference's paginated
+    * Athena read), upserted into the serving table. */
+  def servingExport(spark: SparkSession, root: String, chunkRows: Int = 1000): Unit = {
+    val feats = Lakehouse.read(spark, featuresPath(root))
+    val docs = feats.select(
+      col("user_id").cast("string").as("walletAddress"),
+      map(
+        lit("n_events"), col("n_events").cast("double"),
+        lit("total_purchase_value"), col("total_purchase_value"),
+        lit("final_balance"), col("final_balance"),
+        lit("max_balance"), col("max_balance")).as("features"),
+      col("last_ts_us"))
+    // Chunked driver-side pagination (S10): at production scale the sink's
+    // client library is driver-bound (Mongo bulk upserts); the iterator
+    // bounds driver memory to one chunk.
+    import scala.jdk.CollectionConverters._
+    val it = docs.toLocalIterator().asScala
+    val schema = docs.schema
+    it.grouped(chunkRows).foreach { chunk =>
+      val batch = spark.createDataFrame(chunk.asJava, schema)
+      Lakehouse.mergeUpsert(spark, batch, servingPath(root), Seq("walletAddress"))
+    }
+  }
+
+  /** One full cycle, every layer incremental — the Airflow DAG's task chain
+    * as a function. */
+  def runCycle(spark: SparkSession, csvDir: String, root: String): Unit = {
+    ingestRaw(spark, csvDir, root)
+    stage(spark, root)
+    analytics(spark, root)
+    features(spark, root)
+  }
+}

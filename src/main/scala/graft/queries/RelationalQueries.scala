@@ -121,7 +121,13 @@ object RelationalQueries {
     QueryDef("p3_incremental_filter",
       """SELECT event_id, user_id, event_type
         |FROM events WHERE epoch_us(ts) > 1704153600000000""".stripMargin) { (s, dir) =>
-      events(s, dir).filter(col("ts_us") > lit(1704153600000000L))
+      // ts_us > C  ⟺  raw nanos ts > C*1000 + 999: the raw-column form is a
+      // plain comparison Catalyst pushes into the parquet scan (row-group
+      // min/max skipping — the predicate that makes incremental loads cheap
+      // at 100 TB). Keep both; the scan prunes, the Filter double-checks.
+      events(s, dir)
+        .filter(col("ts") > lit(1704153600000000L * 1000 + 999))
+        .filter(col("ts_us") > lit(1704153600000000L))
         .select("event_id", "user_id", "event_type")
     },
 

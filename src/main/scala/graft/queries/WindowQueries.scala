@@ -177,6 +177,35 @@ object WindowQueries {
         .groupBy("user_id").agg(max("balance").cast("double").as("peak_balance"))
     },
 
+    // ------------------------------------------------------------------ W11
+    // ROW_NUMBER over exploded map state (ethereum_wallet_features.sql:
+    // 417,439): the stored per-wallet contracts map is exploded back to rows
+    // and the dominant entry picked per wallet — map build (A3), lateral
+    // explode (J12), and top-1 window in one plan.
+    QueryDef("w11_state_explode",
+      """WITH per_type AS (
+        |  SELECT user_id, event_type, COUNT(*) AS n
+        |  FROM events GROUP BY user_id, event_type),
+        |ranked AS (
+        |  SELECT user_id, event_type, n,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rn
+        |  FROM per_type)
+        |SELECT user_id, event_type AS top_type, n AS top_n
+        |FROM ranked WHERE rn = 1""".stripMargin) { (s, dir) =>
+      val perType = events(s, dir).groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"))
+      // round-trip through the stored-state MapType shape, as the reference
+      // does: build map → explode → rank
+      val state = perType.groupBy("user_id")
+        .agg(map_from_entries(sort_array(collect_list(struct(col("event_type"), col("n")))))
+          .as("type_counts"))
+      val exploded = state.select(col("user_id"),
+        explode(col("type_counts")).as(Seq("event_type", "n")))
+      val w = Window.partitionBy("user_id").orderBy(col("n").desc, col("event_type"))
+      exploded.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("top_type"), col("n").as("top_n"))
+    },
+
     // ------------------------------------------------------------------ W12
     // Conflicting-row dedup: latest row per natural key
     // (raw_data_ingestion_pipeline.py:772-781) — here: duplicate document

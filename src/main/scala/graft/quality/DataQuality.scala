@@ -1,0 +1,74 @@
+package graft.quality
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's pipeline-embedded data-quality gate (SURVEY.md §5) —
+  * the checks that run as the Airflow DAG's final task and fail the run:
+  *
+  *  - missing ids in a dense sequence (missing-blocks check,
+  *    raw_data_ingestion_pipeline.py:715-756): generate the expected id
+  *    range with `sequence`, anti-join against what arrived;
+  *  - per-group completeness vs a declared count (missing-transactions
+  *    check, :758-831);
+  *  - feature-table constraints (data_quality_ethereum_wallet_features
+  *    .sql:1-32): no negative counters, and the share of degenerate rows
+  *    below a threshold.
+  *
+  * Each check returns a DataFrame of violations (empty = pass) so the
+  * caller composes them with `union` exactly as the reference stacks its
+  * constraint rows; [[gate]] throws on any violation, which is the DAG
+  * semantics (alert + fail the run).
+  */
+object DataQuality {
+
+  /** Missing-id check: ids expected in [lo, hi] but absent from `df.idCol`.
+    * The expected side is `sequence`-generated and exploded — no driver
+    * loop — and the probe is a broadcast-able anti-join. */
+  def missingIds(spark: SparkSession, df: DataFrame, idCol: String,
+      lo: Long, hi: Long): DataFrame = {
+    val expected = spark.range(1)
+      .select(explode(sequence(lit(lo), lit(hi))).as("expected_id"))
+    expected.join(df.select(col(idCol).as("expected_id")).distinct(),
+      Seq("expected_id"), "left_anti")
+  }
+
+  /** Per-group completeness: groups whose actual row count disagrees with
+    * the declared count column (one declared value per group). */
+  def incompleteGroups(df: DataFrame, groupCol: String, declaredCountCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("actual"), max(col(declaredCountCol)).as("declared"))
+      .filter(col("actual") =!= col("declared"))
+
+  /** Feature constraints: negative counters are corruption; a too-large
+    * share of all-zero rows signals an upstream drop. Returns one row per
+    * violated constraint (the reference's stacked-UNION shape). */
+  def featureConstraints(features: DataFrame,
+      counterCols: Seq[String],
+      zeroCol: String,
+      maxZeroRatio: Double): DataFrame = {
+    val negatives = counterCols.map { c =>
+      features.filter(col(c) < 0)
+        .agg(count(lit(1)).as("n_bad"))
+        .select(lit(s"negative_$c").as("constraint"), col("n_bad"))
+        .filter(col("n_bad") > 0)
+    }
+    val zeroShare = features
+      .agg((count(when(col(zeroCol) === 0, lit(1))) / count(lit(1))).as("ratio"))
+      .select(lit(s"zero_ratio_$zeroCol").as("constraint"),
+        (col("ratio") * 0).cast("long").as("n_bad"), col("ratio"))
+      .filter(col("ratio") > maxZeroRatio)
+      .drop("ratio")
+    negatives.reduce(_ unionByName _).unionByName(zeroShare)
+  }
+
+  /** Run checks; throw (failing the pipeline run, as the DAG does) if any
+    * violations surface. */
+  def gate(checks: Seq[(String, DataFrame)]): Unit = {
+    val bad = checks.flatMap { case (name, df) =>
+      val n = df.limit(1).count()
+      if (n > 0) Some(name) else None
+    }
+    require(bad.isEmpty, s"data-quality gate failed: ${bad.mkString(", ")}")
+  }
+}

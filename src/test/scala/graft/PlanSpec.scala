@@ -1,0 +1,50 @@
+package graft
+
+/** Plan-quality assertions: the physical plans the 100 TB design depends on
+  * must stay the plans Catalyst actually picks — dims broadcast, windows
+  * and rollups sharing one exchange, watermark predicates reaching the
+  * parquet scan. A regression here is a scale bug even when results stay
+  * correct. */
+class PlanSpec extends SparkSpec {
+
+  private def planString(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  private def countOccurrences(s: String, sub: String): Int =
+    s.sliding(sub.length).count(_ == sub)
+
+  test("j4_join_rollup broadcasts all three dimension tables") {
+    val p = planString("j4_join_rollup")
+    assert(countOccurrences(p, "BroadcastHashJoin") == 3, p)
+    // the fact table is never broadcast: exactly one shuffle (the final agg)
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 1, p)
+  }
+
+  test("flagship pipeline runs all windows + rollup on a single exchange") {
+    val p = planString("flagship_wallet_features")
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 1, p)
+    assert(countOccurrences(p, "Window") >= 3, p)
+  }
+
+  test("incremental watermark predicate is pushed into the parquet scan") {
+    val p = planString("p3_incremental_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThan(ts,"), p)
+  }
+
+  test("q1_agg uses partial (map-side) aggregation around one exchange") {
+    val p = planString("q1_agg")
+    assert(countOccurrences(p, "HashAggregate") == 2, p)
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 1, p)
+  }
+
+  test("ann_bruteforce_topk broadcasts the probe side") {
+    val p = planString("ann_bruteforce_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("column pruning reaches the scan for narrow projections") {
+    val p = planString("t_token_count")
+    // only doc_id + text are read, not lang/source/n_chars
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+}

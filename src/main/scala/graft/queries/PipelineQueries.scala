@@ -184,6 +184,84 @@ object PipelineQueries {
           .as("prop_k_safe"))
     },
 
+    // ------------------------------------------------------- W2 (hard part)
+    // hash_rank dedup counting (SURVEY §7.4 #2, ethereum_wallet_features
+    // .sql:45,128-133): COUNT only rank-1 rows (a hash appearing as
+    // normal+internal+erc20 counts once) while SUM covers ALL rows — the
+    // subtle mixed-cardinality aggregate the reference's counts depend on.
+    QueryDef("w2b_hash_rank_counting",
+      s"""WITH r AS (
+         |  SELECT user_id, value,
+         |    DENSE_RANK() OVER (PARTITION BY user_id, epoch_us(ts) // 86400000000
+         |      ORDER BY $typePrioritySql) AS hash_rank
+         |  FROM events)
+         |SELECT user_id,
+         |  COUNT(CASE WHEN hash_rank = 1 THEN 1 END) AS n_deduped,
+         |  COUNT(*) AS n_rows,
+         |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+         |FROM r GROUP BY user_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"), expr("ts_us div 86400000000"))
+        .orderBy(typePriority)
+      events(s, dir)
+        .withColumn("hash_rank", dense_rank().over(w))
+        .groupBy("user_id")
+        .agg(
+          count(when(col("hash_rank") === 1, lit(1))).as("n_deduped"),
+          count(lit(1)).as("n_rows"),
+          sum(col("value").cast("decimal(38,6)")).cast("double").as("total_value"))
+    },
+
+    // ------------------------------------------------------- A3 (hard part)
+    // The contracts map-of-maps (ethereum_wallet_features.sql:264-276,312):
+    // per-key metric maps collected into an outer map per wallet, then read
+    // back by double-explode (:403-430). The nested MapType columns are
+    // built for real; the output is the flattened read-back so the oracle
+    // verifies the round-trip value-for-value.
+    QueryDef("a3b_nested_map",
+      """WITH per_type AS (
+        |  SELECT user_id, event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
+        |  FROM events GROUP BY user_id, event_type)
+        |SELECT user_id, event_type, 'n' AS metric, CAST(n AS DOUBLE) AS metric_value
+        |FROM per_type
+        |UNION ALL
+        |SELECT user_id, event_type, 'total' AS metric, total AS metric_value
+        |FROM per_type""".stripMargin) { (s, dir) =>
+      val perType = events(s, dir).groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(38,6)")).cast("double").as("total"))
+      val withInner = perType.select(col("user_id"), col("event_type"),
+        map(lit("n"), col("n").cast("double"), lit("total"), col("total")).as("metrics"))
+      val outer = withInner.groupBy("user_id")
+        .agg(map_from_arrays(collect_list(col("event_type")), collect_list(col("metrics")))
+          .as("contracts"))
+      outer
+        .select(col("user_id"), explode(col("contracts")).as(Seq("event_type", "metrics")))
+        .select(col("user_id"), col("event_type"),
+          explode(col("metrics")).as(Seq("metric", "metric_value")))
+    },
+
+    // ----------------------------------------------------------- SKEW/SALT
+    // Salting for skewed join keys (SURVEY §4 skew handling): the fact side
+    // is skewed onto 4 event_type values; the dim side is replicated across
+    // 8 salt buckets and the join key widened to (key, salt), spreading each
+    // hot key over 8 reducers. Results are provably identical to the
+    // unsalted join — which is exactly what the oracle checks.
+    QueryDef("j_salted_skew",
+      """WITH dim AS (
+        |  SELECT event_type, COUNT(*) AS type_total
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, d.type_total
+        |FROM events e JOIN dim d ON e.event_type = d.event_type""".stripMargin) { (s, dir) =>
+      val ev = events(s, dir)
+      val dim = ev.groupBy("event_type").agg(count(lit(1)).as("type_total"))
+      val saltedDim = dim.withColumn("salt", explode(sequence(lit(0L), lit(7L))))
+        .withColumnRenamed("event_type", "d_type")
+      ev.join(saltedDim,
+          col("event_type") === col("d_type") && pmod(col("event_id"), lit(8)) === col("salt"))
+        .select(col("event_id"), col("type_total"))
+    },
+
     // ----------------------------------------------------------------- MISC
     // uuid() per row (ethereum_blocks.sql:35) — nondeterministic, so no
     // oracle: the driver records a rows-only check. Shape: every row tagged

@@ -20,6 +20,7 @@ object Graft {
       .builder()
       .master(s"local[$cpus]")
       .appName("graft")
+      .withExtensions(new graft.plans.GraftExtensions())
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

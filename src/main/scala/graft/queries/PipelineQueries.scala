@@ -95,6 +95,107 @@ object PipelineQueries {
         max(when(col("rn_desc") === 1, col("balance"))).cast("double").as("final_balance"))
     },
 
+    // ------------------------------------------- FLAGSHIP (domain program)
+    // The ENTIRE WalletFeatures program (pipeline/WalletFeatures.scala —
+    // ethereum_wallet_features.sql:14-327) under the oracle gate: events
+    // mapped into the wallet_transactions shape (role pivot, JSON
+    // counterparty, per-type contract, priority), then ordering → running
+    // balances (ROUND(,5) + -0.0 normalization) → per-contract summaries →
+    // wallet rollup with the 700000 cap and guarded division. The oracle
+    // recomputes every stage in SQL.
+    QueryDef("flagship_full_program",
+      s"""WITH tx0 AS (
+         |  SELECT CAST(event_id AS VARCHAR) AS hash, epoch_us(ts) AS ts,
+         |    CASE event_type WHEN 'purchase' THEN 'ETH' ELSE event_type END AS contract,
+         |    $typePrioritySql AS priority,
+         |    event_type, value, user_id,
+         |    COALESCE(TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT), -1) AS cp
+         |  FROM events),
+         |wtx AS (
+         |  SELECT CAST(user_id AS VARCHAR) AS wallet, 'sender' AS role, hash,
+         |         value AS amount, value * 0.001 AS fee, ts, contract, priority
+         |  FROM tx0
+         |  UNION ALL
+         |  SELECT CAST(cp AS VARCHAR), 'receiver', hash, value, 0.0, ts, contract, priority
+         |  FROM tx0),
+         |enr AS (
+         |  SELECT *,
+         |    ROW_NUMBER() OVER (PARTITION BY wallet, contract
+         |      ORDER BY ts, priority, CASE WHEN role = 'receiver' THEN 0 ELSE 1 END, hash) AS row_num,
+         |    CAST(SUM(CAST(CASE WHEN role = 'receiver' THEN amount
+         |                       ELSE -amount - fee END AS DECIMAL(38,6)))
+         |      OVER (PARTITION BY wallet, contract
+         |            ORDER BY ts, priority, CASE WHEN role = 'receiver' THEN 0 ELSE 1 END, hash
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS rawbal
+         |  FROM wtx),
+         |bal AS (
+         |  SELECT *,
+         |    CASE WHEN round(rawbal, 5) = 0 THEN 0.0 ELSE round(rawbal, 5) END AS balance,
+         |    ROW_NUMBER() OVER (PARTITION BY wallet, contract ORDER BY row_num DESC) AS rn_desc
+         |  FROM enr),
+         |pc AS (
+         |  SELECT wallet, contract,
+         |    MAX(CASE WHEN rn_desc = 1 THEN balance END) AS final_balance,
+         |    COALESCE(MIN(CASE WHEN balance > 0 THEN balance END), 0.0) AS min_pos,
+         |    MAX(balance) AS max_bal,
+         |    COUNT(CASE WHEN role = 'receiver' THEN 1 END) AS n_received,
+         |    COUNT(CASE WHEN role = 'sender' THEN 1 END) AS n_sent,
+         |    CAST(SUM(CAST(CASE WHEN role = 'receiver' THEN amount ELSE 0 END
+         |         AS DECIMAL(38,6))) AS DOUBLE) AS total_received,
+         |    CAST(SUM(CAST(CASE WHEN role = 'sender' THEN amount ELSE 0 END
+         |         AS DECIMAL(38,6))) AS DOUBLE) AS total_sent,
+         |    CAST(SUM(CAST(fee AS DECIMAL(38,6))) AS DOUBLE) AS total_fees,
+         |    MIN(ts) AS first_tx_ts, MAX(ts) AS last_tx_ts
+         |  FROM bal GROUP BY wallet, contract)
+         |SELECT wallet AS wallet_address,
+         |  COALESCE(MAX(CASE WHEN contract = 'ETH' THEN
+         |    CASE WHEN final_balance > 700000 THEN 0.0 ELSE final_balance END END), 0.0)
+         |    AS eth_balance,
+         |  COALESCE(MAX(CASE WHEN contract = 'ETH' THEN max_bal END), 0.0) AS max_eth_ever,
+         |  COALESCE(MAX(CASE WHEN contract = 'ETH' THEN min_pos END), 0.0) AS min_eth_ever,
+         |  CAST(SUM(n_received) AS BIGINT) AS n_in,
+         |  CAST(SUM(n_sent) AS BIGINT) AS n_out,
+         |  CAST(SUM(CAST(total_received AS DECIMAL(38,6))) AS DOUBLE) AS total_in,
+         |  CAST(SUM(CAST(total_sent AS DECIMAL(38,6))) AS DOUBLE) AS total_out,
+         |  CAST(SUM(CAST(total_fees AS DECIMAL(38,6))) AS DOUBLE) AS total_fees,
+         |  MIN(first_tx_ts) AS first_tx_ts,
+         |  MAX(last_tx_ts) AS last_tx_ts,
+         |  COUNT(*) AS n_contracts,
+         |  CASE WHEN SUM(n_received) > 0
+         |       THEN CAST(SUM(CAST(total_received AS DECIMAL(38,6))) AS DOUBLE) / SUM(n_received)
+         |       ELSE 0.0 END AS avg_in_value
+         |FROM pc GROUP BY wallet""".stripMargin) { (s, dir) =>
+      val tx0 = events(s, dir).select(
+        col("event_id").cast("string").as("transaction_hash"),
+        col("ts_us").as("block_timestamp"),
+        when(col("event_type") === "purchase", "ETH").otherwise(col("event_type"))
+          .as("contract_address"),
+        typePriority.as("priority"),
+        col("event_type").as("transaction_type"),
+        col("value"), col("user_id"),
+        coalesce(expr("try_cast(get_json_object(props, '$.k') AS BIGINT)"), lit(-1L)).as("cp"))
+      val common = Seq("transaction_hash", "block_timestamp", "contract_address",
+        "priority", "transaction_type")
+      val sender = tx0.select(
+        (col("user_id").cast("string").as("wallet_address") +:
+          lit("sender").as("role") +: col("value").as("amount") +:
+          (col("value") * lit(0.001)).as("tx_fee") +: common.map(col)): _*)
+      val receiver = tx0.select(
+        (col("cp").cast("string").as("wallet_address") +:
+          lit("receiver").as("role") +: col("value").as("amount") +:
+          lit(0.0).as("tx_fee") +: common.map(col)): _*)
+      val wtx = sender.unionByName(receiver)
+        .withColumn("block_number", lit(0L))
+        .withColumn("date_partition", lit("2024-01"))
+        .withColumn("address_partition", substring(col("wallet_address"), 1, 2))
+      graft.pipeline.WalletFeatures.walletFeatures(wtx).select(
+        col("wallet_address"), col("eth_balance"), col("max_eth_ever"),
+        col("min_eth_ever"), col("n_in"), col("n_out"), col("total_in"),
+        col("total_out"), col("total_fees"),
+        col("first_tx_ts").as("first_tx_ts"), col("last_tx_ts").as("last_tx_ts"),
+        col("n_contracts"), col("avg_in_value"))
+    },
+
     // ------------------------------------------------------------------ W10
     // FIRST_VALUE boundary stitch (ethereum_wallet_features_with_auc.sql:
     // 627-637): each event measures back to the partition's first event.

@@ -1,0 +1,58 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** rugpull_features.sql:4-204 — per-wallet rugpull-interaction features:
+  * FILTER'd aggregates (A4) over rugpull-flagged wallet transactions, the
+  * reference's 1.3e7 amount cap (:75), and the incremental accumulate
+  * (A7, :155-166) that merges a new batch's aggregates into stored state
+  * with COALESCE-0 sums and min/max merges.
+  */
+object RugpullFeatures {
+
+  /** A4: one batch's per-wallet aggregates. `txFlagged` = wallet_transactions
+    * rows carrying `is_rugpull`. */
+  def aggregate(txFlagged: DataFrame): DataFrame = {
+    val rp = col("is_rugpull")
+    val capAmount = least(col("amount"), lit(1.3e7)) // :75 outlier guard
+    txFlagged.groupBy("wallet_address")
+      .agg(
+        count(when(rp && col("role") === "sender", lit(1))).as("n_rugpull_sent"),
+        count(when(rp && col("role") === "receiver", lit(1))).as("n_rugpull_received"),
+        sum(when(rp && col("role") === "sender", capAmount).otherwise(lit(0.0))
+          .cast("decimal(38,6)")).cast("double").as("rugpull_amount_sent"),
+        sum(when(rp && col("role") === "receiver", capAmount).otherwise(lit(0.0))
+          .cast("decimal(38,6)")).cast("double").as("rugpull_amount_received"),
+        min(when(rp, col("block_timestamp"))).as("first_rugpull_ts"),
+        max(when(rp, col("block_timestamp"))).as("last_rugpull_ts"),
+        count(lit(1)).as("n_transactions"),
+        max("block_timestamp").as("last_tx_ts"))
+  }
+
+  /** A7: merge a new batch's aggregates into previous state —
+    * sum += COALESCE(old, 0); min/max merge with null handling; counts
+    * accumulate. Full-outer so both untouched wallets and brand-new
+    * wallets survive. */
+  def merge(newAgg: DataFrame, oldState: DataFrame): DataFrame = {
+    val n = newAgg.alias("n")
+    val o = oldState.alias("o")
+    def nsum(c: String) =
+      (coalesce(col(s"n.$c"), lit(0.0)) + coalesce(col(s"o.$c"), lit(0.0))).as(c)
+    def ncount(c: String) =
+      (coalesce(col(s"n.$c"), lit(0L)) + coalesce(col(s"o.$c"), lit(0L))).as(c)
+    def tmin(c: String) =
+      when(col(s"n.$c").isNull, col(s"o.$c")).when(col(s"o.$c").isNull, col(s"n.$c"))
+        .otherwise(least(col(s"n.$c"), col(s"o.$c"))).as(c)
+    def tmax(c: String) =
+      when(col(s"n.$c").isNull, col(s"o.$c")).when(col(s"o.$c").isNull, col(s"n.$c"))
+        .otherwise(greatest(col(s"n.$c"), col(s"o.$c"))).as(c)
+    n.join(o, col("n.wallet_address") === col("o.wallet_address"), "full_outer")
+      .select(
+        coalesce(col("n.wallet_address"), col("o.wallet_address")).as("wallet_address"),
+        ncount("n_rugpull_sent"), ncount("n_rugpull_received"),
+        nsum("rugpull_amount_sent"), nsum("rugpull_amount_received"),
+        tmin("first_rugpull_ts"), tmax("last_rugpull_ts"),
+        ncount("n_transactions"), tmax("last_tx_ts"))
+  }
+}

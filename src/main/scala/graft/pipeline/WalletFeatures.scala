@@ -57,14 +57,14 @@ object WalletFeatures {
     * reference packs into MAP columns. */
   def perContract(enrichedTx: DataFrame): DataFrame = {
     val w = Window.partitionBy("wallet_address", "contract_address")
-    val wLatest = Window.partitionBy("wallet_address", "contract_address")
-      .orderBy(col("row_num").desc)
+    // Last row = row_num == partition count: all three analytics share the
+    // ONE unordered window pass — no second (descending) window sort.
     enrichedTx
-      .withColumn("rn_desc", row_number().over(wLatest))
+      .withColumn("n_rows", count(lit(1)).over(w))
       .withColumn("min_positive_balance",
         coalesce(min(when(col("balance") > 0, col("balance"))).over(w), lit(0.0)))
       .withColumn("max_balance", max(col("balance")).over(w))
-      .filter(col("rn_desc") === 1)
+      .filter(col("row_num") === col("n_rows"))
       .select(
         col("wallet_address"), col("address_partition"), col("contract_address"),
         col("balance").as("final_balance"),

@@ -137,6 +137,9 @@ object DedupQueries {
          |SELECT a_id, b_id FROM pairs""".stripMargin) { (s, dir) =>
       val sh = docs(s, dir).filter(size(col("tk")) >= 3)
         .select(col("doc_id"), explode(shinglesExpr).as("s"))
+      // Direct per-instance hashing: md5 is cheap enough that map-side
+      // hashing beats a distinct+join-back rewrite (measured — the join
+      // shuffle on string shingle keys costs more than the saved md5 calls).
       val sig = sh.groupBy("doc_id").agg(
         (0 until 8).map(i => min(md5(concat(lit(s"$i:"), col("s")))).as(s"h$i")).head,
         (1 until 8).map(i => min(md5(concat(lit(s"$i:"), col("s")))).as(s"h$i")): _*)

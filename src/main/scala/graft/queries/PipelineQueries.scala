@@ -174,6 +174,8 @@ object PipelineQueries {
         col("event_type").as("transaction_type"),
         col("value"), col("user_id"),
         coalesce(expr("try_cast(get_json_object(props, '$.k') AS BIGINT)"), lit(-1L)).as("cp"))
+      // Role pivot as two projected scans + UNION (each branch stays a
+      // clean codegen stage; measured faster than an explode generator).
       val common = Seq("transaction_hash", "block_timestamp", "contract_address",
         "priority", "transaction_type")
       val sender = tx0.select(

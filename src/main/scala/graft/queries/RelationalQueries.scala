@@ -66,12 +66,17 @@ object RelationalQueries {
         |SELECT m.month AS month, MAX(e.event_id) AS wm, COUNT(*) AS n_rows
         |FROM events e CROSS JOIN m
         |WHERE strftime(e.ts, '%Y-%m') = m.month GROUP BY m.month""".stripMargin) { (s, dir) =>
+      // One scan: aggregate per month, then keep the max month — same
+      // two-phase-max semantics (the watermark only reads the newest
+      // partition) without scanning the table twice. On a hive-partitioned
+      // table this becomes Lakehouse.watermark's partition-pruned scan.
       val ev = events(s, dir)
         .withColumn("month", date_format(timestamp_micros(col("ts_us")), "yyyy-MM"))
-      val maxMonth = ev.agg(max("month")).as("m")
-      ev.join(maxMonth, ev("month") === maxMonth("max(month)"))
-        .groupBy(ev("month").as("month"))
+      val perMonth = ev.groupBy("month")
         .agg(max("event_id").as("wm"), count(lit(1)).as("n_rows"))
+      perMonth.withColumn("mx", max("month").over(Window.partitionBy()))
+        .filter(col("month") === col("mx"))
+        .select("month", "wm", "n_rows")
     },
 
     // ------------------------------------------------------------------- A4

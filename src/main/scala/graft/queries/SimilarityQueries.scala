@@ -108,6 +108,79 @@ object SimilarityQueries {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .select("q_id", "rank", "n_id", "cos_sim")
+    },
+
+    // ----------------------------------------------------------------- ANN-3
+    // IVF-style ANN: 16 fixed centroids (vec_id < 16 — a real pipeline
+    // would k-means them); every vector is assigned to its nearest-centroid
+    // cell, queries probe their top-2 cells. The inverted-file layout is
+    // the 100 TB path: the corpus is partitioned BY CELL on disk, a query
+    // touches probe/cells of the data, and the candidate join is equi on
+    // cell id. Centroids broadcast everywhere.
+    QueryDef("ann_ivf",
+      s"""WITH n AS (
+         |  SELECT vec_id, $quantSql AS qv,
+         |    CAST(list_sum(list_transform($quantSql, x -> x * x)) AS BIGINT) AS nq
+         |  FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, qv AS cqv, nq AS cnq FROM n WHERE vec_id < 16),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT v.vec_id, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+         |        CAST(CAST(list_sum(list_transform(list_zip(v.qv, c.cqv), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
+         |          / (sqrt(CAST(v.nq AS DOUBLE)) * sqrt(CAST(c.cnq AS DOUBLE))) DESC, c.cid) AS rn
+         |    FROM n v CROSS JOIN cent c)
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS q_id, cid FROM (
+         |    SELECT q.vec_id, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        CAST(CAST(list_sum(list_transform(list_zip(q.qv, c.cqv), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
+         |          / (sqrt(CAST(q.nq AS DOUBLE)) * sqrt(CAST(c.cnq AS DOUBLE))) DESC, c.cid) AS rn
+         |    FROM n q CROSS JOIN cent c WHERE q.vec_id < 8)
+         |  WHERE rn <= 2),
+         |pairs AS (
+         |  SELECT p.q_id, a.vec_id AS n_id,
+         |    CAST(CAST(list_sum(list_transform(list_zip(q.qv, v.qv), x -> x[1] * x[2])) AS BIGINT) AS DOUBLE)
+         |      / (sqrt(CAST(q.nq AS DOUBLE)) * sqrt(CAST(v.nq AS DOUBLE))) AS cos_sim
+         |  FROM probes p
+         |  JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.q_id
+         |  JOIN n q ON q.vec_id = p.q_id
+         |  JOIN n v ON v.vec_id = a.vec_id),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY cos_sim DESC, n_id) AS rank FROM pairs)
+         |SELECT q_id, rank, n_id, cos_sim FROM ranked WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      val n = emb(s, dir).select("vec_id", "qv", "nq")
+      val cent = n.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("qv").as("c_qv"), col("nq").as("c_nq"))
+      val centCos = expr("long_dot(qv, c_qv)").cast("double") /
+        (sqrt(col("nq").cast("double")) * sqrt(col("c_nq").cast("double")))
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("cid"))
+      val assign = n.crossJoin(broadcast(cent))
+        .withColumn("c_cos", centCos)
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"))
+      val probes = n.filter(col("vec_id") < 8).crossJoin(broadcast(cent))
+        .withColumn("c_cos", centCos)
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") <= 2)
+        .select(col("vec_id").as("q_id"), col("cid"))
+      val cells = assign.join(n, "vec_id")
+        .select(col("cid").as("a_cid"), col("vec_id").as("n_id"),
+          col("qv").as("c_qv2"), col("nq").as("c_nq2"))
+      val qv = n.select(col("vec_id").as("qq_id"), col("qv").as("q_qv"), col("nq").as("q_nq"))
+      val pairCos = expr("long_dot(q_qv, c_qv2)").cast("double") /
+        (sqrt(col("q_nq").cast("double")) * sqrt(col("c_nq2").cast("double")))
+      val wRank = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
+      broadcast(probes)
+        .join(cells, col("a_cid") === col("cid") && col("n_id") =!= col("q_id"))
+        .join(broadcast(qv), col("qq_id") === col("q_id"))
+        .withColumn("cos_sim", pairCos)
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= 5)
+        .select("q_id", "rank", "n_id", "cos_sim")
     }
   )
 }

@@ -3,6 +3,7 @@ package graft
 import graft.streaming.Streams
 import graft.streaming.Streams.Ev
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import java.sql.Timestamp
 
 /** Structured-Streaming face of the reference's micro-batch pattern:
@@ -48,6 +49,39 @@ class StreamingSpec extends SparkSpec {
       assert(out(7L)._3 == 3L)
       assert(out(8L)._2 == 0.0)
     } finally q.stop()
+  }
+
+  test("parquet file source streams the lake: new files arrive as micro-batches") {
+    val srcDir = tmpDir("stream-src")
+    val outDir = tmpDir("stream-out")
+    val ckpt = tmpDir("stream-fck")
+    val batch1 = Seq(Ev(1, ts(0), 1, "purchase", 10.0), Ev(2, ts(1), 2, "click", 1.0))
+    batch1.toDS().write.mode("append").parquet(srcDir)
+    val stream = spark.readStream.schema(implicitly[org.apache.spark.sql.Encoder[Ev]].schema)
+      .parquet(srcDir)
+    val q = Streams.dedupedWindowedAgg(stream, "10 minutes")
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    // append-mode windowed agg emits only watermark-closed windows; a second
+    // file arriving later advances the watermark and flushes the first hour
+    val batch2 = Seq(Ev(3, ts(90), 1, "purchase", 5.0))
+    batch2.toDS().write.mode("append").parquet(srcDir)
+    val q2 = Streams.dedupedWindowedAgg(
+      spark.readStream.schema(implicitly[org.apache.spark.sql.Encoder[Ev]].schema).parquet(srcDir),
+      "10 minutes")
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(60000)
+    val out = spark.read.parquet(outDir)
+    assert(out.count() >= 1) // the first closed hour window surfaced
+    assert(out.filter(col("user_id") === 1).head().getAs[Double]("total_value") == 10.0)
   }
 
   test("foreachBatchUpsert merges each micro-batch into the lake table") {

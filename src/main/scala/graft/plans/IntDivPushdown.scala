@@ -7,7 +7,10 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.LongType
 
 /** Optimizer rule: derive parquet-pushable raw-column predicates from
-  * integer-division comparisons.
+  * integer-division comparisons — automating the reference's incremental
+  * watermark idiom (`WHERE block_timestamp > filter_value` alongside a
+  * redundant partition predicate, e.g. ethereum_wallet_features.sql:53-54)
+  * for predicates phrased over derived `div` columns.
   *
   * The engine's watermark predicates compare a DERIVED column —
   * `ts div 1000 > C` (nanos→micros) — which Parquet cannot use for

@@ -102,6 +102,26 @@ object TextQueries {
           .as("quality"))
     },
 
+    // ---------------------------------------------------------------- TEXT-5
+    // Normalization for dedup keying: lowercase, strip non-alphanumerics,
+    // collapse whitespace — the canonical form exact/near dedup keys on.
+    // Output includes the cluster size per normalized form.
+    QueryDef("t_normalize",
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |         ' +', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT doc_id, md5(norm) AS norm_key, length(norm) AS norm_len,
+        |  COUNT(*) OVER (PARTITION BY md5(norm)) AS cluster_size
+        |FROM n""".stripMargin) { (s, dir) =>
+      val norm = trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+        " +", " "))
+      Graft.table(s, dir, "documents")
+        .select(col("doc_id"), md5(norm).as("norm_key"), length(norm).as("norm_len"))
+        .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("norm_key")))
+    },
+
     // ---------------------------------------------------------------- TEXT-4
     // Document fingerprinting: a bag-of-words content fingerprint (md5 of the
     // sorted distinct token set — md5 is byte-identical across engines) plus

@@ -87,7 +87,10 @@ object DedupQueries {
     // --------------------------------------------------------------- DEDUP-2
     // N-gram Jaccard near-dup: 3-gram shingle sets compared pairwise within a
     // blocking key (first token) — the self-join shuffles on the block key,
-    // so the pair space is Σ block² not N².
+    // so the pair space is Σ block² not N². NOTE the first-token block key
+    // has bounded cardinality (a parallelism ceiling on a large cluster) —
+    // it demos the blocked-pairwise shape; the production-scale composition
+    // is d_lsh_verified below (LSH candidates → Jaccard verify).
     QueryDef("d_ngram_jaccard",
       s"""WITH sh AS (
          |  SELECT doc_id, string_split(text,' ')[1] AS blk, $shinglesSql AS sh
@@ -152,6 +155,64 @@ object DedupQueries {
       val b = bands.select(col("doc_id").as("b_id"), col("band").as("band2"), col("bh").as("bh2"))
       a.join(b, col("band") === col("band2") && col("bh") === col("bh2") && col("a_id") < col("b_id"))
         .select("a_id", "b_id").distinct()
+    },
+
+    // ------------------------------------------------------------- DEDUP-3b
+    // The production dedup pipeline: MinHash-LSH candidate generation
+    // (bucket keys have ~uniform high cardinality — shuffles scale out)
+    // followed by exact Jaccard verification on just the candidate pairs.
+    // This is how near-dedup runs at 100 TB: no bounded blocking key, no
+    // N² pair space, and the expensive set comparison only on pairs the
+    // signatures already voted for.
+    QueryDef("d_lsh_verified",
+      s"""WITH sh AS (
+         |  SELECT doc_id, $shinglesSql AS sh
+         |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+         |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+         |sig AS (SELECT doc_id,
+         |  ${(0 until 8).map(i => s"min(md5('$i:' || s)) AS h$i").mkString(", ")}
+         |  FROM ex GROUP BY doc_id),
+         |bands AS (
+         |  ${(0 until 4).map(bnd =>
+              s"SELECT doc_id, $bnd AS band, md5(h${2 * bnd} || h${2 * bnd + 1}) AS bh FROM sig")
+              .mkString("\n  UNION ALL ")}),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+         |SELECT c.a_id, c.b_id,
+         |  len(list_intersect(sa.sh, sb.sh))
+         |    / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+         |FROM cand c
+         |JOIN sh sa ON sa.doc_id = c.a_id
+         |JOIN sh sb ON sb.doc_id = c.b_id
+         |WHERE len(list_intersect(sa.sh, sb.sh))
+         |    / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.1""".stripMargin) { (s, dir) =>
+      graft.functions.VectorExprs.register(s)
+      val base = docs(s, dir).filter(size(col("tk")) >= 3)
+      val sh = base.select(col("doc_id"), explode(shinglesExpr).as("s"))
+      val sig = sh.groupBy("doc_id").agg(
+        (0 until 8).map(i => min(md5(concat(lit(s"$i:"), col("s")))).as(s"h$i")).head,
+        (1 until 8).map(i => min(md5(concat(lit(s"$i:"), col("s")))).as(s"h$i")): _*)
+      val bands = sig.select(col("doc_id"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"), md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bh"))): _*))
+          .as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      val cand = bands.select(col("doc_id").as("a_id"), col("band"), col("bh"))
+        .join(bands.select(col("doc_id").as("b_id"), col("band").as("band2"), col("bh").as("bh2")),
+          col("band") === col("band2") && col("bh") === col("bh2") && col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+      // verify on hashed sorted shingle sets via the native merge intersect
+      val hsh = base.select(col("doc_id"), hashedShinglesExpr.as("hs"))
+      val verified = cand
+        .join(hsh.select(col("doc_id").as("a_id"), col("hs").as("a_hs")), "a_id")
+        .join(hsh.select(col("doc_id").as("b_id"), col("hs").as("b_hs")), "b_id")
+      val inter = expr("sorted_intersect_count(a_hs, b_hs)")
+      verified
+        .withColumn("jaccard", inter / (size(col("a_hs")) + size(col("b_hs")) - inter))
+        .filter(col("jaccard") >= 0.1)
+        .select("a_id", "b_id", "jaccard")
     },
 
     // --------------------------------------------------------------- DEDUP-4

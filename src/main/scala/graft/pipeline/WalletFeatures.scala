@@ -53,48 +53,51 @@ object WalletFeatures {
       .withColumn("balance", when(rounded === 0, lit(0.0)).otherwise(rounded))
   }
 
-  /** Per-(wallet, contract) summary — the per-contract "details" row the
-    * reference packs into MAP columns. */
+  /** Per-(wallet, contract) summary — balances AND flow aggregates in ONE
+    * unordered window pass over the enriched rows (last row = row_num ==
+    * partition count). Fusing them matters: a separate groupBy branch
+    * would consume `enrichedTx` twice, re-running the whole window
+    * pipeline (no subtree reuse without caching) plus an extra
+    * exchange+join — measured ~2× on the flagship program.
+    *
+    * Counts keep the hash_rank asymmetry: only rank-1 rows count, all
+    * rows sum. */
   def perContract(enrichedTx: DataFrame): DataFrame = {
     val w = Window.partitionBy("wallet_address", "contract_address")
-    // Last row = row_num == partition count: all three analytics share the
-    // ONE unordered window pass — no second (descending) window sort.
+    // All window columns in ONE select: chained withColumn(over(w)) plans a
+    // separate Window operator per column (each re-buffering every
+    // partition); a single projection collapses them into one Window node.
     enrichedTx
-      .withColumn("n_rows", count(lit(1)).over(w))
-      .withColumn("min_positive_balance",
-        coalesce(min(when(col("balance") > 0, col("balance"))).over(w), lit(0.0)))
-      .withColumn("max_balance", max(col("balance")).over(w))
+      .select(col("*"),
+        count(lit(1)).over(w).as("n_rows"),
+        coalesce(min(when(col("balance") > 0, col("balance"))).over(w), lit(0.0))
+          .as("min_positive_balance"),
+        max(col("balance")).over(w).as("max_balance"),
+        count(when(col("role") === "receiver" && col("hash_rank") === 1, lit(1))).over(w)
+          .as("n_received"),
+        count(when(col("role") === "sender" && col("hash_rank") === 1, lit(1))).over(w)
+          .as("n_sent"),
+        sum(when(col("role") === "receiver", col("amount")).otherwise(lit(0.0))
+          .cast("decimal(38,6)")).over(w).cast("double").as("total_received"),
+        sum(when(col("role") === "sender", col("amount")).otherwise(lit(0.0))
+          .cast("decimal(38,6)")).over(w).cast("double").as("total_sent"),
+        sum(col("tx_fee").cast("decimal(38,6)")).over(w).cast("double").as("total_fees"),
+        min("block_timestamp").over(w).as("first_tx_ts"),
+        max("block_timestamp").over(w).as("last_tx_ts"))
       .filter(col("row_num") === col("n_rows"))
       .select(
         col("wallet_address"), col("address_partition"), col("contract_address"),
         col("balance").as("final_balance"),
-        col("min_positive_balance"), col("max_balance"))
+        col("min_positive_balance"), col("max_balance"),
+        col("n_received"), col("n_sent"), col("total_received"), col("total_sent"),
+        col("total_fees"), col("first_tx_ts"), col("last_tx_ts"))
   }
-
-  /** Per-(wallet, contract) counting/sum aggregates with the hash_rank
-    * asymmetry: counts see only hash_rank=1 rows, sums see all rows. */
-  def perContractFlows(enrichedTx: DataFrame): DataFrame =
-    enrichedTx.groupBy("wallet_address", "contract_address")
-      .agg(
-        count(when(col("role") === "receiver" && col("hash_rank") === 1, lit(1)))
-          .as("n_received"),
-        count(when(col("role") === "sender" && col("hash_rank") === 1, lit(1)))
-          .as("n_sent"),
-        sum(when(col("role") === "receiver", col("amount")).otherwise(lit(0.0))
-          .cast("decimal(38,6)")).cast("double").as("total_received"),
-        sum(when(col("role") === "sender", col("amount")).otherwise(lit(0.0))
-          .cast("decimal(38,6)")).cast("double").as("total_sent"),
-        sum(col("tx_fee").cast("decimal(38,6)")).cast("double").as("total_fees"),
-        min("block_timestamp").as("first_tx_ts"),
-        max("block_timestamp").as("last_tx_ts"))
 
   /** The wallet-level feature row: ETH-specific features pulled out of the
     * per-contract summaries, the contracts map (A3), the outlier cap and
     * the guarded division (A2). */
   def walletFeatures(walletTx: DataFrame): DataFrame = {
-    val e = enriched(walletTx)
-    val summary = perContract(e).join(perContractFlows(e),
-      Seq("wallet_address", "contract_address"))
+    val summary = perContract(enriched(walletTx))
 
     val capped = when(col("final_balance") > 700000, lit(0.0))
       .otherwise(col("final_balance"))

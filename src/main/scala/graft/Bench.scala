@@ -26,9 +26,11 @@ object Bench {
       val t0 = System.nanoTime()
       // noop sink: materializes EVERY output column (count() would let
       // Catalyst prune projection-only work, under-reporting the query).
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case _: Throwable => false }
+      // a failing query must NOT look like a fast success: sentinel -1
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

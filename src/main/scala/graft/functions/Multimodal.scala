@@ -72,7 +72,13 @@ object Multimodal {
     withMediaDf
       .withColumn("n_frames",
         ceil(length(col("media")) / lit(frameBytes.toDouble)).cast("int"))
+      // guard n_frames=0: Spark's sequence(0, -1) yields [0, -1] (it infers
+      // a descending step), which would emit two phantom frames for an
+      // empty payload — an empty payload must produce zero frames.
       .select(col("doc_id"), col("media"),
-        posexplode(expr(s"transform(sequence(0, n_frames - 1), i -> substring(media, i * $frameBytes + 1, $frameBytes))")))
+        posexplode(expr(
+          s"""CASE WHEN n_frames <= 0 THEN array()
+             |ELSE transform(sequence(0, n_frames - 1),
+             |       i -> substring(media, i * $frameBytes + 1, $frameBytes)) END""".stripMargin)))
       .select(col("doc_id"), col("pos").as("frame_idx"), col("col").as("frame"))
 }

@@ -42,14 +42,15 @@ object DomainTransforms {
         col("call_type").isin("delegatecall", "staticcall", "callcode"), lit(false)))
     val parents = transactions.select(
       col("hash").as("p_hash"), col("from_address").as("p_from"),
-      col("to_address").as("p_to"))
+      col("to_address").as("p_to"), col("value").as("p_value"))
+    // join on hash only; the duplicate test compares from AND to AND value
+    // (:36) under three-valued logic — a trace differing from its parent in
+    // any of the three (e.g. a partial internal transfer) is kept.
     val nonDup = calls
-      .join(parents,
-        col("transaction_hash") === col("p_hash") &&
-          col("from_address") === col("p_from") && col("to_address") === col("p_to"),
-        "left_outer")
-      .filter(col("p_hash").isNull)
-      .drop("p_hash", "p_from", "p_to")
+      .join(parents, col("transaction_hash") === col("p_hash"), "left_outer")
+      .filter(!(col("from_address") === col("p_from") &&
+        col("to_address") === col("p_to") && col("value") === col("p_value")))
+      .drop("p_hash", "p_from", "p_to", "p_value")
     val rewards = traces.filter(col("trace_type") === "reward")
       .withColumn("transaction_hash",
         concat(lit("REWARD_"), coalesce(col("to_address"), lit(""))))
@@ -80,15 +81,19 @@ object DomainTransforms {
       .withColumn("from_is_contract", col("c_from").isNotNull)
       .withColumn("to_is_contract", col("c_to").isNotNull)
       .drop("c_from", "c_to")
-    // rugpull match: tx within (rugpull_date - 1 day, rugpull_date]
+    // rugpull match (ethereum_normal_transactions.sql:95-97): the rugpull
+    // announcement lies on the tx's day or the day before —
+    // (rd < td AND rd >= td - 1 day) OR rd = td — i.e. a tx on the
+    // announcement day or the day after is flagged.
     val rp = rugpulls.select(lower(col("contract_address")).as("rp_addr"),
       col("rugpull_date"))
     val txDate = to_date(timestamp_seconds(col("block_timestamp")))
+    val inWindow =
+      (col("rugpull_date") < txDate && col("rugpull_date") >= txDate - expr("INTERVAL 1 DAY")) ||
+        col("rugpull_date") === txDate
     flagged
       .join(broadcast(rp),
-        lower(col("to_address")) === col("rp_addr") &&
-          txDate > col("rugpull_date") - expr("INTERVAL 1 DAY") &&
-          txDate <= col("rugpull_date"),
+        lower(col("to_address")) === col("rp_addr") && inWindow,
         "left_outer")
       .withColumn("is_rugpull", col("rp_addr").isNotNull)
       .drop("rp_addr", "rugpull_date")
@@ -118,33 +123,52 @@ object DomainTransforms {
     * per-branch type/priority constants, then the role pivot doubling each
     * row into a sender view and a receiver view (fee borne by the sender
     * only), with burn/genesis filtering (P6, :30,111-113,140-141). */
+  /** The zero (burn) address the reference excludes
+    * (ethereum_wallet_transactions.sql:113,141). */
+  val BurnAddress: String = "0x" + "0" * 40
+
   def walletTransactions(normal: DataFrame, internal: DataFrame,
       erc20: DataFrame): DataFrame = {
     def branch(df: DataFrame, txType: String, priority: Int,
-        valueCol: String, feeCol: Option[String]): DataFrame =
-      df.select(
+        valueCol: String, feeCol: Option[String]): DataFrame = {
+      // carry contract flags when the branch computes them (normal does;
+      // traces/erc20 sides default false, as unflagged addresses).
+      val withFlags = Seq("from_is_contract", "to_is_contract").foldLeft(df) {
+        (d, c) => if (d.columns.contains(c)) d else d.withColumn(c, lit(false))
+      }
+      withFlags.select(
         col("transaction_hash"),
         col("from_address"), col("to_address"),
+        col("from_is_contract"), col("to_is_contract"),
         col(valueCol).as("amount"),
         feeCol.map(col).getOrElse(lit(0.0)).as("tx_fee"),
         col("block_timestamp"), col("block_number"),
         lit(txType).as("transaction_type"), lit(priority).as("priority"),
         col("date_partition"))
+    }
 
     val unioned =
       branch(normal.withColumnRenamed("hash", "transaction_hash"),
         "normal", 1, "eth_value", Some("tx_fee"))
         .unionByName(branch(internal, "internal", 2, "eth_value", None))
         .unionByName(branch(erc20, "erc20", 3, "token_value", None))
-        .filter(!coalesce(col("from_address").isin("GENESIS", "0x0"), lit(false)))
 
-    val sender = unioned.select(
-      col("from_address").as("wallet_address"), lit("sender").as("role"),
-      col("transaction_hash"), col("amount"), col("tx_fee"),
-      col("block_timestamp"), col("block_number"),
-      col("transaction_type"), col("priority"), col("date_partition"))
+    // Sender view (:111-113): drop contract senders, GENESIS, and the burn
+    // address. Receiver view (:140-141): drop contract receivers and the
+    // burn address (no GENESIS check on this side — faithful asymmetry).
+    val sender = unioned
+      .filter(!(col("from_is_contract") === true))
+      .filter(col("from_address") =!= "GENESIS")
+      .filter(col("from_address") =!= BurnAddress)
+      .select(
+        col("from_address").as("wallet_address"), lit("sender").as("role"),
+        col("transaction_hash"), col("amount"), col("tx_fee"),
+        col("block_timestamp"), col("block_number"),
+        col("transaction_type"), col("priority"), col("date_partition"))
     val receiver = unioned
       .filter(col("to_address").isNotNull)
+      .filter(!(col("to_is_contract") === true))
+      .filter(col("to_address") =!= BurnAddress)
       .select(
         col("to_address").as("wallet_address"), lit("receiver").as("role"),
         col("transaction_hash"), col("amount"), lit(0.0).as("tx_fee"),

@@ -178,13 +178,23 @@ object Medallion {
       col("last_ts_us"))
     // Chunked driver-side pagination (S10): at production scale the sink's
     // client library is driver-bound (Mongo bulk upserts); the iterator
-    // bounds driver memory to one chunk.
+    // bounds driver memory to one chunk. Chunks append into a staging
+    // table; ONE mergeUpsert then folds staging into serving — per-chunk
+    // merges would re-read and rewrite the whole serving table per chunk
+    // (O(chunks × table) I/O).
     import scala.jdk.CollectionConverters._
+    val staging = servingPath(root).stripSuffix("/") + ".inbox"
     val it = docs.toLocalIterator().asScala
     val schema = docs.schema
     it.grouped(chunkRows).foreach { chunk =>
       val batch = spark.createDataFrame(chunk.asJava, schema)
-      Lakehouse.mergeUpsert(spark, batch, servingPath(root), Seq("walletAddress"))
+      Lakehouse.appendPartitioned(batch, staging, Nil)
+    }
+    if (Lakehouse.tableExists(spark, staging)) {
+      Lakehouse.mergeUpsert(spark, Lakehouse.read(spark, staging),
+        servingPath(root), Seq("walletAddress"))
+      val p = new org.apache.hadoop.fs.Path(staging)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }
   }
 

@@ -27,8 +27,11 @@ object DataQuality {
     * loop — and the probe is a broadcast-able anti-join. */
   def missingIds(spark: SparkSession, df: DataFrame, idCol: String,
       lo: Long, hi: Long): DataFrame = {
-    val expected = spark.range(1)
-      .select(explode(sequence(lit(lo), lit(hi))).as("expected_id"))
+    // spark.range distributes the expected side across tasks; a sequence()
+    // array would build the whole range in one row (2.1B element cap and a
+    // single-task allocation — exactly what this check must not do at
+    // block-range scale).
+    val expected = spark.range(lo, hi + 1).select(col("id").as("expected_id"))
     expected.join(df.select(col(idCol).as("expected_id")).distinct(),
       Seq("expected_id"), "left_anti")
   }
@@ -59,7 +62,7 @@ object DataQuality {
         (col("ratio") * 0).cast("long").as("n_bad"), col("ratio"))
       .filter(col("ratio") > maxZeroRatio)
       .drop("ratio")
-    negatives.reduce(_ unionByName _).unionByName(zeroShare)
+    negatives.foldLeft(zeroShare)(_ unionByName _)
   }
 
   /** Run checks; throw (failing the pipeline run, as the DAG does) if any

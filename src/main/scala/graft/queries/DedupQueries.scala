@@ -48,13 +48,38 @@ object DedupQueries {
     """list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
       |  i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))""".stripMargin
 
-  /** Integer quantization of a float embedding: floor(x*1e6) per element.
-    * float→double is exact, double mult + floor are single IEEE ops — the
-    * resulting BIGINT vector is identical in both engines. */
-  private val quantSql =
-    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
-  private val quantExpr =
-    expr("transform(embedding, x -> bigint(floor(cast(x as double) * 1000000)))")
+  private val quantSql = EmbeddingParity.quantSql
+  private val quantExpr = EmbeddingParity.quantExpr
+
+  // ---- MinHash signature/band construction shared by d_minhash_lsh and
+  // d_lsh_verified (k=8 salted md5 "permutations" folded into 4 bands) ----
+
+  /** Oracle-side CTE body: per-doc signature columns h0..h7. */
+  private val sigSqlCols = (0 until 8).map(i => s"min(md5('$i:' || s)) AS h$i").mkString(", ")
+
+  /** Oracle-side band rows from a `sig` CTE. */
+  private val bandsSqlUnion = (0 until 4).map(bnd =>
+    s"SELECT doc_id, $bnd AS band, md5(h${2 * bnd} || h${2 * bnd + 1}) AS bh FROM sig")
+    .mkString("\n  UNION ALL ")
+
+  /** Spark side: (doc_id, band, bh) rows from exploded shingles. */
+  private def minhashBands(shingleRows: DataFrame): DataFrame = {
+    val sig = shingleRows.groupBy("doc_id").agg(
+      (0 until 8).map(i => min(md5(concat(lit(s"$i:"), col("s")))).as(s"h$i")).head,
+      (1 until 8).map(i => min(md5(concat(lit(s"$i:"), col("s")))).as(s"h$i")): _*)
+    sig.select(col("doc_id"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"), md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bh"))): _*))
+        .as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
+  /** Spark side: distinct candidate (a_id < b_id) pairs sharing any band. */
+  private def candidatePairs(bands: DataFrame): DataFrame =
+    bands.select(col("doc_id").as("a_id"), col("band"), col("bh"))
+      .join(bands.select(col("doc_id").as("b_id"), col("band").as("band2"), col("bh").as("bh2")),
+        col("band") === col("band2") && col("bh") === col("bh2") && col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
 
   private def emb(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExprs.register(s)
@@ -126,35 +151,20 @@ object DedupQueries {
          |  SELECT doc_id, $shinglesSql AS sh
          |  FROM documents WHERE len(string_split(text,' ')) >= 3),
          |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-         |sig AS (SELECT doc_id,
-         |  ${(0 until 8).map(i => s"min(md5('$i:' || s)) AS h$i").mkString(", ")}
-         |  FROM ex GROUP BY doc_id),
+         |sig AS (SELECT doc_id, $sigSqlCols FROM ex GROUP BY doc_id),
          |bands AS (
-         |  ${(0 until 4).map(bnd =>
-              s"SELECT doc_id, $bnd AS band, md5(h${2 * bnd} || h${2 * bnd + 1}) AS bh FROM sig")
-              .mkString("\n  UNION ALL ")}),
+         |  $bandsSqlUnion),
          |pairs AS (
          |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          |  FROM bands a JOIN bands b
          |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
          |SELECT a_id, b_id FROM pairs""".stripMargin) { (s, dir) =>
-      val sh = docs(s, dir).filter(size(col("tk")) >= 3)
-        .select(col("doc_id"), explode(shinglesExpr).as("s"))
       // Direct per-instance hashing: md5 is cheap enough that map-side
       // hashing beats a distinct+join-back rewrite (measured — the join
       // shuffle on string shingle keys costs more than the saved md5 calls).
-      val sig = sh.groupBy("doc_id").agg(
-        (0 until 8).map(i => min(md5(concat(lit(s"$i:"), col("s")))).as(s"h$i")).head,
-        (1 until 8).map(i => min(md5(concat(lit(s"$i:"), col("s")))).as(s"h$i")): _*)
-      val bands = sig.select(col("doc_id"),
-        explode(array((0 until 4).map(b =>
-          struct(lit(b).as("band"), md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bh"))): _*))
-          .as("bb"))
-        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-      val a = bands.select(col("doc_id").as("a_id"), col("band"), col("bh"))
-      val b = bands.select(col("doc_id").as("b_id"), col("band").as("band2"), col("bh").as("bh2"))
-      a.join(b, col("band") === col("band2") && col("bh") === col("bh2") && col("a_id") < col("b_id"))
-        .select("a_id", "b_id").distinct()
+      val sh = docs(s, dir).filter(size(col("tk")) >= 3)
+        .select(col("doc_id"), explode(shinglesExpr).as("s"))
+      candidatePairs(minhashBands(sh))
     },
 
     // ------------------------------------------------------------- DEDUP-3b
@@ -169,13 +179,9 @@ object DedupQueries {
          |  SELECT doc_id, $shinglesSql AS sh
          |  FROM documents WHERE len(string_split(text,' ')) >= 3),
          |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-         |sig AS (SELECT doc_id,
-         |  ${(0 until 8).map(i => s"min(md5('$i:' || s)) AS h$i").mkString(", ")}
-         |  FROM ex GROUP BY doc_id),
+         |sig AS (SELECT doc_id, $sigSqlCols FROM ex GROUP BY doc_id),
          |bands AS (
-         |  ${(0 until 4).map(bnd =>
-              s"SELECT doc_id, $bnd AS band, md5(h${2 * bnd} || h${2 * bnd + 1}) AS bh FROM sig")
-              .mkString("\n  UNION ALL ")}),
+         |  $bandsSqlUnion),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          |  FROM bands a JOIN bands b
@@ -191,18 +197,7 @@ object DedupQueries {
       graft.functions.VectorExprs.register(s)
       val base = docs(s, dir).filter(size(col("tk")) >= 3)
       val sh = base.select(col("doc_id"), explode(shinglesExpr).as("s"))
-      val sig = sh.groupBy("doc_id").agg(
-        (0 until 8).map(i => min(md5(concat(lit(s"$i:"), col("s")))).as(s"h$i")).head,
-        (1 until 8).map(i => min(md5(concat(lit(s"$i:"), col("s")))).as(s"h$i")): _*)
-      val bands = sig.select(col("doc_id"),
-        explode(array((0 until 4).map(b =>
-          struct(lit(b).as("band"), md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bh"))): _*))
-          .as("bb"))
-        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-      val cand = bands.select(col("doc_id").as("a_id"), col("band"), col("bh"))
-        .join(bands.select(col("doc_id").as("b_id"), col("band").as("band2"), col("bh").as("bh2")),
-          col("band") === col("band2") && col("bh") === col("bh2") && col("a_id") < col("b_id"))
-        .select("a_id", "b_id").distinct()
+      val cand = candidatePairs(minhashBands(sh))
       // verify on hashed sorted shingle sets via the native merge intersect
       val hsh = base.select(col("doc_id"), hashedShinglesExpr.as("hs"))
       val verified = cand

@@ -17,3 +17,15 @@ object QueryDef {
   def noOracle(name: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, fn, None)
 }
+
+/** Shared embedding-parity primitives (used by the dedup and ANN queries):
+  * quantize float vectors to BIGINT (floor(x*1e6)) so dot products and
+  * norms are exact integer arithmetic — bit-identical across engines and
+  * order-independent at any parallelism. */
+private[queries] object EmbeddingParity {
+  val quantSql: String =
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+  val quantExpr: org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions
+      .expr("transform(embedding, x -> bigint(floor(cast(x as double) * 1000000)))")
+}

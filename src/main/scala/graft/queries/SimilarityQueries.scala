@@ -22,10 +22,8 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityQueries {
 
-  private val quantSql =
-    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
-  private val quantExpr =
-    expr("transform(embedding, x -> bigint(floor(cast(x as double) * 1000000)))")
+  private val quantSql = EmbeddingParity.quantSql
+  private val quantExpr = EmbeddingParity.quantExpr
 
   private def emb(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExprs.register(s)

@@ -25,23 +25,27 @@ class DomainSpec extends SparkSpec {
       dec(value), 100L, 90L, 0L, 1L, 1704067200L, 100L, "2024-01")
 
   private def tx(hash: String, from: String, to: String, value: String,
-      gasPrice: Long = 1000000000L, gasUsed: Long = 21000L): Row =
+      gasPrice: Long = 1000000000L, gasUsed: Long = 21000L,
+      ts: Long = 1704067200L): Row =
     Row(hash, from, to, 1L, 0L, 21000L, gasPrice, 0L, gasUsed, 1L,
-      1704067200L, 100L, 0L, 0L, gasPrice, dec(value), "0x", "bh", null,
+      ts, 100L, 0L, 0L, gasPrice, dec(value), "0x", "bh", null,
       "2", "2024-01")
 
   test("internalTransactions: trace filters, parent-dup drop, reward synthesis") {
     val traces = df(Schemas.traces,
-      trace("h1", "a", "b", "call", "call", null, "5"),       // kept
+      trace("h1", "a", "b", "call", "call", null, "5"),       // kept: differs from parent
       trace("h2", "a", "b", "call", "delegatecall", null, "5"), // dropped: call_type
       trace("h3", "a", "b", "call", null, null, "5"),         // kept: NULL call_type survives NOT COALESCE
       trace("h4", "a", "b", "call", "call", null, "0"),       // dropped: value=0
-      trace("hp", "pf", "pt", "call", "call", null, "7"),     // dropped: duplicates parent tx
+      trace("hp", "pf", "pt", "call", "call", null, "7"),     // dropped: duplicates parent tx exactly
+      trace("hv", "pf", "pt", "call", "call", null, "5"),     // kept: same from/to, DIFFERENT value
       trace(null, null, "miner1", "reward", null, "block", "3")) // reward row
-    val txs = df(Schemas.transactions, tx("hp", "pf", "pt", "7"))
+    val txs = df(Schemas.transactions,
+      tx("h1", "x", "y", "9"), tx("h3", "x", "y", "9"),
+      tx("hp", "pf", "pt", "7"), tx("hv", "pf", "pt", "7"))
     val out = DomainTransforms.internalTransactions(traces, txs)
     val hashes = out.select("transaction_hash").collect().map(_.getString(0)).toSet
-    assert(hashes == Set("h1", "h3", "REWARD_miner1"))
+    assert(hashes == Set("h1", "h3", "hv", "REWARD_miner1"))
     val reward = out.filter(col("transaction_hash") === "REWARD_miner1").head()
     assert(reward.getAs[String]("from_address") == "REWARD_block")
     // wei -> ETH via the split-power quirk: 5 wei / 10^9 / 10^9
@@ -52,6 +56,8 @@ class DomainSpec extends SparkSpec {
   test("normalTransactions: contract flags + rugpull 1-day window") {
     val txs = df(Schemas.transactions,
       tx("t_in", "u1", "0xrug", "1000000000000000000"), // on rugpull date -> match
+      tx("t_next", "u4", "0xrug", "1000000000000000000",
+        ts = 1704067200L + 86400L), // day AFTER the announcement -> match (:95-97)
       tx("t_out", "u2", "0xrug2", "1000000000000000000"), // 4 days before its rugpull date
       tx("t_plain", "u3", "0xc1", "2000000000000000000"))
     val blocks = df(Schemas.blocks,
@@ -68,7 +74,8 @@ class DomainSpec extends SparkSpec {
     val out = DomainTransforms.normalTransactions(txs, blocks, contracts, rugs)
     val byHash = out.collect().map(r => r.getAs[String]("hash") -> r).toMap
     assert(byHash("t_in").getAs[Boolean]("is_rugpull"))
-    assert(!byHash("t_out").getAs[Boolean]("is_rugpull")) // 4 days early: outside (d-1, d]
+    assert(byHash("t_next").getAs[Boolean]("is_rugpull")) // day-after branch
+    assert(!byHash("t_out").getAs[Boolean]("is_rugpull")) // outside [rd, rd+1]
     assert(!byHash("t_plain").getAs[Boolean]("is_rugpull"))
     assert(byHash("t_plain").getAs[Boolean]("to_is_contract"))
     assert(!byHash("t_plain").getAs[Boolean]("from_is_contract"))
@@ -93,11 +100,16 @@ class DomainSpec extends SparkSpec {
     assert(math.abs(byHash("h1").getAs[Double]("token_value") - 10.0) < 1e-9)
   }
 
-  test("walletTransactions: 3-way union, role pivot, GENESIS filter, address_partition") {
+  test("walletTransactions: 3-way union, role pivot, GENESIS/burn/contract filters, address_partition") {
+    val burn = DomainTransforms.BurnAddress
     val normal = df(Schemas.transactions,
       tx("n1", "0xaa11", "0xbb22", "1000000000000000000"),
-      tx("n2", "GENESIS", "0xbb22", "1000000000000000000")) // dropped
+      tx("n2", "GENESIS", "0xbb22", "1000000000000000000"), // sender dropped (GENESIS)
+      tx("n3", "0xcc33", burn, "1000000000000000000"),      // receiver dropped (burn)
+      tx("n4", "0xdd44", "0xc1", "1000000000000000000"))    // receiver dropped (contract)
       .withColumn("eth_value", lit(1.0)).withColumn("tx_fee", lit(0.001))
+      .withColumn("from_is_contract", lit(false))
+      .withColumn("to_is_contract", col("to_address") === "0xc1")
     val internal = spark.createDataFrame(Seq(
       ("i1", "0xcc33", "0xdd44", 0.5, 1704067200L, 100L, "2024-01")))
       .toDF("transaction_hash", "from_address", "to_address", "eth_value",
@@ -107,9 +119,12 @@ class DomainSpec extends SparkSpec {
       .toDF("transaction_hash", "from_address", "to_address", "token_value",
         "block_timestamp", "block_number", "date_partition")
     val out = DomainTransforms.walletTransactions(normal, internal, erc20)
-    // n1 (2 rows) + i1 (2 rows) + e1 (sender only: null receiver) = 5
-    assert(out.count() == 5)
+    // n1 (2) + n2 (receiver only) + n3 (sender only) + n4 (sender only)
+    // + i1 (2) + e1 (sender only: null receiver) = 8
+    assert(out.count() == 8)
     assert(out.filter(col("wallet_address") === "GENESIS").count() == 0)
+    assert(out.filter(col("wallet_address") === burn).count() == 0)
+    assert(out.filter(col("wallet_address") === "0xc1").count() == 0)
     val senderFee = out.filter(col("transaction_hash") === "n1" && col("role") === "sender")
       .head().getAs[Double]("tx_fee")
     val receiverFee = out.filter(col("transaction_hash") === "n1" && col("role") === "receiver")

@@ -31,6 +31,13 @@ class MultimodalSpec extends SparkSpec {
     a.foreach { r => assert(math.abs(r._5.sum - 1.0) < 1e-9) }
   }
 
+  test("frameSample emits zero frames for an empty payload") {
+    import org.apache.spark.sql.functions.lit
+    val empty = Multimodal.withMedia(
+      Seq((99L, "")).toDF("doc_id", "text").withColumn("lang", lit("en")))
+    assert(Multimodal.frameSample(empty, 256).count() == 0)
+  }
+
   test("frameSample reassembles to the original payload") {
     val frames = Multimodal.frameSample(media, 256)
     val rebuilt = frames

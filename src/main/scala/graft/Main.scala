@@ -1,0 +1,50 @@
+package graft
+
+import graft.core.{Graft, Lakehouse}
+import graft.pipeline.Medallion
+import graft.quality.DataQuality
+
+/** CLI runner mirroring the reference's layer dispatcher (main.py:8-69,
+  * `--data-lake-layer {raw,stage,analytics,features,features_data_quality}`):
+  * each layer runs its incremental load against the lake root; `all` chains
+  * them like the Airflow DAG's task sequence, ending with the DQ gate.
+  *
+  * Usage: graft.Main --layer <raw|stage|analytics|features|serving|quality|all>
+  *                   --lake <rootDir> [--csv <csvDir>]
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+    val layer = opts.getOrElse("layer", "all")
+    val lake = opts.getOrElse("lake",
+      sys.error("--lake <rootDir> is required"))
+    val spark = Graft.session()
+    try {
+      def raw(): Unit = Medallion.ingestRaw(spark,
+        opts.getOrElse("csv", sys.error("--csv required for the raw layer")), lake)
+      def quality(): Unit = {
+        val feats = Lakehouse.read(spark, Medallion.featuresPath(lake))
+        DataQuality.gate(Seq(
+          "feature_constraints" -> DataQuality.featureConstraints(
+            feats, Seq("n_events"), "n_events", maxZeroRatio = 0.2)))
+        println("[graft] data-quality gate passed")
+      }
+      layer match {
+        case "raw"       => raw()
+        case "stage"     => Medallion.stage(spark, lake)
+        case "analytics" => Medallion.analytics(spark, lake)
+        case "features"  => Medallion.features(spark, lake)
+        case "serving"   => Medallion.servingExport(spark, lake)
+        case "quality"   => quality()
+        case "all" =>
+          raw(); Medallion.stage(spark, lake); Medallion.analytics(spark, lake)
+          Medallion.features(spark, lake); Medallion.servingExport(spark, lake)
+          quality()
+        case other => sys.error(s"unknown --layer $other")
+      }
+      println(s"[graft] layer '$layer' complete at $lake")
+    } finally spark.stop()
+  }
+}

@@ -1,0 +1,135 @@
+package graft.queries
+
+import graft.core.Graft
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Additional feature-engineering operators rounding out the inventory:
+  * edit-distance near-dup, rank-based analytics, exact positional median,
+  * and character-class text statistics. All parity-safe by construction
+  * (integer DP, integer positions, int/int IEEE divisions).
+  */
+object ExtraQueries {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Graft.table(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+
+  val all: Seq[QueryDef] = Seq(
+
+    // --------------------------------------------------------------- DEDUP-6
+    // Edit-distance near-dup: Levenshtein over blocked candidate pairs —
+    // the classic fuzzy-dedup primitive (both engines implement the same
+    // integer DP, so distances are exactly comparable). The DP is
+    // O(len²) per PAIR, so the pair space is bounded hard: short docs
+    // only (len ≤ 200 — fuzzy matching is a short-string tool; long docs
+    // near-dedup via shingles/MinHash above), equal first token, and
+    // similar length.
+    QueryDef("d_edit_distance",
+      """WITH d AS (
+        |  SELECT doc_id, text, string_split(text, ' ')[1] AS blk, length(text) AS len
+        |  FROM documents WHERE length(text) <= 200)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  levenshtein(a.text, b.text) AS edit_dist,
+        |  1.0 - levenshtein(a.text, b.text)
+        |    / CAST(greatest(a.len, b.len) AS DOUBLE) AS edit_sim
+        |FROM d a JOIN d b
+        |  ON a.blk = b.blk AND a.doc_id < b.doc_id
+        | AND abs(a.len - b.len) <= 20
+        |WHERE levenshtein(a.text, b.text) <= 120""".stripMargin) { (s, dir) =>
+      val d = Graft.table(s, dir, "documents")
+        .filter(length(col("text")) <= 200)
+        .select(col("doc_id"), col("text"),
+          element_at(split(col("text"), " "), 1).as("blk"), length(col("text")).as("len"))
+      val a = d.select(col("doc_id").as("a_id"), col("text").as("a_text"),
+        col("blk"), col("len").as("a_len"))
+      val b = d.select(col("doc_id").as("b_id"), col("text").as("b_text"),
+        col("blk").as("b_blk"), col("len").as("b_len"))
+      // The distance test goes INTO the join condition, authored after the
+      // cheap guards (And short-circuits left-to-right in codegen): a
+      // post-join filter gets pushed in FRONT of the cheap conjuncts and
+      // then every same-block pair pays the DP. The thresholded
+      // levenshtein(.., 121) band-limits the DP and returns the exact
+      // distance for every pair the ≤120 filter keeps (-1 beyond, excluded
+      // by the BETWEEN).
+      val distT = expr("levenshtein(a_text, b_text, 121)")
+      a.join(b, col("blk") === col("b_blk") && col("a_id") < col("b_id") &&
+          abs(col("a_len") - col("b_len")) <= 20 &&
+          distT.between(0, 120))
+        .withColumn("edit_dist", distT)
+        .select(col("a_id"), col("b_id"), col("edit_dist"),
+          (lit(1.0) - col("edit_dist") / greatest(col("a_len"), col("b_len")).cast("double"))
+            .as("edit_sim"))
+    },
+
+    // ------------------------------------------------------------------ W14
+    // Rank-based analytics: PERCENT_RANK/CUME_DIST/NTILE — the quantile
+    // features of a per-entity score distribution. percent_rank =
+    // (rank-1)/(n-1) and cume_dist = rows<=x / n are single int/int IEEE
+    // divisions — identical across engines.
+    QueryDef("w14_rank_analytics",
+      """SELECT event_id, user_id,
+        |  PERCENT_RANK() OVER (PARTITION BY user_id ORDER BY value, event_id) AS value_pct,
+        |  CUME_DIST() OVER (PARTITION BY user_id ORDER BY value, event_id) AS value_cume,
+        |  NTILE(4) OVER (PARTITION BY user_id ORDER BY value, event_id) AS value_quartile
+        |FROM events""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("value"), col("event_id"))
+      events(s, dir).select(col("event_id"), col("user_id"),
+        percent_rank().over(w).as("value_pct"),
+        cume_dist().over(w).as("value_cume"),
+        ntile(4).over(w).as("value_quartile"))
+    },
+
+    // ------------------------------------------------------------------ A10
+    // Exact median without interpolation ambiguity: positional selection —
+    // average of the two middle rows by a deterministic order. Integer
+    // positions + one addition and one division per group, so both engines
+    // produce the identical double.
+    QueryDef("a10_exact_median",
+      """WITH r AS (
+        |  SELECT user_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS median_value
+        |FROM r
+        |WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+        |GROUP BY user_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("value"), col("event_id"))
+      val wAll = Window.partitionBy("user_id")
+      events(s, dir)
+        .select(col("user_id"), col("value"),
+          row_number().over(w).as("rn"), count(lit(1)).over(wAll).as("n"))
+        .filter(col("rn") === expr("(n + 1) div 2") || col("rn") === expr("(n + 2) div 2"))
+        .groupBy("user_id")
+        .agg((sum(col("value").cast("decimal(38,6)")).cast("double") / count(lit(1)))
+          .as("median_value"))
+    },
+
+    // ---------------------------------------------------------------- TEXT-6
+    // Character-class statistics: alpha/digit/space ratios and uppercase
+    // share — the cheap quality signals a corpus filter computes per doc.
+    // Counts are regexp-strip length differences (integers); ratios one
+    // division each.
+    QueryDef("t_charclass",
+      """SELECT doc_id,
+        |  length(text) AS n_chars,
+        |  length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS n_alpha,
+        |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+        |  length(text) - length(regexp_replace(text, ' ', '', 'g')) AS n_space,
+        |  (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))
+        |    / CAST(length(text) AS DOUBLE) AS alpha_ratio
+        |FROM documents WHERE length(text) > 0""".stripMargin) { (s, dir) =>
+      val t = col("text")
+      def stripped(re: String) = length(t) - length(regexp_replace(t, re, ""))
+      Graft.table(s, dir, "documents").filter(length(t) > 0)
+        .select(col("doc_id"),
+          length(t).as("n_chars"),
+          stripped("[a-zA-Z]").as("n_alpha"),
+          stripped("[0-9]").as("n_digit"),
+          stripped(" ").as("n_space"),
+          (stripped("[a-zA-Z]") / length(t).cast("double")).as("alpha_ratio"))
+    }
+  )
+}

@@ -19,11 +19,17 @@ import org.apache.spark.sql.types.LongType
   * equivalent raw bound that IS pushable:
   *
   *   (a div k) >  c  ⟺  a >  c*k + k - 1   (k > 0, c ≥ 0)
-  *   (a div k) >= c  ⟺  a >= c*k           (k > 0, c ≥ 0)
+  *   (a div k) >= c  ⟺  a >= c*k           (k > 0, c ≥ 1)
+  *   (a div k) >= 0  ⟺  a >  -k            (k > 0)
   *
-  * (Truncating division makes these false for negative thresholds — e.g.
-  * a = -5: `a div 1000 = 0 > -1` holds but `a > -1` does not — so the rule
-  * fires only for provably non-negative c.) The derived predicate is ADDED
+  * (Truncating division makes these false outside the stated ranges. For
+  * negative thresholds — e.g. a = -5: `a div 1000 = 0 > -1` holds but
+  * `a > -1` does not — the rule never fires. For GTE at c = 0 the naive
+  * `a >= 0` bound is ALSO wrong for negative dividends: a = -5 gives
+  * `a div 1000 = 0 >= 0` true but `a >= 0` false; truncation maps all of
+  * [-k+1, -1] to 0, so the sound bound is `a > -k`. The GT case at c = 0
+  * is safe because `(a div k) > 0` already forces a ≥ k.) The derived
+  * predicate is ADDED
   * alongside the original, never replacing it: Catalyst pushes the raw
   * comparison into the scan (min/max pruning at 100 TB), and the original
   * filter still decides row membership.
@@ -39,8 +45,11 @@ object IntDivPushdown extends Rule[LogicalPlan] {
         Literal(c: Long, LongType)) if k > 0 && c >= 0 && a.dataType == LongType =>
       Some(GreaterThan(a, Literal(c * k + k - 1, LongType)))
     case GreaterThanOrEqual(IntegralDivide(a: AttributeReference, Literal(k: Long, LongType), _),
-        Literal(c: Long, LongType)) if k > 0 && c >= 0 && a.dataType == LongType =>
+        Literal(c: Long, LongType)) if k > 0 && c >= 1 && a.dataType == LongType =>
       Some(GreaterThanOrEqual(a, Literal(c * k, LongType)))
+    case GreaterThanOrEqual(IntegralDivide(a: AttributeReference, Literal(k: Long, LongType), _),
+        Literal(0L, LongType)) if k > 0 && a.dataType == LongType =>
+      Some(GreaterThan(a, Literal(-k, LongType)))
     case _ => None
   }
 

@@ -48,6 +48,41 @@ class IntDivPushdownSpec extends SparkSpec {
     }
   }
 
+  test("GTE at c = 0 keeps negative dividends (a div k = 0 >= 0)") {
+    // a = -5: (-5 div 1000) = 0 >= 0 must hold; the naive derived bound
+    // a >= 0 would silently drop the row. Sound bound: a > -k.
+    val rows = Seq(-1500L, -1000L, -999L, -5L, 0L, 5L, 999L, 1000L, 2500L)
+    // Parquet-backed so the filter survives optimization (a LocalRelation
+    // would be constant-folded before the rule's output is observable).
+    val dir = java.nio.file.Files.createTempDirectory("intdiv").toString
+    spark.createDataFrame(rows.map(Tuple1(_))).toDF("v")
+      .write.mode("overwrite").parquet(dir)
+    val plain = spark.read.parquet(dir)
+      .filter(expr("v div 1000 >= 0L")).collect().map(_.getLong(0)).toSet
+    val ruled = withRule { s2 =>
+      val df = s2.read.parquet(dir).filter(expr("v div 1000 >= 0L"))
+      val optimized = df.queryExecution.optimizedPlan.toString
+      // the unsound raw bound would print as `(v#NNL >= 0)`; the original
+      // `((v#NNL div 1000) >= 0)` must remain, the sound `> -1000` be added
+      assert(!"""\(v#\d+L >= 0\)""".r.findFirstIn(optimized).isDefined, optimized)
+      assert(optimized.contains("> -1000)"), optimized)
+      df.collect().map(_.getLong(0)).toSet
+    }
+    assert(ruled == plain)
+    assert(plain == Set(-999L, -5L, 0L, 5L, 999L, 1000L, 2500L))
+  }
+
+  test("GT at c = 0 stays sound for negative dividends") {
+    val rows = Seq(-1500L, -5L, 0L, 999L, 1000L, 2500L)
+    val plain = spark.createDataFrame(rows.map(Tuple1(_))).toDF("v")
+      .filter(expr("v div 1000 > 0L")).collect().map(_.getLong(0)).toSet
+    val ruled = withRule { s2 =>
+      s2.createDataFrame(rows.map(Tuple1(_))).toDF("v")
+        .filter(expr("v div 1000 > 0L")).collect().map(_.getLong(0)).toSet
+    }
+    assert(ruled == plain && plain == Set(1000L, 2500L))
+  }
+
   test("rule is idempotent at fixpoint (no predicate duplication)") {
     withRule { s2 =>
       val df = s2.read.parquet(s"$sf/events.parquet")

@@ -31,6 +31,10 @@ object Graft {
       // DuckDB oracle truncates the same column to micros — parity is at
       // microsecond resolution via `ts div 1000`).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // 256-bucket hive partitions are 2-hex-char strings ("07", "0a"):
+      // without this, an all-digit sample infers IntegerType and rewrites
+      // partition values ("07" -> 7), breaking partition-dir stability.
+      .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

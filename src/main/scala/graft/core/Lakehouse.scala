@@ -105,11 +105,16 @@ object Lakehouse {
       s"merge schema mismatch: ${updates.columns.mkString(",")} vs ${cols.mkString(",")}")
 
     val scopeTarget = touchedPartitions.fold(target)(target.filter)
-    val u = updates.alias("u")
+    // Membership marker instead of per-column coalesce: Iceberg's
+    // `WHEN MATCHED UPDATE SET c = u.c` overwrites with NULL when the update
+    // row carries NULL — coalesce(u.c, t.c) would silently resurrect the old
+    // value the first time a nullable feature column is legitimately nulled.
+    val u = updates.withColumn("__is_update", lit(true)).alias("u")
     val t = scopeTarget.alias("t")
     val cond = keys.map(k => col(s"u.$k") <=> col(s"t.$k")).reduce(_ && _)
     val merged = u.join(t, cond, "full_outer").select(
-      cols.map(c => coalesce(col(s"u.$c"), col(s"t.$c")).as(c)): _*)
+      cols.map(c =>
+        when(col("u.__is_update"), col(s"u.$c")).otherwise(col(s"t.$c")).as(c)): _*)
 
     // Materialize BEFORE overwriting: the merged plan reads the files the
     // overwrite is about to delete. Localized via a staging directory so the

@@ -37,6 +37,14 @@ object Medallion {
 
   private def monthCol = date_format(timestamp_micros(col("ts_us")), "yyyy-MM")
 
+  /** 256-bucket layout key for the features/serving tables — the engine's
+    * analogue of the reference's `address_partition = substr(address, 3, 2)`
+    * (ethereum_contracts.sql:16; chunking features_pipeline.py:97-104). An
+    * incremental merge rewrites only the buckets its delta touches, keeping
+    * the merge O(delta), not O(table), at 100 TB. */
+  private def userPartition(userId: org.apache.spark.sql.Column) =
+    format_string("%02x", pmod(userId, lit(256)))
+
   def rawPath(root: String) = s"$root/raw/events"
   def stagePath(root: String) = s"$root/stage/events"
   def analyticsPath(root: String) = s"$root/analytics/user_transactions"
@@ -135,7 +143,9 @@ object Medallion {
         col("user_id"), col("n_events"), col("total_purchase_value"),
         col("first_ts_us"), col("last_ts_us"),
         col("delta_balance").as("final_balance"),
-        col("delta_max_run").as("max_balance")), path)
+        col("delta_max_run").as("max_balance"),
+        userPartition(col("user_id")).as("user_partition")),
+        path, Seq("user_partition"))
     } else {
       val wm = Lakehouse.read(spark, path).agg(max("last_ts_us")).head.getLong(0)
       val d = delta(actor.filter(col("ts_us") > lit(wm))).alias("d")
@@ -156,8 +166,16 @@ object Medallion {
           greatest(
             coalesce(col("o.max_balance"), lit(Double.MinValue)),
             coalesce(col("o.final_balance"), lit(0.0)) + col("d.delta_max_run"))
-            .as("max_balance"))
-      Lakehouse.mergeUpsert(spark, merged, path, Seq("user_id"))
+            .as("max_balance"),
+          userPartition(col("d.user_id")).as("user_partition"))
+      // O(delta) merge: only the 256-bucket partitions the delta touches are
+      // joined against and rewritten; every other partition dir is untouched
+      // on disk (MedallionSpec asserts byte-identity).
+      val touched = merged.select("user_partition").distinct()
+        .collect().map(_.getString(0)).toSeq
+      if (touched.nonEmpty)
+        Lakehouse.mergeUpsert(spark, merged, path, Seq("user_id"),
+          Seq("user_partition"), Some(col("user_partition").isin(touched: _*)))
     }
   }
 
@@ -175,7 +193,8 @@ object Medallion {
         lit("total_purchase_value"), col("total_purchase_value"),
         lit("final_balance"), col("final_balance"),
         lit("max_balance"), col("max_balance")).as("features"),
-      col("last_ts_us"))
+      col("last_ts_us"),
+      col("user_partition"))
     // Chunked driver-side pagination (S10): at production scale the sink's
     // client library is driver-bound (Mongo bulk upserts); the iterator
     // bounds driver memory to one chunk. Chunks append into a staging
@@ -191,8 +210,11 @@ object Medallion {
       Lakehouse.appendPartitioned(batch, staging, Nil)
     }
     if (Lakehouse.tableExists(spark, staging)) {
-      Lakehouse.mergeUpsert(spark, Lakehouse.read(spark, staging),
-        servingPath(root), Seq("walletAddress"))
+      val inbox = Lakehouse.read(spark, staging)
+      val touched = inbox.select("user_partition").distinct()
+        .collect().map(_.getString(0)).toSeq
+      Lakehouse.mergeUpsert(spark, inbox, servingPath(root), Seq("walletAddress"),
+        Seq("user_partition"), Some(col("user_partition").isin(touched: _*)))
       val p = new org.apache.hadoop.fs.Path(staging)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }

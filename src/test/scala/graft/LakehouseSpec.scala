@@ -34,6 +34,18 @@ class LakehouseSpec extends SparkSpec {
     assert(out == Map(1L -> 10.0, 2L -> 99.0, 3L -> 30.0))
   }
 
+  test("mergeUpsert NULL update survives (no coalesce resurrection)") {
+    // Iceberg MERGE semantics: an update that legitimately sets a column to
+    // NULL must win over the stored value.
+    val path = tmpDir("mergenull")
+    Lakehouse.ctas(Seq((1L, Option("keep")), (2L, Option("stale"))).toDF("id", "tag"), path)
+    Lakehouse.mergeUpsert(spark,
+      Seq((2L, Option.empty[String]), (3L, Option("new"))).toDF("id", "tag"),
+      path, Seq("id"))
+    val out = Lakehouse.read(spark, path).as[(Long, Option[String])].collect().toMap
+    assert(out == Map(1L -> Some("keep"), 2L -> None, 3L -> Some("new")))
+  }
+
   test("mergeUpsert with touchedPartitions rewrites only touched partitions") {
     val path = tmpDir("mergep")
     Lakehouse.ctas(

@@ -55,6 +55,54 @@ class MedallionSpec extends SparkSpec {
     }
   }
 
+  test("incremental merge leaves untouched partition dirs byte-identical") {
+    val root = tmpDir("med-part")
+    val csv1 = tmpDir("med-part-csv1"); val csv2 = tmpDir("med-part-csv2")
+    val cut = 1704844800000000L
+    exportCsv(csv1, expr("ts div 1000") <= cut)
+    Medallion.runCycle(spark, csv1, root)
+
+    val featDir = new java.io.File(Medallion.featuresPath(root))
+    def snapshot(): Map[String, Seq[(String, Long, Long)]] =
+      featDir.listFiles().filter(_.isDirectory).map { d =>
+        d.getName ->
+          d.listFiles().map(f => (f.getName, f.length, f.lastModified)).toSeq.sortBy(_._1)
+      }.toMap
+    val before = snapshot()
+    assert(before.size > 5, s"expected multiple 256-bucket partitions, got ${before.size}")
+
+    // second delivery touches ONLY users 0..9 — the merge must rewrite only
+    // their buckets; every other partition dir stays byte-identical
+    // (same files, sizes, mtimes: O(delta), not O(table)).
+    exportCsv(csv2, expr("ts div 1000") > cut && col("user_id") < 10)
+    Medallion.runCycle(spark, csv2, root)
+    val after = snapshot()
+
+    val touched = (0 until 10).map(u => f"user_partition=$u%02x").toSet
+    val untouched = before.keySet -- touched
+    assert(untouched.nonEmpty)
+    untouched.foreach { k =>
+      assert(after(k) == before(k), s"untouched partition $k was rewritten")
+    }
+    // and the delta really landed: at least one touched bucket changed
+    assert(touched.exists(k => before.contains(k) && after(k) != before(k)))
+    // features still correct for a touched user: equals a full recompute
+    val fullRoot = tmpDir("med-part-full"); val fullCsv = tmpDir("med-part-fullcsv")
+    exportCsv(fullCsv, expr("ts div 1000") <= cut ||
+      (expr("ts div 1000") > cut && col("user_id") < 10))
+    Medallion.runCycle(spark, fullCsv, fullRoot)
+    val got = features(root); val want = features(fullRoot)
+    assert(got.keySet == want.keySet)
+    // double accumulation order differs between the stitched and one-shot
+    // paths — compare within float tolerance, as the cycle test does
+    val eps = 1e-9
+    want.foreach { case (u, (n, tp, fb, mb)) =>
+      val (n2, tp2, fb2, mb2) = got(u)
+      assert(n == n2 && math.abs(tp - tp2) < eps &&
+        math.abs(fb - fb2) < eps && math.abs(mb - mb2) < eps, s"user $u differs")
+    }
+  }
+
   test("re-delivered input is a no-op (dedup-on-insert all the way down)") {
     val root = tmpDir("med-dup")
     val csv = tmpDir("med-dup-csv")

@@ -73,11 +73,18 @@ object DomainTransforms {
       .join(blocks.select(col("number"), col("base_fee_per_gas")),
         col("block_number") === col("number"))
       .drop("number")
+    // Contracts is NOT broadcast: Ethereum's contracts table is tens of
+    // millions of rows (OOMs executors as a broadcast at real scale). The
+    // reference co-partitions this join on hash_partition
+    // (ethereum_normal_transactions.sql:85-90); here both sides shuffle on
+    // the address key — AQE may still elect a broadcast when the dim is
+    // genuinely small (tests pin autoBroadcastJoinThreshold=-1 to assert no
+    // hard-coded BroadcastExchange survives).
     val fromFlag = contracts.select(col("address").as("c_from"))
     val toFlag = contracts.select(col("address").as("c_to"))
     val flagged = withBlock
-      .join(broadcast(fromFlag), col("from_address") === col("c_from"), "left_outer")
-      .join(broadcast(toFlag), col("to_address") === col("c_to"), "left_outer")
+      .join(fromFlag, col("from_address") === col("c_from"), "left_outer")
+      .join(toFlag, col("to_address") === col("c_to"), "left_outer")
       .withColumn("from_is_contract", col("c_from").isNotNull)
       .withColumn("to_is_contract", col("c_to").isNotNull)
       .drop("c_from", "c_to")

@@ -148,7 +148,10 @@ object Medallion {
         path, Seq("user_partition"))
     } else {
       val wm = Lakehouse.read(spark, path).agg(max("last_ts_us")).head.getLong(0)
-      val d = delta(actor.filter(col("ts_us") > lit(wm))).alias("d")
+      // Persist the (small, per-user) delta aggregate: it feeds BOTH the
+      // touched-partition probe and the merge write — without the cache the
+      // whole delta window+agg would run twice.
+      val d = delta(actor.filter(col("ts_us") > lit(wm))).persist().alias("d")
       val old = Lakehouse.read(spark, path).alias("o")
       // A7 state merge with W10 boundary stitch, touched users only.
       val merged = d.join(old, col("d.user_id") === col("o.user_id"), "left_outer")
@@ -170,12 +173,15 @@ object Medallion {
           userPartition(col("d.user_id")).as("user_partition"))
       // O(delta) merge: only the 256-bucket partitions the delta touches are
       // joined against and rewritten; every other partition dir is untouched
-      // on disk (MedallionSpec asserts byte-identity).
-      val touched = merged.select("user_partition").distinct()
+      // on disk (MedallionSpec asserts byte-identity). `touched` comes from
+      // the DELTA alone — merged's partitions are a function of d.user_id —
+      // so the probe never pays for the join against the stored state.
+      val touched = d.select(userPartition(col("d.user_id")).as("p")).distinct()
         .collect().map(_.getString(0)).toSeq
       if (touched.nonEmpty)
         Lakehouse.mergeUpsert(spark, merged, path, Seq("user_id"),
           Seq("user_partition"), Some(col("user_partition").isin(touched: _*)))
+      d.unpersist()
     }
   }
 
@@ -205,16 +211,19 @@ object Medallion {
     val staging = servingPath(root).stripSuffix("/") + ".inbox"
     val it = docs.toLocalIterator().asScala
     val schema = docs.schema
+    // touched partitions accumulate while the rows stream past the driver
+    // anyway — no extra Spark job to probe them afterwards.
+    val touched = scala.collection.mutable.SortedSet.empty[String]
+    val pIdx = schema.fieldIndex("user_partition")
     it.grouped(chunkRows).foreach { chunk =>
+      chunk.foreach(r => touched += r.getString(pIdx))
       val batch = spark.createDataFrame(chunk.asJava, schema)
       Lakehouse.appendPartitioned(batch, staging, Nil)
     }
     if (Lakehouse.tableExists(spark, staging)) {
       val inbox = Lakehouse.read(spark, staging)
-      val touched = inbox.select("user_partition").distinct()
-        .collect().map(_.getString(0)).toSeq
       Lakehouse.mergeUpsert(spark, inbox, servingPath(root), Seq("walletAddress"),
-        Seq("user_partition"), Some(col("user_partition").isin(touched: _*)))
+        Seq("user_partition"), Some(col("user_partition").isin(touched.toSeq: _*)))
       val p = new org.apache.hadoop.fs.Path(staging)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }

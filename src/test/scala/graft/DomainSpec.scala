@@ -138,6 +138,29 @@ class DomainSpec extends SparkSpec {
     assert(pri == Map("normal" -> 1, "internal" -> 2, "erc20" -> 3))
   }
 
+  test("normalTransactions: contracts side is never hard-broadcast (scale guard)") {
+    // With the auto-broadcast threshold off, the ONLY BroadcastExchange
+    // allowed is the hinted rugpull dim (a bounded external list). The
+    // contracts existence-flag joins must plan as shuffle joins — a
+    // broadcast() hint there OOMs executors at the real table's size
+    // (tens of millions of contracts).
+    val txs = df(Schemas.transactions, tx("t1", "a", "b", "1"))
+    val blocks = df(Schemas.blocks,
+      Row(1704067200L, null, 100L, "bh", "ph", "n", "m", dec("1"), dec("1"),
+        1L, 1L, 1L, 1L, 7L, "2024-01"))
+    val contracts = df(Schemas.contracts,
+      Row("0xc1", "0x60", true, false, 1704067200L, 99L, "c1", "2024-01"))
+    val rugs = df(Schemas.rugpullMarketData, Row("0xRUG", Date.valueOf("2024-01-01")))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = DomainTransforms.normalTransactions(txs, blocks, contracts, rugs)
+        .queryExecution.executedPlan.toString
+      val n = plan.sliding("BroadcastExchange".length).count(_ == "BroadcastExchange")
+      assert(n == 1, s"expected only the hinted rugpull broadcast, got $n:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("repairLogTopics: char-exploded arrays reassembled, intact arrays untouched") {
     val t1 = "0x" + "a" * 64
     val t2 = "0x" + "b" * 64

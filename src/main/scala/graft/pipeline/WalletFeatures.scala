@@ -1,137 +1,362 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference's core feature program — ethereum_wallet_features.sql:14-327
-  * (SURVEY §7.2 "slice 0", the densest semantics in the system) — over
-  * wallet_transactions rows carrying a `contract_address` ('ETH' for
-  * normal/internal value flow, the token address for ERC-20).
+  * (SURVEY §7.2 "slice 0") — faithfully, over wallet-transaction rows
+  * carrying a `contract_address` ('ETH' for normal/internal value flow, the
+  * token address for ERC-20) and a daily token-price table.
   *
-  * Stages, with the reference's exact ordering/dedup subtleties:
-  *  - W1 deterministic event order per (wallet, contract): timestamp,
-  *    priority, receiver-before-sender, hash — ties broken all the way so
-  *    the running balance is reproducible (§7.4 #1);
-  *  - W2 hash_rank: a hash appearing under several transaction types counts
-  *    ONCE (rank-1 rows) while sums cover every row (§7.4 #2);
-  *  - W3 signed running balance over the W1 order with a ROWS frame
-  *    (receiver +amount, sender -(amount+fee)), ROUND(...,5) with the
-  *    -0.0→0.0 normalization (:102-107);
-  *  - W5 min-positive-ever / W4 whole-partition totals;
-  *  - W6 latest-row pick for the final balance;
-  *  - A3 per-contract metric maps collected into a wallet-level map;
-  *  - A2 wallet rollup with the reference's outlier cap (balance >700000
-  *    → 0, :286-289) and guarded division (:307-310).
+  * Reference stages reproduced (with their exact asymmetries):
+  *  - ranked_wallet_transactions (:14-55): token-metadata ∪ 'ETH' contract
+  *    gate (:47-52); the transaction_index_by_transaction_type CASE
+  *    (internal→999, erc20→1000, else transaction_index, :40-44); the
+  *    deterministic event order (timestamp, priority, type-index,
+  *    receiver-before-sender, :16-27); hash_rank = DENSE_RANK over
+  *    (wallet, hash) BY priority — WALLET-WIDE, so a hash spanning
+  *    contracts (one tx yielding an ETH row and a token row) counts once
+  *    (:45);
+  *  - daily_token_prices (:57-68): stage 1 keeps prices at most 7 calendar
+  *    days in the PAST of some matching transaction; stage 2 (:70-84) ranks
+  *    every candidate within `day(tx) - day(price) <= 7` — the past-only
+  *    bound is deliberately DROPPED, so a future price can win — by
+  *    absolute time distance, per (contract, tx-timestamp); 'ETH' price is
+  *    forced to 1 (:73-76);
+  *  - coin_balances (:86-145): THREE running balances over the event order
+  *    — native, ETH-priced per contract, ETH-priced per wallet — where the
+  *    priced variants value each row at COALESCE(price, 'ETH'→1, else 0)
+  *    and the fee is NEVER priced (sender: -value*price - fee, :108-121);
+  *    whole-partition totals/counts with the hash_rank=1 dedup (:122-135);
+  *  - min/max-ever windows (:148-180) over the priced balances;
+  *  - the latest-row pick (:181-256): max (timestamp, type-index), ties
+  *    resolved to the highest row number;
+  *  - coin_balances_ranked clamps (:199-256): negative balances → 0,
+  *    min-ever clamped ≥ 0, max-ever floored at min-ever;
+  *  - the contracts map (:263-276) — including the reference's quirk of
+  *    repeating min_eth_balance_in_ever_by_contract in the
+  *    'max_eth_balance_in_ever' slot (:272) — and the wallet rollup
+  *    (:278-327) with the 700000 outlier cap applied ONLY to
+  *    MAX(total_balance_in_eth) (:286-289), the all-zero-min CASE
+  *    (:292-295), AVG means, and the guarded fee division (:307-310).
   *
-  * Scale: one shuffle on (wallet_address, contract_address) drives every
-  * window; the wallet rollup re-shuffles only the per-contract summary
-  * rows (tiny). The address_partition column rides along so the physical
-  * layout can bucket by it, as the reference does.
+  * Determinism extension (documented deviation): the reference's ORDER BY
+  * chains end at the role CASE, leaving ties (same wallet, timestamp,
+  * priority, type-index, role) engine-ordered; this implementation appends
+  * `transaction_hash` as a final unique tie-break so every run and every
+  * engine agree. Similarly the price rank breaks exact |Δt| ties on
+  * (price timestamp, price).
+  *
+  * Sums and ROUND(,5) run in DECIMAL(38,6): exact, order-independent at
+  * any parallelism (a double SUM would be partition-order-dependent), and
+  * a decimal round can never produce the IEEE -0.0 the reference's
+  * `CASE = -0.0` guard (:101-107) exists to normalize.
+  *
+  * Scale shape: ONE explicit repartition on wallet_address up front — every
+  * window spec here partitions by wallet_address or a superset, so all six
+  * window passes and the final rollup run on that single exchange (sorts
+  * only, no further shuffles). The latest-row pick is computed as an argmax
+  * (MAX of a (timestamp, type-index, row_num) struct over the unordered
+  * partition window) rather than a ROW_NUMBER over a DESC sort — same rows,
+  * one fewer sort. The price join is a left join against rank-1 rows keyed
+  * by distinct (contract, timestamp) — at 100 TB that dim is too big to
+  * broadcast (one row per contract × block-second), so it shuffles; AQE
+  * picks broadcast when it genuinely fits. The reference's own incremental
+  * query excludes a hand-list of >20M-transaction exchange wallets
+  * (:381-390) — the skew such a wallet would put on the wallet_address
+  * partitioning is handled there by exclusion, not salting; we keep that
+  * contract.
   */
 object WalletFeatures {
 
+  /** transaction_index_by_transaction_type (:40-44). Shared with the
+    * coin-balances program (ethereum_wallet_coin_balances.sql:16-20). */
+  val txIndexByType: Column =
+    when(col("transaction_type") === "internal", lit(999L))
+      .when(col("transaction_type") === "erc20", lit(1000L))
+      .otherwise(col("transaction_index").cast("long"))
+
   private val roleOrder = when(col("role") === "receiver", 0).otherwise(1)
 
-  /** Per-(wallet, contract) event-level enrichment: order, hash dedup rank,
-    * running balance. */
-  def enriched(walletTx: DataFrame): DataFrame = {
-    val wOrd = Window.partitionBy("wallet_address", "contract_address")
-      .orderBy(col("block_timestamp"), col("priority"), roleOrder, col("transaction_hash"))
-    val wHash = Window.partitionBy("wallet_address", "contract_address", "transaction_hash")
-      .orderBy(col("priority"))
-    val signed = when(col("role") === "receiver", col("amount"))
-      .otherwise(-col("amount") - col("tx_fee"))
-    val rawBal = sum(signed.cast("decimal(38,6)"))
-      .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-      .cast("double")
-    val rounded = round(rawBal, 5)
-    walletTx
-      .withColumn("row_num", row_number().over(wOrd))
-      .withColumn("hash_rank", dense_rank().over(wHash))
-      // ROUND(...,5) then -0.0 -> 0.0, exactly the reference's normalization
-      .withColumn("balance", when(rounded === 0, lit(0.0)).otherwise(rounded))
+  /** The deterministic event order (:16-27) + unique tie-break. */
+  private def orderKeys: Seq[Column] =
+    Seq(col("block_timestamp"), col("priority"), col("tx_index_by_type"),
+      roleOrder, col("transaction_hash"))
+
+  /** Tolerate inputs that predate the full reference schema: the order CASE
+    * needs transaction_index (0 when absent — only 'normal' rows read it)
+    * and token_symbol rides along when present. */
+  private def withDefaults(tx: DataFrame): DataFrame = {
+    val t0 = if (tx.columns.contains("transaction_index")) tx
+             else tx.withColumn("transaction_index", lit(0L))
+    t0.withColumn("tx_index_by_type", txIndexByType)
   }
 
-  /** Per-(wallet, contract) summary — balances AND flow aggregates in ONE
-    * unordered window pass over the enriched rows (last row = row_num ==
-    * partition count). Fusing them matters: a separate groupBy branch
-    * would consume `enrichedTx` twice, re-running the whole window
-    * pipeline (no subtree reuse without caching) plus an extra
-    * exchange+join — measured ~2× on the flagship program.
+  /** ranked_wallet_transactions' contract gate (:47-52): keep rows whose
+    * contract is a known token (decimals > 0, pre-filtered by the caller)
+    * or the literal 'ETH' the metadata table lacks. */
+  def contractGate(tx: DataFrame, tokenContracts: DataFrame): DataFrame = {
+    val dim = tokenContracts.select(col(tokenContracts.columns.head).as("cam"))
+      .unionByName(tx.sparkSession.range(1).select(lit("ETH").as("cam")))
+    tx.join(dim, tx("contract_address") === dim("cam"), "left_semi")
+  }
+
+  /** daily_token_prices + daily_token_prices_ranked (:57-84): rank-1
+    * nearest price per distinct (contract, tx-timestamp).
     *
-    * Counts keep the hash_rank asymmetry: only rank-1 rows count, all
-    * rows sum. */
-  def perContract(enrichedTx: DataFrame): DataFrame = {
-    val w = Window.partitionBy("wallet_address", "contract_address")
-    // All window columns in ONE select: chained withColumn(over(w)) plans a
-    // separate Window operator per column (each re-buffering every
-    // partition); a single projection collapses them into one Window node.
-    enrichedTx
-      .select(col("*"),
-        count(lit(1)).over(w).as("n_rows"),
-        coalesce(min(when(col("balance") > 0, col("balance"))).over(w), lit(0.0))
-          .as("min_positive_balance"),
-        max(col("balance")).over(w).as("max_balance"),
-        count(when(col("role") === "receiver" && col("hash_rank") === 1, lit(1))).over(w)
-          .as("n_received"),
-        count(when(col("role") === "sender" && col("hash_rank") === 1, lit(1))).over(w)
-          .as("n_sent"),
-        sum(when(col("role") === "receiver", col("amount")).otherwise(lit(0.0))
-          .cast("decimal(38,6)")).over(w).cast("double").as("total_received"),
-        sum(when(col("role") === "sender", col("amount")).otherwise(lit(0.0))
-          .cast("decimal(38,6)")).over(w).cast("double").as("total_sent"),
-        sum(col("tx_fee").cast("decimal(38,6)")).over(w).cast("double").as("total_fees"),
-        min("block_timestamp").over(w).as("first_tx_ts"),
-        max("block_timestamp").over(w).as("last_tx_ts"))
-      .filter(col("row_num") === col("n_rows"))
-      .select(
-        col("wallet_address"), col("address_partition"), col("contract_address"),
-        col("balance").as("final_balance"),
-        col("min_positive_balance"), col("max_balance"),
-        col("n_received"), col("n_sent"), col("total_received"), col("total_sent"),
-        col("total_fees"), col("first_tx_ts"), col("last_tx_ts"))
+    * `prices` columns: address, price, price_ts (same time unit as
+    * block_timestamp). Returns (price_address, price_cb_ts, price).
+    */
+  def nearestPrices(tx: DataFrame, prices: DataFrame, dayUnit: Long = 86400000000L): DataFrame = {
+    val cbTs = tx.select(col("contract_address").as("cb_address"),
+      col("block_timestamp").as("cb_ts")).distinct()
+    val p = prices.select(col("address").as("p_address"), col("price"), col("price_ts"))
+    val pDay = expr(s"price_ts div $dayUnit")
+    val cbDay = expr(s"cb_ts div $dayUnit")
+    // stage 1 (:57-68): a price qualifies if SOME tx on its contract sits
+    // 0..7 calendar days AFTER it (past-only bound).
+    val stage1 = p.join(cbTs,
+        col("p_address") === col("cb_address") &&
+          pDay <= cbDay && (cbDay - pDay) <= 7, "left_semi")
+      .distinct()
+    // stage 2 (:70-84): candidates per (contract, tx-ts) need only
+    // day(tx) - day(price) <= 7 — the past-only bound is DROPPED (a
+    // future price may be nearest); rank by |Δt| in the base time unit.
+    val cand = cbTs.join(stage1,
+      col("cb_address") === col("p_address") && (cbDay - pDay) <= 7)
+    val w = Window.partitionBy("cb_address", "cb_ts")
+      .orderBy(abs(col("price_ts") - col("cb_ts")), col("price_ts"), col("price"))
+    cand.withColumn("price_rank", row_number().over(w))
+      .filter(col("price_rank") === 1)
+      .select(col("cb_address").as("price_address"), col("cb_ts").as("price_cb_ts"),
+        // :73-76 — the ETH price is always 1
+        when(col("cb_address") === "ETH", lit(1.0)).otherwise(col("price")).as("price"))
   }
 
-  /** The wallet-level feature row: ETH-specific features pulled out of the
-    * per-contract summaries, the contracts map (A3), the outlier cap and
-    * the guarded division (A2). */
-  def walletFeatures(walletTx: DataFrame): DataFrame = {
-    val summary = perContract(enriched(walletTx))
+  /** DECIMAL running sum → ROUND(,5) → double, the reference's balance
+    * normalization (:101-107) made exact. */
+  private def runningBalance(signed: Column, w: org.apache.spark.sql.expressions.WindowSpec) =
+    round(sum(signed.cast("decimal(38,6)"))
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 5)
+      .cast("double")
 
-    val capped = when(col("final_balance") > 700000, lit(0.0))
-      .otherwise(col("final_balance"))
-    val withDetails = summary.withColumn("contract_details", map(
-      lit("final_balance"), capped,
-      lit("min_positive_balance"), col("min_positive_balance"),
-      lit("max_balance"), col("max_balance"),
-      lit("n_received"), col("n_received").cast("double"),
-      lit("n_sent"), col("n_sent").cast("double"),
-      lit("total_received"), col("total_received"),
-      lit("total_sent"), col("total_sent")))
+  /** coin_balances + coin_balances_with_min_max (:86-180): every event row
+    * with the three running balances, the per-contract totals, and the
+    * min/max-ever windows. `withPrices` must already carry a nullable
+    * `price` column (join [[nearestPrices]] output, or null for unpriced
+    * runs). */
+  def coinBalances(withPrices: DataFrame): DataFrame = {
+    val df = withDefaults(withPrices)
+      .withColumn("price_eff",
+        coalesce(col("price"),
+          when(col("contract_address") === "ETH", lit(1.0)).otherwise(lit(0.0))))
+      // one shuffle feeds every window below and the wallet rollup
+      .repartition(col("wallet_address"))
 
-    withDetails.groupBy("wallet_address")
+    val signedNative = when(col("role") === "sender", -col("amount") - col("tx_fee"))
+      .otherwise(col("amount"))
+    // the fee is never priced (:109): sender = -value*price - fee
+    val signedEth = when(col("role") === "sender",
+        (-col("amount") * col("price_eff")) - col("tx_fee"))
+      .otherwise(col("amount") * col("price_eff"))
+
+    val wHash = Window.partitionBy("wallet_address", "transaction_hash").orderBy("priority")
+    val wWalletOrd = Window.partitionBy("wallet_address").orderBy(orderKeys: _*)
+    val wContractOrd = Window.partitionBy("wallet_address", "contract_address")
+      .orderBy(orderKeys: _*)
+
+    // The reference orders the running sums by (ts, priority, type-index,
+    // row_num): row_num was itself assigned along (ts, priority, type-index,
+    // role, hash), so ordering by that chain directly is the same total
+    // order — and lets the row_number and both per-contract sums share one
+    // Window operator (one sort).
+    val bal = df.select(col("*"),
+      dense_rank().over(wHash).as("hash_rank"),
+      runningBalance(signedEth, wWalletOrd).as("bal_eth_wallet"),
+      row_number().over(wContractOrd).as("row_num"),
+      runningBalance(signedNative, wContractOrd).as("bal_native"),
+      runningBalance(signedEth, wContractOrd).as("bal_eth_contract"))
+
+    val wC = Window.partitionBy("wallet_address", "contract_address")
+    val wW = Window.partitionBy("wallet_address")
+    def decSum(c: Column) = sum(c.cast("decimal(38,6)"))
+    bal.select(col("*"),
+      coalesce(min(when(col("bal_eth_contract") > 0, col("bal_eth_contract"))).over(wC),
+        lit(0.0)).as("min_eth_contract_ever"),
+      max(col("bal_eth_contract")).over(wC).as("max_eth_contract_ever"),
+      coalesce(min(when(col("bal_eth_wallet") > 0, col("bal_eth_wallet"))).over(wW),
+        lit(0.0)).as("min_eth_wallet_ever"),
+      max(col("bal_eth_wallet")).over(wW).as("max_eth_wallet_ever"),
+      decSum(when(col("role") === "receiver", col("amount") * col("price_eff"))
+        .otherwise(lit(0.0))).over(wC).cast("double").as("total_incoming_value_in_eth"),
+      decSum(when(col("role") === "sender", col("amount") * col("price_eff"))
+        .otherwise(lit(0.0))).over(wC).cast("double").as("total_outgoing_value_in_eth"),
+      decSum(col("tx_fee")).over(wC).cast("double").as("total_tx_fee"),
+      count(when(col("role") === "receiver" && col("hash_rank") === 1, lit(1))).over(wC)
+        .as("incoming_transactions_count"),
+      count(when(col("role") === "sender" && col("hash_rank") === 1, lit(1))).over(wC)
+        .as("outgoing_transactions_count"),
+      count(when(col("hash_rank") === 1, lit(1))).over(wC).as("transactions_count"),
+      min("block_timestamp").over(wC).as("first_transaction_timestamp"),
+      max("block_timestamp").over(wC).as("last_transaction_timestamp"))
+  }
+
+  /** latest_transactions + coin_balances_ranked + _final (:181-261): keep
+    * each (wallet, contract)'s row at the max (timestamp, type-index) —
+    * highest row number among ties (:247-255) — then apply the clamps
+    * (:199-256). Implemented as an argmax over the existing partition
+    * window instead of a DESC-sorted ROW_NUMBER (same row, one fewer
+    * sort). */
+  def finalBalances(cb: DataFrame): DataFrame = {
+    val wC = Window.partitionBy("wallet_address", "contract_address")
+    val key = struct(col("block_timestamp"), col("tx_index_by_type"), col("row_num"))
+    val picked = cb
+      .withColumn("latest_key", max(key).over(wC))
+      .filter(key === col("latest_key"))
+    def clampNeg(c: String) = when(col(c) < 0, lit(0.0)).otherwise(col(c))
+    picked.select(
+      col("wallet_address"), col("contract_address"), col("address_partition"),
+      clampNeg("bal_native").as("total_balance_by_contract"),
+      clampNeg("bal_eth_contract").as("total_balance_in_eth_by_contract"),
+      clampNeg("bal_eth_wallet").as("total_balance_in_eth"),
+      clampNeg("min_eth_contract_ever").as("min_eth_balance_in_ever_by_contract"),
+      // :227-230 — max floored at the (pre-clamp) min
+      when(col("max_eth_contract_ever") < col("min_eth_contract_ever"),
+        col("min_eth_contract_ever")).otherwise(col("max_eth_contract_ever"))
+        .as("max_eth_balance_in_ever_by_contract"),
+      clampNeg("min_eth_wallet_ever").as("min_eth_balance_in_ever"),
+      when(col("max_eth_wallet_ever") < col("min_eth_wallet_ever"),
+        col("min_eth_wallet_ever")).otherwise(col("max_eth_wallet_ever"))
+        .as("max_eth_balance_in_ever"),
+      col("total_incoming_value_in_eth"), col("total_outgoing_value_in_eth"),
+      col("total_tx_fee"),
+      col("incoming_transactions_count"), col("outgoing_transactions_count"),
+      col("transactions_count"),
+      col("first_transaction_timestamp"), col("last_transaction_timestamp"))
+  }
+
+  /** contracts + wallet_balances (:263-327): the per-contract metric map —
+    * with the reference's :272 quirk of repeating the MIN in the
+    * 'max_eth_balance_in_ever' slot — rolled up to one feature row per
+    * wallet. (The reference builds the map in a self-joined CTE; same rows,
+    * so it is built inline here.) */
+  def walletBalances(finalCb: DataFrame): DataFrame = {
+    def d(c: String) = col(c).cast("double")
+    val details = map(
+      lit("total_balance"), col("total_balance_by_contract"),
+      lit("total_balance_in_eth"), col("total_balance_in_eth_by_contract"),
+      lit("total_auc"), lit(0.0),
+      lit("total_time_in_ever"), lit(0.0),
+      lit("min_eth_balance_in_ever"), col("min_eth_balance_in_ever_by_contract"),
+      // :272 — the reference repeats the MIN here, not the MAX
+      lit("max_eth_balance_in_ever"), col("min_eth_balance_in_ever_by_contract"),
+      lit("total_incoming_value_in_eth"), col("total_incoming_value_in_eth"),
+      lit("total_outgoing_value_in_eth"), col("total_outgoing_value_in_eth"),
+      lit("total_tx_fee"), col("total_tx_fee"),
+      lit("incoming_transactions_count"), d("incoming_transactions_count"),
+      lit("outgoing_transactions_count"), d("outgoing_transactions_count"),
+      lit("transactions_count"), d("transactions_count"),
+      lit("first_transaction_timestamp"), d("first_transaction_timestamp"),
+      lit("last_transaction_timestamp"), d("last_transaction_timestamp"))
+
+    def decSum(c: String) = sum(col(c).cast("decimal(38,6)")).cast("double")
+    finalCb
+      .groupBy("wallet_address", "address_partition")
       .agg(
-        first(col("address_partition")).as("address_partition"),
-        // ETH features (conditional aggregates over the summary rows)
-        coalesce(max(when(col("contract_address") === "ETH", capped)), lit(0.0))
-          .as("eth_balance"),
-        coalesce(max(when(col("contract_address") === "ETH", col("max_balance"))), lit(0.0))
-          .as("max_eth_ever"),
-        coalesce(max(when(col("contract_address") === "ETH", col("min_positive_balance"))),
-          lit(0.0)).as("min_eth_ever"),
-        sum("n_received").as("n_in"),
-        sum("n_sent").as("n_out"),
-        sum(col("total_received").cast("decimal(38,6)")).cast("double").as("total_in"),
-        sum(col("total_sent").cast("decimal(38,6)")).cast("double").as("total_out"),
-        sum(col("total_fees").cast("decimal(38,6)")).cast("double").as("total_fees"),
-        min("first_tx_ts").as("first_tx_ts"),
-        max("last_tx_ts").as("last_tx_ts"),
-        count(lit(1)).as("n_contracts"),
-        map_from_arrays(collect_list(col("contract_address")),
-          collect_list(col("contract_details"))).as("contracts_aggregations"))
-      // guarded division (reference :307-310): avg in-amount only when n_in>0
-      .withColumn("avg_in_value",
-        when(col("n_in") > 0, col("total_in") / col("n_in")).otherwise(lit(0.0)))
+        max(when(col("contract_address") === "ETH",
+          col("total_balance_in_eth_by_contract")).otherwise(lit(0.0)))
+          .as("wallet_total_balance_eth_only"),
+        max(col("total_balance_in_eth")).as("max_bal_eth"),
+        count(lit(1)).as("n_rows"),
+        count(when(col("min_eth_balance_in_ever") === 0, lit(1))).as("n_zero_min"),
+        min(when(col("min_eth_balance_in_ever") > 0, col("min_eth_balance_in_ever")))
+          .as("min_pos_min"),
+        max(col("max_eth_balance_in_ever")).as("wallet_max_eth_ever"),
+        min(col("first_transaction_timestamp")).as("wallet_first_tx"),
+        max(col("last_transaction_timestamp")).as("wallet_last_tx"),
+        sum(col("incoming_transactions_count") - col("outgoing_transactions_count"))
+          .as("wallet_net_incoming_tx"),
+        sum(col("incoming_transactions_count")).as("wallet_total_incoming_tx"),
+        sum(col("outgoing_transactions_count")).as("wallet_total_outgoing_tx"),
+        decSum("total_incoming_value_in_eth").as("wallet_incoming_transactions_sum"),
+        decSum("total_outgoing_value_in_eth").as("wallet_outgoing_transactions_sum"),
+        decSum("total_tx_fee").as("misc_total_fees_eth"),
+        count(col("contract_address")).as("number_of_contracts"),
+        map_from_arrays(collect_list(col("contract_address")), collect_list(details))
+          .as("contracts_aggregations"))
+      .select(
+        col("wallet_address"),
+        col("wallet_total_balance_eth_only"),
+        // :286-289 — the 700000 outlier cap applies ONLY here
+        when(col("max_bal_eth") > 700000, lit(0.0)).otherwise(col("max_bal_eth"))
+          .as("wallet_total_balance_in_eth_and_erc20"),
+        lit(0.0).as("wallet_total_area_in_eth"),
+        lit(0.0).as("wallet_total_time_in_ever"),
+        // :292-295 — 0 when every contract's min-ever is 0
+        when(col("n_rows") === col("n_zero_min"), lit(0.0)).otherwise(col("min_pos_min"))
+          .as("wallet_min_eth_ever"),
+        col("wallet_max_eth_ever"),
+        col("wallet_first_tx"), col("wallet_last_tx"),
+        col("wallet_net_incoming_tx"),
+        col("wallet_total_incoming_tx"), col("wallet_total_outgoing_tx"),
+        col("wallet_incoming_transactions_sum"), col("wallet_outgoing_transactions_sum"),
+        (col("wallet_incoming_transactions_sum") / col("n_rows"))
+          .as("wallet_incoming_transactions_mean"),
+        (col("wallet_outgoing_transactions_sum") / col("n_rows"))
+          .as("wallet_outgoing_transactions_mean"),
+        col("misc_total_fees_eth"),
+        // :307-310 — guarded division
+        when(col("wallet_total_outgoing_tx") === 0, lit(0.0))
+          .otherwise(col("misc_total_fees_eth") / col("wallet_total_outgoing_tx"))
+          .as("misc_avg_total_fees_eth"),
+        col("number_of_contracts"),
+        col("contracts_aggregations"),
+        col("address_partition"))
+  }
+
+  /** The full program: gate → price join → balances → pick/clamp →
+    * rollup. Pass `prices`/`tokenContracts` as None for an unpriced run
+    * (token rows value at 0, 'ETH' at 1 — the COALESCE fallback). */
+  def walletFeatures(walletTx: DataFrame,
+      prices: Option[DataFrame] = None,
+      tokenContracts: Option[DataFrame] = None): DataFrame =
+    walletBalances(finalBalances(coinBalances(priced(walletTx, prices, tokenContracts))))
+
+  /** Per-contract grain of the same program (coin_balances_final,
+    * :257-261) — the three balance variants with their min/max-ever. */
+  def pricedContractBalances(walletTx: DataFrame,
+      prices: Option[DataFrame] = None,
+      tokenContracts: Option[DataFrame] = None): DataFrame =
+    finalBalances(coinBalances(priced(walletTx, prices, tokenContracts)))
+
+  private def priced(walletTx: DataFrame, prices: Option[DataFrame],
+      tokenContracts: Option[DataFrame]): DataFrame = {
+    val gated = tokenContracts.fold(walletTx)(tc => contractGate(walletTx, tc))
+    prices match {
+      case None => gated.withColumn("price", lit(null).cast("double"))
+      case Some(p) =>
+        val rank1 = nearestPrices(gated, p)
+        gated.join(rank1,
+          gated("contract_address") === col("price_address") &&
+            gated("block_timestamp") === col("price_cb_ts"),
+          "left_outer")
+          .drop("price_address", "price_cb_ts")
+    }
+  }
+
+  /** Event-level enrichment used by the AUC module and the incremental
+    * stitches: the deterministic order's row number, the wallet-wide
+    * hash_rank, and the NATIVE running balance. */
+  def enriched(walletTx: DataFrame): DataFrame = {
+    val df = withDefaults(walletTx)
+    val signed = when(col("role") === "sender", -col("amount") - col("tx_fee"))
+      .otherwise(col("amount"))
+    val wOrd = Window.partitionBy("wallet_address", "contract_address").orderBy(orderKeys: _*)
+    val wHash = Window.partitionBy("wallet_address", "transaction_hash").orderBy("priority")
+    df.select(col("*"),
+      row_number().over(wOrd).as("row_num"),
+      dense_rank().over(wHash).as("hash_rank"),
+      runningBalance(signed, wOrd).as("balance"))
   }
 }

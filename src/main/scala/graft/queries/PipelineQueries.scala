@@ -26,6 +26,199 @@ object PipelineQueries {
     """CASE event_type WHEN 'signup' THEN 1 WHEN 'purchase' THEN 2
       |                WHEN 'click' THEN 3 ELSE 4 END""".stripMargin
 
+  /** Deterministic wallet-transactions + daily-prices fixture for the
+    * priced flagship program. Every event yields a sender and a receiver
+    * row; purchase events yield an EXTRA ERC-20 leg on a token contract
+    * under the SAME hash (the cross-contract hash case the wallet-wide
+    * hash_rank dedups); 'error' contracts are absent from the token
+    * metadata (decimals = 0 stand-in), so the contract gate drops them.
+    * Prices are n/16 doubles (exactly representable) per (contract, day)
+    * with deterministic gaps, spanning [first event day - 9, last + 9] so
+    * future-only nearest picks occur. */
+  private def pricedFixture(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    import s.implicits._
+    val dayUs = 86400000000L
+    val ev = events(s, dir).select(
+      col("event_id"), col("ts_us"), col("event_type"), col("value"), col("user_id"),
+      coalesce(expr("try_cast(get_json_object(props, '$.k') AS BIGINT)"), lit(-1L)).as("cp"))
+    val main = ev.select(
+      col("event_id"), col("ts_us"), col("value"), col("user_id"), col("cp"),
+      when(col("event_type") === "purchase", "ETH").otherwise(col("event_type"))
+        .as("contract_address"),
+      when(col("event_type") === "purchase",
+          when(pmod(col("event_id"), lit(2L)) === 0, "normal").otherwise("internal"))
+        .otherwise("erc20").as("transaction_type"))
+    val tokenLeg = ev.filter(col("event_type") === "purchase").select(
+      col("event_id"), col("ts_us"), col("value"), col("user_id"), col("cp"),
+      concat(lit("tok"), pmod(col("event_id"), lit(3L)).cast("string")).as("contract_address"),
+      lit("erc20").as("transaction_type"))
+    val tx0 = main.unionByName(tokenLeg).select(
+      col("event_id").cast("string").as("transaction_hash"),
+      col("ts_us").as("block_timestamp"),
+      col("contract_address"), col("transaction_type"),
+      pmod(col("event_id"), lit(500L)).as("transaction_index"),
+      when(col("transaction_type") === "normal", 1)
+        .when(col("transaction_type") === "internal", 2).otherwise(3).as("priority"),
+      col("value"), col("user_id"), col("cp"))
+    val common = Seq("transaction_hash", "block_timestamp", "contract_address",
+      "transaction_type", "transaction_index", "priority")
+    val sender = tx0.select(
+      (col("user_id").cast("string").as("wallet_address") +:
+        lit("sender").as("role") +: col("value").as("amount") +:
+        when(col("transaction_type") === "normal", col("value") * lit(0.001))
+          .otherwise(lit(0.0)).as("tx_fee") +: common.map(col)): _*)
+    val receiver = tx0.select(
+      (col("cp").cast("string").as("wallet_address") +:
+        lit("receiver").as("role") +: col("value").as("amount") +:
+        lit(0.0).as("tx_fee") +: common.map(col)): _*)
+    val wtx = sender.unionByName(receiver)
+      .withColumn("address_partition", substring(col("wallet_address"), 1, 2))
+    val meta = Seq("signup", "click", "tok0", "tok1", "tok2")
+      .toDF("contract_address_metadata")
+    val drange = ev.agg(
+      min(expr(s"ts_us div $dayUs")).as("dmin"), max(expr(s"ts_us div $dayUs")).as("dmax"))
+    val prices = drange
+      .crossJoin(Seq("ETH", "signup", "click", "tok0", "tok1", "tok2").toDF("address"))
+      .select(col("address"),
+        explode(sequence(col("dmin") - 9, col("dmax") + 9)).as("day"))
+      .filter(pmod(col("day") + expr("ascii(right(address, 1))"), lit(5L)) =!= 0)
+      .select(col("address"),
+        ((pmod(col("day") * (length(col("address")) + 1) + expr("ascii(right(address, 1))"),
+          lit(400L)) + 1).cast("double") / 16).as("price"),
+        (col("day") * dayUs).as("price_ts"))
+    (wtx, prices, meta)
+  }
+
+  /** The DuckDB mirror of [[pricedFixture]] + the program through
+    * coin_balances_final (`fin`) — shared WITH-prefix of both flagship
+    * oracles. Reference semantics per ethereum_wallet_features.sql:14-261;
+    * DECIMAL sums + unique tie-breaks per the engine's parity
+    * conventions. */
+  private val pricedFixtureSql: String =
+    """WITH ev AS (
+      |  SELECT CAST(event_id AS VARCHAR) AS hash, epoch_us(ts) AS ts, event_id,
+      |    event_type, value, user_id,
+      |    COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), -1) AS cp
+      |  FROM events),
+      |tx0 AS (
+      |  SELECT hash, ts,
+      |    CASE WHEN event_type = 'purchase' THEN 'ETH' ELSE event_type END AS contract,
+      |    CASE WHEN event_type = 'purchase'
+      |         THEN (CASE WHEN event_id % 2 = 0 THEN 'normal' ELSE 'internal' END)
+      |         ELSE 'erc20' END AS ttype,
+      |    event_id % 500 AS tindex, value, user_id, cp
+      |  FROM ev
+      |  UNION ALL
+      |  SELECT hash, ts, 'tok' || CAST(event_id % 3 AS VARCHAR), 'erc20',
+      |    event_id % 500, value, user_id, cp
+      |  FROM ev WHERE event_type = 'purchase'),
+      |tx1 AS (
+      |  SELECT *,
+      |    CASE ttype WHEN 'normal' THEN 1 WHEN 'internal' THEN 2 ELSE 3 END AS priority,
+      |    CASE WHEN ttype = 'internal' THEN 999 WHEN ttype = 'erc20' THEN 1000
+      |         ELSE tindex END AS txi
+      |  FROM tx0
+      |  WHERE contract IN ('ETH', 'signup', 'click', 'tok0', 'tok1', 'tok2')),
+      |wtx AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS wallet, 'sender' AS role, hash,
+      |    value AS amount,
+      |    CASE WHEN ttype = 'normal' THEN value * 0.001 ELSE 0.0 END AS fee,
+      |    ts, contract, priority, txi, substr(CAST(user_id AS VARCHAR), 1, 2) AS ap
+      |  FROM tx1
+      |  UNION ALL
+      |  SELECT CAST(cp AS VARCHAR), 'receiver', hash, value, 0.0, ts, contract,
+      |    priority, txi, substr(CAST(cp AS VARCHAR), 1, 2)
+      |  FROM tx1),
+      |drange AS (
+      |  SELECT MIN(ts // 86400000000) AS dmin, MAX(ts // 86400000000) AS dmax FROM ev),
+      |prices AS (
+      |  SELECT c.addr,
+      |    CAST((d.day * (length(c.addr) + 1) + ascii(right(c.addr, 1))) % 400 + 1
+      |      AS DOUBLE) / 16 AS price,
+      |    d.day * 86400000000 AS pts
+      |  FROM (VALUES ('ETH'),('signup'),('click'),('tok0'),('tok1'),('tok2')) c(addr)
+      |  CROSS JOIN (SELECT unnest(generate_series(dmin - 9, dmax + 9)) AS day
+      |              FROM drange) d
+      |  WHERE (d.day + ascii(right(c.addr, 1))) % 5 <> 0),
+      |p1 AS (
+      |  SELECT DISTINCT p.addr, p.price, p.pts
+      |  FROM prices p JOIN wtx w ON p.addr = w.contract
+      |    AND p.pts // 86400000000 <= w.ts // 86400000000
+      |    AND w.ts // 86400000000 - p.pts // 86400000000 <= 7),
+      |cbts AS (SELECT DISTINCT contract, ts FROM wtx),
+      |rp AS (
+      |  SELECT contract, cb_ts, price FROM (
+      |    SELECT c.contract, c.ts AS cb_ts,
+      |      CASE WHEN p.addr = 'ETH' THEN CAST(1 AS DOUBLE) ELSE p.price END AS price,
+      |      ROW_NUMBER() OVER (PARTITION BY c.contract, c.ts
+      |        ORDER BY ABS(p.pts - c.ts), p.pts, p.price) AS rnk
+      |    FROM cbts c JOIN p1 p ON p.addr = c.contract
+      |      AND c.ts // 86400000000 - p.pts // 86400000000 <= 7)
+      |  WHERE rnk = 1),
+      |cb0 AS (
+      |  SELECT w.*,
+      |    COALESCE(rp.price, CASE WHEN w.contract = 'ETH' THEN 1 ELSE 0 END) AS peff
+      |  FROM wtx w LEFT JOIN rp ON rp.contract = w.contract AND rp.cb_ts = w.ts),
+      |bal AS (
+      |  SELECT cb0.*,
+      |    DENSE_RANK() OVER (PARTITION BY wallet, hash ORDER BY priority) AS hash_rank,
+      |    ROW_NUMBER() OVER (PARTITION BY wallet, contract
+      |      ORDER BY ts, priority, txi, CASE WHEN role = 'receiver' THEN 0 ELSE 1 END,
+      |        hash) AS rnc,
+      |    CAST(round(SUM(CAST(CASE WHEN role = 'sender' THEN -amount - fee
+      |                             ELSE amount END AS DECIMAL(38,6)))
+      |      OVER (PARTITION BY wallet, contract
+      |        ORDER BY ts, priority, txi, CASE WHEN role = 'receiver' THEN 0 ELSE 1 END, hash
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 5) AS DOUBLE) AS bal_c,
+      |    CAST(round(SUM(CAST(CASE WHEN role = 'sender' THEN (-amount * peff) - fee
+      |                             ELSE amount * peff END AS DECIMAL(38,6)))
+      |      OVER (PARTITION BY wallet, contract
+      |        ORDER BY ts, priority, txi, CASE WHEN role = 'receiver' THEN 0 ELSE 1 END, hash
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 5) AS DOUBLE) AS bal_ec,
+      |    CAST(round(SUM(CAST(CASE WHEN role = 'sender' THEN (-amount * peff) - fee
+      |                             ELSE amount * peff END AS DECIMAL(38,6)))
+      |      OVER (PARTITION BY wallet
+      |        ORDER BY ts, priority, txi, CASE WHEN role = 'receiver' THEN 0 ELSE 1 END, hash
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 5) AS DOUBLE) AS bal_ew
+      |  FROM cb0),
+      |mm AS (
+      |  SELECT bal.*,
+      |    COALESCE(MIN(CASE WHEN bal_ec > 0 THEN bal_ec END)
+      |      OVER (PARTITION BY wallet, contract), 0) AS min_ec,
+      |    MAX(bal_ec) OVER (PARTITION BY wallet, contract) AS max_ec,
+      |    COALESCE(MIN(CASE WHEN bal_ew > 0 THEN bal_ew END)
+      |      OVER (PARTITION BY wallet), 0) AS min_ew,
+      |    MAX(bal_ew) OVER (PARTITION BY wallet) AS max_ew,
+      |    CAST(SUM(CAST(CASE WHEN role = 'receiver' THEN amount * peff ELSE 0 END
+      |      AS DECIMAL(38,6))) OVER (PARTITION BY wallet, contract) AS DOUBLE) AS in_ec,
+      |    CAST(SUM(CAST(CASE WHEN role = 'sender' THEN amount * peff ELSE 0 END
+      |      AS DECIMAL(38,6))) OVER (PARTITION BY wallet, contract) AS DOUBLE) AS out_ec,
+      |    CAST(SUM(CAST(fee AS DECIMAL(38,6)))
+      |      OVER (PARTITION BY wallet, contract) AS DOUBLE) AS fee_c,
+      |    COUNT(CASE WHEN role = 'receiver' AND hash_rank = 1 THEN 1 END)
+      |      OVER (PARTITION BY wallet, contract) AS in_cnt,
+      |    COUNT(CASE WHEN role = 'sender' AND hash_rank = 1 THEN 1 END)
+      |      OVER (PARTITION BY wallet, contract) AS out_cnt,
+      |    COUNT(CASE WHEN hash_rank = 1 THEN 1 END)
+      |      OVER (PARTITION BY wallet, contract) AS tx_cnt,
+      |    MIN(ts) OVER (PARTITION BY wallet, contract) AS first_ts,
+      |    MAX(ts) OVER (PARTITION BY wallet, contract) AS last_ts
+      |  FROM bal),
+      |fin AS (
+      |  SELECT wallet, contract, ap,
+      |    CASE WHEN bal_c < 0 THEN 0 ELSE bal_c END AS v_total_balance,
+      |    CASE WHEN bal_ec < 0 THEN 0 ELSE bal_ec END AS v_total_balance_in_eth,
+      |    CASE WHEN bal_ew < 0 THEN 0 ELSE bal_ew END AS v_balance_in_eth_wallet,
+      |    CASE WHEN min_ec < 0 THEN 0 ELSE min_ec END AS v_min_ec,
+      |    CASE WHEN max_ec < min_ec THEN min_ec ELSE max_ec END AS v_max_ec,
+      |    CASE WHEN min_ew < 0 THEN 0 ELSE min_ew END AS v_min_ew,
+      |    CASE WHEN max_ew < min_ew THEN min_ew ELSE max_ew END AS v_max_ew,
+      |    in_ec, out_ec, fee_c, in_cnt, out_cnt, tx_cnt, first_ts, last_ts
+      |  FROM (
+      |    SELECT mm.*, ROW_NUMBER() OVER (PARTITION BY wallet, contract
+      |      ORDER BY ts DESC, txi DESC, rnc DESC) AS pk FROM mm)
+      |  WHERE pk = 1)""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------- FLAGSHIP
@@ -96,106 +289,75 @@ object PipelineQueries {
     },
 
     // ------------------------------------------- FLAGSHIP (domain program)
-    // The ENTIRE WalletFeatures program (pipeline/WalletFeatures.scala —
-    // ethereum_wallet_features.sql:14-327) under the oracle gate: events
-    // mapped into the wallet_transactions shape (role pivot, JSON
-    // counterparty, per-type contract, priority), then ordering → running
-    // balances (ROUND(,5) + -0.0 normalization) → per-contract summaries →
-    // wallet rollup with the 700000 cap and guarded division. The oracle
-    // recomputes every stage in SQL.
-    QueryDef("flagship_full_program",
-      s"""WITH tx0 AS (
-         |  SELECT CAST(event_id AS VARCHAR) AS hash, epoch_us(ts) AS ts,
-         |    CASE event_type WHEN 'purchase' THEN 'ETH' ELSE event_type END AS contract,
-         |    $typePrioritySql AS priority,
-         |    event_type, value, user_id,
-         |    COALESCE(TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT), -1) AS cp
-         |  FROM events),
-         |wtx AS (
-         |  SELECT CAST(user_id AS VARCHAR) AS wallet, 'sender' AS role, hash,
-         |         value AS amount, value * 0.001 AS fee, ts, contract, priority
-         |  FROM tx0
-         |  UNION ALL
-         |  SELECT CAST(cp AS VARCHAR), 'receiver', hash, value, 0.0, ts, contract, priority
-         |  FROM tx0),
-         |enr AS (
-         |  SELECT *,
-         |    ROW_NUMBER() OVER (PARTITION BY wallet, contract
-         |      ORDER BY ts, priority, CASE WHEN role = 'receiver' THEN 0 ELSE 1 END, hash) AS row_num,
-         |    CAST(SUM(CAST(CASE WHEN role = 'receiver' THEN amount
-         |                       ELSE -amount - fee END AS DECIMAL(38,6)))
-         |      OVER (PARTITION BY wallet, contract
-         |            ORDER BY ts, priority, CASE WHEN role = 'receiver' THEN 0 ELSE 1 END, hash
-         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS rawbal
-         |  FROM wtx),
-         |bal AS (
-         |  SELECT *,
-         |    CASE WHEN round(rawbal, 5) = 0 THEN 0.0 ELSE round(rawbal, 5) END AS balance,
-         |    ROW_NUMBER() OVER (PARTITION BY wallet, contract ORDER BY row_num DESC) AS rn_desc
-         |  FROM enr),
-         |pc AS (
-         |  SELECT wallet, contract,
-         |    MAX(CASE WHEN rn_desc = 1 THEN balance END) AS final_balance,
-         |    COALESCE(MIN(CASE WHEN balance > 0 THEN balance END), 0.0) AS min_pos,
-         |    MAX(balance) AS max_bal,
-         |    COUNT(CASE WHEN role = 'receiver' THEN 1 END) AS n_received,
-         |    COUNT(CASE WHEN role = 'sender' THEN 1 END) AS n_sent,
-         |    CAST(SUM(CAST(CASE WHEN role = 'receiver' THEN amount ELSE 0 END
-         |         AS DECIMAL(38,6))) AS DOUBLE) AS total_received,
-         |    CAST(SUM(CAST(CASE WHEN role = 'sender' THEN amount ELSE 0 END
-         |         AS DECIMAL(38,6))) AS DOUBLE) AS total_sent,
-         |    CAST(SUM(CAST(fee AS DECIMAL(38,6))) AS DOUBLE) AS total_fees,
-         |    MIN(ts) AS first_tx_ts, MAX(ts) AS last_tx_ts
-         |  FROM bal GROUP BY wallet, contract)
+    // The ENTIRE priced WalletFeatures program (pipeline/WalletFeatures
+    // .scala — ethereum_wallet_features.sql:14-327) under the oracle gate:
+    // events mapped into the wallet_transactions shape (role pivot, JSON
+    // counterparty, per-type contract/priority/index, an extra ERC-20 leg
+    // per purchase so one hash spans two contracts), a deterministic daily
+    // price table, the token-metadata contract gate, the 2-stage nearest-
+    // price join, THREE running balances, clamps, and the wallet rollup
+    // with the 700000 cap on MAX(total_balance_in_eth) only. The oracle
+    // recomputes every stage in reference semantics.
+    QueryDef("flagship_priced_features",
+      s"""$pricedFixtureSql
          |SELECT wallet AS wallet_address,
-         |  COALESCE(MAX(CASE WHEN contract = 'ETH' THEN
-         |    CASE WHEN final_balance > 700000 THEN 0.0 ELSE final_balance END END), 0.0)
-         |    AS eth_balance,
-         |  COALESCE(MAX(CASE WHEN contract = 'ETH' THEN max_bal END), 0.0) AS max_eth_ever,
-         |  COALESCE(MAX(CASE WHEN contract = 'ETH' THEN min_pos END), 0.0) AS min_eth_ever,
-         |  CAST(SUM(n_received) AS BIGINT) AS n_in,
-         |  CAST(SUM(n_sent) AS BIGINT) AS n_out,
-         |  CAST(SUM(CAST(total_received AS DECIMAL(38,6))) AS DOUBLE) AS total_in,
-         |  CAST(SUM(CAST(total_sent AS DECIMAL(38,6))) AS DOUBLE) AS total_out,
-         |  CAST(SUM(CAST(total_fees AS DECIMAL(38,6))) AS DOUBLE) AS total_fees,
-         |  MIN(first_tx_ts) AS first_tx_ts,
-         |  MAX(last_tx_ts) AS last_tx_ts,
-         |  COUNT(*) AS n_contracts,
-         |  CASE WHEN SUM(n_received) > 0
-         |       THEN CAST(SUM(CAST(total_received AS DECIMAL(38,6))) AS DOUBLE) / SUM(n_received)
-         |       ELSE 0.0 END AS avg_in_value
-         |FROM pc GROUP BY wallet""".stripMargin) { (s, dir) =>
-      val tx0 = events(s, dir).select(
-        col("event_id").cast("string").as("transaction_hash"),
-        col("ts_us").as("block_timestamp"),
-        when(col("event_type") === "purchase", "ETH").otherwise(col("event_type"))
-          .as("contract_address"),
-        typePriority.as("priority"),
-        col("event_type").as("transaction_type"),
-        col("value"), col("user_id"),
-        coalesce(expr("try_cast(get_json_object(props, '$.k') AS BIGINT)"), lit(-1L)).as("cp"))
-      // Role pivot as two projected scans + UNION (each branch stays a
-      // clean codegen stage; measured faster than an explode generator).
-      val common = Seq("transaction_hash", "block_timestamp", "contract_address",
-        "priority", "transaction_type")
-      val sender = tx0.select(
-        (col("user_id").cast("string").as("wallet_address") +:
-          lit("sender").as("role") +: col("value").as("amount") +:
-          (col("value") * lit(0.001)).as("tx_fee") +: common.map(col)): _*)
-      val receiver = tx0.select(
-        (col("cp").cast("string").as("wallet_address") +:
-          lit("receiver").as("role") +: col("value").as("amount") +:
-          lit(0.0).as("tx_fee") +: common.map(col)): _*)
-      val wtx = sender.unionByName(receiver)
-        .withColumn("block_number", lit(0L))
-        .withColumn("date_partition", lit("2024-01"))
-        .withColumn("address_partition", substring(col("wallet_address"), 1, 2))
-      graft.pipeline.WalletFeatures.walletFeatures(wtx).select(
-        col("wallet_address"), col("eth_balance"), col("max_eth_ever"),
-        col("min_eth_ever"), col("n_in"), col("n_out"), col("total_in"),
-        col("total_out"), col("total_fees"),
-        col("first_tx_ts").as("first_tx_ts"), col("last_tx_ts").as("last_tx_ts"),
-        col("n_contracts"), col("avg_in_value"))
+         |  MAX(CASE WHEN contract = 'ETH' THEN v_total_balance_in_eth ELSE 0 END)
+         |    AS wallet_total_balance_eth_only,
+         |  CASE WHEN MAX(v_balance_in_eth_wallet) > 700000 THEN 0
+         |       ELSE MAX(v_balance_in_eth_wallet) END AS wallet_total_balance_in_eth_and_erc20,
+         |  CAST(0 AS DOUBLE) AS wallet_total_area_in_eth,
+         |  CAST(0 AS DOUBLE) AS wallet_total_time_in_ever,
+         |  CASE WHEN COUNT(*) = COUNT(CASE WHEN v_min_ew = 0 THEN 1 END) THEN 0
+         |       ELSE MIN(CASE WHEN v_min_ew > 0 THEN v_min_ew END) END AS wallet_min_eth_ever,
+         |  MAX(v_max_ew) AS wallet_max_eth_ever,
+         |  MIN(first_ts) AS wallet_first_tx,
+         |  MAX(last_ts) AS wallet_last_tx,
+         |  CAST(SUM(in_cnt - out_cnt) AS BIGINT) AS wallet_net_incoming_tx,
+         |  CAST(SUM(in_cnt) AS BIGINT) AS wallet_total_incoming_tx,
+         |  CAST(SUM(out_cnt) AS BIGINT) AS wallet_total_outgoing_tx,
+         |  CAST(SUM(CAST(in_ec AS DECIMAL(38,6))) AS DOUBLE) AS wallet_incoming_transactions_sum,
+         |  CAST(SUM(CAST(out_ec AS DECIMAL(38,6))) AS DOUBLE) AS wallet_outgoing_transactions_sum,
+         |  CAST(SUM(CAST(in_ec AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+         |    AS wallet_incoming_transactions_mean,
+         |  CAST(SUM(CAST(out_ec AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+         |    AS wallet_outgoing_transactions_mean,
+         |  CAST(SUM(CAST(fee_c AS DECIMAL(38,6))) AS DOUBLE) AS misc_total_fees_eth,
+         |  CASE WHEN SUM(out_cnt) = 0 THEN 0
+         |       ELSE CAST(SUM(CAST(fee_c AS DECIMAL(38,6))) AS DOUBLE) / SUM(out_cnt)
+         |  END AS misc_avg_total_fees_eth,
+         |  COUNT(contract) AS number_of_contracts,
+         |  ap AS address_partition
+         |FROM fin GROUP BY wallet, ap""".stripMargin) { (s, dir) =>
+      val (wtx, prices, meta) = pricedFixture(s, dir)
+      graft.pipeline.WalletFeatures.walletFeatures(wtx, Some(prices), Some(meta))
+        .drop("contracts_aggregations")
+    },
+
+    // The same program's contracts map (ethereum_wallet_features.sql:
+    // 263-276,312) verified value-for-value via double-explode — including
+    // the reference's :272 quirk (the 'max_eth_balance_in_ever' slot
+    // carries the MIN).
+    QueryDef("flagship_contract_map",
+      s"""$pricedFixtureSql
+         |SELECT wallet AS wallet_address, contract AS contract_address,
+         |  unnest(['total_balance','total_balance_in_eth','total_auc','total_time_in_ever',
+         |          'min_eth_balance_in_ever','max_eth_balance_in_ever',
+         |          'total_incoming_value_in_eth','total_outgoing_value_in_eth','total_tx_fee',
+         |          'incoming_transactions_count','outgoing_transactions_count',
+         |          'transactions_count','first_transaction_timestamp',
+         |          'last_transaction_timestamp']) AS metric,
+         |  unnest([v_total_balance, v_total_balance_in_eth, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+         |          v_min_ec, v_min_ec,
+         |          in_ec, out_ec, fee_c,
+         |          CAST(in_cnt AS DOUBLE), CAST(out_cnt AS DOUBLE), CAST(tx_cnt AS DOUBLE),
+         |          CAST(first_ts AS DOUBLE), CAST(last_ts AS DOUBLE)]) AS metric_value
+         |FROM fin""".stripMargin) { (s, dir) =>
+      val (wtx, prices, meta) = pricedFixture(s, dir)
+      graft.pipeline.WalletFeatures.walletFeatures(wtx, Some(prices), Some(meta))
+        .select(col("wallet_address"),
+          explode(col("contracts_aggregations")).as(Seq("contract_address", "details")))
+        .select(col("wallet_address"), col("contract_address"),
+          explode(col("details")).as(Seq("metric", "metric_value")))
     },
 
     // ------------------------------------------------------------------ W10

@@ -3,10 +3,13 @@ package graft
 import graft.pipeline.WalletFeatures
 import org.apache.spark.sql.functions._
 
-/** Hand-computed goldens for the wallet-features program (SURVEY §7.2
-  * slice 0): running balances over the deterministic order, the hash_rank
-  * count-once/sum-all asymmetry, min-positive/max-ever, the contracts map,
-  * and the outlier cap. */
+/** Hand-computed goldens for the wallet-features program
+  * (ethereum_wallet_features.sql:14-327): running balances over the
+  * reference's order chain (timestamp, priority, type-index, role), the
+  * WALLET-WIDE hash_rank dedup, the as-of price join asymmetry (a future
+  * price may be nearest), clamp/cap placement (negatives → 0 per contract;
+  * the 700000 cap ONLY on MAX(total_balance_in_eth)), and the contracts
+  * map including the :272 min-in-the-max-slot quirk. */
 class WalletFeaturesSpec extends SparkSpec {
   import spark.implicits._
 
@@ -14,31 +17,41 @@ class WalletFeaturesSpec extends SparkSpec {
   private def walletTx(rows: (String, String, String, Double, Double, Long, String, Int, String)*) =
     rows.toDF("wallet_address", "role", "transaction_hash", "amount", "tx_fee",
       "block_timestamp", "transaction_type", "priority", "contract_address")
-      .withColumn("block_number", lit(1L))
-      .withColumn("date_partition", lit("2024-01"))
       .withColumn("address_partition", substring(col("wallet_address"), 3, 2))
 
-  test("running balance follows the deterministic order; features match hand-computed goldens") {
-    // w1 on ETH: receive 10 @t1; send 3 fee 0.1 @t2; receive 2 @t3
-    //   balances: 10, 6.9, 8.9
+  // same + an explicit transaction_index (the 'normal' order key)
+  private def walletTxIdx(rows: (String, String, String, Double, Double, Long, String, Int, String, Long)*) =
+    rows.toDF("wallet_address", "role", "transaction_hash", "amount", "tx_fee",
+      "block_timestamp", "transaction_type", "priority", "contract_address",
+      "transaction_index")
+      .withColumn("address_partition", substring(col("wallet_address"), 3, 2))
+
+  test("running balances and wallet rollup match hand-computed reference goldens") {
+    // w1 on ETH (unpriced run -> ETH values at price 1):
+    // receive 10 @100; send 3 fee 0.1 @200; receive 2 @300 -> path 10, 6.9, 8.9
     val tx = walletTx(
       ("0xw1", "receiver", "h1", 10.0, 0.0, 100L, "normal", 1, "ETH"),
       ("0xw1", "sender", "h2", 3.0, 0.1, 200L, "normal", 1, "ETH"),
       ("0xw1", "receiver", "h3", 2.0, 0.0, 300L, "normal", 1, "ETH"))
     val f = WalletFeatures.walletFeatures(tx).head()
-    assert(f.getAs[Double]("eth_balance") == 8.9)
-    assert(f.getAs[Double]("max_eth_ever") == 10.0)
-    assert(f.getAs[Double]("min_eth_ever") == 6.9)
-    assert(f.getAs[Long]("n_in") == 2 && f.getAs[Long]("n_out") == 1)
-    assert(f.getAs[Double]("total_in") == 12.0 && f.getAs[Double]("total_out") == 3.0)
-    assert(math.abs(f.getAs[Double]("total_fees") - 0.1) < 1e-12)
-    assert(f.getAs[Double]("avg_in_value") == 6.0)
+    assert(f.getAs[Double]("wallet_total_balance_eth_only") == 8.9)
+    assert(f.getAs[Double]("wallet_total_balance_in_eth_and_erc20") == 8.9)
+    assert(f.getAs[Double]("wallet_max_eth_ever") == 10.0)
+    assert(f.getAs[Double]("wallet_min_eth_ever") == 6.9)
+    assert(f.getAs[Long]("wallet_total_incoming_tx") == 2)
+    assert(f.getAs[Long]("wallet_total_outgoing_tx") == 1)
+    assert(f.getAs[Long]("wallet_net_incoming_tx") == 1)
+    assert(f.getAs[Double]("wallet_incoming_transactions_sum") == 12.0)
+    assert(f.getAs[Double]("wallet_outgoing_transactions_sum") == 3.0)
+    assert(f.getAs[Double]("wallet_incoming_transactions_mean") == 12.0) // per contract row
+    assert(math.abs(f.getAs[Double]("misc_total_fees_eth") - 0.1) < 1e-12)
+    assert(math.abs(f.getAs[Double]("misc_avg_total_fees_eth") - 0.1) < 1e-12)
+    assert(f.getAs[Long]("number_of_contracts") == 1)
+    assert(f.getAs[Long]("wallet_first_tx") == 100L && f.getAs[Long]("wallet_last_tx") == 300L)
     assert(f.getAs[String]("address_partition") == "w1")
   }
 
   test("same-timestamp ties: receiver ordered before sender (balance never dips)") {
-    // deposit and spend at the SAME timestamp: receiver-first ordering
-    // (ethereum_wallet_features.sql role CASE) keeps the balance at 5 then 2
     val tx = walletTx(
       ("0xw2", "receiver", "ha", 5.0, 0.0, 100L, "normal", 1, "ETH"),
       ("0xw2", "sender", "hb", 3.0, 0.0, 100L, "normal", 1, "ETH"))
@@ -47,42 +60,104 @@ class WalletFeaturesSpec extends SparkSpec {
     assert(e.toSeq == Seq(5.0, 2.0))
   }
 
-  test("hash_rank: a hash seen as normal+internal counts once but sums twice") {
-    val tx = walletTx(
-      ("0xw3", "receiver", "hx", 1.0, 0.0, 100L, "normal", 1, "ETH"),
-      ("0xw3", "receiver", "hx", 2.0, 0.0, 100L, "internal", 2, "ETH"))
+  test("tie-break order: type-index beats role (ethereum_wallet_features.sql:17-26)") {
+    // Same timestamp+priority, mixed roles across transactions: the
+    // internal row (type-index 999) sorts AFTER the normal row (index 5)
+    // even though it is the receiver — so the path is -3 then +7, and the
+    // max-ever is 7, NOT the 10 a role-first order would produce.
+    val tx = walletTxIdx(
+      ("0xw7", "sender", "ha", 3.0, 0.0, 100L, "normal", 1, "ETH", 5L),
+      ("0xw7", "receiver", "hb", 10.0, 0.0, 100L, "internal", 1, "ETH", 0L))
     val f = WalletFeatures.walletFeatures(tx).head()
-    assert(f.getAs[Long]("n_in") == 1) // counted once (hash_rank=1 only)
-    assert(f.getAs[Double]("total_in") == 3.0) // summed across both rows
+    assert(f.getAs[Double]("wallet_max_eth_ever") == 7.0)
+    assert(f.getAs[Double]("wallet_total_balance_eth_only") == 7.0)
   }
 
-  test("outlier cap: balances beyond 700000 report as 0") {
+  test("hash_rank is wallet-wide: a hash spanning contracts counts once (:45)") {
+    // ERC-20 case: one tx yields an ETH row (priority 1) and a token row
+    // (priority 3) under the same hash. The token leg gets hash_rank 2, so
+    // the token contract's counts exclude it.
+    val tx = walletTx(
+      ("0xw3", "receiver", "hx", 1.0, 0.0, 100L, "normal", 1, "ETH"),
+      ("0xw3", "receiver", "hx", 50.0, 0.0, 100L, "erc20", 3, "0xtok"))
+    val f = WalletFeatures.walletFeatures(tx).head()
+    assert(f.getAs[Long]("wallet_total_incoming_tx") == 1)
+    val m = f.getAs[Map[String, Map[String, Double]]]("contracts_aggregations")
+    assert(m("0xtok")("incoming_transactions_count") == 0.0)
+    assert(m("0xtok")("transactions_count") == 0.0)
+    assert(m("ETH")("transactions_count") == 1.0)
+    // sums still cover every row: the token leg's value appears in its
+    // contract's native balance
+    assert(m("0xtok")("total_balance") == 50.0)
+  }
+
+  test("clamps: negative final balances report as 0; min stays positive") {
+    // receive 1 @100, send 2 @200 -> path 1, -1: final -1 clamps to 0
+    val tx = walletTx(
+      ("0xw8", "receiver", "h1", 1.0, 0.0, 100L, "normal", 1, "ETH"),
+      ("0xw8", "sender", "h2", 2.0, 0.0, 200L, "normal", 1, "ETH"))
+    val f = WalletFeatures.walletFeatures(tx).head()
+    assert(f.getAs[Double]("wallet_total_balance_eth_only") == 0.0)
+    assert(f.getAs[Double]("wallet_total_balance_in_eth_and_erc20") == 0.0)
+    assert(f.getAs[Double]("wallet_min_eth_ever") == 1.0) // min POSITIVE ever
+    assert(f.getAs[Double]("wallet_max_eth_ever") == 1.0)
+  }
+
+  test("the 700000 cap applies ONLY to MAX(total_balance_in_eth) (:286-289)") {
     val tx = walletTx(
       ("0xw4", "receiver", "hc", 800000.0, 0.0, 100L, "normal", 1, "ETH"))
     val f = WalletFeatures.walletFeatures(tx).head()
-    assert(f.getAs[Double]("eth_balance") == 0.0)
-    assert(f.getAs[Double]("max_eth_ever") == 800000.0) // cap applies to the balance, not max
+    assert(f.getAs[Double]("wallet_total_balance_in_eth_and_erc20") == 0.0) // capped
+    assert(f.getAs[Double]("wallet_total_balance_eth_only") == 800000.0) // NOT capped
+    assert(f.getAs[Double]("wallet_max_eth_ever") == 800000.0) // NOT capped
   }
 
-  test("contracts map carries per-contract details; ETH features ignore tokens") {
+  test("contracts map carries per-contract details, with the :272 min-in-max-slot quirk") {
     val tx = walletTx(
       ("0xw5", "receiver", "h1", 4.0, 0.0, 100L, "normal", 1, "ETH"),
       ("0xw5", "receiver", "h2", 100.0, 0.0, 200L, "erc20", 3, "0xtok"))
     val f = WalletFeatures.walletFeatures(tx).head()
-    assert(f.getAs[Long]("n_contracts") == 2)
-    assert(f.getAs[Double]("eth_balance") == 4.0) // token balance not mixed in
+    assert(f.getAs[Long]("number_of_contracts") == 2)
+    assert(f.getAs[Double]("wallet_total_balance_eth_only") == 4.0)
     val m = f.getAs[Map[String, Map[String, Double]]]("contracts_aggregations")
     assert(m.keySet == Set("ETH", "0xtok"))
-    assert(m("0xtok")("final_balance") == 100.0)
-    assert(m("ETH")("n_received") == 1.0)
+    assert(m("ETH")("total_balance") == 4.0)
+    assert(m("ETH")("incoming_transactions_count") == 1.0)
+    // unpriced run: the token's eth-valued balance is 0, native is 100
+    assert(m("0xtok")("total_balance") == 100.0)
+    assert(m("0xtok")("total_balance_in_eth") == 0.0)
+    // the quirk: the max slot repeats the MIN (reference :272)
+    assert(m("ETH")("min_eth_balance_in_ever") == 4.0)
+    assert(m("ETH")("max_eth_balance_in_ever") == 4.0)
+  }
+
+  test("as-of price asymmetry: a future price within the candidate set wins (:70-84)") {
+    // tokf txs: receive 2.0 early on day 10, receive 1.0 on day 12.
+    // Prices: day 5 @2.0 (past-eligible for both) and day 11 @4.0
+    // (past-eligible only for the day-12 tx, but stage 2 drops the
+    // past-only bound, so it is the NEAREST price for the day-10 tx too).
+    val d = 86400000000L
+    val tx = walletTx(
+      ("0xw6", "receiver", "h1", 2.0, 0.0, 10 * d + 3600000000L, "erc20", 3, "tokf"),
+      ("0xw6", "receiver", "h2", 1.0, 0.0, 12 * d + 1000L, "erc20", 3, "tokf"))
+    val prices = Seq(
+      ("tokf", 2.0, 5 * d), ("tokf", 4.0, 11 * d)).toDF("address", "price", "price_ts")
+    val meta = Seq("tokf").toDF("contract_address_metadata")
+    val f = WalletFeatures.walletFeatures(tx, Some(prices), Some(meta)).head()
+    val m = f.getAs[Map[String, Map[String, Double]]]("contracts_aggregations")
+    // day-10 tx valued at the FUTURE day-11 price (|1d-1h| < |5d+1h|):
+    // 2*4 = 8; day-12 tx nearest is day 11: 1*4 = 4 -> total 12
+    assert(m("tokf")("total_balance_in_eth") == 12.0)
+    assert(m("tokf")("total_incoming_value_in_eth") == 12.0)
+    assert(f.getAs[Double]("wallet_max_eth_ever") == 12.0)
   }
 
   test("-0.0 normalization: a round-trip to zero balance is +0.0") {
     val tx = walletTx(
-      ("0xw6", "receiver", "h1", 1.5, 0.0, 100L, "normal", 1, "ETH"),
-      ("0xw6", "sender", "h2", 1.5, 0.0, 200L, "normal", 1, "ETH"))
+      ("0xw9", "receiver", "h1", 1.5, 0.0, 100L, "normal", 1, "ETH"),
+      ("0xw9", "sender", "h2", 1.5, 0.0, 200L, "normal", 1, "ETH"))
     val bal = WalletFeatures.enriched(tx).orderBy("row_num")
       .select("balance").as[Double].collect().last
-    assert(bal == 0.0 && (1.0 / bal) > 0, s"expected +0.0, got $bal") // +0.0, not -0.0
+    assert(bal == 0.0 && (1.0 / bal) > 0, s"expected +0.0, got $bal")
   }
 }

@@ -95,6 +95,46 @@ object RelationalQueries {
         count(lit(1)).as("n_events"))
     },
 
+    // ------------------------------------------------------------ A4 domain
+    // The rugpull feature module under the oracle gate — notably the :75
+    // outlier guard capping the AGGREGATED per-wallet amount at 1.3e7
+    // (per-transaction capping would under-count: ten 2e6 sends are 1.3e7
+    // in the reference, not 2e7). Amounts scaled so real wallets hit the
+    // cap at sf0.01.
+    QueryDef("a4b_rugpull_cap",
+      """WITH wtx AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS wallet_address,
+        |    CASE WHEN event_id % 2 = 0 THEN 'sender' ELSE 'receiver' END AS role,
+        |    value * 100000 AS amount, epoch_us(ts) AS ts,
+        |    event_id % 7 = 0 AS is_rugpull
+        |  FROM events),
+        |agg AS (
+        |  SELECT wallet_address,
+        |    COUNT(CASE WHEN is_rugpull AND role = 'sender' THEN 1 END) AS n_rugpull_sent,
+        |    COUNT(CASE WHEN is_rugpull AND role = 'receiver' THEN 1 END) AS n_rugpull_received,
+        |    CAST(SUM(CAST(CASE WHEN is_rugpull AND role = 'sender' THEN amount ELSE 0 END
+        |      AS DECIMAL(38,6))) AS DOUBLE) AS s_sent,
+        |    CAST(SUM(CAST(CASE WHEN is_rugpull AND role = 'receiver' THEN amount ELSE 0 END
+        |      AS DECIMAL(38,6))) AS DOUBLE) AS s_recv,
+        |    MIN(CASE WHEN is_rugpull THEN ts END) AS first_rugpull_ts,
+        |    MAX(CASE WHEN is_rugpull THEN ts END) AS last_rugpull_ts,
+        |    COUNT(*) AS n_transactions,
+        |    MAX(ts) AS last_tx_ts
+        |  FROM wtx GROUP BY wallet_address)
+        |SELECT wallet_address, n_rugpull_sent, n_rugpull_received,
+        |  LEAST(s_sent, 1.3e7) AS rugpull_amount_sent,
+        |  LEAST(s_recv, 1.3e7) AS rugpull_amount_received,
+        |  first_rugpull_ts, last_rugpull_ts, n_transactions, last_tx_ts
+        |FROM agg""".stripMargin) { (s, dir) =>
+      val wtx = events(s, dir).select(
+        col("user_id").cast("string").as("wallet_address"),
+        when(pmod(col("event_id"), lit(2L)) === 0, "sender").otherwise("receiver").as("role"),
+        (col("value") * lit(100000)).as("amount"),
+        col("ts_us").as("block_timestamp"),
+        (pmod(col("event_id"), lit(7L)) === 0).as("is_rugpull"))
+      graft.pipeline.RugpullFeatures.aggregate(wtx)
+    },
+
     // ------------------------------------------------------------------- A5
     QueryDef("a5_count_distinct",
       """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust,

@@ -23,17 +23,33 @@ class FeatureModulesSpec extends SparkSpec {
     ("0xw1", "sender", "h4", 9.0, 0.0, 400L, "normal", 1, "ETH", false), // not rugpull
     ("0xw2", "receiver", "h5", 3.0, 0.0, 150L, "normal", 1, "ETH", false))
 
-  test("rugpull aggregates: filtered counts/sums with the 1.3e7 cap") {
+  test("rugpull aggregates: filtered counts/sums with the POST-AGGREGATE 1.3e7 cap") {
     val agg = RugpullFeatures.aggregate(fixture)
     val w1 = agg.filter(col("wallet_address") === "0xw1").head()
     assert(w1.getAs[Long]("n_rugpull_sent") == 2)
     assert(w1.getAs[Long]("n_rugpull_received") == 1)
-    assert(w1.getAs[Double]("rugpull_amount_sent") == 5.0 + 1.3e7)
+    // 5 + 2e7 sums uncapped to 20000005, then the aggregate caps at 1.3e7
+    // (rugpull_features.sql:75 caps total_amount_chain, not each amount)
+    assert(w1.getAs[Double]("rugpull_amount_sent") == 1.3e7)
     assert(w1.getAs[Long]("first_rugpull_ts") == 100L)
     assert(w1.getAs[Long]("last_rugpull_ts") == 300L)
     assert(w1.getAs[Long]("n_transactions") == 4)
     val w2 = agg.filter(col("wallet_address") === "0xw2").head()
     assert(w2.getAs[Long]("n_rugpull_sent") == 0 && w2.isNullAt(w2.fieldIndex("first_rugpull_ts")))
+  }
+
+  test("ten 2e6 sends cap at 1.3e7, not 2e7 — and the merge re-caps (:75,:169)") {
+    val rows = (1 to 10).map(i =>
+      ("0xwt", "sender", s"h$i", 2.0e6, 0.0, i * 100L, "normal", 1, "ETH", true))
+    val agg = RugpullFeatures.aggregate(tx(rows: _*))
+    assert(agg.head().getAs[Double]("rugpull_amount_sent") == 1.3e7)
+    // split 6/4: old state stores the capped 1.2e7? no — 6 sends = 1.2e7
+    // (under cap), new 4 sends = 8e6; accumulate 2e7 -> re-cap to 1.3e7
+    val all = tx(rows: _*)
+    val merged = RugpullFeatures.merge(
+      RugpullFeatures.aggregate(all.filter(col("block_timestamp") > 600L)),
+      RugpullFeatures.aggregate(all.filter(col("block_timestamp") <= 600L)))
+    assert(merged.head().getAs[Double]("rugpull_amount_sent") == 1.3e7)
   }
 
   test("rugpull incremental merge ≡ full aggregate") {

@@ -360,6 +360,98 @@ object PipelineQueries {
           explode(col("details")).as(Seq("metric", "metric_value")))
     },
 
+    // --------------------------------------------- FLAGSHIP (coin balances)
+    // The coin-balances program (pipeline/CoinBalances.scala —
+    // ethereum_wallet_coin_balances.sql:10-123): unpriced per-(wallet,
+    // contract) balances over the (ts, priority, type-index) order with the
+    // DEFAULT RANGE frame (self-transfer peers share one cumulative value
+    // and DISTINCT collapses them), plain role counts (no hash_rank),
+    // min/max over ALL balances, the (ts, index)-max latest pick, and the
+    // output-only negative clamp + has_negative_balance flag. No metadata
+    // gate — 'error' contracts flow through here.
+    QueryDef("flagship_coin_balances",
+      """WITH ev AS (
+        |  SELECT CAST(event_id AS VARCHAR) AS hash, epoch_us(ts) AS ts, event_id,
+        |    event_type, value, user_id,
+        |    COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), -1) AS cp
+        |  FROM events),
+        |tx0 AS (
+        |  SELECT hash, ts,
+        |    CASE WHEN event_type = 'purchase' THEN 'ETH' ELSE event_type END AS contract,
+        |    CASE WHEN event_type = 'purchase'
+        |         THEN (CASE WHEN event_id % 2 = 0 THEN 'normal' ELSE 'internal' END)
+        |         ELSE 'erc20' END AS ttype,
+        |    event_id % 500 AS tindex, value, user_id, cp
+        |  FROM ev
+        |  UNION ALL
+        |  SELECT hash, ts, 'tok' || CAST(event_id % 3 AS VARCHAR), 'erc20',
+        |    event_id % 500, value, user_id, cp
+        |  FROM ev WHERE event_type = 'purchase'),
+        |tx1 AS (
+        |  SELECT *,
+        |    CASE ttype WHEN 'normal' THEN 1 WHEN 'internal' THEN 2 ELSE 3 END AS priority,
+        |    CASE WHEN ttype = 'internal' THEN 999 WHEN ttype = 'erc20' THEN 1000
+        |         ELSE tindex END AS txi
+        |  FROM tx0),
+        |wtx AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS wallet, 'sender' AS role, hash,
+        |    value AS amount,
+        |    CASE WHEN ttype = 'normal' THEN value * 0.001 ELSE 0.0 END AS fee,
+        |    ts, contract, priority, txi, substr(CAST(user_id AS VARCHAR), 1, 2) AS ap
+        |  FROM tx1
+        |  UNION ALL
+        |  SELECT CAST(cp AS VARCHAR), 'receiver', hash, value, 0.0, ts, contract,
+        |    priority, txi, substr(CAST(cp AS VARCHAR), 1, 2)
+        |  FROM tx1),
+        |cb AS (
+        |  SELECT w.*,
+        |    CAST(round(SUM(CAST(CASE WHEN role = 'sender' THEN -amount - fee
+        |                             ELSE amount END AS DECIMAL(38,6)))
+        |      OVER (PARTITION BY wallet, contract ORDER BY ts, priority, txi), 5)
+        |      AS DOUBLE) AS bal,
+        |    CAST(SUM(CAST(CASE WHEN role = 'receiver' THEN amount ELSE 0 END
+        |      AS DECIMAL(38,6))) OVER (PARTITION BY wallet, contract) AS DOUBLE) AS tin,
+        |    CAST(SUM(CAST(CASE WHEN role = 'sender' THEN amount ELSE 0 END
+        |      AS DECIMAL(38,6))) OVER (PARTITION BY wallet, contract) AS DOUBLE) AS tout,
+        |    CAST(SUM(CAST(fee AS DECIMAL(38,6)))
+        |      OVER (PARTITION BY wallet, contract) AS DOUBLE) AS tfee,
+        |    COUNT(CASE WHEN role = 'receiver' THEN 1 END)
+        |      OVER (PARTITION BY wallet, contract) AS icnt,
+        |    COUNT(CASE WHEN role = 'sender' THEN 1 END)
+        |      OVER (PARTITION BY wallet, contract) AS ocnt,
+        |    COUNT(*) OVER (PARTITION BY wallet, contract) AS tcnt,
+        |    MIN(ts) OVER (PARTITION BY wallet, contract) AS fts,
+        |    MAX(ts) OVER (PARTITION BY wallet, contract) AS lts
+        |  FROM wtx w),
+        |mm AS (
+        |  SELECT cb.*,
+        |    MIN(bal) OVER (PARTITION BY wallet, contract) AS mn,
+        |    MAX(bal) OVER (PARTITION BY wallet, contract) AS mx
+        |  FROM cb),
+        |lt AS (
+        |  SELECT wallet, contract, ts AS max_ts, txi AS max_txi FROM (
+        |    SELECT wallet, contract, ts, txi,
+        |      ROW_NUMBER() OVER (PARTITION BY wallet, contract
+        |        ORDER BY ts DESC, txi DESC) AS rn
+        |    FROM mm) WHERE rn = 1)
+        |SELECT DISTINCT
+        |  mm.wallet AS wallet_address, mm.contract AS contract_address,
+        |  mm.contract AS token_symbol,
+        |  CASE WHEN bal < 0 THEN 0 ELSE bal END AS total_balance,
+        |  mn AS min_balance_in_ever, mx AS max_balance_in_ever,
+        |  tin AS total_incoming_value, tout AS total_outgoing_value,
+        |  tfee AS total_tx_fee,
+        |  icnt AS incoming_transactions_count, ocnt AS outgoing_transactions_count,
+        |  tcnt AS transactions_count,
+        |  fts AS first_transaction_timestamp, lts AS last_transaction_timestamp,
+        |  bal < 0 AS has_negative_balance,
+        |  mm.ap AS address_partition
+        |FROM mm JOIN lt ON mm.wallet = lt.wallet AND mm.contract = lt.contract
+        |  AND mm.ts = lt.max_ts AND mm.txi = lt.max_txi""".stripMargin) { (s, dir) =>
+      val (wtx, _, _) = pricedFixture(s, dir)
+      graft.pipeline.CoinBalances.fullLoad(wtx)
+    },
+
     // ------------------------------------------------------------------ W10
     // FIRST_VALUE boundary stitch (ethereum_wallet_features_with_auc.sql:
     // 627-637): each event measures back to the partition's first event.

@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.{Graft, Lakehouse}
-import graft.pipeline.Medallion
+import graft.pipeline.{Medallion, RawIngestion}
 import graft.quality.DataQuality
 
 /** CLI runner mirroring the reference's layer dispatcher (main.py:8-69,
@@ -31,8 +31,13 @@ object Main {
             feats, Seq("n_events"), "n_events", maxZeroRatio = 0.2)))
         println("[graft] data-quality gate passed")
       }
+      // domain raw layer (raw_data_ingestion_pipeline.py): exporter CSVs →
+      // receipts merge + blocks enrich → partitioned raw parquet
+      def rawDomain(): Unit = RawIngestion.ingest(spark,
+        opts.getOrElse("csv", sys.error("--csv required for the raw-domain layer")), lake)
       layer match {
-        case "raw"       => raw()
+        case "raw"        => raw()
+        case "raw-domain" => rawDomain()
         case "stage"     => Medallion.stage(spark, lake)
         case "analytics" => Medallion.analytics(spark, lake)
         case "features"  => Medallion.features(spark, lake)

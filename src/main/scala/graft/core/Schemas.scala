@@ -125,4 +125,83 @@ object Schemas {
   val rugpullMarketData: StructType = StructType(Seq(
     StructField("contract_address", StringType),
     StructField("rugpull_date", DateType)))
+
+  // ------------------------------------------------------------ raw CSVs
+  // What the exporter hands the raw layer (raw_data_ingestion_pipeline.py)
+  // BEFORE the receipts merge / blocks enrich add the receipt_ and
+  // block_timestamp/block_hash/date_partition columns.
+
+  /** transactions.csv (:138-146). */
+  val rawTransactionsCsv: StructType = StructType(Seq(
+    StructField("hash", StringType),
+    StructField("from_address", StringType),
+    StructField("to_address", StringType),
+    StructField("nonce", LongType),
+    StructField("transaction_index", LongType),
+    StructField("gas", LongType),
+    StructField("gas_price", LongType),
+    StructField("max_fee_per_gas", LongType),
+    StructField("max_priority_fee_per_gas", LongType),
+    StructField("value", dec),
+    StructField("input", StringType),
+    StructField("block_hash", StringType),
+    StructField("block_timestamp", LongType),
+    StructField("block_number", LongType),
+    StructField("transaction_type", StringType)))
+
+  /** receipts.csv — the 8 columns the merge keeps (:142-151). */
+  val receiptsCsv: StructType = StructType(Seq(
+    StructField("transaction_hash", StringType),
+    StructField("block_number", LongType),
+    StructField("cumulative_gas_used", LongType),
+    StructField("gas_used", LongType),
+    StructField("contract_address", StringType),
+    StructField("root", StringType),
+    StructField("status", LongType),
+    StructField("effective_gas_price", LongType)))
+
+  /** blocks.csv — the enrich columns (:689-691 prunes to these + fee). */
+  val rawBlocksCsv: StructType = StructType(Seq(
+    StructField("timestamp", LongType),
+    StructField("number", LongType),
+    StructField("hash", StringType),
+    StructField("base_fee_per_gas", LongType)))
+
+  /** logs.csv (:250-267); topics arrives '|'-joined in CSV. */
+  val rawLogsCsv: StructType = StructType(Seq(
+    StructField("log_index", LongType),
+    StructField("transaction_hash", StringType),
+    StructField("address", StringType),
+    StructField("data", StringType),
+    StructField("topics", StringType),
+    StructField("block_number", LongType)))
+
+  /** token_transfers.csv (:488-500); value as string for the try_cast
+    * guard downstream. */
+  val rawTokenTransfersCsv: StructType = StructType(Seq(
+    StructField("token_address", StringType),
+    StructField("from_address", StringType),
+    StructField("to_address", StringType),
+    StructField("transaction_hash", StringType),
+    StructField("value", StringType),
+    StructField("log_index", LongType),
+    StructField("block_number", LongType)))
+
+  /** traces.csv (:684-695); value as digit string (the precision clamp
+    * operates on the string form). */
+  val rawTracesCsv: StructType = StructType(Seq(
+    StructField("transaction_hash", StringType),
+    StructField("from_address", StringType),
+    StructField("to_address", StringType),
+    StructField("trace_type", StringType),
+    StructField("call_type", StringType),
+    StructField("reward_type", StringType),
+    StructField("trace_id", StringType),
+    StructField("error", StringType),
+    StructField("value", StringType),
+    StructField("gas", LongType),
+    StructField("gas_used", LongType),
+    StructField("subtraces", LongType),
+    StructField("status", LongType),
+    StructField("block_number", LongType)))
 }

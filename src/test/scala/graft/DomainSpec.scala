@@ -161,6 +161,51 @@ class DomainSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("raw layer: transactions ⋈ receipts with receipt_ renames (raw_data_ingestion_pipeline.py:142-172)") {
+    import graft.pipeline.RawIngestion
+    val txs = df(Schemas.rawTransactionsCsv,
+      Row("h1", "a", "b", 1L, 0L, 21000L, 5L, 6L, 7L, dec("9"), "0x", "bh",
+        1704067200L, 100L, "2"),
+      Row("h2", "a", "b", 1L, 0L, 21000L, 5L, 6L, 7L, dec("9"), "0x", "bh",
+        1704067200L, 100L, "2"))
+    val receipts = df(Schemas.receiptsCsv,
+      Row("h1", 100L, 42000L, 21000L, null, "r", 1L, 5L),
+      Row("h2", 999L, 42000L, 21000L, null, "r", 1L, 5L)) // wrong block -> dropped
+    val out = RawIngestion.transactionsWithReceipts(txs, receipts)
+    assert(out.count() == 1) // inner join on (hash, block_number)
+    val r = out.head()
+    assert(r.getAs[Long]("receipt_gas_used") == 21000L)
+    assert(r.getAs[Long]("receipt_cumulative_gas_used") == 42000L)
+    assert(r.getAs[Long]("receipt_status") == 1L)
+    assert(r.getAs[String]("date_partition") == "2024-01")
+    assert(!out.columns.contains("transaction_hash")) // join key dropped (:171)
+  }
+
+  test("raw layer: blocks enrich attaches timestamp (+hash) to logs/transfers/traces") {
+    import graft.pipeline.RawIngestion
+    val blocks = df(Schemas.rawBlocksCsv, Row(1704067200L, 100L, "bh100", 7L))
+    val logs = df(Schemas.rawLogsCsv, Row(0L, "h1", "0xc", "0x", "t1|t2", 100L))
+      .withColumn("topics", split(col("topics"), "\\|"))
+    val lg = RawIngestion.logsWithBlocks(logs, blocks).head()
+    assert(lg.getAs[Long]("block_timestamp") == 1704067200L)
+    assert(lg.getAs[String]("date_partition") == "2024-01")
+    val transfers = df(Schemas.rawTokenTransfersCsv,
+      Row("0xtok", "a", "b", "h1", "1000", 0L, 100L))
+    val tr = RawIngestion.tokenTransfersWithBlocks(transfers, blocks).head()
+    assert(tr.getAs[String]("block_hash") == "bh100")
+    assert(tr.getAs[Long]("block_timestamp") == 1704067200L)
+    // traces: 45-digit value (> 1e38) clamps to its first 28 chars (:656-670)
+    val big = "1" * 45
+    val traces = df(Schemas.rawTracesCsv,
+      Row("h1", "a", "b", "call", "call", null, "t", null, big, 1L, 1L, 0L, 1L, 100L),
+      Row("h2", "a", "b", "call", "call", null, "t", null, "500", 1L, 1L, 0L, 1L, 100L))
+    val byHash = RawIngestion.tracesWithBlocks(traces, blocks).collect()
+      .map(r => r.getAs[String]("transaction_hash") -> r).toMap
+    assert(byHash("h1").getAs[String]("value") == "1" * 28)
+    assert(byHash("h2").getAs[String]("value") == "500")
+    assert(byHash("h1").getAs[String]("block_hash") == "bh100")
+  }
+
   test("repairLogTopics: char-exploded arrays reassembled, intact arrays untouched") {
     val t1 = "0x" + "a" * 64
     val t2 = "0x" + "b" * 64

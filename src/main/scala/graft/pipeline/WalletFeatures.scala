@@ -345,6 +345,245 @@ object WalletFeatures {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Incremental load (ethereum_wallet_features.sql:331-833): new rows
+  // only + the stored state read back out of the contracts map, stitched
+  // into the same rollup, MERGEd over the stored table.
+  // ------------------------------------------------------------------
+
+  /** The reference's hand-excluded >20M-transaction exchange wallets and
+    * oversized-map wallets (:381-390) — the incremental path's skew guard. */
+  val ExcludedWallets: Seq[String] = Seq(
+    "0xea674fdde714fd979de3edf0f56aa9716b898ec8",
+    "0x28c6c06298d514db089934071355e5743bf21d60",
+    "0x3f5ce5fbfe3e9af3971dd833d26ba9b5c936f0be",
+    "0xa090e606e30bd747d4e6245a1517ebe430f0057e",
+    "0xfbb1b73c4f0bda4f67dca266ce6ef42f520fbb98",
+    "0x52bc44d5378309ee2abf1539bf71de1b7d7be3b5",
+    "0x5b3256965e7c3cf26e11fcaf296dfc8807c01073",
+    "0x000000000000000000000000000000000000dead",
+    "0x6b75d8af000000e20b7a7ddf000ba900b4009a80")
+
+  /** last_coin_balances_and_wallet_balances (:393-435): the stored feature
+    * rows of wallets with new activity (EXISTS pruning via semi join),
+    * their contracts map exploded back into per-contract state. The
+    * reference round-trips the map values through JSON strings
+    * (json_extract_scalar, :403-416); our map is typed so the read-back is
+    * element_at + the same casts. `rn` ranks a wallet's contracts by
+    * stored last timestamp DESC (:417) — contract_address appended as a
+    * deterministic tie-break. */
+  def stateContracts(storedFeatures: DataFrame, newWallets: DataFrame): DataFrame = {
+    val d = col("d")
+    def m(k: String) = element_at(d, k)
+    storedFeatures
+      .join(newWallets.select(col("wallet_address")).distinct(),
+        Seq("wallet_address"), "left_semi")
+      .select(
+        col("wallet_address"), col("address_partition"),
+        col("wallet_total_balance_in_eth_and_erc20").as("old_wallet_bal_eth"),
+        col("wallet_min_eth_ever").as("old_wallet_min"),
+        col("wallet_max_eth_ever").as("old_wallet_max"),
+        explode(col("contracts_aggregations")).as(Seq("contract_address", "d")))
+      .select(
+        col("wallet_address"), col("address_partition"), col("contract_address"),
+        col("old_wallet_bal_eth"), col("old_wallet_min"), col("old_wallet_max"),
+        m("total_balance").as("old_bal_c"),
+        m("total_balance_in_eth").as("old_bal_ec"),
+        m("min_eth_balance_in_ever").as("old_min_ec"),
+        m("max_eth_balance_in_ever").as("old_max_ec"),
+        m("total_incoming_value_in_eth").as("old_in_ec"),
+        m("total_outgoing_value_in_eth").as("old_out_ec"),
+        m("total_tx_fee").as("old_fee"),
+        m("incoming_transactions_count").cast("long").as("old_in_cnt"),
+        m("outgoing_transactions_count").cast("long").as("old_out_cnt"),
+        m("transactions_count").cast("long").as("old_tx_cnt"),
+        m("first_transaction_timestamp").cast("long").as("old_first_ts"),
+        m("last_transaction_timestamp").cast("long").as("old_last_ts"))
+      .withColumn("rn", row_number().over(Window.partitionBy("wallet_address")
+        .orderBy(col("old_last_ts").desc, col("contract_address"))))
+  }
+
+  /** coin_balances → wallet_balances over ONLY-NEW rows + stored state
+    * (:437-756): running balances continue from the stored (clamped,
+    * rounded) finals; window totals add the stored totals; min/max merge
+    * through the :563-589 null-guarded CASEs; untouched contracts carry
+    * forward via the :656-688 anti-join UNION; the rollup is the same
+    * wallet_balances aggregate. Returns the updated feature rows (the
+    * MERGE source) — [[applyMerge]] folds them into the stored table.
+    *
+    * Faithful incremental quirks kept (each makes incremental diverge from
+    * a full recompute in corners the reference accepts):
+    *  - the wallet-wide balance's receiver leg values at COALESCE(price, 0)
+    *    — NOT the ETH→1 case the by-contract legs use (:507), so an
+    *    unpriced ETH receive adds 0 to the wallet-wide stitch;
+    *  - stored finals are clamped before storage, so a negative old
+    *    balance stitches from 0;
+    *  - the stored wallet_total_balance_in_eth_and_erc20 is MAX over
+    *    per-contract snapshot rows (each contract's final row carries the
+    *    wallet-wide running balance AT THAT CONTRACT'S last event), so for
+    *    multi-contract wallets the stitch base is a max-snapshot, not the
+    *    wallet's true final.
+    * WalletFeaturesIncrementalSpec pins strict incremental ≡ full on the
+    * single-contract/priced slice where the reference itself is exact. */
+  def incrementalUpdates(newTx: DataFrame, storedFeatures: DataFrame,
+      prices: Option[DataFrame] = None,
+      tokenContracts: Option[DataFrame] = None): DataFrame = {
+    val fresh0 = priced(
+      newTx.filter(!col("wallet_address").isin(ExcludedWallets: _*)),
+      prices, tokenContracts)
+    val lcb = stateContracts(storedFeatures, fresh0).alias("lcb")
+    val lcb2 = lcb.filter(col("rn") === 1).select(
+      col("wallet_address").as("w2"),
+      col("old_wallet_bal_eth"), col("old_wallet_min"), col("old_wallet_max")).alias("lcb2")
+
+    val fresh = withDefaults(fresh0)
+      .withColumn("price_eff",
+        coalesce(col("price"),
+          when(col("contract_address") === "ETH", lit(1.0)).otherwise(lit(0.0))))
+      .repartition(col("wallet_address"))
+      .alias("n")
+      .join(lcb.select(col("wallet_address").as("lw"), col("contract_address").as("lc"),
+          col("old_bal_c"), col("old_bal_ec"), col("old_min_ec"), col("old_max_ec"),
+          col("old_in_ec"), col("old_out_ec"), col("old_fee"),
+          col("old_in_cnt"), col("old_out_cnt"), col("old_tx_cnt"),
+          col("old_first_ts"), col("old_last_ts")),
+        col("wallet_address") === col("lw") && col("contract_address") === col("lc"),
+        "left_outer").drop("lw", "lc")
+      .join(lcb2, col("wallet_address") === col("w2"), "left_outer").drop("w2")
+
+    val signedNative = when(col("role") === "sender", -col("amount") - col("tx_fee"))
+      .otherwise(col("amount"))
+    val signedEth = when(col("role") === "sender",
+        (-col("amount") * col("price_eff")) - col("tx_fee"))
+      .otherwise(col("amount") * col("price_eff"))
+    // :507 — the wallet-wide receiver leg prices at COALESCE(price, 0)
+    val signedEthWallet = when(col("role") === "sender",
+        (-col("amount") * col("price_eff")) - col("tx_fee"))
+      .otherwise(col("amount") * coalesce(col("price"), lit(0.0)))
+
+    val wHash = Window.partitionBy("wallet_address", "transaction_hash").orderBy("priority")
+    val wWalletOrd = Window.partitionBy("wallet_address").orderBy(orderKeys: _*)
+    val wContractOrd = Window.partitionBy("wallet_address", "contract_address")
+      .orderBy(orderKeys: _*)
+    def stitched(signed: Column, w: org.apache.spark.sql.expressions.WindowSpec,
+        old: Column) =
+      round(sum(signed.cast("decimal(38,6)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double") + coalesce(old, lit(0.0)), 5)
+
+    val bal = fresh.select(col("*"),
+      dense_rank().over(wHash).as("hash_rank"),
+      stitched(signedEthWallet, wWalletOrd, col("old_wallet_bal_eth")).as("bal_eth_wallet"),
+      row_number().over(wContractOrd).as("row_num"),
+      stitched(signedNative, wContractOrd, col("old_bal_c")).as("bal_native"),
+      stitched(signedEth, wContractOrd, col("old_bal_ec")).as("bal_eth_contract"))
+
+    val wC = Window.partitionBy("wallet_address", "contract_address")
+    val wW = Window.partitionBy("wallet_address")
+    def decSum(c: Column) = sum(c.cast("decimal(38,6)"))
+    def mergeMin(old: Column, newMin: Column) =
+      when(old.isNull || old > newMin, newMin).otherwise(old)
+    def mergeMax(old: Column, newMax: Column) =
+      when(old.isNull || old < newMax, newMax).otherwise(old)
+
+    val mm = bal.select(col("*"),
+      mergeMin(coalesce(col("old_min_ec"), lit(0.0)),
+        coalesce(min(when(col("bal_eth_contract") > 0, col("bal_eth_contract"))).over(wC),
+          lit(0.0))).as("min_eth_contract_ever"),
+      mergeMax(coalesce(col("old_max_ec"), lit(0.0)),
+        max(col("bal_eth_contract")).over(wC)).as("max_eth_contract_ever"),
+      mergeMin(coalesce(col("old_wallet_min"), lit(0.0)),
+        coalesce(min(when(col("bal_eth_wallet") > 0, col("bal_eth_wallet"))).over(wW),
+          lit(0.0))).as("min_eth_wallet_ever"),
+      mergeMax(coalesce(col("old_wallet_max"), lit(0.0)),
+        max(col("bal_eth_wallet")).over(wW)).as("max_eth_wallet_ever"),
+      (decSum(when(col("role") === "receiver", col("amount") * col("price_eff"))
+        .otherwise(lit(0.0))).over(wC).cast("double") + coalesce(col("old_in_ec"), lit(0.0)))
+        .as("total_incoming_value_in_eth"),
+      (decSum(when(col("role") === "sender", col("amount") * col("price_eff"))
+        .otherwise(lit(0.0))).over(wC).cast("double") + coalesce(col("old_out_ec"), lit(0.0)))
+        .as("total_outgoing_value_in_eth"),
+      (decSum(col("tx_fee")).over(wC).cast("double") + coalesce(col("old_fee"), lit(0.0)))
+        .as("total_tx_fee"),
+      (count(when(col("role") === "receiver" && col("hash_rank") === 1, lit(1))).over(wC)
+        + coalesce(col("old_in_cnt"), lit(0L))).as("incoming_transactions_count"),
+      (count(when(col("role") === "sender" && col("hash_rank") === 1, lit(1))).over(wC)
+        + coalesce(col("old_out_cnt"), lit(0L))).as("outgoing_transactions_count"),
+      (count(when(col("hash_rank") === 1, lit(1))).over(wC)
+        + coalesce(col("old_tx_cnt"), lit(0L))).as("transactions_count"),
+      coalesce(col("old_first_ts"), min("block_timestamp").over(wC))
+        .as("first_transaction_timestamp"),
+      max("block_timestamp").over(wC).as("last_transaction_timestamp"),
+      max(col("row_num")).over(wC).as("max_row_num"))
+
+    // :652 — the incremental picks each contract's LAST ROW by row number
+    // (not the (ts, index) argmax of the full load)
+    def clampNeg(c: String) = when(col(c) < 0, lit(0.0)).otherwise(col(c))
+    val newSide = mm.filter(col("row_num") === col("max_row_num"))
+      .select(
+        col("wallet_address"), col("contract_address"), col("address_partition"),
+        clampNeg("bal_native").as("total_balance_by_contract"),
+        clampNeg("bal_eth_contract").as("total_balance_in_eth_by_contract"),
+        clampNeg("bal_eth_wallet").as("total_balance_in_eth"),
+        clampNeg("min_eth_contract_ever").as("min_eth_balance_in_ever_by_contract"),
+        when(col("max_eth_contract_ever") < col("min_eth_contract_ever"),
+          col("min_eth_contract_ever")).otherwise(col("max_eth_contract_ever"))
+          .as("max_eth_balance_in_ever_by_contract"),
+        clampNeg("min_eth_wallet_ever").as("min_eth_balance_in_ever"),
+        when(col("max_eth_wallet_ever") < col("min_eth_wallet_ever"),
+          col("min_eth_wallet_ever")).otherwise(col("max_eth_wallet_ever"))
+          .as("max_eth_balance_in_ever"),
+        col("total_incoming_value_in_eth"), col("total_outgoing_value_in_eth"),
+        col("total_tx_fee"),
+        col("incoming_transactions_count"), col("outgoing_transactions_count"),
+        col("transactions_count"),
+        col("first_transaction_timestamp"), col("last_transaction_timestamp"))
+
+    // :656-688 — stored contracts the batch did not touch carry forward
+    // (wallet-level balances zeroed on the old side)
+    val oldSide = lcb
+      .join(newSide.select(col("wallet_address").as("nw"), col("contract_address").as("nc")),
+        col("wallet_address") === col("nw") && col("contract_address") === col("nc"),
+        "left_anti")
+      .select(
+        col("wallet_address"), col("contract_address"), col("address_partition"),
+        col("old_bal_c").as("total_balance_by_contract"),
+        col("old_bal_ec").as("total_balance_in_eth_by_contract"),
+        lit(0.0).as("total_balance_in_eth"),
+        col("old_min_ec").as("min_eth_balance_in_ever_by_contract"),
+        col("old_max_ec").as("max_eth_balance_in_ever_by_contract"),
+        lit(0.0).as("min_eth_balance_in_ever"),
+        lit(0.0).as("max_eth_balance_in_ever"),
+        col("old_in_ec").as("total_incoming_value_in_eth"),
+        col("old_out_ec").as("total_outgoing_value_in_eth"),
+        col("old_fee").as("total_tx_fee"),
+        col("old_in_cnt").as("incoming_transactions_count"),
+        col("old_out_cnt").as("outgoing_transactions_count"),
+        col("old_tx_cnt").as("transactions_count"),
+        col("old_first_ts").as("first_transaction_timestamp"),
+        col("old_last_ts").as("last_transaction_timestamp"))
+
+    walletBalances(newSide.unionByName(oldSide))
+  }
+
+  /** The :760-833 MERGE as a DataFrame: updated wallets replace their
+    * stored row wholesale (every feature column is in the UPDATE SET),
+    * untouched wallets carry forward, new wallets insert. */
+  def applyMerge(storedFeatures: DataFrame, updates: DataFrame): DataFrame = {
+    val cols = storedFeatures.columns.toSeq
+    val u = updates.withColumn("__upd", lit(true)).alias("u")
+    val t = storedFeatures.alias("t")
+    u.join(t, col("u.wallet_address") === col("t.wallet_address"), "full_outer")
+      .select(cols.map(c =>
+        when(col("u.__upd"), col(s"u.$c")).otherwise(col(s"t.$c")).as(c)): _*)
+  }
+
+  /** One incremental cycle against the stored features table. */
+  def incremental(newTx: DataFrame, storedFeatures: DataFrame,
+      prices: Option[DataFrame] = None,
+      tokenContracts: Option[DataFrame] = None): DataFrame =
+    applyMerge(storedFeatures, incrementalUpdates(newTx, storedFeatures, prices, tokenContracts))
+
   /** Event-level enrichment used by the AUC module and the incremental
     * stitches: the deterministic order's row number, the wallet-wide
     * hash_rank, and the NATIVE running balance. */

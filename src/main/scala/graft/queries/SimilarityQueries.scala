@@ -38,12 +38,50 @@ object SimilarityQueries {
     expr("long_dot(q_qv, c_qv)").cast("double") /
       (sqrt(col("q_nq").cast("double")) * sqrt(col("c_nq").cast("double")))
 
-  /** 4-bit coordinate-sign LSH code over dims 1, 17, 33, 49 (1-based). */
-  private val lshDims = Seq(1, 17, 33, 49)
-  private val lshSql = lshDims
-    .map(d => s"CASE WHEN embedding[$d] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
-  private val lshExpr: Column = concat(lshDims.map(d =>
-    when(element_at(col("embedding"), d) >= 0, lit("1")).otherwise(lit("0"))): _*)
+  /** LSH code width scaled to the corpus: W = clamp(ceil(log2(N/32)), 4, 32)
+    * keeps expected bucket occupancy near 32 at ANY N — 4 bits at the test
+    * scale, ~25 bits at 10^9 vectors — instead of a fixed width whose
+    * bucket count ceilings the parallelism at 100 TB. Both engines derive
+    * W from COUNT(*) (identical IEEE log2/ceil), so the oracle stays
+    * bit-exact. */
+  def codeWidth(n: Long): Int =
+    math.max(4, math.min(32, math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt))
+
+  /** IVF centroid sampling stride: every floor(sqrt(N))-th vec_id is a
+    * centroid — ~sqrt(N) cells, so cell size ~ sqrt(N) (the classic IVF
+    * balance point) rather than a fixed 16-cell toy codebook. */
+  def centroidStride(n: Long): Long =
+    math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong)
+
+  /** W-bit coordinate-sign code over dims 1, 1+64/W, ... (1-based). */
+  private def lshExpr(w: Int): Column = {
+    val step = 64 / w
+    concat((0 until w).map(i =>
+      when(element_at(col("embedding"), 1 + i * step) >= 0, lit("1")).otherwise(lit("0"))): _*)
+  }
+
+  /** The query's multiprobe set: its own code plus every Hamming-1
+    * neighbor — each candidate lives in exactly one bucket, so probing W+1
+    * buckets recovers most of the recall a wider code costs, with no
+    * duplicate pairs to dedup. */
+  private def probeCodes(w: Int): Column = explode(array(
+    col("code") +: (1 to w).map(i => concat(
+      substring(col("code"), 1, i - 1),
+      when(substring(col("code"), i, 1) === "1", lit("0")).otherwise(lit("1")),
+      substring(col("code"), i + 1, w))): _*))
+
+  /** DuckDB mirror of [[codeWidth]]/[[lshExpr]]/[[probeCodes]] — the code
+    * and probe list built dynamically from the same COUNT(*). (`w` rides
+    * along as a CROSS JOINed column: DuckDB lambdas cannot host
+    * subqueries, but they can capture row columns.) */
+  private val lshParamsSql =
+    """wp AS (
+      |  SELECT GREATEST(4, LEAST(32,
+      |    CAST(ceil(log2(COUNT(*) / 32.0)) AS INT))) AS w FROM embeddings)""".stripMargin
+  private val lshCodeSql =
+    """list_aggregate(list_transform(generate_series(0, w - 1),
+      |    i -> CASE WHEN embedding[1 + i * (64 // w)] >= 0
+      |         THEN '1' ELSE '0' END), 'string_agg', '')""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
 
@@ -77,50 +115,67 @@ object SimilarityQueries {
     },
 
     // ----------------------------------------------------------------- ANN-2
-    // LSH-bucketed ANN: both sides carry a 4-bit sign code; the candidate
-    // join is equi on the code, so each query only scans ~1/16 of the corpus.
-    // Same queries/k as the brute force — diffing the two shows the recall
-    // loss the bucketing trades for the 16× candidate reduction.
+    // LSH-bucketed ANN with multiprobe: both sides carry a W-bit sign code
+    // (W from the corpus size — see codeWidth); the candidate join is equi
+    // on the code; each query probes its own bucket plus every Hamming-1
+    // bucket. At 100 TB the same plan holds with W ≈ 25: ~2^25 uniform
+    // buckets bound the pair count and the shuffle key cardinality scales
+    // WITH the data instead of ceiling at 16.
     QueryDef("ann_lsh_bucket",
-      s"""WITH n AS (
-         |  SELECT vec_id, $lshSql AS code, $quantSql AS qv,
+      s"""WITH $lshParamsSql,
+         |n AS (
+         |  SELECT vec_id, w, $lshCodeSql AS code, $quantSql AS qv,
          |    CAST(list_sum(list_transform($quantSql, x -> x * x)) AS BIGINT) AS nq
-         |  FROM embeddings),
+         |  FROM embeddings CROSS JOIN wp),
+         |probes AS (
+         |  SELECT vec_id, qv, nq,
+         |    unnest(list_prepend(code,
+         |      list_transform(generate_series(1, w),
+         |        i -> substr(code, 1, i - 1)
+         |          || (CASE WHEN substr(code, i, 1) = '1' THEN '0' ELSE '1' END)
+         |          || substr(code, i + 1)))) AS pcode
+         |  FROM n WHERE vec_id < 8),
          |pairs AS (
          |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
          |    CAST(CAST(list_sum(list_transform(list_zip(q.qv, c.qv), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
          |      / (sqrt(CAST(q.nq AS DOUBLE)) * sqrt(CAST(c.nq AS DOUBLE))) AS cos_sim
-         |  FROM n q JOIN n c ON q.code = c.code AND q.vec_id < 8 AND c.vec_id <> q.vec_id),
+         |  FROM probes q JOIN n c ON q.pcode = c.code AND c.vec_id <> q.vec_id),
          |ranked AS (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
          |    ORDER BY cos_sim DESC, n_id) AS rank FROM pairs)
          |SELECT q_id, rank, n_id, cos_sim FROM ranked WHERE rank <= 5""".stripMargin) { (s, dir) =>
-      val n = emb(s, dir).withColumn("code", lshExpr)
+      val w = codeWidth(Graft.table(s, dir, "embeddings").count())
+      val n = emb(s, dir).withColumn("code", lshExpr(w))
       val q = n.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("q_id"), col("code"), col("qv").as("q_qv"), col("nq").as("q_nq"))
+        .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("nq").as("q_nq"),
+          probeCodes(w).as("pcode"))
       val c = n.select(col("vec_id").as("n_id"), col("code").as("c_code"),
         col("qv").as("c_qv"), col("nq").as("c_nq"))
-      val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
-      broadcast(q).join(c, col("code") === col("c_code") && col("n_id") =!= col("q_id"))
+      val win = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
+      broadcast(q).join(c, col("pcode") === col("c_code") && col("n_id") =!= col("q_id"))
         .withColumn("cos_sim", cosCol)
-        .withColumn("rank", row_number().over(w))
+        .withColumn("rank", row_number().over(win))
         .filter(col("rank") <= 5)
         .select("q_id", "rank", "n_id", "cos_sim")
     },
 
     // ----------------------------------------------------------------- ANN-3
-    // IVF-style ANN: 16 fixed centroids (vec_id < 16 — a real pipeline
-    // would k-means them); every vector is assigned to its nearest-centroid
-    // cell, queries probe their top-2 cells. The inverted-file layout is
-    // the 100 TB path: the corpus is partitioned BY CELL on disk, a query
-    // touches probe/cells of the data, and the candidate join is equi on
-    // cell id. Centroids broadcast everywhere.
+    // IVF-style ANN: ~sqrt(N) centroids sampled deterministically (every
+    // floor(sqrt(N))-th vec_id — a real pipeline would k-means them, but
+    // the sampling already scales the codebook with the corpus so cells
+    // stay ~sqrt(N)-sized at any N); every vector is assigned to its
+    // nearest-centroid cell, queries probe their top-2 cells. The
+    // inverted-file layout is the 100 TB path: the corpus is partitioned
+    // BY CELL on disk, a query touches probe/cells of the data, and the
+    // candidate join is equi on cell id. Centroids broadcast everywhere.
     QueryDef("ann_ivf",
       s"""WITH n AS (
          |  SELECT vec_id, $quantSql AS qv,
          |    CAST(list_sum(list_transform($quantSql, x -> x * x)) AS BIGINT) AS nq
          |  FROM embeddings),
-         |cent AS (SELECT vec_id AS cid, qv AS cqv, nq AS cnq FROM n WHERE vec_id < 16),
+         |sp AS (SELECT GREATEST(1, CAST(floor(sqrt(COUNT(*))) AS BIGINT)) AS stride FROM n),
+         |cent AS (SELECT vec_id AS cid, qv AS cqv, nq AS cnq FROM n
+         |         WHERE vec_id % (SELECT stride FROM sp) = 0),
          |assign AS (
          |  SELECT vec_id, cid FROM (
          |    SELECT v.vec_id, c.cid,
@@ -150,7 +205,8 @@ object SimilarityQueries {
          |    ORDER BY cos_sim DESC, n_id) AS rank FROM pairs)
          |SELECT q_id, rank, n_id, cos_sim FROM ranked WHERE rank <= 5""".stripMargin) { (s, dir) =>
       val n = emb(s, dir).select("vec_id", "qv", "nq")
-      val cent = n.filter(col("vec_id") < 16)
+      val stride = centroidStride(Graft.table(s, dir, "embeddings").count())
+      val cent = n.filter(pmod(col("vec_id"), lit(stride)) === 0)
         .select(col("vec_id").as("cid"), col("qv").as("c_qv"), col("nq").as("c_nq"))
       val centCos = expr("long_dot(qv, c_qv)").cast("double") /
         (sqrt(col("nq").cast("double")) * sqrt(col("c_nq").cast("double")))

@@ -1,0 +1,43 @@
+package graft
+
+import graft.queries.SimilarityQueries
+import org.apache.spark.sql.functions._
+
+/** ANN parameterization + recall: the LSH code width and IVF codebook
+  * scale with the corpus (no fixed 16-bucket/16-centroid toys), and the
+  * approximate variants recover a useful fraction of the exact top-k. */
+class AnnSpec extends SparkSpec {
+
+  test("LSH code width and IVF stride scale with corpus size") {
+    assert(SimilarityQueries.codeWidth(500) == 4)
+    assert(SimilarityQueries.codeWidth(2000) == 6)
+    assert(SimilarityQueries.codeWidth(1000000) == 15)
+    assert(SimilarityQueries.codeWidth(1000000000L) == 25)
+    assert(SimilarityQueries.codeWidth(10) == 4) // floor
+    assert(SimilarityQueries.codeWidth(Long.MaxValue / 2) == 32) // ceiling
+    assert(SimilarityQueries.centroidStride(500) == 22)
+    assert(SimilarityQueries.centroidStride(1000000) == 1000)
+  }
+
+  private def topSets(name: String): Map[Long, Set[Long]] =
+    SparkEntry.queries(name)(spark, sf)
+      .groupBy("q_id").agg(collect_set(col("n_id")).as("ids"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Long]]("ids").toSet)
+      .toMap
+
+  test("multiprobe LSH and IVF recall a useful fraction of the exact top-5") {
+    val exact = topSets("ann_bruteforce_topk")
+    def recall(approx: Map[Long, Set[Long]]): Double = {
+      val per = exact.map { case (q, ids) =>
+        approx.get(q).fold(0.0)(a => (a & ids).size.toDouble / ids.size) }
+      per.sum / per.size
+    }
+    val lsh = recall(topSets("ann_lsh_bucket"))
+    val ivf = recall(topSets("ann_ivf"))
+    // floors far below observed values — these fail only if the
+    // parameterization collapses (e.g. empty buckets / lost probes)
+    assert(lsh >= 0.3, s"LSH multiprobe recall $lsh")
+    assert(ivf >= 0.3, s"IVF 2-probe recall $ivf")
+  }
+}

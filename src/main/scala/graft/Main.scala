@@ -26,9 +26,21 @@ object Main {
         opts.getOrElse("csv", sys.error("--csv required for the raw layer")), lake)
       def quality(): Unit = {
         val feats = Lakehouse.read(spark, Medallion.featuresPath(lake))
-        DataQuality.gate(Seq(
+        val generic = Seq(
           "feature_constraints" -> DataQuality.featureConstraints(
-            feats, Seq("n_events"), "n_events", maxZeroRatio = 0.2)))
+            feats, Seq("n_events"), "n_events", maxZeroRatio = 0.2))
+        // domain wallet-features constraints (the reference's three
+        // stacked checks) when a wallet-features table is given
+        val domain = opts.get("features").toSeq.map { p =>
+          "wallet_feature_constraints" ->
+            DataQuality.walletFeatureConstraints(Lakehouse.read(spark, p))
+              .filter(org.apache.spark.sql.functions.col("is_fail"))
+        }
+        DataQuality.gate(generic ++ domain)
+        // the reference's Sunday-only OPTIMIZE rides the same task
+        if (Lakehouse.weeklyCompact(spark, Medallion.featuresPath(lake),
+            Seq("user_partition"), java.time.LocalDate.now()))
+          println("[graft] weekly compaction ran")
         println("[graft] data-quality gate passed")
       }
       // domain raw layer (raw_data_ingestion_pipeline.py): exporter CSVs →

@@ -172,6 +172,16 @@ object Lakehouse {
     }
   }
 
+  /** The reference's weekly OPTIMIZE schedule (features_pipeline.py:
+    * 128-138): compaction runs only on Sundays, riding along the normal
+    * incremental cycle instead of a separate maintenance DAG. Returns
+    * whether it ran. */
+  def weeklyCompact(spark: SparkSession, path: String, partitionCols: Seq[String],
+      today: java.time.LocalDate): Boolean =
+    if (today.getDayOfWeek == java.time.DayOfWeek.SUNDAY) {
+      compact(spark, path, partitionCols); true
+    } else false
+
   /** S11: bin-pack compaction — rewrite a table (or a partition subset) into
     * ~`targetFileMB`-sized files. The reference runs Iceberg OPTIMIZE weekly;
     * on plain parquet this is a repartition-and-rewrite sized from the actual

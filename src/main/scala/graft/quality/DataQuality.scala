@@ -65,6 +65,28 @@ object DataQuality {
     negatives.foldLeft(zeroShare)(_ unionByName _)
   }
 
+  /** data_quality_ethereum_wallet_features.sql:1-32 — the reference's
+    * three stacked constraint rows over the wallet-features table:
+    * negative outgoing/incoming counters, and more than 20% of wallets
+    * with wallet_min_eth_ever = 0. Always returns exactly three rows
+    * (constraint_name, is_fail) — the reference's UNION ALL shape; feed
+    * `.filter(col("is_fail"))` to [[gate]]. */
+  def walletFeatureConstraints(features: DataFrame): DataFrame = {
+    def existsCheck(name: String, cond: org.apache.spark.sql.Column) =
+      features.filter(cond).agg((count(lit(1)) > 0).as("is_fail"))
+        .select(lit(name).as("constraint_name"), col("is_fail"))
+    val outNeg = existsCheck("outgoing_tx_negative_counts_check",
+      col("wallet_total_outgoing_tx") < 0)
+    val inNeg = existsCheck("incoming_tx_negative_counts_check",
+      col("wallet_total_incoming_tx") < 0)
+    val zeroMin = features.agg(
+        ((count(when(col("wallet_min_eth_ever") === 0, lit(1))).cast("double")
+          / count(lit(1)) * 100) > 20).as("is_fail"))
+      .select(lit("zero_min_eth_ever_for_20%_addresses_check").as("constraint_name"),
+        col("is_fail"))
+    outNeg.unionByName(inNeg).unionByName(zeroMin)
+  }
+
   /** Run checks; throw (failing the pipeline run, as the DAG does) if any
     * violations surface. */
   def gate(checks: Seq[(String, DataFrame)]): Unit = {

@@ -49,4 +49,40 @@ class DataQualitySpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("features"))
   }
+
+  test("walletFeatureConstraints mirror the reference's three checks (data_quality_ethereum_wallet_features.sql)") {
+    def feats(rows: (String, Long, Long, Double)*) =
+      rows.toDF("wallet_address", "wallet_total_incoming_tx",
+        "wallet_total_outgoing_tx", "wallet_min_eth_ever")
+    // healthy: all three rows present, none failing
+    val ok = DataQuality.walletFeatureConstraints(feats(
+      ("a", 2L, 1L, 0.5), ("b", 1L, 1L, 1.0), ("c", 3L, 2L, 2.0), ("d", 1L, 0L, 3.0),
+      ("e", 1L, 0L, 4.0)))
+    assert(ok.count() == 3)
+    assert(ok.filter(col("is_fail")).count() == 0)
+    DataQuality.gate(Seq("wallet" -> ok.filter(col("is_fail"))))
+    // one negative outgoing counter -> that constraint fails
+    val neg = DataQuality.walletFeatureConstraints(feats(("a", 2L, -1L, 0.5)))
+      .filter(col("is_fail")).select("constraint_name").as[String].collect().toSeq
+    assert(neg == Seq("outgoing_tx_negative_counts_check"))
+    // 2 of 5 wallets at min_eth_ever = 0 (40% > 20%) -> ratio check fails
+    val zero = DataQuality.walletFeatureConstraints(feats(
+      ("a", 1L, 1L, 0.0), ("b", 1L, 1L, 0.0), ("c", 1L, 1L, 1.0),
+      ("d", 1L, 1L, 2.0), ("e", 1L, 1L, 3.0)))
+      .filter(col("is_fail")).select("constraint_name").as[String].collect().toSeq
+    assert(zero == Seq("zero_min_eth_ever_for_20%_addresses_check"))
+  }
+
+  test("weeklyCompact runs only on Sundays and preserves content (features_pipeline.py:128-138)") {
+    val root = tmpDir("wk")
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "p")
+    Lakehouse.ctas(df, s"$root/t", Seq("p"))
+    val monday = java.time.LocalDate.of(2026, 8, 10)
+    val sunday = java.time.LocalDate.of(2026, 8, 9)
+    assert(!Lakehouse.weeklyCompact(spark, s"$root/t", Seq("p"), monday))
+    assert(Lakehouse.weeklyCompact(spark, s"$root/t", Seq("p"), sunday))
+    val after = Lakehouse.read(spark, s"$root/t")
+    assert(after.count() == 2)
+    assert(after.filter(col("id") === 1L).head.getAs[String]("p") == "a")
+  }
 }

@@ -346,6 +346,99 @@ object WalletFeatures {
   }
 
   // ------------------------------------------------------------------
+  // The with-AUC variant (ethereum_wallet_features_with_auc.sql:181-215,
+  // 250-310): the same balance pipeline plus time-weighted area-under-
+  // the-curve and time-in-positive features.
+  // ------------------------------------------------------------------
+
+  /** AUC stages over [[coinBalances]] output:
+    *  - time_deposited = LEAD(timestamp) - timestamp per order (:183-186,
+    *    W8), 0 at each partition's last row;
+    *  - total_auc = running SUM(time_deposited × priced balance) scaled to
+    *    balance-DAYS (:190 divides seconds by 60/60/24; our timestamps are
+    *    µs so a further /1e6 applies);
+    *  - total_time_in_ever = running SUM of time deposited while the
+    *    priced balance is positive (:191);
+    *  - wallet-level variants over the wallet order, plus their
+    *    whole-wallet MAXes (:208-213).
+    * The AUC windows order by (timestamp, type-index, row number) — the
+    * reference drops `priority` here (:190), which is the same total order
+    * because priority is a function of the transaction type. */
+  def aucBalances(cb: DataFrame): DataFrame = {
+    val wWalletOrd = Window.partitionBy("wallet_address").orderBy(orderKeys: _*)
+    val withRnw = cb.withColumn("row_num_w", row_number().over(wWalletOrd))
+    val ordC = Seq(col("block_timestamp"), col("tx_index_by_type"), col("row_num"))
+    val ordW = Seq(col("block_timestamp"), col("tx_index_by_type"), col("row_num_w"))
+    val wCo = Window.partitionBy("wallet_address", "contract_address").orderBy(ordC: _*)
+    val wWo = Window.partitionBy("wallet_address").orderBy(ordW: _*)
+    val td = withRnw.select(col("*"),
+      coalesce(lead(col("block_timestamp"), 1).over(wCo) - col("block_timestamp"), lit(0L))
+        .as("td_c"),
+      coalesce(lead(col("block_timestamp"), 1).over(wWo) - col("block_timestamp"), lit(0L))
+        .as("td_w"))
+    def runFrame(w: org.apache.spark.sql.expressions.WindowSpec) =
+      w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // decimal × decimal (not a double product): µs gaps × balances exceed
+    // 2^53, where a double product's rounding would diverge between
+    // engines; (20,0) × (18,6) stays exact in both
+    def aucSum(tdCol: Column, bal: Column, w: org.apache.spark.sql.expressions.WindowSpec) =
+      sum(tdCol.cast("decimal(20,0)") * bal.cast("decimal(18,6)")).over(runFrame(w))
+        .cast("double") / lit(60) / lit(60) / lit(24) / lit(1000000)
+    def timeSum(tdCol: Column, bal: Column, w: org.apache.spark.sql.expressions.WindowSpec) =
+      sum(when(bal > 0, tdCol).otherwise(lit(0L))).over(runFrame(w))
+    val withAuc = td.select(col("*"),
+      aucSum(col("td_c"), col("bal_eth_contract"), wCo).as("auc_contract"),
+      timeSum(col("td_c"), col("bal_eth_contract"), wCo).as("time_in_contract"),
+      aucSum(col("td_w"), col("bal_eth_wallet"), wWo).as("auc_wallet"),
+      timeSum(col("td_w"), col("bal_eth_wallet"), wWo).as("time_in_wallet"))
+    val wW = Window.partitionBy("wallet_address")
+    withAuc.select(col("*"),
+      max(col("auc_wallet")).over(wW).as("max_auc_wallet"),
+      max(col("time_in_wallet")).over(wW).as("max_time_in_wallet"))
+  }
+
+  /** coin_balances_ranked of the AUC variant (:250-310): the same latest
+    * pick and clamps as [[finalBalances]] plus the four AUC features —
+    * total_auc clamped at 0 (:254-261), the wallet values taken from the
+    * whole-wallet MAXes. */
+  def aucFinalBalances(cbWithAuc: DataFrame): DataFrame = {
+    val wC = Window.partitionBy("wallet_address", "contract_address")
+    val key = struct(col("block_timestamp"), col("tx_index_by_type"), col("row_num"))
+    val picked = cbWithAuc
+      .withColumn("latest_key", max(key).over(wC))
+      .filter(key === col("latest_key"))
+    def clampNeg(c: String) = when(col(c) < 0, lit(0.0)).otherwise(col(c))
+    picked.select(
+      col("wallet_address"), col("contract_address"), col("address_partition"),
+      clampNeg("bal_native").as("total_balance_by_contract"),
+      clampNeg("bal_eth_contract").as("total_balance_in_eth_by_contract"),
+      clampNeg("bal_eth_wallet").as("total_balance_in_eth"),
+      clampNeg("auc_contract").as("total_auc_contract"),
+      clampNeg("max_auc_wallet").as("total_auc_eth"),
+      col("time_in_contract").as("total_time_in_ever_contract"),
+      col("max_time_in_wallet").as("total_time_in_ever_eth"),
+      clampNeg("min_eth_contract_ever").as("min_eth_balance_in_ever_by_contract"),
+      when(col("max_eth_contract_ever") < col("min_eth_contract_ever"),
+        col("min_eth_contract_ever")).otherwise(col("max_eth_contract_ever"))
+        .as("max_eth_balance_in_ever_by_contract"),
+      clampNeg("min_eth_wallet_ever").as("min_eth_balance_in_ever"),
+      when(col("max_eth_wallet_ever") < col("min_eth_wallet_ever"),
+        col("min_eth_wallet_ever")).otherwise(col("max_eth_wallet_ever"))
+        .as("max_eth_balance_in_ever"),
+      col("total_incoming_value_in_eth"), col("total_outgoing_value_in_eth"),
+      col("total_tx_fee"),
+      col("incoming_transactions_count"), col("outgoing_transactions_count"),
+      col("transactions_count"),
+      col("first_transaction_timestamp"), col("last_transaction_timestamp"))
+  }
+
+  /** The with-AUC program at per-contract grain. */
+  def aucContractBalances(walletTx: DataFrame,
+      prices: Option[DataFrame] = None,
+      tokenContracts: Option[DataFrame] = None): DataFrame =
+    aucFinalBalances(aucBalances(coinBalances(priced(walletTx, prices, tokenContracts))))
+
+  // ------------------------------------------------------------------
   // Incremental load (ethereum_wallet_features.sql:331-833): new rows
   // only + the stored state read back out of the contracts map, stitched
   // into the same rollup, MERGEd over the stored table.

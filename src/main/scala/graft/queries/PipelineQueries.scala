@@ -35,7 +35,7 @@ object PipelineQueries {
     * Prices are n/16 doubles (exactly representable) per (contract, day)
     * with deterministic gaps, spanning [first event day - 9, last + 9] so
     * future-only nearest picks occur. */
-  private def pricedFixture(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+  def pricedFixture(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     val dayUs = 86400000000L
     val ev = events(s, dir).select(
@@ -358,6 +358,71 @@ object PipelineQueries {
           explode(col("contracts_aggregations")).as(Seq("contract_address", "details")))
         .select(col("wallet_address"), col("contract_address"),
           explode(col("details")).as(Seq("metric", "metric_value")))
+    },
+
+    // ------------------------------------------------ FLAGSHIP (AUC variant)
+    // The with-AUC program (pipeline/WalletFeatures.aucContractBalances —
+    // ethereum_wallet_features_with_auc.sql:181-310): LEAD holding gaps
+    // (W8), running balance-days area (W9) and time-in-positive over the
+    // (timestamp, type-index, row-number) order, whole-wallet maxes, the
+    // latest pick and the negative-AUC clamp. Products run in exact
+    // decimal (µs gaps × balances exceed 2^53); the oracle converts the
+    // decimal sum to double through VARCHAR because DuckDB's direct
+    // decimal->double double-rounds (int128 -> double -> /10^scale) and
+    // can be off by an ulp where Spark's BigDecimal path is correctly
+    // rounded.
+    QueryDef("flagship_auc_features",
+      s"""$pricedFixtureSql,
+         |tdc AS (
+         |  SELECT mm.*, ROW_NUMBER() OVER (PARTITION BY wallet
+         |    ORDER BY ts, priority, txi, CASE WHEN role = 'receiver' THEN 0 ELSE 1 END,
+         |      hash) AS rnw
+         |  FROM mm),
+         |td AS (
+         |  SELECT tdc.*,
+         |    COALESCE(LEAD(ts) OVER (PARTITION BY wallet, contract
+         |      ORDER BY ts, txi, rnc) - ts, 0) AS td_c,
+         |    COALESCE(LEAD(ts) OVER (PARTITION BY wallet
+         |      ORDER BY ts, txi, rnw) - ts, 0) AS td_w
+         |  FROM tdc),
+         |auc AS (
+         |  SELECT td.*,
+         |    CAST(CAST(SUM(CAST(td_c AS DECIMAL(20,0)) * CAST(bal_ec AS DECIMAL(18,6)))
+         |      OVER (PARTITION BY wallet, contract ORDER BY ts, txi, rnc
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
+         |      / 60 / 60 / 24 / 1000000 AS auc_c,
+         |    SUM(CASE WHEN bal_ec > 0 THEN td_c ELSE 0 END)
+         |      OVER (PARTITION BY wallet, contract ORDER BY ts, txi, rnc
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS time_c,
+         |    CAST(CAST(SUM(CAST(td_w AS DECIMAL(20,0)) * CAST(bal_ew AS DECIMAL(18,6)))
+         |      OVER (PARTITION BY wallet ORDER BY ts, txi, rnw
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
+         |      / 60 / 60 / 24 / 1000000 AS auc_w,
+         |    SUM(CASE WHEN bal_ew > 0 THEN td_w ELSE 0 END)
+         |      OVER (PARTITION BY wallet ORDER BY ts, txi, rnw
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS time_w
+         |  FROM td),
+         |aucmx AS (
+         |  SELECT auc.*, MAX(auc_w) OVER (PARTITION BY wallet) AS mx_auc_w,
+         |    MAX(time_w) OVER (PARTITION BY wallet) AS mx_time_w
+         |  FROM auc),
+         |apick AS (
+         |  SELECT aucmx.*, ROW_NUMBER() OVER (PARTITION BY wallet, contract
+         |    ORDER BY ts DESC, txi DESC, rnc DESC) AS apk FROM aucmx)
+         |SELECT wallet AS wallet_address, contract AS contract_address,
+         |  CASE WHEN bal_ec < 0 THEN 0 ELSE bal_ec END AS total_balance_in_eth_by_contract,
+         |  CASE WHEN auc_c < 0 THEN 0 ELSE auc_c END AS total_auc_contract,
+         |  CASE WHEN mx_auc_w < 0 THEN 0 ELSE mx_auc_w END AS total_auc_eth,
+         |  CAST(time_c AS BIGINT) AS total_time_in_ever_contract,
+         |  CAST(mx_time_w AS BIGINT) AS total_time_in_ever_eth
+         |FROM apick WHERE apk = 1""".stripMargin) { (s, dir) =>
+      val (wtx, prices, meta) = pricedFixture(s, dir)
+      graft.pipeline.WalletFeatures.aucContractBalances(wtx, Some(prices), Some(meta))
+        .select(col("wallet_address"), col("contract_address"),
+          col("total_balance_in_eth_by_contract"),
+          col("total_auc_contract"), col("total_auc_eth"),
+          col("total_time_in_ever_contract").cast("long").as("total_time_in_ever_contract"),
+          col("total_time_in_ever_eth").cast("long").as("total_time_in_ever_eth"))
     },
 
     // --------------------------------------------- FLAGSHIP (coin balances)

@@ -152,6 +152,20 @@ class WalletFeaturesSpec extends SparkSpec {
     assert(f.getAs[Double]("wallet_max_eth_ever") == 12.0)
   }
 
+  test("AUC variant: balance-days area, time-in-positive, wallet maxes (with_auc:181-215)") {
+    // +10 ETH held for 200 s, then emptied: area = 10 * 200 / 86400
+    // balance-days, 200 s (2e8 µs) in positive
+    val tx = walletTx(
+      ("0xwA", "receiver", "h1", 10.0, 0.0, 100000000L, "normal", 1, "ETH"),
+      ("0xwA", "sender", "h2", 10.0, 0.0, 300000000L, "normal", 1, "ETH"))
+    val r = graft.pipeline.WalletFeatures.aucContractBalances(tx).head()
+    assert(math.abs(r.getAs[Double]("total_auc_contract") - 10.0 * 200 / 86400.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("total_auc_eth") - 10.0 * 200 / 86400.0) < 1e-12)
+    assert(r.getAs[Long]("total_time_in_ever_contract") == 200000000L)
+    assert(r.getAs[Long]("total_time_in_ever_eth") == 200000000L)
+    assert(r.getAs[Double]("total_balance_in_eth_by_contract") == 0.0)
+  }
+
   test("-0.0 normalization: a round-trip to zero balance is +0.0") {
     val tx = walletTx(
       ("0xw9", "receiver", "h1", 1.5, 0.0, 100L, "normal", 1, "ETH"),

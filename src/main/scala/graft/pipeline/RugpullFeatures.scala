@@ -42,6 +42,12 @@ object RugpullFeatures {
       .withColumn("rugpull_amount_received", capped(col("rugpull_amount_received")))
   }
 
+  /** The serving-DB export slice
+    * (rugpull_features_data_to_features_db.sql): rows whose last rugpull
+    * interaction is past the serving store's high-water mark. */
+  def featuresDbSlice(features: DataFrame, lastInsertedTs: Long): DataFrame =
+    features.filter(col("last_rugpull_ts") > lit(lastInsertedTs))
+
   /** A7: merge a new batch's aggregates into previous state —
     * sum += COALESCE(old, 0) then RE-CAP (:169); min/max merge with null
     * handling; counts accumulate. Full-outer so both untouched wallets and

@@ -101,6 +101,21 @@ object StageCleaners {
       .withColumn("hash_partition", substring(col("address"), 3, 2))
       .select(uuidTag, col("*"))
 
+  /** ethereum_tokens.sql:8-23 — distinct, the double→bigint decimals
+    * cast, try_cast'd total_supply, hash_partition, uuid. Faithful
+    * asymmetry: only the INCREMENTAL variant coalesces a failed
+    * total_supply cast to 0 (:33) — the full load keeps the NULL (:14). */
+  def cleanTokens(raw: DataFrame, incremental: Boolean): DataFrame = {
+    val supply = col("total_supply").try_cast(
+      org.apache.spark.sql.types.DecimalType(38, 0))
+    raw.distinct()
+      .withColumn("decimals", col("decimals").cast("double").cast("long"))
+      .withColumn("total_supply",
+        if (incremental) coalesce(supply, lit(0).cast("decimal(38,0)")) else supply)
+      .withColumn("hash_partition", substring(col("address"), 3, 2))
+      .select(uuidTag, col("*"))
+  }
+
   /** ethereum_tokens_metadata.sql:8-22 — distinct, 18-decimals default,
     * hash_partition (no uuid in the reference's select). */
   def cleanTokensMetadata(raw: DataFrame): DataFrame =

@@ -315,6 +315,14 @@ object WalletFeatures {
         col("address_partition"))
   }
 
+  /** The serving-DB export slice
+    * (ethereum_wallet_features_data_to_features_db.sql): feature rows
+    * whose last activity is past the serving store's high-water mark —
+    * the chunked reader (S10) then pages these into the document sink. */
+  def featuresDbSlice(features: DataFrame, lastInsertedTs: Long): DataFrame =
+    features.filter(col("wallet_last_tx") > lit(lastInsertedTs))
+      .drop("address_partition")
+
   /** The full program: gate → price join → balances → pick/clamp →
     * rollup. Pass `prices`/`tokenContracts` as None for an unpriced run
     * (token rows value at 0, 'ETH' at 1 — the COALESCE fallback). */

@@ -56,6 +56,35 @@ class StageCleanersSpec extends SparkSpec {
     assert(!out.columns.contains("uuid"))
   }
 
+  test("cleanTokens: decimals double->bigint, total_supply try_cast asymmetry (ethereum_tokens.sql:14,:33)") {
+    val raw = Seq(
+      ("0xAB1", "TOK", "tokn", 9.0, "12345", 5L, "2024-01"),
+      ("0xCD2", "BAD", "badn", 18.0, "garbage", 6L, "2024-01"))
+      .toDF("address", "symbol", "name", "decimals", "total_supply",
+        "block_timestamp", "date_partition")
+    val full = StageCleaners.cleanTokens(raw, incremental = false)
+      .collect().map(r => r.getAs[String]("address") -> r).toMap
+    assert(full("0xAB1").getAs[Long]("decimals") == 9L)
+    assert(full("0xAB1").getAs[java.math.BigDecimal]("total_supply").longValue == 12345L)
+    assert(full("0xCD2").isNullAt(full("0xCD2").fieldIndex("total_supply"))) // full keeps NULL
+    assert(full("0xAB1").getAs[String]("hash_partition") == "AB")
+    val inc = StageCleaners.cleanTokens(raw, incremental = true)
+      .collect().map(r => r.getAs[String]("address") -> r).toMap
+    assert(inc("0xCD2").getAs[java.math.BigDecimal]("total_supply").longValue == 0L) // :33 coalesce
+  }
+
+  test("featuresDbSlice exports only rows past the serving high-water mark") {
+    import graft.pipeline.{RugpullFeatures, WalletFeatures}
+    val feats = Seq(("0xa", 100L, "aa"), ("0xb", 300L, "bb"))
+      .toDF("wallet_address", "wallet_last_tx", "address_partition")
+    val out = WalletFeatures.featuresDbSlice(feats, 200L)
+    assert(out.select("wallet_address").as[String].collect().toSeq == Seq("0xb"))
+    assert(!out.columns.contains("address_partition"))
+    val rp = Seq(("0xa", 100L), ("0xb", 300L)).toDF("wallet_address", "last_rugpull_ts")
+    assert(RugpullFeatures.featuresDbSlice(rp, 200L)
+      .select("wallet_address").as[String].collect().toSeq == Seq("0xb"))
+  }
+
   test("stageLoad: full-then-incremental with the >= re-read deduped by the anti-join") {
     val root = tmpDir("stage")
     def blocks(rows: (Long, Long, String, Long, String)*) =

@@ -209,7 +209,12 @@ object Medallion {
     // (O(chunks × table) I/O).
     import scala.jdk.CollectionConverters._
     val staging = servingPath(root).stripSuffix("/") + ".inbox"
-    val it = docs.toLocalIterator().asScala
+    // toLocalIterator schedules ONE sequential job per partition; over the
+    // default 32 shuffle partitions that is ~32 scheduling round-trips for
+    // a driver-bound export. A handful of partitions keeps cluster-side
+    // parallelism for the upstream compute while bounding the pagination
+    // overhead (the sink client is the bottleneck either way).
+    val it = docs.coalesce(4).toLocalIterator().asScala
     val schema = docs.schema
     // touched partitions accumulate while the rows stream past the driver
     // anyway — no extra Spark job to probe them afterwards.

@@ -271,6 +271,80 @@ object DedupQueries {
         .withColumn("cos_sim", cos)
         .filter(col("cos_sim") >= 0.35)
         .select("a_id", "b_id", "cos_sim")
+    },
+
+    // --------------------------------------------------------------- DEDUP-6
+    // Near-dup CLUSTERING: the step after pair generation — connected
+    // components over the LSH-verified pair graph turn pairwise matches
+    // into dedup groups keyed by their canonical (minimum) doc id, which is
+    // what a training-data pipeline actually deletes against (keep one per
+    // group, not one per pair). Spark side: iterative min-label propagation
+    // — each round one join + one map-side-combinable min agg on the EDGE
+    // set (not the corpus), converging in O(component diameter) rounds
+    // (near-dup components are shallow; a large-star/small-star variant
+    // would cut long chains to O(log) if they ever arose); the driver only
+    // counts changed labels per round, and lineage is truncated per round
+    // so the final plan stays flat. Oracle: recursive-CTE transitive closure —
+    // fine at oracle scale, unusable at 100 TB, which is the point of the
+    // iterative formulation.
+    QueryDef("d_dup_clusters",
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, $shinglesSql AS sh
+         |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+         |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+         |sig AS (SELECT doc_id, $sigSqlCols FROM ex GROUP BY doc_id),
+         |bands AS (
+         |  $bandsSqlUnion),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT c.a_id, c.b_id
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.a_id
+         |  JOIN sh sb ON sb.doc_id = c.b_id
+         |  WHERE len(list_intersect(sa.sh, sb.sh))
+         |      / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.1),
+         |sym AS (
+         |  SELECT a_id AS src, b_id AS dst FROM edges
+         |  UNION SELECT b_id, a_id FROM edges),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM sym
+         |  UNION
+         |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
+         |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         |FROM reach GROUP BY src""".stripMargin) { (s, dir) =>
+      graft.functions.VectorExprs.register(s)
+      val base = docs(s, dir).filter(size(col("tk")) >= 3)
+      val sh = base.select(col("doc_id"), explode(shinglesExpr).as("s"))
+      val cand = candidatePairs(minhashBands(sh))
+      val hsh = base.select(col("doc_id"), hashedShinglesExpr.as("hs"))
+      val inter = expr("sorted_intersect_count(a_hs, b_hs)")
+      val edges = cand
+        .join(hsh.select(col("doc_id").as("a_id"), col("hs").as("a_hs")), "a_id")
+        .join(hsh.select(col("doc_id").as("b_id"), col("hs").as("b_hs")), "b_id")
+        .filter(inter / (size(col("a_hs")) + size(col("b_hs")) - inter) >= 0.1)
+        .select("a_id", "b_id")
+      val adj = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+        .persist()
+      var labels = adj.select(col("src").as("doc_id")).distinct()
+        .withColumn("cluster_id", col("doc_id"))
+        .localCheckpoint(true)
+      var changed = 1L
+      while (changed > 0) {
+        val nmin = adj.join(labels, adj("dst") === labels("doc_id"))
+          .groupBy(col("src")).agg(min("cluster_id").as("nmin"))
+        val updated = labels.join(nmin, labels("doc_id") === nmin("src"), "left_outer")
+          .select(col("doc_id"), col("cluster_id"),
+            least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("next_id"))
+          .localCheckpoint(true)
+        changed = updated.filter(col("next_id") < col("cluster_id")).count()
+        labels = updated.select(col("doc_id"), col("next_id").as("cluster_id"))
+      }
+      adj.unpersist()
+      labels
     }
   )
 }

@@ -21,8 +21,13 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () }
     }
-    try SparkEntry.queries("q1_agg")(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    // one small + one heavy representative: the flagship pipeline's
+    // generated stages populate the codegen cache, so the measured runs of
+    // the wallet-program family bill their work, not compiler warmup
+    Seq("q1_agg", "flagship_priced_features").foreach { q =>
+      try SparkEntry.queries(q)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: materializes EVERY output column (count() would let

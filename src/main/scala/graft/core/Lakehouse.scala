@@ -194,9 +194,18 @@ object Lakehouse {
     if (!fs.exists(hp)) return
     val bytes = fs.getContentSummary(hp).getLength
     val nFiles = math.max(1, (bytes / (targetFileMB.toLong << 20)).toInt)
-    val df = read(spark, path).repartition(nFiles)
+    // size-derived task count, hash-clustered on the partition columns so
+    // each task holds whole hive partitions. Written directly — routing
+    // through ctas would re-repartition by the partition columns alone and
+    // discard the nFiles sizing (file count would then track
+    // shuffle.partitions, not on-disk bytes).
+    val df0 = read(spark, path)
+    val df = if (partitionCols.nonEmpty)
+      df0.repartition(nFiles, partitionCols.map(col): _*)
+    else df0.repartition(nFiles)
     val staging = path.stripSuffix("/") + ".compact"
-    ctas(df, staging, partitionCols)
+    val w = df.write.mode(SaveMode.Overwrite).option("compression", "snappy")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(staging)
     fs.delete(hp, true)
     fs.rename(new org.apache.hadoop.fs.Path(staging), hp)
   }

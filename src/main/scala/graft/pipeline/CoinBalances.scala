@@ -95,12 +95,11 @@ object CoinBalances {
         col("first_transaction_timestamp"), col("last_transaction_timestamp"),
         (col("total_balance_run") < 0).as("has_negative_balance"),
         col("address_partition"))
-      // the reference's DISTINCT (:91): surviving latest-key peers are
-      // exact duplicates (every output column is partition-constant or the
-      // peer-shared RANGE balance), so dedup by the pair key is the same
-      // result — and it reuses the wallet partitioning instead of
-      // reshuffling on all 17 columns
-      .dropDuplicates("wallet_address", "contract_address")
+      // the reference's full-row DISTINCT (:91) — NOT a pair-key dedup:
+      // latest-key rows tied on (timestamp, index) but differing in
+      // priority are not RANGE peers, carry different cumulative balances,
+      // and the reference keeps BOTH such rows
+      .distinct()
   }
 
   /** The incremental MERGE source (:133-292): the full-load program over

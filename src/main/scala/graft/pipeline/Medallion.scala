@@ -216,19 +216,22 @@ object Medallion {
     // overhead (the sink client is the bottleneck either way).
     val it = docs.coalesce(4).toLocalIterator().asScala
     val schema = docs.schema
-    // touched partitions accumulate while the rows stream past the driver
-    // anyway — no extra Spark job to probe them afterwards.
-    val touched = scala.collection.mutable.SortedSet.empty[String]
-    val pIdx = schema.fieldIndex("user_partition")
     it.grouped(chunkRows).foreach { chunk =>
-      chunk.foreach(r => touched += r.getString(pIdx))
       val batch = spark.createDataFrame(chunk.asJava, schema)
       Lakehouse.appendPartitioned(batch, staging, Nil)
     }
     if (Lakehouse.tableExists(spark, staging)) {
       val inbox = Lakehouse.read(spark, staging)
+      // touched partitions MUST come from the inbox table, not the rows
+      // streamed this run: a previous run that crashed between append and
+      // cleanup leaves its chunks in the inbox, and scoping the merge to
+      // only this run's partitions would stage those orphan partitions
+      // WITHOUT their existing serving rows — the partition-dir swap would
+      // then drop them. The inbox is staging-sized, so the probe is cheap.
+      val touched = inbox.select("user_partition").distinct()
+        .collect().map(_.getString(0)).toSeq
       Lakehouse.mergeUpsert(spark, inbox, servingPath(root), Seq("walletAddress"),
-        Seq("user_partition"), Some(col("user_partition").isin(touched.toSeq: _*)))
+        Seq("user_partition"), Some(col("user_partition").isin(touched: _*)))
       val p = new org.apache.hadoop.fs.Path(staging)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }

@@ -102,7 +102,9 @@ object RawIngestion {
     import graft.core.{Lakehouse, Schemas}
     def read(name: String, schema: org.apache.spark.sql.types.StructType) =
       spark.read.option("header", "true").schema(schema).csv(s"$csvDir/$name.csv")
-    val blocks = read("blocks", Schemas.rawBlocksCsv)
+    // blocks enriches three tables — cache the parsed dim once instead of
+    // re-parsing the CSV per join
+    val blocks = read("blocks", Schemas.rawBlocksCsv).persist()
     val out = Map(
       "ethereum_transactions" -> transactionsWithReceipts(
         read("transactions", Schemas.rawTransactionsCsv),
@@ -117,5 +119,6 @@ object RawIngestion {
     out.foreach { case (table, df) =>
       Lakehouse.appendPartitioned(df, s"$lake/raw/$table", Seq("date_partition"))
     }
+    blocks.unpersist()
   }
 }

@@ -44,11 +44,15 @@ object StageCleaners {
     case _ => "block_number"
   }
 
-  /** :94-108 — first-run defaults. */
+  /** :94-108 — first-run defaults. The contract-family tables default to
+    * '2015-01-01 00:00:00' (their watermark columns are epoch-second
+    * timestamps); the block-number tables to genesis-adjacent constants. */
   def initialWatermark(table: String): Long = table match {
     case "ethereum_transactions" => 46147L
     case "ethereum_logs" => 52029L
     case "ethereum_token_transfers" => 447767L
+    case "ethereum_contracts" | "ethereum_tokens" | "ethereum_tokens_metadata" =>
+      1420070400L // 2015-01-01T00:00:00Z (:102-104)
     case _ => 0L
   }
 

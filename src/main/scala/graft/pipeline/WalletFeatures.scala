@@ -523,7 +523,12 @@ object WalletFeatures {
     *    per-contract snapshot rows (each contract's final row carries the
     *    wallet-wide running balance AT THAT CONTRACT'S last event), so for
     *    multi-contract wallets the stitch base is a max-snapshot, not the
-    *    wallet's true final.
+    *    wallet's true final;
+    *  - missing state COALESCEs to 0 BEFORE the :563-589 min/max merge
+    *    CASEs (:503-504, :516-517), which makes those CASEs' IS NULL
+    *    branches dead code in the reference itself and pins a brand-new
+    *    wallet's min-ever at 0 (a full recompute would report its positive
+    *    minimum) — WalletFeaturesIncrementalSpec pins this.
     * WalletFeaturesIncrementalSpec pins strict incremental ≡ full on the
     * single-contract/priced slice where the reference itself is exact. */
   def incrementalUpdates(newTx: DataFrame, storedFeatures: DataFrame,

@@ -72,19 +72,24 @@ object DataQuality {
     * (constraint_name, is_fail) — the reference's UNION ALL shape; feed
     * `.filter(col("is_fail"))` to [[gate]]. */
   def walletFeatureConstraints(features: DataFrame): DataFrame = {
-    def existsCheck(name: String, cond: org.apache.spark.sql.Column) =
-      features.filter(cond).agg((count(lit(1)) > 0).as("is_fail"))
-        .select(lit(name).as("constraint_name"), col("is_fail"))
-    val outNeg = existsCheck("outgoing_tx_negative_counts_check",
-      col("wallet_total_outgoing_tx") < 0)
-    val inNeg = existsCheck("incoming_tx_negative_counts_check",
-      col("wallet_total_incoming_tx") < 0)
-    val zeroMin = features.agg(
-        ((count(when(col("wallet_min_eth_ever") === 0, lit(1))).cast("double")
-          / count(lit(1)) * 100) > 20).as("is_fail"))
-      .select(lit("zero_min_eth_ever_for_20%_addresses_check").as("constraint_name"),
-        col("is_fail"))
-    outNeg.unionByName(inNeg).unionByName(zeroMin)
+    // ONE aggregate pass computes all three counters (the reference's
+    // three CTEs each scan the table; at production scale one scan is the
+    // same answer for a third of the I/O), then the counters unpivot into
+    // the reference's stacked (constraint_name, is_fail) rows.
+    val counters = features.agg(
+      count(when(col("wallet_total_outgoing_tx") < 0, lit(1))).as("n_out_neg"),
+      count(when(col("wallet_total_incoming_tx") < 0, lit(1))).as("n_in_neg"),
+      count(when(col("wallet_min_eth_ever") === 0, lit(1))).as("n_zero_min"),
+      count(lit(1)).as("n_rows"))
+    counters.select(explode(array(
+      struct(lit("outgoing_tx_negative_counts_check").as("constraint_name"),
+        (col("n_out_neg") > 0).as("is_fail")),
+      struct(lit("incoming_tx_negative_counts_check").as("constraint_name"),
+        (col("n_in_neg") > 0).as("is_fail")),
+      struct(lit("zero_min_eth_ever_for_20%_addresses_check").as("constraint_name"),
+        (col("n_zero_min").cast("double") / col("n_rows") * 100 > 20).as("is_fail"))))
+      .as("c"))
+      .select(col("c.constraint_name"), col("c.is_fail"))
   }
 
   /** Run checks; throw (failing the pipeline run, as the DAG does) if any

@@ -44,8 +44,14 @@ object SimilarityQueries {
     * bucket count ceilings the parallelism at 100 TB. Both engines derive
     * W from COUNT(*) (identical IEEE log2/ceil), so the oracle stays
     * bit-exact. */
-  def codeWidth(n: Long): Int =
-    math.max(4, math.min(32, math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt))
+  def codeWidth(n: Long): Int = {
+    // exact ceil(log2(n / 32)) = ceil(log2 n) - 5 in integer arithmetic:
+    // ln(x)/ln(2) is off by an ulp at exact powers of two (2^34, 2^36, ...)
+    // where DuckDB's native log2 is exact, which would flip W by 1 and
+    // desync every LSH code from the oracle
+    val ceilLog2 = if (n <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+    math.max(4, math.min(32, ceilLog2 - 5))
+  }
 
   /** IVF centroid sampling stride: every floor(sqrt(N))-th vec_id is a
     * centroid — ~sqrt(N) cells, so cell size ~ sqrt(N) (the classic IVF

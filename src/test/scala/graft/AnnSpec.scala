@@ -15,6 +15,11 @@ class AnnSpec extends SparkSpec {
     assert(SimilarityQueries.codeWidth(1000000000L) == 25)
     assert(SimilarityQueries.codeWidth(10) == 4) // floor
     assert(SimilarityQueries.codeWidth(Long.MaxValue / 2) == 32) // ceiling
+    // exact powers of two — where a ln/ln double path is off by an ulp
+    // vs DuckDB's native log2 (regression guard for the integer version)
+    assert(SimilarityQueries.codeWidth(1L << 34) == 29)
+    assert(SimilarityQueries.codeWidth((1L << 34) + 1) == 30)
+    assert(SimilarityQueries.codeWidth(1L << 36) == 31)
     assert(SimilarityQueries.centroidStride(500) == 22)
     assert(SimilarityQueries.centroidStride(1000000) == 1000)
   }

@@ -87,6 +87,22 @@ class WalletFeaturesIncrementalSpec extends SparkSpec {
     assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty)
   }
 
+  test("brand-new wallet in a batch: min-ever pins at 0 — the :503/:516 COALESCE semantics") {
+    // The reference coalesces missing state to 0 BEFORE its min/max merge
+    // CASEs, so a wallet first seen incrementally stores min_eth_ever = 0
+    // even though a full recompute reports its positive minimum. Faithful
+    // divergence, pinned here.
+    val prices = Seq(("ETH", 123.0, 0L)).toDF("address", "price", "price_ts")
+    val state = WalletFeatures.walletFeatures(
+      walletTx(("0xold", "receiver", "h1", 5.0, 0.0, 100L, "normal", 1, "ETH")), Some(prices))
+    val batch = walletTx(("0xnew", "receiver", "h2", 4.0, 0.0, 300L, "normal", 1, "ETH"))
+    val newRow = WalletFeatures.incrementalUpdates(batch, state, Some(prices))
+      .filter(col("wallet_address") === "0xnew").head()
+    assert(newRow.getAs[Double]("wallet_min_eth_ever") == 0.0) // NOT 4.0
+    assert(newRow.getAs[Double]("wallet_max_eth_ever") == 4.0)
+    assert(newRow.getAs[Double]("wallet_total_balance_eth_only") == 4.0)
+  }
+
   test("excluded mega-wallets never enter the incremental batch (:381-390)") {
     val state = WalletFeatures.walletFeatures(all.filter(col("block_timestamp") <= cut))
     val mega = WalletFeatures.ExcludedWallets.head

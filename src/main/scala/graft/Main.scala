@@ -47,9 +47,33 @@ object Main {
       // receipts merge + blocks enrich → partitioned raw parquet
       def rawDomain(): Unit = RawIngestion.ingest(spark,
         opts.getOrElse("csv", sys.error("--csv required for the raw-domain layer")), lake)
+      // the domain DAG's remaining layers (DomainPipeline); rugpull/price
+      // side inputs are optional CSVs
+      def sideInput(opt: String, schema: org.apache.spark.sql.types.StructType) =
+        opts.get(opt).map(p =>
+          spark.read.option("header", "true").schema(schema).csv(p))
       layer match {
         case "raw"        => raw()
         case "raw-domain" => rawDomain()
+        case "stage-domain" => graft.pipeline.DomainPipeline.stage(spark, lake)
+        case "analytics-domain" =>
+          graft.pipeline.DomainPipeline.analytics(spark, lake,
+            sideInput("rugpulls", graft.core.Schemas.rugpullMarketData))
+        case "features-domain" =>
+          graft.pipeline.DomainPipeline.features(spark, lake,
+            sideInput("prices", org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("address",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("price",
+                org.apache.spark.sql.types.DoubleType),
+              org.apache.spark.sql.types.StructField("price_ts",
+                org.apache.spark.sql.types.LongType)))))
+        case "domain-all" =>
+          rawDomain()
+          graft.pipeline.DomainPipeline.stage(spark, lake)
+          graft.pipeline.DomainPipeline.analytics(spark, lake,
+            sideInput("rugpulls", graft.core.Schemas.rugpullMarketData))
+          graft.pipeline.DomainPipeline.features(spark, lake, None)
         case "stage"     => Medallion.stage(spark, lake)
         case "analytics" => Medallion.analytics(spark, lake)
         case "features"  => Medallion.features(spark, lake)

@@ -28,10 +28,21 @@ import org.apache.spark.sql.functions._
   */
 object Lakehouse {
 
+  /** A table "exists" when it holds at least one data file — a directory
+    * left by an all-filtered-out write (only _SUCCESS, or empty partition
+    * dirs) reads as absent, so the next load takes the full-load path
+    * instead of failing schema inference. Early-exits on the first data
+    * file; descends one level for hive-partitioned layouts. */
   def tableExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).nonEmpty
+    def hasDataFile(dir: org.apache.hadoop.fs.Path, depth: Int): Boolean =
+      fs.listStatus(dir).exists { st =>
+        val n = st.getPath.getName
+        if (st.isFile) !(n.startsWith("_") || n.startsWith("."))
+        else depth > 0 && hasDataFile(st.getPath, depth - 1)
+      }
+    fs.exists(p) && hasDataFile(p, 2)
   }
 
   def read(spark: SparkSession, path: String): DataFrame =

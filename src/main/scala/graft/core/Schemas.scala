@@ -187,6 +187,25 @@ object Schemas {
     StructField("log_index", LongType),
     StructField("block_number", LongType)))
 
+  /** contracts.csv (external fetcher output; stage derives
+    * hash_partition). */
+  val rawContractsCsv: StructType = StructType(Seq(
+    StructField("address", StringType),
+    StructField("bytecode", StringType),
+    StructField("is_erc20", BooleanType),
+    StructField("is_erc721", BooleanType),
+    StructField("block_timestamp", LongType),
+    StructField("block_number", LongType),
+    StructField("date_partition", StringType)))
+
+  /** tokens_metadata.csv (the Transpose-API fetcher's output contract). */
+  val rawTokensMetadataCsv: StructType = StructType(Seq(
+    StructField("contract_address", StringType),
+    StructField("symbol", StringType),
+    StructField("decimals", LongType),
+    StructField("created_timestamp", LongType),
+    StructField("date_partition", StringType)))
+
   /** traces.csv (:684-695); value as digit string (the precision clamp
     * operates on the string form). */
   val rawTracesCsv: StructType = StructType(Seq(

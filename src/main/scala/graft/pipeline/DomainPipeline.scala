@@ -1,0 +1,155 @@
+package graft.pipeline
+
+import graft.core.Lakehouse
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's WHOLE domain DAG composed end-to-end over the lake:
+  *
+  *   exporter CSVs → RAW (RawIngestion: receipts merge, blocks enrich)
+  *     → STAGE (StageCleaners: per-table dedup/typing behind the
+  *       watermark-column switch; topics repaired on the way in)
+  *     → ANALYTICS (DomainTransforms: normal/internal/erc20 →
+  *       ethereum_wallet_transactions)
+  *     → FEATURES (WalletFeatures full-vs-incremental MERGE +
+  *       CoinBalances full-vs-incremental MERGE)
+  *
+  * — i.e. main.py's `--data-lake-layer` dispatch for the Ethereum tables,
+  * as one object. External inputs (the rugpull list, daily token prices)
+  * arrive as DataFrames; absent stage tables degrade gracefully (empty
+  * contracts table = no contract flags, exactly like a fresh lake).
+  *
+  * Scale: every layer writes date-partitioned parquet; the features MERGE
+  * rewrites through a staged swap. [[Lakehouse.mergeUpsert]] IS the
+  * wallet-features MERGE semantics (whole-row update by wallet);
+  * coin-balances needs its column-selective variant
+  * ([[CoinBalances.applyMerge]]) so it stages + swaps explicitly.
+  */
+object DomainPipeline {
+
+  def stagePath(lake: String, table: String) = s"$lake/stage/$table"
+  def walletTxPath(lake: String) = s"$lake/analytics/ethereum_wallet_transactions"
+  def featuresPath(lake: String) = s"$lake/features/ethereum_wallet_features"
+  def coinBalancesPath(lake: String) = s"$lake/features/ethereum_wallet_coin_balances"
+
+  private def exists(spark: SparkSession, p: String) = Lakehouse.tableExists(spark, p)
+
+  /** STAGE: each raw table present in the lake flows through its cleaner
+    * behind the per-table watermark switch. Logs get the topics repair on
+    * the way in (ethereum_logs.sql:15-19). */
+  def stage(spark: SparkSession, lake: String): Unit = {
+    val cleaners: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "ethereum_blocks" -> StageCleaners.cleanBlocks,
+      "ethereum_transactions" -> StageCleaners.cleanTransactions,
+      "ethereum_logs" ->
+        ((d: DataFrame) => StageCleaners.cleanGeneric(DomainTransforms.repairLogTopics(d))),
+      "ethereum_token_transfers" -> StageCleaners.cleanGeneric,
+      "ethereum_traces" -> StageCleaners.cleanTraces,
+      "ethereum_contracts" -> StageCleaners.cleanContracts,
+      "ethereum_tokens_metadata" -> StageCleaners.cleanTokensMetadata)
+    cleaners.foreach { case (t, clean) =>
+      val raw = s"$lake/raw/$t"
+      if (exists(spark, raw))
+        StageCleaners.stageLoad(spark, t, Lakehouse.read(spark, raw),
+          s"$lake/stage", clean)
+    }
+  }
+
+  private def stageOrEmpty(spark: SparkSession, lake: String, table: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val p = stagePath(lake, table)
+    if (exists(spark, p)) Lakehouse.read(spark, p)
+    else spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+  }
+
+  /** ANALYTICS: the three transaction programs → the role-pivoted
+    * ethereum_wallet_transactions table, appended incrementally behind a
+    * block_number watermark with the identity anti-join guard. */
+  def analytics(spark: SparkSession, lake: String,
+      rugpulls: Option[DataFrame] = None): Unit = {
+    import graft.core.Schemas
+    val transactions = Lakehouse.read(spark, stagePath(lake, "ethereum_transactions"))
+    val traces = stageOrEmpty(spark, lake, "ethereum_traces", Schemas.traces)
+    val blocks = Lakehouse.read(spark, stagePath(lake, "ethereum_blocks"))
+    val contracts = stageOrEmpty(spark, lake, "ethereum_contracts", Schemas.contracts)
+    val meta = stageOrEmpty(spark, lake, "ethereum_tokens_metadata",
+      Schemas.tokensMetadata)
+    val transfers = stageOrEmpty(spark, lake, "ethereum_token_transfers",
+      Schemas.tokenTransfersRaw)
+    val rp = rugpulls.getOrElse(spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), Schemas.rugpullMarketData))
+
+    def wtx(minBlock: Option[Long]): DataFrame = {
+      def cut(df: DataFrame) = minBlock.fold(df)(b => df.filter(col("block_number") >= b))
+      val normal = DomainTransforms.normalTransactions(
+        cut(transactions), blocks, contracts, rp, traces)
+      val internal = DomainTransforms.internalTransactions(
+        cut(traces), transactions, contracts, rp)
+      val erc20 = DomainTransforms.erc20Transactions(
+        cut(transfers), meta, transactions, traces, contracts, rp)
+      DomainTransforms.walletTransactions(normal, internal, erc20)
+    }
+    Lakehouse.loadIncremental(spark, walletTxPath(lake),
+      watermarkCol = "block_number", partitionCols = Seq("date_partition"),
+      keys = Seq("transaction_hash", "wallet_address", "role", "contract_address",
+        "date_partition"),
+      full = () => wtx(None),
+      // the reference re-selects the boundary block (>= filter_value, :29);
+      // the identity anti-join guard keeps the append duplicate-free
+      incremental = wm => wtx(Some(wm.toString.toLong)))
+  }
+
+  /** FEATURES: wallet features + coin balances, full load on first run,
+    * the reference MERGEs afterwards. `prices` = the daily token price
+    * table; the token gate comes from stage tokens_metadata (decimals > 0)
+    * when present. */
+  def features(spark: SparkSession, lake: String,
+      prices: Option[DataFrame] = None): Unit = {
+    import graft.core.Schemas
+    val wtx = Lakehouse.read(spark, walletTxPath(lake))
+    val metaP = stagePath(lake, "ethereum_tokens_metadata")
+    val gate =
+      if (exists(spark, metaP))
+        Some(Lakehouse.read(spark, metaP).filter(col("decimals") > 0)
+          .select(col("contract_address").as("contract_address_metadata")).distinct())
+      else None
+
+    val fPath = featuresPath(lake)
+    if (!exists(spark, fPath)) {
+      Lakehouse.ctas(WalletFeatures.walletFeatures(wtx, prices, gate),
+        fPath, Seq("address_partition"))
+    } else {
+      val stored = Lakehouse.read(spark, fPath)
+      val wm = stored.agg(max("wallet_last_tx")).head.getLong(0)
+      val newTx = wtx.filter(col("block_timestamp") > wm)
+      val updates = WalletFeatures.incrementalUpdates(newTx, stored, prices, gate)
+      // :760-833 — whole-row update by wallet; mergeUpsert IS that MERGE
+      Lakehouse.mergeUpsert(spark, updates, fPath, Seq("wallet_address"),
+        Seq("address_partition"))
+    }
+
+    val cPath = coinBalancesPath(lake)
+    if (!exists(spark, cPath)) {
+      Lakehouse.ctas(CoinBalances.fullLoad(wtx), cPath, Seq("address_partition"))
+    } else {
+      val stored = Lakehouse.read(spark, cPath)
+      // column-selective MERGE (:297-310): stage the merged state, swap
+      val merged = CoinBalances.incremental(wtx, stored)
+      val staging = cPath.stripSuffix("/") + ".staging"
+      Lakehouse.ctas(merged, staging, Seq("address_partition"))
+      val hp = new org.apache.hadoop.fs.Path(cPath)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(hp, true)
+      fs.rename(new org.apache.hadoop.fs.Path(staging), hp)
+    }
+  }
+
+  /** The whole DAG: raw CSVs → stage → analytics → features. */
+  def run(spark: SparkSession, csvDir: String, lake: String,
+      rugpulls: Option[DataFrame] = None, prices: Option[DataFrame] = None): Unit = {
+    RawIngestion.ingest(spark, csvDir, lake)
+    stage(spark, lake)
+    analytics(spark, lake, rugpulls)
+    features(spark, lake, prices)
+  }
+}

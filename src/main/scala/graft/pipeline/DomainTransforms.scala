@@ -1,41 +1,93 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference's analytics-layer transforms over the Ethereum domain
-  * tables — the per-table SQL programs re-expressed as DataFrame builders.
-  * Each function cites the SQL it reproduces; the fixture-driven
-  * DomainSpec covers the edge cases the reference's own fixtures call out.
+  * tables — the per-table SQL programs re-expressed as DataFrame builders,
+  * emitting the FULL reference column surface (token columns, error
+  * status, both rugpull flags, hash partitions) so the outputs feed
+  * [[WalletFeatures]] / [[CoinBalances]] unmodified. Each function cites
+  * the SQL it reproduces; DomainSpec covers the edge cases the reference's
+  * own fixtures call out.
   *
-  * Scale notes: every join below is either a broadcast (dims: contracts,
-  * metadata, rugpull list) or keyed on the natural big-table key
-  * (hash/address), matching the partition design the reference encodes via
-  * hash_partition buckets.
+  * Scale notes: the contracts/rugpull joins key on the address (the
+  * reference co-partitions them via hash_partition, a function of the
+  * address — same co-location, one fewer key) and are NOT broadcast
+  * (contracts is tens of millions of rows); metadata is a genuine dim and
+  * broadcasts; the trace-status join keys on the tx hash.
   */
 object DomainTransforms {
 
-  /** wei → ETH with the reference's split-POWER overflow dodge
+  /** wei → unit with the reference's split-POWER overflow dodge
     * (ethereum_normal_transactions.sql:53): value / 10^(d/2) / 10^(d/2)
     * rather than /10^d, preserving the halved-exponent semantics (integer
     * division of odd decimals!) exactly. */
-  private def weiToUnit(value: org.apache.spark.sql.Column,
-      decimals: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  private def weiToUnit(value: Column, decimals: Column): Column = {
     val half = pow(lit(10.0), (decimals / lit(2)).cast("long").cast("double"))
     value.cast("double") / half / half
   }
 
-  /** ethereum_internal_transactions.sql:4-68 — the traces pipeline:
-    *  - keep only value-bearing traces (value > 0), drop
+  private def hashPart(addr: Column): Column = substring(addr, 3, 2)
+
+  /** The rugpull date window (ethereum_normal_transactions.sql:95-104):
+    * the announcement lies on the tx's day or the day before. */
+  private def rugpullWindow(rugpullDate: Column, txTs: Column): Column = {
+    val txDate = to_date(timestamp_seconds(txTs))
+    (rugpullDate < txDate && rugpullDate >= txDate - expr("INTERVAL 1 DAY")) ||
+      rugpullDate === txDate
+  }
+
+  /** Append is_rugpull (matching `matchCol` against the announced token)
+    * and to_address_is_rugpull (:74-85 / :92-104) — both shuffle joins
+    * against the (small, hinted) rugpull list. */
+  private def withRugpullFlags(df: DataFrame, rugpulls: DataFrame,
+      matchCol: Column): DataFrame = {
+    val r1 = rugpulls.select(lower(col("contract_address")).as("rp1_addr"),
+      col("rugpull_date").as("rp1_date"))
+    val r2 = rugpulls.select(lower(col("contract_address")).as("rp2_addr"),
+      col("rugpull_date").as("rp2_date"))
+    df.join(broadcast(r1),
+        lower(matchCol) === col("rp1_addr") &&
+          rugpullWindow(col("rp1_date"), col("block_timestamp")), "left_outer")
+      .join(broadcast(r2),
+        lower(col("to_address")) === col("rp2_addr") &&
+          rugpullWindow(col("rp2_date"), col("block_timestamp")), "left_outer")
+      .withColumn("is_rugpull", col("rp1_addr").isNotNull)
+      .withColumn("to_address_is_rugpull", col("rp2_addr").isNotNull)
+      .drop("rp1_addr", "rp1_date", "rp2_addr", "rp2_date")
+  }
+
+  /** Append from_is_contract / to_is_contract existence flags (:64-72,
+    * :85-90) — shuffle joins on the address (hash_partition-co-located in
+    * the reference; never broadcast). */
+  private def withContractFlags(df: DataFrame, contracts: DataFrame): DataFrame = {
+    val fromFlag = contracts.select(col("address").as("c_from"))
+    val toFlag = contracts.select(col("address").as("c_to"))
+    df.join(fromFlag, col("from_address") === col("c_from"), "left_outer")
+      .join(toFlag, col("to_address") === col("c_to"), "left_outer")
+      .withColumn("from_is_contract", col("c_from").isNotNull)
+      .withColumn("to_is_contract", col("c_to").isNotNull)
+      .drop("c_from", "c_to")
+  }
+
+  /** ethereum_internal_transactions.sql:8-115 — the traces pipeline:
+    *  - keep only value-bearing calls (value > 0), drop
     *    delegatecall/staticcall/callcode via the 3-valued-logic-safe
-    *    NOT COALESCE filter (:33-36, SURVEY §7.4 #6);
-    *  - drop traces that duplicate their parent transaction (:36, left
-    *    join on (hash, from, to) used only as a filter);
-    *  - append synthetic reward rows: 'REWARD_'||reward_type as the
-    *    counterparty (:38-68).
+    *    filter (:35, SURVEY §7.4 #6);
+    *  - drop traces that duplicate their parent transaction (:36 — the
+    *    NOT(from AND to AND value) under three-valued logic also drops
+    *    parentless traces, which the reference accepts);
+    *  - append synthetic reward rows: 'REWARD_'||to_address as the hash
+    *    and 'REWARD_'||reward_type as the counterparty (:40-57);
+    *  - 'ETH' token columns, is_error from the trace's own status (:25-28
+    *    — the reference's CASE cites a `tc` alias that does not exist in
+    *    its scope; the trace status is the evident intent), error_code;
+    *  - contract/rugpull flags, hash partitions, wei→ETH (:60-115).
     */
-  def internalTransactions(traces: DataFrame, transactions: DataFrame): DataFrame = {
+  def internalTransactions(traces: DataFrame, transactions: DataFrame,
+      contracts: DataFrame, rugpulls: DataFrame): DataFrame = {
     val calls = traces.filter(col("trace_type") === "call")
       .filter(col("value") > 0)
       .filter(!coalesce(
@@ -43,123 +95,164 @@ object DomainTransforms {
     val parents = transactions.select(
       col("hash").as("p_hash"), col("from_address").as("p_from"),
       col("to_address").as("p_to"), col("value").as("p_value"))
-    // join on hash only; the duplicate test compares from AND to AND value
-    // (:36) under three-valued logic — a trace differing from its parent in
-    // any of the three (e.g. a partial internal transfer) is kept.
     val nonDup = calls
       .join(parents, col("transaction_hash") === col("p_hash"), "left_outer")
       .filter(!(col("from_address") === col("p_from") &&
         col("to_address") === col("p_to") && col("value") === col("p_value")))
       .drop("p_hash", "p_from", "p_to", "p_value")
     val rewards = traces.filter(col("trace_type") === "reward")
+      .filter(!coalesce(
+        col("call_type").isin("delegatecall", "staticcall", "callcode"), lit(false)))
       .withColumn("transaction_hash",
         concat(lit("REWARD_"), coalesce(col("to_address"), lit(""))))
       .withColumn("from_address", concat(lit("REWARD_"), col("reward_type")))
     val cols = Seq("transaction_hash", "from_address", "to_address", "value",
-      "block_timestamp", "block_number", "date_partition")
-    nonDup.select(cols.map(col): _*)
+      "status", "error", "block_timestamp", "block_number", "date_partition")
+    val unioned = nonDup.select(cols.map(col): _*)
       .unionByName(rewards.select(cols.map(col): _*))
-      .withColumn("eth_value", weiToUnit(col("value"), lit(18L)))
+      .withColumn("contract_address", lit("ETH"))
+      .withColumn("token_symbol", lit("ETH"))
+      .withColumn("token_decimal", lit(18L))
+      .withColumn("is_error",
+        !(col("status").isNull || col("status") === 1))
+      .withColumnRenamed("error", "error_code")
+      .withColumn("current_value", weiToUnit(col("value"), col("token_decimal")))
+      .withColumn("from_hash_partition", hashPart(col("from_address")))
+      .withColumn("to_hash_partition", hashPart(col("to_address")))
+    withRugpullFlags(withContractFlags(unioned, contracts), rugpulls,
+      col("contract_address"))
   }
 
-  /** ethereum_normal_transactions.sql:4-104 — transactions enriched with
-    * block base fee (J4), trace error status (J5 shape), contract
-    * existence flags via the hash_partition-co-located left joins (J7,
-    * :65-72,85-90), and the rugpull 1-day window band join (J8, :91-104).
-    */
+  /** ethereum_normal_transactions.sql:8-104 — transactions enriched with
+    * block base fee (J4), trace error status (J5, :22-25), the 'ETH'
+    * token columns, contract existence flags (J7), BOTH rugpull flags —
+    * is_rugpull matches the (always-'ETH') contract_address, which the
+    * reference accepts as a near-constant false; to_address_is_rugpull is
+    * the live one (:74-104, J8) — and the reference's exact fee
+    * association gas_used * (gas_price / 1e18) (:57). */
   def normalTransactions(transactions: DataFrame, blocks: DataFrame,
-      contracts: DataFrame, rugpulls: DataFrame): DataFrame = {
+      contracts: DataFrame, rugpulls: DataFrame,
+      traces: DataFrame): DataFrame = {
     val withBlock = transactions
-      .join(blocks.select(col("number"), col("base_fee_per_gas")),
+      .join(blocks.select(col("number"), col("base_fee_per_gas").as("gas_fee")),
         col("block_number") === col("number"))
       .drop("number")
-    // Contracts is NOT broadcast: Ethereum's contracts table is tens of
-    // millions of rows (OOMs executors as a broadcast at real scale). The
-    // reference co-partitions this join on hash_partition
-    // (ethereum_normal_transactions.sql:85-90); here both sides shuffle on
-    // the address key — AQE may still elect a broadcast when the dim is
-    // genuinely small (tests pin autoBroadcastJoinThreshold=-1 to assert no
-    // hard-coded BroadcastExchange survives).
-    val fromFlag = contracts.select(col("address").as("c_from"))
-    val toFlag = contracts.select(col("address").as("c_to"))
-    val flagged = withBlock
-      .join(fromFlag, col("from_address") === col("c_from"), "left_outer")
-      .join(toFlag, col("to_address") === col("c_to"), "left_outer")
-      .withColumn("from_is_contract", col("c_from").isNotNull)
-      .withColumn("to_is_contract", col("c_to").isNotNull)
-      .drop("c_from", "c_to")
-    // rugpull match (ethereum_normal_transactions.sql:95-97): the rugpull
-    // announcement lies on the tx's day or the day before —
-    // (rd < td AND rd >= td - 1 day) OR rd = td — i.e. a tx on the
-    // announcement day or the day after is flagged.
-    val rp = rugpulls.select(lower(col("contract_address")).as("rp_addr"),
-      col("rugpull_date"))
-    val txDate = to_date(timestamp_seconds(col("block_timestamp")))
-    val inWindow =
-      (col("rugpull_date") < txDate && col("rugpull_date") >= txDate - expr("INTERVAL 1 DAY")) ||
-        col("rugpull_date") === txDate
-    flagged
-      .join(broadcast(rp),
-        lower(col("to_address")) === col("rp_addr") && inWindow,
+    val traceStatus = traces.select(
+      col("transaction_hash").as("tc_hash"), col("block_number").as("tc_block"),
+      col("from_address").as("tc_from"), col("to_address").as("tc_to"),
+      col("status").as("tc_status"))
+    val withError = withBlock
+      .join(traceStatus,
+        col("hash") === col("tc_hash") && col("block_number") === col("tc_block") &&
+          col("from_address") === col("tc_from") && col("to_address") === col("tc_to"),
         "left_outer")
-      .withColumn("is_rugpull", col("rp_addr").isNotNull)
-      .drop("rp_addr", "rugpull_date")
-      .withColumn("eth_value", weiToUnit(col("value"), lit(18L)))
+      .withColumn("is_error", !(col("tc_status").isNull || col("tc_status") === 1))
+      .drop("tc_hash", "tc_block", "tc_from", "tc_to", "tc_status")
+      .withColumn("contract_address", lit("ETH"))
+      .withColumn("token_symbol", lit("ETH"))
+      .withColumn("token_decimal", lit(18L))
+      .withColumn("current_value", weiToUnit(col("value"), col("token_decimal")))
+      // :57 — gas_used * (gas_price / 1e18), the reference's association
       .withColumn("tx_fee",
-        col("receipt_gas_used").cast("double") * col("gas_price").cast("double") / lit(1e18))
+        col("receipt_gas_used").cast("double") * (col("gas_price").cast("double") / lit(1e18)))
+      .withColumn("from_hash_partition", hashPart(col("from_address")))
+      .withColumn("to_hash_partition", hashPart(col("to_address")))
+      .withColumn("eth_value", col("current_value")) // legacy alias
+    withRugpullFlags(withContractFlags(withError, contracts), rugpulls,
+      col("contract_address"))
   }
 
-  /** ethereum_erc20_transactions.sql:4-92 — transfers with the try_cast→0
-    * value guard (:13), the latest-metadata-per-contract pick (W6,
-    * :22-29), and the decimals-scaled unit conversion (:68, J9). */
-  def erc20Transactions(tokenTransfersRaw: DataFrame, tokensMetadata: DataFrame): DataFrame = {
+  /** ethereum_erc20_transactions.sql:8-104 — transfers with the :40-59
+    * source joins (trace status = 1 only, tx for nonce/transaction_index,
+    * value > 0), the try_cast→0 value guard, the latest-metadata-per-
+    * contract pick (W6, :16-29), the decimals-scaled unit conversion
+    * (:68, J9), contract/rugpull flags (is_rugpull matches the token
+    * address here) and hash partitions. */
+  def erc20Transactions(tokenTransfersRaw: DataFrame, tokensMetadata: DataFrame,
+      transactions: DataFrame, traces: DataFrame,
+      contracts: DataFrame, rugpulls: DataFrame): DataFrame = {
     val typed = tokenTransfersRaw
       .withColumn("value", coalesce(expr("try_cast(value AS DECIMAL(38,9))"),
         lit(0).cast("decimal(38,9)")))
+      .filter(col("value") > 0)
+    val okTraces = traces.filter(col("status") === 1)
+      .select(col("transaction_hash").as("tc_hash"), col("block_number").as("tc_block"))
+      .distinct()
+    val txIdx = transactions.select(col("hash").as("ts_hash"),
+      col("block_number").as("ts_block"), col("nonce"), col("transaction_index"))
+    val sourced = typed
+      .join(okTraces, col("transaction_hash") === col("tc_hash") &&
+        col("block_number") === col("tc_block"), "left_semi")
+      .join(txIdx, col("transaction_hash") === col("ts_hash") &&
+        col("block_number") === col("ts_block"))
+      .drop("ts_hash", "ts_block")
+      .withColumn("is_error", lit(false)) // status = 1 enforced above (:49)
     val w = Window.partitionBy("contract_address").orderBy(col("created_timestamp").desc)
     val latestMeta = tokensMetadata
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("contract_address"), col("symbol"), col("decimals"))
-    typed
+      .select(col("contract_address"), col("symbol").as("token_symbol"),
+        col("decimals").as("token_decimal"))
+    val withMeta = sourced
       .join(broadcast(latestMeta), col("token_address") === col("contract_address"))
-      .drop("contract_address")
-      .withColumn("token_value", weiToUnit(col("value"), col("decimals")))
+      .withColumn("current_value", weiToUnit(col("value"), col("token_decimal")))
+      .withColumn("token_value", col("current_value")) // legacy alias
+      .withColumn("from_hash_partition", hashPart(col("from_address")))
+      .withColumn("to_hash_partition", hashPart(col("to_address")))
+    withRugpullFlags(withContractFlags(withMeta, contracts), rugpulls,
+      col("token_address"))
   }
 
-  /** ethereum_wallet_transactions.sql:4-147 — the 3-way UNION with
-    * per-branch type/priority constants, then the role pivot doubling each
-    * row into a sender view and a receiver view (fee borne by the sender
-    * only), with burn/genesis filtering (P6, :30,111-113,140-141). */
   /** The zero (burn) address the reference excludes
     * (ethereum_wallet_transactions.sql:113,141). */
   val BurnAddress: String = "0x" + "0" * 40
 
+  /** ethereum_wallet_transactions.sql:4-147 — the 3-way UNION with
+    * per-branch type/priority constants and error-zeroed values for the
+    * normal/internal branches (:38,:65), then the role pivot doubling each
+    * row into a sender view and a receiver view (fee borne by the sender
+    * only; interacted_with = the other side; address_partition = that
+    * side's hash partition), with burn/genesis filtering (P6,
+    * :111-113,140-141) and contract↔contract rows dropped (:29,:55,:84).
+    * The output feeds [[WalletFeatures]]/[[CoinBalances]] directly. */
   def walletTransactions(normal: DataFrame, internal: DataFrame,
       erc20: DataFrame): DataFrame = {
     def branch(df: DataFrame, txType: String, priority: Int,
-        valueCol: String, feeCol: Option[String]): DataFrame = {
-      // carry contract flags when the branch computes them (normal does;
-      // traces/erc20 sides default false, as unflagged addresses).
-      val withFlags = Seq("from_is_contract", "to_is_contract").foldLeft(df) {
-        (d, c) => if (d.columns.contains(c)) d else d.withColumn(c, lit(false))
-      }
-      withFlags.select(
+        zeroOnError: Boolean, feeCol: Option[String],
+        withIndex: Boolean): DataFrame = {
+      val value0 = col("current_value")
+      val value = if (zeroOnError) when(col("is_error"), lit(0.0)).otherwise(value0)
+                  else value0
+      df.select(
         col("transaction_hash"),
+        (if (withIndex) col("transaction_index") else lit(null).cast("long"))
+          .as("transaction_index"),
         col("from_address"), col("to_address"),
         col("from_is_contract"), col("to_is_contract"),
-        col(valueCol).as("amount"),
+        col("from_hash_partition"), col("to_hash_partition"),
+        value.as("amount"),
         feeCol.map(col).getOrElse(lit(0.0)).as("tx_fee"),
+        col("contract_address"), col("token_symbol"), col("token_decimal"),
+        col("is_error"), col("is_rugpull"), col("to_address_is_rugpull"),
         col("block_timestamp"), col("block_number"),
         lit(txType).as("transaction_type"), lit(priority).as("priority"),
         col("date_partition"))
+        // :29,:55,:84 — contract-to-contract rows never reach a wallet
+        .filter(!(col("from_is_contract") === true && col("to_is_contract") === true))
     }
 
     val unioned =
       branch(normal.withColumnRenamed("hash", "transaction_hash"),
-        "normal", 1, "eth_value", Some("tx_fee"))
-        .unionByName(branch(internal, "internal", 2, "eth_value", None))
-        .unionByName(branch(erc20, "erc20", 3, "token_value", None))
+        "normal", 1, zeroOnError = true, Some("tx_fee"), withIndex = true)
+        .unionByName(branch(internal, "internal", 2, zeroOnError = true, None,
+          withIndex = false))
+        .unionByName(branch(erc20, "erc20", 3, zeroOnError = false, None,
+          withIndex = false))
 
+    val carried = Seq("transaction_hash", "transaction_index", "amount",
+      "contract_address", "token_symbol", "token_decimal",
+      "is_error", "is_rugpull", "to_address_is_rugpull",
+      "block_timestamp", "block_number", "transaction_type", "priority",
+      "date_partition")
     // Sender view (:111-113): drop contract senders, GENESIS, and the burn
     // address. Receiver view (:140-141): drop contract receivers and the
     // burn address (no GENESIS check on this side — faithful asymmetry).
@@ -167,22 +260,21 @@ object DomainTransforms {
       .filter(!(col("from_is_contract") === true))
       .filter(col("from_address") =!= "GENESIS")
       .filter(col("from_address") =!= BurnAddress)
-      .select(
-        col("from_address").as("wallet_address"), lit("sender").as("role"),
-        col("transaction_hash"), col("amount"), col("tx_fee"),
-        col("block_timestamp"), col("block_number"),
-        col("transaction_type"), col("priority"), col("date_partition"))
+      .select((col("from_address").as("wallet_address") +:
+        col("to_address").as("interacted_with") +:
+        lit("sender").as("role") +:
+        col("from_hash_partition").as("address_partition") +:
+        col("tx_fee") +: carried.map(col)): _*)
     val receiver = unioned
       .filter(col("to_address").isNotNull)
       .filter(!(col("to_is_contract") === true))
       .filter(col("to_address") =!= BurnAddress)
-      .select(
-        col("to_address").as("wallet_address"), lit("receiver").as("role"),
-        col("transaction_hash"), col("amount"), lit(0.0).as("tx_fee"),
-        col("block_timestamp"), col("block_number"),
-        col("transaction_type"), col("priority"), col("date_partition"))
+      .select((col("to_address").as("wallet_address") +:
+        col("from_address").as("interacted_with") +:
+        lit("receiver").as("role") +:
+        col("to_hash_partition").as("address_partition") +:
+        lit(0.0).as("tx_fee") +: carried.map(col)): _*)
     sender.unionByName(receiver)
-      .withColumn("address_partition", substring(col("wallet_address"), 3, 2))
   }
 
   /** ethereum_logs.sql:15-19,40-44 — repair char-exploded topics arrays:

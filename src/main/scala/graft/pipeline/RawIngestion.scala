@@ -106,6 +106,8 @@ object RawIngestion {
     // re-parsing the CSV per join
     val blocks = read("blocks", Schemas.rawBlocksCsv).persist()
     val out = Map(
+      "ethereum_blocks" -> blocks
+        .withColumn("date_partition", datePartition(col("timestamp"))),
       "ethereum_transactions" -> transactionsWithReceipts(
         read("transactions", Schemas.rawTransactionsCsv),
         read("receipts", Schemas.receiptsCsv)),

@@ -80,12 +80,15 @@ object StageCleaners {
 
   /** ethereum_blocks.sql:8-35 — distinct, readable timestamp, zero-default
     * transaction_count, uuid. */
-  def cleanBlocks(raw: DataFrame): DataFrame =
-    raw.distinct()
+  def cleanBlocks(raw: DataFrame): DataFrame = {
+    val withCount = if (raw.columns.contains("transaction_count")) raw
+                    else raw.withColumn("transaction_count", lit(null).cast("long"))
+    withCount.distinct()
       .withColumn("timestamp_readable", timestamp_seconds(col("timestamp")))
       .withColumn("transaction_count",
         coalesce(col("transaction_count"), lit(0L)))
       .select(uuidTag, col("*"))
+  }
 
   /** ethereum_transactions.sql:8-38 — distinct, readable block timestamp,
     * uuid. */
@@ -94,10 +97,19 @@ object StageCleaners {
       .withColumn("block_timestamp_readable", timestamp_seconds(col("block_timestamp")))
       .select(uuidTag, col("*"))
 
-  /** ethereum_logs/token_transfers/traces — distinct + uuid (their
-    * conversions happened in the raw layer). */
+  /** ethereum_logs/token_transfers — distinct + uuid (their conversions
+    * happened in the raw layer). */
   def cleanGeneric(raw: DataFrame): DataFrame =
     raw.distinct().select(uuidTag, col("*"))
+
+  /** ethereum_traces — the raw layer carries `value` as a (possibly
+    * precision-clamped) digit string; stage types it to the declared
+    * DECIMAL(38,9). */
+  def cleanTraces(raw: DataFrame): DataFrame =
+    raw.distinct()
+      .withColumn("value",
+        col("value").try_cast(org.apache.spark.sql.types.DecimalType(38, 9)))
+      .select(uuidTag, col("*"))
 
   /** ethereum_contracts.sql:8-23 — distinct, hash_partition, uuid. */
   def cleanContracts(raw: DataFrame): DataFrame =

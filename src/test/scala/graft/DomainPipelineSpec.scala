@@ -1,0 +1,113 @@
+package graft
+
+import graft.core.Lakehouse
+import graft.pipeline.DomainPipeline
+import org.apache.spark.sql.functions._
+
+/** The whole domain DAG end-to-end on exporter-CSV fixtures: raw receipts
+  * merge + blocks enrich → stage cleaners → wallet transactions →
+  * wallet features + coin balances, then a second incremental cycle. */
+class DomainPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeCsv(dir: String, name: String, header: String, rows: String*): Unit =
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, s"$name.csv"), (header +: rows).mkString("\n"))
+
+  private val txHeader =
+    "hash,from_address,to_address,nonce,transaction_index,gas,gas_price,max_fee_per_gas,max_priority_fee_per_gas,value,input,block_hash,block_timestamp,block_number,transaction_type"
+  private val rcHeader =
+    "transaction_hash,block_number,cumulative_gas_used,gas_used,contract_address,root,status,effective_gas_price"
+
+  /** batch 1: 0xaaaa11 sends 2 ETH to 0xbbbb22 (fee 21000 * 1e9 / 1e18 =
+    * 2.1e-5 ETH) in block 17000100 @ 2024-01-01 (past the reference's genesis-adjacent watermark defaults). */
+  private def writeBatch1(csv: String): Unit = {
+    writeCsv(csv, "blocks", "timestamp,number,hash,base_fee_per_gas",
+      "1704067200,17000100,bh100,7")
+    writeCsv(csv, "transactions", txHeader,
+      s"h1,0xaaaa11,0xbbbb22,1,0,21000,1000000000,0,0,2000000000000000000,0x,bh100,1704067200,17000100,2")
+    writeCsv(csv, "receipts", rcHeader, "h1,17000100,21000,21000,,r,1,1000000000")
+    writeCsv(csv, "logs", "log_index,transaction_hash,address,data,topics,block_number",
+      "0,h1,0xc,0x,t1|t2,17000100")
+    // a transfer with no token metadata: exercised, dropped by the
+    // erc20 metadata inner join, so it never reaches the features
+    writeCsv(csv, "token_transfers",
+      "token_address,from_address,to_address,transaction_hash,value,log_index,block_number",
+      "0xtok,0xaaaa11,0xbbbb22,h1,1000,1,17000100")
+    writeCsv(csv, "traces",
+      "transaction_hash,from_address,to_address,trace_type,call_type,reward_type,trace_id,error,value,gas,gas_used,subtraces,status,block_number",
+      "h1,0xaaaa11,0xbbbb22,call,call,,t1,,0,21000,21000,0,1,17000100")
+  }
+
+  /** batch 2: 0xbbbb22 sends 0.5 ETH back in block 17000101, one day later. */
+  private def writeBatch2(csv: String): Unit = {
+    writeCsv(csv, "blocks", "timestamp,number,hash,base_fee_per_gas",
+      "1704153600,17000101,bh101,7")
+    writeCsv(csv, "transactions", txHeader,
+      s"h2,0xbbbb22,0xaaaa11,1,0,21000,1000000000,0,0,500000000000000000,0x,bh101,1704153600,17000101,2")
+    writeCsv(csv, "receipts", rcHeader, "h2,17000101,21000,21000,,r,1,1000000000")
+    writeCsv(csv, "logs", "log_index,transaction_hash,address,data,topics,block_number",
+      "0,h2,0xc,0x,t1|t2,17000101")
+    writeCsv(csv, "token_transfers",
+      "token_address,from_address,to_address,transaction_hash,value,log_index,block_number",
+      "0xtok,0xbbbb22,0xaaaa11,h2,1000,1,17000101")
+    writeCsv(csv, "traces",
+      "transaction_hash,from_address,to_address,trace_type,call_type,reward_type,trace_id,error,value,gas,gas_used,subtraces,status,block_number",
+      "h2,0xbbbb22,0xaaaa11,call,call,,t2,,0,21000,21000,0,1,17000101")
+  }
+
+  test("full DAG: CSVs -> raw -> stage -> wallet transactions -> features, then an incremental cycle") {
+    val lake = tmpDir("domain-lake")
+    val csv1 = tmpDir("domain-csv1")
+    writeBatch1(csv1)
+    val prices = Some(Seq(("ETH", 1.0, 1704067200000000L)).toDF("address", "price", "price_ts"))
+    DomainPipeline.run(spark, csv1, lake, prices = prices)
+
+    // analytics: h1 pivots into a sender and a receiver row on 'ETH'
+    val wtx = Lakehouse.read(spark, DomainPipeline.walletTxPath(lake))
+    assert(wtx.count() == 2)
+    val sender = wtx.filter(col("role") === "sender").head()
+    assert(sender.getAs[String]("wallet_address") == "0xaaaa11")
+    assert(sender.getAs[String]("interacted_with") == "0xbbbb22")
+    assert(sender.getAs[Double]("amount") == 2.0)
+    assert(math.abs(sender.getAs[Double]("tx_fee") - 2.1e-5) < 1e-18)
+    assert(sender.getAs[String]("contract_address") == "ETH")
+
+    // features: sender balance = -(2 + 2.1e-5) -> clamped 0; receiver = 2
+    val f1 = Lakehouse.read(spark, DomainPipeline.featuresPath(lake))
+    val a1 = f1.filter(col("wallet_address") === "0xaaaa11").head()
+    val b1 = f1.filter(col("wallet_address") === "0xbbbb22").head()
+    assert(a1.getAs[Double]("wallet_total_balance_eth_only") == 0.0) // negative clamps
+    assert(b1.getAs[Double]("wallet_total_balance_eth_only") == 2.0)
+    assert(a1.getAs[Long]("wallet_total_outgoing_tx") == 1)
+    assert(b1.getAs[Long]("wallet_total_incoming_tx") == 1)
+    val cb1 = Lakehouse.read(spark, DomainPipeline.coinBalancesPath(lake))
+    val cbA = cb1.filter(col("wallet_address") === "0xaaaa11").head()
+    assert(cbA.getAs[Boolean]("has_negative_balance"))
+    assert(cbA.getAs[Double]("total_balance") == 0.0)
+
+    // ---- incremental cycle: 0xbbbb22 returns 0.5 ETH ----
+    val csv2 = tmpDir("domain-csv2")
+    writeBatch2(csv2)
+    DomainPipeline.run(spark, csv2, lake, prices = prices)
+
+    val wtx2 = Lakehouse.read(spark, DomainPipeline.walletTxPath(lake))
+    assert(wtx2.count() == 4)
+    val f2 = Lakehouse.read(spark, DomainPipeline.featuresPath(lake))
+    val b2 = f2.filter(col("wallet_address") === "0xbbbb22").head()
+    // stitched: 2 - 0.5 - fee = 1.49998 (h2's own fee 2.1e-5)
+    assert(math.abs(b2.getAs[Double]("wallet_total_balance_eth_only") - 1.49998) < 1e-9)
+    assert(b2.getAs[Long]("wallet_total_outgoing_tx") == 1)
+    assert(b2.getAs[Long]("wallet_total_incoming_tx") == 1)
+    val a2 = f2.filter(col("wallet_address") === "0xaaaa11").head()
+    // 0xaaaa11 receives 0.5 on a 0-stored balance (the clamp is sticky)
+    assert(a2.getAs[Double]("wallet_total_balance_eth_only") == 0.5)
+    assert(a2.getAs[Long]("wallet_total_incoming_tx") == 1)
+    val cb2 = Lakehouse.read(spark, DomainPipeline.coinBalancesPath(lake))
+    val cbB = cb2.filter(col("wallet_address") === "0xbbbb22").head()
+    assert(cbB.getAs[Long]("transactions_count") == 2)
+    // re-running the SAME batch is a no-op for analytics (anti-join guard)
+    DomainPipeline.analytics(spark, lake)
+    assert(Lakehouse.read(spark, DomainPipeline.walletTxPath(lake)).count() == 4)
+  }
+}

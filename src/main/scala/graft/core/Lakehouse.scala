@@ -108,7 +108,8 @@ object Lakehouse {
       path: String,
       keys: Seq[String],
       partitionCols: Seq[String] = Nil,
-      touchedPartitions: Option[Column] = None): Unit = {
+      touchedPartitions: Option[Column] = None,
+      keepFromTarget: Set[String] = Set.empty): Unit = {
     if (!tableExists(spark, path)) { ctas(updates, path, partitionCols); return }
     val target = read(spark, path)
     val cols = target.columns.toSeq
@@ -120,12 +121,18 @@ object Lakehouse {
     // `WHEN MATCHED UPDATE SET c = u.c` overwrites with NULL when the update
     // row carries NULL — coalesce(u.c, t.c) would silently resurrect the old
     // value the first time a nullable feature column is legitimately nulled.
+    // `keepFromTarget` covers MERGEs whose UPDATE SET omits columns (e.g.
+    // coin balances' token_symbol): matched rows keep the stored value.
     val u = updates.withColumn("__is_update", lit(true)).alias("u")
     val t = scopeTarget.alias("t")
     val cond = keys.map(k => col(s"u.$k") <=> col(s"t.$k")).reduce(_ && _)
     val merged = u.join(t, cond, "full_outer").select(
-      cols.map(c =>
-        when(col("u.__is_update"), col(s"u.$c")).otherwise(col(s"t.$c")).as(c)): _*)
+      cols.map { c =>
+        val v =
+          if (keepFromTarget(c)) coalesce(col(s"t.$c"), col(s"u.$c"))
+          else when(col("u.__is_update"), col(s"u.$c")).otherwise(col(s"t.$c"))
+        v.as(c)
+      }: _*)
 
     // Materialize BEFORE overwriting: the merged plan reads the files the
     // overwrite is about to delete. Localized via a staging directory so the

@@ -114,6 +114,12 @@ object DomainPipeline {
           .select(col("contract_address").as("contract_address_metadata")).distinct())
       else None
 
+    // the hex address_partition space is <= 256 values — deriving the
+    // touched set from the (persisted, small) updates keeps both MERGEs
+    // O(touched partitions), never O(table)
+    def touchedOf(updates: DataFrame): Seq[String] =
+      updates.select("address_partition").distinct().collect().map(_.getString(0)).toSeq
+
     val fPath = featuresPath(lake)
     if (!exists(spark, fPath)) {
       Lakehouse.ctas(WalletFeatures.walletFeatures(wtx, prices, gate),
@@ -123,9 +129,12 @@ object DomainPipeline {
       val wm = stored.agg(max("wallet_last_tx")).head.getLong(0)
       val newTx = wtx.filter(col("block_timestamp") > wm)
       val updates = WalletFeatures.incrementalUpdates(newTx, stored, prices, gate)
+        .persist()
       // :760-833 — whole-row update by wallet; mergeUpsert IS that MERGE
       Lakehouse.mergeUpsert(spark, updates, fPath, Seq("wallet_address"),
-        Seq("address_partition"))
+        Seq("address_partition"),
+        Some(col("address_partition").isin(touchedOf(updates): _*)))
+      updates.unpersist()
     }
 
     val cPath = coinBalancesPath(lake)
@@ -133,14 +142,14 @@ object DomainPipeline {
       Lakehouse.ctas(CoinBalances.fullLoad(wtx), cPath, Seq("address_partition"))
     } else {
       val stored = Lakehouse.read(spark, cPath)
-      // column-selective MERGE (:297-310): stage the merged state, swap
-      val merged = CoinBalances.incremental(wtx, stored)
-      val staging = cPath.stripSuffix("/") + ".staging"
-      Lakehouse.ctas(merged, staging, Seq("address_partition"))
-      val hp = new org.apache.hadoop.fs.Path(cPath)
-      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(hp, true)
-      fs.rename(new org.apache.hadoop.fs.Path(staging), hp)
+      // the column-selective MERGE (:297-310): matched rows keep stored
+      // token_symbol / has_negative_balance
+      val updates = CoinBalances.incrementalUpdates(wtx, stored).persist()
+      Lakehouse.mergeUpsert(spark, updates, cPath,
+        Seq("wallet_address", "contract_address"), Seq("address_partition"),
+        Some(col("address_partition").isin(touchedOf(updates): _*)),
+        keepFromTarget = Set("token_symbol", "has_negative_balance"))
+      updates.unpersist()
     }
   }
 

@@ -222,10 +222,13 @@ object PipelineQueries {
   val all: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------- FLAGSHIP
-    // The wallet-features program in one plan: deterministic event ordering
-    // (W1) → signed running balance over that order (W3) → per-entity rollup
-    // (A2): totals, conditional counts, min-positive balance (W5 shape),
-    // final balance via last-row pick (W6), first/last timestamps (W4).
+    // The GENERIC wallet-features shape in one plan (the driver's smoke
+    // entry): deterministic event ordering (W1) → signed running balance
+    // over that order (W3) → per-entity rollup (A2): totals, conditional
+    // counts, min-positive balance (W5 shape), final balance via last-row
+    // pick (W6), first/last timestamps (W4). The REFERENCE-faithful
+    // program (prices, hash_rank, clamps, maps) is flagship_priced_features
+    // / flagship_contract_map / flagship_auc_features below.
     //
     // Scale shape: ONE shuffle on user_id serves every window (same
     // partitioning reused), then the rollup is a map-side-combinable hash

@@ -146,6 +146,116 @@ object TextQueries {
         expr("""aggregate(transform(tk, t -> bigint(ascii(t) * 7 + length(t))),
                |0L, (a, x) -> (a * 31 + x) % 1000000007)""".stripMargin).as("roll_fp"))
       f.withColumn("n_dups", count(lit(1)).over(Window.partitionBy("bow_fp")))
+    },
+
+    // ---------------------------------------------------------------- TEXT-6
+    // Deterministic stratified sampling — the training-mix step: each
+    // language stratum keeps a configured fraction, decided per document by
+    // a hash threshold (md5's first two hex digits → 0..255), so the sample
+    // is reproducible at any parallelism, needs no global count, and
+    // rebalances the mix (downsample the dominant 'en', upsample-keep the
+    // rest). Map-side only at 100 TB.
+    QueryDef("t_stratified_sample", {
+      val hx = "instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1"
+      val hx2 = "instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1"
+      s"""SELECT doc_id, lang,
+         |  ($hx) * 16 + ($hx2) AS bucket
+         |FROM documents
+         |WHERE ($hx) * 16 + ($hx2) <
+         |  CASE lang WHEN 'en' THEN 64 WHEN 'zh' THEN 192 ELSE 128 END""".stripMargin
+    }) { (s, dir) =>
+      val b = (expr("instr('0123456789abcdef', substr(md5(cast(doc_id AS string)), 1, 1)) - 1")
+        * 16) +
+        (expr("instr('0123456789abcdef', substr(md5(cast(doc_id AS string)), 2, 1)) - 1"))
+      val rate = when(col("lang") === "en", 64).when(col("lang") === "zh", 192)
+        .otherwise(128)
+      Graft.table(s, dir, "documents")
+        .withColumn("bucket", b)
+        .filter(col("bucket") < rate)
+        .select("doc_id", "lang", "bucket")
+    },
+
+    // ---------------------------------------------------------------- TEXT-7
+    // Quality-filter funnel with reason codes: every document gets its
+    // FIRST failing rule (or 'pass'), and the funnel reports per-reason
+    // drop counts — the accounting a curation pipeline ships with its
+    // dataset card. One map-side CASE cascade + one tiny groupBy.
+    QueryDef("t_filter_funnel",
+      s"""WITH v AS (
+         |  SELECT doc_id,
+         |    CASE
+         |      WHEN len(string_split(text, ' ')) < 20 THEN 'too_short'
+         |      WHEN length(text) / len(string_split(text, ' ')) > 5.8 THEN 'tokens_too_long'
+         |      WHEN len(list_filter(string_split(text, ' '), t -> t IN ($stopsSqlList)))
+         |           / len(string_split(text, ' ')) > 0.15 THEN 'stopword_soup'
+         |      ELSE 'pass'
+         |    END AS verdict
+         |  FROM documents)
+         |SELECT verdict, COUNT(*) AS n_docs, MIN(doc_id) AS example_doc
+         |FROM v GROUP BY verdict""".stripMargin) { (s, dir) =>
+      val stopHits = expr(s"size(filter(tk, t -> t IN ($stopsSqlList)))")
+      val verdict = when(size(col("tk")) < 20, "too_short")
+        .when(length(col("text")) / size(col("tk")) > 5.8, "tokens_too_long")
+        .when(stopHits / size(col("tk")) > 0.15, "stopword_soup")
+        .otherwise("pass")
+      docs(s, dir).select(col("doc_id"), verdict.as("verdict"))
+        .groupBy("verdict")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("example_doc"))
+    },
+
+    // ---------------------------------------------------------------- TEXT-8
+    // Benchmark-contamination check: corpus documents sharing any word
+    // 3-gram with the held-out set (doc_id < 25 stands in for a benchmark)
+    // are flagged with their overlap count — the decontamination sweep
+    // every training corpus needs. Shuffle key = the shingle (uniform,
+    // high-cardinality); the benchmark side is tiny and broadcasts.
+    QueryDef("t_contamination",
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(string_split(text,' ')) - 1),
+        |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+        |      || ' ' || string_split(text,' ')[i+2]))) AS s
+        |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 25)
+        |SELECT c.doc_id, COUNT(DISTINCT c.s) AS n_shared_ngrams
+        |FROM sh c JOIN bench b ON c.s = b.s
+        |WHERE c.doc_id >= 25
+        |GROUP BY c.doc_id""".stripMargin) { (s, dir) =>
+      val shingles = docs(s, dir).filter(size(col("tk")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          """array_distinct(transform(sequence(1, size(tk) - 2),
+            |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1),
+            |                 element_at(tk, i + 2))))""".stripMargin)).as("s"))
+      val bench = shingles.filter(col("doc_id") < 25).select("s").distinct()
+      shingles.filter(col("doc_id") >= 25)
+        .join(broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("s")).as("n_shared_ngrams"))
+    },
+
+    // ---------------------------------------------------------------- TEXT-9
+    // Token-budget packing: per language, documents fill 4096-token context
+    // chunks in doc_id order — chunk_id = the running token count's bin,
+    // each doc assigned to the chunk its FIRST token lands in (sequential
+    // greedy fill). One partitioned cumulative-sum window.
+    QueryDef("t_token_pack",
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(list_sum(list_transform(string_split(text, ' '),
+        |         w -> (length(w) + 3) // 4)) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, lang, n_tokens,
+        |  (SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 4096
+        |    AS chunk_id
+        |FROM t""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, dir).select(col("doc_id"), col("lang"),
+          expr("aggregate(transform(tk, w -> bigint((length(w) + 3) div 4)), 0L, (a, x) -> a + x)")
+            .as("n_tokens"))
+        .withColumn("chunk_id",
+          ((sum(col("n_tokens")).over(w) - col("n_tokens")) / lit(4096)).cast("long"))
     }
   )
 }

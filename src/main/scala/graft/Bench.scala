@@ -38,12 +38,12 @@ object Bench {
       // a failing query must NOT look like a fast success: sentinel -1
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    // 4-decimal values keep the line short (~1.5 KB for 70+ queries) so the
+    // 3-decimal values keep the line short (~2.0 KB for ~80 queries) so the
     // driver's bounded tail capture holds the WHOLE line (full-precision
     // doubles pushed it past the capture window and truncated the front,
     // leaving unparseable JSON); the totals fields lead the object so even
     // a clipped capture still shows them.
-    def fmt(v: Double): String = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

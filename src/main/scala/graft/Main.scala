@@ -73,7 +73,14 @@ object Main {
           graft.pipeline.DomainPipeline.stage(spark, lake)
           graft.pipeline.DomainPipeline.analytics(spark, lake,
             sideInput("rugpulls", graft.core.Schemas.rugpullMarketData))
-          graft.pipeline.DomainPipeline.features(spark, lake, None)
+          graft.pipeline.DomainPipeline.features(spark, lake,
+            sideInput("prices", org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("address",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("price",
+                org.apache.spark.sql.types.DoubleType),
+              org.apache.spark.sql.types.StructField("price_ts",
+                org.apache.spark.sql.types.LongType)))))
         case "stage"     => Medallion.stage(spark, lake)
         case "analytics" => Medallion.analytics(spark, lake)
         case "features"  => Medallion.features(spark, lake)

@@ -117,22 +117,7 @@ object Lakehouse {
       s"merge schema mismatch: ${updates.columns.mkString(",")} vs ${cols.mkString(",")}")
 
     val scopeTarget = touchedPartitions.fold(target)(target.filter)
-    // Membership marker instead of per-column coalesce: Iceberg's
-    // `WHEN MATCHED UPDATE SET c = u.c` overwrites with NULL when the update
-    // row carries NULL — coalesce(u.c, t.c) would silently resurrect the old
-    // value the first time a nullable feature column is legitimately nulled.
-    // `keepFromTarget` covers MERGEs whose UPDATE SET omits columns (e.g.
-    // coin balances' token_symbol): matched rows keep the stored value.
-    val u = updates.withColumn("__is_update", lit(true)).alias("u")
-    val t = scopeTarget.alias("t")
-    val cond = keys.map(k => col(s"u.$k") <=> col(s"t.$k")).reduce(_ && _)
-    val merged = u.join(t, cond, "full_outer").select(
-      cols.map { c =>
-        val v =
-          if (keepFromTarget(c)) coalesce(col(s"t.$c"), col(s"u.$c"))
-          else when(col("u.__is_update"), col(s"u.$c")).otherwise(col(s"t.$c"))
-        v.as(c)
-      }: _*)
+    val merged = mergeFrames(scopeTarget, updates, keys, keepFromTarget)
 
     // Materialize BEFORE overwriting: the merged plan reads the files the
     // overwrite is about to delete. Localized via a staging directory so the
@@ -157,6 +142,32 @@ object Lakehouse {
         }
         fs.delete(new org.apache.hadoop.fs.Path(staging), true)
     }
+  }
+
+  /** The MERGE semantics as a pure DataFrame transform (shared by
+    * [[mergeUpsert]] and the feature modules' in-memory merges): updates
+    * replace matched target rows, unmatched target rows carry forward,
+    * unmatched updates insert.
+    *
+    * Membership marker instead of per-column coalesce: Iceberg's
+    * `WHEN MATCHED UPDATE SET c = u.c` overwrites with NULL when the update
+    * row carries NULL — coalesce(u.c, t.c) would silently resurrect the old
+    * value the first time a nullable feature column is legitimately nulled.
+    * `keepFromTarget` covers MERGEs whose UPDATE SET omits columns (e.g.
+    * coin balances' token_symbol): matched rows keep the stored value. */
+  def mergeFrames(target: DataFrame, updates: DataFrame, keys: Seq[String],
+      keepFromTarget: Set[String] = Set.empty): DataFrame = {
+    val cols = target.columns.toSeq
+    val u = updates.withColumn("__is_update", lit(true)).alias("u")
+    val t = target.alias("t")
+    val cond = keys.map(k => col(s"u.$k") <=> col(s"t.$k")).reduce(_ && _)
+    u.join(t, cond, "full_outer").select(
+      cols.map { c =>
+        val v =
+          if (keepFromTarget(c)) coalesce(col(s"t.$c"), col(s"u.$c"))
+          else when(col("u.__is_update"), col(s"u.$c")).otherwise(col(s"t.$c"))
+        v.as(c)
+      }: _*)
   }
 
   /** A1: partition-pruned watermark — `MAX(col)` restricted to the lexic-max

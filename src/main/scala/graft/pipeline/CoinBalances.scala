@@ -169,22 +169,12 @@ object CoinBalances {
 
   /** The MERGE sink semantics (:294-349) as a DataFrame: matched rows take
     * the update's listed columns but KEEP stored token_symbol and
-    * has_negative_balance; unmatched state rows carry forward; unmatched
-    * updates insert whole. */
-  def applyMerge(state: DataFrame, updates: DataFrame): DataFrame = {
-    val keepFromTarget = Set("token_symbol", "has_negative_balance")
-    val cols = state.columns.toSeq
-    val u = updates.withColumn("__upd", lit(true)).alias("u")
-    val t = state.alias("t")
-    val cond = col("u.wallet_address") === col("t.wallet_address") &&
-      col("u.contract_address") === col("t.contract_address")
-    u.join(t, cond, "full_outer").select(cols.map { c =>
-      val merged =
-        if (keepFromTarget(c)) coalesce(col(s"t.$c"), col(s"u.$c"))
-        else when(col("u.__upd"), col(s"u.$c")).otherwise(col(s"t.$c"))
-      merged.as(c)
-    }: _*)
-  }
+    * has_negative_balance (the UPDATE SET omits them); unmatched state rows
+    * carry forward; unmatched updates insert whole. */
+  def applyMerge(state: DataFrame, updates: DataFrame): DataFrame =
+    graft.core.Lakehouse.mergeFrames(state, updates,
+      Seq("wallet_address", "contract_address"),
+      keepFromTarget = Set("token_symbol", "has_negative_balance"))
 
   /** One incremental cycle: updates computed against `state`, merged back. */
   def incremental(walletTx: DataFrame, state: DataFrame): DataFrame =

@@ -20,10 +20,9 @@ import org.apache.spark.sql.functions._
   * contracts table = no contract flags, exactly like a fresh lake).
   *
   * Scale: every layer writes date-partitioned parquet; the features MERGE
-  * rewrites through a staged swap. [[Lakehouse.mergeUpsert]] IS the
-  * wallet-features MERGE semantics (whole-row update by wallet);
-  * coin-balances needs its column-selective variant
-  * ([[CoinBalances.applyMerge]]) so it stages + swaps explicitly.
+  * rewrites only the touched address partitions through a staged swap —
+  * [[Lakehouse.mergeUpsert]] carries both MERGE flavors (whole-row for
+  * wallet features; column-selective keepFromTarget for coin balances).
   */
 object DomainPipeline {
 
@@ -92,7 +91,7 @@ object DomainPipeline {
     Lakehouse.loadIncremental(spark, walletTxPath(lake),
       watermarkCol = "block_number", partitionCols = Seq("date_partition"),
       keys = Seq("transaction_hash", "wallet_address", "role", "contract_address",
-        "date_partition"),
+        "block_number", "date_partition"),
       full = () => wtx(None),
       // the reference re-selects the boundary block (>= filter_value, :29);
       // the identity anti-join guard keeps the append duplicate-free
@@ -122,13 +121,15 @@ object DomainPipeline {
 
     val fPath = featuresPath(lake)
     if (!exists(spark, fPath)) {
-      Lakehouse.ctas(WalletFeatures.walletFeatures(wtx, prices, gate),
+      // domain timestamps are epoch SECONDS — dayUnit follows
+      Lakehouse.ctas(WalletFeatures.walletFeatures(wtx, prices, gate, dayUnit = 86400L),
         fPath, Seq("address_partition"))
     } else {
       val stored = Lakehouse.read(spark, fPath)
       val wm = stored.agg(max("wallet_last_tx")).head.getLong(0)
       val newTx = wtx.filter(col("block_timestamp") > wm)
-      val updates = WalletFeatures.incrementalUpdates(newTx, stored, prices, gate)
+      val updates = WalletFeatures
+        .incrementalUpdates(newTx, stored, prices, gate, dayUnit = 86400L)
         .persist()
       // :760-833 — whole-row update by wallet; mergeUpsert IS that MERGE
       Lakehouse.mergeUpsert(spark, updates, fPath, Seq("wallet_address"),

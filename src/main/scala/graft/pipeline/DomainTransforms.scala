@@ -101,8 +101,6 @@ object DomainTransforms {
         col("to_address") === col("p_to") && col("value") === col("p_value")))
       .drop("p_hash", "p_from", "p_to", "p_value")
     val rewards = traces.filter(col("trace_type") === "reward")
-      .filter(!coalesce(
-        col("call_type").isin("delegatecall", "staticcall", "callcode"), lit(false)))
       .withColumn("transaction_hash",
         concat(lit("REWARD_"), coalesce(col("to_address"), lit(""))))
       .withColumn("from_address", concat(lit("REWARD_"), col("reward_type")))
@@ -141,6 +139,9 @@ object DomainTransforms {
       col("transaction_hash").as("tc_hash"), col("block_number").as("tc_block"),
       col("from_address").as("tc_from"), col("to_address").as("tc_to"),
       col("status").as("tc_status"))
+      // re-exported traces can share (hash, block, from, to) under new
+      // trace ids — without dedup the join would fan the transaction out
+      .distinct()
     val withError = withBlock
       .join(traceStatus,
         col("hash") === col("tc_hash") && col("block_number") === col("tc_block") &&

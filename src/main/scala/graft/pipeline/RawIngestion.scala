@@ -118,7 +118,17 @@ object RawIngestion {
         read("token_transfers", Schemas.rawTokenTransfersCsv), blocks),
       "ethereum_traces" -> tracesWithBlocks(
         read("traces", Schemas.rawTracesCsv), blocks))
-    out.foreach { case (table, df) =>
+    // the contract-family tables come from separate fetchers — ingest them
+    // when their CSVs are present
+    val optional = Seq(
+      "ethereum_contracts" -> ("contracts", Schemas.rawContractsCsv),
+      "ethereum_tokens_metadata" -> ("tokens_metadata", Schemas.rawTokensMetadataCsv))
+    val optionalOut = optional.flatMap { case (table, (file, schema)) =>
+      if (new java.io.File(s"$csvDir/$file.csv").exists())
+        Some(table -> read(file, schema))
+      else None
+    }
+    (out ++ optionalOut).foreach { case (table, df) =>
       Lakehouse.appendPartitioned(df, s"$lake/raw/$table", Seq("date_partition"))
     }
     blocks.unpersist()

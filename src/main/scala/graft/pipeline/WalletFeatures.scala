@@ -328,23 +328,27 @@ object WalletFeatures {
     * (token rows value at 0, 'ETH' at 1 — the COALESCE fallback). */
   def walletFeatures(walletTx: DataFrame,
       prices: Option[DataFrame] = None,
-      tokenContracts: Option[DataFrame] = None): DataFrame =
-    walletBalances(finalBalances(coinBalances(priced(walletTx, prices, tokenContracts))))
+      tokenContracts: Option[DataFrame] = None,
+      dayUnit: Long = 86400000000L): DataFrame =
+    walletBalances(finalBalances(coinBalances(
+      priced(walletTx, prices, tokenContracts, dayUnit))))
 
   /** Per-contract grain of the same program (coin_balances_final,
     * :257-261) — the three balance variants with their min/max-ever. */
   def pricedContractBalances(walletTx: DataFrame,
       prices: Option[DataFrame] = None,
-      tokenContracts: Option[DataFrame] = None): DataFrame =
-    finalBalances(coinBalances(priced(walletTx, prices, tokenContracts)))
+      tokenContracts: Option[DataFrame] = None,
+      dayUnit: Long = 86400000000L): DataFrame =
+    finalBalances(coinBalances(priced(walletTx, prices, tokenContracts, dayUnit)))
 
   private def priced(walletTx: DataFrame, prices: Option[DataFrame],
-      tokenContracts: Option[DataFrame]): DataFrame = {
+      tokenContracts: Option[DataFrame],
+      dayUnit: Long = 86400000000L): DataFrame = {
     val gated = tokenContracts.fold(walletTx)(tc => contractGate(walletTx, tc))
     prices match {
       case None => gated.withColumn("price", lit(null).cast("double"))
       case Some(p) =>
-        val rank1 = nearestPrices(gated, p)
+        val rank1 = nearestPrices(gated, p, dayUnit)
         gated.join(rank1,
           gated("contract_address") === col("price_address") &&
             gated("block_timestamp") === col("price_cb_ts"),
@@ -372,7 +376,7 @@ object WalletFeatures {
     * The AUC windows order by (timestamp, type-index, row number) — the
     * reference drops `priority` here (:190), which is the same total order
     * because priority is a function of the transaction type. */
-  def aucBalances(cb: DataFrame): DataFrame = {
+  def aucBalances(cb: DataFrame, dayUnit: Long = 86400000000L): DataFrame = {
     val wWalletOrd = Window.partitionBy("wallet_address").orderBy(orderKeys: _*)
     val withRnw = cb.withColumn("row_num_w", row_number().over(wWalletOrd))
     val ordC = Seq(col("block_timestamp"), col("tx_index_by_type"), col("row_num"))
@@ -389,9 +393,10 @@ object WalletFeatures {
     // decimal × decimal (not a double product): µs gaps × balances exceed
     // 2^53, where a double product's rounding would diverge between
     // engines; (20,0) × (18,6) stays exact in both
+    // dayUnit/86400 = base-units per second (1e6 for µs, 1 for seconds)
     def aucSum(tdCol: Column, bal: Column, w: org.apache.spark.sql.expressions.WindowSpec) =
       sum(tdCol.cast("decimal(20,0)") * bal.cast("decimal(18,6)")).over(runFrame(w))
-        .cast("double") / lit(60) / lit(60) / lit(24) / lit(1000000)
+        .cast("double") / lit(60) / lit(60) / lit(24) / lit(dayUnit / 86400L)
     def timeSum(tdCol: Column, bal: Column, w: org.apache.spark.sql.expressions.WindowSpec) =
       sum(when(bal > 0, tdCol).otherwise(lit(0L))).over(runFrame(w))
     val withAuc = td.select(col("*"),
@@ -443,8 +448,10 @@ object WalletFeatures {
   /** The with-AUC program at per-contract grain. */
   def aucContractBalances(walletTx: DataFrame,
       prices: Option[DataFrame] = None,
-      tokenContracts: Option[DataFrame] = None): DataFrame =
-    aucFinalBalances(aucBalances(coinBalances(priced(walletTx, prices, tokenContracts))))
+      tokenContracts: Option[DataFrame] = None,
+      dayUnit: Long = 86400000000L): DataFrame =
+    aucFinalBalances(aucBalances(coinBalances(
+      priced(walletTx, prices, tokenContracts, dayUnit)), dayUnit))
 
   // ------------------------------------------------------------------
   // Incremental load (ethereum_wallet_features.sql:331-833): new rows
@@ -533,10 +540,11 @@ object WalletFeatures {
     * single-contract/priced slice where the reference itself is exact. */
   def incrementalUpdates(newTx: DataFrame, storedFeatures: DataFrame,
       prices: Option[DataFrame] = None,
-      tokenContracts: Option[DataFrame] = None): DataFrame = {
+      tokenContracts: Option[DataFrame] = None,
+      dayUnit: Long = 86400000000L): DataFrame = {
     val fresh0 = priced(
       newTx.filter(!col("wallet_address").isin(ExcludedWallets: _*)),
-      prices, tokenContracts)
+      prices, tokenContracts, dayUnit)
     val lcb = stateContracts(storedFeatures, fresh0).alias("lcb")
     val lcb2 = lcb.filter(col("rn") === 1).select(
       col("wallet_address").as("w2"),
@@ -675,20 +683,16 @@ object WalletFeatures {
   /** The :760-833 MERGE as a DataFrame: updated wallets replace their
     * stored row wholesale (every feature column is in the UPDATE SET),
     * untouched wallets carry forward, new wallets insert. */
-  def applyMerge(storedFeatures: DataFrame, updates: DataFrame): DataFrame = {
-    val cols = storedFeatures.columns.toSeq
-    val u = updates.withColumn("__upd", lit(true)).alias("u")
-    val t = storedFeatures.alias("t")
-    u.join(t, col("u.wallet_address") === col("t.wallet_address"), "full_outer")
-      .select(cols.map(c =>
-        when(col("u.__upd"), col(s"u.$c")).otherwise(col(s"t.$c")).as(c)): _*)
-  }
+  def applyMerge(storedFeatures: DataFrame, updates: DataFrame): DataFrame =
+    graft.core.Lakehouse.mergeFrames(storedFeatures, updates, Seq("wallet_address"))
 
   /** One incremental cycle against the stored features table. */
   def incremental(newTx: DataFrame, storedFeatures: DataFrame,
       prices: Option[DataFrame] = None,
-      tokenContracts: Option[DataFrame] = None): DataFrame =
-    applyMerge(storedFeatures, incrementalUpdates(newTx, storedFeatures, prices, tokenContracts))
+      tokenContracts: Option[DataFrame] = None,
+      dayUnit: Long = 86400000000L): DataFrame =
+    applyMerge(storedFeatures,
+      incrementalUpdates(newTx, storedFeatures, prices, tokenContracts, dayUnit))
 
   /** Event-level enrichment used by the AUC module and the incremental
     * stitches: the deterministic order's row number, the wallet-wide

@@ -29,14 +29,18 @@ class DomainPipelineSpec extends SparkSpec {
     writeCsv(csv, "receipts", rcHeader, "h1,17000100,21000,21000,,r,1,1000000000")
     writeCsv(csv, "logs", "log_index,transaction_hash,address,data,topics,block_number",
       "0,h1,0xc,0x,t1|t2,17000100")
-    // a transfer with no token metadata: exercised, dropped by the
-    // erc20 metadata inner join, so it never reaches the features
+    // the token transfer flows through the erc20 branch (metadata below)
     writeCsv(csv, "token_transfers",
       "token_address,from_address,to_address,transaction_hash,value,log_index,block_number",
       "0xtok,0xaaaa11,0xbbbb22,h1,1000,1,17000100")
     writeCsv(csv, "traces",
       "transaction_hash,from_address,to_address,trace_type,call_type,reward_type,trace_id,error,value,gas,gas_used,subtraces,status,block_number",
       "h1,0xaaaa11,0xbbbb22,call,call,,t1,,0,21000,21000,0,1,17000100")
+    // metadata for 0xtok (decimals 9) so the transfer reaches the
+    // features PRICED, through the contract gate
+    writeCsv(csv, "tokens_metadata",
+      "contract_address,symbol,decimals,created_timestamp,date_partition",
+      "0xtok,TOK,9,1704000000,2024-01")
   }
 
   /** batch 2: 0xbbbb22 sends 0.5 ETH back in block 17000101, one day later. */
@@ -60,13 +64,17 @@ class DomainPipelineSpec extends SparkSpec {
     val lake = tmpDir("domain-lake")
     val csv1 = tmpDir("domain-csv1")
     writeBatch1(csv1)
-    val prices = Some(Seq(("ETH", 1.0, 1704067200000000L)).toDF("address", "price", "price_ts"))
+    // domain timestamps (and so price_ts) are epoch SECONDS
+    val prices = Some(Seq(("ETH", 1.0, 1704067200L), ("0xtok", 2.0, 1704067200L))
+      .toDF("address", "price", "price_ts"))
     DomainPipeline.run(spark, csv1, lake, prices = prices)
 
-    // analytics: h1 pivots into a sender and a receiver row on 'ETH'
+    // analytics: h1 pivots into sender+receiver rows on BOTH its ETH leg
+    // and its token leg (4 rows)
     val wtx = Lakehouse.read(spark, DomainPipeline.walletTxPath(lake))
-    assert(wtx.count() == 2)
-    val sender = wtx.filter(col("role") === "sender").head()
+    assert(wtx.count() == 4)
+    val sender = wtx.filter(col("role") === "sender" && col("contract_address") === "ETH")
+      .head()
     assert(sender.getAs[String]("wallet_address") == "0xaaaa11")
     assert(sender.getAs[String]("interacted_with") == "0xbbbb22")
     assert(sender.getAs[Double]("amount") == 2.0)
@@ -81,6 +89,11 @@ class DomainPipelineSpec extends SparkSpec {
     assert(b1.getAs[Double]("wallet_total_balance_eth_only") == 2.0)
     assert(a1.getAs[Long]("wallet_total_outgoing_tx") == 1)
     assert(b1.getAs[Long]("wallet_total_incoming_tx") == 1)
+    // the token leg is PRICED: 1000 raw / 10^4 / 10^4 = 1e-5 TOK valued
+    // at the day's 2.0 price -> total_balance_in_eth = 2e-5 for 0xbbbb22
+    val bMap = b1.getAs[Map[String, Map[String, Double]]]("contracts_aggregations")
+    assert(bMap.keySet == Set("ETH", "0xtok"))
+    assert(math.abs(bMap("0xtok")("total_balance_in_eth") - 2e-5) < 1e-12)
     val cb1 = Lakehouse.read(spark, DomainPipeline.coinBalancesPath(lake))
     val cbA = cb1.filter(col("wallet_address") === "0xaaaa11").head()
     assert(cbA.getAs[Boolean]("has_negative_balance"))
@@ -92,7 +105,7 @@ class DomainPipelineSpec extends SparkSpec {
     DomainPipeline.run(spark, csv2, lake, prices = prices)
 
     val wtx2 = Lakehouse.read(spark, DomainPipeline.walletTxPath(lake))
-    assert(wtx2.count() == 4)
+    assert(wtx2.count() == 8)
     val f2 = Lakehouse.read(spark, DomainPipeline.featuresPath(lake))
     val b2 = f2.filter(col("wallet_address") === "0xbbbb22").head()
     // stitched: 2 - 0.5 - fee = 1.49998 (h2's own fee 2.1e-5)
@@ -108,6 +121,6 @@ class DomainPipelineSpec extends SparkSpec {
     assert(cbB.getAs[Long]("transactions_count") == 2)
     // re-running the SAME batch is a no-op for analytics (anti-join guard)
     DomainPipeline.analytics(spark, lake)
-    assert(Lakehouse.read(spark, DomainPipeline.walletTxPath(lake)).count() == 4)
+    assert(Lakehouse.read(spark, DomainPipeline.walletTxPath(lake)).count() == 8)
   }
 }

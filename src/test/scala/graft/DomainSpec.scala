@@ -198,8 +198,11 @@ class DomainSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val plan = DomainTransforms.normalTransactions(txs, blocks, contracts, rugs, traces)
         .queryExecution.executedPlan.toString
-      val n = plan.sliding("BroadcastExchange".length).count(_ == "BroadcastExchange")
-      assert(n <= 2, s"expected only the hinted rugpull broadcasts, got $n:\n$plan")
+      // the contracts existence-flag joins (on c_from/c_to) must never be
+      // broadcast joins, regardless of how many rugpull broadcasts plan
+      val badBroadcast = plan.linesIterator.exists(l =>
+        l.contains("BroadcastHashJoin") && (l.contains("c_from") || l.contains("c_to")))
+      assert(!badBroadcast, s"contracts side planned as broadcast:\n$plan")
       assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }

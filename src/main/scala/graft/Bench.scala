@@ -38,16 +38,41 @@ object Bench {
       // a failing query must NOT look like a fast success: sentinel -1
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    // 3-decimal values keep the line short (~2.0 KB for ~80 queries) so the
-    // driver's bounded tail capture holds the WHOLE line (full-precision
-    // doubles pushed it past the capture window and truncated the front,
-    // leaving unparseable JSON); the totals fields lead the object so even
-    // a clipped capture still shows them.
-    def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    // The driver captures only the LAST ~2000 bytes of stdout and parses a
+    // JSON line out of that tail; sbt appends a ~75-byte "[success] ..."
+    // line after us. A full-precision per-query line for ~80 queries is
+    // ~2.4 KB — front-truncated and unparseable (r1-r3 all recorded
+    // parsed=null). So: print the full-precision line FIRST (for humans /
+    // logs), then make the FINAL line a complete JSON that provably fits
+    // the tail window — adaptively lowering value precision and, if the
+    // query set ever outgrows even 1-decimal values, keeping the slowest
+    // queries (the ones perf grading cares about) and counting the rest
+    // in "dropped".
+    def fmt(v: Double, dec: Int): String =
+      BigDecimal(v).setScale(dec, BigDecimal.RoundingMode.HALF_UP).toString
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def line(entries: Seq[(String, Double)], dec: Int, dropped: Int): String = {
+      val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v, dec) }
+        .mkString("{", ",", "}")
+      val drop = if (dropped > 0) s""","dropped":$dropped""" else ""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs$drop,"sf":"$sfDir"}"""
+    }
+    val all = results.toSeq
+    // ascending by time: the tail window clips the FRONT of this line, so
+    // ordering fastest-first leaves the slowest queries (the ones worth
+    // full precision) inside the surviving fragment
+    println(line(all.sortBy(_._2), 6, 0))
+    // 2000-byte tail - "[info] " prefix - sbt "[success] ..." epilogue - slack
+    val budget = 1870
+    val compact = Seq(3, 2, 1).view.map(d => line(all, d, 0)).find(_.length <= budget)
+      .getOrElse {
+        val bySlow = all.sortBy(-_._2)
+        // keep the slowest k queries such that the line fits
+        (all.size to 1 by -1).view
+          .map(k => line(bySlow.take(k).sortBy(_._1), 1, all.size - k))
+          .find(_.length <= budget).getOrElse(line(Nil, 1, all.size))
+      }
+    println(compact)
     spark.stop()
   }
 }

@@ -159,12 +159,17 @@ object Lakehouse {
       keepFromTarget: Set[String] = Set.empty): DataFrame = {
     val cols = target.columns.toSeq
     val u = updates.withColumn("__is_update", lit(true)).alias("u")
-    val t = target.alias("t")
+    // membership marker on BOTH sides: keepFromTarget must hold the stored
+    // value even when it is NULL (coalesce would let the update overwrite a
+    // legitimately-NULL stored value), so "row exists in target" is decided
+    // by the marker, never by a data column's nullness
+    val t = target.withColumn("__in_target", lit(true)).alias("t")
     val cond = keys.map(k => col(s"u.$k") <=> col(s"t.$k")).reduce(_ && _)
     u.join(t, cond, "full_outer").select(
       cols.map { c =>
         val v =
-          if (keepFromTarget(c)) coalesce(col(s"t.$c"), col(s"u.$c"))
+          if (keepFromTarget(c))
+            when(col("t.__in_target"), col(s"t.$c")).otherwise(col(s"u.$c"))
           else when(col("u.__is_update"), col(s"u.$c")).otherwise(col(s"t.$c"))
         v.as(c)
       }: _*)

@@ -211,10 +211,11 @@ object Medallion {
     val staging = servingPath(root).stripSuffix("/") + ".inbox"
     // toLocalIterator schedules ONE sequential job per partition; over the
     // default 32 shuffle partitions that is ~32 scheduling round-trips for
-    // a driver-bound export. A handful of partitions keeps cluster-side
-    // parallelism for the upstream compute while bounding the pagination
-    // overhead (the sink client is the bottleneck either way).
-    val it = docs.coalesce(4).toLocalIterator().asScala
+    // a driver-bound export. repartition (NOT coalesce — coalesce narrows
+    // the whole post-shuffle stage to 4 tasks, serializing the upstream
+    // feature compute) pays one extra exchange to keep the compute at full
+    // cluster parallelism and bound only the pagination at 4 partitions.
+    val it = docs.repartition(4).toLocalIterator().asScala
     val schema = docs.schema
     it.grouped(chunkRows).foreach { chunk =>
       val batch = spark.createDataFrame(chunk.asJava, schema)

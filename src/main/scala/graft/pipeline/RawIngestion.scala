@@ -123,10 +123,13 @@ object RawIngestion {
     val optional = Seq(
       "ethereum_contracts" -> ("contracts", Schemas.rawContractsCsv),
       "ethereum_tokens_metadata" -> ("tokens_metadata", Schemas.rawTokensMetadataCsv))
+    // probe via the Hadoop FileSystem API (like Lakehouse.tableExists):
+    // java.io.File.exists() is always false for non-local URIs (s3://,
+    // hdfs://), which would silently skip these tables on a remote csvDir
     val optionalOut = optional.flatMap { case (table, (file, schema)) =>
-      if (new java.io.File(s"$csvDir/$file.csv").exists())
-        Some(table -> read(file, schema))
-      else None
+      val p = new org.apache.hadoop.fs.Path(s"$csvDir/$file.csv")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) Some(table -> read(file, schema)) else None
     }
     (out ++ optionalOut).foreach { case (table, df) =>
       Lakehouse.appendPartitioned(df, s"$lake/raw/$table", Seq("date_partition"))

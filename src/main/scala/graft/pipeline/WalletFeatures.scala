@@ -114,17 +114,24 @@ object WalletFeatures {
     val p = prices.select(col("address").as("p_address"), col("price"), col("price_ts"))
     val pDay = expr(s"price_ts div $dayUnit")
     val cbDay = expr(s"cb_ts div $dayUnit")
+    // date_diff('day', price_ts, cb_ts) truncates the EXACT timestamp
+    // difference toward zero (so a 23:00 price vs an 01:00 tx 8 calendar
+    // days later is still "7 days" apart) — Spark's `div` truncates toward
+    // zero too, matching Trino for either sign.
+    val dayDiff = expr(s"(cb_ts - price_ts) div $dayUnit")
     // stage 1 (:57-68): a price qualifies if SOME tx on its contract sits
-    // 0..7 calendar days AFTER it (past-only bound).
+    // on a calendar day >= the price's day AND within 7 truncated days
+    // after it (past-only bound is calendar-date, the 7-day bound is the
+    // truncated exact diff).
     val stage1 = p.join(cbTs,
         col("p_address") === col("cb_address") &&
-          pDay <= cbDay && (cbDay - pDay) <= 7, "left_semi")
+          pDay <= cbDay && dayDiff <= 7, "left_semi")
       .distinct()
     // stage 2 (:70-84): candidates per (contract, tx-ts) need only
-    // day(tx) - day(price) <= 7 — the past-only bound is DROPPED (a
+    // date_diff('day') <= 7 — the past-only bound is DROPPED (a
     // future price may be nearest); rank by |Δt| in the base time unit.
     val cand = cbTs.join(stage1,
-      col("cb_address") === col("p_address") && (cbDay - pDay) <= 7)
+      col("cb_address") === col("p_address") && dayDiff <= 7)
     val w = Window.partitionBy("cb_address", "cb_ts")
       .orderBy(abs(col("price_ts") - col("cb_ts")), col("price_ts"), col("price"))
     cand.withColumn("price_rank", row_number().over(w))

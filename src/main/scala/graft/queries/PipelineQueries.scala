@@ -34,7 +34,10 @@ object PipelineQueries {
     * metadata (decimals = 0 stand-in), so the contract gate drops them.
     * Prices are n/16 doubles (exactly representable) per (contract, day)
     * with deterministic gaps, spanning [first event day - 9, last + 9] so
-    * future-only nearest picks occur. */
+    * future-only nearest picks occur. Each contract's prices carry a
+    * deterministic intra-day hour offset so the 7-day bound exercises the
+    * reference's date_diff('day') truncation (a midnight-only fixture
+    * cannot distinguish truncated-diff from calendar-day arithmetic). */
   def pricedFixture(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     val dayUs = 86400000000L
@@ -85,7 +88,8 @@ object PipelineQueries {
       .select(col("address"),
         ((pmod(col("day") * (length(col("address")) + 1) + expr("ascii(right(address, 1))"),
           lit(400L)) + 1).cast("double") / 16).as("price"),
-        (col("day") * dayUs).as("price_ts"))
+        (col("day") * dayUs +
+          pmod(expr("ascii(right(address, 1))"), lit(24L)) * 3600000000L).as("price_ts"))
     (wtx, prices, meta)
   }
 
@@ -135,7 +139,7 @@ object PipelineQueries {
       |  SELECT c.addr,
       |    CAST((d.day * (length(c.addr) + 1) + ascii(right(c.addr, 1))) % 400 + 1
       |      AS DOUBLE) / 16 AS price,
-      |    d.day * 86400000000 AS pts
+      |    d.day * 86400000000 + (ascii(right(c.addr, 1)) % 24) * 3600000000 AS pts
       |  FROM (VALUES ('ETH'),('signup'),('click'),('tok0'),('tok1'),('tok2')) c(addr)
       |  CROSS JOIN (SELECT unnest(generate_series(dmin - 9, dmax + 9)) AS day
       |              FROM drange) d
@@ -144,7 +148,7 @@ object PipelineQueries {
       |  SELECT DISTINCT p.addr, p.price, p.pts
       |  FROM prices p JOIN wtx w ON p.addr = w.contract
       |    AND p.pts // 86400000000 <= w.ts // 86400000000
-      |    AND w.ts // 86400000000 - p.pts // 86400000000 <= 7),
+      |    AND (w.ts - p.pts) // 86400000000 <= 7),
       |cbts AS (SELECT DISTINCT contract, ts FROM wtx),
       |rp AS (
       |  SELECT contract, cb_ts, price FROM (
@@ -153,7 +157,7 @@ object PipelineQueries {
       |      ROW_NUMBER() OVER (PARTITION BY c.contract, c.ts
       |        ORDER BY ABS(p.pts - c.ts), p.pts, p.price) AS rnk
       |    FROM cbts c JOIN p1 p ON p.addr = c.contract
-      |      AND c.ts // 86400000000 - p.pts // 86400000000 <= 7)
+      |      AND (c.ts - p.pts) // 86400000000 <= 7)
       |  WHERE rnk = 1),
       |cb0 AS (
       |  SELECT w.*,

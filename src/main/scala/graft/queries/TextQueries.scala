@@ -245,9 +245,9 @@ object TextQueries {
         |         w -> (length(w) + 3) // 4)) AS BIGINT) AS n_tokens
         |  FROM documents)
         |SELECT doc_id, lang, n_tokens,
-        |  (SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |  CAST((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 4096
-        |    AS chunk_id
+        |    AS BIGINT) AS chunk_id
         |FROM t""".stripMargin) { (s, dir) =>
       val w = Window.partitionBy("lang").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

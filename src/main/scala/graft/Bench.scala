@@ -51,26 +51,31 @@ object Bench {
     def fmt(v: Double, dec: Int): String =
       BigDecimal(v).setScale(dec, BigDecimal.RoundingMode.HALF_UP).toString
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    def line(entries: Seq[(String, Double)], dec: Int, dropped: Int): String = {
+    def line(entries: Seq[(String, Double)], dec: Int, dropped: Int,
+        sf: String): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v, dec) }
         .mkString("{", ",", "}")
       val drop = if (dropped > 0) s""","dropped":$dropped""" else ""
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs$drop,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs$drop,"sf":"$sf"}"""
     }
     val all = results.toSeq
     // ascending by time: the tail window clips the FRONT of this line, so
     // ordering fastest-first leaves the slowest queries (the ones worth
     // full precision) inside the surviving fragment
-    println(line(all.sortBy(_._2), 6, 0))
-    // 2000-byte tail - "[info] " prefix - sbt "[success] ..." epilogue - slack
-    val budget = 1870
-    val compact = Seq(3, 2, 1).view.map(d => line(all, d, 0)).find(_.length <= budget)
+    println(line(all.sortBy(_._2), 6, 0, sfDir))
+    // 2000-byte tail - "[info] " prefix - sbt "[success] ..." epilogue -
+    // slack; the compact line abbreviates sf to its basename to buy ~16
+    // more bytes of query values
+    val budget = 1890
+    val sfShort = sfDir.stripSuffix("/").split("/").last
+    val compact = Seq(3, 2, 1).view.map(d => line(all, d, 0, sfShort))
+      .find(_.length <= budget)
       .getOrElse {
         val bySlow = all.sortBy(-_._2)
         // keep the slowest k queries such that the line fits
         (all.size to 1 by -1).view
-          .map(k => line(bySlow.take(k).sortBy(_._1), 1, all.size - k))
-          .find(_.length <= budget).getOrElse(line(Nil, 1, all.size))
+          .map(k => line(bySlow.take(k).sortBy(_._1), 1, all.size - k, sfShort))
+          .find(_.length <= budget).getOrElse(line(Nil, 1, all.size, sfShort))
       }
     println(compact)
     spark.stop()

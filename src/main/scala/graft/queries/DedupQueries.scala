@@ -278,11 +278,13 @@ object DedupQueries {
     // components over the LSH-verified pair graph turn pairwise matches
     // into dedup groups keyed by their canonical (minimum) doc id, which is
     // what a training-data pipeline actually deletes against (keep one per
-    // group, not one per pair). Spark side: iterative min-label propagation
-    // — each round one join + one map-side-combinable min agg on the EDGE
-    // set (not the corpus), converging in O(component diameter) rounds
-    // (near-dup components are shallow; a large-star/small-star variant
-    // would cut long chains to O(log) if they ever arose); the driver only
+    // group, not one per pair). Spark side: min-label propagation with
+    // POINTER JUMPING — each round takes the min over (own label, neighbor
+    // labels via one join + map-side-combinable min agg on the EDGE set,
+    // label-of-own-label via a self-join on the tiny label table), so label
+    // chains halve every round and convergence is O(log diameter) rounds
+    // instead of O(diameter) — at 100 TB each saved round is a full
+    // edge-set shuffle plus a driver scheduling round-trip. The driver only
     // counts changed labels per round, and lineage is truncated per round
     // so the final plan stays flat. Oracle: recursive-CTE transitive closure —
     // fine at oracle scale, unusable at 100 TB, which is the point of the
@@ -329,16 +331,26 @@ object DedupQueries {
       val adj = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
         .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
         .persist()
-      var labels = adj.select(col("src").as("doc_id")).distinct()
-        .withColumn("cluster_id", col("doc_id"))
+      // seed already folds the first neighbor-min round in: one groupBy on
+      // the symmetric edge set instead of a distinct + a propagation round
+      var labels = adj.groupBy(col("src")).agg(min("dst").as("m"))
+        .select(col("src").as("doc_id"),
+          least(col("src"), col("m")).as("cluster_id"))
         .localCheckpoint(true)
       var changed = 1L
       while (changed > 0) {
         val nmin = adj.join(labels, adj("dst") === labels("doc_id"))
           .groupBy(col("src")).agg(min("cluster_id").as("nmin"))
-        val updated = labels.join(nmin, labels("doc_id") === nmin("src"), "left_outer")
+        // pointer jump: labels(cluster_id) — every cluster_id is a doc id
+        // inside the same component (symmetric adj), so the lookup hits
+        val jump = labels.select(col("doc_id").as("jd"), col("cluster_id").as("jc"))
+        val updated = labels
+          .join(nmin, labels("doc_id") === nmin("src"), "left_outer")
+          .join(jump, labels("cluster_id") === col("jd"), "left_outer")
           .select(col("doc_id"), col("cluster_id"),
-            least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("next_id"))
+            least(col("cluster_id"),
+              least(coalesce(col("nmin"), col("cluster_id")),
+                coalesce(col("jc"), col("cluster_id")))).as("next_id"))
           .localCheckpoint(true)
         changed = updated.filter(col("next_id") < col("cluster_id")).count()
         labels = updated.select(col("doc_id"), col("next_id").as("cluster_id"))

@@ -256,6 +256,74 @@ object TextQueries {
             .as("n_tokens"))
         .withColumn("chunk_id",
           ((sum(col("n_tokens")).over(w) - col("n_tokens")) / lit(4096)).cast("long"))
+    },
+
+    // --------------------------------------------------------------- TEXT-10
+    // Repetition signals (the Gopher-style quality heuristics): the
+    // most-frequent-word share and the duplicate-2-gram share of each
+    // document — boilerplate and degenerate generations score high on both.
+    // Entirely per-row array math (no shuffle): the word-frequency max is
+    // O(distinct x n) inside the row, fine at any corpus scale because it
+    // never leaves the mapper.
+    QueryDef("t_repetition",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |g AS (
+        |  SELECT doc_id, tk,
+        |    list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) AS g2
+        |  FROM t)
+        |SELECT doc_id,
+        |  list_max(list_transform(list_distinct(tk),
+        |    w -> len(list_filter(tk, x -> x = w)))) / len(tk) AS top_word_frac,
+        |  CASE WHEN len(g2) = 0 THEN 0.0
+        |       ELSE (len(g2) - len(list_distinct(g2))) / len(g2)
+        |  END AS dup_2gram_frac
+        |FROM g""".stripMargin) { (s, dir) =>
+      // sequence(1, n) infers step -1 when n < 1 (never empty) — guard the
+      // single-token case explicitly so the 2-gram list is [] as in DuckDB
+      val g2 = when(size(col("tk")) >= 2,
+        expr("""transform(sequence(1, size(tk) - 1),
+                |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1)))""".stripMargin))
+        .otherwise(expr("cast(array() as array<string>)"))
+      docs(s, dir).select(col("doc_id"), col("tk")).withColumn("g2", g2)
+        .select(col("doc_id"),
+          (expr("array_max(transform(array_distinct(tk), w -> size(filter(tk, x -> x = w))))")
+            / size(col("tk"))).as("top_word_frac"),
+          when(size(col("g2")) === 0, lit(0.0))
+            .otherwise((size(col("g2")) - size(array_distinct(col("g2")))) / size(col("g2")))
+            .as("dup_2gram_frac"))
+    },
+
+    // --------------------------------------------------------------- TEXT-11
+    // Per-domain cap (domain balancing): keep at most 15 documents per
+    // source, preferring longer ones — the standard guard against one
+    // domain flooding the training mix. ONE shuffle on source; the rank
+    // filter compiles to WindowGroupLimit (Spark 4), so each partition
+    // keeps a 15-row heap instead of sorting every group — the 100 TB
+    // shape for top-k-per-key. Skewed mega-domains are exactly the rows
+    // the cap discards, and AQE splits any skewed source partition.
+    QueryDef("t_domain_cap",
+      """WITH r AS (
+        |  SELECT doc_id, source, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS source_rank,
+        |    COUNT(*) OVER (PARTITION BY source) AS n_source_docs
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars, source_rank, n_source_docs
+        |FROM r WHERE source_rank <= 15""".stripMargin) { (s, dir) =>
+      // the per-source total comes from a groupBy dim broadcast back onto
+      // the capped rows, NOT a second whole-partition window: a count
+      // window between the rank filter and the rank window would block the
+      // WindowGroupLimit rewrite (full sort of every group), and the dim
+      // is one row per source — map-side combinable and broadcast-sized
+      val d = Graft.table(s, dir, "documents")
+      val w = Window.partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))
+      val totals = d.groupBy("source").agg(count(lit(1)).as("n_source_docs"))
+      d.select(col("doc_id"), col("source"), col("n_chars"),
+          row_number().over(w).as("source_rank"))
+        .filter(col("source_rank") <= 15)
+        .join(broadcast(totals), "source")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("source_rank"), col("n_source_docs"))
     }
   )
 }

@@ -47,4 +47,11 @@ class PlanSpec extends SparkSpec {
     // only doc_id + text are read, not lang/source/n_chars
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
+
+  test("t_domain_cap's rank filter compiles to WindowGroupLimit") {
+    val p = planString("t_domain_cap")
+    // the per-source top-15 must keep a bounded heap per partition, not
+    // sort every group — the difference between top-k and full-sort at scale
+    assert(p.contains("WindowGroupLimit"), p)
+  }
 }

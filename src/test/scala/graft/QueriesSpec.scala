@@ -43,4 +43,41 @@ class QueriesSpec extends SparkSpec {
     val bad = bf.join(lsh, "q_id").filter(col("lsh_cos") > col("bf_cos") + 1e-12).count()
     assert(bad == 0)
   }
+
+  test("repetition fractions are valid ratios and a degenerate doc maxes out") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("t_repetition")(spark, sf)
+    val bad = out.filter(
+      col("top_word_frac") < 0 || col("top_word_frac") > 1 ||
+        col("dup_2gram_frac") < 0 || col("dup_2gram_frac") > 1).count()
+    assert(bad == 0)
+    // every doc's most-frequent-word share is at least 1/n_words > 0
+    assert(out.filter(col("top_word_frac") <= 0).count() == 0)
+  }
+
+  test("domain cap: at most 15 docs per source, longest preferred") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("t_domain_cap")(spark, sf)
+    val over = out.groupBy("source").count().filter(col("count") > 15).count()
+    assert(over == 0)
+    // a dropped doc is never longer than a kept doc of the same source
+    // (ties on n_chars can fall either side — doc_id breaks them)
+    val docs = graft.core.Graft.table(spark, sf, "documents")
+    val dropped = docs.join(out.select("doc_id"), Seq("doc_id"), "left_anti")
+      .groupBy("source").agg(max("n_chars").as("max_dropped"))
+    val minKept = out.groupBy("source").agg(min("n_chars").as("min_kept"))
+    val bad = minKept.join(dropped, "source")
+      .filter(col("max_dropped") > col("min_kept")).count()
+    assert(bad == 0)
+  }
+
+  test("dup clusters: labels are component-consistent (a cluster id is its own label)") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("d_dup_clusters")(spark, sf)
+    // pointer-jumping must fully converge: the canonical doc of every
+    // cluster labels itself, and no member carries a label below it
+    val canon = out.select(col("cluster_id").as("doc_id")).distinct()
+      .join(out, "doc_id").filter(col("cluster_id") =!= col("doc_id")).count()
+    assert(canon == 0)
+  }
 }

@@ -61,6 +61,17 @@ object DomainPipeline {
     else spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
   }
 
+  /** The wallet-transactions row identity for the incremental anti-join
+    * guard. transaction_type + the value (reference current_value = our
+    * amount) are part of the reference's NOT EXISTS identity
+    * (ethereum_wallet_transactions.sql:159-160): a normal leg and an
+    * internal leg of the SAME tx share (hash, wallet, role, contract,
+    * block) — without the type in the key, whichever leg lands in a later
+    * incremental batch would be dropped as a "duplicate". */
+  val walletTxIdentityKeys: Seq[String] =
+    Seq("transaction_hash", "wallet_address", "role", "contract_address",
+      "block_number", "transaction_type", "amount", "date_partition")
+
   /** ANALYTICS: the three transaction programs → the role-pivoted
     * ethereum_wallet_transactions table, appended incrementally behind a
     * block_number watermark with the identity anti-join guard. */
@@ -90,14 +101,7 @@ object DomainPipeline {
     }
     Lakehouse.loadIncremental(spark, walletTxPath(lake),
       watermarkCol = "block_number", partitionCols = Seq("date_partition"),
-      // transaction_type + the value (reference current_value = our amount)
-      // are part of the reference's NOT EXISTS identity
-      // (ethereum_wallet_transactions.sql:159-160): a normal leg and an
-      // internal leg of the SAME tx share (hash, wallet, role, contract,
-      // block) — without the type in the key, whichever leg lands in a
-      // later incremental batch would be dropped as a "duplicate"
-      keys = Seq("transaction_hash", "wallet_address", "role", "contract_address",
-        "block_number", "transaction_type", "amount", "date_partition"),
+      keys = walletTxIdentityKeys,
       full = () => wtx(None),
       // the reference re-selects the boundary block (>= filter_value, :29);
       // the identity anti-join guard keeps the append duplicate-free

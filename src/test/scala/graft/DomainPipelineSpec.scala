@@ -123,4 +123,27 @@ class DomainPipelineSpec extends SparkSpec {
     DomainPipeline.analytics(spark, lake)
     assert(Lakehouse.read(spark, DomainPipeline.walletTxPath(lake)).count() == 8)
   }
+
+  test("wallet-tx identity keeps a late-arriving leg of an already-seen tx") {
+    // the reference's NOT EXISTS identity includes transaction_type and
+    // current_value (ethereum_wallet_transactions.sql:159-160): a normal
+    // leg and an internal leg of one tx share every other key column, so
+    // when traces stage later than transactions for the boundary block the
+    // second leg must still append, not vanish as a "duplicate"
+    val path = tmpDir("wtx-identity")
+    def leg(ttype: String, amount: Double) =
+      Seq(("h1", "0xaaaa11", "sender", "ETH", 17000100L, ttype, amount, "2024-01"))
+        .toDF(DomainPipeline.walletTxIdentityKeys: _*)
+    Lakehouse.antiJoinAppend(spark, leg("normal", 2.0), path,
+      DomainPipeline.walletTxIdentityKeys, Seq("date_partition"))
+    Lakehouse.antiJoinAppend(spark, leg("internal", 0.25), path,
+      DomainPipeline.walletTxIdentityKeys, Seq("date_partition"))
+    // a true re-delivery of the normal leg IS dropped
+    Lakehouse.antiJoinAppend(spark, leg("normal", 2.0), path,
+      DomainPipeline.walletTxIdentityKeys, Seq("date_partition"))
+    val out = Lakehouse.read(spark, path)
+    assert(out.count() == 2)
+    assert(out.select("transaction_type").as[String].collect().toSet ==
+      Set("normal", "internal"))
+  }
 }

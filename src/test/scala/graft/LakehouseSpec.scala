@@ -46,6 +46,23 @@ class LakehouseSpec extends SparkSpec {
     assert(out == Map(1L -> Some("keep"), 2L -> None, 3L -> Some("new")))
   }
 
+  test("mergeFrames keepFromTarget holds a stored NULL against an update") {
+    // a MERGE whose UPDATE SET omits a column keeps the stored value even
+    // when that stored value is NULL — membership decides, not nullness
+    // (coalesce(t.c, u.c) would resurrect the update's value)
+    val target = Seq((1L, Option.empty[String], 1.0), (2L, Option("sym"), 2.0))
+      .toDF("id", "token_symbol", "bal")
+    val updates = Seq((1L, Option("overwrite"), 10.0), (3L, Option("new"), 3.0))
+      .toDF("id", "token_symbol", "bal")
+    val out = Lakehouse.mergeFrames(target, updates, Seq("id"),
+        keepFromTarget = Set("token_symbol"))
+      .as[(Long, Option[String], Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map(
+      1L -> ((None, 10.0)),        // matched: bal updated, stored NULL symbol kept
+      2L -> ((Some("sym"), 2.0)),  // untouched target row
+      3L -> ((Some("new"), 3.0)))) // insert takes the update's symbol
+  }
+
   test("mergeUpsert with touchedPartitions rewrites only touched partitions") {
     val path = tmpDir("mergep")
     Lakehouse.ctas(

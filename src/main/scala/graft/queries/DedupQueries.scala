@@ -357,6 +357,68 @@ object DedupQueries {
       }
       adj.unpersist()
       labels
+    },
+
+    // --------------------------------------------------------------- DEDUP-7
+    // SemDeDup-style semantic dedup: embeddings are blocked by their
+    // nearest-centroid IVF cell (~sqrt(N) sampled centroids, broadcast),
+    // pairwise cosine runs ONLY within a cell, and the lowest vec_id of a
+    // near-dup pair is the kept representative. This is the published
+    // recipe for embedding-level corpus dedup at scale: the all-pairs
+    // O(N^2) never happens — the equi-join on cell id shuffles on a key
+    // whose cardinality grows with the corpus, and cells stay ~sqrt(N)
+    // rows. Keep-decision is per-row (a vector is dropped iff SOME
+    // smaller-id cell-mate sits above the threshold) — no connected
+    // components needed for the keep-one-per-group semantics.
+    QueryDef("d_semantic_dedup",
+      s"""WITH n AS (
+         |  SELECT vec_id, $quantSql AS qv,
+         |    CAST(list_sum(list_transform($quantSql, x -> x * x)) AS BIGINT) AS nq
+         |  FROM embeddings),
+         |sp AS (SELECT GREATEST(1, CAST(floor(sqrt(COUNT(*))) AS BIGINT)) AS stride FROM n),
+         |cent AS (SELECT vec_id AS cid, qv AS cqv, nq AS cnq FROM n
+         |         WHERE vec_id % (SELECT stride FROM sp) = 0),
+         |assign AS (
+         |  SELECT vec_id, cid, qv, nq FROM (
+         |    SELECT v.vec_id, c.cid, v.qv, v.nq,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+         |        CAST(CAST(list_sum(list_transform(list_zip(v.qv, c.cqv), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
+         |          / (sqrt(CAST(v.nq AS DOUBLE)) * sqrt(CAST(c.cnq AS DOUBLE))) DESC, c.cid) AS rn
+         |    FROM n v CROSS JOIN cent c)
+         |  WHERE rn = 1),
+         |dups AS (
+         |  SELECT DISTINCT b.vec_id AS dup_id
+         |  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  WHERE CAST(CAST(list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
+         |      / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) >= 0.3)
+         |SELECT s.vec_id, s.cid AS cell_id, d.dup_id IS NULL AS is_kept
+         |FROM assign s LEFT JOIN dups d ON s.vec_id = d.dup_id""".stripMargin) { (s, dir) =>
+      val n = emb(s, dir).select("vec_id", "qv", "nq")
+      val stride = SimilarityQueries.centroidStride(
+        Graft.table(s, dir, "embeddings").count())
+      val cent = n.filter(pmod(col("vec_id"), lit(stride)) === 0)
+        .select(col("vec_id").as("cid"), col("qv").as("c_qv"), col("nq").as("c_nq"))
+      val centCos = qdot("qv", "c_qv").cast("double") /
+        (sqrt(col("nq").cast("double")) * sqrt(col("c_nq").cast("double")))
+      val wAssign = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("c_cos").desc, col("cid"))
+      val assign = n.crossJoin(broadcast(cent))
+        .withColumn("c_cos", centCos)
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"), col("qv"), col("nq"))
+      val a = assign.select(col("vec_id").as("a_id"), col("cid"),
+        col("qv").as("a_qv"), col("nq").as("a_nq"))
+      val b = assign.select(col("vec_id").as("b_id"), col("cid").as("b_cid"),
+        col("qv").as("b_qv"), col("nq").as("b_nq"))
+      val cos = qdot("a_qv", "b_qv").cast("double") /
+        (sqrt(col("a_nq").cast("double")) * sqrt(col("b_nq").cast("double")))
+      val dups = a.join(b, col("cid") === col("b_cid") && col("a_id") < col("b_id"))
+        .filter(cos >= 0.3)
+        .select(col("b_id").as("dup_id")).distinct()
+      assign.join(dups, assign("vec_id") === dups("dup_id"), "left_outer")
+        .select(col("vec_id"), col("cid").as("cell_id"),
+          col("dup_id").isNull.as("is_kept"))
     }
   )
 }

@@ -324,6 +324,50 @@ object TextQueries {
         .join(broadcast(totals), "source")
         .select(col("doc_id"), col("source"), col("n_chars"),
           col("source_rank"), col("n_source_docs"))
+    },
+
+    // --------------------------------------------------------------- TEXT-12
+    // PII scrubbing: emails / IPv4s / phone-shaped tokens replaced with
+    // typed placeholders, with per-category match counts — the redaction
+    // pass every published-corpus pipeline runs before training. The
+    // synthetic corpus carries no PII, so each doc gets a deterministic
+    // injected contact line first; the scrub itself is the operator under
+    // test. Pure per-row regex work: map-side, zero shuffles, and the
+    // patterns stay in the common RE2/Java-regex dialect so both engines
+    // match identically.
+    QueryDef("t_pii_scrub",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@mail.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+        |      || '.1 call 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR) AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(raw, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(raw, '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+')) AS BIGINT)
+        |    AS n_ips,
+        |  CAST(len(regexp_extract_all(raw, '555-[0-9]+')) AS BIGINT) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(raw,
+        |    '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+        |    '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+', '<IP>', 'g'),
+        |    '555-[0-9]+', '<PHONE>', 'g') AS scrubbed
+        |FROM t""".stripMargin) { (s, dir) =>
+      val raw = concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@mail.com or 10.0."),
+        (col("doc_id") % 256).cast("string"), lit(".1 call 555-"),
+        (lit(1000) + col("doc_id") % 9000).cast("string"))
+      val email = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+      val ip = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+      val phone = "555-[0-9]+"
+      Graft.table(s, dir, "documents")
+        .select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"),
+          regexp_count(col("raw"), lit(email)).cast("long").as("n_emails"),
+          regexp_count(col("raw"), lit(ip)).cast("long").as("n_ips"),
+          regexp_count(col("raw"), lit(phone)).cast("long").as("n_phones"),
+          regexp_replace(regexp_replace(regexp_replace(col("raw"),
+            email, "<EMAIL>"), ip, "<IP>"), phone, "<PHONE>").as("scrubbed"))
     }
   )
 }

@@ -71,6 +71,29 @@ class QueriesSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("semantic dedup: every cell keeps its minimum vec_id") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("d_semantic_dedup")(spark, sf)
+    // the smallest id in a cell has no smaller cell-mate, so it can never
+    // be a dup victim — if this fails the keep-decision direction flipped
+    val bad = out.groupBy("cell_id").agg(min("vec_id").as("lo"))
+      .join(out, col("lo") === col("vec_id"))
+      .filter(!col("is_kept")).count()
+    assert(bad == 0)
+  }
+
+  test("pii scrub: no residual matches and every doc had injected pii found") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("t_pii_scrub")(spark, sf)
+    val residual = out.filter(
+      regexp_count(col("scrubbed"), lit("[a-z0-9]+@[a-z]+\\.[a-z]+")) > 0 ||
+        regexp_count(col("scrubbed"), lit("[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+")) > 0 ||
+        regexp_count(col("scrubbed"), lit("555-[0-9]+")) > 0).count()
+    assert(residual == 0)
+    assert(out.filter(col("n_emails") < 1 || col("n_ips") < 1 || col("n_phones") < 1)
+      .count() == 0)
+  }
+
   test("dup clusters: labels are component-consistent (a cluster id is its own label)") {
     import org.apache.spark.sql.functions._
     val out = SparkEntry.queries("d_dup_clusters")(spark, sf)

@@ -4,16 +4,21 @@ import org.apache.spark.sql.SparkSession
   * exchange/window/codegen census for each named query — the iteration loop
   * for keeping plans 100 TB-shaped (`.explain` + count the shuffles).
   *
-  * Usage: runMain graft.Explain <sfDir> <query1,query2,...> [full]
+  * Usage: runMain graft.Explain <sfDir> <query1,query2,...> [full|time]
+  *   full — also print the executed plan
+  *   time — run each query twice through the noop sink (cold + warm) to
+  *          split codegen/scheduling warmup from steady-state compute
   */
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val names = args(1).split(",").toSeq
     val full = args.length > 2 && args(2) == "full"
+    val time = args.length > 2 && args(2) == "time"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", 4)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
@@ -30,6 +35,15 @@ object Explain {
         s" scans=${count(plan, "FileScan")}" +
         s" wholestage=${count(plan, "WholeStageCodegen")}")
       if (full) println(plan)
+      if (time) {
+        def run(): Double = {
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"   cold=${run()}%.2f warm=${run()}%.2f warm2=${run()}%.2f")
+      }
     }
     spark.stop()
   }

@@ -310,18 +310,19 @@ object TextQueries {
         |  FROM documents)
         |SELECT doc_id, source, n_chars, source_rank, n_source_docs
         |FROM r WHERE source_rank <= 15""".stripMargin) { (s, dir) =>
-      // the per-source total comes from a groupBy dim broadcast back onto
-      // the capped rows, NOT a second whole-partition window: a count
-      // window between the rank filter and the rank window would block the
-      // WindowGroupLimit rewrite (full sort of every group), and the dim
-      // is one row per source — map-side combinable and broadcast-sized
+      // the per-source total comes from a groupBy dim joined back onto the
+      // capped rows, NOT a second whole-partition window: a count window
+      // between the rank filter and the rank window would block the
+      // WindowGroupLimit rewrite (full sort of every group). No broadcast
+      // hint — one row per source can still be 100M rows for a web corpus,
+      // so AQE picks broadcast only when the dim actually fits
       val d = Graft.table(s, dir, "documents")
       val w = Window.partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))
       val totals = d.groupBy("source").agg(count(lit(1)).as("n_source_docs"))
       d.select(col("doc_id"), col("source"), col("n_chars"),
           row_number().over(w).as("source_rank"))
         .filter(col("source_rank") <= 15)
-        .join(broadcast(totals), "source")
+        .join(totals, "source")
         .select(col("doc_id"), col("source"), col("n_chars"),
           col("source_rank"), col("n_source_docs"))
     },

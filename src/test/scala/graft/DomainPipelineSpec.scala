@@ -124,6 +124,35 @@ class DomainPipelineSpec extends SparkSpec {
     assert(Lakehouse.read(spark, DomainPipeline.walletTxPath(lake)).count() == 8)
   }
 
+  test("an empty incremental batch (headers-only CSVs) is a clean no-op") {
+    val lake = tmpDir("domain-lake-empty")
+    val csv1 = tmpDir("domain-csv-full")
+    writeBatch1(csv1)
+    val prices = Some(Seq(("ETH", 1.0, 1704067200L), ("0xtok", 2.0, 1704067200L))
+      .toDF("address", "price", "price_ts"))
+    DomainPipeline.run(spark, csv1, lake, prices = prices)
+    val before = Lakehouse.read(spark, DomainPipeline.featuresPath(lake))
+      .orderBy("wallet_address").collect().toSeq
+
+    // a scheduler tick with no new exported blocks: every CSV has only its
+    // header row — the cycle must neither crash nor change any output
+    val csvEmpty = tmpDir("domain-csv-empty")
+    writeCsv(csvEmpty, "blocks", "timestamp,number,hash,base_fee_per_gas")
+    writeCsv(csvEmpty, "transactions", txHeader)
+    writeCsv(csvEmpty, "receipts", rcHeader)
+    writeCsv(csvEmpty, "logs", "log_index,transaction_hash,address,data,topics,block_number")
+    writeCsv(csvEmpty, "token_transfers",
+      "token_address,from_address,to_address,transaction_hash,value,log_index,block_number")
+    writeCsv(csvEmpty, "traces",
+      "transaction_hash,from_address,to_address,trace_type,call_type,reward_type,trace_id,error,value,gas,gas_used,subtraces,status,block_number")
+    DomainPipeline.run(spark, csvEmpty, lake, prices = prices)
+
+    assert(Lakehouse.read(spark, DomainPipeline.walletTxPath(lake)).count() == 4)
+    val after = Lakehouse.read(spark, DomainPipeline.featuresPath(lake))
+      .orderBy("wallet_address").collect().toSeq
+    assert(after == before)
+  }
+
   test("wallet-tx identity keeps a late-arriving leg of an already-seen tx") {
     // the reference's NOT EXISTS identity includes transaction_type and
     // current_value (ethereum_wallet_transactions.sql:159-160): a normal

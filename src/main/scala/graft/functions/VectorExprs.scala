@@ -122,6 +122,29 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Element-wise sum of equal-length long vectors — the k-means centroid
+  * update aggregate (§2.10 UDAF surface). A typed [[Aggregator]] keeps the
+  * whole update one hash-aggregate pass with NO per-element explode: the
+  * explode formulation shuffles dim×N rows (64× write amplification at
+  * 100 TB), this shuffles one partial vector per (cell × partition).
+  * Long addition is exact and commutative, so the result is identical at
+  * any parallelism. */
+object LongVecSum
+    extends org.apache.spark.sql.expressions.Aggregator[Array[Long], Array[Long], Array[Long]] {
+  def zero: Array[Long] = Array.emptyLongArray
+  def reduce(b: Array[Long], a: Array[Long]): Array[Long] =
+    if (a == null) b
+    else if (b.isEmpty) a.clone()
+    else { var i = 0; while (i < b.length) { b(i) += a(i); i += 1 }; b }
+  def merge(b1: Array[Long], b2: Array[Long]): Array[Long] =
+    if (b1.isEmpty) b2 else reduce(b1, b2)
+  def finish(r: Array[Long]): Array[Long] = r
+  def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+}
+
 object VectorExprs {
   /** Register the native expressions on the session's function registry
     * (idempotent) so query code can use them via `expr(...)`. */
@@ -131,4 +154,8 @@ object VectorExprs {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_intersect_count", exprs => SortedIntersectCount(exprs.head, exprs(1)), "built-in")
   }
+
+  /** [[LongVecSum]] as a column aggregate. */
+  val longVecSum: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(LongVecSum)
 }

@@ -230,7 +230,121 @@ object SimilarityQueries {
       val cells = assign.join(n, "vec_id")
         .select(col("cid").as("a_cid"), col("vec_id").as("n_id"),
           col("qv").as("c_qv2"), col("nq").as("c_nq2"))
-      val qv = n.select(col("vec_id").as("qq_id"), col("qv").as("q_qv"), col("nq").as("q_nq"))
+      // only the probe set's vectors ride the broadcast — without the
+      // filter this would broadcast the ENTIRE corpus's vectors (the join
+      // key restricts matches to the 8 queries, but the shipped table
+      // would still be all N rows)
+      val qv = n.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qq_id"), col("qv").as("q_qv"), col("nq").as("q_nq"))
+      val pairCos = expr("long_dot(q_qv, c_qv2)").cast("double") /
+        (sqrt(col("q_nq").cast("double")) * sqrt(col("c_nq2").cast("double")))
+      val wRank = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
+      broadcast(probes)
+        .join(cells, col("a_cid") === col("cid") && col("n_id") =!= col("q_id"))
+        .join(broadcast(qv), col("qq_id") === col("q_id"))
+        .withColumn("cos_sim", pairCos)
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= 5)
+        .select("q_id", "rank", "n_id", "cos_sim")
+    },
+
+    // ----------------------------------------------------------------- ANN-4
+    // IVF with a k-means-refined codebook: the sampled centroids of ann_ivf
+    // are the Lloyd INIT; one refinement round recomputes each cell's
+    // centroid as the exact element-wise floor-mean of its members, then
+    // re-assigns. All arithmetic stays integral (sum of quantized longs,
+    // floor division spelled sign-safely), so the refined codebook — and
+    // therefore every downstream assignment and ranking — is bit-identical
+    // across engines and at any parallelism, which is what makes a
+    // DETERMINISTIC k-means oracle possible at all. The centroid update is
+    // ONE hash-aggregate pass with the LongVecSum typed Aggregator — no
+    // per-element explode (the explode formulation the oracle uses would
+    // shuffle dim x N rows, a 64x write amplification at 100 TB). More
+    // Lloyd rounds repeat the same two steps; one round already separates
+    // refined from sampled behavior for the gate.
+    QueryDef("ann_ivf_kmeans",
+      s"""WITH n AS (
+         |  SELECT vec_id, $quantSql AS qv,
+         |    CAST(list_sum(list_transform($quantSql, x -> x * x)) AS BIGINT) AS nq
+         |  FROM embeddings),
+         |sp AS (SELECT GREATEST(1, CAST(floor(sqrt(COUNT(*))) AS BIGINT)) AS stride FROM n),
+         |cent0 AS (SELECT vec_id AS cid, qv AS cqv, nq AS cnq FROM n
+         |          WHERE vec_id % (SELECT stride FROM sp) = 0),
+         |assign0 AS (
+         |  SELECT vec_id, cid, qv FROM (
+         |    SELECT v.vec_id, c.cid, v.qv,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+         |        CAST(CAST(list_sum(list_transform(list_zip(v.qv, c.cqv), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
+         |          / (sqrt(CAST(v.nq AS DOUBLE)) * sqrt(CAST(c.cnq AS DOUBLE))) DESC, c.cid) AS rn
+         |    FROM n v CROSS JOIN cent0 c)
+         |  WHERE rn = 1),
+         |sums AS (
+         |  SELECT a.cid, t.pos, SUM(a.qv[t.pos]) AS s, COUNT(*) AS c
+         |  FROM assign0 a, UNNEST(generate_series(1, len(a.qv))) AS t(pos)
+         |  GROUP BY a.cid, t.pos),
+         |cent1 AS (
+         |  SELECT cid, list((s - ((s % c) + c) % c) // c ORDER BY pos) AS cqv
+         |  FROM sums GROUP BY cid),
+         |cent AS (
+         |  SELECT cid, cqv,
+         |    CAST(list_sum(list_transform(cqv, x -> x * x)) AS BIGINT) AS cnq
+         |  FROM cent1),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT v.vec_id, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+         |        CAST(CAST(list_sum(list_transform(list_zip(v.qv, c.cqv), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
+         |          / (sqrt(CAST(v.nq AS DOUBLE)) * sqrt(CAST(c.cnq AS DOUBLE))) DESC, c.cid) AS rn
+         |    FROM n v CROSS JOIN cent c)
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS q_id, cid FROM (
+         |    SELECT q.vec_id, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        CAST(CAST(list_sum(list_transform(list_zip(q.qv, c.cqv), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
+         |          / (sqrt(CAST(q.nq AS DOUBLE)) * sqrt(CAST(c.cnq AS DOUBLE))) DESC, c.cid) AS rn
+         |    FROM n q CROSS JOIN cent c WHERE q.vec_id < 8)
+         |  WHERE rn <= 2),
+         |pairs AS (
+         |  SELECT p.q_id, a.vec_id AS n_id,
+         |    CAST(CAST(list_sum(list_transform(list_zip(q.qv, v.qv), x -> x[1] * x[2])) AS BIGINT) AS DOUBLE)
+         |      / (sqrt(CAST(q.nq AS DOUBLE)) * sqrt(CAST(v.nq AS DOUBLE))) AS cos_sim
+         |  FROM probes p
+         |  JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.q_id
+         |  JOIN n q ON q.vec_id = p.q_id
+         |  JOIN n v ON v.vec_id = a.vec_id),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY cos_sim DESC, n_id) AS rank FROM pairs)
+         |SELECT q_id, rank, n_id, cos_sim FROM ranked WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      val n = emb(s, dir).select("vec_id", "qv", "nq")
+      val stride = centroidStride(Graft.table(s, dir, "embeddings").count())
+      val cent0 = n.filter(pmod(col("vec_id"), lit(stride)) === 0)
+        .select(col("vec_id").as("cid"), col("qv").as("c_qv"), col("nq").as("c_nq"))
+      val centCos = expr("long_dot(qv, c_qv)").cast("double") /
+        (sqrt(col("nq").cast("double")) * sqrt(col("c_nq").cast("double")))
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("cid"))
+      def argmaxCell(vs: DataFrame, cents: DataFrame, k: Int): DataFrame =
+        vs.crossJoin(broadcast(cents))
+          .withColumn("c_cos", centCos)
+          .withColumn("rn", row_number().over(wAssign))
+          .filter(col("rn") <= k)
+      val assign0 = argmaxCell(n, cent0, 1).select(col("vec_id"), col("cid"))
+      // Lloyd update: exact element-wise floor-mean, one aggregate pass
+      val cent = assign0.join(n, "vec_id").groupBy("cid")
+        .agg(graft.functions.VectorExprs.longVecSum(col("qv")).as("s"),
+          count(lit(1)).as("c"))
+        .select(col("cid"),
+          expr("transform(s, x -> (x - ((x % c) + c) % c) div c)").as("c_qv"))
+        .withColumn("c_nq", expr("long_dot(c_qv, c_qv)"))
+      val assign = argmaxCell(n, cent, 1).select(col("vec_id"), col("cid"))
+      val probes = argmaxCell(n.filter(col("vec_id") < 8), cent, 2)
+        .select(col("vec_id").as("q_id"), col("cid"))
+      val cells = assign.join(n, "vec_id")
+        .select(col("cid").as("a_cid"), col("vec_id").as("n_id"),
+          col("qv").as("c_qv2"), col("nq").as("c_nq2"))
+      val qv = n.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qq_id"), col("qv").as("q_qv"), col("nq").as("q_nq"))
       val pairCos = expr("long_dot(q_qv, c_qv2)").cast("double") /
         (sqrt(col("q_nq").cast("double")) * sqrt(col("c_nq2").cast("double")))
       val wRank = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))

@@ -40,9 +40,12 @@ class AnnSpec extends SparkSpec {
     }
     val lsh = recall(topSets("ann_lsh_bucket"))
     val ivf = recall(topSets("ann_ivf"))
+    val kmeans = recall(topSets("ann_ivf_kmeans"))
     // floors far below observed values — these fail only if the
     // parameterization collapses (e.g. empty buckets / lost probes)
     assert(lsh >= 0.3, s"LSH multiprobe recall $lsh")
     assert(ivf >= 0.3, s"IVF 2-probe recall $ivf")
+    assert(kmeans >= 0.3, s"k-means IVF 2-probe recall $kmeans")
+    info(f"recall@5: lsh=$lsh%.2f ivf=$ivf%.2f ivf_kmeans=$kmeans%.2f")
   }
 }

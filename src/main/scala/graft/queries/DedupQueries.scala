@@ -359,6 +359,82 @@ object DedupQueries {
       labels
     },
 
+    // -------------------------------------------------------------- DEDUP-6b
+    // INCREMENTAL dedup: admit a new batch against an already-deduped
+    // stored corpus — the O(delta) composition a GROWING corpus needs.
+    // The batch's band rows probe the full band index (in production the
+    // stored signatures are a persisted lake table written once per batch,
+    // so per-batch work is |delta| signatures + a bucket-join against the
+    // index, never a corpus re-scan); candidates verify by exact Jaccard,
+    // and a batch doc is admitted iff it has NO verified partner among
+    // stored docs or earlier batch docs. The last quintile of doc_ids
+    // stands in for the arriving batch.
+    QueryDef("d_incremental_dedup",
+      s"""WITH cut AS (SELECT MAX(doc_id) * 4 // 5 AS c FROM documents),
+         |sh AS (
+         |  SELECT doc_id, $shinglesSql AS sh
+         |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+         |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+         |sig AS (SELECT doc_id, $sigSqlCols FROM ex GROUP BY doc_id),
+         |bands AS (
+         |  $bandsSqlUnion),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |  WHERE b.doc_id >= (SELECT c FROM cut)),
+         |ver AS (
+         |  SELECT c.a_id, c.b_id
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.a_id
+         |  JOIN sh sb ON sb.doc_id = c.b_id
+         |  WHERE len(list_intersect(sa.sh, sb.sh))
+         |      / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.1),
+         |agg AS (
+         |  SELECT b_id AS doc_id,
+         |    COUNT(CASE WHEN a_id < (SELECT c FROM cut) THEN 1 END) AS n_dups_stored,
+         |    COUNT(CASE WHEN a_id >= (SELECT c FROM cut) THEN 1 END) AS n_dups_batch
+         |  FROM ver GROUP BY b_id)
+         |SELECT d.doc_id,
+         |  COALESCE(a.n_dups_stored, 0) AS n_dups_stored,
+         |  COALESCE(a.n_dups_batch, 0) AS n_dups_batch,
+         |  a.doc_id IS NULL AS admitted
+         |FROM (SELECT doc_id FROM documents WHERE doc_id >= (SELECT c FROM cut)) d
+         |LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin) { (s, dir) =>
+      graft.functions.VectorExprs.register(s)
+      val all = Graft.table(s, dir, "documents")
+      // scalar watermark fetch — the same 1-row driver scalar as the
+      // incremental load's MAX(block_number) (A1), not a data collect
+      val cut = all.agg(max("doc_id")).head.getLong(0) * 4 / 5
+      val base = docs(s, dir).filter(size(col("tk")) >= 3)
+      val sh = base.select(col("doc_id"), explode(shinglesExpr).as("s"))
+      val bands = minhashBands(sh)
+      // asymmetric probe: ONLY the batch's bands drive the bucket join
+      val bb = bands.filter(col("doc_id") >= cut)
+        .select(col("doc_id").as("b_id"), col("band").as("band2"), col("bh").as("bh2"))
+      val cand = bands.select(col("doc_id").as("a_id"), col("band"), col("bh"))
+        .join(bb, col("band") === col("band2") && col("bh") === col("bh2") &&
+          col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+      val hsh = base.select(col("doc_id"), hashedShinglesExpr.as("hs"))
+      val inter = expr("sorted_intersect_count(a_hs, b_hs)")
+      val ver = cand
+        .join(hsh.select(col("doc_id").as("a_id"), col("hs").as("a_hs")), "a_id")
+        .join(hsh.select(col("doc_id").as("b_id"), col("hs").as("b_hs")), "b_id")
+        .withColumn("jaccard", inter / (size(col("a_hs")) + size(col("b_hs")) - inter))
+        .filter(col("jaccard") >= 0.1)
+      val agg = ver.groupBy(col("b_id").as("doc_id")).agg(
+        count(when(col("a_id") < cut, lit(1))).as("n_dups_stored"),
+        count(when(col("a_id") >= cut, lit(1))).as("n_dups_batch"))
+      all.filter(col("doc_id") >= cut).select(col("doc_id"))
+        .join(agg.withColumnRenamed("doc_id", "agg_id"),
+          col("doc_id") === col("agg_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("n_dups_stored"), lit(0L)).as("n_dups_stored"),
+          coalesce(col("n_dups_batch"), lit(0L)).as("n_dups_batch"),
+          col("agg_id").isNull.as("admitted"))
+    },
+
     // --------------------------------------------------------------- DEDUP-7
     // SemDeDup-style semantic dedup: embeddings are blocked by their
     // nearest-centroid IVF cell (~sqrt(N) sampled centroids, broadcast),

@@ -71,6 +71,22 @@ class QueriesSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("incremental dedup ≡ full-corpus verified pairs restricted to the batch") {
+    import org.apache.spark.sql.functions._
+    // a batch doc is rejected by the incremental path iff the FULL
+    // d_lsh_verified pair list has a verified pair whose larger id is that
+    // doc — the asymmetric batch-side probe must lose no candidates
+    val inc = SparkEntry.queries("d_incremental_dedup")(spark, sf)
+    val cut = spark.read.parquet(s"$sf/documents.parquet")
+      .agg(max("doc_id")).head.getLong(0) * 4 / 5
+    val rejectedByFull = SparkEntry.queries("d_lsh_verified")(spark, sf)
+      .filter(col("b_id") >= cut).select(col("b_id").as("doc_id")).distinct()
+    val incRejected = inc.filter(!col("admitted")).select("doc_id")
+    val diff = incRejected.except(rejectedByFull)
+      .union(rejectedByFull.except(incRejected)).count()
+    assert(diff == 0)
+  }
+
   test("semantic dedup: every cell keeps its minimum vec_id") {
     import org.apache.spark.sql.functions._
     val out = SparkEntry.queries("d_semantic_dedup")(spark, sf)

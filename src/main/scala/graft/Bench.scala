@@ -62,8 +62,9 @@ object Bench {
     val all = results.toSeq
     // ascending by time: the tail window clips the FRONT of this line, so
     // ordering fastest-first leaves the slowest queries (the ones worth
-    // full precision) inside the surviving fragment
-    println(line(all.sortBy(_._2), 6, 0, sfDir))
+    // precision) inside the surviving fragment; 3 decimals keeps more of
+    // them inside the clip than full precision would
+    println(line(all.sortBy(_._2), 3, 0, sfDir))
     // 2000-byte tail - "[info] " prefix - sbt "[success] ..." epilogue -
     // slack; the compact line abbreviates sf to its basename to buy ~16
     // more bytes of query values

@@ -74,8 +74,15 @@ object PipelineQueries {
       (col("cp").cast("string").as("wallet_address") +:
         lit("receiver").as("role") +: col("value").as("amount") +:
         lit(0.0).as("tx_fee") +: common.map(col)): _*)
+    // The fixture stands in for the STORED wallet_transactions table (in
+    // production a lake table read once, not recomputed per consumer) —
+    // persist() expresses exactly that: without it every window/join branch
+    // of the flagship programs re-derives the 4-branch union from the
+    // events scan (13 parquet scans per query). Spark's cache is keyed by
+    // the logical plan, so the three flagship queries share one copy.
     val wtx = sender.unionByName(receiver)
       .withColumn("address_partition", substring(col("wallet_address"), 1, 2))
+      .persist()
     val meta = Seq("signup", "click", "tok0", "tok1", "tok2")
       .toDF("contract_address_metadata")
     val drange = ev.agg(

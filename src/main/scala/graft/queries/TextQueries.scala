@@ -327,6 +327,46 @@ object TextQueries {
           col("source_rank"), col("n_source_docs"))
     },
 
+    // --------------------------------------------------------------- TEXT-13
+    // Corpus-statistics quality score (the CCNet/LM-filter shape): a
+    // corpus-wide unigram frequency table scores each document by the
+    // mean and minimum frequency of its words — low mean ≈ unusual text,
+    // low min ≈ contains near-OOV tokens. TWO passes over the corpus
+    // (vocab aggregate, then a words⋈vocab join back), the
+    // statistics-driven filter shape heuristic scores can't express.
+    // Frequencies are exact scaled integers (floor(1e6*cnt/total) in pure
+    // int arithmetic) because libm log/ln differs by ulps across engines —
+    // the ranking is the same, the hashes stay bit-exact.
+    QueryDef("t_unigram_score",
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tot AS (SELECT COUNT(*) AS n FROM words),
+        |vocab AS (
+        |  SELECT w, (COUNT(*) * 1000000) // (SELECT n FROM tot) AS freq_ppm
+        |  FROM words GROUP BY w)
+        |SELECT d.doc_id,
+        |  CAST(SUM(v.freq_ppm) AS DOUBLE) / COUNT(*) AS mean_freq_ppm,
+        |  MIN(v.freq_ppm) AS min_freq_ppm,
+        |  COUNT(CASE WHEN v.freq_ppm < 10 THEN 1 END) AS n_rare_words
+        |FROM words d JOIN vocab v ON d.w = v.w
+        |GROUP BY d.doc_id""".stripMargin) { (s, dir) =>
+      val words = Graft.table(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val totRow = words.agg(count(lit(1)).as("n"))
+      // corpus totals ride along as a 1-row broadcast (j13 scalar shape);
+      // freq in ppm via exact integer floor-div — counts are non-negative
+      // so `div` == floor here
+      val vocab = words.groupBy("w").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(totRow))
+        .select(col("w"), expr("(cnt * 1000000) div n").as("freq_ppm"))
+      words.join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(
+          (sum("freq_ppm").cast("double") / count(lit(1))).as("mean_freq_ppm"),
+          min("freq_ppm").as("min_freq_ppm"),
+          count(when(col("freq_ppm") < 10, lit(1))).as("n_rare_words"))
+    },
+
     // --------------------------------------------------------------- TEXT-12
     // PII scrubbing: emails / IPv4s / phone-shaped tokens replaced with
     // typed placeholders, with per-category match counts — the redaction

@@ -38,13 +38,47 @@ class IntDivPushdownSpec extends SparkSpec {
     assert(ruled == plain && plain.nonEmpty)
   }
 
-  test("rule does not fire for negative thresholds (truncation unsoundness)") {
+  test("negative thresholds derive the truncation-aware bound (a > c*k, not naive)") {
     withRule { s2 =>
       val df = s2.read.parquet(s"$sf/events.parquet")
         .filter(expr("ts div 1000 > -5L"))
         .select("event_id")
       val plan = df.queryExecution.executedPlan.toString
-      assert(!plan.contains("GreaterThan(ts,-"), plan)
+      // q > -5 ⟺ a > -5000 (the naive a > -5 would drop [-4999, -6])
+      assert(plan.contains("GreaterThan(ts,-5000)"), plan)
+      assert(!plan.contains("GreaterThan(ts,-5)"), plan)
+    }
+  }
+
+  test("a block-range filter over a derived column prunes from BOTH ends") {
+    withRule { s2 =>
+      val df = s2.read.parquet(s"$sf/events.parquet")
+        .filter(expr(s"ts div 1000 >= ${cut}L AND ts div 1000 <= ${cut + 10}L"))
+        .select("event_id")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains(s"GreaterThanOrEqual(ts,${cut * 1000})"), plan)
+      assert(plan.contains(s"LessThan(ts,${(cut + 11) * 1000})"), plan)
+    }
+  }
+
+  test("soundness sweep: every op x threshold agrees with the plain session") {
+    // boundary values straddling every multiple of k near zero, plus the
+    // truncation flat band [-k+1, k-1] edges
+    val k = 1000L
+    val rows = Seq(-3001L, -3000L, -2999L, -2001L, -2000L, -1999L, -1001L,
+      -1000L, -999L, -1L, 0L, 1L, 999L, 1000L, 1001L, 1999L, 2000L, 2001L,
+      2999L, 3000L, 3001L)
+    val dir = java.nio.file.Files.createTempDirectory("intdiv-sweep").toString
+    spark.createDataFrame(rows.map(Tuple1(_))).toDF("v")
+      .write.mode("overwrite").parquet(dir)
+    for (op <- Seq(">", ">=", "<", "<="); c <- -3L to 3L) {
+      val pred = s"v div $k $op ${c}L"
+      val plain = spark.read.parquet(dir).filter(expr(pred))
+        .collect().map(_.getLong(0)).toSet
+      val ruled = withRule { s2 =>
+        s2.read.parquet(dir).filter(expr(pred)).collect().map(_.getLong(0)).toSet
+      }
+      assert(ruled == plain, s"$pred: ruled=$ruled plain=$plain")
     }
   }
 

@@ -62,10 +62,13 @@ object Bench {
     }
     val all = results.toSeq
     // ascending by time: the tail window clips the FRONT of this line, so
-    // ordering fastest-first leaves the slowest queries (the ones worth
-    // precision) inside the surviving fragment; 3 decimals keeps more of
-    // them inside the clip than full precision would
-    println(line(all.sortBy(_._2), 3, 0, sfDir))
+    // ordering fastest-first leaves the slowest queries — and any -1
+    // failure sentinels — inside the surviving fragment; 3 decimals (not
+    // full precision) keeps more of them inside the clip
+    // failures rank as slowest everywhere: they must never be the first
+    // entries sacrificed to the byte budget
+    def keepPriority(v: Double): Double = if (v < 0) Double.MaxValue else v
+    println(line(all.sortBy(e => keepPriority(e._2)), 3, 0, sfDir))
     // 2000-byte tail - "[info] " prefix - sbt "[success] ..." epilogue -
     // slack; the compact line abbreviates sf to its basename to buy ~16
     // more bytes of query values
@@ -74,8 +77,8 @@ object Bench {
     val compact = Seq(3, 2, 1).view.map(d => line(all, d, 0, sfShort))
       .find(_.length <= budget)
       .getOrElse {
-        val bySlow = all.sortBy(-_._2)
-        // keep the slowest k queries such that the line fits
+        val bySlow = all.sortBy(e => -keepPriority(e._2))
+        // keep the slowest k queries (failures first) such that the line fits
         (all.size to 1 by -1).view
           .map(k => line(bySlow.take(k).sortBy(_._1), 1, all.size - k, sfShort))
           .find(_.length <= budget).getOrElse(line(Nil, 1, all.size, sfShort))

@@ -16,9 +16,13 @@ object Explain {
     val full = args.length > 2 && args(2) == "full"
     val time = args.length > 2 && args(2) == "time"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // mirror the Bench/Verify session exactly — a census from a session
+    // without the engine's extensions would report plans that never run
     val spark = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")

@@ -85,7 +85,14 @@ object Lakehouse {
     } else {
       val target0 = read(spark, path)
       val target = prunePartitions.fold(target0)(target0.filter).select(keys.map(col): _*)
-      val fresh = newRows.join(target, keys, "left_anti")
+      // null-safe key equality: a USING-style join compares with EqualTo,
+      // under which a NULL key column (e.g. a NULL amount in the wallet-tx
+      // identity) never matches its stored copy — the same row would then
+      // re-append on EVERY incremental cycle that re-selects the boundary
+      // block, growing the table unboundedly
+      val t = target.alias("t")
+      val cond = keys.map(k => newRows(k) <=> col(s"t.$k")).reduce(_ && _)
+      val fresh = newRows.join(t, cond, "left_anti")
       appendPartitioned(fresh, path, partitionCols)
     }
   }

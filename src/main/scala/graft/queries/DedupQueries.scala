@@ -478,11 +478,15 @@ object DedupQueries {
         (sqrt(col("nq").cast("double")) * sqrt(col("c_nq").cast("double")))
       val wAssign = org.apache.spark.sql.expressions.Window
         .partitionBy("vec_id").orderBy(col("c_cos").desc, col("cid"))
+      // persist(): the assignment feeds both pair sides and the final
+      // keep-flag projection — three consumers of the corpus x centroid
+      // cross-join + window otherwise re-executed per consumer
       val assign = n.crossJoin(broadcast(cent))
         .withColumn("c_cos", centCos)
         .withColumn("rn", row_number().over(wAssign))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("cid"), col("qv"), col("nq"))
+        .persist()
       val a = assign.select(col("vec_id").as("a_id"), col("cid"),
         col("qv").as("a_qv"), col("nq").as("a_nq"))
       val b = assign.select(col("vec_id").as("b_id"), col("cid").as("b_cid"),

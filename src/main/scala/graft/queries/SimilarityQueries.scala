@@ -330,14 +330,18 @@ object SimilarityQueries {
           .withColumn("rn", row_number().over(wAssign))
           .filter(col("rn") <= k)
       val assign0 = argmaxCell(n, cent0, 1).select(col("vec_id"), col("cid"))
-      // Lloyd update: exact element-wise floor-mean, one aggregate pass
+      // Lloyd update: exact element-wise floor-mean, one aggregate pass.
+      // persist(): cent feeds the re-assignment AND the probe ranking, and
+      // assign feeds the cell lists — without it each consumer re-executes
+      // the corpus x codebook cross-join + window from scratch
       val cent = assign0.join(n, "vec_id").groupBy("cid")
         .agg(graft.functions.VectorExprs.longVecSum(col("qv")).as("s"),
           count(lit(1)).as("c"))
         .select(col("cid"),
           expr("transform(s, x -> (x - ((x % c) + c) % c) div c)").as("c_qv"))
         .withColumn("c_nq", expr("long_dot(c_qv, c_qv)"))
-      val assign = argmaxCell(n, cent, 1).select(col("vec_id"), col("cid"))
+        .persist()
+      val assign = argmaxCell(n, cent, 1).select(col("vec_id"), col("cid")).persist()
       val probes = argmaxCell(n.filter(col("vec_id") < 8), cent, 2)
         .select(col("vec_id").as("q_id"), col("cid"))
       val cells = assign.join(n, "vec_id")

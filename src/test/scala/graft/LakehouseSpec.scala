@@ -25,6 +25,18 @@ class LakehouseSpec extends SparkSpec {
     assert(out == Map(1L -> "a", 2L -> "b", 3L -> "c"))
   }
 
+  test("antiJoinAppend dedups rows whose key columns contain NULL") {
+    // plain EqualTo never matches NULL = NULL, so a NULL key column (e.g.
+    // a NULL amount in the wallet-tx identity) would re-append on every
+    // incremental cycle that re-selects the boundary block — the keys must
+    // compare null-safely
+    val path = tmpDir("aja-null")
+    val df = Seq((1L, Option(2.0)), (2L, Option.empty[Double])).toDF("id", "amt")
+    Lakehouse.antiJoinAppend(spark, df, path, Seq("id", "amt"), Nil)
+    Lakehouse.antiJoinAppend(spark, df, path, Seq("id", "amt"), Nil)
+    assert(Lakehouse.read(spark, path).count() == 2)
+  }
+
   test("mergeUpsert updates matched keys and inserts new ones") {
     val path = tmpDir("merge")
     Lakehouse.ctas(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "bal"), path)

@@ -152,6 +152,27 @@ class WalletFeaturesSpec extends SparkSpec {
     assert(f.getAs[Double]("wallet_max_eth_ever") == 12.0)
   }
 
+  test("7-day bound truncates the exact timestamp diff, not calendar days (:66,83)") {
+    // Trino date_diff('day', price_ts, tx_ts) truncates the exact diff: a
+    // price at 23:00 on day 0 vs a tx at 01:00 on day 8 is 7.08 days ->
+    // "7 days" -> INCLUDED, even though the calendar-day difference is 8.
+    // A second price sits 8.5 truncated days away -> excluded; if the
+    // window were calendar-day arithmetic the near price would be dropped
+    // (8 > 7) and the far one would decide, flipping the valuation.
+    val d = 86400000000L
+    val h = 3600000000L
+    val tx = walletTx(
+      ("0xw7", "receiver", "h1", 3.0, 0.0, 8 * d + 1 * h, "erc20", 3, "tokg"))
+    val prices = Seq(
+      ("tokg", 5.0, 0 * d + 23 * h),  // 7.08 truncated days before the tx
+      ("tokg", 9.0, -1 * d + 12 * h)) // 8.54 truncated days before: out
+      .toDF("address", "price", "price_ts")
+    val meta = Seq("tokg").toDF("contract_address_metadata")
+    val f = WalletFeatures.walletFeatures(tx, Some(prices), Some(meta)).head()
+    val m = f.getAs[Map[String, Map[String, Double]]]("contracts_aggregations")
+    assert(m("tokg")("total_balance_in_eth") == 15.0) // 3 * 5.0, not 3 * 9.0 or 0
+  }
+
   test("AUC variant: balance-days area, time-in-positive, wallet maxes (with_auc:181-215)") {
     // +10 ETH held for 200 s, then emptied: area = 10 * 200 / 86400
     // balance-days, 200 s (2e8 µs) in positive

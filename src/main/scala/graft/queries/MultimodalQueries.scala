@@ -49,6 +49,54 @@ object MultimodalQueries {
         .select(col("doc_id"), col("frame_idx"),
           length(col("frame")).as("frame_len"),
           md5(col("frame")).as("frame_md5"))
+    },
+
+    // ------------------------------------------------------------------ MM-3
+    // Resize + batch planning: the preprocessing DAG a vision pipeline runs
+    // BEFORE the (stubbed) decode — aspect-preserving integer resize to a
+    // 64px long side, then sequential greedy packing into ~65536-pixel GPU
+    // batches per source (one partitioned cumulative-sum window, the
+    // t_token_pack shape). All integer arithmetic: `(h * min(w,64)) div w`
+    // is exact in both engines and collapses to identity when no downscale
+    // is needed.
+    QueryDef("mm_resize_plan",
+      """WITH m AS (
+        |  SELECT doc_id, source,
+        |    16 * (1 + length(text) % 13) AS width,
+        |    16 * (1 + length(text) % 7) AS height
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, width, height,
+        |    CASE WHEN width >= height THEN LEAST(width, 64)
+        |         ELSE GREATEST(1, (width * LEAST(height, 64)) // height)
+        |    END AS resized_w,
+        |    CASE WHEN width >= height
+        |         THEN GREATEST(1, (height * LEAST(width, 64)) // width)
+        |         ELSE LEAST(height, 64)
+        |    END AS resized_h
+        |  FROM m)
+        |SELECT doc_id, source, width, height, resized_w, resized_h,
+        |  CAST((SUM(resized_w * resized_h) OVER (PARTITION BY source
+        |     ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    - resized_w * resized_h) // 65536 AS BIGINT) AS batch_id
+        |FROM r""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val r = media(s, dir).select(
+          col("doc_id"), col("source"),
+          col("meta.width").as("width"), col("meta.height").as("height"))
+        .withColumn("resized_w",
+          when(col("width") >= col("height"), least(col("width"), lit(64)))
+            .otherwise(greatest(lit(1),
+              expr("(width * least(height, 64)) div height"))))
+        .withColumn("resized_h",
+          when(col("width") >= col("height"),
+            greatest(lit(1), expr("(height * least(width, 64)) div width")))
+            .otherwise(least(col("height"), lit(64))))
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val px = col("resized_w") * col("resized_h")
+      r.withColumn("batch_id",
+        ((sum(px).over(w) - px) / lit(65536)).cast("long"))
     }
   )
 }

@@ -67,4 +67,40 @@ class BalancePropertySpec extends SparkSpec {
     val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
     assert(result.passed, result.status.toString)
   }
+
+  test("property: mergeFrames matches the row-by-row MERGE model (nullable columns)") {
+    // model: updates replace matched rows column-wise EXCEPT keepFromTarget
+    // columns (which hold the stored value even when it is NULL); unmatched
+    // target rows carry forward; unmatched updates insert
+    val rowGen = for {
+      id <- Gen.chooseNum(0L, 9L)
+      tag <- Gen.option(Gen.oneOf("x", "y", "z"))
+      bal <- Gen.chooseNum(0, 999).map(_ / 10.0)
+    } yield (id, tag, bal)
+    def dedupById(rows: List[(Long, Option[String], Double)]) =
+      rows.groupBy(_._1).map(_._2.head).toList
+    val prop = forAll(Gen.listOfN(8, rowGen), Gen.listOfN(8, rowGen),
+      Gen.oneOf(Set.empty[String], Set("tag"))) { (t0, u0, keep) =>
+      val tRows = dedupById(t0)
+      val uRows = dedupById(u0)
+      val target = tRows.toDF("id", "tag", "bal")
+      val updates = uRows.toDF("id", "tag", "bal")
+      val out = graft.core.Lakehouse.mergeFrames(target, updates, Seq("id"), keep)
+        .as[(Long, Option[String], Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val tMap = tRows.map(r => r._1 -> ((r._2, r._3))).toMap
+      val uMap = uRows.map(r => r._1 -> ((r._2, r._3))).toMap
+      val model = (tMap.keySet ++ uMap.keySet).map { id =>
+        id -> ((tMap.get(id), uMap.get(id)) match {
+          case (Some(t), Some(u)) => (if (keep("tag")) t._1 else u._1, u._2)
+          case (Some(t), None)    => t
+          case (None, Some(u))    => u
+          case (None, None)       => sys.error("unreachable")
+        })
+      }.toMap
+      out == model
+    }
+    val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(result.passed, result.status.toString)
+  }
 }

@@ -69,6 +69,64 @@ object Streams {
         })
   }
 
+  /** One closed activity session. */
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
+  /** Open-session state in the state store (public: the state encoder's
+    * generated code needs constructor access). */
+  case class SessionState(start: Long, lastTs: Long, n: Long, total: Double)
+
+  /** Gap-based sessionization via flatMapGroupsWithState + event-time
+    * timeout — the streaming API surface the simpler state ops can't reach:
+    * a per-user session stays OPEN in the state store while events keep
+    * arriving within `gap`, closes (and emits) either when a later event
+    * leaves a gap inside a batch, or when the WATERMARK passes
+    * last_event + gap and the timeout fires with no new data. State is
+    * bounded by the number of concurrently-open sessions, never by history.
+    * At 100 TB/day this is the wallet-activity-burst summarizer: the
+    * output unit a risk model consumes (bursts, not raw events). */
+  def sessionize(events: Dataset[Ev], gapMs: Long = 1800000L,
+      watermarkAge: String = "1 hour"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    def close(uid: Long, s: SessionState): SessionOut =
+      SessionOut(uid, new java.sql.Timestamp(s.start),
+        new java.sql.Timestamp(s.lastTs), s.n, s.total)
+    events
+      .withWatermark("ts", watermarkAge)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (uid: Long, evs: Iterator[Ev], state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            // watermark passed last_event + gap with no new events
+            val done = close(uid, state.get)
+            state.remove()
+            Iterator(done)
+          } else {
+            // micro-batch iterators are NOT time-ordered — sort before folding
+            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs <= gapMs =>
+                  cur = Some(SessionState(s.start, t, s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed += close(uid, s)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs + gapMs)
+            }
+            closed.result().iterator
+          }
+        })
+  }
+
   /** Sink: MERGE each micro-batch into a lake table by key — streaming and
     * batch share [[Lakehouse.mergeUpsert]] so the exactly-once-per-key
     * upsert semantics are identical in both modes. */

@@ -51,6 +51,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize closes sessions on in-batch gaps AND on watermark timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.sessionize(mem.toDS(), gapMs = 30 * 60000L, watermarkAge = "0 seconds")
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      // batch 1: user 1 has two bursts separated by > 30min IN ONE BATCH —
+      // the first session closes inline; the second stays open
+      mem.addData(
+        Ev(1, ts(0), 1, "purchase", 10.0),
+        Ev(2, ts(5), 1, "purchase", 5.0),
+        Ev(3, ts(60), 1, "purchase", 1.0))
+      q.processAllAvailable()
+      val afterB1 = spark.table("sess")
+        .as[(Long, Timestamp, Timestamp, Long, Double)].collect()
+      assert(afterB1.toSeq == Seq((1L, ts(0), ts(5), 2L, 15.0)), afterB1.toSeq.toString)
+
+      // batch 2: a far-future event from ANOTHER user advances the
+      // watermark past t60 + gap, firing user 1's event-time timeout
+      mem.addData(Ev(4, ts(600), 2, "purchase", 2.0))
+      q.processAllAvailable()
+      // one more batch so the new watermark is applied to the state store
+      mem.addData(Ev(5, ts(601), 2, "purchase", 2.0))
+      q.processAllAvailable()
+      val afterB2 = spark.table("sess")
+        .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSet
+      assert(afterB2.contains((1L, ts(60), ts(60), 1L, 1.0)), afterB2.toString)
+    } finally q.stop()
+  }
+
   test("parquet file source streams the lake: new files arrive as micro-batches") {
     val srcDir = tmpDir("stream-src")
     val outDir = tmpDir("stream-out")

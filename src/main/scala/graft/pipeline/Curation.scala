@@ -1,0 +1,134 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The corpus-curation pipeline: the individual training-data operators
+  * (quality funnel, exact + near dedup, per-domain cap, token packing —
+  * each oracle-checked standalone in `graft.queries`) COMPOSED into the
+  * end-to-end flow a dataset build actually runs, with the dataset-card
+  * drop accounting every published corpus ships.
+  *
+  * Stage order matters and mirrors production practice:
+  *   1. quality gate FIRST (cheapest per row, biggest cut — map-side only),
+  *   2. exact dedup (one hash shuffle over survivors),
+  *   3. near-dup dedup (MinHash-LSH candidates → exact-Jaccard verify over
+  *      candidate pairs only — the O(N²)-free composition),
+  *   4. per-source cap (WindowGroupLimit top-k per domain),
+  *   5. token packing into fixed context budgets per language.
+  *
+  * Every dropped doc leaves with a reason; `report` sums back to the input
+  * count, so the funnel is auditable end-to-end. All shuffles key on
+  * unbounded-cardinality columns (content hash, band buckets, source,
+  * lang) — the plan scales out at 100 TB.
+  */
+object Curation {
+
+  /** kept: surviving docs with (source_rank, n_tokens, chunk_id);
+    * dropped: (doc_id, stage, reason); report: per-(stage, reason) counts +
+    * the kept row. */
+  case class CurationResult(kept: DataFrame, dropped: DataFrame, report: DataFrame)
+
+  private val stops = Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+  private val stopsSqlList = stops.map(w => s"'$w'").mkString(", ")
+
+  /** Quality verdict per row — the t_filter_funnel rules. */
+  private def verdict = {
+    val stopHits = expr(s"size(filter(tk, t -> t IN ($stopsSqlList)))")
+    when(size(col("tk")) < 20, "too_short")
+      .when(length(col("text")) / size(col("tk")) > 5.8, "tokens_too_long")
+      .when(stopHits / size(col("tk")) > 0.15, "stopword_soup")
+      .otherwise("pass")
+  }
+
+  /** MinHash band rows (k=8 salted md5 permutations folded into 4 bands) —
+    * the d_minhash_lsh construction over the survivors only. */
+  private def bands(docs: DataFrame): DataFrame = {
+    val shingles = docs.filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(sequence(1, size(tk) - 2),
+          |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1),
+          |                 element_at(tk, i + 2))))""".stripMargin)).as("s"))
+    val sig = shingles.groupBy("doc_id").agg(
+      (0 until 8).map(i => min(md5(concat(lit(s"$i:"), col("s")))).as(s"h$i")).head,
+      (1 until 8).map(i => min(md5(concat(lit(s"$i:"), col("s")))).as(s"h$i")): _*)
+    sig.select(col("doc_id"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bh"))): _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
+  /** Near-dup victims among `docs`: the larger doc_id of every verified
+    * pair (keep-one-per-group without connected components). */
+  private def nearDupVictims(docs: DataFrame, jaccardMin: Double): DataFrame = {
+    graft.functions.VectorExprs.register(docs.sparkSession)
+    val b = bands(docs)
+    val cand = b.select(col("doc_id").as("a_id"), col("band"), col("bh"))
+      .join(b.select(col("doc_id").as("b_id"), col("band").as("band2"), col("bh").as("bh2")),
+        col("band") === col("band2") && col("bh") === col("bh2") && col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val hsh = docs.filter(size(col("tk")) >= 3).select(col("doc_id"),
+      expr("""array_sort(transform(array_distinct(transform(sequence(1, size(tk) - 2),
+        |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1),
+        |                 element_at(tk, i + 2)))), s -> xxhash64(s)))""".stripMargin).as("hs"))
+    val inter = expr("sorted_intersect_count(a_hs, b_hs)")
+    cand
+      .join(hsh.select(col("doc_id").as("a_id"), col("hs").as("a_hs")), "a_id")
+      .join(hsh.select(col("doc_id").as("b_id"), col("hs").as("b_hs")), "b_id")
+      .filter(inter / (size(col("a_hs")) + size(col("b_hs")) - inter) >= jaccardMin)
+      .select(col("b_id").as("doc_id")).distinct()
+  }
+
+  /** Run the full funnel. `docs` needs (doc_id, text, lang, source). */
+  def curate(docs: DataFrame, maxPerSource: Int = 1000,
+      tokensPerChunk: Long = 4096L, jaccardMin: Double = 0.5): CurationResult = {
+    val base = docs.withColumn("tk", split(col("text"), " "))
+
+    // 1. quality gate (map-side)
+    val judged = base.withColumn("verdict", verdict)
+    val q = judged.filter(col("verdict") === "pass")
+    val dropQuality = judged.filter(col("verdict") =!= "pass")
+      .select(col("doc_id"), lit("quality").as("stage"), col("verdict").as("reason"))
+
+    // 2. exact dedup: keep the lowest doc_id per content hash
+    val keyed = q.withColumn("content_key", md5(col("text")))
+    val keeper = keyed.groupBy("content_key").agg(min("doc_id").as("keep_id"))
+    val exact = keyed.join(keeper, "content_key")
+    val afterExact = exact.filter(col("doc_id") === col("keep_id"))
+      .drop("content_key", "keep_id")
+    val dropExact = exact.filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id"), lit("exact_dedup").as("stage"), lit("duplicate").as("reason"))
+
+    // 3. near-dup dedup over exact-dedup survivors
+    val victims = nearDupVictims(afterExact, jaccardMin)
+    val afterNear = afterExact.join(victims, Seq("doc_id"), "left_anti")
+    val dropNear = victims
+      .select(col("doc_id"), lit("near_dedup").as("stage"), lit("near_duplicate").as("reason"))
+
+    // 4. per-source cap, longest preferred (WindowGroupLimit shape)
+    val wCap = Window.partitionBy("source").orderBy(length(col("text")).desc, col("doc_id"))
+    val ranked = afterNear.withColumn("source_rank", row_number().over(wCap))
+    val afterCap = ranked.filter(col("source_rank") <= maxPerSource)
+    val dropCap = ranked.filter(col("source_rank") > maxPerSource)
+      .select(col("doc_id"), lit("domain_cap").as("stage"), lit("over_cap").as("reason"))
+
+    // 5. token packing per language (t_token_pack shape)
+    val wPack = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val kept = afterCap
+      .withColumn("n_tokens",
+        expr("aggregate(transform(tk, w -> bigint((length(w) + 3) div 4)), 0L, (a, x) -> a + x)"))
+      .withColumn("chunk_id",
+        ((sum(col("n_tokens")).over(wPack) - col("n_tokens")) / lit(tokensPerChunk)).cast("long"))
+      .drop("tk", "verdict")
+
+    val dropped = dropQuality.unionByName(dropExact).unionByName(dropNear)
+      .unionByName(dropCap)
+    val report = dropped.groupBy("stage", "reason").agg(count(lit(1)).as("n_docs"))
+      .unionByName(kept.select(lit("kept").as("stage"), lit("kept").as("reason"))
+        .groupBy("stage", "reason").agg(count(lit(1)).as("n_docs")))
+    CurationResult(kept, dropped, report)
+  }
+}

@@ -499,6 +499,70 @@ object DedupQueries {
       assign.join(dups, assign("vec_id") === dups("dup_id"), "left_outer")
         .select(col("vec_id"), col("cid").as("cell_id"),
           col("dup_id").isNull.as("is_kept"))
+    },
+
+    // --------------------------------------------------------------- DEDUP-8
+    // The COMPOSED curation funnel (pipeline/Curation.curate) under the
+    // oracle gate: quality rules → exact dedup → LSH-verified near-dup →
+    // per-source cap, with the dataset-card drop accounting as output. The
+    // oracle recomputes all stages over the same corpus, so the stage
+    // ORDER and hand-offs — not just each operator — are hash-checked.
+    QueryDef("curation_funnel",
+      s"""WITH base AS (
+         |  SELECT doc_id, text, source, string_split(text, ' ') AS tk FROM documents),
+         |judged AS (
+         |  SELECT *, CASE
+         |    WHEN len(tk) < 20 THEN 'too_short'
+         |    WHEN length(text) / len(tk) > 5.8 THEN 'tokens_too_long'
+         |    WHEN len(list_filter(tk, t -> t IN ('the','a','of','and','to','in','is','it','for','on')))
+         |         / len(tk) > 0.15 THEN 'stopword_soup'
+         |    ELSE 'pass' END AS verdict
+         |  FROM base),
+         |q AS (SELECT * FROM judged WHERE verdict = 'pass'),
+         |dropq AS (SELECT doc_id, 'quality' AS stage, verdict AS reason
+         |          FROM judged WHERE verdict <> 'pass'),
+         |keyed AS (SELECT *, md5(text) AS ck FROM q),
+         |keeper AS (SELECT ck, MIN(doc_id) AS keep_id FROM keyed GROUP BY ck),
+         |exact AS (SELECT k.doc_id, k.text, k.source, k.tk, kp.keep_id
+         |          FROM keyed k JOIN keeper kp ON k.ck = kp.ck),
+         |ae AS (SELECT doc_id, text, source, tk FROM exact WHERE doc_id = keep_id),
+         |dropx AS (SELECT doc_id, 'exact_dedup' AS stage, 'duplicate' AS reason
+         |          FROM exact WHERE doc_id <> keep_id),
+         |sh AS (SELECT doc_id, $shinglesSql AS sh
+         |       FROM (SELECT doc_id, text FROM ae) WHERE len(string_split(text,' ')) >= 3),
+         |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+         |sig AS (SELECT doc_id, $sigSqlCols FROM ex GROUP BY doc_id),
+         |bands AS (
+         |  $bandsSqlUnion),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |ver AS (
+         |  SELECT DISTINCT c.b_id AS doc_id
+         |  FROM cand c JOIN sh sa ON sa.doc_id = c.a_id JOIN sh sb ON sb.doc_id = c.b_id
+         |  WHERE len(list_intersect(sa.sh, sb.sh))
+         |      / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5),
+         |an AS (SELECT ae.* FROM ae LEFT JOIN ver ON ae.doc_id = ver.doc_id
+         |       WHERE ver.doc_id IS NULL),
+         |dropn AS (SELECT doc_id, 'near_dedup' AS stage, 'near_duplicate' AS reason FROM ver),
+         |ranked AS (
+         |  SELECT doc_id, source,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY length(text) DESC, doc_id) AS rn
+         |  FROM an),
+         |ac AS (SELECT doc_id FROM ranked WHERE rn <= 15),
+         |dropc AS (SELECT doc_id, 'domain_cap' AS stage, 'over_cap' AS reason
+         |          FROM ranked WHERE rn > 15),
+         |dropped AS (
+         |  SELECT * FROM dropq UNION ALL SELECT * FROM dropx
+         |  UNION ALL SELECT * FROM dropn UNION ALL SELECT * FROM dropc)
+         |SELECT stage, reason, COUNT(*) AS n_docs FROM dropped GROUP BY stage, reason
+         |UNION ALL
+         |SELECT 'kept' AS stage, 'kept' AS reason, COUNT(*) AS n_docs FROM ac""".stripMargin) { (s, dir) =>
+      graft.pipeline.Curation
+        .curate(Graft.table(s, dir, "documents"), maxPerSource = 15)
+        .report
     }
   )
 }

@@ -1,0 +1,60 @@
+package graft
+
+import graft.pipeline.Curation
+import org.apache.spark.sql.functions._
+
+/** The composed corpus-curation funnel: quality gate → exact dedup →
+  * near-dup dedup → per-source cap → token packing, with dataset-card
+  * accounting. Invariants, not goldens: the stages are individually
+  * oracle-checked in `graft.queries`; this pins their COMPOSITION. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+  private lazy val result = Curation.curate(docs, maxPerSource = 15)
+
+  test("accounting: kept + dropped = input, with no doc in both") {
+    val n = docs.count()
+    val kept = result.kept.select("doc_id")
+    val dropped = result.dropped.select("doc_id")
+    assert(kept.count() + dropped.count() == n)
+    assert(kept.intersect(dropped).count() == 0)
+    // the report sums back to the input count
+    assert(result.report.agg(sum("n_docs")).head.getLong(0) == n)
+  }
+
+  test("every stage drops something on this corpus and reasons are typed") {
+    val stages = result.dropped.select("stage").distinct()
+      .as[String].collect().toSet
+    assert(stages.contains("quality"))
+    assert(stages.contains("domain_cap"))
+    // dedup stages exist on the synthetic corpus (it carries planted dups)
+    assert(stages.contains("exact_dedup") || stages.contains("near_dedup"), stages.toString)
+  }
+
+  test("kept set has no exact duplicates and respects the source cap") {
+    val dupKeys = result.kept.groupBy(md5(col("text"))).count()
+      .filter(col("count") > 1).count()
+    assert(dupKeys == 0)
+    val overCap = result.kept.groupBy("source").count().filter(col("count") > 15).count()
+    assert(overCap == 0)
+  }
+
+  test("chunks respect the token budget for multi-doc chunks") {
+    // a chunk may exceed the budget only via its LAST doc (greedy fill
+    // assigns a doc to the chunk its first token lands in); every chunk's
+    // PRIOR docs fit the budget by construction
+    val bad = result.kept
+      .groupBy("lang", "chunk_id")
+      .agg(sum("n_tokens").as("t"), max("n_tokens").as("m"), count(lit(1)).as("c"))
+      .filter(col("c") > 1 && col("t") - col("m") > 4096L)
+      .count()
+    assert(bad == 0)
+  }
+
+  test("curate is deterministic: two runs produce identical kept sets") {
+    val again = Curation.curate(docs, maxPerSource = 15)
+    assert(result.kept.exceptAll(again.kept).count() == 0)
+    assert(again.kept.exceptAll(result.kept).count() == 0)
+  }
+}

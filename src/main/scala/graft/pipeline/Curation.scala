@@ -81,9 +81,20 @@ object Curation {
       .select(col("b_id").as("doc_id")).distinct()
   }
 
-  /** Run the full funnel. `docs` needs (doc_id, text, lang, source). */
+  private val shingleExpr = expr(
+    """array_distinct(transform(sequence(1, size(tk) - 2),
+      |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1),
+      |                 element_at(tk, i + 2))))""".stripMargin)
+
+  /** Run the full funnel. `docs` needs (doc_id, text, lang, source).
+    * `benchmark` (docs-shaped) enables the decontamination stage: any doc
+    * sharing >= 3 distinct word-3-grams with the held-out set drops —
+    * verbatim benchmark copies and near-verbatim paraphrases alike. The
+    * benchmark side is tiny by definition, so its distinct shingles
+    * broadcast; the corpus side stays map-side + one groupBy. */
   def curate(docs: DataFrame, maxPerSource: Int = 1000,
-      tokensPerChunk: Long = 4096L, jaccardMin: Double = 0.5): CurationResult = {
+      tokensPerChunk: Long = 4096L, jaccardMin: Double = 0.5,
+      benchmark: Option[DataFrame] = None): CurationResult = {
     val base = docs.withColumn("tk", split(col("text"), " "))
 
     // 1. quality gate (map-side)
@@ -107,9 +118,28 @@ object Curation {
     val dropNear = victims
       .select(col("doc_id"), lit("near_dedup").as("stage"), lit("near_duplicate").as("reason"))
 
+    // 3b. decontamination vs the held-out benchmark (when provided)
+    val (afterContam, dropContam) = benchmark match {
+      case None => (afterNear, None)
+      case Some(b) =>
+        val benchShingles = b.withColumn("tk", split(col("text"), " "))
+          .filter(size(col("tk")) >= 3)
+          .select(explode(shingleExpr).as("s")).distinct()
+        val contaminated = afterNear.filter(size(col("tk")) >= 3)
+          .select(col("doc_id"), explode(shingleExpr).as("s"))
+          .join(broadcast(benchShingles), "s")
+          .groupBy("doc_id")
+          .agg(countDistinct(col("s")).as("n_shared"))
+          .filter(col("n_shared") >= 3)
+          .select("doc_id")
+        (afterNear.join(contaminated, Seq("doc_id"), "left_anti"),
+          Some(contaminated.select(col("doc_id"),
+            lit("contamination").as("stage"), lit("benchmark_overlap").as("reason"))))
+    }
+
     // 4. per-source cap, longest preferred (WindowGroupLimit shape)
     val wCap = Window.partitionBy("source").orderBy(length(col("text")).desc, col("doc_id"))
-    val ranked = afterNear.withColumn("source_rank", row_number().over(wCap))
+    val ranked = afterContam.withColumn("source_rank", row_number().over(wCap))
     val afterCap = ranked.filter(col("source_rank") <= maxPerSource)
     val dropCap = ranked.filter(col("source_rank") > maxPerSource)
       .select(col("doc_id"), lit("domain_cap").as("stage"), lit("over_cap").as("reason"))
@@ -124,7 +154,8 @@ object Curation {
         ((sum(col("n_tokens")).over(wPack) - col("n_tokens")) / lit(tokensPerChunk)).cast("long"))
       .drop("tk", "verdict")
 
-    val dropped = dropQuality.unionByName(dropExact).unionByName(dropNear)
+    val dropped = dropContam.foldLeft(
+        dropQuality.unionByName(dropExact).unionByName(dropNear))(_ unionByName _)
       .unionByName(dropCap)
     val report = dropped.groupBy("stage", "reason").agg(count(lit(1)).as("n_docs"))
       .unionByName(kept.select(lit("kept").as("stage"), lit("kept").as("reason"))

@@ -546,22 +546,40 @@ object DedupQueries {
          |an AS (SELECT ae.* FROM ae LEFT JOIN ver ON ae.doc_id = ver.doc_id
          |       WHERE ver.doc_id IS NULL),
          |dropn AS (SELECT doc_id, 'near_dedup' AS stage, 'near_duplicate' AS reason FROM ver),
+         |bench AS (
+         |  SELECT DISTINCT unnest(sh) AS s FROM (
+         |    SELECT doc_id, $shinglesSql AS sh
+         |    FROM (SELECT doc_id, text FROM documents WHERE doc_id < 25)
+         |    WHERE len(string_split(text, ' ')) >= 3)),
+         |cont AS (
+         |  SELECT e.doc_id FROM (
+         |    SELECT a.doc_id, unnest(s.sh) AS s
+         |    FROM an a JOIN sh s ON s.doc_id = a.doc_id) e
+         |  JOIN bench b ON e.s = b.s
+         |  GROUP BY e.doc_id HAVING COUNT(DISTINCT e.s) >= 3),
+         |ad AS (SELECT an.* FROM an LEFT JOIN cont ON an.doc_id = cont.doc_id
+         |       WHERE cont.doc_id IS NULL),
+         |dropt AS (SELECT doc_id, 'contamination' AS stage,
+         |                 'benchmark_overlap' AS reason FROM cont),
          |ranked AS (
          |  SELECT doc_id, source,
          |    ROW_NUMBER() OVER (PARTITION BY source
          |      ORDER BY length(text) DESC, doc_id) AS rn
-         |  FROM an),
+         |  FROM ad),
          |ac AS (SELECT doc_id FROM ranked WHERE rn <= 15),
          |dropc AS (SELECT doc_id, 'domain_cap' AS stage, 'over_cap' AS reason
          |          FROM ranked WHERE rn > 15),
          |dropped AS (
          |  SELECT * FROM dropq UNION ALL SELECT * FROM dropx
-         |  UNION ALL SELECT * FROM dropn UNION ALL SELECT * FROM dropc)
+         |  UNION ALL SELECT * FROM dropn UNION ALL SELECT * FROM dropt
+         |  UNION ALL SELECT * FROM dropc)
          |SELECT stage, reason, COUNT(*) AS n_docs FROM dropped GROUP BY stage, reason
          |UNION ALL
          |SELECT 'kept' AS stage, 'kept' AS reason, COUNT(*) AS n_docs FROM ac""".stripMargin) { (s, dir) =>
+      val d = Graft.table(s, dir, "documents")
       graft.pipeline.Curation
-        .curate(Graft.table(s, dir, "documents"), maxPerSource = 15)
+        .curate(d, maxPerSource = 15,
+          benchmark = Some(d.filter(col("doc_id") < 25)))
         .report
     }
   )

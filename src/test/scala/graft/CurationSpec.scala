@@ -52,6 +52,28 @@ class CurationSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("decontamination: no kept doc shares >= 3 distinct 3-grams with the benchmark") {
+    val bench = docs.filter(col("doc_id") < 25)
+    val r = Curation.curate(docs, maxPerSource = 15, benchmark = Some(bench))
+    assert(r.dropped.filter(col("stage") === "contamination").count() > 0)
+    // verify the kept set independently: recompute the overlap from scratch
+    val shingles = (d: org.apache.spark.sql.DataFrame) =>
+      d.withColumn("tk", split(col("text"), " "))
+        .filter(size(col("tk")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          """array_distinct(transform(sequence(1, size(tk) - 2),
+            |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1),
+            |                 element_at(tk, i + 2))))""".stripMargin)).as("s"))
+    val benchS = shingles(bench).select("s").distinct()
+    val bad = shingles(docs.join(r.kept.select("doc_id"), "doc_id"))
+      .join(benchS, "s")
+      .groupBy("doc_id").agg(countDistinct(col("s")).as("n"))
+      .filter(col("n") >= 3).count()
+    assert(bad == 0)
+    // accounting still closes with the extra stage
+    assert(r.kept.count() + r.dropped.count() == docs.count())
+  }
+
   test("curate is deterministic: two runs produce identical kept sets") {
     val again = Curation.curate(docs, maxPerSource = 15)
     assert(result.kept.exceptAll(again.kept).count() == 0)

@@ -54,4 +54,15 @@ class PlanSpec extends SparkSpec {
     // sort every group — the difference between top-k and full-sort at scale
     assert(p.contains("WindowGroupLimit"), p)
   }
+
+  test("no query in the inventory plans a CartesianProduct") {
+    // every deliberate cross join in the inventory is against a bounded
+    // broadcast side (1-row scalars, centroid codebooks) and must compile
+    // to BroadcastNestedLoopJoin; a CartesianProduct anywhere is a scale
+    // regression even when results stay correct
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val p = planString(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+    }
+  }
 }

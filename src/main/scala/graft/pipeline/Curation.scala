@@ -64,7 +64,9 @@ object Curation {
     * pair (keep-one-per-group without connected components). */
   private def nearDupVictims(docs: DataFrame, jaccardMin: Double): DataFrame = {
     graft.functions.VectorExprs.register(docs.sparkSession)
-    val b = bands(docs)
+    // persist: the candidate join consumes the band rows on BOTH sides —
+    // without it the signature pass (explode + 8-way min groupBy) runs twice
+    val b = bands(docs).persist()
     val cand = b.select(col("doc_id").as("a_id"), col("band"), col("bh"))
       .join(b.select(col("doc_id").as("b_id"), col("band").as("band2"), col("bh").as("bh2")),
         col("band") === col("band2") && col("bh") === col("bh2") && col("a_id") < col("b_id"))

@@ -74,12 +74,17 @@ object DedupQueries {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
   }
 
-  /** Spark side: distinct candidate (a_id < b_id) pairs sharing any band. */
-  private def candidatePairs(bands: DataFrame): DataFrame =
+  /** Spark side: distinct candidate (a_id < b_id) pairs sharing any band.
+    * The input is persisted before the self-join — both join sides consume
+    * it, and without the persist the whole signature pass (explode +
+    * 8-way min groupBy, the expensive stage) executes twice. */
+  private def candidatePairs(bands0: DataFrame): DataFrame = {
+    val bands = bands0.persist()
     bands.select(col("doc_id").as("a_id"), col("band"), col("bh"))
       .join(bands.select(col("doc_id").as("b_id"), col("band").as("band2"), col("bh").as("bh2")),
         col("band") === col("band2") && col("bh") === col("bh2") && col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
+  }
 
   private def emb(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExprs.register(s)
@@ -408,7 +413,10 @@ object DedupQueries {
       val cut = all.agg(max("doc_id")).head.getLong(0) * 4 / 5
       val base = docs(s, dir).filter(size(col("tk")) >= 3)
       val sh = base.select(col("doc_id"), explode(shinglesExpr).as("s"))
-      val bands = minhashBands(sh)
+      // persist: both sides of the bucket join consume the band rows —
+      // without it the full signature pass (the expensive explode+groupBy)
+      // executes twice
+      val bands = minhashBands(sh).persist()
       // asymmetric probe: ONLY the batch's bands drive the bucket join
       val bb = bands.filter(col("doc_id") >= cut)
         .select(col("doc_id").as("b_id"), col("band").as("band2"), col("bh").as("bh2"))

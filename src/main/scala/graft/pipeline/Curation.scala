@@ -99,8 +99,12 @@ object Curation {
       benchmark: Option[DataFrame] = None): CurationResult = {
     val base = docs.withColumn("tk", split(col("text"), " "))
 
+    // Stage outputs persist because every stage forks into a kept branch
+    // and a dropped branch (plus the report union) — without the persists
+    // each fork re-executes the whole upstream funnel. In production these
+    // are the lake tables between stages; persist() is the in-session form.
     // 1. quality gate (map-side)
-    val judged = base.withColumn("verdict", verdict)
+    val judged = base.withColumn("verdict", verdict).persist()
     val q = judged.filter(col("verdict") === "pass")
     val dropQuality = judged.filter(col("verdict") =!= "pass")
       .select(col("doc_id"), lit("quality").as("stage"), col("verdict").as("reason"))
@@ -108,14 +112,15 @@ object Curation {
     // 2. exact dedup: keep the lowest doc_id per content hash
     val keyed = q.withColumn("content_key", md5(col("text")))
     val keeper = keyed.groupBy("content_key").agg(min("doc_id").as("keep_id"))
-    val exact = keyed.join(keeper, "content_key")
+    val exact = keyed.join(keeper, "content_key").persist()
     val afterExact = exact.filter(col("doc_id") === col("keep_id"))
       .drop("content_key", "keep_id")
     val dropExact = exact.filter(col("doc_id") =!= col("keep_id"))
       .select(col("doc_id"), lit("exact_dedup").as("stage"), lit("duplicate").as("reason"))
 
-    // 3. near-dup dedup over exact-dedup survivors
-    val victims = nearDupVictims(afterExact, jaccardMin)
+    // 3. near-dup dedup over exact-dedup survivors (victims persist: the
+    // anti-join AND the drop report both consume the full LSH detection)
+    val victims = nearDupVictims(afterExact, jaccardMin).persist()
     val afterNear = afterExact.join(victims, Seq("doc_id"), "left_anti")
     val dropNear = victims
       .select(col("doc_id"), lit("near_dedup").as("stage"), lit("near_duplicate").as("reason"))
@@ -133,7 +138,7 @@ object Curation {
           .groupBy("doc_id")
           .agg(countDistinct(col("s")).as("n_shared"))
           .filter(col("n_shared") >= 3)
-          .select("doc_id")
+          .select("doc_id").persist()
         (afterNear.join(contaminated, Seq("doc_id"), "left_anti"),
           Some(contaminated.select(col("doc_id"),
             lit("contamination").as("stage"), lit("benchmark_overlap").as("reason"))))
@@ -141,7 +146,7 @@ object Curation {
 
     // 4. per-source cap, longest preferred (WindowGroupLimit shape)
     val wCap = Window.partitionBy("source").orderBy(length(col("text")).desc, col("doc_id"))
-    val ranked = afterContam.withColumn("source_rank", row_number().over(wCap))
+    val ranked = afterContam.withColumn("source_rank", row_number().over(wCap)).persist()
     val afterCap = ranked.filter(col("source_rank") <= maxPerSource)
     val dropCap = ranked.filter(col("source_rank") > maxPerSource)
       .select(col("doc_id"), lit("domain_cap").as("stage"), lit("over_cap").as("reason"))

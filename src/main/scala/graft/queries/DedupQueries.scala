@@ -132,8 +132,11 @@ object DedupQueries {
          |WHERE len(list_intersect(a.sh, b.sh))
          |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.1""".stripMargin) { (s, dir) =>
       graft.functions.VectorExprs.register(s)
+      // persist: both self-join sides consume the hashed-shingle rows —
+      // the per-row shingle hash+sort would otherwise run twice
       val sh = docs(s, dir).filter(size(col("tk")) >= 3)
         .select(col("doc_id"), element_at(col("tk"), 1).as("blk"), hashedShinglesExpr.as("sh"))
+        .persist()
       val a = sh.select(col("doc_id").as("a_id"), col("blk"), col("sh").as("a_sh"))
       val b = sh.select(col("doc_id").as("b_id"), col("blk").as("b_blk"), col("sh").as("b_sh"))
       // |A∩B| via the native sorted-merge expression; |A∪B| = |A|+|B|-|A∩B|

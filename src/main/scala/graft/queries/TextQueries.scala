@@ -221,11 +221,14 @@ object TextQueries {
         |FROM sh c JOIN bench b ON c.s = b.s
         |WHERE c.doc_id >= 25
         |GROUP BY c.doc_id""".stripMargin) { (s, dir) =>
+      // persist: the benchmark side and the corpus side both explode the
+      // same shingle rows — one materialization serves both
       val shingles = docs(s, dir).filter(size(col("tk")) >= 3)
         .select(col("doc_id"), explode(expr(
           """array_distinct(transform(sequence(1, size(tk) - 2),
             |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1),
             |                 element_at(tk, i + 2))))""".stripMargin)).as("s"))
+        .persist()
       val bench = shingles.filter(col("doc_id") < 25).select("s").distinct()
       shingles.filter(col("doc_id") >= 25)
         .join(broadcast(bench), "s")

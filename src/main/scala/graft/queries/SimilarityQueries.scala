@@ -359,6 +359,143 @@ object SimilarityQueries {
         .withColumn("rank", row_number().over(wRank))
         .filter(col("rank") <= 5)
         .select("q_id", "rank", "n_id", "cos_sim")
+    },
+
+    // ----------------------------------------------------------------- ANN-5
+    // Product quantization + asymmetric distance (ADC): the memory-bound
+    // 100 TB scan path. The corpus is compressed to m=8 one-byte codes per
+    // vector (argmin-L2 against a 16-centroid codebook per subspace — a
+    // 64-dim float vector becomes 8 bytes, 32x), and a query scans CODES,
+    // not vectors: its distance table (m x 16 exact subvector distances)
+    // broadcasts, the scan is a code lookup + sum. Everything stays in
+    // exact int64 (quantized subvectors, squared L2, LongDot for the cross
+    // terms), so codes, distance tables, and the final ranking are
+    // bit-identical across engines and at any parallelism.
+    //
+    // Scale notes: the encode argmin is min(struct(d2, cid)) — a map-side
+    // combinable hash aggregate over the (vector x subspace x centroid)
+    // candidates, NOT a row_number window (no N x m x k sort, no skew).
+    // The ADC join broadcasts only LUT rows (queries x m x 16); the one
+    // shuffle is the per-(query, candidate) sum of 8 partial distances.
+    QueryDef("ann_ivf_pq",
+      s"""WITH n0 AS (
+         |  SELECT vec_id, $quantSql AS qv,
+         |    CAST(list_sum(list_transform($quantSql, x -> x * x)) AS BIGINT) AS nq
+         |  FROM embeddings),
+         |n AS (
+         |  SELECT vec_id, list_transform(qv, x ->
+         |    CAST(floor(CAST(x AS DOUBLE) * 1000000
+         |      / sqrt(CAST(GREATEST(nq, 1) AS DOUBLE))) AS BIGINT)) AS qv
+         |  FROM n0),
+         |sp AS (SELECT GREATEST(1, COUNT(*) // 16) AS stride FROM n),
+         |sub AS (
+         |  SELECT vec_id, t.j,
+         |    qv[1 + t.j * (len(qv) // 8) : (t.j + 1) * (len(qv) // 8)] AS subv
+         |  FROM n, UNNEST(generate_series(0, 7)) AS t(j)),
+         |cb AS (
+         |  SELECT vec_id // (SELECT stride FROM sp) AS cid, j, subv AS cqv,
+         |    CAST(list_sum(list_transform(subv, x -> x * x)) AS BIGINT) AS cnq
+         |  FROM sub
+         |  WHERE vec_id % (SELECT stride FROM sp) = 0
+         |    AND vec_id // (SELECT stride FROM sp) < 16),
+         |enc AS (
+         |  SELECT vec_id, j, cid AS code FROM (
+         |    SELECT s.vec_id, s.j, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+         |        c.cnq - 2 * CAST(list_sum(list_transform(
+         |          list_zip(s.subv, c.cqv), p -> p[1] * p[2])) AS BIGINT),
+         |        c.cid) AS rn
+         |    FROM sub s JOIN cb c ON s.j = c.j)
+         |  WHERE rn = 1),
+         |lut AS (
+         |  SELECT s.vec_id AS q_id, s.j, c.cid,
+         |    CAST(list_sum(list_transform(s.subv, x -> x * x)) AS BIGINT)
+         |      - 2 * CAST(list_sum(list_transform(
+         |          list_zip(s.subv, c.cqv), p -> p[1] * p[2])) AS BIGINT)
+         |      + c.cnq AS d
+         |  FROM sub s JOIN cb c ON s.j = c.j WHERE s.vec_id < 8),
+         |adc AS (
+         |  SELECT l.q_id, e.vec_id AS n_id, CAST(SUM(l.d) AS BIGINT) AS adc_dist
+         |  FROM enc e JOIN lut l ON l.j = e.j AND l.cid = e.code
+         |    AND e.vec_id <> l.q_id
+         |  GROUP BY l.q_id, e.vec_id),
+         |short AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY adc_dist, n_id) AS srank FROM adc)
+         |  WHERE srank <= 50),
+         |pairs AS (
+         |  SELECT s.q_id, s.n_id,
+         |    CAST(CAST(list_sum(list_transform(list_zip(q.qv, c.qv), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
+         |      / (sqrt(CAST(q.nq AS DOUBLE)) * sqrt(CAST(c.nq AS DOUBLE))) AS cos_sim
+         |  FROM short s JOIN n0 q ON q.vec_id = s.q_id
+         |  JOIN n0 c ON c.vec_id = s.n_id),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY cos_sim DESC, n_id) AS rank FROM pairs)
+         |SELECT q_id, rank, n_id, cos_sim FROM ranked WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      // L2 on UNIT vectors is a monotone transform of cosine, so the PQ
+      // ranking approximates the same metric the exact baseline uses.
+      // Normalization stays cross-engine exact: int*1e6 is exact below
+      // 2^53, then one correctly-rounded div+sqrt+floor each (IEEE).
+      val base = emb(s, dir)
+        .select(col("vec_id"), expr("transform(qv, x -> bigint(floor(" +
+          "cast(x as double) * 1000000 / sqrt(cast(greatest(nq, 1) as double)))))")
+          .as("qv"))
+      val stride = math.max(1L, Graft.table(s, dir, "embeddings").count() / 16)
+      // subspace explode: 8 rows per vector, each an exact-int subvector
+      val sub = base
+        .select(col("vec_id"), col("qv"), explode(expr("sequence(0, 7)")).as("j"))
+        .withColumn("subv",
+          expr("slice(qv, 1 + j * (size(qv) div 8), size(qv) div 8)"))
+        .drop("qv")
+      val cb = sub
+        .filter(col("vec_id") % stride === 0 && expr(s"vec_id div $stride") < 16)
+        .select(expr(s"vec_id div $stride").as("cid"), col("j").as("c_j"),
+          col("subv").as("cqv"))
+        .withColumn("cnq", expr("long_dot(cqv, cqv)"))
+      // encode: argmin over centroids of ||subv - cqv||^2; the subv norm is
+      // constant per (vector, subspace), so the argmin key is cnq - 2*dot.
+      // min(struct(...)) is partial-aggregatable (map-side combine), unlike
+      // a ROW_NUMBER window — the shuffle carries N x 8 combined rows, not
+      // N x 8 x 16 sorted candidates.
+      val codes = sub.join(broadcast(cb), col("j") === col("c_j"))
+        .withColumn("d2", col("cnq") - lit(2L) * expr("long_dot(subv, cqv)"))
+        .groupBy("vec_id", "j")
+        .agg(min(struct(col("d2"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("j").as("e_j"), col("m.cid").as("code"))
+      // the query-side distance table: TRUE subspace L2 (norm included) so
+      // the summed ADC distance is the real ||q - reconstruction||^2
+      val lut = sub.filter(col("vec_id") < 8)
+        .join(broadcast(cb), col("j") === col("c_j"))
+        .withColumn("d", expr("long_dot(subv, subv)")
+          - lit(2L) * expr("long_dot(subv, cqv)") + col("cnq"))
+        .select(col("vec_id").as("q_id"), col("j").as("l_j"),
+          col("cid").as("l_cid"), col("d"))
+      // stage 1: the compressed scan — ADC shortlist of 50 per query.
+      // stage 2: exact re-rank of the shortlist only (the production IR
+      // shape: full-precision math touches 50 rows/query, never the corpus).
+      val wS = Window.partitionBy("q_id").orderBy(col("adc_dist").asc, col("n_id").asc)
+      val short = codes.join(broadcast(lut),
+          col("e_j") === col("l_j") && col("code") === col("l_cid") &&
+            col("vec_id") =!= col("q_id"))
+        .groupBy(col("q_id"), col("vec_id").as("n_id"))
+        .agg(sum(col("d")).as("adc_dist"))
+        .withColumn("srank", row_number().over(wS))
+        .filter(col("srank") <= 50)
+        .select("q_id", "n_id")
+      val exact = emb(s, dir).select("vec_id", "qv", "nq")
+      val wR = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id").asc)
+      broadcast(short)
+        .join(exact, col("n_id") === col("vec_id")) // corpus side: no shuffle
+        .select(col("q_id"), col("n_id"), col("qv").as("c_qv"), col("nq").as("c_nq"))
+        .join(broadcast(exact.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qq_id"), col("qv").as("q_qv"),
+            col("nq").as("q_nq"))), col("qq_id") === col("q_id"))
+        .withColumn("cos_sim", cosCol)
+        .withColumn("rank", row_number().over(wR))
+        .filter(col("rank") <= 5)
+        .select("q_id", "rank", "n_id", "cos_sim")
     }
   )
 }

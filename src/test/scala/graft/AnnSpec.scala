@@ -41,11 +41,28 @@ class AnnSpec extends SparkSpec {
     val lsh = recall(topSets("ann_lsh_bucket"))
     val ivf = recall(topSets("ann_ivf"))
     val kmeans = recall(topSets("ann_ivf_kmeans"))
+    val pq = recall(topSets("ann_ivf_pq"))
     // floors far below observed values — these fail only if the
-    // parameterization collapses (e.g. empty buckets / lost probes)
+    // parameterization collapses (e.g. empty buckets / lost probes).
+    // PQ shortlists on normalized-vector ADC then re-ranks exactly, so its
+    // recall measures shortlist coverage (observed 0.63 at 500 vectors).
     assert(lsh >= 0.3, s"LSH multiprobe recall $lsh")
     assert(ivf >= 0.3, s"IVF 2-probe recall $ivf")
     assert(kmeans >= 0.3, s"k-means IVF 2-probe recall $kmeans")
-    info(f"recall@5: lsh=$lsh%.2f ivf=$ivf%.2f ivf_kmeans=$kmeans%.2f")
+    assert(pq >= 0.3, s"PQ/ADC shortlist recall $pq")
+    info(f"recall@5: lsh=$lsh%.2f ivf=$ivf%.2f ivf_kmeans=$kmeans%.2f pq=$pq%.2f")
+  }
+
+  test("PQ re-rank output is exact cosine, monotone with rank, 5 per query") {
+    val out = SparkEntry.queries("ann_ivf_pq")(spark, sf)
+      .select("q_id", "rank", "n_id", "cos_sim").collect()
+      .groupBy(_.getLong(0))
+    out.values.foreach { rows =>
+      assert(rows.length == 5)
+      val byRank = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"re-ranked cosines not monotone with rank: ${byRank.mkString(",")}")
+    }
+    assert(out.size == 8)
   }
 }

@@ -127,6 +127,34 @@ object Streams {
         })
   }
 
+  /** One transaction / one receipt as their streams see them. */
+  case class Tx(tx_hash: String, ts: java.sql.Timestamp, wallet: String,
+      amount: Double)
+  case class Receipt(r_hash: String, r_ts: java.sql.Timestamp, status: Int,
+      gas_used: Long)
+
+  /** Stream-stream watermarked interval join — the raw layer's
+    * transactions⋈receipts merge (J1, raw_data_ingestion_pipeline.py:142-172)
+    * when both feeds are live streams instead of staged batches.
+    *
+    * The event-time bound (`r_ts` within [ts, ts + window]) plus watermarks
+    * on BOTH inputs is what makes the join's state finite: each side
+    * buffers only rows younger than the watermark horizon, so state is
+    * O(arrival rate x window), never O(history) — the property that lets
+    * this run forever at 100 TB/day. Left-outer emits a tx with NULL
+    * receipt columns once the watermark proves no receipt can still
+    * arrive (matching the raw merge's keep-unreceipted-tx semantics). */
+  def txWithReceipts(tx: DataFrame, receipts: DataFrame,
+      watermarkAge: String = "1 hour", window: String = "30 minutes",
+      joinType: String = "leftOuter"): DataFrame =
+    tx.withWatermark("ts", watermarkAge)
+      .join(receipts.withWatermark("r_ts", watermarkAge),
+        expr(s"r_hash = tx_hash AND r_ts >= ts AND r_ts <= ts + interval $window"),
+        joinType)
+      .select(col("tx_hash"), col("ts"), col("wallet"), col("amount"),
+        col("status").as("receipt_status"),
+        col("gas_used").as("receipt_gas_used"))
+
   /** Sink: MERGE each micro-batch into a lake table by key — streaming and
     * batch share [[Lakehouse.mergeUpsert]] so the exactly-once-per-key
     * upsert semantics are identical in both modes. */

@@ -81,6 +81,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join ≡ batch join; left-outer emits after watermark") {
+    import graft.streaming.Streams.{Tx, Receipt}
+    implicit val sqlCtx = spark.sqlContext
+    val txm = MemoryStream[Tx]
+    val rcm = MemoryStream[Receipt]
+    val q = Streams.txWithReceipts(txm.toDF(), rcm.toDF(),
+        watermarkAge = "0 seconds", window = "30 minutes")
+      .writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    try {
+      // batch 1: two txs; receipt for h1 arrives IN WINDOW, out of order
+      txm.addData(Tx("h1", ts(0), "w1", 10.0), Tx("h2", ts(1), "w2", 20.0))
+      rcm.addData(Receipt("h1", ts(5), 1, 21000L))
+      q.processAllAvailable()
+      // batch 2: a receipt for h2 OUTSIDE the 30-minute window (never
+      // joins) + far-future rows on both sides to advance the global
+      // watermark past h2's join horizon
+      rcm.addData(Receipt("h2", ts(40), 1, 42000L))
+      txm.addData(Tx("h9", ts(600), "w9", 1.0))
+      rcm.addData(Receipt("h9", ts(601), 1, 1L))
+      q.processAllAvailable()
+      // one more nudge so the state store evicts and emits the null row
+      txm.addData(Tx("h10", ts(602), "w9", 1.0))
+      rcm.addData(Receipt("h10", ts(603), 1, 1L))
+      q.processAllAvailable()
+      val out = spark.table("ssj")
+        .as[(String, Timestamp, String, Double, Option[Int], Option[Long])]
+        .collect().toSet
+      // matched row carries its receipt
+      assert(out.contains(("h1", ts(0), "w1", 10.0, Some(1), Some(21000L))), out.toString)
+      // out-of-window receipt = no match: h2 emits with NULLs once the
+      // watermark proves no receipt can still arrive
+      assert(out.contains(("h2", ts(1), "w2", 20.0, None, None)), out.toString)
+      // the equivalent batch join agrees on every matched row
+      val txB = Seq(Tx("h1", ts(0), "w1", 10.0), Tx("h2", ts(1), "w2", 20.0),
+        Tx("h9", ts(600), "w9", 1.0), Tx("h10", ts(602), "w9", 1.0)).toDF()
+      val rcB = Seq(Receipt("h1", ts(5), 1, 21000L), Receipt("h2", ts(40), 1, 42000L),
+        Receipt("h9", ts(601), 1, 1L), Receipt("h10", ts(603), 1, 1L)).toDF()
+      val batch = txB.join(rcB,
+          col("r_hash") === col("tx_hash") && col("r_ts") >= col("ts") &&
+            col("r_ts") <= col("ts") + org.apache.spark.sql.functions.expr("interval 30 minutes"),
+          "left")
+        .select(col("tx_hash"), col("ts"), col("wallet"), col("amount"),
+          col("status").as("receipt_status"), col("gas_used").as("receipt_gas_used"))
+        .as[(String, Timestamp, String, Double, Option[Int], Option[Long])]
+        .collect().toSet
+      assert(out == batch, s"stream $out vs batch $batch")
+    } finally q.stop()
+  }
+
   test("parquet file source streams the lake: new files arrive as micro-batches") {
     val srcDir = tmpDir("stream-src")
     val outDir = tmpDir("stream-out")

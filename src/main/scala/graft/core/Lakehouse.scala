@@ -58,6 +58,26 @@ object Lakehouse {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
 
+  /** Bucketed CTAS — the reference's `address_partition` idiom (a hash
+    * bucket carried as a data column and re-derived by every consumer,
+    * ethereum_wallet_transactions.sql:107,157) made PLANNER-VISIBLE: Spark
+    * catalog bucketing records the layout, so every later equi-join or
+    * aggregation on the bucket key between same-bucketed tables plans with
+    * ZERO exchanges — the shuffle is paid once at write time, not once per
+    * downstream query. At 100 TB this is the difference between re-shuffling
+    * the wallet-transactions fact for every feature program that joins it
+    * and scanning co-located buckets in place. `sortCols` additionally
+    * sorts within buckets (drops the join's sort too, and gives parquet
+    * row-group min/max pruning on the sort key). */
+  def ctasBucketed(df: DataFrame, table: String, key: String, buckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      .option("compression", "snappy")
+      .bucketBy(buckets, key)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   /** S4: plain partitioned append. */
   def appendPartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
     val out = if (partitionCols.nonEmpty) df.repartition(partitionCols.map(col): _*) else df

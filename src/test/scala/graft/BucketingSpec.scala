@@ -1,0 +1,72 @@
+package graft
+
+import graft.core.{Graft, Lakehouse}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+/** Catalog bucketing = the pay-the-shuffle-once layout: two tables
+  * bucketed on the same key join and aggregate with zero exchanges. */
+class BucketingSpec extends SparkSpec {
+
+  private def countShuffles(df: org.apache.spark.sql.DataFrame): Int = {
+    df.collect() // force AQE to finalize the physical plan
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      (p match {
+        case _: ShuffleExchangeExec => 1
+        case _ => 0
+      }) + p.children.map(walk).sum +
+        p.subqueries.map(walk).sum +
+        (p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            walk(a.executedPlan)
+          case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            walk(s.plan)
+          case _ => 0
+        })
+    walk(df.queryExecution.executedPlan)
+  }
+
+  test("same-key bucketed tables join and aggregate with zero exchanges") {
+    val events = Graft.table(spark, sf, "events")
+      .select(col("user_id"), col("value"), col("event_type"))
+    Lakehouse.ctasBucketed(events, "ev_bucketed_a", "user_id", 4,
+      sortCols = Seq("user_id"))
+    Lakehouse.ctasBucketed(events.filter(col("event_type") === "purchase"),
+      "ev_bucketed_b", "user_id", 4, sortCols = Seq("user_id"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = spark.table("ev_bucketed_a")
+      val b = spark.table("ev_bucketed_b")
+        .select(col("user_id").as("b_user_id"), col("value").as("b_value"))
+      val joined = a.join(b, col("user_id") === col("b_user_id"))
+        .groupBy("user_id")
+        .agg(sum(col("value").cast("decimal(38,6)")).cast("double").as("total"),
+          count(lit(1)).as("n"))
+      assert(countShuffles(joined) == 0,
+        s"expected exchange-free bucketed join+agg:\n${joined.queryExecution.executedPlan}")
+
+      // the same plan over plain (unbucketed) parquet shuffles both sides
+      val pa = tmpDir("plain-a"); val pb = tmpDir("plain-b")
+      events.write.mode("overwrite").parquet(pa)
+      events.filter(col("event_type") === "purchase").write.mode("overwrite").parquet(pb)
+      val ua = spark.read.parquet(pa)
+      val ub = spark.read.parquet(pb)
+        .select(col("user_id").as("b_user_id"), col("value").as("b_value"))
+      val unbucketed = ua.join(ub, col("user_id") === col("b_user_id"))
+        .groupBy("user_id")
+        .agg(sum(col("value").cast("decimal(38,6)")).cast("double").as("total"),
+          count(lit(1)).as("n"))
+      assert(countShuffles(unbucketed) > 0, "control: plain parquet must shuffle")
+
+      // identical results either way
+      val bu = joined.orderBy("user_id").collect().toSeq
+      val un = unbucketed.orderBy("user_id").collect().toSeq
+      assert(bu == un, "bucketed join result diverged from the plain join")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS ev_bucketed_a")
+      spark.sql("DROP TABLE IF EXISTS ev_bucketed_b")
+    }
+  }
+}

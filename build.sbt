@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify mains print a machine-parsed JSON line; sbt's default
+// LoggedOutput strategy prefixes every forked-stdout line with "[info] ",
+// which breaks a strict JSON parse of the captured tail. Pass the child's
+// stdout through verbatim, and drop the "[success] Total time ..." epilogue
+// so the JSON line stays the LAST line of output.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

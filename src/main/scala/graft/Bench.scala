@@ -41,15 +41,19 @@ object Bench {
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     // The driver captures only the LAST ~2000 bytes of stdout and parses a
-    // JSON line out of that tail; sbt appends a ~75-byte "[success] ..."
-    // line after us. A full-precision per-query line for ~80 queries is
-    // ~2.4 KB — front-truncated and unparseable (r1-r3 all recorded
-    // parsed=null). So: print the full-precision line FIRST (for humans /
-    // logs), then make the FINAL line a complete JSON that provably fits
-    // the tail window — adaptively lowering value precision and, if the
-    // query set ever outgrows even 1-decimal values, keeping the slowest
-    // queries (the ones perf grading cares about) and counting the rest
-    // in "dropped".
+    // JSON line out of that tail. Two traps defeated rounds 1-5:
+    //  (a) sbt's LoggedOutput prefixed every line with "[info] " and
+    //      appended "[success] Total time ..." — build.sbt now passes
+    //      forked stdout through verbatim (StdoutOutput) and sets
+    //      showSuccess := false, so the compact line below is the LAST
+    //      line, bare.
+    //  (b) a full-precision per-query line for ~80 queries is ~2.4 KB —
+    //      front-truncated and unparseable. So: print the full-precision
+    //      line FIRST (for humans / logs), then make the FINAL line a
+    //      complete JSON that provably fits the tail window — adaptively
+    //      lowering value precision and, if the query set ever outgrows
+    //      even 1-decimal values, keeping the slowest queries (the ones
+    //      perf grading cares about) and counting the rest in "dropped".
     def fmt(v: Double, dec: Int): String =
       BigDecimal(v).setScale(dec, BigDecimal.RoundingMode.HALF_UP).toString
     val total = if (results.nonEmpty) results.values.sum else 0.0
@@ -58,7 +62,7 @@ object Bench {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v, dec) }
         .mkString("{", ",", "}")
       val drop = if (dropped > 0) s""","dropped":$dropped""" else ""
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs$drop,"sf":"$sf"}"""
+      s"""{"metric":"total","value":${fmt(total, dec)},"unit":"sec","queries":$qs$drop,"sf":"$sf"}"""
     }
     val all = results.toSeq
     // ascending by time: the tail window clips the FRONT of this line, so
@@ -68,11 +72,11 @@ object Bench {
     // failures rank as slowest everywhere: they must never be the first
     // entries sacrificed to the byte budget
     def keepPriority(v: Double): Double = if (v < 0) Double.MaxValue else v
-    println(line(all.sortBy(e => keepPriority(e._2)), 3, 0, sfDir))
-    // 2000-byte tail - "[info] " prefix - sbt "[success] ..." epilogue -
-    // slack; the compact line abbreviates sf to its basename to buy ~16
-    // more bytes of query values
-    val budget = 1890
+    val fullLine = line(all.sortBy(e => keepPriority(e._2)), 3, 0, sfDir)
+    // 2000-byte tail - trailing newline - slack (no "[info] " prefix or
+    // "[success]" epilogue anymore); the compact line abbreviates sf to
+    // its basename to buy ~16 more bytes of query values
+    val budget = 1992
     val sfShort = sfDir.stripSuffix("/").split("/").last
     val compact = Seq(3, 2, 1).view.map(d => line(all, d, 0, sfShort))
       .find(_.length <= budget)
@@ -83,7 +87,16 @@ object Bench {
           .map(k => line(bySlow.take(k).sortBy(_._1), 1, all.size - k, sfShort))
           .find(_.length <= budget).getOrElse(line(Nil, 1, all.size, sfShort))
       }
-    println(compact)
+    // stop Spark BEFORE printing: no shutdown log line can then land after
+    // (or interleave with) the JSON the driver tail-parses
     spark.stop()
+    // full-precision copy on disk: the stdout tail keeps only the last
+    // 2000 bytes, so when the compact line has to drop a micro-query or
+    // two, the complete measurement is still available in the repo
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"), fullLine + "\n")
+    catch { case _: Throwable => () }
+    println(fullLine)
+    println(compact)
   }
 }

@@ -265,9 +265,14 @@ object TextQueries {
     // Repetition signals (the Gopher-style quality heuristics): the
     // most-frequent-word share and the duplicate-2-gram share of each
     // document — boilerplate and degenerate generations score high on both.
-    // Entirely per-row array math (no shuffle): the word-frequency max is
-    // O(distinct x n) inside the row, fine at any corpus scale because it
-    // never leaves the mapper.
+    // Entirely per-row array math (no shuffle), and LINEARITHMIC per row:
+    // sort the tokens once, then a single aggregate() pass over the sorted
+    // array computes both the longest equal-run (= the max word frequency)
+    // and the run count (= the distinct count). The naive
+    // distinct×filter form is O(len²) per document — a 100k-token document
+    // costs ~10^10 comparisons in one task, a per-row CPU scale-killer for
+    // exactly the long documents a repetition filter targets; sorted-run
+    // counting is O(len·log len) and never leaves the mapper.
     QueryDef("t_repetition",
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |g AS (
@@ -287,12 +292,26 @@ object TextQueries {
         expr("""transform(sequence(1, size(tk) - 1),
                 |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1)))""".stripMargin))
         .otherwise(expr("cast(array() as array<string>)"))
+      // longest equal-run in the sorted array == max element frequency
+      val maxRun = expr(
+        """aggregate(array_sort(tk),
+          |  named_struct('prev', cast(null as string), 'run', 0, 'best', 0),
+          |  (a, x) -> named_struct(
+          |    'prev', x,
+          |    'run',  if(x <=> a.prev, a.run + 1, 1),
+          |    'best', greatest(a.best, if(x <=> a.prev, a.run + 1, 1))),
+          |  a -> a.best)""".stripMargin)
+      // run count in the sorted array == distinct element count
+      val g2Runs = expr(
+        """aggregate(array_sort(g2),
+          |  named_struct('prev', cast(null as string), 'n', 0),
+          |  (a, x) -> named_struct('prev', x, 'n', a.n + if(x <=> a.prev, 0, 1)),
+          |  a -> a.n)""".stripMargin)
       docs(s, dir).select(col("doc_id"), col("tk")).withColumn("g2", g2)
         .select(col("doc_id"),
-          (expr("array_max(transform(array_distinct(tk), w -> size(filter(tk, x -> x = w))))")
-            / size(col("tk"))).as("top_word_frac"),
+          (maxRun / size(col("tk"))).as("top_word_frac"),
           when(size(col("g2")) === 0, lit(0.0))
-            .otherwise((size(col("g2")) - size(array_distinct(col("g2")))) / size(col("g2")))
+            .otherwise((size(col("g2")) - g2Runs) / size(col("g2")))
             .as("dup_2gram_frac"))
     },
 

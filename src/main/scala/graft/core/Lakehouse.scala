@@ -61,22 +61,147 @@ object Lakehouse {
   /** Bucketed CTAS — the reference's `address_partition` idiom (a hash
     * bucket carried as a data column and re-derived by every consumer,
     * ethereum_wallet_transactions.sql:107,157) made PLANNER-VISIBLE: Spark
-    * catalog bucketing records the layout, so every later equi-join or
-    * aggregation on the bucket key between same-bucketed tables plans with
-    * ZERO exchanges — the shuffle is paid once at write time, not once per
-    * downstream query. At 100 TB this is the difference between re-shuffling
-    * the wallet-transactions fact for every feature program that joins it
-    * and scanning co-located buckets in place. `sortCols` additionally
-    * sorts within buckets (drops the join's sort too, and gives parquet
-    * row-group min/max pruning on the sort key). */
+    * catalog bucketing records the layout, so every later equi-join,
+    * window, or aggregation on the bucket key between same-bucketed tables
+    * plans with ZERO exchanges — the shuffle is paid once at write time,
+    * not once per downstream query. At 100 TB this is the difference
+    * between re-shuffling the wallet-transactions fact for every feature
+    * program that joins it and scanning co-located buckets in place.
+    * `sortCols` additionally sorts within buckets (parquet row-group
+    * min/max pruning on the sort key — e.g. the incremental readers'
+    * `block_timestamp > watermark` filter skips whole row groups).
+    *
+    * The df is repartitioned by (buckets, key) first — bucketBy uses the
+    * same murmur3 hash as HashPartitioning, so each write task then owns
+    * exactly one bucket and each bucket is ONE sorted file per hive
+    * partition; without it every task emits up to `buckets` files
+    * (tasks×buckets small files at scale, and a multi-file bucket forfeits
+    * the sorted-read path). `path` makes the table external (the lake
+    * directory layout stays the source of truth; the catalog entry is
+    * metadata over it). */
   def ctasBucketed(df: DataFrame, table: String, key: String, buckets: Int,
-      sortCols: Seq[String] = Nil): Unit = {
-    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      sortCols: Seq[String] = Nil, partitionCols: Seq[String] = Nil,
+      path: Option[String] = None): Unit = {
+    val out = df.repartition(buckets, col(key))
+    var w = out.write.mode(SaveMode.Overwrite).format("parquet")
       .option("compression", "snappy")
-      .bucketBy(buckets, key)
-    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
-      .saveAsTable(table)
+    path.foreach(p => w = w.option("path", p))
+    if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
+    w = w.bucketBy(buckets, key)
+    if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
+    w.saveAsTable(table)
   }
+
+  /** Incremental append into a bucketed catalog table (the S4 append with
+    * the bucket layout maintained): new rows land as one new file per
+    * (bucket, new hive partition), so the zero-exchange read property
+    * survives incremental loads. The table must already exist (create it
+    * with [[ctasBucketed]] or re-register with [[ensureBucketedTable]]). */
+  def appendBucketed(df: DataFrame, table: String, key: String, buckets: Int,
+      sortCols: Seq[String] = Nil, partitionCols: Seq[String] = Nil): Unit = {
+    val out = df.repartition(buckets, col(key))
+    var w = out.write.mode(SaveMode.Append).format("parquet")
+      .option("compression", "snappy")
+    if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
+    w = w.bucketBy(buckets, key)
+    if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
+    w.saveAsTable(table)
+  }
+
+  /** Restart safety for bucketed lake tables: a fresh session (new driver,
+    * new in-memory catalog — or a rebuilt metastore) re-registers the
+    * existing on-disk layout instead of rewriting it. Returns whether the
+    * table is usable (registered, data present). No-op when already
+    * registered. */
+  def ensureBucketedTable(spark: SparkSession, table: String, path: String,
+      key: String, buckets: Int, sortCols: Seq[String] = Nil,
+      partitionCols: Seq[String] = Nil): Boolean = {
+    if (spark.catalog.tableExists(table)) return true
+    if (!tableExists(spark, path)) return false
+    // bucket ids live in the FILE NAMES (part-...-_00007.c000...): a lake
+    // written plain-partitioned (pre-bucketing layout) must NOT be
+    // registered as bucketed — the reader would fail on (or mis-bucket)
+    // files without a bucket-id suffix. Caller falls back to a plain read.
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(dir: org.apache.hadoop.fs.Path, depth: Int): Seq[String] =
+      fs.listStatus(dir).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (st.isFile) { if (n.startsWith("_") || n.startsWith(".")) Nil else Seq(n) }
+        else if (depth > 0) dataFiles(st.getPath, depth - 1)
+        else Nil
+      }
+    val files = dataFiles(p, 2)
+    if (files.isEmpty || !files.forall(_.matches(".*_\\d{5}(\\.c\\d+)?\\..*"))) return false
+    val schema = spark.read.parquet(path).schema
+    // partition columns must come last and be named in PARTITIONED BY
+    val ordered = schema.filterNot(f => partitionCols.contains(f.name)) ++
+      partitionCols.map(schema(_))
+    val colsDdl = ordered.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+    val partClause =
+      if (partitionCols.nonEmpty) s"PARTITIONED BY (${partitionCols.mkString(", ")}) "
+      else ""
+    val sortClause =
+      if (sortCols.nonEmpty) s"SORTED BY (${sortCols.mkString(", ")}) " else ""
+    spark.sql(
+      s"CREATE TABLE $table ($colsDdl) USING PARQUET $partClause" +
+        s"CLUSTERED BY ($key) ${sortClause}INTO $buckets BUCKETS " +
+        s"LOCATION '$path'")
+    if (partitionCols.nonEmpty) spark.sql(s"MSCK REPAIR TABLE $table")
+    true
+  }
+
+  /** S8 + S5/S4 over a bucketed catalog table: the same full-vs-incremental
+    * switch as [[loadIncremental]], but the target keeps the pay-the-
+    * shuffle-once bucket layout — the full load is a bucketed CTAS and the
+    * incremental path appends bucket-aligned files behind the same
+    * anti-join identity guard. */
+  def loadIncrementalBucketed(
+      spark: SparkSession,
+      table: String,
+      path: String,
+      bucketKey: String,
+      buckets: Int,
+      sortCols: Seq[String],
+      watermarkCol: String,
+      partitionCols: Seq[String],
+      keys: Seq[String],
+      full: () => DataFrame,
+      incremental: Any => DataFrame): Unit = {
+    ensureBucketedTable(spark, table, path, bucketKey, buckets, sortCols, partitionCols)
+    watermark(spark, path, watermarkCol, partitionCols.headOption.getOrElse(watermarkCol)) match {
+      case None =>
+        ctasBucketed(full(), table, bucketKey, buckets, sortCols, partitionCols, Some(path))
+      case Some(wm) =>
+        val newRows = incremental(wm)
+        // same null-safe identity guard as antiJoinAppend, key-pruned scan
+        val t = read(spark, path).select(keys.map(col): _*).alias("t")
+        val cond = keys.map(k => newRows(k) <=> col(s"t.$k")).reduce(_ && _)
+        appendBucketed(newRows.join(t, cond, "left_anti"),
+          table, bucketKey, buckets, sortCols, partitionCols)
+    }
+  }
+
+  /** True when a file-scan leaf of `df` is catalog-bucketed on exactly
+    * (`key`) — that scan already delivers HashPartitioning(key, buckets),
+    * so a consumer's explicit cluster-by-key repartition would ADD the
+    * exchange the bucketing exists to remove. */
+  def scanBucketedOn(df: DataFrame, key: String): Boolean = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    df.queryExecution.analyzed.collectLeaves().exists {
+      case r: LogicalRelation => r.relation match {
+        case h: HadoopFsRelation => h.bucketSpec.exists(_.bucketColumnNames == Seq(key))
+        case _ => false
+      }
+      case _ => false
+    }
+  }
+
+  /** Cluster `df` by `key` for downstream windows/aggregations: a real
+    * repartition on plain inputs, a no-op when the input scan is already
+    * bucketed on `key` (the write-time shuffle replaces the runtime one). */
+  def clusterBy(df: DataFrame, key: String): DataFrame =
+    if (scanBucketedOn(df, key)) df else df.repartition(col(key))
 
   /** S4: plain partitioned append. */
   def appendPartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {

@@ -53,7 +53,7 @@ object CoinBalances {
 
   /** The full-load program (:10-123) at (wallet, contract) grain. */
   def fullLoad(walletTx: DataFrame): DataFrame = {
-    val df = withDefaults(walletTx).repartition(col("wallet_address"))
+    val df = graft.core.Lakehouse.clusterBy(withDefaults(walletTx), "wallet_address")
     val wC = Window.partitionBy("wallet_address", "contract_address")
     // default RANGE frame — peers share the cumulative value (:22-27)
     val wOrd = wC.orderBy(col("block_timestamp"), col("priority"), col("txi"))

@@ -31,6 +31,23 @@ object DomainPipeline {
   def featuresPath(lake: String) = s"$lake/features/ethereum_wallet_features"
   def coinBalancesPath(lake: String) = s"$lake/features/ethereum_wallet_coin_balances"
 
+  /** Catalog name of the bucketed wallet-transactions fact — per-lake
+    * unique so concurrent lakes (tests, blue/green rebuilds) coexist in
+    * one catalog. */
+  def walletTxTable(lake: String): String =
+    "ethereum_wallet_transactions_" + lake.replaceAll("[^a-zA-Z0-9]", "_").toLowerCase
+
+  /** Bucket count of the wallet-transactions fact. 32 matches the local
+    * harness parallelism; at cluster scale pass the analytics/features
+    * calls a count sized so one bucket ≈ one executor-core's worth of the
+    * fact (e.g. 4096 at 100 TB). */
+  val DefaultFactBuckets = 32
+
+  /** Within-bucket sort: the incremental readers filter
+    * `block_timestamp > watermark`, so timestamp-ordered row groups give
+    * them parquet min/max skipping; `priority` is the next W1 order key. */
+  val FactSortCols: Seq[String] = Seq("block_timestamp", "priority")
+
   private def exists(spark: SparkSession, p: String) = Lakehouse.tableExists(spark, p)
 
   /** STAGE: each raw table present in the lake flows through its cleaner
@@ -74,9 +91,18 @@ object DomainPipeline {
 
   /** ANALYTICS: the three transaction programs → the role-pivoted
     * ethereum_wallet_transactions table, appended incrementally behind a
-    * block_number watermark with the identity anti-join guard. */
+    * block_number watermark with the identity anti-join guard.
+    *
+    * The table is written CATALOG-BUCKETED on wallet_address (the
+    * reference's materialized address_partition join key,
+    * ethereum_wallet_transactions.sql:107,157, made planner-visible): all
+    * four feature programs window/aggregate/join on wallet_address, so the
+    * wallet shuffle each of them would pay per run is paid ONCE here at
+    * write time — [[features]] plans zero wallet-key exchanges
+    * (DomainPipelineSpec proves it on the physical plan). */
   def analytics(spark: SparkSession, lake: String,
-      rugpulls: Option[DataFrame] = None): Unit = {
+      rugpulls: Option[DataFrame] = None,
+      buckets: Int = DefaultFactBuckets): Unit = {
     import graft.core.Schemas
     val transactions = Lakehouse.read(spark, stagePath(lake, "ethereum_transactions"))
     val traces = stageOrEmpty(spark, lake, "ethereum_traces", Schemas.traces)
@@ -99,13 +125,27 @@ object DomainPipeline {
         cut(transfers), meta, transactions, traces, contracts, rp)
       DomainTransforms.walletTransactions(normal, internal, erc20)
     }
-    Lakehouse.loadIncremental(spark, walletTxPath(lake),
+    Lakehouse.loadIncrementalBucketed(spark, walletTxTable(lake), walletTxPath(lake),
+      bucketKey = "wallet_address", buckets = buckets, sortCols = FactSortCols,
       watermarkCol = "block_number", partitionCols = Seq("date_partition"),
       keys = walletTxIdentityKeys,
       full = () => wtx(None),
       // the reference re-selects the boundary block (>= filter_value, :29);
       // the identity anti-join guard keeps the append duplicate-free
       incremental = wm => wtx(Some(wm.toString.toLong)))
+  }
+
+  /** The wallet-transactions fact, read through its bucketed catalog entry
+    * when available (zero-exchange wallet clustering for consumers) —
+    * re-registering the layout on a fresh session — with a plain path read
+    * as the fallback for pre-bucketing lakes. */
+  def readWalletTx(spark: SparkSession, lake: String,
+      buckets: Int = DefaultFactBuckets): DataFrame = {
+    val t = walletTxTable(lake)
+    if (Lakehouse.ensureBucketedTable(spark, t, walletTxPath(lake),
+        "wallet_address", buckets, FactSortCols, Seq("date_partition")))
+      spark.table(t)
+    else Lakehouse.read(spark, walletTxPath(lake))
   }
 
   /** FEATURES: wallet features + coin balances, full load on first run,
@@ -115,7 +155,9 @@ object DomainPipeline {
   def features(spark: SparkSession, lake: String,
       prices: Option[DataFrame] = None): Unit = {
     import graft.core.Schemas
-    val wtx = Lakehouse.read(spark, walletTxPath(lake))
+    // bucketed catalog read: the feature programs' wallet windows/rollups
+    // run directly on the scan's wallet clustering — no exchange
+    val wtx = readWalletTx(spark, lake)
     val metaP = stagePath(lake, "ethereum_tokens_metadata")
     val gate =
       if (exists(spark, metaP))

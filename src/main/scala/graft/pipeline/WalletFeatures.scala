@@ -158,8 +158,10 @@ object WalletFeatures {
       .withColumn("price_eff",
         coalesce(col("price"),
           when(col("contract_address") === "ETH", lit(1.0)).otherwise(lit(0.0))))
-      // one shuffle feeds every window below and the wallet rollup
-      .repartition(col("wallet_address"))
+      // one shuffle feeds every window below and the wallet rollup — and
+      // when the fact scan is catalog-bucketed on wallet_address the
+      // shuffle was already paid at write time, so even this goes away
+      .transform(graft.core.Lakehouse.clusterBy(_, "wallet_address"))
 
     val signedNative = when(col("role") === "sender", -col("amount") - col("tx_fee"))
       .otherwise(col("amount"))
@@ -561,7 +563,7 @@ object WalletFeatures {
       .withColumn("price_eff",
         coalesce(col("price"),
           when(col("contract_address") === "ETH", lit(1.0)).otherwise(lit(0.0))))
-      .repartition(col("wallet_address"))
+      .transform(graft.core.Lakehouse.clusterBy(_, "wallet_address"))
       .alias("n")
       .join(lcb.select(col("wallet_address").as("lw"), col("contract_address").as("lc"),
           col("old_bal_c"), col("old_bal_ec"), col("old_min_ec"), col("old_max_ec"),

@@ -153,6 +153,71 @@ class DomainPipelineSpec extends SparkSpec {
     assert(after == before)
   }
 
+  test("feature programs plan ZERO exchanges over the bucketed wallet-tx fact") {
+    import graft.pipeline.{CoinBalances, WalletFeatures}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def countShuffles(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect() // force AQE to finalize the physical plan
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Int =
+        (p match { case _: ShuffleExchangeExec => 1; case _ => 0 }) +
+          p.children.map(walk).sum + p.subqueries.map(walk).sum +
+          (p match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              walk(a.executedPlan)
+            case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(s.plan)
+            case _ => 0
+          })
+      walk(df.queryExecution.executedPlan)
+    }
+
+    val lake = tmpDir("domain-lake-bucketed")
+    val csv1 = tmpDir("domain-csv-bucketed")
+    writeBatch1(csv1)
+    DomainPipeline.run(spark, csv1, lake)
+
+    // the catalog read delivers wallet clustering straight from the scan
+    val wtx = DomainPipeline.readWalletTx(spark, lake)
+    assert(Lakehouse.scanBucketedOn(wtx, "wallet_address"),
+      "readWalletTx must resolve to the bucketed catalog table")
+
+    // every feature program: windows + rollup ride the bucket layout —
+    // the write-time shuffle is the ONLY wallet shuffle in the pipeline
+    val programs = Seq(
+      "wallet_features" -> WalletFeatures.walletFeatures(wtx, dayUnit = 86400L),
+      "contract_balances" -> WalletFeatures.pricedContractBalances(wtx, dayUnit = 86400L),
+      "auc" -> WalletFeatures.aucContractBalances(wtx, dayUnit = 86400L),
+      "coin_balances" -> CoinBalances.fullLoad(wtx))
+    programs.foreach { case (name, df) =>
+      assert(countShuffles(df) == 0,
+        s"$name over the bucketed fact must plan zero exchanges:\n" +
+          df.queryExecution.executedPlan)
+    }
+
+    // parity: the bucketed-input program ≡ the plain-path-input program
+    val plain = Lakehouse.read(spark, DomainPipeline.walletTxPath(lake))
+    val viaBucket = WalletFeatures.walletFeatures(wtx, dayUnit = 86400L)
+      .drop("contracts_aggregations").orderBy("wallet_address").collect().toSeq
+    val viaPlain = WalletFeatures.walletFeatures(plain, dayUnit = 86400L)
+      .drop("contracts_aggregations").orderBy("wallet_address").collect().toSeq
+    assert(viaBucket == viaPlain)
+
+    // a fresh catalog (new session against an existing lake) re-registers
+    // the on-disk layout instead of rewriting or falling back to plain
+    spark.sql(s"DROP TABLE IF EXISTS ${DomainPipeline.walletTxTable(lake)}")
+    val reRead = DomainPipeline.readWalletTx(spark, lake)
+    assert(Lakehouse.scanBucketedOn(reRead, "wallet_address"),
+      "ensureBucketedTable must re-register an existing bucketed layout")
+    assert(reRead.count() == wtx.count())
+
+    // and a PRE-bucketing lake (plain files) must NOT be registered as
+    // bucketed — readWalletTx falls back to the plain path read
+    val plainLake = tmpDir("domain-lake-plain")
+    Lakehouse.ctas(plain, DomainPipeline.walletTxPath(plainLake), Seq("date_partition"))
+    val fallback = DomainPipeline.readWalletTx(spark, plainLake)
+    assert(!Lakehouse.scanBucketedOn(fallback, "wallet_address"))
+    assert(fallback.count() == wtx.count())
+  }
+
   test("wallet-tx identity keeps a late-arriving leg of an already-seen tx") {
     // the reference's NOT EXISTS identity includes transaction_type and
     // current_value (ethereum_wallet_transactions.sql:159-160): a normal

@@ -211,7 +211,9 @@ object SimilarityQueries {
          |    ORDER BY cos_sim DESC, n_id) AS rank FROM pairs)
          |SELECT q_id, rank, n_id, cos_sim FROM ranked WHERE rank <= 5""".stripMargin) { (s, dir) =>
       val n = emb(s, dir).select("vec_id", "qv", "nq")
-      val stride = centroidStride(Graft.table(s, dir, "embeddings").count())
+      // count the frame already in hand (projection prunes to a metadata
+      // row count) rather than opening a second scan of the table
+      val stride = centroidStride(n.count())
       val cent = n.filter(pmod(col("vec_id"), lit(stride)) === 0)
         .select(col("vec_id").as("cid"), col("qv").as("c_qv"), col("nq").as("c_nq"))
       val centCos = expr("long_dot(qv, c_qv)").cast("double") /
@@ -318,7 +320,9 @@ object SimilarityQueries {
          |    ORDER BY cos_sim DESC, n_id) AS rank FROM pairs)
          |SELECT q_id, rank, n_id, cos_sim FROM ranked WHERE rank <= 5""".stripMargin) { (s, dir) =>
       val n = emb(s, dir).select("vec_id", "qv", "nq")
-      val stride = centroidStride(Graft.table(s, dir, "embeddings").count())
+      // count the frame already in hand (projection prunes to a metadata
+      // row count) rather than opening a second scan of the table
+      val stride = centroidStride(n.count())
       val cent0 = n.filter(pmod(col("vec_id"), lit(stride)) === 0)
         .select(col("vec_id").as("cid"), col("qv").as("c_qv"), col("nq").as("c_nq"))
       val centCos = expr("long_dot(qv, c_qv)").cast("double") /
@@ -442,7 +446,8 @@ object SimilarityQueries {
         .select(col("vec_id"), expr("transform(qv, x -> bigint(floor(" +
           "cast(x as double) * 1000000 / sqrt(cast(greatest(nq, 1) as double)))))")
           .as("qv"))
-      val stride = math.max(1L, Graft.table(s, dir, "embeddings").count() / 16)
+      // metadata-only count of the frame in hand, not a second table scan
+      val stride = math.max(1L, base.count() / 16)
       // subspace explode: 8 rows per vector, each an exact-int subvector
       val sub = base
         .select(col("vec_id"), col("qv"), explode(expr("sequence(0, 7)")).as("j"))

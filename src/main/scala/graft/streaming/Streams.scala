@@ -141,9 +141,18 @@ object Streams {
     * on BOTH inputs is what makes the join's state finite: each side
     * buffers only rows younger than the watermark horizon, so state is
     * O(arrival rate x window), never O(history) — the property that lets
-    * this run forever at 100 TB/day. Left-outer emits a tx with NULL
-    * receipt columns once the watermark proves no receipt can still
-    * arrive (matching the raw merge's keep-unreceipted-tx semantics). */
+    * this run forever at 100 TB/day.
+    *
+    * Documented deviation: the reference's batch merge is an INNER join
+    * keyed on (hash, block_number) (raw_data_ingestion_pipeline.py:142-172
+    * merges how='inner'), dropping unreceipted txs. The default here
+    * intentionally extends that to left-outer — a tx whose receipt the
+    * watermark proves can no longer arrive emits with NULL receipt columns
+    * instead of vanishing, which is the operationally useful signal in a
+    * live feed (a dropped row is indistinguishable from lag). Pass
+    * `joinType = "inner"` for the reference's exact semantics; the stream
+    * key omits block_number because the receipt feed's hash is already
+    * unique within the join window. */
   def txWithReceipts(tx: DataFrame, receipts: DataFrame,
       watermarkAge: String = "1 hour", window: String = "30 minutes",
       joinType: String = "leftOuter"): DataFrame =

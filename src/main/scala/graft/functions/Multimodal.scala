@@ -8,10 +8,13 @@ import org.apache.spark.sql.types._
   * columns with a typed metadata struct, processed in partition-sized
   * batches.
   *
-  * The decode step is a STUB — this container has no image/audio codecs, so
-  * `decodeBatch` produces a deterministic fake feature vector from the raw
-  * bytes. Everything around it is the real Spark shape a 100 TB media
-  * pipeline needs:
+  * Decode comes in two flavors: [[decodeImageBatch]] REALLY decodes the
+  * container formats the JVM ships pure-Java codecs for (PNG/BMP/GIF/JPEG
+  * via javax.imageio — no native libraries), and [[decodeBatch]] is the
+  * deterministic stub for formats this container has no codec for (video,
+  * audio); decodeImageBatch degrades to the stub per row and tags which
+  * path ran. Everything around the codec is the real Spark shape a 100 TB
+  * media pipeline needs:
   *
   *  - payloads stay `BinaryType` end-to-end (never stringified);
   *  - metadata travels as a typed struct column next to the bytes;
@@ -44,10 +47,11 @@ object Multimodal {
         (lit(16) * (lit(1) + pmod(length(col("media")), lit(7)))).as("height"),
         length(col("media")).cast("long").as("n_bytes")))
 
-  /** STUB decode: ??? in a real deployment (codec over `media` bytes).
-    * Here: a deterministic 4-bucket byte histogram so tests can assert
-    * shape + determinism. Runs per-partition so codec init (the expensive
-    * part in real decoders) happens once per task, not once per row. */
+  /** STUB decode for formats with no codec in this container (video/audio
+    * — for images use [[decodeImageBatch]], which really decodes): a
+    * deterministic 4-bucket byte histogram so tests can assert shape +
+    * determinism. Runs per-partition so codec init (the expensive part in
+    * real decoders) happens once per task, not once per row. */
   def decodeBatch(withMediaDf: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(decodedSchema)
     withMediaDf
@@ -61,6 +65,56 @@ object Multimodal {
           bytes.foreach(b => hist((b & 0xff) / 64) += 1.0)
           val n = math.max(bytes.length, 1).toDouble
           Row(docId, r.getInt(2), r.getInt(3), bytes.length.toLong, hist.map(_ / n).toSeq)
+        }
+      }(enc)
+  }
+
+  /** [[decodedSchema]] plus which decode path ran ("imageio" | "stub"). */
+  val decodedImageSchema: StructType =
+    StructType(decodedSchema.fields :+ StructField("decoder", StringType))
+
+  /** REAL image decode, pure JVM: javax.imageio reads PNG/BMP/GIF/JPEG
+    * without native codecs. Width/height/features come from the decoded
+    * pixels (4-bucket luminance histogram — integer math, deterministic);
+    * payloads ImageIO cannot read (no codec in this container: video,
+    * audio, raw text fixtures) fall back to the stub byte histogram so a
+    * format gap degrades instead of failing the pipeline, with `decoder`
+    * recording which path ran. Per-partition like the stub: ImageIO's
+    * reader registry lookup is amortized across each task's rows. */
+  def decodeImageBatch(withMediaDf: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(decodedImageSchema)
+    withMediaDf
+      .select(col("doc_id"), col("media"), col("meta.width"), col("meta.height"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val docId = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Throwable => null }
+          if (img != null) {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val hist = new Array[Double](4)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+                hist(lum / 64) += 1.0
+                x += 1
+              }
+              y += 1
+            }
+            val n = math.max(w * h, 1).toDouble
+            Row(docId, w, h, bytes.length.toLong, hist.map(_ / n).toSeq, "imageio")
+          } else {
+            val hist = new Array[Double](4)
+            bytes.foreach(b => hist((b & 0xff) / 64) += 1.0)
+            val n = math.max(bytes.length, 1).toDouble
+            Row(docId, r.getInt(2), r.getInt(3), bytes.length.toLong,
+              hist.map(_ / n).toSeq, "stub")
+          }
         }
       }(enc)
   }

@@ -31,6 +31,40 @@ class MultimodalSpec extends SparkSpec {
     a.foreach { r => assert(math.abs(r._5.sum - 1.0) < 1e-9) }
   }
 
+  test("decodeImageBatch really decodes PNG and BMP and falls back for non-images") {
+    // deterministic fixtures built in-memory: an 8x4 half-black/half-white
+    // PNG (luminance buckets 0 and 3, exactly 0.5 each) and a 4x4 BMP of
+    // mid-gray 128 (bucket 2)
+    def imageBytes(fmt: String, w: Int, h: Int, rgbAt: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgbAt(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer in the JVM")
+      bos.toByteArray
+    }
+    val png = imageBytes("png", 8, 4, (x, _) => if (x < 4) 0x000000 else 0xffffff)
+    val bmp = imageBytes("bmp", 4, 4, (_, _) => 0x808080)
+    val textBytes = "not an image at all".getBytes("UTF-8")
+
+    val df = Seq((1L, png), (2L, bmp), (3L, textBytes)).toDF("doc_id", "media")
+      .withColumn("meta", struct(
+        lit("mixed").as("format"), lit(0).as("width"), lit(0).as("height"),
+        length(col("media")).cast("long").as("n_bytes")))
+    val out = Multimodal.decodeImageBatch(df)
+    assert(out.schema == Multimodal.decodedImageSchema)
+    val rows = out.orderBy("doc_id")
+      .as[(Long, Int, Int, Long, Seq[Double], String)].collect()
+
+    val Array(p, b, t) = rows
+    assert(p._6 == "imageio" && (p._2, p._3) == ((8, 4)))
+    assert(p._5 == Seq(0.5, 0.0, 0.0, 0.5)) // black->bucket 0, white->bucket 3
+    assert(b._6 == "imageio" && (b._2, b._3) == ((4, 4)))
+    assert(b._5 == Seq(0.0, 0.0, 1.0, 0.0)) // gray 128 -> bucket 2
+    assert(t._6 == "stub" && t._4 == textBytes.length.toLong)
+    assert(math.abs(t._5.sum - 1.0) < 1e-9)
+  }
+
   test("frameSample emits zero frames for an empty payload") {
     import org.apache.spark.sql.functions.lit
     val empty = Multimodal.withMedia(

@@ -38,9 +38,14 @@ object RawIngestion {
     when(abs(value.try_cast(org.apache.spark.sql.types.DoubleType)) > lit(1e38),
       substring(value, 1, 28)).otherwise(value)
 
-  /** :142-172 — transactions enriched with their receipt, receipt_ prefix
-    * applied, join key dropped, date_partition added. */
-  def transactionsWithReceipts(transactions: DataFrame, receipts: DataFrame): DataFrame = {
+  /** The receipt side of the merge: selected to the reference's columns
+    * (plus any `extraCols` a caller needs to carry, e.g. the streaming
+    * twin's event-time column), receipt_ prefix renames applied,
+    * block_number aliased clear of the tx side. Shared by the batch merge
+    * and [[graft.streaming.Streams.domainTxWithReceipts]] so both join the
+    * SAME shape. */
+  private[graft] def renamedReceipts(receipts: DataFrame,
+      extraCols: Seq[String] = Nil): DataFrame = {
     val receiptCols = Seq("transaction_hash", "block_number", "cumulative_gas_used",
       "gas_used", "contract_address", "root", "status", "effective_gas_price")
     val renames = Map(
@@ -50,9 +55,16 @@ object RawIngestion {
       "root" -> "receipt_root",
       "status" -> "receipt_status",
       "effective_gas_price" -> "receipt_effective_gas_price")
-    val r = receiptCols.foldLeft(receipts.select(receiptCols.map(col): _*)) {
+    val selected = (receiptCols ++ extraCols).map(col)
+    receiptCols.foldLeft(receipts.select(selected: _*)) {
       case (df, c) => renames.get(c).fold(df)(df.withColumnRenamed(c, _))
     }.withColumnRenamed("block_number", "r_block_number")
+  }
+
+  /** :142-172 — transactions enriched with their receipt, receipt_ prefix
+    * applied, join key dropped, date_partition added. */
+  def transactionsWithReceipts(transactions: DataFrame, receipts: DataFrame): DataFrame = {
+    val r = renamedReceipts(receipts)
     transactions
       .join(r, transactions("hash") === r("transaction_hash") &&
         transactions("block_number") === r("r_block_number"))

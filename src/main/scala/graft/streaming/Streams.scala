@@ -164,6 +164,60 @@ object Streams {
         col("status").as("receipt_status"),
         col("gas_used").as("receipt_gas_used"))
 
+  /** The DOMAIN raw merge (J1) as a stream-stream join: the exporter's
+    * transactions and receipts feeds live, producing exactly
+    * [[graft.pipeline.RawIngestion.transactionsWithReceipts]]'s output —
+    * INNER join on (hash, block_number), receipt_ prefix renames,
+    * date_partition — the reference's merge semantics
+    * (raw_data_ingestion_pipeline.py:142-172) with both sides streaming.
+    *
+    * Event time is the block timestamp (epoch seconds) on BOTH feeds: a
+    * receipt belongs to a block whose header the exporter holds when it
+    * emits, so attaching `block_timestamp` to receipt messages is free.
+    * Watermarks plus the tight range bound (a receipt's block time equals
+    * its transaction's; `slack` only tolerates exporter clock skew) keep
+    * the join state finite — O(arrival rate × slack), never O(chain
+    * history). */
+  def domainTxWithReceipts(transactions: DataFrame, receipts: DataFrame,
+      watermarkAge: String = "1 hour", slack: String = "15 minutes"): DataFrame = {
+    val tx = transactions
+      .withColumn("tx_evt", timestamp_seconds(col("block_timestamp")))
+      .withWatermark("tx_evt", watermarkAge)
+    val rc = graft.pipeline.RawIngestion.renamedReceipts(
+        receipts.withColumn("r_evt", timestamp_seconds(col("block_timestamp")))
+          .drop("block_timestamp"),
+        extraCols = Seq("r_evt"))
+      .withWatermark("r_evt", watermarkAge)
+    tx.join(rc,
+        col("hash") === col("transaction_hash") &&
+          col("block_number") === col("r_block_number") &&
+          col("r_evt") >= col("tx_evt") &&
+          col("r_evt") <= col("tx_evt") + expr(s"interval $slack"),
+        "inner")
+      .drop("transaction_hash", "r_block_number", "r_evt", "tx_evt")
+      .withColumn("date_partition",
+        graft.pipeline.RawIngestion.datePartition(col("block_timestamp")))
+  }
+
+  /** Sink for the raw layer: anti-join-guarded APPEND of each micro-batch
+    * — streaming and batch share [[Lakehouse.antiJoinAppend]] (S6), so a
+    * re-delivered row (source replay, checkpoint recovery) lands exactly
+    * once, identical to the batch ingester's guard. */
+  def foreachBatchRawAppend(
+      stream: DataFrame,
+      path: String,
+      keys: Seq[String],
+      partitionCols: Seq[String],
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          Lakehouse.antiJoinAppend(batch.sparkSession, batch, path, keys, partitionCols)
+      }
+      .start()
+
   /** Sink: MERGE each micro-batch into a lake table by key — streaming and
     * batch share [[Lakehouse.mergeUpsert]] so the exactly-once-per-key
     * upsert semantics are identical in both modes. */

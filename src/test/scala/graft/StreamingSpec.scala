@@ -142,6 +142,75 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("domain raw merge as a stream: CSV feeds -> foreachBatch raw layer ≡ RawIngestion batch") {
+    import graft.core.{Lakehouse, Schemas}
+    import graft.pipeline.RawIngestion
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+    val txHeader = "hash,from_address,to_address,nonce,transaction_index,gas,gas_price," +
+      "max_fee_per_gas,max_priority_fee_per_gas,value,input,block_hash," +
+      "block_timestamp,block_number,transaction_type"
+    // the streaming exporter attaches the block timestamp to receipts
+    // (it holds the header when it emits) — that is the feed's event time
+    val rcHeader = "transaction_hash,block_number,cumulative_gas_used,gas_used," +
+      "contract_address,root,status,effective_gas_price,block_timestamp"
+    val rcStreamSchema = StructType(
+      Schemas.receiptsCsv.fields :+ StructField("block_timestamp", LongType))
+
+    def txRow(h: String, ts: Long, bn: Long) =
+      s"$h,0xaaaa11,0xbbbb22,1,0,21000,1000000000,0,0,2000000000000000000,0x,bh$bn,$ts,$bn,2"
+    def rcRow(h: String, ts: Long, bn: Long) = s"$h,$bn,21000,21000,,r,1,1000000000,$ts"
+
+    val txDir = tmpDir("dom-stream-tx"); val rcDir = tmpDir("dom-stream-rc")
+    val lake = tmpDir("dom-stream-lake"); val ckpt = tmpDir("dom-stream-ck")
+    def writeFile(dir: String, name: String, header: String, rows: String*): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, name),
+        (header +: rows).mkString("\n"))
+
+    // micro-batch 1: two txs, but only h1's receipt — h2's is in flight
+    writeFile(txDir, "b1.csv", txHeader,
+      txRow("h1", 1704067200L, 17000100L), txRow("h2", 1704067212L, 17000101L))
+    writeFile(rcDir, "b1.csv", rcHeader, rcRow("h1", 1704067200L, 17000100L))
+
+    val txS = spark.readStream.option("header", "true")
+      .schema(Schemas.rawTransactionsCsv).csv(txDir)
+    val rcS = spark.readStream.option("header", "true")
+      .schema(rcStreamSchema).csv(rcDir)
+    val rawPath = s"$lake/raw/ethereum_transactions"
+    val q = graft.streaming.Streams.foreachBatchRawAppend(
+      graft.streaming.Streams.domainTxWithReceipts(txS, rcS),
+      rawPath, keys = Seq("hash", "block_number"), partitionCols = Seq("date_partition"),
+      checkpoint = ckpt)
+    try {
+      q.processAllAvailable()
+      assert(Lakehouse.read(spark, rawPath).count() == 1) // h2 still unmatched
+
+      // micro-batch 2: h2's late receipt joins the buffered tx; h1's
+      // receipt is RE-DELIVERED (source replay) — the anti-join guard in
+      // the sink must keep the table exactly-once; h3 arrives complete
+      writeFile(txDir, "b2.csv", txHeader, txRow("h3", 1704067224L, 17000102L))
+      writeFile(rcDir, "b2.csv", rcHeader,
+        rcRow("h2", 1704067212L, 17000101L),
+        rcRow("h1", 1704067200L, 17000100L),
+        rcRow("h3", 1704067224L, 17000102L))
+      q.processAllAvailable()
+
+      val streamed = Lakehouse.read(spark, rawPath)
+      assert(streamed.count() == 3)
+
+      // ≡ the batch merge on the union of everything both feeds delivered
+      def csvDf(dir: String, schema: StructType) =
+        spark.read.option("header", "true").schema(schema).csv(dir)
+      val batch = RawIngestion.transactionsWithReceipts(
+        csvDf(txDir, Schemas.rawTransactionsCsv),
+        csvDf(rcDir, rcStreamSchema).drop("block_timestamp").distinct())
+      val cols = batch.columns.sorted.map(col)
+      val a = streamed.select(cols: _*).orderBy("hash").collect().toSeq
+      val b = batch.select(cols: _*).orderBy("hash").collect().toSeq
+      assert(a == b, s"stream raw layer $a vs batch merge $b")
+    } finally q.stop()
+  }
+
   test("parquet file source streams the lake: new files arrive as micro-batches") {
     val srcDir = tmpDir("stream-src")
     val outDir = tmpDir("stream-out")

@@ -534,6 +534,116 @@ object DedupQueries {
           col("dup_id").isNull.as("is_kept"))
     },
 
+    // -------------------------------------------------------------- DEDUP-7b
+    // HIERARCHICAL semantic dedup — the extreme-N form of DEDUP-7. The flat
+    // form broadcasts all ~sqrt(N) centroids to every task, which stops
+    // fitting at extreme corpus sizes (10^12 vectors -> 10^6 centroids x
+    // dim floats per executor). Two levels bound it: only the ~N^(1/4)
+    // COARSE centroids broadcast (10^12 -> ~10^3 rows); the sqrt(N) FINE
+    // centroids are grouped by their own nearest coarse cell and reach the
+    // vectors through an EQUI-JOIN on coarse_id — a shuffle whose key
+    // cardinality grows with the corpus, never a broadcast. Assignment =
+    // nearest coarse, then nearest fine within that coarse group; the
+    // within-cell dedup tail is identical to DEDUP-7. All math stays exact
+    // integral dot products + one IEEE division, so the two-level cell ids
+    // and keep flags hash-match DuckDB exactly.
+    QueryDef("d_semantic_dedup_hier",
+      s"""WITH n AS (
+         |  SELECT vec_id, $quantSql AS qv,
+         |    CAST(list_sum(list_transform($quantSql, x -> x * x)) AS BIGINT) AS nq
+         |  FROM embeddings),
+         |sp AS (SELECT GREATEST(1, CAST(floor(sqrt(COUNT(*))) AS BIGINT)) AS s1,
+         |              COUNT(*) AS n_all FROM n),
+         |sp2 AS (SELECT s1, s1 * GREATEST(1, CAST(floor(sqrt(
+         |          CAST((n_all + s1 - 1) // s1 AS DOUBLE))) AS BIGINT)) AS s2 FROM sp),
+         |fine AS (SELECT vec_id AS fid, qv AS fqv, nq AS fnq FROM n
+         |         WHERE vec_id % (SELECT s1 FROM sp2) = 0),
+         |coarse AS (SELECT vec_id AS ccid, qv AS cqv, nq AS cnq FROM n
+         |           WHERE vec_id % (SELECT s2 FROM sp2) = 0),
+         |f2c AS (
+         |  SELECT fid, ccid, fqv, fnq FROM (
+         |    SELECT f.fid, c.ccid, f.fqv, f.fnq,
+         |      ROW_NUMBER() OVER (PARTITION BY f.fid ORDER BY
+         |        CAST(CAST(list_sum(list_transform(list_zip(f.fqv, c.cqv), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
+         |          / (sqrt(CAST(f.fnq AS DOUBLE)) * sqrt(CAST(c.cnq AS DOUBLE))) DESC, c.ccid) AS rn
+         |    FROM fine f CROSS JOIN coarse c)
+         |  WHERE rn = 1),
+         |v2c AS (
+         |  SELECT vec_id, ccid, qv, nq FROM (
+         |    SELECT v.vec_id, c.ccid, v.qv, v.nq,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+         |        CAST(CAST(list_sum(list_transform(list_zip(v.qv, c.cqv), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
+         |          / (sqrt(CAST(v.nq AS DOUBLE)) * sqrt(CAST(c.cnq AS DOUBLE))) DESC, c.ccid) AS rn
+         |    FROM n v CROSS JOIN coarse c)
+         |  WHERE rn = 1),
+         |assign AS (
+         |  SELECT vec_id, fid AS cid, qv, nq FROM (
+         |    SELECT v.vec_id, f.fid, v.qv, v.nq,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+         |        CAST(CAST(list_sum(list_transform(list_zip(v.qv, f.fqv), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
+         |          / (sqrt(CAST(v.nq AS DOUBLE)) * sqrt(CAST(f.fnq AS DOUBLE))) DESC, f.fid) AS rn
+         |    FROM v2c v JOIN f2c f ON v.ccid = f.ccid)
+         |  WHERE rn = 1),
+         |dups AS (
+         |  SELECT DISTINCT b.vec_id AS dup_id
+         |  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  WHERE CAST(CAST(list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
+         |      / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) >= 0.3)
+         |SELECT s.vec_id, s.cid AS cell_id, d.dup_id IS NULL AS is_kept
+         |FROM assign s LEFT JOIN dups d ON s.vec_id = d.dup_id""".stripMargin) { (s, dir) =>
+      val n = emb(s, dir).select("vec_id", "qv", "nq")
+      val nAll = n.count()
+      val s1 = SimilarityQueries.centroidStride(nAll)
+      val nFine = (nAll + s1 - 1) / s1
+      val s2 = s1 * math.max(1L, math.floor(math.sqrt(nFine.toDouble)).toLong)
+      val fine = n.filter(pmod(col("vec_id"), lit(s1)) === 0)
+        .select(col("vec_id").as("fid"), col("qv").as("f_qv"), col("nq").as("f_nq"))
+      val coarse = n.filter(pmod(col("vec_id"), lit(s2)) === 0)
+        .select(col("vec_id").as("ccid"), col("qv").as("c_qv"), col("nq").as("c_nq"))
+      def cos(aq: String, an: String, bq: String, bn: String) =
+        qdot(aq, bq).cast("double") /
+          (sqrt(col(an).cast("double")) * sqrt(col(bn).cast("double")))
+      val W = org.apache.spark.sql.expressions.Window
+      // duplicate-vector safety: ties in cosine break on the centroid id
+      // in EVERY assignment, so a vector and the fine centroids it could
+      // reach always agree on which of two identical coarse cells wins
+      val f2c = fine.crossJoin(broadcast(coarse))
+        .withColumn("c_cos", cos("f_qv", "f_nq", "c_qv", "c_nq"))
+        .withColumn("rn", row_number().over(
+          W.partitionBy("fid").orderBy(col("c_cos").desc, col("ccid"))))
+        .filter(col("rn") === 1)
+        .select(col("fid"), col("ccid").as("f_ccid"), col("f_qv"), col("f_nq"))
+      // ONLY the N^(1/4) coarse table broadcasts
+      val v2c = n.crossJoin(broadcast(coarse))
+        .withColumn("c_cos", cos("qv", "nq", "c_qv", "c_nq"))
+        .withColumn("rn", row_number().over(
+          W.partitionBy("vec_id").orderBy(col("c_cos").desc, col("ccid"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("ccid"), col("qv"), col("nq"))
+      // the sqrt(N) fine table arrives via an equi-join on the coarse cell
+      // — deliberately NOT hinted broadcast: at extreme N it can't be, and
+      // AQE still elects broadcast whenever it genuinely fits
+      val assign = v2c.join(f2c, col("ccid") === col("f_ccid"))
+        .withColumn("f_cos", cos("qv", "nq", "f_qv", "f_nq"))
+        .withColumn("rn", row_number().over(
+          W.partitionBy("vec_id").orderBy(col("f_cos").desc, col("fid"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("fid").as("cid"), col("qv"), col("nq"))
+        .persist()
+      val a = assign.select(col("vec_id").as("a_id"), col("cid"),
+        col("qv").as("a_qv"), col("nq").as("a_nq"))
+      val b = assign.select(col("vec_id").as("b_id"), col("cid").as("b_cid"),
+        col("qv").as("b_qv"), col("nq").as("b_nq"))
+      val pcos = qdot("a_qv", "b_qv").cast("double") /
+        (sqrt(col("a_nq").cast("double")) * sqrt(col("b_nq").cast("double")))
+      val dups = a.join(b, col("cid") === col("b_cid") && col("a_id") < col("b_id"))
+        .filter(pcos >= 0.3)
+        .select(col("b_id").as("dup_id")).distinct()
+      assign.join(dups, assign("vec_id") === dups("dup_id"), "left_outer")
+        .select(col("vec_id"), col("cid").as("cell_id"),
+          col("dup_id").isNull.as("is_kept"))
+    },
+
     // --------------------------------------------------------------- DEDUP-8
     // The COMPOSED curation funnel (pipeline/Curation.curate) under the
     // oracle gate: quality rules → exact dedup → LSH-verified near-dup →

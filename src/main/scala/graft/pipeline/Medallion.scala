@@ -51,6 +51,14 @@ object Medallion {
   def featuresPath(root: String) = s"$root/features/user_features"
   def servingPath(root: String) = s"$root/serving/user_documents"
 
+  /** Catalog name of the bucketed analytics fact (per-root unique). */
+  def analyticsTable(root: String): String =
+    "user_transactions_" + root.replaceAll("[^a-zA-Z0-9]", "_").toLowerCase
+
+  /** Bucket count for the analytics fact — same sizing contract as
+    * [[DomainPipeline.DefaultFactBuckets]]. */
+  val FactBuckets = 32
+
   // ---------------------------------------------------------------- RAW
   /** S1 + S4: schema'd CSV scan, month partition derivation, partitioned
     * append (raw keeps duplicates — dedup is stage's job, as in the
@@ -96,12 +104,25 @@ object Medallion {
       actor.unionByName(counter)
     }
     val stageDf = Lakehouse.read(spark, stagePath(root))
-    Lakehouse.loadIncremental(spark, analyticsPath(root),
+    // catalog-bucketed on party: the features layer windows and rolls up
+    // on the user key, so its per-run shuffle is paid once here at write
+    // time (same contract as the domain pipeline's wallet-tx fact)
+    Lakehouse.loadIncrementalBucketed(spark, analyticsTable(root), analyticsPath(root),
+      bucketKey = "party", buckets = FactBuckets, sortCols = Seq("ts_us"),
       watermarkCol = "ts_us", partitionCols = Seq("date_partition"),
       keys = Seq("event_id", "role", "date_partition"),
       full = () => pivoted(stageDf),
       incremental = wm => pivoted(stageDf.filter(col("ts_us") > lit(wm.toString.toLong))))
   }
+
+  /** The analytics fact through its bucketed catalog entry when available
+    * (re-registered on a fresh session), plain path read as the fallback
+    * for pre-bucketing lakes. */
+  def readAnalytics(spark: SparkSession, root: String): DataFrame =
+    if (Lakehouse.ensureBucketedTable(spark, analyticsTable(root), analyticsPath(root),
+        "party", FactBuckets, Seq("ts_us"), Seq("date_partition")))
+      spark.table(analyticsTable(root))
+    else Lakehouse.read(spark, analyticsPath(root))
 
   // ----------------------------------------------------------- FEATURES
   /** Per-user features over the actor rows. Incremental runs see ONLY the
@@ -114,7 +135,9 @@ object Medallion {
     * so the running-balance path never has to be replayed. */
   def features(spark: SparkSession, root: String): Unit = {
     val path = featuresPath(root)
-    val actor = Lakehouse.read(spark, analyticsPath(root)).filter(col("role") === "actor")
+    // bucketed read: the delta window + rollup run on the scan's party
+    // clustering — zero exchanges (MedallionSpec proves it on the plan)
+    val actor = readAnalytics(spark, root).filter(col("role") === "actor")
 
     val signed = when(col("event_type") === "purchase", col("value"))
       .when(col("event_type") === "error", -col("value")).otherwise(lit(0.0))

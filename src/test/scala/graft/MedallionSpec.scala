@@ -103,6 +103,42 @@ class MedallionSpec extends SparkSpec {
     }
   }
 
+  test("features delta plans zero exchanges over the bucketed analytics fact") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def countShuffles(df: DataFrame): Int = {
+      df.collect()
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Int =
+        (p match { case _: ShuffleExchangeExec => 1; case _ => 0 }) +
+          p.children.map(walk).sum + p.subqueries.map(walk).sum +
+          (p match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              walk(a.executedPlan)
+            case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(s.plan)
+            case _ => 0
+          })
+      walk(df.queryExecution.executedPlan)
+    }
+    val root = tmpDir("med-bucketed")
+    val csv = tmpDir("med-bucketed-csv")
+    exportCsv(csv, lit(true))
+    Medallion.runCycle(spark, csv, root)
+
+    val fact = Medallion.readAnalytics(spark, root)
+    assert(Lakehouse.scanBucketedOn(fact, "party"))
+    // the features layer's exact delta shape: running-balance window +
+    // per-user rollup — both ride the scan's party clustering
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("party").orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val delta = fact.filter(col("role") === "actor")
+      .withColumn("run", sum(col("value").cast("decimal(38,6)")).over(w).cast("double"))
+      .groupBy("party")
+      .agg(count(lit(1)).as("n_events"), max("run").as("max_run"))
+    assert(countShuffles(delta) == 0,
+      s"features delta must plan zero exchanges over the bucketed fact:\n" +
+        delta.queryExecution.executedPlan)
+  }
+
   test("re-delivered input is a no-op (dedup-on-insert all the way down)") {
     val root = tmpDir("med-dup")
     val csv = tmpDir("med-dup-csv")

@@ -201,21 +201,35 @@ class DomainPipelineSpec extends SparkSpec {
       .drop("contracts_aggregations").orderBy("wallet_address").collect().toSeq
     assert(viaBucket == viaPlain)
 
+    // the zero-exchange property must SURVIVE incremental appends: a
+    // second cycle adds one more file per touched (bucket, partition),
+    // and multi-file buckets still scan as one clustered partition
+    val csv2 = tmpDir("domain-csv-bucketed2")
+    writeBatch2(csv2)
+    DomainPipeline.run(spark, csv2, lake)
+    val wtx2 = DomainPipeline.readWalletTx(spark, lake)
+    assert(wtx2.count() == 8)
+    assert(countShuffles(WalletFeatures.walletFeatures(wtx2, dayUnit = 86400L)) == 0,
+      "wallet_features must stay exchange-free after an incremental append")
+
     // a fresh catalog (new session against an existing lake) re-registers
     // the on-disk layout instead of rewriting or falling back to plain
     spark.sql(s"DROP TABLE IF EXISTS ${DomainPipeline.walletTxTable(lake)}")
     val reRead = DomainPipeline.readWalletTx(spark, lake)
     assert(Lakehouse.scanBucketedOn(reRead, "wallet_address"),
       "ensureBucketedTable must re-register an existing bucketed layout")
-    assert(reRead.count() == wtx.count())
+    assert(reRead.count() == 8)
 
     // and a PRE-bucketing lake (plain files) must NOT be registered as
-    // bucketed — readWalletTx falls back to the plain path read
+    // bucketed — readWalletTx falls back to the plain path read. NOTE:
+    // read fresh — a parquet DataFrame pins its file listing at creation,
+    // so the pre-append `plain` frame would silently copy the 4-row state
     val plainLake = tmpDir("domain-lake-plain")
-    Lakehouse.ctas(plain, DomainPipeline.walletTxPath(plainLake), Seq("date_partition"))
+    Lakehouse.ctas(Lakehouse.read(spark, DomainPipeline.walletTxPath(lake)),
+      DomainPipeline.walletTxPath(plainLake), Seq("date_partition"))
     val fallback = DomainPipeline.readWalletTx(spark, plainLake)
     assert(!Lakehouse.scanBucketedOn(fallback, "wallet_address"))
-    assert(fallback.count() == wtx.count())
+    assert(fallback.count() == 8)
   }
 
   test("wallet-tx identity keeps a late-arriving leg of an already-seen tx") {

@@ -27,6 +27,64 @@ class DedupStoreSpec extends SparkSpec {
       { fail("corpus must not be re-signed when the store exists"); all }))
   }
 
+  test("property: stored-index admission matches an independent MinHash model") {
+    import org.scalacheck.{Gen, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+
+    // plain-Scala model of the whole signature pipeline — an oracle
+    // independent of Spark AND of the sibling demo query
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def shingleSet(text: String): Seq[String] = {
+      val tk = text.split(" ", -1).toSeq
+      if (tk.length < 3) Nil
+      else (0 to tk.length - 3).map(i => s"${tk(i)} ${tk(i + 1)} ${tk(i + 2)}").distinct
+    }
+    def bandSet(sh: Seq[String]): Set[(Int, String)] = {
+      val hs = (0 until 8).map(i => sh.map(s => md5hex(s"$i:" + s)).min)
+      (0 until 4).map(b => b -> md5hex(hs(2 * b) + hs(2 * b + 1))).toSet
+    }
+    def jaccard(a: Seq[String], b: Seq[String]): Double = {
+      val (sa, sb) = (a.toSet, b.toSet)
+      sa.intersect(sb).size.toDouble / sa.union(sb).size
+    }
+    def modelAdmit(docs: Map[Long, String], cut: Long): Map[Long, (Long, Long, Boolean)] = {
+      val sig = docs.collect { case (id, t) if shingleSet(t).nonEmpty =>
+        id -> ((bandSet(shingleSet(t)), shingleSet(t)))
+      }
+      docs.keys.filter(_ >= cut).map { b =>
+        val partners =
+          if (!sig.contains(b)) Seq.empty[Long]
+          else sig.keys.filter { a =>
+            a < b && sig(a)._1.intersect(sig(b)._1).nonEmpty &&
+              jaccard(sig(a)._2, sig(b)._2) >= 0.1
+          }.toSeq
+        val stored = partners.count(_ < cut).toLong
+        val inBatch = partners.count(_ >= cut).toLong
+        b -> ((stored, inBatch, partners.isEmpty))
+      }.toMap
+    }
+
+    val vocab = Seq("ape", "bat", "cow", "dog", "eel", "fox", "gnu", "hen")
+    val docGen = Gen.chooseNum(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val prop = forAll(Gen.listOfN(8, docGen), Gen.listOfN(4, docGen)) { (corpus, batch) =>
+      val cut = corpus.length.toLong
+      val docs = (corpus ++ batch).zipWithIndex
+        .map { case (t, i) => i.toLong -> t }.toMap
+      val root = tmpDir("dedup-store-prop")
+      DedupStore.ensureBuilt(spark, root,
+        docs.filter(_._1 < cut).toSeq.toDF("doc_id", "text"))
+      val got = DedupStore.admit(spark, root,
+          docs.filter(_._1 >= cut).toSeq.toDF("doc_id", "text"), cut)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+        .toMap
+      got == modelAdmit(docs, cut)
+    }
+    val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("multi-batch cycle: admit, append admitted, next batch dedups against them") {
     val mk = (id: Long, text: String) => (id, text)
     // corpus: 0 and 1 near-identical, 2 distinct

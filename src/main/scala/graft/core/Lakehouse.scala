@@ -124,15 +124,7 @@ object Lakehouse {
     // files without a bucket-id suffix. Caller falls back to a plain read.
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def dataFiles(dir: org.apache.hadoop.fs.Path, depth: Int): Seq[String] =
-      fs.listStatus(dir).toSeq.flatMap { st =>
-        val n = st.getPath.getName
-        if (st.isFile) { if (n.startsWith("_") || n.startsWith(".")) Nil else Seq(n) }
-        else if (depth > 0) dataFiles(st.getPath, depth - 1)
-        else Nil
-      }
-    val files = dataFiles(p, 2)
-    if (files.isEmpty || !files.forall(_.matches(".*_\\d{5}(\\.c\\d+)?\\..*"))) return false
+    if (!looksBucketed(fs, p)) return false
     val schema = spark.read.parquet(path).schema
     // partition columns must come last and be named in PARTITIONED BY
     val ordered = schema.filterNot(f => partitionCols.contains(f.name)) ++
@@ -149,6 +141,40 @@ object Lakehouse {
         s"LOCATION '$path'")
     if (partitionCols.nonEmpty) spark.sql(s"MSCK REPAIR TABLE $table")
     true
+  }
+
+  /** Every data file under `dir` (2 levels deep, hive layouts) carries a
+    * bucket-id suffix — the on-disk signature of a bucketed write. */
+  private def looksBucketed(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Boolean = {
+    def dataFiles(d: org.apache.hadoop.fs.Path, depth: Int): Seq[String] =
+      fs.listStatus(d).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (st.isFile) { if (n.startsWith("_") || n.startsWith(".")) Nil else Seq(n) }
+        else if (depth > 0) dataFiles(st.getPath, depth - 1)
+        else Nil
+      }
+    val files = dataFiles(dir, 2)
+    files.nonEmpty && files.forall(_.matches(".*_\\d{5}(\\.c\\d+)?\\..*"))
+  }
+
+  /** S11 for bucketed tables: every incremental [[appendBucketed]] adds one
+    * file per touched (bucket, partition), so after K batches each bucket
+    * holds K files — this collapses them back to one sorted file per
+    * (bucket, partition) while PRESERVING the catalog bucket layout (the
+    * plain [[compact]] would destroy it, and refuses). Stages the rows out
+    * first because the rewrite overwrites the files it reads. */
+  def compactBucketed(spark: SparkSession, table: String, path: String,
+      key: String, buckets: Int, sortCols: Seq[String] = Nil,
+      partitionCols: Seq[String] = Nil): Unit = {
+    if (!spark.catalog.tableExists(table)) return
+    val staging = path.stripSuffix("/") + ".compact"
+    spark.table(table).write.mode(SaveMode.Overwrite)
+      .option("compression", "snappy").parquet(staging)
+    ctasBucketed(spark.read.parquet(staging), table, key, buckets,
+      sortCols, partitionCols, Some(path))
+    val sp = new org.apache.hadoop.fs.Path(staging)
+    sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
   }
 
   /** S8 + S5/S4 over a bucketed catalog table: the same full-vs-incremental
@@ -378,6 +404,13 @@ object Lakehouse {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(hp)) return
+    // a bucketed layout would be silently DESTROYED by a plain rewrite:
+    // bucket ids live in the file names, so the catalog entry would point
+    // at files the bucketed reader rejects. Refuse loudly; the bucketed
+    // table's compaction is [[compactBucketed]].
+    require(!looksBucketed(fs, hp),
+      s"$path holds a bucketed layout - use compactBucketed (a plain " +
+        "rewrite drops the bucket-id file names the catalog relies on)")
     val bytes = fs.getContentSummary(hp).getLength
     val nFiles = math.max(1, (bytes / (targetFileMB.toLong << 20)).toInt)
     // size-derived task count, hash-clustered on the partition columns so

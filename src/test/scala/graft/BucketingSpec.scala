@@ -26,6 +26,39 @@ class BucketingSpec extends SparkSpec {
     walk(df.queryExecution.executedPlan)
   }
 
+  test("bucketed compaction collapses per-batch files and keeps the layout; plain compact refuses") {
+    val path = tmpDir("bucketed-compact") + "/ev"
+    val events = Graft.table(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    def slice(m: Int) = events.filter(pmod(col("event_id"), lit(3)) === m)
+    Lakehouse.ctasBucketed(slice(0), "ev_compact_t", "user_id", 4,
+      sortCols = Seq("user_id"), path = Some(path))
+    Lakehouse.appendBucketed(slice(1), "ev_compact_t", "user_id", 4, Seq("user_id"))
+    Lakehouse.appendBucketed(slice(2), "ev_compact_t", "user_id", 4, Seq("user_id"))
+    try {
+      def dataFiles() = new java.io.File(path).listFiles()
+        .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      val before = spark.table("ev_compact_t").orderBy("event_id").collect().toSeq
+      assert(dataFiles() == 12, "3 batches x 4 buckets")
+
+      // the plain path-based compact must refuse the bucketed layout
+      intercept[IllegalArgumentException] {
+        Lakehouse.compact(spark, path, Nil)
+      }
+
+      Lakehouse.compactBucketed(spark, "ev_compact_t", path, "user_id", 4,
+        sortCols = Seq("user_id"))
+      assert(dataFiles() == 4, "one file per bucket after compaction")
+      val after = spark.table("ev_compact_t").orderBy("event_id").collect().toSeq
+      assert(after == before)
+      // the layout survived: a key-aggregation still plans zero exchanges
+      val agg = spark.table("ev_compact_t").groupBy("user_id")
+        .agg(sum(col("value").cast("decimal(38,6)")).cast("double").as("total"))
+      assert(countShuffles(agg) == 0,
+        s"post-compaction scan lost the bucket layout:\n${agg.queryExecution.executedPlan}")
+    } finally spark.sql("DROP TABLE IF EXISTS ev_compact_t")
+  }
+
   test("same-key bucketed tables join and aggregate with zero exchanges") {
     val events = Graft.table(spark, sf, "events")
       .select(col("user_id"), col("value"), col("event_type"))

@@ -214,4 +214,25 @@ object DomainPipeline {
     analytics(spark, lake, rugpulls)
     features(spark, lake, prices)
   }
+
+  /** The reference's Sunday-only OPTIMIZE (features_pipeline.py:128-138)
+    * over the domain tables: the hive-partitioned features tables take the
+    * plain bin-pack rewrite; the bucketed wallet-tx fact takes the
+    * layout-preserving [[Lakehouse.compactBucketed]] (each incremental
+    * cycle adds one file per touched (bucket, date) — after a week that is
+    * 7 files per bucket; compaction folds them back to one). Returns
+    * whether it ran. */
+  def weeklyMaintain(spark: SparkSession, lake: String, today: java.time.LocalDate,
+      buckets: Int = DefaultFactBuckets): Boolean = {
+    if (today.getDayOfWeek != java.time.DayOfWeek.SUNDAY) return false
+    Seq(featuresPath(lake), coinBalancesPath(lake)).foreach { p =>
+      if (Lakehouse.tableExists(spark, p))
+        Lakehouse.compact(spark, p, Seq("address_partition"))
+    }
+    if (Lakehouse.ensureBucketedTable(spark, walletTxTable(lake), walletTxPath(lake),
+        "wallet_address", buckets, FactSortCols, Seq("date_partition")))
+      Lakehouse.compactBucketed(spark, walletTxTable(lake), walletTxPath(lake),
+        "wallet_address", buckets, FactSortCols, Seq("date_partition"))
+    true
+  }
 }

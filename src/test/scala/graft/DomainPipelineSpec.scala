@@ -212,6 +212,18 @@ class DomainPipelineSpec extends SparkSpec {
     assert(countShuffles(WalletFeatures.walletFeatures(wtx2, dayUnit = 86400L)) == 0,
       "wallet_features must stay exchange-free after an incremental append")
 
+    // Sunday maintenance: the bucketed fact compacts through the
+    // layout-preserving path — content identical, programs still
+    // exchange-free, and the table re-reads as bucketed
+    assert(!DomainPipeline.weeklyMaintain(spark, lake,
+      java.time.LocalDate.of(2024, 1, 6))) // Saturday: no-op
+    assert(DomainPipeline.weeklyMaintain(spark, lake,
+      java.time.LocalDate.of(2024, 1, 7))) // Sunday
+    val wtx3 = DomainPipeline.readWalletTx(spark, lake)
+    assert(Lakehouse.scanBucketedOn(wtx3, "wallet_address"))
+    assert(wtx3.count() == 8)
+    assert(countShuffles(WalletFeatures.walletFeatures(wtx3, dayUnit = 86400L)) == 0)
+
     // a fresh catalog (new session against an existing lake) re-registers
     // the on-disk layout instead of rewriting or falling back to plain
     spark.sql(s"DROP TABLE IF EXISTS ${DomainPipeline.walletTxTable(lake)}")

@@ -81,6 +81,12 @@ object Main {
                 org.apache.spark.sql.types.DoubleType),
               org.apache.spark.sql.types.StructField("price_ts",
                 org.apache.spark.sql.types.LongType)))))
+        // the domain DAG's Sunday-only OPTIMIZE ride-along
+        // (features_pipeline.py:128-138) — bucket-preserving on the fact
+        case "maintain-domain" =>
+          if (graft.pipeline.DomainPipeline.weeklyMaintain(spark, lake,
+              java.time.LocalDate.now()))
+            println("[graft] domain weekly maintenance ran")
         case "stage"     => Medallion.stage(spark, lake)
         case "analytics" => Medallion.analytics(spark, lake)
         case "features"  => Medallion.features(spark, lake)

@@ -218,6 +218,45 @@ object Streams {
       }
       .start()
 
+  /** Streaming corpus admission — the training-data pipeline's ingest
+    * gate as a stream: each micro-batch of documents dedups against the
+    * PERSISTED MinHash index ([[graft.pipeline.DedupStore]]); only
+    * admitted docs land in the corpus table, and their signatures fold
+    * into the index so the NEXT batch dedups against them too. Per-batch
+    * cost is O(batch) — sign the batch, bucket-join the stored band index,
+    * verify candidates — never a corpus re-scan, so the stream can run
+    * forever over a growing corpus.
+    *
+    * Id contract (the same watermark ordering the batch form relies on):
+    * doc_ids are monotone across batches, so "stored partner" means any
+    * id below the batch's minimum. */
+  def documentAdmission(
+      docs: DataFrame,
+      root: String,
+      corpusPath: String,
+      checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        if (!batch0.isEmpty) {
+          val spark = batch0.sparkSession
+          val batch = batch0.persist()
+          try {
+            import graft.pipeline.DedupStore
+            // bootstrap an empty index on the very first batch
+            DedupStore.ensureBuilt(spark, root, batch.filter(lit(false)))
+            val cut = batch.agg(min("doc_id")).head.getLong(0)
+            val admitted = DedupStore.admit(spark, root, batch, cut)
+              .filter(col("admitted")).select("doc_id")
+            val kept = batch.join(admitted, "doc_id")
+            Lakehouse.appendPartitioned(kept, corpusPath, Nil)
+            DedupStore.appendAdmitted(spark, root, kept)
+          } finally batch.unpersist()
+        }
+      }
+      .start()
+
   /** Sink: MERGE each micro-batch into a lake table by key — streaming and
     * batch share [[Lakehouse.mergeUpsert]] so the exactly-once-per-key
     * upsert semantics are identical in both modes. */

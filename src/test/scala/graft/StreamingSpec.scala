@@ -211,6 +211,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming corpus admission: near-dups rejected across and within micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = MemoryStream[(Long, String)]
+    val root = tmpDir("stream-admission")
+    val corpus = tmpDir("stream-corpus") + "/docs"
+    val ckpt = tmpDir("stream-admission-ck")
+    val q = graft.streaming.Streams.documentAdmission(
+      docs.toDF().toDF("doc_id", "text"), root, corpus, ckpt)
+    try {
+      // batch 1: 11 near-dups 10 within the batch -> only 10 admitted
+      docs.addData(
+        10L -> "alpha beta gamma delta epsilon zeta",
+        11L -> "alpha beta gamma delta epsilon eta")
+      q.processAllAvailable()
+      // batch 2: 20 dups the STORED 10 (via the persisted index, not any
+      // in-flight state) -> rejected; 21 is new -> admitted
+      docs.addData(
+        20L -> "alpha beta gamma delta epsilon zeta",
+        21L -> "one two three four five six seven")
+      q.processAllAvailable()
+      val kept = spark.read.parquet(corpus).select("doc_id")
+        .as[Long].collect().toSet
+      assert(kept == Set(10L, 21L), kept.toString)
+    } finally q.stop()
+  }
+
   test("parquet file source streams the lake: new files arrive as micro-batches") {
     val srcDir = tmpDir("stream-src")
     val outDir = tmpDir("stream-out")

@@ -250,8 +250,17 @@ object Streams {
             val admitted = DedupStore.admit(spark, root, batch, cut)
               .filter(col("admitted")).select("doc_id")
             val kept = batch.join(admitted, "doc_id")
-            Lakehouse.appendPartitioned(kept, corpusPath, Nil)
-            DedupStore.appendAdmitted(spark, root, kept)
+            // replay safety (checkpoint recovery re-delivers a batch): the
+            // corpus append anti-joins on doc_id, and only ids not already
+            // in the index re-sign — a replayed batch is a no-op. A
+            // duplicated signature row would silently INFLATE later
+            // admission counts (the verify join multiplies per shingle
+            // row), so index idempotence is correctness, not hygiene.
+            Lakehouse.antiJoinAppend(spark, kept, corpusPath, Seq("doc_id"), Nil)
+            val alreadyIndexed = spark.table(DedupStore.shinglesTable(root))
+              .select("doc_id")
+            DedupStore.appendAdmitted(spark, root,
+              kept.join(alreadyIndexed, Seq("doc_id"), "left_anti"))
           } finally batch.unpersist()
         }
       }

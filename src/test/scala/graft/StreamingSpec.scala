@@ -234,6 +234,24 @@ class StreamingSpec extends SparkSpec {
       val kept = spark.read.parquet(corpus).select("doc_id")
         .as[Long].collect().toSet
       assert(kept == Set(10L, 21L), kept.toString)
+      // replayed delivery (checkpoint recovery shape): same rows again —
+      // corpus and index must be unchanged (idempotent appends)
+      docs.addData(
+        20L -> "alpha beta gamma delta epsilon zeta",
+        21L -> "one two three four five six seven")
+      q.processAllAvailable()
+      val afterReplay = spark.read.parquet(corpus).select("doc_id")
+        .as[Long].collect().toSet
+      assert(afterReplay == Set(10L, 21L), afterReplay.toString)
+      // and a later near-dup of an admitted doc is still rejected exactly
+      // once (no inflated signatures from the replay)
+      docs.addData(
+        30L -> "one two three four five six eight",
+        31L -> "nine ten eleven twelve thirteen fourteen")
+      q.processAllAvailable()
+      val finalKept = spark.read.parquet(corpus).select("doc_id")
+        .as[Long].collect().toSet
+      assert(finalKept == Set(10L, 21L, 31L), finalKept.toString)
     } finally q.stop()
   }
 

@@ -462,8 +462,16 @@ object DedupQueries {
     QueryDef("d_incremental_dedup_stored", incrementalDedupSql) { (s, dir) =>
       val all = Graft.table(s, dir, "documents")
       val cut = all.agg(max("doc_id")).head.getLong(0) * 4 / 5
+      // the cached store must key on the SOURCE DATA VERSION, not just the
+      // path: a regenerated documents.parquet with the same shape would
+      // otherwise admit against a stale index (metadata-only fingerprint —
+      // file lengths + mtimes — no data scan)
+      val src = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+      val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val fp = java.lang.Long.toHexString(
+        fs.listStatus(src).map(st => st.getLen + st.getModificationTime).sum)
       val root = s"${System.getProperty("java.io.tmpdir")}/graft_dedup_store/v1/" +
-        dir.replaceAll("[^a-zA-Z0-9]", "_") + s"_$cut"
+        dir.replaceAll("[^a-zA-Z0-9]", "_") + s"_${cut}_$fp"
       graft.pipeline.DedupStore.ensureBuilt(s, root, all.filter(col("doc_id") < cut))
       graft.pipeline.DedupStore.admit(s, root, all.filter(col("doc_id") >= cut), cut)
     },

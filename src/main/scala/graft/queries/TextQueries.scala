@@ -431,6 +431,97 @@ object TextQueries {
           regexp_count(col("raw"), lit(phone)).cast("long").as("n_phones"),
           regexp_replace(regexp_replace(regexp_replace(col("raw"),
             email, "<EMAIL>"), ip, "<IP>"), phone, "<PHONE>").as("scrubbed"))
+    },
+
+    // --------------------------------------------------------------- TEXT-15
+    // BM25-style relevance scoring against a fixed query — the curation
+    // shape for selecting domain-relevant documents out of a web corpus.
+    // TWO corpus passes (df/length statistics, then the per-doc score),
+    // like the unigram scorer. Float parity: idf is the RATIONAL
+    // (N - df + 0.5)/(df + 0.5) — same ranking as the log form without
+    // trusting two libm ln() implementations to agree bit-for-bit — and
+    // the score is built from the identical expression tree in both
+    // engines (each * and / a single correctly-rounded IEEE op), with the
+    // three per-term scores added in fixed order, never via SUM.
+    QueryDef("t_bm25",
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |stats AS (
+        |  SELECT COUNT(*) AS n_docs,
+        |    CAST(SUM(len(tk)) AS BIGINT) AS total_len,
+        |    CAST(SUM(CASE WHEN len(list_filter(tk, x -> x = 'join')) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+        |    CAST(SUM(CASE WHEN len(list_filter(tk, x -> x = 'vector')) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+        |    CAST(SUM(CASE WHEN len(list_filter(tk, x -> x = 'stream')) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df3
+        |  FROM t)
+        |SELECT doc_id,
+        |  tf1 * 2.2::DOUBLE / (tf1 + 1.2::DOUBLE * bden) * ((n_docs - df1 + 0.5::DOUBLE) / (df1 + 0.5::DOUBLE))
+        |  + (tf2 * 2.2::DOUBLE / (tf2 + 1.2::DOUBLE * bden) * ((n_docs - df2 + 0.5::DOUBLE) / (df2 + 0.5::DOUBLE))
+        |  + tf3 * 2.2::DOUBLE / (tf3 + 1.2::DOUBLE * bden) * ((n_docs - df3 + 0.5::DOUBLE) / (df3 + 0.5::DOUBLE))) AS bm25
+        |FROM (
+        |  SELECT doc_id,
+        |    len(list_filter(tk, x -> x = 'join')) AS tf1,
+        |    len(list_filter(tk, x -> x = 'vector')) AS tf2,
+        |    len(list_filter(tk, x -> x = 'stream')) AS tf3,
+        |    0.25::DOUBLE + 0.75::DOUBLE * len(tk) * (SELECT n_docs FROM stats)
+        |      / (SELECT total_len FROM stats) AS bden,
+        |    (SELECT n_docs FROM stats) AS n_docs,
+        |    (SELECT df1 FROM stats) AS df1,
+        |    (SELECT df2 FROM stats) AS df2,
+        |    (SELECT df3 FROM stats) AS df3
+        |  FROM t)""".stripMargin) { (s, dir) =>
+      val terms = Seq("join", "vector", "stream")
+      val t = docs(s, dir).select(col("doc_id"), col("tk"))
+      def tf(term: String) = expr(s"size(filter(tk, x -> x = '$term'))")
+      val statCols =
+        count(lit(1)).as("n_docs") +:
+          sum(size(col("tk"))).cast("long").as("total_len") +:
+          terms.zipWithIndex.map { case (w, i) =>
+            sum(when(tf(w) > 0, 1).otherwise(0)).cast("long").as(s"df${i + 1}")
+          }
+      val stats = t.agg(statCols.head, statCols.tail: _*)
+      val withTf = terms.zipWithIndex
+        .foldLeft(t) { case (df, (w, i)) => df.withColumn(s"tf${i + 1}", tf(w)) }
+        .crossJoin(broadcast(stats))
+        .withColumn("bden",
+          lit(0.25) + lit(0.75) * size(col("tk")) * col("n_docs") / col("total_len"))
+      def term(i: Int) =
+        col(s"tf$i") * lit(2.2) / (col(s"tf$i") + lit(1.2) * col("bden")) *
+          ((col("n_docs") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)))
+      // fixed association: t1 + (t2 + t3), mirroring the oracle exactly
+      withTf.select(col("doc_id"), (term(1) + (term(2) + term(3))).as("bm25"))
+    },
+
+    // --------------------------------------------------------------- TEXT-16
+    // BPE vocabulary induction, first merge round: corpus-wide counts of
+    // adjacent character pairs within words — the exact statistic byte-pair
+    // encoding greedily merges on. One explode cascade (words, then char
+    // bigrams) into ONE count shuffle with map-side partial aggregation;
+    // top-20 with a deterministic tie-break. At 100 TB the pair-count table
+    // is vocabulary-sized (tiny), so iterating merge rounds keeps the same
+    // single-shuffle shape per round.
+    QueryDef("t_bpe_pairs",
+      """WITH pairs AS (
+        |  SELECT unnest(list_transform(range(1, length(w)),
+        |    i -> substr(w, i, 2))) AS pair
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) >= 2),
+        |counted AS (
+        |  SELECT pair, COUNT(*) AS n FROM pairs GROUP BY pair)
+        |SELECT pair, n, merge_rank FROM (
+        |  SELECT pair, n,
+        |    ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS merge_rank
+        |  FROM counted)
+        |WHERE merge_rank <= 20""".stripMargin) { (s, dir) =>
+      val w = Window.orderBy(col("n").desc, col("pair"))
+      docs(s, dir)
+        .select(explode(col("tk")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .withColumn("merge_rank", row_number().over(w))
+        .filter(col("merge_rank") <= 20)
+        .select("pair", "n", "merge_rank")
     }
   )
 }

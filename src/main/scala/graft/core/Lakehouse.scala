@@ -194,7 +194,8 @@ object Lakehouse {
       keys: Seq[String],
       full: () => DataFrame,
       incremental: Any => DataFrame): Unit = {
-    ensureBucketedTable(spark, table, path, bucketKey, buckets, sortCols, partitionCols)
+    val registered =
+      ensureBucketedTable(spark, table, path, bucketKey, buckets, sortCols, partitionCols)
     watermark(spark, path, watermarkCol, partitionCols.headOption.getOrElse(watermarkCol)) match {
       case None =>
         ctasBucketed(full(), table, bucketKey, buckets, sortCols, partitionCols, Some(path))
@@ -203,9 +204,38 @@ object Lakehouse {
         // same null-safe identity guard as antiJoinAppend, key-pruned scan
         val t = read(spark, path).select(keys.map(col): _*).alias("t")
         val cond = keys.map(k => newRows(k) <=> col(s"t.$k")).reduce(_ && _)
-        appendBucketed(newRows.join(t, cond, "left_anti"),
-          table, bucketKey, buckets, sortCols, partitionCols)
+        val fresh = newRows.join(t, cond, "left_anti")
+        if (registered)
+          appendBucketed(fresh, table, bucketKey, buckets, sortCols, partitionCols)
+        else
+          // LEGACY lake: the path holds a plain (pre-bucketing) layout the
+          // catalog refuses to register. appendBucketed would CREATE a
+          // warehouse-located table holding only this delta while path
+          // readers keep the old files — silent data loss. Keep appending
+          // plain (readers fall back to the path read) until the layout is
+          // upgraded once via [[migrateToBucketed]].
+          appendPartitioned(fresh, path, partitionCols)
     }
+  }
+
+  /** One-time upgrade of a plain-layout lake table to the bucketed layout:
+    * stages the rows out (the rewrite overwrites the files it reads) and
+    * rewrites through [[ctasBucketed]]. No-op when already bucketed or the
+    * path has no data. After this, the incremental loader appends
+    * bucket-aligned files and consumers get the zero-exchange reads. */
+  def migrateToBucketed(spark: SparkSession, table: String, path: String,
+      key: String, buckets: Int, sortCols: Seq[String] = Nil,
+      partitionCols: Seq[String] = Nil): Unit = {
+    if (ensureBucketedTable(spark, table, path, key, buckets, sortCols, partitionCols))
+      return // already bucketed (and now registered)
+    if (!tableExists(spark, path)) return
+    val staging = path.stripSuffix("/") + ".migrate"
+    read(spark, path).write.mode(SaveMode.Overwrite)
+      .option("compression", "snappy").parquet(staging)
+    ctasBucketed(spark.read.parquet(staging), table, key, buckets,
+      sortCols, partitionCols, Some(path))
+    val sp = new org.apache.hadoop.fs.Path(staging)
+    sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
   }
 
   /** True when a file-scan leaf of `df` is catalog-bucketed on exactly

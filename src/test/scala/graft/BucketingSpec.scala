@@ -59,6 +59,45 @@ class BucketingSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS ev_compact_t")
   }
 
+  test("legacy plain lake: increments stay plain until migrateToBucketed upgrades it") {
+    import spark.implicits._
+    val path = tmpDir("legacy-lake") + "/t"
+    val table = "legacy_upgrade_t"
+    def rows(wm: Long, ids: Long*) =
+      ids.map(i => (i, s"u${i % 3}", wm, "2024-01")).toDF("id", "user", "wm", "dp")
+    def loadInc(batch: org.apache.spark.sql.DataFrame): Unit =
+      Lakehouse.loadIncrementalBucketed(spark, table, path,
+        bucketKey = "user", buckets = 4, sortCols = Seq("wm"),
+        watermarkCol = "wm", partitionCols = Seq("dp"), keys = Seq("id", "dp"),
+        full = () => batch, incremental = _ => batch)
+    try {
+      // a pre-bucketing lake: plain-partitioned files already on disk
+      Lakehouse.ctas(rows(1L, 1, 2, 3), path, Seq("dp"))
+      // an increment over the legacy layout must land in the SAME plain
+      // table (not a warehouse-located bucketed table holding only the
+      // delta), and must not register a catalog entry over plain files
+      loadInc(rows(2L, 4, 5))
+      assert(Lakehouse.read(spark, path).count() == 5)
+      assert(!spark.catalog.tableExists(table))
+      assert(!Lakehouse.scanBucketedOn(Lakehouse.read(spark, path), "user"))
+
+      // one-time upgrade: same rows, bucketed layout, catalog-visible
+      Lakehouse.migrateToBucketed(spark, table, path, "user", 4,
+        Seq("wm"), Seq("dp"))
+      assert(Lakehouse.scanBucketedOn(spark.table(table), "user"))
+      assert(spark.table(table).count() == 5)
+
+      // increments now append bucket-aligned through the same loader
+      loadInc(rows(3L, 6, 7))
+      assert(spark.table(table).count() == 7)
+      assert(Lakehouse.scanBucketedOn(spark.table(table), "user"))
+      // idempotent migrate: no-op once bucketed
+      Lakehouse.migrateToBucketed(spark, table, path, "user", 4,
+        Seq("wm"), Seq("dp"))
+      assert(spark.table(table).count() == 7)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("same-key bucketed tables join and aggregate with zero exchanges") {
     val events = Graft.table(spark, sf, "events")
       .select(col("user_id"), col("value"), col("event_type"))

@@ -64,7 +64,8 @@ class BucketingSpec extends SparkSpec {
     val path = tmpDir("legacy-lake") + "/t"
     val table = "legacy_upgrade_t"
     def rows(wm: Long, ids: Long*) =
-      ids.map(i => (i, s"u${i % 3}", wm, "2024-01")).toDF("id", "user", "wm", "dp")
+      ids.map(i => (i, s"u${i % 3}", wm, s"2024-0${1 + i % 2}"))
+        .toDF("id", "user", "wm", "dp")
     def loadInc(batch: org.apache.spark.sql.DataFrame): Unit =
       Lakehouse.loadIncrementalBucketed(spark, table, path,
         bucketKey = "user", buckets = 4, sortCols = Seq("wm"),
@@ -95,6 +96,19 @@ class BucketingSpec extends SparkSpec {
       Lakehouse.migrateToBucketed(spark, table, path, "user", 4,
         Seq("wm"), Seq("dp"))
       assert(spark.table(table).count() == 7)
+      // the incremental readers' watermark predicate reaches the bucketed
+      // scan (the within-bucket wm sort is what makes the resulting
+      // row-group min/max skipping effective)
+      val planStr = spark.table(table).filter(col("wm") > 2L)
+        .queryExecution.executedPlan.toString
+      assert(planStr.contains("PushedFilters") && planStr.contains("GreaterThan(wm,2)"),
+        s"watermark predicate must push to the bucketed scan:\n$planStr")
+      // fresh-session re-registration recovers BOTH hive partitions (MSCK)
+      spark.sql(s"DROP TABLE $table")
+      assert(Lakehouse.ensureBucketedTable(spark, table, path, "user", 4,
+        Seq("wm"), Seq("dp")))
+      assert(spark.table(table).count() == 7)
+      assert(spark.table(table).select("dp").distinct().count() == 2)
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 

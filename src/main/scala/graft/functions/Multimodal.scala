@@ -106,7 +106,8 @@ object Multimodal {
               }
               y += 1
             }
-            val n = math.max(w * h, 1).toDouble
+            // long product: a 50k x 50k scan would overflow Int
+            val n = math.max(w.toLong * h, 1L).toDouble
             Row(docId, w, h, bytes.length.toLong, hist.map(_ / n).toSeq, "imageio")
           } else {
             val hist = new Array[Double](4)

@@ -35,6 +35,13 @@ object Graft {
       // without this, an all-digit sample infers IntegerType and rewrites
       // partition values ("07" -> 7), breaking partition-dir stability.
       .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+      // Subset co-partitioning for joins: the features/serving tables are
+      // bucketed on the wallet key alone while their MERGEs join on
+      // (wallet, contract) — with this ON (the default) such a join
+      // re-shuffles BOTH wallet-bucketed sides on the full key set. The
+      // skew caveat the default guards against is handled the reference's
+      // way (whale-wallet exclusion) + AQE skew-join on the plain paths.
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

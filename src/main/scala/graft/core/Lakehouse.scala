@@ -81,8 +81,14 @@ object Lakehouse {
     * metadata over it). */
   def ctasBucketed(df: DataFrame, table: String, key: String, buckets: Int,
       sortCols: Seq[String] = Nil, partitionCols: Seq[String] = Nil,
-      path: Option[String] = None): Unit = {
-    val out = df.repartition(buckets, col(key))
+      path: Option[String] = None, preClustered: Boolean = false): Unit = {
+    // preClustered: the caller guarantees df is already hash-clustered on
+    // `key` (e.g. the zero-exchange merge plan over same-bucketed inputs),
+    // so the write-time repartition would be a pure no-op shuffle. Safe
+    // unconditionally for CORRECTNESS — the writer derives each row's
+    // bucket id from the row's key value, never from the task id — a wrong
+    // claim only costs extra files per bucket.
+    val out = if (preClustered) df else df.repartition(buckets, col(key))
     var w = out.write.mode(SaveMode.Overwrite).format("parquet")
       .option("compression", "snappy")
     path.foreach(p => w = w.option("path", p))
@@ -125,7 +131,16 @@ object Lakehouse {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!looksBucketed(fs, p)) return false
-    val schema = spark.read.parquet(path).schema
+    // Partition-column type inference OFF for the schema probe: the writers
+    // emit the partition values as STRINGs, so a value that round-trips as
+    // DATE/INT (a day-grain '2024-01-07', an all-digit bucket id) must not
+    // register a DATE/INT column — the next appendBucketed would fail ANSI
+    // store assignment and spark.table vs path reads would disagree.
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val saved = spark.conf.getOption(inferKey)
+    val schema =
+      try { spark.conf.set(inferKey, "false"); spark.read.parquet(path).schema }
+      finally { saved.fold(spark.conf.unset(inferKey))(spark.conf.set(inferKey, _)) }
     // partition columns must come last and be named in PARTITIONED BY
     val ordered = schema.filterNot(f => partitionCols.contains(f.name)) ++
       partitionCols.map(schema(_))
@@ -143,8 +158,13 @@ object Lakehouse {
     true
   }
 
-  /** Every data file under `dir` (2 levels deep, hive layouts) carries a
-    * bucket-id suffix — the on-disk signature of a bucketed write. */
+  /** Every data file under `dir` (2 levels deep, hive layouts) matches
+    * Spark's bucketed-write naming (`part-NNNNN-<uuid>_BBBBB.cNNN.…`) — the
+    * on-disk signature of a bucketed write. Anchored to the full pattern,
+    * not just the `_BBBBB.` infix: a plain lake populated by a non-Spark
+    * writer whose names happen to contain `_00001.` must NOT register as
+    * bucketed (the reader would assign bogus bucket ids and bucketed joins
+    * would silently drop matches). */
   private def looksBucketed(fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path): Boolean = {
     def dataFiles(d: org.apache.hadoop.fs.Path, depth: Int): Seq[String] =
@@ -155,7 +175,7 @@ object Lakehouse {
         else Nil
       }
     val files = dataFiles(dir, 2)
-    files.nonEmpty && files.forall(_.matches(".*_\\d{5}(\\.c\\d+)?\\..*"))
+    files.nonEmpty && files.forall(_.matches("^part-\\d+-.*_\\d{5}\\.c\\d+\\..*"))
   }
 
   /** S11 for bucketed tables: every incremental [[appendBucketed]] adds one
@@ -169,12 +189,22 @@ object Lakehouse {
       partitionCols: Seq[String] = Nil): Unit = {
     if (!spark.catalog.tableExists(table)) return
     val staging = path.stripSuffix("/") + ".compact"
-    spark.table(table).write.mode(SaveMode.Overwrite)
-      .option("compression", "snappy").parquet(staging)
+    // Non-atomic window (same caveat as [[compact]]): readers racing the
+    // rewrite between the staging write and the saveAsTable commit see a
+    // dropped/empty table — schedule off-peak. Staging-dir lifecycle: a
+    // failed STAGING write cleans up after itself; a failed REWRITE keeps
+    // the staging dir — at that point the table files may already be
+    // dropped and staging is the only complete copy (recover by re-running
+    // the compaction: the staging Overwrite replaces any stale dir).
+    val sp = new org.apache.hadoop.fs.Path(staging)
+    val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      spark.table(table).write.mode(SaveMode.Overwrite)
+        .option("compression", "snappy").parquet(staging)
+    } catch { case t: Throwable => fs.delete(sp, true); throw t }
     ctasBucketed(spark.read.parquet(staging), table, key, buckets,
       sortCols, partitionCols, Some(path))
-    val sp = new org.apache.hadoop.fs.Path(staging)
-    sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
+    fs.delete(sp, true)
   }
 
   /** S8 + S5/S4 over a bucketed catalog table: the same full-vs-incremental
@@ -230,27 +260,36 @@ object Lakehouse {
       return // already bucketed (and now registered)
     if (!tableExists(spark, path)) return
     val staging = path.stripSuffix("/") + ".migrate"
-    read(spark, path).write.mode(SaveMode.Overwrite)
-      .option("compression", "snappy").parquet(staging)
+    // same staging-dir lifecycle as [[compactBucketed]]: clean up a failed
+    // staging write; keep staging if the rewrite fails (recovery copy)
+    val sp = new org.apache.hadoop.fs.Path(staging)
+    val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      read(spark, path).write.mode(SaveMode.Overwrite)
+        .option("compression", "snappy").parquet(staging)
+    } catch { case t: Throwable => fs.delete(sp, true); throw t }
     ctasBucketed(spark.read.parquet(staging), table, key, buckets,
       sortCols, partitionCols, Some(path))
-    val sp = new org.apache.hadoop.fs.Path(staging)
-    sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
+    fs.delete(sp, true)
   }
 
-  /** True when a file-scan leaf of `df` is catalog-bucketed on exactly
-    * (`key`) — that scan already delivers HashPartitioning(key, buckets),
-    * so a consumer's explicit cluster-by-key repartition would ADD the
-    * exchange the bucketing exists to remove. */
+  /** True when the file scans feeding `df` deliver the `key` clustering —
+    * at least one scan is catalog-bucketed on exactly (`key`), and every
+    * OTHER file scan in the plan is broadcast-sized (arrives via a
+    * broadcast join, which preserves the streamed side's partitioning). A
+    * table-sized plain scan voids the claim: its union/sort-merge join
+    * output is no longer clustered, and skipping the consumer's
+    * repartition would push per-operator exchanges downstream instead. */
   def scanBucketedOn(df: DataFrame, key: String): Boolean = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-    df.queryExecution.analyzed.collectLeaves().exists {
-      case r: LogicalRelation => r.relation match {
-        case h: HadoopFsRelation => h.bucketSpec.exists(_.bucketColumnNames == Seq(key))
-        case _ => false
-      }
-      case _ => false
+    val scans = df.queryExecution.analyzed.collectLeaves().collect {
+      case r: LogicalRelation if r.relation.isInstanceOf[HadoopFsRelation] =>
+        r.relation.asInstanceOf[HadoopFsRelation]
     }
+    val (bucketed, plain) =
+      scans.partition(_.bucketSpec.exists(_.bucketColumnNames == Seq(key)))
+    val bcast = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    bucketed.nonEmpty && plain.forall(h => bcast > 0 && h.sizeInBytes <= bcast)
   }
 
   /** Cluster `df` by `key` for downstream windows/aggregations: a real
@@ -258,6 +297,16 @@ object Lakehouse {
     * bucketed on `key` (the write-time shuffle replaces the runtime one). */
   def clusterBy(df: DataFrame, key: String): DataFrame =
     if (scanBucketedOn(df, key)) df else df.repartition(col(key))
+
+  /** Align a MERGE's updates frame to the target's bucket layout
+    * (HashPartitioning(key, buckets)) so the merge's full-outer join plans
+    * zero exchanges. Free when the updates plan already ends key-partitioned
+    * at `buckets` (EnsureRequirements removes a REPARTITION_BY_NUM shuffle
+    * whose child partitioning already equals it); otherwise it relocates
+    * the ONE delta-sized shuffle the merge join would insert anyway to
+    * BEFORE the caller's cache, leaving the merge plan exchange-free. */
+  def alignToBuckets(df: DataFrame, key: String, buckets: Int): DataFrame =
+    df.repartition(buckets, col(key))
 
   /** S4: plain partitioned append. */
   def appendPartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
@@ -352,6 +401,106 @@ object Lakehouse {
     }
   }
 
+  /** The catalog-aware S7 MERGE — [[mergeUpsert]] for a BUCKETED target
+    * table. The reference MERGEs into an Iceberg table keyed by wallet with
+    * address partitions (ethereum_wallet_features.sql:760-833, scoped per
+    * features_pipeline.py:97-104); the path-based [[mergeUpsert]] covers
+    * the semantics but its full-outer join re-shuffles the target on the
+    * merge key EVERY incremental cycle. Here the target is read through its
+    * bucketed catalog entry, so the scan itself delivers
+    * HashPartitioning(bucketKey, buckets): with bucket-aligned updates
+    * (derived from a same-bucketed fact) the full-outer join plans ZERO
+    * bucket-key exchanges, and the staged rewrite is written preClustered —
+    * the per-cycle merge cost drops from O(table shuffle) to O(touched
+    * partitions scan + write). Joins whose key set extends the bucket key
+    * (coin balances: wallet + contract) still qualify via subset
+    * co-partitioning (`spark.sql.requireAllClusterKeysForCoPartition=false`
+    * — set in [[Graft.session]]).
+    *
+    * `bucketKey` must be non-null by construction (it is compared with `=`,
+    * see [[mergeFrames]] `eqKeys`). Falls back to the path-based merge on a
+    * LEGACY plain-layout lake (same contract as [[loadIncrementalBucketed]]:
+    * never a corrupting half-bucketed write — upgrade once via
+    * [[migrateToBucketed]]). MSCK after the swap registers any NEW hive
+    * partitions the merge created; its listing is O(partition dirs), which
+    * the address-partition scheme bounds at 256. */
+  def mergeUpsertBucketed(
+      spark: SparkSession,
+      updates: DataFrame,
+      table: String,
+      path: String,
+      keys: Seq[String],
+      bucketKey: String,
+      buckets: Int,
+      sortCols: Seq[String] = Nil,
+      partitionCols: Seq[String] = Nil,
+      touchedPartitions: Option[Column] = None,
+      keepFromTarget: Set[String] = Set.empty): Unit = {
+    require(keys.contains(bucketKey),
+      s"bucket key $bucketKey must be part of the merge keys ${keys.mkString(",")}")
+    if (!tableExists(spark, path)) {
+      ctasBucketed(updates, table, bucketKey, buckets, sortCols, partitionCols,
+        Some(path), preClustered = true)
+      return
+    }
+    if (!ensureBucketedTable(spark, table, path, bucketKey, buckets, sortCols,
+        partitionCols)) {
+      mergeUpsert(spark, updates, path, keys, partitionCols, touchedPartitions,
+        keepFromTarget)
+      return
+    }
+    val merged = bucketedMergePlan(spark, table, updates, keys, bucketKey,
+      touchedPartitions, keepFromTarget)
+
+    // Staged swap, same as mergeUpsert (the merged plan reads the files the
+    // swap replaces) — but staged through a BUCKETED write so the layout
+    // survives the merge. preClustered: merged comes off the co-partitioned
+    // full-outer join, already clustered on the bucket key.
+    val staging = path.stripSuffix("/") + ".staging"
+    val stagingTable = table + "_staging"
+    spark.sql(s"DROP TABLE IF EXISTS $stagingTable")
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a stale staging dir (crashed previous merge) would fail the CTAS —
+    // CREATE TABLE AS SELECT refuses a non-empty location
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    ctasBucketed(merged, stagingTable, bucketKey, buckets, sortCols,
+      partitionCols, Some(staging), preClustered = true)
+    spark.sql(s"DROP TABLE $stagingTable") // external: the staged files stay
+    touchedPartitions match {
+      case None =>
+        fs.delete(hp, true)
+        fs.rename(new org.apache.hadoop.fs.Path(staging), hp)
+      case Some(_) =>
+        val staged = fs.listStatus(new org.apache.hadoop.fs.Path(staging))
+        staged.foreach { st =>
+          if (st.isDirectory) {
+            val dest = new org.apache.hadoop.fs.Path(hp, st.getPath.getName)
+            if (fs.exists(dest)) fs.delete(dest, true)
+            fs.rename(st.getPath, dest)
+          }
+        }
+        fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    }
+    spark.catalog.refreshTable(table)
+    if (partitionCols.nonEmpty) spark.sql(s"MSCK REPAIR TABLE $table")
+  }
+
+  /** The bucketed merge's read plan ([[mergeUpsertBucketed]] minus the
+    * write) — exposed so specs can assert its physical shape (zero
+    * bucket-key exchanges) on the exact plan the merge executes. */
+  def bucketedMergePlan(spark: SparkSession, table: String, updates: DataFrame,
+      keys: Seq[String], bucketKey: String,
+      touchedPartitions: Option[Column] = None,
+      keepFromTarget: Set[String] = Set.empty): DataFrame = {
+    val target = spark.table(table)
+    val cols = target.columns.toSeq
+    require(updates.columns.toSeq.sorted == cols.sorted,
+      s"merge schema mismatch: ${updates.columns.mkString(",")} vs ${cols.mkString(",")}")
+    val scoped = touchedPartitions.fold(target)(target.filter)
+    mergeFrames(scoped, updates, keys, keepFromTarget, eqKeys = Set(bucketKey))
+  }
+
   /** The MERGE semantics as a pure DataFrame transform (shared by
     * [[mergeUpsert]] and the feature modules' in-memory merges): updates
     * replace matched target rows, unmatched target rows carry forward,
@@ -362,9 +511,18 @@ object Lakehouse {
     * row carries NULL — coalesce(u.c, t.c) would silently resurrect the old
     * value the first time a nullable feature column is legitimately nulled.
     * `keepFromTarget` covers MERGEs whose UPDATE SET omits columns (e.g.
-    * coin balances' token_symbol): matched rows keep the stored value. */
+    * coin balances' token_symbol): matched rows keep the stored value.
+    *
+    * `eqKeys` names key columns compared with plain `=` instead of the
+    * null-safe `<=>`. Catalyst extracts a null-safe join key as the
+    * (coalesce(k, default), isnull(k)) pair, which a table bucketed on `k`
+    * cannot satisfy — the bucketed merge would re-shuffle BOTH sides. Only
+    * list keys that are non-null by construction (a table's primary key):
+    * under `=` two NULL keys never match, so a NULL-keyed update would
+    * insert a duplicate row instead of replacing. */
   def mergeFrames(target: DataFrame, updates: DataFrame, keys: Seq[String],
-      keepFromTarget: Set[String] = Set.empty): DataFrame = {
+      keepFromTarget: Set[String] = Set.empty,
+      eqKeys: Set[String] = Set.empty): DataFrame = {
     val cols = target.columns.toSeq
     val u = updates.withColumn("__is_update", lit(true)).alias("u")
     // membership marker on BOTH sides: keepFromTarget must hold the stored
@@ -372,7 +530,10 @@ object Lakehouse {
     // legitimately-NULL stored value), so "row exists in target" is decided
     // by the marker, never by a data column's nullness
     val t = target.withColumn("__in_target", lit(true)).alias("t")
-    val cond = keys.map(k => col(s"u.$k") <=> col(s"t.$k")).reduce(_ && _)
+    val cond = keys.map { k =>
+      if (eqKeys(k)) col(s"u.$k") === col(s"t.$k")
+      else col(s"u.$k") <=> col(s"t.$k")
+    }.reduce(_ && _)
     u.join(t, cond, "full_outer").select(
       cols.map { c =>
         val v =

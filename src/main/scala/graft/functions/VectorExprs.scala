@@ -122,6 +122,29 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Optimizer fence: identity on its child, marked NONDETERMINISTIC so the
+  * optimizer never moves predicates across the projection that computes
+  * the child. Catalyst pushes a post-join filter back into the join
+  * condition (substituting the projected alias), and it does NOT common
+  * up an expression between a join condition and a later projection — so
+  * an expensive projected value (a banded edit-distance DP) that is also
+  * filtered on would be evaluated TWICE per surviving row. Wrapping the
+  * filter side in the fence keeps the single projected evaluation.
+  * Codegen is a pass-through: zero runtime cost, purely a planning fence.
+  */
+case class PlanBarrier(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = child.dataType
+  override lazy val deterministic: Boolean = false
+  override def foldable: Boolean = false
+  override def prettyName: String = "plan_barrier"
+  override protected def nullSafeEval(v: Any): Any = v
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => c)
+  override protected def withNewChildInternal(newChild: Expression): PlanBarrier =
+    copy(child = newChild)
+}
+
 /** Element-wise sum of equal-length long vectors — the k-means centroid
   * update aggregate (§2.10 UDAF surface). A typed [[Aggregator]] keeps the
   * whole update one hash-aggregate pass with NO per-element explode: the
@@ -153,6 +176,8 @@ object VectorExprs {
       "long_dot", exprs => LongDot(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_intersect_count", exprs => SortedIntersectCount(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "plan_barrier", exprs => PlanBarrier(exprs.head), "built-in")
   }
 
   /** [[LongVecSum]] as a column aggregate. */

@@ -115,13 +115,19 @@ object CoinBalances {
     val ncb = fullLoad(fresh).alias("ncb")
 
     // :250-257 — per-CONTRACT max stored timestamp over wallets that have
-    // new data (EXISTS pruning via semi join, W13 window)
-    val ltt = state
+    // new data (EXISTS pruning via semi join). The reference computes it as
+    // a W13 window per (wallet, contract) row and joins it back big-big;
+    // here it is reduced to its true grain — ONE row per contract — and
+    // broadcast, so the ncb side keeps the fact's wallet clustering through
+    // the join (a contract-keyed shuffle here would force a wallet
+    // re-shuffle at the merge join right after). The dim is bounded by the
+    // token universe (decimals>0 contracts + 'ETH'), tens of MB at 100 TB.
+    // The per-pair form's implicit "pair ∈ state" marker (ltt_last NULL for
+    // new pairs) is recovered from the lcb join's own match below.
+    val ltt = broadcast(state
       .join(ncb.select(col("wallet_address")).distinct(), Seq("wallet_address"), "left_semi")
-      .select(col("wallet_address"), col("contract_address"),
-        max(col("last_transaction_timestamp"))
-          .over(Window.partitionBy("contract_address")).as("ltt_last"))
-      .alias("ltt")
+      .groupBy(col("contract_address").as("ltt_contract"))
+      .agg(max("last_transaction_timestamp").as("ltt_last")))
 
     val lcb = state.alias("lcb")
     def nvl0(c: Column) = coalesce(c, lit(0.0))
@@ -131,12 +137,13 @@ object CoinBalances {
         col("ncb.wallet_address") === col("lcb.wallet_address") &&
           col("ncb.contract_address") === col("lcb.contract_address") &&
           col("ncb.address_partition") === col("lcb.address_partition"), "left_outer")
-      .join(ltt,
-        col("ncb.wallet_address") === col("ltt.wallet_address") &&
-          col("ncb.contract_address") === col("ltt.contract_address"), "left_outer")
-      // :290 — skip rows whose batch adds nothing newer than the stored max
-      .filter(col("ncb.last_transaction_timestamp") =!= col("ltt.ltt_last") ||
-        col("ltt.ltt_last").isNull)
+      .join(ltt, col("ncb.contract_address") === col("ltt_contract"), "left_outer")
+      // :290 — skip rows whose batch adds nothing newer than the stored max.
+      // A pair NOT in state (no lcb match — wallet_address is the state
+      // table's non-null key, so its NULL means "unmatched") always keeps,
+      // exactly as the per-pair ltt's NULL did in the reference's form.
+      .filter(col("lcb.wallet_address").isNull || col("ltt_last").isNull ||
+        col("ncb.last_transaction_timestamp") =!= col("ltt_last"))
       .select(
         col("ncb.wallet_address").as("wallet_address"),
         col("ncb.contract_address").as("contract_address"),

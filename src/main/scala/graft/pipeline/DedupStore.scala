@@ -86,7 +86,12 @@ object DedupStore {
     * doc: (doc_id, n_dups_stored, n_dups_batch, admitted) — admitted iff
     * the doc has no verified (Jaccard ≥ threshold) partner among stored
     * docs or smaller-id batch docs. Only the batch is signed here; the
-    * stored side is read from the index tables. */
+    * stored side is read from the index tables.
+    *
+    * The returned frame is MATERIALIZED AND CACHED (its batch-signature
+    * cache is released before returning): call `.unpersist()` on it once
+    * consumed — long-running admission loops would otherwise accumulate a
+    * verdict cache per batch. */
   def admit(spark: SparkSession, root: String, batch: DataFrame,
       storedIdUpperBound: Long): DataFrame = {
     graft.functions.VectorExprs.register(spark)
@@ -119,11 +124,20 @@ object DedupStore {
       count(when(col("a_id") < storedIdUpperBound, lit(1))).as("n_dups_stored"),
       count(when(col("a_id") >= storedIdUpperBound, lit(1))).as("n_dups_batch"))
 
-    batch.select(col("doc_id"))
+    val out = batch.select(col("doc_id"))
       .join(agg, col("doc_id") === col("agg_id"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("n_dups_stored"), lit(0L)).as("n_dups_stored"),
         coalesce(col("n_dups_batch"), lit(0L)).as("n_dups_batch"),
         col("agg_id").isNull.as("admitted"))
+    // Materialize the (batch-doc-sized) verdict NOW so bBands' cache can be
+    // released inside this call: in a forever-running admission stream a
+    // leaked per-batch cache grows executor storage unboundedly (the caller
+    // can't release bBands — it never sees the handle). The verdict itself
+    // is cached for the caller's fan-out (kept-join + index append) and
+    // released by the caller when the batch is done.
+    out.persist().count()
+    bBands.unpersist()
+    out
   }
 }

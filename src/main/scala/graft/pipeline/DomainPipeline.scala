@@ -35,7 +35,16 @@ object DomainPipeline {
     * unique so concurrent lakes (tests, blue/green rebuilds) coexist in
     * one catalog. */
   def walletTxTable(lake: String): String =
-    "ethereum_wallet_transactions_" + lake.replaceAll("[^a-zA-Z0-9]", "_").toLowerCase
+    "ethereum_wallet_transactions_" + lakeSuffix(lake)
+
+  /** Catalog names of the bucketed features tables (same per-lake scheme). */
+  def featuresTable(lake: String): String =
+    "ethereum_wallet_features_" + lakeSuffix(lake)
+  def coinBalancesTable(lake: String): String =
+    "ethereum_wallet_coin_balances_" + lakeSuffix(lake)
+
+  private def lakeSuffix(lake: String): String =
+    lake.replaceAll("[^a-zA-Z0-9]", "_").toLowerCase
 
   /** Bucket count of the wallet-transactions fact. 32 matches the local
     * harness parallelism; at cluster scale pass the analytics/features
@@ -148,13 +157,39 @@ object DomainPipeline {
     else Lakehouse.read(spark, walletTxPath(lake))
   }
 
+  /** A features-layer table through its bucketed catalog entry when
+    * available (re-registering on a fresh session), plain path read as the
+    * fallback for pre-bucketing lakes. */
+  private def readFeatureTable(spark: SparkSession, table: String, path: String,
+      buckets: Int = DefaultFactBuckets): DataFrame =
+    if (Lakehouse.ensureBucketedTable(spark, table, path, "wallet_address",
+        buckets, Nil, Seq("address_partition")))
+      spark.table(table)
+    else Lakehouse.read(spark, path)
+
+  def readFeatures(spark: SparkSession, lake: String,
+      buckets: Int = DefaultFactBuckets): DataFrame =
+    readFeatureTable(spark, featuresTable(lake), featuresPath(lake), buckets)
+  def readCoinBalances(spark: SparkSession, lake: String,
+      buckets: Int = DefaultFactBuckets): DataFrame =
+    readFeatureTable(spark, coinBalancesTable(lake), coinBalancesPath(lake), buckets)
+
   /** FEATURES: wallet features + coin balances, full load on first run,
     * the reference MERGEs afterwards. `prices` = the daily token price
     * table; the token gate comes from stage tokens_metadata (decimals > 0)
-    * when present. */
+    * when present.
+    *
+    * Both tables are written CATALOG-BUCKETED on wallet_address, like the
+    * fact they derive from: the reference MERGEs into wallet-keyed Iceberg
+    * tables (ethereum_wallet_features.sql:760-833) and this is that
+    * layout's Spark form. With fact, stored state, and updates all
+    * wallet-clustered, the ENTIRE incremental cycle — update computation
+    * AND the merge's full-outer join — plans zero wallet-key exchanges
+    * (DomainPipelineSpec asserts it on the executed plan); each cycle's
+    * cost is the touched partitions' scan + rewrite, not a table shuffle. */
   def features(spark: SparkSession, lake: String,
-      prices: Option[DataFrame] = None): Unit = {
-    import graft.core.Schemas
+      prices: Option[DataFrame] = None,
+      buckets: Int = DefaultFactBuckets): Unit = {
     // bucketed catalog read: the feature programs' wallet windows/rollups
     // run directly on the scan's wallet clustering — no exchange
     val wtx = readWalletTx(spark, lake)
@@ -173,34 +208,50 @@ object DomainPipeline {
 
     val fPath = featuresPath(lake)
     if (!exists(spark, fPath)) {
-      // domain timestamps are epoch SECONDS — dayUnit follows
-      Lakehouse.ctas(WalletFeatures.walletFeatures(wtx, prices, gate, dayUnit = 86400L),
-        fPath, Seq("address_partition"))
+      // domain timestamps are epoch SECONDS — dayUnit follows.
+      // preClustered: the rollup comes off the bucketed fact wallet-clustered
+      Lakehouse.ctasBucketed(WalletFeatures.walletFeatures(wtx, prices, gate, dayUnit = 86400L),
+        featuresTable(lake), "wallet_address", buckets,
+        partitionCols = Seq("address_partition"), path = Some(fPath),
+        preClustered = Lakehouse.scanBucketedOn(wtx, "wallet_address"))
     } else {
-      val stored = Lakehouse.read(spark, fPath)
+      val stored = readFeatures(spark, lake, buckets)
       val wm = stored.agg(max("wallet_last_tx")).head.getLong(0)
       val newTx = wtx.filter(col("block_timestamp") > wm)
-      val updates = WalletFeatures
-        .incrementalUpdates(newTx, stored, prices, gate, dayUnit = 86400L)
+      // aligned to the target's bucket layout BEFORE the cache, so the
+      // merge's full-outer join plans zero exchanges (free when the rollup
+      // already ends wallet-partitioned at `buckets`)
+      val updates = Lakehouse.alignToBuckets(WalletFeatures
+        .incrementalUpdates(newTx, stored, prices, gate, dayUnit = 86400L),
+        "wallet_address", buckets)
         .persist()
-      // :760-833 — whole-row update by wallet; mergeUpsert IS that MERGE
-      Lakehouse.mergeUpsert(spark, updates, fPath, Seq("wallet_address"),
-        Seq("address_partition"),
-        Some(col("address_partition").isin(touchedOf(updates): _*)))
+      // :760-833 — whole-row update by wallet; mergeUpsertBucketed IS that
+      // MERGE, over the wallet-bucketed target
+      Lakehouse.mergeUpsertBucketed(spark, updates, featuresTable(lake), fPath,
+        Seq("wallet_address"), "wallet_address", buckets,
+        partitionCols = Seq("address_partition"),
+        touchedPartitions = Some(col("address_partition").isin(touchedOf(updates): _*)))
       updates.unpersist()
     }
 
     val cPath = coinBalancesPath(lake)
     if (!exists(spark, cPath)) {
-      Lakehouse.ctas(CoinBalances.fullLoad(wtx), cPath, Seq("address_partition"))
+      Lakehouse.ctasBucketed(CoinBalances.fullLoad(wtx),
+        coinBalancesTable(lake), "wallet_address", buckets,
+        partitionCols = Seq("address_partition"), path = Some(cPath),
+        preClustered = Lakehouse.scanBucketedOn(wtx, "wallet_address"))
     } else {
-      val stored = Lakehouse.read(spark, cPath)
+      val stored = readCoinBalances(spark, lake, buckets)
       // the column-selective MERGE (:297-310): matched rows keep stored
-      // token_symbol / has_negative_balance
-      val updates = CoinBalances.incrementalUpdates(wtx, stored).persist()
-      Lakehouse.mergeUpsert(spark, updates, cPath,
-        Seq("wallet_address", "contract_address"), Seq("address_partition"),
-        Some(col("address_partition").isin(touchedOf(updates): _*)),
+      // token_symbol / has_negative_balance. The (wallet, contract) key
+      // rides the wallet-only bucketing via subset co-partitioning.
+      val updates = Lakehouse.alignToBuckets(
+        CoinBalances.incrementalUpdates(wtx, stored), "wallet_address", buckets)
+        .persist()
+      Lakehouse.mergeUpsertBucketed(spark, updates, coinBalancesTable(lake), cPath,
+        Seq("wallet_address", "contract_address"), "wallet_address", buckets,
+        partitionCols = Seq("address_partition"),
+        touchedPartitions = Some(col("address_partition").isin(touchedOf(updates): _*)),
         keepFromTarget = Set("token_symbol", "has_negative_balance"))
       updates.unpersist()
     }
@@ -225,9 +276,17 @@ object DomainPipeline {
   def weeklyMaintain(spark: SparkSession, lake: String, today: java.time.LocalDate,
       buckets: Int = DefaultFactBuckets): Boolean = {
     if (today.getDayOfWeek != java.time.DayOfWeek.SUNDAY) return false
-    Seq(featuresPath(lake), coinBalancesPath(lake)).foreach { p =>
-      if (Lakehouse.tableExists(spark, p))
-        Lakehouse.compact(spark, p, Seq("address_partition"))
+    Seq(featuresTable(lake) -> featuresPath(lake),
+        coinBalancesTable(lake) -> coinBalancesPath(lake)).foreach { case (t, p) =>
+      if (Lakehouse.tableExists(spark, p)) {
+        // bucketed features lake → layout-preserving compaction; a legacy
+        // plain-layout lake still takes the bin-pack rewrite
+        if (Lakehouse.ensureBucketedTable(spark, t, p, "wallet_address", buckets,
+            Nil, Seq("address_partition")))
+          Lakehouse.compactBucketed(spark, t, p, "wallet_address", buckets,
+            Nil, Seq("address_partition"))
+        else Lakehouse.compact(spark, p, Seq("address_partition"))
+      }
     }
     if (Lakehouse.ensureBucketedTable(spark, walletTxTable(lake), walletTxPath(lake),
         "wallet_address", buckets, FactSortCols, Seq("date_partition")))

@@ -53,7 +53,14 @@ object Medallion {
 
   /** Catalog name of the bucketed analytics fact (per-root unique). */
   def analyticsTable(root: String): String =
-    "user_transactions_" + root.replaceAll("[^a-zA-Z0-9]", "_").toLowerCase
+    "user_transactions_" + rootSuffix(root)
+
+  /** Catalog names of the bucketed features/serving tables. */
+  def featuresTable(root: String): String = "user_features_" + rootSuffix(root)
+  def servingTable(root: String): String = "user_documents_" + rootSuffix(root)
+
+  private def rootSuffix(root: String): String =
+    root.replaceAll("[^a-zA-Z0-9]", "_").toLowerCase
 
   /** Bucket count for the analytics fact — same sizing contract as
     * [[DomainPipeline.DefaultFactBuckets]]. */
@@ -162,20 +169,27 @@ object Medallion {
 
     if (!Lakehouse.tableExists(spark, path)) {
       val d = delta(actor)
-      Lakehouse.ctas(d.select(
+      // bucketed on user_id like the analytics fact it derives from: the
+      // incremental stitch join AND the merge's full-outer both ride the
+      // layout (zero user-key exchanges, MedallionSpec pins the plan).
+      // preClustered: the delta rollup comes off the bucketed fact already
+      // user-clustered (alias-aware partitioning through party→user_id).
+      Lakehouse.ctasBucketed(d.select(
         col("user_id"), col("n_events"), col("total_purchase_value"),
         col("first_ts_us"), col("last_ts_us"),
         col("delta_balance").as("final_balance"),
         col("delta_max_run").as("max_balance"),
         userPartition(col("user_id")).as("user_partition")),
-        path, Seq("user_partition"))
+        featuresTable(root), "user_id", FactBuckets,
+        partitionCols = Seq("user_partition"), path = Some(path),
+        preClustered = Lakehouse.scanBucketedOn(actor, "party"))
     } else {
       val wm = Lakehouse.read(spark, path).agg(max("last_ts_us")).head.getLong(0)
       // Persist the (small, per-user) delta aggregate: it feeds BOTH the
       // touched-partition probe and the merge write — without the cache the
       // whole delta window+agg would run twice.
       val d = delta(actor.filter(col("ts_us") > lit(wm))).persist().alias("d")
-      val old = Lakehouse.read(spark, path).alias("o")
+      val old = readFeatures(spark, root).alias("o")
       // A7 state merge with W10 boundary stitch, touched users only.
       val merged = d.join(old, col("d.user_id") === col("o.user_id"), "left_outer")
         .select(
@@ -202,20 +216,31 @@ object Medallion {
       val touched = d.select(userPartition(col("d.user_id")).as("p")).distinct()
         .collect().map(_.getString(0)).toSeq
       if (touched.nonEmpty)
-        Lakehouse.mergeUpsert(spark, merged, path, Seq("user_id"),
-          Seq("user_partition"), Some(col("user_partition").isin(touched: _*)))
+        Lakehouse.mergeUpsertBucketed(spark, merged, featuresTable(root), path,
+          Seq("user_id"), "user_id", FactBuckets,
+          partitionCols = Seq("user_partition"),
+          touchedPartitions = Some(col("user_partition").isin(touched: _*)))
       d.unpersist()
     }
   }
+
+  /** The features table through its bucketed catalog entry when available,
+    * plain path read for pre-bucketing lakes. */
+  def readFeatures(spark: SparkSession, root: String): DataFrame =
+    if (Lakehouse.ensureBucketedTable(spark, featuresTable(root), featuresPath(root),
+        "user_id", FactBuckets, Nil, Seq("user_partition")))
+      spark.table(featuresTable(root))
+    else Lakehouse.read(spark, featuresPath(root))
 
   // ------------------------------------------------------------ SERVING
   /** S9/S10: the document-store export — features reshaped into one nested
     * document per user (walletAddress rename + A3 metric map), streamed in
     * driver-side chunks via toLocalIterator (the reference's paginated
     * Athena read), upserted into the serving table. */
-  def servingExport(spark: SparkSession, root: String, chunkRows: Int = 1000): Unit = {
-    val feats = Lakehouse.read(spark, featuresPath(root))
-    val docs = feats.select(
+  /** The document reshape (A3 metric map + walletAddress rename) — exposed
+    * so specs can assert the export plan's physical shape. */
+  def servingDocs(feats: DataFrame): DataFrame =
+    feats.select(
       col("user_id").cast("string").as("walletAddress"),
       map(
         lit("n_events"), col("n_events").cast("double"),
@@ -224,6 +249,10 @@ object Medallion {
         lit("max_balance"), col("max_balance")).as("features"),
       col("last_ts_us"),
       col("user_partition"))
+
+  def servingExport(spark: SparkSession, root: String, chunkRows: Int = 1000): Unit = {
+    val feats = readFeatures(spark, root)
+    val docs = servingDocs(feats)
     // Chunked driver-side pagination (S10): at production scale the sink's
     // client library is driver-bound (Mongo bulk upserts); the iterator
     // bounds driver memory to one chunk. Chunks append into a staging
@@ -232,13 +261,16 @@ object Medallion {
     // (O(chunks × table) I/O).
     import scala.jdk.CollectionConverters._
     val staging = servingPath(root).stripSuffix("/") + ".inbox"
-    // toLocalIterator schedules ONE sequential job per partition; over the
-    // default 32 shuffle partitions that is ~32 scheduling round-trips for
-    // a driver-bound export. repartition (NOT coalesce — coalesce narrows
-    // the whole post-shuffle stage to 4 tasks, serializing the upstream
-    // feature compute) pays one extra exchange to keep the compute at full
-    // cluster parallelism and bound only the pagination at 4 partitions.
-    val it = docs.repartition(4).toLocalIterator().asScala
+    // Over the BUCKETED features table the chunk boundary is the bucket:
+    // the export plan is a pure scan+project — ZERO exchanges (spec-pinned)
+    // — and toLocalIterator's one-sequential-job-per-partition walks the
+    // `buckets` bucket files. A legacy plain lake keeps the repartition
+    // (NOT coalesce — coalesce narrows the whole post-shuffle stage to 4
+    // tasks, serializing the upstream feature compute): one extra exchange
+    // to bound the pagination at 4 partitions.
+    val paged = if (Lakehouse.scanBucketedOn(docs, "user_id")) docs
+                else docs.repartition(4)
+    val it = paged.toLocalIterator().asScala
     val schema = docs.schema
     it.grouped(chunkRows).foreach { chunk =>
       val batch = spark.createDataFrame(chunk.asJava, schema)
@@ -254,8 +286,12 @@ object Medallion {
       // then drop them. The inbox is staging-sized, so the probe is cheap.
       val touched = inbox.select("user_partition").distinct()
         .collect().map(_.getString(0)).toSeq
-      Lakehouse.mergeUpsert(spark, inbox, servingPath(root), Seq("walletAddress"),
-        Seq("user_partition"), Some(col("user_partition").isin(touched: _*)))
+      // bucketed serving table: the inbox side (driver-built chunks) pays
+      // one small shuffle; the table-sized target side joins in place
+      Lakehouse.mergeUpsertBucketed(spark, inbox, servingTable(root),
+        servingPath(root), Seq("walletAddress"), "walletAddress", FactBuckets,
+        partitionCols = Seq("user_partition"),
+        touchedPartitions = Some(col("user_partition").isin(touched: _*)))
       val p = new org.apache.hadoop.fs.Path(staging)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }

@@ -45,18 +45,24 @@ object ExtraQueries {
         col("blk"), col("len").as("a_len"))
       val b = d.select(col("doc_id").as("b_id"), col("text").as("b_text"),
         col("blk").as("b_blk"), col("len").as("b_len"))
-      // The distance test goes INTO the join condition, authored after the
-      // cheap guards (And short-circuits left-to-right in codegen): a
-      // post-join filter gets pushed in FRONT of the cheap conjuncts and
-      // then every same-block pair pays the DP. The thresholded
-      // levenshtein(.., 121) band-limits the DP and returns the exact
-      // distance for every pair the ≤120 filter keeps (-1 beyond, excluded
-      // by the BETWEEN).
-      val distT = expr("levenshtein(a_text, b_text, 121)")
+      // The banded DP (thresholded levenshtein(.., 121): exact distance
+      // for every pair the ≤120 filter keeps, -1 beyond) is computed ONCE
+      // per blocked pair, as a post-join PROJECTION. Putting it in the
+      // join condition — or letting the optimizer push the ≤120 filter
+      // back there, which it does by substituting the projected alias
+      // into the predicate (PushPredicateThroughNonJoin checks the
+      // PROJECT's determinism, not the filter's) — would evaluate the DP
+      // again for every surviving pair (Spark does not CSE between a join
+      // condition and a projection). So the PROJECTED FIELD ITSELF is
+      // wrapped in plan_barrier: a nondeterministic projection is never
+      // substituted or collapsed, and the ≤120 filter above it tests the
+      // computed attribute. The cheap guards (block, id order, length
+      // band) stay in the join condition.
+      graft.functions.VectorExprs.register(s)
       a.join(b, col("blk") === col("b_blk") && col("a_id") < col("b_id") &&
-          abs(col("a_len") - col("b_len")) <= 20 &&
-          distT.between(0, 120))
-        .withColumn("edit_dist", distT)
+          abs(col("a_len") - col("b_len")) <= 20)
+        .withColumn("edit_dist", expr("plan_barrier(levenshtein(a_text, b_text, 121))"))
+        .filter(col("edit_dist").between(0, 120))
         .select(col("a_id"), col("b_id"), col("edit_dist"),
           (lit(1.0) - col("edit_dist") / greatest(col("a_len"), col("b_len")).cast("double"))
             .as("edit_sim"))

@@ -247,20 +247,24 @@ object Streams {
             // bootstrap an empty index on the very first batch
             DedupStore.ensureBuilt(spark, root, batch.filter(lit(false)))
             val cut = batch.agg(min("doc_id")).head.getLong(0)
-            val admitted = DedupStore.admit(spark, root, batch, cut)
-              .filter(col("admitted")).select("doc_id")
-            val kept = batch.join(admitted, "doc_id")
-            // replay safety (checkpoint recovery re-delivers a batch): the
-            // corpus append anti-joins on doc_id, and only ids not already
-            // in the index re-sign — a replayed batch is a no-op. A
-            // duplicated signature row would silently INFLATE later
-            // admission counts (the verify join multiplies per shingle
-            // row), so index idempotence is correctness, not hygiene.
-            Lakehouse.antiJoinAppend(spark, kept, corpusPath, Seq("doc_id"), Nil)
-            val alreadyIndexed = spark.table(DedupStore.shinglesTable(root))
-              .select("doc_id")
-            DedupStore.appendAdmitted(spark, root,
-              kept.join(alreadyIndexed, Seq("doc_id"), "left_anti"))
+            val verdicts = DedupStore.admit(spark, root, batch, cut)
+            try {
+              val admitted = verdicts.filter(col("admitted")).select("doc_id")
+              val kept = batch.join(admitted, "doc_id")
+              // replay safety (checkpoint recovery re-delivers a batch): the
+              // corpus append anti-joins on doc_id, and only ids not already
+              // in the index re-sign — a replayed batch is a no-op. A
+              // duplicated signature row would silently INFLATE later
+              // admission counts (the verify join multiplies per shingle
+              // row), so index idempotence is correctness, not hygiene.
+              Lakehouse.antiJoinAppend(spark, kept, corpusPath, Seq("doc_id"), Nil)
+              val alreadyIndexed = spark.table(DedupStore.shinglesTable(root))
+                .select("doc_id")
+              DedupStore.appendAdmitted(spark, root,
+                kept.join(alreadyIndexed, Seq("doc_id"), "left_anti"))
+            // release admit's per-batch verdict cache — a forever-running
+            // stream must not grow storage memory by one cache per batch
+            } finally verdicts.unpersist()
           } finally batch.unpersist()
         }
       }

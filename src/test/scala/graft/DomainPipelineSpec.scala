@@ -153,6 +153,89 @@ class DomainPipelineSpec extends SparkSpec {
     assert(after == before)
   }
 
+  test("the features/coin-balances MERGE plans zero wallet-key exchanges " +
+      "over the bucketed tables") {
+    import graft.pipeline.{CoinBalances, RawIngestion, WalletFeatures}
+    // buckets == session shuffle partitions, mirroring the prod contract
+    // (Graft.session sets shuffle.partitions = cores = fact buckets): the
+    // update rollup then ends wallet-partitioned at the bucket count and
+    // alignToBuckets is a planner no-op.
+    val B = spark.sessionState.conf.numShufflePartitions
+    val lake = tmpDir("domain-lake-bmerge")
+    val prices = Some(Seq(("ETH", 1.0, 1704067200L), ("0xtok", 2.0, 1704067200L))
+      .toDF("address", "price", "price_ts"))
+    val csv1 = tmpDir("domain-csv-bm1"); writeBatch1(csv1)
+    RawIngestion.ingest(spark, csv1, lake)
+    DomainPipeline.stage(spark, lake)
+    DomainPipeline.analytics(spark, lake, buckets = B)
+    DomainPipeline.features(spark, lake, prices, buckets = B)
+    // second batch staged through analytics; features computed by hand so
+    // the merge plan is inspectable before the write executes
+    val csv2 = tmpDir("domain-csv-bm2"); writeBatch2(csv2)
+    RawIngestion.ingest(spark, csv2, lake)
+    DomainPipeline.stage(spark, lake)
+    DomainPipeline.analytics(spark, lake, buckets = B)
+
+    val wtx = DomainPipeline.readWalletTx(spark, lake, buckets = B)
+    val stored = DomainPipeline.readFeatures(spark, lake, buckets = B)
+    assert(Lakehouse.scanBucketedOn(stored, "wallet_address"),
+      "the features table must register as wallet-bucketed")
+    val gate = Some(Lakehouse.read(spark,
+        DomainPipeline.stagePath(lake, "ethereum_tokens_metadata"))
+      .filter(col("decimals") > 0)
+      .select(col("contract_address").as("contract_address_metadata")).distinct())
+    val wm = stored.agg(max("wallet_last_tx")).head.getLong(0)
+    val updates = Lakehouse.alignToBuckets(
+      WalletFeatures.incrementalUpdates(wtx.filter(col("block_timestamp") > wm),
+        stored, prices, gate, dayUnit = 86400L), "wallet_address", B).persist()
+    val touched = updates.select("address_partition").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val mergePlan = Lakehouse.bucketedMergePlan(spark,
+      DomainPipeline.featuresTable(lake), updates, Seq("wallet_address"),
+      "wallet_address", Some(col("address_partition").isin(touched: _*)))
+    assert(countShuffles(mergePlan, onKey = Some("wallet_address")) == 0,
+      "the bucketed features MERGE must plan zero wallet exchanges:\n" +
+        mergePlan.queryExecution.executedPlan)
+    // control: the path-based merge re-shuffles the target every cycle
+    val plainPlan = Lakehouse.mergeFrames(
+      Lakehouse.read(spark, DomainPipeline.featuresPath(lake))
+        .filter(col("address_partition").isin(touched: _*)),
+      updates, Seq("wallet_address"))
+    assert(countShuffles(plainPlan, onKey = Some("wallet_address")) > 0,
+      "control: the path-based merge must shuffle on the wallet key")
+    updates.unpersist()
+
+    // coin balances: the (wallet, contract) merge key rides the wallet-only
+    // bucketing via subset co-partitioning
+    val cbStored = DomainPipeline.readCoinBalances(spark, lake, buckets = B)
+    assert(Lakehouse.scanBucketedOn(cbStored, "wallet_address"))
+    val cbUpdates = Lakehouse.alignToBuckets(
+      CoinBalances.incrementalUpdates(wtx, cbStored), "wallet_address", B).persist()
+    val cbTouched = cbUpdates.select("address_partition").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val cbPlan = Lakehouse.bucketedMergePlan(spark,
+      DomainPipeline.coinBalancesTable(lake), cbUpdates,
+      Seq("wallet_address", "contract_address"), "wallet_address",
+      Some(col("address_partition").isin(cbTouched: _*)),
+      keepFromTarget = Set("token_symbol", "has_negative_balance"))
+    assert(countShuffles(cbPlan, onKey = Some("wallet_address")) == 0,
+      "the bucketed coin-balances MERGE must plan zero wallet exchanges:\n" +
+        cbPlan.queryExecution.executedPlan)
+    cbUpdates.unpersist()
+
+    // the real merge: values correct AND the layout survives the swap
+    DomainPipeline.features(spark, lake, prices, buckets = B)
+    val f2 = DomainPipeline.readFeatures(spark, lake, buckets = B)
+    assert(Lakehouse.scanBucketedOn(f2, "wallet_address"),
+      "the features table must stay bucketed after the staged-swap merge")
+    val b2 = f2.filter(col("wallet_address") === "0xbbbb22").head()
+    assert(math.abs(b2.getAs[Double]("wallet_total_balance_eth_only") - 1.49998) < 1e-9)
+    val cb2 = DomainPipeline.readCoinBalances(spark, lake, buckets = B)
+    assert(Lakehouse.scanBucketedOn(cb2, "wallet_address"))
+    assert(cb2.filter(col("wallet_address") === "0xbbbb22")
+      .head().getAs[Long]("transactions_count") == 2)
+  }
+
   test("feature programs plan ZERO exchanges over the bucketed wallet-tx fact") {
     import graft.pipeline.{CoinBalances, WalletFeatures}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec

@@ -168,5 +168,47 @@ class MedallionSpec extends SparkSpec {
     val row = docs.select(col("walletAddress"), map_keys(col("features")))
       .as[(String, Seq[String])].head()
     assert(row._2.toSet == Set("n_events", "total_purchase_value", "final_balance", "max_balance"))
+
+    // the serving table itself lands bucketed (the export merge joins it
+    // in place on later runs)
+    assert(Lakehouse.scanBucketedOn(
+      spark.table(Medallion.servingTable(root)), "walletAddress"))
+    // a second export (same features) leaves the doc count stable
+    Medallion.servingExport(spark, root, chunkRows = 37)
+    assert(Lakehouse.read(spark, Medallion.servingPath(root)).count() == nUsers)
+  }
+
+  test("features MERGE and serving export plan zero user-key exchanges " +
+      "over the bucketed tables") {
+    val root = tmpDir("med-bmerge")
+    val csv = tmpDir("med-bmerge-csv")
+    exportCsv(csv, lit(true))
+    Medallion.runCycle(spark, csv, root)
+
+    val feats = Medallion.readFeatures(spark, root)
+    assert(Lakehouse.scanBucketedOn(feats, "user_id"),
+      "the features table must register as user-bucketed")
+
+    // the MERGE shape: bucket-aligned updates (here: derived straight off
+    // the bucketed scan, as features()'s delta-join output is) full-outer
+    // against the bucketed target — zero user-key exchanges
+    val updates = feats.withColumn("n_events", col("n_events") + lit(1L))
+    val mergePlan = Lakehouse.bucketedMergePlan(spark,
+      Medallion.featuresTable(root), updates, Seq("user_id"), "user_id")
+    assert(countShuffles(mergePlan, onKey = Some("user_id")) == 0,
+      "the bucketed features MERGE must plan zero user exchanges:\n" +
+        mergePlan.queryExecution.executedPlan)
+    // control: the same merge over plain path reads shuffles on the key
+    val plain = Lakehouse.read(spark, Medallion.featuresPath(root))
+    assert(countShuffles(Lakehouse.mergeFrames(plain,
+      plain.withColumn("n_events", col("n_events") + lit(1L)),
+      Seq("user_id")), onKey = Some("user_id")) > 0)
+
+    // S10 export over the bucketed table: pure scan+project, ZERO
+    // exchanges — the chunk boundary is the bucket itself
+    val docs = Medallion.servingDocs(feats)
+    assert(countShuffles(docs) == 0,
+      s"the serving export must plan zero exchanges over the bucketed " +
+        s"features table:\n${docs.queryExecution.executedPlan}")
   }
 }

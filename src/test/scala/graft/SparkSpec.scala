@@ -14,6 +14,33 @@ trait SparkSpec extends AnyFunSuite {
     d.toFile.deleteOnExit()
     d.toString
   }
+
+  /** Shuffle exchanges in the EXECUTED (AQE-final) physical plan; with
+    * `onKey`, only hash exchanges whose partitioning references that column
+    * (the "did we re-shuffle on the bucket key" probe). Cached inputs count
+    * as leaves — their interior exchanges ran once at cache time, not here. */
+  def countShuffles(df: org.apache.spark.sql.DataFrame,
+      onKey: Option[String] = None): Int = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    df.collect() // force AQE to finalize the physical plan
+    def hits(p: org.apache.spark.sql.execution.SparkPlan): Int = (p match {
+      case s: ShuffleExchangeExec => onKey match {
+        case None => 1
+        case Some(k) => s.outputPartitioning match {
+          case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+              if h.expressions.exists(_.references.exists(_.name == k)) => 1
+          case _ => 0
+        }
+      }
+      case _ => 0
+    }) + p.children.map(hits).sum + p.subqueries.map(hits).sum + (p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        hits(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => hits(s.plan)
+      case _ => 0
+    })
+    hits(df.queryExecution.executedPlan)
+  }
 }
 
 object SparkSpec {
@@ -25,6 +52,8 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+      // mirrors Graft.session: bucket-subset co-partitioned merge joins
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",

@@ -93,10 +93,23 @@ object Curation {
     * sharing >= 3 distinct word-3-grams with the held-out set drops —
     * verbatim benchmark copies and near-verbatim paraphrases alike. The
     * benchmark side is tiny by definition, so its distinct shingles
-    * broadcast; the corpus side stays map-side + one groupBy. */
+    * broadcast; the corpus side stays map-side + one groupBy.
+    *
+    * `dedupStore` (a lake root) makes the near-dup stage INCREMENTAL: the
+    * batch is admitted against the PERSISTED signature index
+    * ([[DedupStore.admit]]) — so docs duplicating a PREVIOUS batch drop
+    * too, and the previous batches are never re-signed (their band rows
+    * are probed in place, O(delta) per run) — and the survivors'
+    * signatures fold back into the index ([[DedupStore.appendAdmitted]])
+    * for the next batch. On one batch against an empty store the verdicts
+    * are identical to the inline LSH pass (same shingles, same bands,
+    * same verify — CurationSpec pins the equivalence). With a store the
+    * call WRITES (index tables under `dedupStore`); the id contract is
+    * [[DedupStore]]'s: batch doc_ids exceed all stored ids. */
   def curate(docs: DataFrame, maxPerSource: Int = 1000,
       tokensPerChunk: Long = 4096L, jaccardMin: Double = 0.5,
-      benchmark: Option[DataFrame] = None): CurationResult = {
+      benchmark: Option[DataFrame] = None,
+      dedupStore: Option[String] = None): CurationResult = {
     val base = docs.withColumn("tk", split(col("text"), " "))
 
     // Stage outputs persist because every stage forks into a kept branch
@@ -119,11 +132,33 @@ object Curation {
       .select(col("doc_id"), lit("exact_dedup").as("stage"), lit("duplicate").as("reason"))
 
     // 3. near-dup dedup over exact-dedup survivors (victims persist: the
-    // anti-join AND the drop report both consume the full LSH detection)
-    val victims = nearDupVictims(afterExact, jaccardMin).persist()
+    // anti-join AND the drop report both consume the full LSH detection).
+    // With a store, victims come from the persisted-index admission
+    // instead — same construction, plus cross-batch duplicates.
+    val victims = dedupStore match {
+      case None => nearDupVictims(afterExact, jaccardMin).persist()
+      case Some(root) =>
+        val spark = docs.sparkSession
+        DedupStore.ensureBuilt(spark, root, afterExact.filter(lit(false)))
+        val minRow = afterExact.agg(min("doc_id")).head
+        val cut = if (minRow.isNullAt(0)) Long.MaxValue else minRow.getLong(0)
+        val verdicts = DedupStore.admit(spark, root, afterExact, cut, jaccardMin)
+        val v = verdicts.filter(!col("admitted")).select("doc_id").persist()
+        v.count() // materialize so admit's verdict cache can release now
+        verdicts.unpersist()
+        v
+    }
     val afterNear = afterExact.join(victims, Seq("doc_id"), "left_anti")
     val dropNear = victims
       .select(col("doc_id"), lit("near_dedup").as("stage"), lit("near_duplicate").as("reason"))
+    // fold the survivors' signatures into the index so the NEXT batch
+    // dedups against them without re-signing anything already stored
+    dedupStore.foreach { root =>
+      val spark = docs.sparkSession
+      val already = spark.table(DedupStore.shinglesTable(root)).select("doc_id")
+      DedupStore.appendAdmitted(spark, root,
+        afterNear.join(already, Seq("doc_id"), "left_anti"))
+    }
 
     // 3b. decontamination vs the held-out benchmark (when provided)
     val (afterContam, dropContam) = benchmark match {

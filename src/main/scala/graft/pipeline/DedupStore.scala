@@ -93,7 +93,8 @@ object DedupStore {
     * consumed — long-running admission loops would otherwise accumulate a
     * verdict cache per batch. */
   def admit(spark: SparkSession, root: String, batch: DataFrame,
-      storedIdUpperBound: Long): DataFrame = {
+      storedIdUpperBound: Long,
+      threshold: Double = JaccardThreshold): DataFrame = {
     graft.functions.VectorExprs.register(spark)
     val (bBands0, bHsh) = signatures(batch)
     // both admission joins (vs stored, vs batch) consume the batch bands
@@ -115,7 +116,7 @@ object DedupStore {
       .join(aHsh.select(col("doc_id").as("a_id"), col("hs").as("a_hs")), "a_id")
       .join(bHsh.select(col("doc_id").as("b_id"), col("hs").as("b_hs")), "b_id")
       .filter(inter / (size(col("a_hs")) + size(col("b_hs")) - inter)
-        >= JaccardThreshold)
+        >= threshold)
       .select("a_id", "b_id")
 
     val ver = verified(pairs(sBands), sHsh)

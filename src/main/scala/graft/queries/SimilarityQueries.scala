@@ -170,7 +170,9 @@ object SimilarityQueries {
     // floor(sqrt(N))-th vec_id — a real pipeline would k-means them, but
     // the sampling already scales the codebook with the corpus so cells
     // stay ~sqrt(N)-sized at any N); every vector is assigned to its
-    // nearest-centroid cell, queries probe their top-2 cells. The
+    // nearest-centroid cell, queries probe their top-4 cells (nprobe=4:
+    // recall at cell boundaries comes from probing the neighboring cells,
+    // and the probe set stays a broadcast-sized queries x 4 list). The
     // inverted-file layout is the 100 TB path: the corpus is partitioned
     // BY CELL on disk, a query touches probe/cells of the data, and the
     // candidate join is equi on cell id. Centroids broadcast everywhere.
@@ -197,7 +199,7 @@ object SimilarityQueries {
          |        CAST(CAST(list_sum(list_transform(list_zip(q.qv, c.cqv), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
          |          / (sqrt(CAST(q.nq AS DOUBLE)) * sqrt(CAST(c.cnq AS DOUBLE))) DESC, c.cid) AS rn
          |    FROM n q CROSS JOIN cent c WHERE q.vec_id < 8)
-         |  WHERE rn <= 2),
+         |  WHERE rn <= 4),
          |pairs AS (
          |  SELECT p.q_id, a.vec_id AS n_id,
          |    CAST(CAST(list_sum(list_transform(list_zip(q.qv, v.qv), x -> x[1] * x[2])) AS BIGINT) AS DOUBLE)
@@ -227,7 +229,7 @@ object SimilarityQueries {
       val probes = n.filter(col("vec_id") < 8).crossJoin(broadcast(cent))
         .withColumn("c_cos", centCos)
         .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") <= 2)
+        .filter(col("rn") <= 4)
         .select(col("vec_id").as("q_id"), col("cid"))
       val cells = assign.join(n, "vec_id")
         .select(col("cid").as("a_cid"), col("vec_id").as("n_id"),
@@ -306,7 +308,7 @@ object SimilarityQueries {
          |        CAST(CAST(list_sum(list_transform(list_zip(q.qv, c.cqv), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
          |          / (sqrt(CAST(q.nq AS DOUBLE)) * sqrt(CAST(c.cnq AS DOUBLE))) DESC, c.cid) AS rn
          |    FROM n q CROSS JOIN cent c WHERE q.vec_id < 8)
-         |  WHERE rn <= 2),
+         |  WHERE rn <= 4),
          |pairs AS (
          |  SELECT p.q_id, a.vec_id AS n_id,
          |    CAST(CAST(list_sum(list_transform(list_zip(q.qv, v.qv), x -> x[1] * x[2])) AS BIGINT) AS DOUBLE)
@@ -346,7 +348,7 @@ object SimilarityQueries {
         .withColumn("c_nq", expr("long_dot(c_qv, c_qv)"))
         .persist()
       val assign = argmaxCell(n, cent, 1).select(col("vec_id"), col("cid")).persist()
-      val probes = argmaxCell(n.filter(col("vec_id") < 8), cent, 2)
+      val probes = argmaxCell(n.filter(col("vec_id") < 8), cent, 4)
         .select(col("vec_id").as("q_id"), col("cid"))
       val cells = assign.join(n, "vec_id")
         .select(col("cid").as("a_cid"), col("vec_id").as("n_id"),

@@ -42,13 +42,16 @@ class AnnSpec extends SparkSpec {
     val ivf = recall(topSets("ann_ivf"))
     val kmeans = recall(topSets("ann_ivf_kmeans"))
     val pq = recall(topSets("ann_ivf_pq"))
-    // floors far below observed values — these fail only if the
+    // floors below observed values — these fail only if the
     // parameterization collapses (e.g. empty buckets / lost probes).
+    // IVF probes nprobe=4 cells: boundary recall comes from the extra
+    // probes (observed 0.50 plain / 0.63 k-means at 500 vectors, up from
+    // 0.38 / 0.43 at nprobe=2 — the floor pins the multi-cell gain).
     // PQ shortlists on normalized-vector ADC then re-ranks exactly, so its
     // recall measures shortlist coverage (observed 0.63 at 500 vectors).
     assert(lsh >= 0.3, s"LSH multiprobe recall $lsh")
-    assert(ivf >= 0.3, s"IVF 2-probe recall $ivf")
-    assert(kmeans >= 0.3, s"k-means IVF 2-probe recall $kmeans")
+    assert(ivf >= 0.45, s"IVF 4-probe recall $ivf")
+    assert(kmeans >= 0.45, s"k-means IVF 4-probe recall $kmeans")
     assert(pq >= 0.3, s"PQ/ADC shortlist recall $pq")
     info(f"recall@5: lsh=$lsh%.2f ivf=$ivf%.2f ivf_kmeans=$kmeans%.2f pq=$pq%.2f")
   }

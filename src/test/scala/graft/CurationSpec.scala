@@ -79,4 +79,45 @@ class CurationSpec extends SparkSpec {
     assert(result.kept.exceptAll(again.kept).count() == 0)
     assert(again.kept.exceptAll(result.kept).count() == 0)
   }
+
+  test("funnel over the persisted dedup store ≡ funnel with inline dedup, " +
+      "and a second batch dedups against the first without re-signing it") {
+    import graft.pipeline.DedupStore
+    val root = tmpDir("curation-store")
+    // one batch against an EMPTY store: verdicts must equal the inline
+    // LSH pass exactly (same shingle/band construction, same verify)
+    val stored = Curation.curate(docs, maxPerSource = 15, dedupStore = Some(root))
+    assert(stored.kept.select("doc_id").exceptAll(result.kept.select("doc_id")).count() == 0)
+    assert(result.kept.select("doc_id").exceptAll(stored.kept.select("doc_id")).count() == 0)
+    val dropsOf = (r: Curation.CurationResult) => r.dropped
+      .groupBy("stage").count().as[(String, Long)].collect().toMap
+    assert(dropsOf(stored) == dropsOf(result))
+
+    // batch 2: fresh ids above batch 1, one doc duplicating a KEPT
+    // batch-1 doc verbatim — only the stored index can catch it (inline
+    // batch-local dedup has nothing to compare against)
+    val keeper = result.kept.orderBy("doc_id")
+      .select("text", "lang", "source").head()
+    val maxId = docs.agg(max("doc_id")).head.getLong(0)
+    val batch2 = Seq(
+      (maxId + 1, keeper.getString(0), keeper.getString(1), keeper.getString(2)),
+      (maxId + 2, (0 until 30).map(i => s"zq$i").mkString(" "), "en", "siteZ"))
+      .toDF("doc_id", "text", "lang", "source")
+    // snapshot the index BEFORE: batch 2 must only APPEND to it
+    val bandFiles = new java.io.File(DedupStore.bandsPath(root))
+      .listFiles().filter(_.getName.startsWith("part-"))
+      .map(f => (f.getName, f.length, f.lastModified)).toSet
+    val r2 = Curation.curate(batch2, maxPerSource = 15, dedupStore = Some(root))
+    val nearDropped = r2.dropped.filter(col("stage") === "near_dedup")
+      .select("doc_id").as[Long].collect().toSet
+    assert(nearDropped == Set(maxId + 1),
+      s"the cross-batch duplicate must drop against the stored index: $nearDropped")
+    assert(r2.kept.filter(col("doc_id") === maxId + 2).count() == 1)
+    // batch 1's signature files were probed in place, never rewritten
+    val bandFilesAfter = new java.io.File(DedupStore.bandsPath(root))
+      .listFiles().filter(_.getName.startsWith("part-"))
+      .map(f => (f.getName, f.length, f.lastModified)).toSet
+    assert(bandFiles.subsetOf(bandFilesAfter),
+      "admitting batch 2 must not rewrite batch 1's stored signatures")
+  }
 }

@@ -732,6 +732,85 @@ object DedupQueries {
         .curate(d, maxPerSource = 15,
           benchmark = Some(d.filter(col("doc_id") < 25)))
         .report
+    },
+
+    // -------------------------------------------------------------- DEDUP-13
+    // EXACT SUBSTRING dedup (the Lee et al. 2022 "Deduplicating Training
+    // Data Makes Language Models Better" operator, word-shingle form): a
+    // span of >= k consecutive words that occurs more than once ANYWHERE in
+    // the corpus is a duplicated span, and overlapping/adjacent duplicated
+    // shingle positions merge into maximal spans — the statistic the paper's
+    // suffix-array pass computes, re-expressed relationally:
+    //   1. every k-word shingle WITH ITS POSITION (posexplode — map-side);
+    //   2. global occurrence count >= 2 marks duplicated shingles (one
+    //      count shuffle on the shingle, map-side partial agg, then a
+    //      LEFT SEMI probe back — never materializes pair space);
+    //   3. per-doc merged-interval islands: a new span starts when the gap
+    //      to the previous duplicated position >= k (spans [p, p+k-1] and
+    //      [q, q+k-1] overlap iff q - p < k), via lag + running sum over
+    //      ONE doc_id window shuffle;
+    //   4. per-island MAX(pos)-MIN(pos)+k = merged span length in words.
+    // All outputs integral -> hash-exact. At 100 TB the shingle table is
+    // O(total tokens) rows; production would fingerprint the shingle to a
+    // 64-bit hash to cut shuffle bytes ~8x (as minhashSignatures does) —
+    // kept as raw text here so the oracle joins on identical keys. The
+    // exploded frame feeds both the duplicate census and the probe, so it
+    // is persisted once (same multi-consumer idiom as d_lsh_verified).
+    QueryDef("d_substring_dedup",
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |flat AS (
+        |  SELECT doc_id, n_tokens, u.pos AS pos, u.sgl AS sgl FROM (
+        |    SELECT doc_id, len(tk) AS n_tokens,
+        |      unnest(list_transform(range(0, greatest(len(tk) - 7, 0)),
+        |        i -> struct_pack(pos := i, sgl := array_to_string(tk[i+1:i+8], ' ')))) AS u
+        |    FROM t)),
+        |dup AS (SELECT sgl FROM flat GROUP BY sgl HAVING COUNT(*) >= 2),
+        |dpos AS (SELECT doc_id, n_tokens, pos FROM flat JOIN dup USING (sgl)),
+        |isl AS (
+        |  SELECT doc_id, n_tokens, pos,
+        |    SUM(CASE WHEN prev IS NULL OR pos - prev >= 8 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM (SELECT doc_id, n_tokens, pos,
+        |          LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |        FROM dpos)),
+        |spans AS (
+        |  SELECT doc_id, n_tokens, island,
+        |    MAX(pos) - MIN(pos) + 8 AS span_words, COUNT(*) AS n_positions
+        |  FROM isl GROUP BY doc_id, n_tokens, island)
+        |SELECT doc_id, n_tokens,
+        |  CAST(SUM(n_positions) AS BIGINT) AS n_dup_positions,
+        |  CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+        |  CAST(SUM(span_words) AS BIGINT) AS dup_span_words
+        |FROM spans GROUP BY doc_id, n_tokens""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val k = 8
+      val flat = docs(s, dir)
+        .select(col("doc_id"), size(col("tk")).as("n_tokens"), col("tk"))
+        .filter(col("n_tokens") >= k)
+        .select(col("doc_id"), col("n_tokens"),
+          posexplode(expr(
+            s"transform(sequence(0, size(tk) - $k), i -> concat_ws(' ', slice(tk, i + 1, $k)))")))
+        .withColumnRenamed("col", "sgl")
+        .persist()
+      val dup = flat.groupBy("sgl").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).select("sgl")
+      val byPos = Window.partitionBy("doc_id").orderBy("pos")
+      val spans = flat.join(dup, Seq("sgl"), "left_semi")
+        .select("doc_id", "n_tokens", "pos")
+        .withColumn("prev", lag("pos", 1).over(byPos))
+        .withColumn("island",
+          sum(when(col("prev").isNull || col("pos") - col("prev") >= k, 1).otherwise(0))
+            .over(byPos))
+        .groupBy("doc_id", "n_tokens", "island")
+        .agg((max("pos") - min("pos") + lit(k)).as("span_words"),
+          count(lit(1)).as("n_positions"))
+      spans.groupBy("doc_id", "n_tokens")
+        .agg(
+          sum("n_positions").cast("long").as("n_dup_positions"),
+          count(lit(1)).cast("long").as("n_dup_spans"),
+          sum("span_words").cast("long").as("dup_span_words"))
     }
   )
 }

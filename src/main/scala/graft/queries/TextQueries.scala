@@ -522,6 +522,197 @@ object TextQueries {
         .withColumn("merge_rank", row_number().over(w))
         .filter(col("merge_rank") <= 20)
         .select("pair", "n", "merge_rank")
+    },
+
+    // --------------------------------------------------------------- TEXT-19
+    // BPE vocabulary induction, THREE DATA-DEPENDENT MERGE ROUNDS — the
+    // iterative loop t_bpe_pairs computes one step of. Each round counts
+    // adjacent token pairs corpus-wide, picks the argmax pair (count DESC,
+    // then lexicographic — total order, both engines agree), and merges it
+    // greedily left-to-right into every word. The merge is pure relational
+    // string algebra: words are encoded with DOUBLE separators
+    // ('||a||b||c||'), so replace(enc, '|a||b|', '|ab|') performs exactly
+    // the greedy non-overlapping merge — consecutive occurrences keep their
+    // shared boundary because each match leaves a trailing '|' for the next
+    // (replace semantics are identical in Spark and DuckDB). The top pair
+    // stays a 1-row broadcast (the j13 scalar shape) — never collected.
+    // Words are pre-aggregated to (word, count), so each round is ONE
+    // vocabulary-sized pass + a pair-count shuffle: the production BPE
+    // trainer loop's exact cost shape, one shuffle per merge round.
+    QueryDef("t_bpe_merges",
+      """WITH w0 AS (
+        |  SELECT w, COUNT(*) AS cnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) >= 1 GROUP BY w),
+        |e1 AS (
+        |  SELECT '||' || regexp_replace(w, '(.)', '\1||', 'g') AS enc, cnt
+        |  FROM w0),
+        |p1 AS (
+        |  SELECT u.l AS l, u.r AS r, SUM(cnt) AS n FROM (
+        |    SELECT cnt, unnest(list_transform(range(1, len(tk)),
+        |      i -> struct_pack(l := tk[i], r := tk[i+1]))) AS u
+        |    FROM (SELECT string_split(trim(enc, '|'), '||') AS tk, cnt FROM e1))
+        |  GROUP BY u.l, u.r),
+        |t1 AS (SELECT l, r, n FROM p1 ORDER BY n DESC, l, r LIMIT 1),
+        |e2 AS (
+        |  SELECT replace(enc, '|' || t.l || '||' || t.r || '|',
+        |                      '|' || t.l || t.r || '|') AS enc, cnt
+        |  FROM e1, t1 t),
+        |p2 AS (
+        |  SELECT u.l AS l, u.r AS r, SUM(cnt) AS n FROM (
+        |    SELECT cnt, unnest(list_transform(range(1, len(tk)),
+        |      i -> struct_pack(l := tk[i], r := tk[i+1]))) AS u
+        |    FROM (SELECT string_split(trim(enc, '|'), '||') AS tk, cnt FROM e2))
+        |  GROUP BY u.l, u.r),
+        |t2 AS (SELECT l, r, n FROM p2 ORDER BY n DESC, l, r LIMIT 1),
+        |e3 AS (
+        |  SELECT replace(enc, '|' || t.l || '||' || t.r || '|',
+        |                      '|' || t.l || t.r || '|') AS enc, cnt
+        |  FROM e2, t2 t),
+        |p3 AS (
+        |  SELECT u.l AS l, u.r AS r, SUM(cnt) AS n FROM (
+        |    SELECT cnt, unnest(list_transform(range(1, len(tk)),
+        |      i -> struct_pack(l := tk[i], r := tk[i+1]))) AS u
+        |    FROM (SELECT string_split(trim(enc, '|'), '||') AS tk, cnt FROM e3))
+        |  GROUP BY u.l, u.r),
+        |t3 AS (SELECT l, r, n FROM p3 ORDER BY n DESC, l, r LIMIT 1)
+        |SELECT 1 AS merge_round, l, r, l || r AS merged, CAST(n AS BIGINT) AS n FROM t1
+        |UNION ALL
+        |SELECT 2 AS merge_round, l, r, l || r AS merged, CAST(n AS BIGINT) AS n FROM t2
+        |UNION ALL
+        |SELECT 3 AS merge_round, l, r, l || r AS merged, CAST(n AS BIGINT) AS n
+        |FROM t3""".stripMargin) { (s, dir) =>
+      val words = Graft.table(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 1)
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+      // per-char '||' separators via regex (split(w, "") keeps a trailing
+      // empty token in Java regex semantics — regexp_replace avoids it)
+      val e1 = words.select(
+        concat(lit("||"), regexp_replace(col("w"), "(.)", "$1||")).as("enc"),
+        col("cnt"))
+      // one merge round: pair counts -> 1-row argmax -> broadcast merge
+      def mergeRound(e: DataFrame): (DataFrame, DataFrame) = {
+        // sequence(1, n-1) infers step -1 when n < 2 — guard like t_repetition
+        val withTk = e.withColumn("tk",
+          split(expr("trim(BOTH '|' FROM enc)"), "\\|\\|"))
+        val pairs = withTk
+          .withColumn("u", explode(when(size(col("tk")) >= 2,
+            expr("""transform(sequence(1, size(tk) - 1),
+                   |  i -> named_struct('l', element_at(tk, i), 'r', element_at(tk, i + 1)))""".stripMargin))
+            .otherwise(expr("cast(array() as array<struct<l: string, r: string>>)"))))
+          .select(col("u.l").as("l"), col("u.r").as("r"), col("cnt"))
+          .groupBy("l", "r").agg(sum("cnt").as("n"))
+        val top = pairs.orderBy(col("n").desc, col("l"), col("r")).limit(1)
+        val merged = e.crossJoin(broadcast(top))
+          .select(
+            expr("replace(enc, '|' || l || '||' || r || '|', '|' || l || r || '|')").as("enc"),
+            col("cnt"))
+        (merged, top)
+      }
+      val e1p = e1.persist()
+      val (e2, t1) = mergeRound(e1p)
+      val e2p = e2.persist()
+      val (e3, t2) = mergeRound(e2p)
+      val (_, t3) = mergeRound(e3)
+      def row(k: Int, t: DataFrame) = t.select(
+        lit(k).as("merge_round"), col("l"), col("r"),
+        concat(col("l"), col("r")).as("merged"), col("n").cast("long").as("n"))
+      row(1, t1).unionAll(row(2, t2)).unionAll(row(3, t3))
+    },
+
+    // --------------------------------------------------------------- TEXT-17
+    // CCNet-style perplexity bucketing: score each document with the
+    // corpus-statistics LM proxy (the exact-integer unigram frequency of
+    // t_unigram_score), then split EACH LANGUAGE into head/middle/tail
+    // thirds by score percentile — CCNet computes its perplexity cutoffs
+    // per language precisely because fluency scores are not comparable
+    // across languages. NTILE over a per-lang window with a total-order
+    // tie-break (score DESC, doc_id) so the split is deterministic in both
+    // engines. Two corpus passes + one lang-window shuffle; the vocab join
+    // rides the same plan as t_unigram_score. At 100 TB the per-lang window
+    // is the only full-data shuffle, and a language is a coarse partition —
+    // CCNet's own production shape (per-lang files) has the same property.
+    QueryDef("t_perplexity_buckets",
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tot AS (SELECT COUNT(*) AS n FROM words),
+        |vocab AS (
+        |  SELECT w, (COUNT(*) * 1000000) // (SELECT n FROM tot) AS freq_ppm
+        |  FROM words GROUP BY w),
+        |scored AS (
+        |  SELECT d.doc_id, CAST(SUM(v.freq_ppm) AS DOUBLE) / COUNT(*) AS mean_freq_ppm
+        |  FROM words d JOIN vocab v ON d.w = v.w GROUP BY d.doc_id),
+        |tiled AS (
+        |  SELECT s.doc_id, m.lang, s.mean_freq_ppm,
+        |    NTILE(3) OVER (PARTITION BY m.lang
+        |      ORDER BY s.mean_freq_ppm DESC, s.doc_id) AS tile
+        |  FROM scored s JOIN documents m ON s.doc_id = m.doc_id)
+        |SELECT doc_id, lang, mean_freq_ppm,
+        |  CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+        |    AS ppl_bucket
+        |FROM tiled""".stripMargin) { (s, dir) =>
+      val words = Graft.table(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val totRow = words.agg(count(lit(1)).as("n"))
+      val vocab = words.groupBy("w").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(totRow))
+        .select(col("w"), expr("(cnt * 1000000) div n").as("freq_ppm"))
+      val scored = words.join(vocab, "w")
+        .groupBy("doc_id")
+        .agg((sum("freq_ppm").cast("double") / count(lit(1))).as("mean_freq_ppm"))
+      val byLang = Window.partitionBy("lang")
+        .orderBy(col("mean_freq_ppm").desc, col("doc_id"))
+      scored
+        .join(Graft.table(s, dir, "documents").select("doc_id", "lang"), "doc_id")
+        .withColumn("tile", ntile(3).over(byLang))
+        .select(col("doc_id"), col("lang"), col("mean_freq_ppm"),
+          when(col("tile") === 1, "head").when(col("tile") === 2, "middle")
+            .otherwise("tail").as("ppl_bucket"))
+    },
+
+    // --------------------------------------------------------------- TEXT-18
+    // Deterministic global shuffle + fixed-size sharding — the final stage
+    // of training prep: order the corpus by a stable content-independent
+    // hash (reproducible "random" order), then cut it into equal shards
+    // with a position within each shard. The naive form is
+    // ROW_NUMBER() OVER (ORDER BY hash) — a GLOBAL sort that Spark executes
+    // in ONE partition, the canonical scale-killer. Instead the global rank
+    // is computed distributively, bit-identically: the hash's first hex
+    // char defines 16 range buckets (bucket-major order == hash order);
+    // per-bucket counts make a 16-row offsets dim (broadcast); the rank is
+    // the bucket-local ROW_NUMBER plus the bucket's cumulative offset. One
+    // bucket-window shuffle over the data, never a single-partition sort —
+    // at 100 TB widen the prefix (2 hex chars = 256 buckets, 3 = 4096) to
+    // match the cluster. The oracle states the SAME result with the naive
+    // global window, proving the distributed form exact.
+    QueryDef("t_shard_assign",
+      """WITH r AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hk FROM documents),
+        |g AS (
+        |  SELECT doc_id, hk,
+        |    ROW_NUMBER() OVER (ORDER BY hk, doc_id) - 1 AS grank FROM r)
+        |SELECT doc_id, hk,
+        |  CAST(grank // 64 AS BIGINT) AS shard,
+        |  CAST(grank % 64 AS BIGINT) AS pos_in_shard
+        |FROM g""".stripMargin) { (s, dir) =>
+      val shardSize = 64
+      val r = Graft.table(s, dir, "documents")
+        .select(col("doc_id"), md5(col("doc_id").cast("string")).as("hk"))
+        .withColumn("bkt", substring(col("hk"), 1, 1))
+      // 16-row bucket dim; the no-partition window is over 16 rows, not data
+      val offsets = r.groupBy("bkt").agg(count(lit(1)).as("c"))
+        .withColumn("off",
+          coalesce(
+            sum("c").over(Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+        .select("bkt", "off")
+      val byBkt = Window.partitionBy("bkt").orderBy(col("hk"), col("doc_id"))
+      r.join(broadcast(offsets), "bkt")
+        .withColumn("grank", col("off") + row_number().over(byBkt) - 1)
+        .select(col("doc_id"), col("hk"),
+          expr(s"grank div $shardSize").cast("long").as("shard"),
+          (col("grank") % shardSize).cast("long").as("pos_in_shard"))
     }
   )
 }

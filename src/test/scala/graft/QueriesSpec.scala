@@ -119,4 +119,99 @@ class QueriesSpec extends SparkSpec {
       .join(out, "doc_id").filter(col("cluster_id") =!= col("doc_id")).count()
     assert(canon == 0)
   }
+
+  test("substring dedup: span accounting is interval-consistent") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("d_substring_dedup")(spark, sf)
+    // merged spans never exceed the document, each span is >= k=8 words,
+    // and spans can't outnumber the duplicated positions they merge
+    val bad = out.filter(
+      col("dup_span_words") > col("n_tokens") ||
+        col("dup_span_words") < col("n_dup_spans") * 8 ||
+        col("n_dup_spans") > col("n_dup_positions") ||
+        col("n_dup_positions") < 1).count()
+    assert(bad == 0)
+  }
+
+  test("substring dedup: golden spans on a constructed corpus") {
+    import spark.implicits._
+    // docs 0/1 identical (every shingle duplicated -> ONE full-doc span);
+    // docs 2/3 share exactly one 8-token window (single-position span);
+    // doc 4 is clean and must be absent
+    val twin = "a b c d e f g h i j k l"
+    val run = "z1 z2 z3 z4 z5 z6 z7 z8"
+    val corpus = Seq(
+      (0L, twin), (1L, twin),
+      (2L, s"$run q r s t u v w x y zz"),
+      (3L, s"p1 p2 $run p3 p4 p5 p6 p7 p8 p9 p10"),
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("ssdedup").toString
+    corpus.write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("d_substring_dedup")(spark, dir)
+      .orderBy("doc_id")
+      .as[(Long, Int, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (0L, 12, 5L, 1L, 12L), // 5 dup positions merge to one 12-word span
+      (1L, 12, 5L, 1L, 12L),
+      (2L, 18, 1L, 1L, 8L),  // the shared window, nothing else
+      (3L, 18, 1L, 1L, 8L)))
+  }
+
+  test("bpe merges: golden greedy merge chain on a constructed corpus") {
+    import spark.implicits._
+    // 'aaab' x2 + 'ab' x1: round 1 must merge (a,a) n=4 (greedy LEFT-to-
+    // right: aaab -> [aa, a, b], not [a, aa, b]), round 2 (a,b) n=3,
+    // round 3 (aa, ab) n=2 — exercising merged tokens as pair members
+    val corpus = Seq((0L, "aaab ab"), (1L, "aaab")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bpe").toString
+    corpus.write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("t_bpe_merges")(spark, dir)
+      .orderBy("merge_round")
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (1, "a", "a", "aa", 4L),
+      (2, "a", "b", "ab", 3L),
+      (3, "aa", "ab", "aaab", 2L)))
+  }
+
+  test("perplexity buckets: per-lang thirds are balanced and exhaustive") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("t_perplexity_buckets")(spark, sf)
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(out.count() == total)
+    assert(out.filter(!col("ppl_bucket").isin("head", "middle", "tail")).count() == 0)
+    // NTILE(3): within a language the three buckets differ by at most 1 doc
+    val spread = out.groupBy("lang", "ppl_bucket").count()
+      .groupBy("lang").agg((max("count") - min("count")).as("d"))
+      .filter(col("d") > 1).count()
+    assert(spread == 0)
+    // head docs score >= tail docs within every language
+    val langMin = out.filter(col("ppl_bucket") === "head")
+      .groupBy("lang").agg(min("mean_freq_ppm").as("head_min"))
+    val crossed = out.filter(col("ppl_bucket") === "tail")
+      .join(langMin, "lang")
+      .filter(col("mean_freq_ppm") > col("head_min")).count()
+    assert(crossed == 0)
+  }
+
+  test("shard assign: distributed rank equals the naive global window") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val out = SparkEntry.queries("t_shard_assign")(spark, sf)
+      .withColumn("grank", col("shard") * 64 + col("pos_in_shard"))
+    // exact equivalence with the single-partition form the operator avoids
+    val naive = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("hk"))
+      .withColumn("grank_naive",
+        row_number().over(Window.orderBy(col("hk"), col("doc_id"))).cast("long") - 1)
+    val mismatch = out.join(naive, Seq("doc_id"))
+      .filter(col("grank") =!= col("grank_naive")).count()
+    assert(mismatch == 0)
+    // every shard but the last is exactly full
+    val total = naive.count()
+    val partial = out.groupBy("shard").count()
+      .filter(col("count") =!= 64 && col("shard") =!= (total - 1) / 64).count()
+    assert(partial == 0)
+  }
 }

@@ -756,7 +756,7 @@ object DedupQueries {
     // kept as raw text here so the oracle joins on identical keys. The
     // exploded frame feeds both the duplicate census and the probe, so it
     // is persisted once (same multi-consumer idiom as d_lsh_verified).
-    QueryDef("d_substring_dedup",
+    QueryDef("d_substr",
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |flat AS (

@@ -539,7 +539,7 @@ object TextQueries {
     // Words are pre-aggregated to (word, count), so each round is ONE
     // vocabulary-sized pass + a pair-count shuffle: the production BPE
     // trainer loop's exact cost shape, one shuffle per merge round.
-    QueryDef("t_bpe_merges",
+    QueryDef("t_bpe3",
       """WITH w0 AS (
         |  SELECT w, COUNT(*) AS cnt FROM (
         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
@@ -633,7 +633,7 @@ object TextQueries {
     // rides the same plan as t_unigram_score. At 100 TB the per-lang window
     // is the only full-data shuffle, and a language is a coarse partition —
     // CCNet's own production shape (per-lang files) has the same property.
-    QueryDef("t_perplexity_buckets",
+    QueryDef("t_ppl",
       """WITH words AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |tot AS (SELECT COUNT(*) AS n FROM words),
@@ -686,7 +686,7 @@ object TextQueries {
     // at 100 TB widen the prefix (2 hex chars = 256 buckets, 3 = 4096) to
     // match the cluster. The oracle states the SAME result with the naive
     // global window, proving the distributed form exact.
-    QueryDef("t_shard_assign",
+    QueryDef("t_shards",
       """WITH r AS (
         |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hk FROM documents),
         |g AS (

@@ -122,7 +122,7 @@ class QueriesSpec extends SparkSpec {
 
   test("substring dedup: span accounting is interval-consistent") {
     import org.apache.spark.sql.functions._
-    val out = SparkEntry.queries("d_substring_dedup")(spark, sf)
+    val out = SparkEntry.queries("d_substr")(spark, sf)
     // merged spans never exceed the document, each span is >= k=8 words,
     // and spans can't outnumber the duplicated positions they merge
     val bad = out.filter(
@@ -148,7 +148,7 @@ class QueriesSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("ssdedup").toString
     corpus.write.parquet(s"$dir/documents.parquet")
-    val out = SparkEntry.queries("d_substring_dedup")(spark, dir)
+    val out = SparkEntry.queries("d_substr")(spark, dir)
       .orderBy("doc_id")
       .as[(Long, Int, Long, Long, Long)].collect().toSeq
     assert(out == Seq(
@@ -166,7 +166,7 @@ class QueriesSpec extends SparkSpec {
     val corpus = Seq((0L, "aaab ab"), (1L, "aaab")).toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("bpe").toString
     corpus.write.parquet(s"$dir/documents.parquet")
-    val out = SparkEntry.queries("t_bpe_merges")(spark, dir)
+    val out = SparkEntry.queries("t_bpe3")(spark, dir)
       .orderBy("merge_round")
       .as[(Int, String, String, String, Long)].collect().toSeq
     assert(out == Seq(
@@ -177,7 +177,7 @@ class QueriesSpec extends SparkSpec {
 
   test("perplexity buckets: per-lang thirds are balanced and exhaustive") {
     import org.apache.spark.sql.functions._
-    val out = SparkEntry.queries("t_perplexity_buckets")(spark, sf)
+    val out = SparkEntry.queries("t_ppl")(spark, sf)
     val total = spark.read.parquet(s"$sf/documents.parquet").count()
     assert(out.count() == total)
     assert(out.filter(!col("ppl_bucket").isin("head", "middle", "tail")).count() == 0)
@@ -198,7 +198,7 @@ class QueriesSpec extends SparkSpec {
   test("shard assign: distributed rank equals the naive global window") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
-    val out = SparkEntry.queries("t_shard_assign")(spark, sf)
+    val out = SparkEntry.queries("t_shards")(spark, sf)
       .withColumn("grank", col("shard") * 64 + col("pos_in_shard"))
     // exact equivalence with the single-partition form the operator avoids
     val naive = spark.read.parquet(s"$sf/documents.parquet")

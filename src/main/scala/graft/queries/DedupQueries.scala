@@ -751,9 +751,11 @@ object DedupQueries {
     //      ONE doc_id window shuffle;
     //   4. per-island MAX(pos)-MIN(pos)+k = merged span length in words.
     // All outputs integral -> hash-exact. At 100 TB the shingle table is
-    // O(total tokens) rows; production would fingerprint the shingle to a
-    // 64-bit hash to cut shuffle bytes ~8x (as minhashSignatures does) —
-    // kept as raw text here so the oracle joins on identical keys. The
+    // O(total tokens) rows, so the census/probe key is the xxhash64
+    // FINGERPRINT of the shingle, not its text — the shingle never reaches
+    // the output, and a 64-bit collision over a ~10^7-shingle corpus is
+    // ~10^-5-probable (the same argument as hashedShinglesExpr above);
+    // shuffle bytes drop ~6x vs shipping ~50-char shingle strings. The
     // exploded frame feeds both the duplicate census and the probe, so it
     // is persisted once (same multi-consumer idiom as d_lsh_verified).
     QueryDef("d_substr",
@@ -791,7 +793,7 @@ object DedupQueries {
         .filter(col("n_tokens") >= k)
         .select(col("doc_id"), col("n_tokens"),
           posexplode(expr(
-            s"transform(sequence(0, size(tk) - $k), i -> concat_ws(' ', slice(tk, i + 1, $k)))")))
+            s"transform(sequence(0, size(tk) - $k), i -> xxhash64(concat_ws(' ', slice(tk, i + 1, $k))))")))
         .withColumnRenamed("col", "sgl")
         .persist()
       val dup = flat.groupBy("sgl").agg(count(lit(1)).as("c"))

@@ -652,8 +652,11 @@ object TextQueries {
         |  CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
         |    AS ppl_bucket
         |FROM tiled""".stripMargin) { (s, dir) =>
+      // the exploded words feed the total, the vocab, AND the probe join —
+      // persist once instead of re-exploding the corpus three times
       val words = Graft.table(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .persist()
       val totRow = words.agg(count(lit(1)).as("n"))
       val vocab = words.groupBy("w").agg(count(lit(1)).as("cnt"))
         .crossJoin(broadcast(totRow))
@@ -713,6 +716,54 @@ object TextQueries {
         .select(col("doc_id"), col("hk"),
           expr(s"grank div $shardSize").cast("long").as("shard"),
           (col("grank") % shardSize).cast("long").as("pos_in_shard"))
+    },
+
+    // --------------------------------------------------------------- TEXT-20
+    // Temperature-weighted mixture sampling (the DoReMi / multilingual-
+    // upsampling shape): source s gets budget share ∝ count^τ with τ=0.5 —
+    // sqrt flattening upsamples low-resource sources relative to
+    // proportional sampling (t_stratified_sample) and, unlike the hard
+    // per-source cap (t_domain_cap), still scales with source size. All
+    // weight arithmetic is exact integral: w_s = floor(sqrt(c_s)) (IEEE
+    // sqrt is correctly rounded in both engines), allocation is integer
+    // floor-div against the broadcast weight total, and the per-source
+    // pick is the n_keep smallest md5(doc_id) — a reproducible pseudo-
+    // random sample, engine-portable. ONE source-window shuffle over the
+    // data + two tiny source-sized dims; the dynamic per-group limit is
+    // the data-dependent generalization of the domain cap.
+    QueryDef("t_mix",
+      """WITH c AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
+        |w AS (SELECT source, c, CAST(floor(sqrt(c)) AS BIGINT) AS w FROM c),
+        |tot AS (SELECT SUM(w) AS wt FROM w),
+        |alloc AS (
+        |  SELECT source, w AS source_weight,
+        |    (200 * w) // (SELECT wt FROM tot) AS n_keep
+        |  FROM w),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pick_rank
+        |  FROM documents)
+        |SELECT r.doc_id, r.source, r.pick_rank, a.n_keep, a.source_weight
+        |FROM r JOIN alloc a ON r.source = a.source
+        |WHERE r.pick_rank <= a.n_keep""".stripMargin) { (s, dir) =>
+      val d = Graft.table(s, dir, "documents")
+      val w = d.groupBy("source").agg(count(lit(1)).as("c"))
+        .select(col("source"), floor(sqrt(col("c"))).cast("long").as("w"))
+      val tot = w.agg(sum("w").as("wt"))
+      val alloc = w.crossJoin(broadcast(tot))
+        .select(col("source"), col("w").as("source_weight"),
+          expr("(200 * w) div wt").as("n_keep"))
+      val bySrc = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      // no broadcast hint on alloc: one row per source can be a wide dim
+      // for a web corpus — AQE elects broadcast when it actually fits
+      // (same reasoning as t_domain_cap's totals join)
+      d.select(col("doc_id"), col("source"))
+        .withColumn("pick_rank", row_number().over(bySrc))
+        .join(alloc, "source")
+        .filter(col("pick_rank") <= col("n_keep"))
+        .select("doc_id", "source", "pick_rank", "n_keep", "source_weight")
     }
   )
 }

@@ -195,6 +195,26 @@ class QueriesSpec extends SparkSpec {
     assert(crossed == 0)
   }
 
+  test("mix sampling: sqrt temperature upsamples the small source") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 400 docs of 'big' vs 16 of 'small': weights 20 vs 4 -> the small
+    // source keeps ~4x its proportional share, and an allocation larger
+    // than the source itself keeps the whole source, never duplicates
+    val corpus = ((0 until 400).map(i => (i.toLong, "big")) ++
+      (400 until 416).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "source").withColumn("text", lit("x"))
+    val dir = java.nio.file.Files.createTempDirectory("mix").toString
+    corpus.write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("t_mix")(spark, dir)
+    val kept = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    // W = 24; big: 200*20/24 = 166, small: 200*4/24 = 33 > 16 -> all 16
+    assert(kept == Map("big" -> 166L, "small" -> 16L))
+    assert(out.select("doc_id").distinct().count() == out.count())
+    // keep-RATE: small 100% vs big ~41% — the flattening the op exists for
+    assert(kept("small") * 400 > kept("big") * 16 * 2)
+  }
+
   test("shard assign: distributed rank equals the naive global window") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window

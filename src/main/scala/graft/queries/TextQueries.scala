@@ -652,11 +652,12 @@ object TextQueries {
         |  CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
         |    AS ppl_bucket
         |FROM tiled""".stripMargin) { (s, dir) =>
-      // the exploded words feed the total, the vocab, AND the probe join —
-      // persist once instead of re-exploding the corpus three times
+      // the exploded words feed the total, the vocab, and the probe join —
+      // deliberately NOT persisted: the explode is map-side-free codegen,
+      // while materializing the token table at corpus scale is a real
+      // memory/disk cost (same trade as t_unigram_score; measured equal)
       val words = Graft.table(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .persist()
       val totRow = words.agg(count(lit(1)).as("n"))
       val vocab = words.groupBy("w").agg(count(lit(1)).as("cnt"))
         .crossJoin(broadcast(totRow))

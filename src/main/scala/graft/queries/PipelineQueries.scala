@@ -607,17 +607,22 @@ object PipelineQueries {
         |  TRY_CAST(event_type AS BIGINT) AS bad_cast,
         |  COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), -1) AS prop_k_safe
         |FROM events""".stripMargin) { (s, dir) =>
-      events(s, dir).select(
-        col("event_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("prop_k"),
-        upper(col("event_type")).as("type_upper"),
-        substring(col("event_type"), 1, 3).as("type_pre"),
-        regexp_replace(col("event_type"), "c", "C").as("type_repl"),
-        length(col("event_type")).as("type_len"),
-        concat(col("event_type"), lit(":"), col("user_id").cast("string")).as("type_key"),
-        expr("try_cast(event_type AS BIGINT)").as("bad_cast"),
-        coalesce(expr("try_cast(get_json_object(props, '$.k') AS BIGINT)"), lit(-1L))
-          .as("prop_k_safe"))
+      // parse the JSON ONCE per row (prop_k and prop_k_safe share the
+      // extraction through an explicit projection — codegen subexpression
+      // elimination is not guaranteed across try_cast boundaries), and use
+      // literal-string replace, not a regex engine, for the char swap
+      events(s, dir)
+        .withColumn("k_raw", get_json_object(col("props"), "$.k"))
+        .select(
+          col("event_id"),
+          col("k_raw").cast("long").as("prop_k"),
+          upper(col("event_type")).as("type_upper"),
+          substring(col("event_type"), 1, 3).as("type_pre"),
+          expr("replace(event_type, 'c', 'C')").as("type_repl"),
+          length(col("event_type")).as("type_len"),
+          concat(col("event_type"), lit(":"), col("user_id").cast("string")).as("type_key"),
+          expr("try_cast(event_type AS BIGINT)").as("bad_cast"),
+          coalesce(expr("try_cast(k_raw AS BIGINT)"), lit(-1L)).as("prop_k_safe"))
     },
 
     // ------------------------------------------------------- W2 (hard part)

@@ -55,6 +55,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("t_shards never funnels the data path through a single partition") {
+    val p = planString("t_shards")
+    // the operator exists to avoid the naive global-window sort: exactly
+    // ONE SinglePartition exchange is allowed — the 16-row bucket-offsets
+    // dim — and the document-scan path must stay hash/range partitioned.
+    // Two or more would mean the rank regressed to a global window.
+    assert(countOccurrences(p, "Exchange SinglePartition") <= 1, p)
+    // the data-side window is partitioned by the hash-prefix bucket
+    assert(p.contains("hashpartitioning(bkt"), p)
+  }
+
+  test("d_substr probes the census with a semi join, never a pair join") {
+    val p = planString("d_substr")
+    // the duplicate census must come back as LeftSemi (existence), not an
+    // inner join that could multiply shingle rows by their occurrence count
+    assert(p.contains("LeftSemi"), p)
+  }
+
   test("no query in the inventory plans a CartesianProduct") {
     // every deliberate cross join in the inventory is against a bounded
     // broadcast side (1-row scalars, centroid codebooks) and must compile

@@ -72,6 +72,10 @@ object Bench {
     val results = first.map { case (n, t) =>
       if (!suspects(n)) n -> t
       else {
+        // drop every cached relation the first run left behind (queries
+        // with internal persist()): a warm re-run would skip exactly the
+        // stage whose regression the re-run exists to confirm
+        spark.sharedState.cacheManager.clearCache()
         val r = run1(n)
         n -> (if (r > 0 && r < t) r else t)
       }
@@ -108,12 +112,9 @@ object Bench {
     }
     def decEnc(dec: Int)(v: Double): String = fmt(v, dec)
     // failures stay exactly "-1" under every encoder
-    def mixedEnc(v: Double): String =
-      if (v < 0) "-1"
-      else if (v < 0.75 || v >= 10) trim0(fmt(v, 0)) else trim0(fmt(v, 1))
-    // coarser rungs: integers below the threshold, 1 decimal above — the
+    // coarse rungs: integers below the threshold, 1 decimal above — the
     // sub-threshold queries are the ones grading never looks at, and the
-    // full-precision record is on disk either way
+    // full-precision record is on disk either way. Failures stay "-1".
     def coarseEnc(thr: Double)(v: Double): String =
       if (v < 0) "-1"
       else if (v < thr || v >= 10) trim0(fmt(v, 0)) else trim0(fmt(v, 1))
@@ -132,7 +133,7 @@ object Bench {
     val budget = 1992
     val sfShort = sfDir.stripSuffix("/").split("/").last
     val ladder: Seq[Double => String] =
-      Seq(decEnc(3), decEnc(2), decEnc(1), mixedEnc _,
+      Seq(decEnc(3), decEnc(2), decEnc(1), coarseEnc(0.75) _,
         coarseEnc(2) _, coarseEnc(3) _, intEnc _)
     val compact = ladder.view.map(enc => line(all, enc, 0, sfShort))
       .find(_.length <= budget)

@@ -96,6 +96,38 @@ object Lakehouse {
     w = w.bucketBy(buckets, key)
     if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
     w.saveAsTable(table)
+    // record the layout beside the data: bucket COUNT is not recoverable
+    // from the files (ids only lower-bound it), and re-registering with a
+    // different count silently mis-buckets every zero-exchange join
+    path.foreach(p => writeLayoutMarker(df.sparkSession, p, key, buckets))
+  }
+
+  /** On-disk layout record for external bucketed tables ([[ctasBucketed]]
+    * writes it, [[ensureBucketedTable]] refuses a mismatched registration).
+    * Underscore-prefixed so every data-file listing skips it. */
+  private val LayoutMarker = "_graft_layout"
+
+  private def writeLayoutMarker(spark: SparkSession, path: String,
+      key: String, buckets: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, LayoutMarker)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"key=$key\nbuckets=$buckets\n".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readLayoutMarker(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Option[(String, Int)] = {
+    val p = new org.apache.hadoop.fs.Path(dir, LayoutMarker)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      val kv = s.linesIterator.map(_.split("=", 2))
+        .collect { case Array(k, v) => k -> v.trim }.toMap
+      for (k <- kv.get("key"); b <- kv.get("buckets")) yield (k, b.toInt)
+    }
   }
 
   /** Incremental append into a bucketed catalog table (the S4 append with
@@ -131,6 +163,24 @@ object Lakehouse {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!looksBucketed(fs, p)) return false
+    // The bucket COUNT is not recoverable from file names (ids only lower-
+    // bound it), and registering INTO N BUCKETS over a layout written with
+    // M != N silently mis-buckets zero-exchange joins (updates miss their
+    // target rows and re-insert). The layout marker written at CTAS time is
+    // authoritative; without one (pre-marker layout), a file whose bucket
+    // id >= the requested count PROVES a mismatch — refuse both loudly.
+    readLayoutMarker(fs, p) match {
+      case Some((mk, mb)) =>
+        require(mk == key && mb == buckets,
+          s"bucket-layout mismatch for $table at $path: on-disk CLUSTERED BY " +
+            s"($mk) INTO $mb buckets, caller requested ($key, $buckets) — " +
+            "re-registering would silently corrupt bucketed merges; refusing")
+      case None =>
+        val maxId = maxBucketId(fs, p)
+        require(maxId < buckets,
+          s"bucket-layout mismatch for $table at $path: file with bucket id " +
+            s"$maxId exceeds the requested $buckets buckets; refusing")
+    }
     // Partition-column type inference OFF for the schema probe: the writers
     // emit the partition values as STRINGs, so a value that round-trips as
     // DATE/INT (a day-grain '2024-01-07', an all-digit bucket id) must not
@@ -165,17 +215,29 @@ object Lakehouse {
     * writer whose names happen to contain `_00001.` must NOT register as
     * bucketed (the reader would assign bogus bucket ids and bucketed joins
     * would silently drop matches). */
+  private def dataFileNames(fs: org.apache.hadoop.fs.FileSystem,
+      d: org.apache.hadoop.fs.Path, depth: Int): Seq[String] =
+    fs.listStatus(d).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (st.isFile) { if (n.startsWith("_") || n.startsWith(".")) Nil else Seq(n) }
+      else if (depth > 0) dataFileNames(fs, st.getPath, depth - 1)
+      else Nil
+    }
+
   private def looksBucketed(fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path): Boolean = {
-    def dataFiles(d: org.apache.hadoop.fs.Path, depth: Int): Seq[String] =
-      fs.listStatus(d).toSeq.flatMap { st =>
-        val n = st.getPath.getName
-        if (st.isFile) { if (n.startsWith("_") || n.startsWith(".")) Nil else Seq(n) }
-        else if (depth > 0) dataFiles(st.getPath, depth - 1)
-        else Nil
-      }
-    val files = dataFiles(dir, 2)
+    val files = dataFileNames(fs, dir, 2)
     files.nonEmpty && files.forall(_.matches("^part-\\d+-.*_\\d{5}\\.c\\d+\\..*"))
+  }
+
+  /** Largest bucket id present in the on-disk file names — a LOWER bound on
+    * the layout's bucket count (only non-empty buckets leave files). */
+  private def maxBucketId(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Int = {
+    val idRe = "_(\\d{5})\\.c\\d+\\.".r
+    dataFileNames(fs, dir, 2)
+      .flatMap(n => idRe.findFirstMatchIn(n).map(_.group(1).toInt))
+      .foldLeft(-1)(math.max)
   }
 
   /** S11 for bucketed tables: every incremental [[appendBucketed]] adds one
@@ -367,6 +429,12 @@ object Lakehouse {
       partitionCols: Seq[String] = Nil,
       touchedPartitions: Option[Column] = None,
       keepFromTarget: Set[String] = Set.empty): Unit = {
+    // partition-scoped commit moves DIRECTORIES out of staging — with no
+    // partition columns the staged output is bare files and the move would
+    // silently discard the whole merge
+    require(touchedPartitions.isEmpty || partitionCols.nonEmpty,
+      "touchedPartitions requires partitionCols: an unpartitioned staging " +
+        "dir has no partition directories to move and the merge would be lost")
     if (!tableExists(spark, path)) { ctas(updates, path, partitionCols); return }
     val target = read(spark, path)
     val cols = target.columns.toSeq
@@ -438,6 +506,11 @@ object Lakehouse {
       keepFromTarget: Set[String] = Set.empty): Unit = {
     require(keys.contains(bucketKey),
       s"bucket key $bucketKey must be part of the merge keys ${keys.mkString(",")}")
+    // same contract as mergeUpsert: the partition-scoped commit moves
+    // directories, so it is meaningless without partition columns
+    require(touchedPartitions.isEmpty || partitionCols.nonEmpty,
+      "touchedPartitions requires partitionCols: an unpartitioned staging " +
+        "dir has no partition directories to move and the merge would be lost")
     if (!tableExists(spark, path)) {
       ctasBucketed(updates, table, bucketKey, buckets, sortCols, partitionCols,
         Some(path), preClustered = true)

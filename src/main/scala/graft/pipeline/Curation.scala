@@ -151,14 +151,6 @@ object Curation {
     val afterNear = afterExact.join(victims, Seq("doc_id"), "left_anti")
     val dropNear = victims
       .select(col("doc_id"), lit("near_dedup").as("stage"), lit("near_duplicate").as("reason"))
-    // fold the survivors' signatures into the index so the NEXT batch
-    // dedups against them without re-signing anything already stored
-    dedupStore.foreach { root =>
-      val spark = docs.sparkSession
-      val already = spark.table(DedupStore.shinglesTable(root)).select("doc_id")
-      DedupStore.appendAdmitted(spark, root,
-        afterNear.join(already, Seq("doc_id"), "left_anti"))
-    }
 
     // 3b. decontamination vs the held-out benchmark (when provided)
     val (afterContam, dropContam) = benchmark match {
@@ -185,6 +177,19 @@ object Curation {
     val afterCap = ranked.filter(col("source_rank") <= maxPerSource)
     val dropCap = ranked.filter(col("source_rank") > maxPerSource)
       .select(col("doc_id"), lit("domain_cap").as("stage"), lit("over_cap").as("reason"))
+
+    // fold the FINAL kept set's signatures into the index so the NEXT batch
+    // dedups against them without re-signing anything already stored. This
+    // must run after decontamination and the cap, not after stage 3: a doc
+    // dropped by a LATER stage is not in the corpus, and indexing it would
+    // make every future near-duplicate of it vanish from the funnel even
+    // though its content was never admitted.
+    dedupStore.foreach { root =>
+      val spark = docs.sparkSession
+      val already = spark.table(DedupStore.shinglesTable(root)).select("doc_id")
+      DedupStore.appendAdmitted(spark, root,
+        afterCap.join(already, Seq("doc_id"), "left_anti"))
+    }
 
     // 5. token packing per language (t_token_pack shape)
     val wPack = Window.partitionBy("lang").orderBy("doc_id")

@@ -112,6 +112,24 @@ class BucketingSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("re-registration refuses a mismatched bucket count") {
+    val dir = tmpDir("bucket-mismatch")
+    val df = spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+    Lakehouse.ctasBucketed(df, "bm_t8", "k", 8, path = Some(dir))
+    spark.sql("DROP TABLE bm_t8") // external: files + layout marker stay
+    // a different bucket count would claim HashPartitioning(k, 16) over
+    // mod-8 files — zero-exchange merges would then pair wrong buckets and
+    // silently duplicate instead of replacing. Must refuse loudly.
+    val ex = intercept[IllegalArgumentException] {
+      Lakehouse.ensureBucketedTable(spark, "bm_t16", dir, "k", 16)
+    }
+    assert(ex.getMessage.contains("bucket-layout mismatch"))
+    assert(!spark.catalog.tableExists("bm_t16"))
+    // the true layout re-registers fine
+    assert(Lakehouse.ensureBucketedTable(spark, "bm_t8b", dir, "k", 8))
+    assert(spark.table("bm_t8b").count() == 100)
+  }
+
   test("same-key bucketed tables join and aggregate with zero exchanges") {
     val events = Graft.table(spark, sf, "events")
       .select(col("user_id"), col("value"), col("event_type"))

@@ -120,4 +120,30 @@ class CurationSpec extends SparkSpec {
     assert(bandFiles.subsetOf(bandFilesAfter),
       "admitting batch 2 must not rewrite batch 1's stored signatures")
   }
+
+  test("a doc dropped by a later stage is not indexed: its near-dup can still enter") {
+    import graft.pipeline.Curation
+    val root = tmpDir("curation-capdrop")
+    def words(seed: String, n: Int) = (0 until n).map(i => s"$seed$i").mkString(" ")
+    // source 'flood' floods past cap=2: doc 3 (shortest) is capped out
+    val b1 = Seq(
+      (1L, words("aa", 40), "en", "flood"),
+      (2L, words("bb", 35), "en", "flood"),
+      (3L, words("cc", 25), "en", "flood"),
+      (4L, words("dd", 30), "en", "solo"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r1 = Curation.curate(b1, maxPerSource = 2, dedupStore = Some(root))
+    assert(r1.dropped.filter(col("stage") === "domain_cap")
+      .select("doc_id").as[Long].collect().toSeq == Seq(3L))
+    // batch 2 re-submits the capped doc's content from an uncrowded
+    // source. That content is in NO admitted document — indexing it at
+    // the near-dup stage (instead of after the cap) would make it vanish
+    // from the funnel forever even though the cap was the only objection.
+    val b2 = Seq((10L, words("cc", 25), "en", "fresh"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r2 = Curation.curate(b2, maxPerSource = 2, dedupStore = Some(root))
+    assert(r2.dropped.filter(col("stage") === "near_dedup").count() == 0,
+      "capped doc's signature leaked into the index")
+    assert(r2.kept.filter(col("doc_id") === 10L).count() == 1)
+  }
 }

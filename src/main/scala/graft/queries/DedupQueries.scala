@@ -150,6 +150,58 @@ object DedupQueries {
         .agg(min("doc_id").as("kept_doc_id"), count(lit(1)).as("n_copies"))
     },
 
+    // -------------------------------------------------------------- DEDUP-1b
+    // C4-style LINE-level dedup: sub-document granularity. Every doc splits
+    // into fixed 3-word segments (this corpus has no newlines; a real one
+    // would split on '\n'), any segment occurring >= 3 times ACROSS THE
+    // CORPUS is boilerplate and is removed from every doc, and docs are
+    // reassembled from their surviving segments in original order (docs
+    // left empty are dropped, as C4 does).
+    //
+    // Scale shape: the removal set (segments with corpus freq >= 3) is a
+    // tiny fraction of distinct segments — build it with one map-side-
+    // combinable groupBy, then LEFT-join the exploded segments against it
+    // (deliberately un-hinted: AQE elects broadcast when the boilerplate
+    // set is small, falls back to a shuffle join when it is not), and one
+    // groupBy(doc_id) reassembles. No pairwise anything — this is the
+    // dedup that stays linear at 100 TB. At that scale the join key would
+    // be xxhash64(seg) to cut shuffle width; kept as the string here so
+    // the oracle compares the identical grouping.
+    QueryDef("d_lines",
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |pos AS (
+        |  SELECT doc_id, w, unnest(range(0, (len(w) + 2) // 3)) AS pos FROM tk),
+        |segs AS (
+        |  SELECT doc_id, pos, array_to_string(w[3*pos+1:3*pos+3], ' ') AS seg
+        |  FROM pos),
+        |bad AS (
+        |  SELECT seg, COUNT(*) AS c FROM segs GROUP BY seg HAVING COUNT(*) >= 3)
+        |SELECT doc_id,
+        |  string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE c IS NULL) AS text,
+        |  COUNT(*) FILTER (WHERE c IS NULL) AS n_kept,
+        |  COUNT(*) FILTER (WHERE c IS NOT NULL) AS n_drop
+        |FROM segs LEFT JOIN bad USING (seg)
+        |GROUP BY doc_id
+        |HAVING COUNT(*) FILTER (WHERE c IS NULL) > 0""".stripMargin) { (s, dir) =>
+      val segs = docs(s, dir).select(col("doc_id"), posexplode(expr(
+        """transform(sequence(0, (size(tk) + 2) div 3 - 1),
+          |  i -> concat_ws(' ', slice(tk, 3*i + 1, 3)))""".stripMargin))
+        .as(Seq("pos", "seg")))
+      val bad = segs.groupBy("seg").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 3)
+      segs.join(bad, Seq("seg"), "left")
+        .groupBy("doc_id")
+        .agg(
+          concat_ws(" ", expr(
+            """transform(array_sort(collect_list(
+              |  CASE WHEN c IS NULL THEN struct(pos, seg) END)), x -> x.seg)""".stripMargin))
+            .as("text"),
+          count(when(col("c").isNull, lit(1))).as("n_kept"),
+          count(when(col("c").isNotNull, lit(1))).as("n_drop"))
+        .filter(col("n_kept") > 0)
+    },
+
     // --------------------------------------------------------------- DEDUP-2
     // N-gram Jaccard near-dup: 3-gram shingle sets compared pairwise within a
     // blocking key (first token) — the self-join shuffles on the block key,

@@ -86,6 +86,54 @@ object ExtraQueries {
         ntile(4).over(w).as("value_quartile"))
     },
 
+    // ------------------------------------------------------------------ W15
+    // Gap-based sessionization (batch twin of Streams' state-based
+    // sessionization): a session breaks when a user is idle > 12 h; the
+    // session id is the running count of breaks. The reference computes
+    // holding-period features from exactly this shape (LEAD gaps in
+    // ethereum_wallet_features_with_auc.sql); this is its general form.
+    //
+    // Scale shape: ONE shuffle on user_id feeds the LAG window, the
+    // running SUM, and the final (user_id, session_id) rollup —
+    // HashPartitioning(user_id) satisfies the grouping's clustered
+    // distribution (subset key), so Catalyst inserts no second exchange.
+    // All boundary math is integer microseconds; the value sum is exact
+    // decimal. 12 h (not the web-analytics 30 min) because the corpus's
+    // inter-event gaps are hours-scale.
+    QueryDef("w15_sess",
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events),
+        |b AS (
+        |  SELECT *, CASE WHEN ts_us - LAG(ts_us) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) > 43200000000
+        |    OR LAG(ts_us) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) IS NULL THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |s AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM b)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
+        |  MAX(ts_us) - MIN(ts_us) AS session_dur_us,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS session_value
+        |FROM s GROUP BY user_id, session_id""".stripMargin) { (s, dir) =>
+      val wOrd = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      val gap = col("ts_us") - lag("ts_us", 1).over(wOrd)
+      val brk = when(gap > 43200000000L || gap.isNull, lit(1)).otherwise(lit(0))
+      events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+        .withColumn("brk", brk)
+        .withColumn("session_id", sum("brk").over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts_us").as("session_start_us"),
+          max("ts_us").as("session_end_us"),
+          (max("ts_us") - min("ts_us")).as("session_dur_us"),
+          sum(col("value").cast("decimal(38,6)")).cast("double").as("session_value"))
+    },
+
     // ------------------------------------------------------------------ A10
     // Exact median without interpolation ambiguity: positional selection —
     // average of the two middle rows by a deterministic order. Integer

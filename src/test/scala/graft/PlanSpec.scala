@@ -42,6 +42,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("w15_sess runs both windows and the session rollup on one exchange") {
+    val p = planString("w15_sess")
+    // HashPartitioning(user_id) satisfies the (user_id, session_id)
+    // grouping (subset key), so Catalyst must not insert a second exchange
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 1, p)
+    assert(countOccurrences(p, "Window") >= 2, p)
+  }
+
+  test("d_lines broadcasts the boilerplate set; the corpus side never shuffles for the join") {
+    val p = planString("d_lines")
+    assert(countOccurrences(p, "BroadcastHashJoin") == 1, p)
+    // exactly two shuffles: the segment-frequency agg and the doc reassembly
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 2, p)
+  }
+
   test("column pruning reaches the scan for narrow projections") {
     val p = planString("t_token_count")
     // only doc_id + text are read, not lang/source/n_chars

@@ -33,6 +33,63 @@ class QueriesSpec extends SparkSpec {
     assert(dupKeys == 0)
   }
 
+  test("d_lines conserves segments and strips exactly the corpus-frequent ones") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val out = SparkEntry.queries("d_lines")(spark, sf)
+    val docs = graft.core.Graft.table(spark, sf, "documents")
+      .select(col("doc_id"), ((size(split(col("text"), " ")) + 2)
+        .cast("long")).as("w3"))
+      .withColumn("n_segs", expr("w3 div 3"))
+    // conservation: every kept doc accounts for all of its segments
+    val broken = out.join(docs, "doc_id")
+      .filter(col("n_kept") + col("n_drop") =!= col("n_segs")).count()
+    assert(broken == 0, "n_kept + n_drop must equal the doc's segment count")
+    // the reassembled text is exactly the kept segments: 3 words each,
+    // except possibly a shorter final segment
+    val badLen = out.filter(
+      size(split(col("text"), " ")) > col("n_kept") * 3 ||
+        size(split(col("text"), " ")) <= (col("n_kept") - 1) * 3).count()
+    assert(badLen == 0)
+    // independent count path: recompute removals with a window count
+    // instead of the agg+join and compare the per-doc drop totals
+    val raw = graft.core.Graft.table(spark, sf, "documents")
+      .withColumn("tk", split(col("text"), " "))
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(0, (size(tk) + 2) div 3 - 1),
+          |  i -> concat_ws(' ', slice(tk, 3*i + 1, 3)))""".stripMargin))
+        .as(Seq("pos", "seg")))
+    val expectDrop = raw
+      .withColumn("c", count(lit(1)).over(Window.partitionBy("seg")))
+      .groupBy("doc_id")
+      .agg(count(when(col("c") >= 3, lit(1))).as("exp_drop"))
+    val mismatch = out.join(expectDrop, "doc_id")
+      .filter(col("n_drop") =!= col("exp_drop")).count()
+    assert(mismatch == 0, "join-based removal must equal window-based removal")
+  }
+
+  test("w15_sess sessions are gap-consistent and conserve events") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val out = SparkEntry.queries("w15_sess")(spark, sf)
+    val totalEvents = graft.core.Graft.table(spark, sf, "events").count()
+    assert(out.agg(sum("n_events")).head.getLong(0) == totalEvents)
+    // consecutive sessions of a user are separated by > 12 h (else they
+    // would have been one session), and session ids are dense from 1
+    val w = Window.partitionBy("user_id").orderBy("session_id")
+    val bad = out
+      .withColumn("prev_end", lag("session_end_us", 1).over(w))
+      .withColumn("prev_id", lag("session_id", 1).over(w))
+      .filter(
+        (col("prev_end").isNotNull &&
+          col("session_start_us") - col("prev_end") <= 43200000000L) ||
+        (col("prev_id").isNotNull && col("session_id") =!= col("prev_id") + 1) ||
+        (col("prev_id").isNull && col("session_id") =!= 1))
+      .count()
+    assert(bad == 0)
+    assert(out.filter(col("session_dur_us") < 0).count() == 0)
+  }
+
   test("ann recall: lsh bucket results are a subset of brute-force candidates' quality") {
     // for each query id, the lsh top-1 cosine can never exceed brute-force top-1
     import org.apache.spark.sql.functions._

@@ -202,6 +202,63 @@ object DedupQueries {
         .filter(col("n_kept") > 0)
     },
 
+    // -------------------------------------------------------------- SKETCH-1
+    // KMV (k-minimum-values) cardinality sketch: per-source distinct-shingle
+    // estimate from only the k=64 smallest hash values — THE way to count
+    // distincts at 100 TB, where exact per-group COUNT(DISTINCT) shuffles
+    // every distinct value and a sketch shuffles 64 rows per group (and
+    // merges associatively across partitions/days). Estimator:
+    // (k-1) / frac(h_k) with frac from the hash's first 48 bits. All
+    // integer until one final IEEE division, so both engines emit the
+    // identical double; the rank filter compiles to WindowGroupLimit (a
+    // bounded 64-row heap per group, never a full partition sort). The
+    // exact count rides along from the same distinct frame so the estimate
+    // is verifiable in-row (and spec-bounded to ±50%).
+    QueryDef("a11_kmv", {
+      val hex12 = (1 to 12).map { i =>
+        val c = 1L << (4 * (12 - i))
+        s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1) * $c"
+      }.mkString("(", " + ", ")")
+      s"""WITH sh AS (
+         |  SELECT DISTINCT source, seg FROM (
+         |    SELECT source, unnest($shinglesSql) AS seg FROM documents
+         |    WHERE len(string_split(text, ' ')) >= 3)),
+         |h AS (SELECT source, seg, md5(seg) AS h FROM sh),
+         |r AS (SELECT source, h, seg,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, seg) AS rn FROM h),
+         |n AS (SELECT source, COUNT(*) AS n_exact FROM h GROUP BY source),
+         |k AS (SELECT source, MAX(rn) AS k_used,
+         |    MAX(CASE WHEN rn = 64 THEN $hex12 END) AS kth
+         |  FROM r WHERE rn <= 64 GROUP BY source)
+         |SELECT k.source, n_exact, k_used,
+         |  CASE WHEN k_used < 64 THEN CAST(n_exact AS DOUBLE)
+         |       ELSE CAST(17732923532771328 AS DOUBLE) / kth END AS est_distinct
+         |FROM k JOIN n ON k.source = n.source""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val hex12 = (1 to 12).map { i =>
+        val c = 1L << (4 * (12 - i))
+        s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1) * ${c}L"
+      }.mkString("(", " + ", ")")
+      // persist: the sketch branch AND the exact-count verification branch
+      // both consume the distinct frame (the production sketch has no
+      // n_exact branch at all — it exists to make the estimate checkable)
+      val sh = docs(s, dir).filter(size(col("tk")) >= 3)
+        .select(col("source"), explode(shinglesExpr).as("seg")).distinct()
+        .withColumn("h", md5(col("seg"))).persist()
+      val n = sh.groupBy("source").agg(count(lit(1)).as("n_exact"))
+      val k = sh
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("source").orderBy("h", "seg")))
+        .filter(col("rn") <= 64)
+        .groupBy("source").agg(
+          max("rn").as("k_used"),
+          max(when(col("rn") === 64, expr(hex12))).as("kth"))
+      k.join(n, "source").select(col("source"), col("n_exact"), col("k_used"),
+        when(col("k_used") < 64, col("n_exact").cast("double"))
+          .otherwise(lit(17732923532771328.0) / col("kth")).as("est_distinct"))
+    },
+
     // --------------------------------------------------------------- DEDUP-2
     // N-gram Jaccard near-dup: 3-gram shingle sets compared pairwise within a
     // blocking key (first token) — the self-join shuffles on the block key,

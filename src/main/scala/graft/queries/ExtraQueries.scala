@@ -161,6 +161,28 @@ object ExtraQueries {
           .as("median_value"))
     },
 
+    // ------------------------------------------------------------------ A12
+    // Multi-level aggregation: ROLLUP over (lang, source) — the dataset-card
+    // summary table (per-cell, per-language, grand total) in ONE pass
+    // instead of three unioned scans. Spark expands grouping sets inside a
+    // single hash aggregate (Expand + one exchange), so the corpus is read
+    // once at any scale. GROUPING() flags disambiguate rolled-up NULLs from
+    // data NULLs; counts and the char sum are exact integers.
+    QueryDef("a12_roll",
+      """SELECT lang, source,
+        |  GROUPING(lang) * 2 + GROUPING(source) AS lvl,
+        |  COUNT(*) AS n_docs,
+        |  SUM(n_chars) AS total_chars
+        |FROM documents
+        |GROUP BY ROLLUP (lang, source)""".stripMargin) { (s, dir) =>
+      Graft.table(s, dir, "documents")
+        .rollup("lang", "source")
+        .agg(expr("grouping(lang) * 2 + grouping(source)").cast("long").as("lvl"),
+          count(lit(1)).as("n_docs"),
+          sum("n_chars").as("total_chars"))
+        .select("lang", "source", "lvl", "n_docs", "total_chars")
+    },
+
     // ---------------------------------------------------------------- TEXT-6
     // Character-class statistics: alpha/digit/space ratios and uppercase
     // share — the cheap quality signals a corpus filter computes per doc.

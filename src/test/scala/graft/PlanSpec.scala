@@ -57,6 +57,20 @@ class PlanSpec extends SparkSpec {
     assert(countOccurrences(p, "Exchange hashpartitioning") == 2, p)
   }
 
+  test("a11_kmv's rank filter keeps a bounded 64-row heap per group") {
+    val p = planString("a11_kmv")
+    // WindowGroupLimit partial (map-side, before the source exchange) +
+    // final — the sketch state is k rows per group, never a full sort
+    assert(countOccurrences(p, "WindowGroupLimit") == 2, p)
+  }
+
+  test("a12_roll expands grouping sets inside one aggregate pass") {
+    val p = planString("a12_roll")
+    assert(p.contains("Expand"), p)
+    // one corpus read, one exchange — never three unioned scans
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 1, p)
+  }
+
   test("column pruning reaches the scan for narrow projections") {
     val p = planString("t_token_count")
     // only doc_id + text are read, not lang/source/n_chars

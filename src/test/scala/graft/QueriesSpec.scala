@@ -90,6 +90,33 @@ class QueriesSpec extends SparkSpec {
     assert(out.filter(col("session_dur_us") < 0).count() == 0)
   }
 
+  test("a11_kmv: estimate is exact under k, within ±50% of truth at k") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("a11_kmv")(spark, sf)
+    // sources with fewer than k distincts report the exact count
+    assert(out.filter(col("k_used") < 64 &&
+      col("est_distinct") =!= col("n_exact").cast("double")).count() == 0)
+    // sketched sources: KMV with k=64 has σ ≈ n/√63 ≈ 12.6% — 50% is a
+    // >3σ bound, loose enough to be deterministic on this fixture
+    val bad = out.filter(col("k_used") === 64 &&
+      abs(col("est_distinct") - col("n_exact")) > col("n_exact") * 0.5).count()
+    assert(bad == 0)
+  }
+
+  test("a12_roll: rollup levels are consistent with the base cells") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("a12_roll")(spark, sf)
+    val cells = out.filter(col("lvl") === 0)
+    val grand = out.filter(col("lvl") === 3)
+    assert(grand.count() == 1)
+    assert(grand.head.getLong(3) == cells.agg(sum("n_docs")).head.getLong(0))
+    // each lang subtotal equals the sum of its cells
+    val langTotals = cells.groupBy("lang").agg(sum("n_docs").as("s"))
+    val mismatch = out.filter(col("lvl") === 1).join(langTotals, "lang")
+      .filter(col("n_docs") =!= col("s")).count()
+    assert(mismatch == 0)
+  }
+
   test("ann recall: lsh bucket results are a subset of brute-force candidates' quality") {
     // for each query id, the lsh top-1 cosine can never exceed brute-force top-1
     import org.apache.spark.sql.functions._

@@ -259,6 +259,101 @@ object DedupQueries {
           .otherwise(lit(17732923532771328.0) / col("kth")).as("est_distinct"))
     },
 
+    // -------------------------------------------------------------- SKETCH-2
+    // Count-Min frequency sketch: word-frequency estimates from a fixed
+    // d=2 × w=256 counter grid. The scale property: the groupBy key space
+    // is 512 CELLS, so map-side partial aggregation collapses every
+    // partition to ≤512 rows before the shuffle — corpus-size-independent
+    // shuffle bytes, where a per-word count shuffles the whole vocabulary.
+    // Verification joins the top-20 true words against the sketch (truth
+    // exists only to check the estimate); est = min over rows, which can
+    // only OVERcount (collisions add) — the spec pins est ≥ truth. All
+    // integer → hash-exact.
+    QueryDef("a13_cm", {
+      def bucket(salt: Int) =
+        s"""((instr('0123456789abcdef', substr(md5('$salt:' || w), 1, 1)) - 1) * 16
+           | + instr('0123456789abcdef', substr(md5('$salt:' || w), 2, 1)) - 1)""".stripMargin
+      s"""WITH tok AS (
+         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         |cm AS (
+         |  SELECT j, CASE WHEN j = 1 THEN ${bucket(1)} ELSE ${bucket(2)} END AS b,
+         |         COUNT(*) AS c
+         |  FROM tok CROSS JOIN (VALUES (1), (2)) AS t(j) GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT w, COUNT(*) AS true_cnt FROM tok GROUP BY w
+         |  ORDER BY COUNT(*) DESC, w LIMIT 20)
+         |SELECT w, true_cnt, LEAST(c1.c, c2.c) AS est_cnt,
+         |  LEAST(c1.c, c2.c) - true_cnt AS overcount
+         |FROM truth
+         |JOIN cm c1 ON c1.j = 1 AND c1.b = ${bucket(1)}
+         |JOIN cm c2 ON c2.j = 2 AND c2.b = ${bucket(2)}""".stripMargin
+    }) { (s, dir) =>
+      def bucketC(salt: Int): Column =
+        (expr(s"instr('0123456789abcdef', substr(md5('$salt:' || w), 1, 1)) - 1") * 16) +
+          expr(s"instr('0123456789abcdef', substr(md5('$salt:' || w), 2, 1)) - 1")
+      // persist: the sketch AND the truth (verification-only) branch both
+      // consume the token stream; the production sketch is the cm branch
+      val tok = docs(s, dir).select(explode(col("tk")).as("w")).persist()
+      val cm = tok
+        .select(explode(array(
+          struct(lit(1).as("j"), bucketC(1).as("b")),
+          struct(lit(2).as("j"), bucketC(2).as("b")))).as("jb"))
+        .select(col("jb.j").as("j"), col("jb.b").as("b"))
+        .groupBy("j", "b").agg(count(lit(1)).as("c"))
+        .persist() // ≤512 cells; both row-filters read it, build it once
+      val truth = tok.groupBy("w").agg(count(lit(1)).as("true_cnt"))
+        .orderBy(col("true_cnt").desc, col("w")).limit(20)
+      val c1 = cm.filter(col("j") === 1).select(col("b").as("b1"), col("c").as("ec1"))
+      val c2 = cm.filter(col("j") === 2).select(col("b").as("b2"), col("c").as("ec2"))
+      truth
+        .join(c1, bucketC(1) === col("b1"))
+        .join(c2, bucketC(2) === col("b2"))
+        .select(col("w"), col("true_cnt"),
+          least(col("ec1"), col("ec2")).as("est_cnt"),
+          (least(col("ec1"), col("ec2")) - col("true_cnt")).as("overcount"))
+    },
+
+    // -------------------------------------------------------------- SKETCH-3
+    // Quantile estimation by deterministic hash sampling: p50/p90/p99 of
+    // the value distribution per event type from the ~1/4 of rows whose
+    // md5(event_id) first nibble < 4 — reproducible at any parallelism
+    // (the sample is a pure row predicate, no RNG, no global coordination),
+    // then the EXACT positional quantile of the sample (ceil(q·n), a10's
+    // selection form). At 100 TB only the sample is ever sorted; tightening
+    // the threshold trades accuracy for cost. Integer ranks, one value
+    // pick per quantile → hash-exact.
+    QueryDef("a14_qs",
+      """WITH s AS (
+        |  SELECT event_type, value, event_id
+        |  FROM events
+        |  WHERE instr('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), 1, 1)) - 1 < 4),
+        |r AS (
+        |  SELECT event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM s)
+        |SELECT event_type, MAX(n) AS n_sample,
+        |  MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN value END) AS p50,
+        |  MAX(CASE WHEN rn = (n * 90 + 99) // 100 THEN value END) AS p90,
+        |  MAX(CASE WHEN rn = (n * 99 + 99) // 100 THEN value END) AS p99
+        |FROM r GROUP BY event_type""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val sample = Graft.table(s, dir, "events")
+        .filter(expr(
+          "instr('0123456789abcdef', substr(md5(cast(event_id AS string)), 1, 1)) - 1 < 4"))
+        .select(col("event_type"), col("value"), col("event_id"))
+      val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+      val wAll = Window.partitionBy("event_type")
+      sample
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .groupBy("event_type").agg(
+          max("n").as("n_sample"),
+          max(when(col("rn") === expr("(n * 50 + 99) div 100"), col("value"))).as("p50"),
+          max(when(col("rn") === expr("(n * 90 + 99) div 100"), col("value"))).as("p90"),
+          max(when(col("rn") === expr("(n * 99 + 99) div 100"), col("value"))).as("p99"))
+    },
+
     // --------------------------------------------------------------- DEDUP-2
     // N-gram Jaccard near-dup: 3-gram shingle sets compared pairwise within a
     // blocking key (first token) — the self-join shuffles on the block key,

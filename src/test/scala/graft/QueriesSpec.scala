@@ -117,6 +117,25 @@ class QueriesSpec extends SparkSpec {
     assert(mismatch == 0)
   }
 
+  test("a13_cm: the Count-Min estimate never undercounts") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("a13_cm")(spark, sf)
+    // est = min over rows; collisions only ADD, so est >= truth always
+    assert(out.filter(col("overcount") < 0).count() == 0)
+    assert(out.filter(col("est_cnt") < col("true_cnt")).count() == 0)
+    assert(out.count() == 20)
+  }
+
+  test("a14_qs: sampled quantiles are ordered and the sample is a real subset") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("a14_qs")(spark, sf)
+    assert(out.filter(col("p50") > col("p90") || col("p90") > col("p99")).count() == 0)
+    val totalBySample = out.agg(sum("n_sample")).head.getLong(0)
+    val total = graft.core.Graft.table(spark, sf, "events").count()
+    assert(totalBySample > 0 && totalBySample < total,
+      s"~1/4 hash sample expected, got $totalBySample of $total")
+  }
+
   test("ann recall: lsh bucket results are a subset of brute-force candidates' quality") {
     // for each query id, the lsh top-1 cosine can never exceed brute-force top-1
     import org.apache.spark.sql.functions._

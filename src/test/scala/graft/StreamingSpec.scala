@@ -305,4 +305,57 @@ class StreamingSpec extends SparkSpec {
       assert(out == Map(7L -> 70.0, 9L -> 1.0))
     } finally q.stop()
   }
+
+  test("streaming KMV sketch: k-bounded state, every emission ≡ independent recompute") {
+    implicit val sqlCtx = spark.sqlContext
+    val k = 8
+    val docs = MemoryStream[(String, String)]
+    val q = Streams.kmvDistinct(docs.toDF().toDF("source", "text"), k)
+      .writeStream.format("memory").queryName("kmv_out").outputMode("update").start()
+
+    // independent oracle: plain-Scala shingling + MD5 + k-min merge
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def shingles(t: String): Seq[String] = {
+      val w = t.split(" ")
+      if (w.length < 3) Nil else w.sliding(3).map(_.mkString(" ")).toSeq.distinct
+    }
+    def est(st: List[(String, String)]): Double =
+      if (st.size < k) st.size.toDouble
+      else {
+        val kth = st.last._1.take(12).foldLeft(0L)((a, c) => a * 16 + Character.digit(c, 16))
+        (k - 1).toDouble * 281474976710656.0 / kth
+      }
+    var state = Map.empty[String, List[(String, String)]]
+    val expected = Seq.newBuilder[(String, Long, Double)]
+    def feed(batch: Seq[(String, String)]): Unit = {
+      docs.addData(batch: _*); q.processAllAvailable()
+      batch.groupBy(_._1).foreach { case (src, ds) =>
+        val merged = (state.getOrElse(src, Nil) ++
+          ds.flatMap(d => shingles(d._2)).map(s => (md5hex(s), s)))
+          .distinct.sortBy(identity).take(k)
+        state += src -> merged
+        expected += ((src, merged.size.toLong, est(merged)))
+      }
+    }
+    try {
+      // s1 accumulates 11 distinct shingles across batches (> k: the
+      // estimator path AND the state bound are both exercised); s2's
+      // second batch is an exact replay (state unchanged, re-emitted)
+      feed(Seq(
+        "s1" -> "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9",
+        "s2" -> "a b c d e f"))
+      feed(Seq(
+        "s1" -> "w5 w6 w7 w8 w9 w10 w11 w12",
+        "s2" -> "a b c d e f"))
+      val got = spark.table("kmv_out").as[(String, Long, Double)].collect().toSeq
+      // update-mode memory sink keeps one row per (source, batch) emission
+      assert(got.sorted == expected.result().sorted, s"got=$got")
+      // the state bound IS the sketch: n_min never exceeds k even though
+      // s1 has seen more than k distinct shingles
+      assert(got.forall(_._2 <= k))
+      assert(got.count(_._1 == "s1") == 2 &&
+        got.filter(_._1 == "s1").map(_._2).max == k)
+    } finally q.stop()
+  }
 }

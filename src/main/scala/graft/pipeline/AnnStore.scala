@@ -1,0 +1,156 @@
+package graft.pipeline
+
+import graft.core.Lakehouse
+import graft.queries.{EmbeddingParity, SimilarityQueries}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The PERSISTED IVF serving index that makes similarity search O(probe)
+  * instead of O(corpus) per query batch: the codebook (centroids) and the
+  * cell-bucketed inverted file (assignments) are lake tables written once,
+  * so serving a query batch costs
+  *
+  *   |queries| × |centroids| broadcast assignments (pick nprobe cells)
+  *   + a bucket-PRUNED scan of only the probed cells' files
+  *   + exact re-ranking of the candidates in those cells
+  *
+  * and NEVER a corpus re-scan or re-assignment — [[DedupStore]]'s stored-
+  * index idiom applied to ANN. The reference keeps embeddings in plain
+  * object storage and brute-forces matches offline; this is the engine's
+  * forward-looking serving path at 100 TB: cells ~√N rows, the probe set a
+  * driver-bounded `IN` list over the bucket column, so the scan touches
+  * nprobe·|queries| buckets of data, not N.
+  *
+  * Layout:
+  *  - centroids (cid, c_qv, c_nq)        plain parquet — ~√N rows, always
+  *    broadcast.
+  *  - assign    (cid, vec_id, qv, nq)    [[Lakehouse.ctasBucketed]] on
+  *    `cid`, sorted by cid — the probe filter `cid IN (...)` prunes whole
+  *    buckets at planning time (SelectedBucketsCount in the scan).
+  *
+  * All math inherits the engine's exact-integer embedding convention
+  * (floor(x·1e6) quantization, native long_dot, one IEEE division at the
+  * end), so a stored-index probe returns bit-identically what the
+  * from-scratch `ann_ivf` query computes — which is how the stored path
+  * stays under the same DuckDB oracle.
+  */
+object AnnStore {
+
+  val Buckets = 32
+
+  private def ident(root: String): String =
+    root.replaceAll("[^a-zA-Z0-9]", "_").toLowerCase
+  def assignTable(root: String): String = "ann_assign_" + ident(root)
+  def centroidsPath(root: String): String = s"$root/ann/centroids"
+  def assignPath(root: String): String = s"$root/ann/assign"
+
+  /** Raw embeddings → the exact-integer form (vec_id, qv, nq). */
+  def quantized(embeddings: DataFrame): DataFrame = {
+    graft.functions.VectorExprs.register(embeddings.sparkSession)
+    embeddings.select(col("vec_id"), EmbeddingParity.quantExpr.as("qv"))
+      .withColumn("nq", expr("long_dot(qv, qv)"))
+  }
+
+  /** Exact cosine of (qv, nq) against centroid columns (c_qv, c_nq). */
+  private val centCos: Column =
+    expr("long_dot(qv, c_qv)").cast("double") /
+      (sqrt(col("nq").cast("double")) * sqrt(col("c_nq").cast("double")))
+
+  /** Nearest-cell ranking of `vecs` against a broadcast codebook; keeps
+    * ranks 1..nprobe. Deterministic: (cosine DESC, cid) total order. */
+  private def rankCells(vecs: DataFrame, cent: DataFrame, nprobe: Int): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("cid"))
+    vecs.crossJoin(broadcast(cent))
+      .withColumn("c_cos", centCos)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nprobe)
+  }
+
+  /** Idempotent store bootstrap: re-register an existing on-disk index on a
+    * fresh session, build from `embeddings` only when absent. The codebook
+    * is the engine's deterministic √N stride sample (the k-means-refined
+    * variant would slot in here unchanged — the store contract only needs
+    * SOME frozen codebook). Returns true when (re)built. */
+  def ensureBuilt(spark: SparkSession, root: String,
+      embeddings: => DataFrame): Boolean = {
+    // sortCols must match the CTAS layout: a post-restart re-registration
+    // without them would make the next appendBucketed (which sorts) fail
+    // on a bucketing-spec mismatch
+    val haveAssign = Lakehouse.ensureBucketedTable(spark, assignTable(root),
+      assignPath(root), "cid", Buckets, sortCols = Seq("cid"))
+    if (haveAssign && Lakehouse.tableExists(spark, centroidsPath(root)))
+      return false
+    val n = quantized(embeddings).persist()
+    try {
+      val stride = SimilarityQueries.centroidStride(n.count())
+      val cent = n.filter(pmod(col("vec_id"), lit(stride)) === 0)
+        .select(col("vec_id").as("cid"), col("qv").as("c_qv"), col("nq").as("c_nq"))
+      Lakehouse.ctas(cent, centroidsPath(root))
+      val assign = rankCells(n, centroids(spark, root), 1)
+        .select(col("cid"), col("vec_id"), col("qv"), col("nq"))
+      Lakehouse.ctasBucketed(assign, assignTable(root), "cid", Buckets,
+        sortCols = Seq("cid"), path = Some(assignPath(root)))
+      true
+    } finally n.unpersist()
+  }
+
+  def centroids(spark: SparkSession, root: String): DataFrame =
+    Lakehouse.read(spark, centroidsPath(root))
+
+  /** O(delta) vector admission: assign ONLY the new vectors against the
+    * FROZEN stored codebook (standard IVF practice — the codebook is a
+    * sample of the distribution, not of every row) and bucket-append them
+    * into the inverted file. The next probe sees them with no rebuild. */
+  def appendVectors(spark: SparkSession, root: String, newEmbeddings: DataFrame): Unit = {
+    // replay-safe (same contract as the dedup index): a re-delivered batch
+    // must not duplicate inverted-file rows — a duplicated vector would
+    // surface twice in every probe of its cell
+    val fresh = newEmbeddings.join(
+      spark.table(assignTable(root)).select("vec_id"), Seq("vec_id"), "left_anti")
+    val assign = rankCells(quantized(fresh), centroids(spark, root), 1)
+      .select(col("cid"), col("vec_id"), col("qv"), col("nq"))
+    Lakehouse.appendBucketed(assign, assignTable(root), "cid", Buckets,
+      sortCols = Seq("cid"))
+  }
+
+  /** Serve a query batch from the stored index: top-k neighbors per query
+    * by exact cosine, searching only the nprobe nearest cells per query.
+    *
+    * The probed cell ids are collected to the driver (bounded by
+    * |queries| × nprobe — this is a SERVING call, the query batch is small
+    * by contract) and pushed as an `IN` filter on the bucket column, so
+    * the inverted-file scan plans with bucket pruning: at 100 TB the scan
+    * reads the probed cells' files, never the corpus. */
+  def probe(spark: SparkSession, root: String, queries: DataFrame,
+      nprobe: Int = 4, k: Int = 5): DataFrame = {
+    val cent = centroids(spark, root)
+    val q = quantized(queries)
+      .select(col("vec_id"), col("qv"), col("nq"))
+    val probes = rankCells(q, cent, nprobe)
+      .select(col("vec_id").as("q_id"), col("cid"),
+        col("qv").as("q_qv"), col("nq").as("q_nq"))
+      .persist()
+    try {
+      val cellIds = probes.select("cid").distinct()
+        .collect().map(_.getLong(0)).sorted
+      val cells = spark.table(assignTable(root))
+        .filter(col("cid").isin(cellIds: _*))
+        .select(col("cid").as("a_cid"), col("vec_id").as("n_id"),
+          col("qv").as("c_qv2"), col("nq").as("c_nq2"))
+      val pairCos = expr("long_dot(q_qv, c_qv2)").cast("double") /
+        (sqrt(col("q_nq").cast("double")) * sqrt(col("c_nq2").cast("double")))
+      val wRank = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
+      val out = broadcast(probes)
+        .join(cells, col("a_cid") === col("cid") && col("n_id") =!= col("q_id"))
+        .withColumn("cos_sim", pairCos)
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= k)
+        .select("q_id", "rank", "n_id", "cos_sim")
+      // materialize before releasing the probe cache (same lifecycle
+      // contract as DedupStore.admit: no leaked per-call caches)
+      out.persist().count()
+      out
+    } finally probes.unpersist()
+  }
+}

@@ -22,7 +22,7 @@ object QueryDef {
   * quantize float vectors to BIGINT (floor(x*1e6)) so dot products and
   * norms are exact integer arithmetic — bit-identical across engines and
   * order-independent at any parallelism. */
-private[queries] object EmbeddingParity {
+private[graft] object EmbeddingParity {
   val quantSql: String =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
   val quantExpr: org.apache.spark.sql.Column =

@@ -89,7 +89,7 @@ object SimilarityQueries {
       |    i -> CASE WHEN embedding[1 + i * (64 // w)] >= 0
       |         THEN '1' ELSE '0' END), 'string_agg', '')""".stripMargin
 
-  val all: Seq[QueryDef] = Seq(
+  private val core: Seq[QueryDef] = Seq(
 
     // ----------------------------------------------------------------- ANN-1
     // Brute-force cosine top-k: the exact baseline every ANN variant is
@@ -505,4 +505,26 @@ object SimilarityQueries {
         .select("q_id", "rank", "n_id", "cos_sim")
     }
   )
+
+  // ------------------------------------------------------------------ ANN-6
+  // The PERSISTED serving-index form of ann_ivf: codebook + cell-bucketed
+  // inverted file as lake tables (pipeline/AnnStore), probe = broadcast
+  // cell pick + bucket-PRUNED scan of only the probed cells. Same oracle
+  // as ann_ivf — the index changes WHERE the compute happens, not the
+  // answer (all math exact-integral, so stored ≡ inline bit-for-bit).
+  // Store cache keyed on the source data version (file lengths + mtimes),
+  // like the dedup store: a regenerated embeddings.parquet must rebuild.
+  val all: Seq[QueryDef] = core :+
+    QueryDef("ann_ivfs", core.find(_.name == "ann_ivf").get.oracle.get) { (s, dir) =>
+      val src = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+      val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val fp = java.lang.Long.toHexString(
+        fs.listStatus(src).map(st => st.getLen + st.getModificationTime).sum)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_ann_store/v1/" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_") + s"_$fp"
+      val emb = Graft.table(s, dir, "embeddings")
+      graft.pipeline.AnnStore.ensureBuilt(s, root, emb)
+      graft.pipeline.AnnStore.probe(s, root,
+        emb.filter(col("vec_id") < 8), nprobe = 4, k = 5)
+    }
 }

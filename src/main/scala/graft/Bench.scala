@@ -9,6 +9,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // collect_set/collect_list/map-agg run as ObjectHashAggregate; the
+      // default sort-based fallback kicks in at 128 in-memory groups,
+      // turning every wide-key collect into a per-task sort of the whole
+      // input. Lift it to 128k groups (bounded: buffers are the collected
+      // sets themselves, which these queries bound by construction).
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")

@@ -15,7 +15,8 @@ object SparkEntry {
   private def registry: Seq[QueryDef] =
     RelationalQueries.all ++ WindowQueries.all ++ JoinShapeQueries.all ++
       PipelineQueries.all ++ TextQueries.all ++ DedupQueries.all ++
-      SimilarityQueries.all ++ MultimodalQueries.all ++ ExtraQueries.all
+      SimilarityQueries.all ++ MultimodalQueries.all ++ ExtraQueries.all ++
+      GraphQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -26,6 +26,12 @@ object Graft {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // collect_set/collect_list/map-agg run as ObjectHashAggregate; the
+      // default sort-based fallback kicks in at 128 in-memory groups,
+      // turning every wide-key collect into a per-task sort of the whole
+      // input. Lift it to 128k groups (bounded: buffers are the collected
+      // sets themselves, which these queries bound by construction).
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
       // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
       // reader rejects; read as long nanos and convert explicitly (the
       // DuckDB oracle truncates the same column to micros — parity is at

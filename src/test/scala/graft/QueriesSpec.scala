@@ -337,4 +337,31 @@ class QueriesSpec extends SparkSpec {
       .filter(col("count") =!= 64 && col("shard") =!= (total - 1) / 64).count()
     assert(partial == 0)
   }
+
+  test("g_pr: rank mass is conserved (minus integer-division dust) and degree-concentrated") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("g_pr")(spark, sf)
+    val nodes = out.count()
+    // every node in the graph survives all three supersteps with positive rank
+    val edges = spark.read.parquet(s"$sf/orders.parquet").as("o")
+      .join(spark.read.parquet(s"$sf/lineitem.parquet").as("l"),
+        col("l.l_orderkey") === col("o.o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val nNodes = edges.select(col("src").as("n"))
+      .union(edges.select(col("dst").as("n"))).distinct().count()
+    assert(nodes == nNodes)
+    assert(out.filter(col("pr") <= 0).count() == 0)
+    // total mass starts at nNodes*1e6; each superstep only loses the
+    // sub-unit remainders of the two integer divisions (bounded well
+    // under 1% on this graph) — a wrong join/degree would blow this up
+    val mass = out.agg(sum("pr")).head.getLong(0)
+    assert(mass <= nNodes * 1000000L)
+    assert(mass > (nNodes * 1000000L * 99) / 100)
+    // the 10 suppliers absorb rank from ~150 customers each: the mean
+    // supplier (odd node) rank must dominate the mean customer rank
+    val bySide = out.groupBy((col("node") % 2).as("side"))
+      .agg(avg(col("pr")).as("m")).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bySide(1L) > 10 * bySide(0L))
+  }
 }

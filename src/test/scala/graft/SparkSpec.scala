@@ -50,6 +50,12 @@ object SparkSpec {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // collect_set/collect_list/map-agg run as ObjectHashAggregate; the
+      // default sort-based fallback kicks in at 128 in-memory groups,
+      // turning every wide-key collect into a per-task sort of the whole
+      // input. Lift it to 128k groups (bounded: buffers are the collected
+      // sets themselves, which these queries bound by construction).
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
       // mirrors Graft.session: bucket-subset co-partitioned merge joins

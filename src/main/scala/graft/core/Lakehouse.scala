@@ -692,4 +692,121 @@ object Lakehouse {
     fs.delete(hp, true)
     fs.rename(new org.apache.hadoop.fs.Path(staging), hp)
   }
+
+  // ------------------------------------------------------------------ Z-ORDER
+  // Multi-dimensional clustering + zone-map pruning: the Delta/Iceberg
+  // OPTIMIZE ZORDER BY idiom on plain parquet. Hive partitioning and
+  // bucketing each cluster ONE key; a 2-d predicate (wallet x time,
+  // user x amount) over a table laid out by either still scans every
+  // file for the second dimension. Interleaving the bits of both
+  // dimensions into a Morton code and range-partitioning on it makes
+  // every output file a small RECTANGLE of the (x, y) domain, so each
+  // file's parquet footer min/max on BOTH columns is tight and a 2-d
+  // range predicate can skip most files from metadata alone.
+
+  /** Morton interleave of two 10-bit bin columns (codegen'd bit ops —
+    * no UDF): bit i of `bx` lands at position 2i, bit i of `by` at 2i+1. */
+  private def morton10(bx: Column, by: Column): Column =
+    (0 until 10).map { i =>
+      shiftleft(shiftright(bx, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(by, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** Clamped 1024-way equi-width bin of a numeric column over [lo, hi].
+    * Equi-width (not equi-depth) keeps the bin a pure per-row expression;
+    * heavy skew in a dimension degrades pruning for that dimension only,
+    * and the read path stays correct either way (pruning consults the
+    * files' OWN min/max, never the binning). */
+  private def bin1024(c: String, lo: Double, hi: Double): Column =
+    if (hi <= lo) lit(0L)
+    else least(lit(1023L), greatest(lit(0L),
+      floor((col(c).cast("double") - lit(lo)) / lit(hi - lo) * 1024).cast("long")))
+
+  /** Z-order clustered write: bin both dimensions, range-partition on the
+    * Morton code (one shuffle — the range partitioner's sample pass is the
+    * same cost structure as any sort-based write), sort within partitions
+    * so row groups inside a file are rectangles too, and write plain
+    * parquet. The domain bounds come from a 1-row aggregate probe (at
+    * cluster scale: the table catalog's stats, same numbers for free).
+    */
+  def writeZOrdered(df: DataFrame, path: String, cx: String, cy: String,
+      numFiles: Int = 32): Unit = {
+    val b = df.agg(
+      min(col(cx).cast("double")), max(col(cx).cast("double")),
+      min(col(cy).cast("double")), max(col(cy).cast("double"))).head()
+    val z = morton10(bin1024(cx, b.getDouble(0), b.getDouble(1)),
+      bin1024(cy, b.getDouble(2), b.getDouble(3)))
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).option("compression", "snappy").parquet(path)
+  }
+
+  /** Per-file [min, max] zone maps for two columns, read from parquet
+    * FOOTERS only — KB-scale metadata I/O, zero data pages. A file whose
+    * stats are absent for either column maps to (-inf, +inf): never
+    * pruned, so correctness cannot depend on stats quality. At 100 TB the
+    * same numbers come from the table format's manifests (Delta add-file
+    * stats, Iceberg datafile bounds) instead of per-file footer reads —
+    * this is the manifest-free expression of the same design.
+    */
+  def zoneMap(spark: SparkSession, path: String, cx: String, cy: String)
+      : Seq[(String, (Double, Double), (Double, Double))] = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = hp.getFileSystem(conf)
+    val files = fs.listStatus(hp).toSeq
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+    files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        import scala.jdk.CollectionConverters._
+        def range(name: String): (Double, Double) = {
+          val chunks = reader.getFooter.getBlocks.asScala
+            .flatMap(_.getColumns.asScala)
+            .filter(_.getPath.toDotString == name)
+          val stats = chunks.map(_.getStatistics)
+          def num(v: Any): Option[Double] = v match {
+            case n: java.lang.Number => Some(n.doubleValue())
+            case _ => None // non-numeric stats: refuse to prune this file
+          }
+          val mins = stats.map(s => Option(s).filter(_.hasNonNullValue)
+            .flatMap(x => num(x.genericGetMin(): Any)))
+          val maxs = stats.map(s => Option(s).filter(_.hasNonNullValue)
+            .flatMap(x => num(x.genericGetMax(): Any)))
+          if (stats.isEmpty || mins.exists(_.isEmpty) || maxs.exists(_.isEmpty))
+            (Double.NegativeInfinity, Double.PositiveInfinity)
+          else (mins.flatten.min, maxs.flatten.max)
+        }
+        (f.getPath.toString, range(cx), range(cy))
+      } finally reader.close()
+    }
+  }
+
+  /** Zone-map pruned 2-d range read: keep only the files whose
+    * [min, max] boxes intersect the predicate box, then apply the exact
+    * predicate as a residual filter (pruning is a file-list optimization,
+    * never a semantic one — the result is identical to a full scan with
+    * the same filter, which is what ZOrderSpec pins). */
+  def readZPruned(spark: SparkSession, path: String,
+      cx: String, xlo: Double, xhi: Double,
+      cy: String, ylo: Double, yhi: Double): DataFrame = {
+    val kept = zoneMap(spark, path, cx, cy).collect {
+      case (file, (xmin, xmax), (ymin, ymax))
+          if xmax >= xlo && xmin <= xhi && ymax >= ylo && ymin <= yhi => file
+    }
+    val residual = col(cx).cast("double").between(xlo, xhi) &&
+      col(cy).cast("double").between(ylo, yhi)
+    if (kept.isEmpty)
+      // preserve the schema without reading data: full listing, impossible filter
+      read(spark, path).filter(lit(false))
+    else {
+      // pin the schema from the directory so a subset read can't drop
+      // columns that happen to be all-null in the kept files
+      val schema = spark.read.parquet(path).schema
+      spark.read.schema(schema).parquet(kept: _*).filter(residual)
+    }
+  }
 }

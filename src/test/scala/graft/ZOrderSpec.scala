@@ -1,0 +1,80 @@
+package graft
+
+import graft.core.Lakehouse
+import org.apache.spark.sql.functions._
+
+/** Z-order clustering + zone-map pruning (Lakehouse.writeZOrdered /
+  * zoneMap / readZPruned): the 2-d data-skipping layout. Pins
+  *  (1) semantic transparency — a pruned read returns EXACTLY the full
+  *      scan + filter result,
+  *  (2) pruning power — a 2-d box predicate touches a small fraction of
+  *      z-ordered files, and
+  *  (3) the control — the same predicate over a hash-partitioned layout
+  *      prunes (almost) nothing, which is WHY the layout primitive exists.
+  */
+class ZOrderSpec extends SparkSpec {
+
+  private val sf001 = "/root/testdata/sf0.01"
+
+  private def events = spark.read.parquet(s"$sf001/events.parquet")
+    .select(col("event_id"), col("user_id"), col("value"))
+
+  test("z-ordered files are rectangles: pruned read ≡ full filter, few files touched") {
+    val zpath = tmpDir("zorder") + "/ev_z"
+    Lakehouse.writeZOrdered(events, zpath, "user_id", "value", numFiles = 16)
+
+    val zm = Lakehouse.zoneMap(spark, zpath, "user_id", "value")
+    assert(zm.size == 16)
+    // footer stats present for every file (both columns numeric, non-null)
+    assert(zm.forall { case (_, (a, b), (c, d)) =>
+      a.isFinite && b.isFinite && c.isFinite && d.isFinite })
+
+    // a ~1/4 x 1/4 box in the middle of both domains
+    val s = events.agg(
+      expr("percentile(user_id, 0.4)"), expr("percentile(user_id, 0.65)"),
+      expr("percentile(value, 0.4)"), expr("percentile(value, 0.65)")).head()
+    val (xlo, xhi, ylo, yhi) = (s.getDouble(0), s.getDouble(1), s.getDouble(2), s.getDouble(3))
+
+    val pruned = Lakehouse.readZPruned(spark, zpath, "user_id", xlo, xhi, "value", ylo, yhi)
+    val full = spark.read.parquet(zpath)
+      .filter(col("user_id").cast("double").between(xlo, xhi) &&
+        col("value").cast("double").between(ylo, yhi))
+    // identical results (same rows, same schema)
+    assert(pruned.columns.toSeq == full.columns.toSeq)
+    assert(pruned.count() == full.count())
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+    assert(full.count() > 0, "empty test box proves nothing")
+
+    // pruning power: the box intersects few of the 16 rectangles
+    val kept = zm.count { case (_, (xmin, xmax), (ymin, ymax)) =>
+      xmax >= xlo && xmin <= xhi && ymax >= ylo && ymin <= yhi }
+    assert(kept <= 8, s"z-order kept $kept of 16 files for a quarter-box")
+
+    // control: hash-partitioned layout — every file spans ~the full domain,
+    // so the same box prunes (almost) nothing
+    val ppath = tmpDir("zorder") + "/ev_plain"
+    events.repartition(16).write.parquet(ppath)
+    val pkept = Lakehouse.zoneMap(spark, ppath, "user_id", "value").count {
+      case (_, (xmin, xmax), (ymin, ymax)) =>
+        xmax >= xlo && xmin <= xhi && ymax >= ylo && ymin <= yhi }
+    assert(pkept >= 15, s"hash layout unexpectedly prunable ($pkept/16)")
+    assert(kept < pkept)
+  }
+
+  test("an empty box yields an empty frame with the table schema, reading no files") {
+    val zpath = tmpDir("zorder") + "/ev_z2"
+    Lakehouse.writeZOrdered(events.limit(1000), zpath, "user_id", "value", numFiles = 4)
+    val out = Lakehouse.readZPruned(spark, zpath,
+      "user_id", 1e12, 2e12, "value", 1e12, 2e12)
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("event_id", "user_id", "value"))
+  }
+
+  test("degenerate dimension (constant column) still writes and reads correctly") {
+    val zpath = tmpDir("zorder") + "/ev_z3"
+    Lakehouse.writeZOrdered(events.limit(1000).withColumn("k", lit(7L)),
+      zpath, "k", "value", numFiles = 4)
+    val all = Lakehouse.readZPruned(spark, zpath, "k", 0, 10, "value", -1e18, 1e18)
+    assert(all.count() == 1000)
+  }
+}

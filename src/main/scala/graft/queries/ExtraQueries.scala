@@ -183,6 +183,85 @@ object ExtraQueries {
         .select("lang", "source", "lvl", "n_docs", "total_chars")
     },
 
+    // -------------------------------------------------------------- SKETCH-4
+    // HyperLogLog cardinality sketch (m=64 registers): the industry-default
+    // distinct counter at 100 TB — per group the sketch is 64 six-bit
+    // registers regardless of cardinality, merges associatively
+    // (register-wise MAX) across partitions/days/tables, and the groupBy
+    // key space is (group × 64), so map-side partial aggregation bounds
+    // the shuffle the same way the Count-Min grid does. Estimator pipeline
+    // is hash-exact across engines: 48-bit md5 prefix → register = low 6
+    // bits, rho = leading-zero rank of the remaining 42 via length(bin(q))
+    // (exact integer in both engines), harmonic sum as SCALED BIGINTs
+    // (2^(43-Mj), empties contribute 2^43), one final IEEE division. The
+    // small-range linear-counting correction needs ln(m/V) — V has only 64
+    // possible values, so the logs ship as a 64-entry literal table
+    // (compile-time constants; no cross-engine libm drift). KMV (a11)
+    // estimates from the k smallest hashes; HLL gets the same job done in
+    // 48 bytes per group. σ ≈ 1.04/√64 = 13%; the spec pins ±50%.
+    QueryDef("a15_hll", {
+      val hex12 = (1 to 12).map { i =>
+        val c = 1L << (4 * (12 - i))
+        s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1) * $c"
+      }.mkString("(", " + ", ")")
+      val tab = (1 to 64).map(v => java.lang.Double.toString(math.log(64.0 / v)))
+        .mkString("[", ", ", "]")
+      s"""WITH h AS (
+         |  SELECT DISTINCT event_type, md5('hll:' || CAST(user_id AS VARCHAR)) AS h
+         |  FROM events),
+         |v AS (SELECT event_type, $hex12 AS hv FROM h),
+         |b AS (SELECT event_type, hv % 64 AS reg, hv // 64 AS q FROM v),
+         |m AS (SELECT event_type, reg,
+         |    MAX(CASE WHEN q = 0 THEN 43 ELSE 43 - length(bin(q)) END) AS mj
+         |  FROM b GROUP BY event_type, reg),
+         |n AS (SELECT event_type, COUNT(*) AS n_exact FROM h GROUP BY event_type),
+         |z AS (SELECT event_type,
+         |    CAST(SUM(CAST(1 AS BIGINT) << (43 - mj)) AS BIGINT)
+         |      + (64 - COUNT(*)) * (CAST(1 AS BIGINT) << 43) AS denom,
+         |    64 - COUNT(*) AS v_empty
+         |  FROM m GROUP BY event_type),
+         |e AS (SELECT event_type, v_empty,
+         |    CAST(0.709 AS DOUBLE) * 4096 * 8796093022208 / denom AS raw_est FROM z)
+         |SELECT e.event_type, n_exact, v_empty,
+         |  CASE WHEN v_empty > 0 AND raw_est <= 160.0
+         |       THEN 64 * CAST(list_extract($tab, v_empty) AS DOUBLE)
+         |       ELSE raw_est END AS est_distinct
+         |FROM e JOIN n ON e.event_type = n.event_type""".stripMargin
+    }) { (s, dir) =>
+      val hex12 = (1 to 12).map { i =>
+        val c = 1L << (4 * (12 - i))
+        s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1) * ${c}L"
+      }.mkString("(", " + ", ")")
+      // Scala-side double array via typedlit: the literal values never
+      // round-trip through SQL literal parsing (which would type them
+      // DECIMAL); the oracle recovers the identical doubles because each
+      // string is the shortest round-trip form of the double it came from.
+      val tab = typedlit((1 to 64).map(v => math.log(64.0 / v)).toArray)
+      // persist: the sketch branch AND the exact-count verification branch
+      // both read the distinct frame (production keeps only the sketch)
+      val h = events(s, dir)
+        .select(col("event_type"),
+          md5(concat(lit("hll:"), col("user_id").cast("string"))).as("h"))
+        .distinct().persist()
+      val n = h.groupBy("event_type").agg(count(lit(1)).as("n_exact"))
+      val m = h.select(col("event_type"), expr(hex12).as("hv"))
+        .select(col("event_type"), (col("hv") % 64).as("reg"), expr("hv div 64").as("q"))
+        .groupBy("event_type", "reg")
+        .agg(max(when(col("q") === 0, lit(43))
+          .otherwise(lit(43) - length(bin(col("q"))))).as("mj"))
+      val z = m.groupBy("event_type").agg(
+        (sum(expr("shiftleft(cast(1 as bigint), cast(43 - mj as int))"))
+          + (lit(64) - count(lit(1))) * lit(1L << 43)).as("denom"),
+        (lit(64) - count(lit(1))).cast("long").as("v_empty"))
+      z.withColumn("raw_est",
+          expr("cast(0.709 as double) * 4096 * 8796093022208 / denom"))
+        .join(n, "event_type")
+        .select(col("event_type"), col("n_exact"), col("v_empty"),
+          when(col("v_empty") > 0 && col("raw_est") <= 160.0,
+            lit(64) * element_at(tab, col("v_empty").cast("int")))
+            .otherwise(col("raw_est")).as("est_distinct"))
+    },
+
     // ---------------------------------------------------------------- TEXT-6
     // Character-class statistics: alpha/digit/space ratios and uppercase
     // share — the cheap quality signals a corpus filter computes per doc.

@@ -1,32 +1,33 @@
 package graft.queries
 
 import graft.core.Graft
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over the transaction graph — the risk-propagation
   * family the reference's wallet scoring sits on top of (a wallet's risk
   * is a function of who it transacts with; cf. reference
   * `ethereum_wallet_features.sql`'s counterparty aggregates, which are
-  * exactly the 1-hop special case). `g_pr` is the k-hop generalization:
-  * fixed-iteration PageRank over the customer↔supplier interaction graph.
+  * exactly the 1-hop special case). `g_pr` (fixed-iteration PageRank) is
+  * the k-hop generalization; `g_cc` (min-label propagation) is the
+  * "shared-operator cluster" primitive — the same machinery the dedup
+  * family uses for duplicate clusters, applied to transaction partners.
   *
-  * Scale design (the Pregel-on-DataFrames pattern):
-  *  - The graph is collapsed ONCE — the only |E|-row shuffle in the
+  * Scale design (the Pregel-on-DataFrames pattern, shared by both):
+  *  - The graph is collapsed ONCE — the only |E|-row shuffle in either
   *    query — into a persisted |V|-row adjacency-list relation
   *    (collect_set dedupes parallel edges, so size(nbrs) IS the
   *    out-degree).
-  *  - A superstep is: broadcast-join the |V|-row rank relation to the
-  *    adjacency, explode neighbors into contributions (codegen'd, no
-  *    |E|-row shuffle read), and aggregate by receiver (map-side
-  *    partial agg, then a |V|-group exchange). On a billion-node graph
-  *    the broadcasts flip to co-partitioned joins against a
-  *    src-bucketed adjacency table (Lakehouse.ctasBucketed) — the
-  *    GraphX/Pregel partitioning argument re-expressed in the
-  *    DataFrame layer.
-  *  - All arithmetic is BIGINT (rank mass scaled by 1e6, damping 0.85 as
-  *    (85*x) div 100): order-independent at any parallelism and exactly
-  *    reproducible in the DuckDB oracle — no float drift across engines.
+  *  - A superstep is: broadcast-join the |V|-row state relation to the
+  *    adjacency, explode neighbors into messages (codegen'd, no |E|-row
+  *    shuffle read), and aggregate by receiver (map-side partial agg,
+  *    then a |V|-group exchange). On a billion-node graph the broadcasts
+  *    flip to co-partitioned joins against a src-bucketed adjacency
+  *    table (Lakehouse.ctasBucketed) — the GraphX/Pregel partitioning
+  *    argument re-expressed in the DataFrame layer.
+  *  - All arithmetic is BIGINT (ranks: mass scaled by 1e6, damping 0.85
+  *    as (85*x) div 100; labels: integer MIN): order-independent at any
+  *    parallelism and exactly reproducible in the DuckDB oracle.
   *
   * Bidirectional edges (each undirected interaction contributes both
   * directions) keep the graph dangling-free: every node has out-degree
@@ -37,66 +38,98 @@ object GraphQueries {
 
   private val iterations = 3
 
+  /** Oracle-side shared graph CTEs: distinct bipartite interaction pairs
+    * (nodes disambiguated as 2*custkey / 2*suppkey+1), both directions,
+    * per-node out-degree. `edgePred` filters the interactions (g_cc runs
+    * on the high-volume subgraph so component structure is visible —
+    * the full graph is one giant component, as interaction graphs are). */
+  private def graphSql(edgePred: String): String =
+    s"""WITH e0 AS (
+      |  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+      |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |  WHERE $edgePred),
+      |ed AS (SELECT src, dst FROM e0
+      |       UNION ALL SELECT dst AS src, src AS dst FROM e0),
+      |deg AS (SELECT src, COUNT(*) AS outdeg FROM ed GROUP BY src),
+      |edges AS (SELECT ed.src, ed.dst, deg.outdeg
+      |          FROM ed JOIN deg ON deg.src = ed.src)""".stripMargin
+
   /** One PageRank superstep in SQL, parameterized by the previous rank
     * relation's name. Kept textually identical across the unrolled
     * iterations so Spark and DuckDB execute the same arithmetic. */
-  private def stepSql(prev: String): String =
+  private def prStepSql(prev: String): String =
     s"""SELECT e.dst AS node,
        |  150000 + (85 * CAST(SUM(r.pr // e.outdeg) AS BIGINT)) // 100 AS pr
        |FROM edges e JOIN $prev r ON e.src = r.node
        |GROUP BY e.dst""".stripMargin
 
+  /** One min-label superstep: a node adopts the smallest label among its
+    * neighborhood INCLUDING itself (`edges2` carries self-loops). */
+  private def ccStepSql(prev: String): String =
+    s"""SELECT e.dst AS node, MIN(r.cc) AS cc
+       |FROM edges2 e JOIN $prev r ON e.src = r.node
+       |GROUP BY e.dst""".stripMargin
+
+  /** Spark-side shared graph build: the persisted |V|-row adjacency-list
+    * relation (src, nbrs, outdeg). Caller MUST materialize everything it
+    * derives before unpersisting (see the Pregel comment below). */
+  private def adjacency(s: SparkSession, dir: String, edgePred: Column): DataFrame = {
+    val orders = Graft.table(s, dir, "orders")
+    val lineitem = Graft.table(s, dir, "lineitem")
+    // No .distinct() here: collect_set below dedupes parallel edges, so
+    // a pre-dedup would only add a second full |E|-row shuffle.
+    val e0 = orders
+      .join(lineitem.filter(edgePred), col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+    val ed = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+    // Pregel economics, DataFrame-shaped. The loop invariant GraphX
+    // caches is the edge relation; caching it row-per-edge costs O(|E|)
+    // storage and every superstep re-scans it. Instead the graph is
+    // collapsed ONCE (the only |E|-row shuffle in the query) into a
+    // |V|-row adjacency-list relation — collect_set dedupes parallel
+    // edges, so size(nbrs) IS the out-degree — and THAT is what
+    // persists: ~|V| rows (√-ish of |E| on interaction graphs), cheap
+    // to cache and to broadcast-join. Each superstep then regenerates
+    // the |E| messages with a codegen'd explode over in-memory
+    // adjacency rows — no |E|-row shuffle read, no per-iteration
+    // re-derivation (without the persist, superstep k's lineage embeds
+    // k-1 full copies of this build; AQE reuses the shuffle writes but
+    // re-runs every post-shuffle aggregation — measured 2x slower).
+    ed.groupBy("src")
+      .agg(collect_set(col("dst")).as("nbrs"))
+      .select(col("src"), col("nbrs"), size(col("nbrs")).cast("long").as("outdeg"))
+      .persist()
+  }
+
+  /** Eager materialization splits the Pregel phases: the supersteps run
+    * inside the query function, while the |E|-scale adjacency cache is
+    * alive; what escapes is the |V|-row cached RESULT (adj is released
+    * before returning, closing the cached-block leak the same way
+    * DedupStore.admit does; the small result cache is reclaimed by the
+    * ContextCleaner when the DataFrame is dropped). localCheckpoint
+    * would cut lineage more aggressively but measures ~0.9 s slower
+    * here: its materialization job re-executes outside AQE's coalesced
+    * shuffle reads. */
+  private def materialize(result: DataFrame, adj: DataFrame): DataFrame = {
+    val out = result.persist()
+    out.count()
+    adj.unpersist()
+    out
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // --------------------------------------------------------------- GRAPH-1
     // Fixed-iteration integer PageRank over the bipartite
-    // customer↔supplier graph (nodes disambiguated as 2*custkey /
-    // 2*suppkey+1). 3 supersteps, damping 0.85, mass scaled to 1e6.
+    // customer↔supplier graph. 3 supersteps, damping 0.85, mass 1e6.
     QueryDef("g_pr",
-      s"""WITH e0 AS (
-         |  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
-         |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
-         |ed AS (SELECT src, dst FROM e0
-         |       UNION ALL SELECT dst AS src, src AS dst FROM e0),
-         |deg AS (SELECT src, COUNT(*) AS outdeg FROM ed GROUP BY src),
-         |edges AS (SELECT ed.src, ed.dst, deg.outdeg
-         |          FROM ed JOIN deg ON deg.src = ed.src),
+      s"""${graphSql("1 = 1")},
          |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM deg),
-         |r1 AS (${stepSql("r0")}),
-         |r2 AS (${stepSql("r1")}),
-         |r3 AS (${stepSql("r2")})
+         |r1 AS (${prStepSql("r0")}),
+         |r2 AS (${prStepSql("r1")}),
+         |r3 AS (${prStepSql("r2")})
          |SELECT node, pr FROM r3""".stripMargin) { (s, dir) =>
-      val orders = Graft.table(s, dir, "orders")
-      val lineitem = Graft.table(s, dir, "lineitem")
-      // No .distinct() here: collect_set below dedupes parallel edges, so
-      // a pre-dedup would only add a second full |E|-row shuffle.
-      val e0 = orders
-        .join(lineitem, col("l_orderkey") === col("o_orderkey"))
-        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-      val ed = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
-      // Pregel economics, DataFrame-shaped. The loop invariant GraphX
-      // caches is the edge relation; caching it row-per-edge costs O(|E|)
-      // storage and every superstep re-scans it. Instead the graph is
-      // collapsed ONCE (the only |E|-row shuffle in the query) into a
-      // |V|-row adjacency-list relation — collect_set dedupes parallel
-      // edges, so size(nbrs) IS the out-degree — and THAT is what
-      // persists: ~|V| rows (√-ish of |E| on interaction graphs), cheap
-      // to cache and to broadcast-join. Each superstep then regenerates
-      // the |E| contributions with a codegen'd explode over in-memory
-      // adjacency rows — no |E|-row shuffle read, no per-iteration
-      // re-derivation (without the persist, superstep k's lineage embeds
-      // k-1 full copies of this build; AQE reuses the shuffle writes but
-      // re-runs every post-shuffle aggregation — measured 2x slower).
-      // The |V|-row result is eagerly materialized (localCheckpoint cuts
-      // the lineage so nothing downstream re-triggers the supersteps)
-      // BEFORE the unpersist, closing the cached-block leak the same way
-      // DedupStore.admit does. On a billion-node graph the broadcasts
-      // flip to co-partitioned joins against a src-bucketed adjacency
-      // table (Lakehouse.ctasBucketed) — the cluster deployment path.
-      val adj = ed.groupBy("src")
-        .agg(collect_set(col("dst")).as("nbrs"))
-        .select(col("src"), col("nbrs"), size(col("nbrs")).cast("long").as("outdeg"))
-        .persist()
+      val adj = adjacency(s, dir, lit(true))
       var ranks = adj.select(col("src").as("node"), lit(1000000L).as("pr"))
       for (_ <- 1 to iterations) {
         ranks = adj
@@ -107,19 +140,40 @@ object GraphQueries {
           .select(col("dst").as("node"),
             (lit(150000L) + expr("(85 * contrib) div 100")).as("pr"))
       }
-      // Eager materialization splits the Pregel phases: the supersteps run
-      // HERE, while the |E|-scale adjacency cache is alive; what escapes
-      // the function is the |V|-row cached RESULT (adj is released before
-      // returning, closing the cached-block leak the same way
-      // DedupStore.admit does; the small result cache is reclaimed by the
-      // ContextCleaner when the DataFrame is dropped). localCheckpoint
-      // would cut lineage more aggressively but measures ~0.9 s slower
-      // here: its materialization job re-executes outside AQE's coalesced
-      // shuffle reads.
-      val out = ranks.persist()
-      out.count()
-      adj.unpersist()
-      out
+      materialize(ranks, adj)
+    },
+
+    // --------------------------------------------------------------- GRAPH-2
+    // Connected components by min-label propagation: after k supersteps
+    // every node carries the smallest node id within k hops — the
+    // transaction-cluster primitive (the dedup family's dup-cluster
+    // labeling, applied to counterparty graphs). Fixed k=3 keeps the
+    // result exactly oracle-reproducible whether or not the graph has
+    // converged; production iterates to a fixpoint (or pointer-jumps,
+    // d_dup_clusters) — each extra hop is the same superstep shape.
+    QueryDef("g_cc",
+      s"""${graphSql("l.l_quantity >= 50")},
+         |edges2 AS (SELECT src, dst FROM ed
+         |           UNION ALL SELECT src, src AS dst FROM deg),
+         |c0 AS (SELECT src AS node, src AS cc FROM deg),
+         |c1 AS (${ccStepSql("c0")}),
+         |c2 AS (${ccStepSql("c1")}),
+         |c3 AS (${ccStepSql("c2")})
+         |SELECT node, cc FROM c3""".stripMargin) { (s, dir) =>
+      val adj = adjacency(s, dir, col("l_quantity") >= 50)
+      // self-loop via array_union so MIN(label over nbrs) includes own
+      val adjSelf = adj.select(col("src"),
+        array_union(col("nbrs"), array(col("src"))).as("nbrs"))
+      var labels = adj.select(col("src").as("node"), col("src").as("cc"))
+      for (_ <- 1 to iterations) {
+        labels = adjSelf
+          .join(broadcast(labels), col("src") === col("node"))
+          .select(explode(col("nbrs")).as("dst"), col("cc"))
+          .groupBy(col("dst"))
+          .agg(min(col("cc")).as("cc"))
+          .select(col("dst").as("node"), col("cc"))
+      }
+      materialize(labels, adj)
     }
   )
 }

@@ -338,6 +338,30 @@ class QueriesSpec extends SparkSpec {
     assert(partial == 0)
   }
 
+  test("a15_hll: estimate within ±50% of truth; registers bounded") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("a15_hll")(spark, sf)
+    // m=64 raw σ ≈ 13%, linear-counting regime comparable — 50% is a
+    // conservative multi-σ bound, deterministic on this fixture
+    val bad = out.filter(
+      abs(col("est_distinct") - col("n_exact")) > col("n_exact") * 0.5).count()
+    assert(bad == 0)
+    assert(out.filter(col("v_empty") < 0 || col("v_empty") > 64).count() == 0)
+    assert(out.filter(col("est_distinct") <= 0).count() == 0)
+  }
+
+  test("g_cc: labels only decrease, components are edge-consistent after convergence") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("g_cc")(spark, sf)
+    // a label is the min id over the ≤3-hop neighborhood: never above own id
+    assert(out.filter(col("cc") > col("node")).count() == 0)
+    // the global min node id labels itself
+    val mn = out.agg(min("node")).head.getLong(0)
+    assert(out.filter(col("node") === mn).head.getAs[Long]("cc") == mn)
+    // structure survives the sparsified fixture: more than one component
+    assert(out.select("cc").distinct().count() > 1)
+  }
+
   test("g_pr: rank mass is conserved (minus integer-division dust) and degree-concentrated") {
     import org.apache.spark.sql.functions._
     val out = SparkEntry.queries("g_pr")(spark, sf)

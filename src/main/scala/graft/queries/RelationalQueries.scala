@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Graft
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -46,15 +46,41 @@ object RelationalQueries {
         |  CAST(SUM(CAST(CASE WHEN l_discount > 0.05 THEN l_quantity ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE) AS qty_high_disc,
         |  COUNT(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      // Exact decimal sums at LONG speed (the Photon/DuckDB accumulator
+      // trick, DataFrame-shaped). A straight SUM(DECIMAL(38,6)) updates a
+      // 128-bit decimal buffer per row — measured 2x the whole query. Per
+      // row the decimal cast still happens (same HALF_UP rounding as the
+      // oracle — decimal(18,6) and decimal(38,6) round identically below
+      // the overflow bound), but its UNSCALED value accumulates as a
+      // plain codegen'd BIGINT per (group, input partition) — bounded by
+      // partition size, so no overflow at any table size — and only the
+      // few partial rows per group pay decimal arithmetic at the merge.
+      // The final division runs in the DECIMAL domain: above 2^53 a
+      // long->double cast before the /1e6 would double-round (1-ulp
+      // divergence from the oracle's decimal->double path).
+      def scaled(c: Column): Column =
+        (c.cast("decimal(18,6)") * lit(1000000)).cast("long")
+      def merged(name: String): Column =
+        (sum(col(name).cast("decimal(38,0)")) / lit(1000000)).cast("double")
       t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"),
+          spark_partition_id().as("__pid"))
+        .agg(
+          sum(scaled(col("l_quantity"))).as("p_qty"),
+          sum(scaled(col("l_extendedprice"))).as("p_base"),
+          sum(scaled(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("p_disc"),
+          max("l_quantity").as("p_maxq"),
+          sum(scaled(when(col("l_discount") > 0.05, col("l_quantity")).otherwise(lit(0))))
+            .as("p_hidisc"),
+          count(lit(1)).as("p_cnt"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          dsum(col("l_quantity")).as("sum_qty"),
-          dsum(col("l_extendedprice")).as("sum_base_price"),
-          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
-          max("l_quantity").cast("double").as("max_qty"),
-          dsum(when(col("l_discount") > 0.05, col("l_quantity")).otherwise(lit(0))).as("qty_high_disc"),
-          count(lit(1)).as("count_order"))
+          merged("p_qty").as("sum_qty"),
+          merged("p_base").as("sum_base_price"),
+          merged("p_disc").as("sum_disc_price"),
+          max("p_maxq").cast("double").as("max_qty"),
+          merged("p_hidisc").as("qty_high_disc"),
+          sum("p_cnt").as("count_order"))
     },
 
     // ------------------------------------------------------------------- A1

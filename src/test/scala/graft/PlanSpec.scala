@@ -31,10 +31,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThan(ts,"), p)
   }
 
-  test("q1_agg uses partial (map-side) aggregation around one exchange") {
+  test("q1_agg: two-stage decimal accumulation, all exchanges carry only partials") {
+    // The long-accumulator pattern: stage 1 groups by (flags, partition id)
+    // — its partial aggregation collapses every input partition to
+    // #groups rows BEFORE the exchange, so both exchanges move a few dozen
+    // rows regardless of table size; decimal arithmetic only touches the
+    // merged partials. 4 HashAggregates (partial+final per stage), 2
+    // hash exchanges, zero full-row shuffles.
     val p = planString("q1_agg")
-    assert(countOccurrences(p, "HashAggregate") == 2, p)
-    assert(countOccurrences(p, "Exchange hashpartitioning") == 1, p)
+    assert(countOccurrences(p, "HashAggregate") == 4, p)
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 2, p)
+    // the row-scale work (the per-row decimal casts feeding the long
+    // accumulators) runs before the FIRST partial aggregate: both
+    // exchanges carry only already-aggregated long partials
+    assert(p.indexOf("partial_sum") > p.indexOf("Exchange hashpartitioning"), p)
   }
 
   test("ann_bruteforce_topk broadcasts the probe side") {

@@ -253,14 +253,24 @@ object RelationalQueries {
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
         |GROUP BY n.n_name""".stripMargin) { (s, dir) =>
+      // same long-accumulator pattern as q1_agg: the revenue sum over the
+      // join output accumulates as per-(nation, partition) BIGINTs —
+      // bounded by partition size at any scale — and the few partials per
+      // nation merge in decimal
       t(s, dir, "lineitem")
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
-        .groupBy(col("n_name").as("nation"))
+        .groupBy(col("n_name").as("nation"), spark_partition_id().as("__pid"))
         .agg(
-          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
-          count(lit(1)).as("n_items"))
+          sum(((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,6)") * lit(1000000)).cast("long")).as("p_rev"),
+          count(lit(1)).as("p_cnt"))
+        .groupBy("nation")
+        .agg(
+          (sum(col("p_rev").cast("decimal(38,0)")) / lit(1000000)).cast("double")
+            .as("revenue"),
+          sum("p_cnt").as("n_items"))
     },
 
     // ------------------------------------------------------------------- J7

@@ -785,6 +785,31 @@ object Lakehouse {
     }
   }
 
+  /** S11, Z-order flavor: OPTIMIZE ZORDER BY — rewrite a table clustered
+    * on the Morton code of two dimensions, file count sized from the
+    * actual on-disk bytes like [[compact]]. Run on the weekly maintenance
+    * cadence for tables whose read pattern is 2-d range predicates (the
+    * wallet x time / user x amount shape); afterwards [[readZPruned]]
+    * box reads skip most files from footer metadata alone. Same staged
+    * swap and same bucketed-layout refusal as [[compact]] (z-ordering
+    * writes plain file names, which would orphan a bucketed catalog
+    * entry). */
+  def compactZOrdered(spark: SparkSession, path: String, cx: String, cy: String,
+      targetFileMB: Int = 256): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp)) return
+    require(!looksBucketed(fs, hp),
+      s"$path holds a bucketed layout - z-order compaction would drop the " +
+        "bucket-id file names the catalog relies on")
+    val bytes = fs.getContentSummary(hp).getLength
+    val nFiles = math.max(1, (bytes / (targetFileMB.toLong << 20)).toInt)
+    val staging = path.stripSuffix("/") + ".compact"
+    writeZOrdered(read(spark, path), staging, cx, cy, nFiles)
+    fs.delete(hp, true)
+    fs.rename(new org.apache.hadoop.fs.Path(staging), hp)
+  }
+
   /** Zone-map pruned 2-d range read: keep only the files whose
     * [min, max] boxes intersect the predicate box, then apply the exact
     * predicate as a residual filter (pruning is a file-list optimization,

@@ -16,8 +16,10 @@ class PlanSpec extends SparkSpec {
   test("j4_join_rollup broadcasts all three dimension tables") {
     val p = planString("j4_join_rollup")
     assert(countOccurrences(p, "BroadcastHashJoin") == 3, p)
-    // the fact table is never broadcast: exactly one shuffle (the final agg)
-    assert(countOccurrences(p, "Exchange hashpartitioning") == 1, p)
+    // the fact table is never broadcast: two hash exchanges (the
+    // long-accumulator two-stage agg), both carrying only per-(nation,
+    // partition) partial rows — never fact-table rows
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 2, p)
   }
 
   test("flagship pipeline runs all windows + rollup on a single exchange") {

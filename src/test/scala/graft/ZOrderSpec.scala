@@ -19,6 +19,11 @@ class ZOrderSpec extends SparkSpec {
   private def events = spark.read.parquet(s"$sf001/events.parquet")
     .select(col("event_id"), col("user_id"), col("value"))
 
+  // event_id and user_id are near-uniform; `value` is heavily right-skewed
+  // (p30 = 18 of max 490), which equi-width binning tolerates only with
+  // enough files (first test) — the coarse 3-file compaction test uses the
+  // uniform pair so the rectangles stay tight at any file count
+
   test("z-ordered files are rectangles: pruned read ≡ full filter, few files touched") {
     val zpath = tmpDir("zorder") + "/ev_z"
     Lakehouse.writeZOrdered(events, zpath, "user_id", "value", numFiles = 16)
@@ -68,6 +73,39 @@ class ZOrderSpec extends SparkSpec {
       "user_id", 1e12, 2e12, "value", 1e12, 2e12)
     assert(out.count() == 0)
     assert(out.columns.toSeq == Seq("event_id", "user_id", "value"))
+  }
+
+  test("compactZOrdered: in-place OPTIMIZE ZORDER preserves rows and gains pruning power") {
+    val path = tmpDir("zorder") + "/ev_opt"
+    // start from a hash-partitioned (unprunable) layout, inflated so the
+    // byte-sized rewrite (targetFileMB floor = 1) yields multiple files
+    val big = Seq.fill(64)(events).reduce(_ unionAll _)
+    big.repartition(8).write.parquet(path)
+    val before = spark.read.parquet(path).count()
+    Lakehouse.compactZOrdered(spark, path, "user_id", "event_id", targetFileMB = 1)
+    val after = spark.read.parquet(path)
+    assert(after.count() == before)
+    val zm = Lakehouse.zoneMap(spark, path, "user_id", "event_id")
+    assert(zm.size > 1, "targetFileMB=1 must yield multiple files on this fixture")
+    // the rewrite produced rectangles: a low-low CORNER box is a Morton
+    // PREFIX range (contiguous in z-order even at this coarse file count,
+    // unlike a center box which straddles quadrant boundaries), so it
+    // must exclude at least one file; a fresh hash layout essentially
+    // never could
+    val s = events.agg(
+      expr("percentile(user_id, 0.05)"), expr("percentile(user_id, 0.3)"),
+      expr("percentile(event_id, 0.05)"), expr("percentile(event_id, 0.3)")).head()
+    val kept = zm.count { case (_, (xmin, xmax), (ymin, ymax)) =>
+      xmax >= s.getDouble(0) && xmin <= s.getDouble(1) &&
+        ymax >= s.getDouble(2) && ymin <= s.getDouble(3) }
+    assert(kept < zm.size, s"no pruning after z-order compaction ($kept/${zm.size})")
+    // refuses a bucketed layout (same contract as plain compact)
+    val bt = "zopt_bucketed_t"
+    val bpath = tmpDir("zorder") + "/ev_bucketed"
+    Lakehouse.ctasBucketed(events.limit(100), bt, "user_id", 4, path = Some(bpath))
+    intercept[IllegalArgumentException] {
+      Lakehouse.compactZOrdered(spark, bpath, "user_id", "value")
+    }
   }
 
   test("degenerate dimension (constant column) still writes and reads correctly") {

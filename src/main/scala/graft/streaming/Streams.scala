@@ -317,6 +317,53 @@ object Streams {
         })
   }
 
+  /** HLL register state / output for [[hllDistinct]]. Public: the state
+    * encoder's generated code needs constructor access. */
+  case class HllState(regs: Array[Int])
+  case class HllOut(event_type: String, v_empty: Long, est_distinct: Double)
+
+  /** Streaming HyperLogLog — the streaming twin of batch `a15_hll`:
+    * per-key running distinct estimate carried as m=64 six-bit registers.
+    *
+    * Where the KMV twin's state is k ROWS, the HLL twin's is a FIXED
+    * 64-int array per key forever — register-wise MAX is the merge, so
+    * state size is independent of both cardinality and batch count (the
+    * strongest possible bound; a running COUNT(DISTINCT) grows without
+    * bound). The estimator pipeline is byte-identical to the batch form:
+    * 48-bit md5 prefix, register = low 6 bits, rho from the remaining 42,
+    * scaled-BIGINT harmonic sum, the same ln(m/V) linear-counting
+    * correction — so the stream's running answer over the rows seen so
+    * far equals the batch query over those rows bit-for-bit
+    * (StreamingSpec proves it against an independent oracle). */
+  def hllDistinct(events: DataFrame): Dataset[HllOut] = {
+    import events.sparkSession.implicits._
+    val hashed = events
+      .select(col("event_type"),
+        md5(concat(lit("hll:"), col("user_id").cast("string"))).as("h"))
+      .as[(String, String)]
+    hashed
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[(String, String)],
+            state: GroupState[HllState]) => {
+          val regs = state.getOption.map(_.regs.clone()).getOrElse(new Array[Int](64))
+          rows.foreach { case (_, hex) =>
+            val hv = hex.take(12).foldLeft(0L)((a, c) => a * 16 + Character.digit(c, 16))
+            val reg = (hv % 64).toInt
+            val q = hv / 64
+            val rho = if (q == 0) 43 else 43 - java.lang.Long.toBinaryString(q).length
+            if (rho > regs(reg)) regs(reg) = rho
+          }
+          state.update(HllState(regs))
+          val vEmpty = regs.count(_ == 0).toLong
+          val denom = regs.map(mj => 1L << (43 - mj)).sum
+          val raw = 0.709 * 4096 * 8796093022208L / denom
+          val est =
+            if (vEmpty > 0 && raw <= 160.0) 64 * math.log(64.0 / vEmpty) else raw
+          HllOut(key, vEmpty, est)
+        })
+  }
+
   /** Sink: MERGE each micro-batch into a lake table by key — streaming and
     * batch share [[Lakehouse.mergeUpsert]] so the exactly-once-per-key
     * upsert semantics are identical in both modes. */

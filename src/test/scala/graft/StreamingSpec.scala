@@ -358,4 +358,53 @@ class StreamingSpec extends SparkSpec {
         got.filter(_._1 == "s1").map(_._2).max == k)
     } finally q.stop()
   }
+
+  test("streaming HLL sketch: fixed 64-register state, emissions ≡ independent recompute") {
+    implicit val sqlCtx = spark.sqlContext
+    val ev = MemoryStream[(String, Long)]
+    val q = Streams.hllDistinct(ev.toDF().toDF("event_type", "user_id"))
+      .writeStream.format("memory").queryName("hll_out").outputMode("update").start()
+
+    // independent oracle: plain-Scala md5 + register/rho + estimator
+    def md5hex(x: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def addTo(regs: Array[Int], uid: Long): Unit = {
+      val hv = md5hex(s"hll:$uid").take(12)
+        .foldLeft(0L)((a, c) => a * 16 + Character.digit(c, 16))
+      val reg = (hv % 64).toInt; val qq = hv / 64
+      val rho = if (qq == 0) 43 else 43 - java.lang.Long.toBinaryString(qq).length
+      if (rho > regs(reg)) regs(reg) = rho
+    }
+    def estOf(regs: Array[Int]): (Long, Double) = {
+      val v = regs.count(_ == 0).toLong
+      val denom = regs.map(mj => 1L << (43 - mj)).sum
+      val raw = 0.709 * 4096 * 8796093022208L / denom
+      (v, if (v > 0 && raw <= 160.0) 64 * math.log(64.0 / v) else raw)
+    }
+    var state = Map.empty[String, Array[Int]]
+    val expected = Seq.newBuilder[(String, Long, Double)]
+    def feed(batch: Seq[(String, Long)]): Unit = {
+      ev.addData(batch: _*); q.processAllAvailable()
+      batch.groupBy(_._1).foreach { case (k, rows) =>
+        val regs = state.getOrElse(k, new Array[Int](64))
+        rows.foreach(r => addTo(regs, r._2))
+        state += k -> regs
+        val (v, e) = estOf(regs)
+        expected += ((k, v, e))
+      }
+    }
+    try {
+      // t1 crosses the linear-counting regime over two batches; t2's
+      // second batch replays the same ids (registers unchanged, re-emitted)
+      feed(Seq("t1" -> 1L, "t1" -> 2L, "t1" -> 3L, "t2" -> 10L, "t2" -> 11L))
+      feed((100L to 400L).map(i => "t1" -> i) ++ Seq("t2" -> 10L, "t2" -> 11L))
+      val got = spark.table("hll_out")
+        .as[(String, Long, Double)].collect().toSeq
+      assert(got.sorted == expected.result().sorted, s"got=$got")
+      // accuracy on the big key: 301+3 distinct ids, HLL m=64 → well
+      // inside +-50%
+      val big = got.filter(g => g._1 == "t1").map(_._3).max
+      assert(big > 150 && big < 600, s"t1 estimate $big")
+    } finally q.stop()
+  }
 }

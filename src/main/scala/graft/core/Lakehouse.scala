@@ -712,34 +712,48 @@ object Lakehouse {
         .bitwiseOR(shiftleft(shiftright(by, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }.reduce(_ bitwiseOR _)
 
-  /** Clamped 1024-way equi-width bin of a numeric column over [lo, hi].
-    * Equi-width (not equi-depth) keeps the bin a pure per-row expression;
-    * heavy skew in a dimension degrades pruning for that dimension only,
-    * and the read path stays correct either way (pruning consults the
-    * files' OWN min/max, never the binning). */
-  private def bin1024(c: String, lo: Double, hi: Double): Column =
-    if (hi <= lo) lit(0L)
-    else least(lit(1023L), greatest(lit(0L),
-      floor((col(c).cast("double") - lit(lo)) / lit(hi - lo) * 1024).cast("long")))
+  /** Equi-DEPTH 1024-way bin of a numeric column: rank of x among the
+    * 1023 approxQuantile cut points, computed as a codegen'd fold over a
+    * literal array (O(1024) comparisons per row — noise next to the
+    * write's I/O; no UDF, no join). Equi-depth is what makes the Morton
+    * rectangles carry equal ROW counts per bin, so a heavily skewed
+    * dimension (amounts, balances — the common case) still yields tight
+    * per-file min/max instead of one outlier blowing every box to the
+    * full domain. An equi-width fallback covers the no-spread case, and
+    * the read path is correct under ANY binning (pruning consults the
+    * files' OWN footer stats, never the binning). */
+  private def binEquiDepth(c: String, cuts: Array[Double]): Column =
+    if (cuts.isEmpty) lit(0L)
+    else {
+      val arr = typedlit(cuts)
+      least(lit(1023L),
+        aggregate(arr, lit(0L), (acc, b) =>
+          acc + when(col(c).cast("double") >= b, lit(1L)).otherwise(lit(0L))))
+    }
 
-  /** Z-order clustered write: bin both dimensions, range-partition on the
-    * Morton code (one shuffle — the range partitioner's sample pass is the
-    * same cost structure as any sort-based write), sort within partitions
-    * so row groups inside a file are rectangles too, and write plain
-    * parquet. The domain bounds come from a 1-row aggregate probe (at
-    * cluster scale: the table catalog's stats, same numbers for free).
+  /** Z-order clustered write: equi-depth-bin both dimensions (cut points
+    * from ONE approxQuantile sketch pass over both columns — the same
+    * machinery a cluster-scale OPTIMIZE job would use; duplicate
+    * quantiles collapse to one cut, costing bin resolution only where
+    * the data has no spread), range-partition on the Morton code (one
+    * shuffle — the range partitioner's sample pass is the same cost
+    * structure as any sort-based write), sort within partitions so row
+    * groups inside a file are rectangles too, and write plain parquet.
     */
   def writeZOrdered(df: DataFrame, path: String, cx: String, cy: String,
       numFiles: Int = 32): Unit = {
-    val b = df.agg(
-      min(col(cx).cast("double")), max(col(cx).cast("double")),
-      min(col(cy).cast("double")), max(col(cy).cast("double"))).head()
-    val z = morton10(bin1024(cx, b.getDouble(0), b.getDouble(1)),
-      bin1024(cy, b.getDouble(2), b.getDouble(3)))
-    df.withColumn("__z", z)
+    val prepped = df
+      .withColumn(s"__zd_$cx", col(cx).cast("double"))
+      .withColumn(s"__zd_$cy", col(cy).cast("double"))
+    val probs = (1 until 1024).map(_ / 1024.0).toArray
+    val cuts = prepped.stat.approxQuantile(
+      Array(s"__zd_$cx", s"__zd_$cy"), probs, 0.001)
+    val z = morton10(binEquiDepth(s"__zd_$cx", cuts(0).distinct.sorted),
+      binEquiDepth(s"__zd_$cy", cuts(1).distinct.sorted))
+    prepped.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
-      .drop("__z")
+      .drop("__z").drop(s"__zd_$cx").drop(s"__zd_$cy")
       .write.mode(SaveMode.Overwrite).option("compression", "snappy").parquet(path)
   }
 

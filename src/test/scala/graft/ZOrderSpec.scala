@@ -20,9 +20,10 @@ class ZOrderSpec extends SparkSpec {
     .select(col("event_id"), col("user_id"), col("value"))
 
   // event_id and user_id are near-uniform; `value` is heavily right-skewed
-  // (p30 = 18 of max 490), which equi-width binning tolerates only with
-  // enough files (first test) — the coarse 3-file compaction test uses the
-  // uniform pair so the rectangles stay tight at any file count
+  // (p30 = 18 of max 490) — exactly the shape equi-depth binning exists
+  // for: the compaction test runs on the skewed pair at a COARSE file
+  // count, where equi-width binning measurably failed (outliers blew
+  // every file's box to the full domain)
 
   test("z-ordered files are rectangles: pruned read ≡ full filter, few files touched") {
     val zpath = tmpDir("zorder") + "/ev_z"
@@ -82,10 +83,10 @@ class ZOrderSpec extends SparkSpec {
     val big = Seq.fill(64)(events).reduce(_ unionAll _)
     big.repartition(8).write.parquet(path)
     val before = spark.read.parquet(path).count()
-    Lakehouse.compactZOrdered(spark, path, "user_id", "event_id", targetFileMB = 1)
+    Lakehouse.compactZOrdered(spark, path, "user_id", "value", targetFileMB = 1)
     val after = spark.read.parquet(path)
     assert(after.count() == before)
-    val zm = Lakehouse.zoneMap(spark, path, "user_id", "event_id")
+    val zm = Lakehouse.zoneMap(spark, path, "user_id", "value")
     assert(zm.size > 1, "targetFileMB=1 must yield multiple files on this fixture")
     // the rewrite produced rectangles: a low-low CORNER box is a Morton
     // PREFIX range (contiguous in z-order even at this coarse file count,
@@ -94,7 +95,7 @@ class ZOrderSpec extends SparkSpec {
     // never could
     val s = events.agg(
       expr("percentile(user_id, 0.05)"), expr("percentile(user_id, 0.3)"),
-      expr("percentile(event_id, 0.05)"), expr("percentile(event_id, 0.3)")).head()
+      expr("percentile(value, 0.05)"), expr("percentile(value, 0.3)")).head()
     val kept = zm.count { case (_, (xmin, xmax), (ymin, ymax)) =>
       xmax >= s.getDouble(0) && xmin <= s.getDouble(1) &&
         ymax >= s.getDouble(2) && ymin <= s.getDouble(3) }

@@ -824,6 +824,91 @@ object Lakehouse {
     fs.rename(new org.apache.hadoop.fs.Path(staging), hp)
   }
 
+  // --------------------------------------------------------------- SNAPSHOTS
+  // Versioned snapshots — time travel on plain parquet, the Delta/Iceberg
+  // snapshot idiom without a table format. Every write lands in a fresh
+  // `v=N` directory and COMMITS by updating the `_latest` pointer last,
+  // so readers never observe a half-written version: an uncommitted
+  // (crashed) write is just a directory the pointer never reached, and
+  // recovery needs no log replay — the newest _SUCCESS-complete version
+  // wins. Old versions stay readable until [[vacuumSnapshots]] reclaims
+  // them (reproducibility: a training run pins the snapshot version it
+  // read, exactly the reference's features_db export discipline).
+
+  private val LatestMarker = "_latest"
+
+  private def successfulVersions(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Seq[Long] =
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      .filter(st => fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
+      .sorted
+
+  /** The committed version: the `_latest` pointer when present, else the
+    * newest complete version (pointer-write crash recovery). */
+  def latestSnapshotVersion(spark: SparkSession, dir: String): Option[Long] = {
+    val hp = new org.apache.hadoop.fs.Path(dir)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fromMarker =
+      try {
+        val p = new org.apache.hadoop.fs.Path(hp, LatestMarker)
+        if (!fs.exists(p)) None
+        else {
+          val in = fs.open(p)
+          val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+          Some(txt.toLong).filter(v =>
+            fs.exists(new org.apache.hadoop.fs.Path(hp, s"v=$v/_SUCCESS")))
+        }
+      } catch { case _: Exception => None }
+    fromMarker.orElse(successfulVersions(fs, hp).lastOption)
+  }
+
+  /** Write the next snapshot version and commit it. Returns the version.
+    * Non-atomicity window: the delete+rename of the pointer file — a
+    * reader racing it falls back to newest-complete, which IS this
+    * version once its _SUCCESS exists, so the window only ever shows the
+    * old or the new committed state. */
+  def writeSnapshot(df: DataFrame, dir: String): Long = {
+    val spark = df.sparkSession
+    val hp = new org.apache.hadoop.fs.Path(dir)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = successfulVersions(fs, hp).lastOption.getOrElse(0L) + 1
+    df.write.mode(SaveMode.Overwrite).option("compression", "snappy")
+      .parquet(s"$dir/v=$next")
+    val tmp = new org.apache.hadoop.fs.Path(hp, LatestMarker + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(hp, LatestMarker)
+    fs.delete(dst, false)
+    fs.rename(tmp, dst)
+    next
+  }
+
+  def readSnapshot(spark: SparkSession, dir: String, version: Long): DataFrame =
+    spark.read.parquet(s"$dir/v=$version")
+
+  def readLatestSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val v = latestSnapshotVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $dir"))
+    readSnapshot(spark, dir, v)
+  }
+
+  /** Reclaim all but the newest `keep` committed versions (never the one
+    * the pointer references). Returns the versions deleted. */
+  def vacuumSnapshots(spark: SparkSession, dir: String, keep: Int = 2): Seq[Long] = {
+    require(keep >= 1, "keep at least the committed version")
+    val hp = new org.apache.hadoop.fs.Path(dir)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = successfulVersions(fs, hp)
+    val pinned = latestSnapshotVersion(spark, dir)
+    val doomed = versions.dropRight(keep).filterNot(pinned.contains)
+    doomed.foreach(v => fs.delete(new org.apache.hadoop.fs.Path(hp, s"v=$v"), true))
+    doomed
+  }
+
   /** Zone-map pruned 2-d range read: keep only the files whose
     * [min, max] boxes intersect the predicate box, then apply the exact
     * predicate as a residual filter (pruning is a file-list optimization,

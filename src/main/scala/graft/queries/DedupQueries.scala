@@ -254,9 +254,15 @@ object DedupQueries {
         .groupBy("source").agg(
           max("rn").as("k_used"),
           max(when(col("rn") === 64, expr(hex12))).as("kth"))
-      k.join(n, "source").select(col("source"), col("n_exact"), col("k_used"),
+      val out = k.join(n, "source").select(col("source"), col("n_exact"), col("k_used"),
         when(col("k_used") < 64, col("n_exact").cast("double"))
           .otherwise(lit(17732923532771328.0) / col("kth")).as("est_distinct"))
+        .persist()
+      // materialize the (per-source) result, then release the distinct
+      // frame's cache — no per-invocation cached-block leak
+      out.count()
+      sh.unpersist()
+      out
     },
 
     // -------------------------------------------------------------- SKETCH-2

@@ -253,13 +253,19 @@ object ExtraQueries {
         (sum(expr("shiftleft(cast(1 as bigint), cast(43 - mj as int))"))
           + (lit(64) - count(lit(1))) * lit(1L << 43)).as("denom"),
         (lit(64) - count(lit(1))).cast("long").as("v_empty"))
-      z.withColumn("raw_est",
+      val out = z.withColumn("raw_est",
           expr("cast(0.709 as double) * 4096 * 8796093022208 / denom"))
         .join(n, "event_type")
         .select(col("event_type"), col("n_exact"), col("v_empty"),
           when(col("v_empty") > 0 && col("raw_est") <= 160.0,
             lit(64) * element_at(tab, col("v_empty").cast("int")))
             .otherwise(col("raw_est")).as("est_distinct"))
+        .persist()
+      // materialize the (group-count-sized) result, then release the
+      // distinct frame's cache — no per-invocation cached-block leak
+      out.count()
+      h.unpersist()
+      out
     },
 
     // ---------------------------------------------------------------- TEXT-6

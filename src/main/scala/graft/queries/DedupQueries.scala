@@ -265,6 +265,104 @@ object DedupQueries {
       out
     },
 
+    // ------------------------------------------------------------- SKETCH-1b
+    // KMV set operations: union / intersection / Jaccard estimates for
+    // every source PAIR computed from the per-source sketches alone —
+    // never from the data. This is the mergeability argument made
+    // concrete: at 100 TB the per-source sketches are 64 rows each, so
+    // all O(S^2) pairwise comparisons run over S*64 rows total (here
+    // 20 sources -> 1,280 sketch rows feed 190 pair estimates; the
+    // corpus is scanned exactly once, to build the sketches). Estimators
+    // (Beyer et al.): merge two sketches, keep the k smallest; union =
+    // (k-1)/frac(h_k) as in a11; Jaccard = fraction of the merged
+    // sketch present in BOTH source sketches; intersection = J * U. A
+    // merged sketch under k elements means both inputs were complete, so
+    // the union is exact. All integer/hex until the final IEEE
+    // divisions — hash-exact across engines.
+    QueryDef("a16_kx", {
+      val hex12 = (1 to 12).map { i =>
+        val c = 1L << (4 * (12 - i))
+        s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1) * $c"
+      }.mkString("(", " + ", ")")
+      s"""WITH sh AS (
+         |  SELECT DISTINCT source, seg FROM (
+         |    SELECT source, unnest($shinglesSql) AS seg FROM documents
+         |    WHERE len(string_split(text, ' ')) >= 3)),
+         |hh AS (SELECT source, md5(seg) AS h, seg FROM sh),
+         |r AS (SELECT source, h,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, seg) AS rn FROM hh),
+         |sk AS (SELECT source, h FROM r WHERE rn <= 64),
+         |srcs AS (SELECT DISTINCT source FROM sk),
+         |p AS (SELECT a.source AS sa, b.source AS sb
+         |      FROM srcs a JOIN srcs b ON a.source < b.source),
+         |m0 AS (
+         |  SELECT p.sa, p.sb, s.h,
+         |    MAX(CASE WHEN s.source = p.sa THEN 1 ELSE 0 END) AS in_a,
+         |    MAX(CASE WHEN s.source = p.sb THEN 1 ELSE 0 END) AS in_b
+         |  FROM p JOIN sk s ON s.source = p.sa OR s.source = p.sb
+         |  GROUP BY p.sa, p.sb, s.h),
+         |r2 AS (SELECT sa, sb, h, in_a, in_b,
+         |    ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY h) AS rn FROM m0),
+         |k2 AS (
+         |  SELECT sa, sb, COUNT(*) AS k_used,
+         |    CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+         |    MAX(CASE WHEN rn = 64 THEN $hex12 END) AS kth
+         |  FROM r2 WHERE rn <= 64 GROUP BY sa, sb),
+         |e AS (
+         |  SELECT sa, sb, k_used, n_both,
+         |    CASE WHEN k_used < 64 THEN CAST(k_used AS DOUBLE)
+         |         ELSE CAST(17732923532771328 AS DOUBLE) / kth END AS est_union
+         |  FROM k2)
+         |SELECT sa, sb, k_used, n_both, est_union,
+         |  n_both / CAST(k_used AS DOUBLE) AS est_j,
+         |  (n_both / CAST(k_used AS DOUBLE)) * est_union AS est_i
+         |FROM e""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val hex12 = (1 to 12).map { i =>
+        val c = 1L << (4 * (12 - i))
+        s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1) * ${c}L"
+      }.mkString("(", " + ", ")")
+      val sk = docs(s, dir).filter(size(col("tk")) >= 3)
+        .select(col("source"), explode(shinglesExpr).as("seg")).distinct()
+        .withColumn("h", md5(col("seg")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("source").orderBy("h", "seg")))
+        .filter(col("rn") <= 64)
+        .select(col("source"), col("h"))
+        .persist()
+      val srcs = sk.select(col("source")).distinct()
+      val pairs = srcs.select(col("source").as("sa"))
+        .join(srcs.select(col("source").as("sb")), col("sa") < col("sb"))
+      // per pair, each side's sketch rows with origin flags (two equi
+      // joins on tiny frames instead of an OR-condition join)
+      val rowsA = pairs.join(sk, col("source") === col("sa"))
+        .select(col("sa"), col("sb"), col("h"), lit(1).as("ia"), lit(0).as("ib"))
+      val rowsB = pairs.join(sk, col("source") === col("sb"))
+        .select(col("sa"), col("sb"), col("h"), lit(0).as("ia"), lit(1).as("ib"))
+      val merged = rowsA.unionAll(rowsB)
+        .groupBy("sa", "sb", "h")
+        .agg(max("ia").as("in_a"), max("ib").as("in_b"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("sa", "sb").orderBy("h")))
+        .filter(col("rn") <= 64)
+      val k2 = merged.groupBy("sa", "sb").agg(
+        count(lit(1)).as("k_used"),
+        sum(when(col("in_a") === 1 && col("in_b") === 1, 1).otherwise(0)).as("n_both"),
+        max(when(col("rn") === 64, expr(hex12))).as("kth"))
+      val out = k2
+        .withColumn("est_union",
+          when(col("k_used") < 64, col("k_used").cast("double"))
+            .otherwise(lit(17732923532771328.0) / col("kth")))
+        .select(col("sa"), col("sb"), col("k_used"), col("n_both"), col("est_union"),
+          (col("n_both") / col("k_used").cast("double")).as("est_j"),
+          ((col("n_both") / col("k_used").cast("double")) * col("est_union")).as("est_i"))
+        .persist()
+      out.count()
+      sk.unpersist()
+      out
+    },
+
     // -------------------------------------------------------------- SKETCH-2
     // Count-Min frequency sketch: word-frequency estimates from a fixed
     // d=2 × w=256 counter grid. The scale property: the groupBy key space

@@ -350,6 +350,35 @@ class QueriesSpec extends SparkSpec {
     assert(out.filter(col("est_distinct") <= 0).count() == 0)
   }
 
+  test("a16_kx: sketch-only set estimates track the exact union and Jaccard") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val out = SparkEntry.queries("a16_kx")(spark, sf)
+    // exact per-pair truth from the full shingle sets (fixture-sized)
+    val sh = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(split(text,' ')) - 2), " +
+          "i -> concat_ws(' ', slice(split(text,' '), i, 3)))")).as("seg"))
+      .distinct()
+    val a = sh.select(col("source").as("sa"), col("seg"))
+    val b = sh.select(col("source").as("sb"), col("seg").as("seg_b"))
+    val inter = a.join(b, col("seg") === col("seg_b") && col("sa") < col("sb"))
+      .groupBy("sa", "sb").agg(count(lit(1)).as("n_inter"))
+    val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    val truth = out.select("sa", "sb", "est_union", "est_j")
+      .join(sizes.select(col("source").as("sa"), col("n").as("na")), "sa")
+      .join(sizes.select(col("source").as("sb"), col("n").as("nb")), "sb")
+      .join(inter, Seq("sa", "sb"), "left")
+      .withColumn("ni", coalesce(col("n_inter"), lit(0L)))
+      .withColumn("true_union", col("na") + col("nb") - col("ni"))
+      .withColumn("true_j", col("ni") / col("true_union").cast("double"))
+    // union within 50% (k=64 sketch), Jaccard within 0.35 absolute
+    assert(truth.filter(
+      abs(col("est_union") - col("true_union")) > col("true_union") * 0.5).count() == 0)
+    assert(truth.filter(abs(col("est_j") - col("true_j")) > 0.35).count() == 0)
+  }
+
   test("g_cc: labels only decrease, components are edge-consistent after convergence") {
     import org.apache.spark.sql.functions._
     val out = SparkEntry.queries("g_cc")(spark, sf)

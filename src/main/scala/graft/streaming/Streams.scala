@@ -364,6 +364,52 @@ object Streams {
         })
   }
 
+  /** Count-Min state / output for [[cmsFrequency]]. Public: the state
+    * encoder's generated code needs constructor access. */
+  case class CmsState(cells: Array[Int])
+  case class CmsOut(source: String, w: String, est_cnt: Long)
+
+  /** Streaming Count-Min frequency sketch — the streaming twin of batch
+    * `a13_cm`, completing the sketch matrix (KMV rows / HLL registers /
+    * CMS grid). Per-key state is the FIXED d=2 x w=256 counter grid
+    * forever; each arriving word bumps its two cells and the batch's
+    * distinct words emit their running estimate (min over rows — the
+    * heavy-hitter alerting shape: collisions only ADD, so est >= truth
+    * always, same hash/bucket pipeline as the batch query).
+    *
+    * Caveat the KMV/HLL twins don't have, demonstrated in the spec: a
+    * COUNTING sketch is not replay-idempotent — re-delivered batches
+    * re-count (set/max-semantics sketches absorb replays silently).
+    * Production wiring therefore feeds CMS from an exactly-once source
+    * or behind the dedup admission, exactly like the reference's
+    * counting aggregates. */
+  def cmsFrequency(words: DataFrame): Dataset[CmsOut] = {
+    import words.sparkSession.implicits._
+    def bucket(salt: Int, w: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$salt:$w".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(2)
+      (Character.digit(hex(0), 16)) * 16 + Character.digit(hex(1), 16)
+    }
+    words.select(col("source"), col("w")).as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[(String, String)],
+            state: GroupState[CmsState]) => {
+          val cells = state.getOption.map(_.cells.clone()).getOrElse(new Array[Int](512))
+          val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+          rows.foreach { case (_, w) =>
+            cells(bucket(0, w)) += 1
+            cells(256 + bucket(1, w)) += 1
+            seen += w
+          }
+          state.update(CmsState(cells))
+          seen.iterator.map { w =>
+            val est = math.min(cells(bucket(0, w)), cells(256 + bucket(1, w))).toLong
+            CmsOut(key, w, est)
+          }
+        })
+  }
+
   /** Sink: MERGE each micro-batch into a lake table by key — streaming and
     * batch share [[Lakehouse.mergeUpsert]] so the exactly-once-per-key
     * upsert semantics are identical in both modes. */

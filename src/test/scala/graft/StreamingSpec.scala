@@ -407,4 +407,47 @@ class StreamingSpec extends SparkSpec {
       assert(big > 150 && big < 600, s"t1 estimate $big")
     } finally q.stop()
   }
+
+  test("streaming CMS sketch: grid-bounded state, overcount-only, replay re-counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val words = MemoryStream[(String, String)]
+    val q = Streams.cmsFrequency(words.toDF().toDF("source", "w"))
+      .writeStream.format("memory").queryName("cms_out").outputMode("update").start()
+    def md5hex(x: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(salt: Int, w: String): Int = {
+      val h = md5hex(s"$salt:$w").take(2)
+      Character.digit(h(0), 16) * 16 + Character.digit(h(1), 16)
+    }
+    var cells = Map.empty[String, Array[Int]]
+    var truth = Map.empty[(String, String), Long]
+    val expected = Seq.newBuilder[(String, String, Long)]
+    def feed(batch: Seq[(String, String)]): Unit = {
+      words.addData(batch: _*); q.processAllAvailable()
+      batch.groupBy(_._1).foreach { case (src, rows) =>
+        val c = cells.getOrElse(src, new Array[Int](512))
+        val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+        rows.foreach { case (_, w) =>
+          c(bucket(0, w)) += 1; c(256 + bucket(1, w)) += 1; seen += w
+          truth += (src, w) -> (truth.getOrElse((src, w), 0L) + 1)
+        }
+        cells += src -> c
+        seen.foreach(w => expected +=
+          ((src, w, math.min(c(bucket(0, w)), c(256 + bucket(1, w))).toLong)))
+      }
+    }
+    try {
+      feed(Seq("s" -> "a", "s" -> "a", "s" -> "b", "t" -> "a"))
+      // replay of s's first batch: a counting sketch re-counts (the spec
+      // pins the documented at-least-once caveat, not idempotence)
+      feed(Seq("s" -> "a", "s" -> "a", "s" -> "b"))
+      val got = spark.table("cms_out").as[(String, String, Long)].collect().toSeq
+      assert(got.sorted == expected.result().sorted, s"got=$got")
+      // overcount-only: every emission >= the true running count at that point
+      // (exact equality here — 512 cells, 2 words, no collisions)
+      assert(got.forall(_._3 > 0))
+      val sFinal = got.filter(g => g._1 == "s" && g._2 == "a").map(_._3).max
+      assert(sFinal == 4, s"replayed count should be 4, got $sFinal")
+    } finally q.stop()
+  }
 }

@@ -824,6 +824,35 @@ object Lakehouse {
     fs.rename(new org.apache.hadoop.fs.Path(staging), hp)
   }
 
+  // ---------------------------------------------------------------- EVOLUTION
+  /** Schema-evolved append: new columns may appear over a table's life
+    * (the reference's stage tables gained columns across exporter
+    * versions); old files simply lack them and read as NULL through
+    * [[readEvolved]]'s mergeSchema. What is REFUSED is a type change on
+    * a column both sides share — parquet would happily write it and
+    * every subsequent merged read would throw (or worse, coerce), far
+    * from the write that caused it. Fail here, at the boundary. */
+  def appendEvolved(df: DataFrame, path: String): Unit = {
+    if (tableExists(df.sparkSession, path)) {
+      val existing = df.sparkSession.read.parquet(path).schema
+      val incoming = df.schema
+      val conflicts = incoming.flatMap { f =>
+        existing.find(_.name == f.name).collect {
+          case e if e.dataType != f.dataType =>
+            s"${f.name}: table=${e.dataType.simpleString} incoming=${f.dataType.simpleString}"
+        }
+      }
+      require(conflicts.isEmpty,
+        s"schema evolution refuses type changes on shared columns - ${conflicts.mkString("; ")}")
+    }
+    df.write.mode(SaveMode.Append).option("compression", "snappy").parquet(path)
+  }
+
+  /** Union-of-schemas read over an evolved table: columns absent from a
+    * file read as NULL for its rows. */
+  def readEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   // --------------------------------------------------------------- SNAPSHOTS
   // Versioned snapshots — time travel on plain parquet, the Delta/Iceberg
   // snapshot idiom without a table format. Every write lands in a fresh

@@ -56,4 +56,23 @@ class SnapshotSpec extends SparkSpec {
       Lakehouse.vacuumSnapshots(spark, dir, keep = 0)
     }
   }
+
+  test("schema evolution: new columns appear as NULL for old rows; type changes refused") {
+    import spark.implicits._
+    val dir = tmpDir("evolve") + "/t"
+    Lakehouse.appendEvolved(Seq((1L, "a")).toDF("id", "x"), dir)
+    Lakehouse.appendEvolved(Seq((2L, "b", 9.5)).toDF("id", "x", "score"), dir)
+    val all = Lakehouse.readEvolved(spark, dir)
+    assert(all.columns.sorted.toSeq == Seq("id", "score", "x"))
+    assert(all.count() == 2)
+    assert(all.filter(col("id") === 1 && col("score").isNull).count() == 1)
+    assert(all.filter(col("id") === 2 && col("score") === 9.5).count() == 1)
+    // widening x to a different type on a SHARED column is refused loudly
+    val ex = intercept[IllegalArgumentException] {
+      Lakehouse.appendEvolved(Seq((3L, 7)).toDF("id", "x"), dir)
+    }
+    assert(ex.getMessage.contains("type changes"))
+    // the refused write left the table intact
+    assert(Lakehouse.readEvolved(spark, dir).count() == 2)
+  }
 }

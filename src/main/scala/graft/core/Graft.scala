@@ -1,6 +1,8 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Session + table-loading helpers shared by every entry point.
   *
@@ -64,4 +66,43 @@ object Graft {
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events` with the canonical microsecond-epoch column `ts_us` appended.
+    *
+    * The fixture's `ts` encoding is NOT stable across regenerations — it has
+    * shipped both as parquet TIMESTAMP(NANOS) (read as a nanosecond long via
+    * `nanosAsLong`) and as TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as
+    * TIMESTAMP_NTZ). Every query keys its windows and watermarks on
+    * microsecond epochs (the reference's event-order contract,
+    * ethereum_wallet_features.sql:16-39), so the loader probes the stored
+    * type and derives the same `ts_us` either way. The DuckDB oracle's
+    * `epoch_us(ts)` is the fixed other half of this parity contract.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    withEpochUs(table(spark, sfDir, "events"), "ts", "ts_us", table = "events")
+
+  /** Append `asCol` = epoch-microseconds of `tsCol`, adapting to how the
+    * writer stored it. Unknown types fail loudly with the table/column/type
+    * named, so the NEXT regeneration break is diagnosable from the message
+    * alone instead of a mid-plan DATATYPE_MISMATCH.
+    */
+  def withEpochUs(df: DataFrame, tsCol: String, asCol: String,
+      table: String = "?"): DataFrame =
+    df.withColumn(asCol, epochUs(df, tsCol, table))
+
+  /** Epoch-microseconds column for `tsCol`, whatever its stored type. */
+  def epochUs(df: DataFrame, tsCol: String, table: String = "?"): Column =
+    df.schema(tsCol).dataType match {
+      // legacy layout: TIMESTAMP(NANOS) surfaced as a nanosecond long
+      case LongType => expr(s"$tsCol div 1000")
+      // timestamp micros, UTC-adjusted: internal value IS epoch micros
+      case _: TimestampType => unix_micros(col(tsCol))
+      // timestamp micros, no zone: the session is pinned UTC (see session()),
+      // so the NTZ→instant cast is an exact micros identity
+      case _: TimestampNTZType => unix_micros(col(tsCol).cast(TimestampType))
+      case other => throw new IllegalArgumentException(
+        s"$table.$tsCol: unsupported stored type ${other.catalogString} — " +
+        "expected INT64 (epoch nanos) or a parquet timestamp; the fixture " +
+        "schema changed again and the adaptive loader needs a new case")
+    }
 }

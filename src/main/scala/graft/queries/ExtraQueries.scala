@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
 object ExtraQueries {
 
   private def events(s: SparkSession, dir: String): DataFrame =
-    Graft.table(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+    Graft.events(s, dir)
 
   val all: Seq[QueryDef] = Seq(
 
@@ -110,8 +110,10 @@ object ExtraQueries {
         |      ORDER BY ts_us, event_id) IS NULL THEN 1 ELSE 0 END AS brk
         |  FROM e),
         |s AS (
-        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS session_id
         |  FROM b)
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         |  MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
@@ -172,7 +174,7 @@ object ExtraQueries {
       """SELECT lang, source,
         |  GROUPING(lang) * 2 + GROUPING(source) AS lvl,
         |  COUNT(*) AS n_docs,
-        |  SUM(n_chars) AS total_chars
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents
         |GROUP BY ROLLUP (lang, source)""".stripMargin) { (s, dir) =>
       Graft.table(s, dir, "documents")

@@ -14,7 +14,7 @@ object JoinShapeQueries {
     Graft.table(s, dir, name)
 
   private def events(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+    Graft.events(s, dir)
 
   val all: Seq[QueryDef] = Seq(
 

@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
 object PipelineQueries {
 
   private def events(s: SparkSession, dir: String): DataFrame =
-    Graft.table(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+    Graft.events(s, dir)
 
   private val typePriority =
     when(col("event_type") === "signup", 1)

@@ -14,10 +14,11 @@ import org.apache.spark.sql.functions._
   * order can't produce last-ulp drift; the final value is cast back to double
   * identically on both sides.
   *
-  * Timestamp parity convention: `events.ts` is parquet TIMESTAMP(NANOS);
-  * Spark reads it as a nanosecond long (`nanosAsLong`), DuckDB truncates to
-  * microseconds on read — so both sides work in microseconds:
-  * Spark `ts div 1000` == DuckDB `epoch_us(ts)`.
+  * Timestamp parity convention: `events.ts`'s stored encoding varies across
+  * fixture regenerations (INT64 nanos vs timestamp micros), so all queries go
+  * through [[Graft.events]], which probes the schema and derives the same
+  * microsecond-epoch `ts_us` either way; DuckDB's `epoch_us(ts)` is the
+  * oracle-side half of the contract.
   */
 object RelationalQueries {
 
@@ -26,7 +27,7 @@ object RelationalQueries {
 
   /** events with a microsecond epoch column added (see parity note above). */
   private def events(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+    Graft.events(s, dir)
 
   private def dsum(c: org.apache.spark.sql.Column) =
     sum(c.cast("decimal(38,6)")).cast("double")
@@ -192,12 +193,12 @@ object RelationalQueries {
     QueryDef("p3_incremental_filter",
       """SELECT event_id, user_id, event_type
         |FROM events WHERE epoch_us(ts) > 1704153600000000""".stripMargin) { (s, dir) =>
-      // ts_us > C  ⟺  raw nanos ts > C*1000 + 999: the raw-column form is a
-      // plain comparison Catalyst pushes into the parquet scan (row-group
-      // min/max skipping — the predicate that makes incremental loads cheap
-      // at 100 TB). Keep both; the scan prunes, the Filter double-checks.
+      // The watermark compares the DERIVED ts_us column; IntDivPushdown
+      // rewrites it onto the raw ts column (nanos-long or timestamp,
+      // whichever the fixture stores) so the parquet scan row-group-skips —
+      // the predicate that makes incremental loads cheap at 100 TB.
+      // PlanSpec pins the pushed filter's presence.
       events(s, dir)
-        .filter(col("ts") > lit(1704153600000000L * 1000 + 999))
         .filter(col("ts_us") > lit(1704153600000000L))
         .select("event_id", "user_id", "event_type")
     },

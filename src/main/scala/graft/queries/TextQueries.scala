@@ -738,7 +738,7 @@ object TextQueries {
         |tot AS (SELECT SUM(w) AS wt FROM w),
         |alloc AS (
         |  SELECT source, w AS source_weight,
-        |    (200 * w) // (SELECT wt FROM tot) AS n_keep
+        |    CAST((200 * w) // (SELECT wt FROM tot) AS BIGINT) AS n_keep
         |  FROM w),
         |r AS (
         |  SELECT doc_id, source,

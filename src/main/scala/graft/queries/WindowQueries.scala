@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
 object WindowQueries {
 
   private def events(s: SparkSession, dir: String): DataFrame =
-    Graft.table(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+    Graft.events(s, dir)
 
   /** The reference's deterministic event-order key: timestamp, then a CASE
     * priority on type, then id (ethereum_wallet_features.sql:16-39). */

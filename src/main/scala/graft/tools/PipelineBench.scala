@@ -12,8 +12,7 @@ object PipelineBench {
     val spark = Graft.session()
     val base = java.nio.file.Files.createTempDirectory("plbench").toString
     val csv = s"$base/csv"; val root = s"$base/lake"
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts_us", expr("ts div 1000"))
+    Graft.events(spark, sfDir)
       .select("event_id", "ts_us", "user_id", "event_type", "value", "props")
       .write.option("header", "true").csv(csv)
     val t0 = System.nanoTime()

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 class DataQualitySpec extends SparkSpec {
   import spark.implicits._
 
-  private lazy val events = spark.read.parquet(s"$sf/events.parquet")
+  private lazy val events = graft.core.Graft.events(spark, sf)
 
   test("missingIds finds exactly the dropped ids") {
     val dropped = events.filter(!col("event_id").isin(3L, 7L))
@@ -29,7 +29,7 @@ class DataQualitySpec extends SparkSpec {
 
   test("featureConstraints + gate over medallion features") {
     val root = tmpDir("dq-root"); val csv = tmpDir("dq-csv")
-    events.withColumn("ts_us", expr("ts div 1000"))
+    events
       .select("event_id", "ts_us", "user_id", "event_type", "value", "props")
       .coalesce(1).write.mode("overwrite").option("header", "true").csv(csv)
     Medallion.runCycle(spark, csv, root)

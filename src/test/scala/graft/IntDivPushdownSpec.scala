@@ -1,11 +1,13 @@
 package graft
 
+import graft.core.Graft
 import graft.plans.IntDivPushdown
 import org.apache.spark.sql.functions._
 
 /** The IntDivPushdown optimizer rule: watermark predicates over derived
-  * `div` columns must reach the parquet scan as raw-column bounds — without
-  * changing results. */
+  * columns — `ts div 1000` on the legacy int64-nanos layout,
+  * `unix_micros(ts)` on the timestamp layout — must reach the parquet scan
+  * as raw-column bounds, without changing results. */
 class IntDivPushdownSpec extends SparkSpec {
 
   private def withRule[A](f: org.apache.spark.sql.SparkSession => A): A = {
@@ -16,9 +18,20 @@ class IntDivPushdownSpec extends SparkSpec {
 
   private val cut = 1704153600000000L
 
-  test("derives a pushable raw-column bound for ts div 1000 > c") {
+  /** The legacy fixture layout (TIMESTAMP(NANOS) read as int64 nanos),
+    * reconstructed from the current fixture so the div path stays covered
+    * whatever the driver regenerates. */
+  private lazy val nanosDir: String = {
+    val dir = tmpDir("events-nanos")
+    Graft.events(spark, sf)
+      .select(col("event_id"), (col("ts_us") * 1000L).as("ts"))
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("derives a pushable raw-column bound for ts div 1000 > c (nanos layout)") {
     withRule { s2 =>
-      val df = s2.read.parquet(s"$sf/events.parquet")
+      val df = s2.read.parquet(nanosDir)
         .filter(expr(s"ts div 1000 > ${cut}L"))
         .select("event_id")
       val plan = df.queryExecution.executedPlan.toString
@@ -27,11 +40,11 @@ class IntDivPushdownSpec extends SparkSpec {
   }
 
   test("derived bound never changes results (vs plain session)") {
-    val plain = spark.read.parquet(s"$sf/events.parquet")
+    val plain = spark.read.parquet(nanosDir)
       .filter(expr(s"ts div 1000 > ${cut}L"))
       .select("event_id").collect().map(_.getLong(0)).toSet
     val ruled = withRule { s2 =>
-      s2.read.parquet(s"$sf/events.parquet")
+      s2.read.parquet(nanosDir)
         .filter(expr(s"ts div 1000 > ${cut}L"))
         .select("event_id").collect().map(_.getLong(0)).toSet
     }
@@ -40,7 +53,7 @@ class IntDivPushdownSpec extends SparkSpec {
 
   test("negative thresholds derive the truncation-aware bound (a > c*k, not naive)") {
     withRule { s2 =>
-      val df = s2.read.parquet(s"$sf/events.parquet")
+      val df = s2.read.parquet(nanosDir)
         .filter(expr("ts div 1000 > -5L"))
         .select("event_id")
       val plan = df.queryExecution.executedPlan.toString
@@ -52,13 +65,53 @@ class IntDivPushdownSpec extends SparkSpec {
 
   test("a block-range filter over a derived column prunes from BOTH ends") {
     withRule { s2 =>
-      val df = s2.read.parquet(s"$sf/events.parquet")
+      val df = s2.read.parquet(nanosDir)
         .filter(expr(s"ts div 1000 >= ${cut}L AND ts div 1000 <= ${cut + 10}L"))
         .select("event_id")
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains(s"GreaterThanOrEqual(ts,${cut * 1000})"), plan)
       assert(plan.contains(s"LessThan(ts,${(cut + 11) * 1000})"), plan)
     }
+  }
+
+  test("timestamp layout: unix_micros watermark reaches the scan as a raw ts bound") {
+    // The current fixture stores ts as TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    // → TIMESTAMP_NTZ; Graft.events derives ts_us = unix_micros(cast(ts)).
+    val plain = Graft.withEpochUs(
+        spark.read.parquet(s"$sf/events.parquet"), "ts", "ts_us")
+      .filter(col("ts_us") > cut)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val ruled = withRule { s2 =>
+      val df = Graft.withEpochUs(
+          s2.read.parquet(s"$sf/events.parquet"), "ts", "ts_us")
+        .filter(col("ts_us") > cut)
+        .select("event_id")
+      val optimized = df.queryExecution.optimizedPlan.toString
+      // the derived raw-column comparison must appear alongside the original
+      assert("""ts#\d+ >""".r.findFirstIn(optimized).isDefined, optimized)
+      val executed = df.queryExecution.executedPlan.toString
+      assert(executed.contains("GreaterThan(ts,"), executed)
+      df.collect().map(_.getLong(0)).toSet
+    }
+    assert(ruled == plain && plain.nonEmpty)
+  }
+
+  test("composition: div of unix_micros chains to a raw ts bound") {
+    val cutSec = cut / 1000000L
+    def q(s: org.apache.spark.sql.SparkSession) =
+      Graft.withEpochUs(s.read.parquet(s"$sf/events.parquet"), "ts", "ts_us")
+        .filter(expr(s"ts_us div 1000000 >= ${cutSec}L"))
+        .select("event_id")
+    val plain = q(spark).collect().map(_.getLong(0)).toSet
+    val ruled = withRule { s2 =>
+      val df = q(s2)
+      val executed = df.queryExecution.executedPlan.toString
+      // chained: div bound → unix_micros bound → raw timestamp bound, and
+      // only the raw (pushable) form is added to the filter
+      assert(executed.contains("GreaterThanOrEqual(ts,"), executed)
+      df.collect().map(_.getLong(0)).toSet
+    }
+    assert(ruled == plain && plain.nonEmpty)
   }
 
   test("soundness sweep: every op x threshold agrees with the plain session") {
@@ -119,7 +172,7 @@ class IntDivPushdownSpec extends SparkSpec {
 
   test("rule is idempotent at fixpoint (no predicate duplication)") {
     withRule { s2 =>
-      val df = s2.read.parquet(s"$sf/events.parquet")
+      val df = s2.read.parquet(nanosDir)
         .filter(expr(s"ts div 1000 >= ${cut}L"))
         .select("event_id")
       val optimized = df.queryExecution.optimizedPlan.toString

@@ -12,7 +12,7 @@ class LakehouseSpec extends SparkSpec {
   import spark.implicits._
 
   private def events: DataFrame =
-    spark.read.parquet(s"$sf/events.parquet").withColumn("ts_us", expr("ts div 1000"))
+    graft.core.Graft.events(spark, sf)
 
   test("antiJoinAppend deduplicates on keys across appends") {
     val path = tmpDir("aja")

@@ -11,8 +11,7 @@ class MainSpec extends SparkSpec {
 
   test("layer-by-layer dispatch produces the same features as runCycle") {
     val csv = tmpDir("main-csv")
-    spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts_us", expr("ts div 1000"))
+    graft.core.Graft.events(spark, sf)
       .select("event_id", "ts_us", "user_id", "event_type", "value", "props")
       .coalesce(1).write.mode("overwrite").option("header", "true").csv(csv)
 

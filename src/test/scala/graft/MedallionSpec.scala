@@ -14,8 +14,7 @@ class MedallionSpec extends SparkSpec {
 
   /** events at sf0.001 exported as a CSV fixture, optionally filtered. */
   private def exportCsv(dir: String, cond: org.apache.spark.sql.Column): Unit =
-    spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts_us", expr("ts div 1000"))
+    graft.core.Graft.events(spark, sf)
       .filter(cond)
       .select("event_id", "ts_us", "user_id", "event_type", "value", "props")
       .coalesce(1)
@@ -37,8 +36,8 @@ class MedallionSpec extends SparkSpec {
     // incremental: first half, then second half into the same lake
     val incRoot = tmpDir("med-inc")
     val csv1 = tmpDir("med-csv1"); val csv2 = tmpDir("med-csv2")
-    exportCsv(csv1, expr("ts div 1000") <= cut)
-    exportCsv(csv2, expr("ts div 1000") > cut)
+    exportCsv(csv1, col("ts_us") <= cut)
+    exportCsv(csv2, col("ts_us") > cut)
     Medallion.runCycle(spark, csv1, incRoot)
     Medallion.runCycle(spark, csv2, incRoot)
 
@@ -59,7 +58,7 @@ class MedallionSpec extends SparkSpec {
     val root = tmpDir("med-part")
     val csv1 = tmpDir("med-part-csv1"); val csv2 = tmpDir("med-part-csv2")
     val cut = 1704844800000000L
-    exportCsv(csv1, expr("ts div 1000") <= cut)
+    exportCsv(csv1, col("ts_us") <= cut)
     Medallion.runCycle(spark, csv1, root)
 
     val featDir = new java.io.File(Medallion.featuresPath(root))
@@ -74,7 +73,7 @@ class MedallionSpec extends SparkSpec {
     // second delivery touches ONLY users 0..9 — the merge must rewrite only
     // their buckets; every other partition dir stays byte-identical
     // (same files, sizes, mtimes: O(delta), not O(table)).
-    exportCsv(csv2, expr("ts div 1000") > cut && col("user_id") < 10)
+    exportCsv(csv2, col("ts_us") > cut && col("user_id") < 10)
     Medallion.runCycle(spark, csv2, root)
     val after = snapshot()
 
@@ -88,8 +87,8 @@ class MedallionSpec extends SparkSpec {
     assert(touched.exists(k => before.contains(k) && after(k) != before(k)))
     // features still correct for a touched user: equals a full recompute
     val fullRoot = tmpDir("med-part-full"); val fullCsv = tmpDir("med-part-fullcsv")
-    exportCsv(fullCsv, expr("ts div 1000") <= cut ||
-      (expr("ts div 1000") > cut && col("user_id") < 10))
+    exportCsv(fullCsv, col("ts_us") <= cut ||
+      (col("ts_us") > cut && col("user_id") < 10))
     Medallion.runCycle(spark, fullCsv, fullRoot)
     val got = features(root); val want = features(fullRoot)
     assert(got.keySet == want.keySet)

@@ -12,9 +12,9 @@ class PartitioningSpec extends SparkSpec {
 
   test("ctas writes hive partitions and scans prune to one partition") {
     val path = tmpDir("part")
-    val df = spark.read.parquet(s"$sf/events.parquet")
+    val df = graft.core.Graft.events(spark, sf)
       .withColumn("date_partition",
-        date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd"))
+        date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd"))
     Lakehouse.ctas(df, path, Seq("date_partition"))
     val parts = new java.io.File(path).listFiles()
       .filter(_.getName.startsWith("date_partition=")).map(_.getName).sorted

@@ -48,6 +48,9 @@ object SparkSpec {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      // same optimizer extensions as Graft.session — PlanSpec pins depend
+      // on IntDivPushdown deriving the raw-column watermark bound
+      .withExtensions(new graft.plans.GraftExtensions())
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       // collect_set/collect_list/map-agg run as ObjectHashAggregate; the

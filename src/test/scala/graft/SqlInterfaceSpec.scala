@@ -8,8 +8,7 @@ import org.apache.spark.sql.functions._
 class SqlInterfaceSpec extends SparkSpec {
 
   test("the flagship program as spark.sql text matches the DataFrame result") {
-    spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts_us", expr("ts div 1000"))
+    graft.core.Graft.events(spark, sf)
       .createOrReplaceTempView("events_v")
     val sql = spark.sql(
       """WITH ordered AS (

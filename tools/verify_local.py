@@ -29,7 +29,28 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def kind(dt) -> str:
+    s = str(dt)
+    if s.startswith(("int", "uint", "Int", "UInt")):
+        return "i"
+    if s.startswith(("float", "Float")):
+        return "f"
+    if s.startswith("datetime"):
+        return "d"
+    return "o"
+
+
 def compare(name, spark_df, duck_df):
+    # dtype-KIND drift (e.g. DuckDB HUGEINT → float64 vs Spark int64) hashes
+    # differently in the driver even when values compare equal numerically —
+    # fail it here so it can't hide behind the tolerant value compare below
+    kind_bad = [
+        f"col {c}: dtype kind spark={spark_df[c].dtype} oracle={duck_df[c].dtype}"
+        for c in sorted(set(spark_df.columns) & set(duck_df.columns))
+        if kind(spark_df[c].dtype) != kind(duck_df[c].dtype)
+    ]
+    if kind_bad:
+        return "; ".join(kind_bad)
     a, b = canon(spark_df), canon(duck_df)
     if list(a.columns) != list(b.columns):
         return f"SCHEMA MISMATCH spark={list(a.columns)} duck={list(b.columns)}"

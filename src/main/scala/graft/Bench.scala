@@ -42,6 +42,11 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    // A failing query records its exception's first line so a future
+    // environment break (e.g. a fixture-schema change) is diagnosable from
+    // the committed artifact alone — the driver's -1 sentinel carries no
+    // message. Written into BENCH_FULL.json's "errors" object.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def run1(name: String): Double = {
       val t0 = System.nanoTime()
       // noop sink: materializes EVERY output column (count() would let
@@ -50,7 +55,13 @@ object Bench {
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
-      } catch { case _: Throwable => -1.0 } // a failure must not look fast
+      } catch { case e: Throwable => // a failure must not look fast
+        val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage)}"
+          .linesIterator.next().take(300)
+        errors(name) = msg
+        System.err.println(s"[bench] $name failed: $msg")
+        -1.0
+      }
     }
     val first = SparkEntry.queries.keys.toSeq.map(n => n -> run1(n))
 
@@ -108,7 +119,9 @@ object Bench {
     def fmt(v: Double, dec: Int): String =
       BigDecimal(v).setScale(dec, BigDecimal.RoundingMode.HALF_UP).toString
     def trim0(s: String): String = if (s.endsWith(".0")) s.dropRight(2) else s
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // total over SUCCESSFUL queries only: summing -1 failure sentinels
+    // would under-report wall time by one second per failure
+    val total = results.values.filter(_ >= 0).sum
     def line(entries: Seq[(String, Double)], enc: Double => String,
         dropped: Int, sf: String): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + enc(v) }
@@ -159,9 +172,20 @@ object Bench {
     spark.stop()
     // full-precision copy on disk: the stdout tail keeps only the last
     // 2000 bytes — the complete measurement (also the noise baseline for
-    // the next run's best-of-2 outlier check) always lands in the repo
+    // the next run's best-of-2 outlier check) always lands in the repo.
+    // Failure messages ride along under "errors" (empty object when clean).
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val errJson = errors.map { case (k, v) => s"${jq(k)}:${jq(v)}" }
+      .mkString("{", ",", "}")
+    val fullWithErrors =
+      fullLine.dropRight(1) + s""","errors":$errJson}"""
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"), fullLine + "\n")
+      java.nio.file.Paths.get("BENCH_FULL.json"), fullWithErrors + "\n")
     catch { case _: Throwable => () }
     println(fullLine)
     println(compact)

@@ -185,6 +185,107 @@ object ExtraQueries {
         .select("lang", "source", "lvl", "n_docs", "total_chars")
     },
 
+    // ----------------------------------------------------------------- A12b
+    // CUBE over (lang, source): the rollup's sibling adds the per-source
+    // marginal (GROUPING SETS {(l,s),(l),(s),()}). Same single-pass Expand
+    // + one-exchange physical shape as a12_roll — 4 grouping sets multiply
+    // Expand's row factor, not the number of scans, which is what keeps the
+    // "every marginal of the dataset card" query linear at 100 TB.
+    QueryDef("a12b_cube",
+      """SELECT lang, source,
+        |  GROUPING(lang) * 2 + GROUPING(source) AS lvl,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents
+        |GROUP BY CUBE (lang, source)""".stripMargin) { (s, dir) =>
+      Graft.table(s, dir, "documents")
+        .cube("lang", "source")
+        .agg(expr("grouping(lang) * 2 + grouping(source)").cast("long").as("lvl"),
+          count(lit(1)).as("n_docs"),
+          sum("n_chars").as("total_chars"))
+        .select("lang", "source", "lvl", "n_docs", "total_chars")
+    },
+
+    // ----------------------------------------------------------------- A12c
+    // Explicit GROUPING SETS ((lang), (source)): just the two marginals,
+    // NO cell-level set — the shape a scheduled stats job wants when the
+    // full cross-product is large but the marginals are what's served.
+    // Expand emits 2 rows per input instead of cube's 4; still one scan,
+    // one exchange.
+    QueryDef("a12c_gsets",
+      """SELECT lang, source,
+        |  GROUPING(lang) * 2 + GROUPING(source) AS lvl,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents
+        |GROUP BY GROUPING SETS ((lang), (source))""".stripMargin) { (s, dir) =>
+      Graft.table(s, dir, "documents")
+        .groupingSets(Seq(Seq(col("lang")), Seq(col("source"))),
+          col("lang"), col("source"))
+        .agg(expr("grouping(lang) * 2 + grouping(source)").cast("long").as("lvl"),
+          count(lit(1)).as("n_docs"),
+          sum("n_chars").as("total_chars"))
+        .select("lang", "source", "lvl", "n_docs", "total_chars")
+    },
+
+    // ------------------------------------------------------------------ A18
+    // PIVOT: per-user activity matrix — event_type becomes columns, one
+    // row per user. The value-type list is EXPLICIT (the 5 fixture types):
+    // with it, Spark pivots inside a single aggregate pass (conditional
+    // aggregates per type — exactly the oracle's FILTER clauses) with NO
+    // values-discovery pre-query, and the output schema is stable however
+    // the data shifts — both properties the 100 TB path needs. Sums run
+    // decimal-exact (shared float-parity convention), counts stay long.
+    QueryDef("a18_pivot",
+      """SELECT user_id,
+        |  COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+        |  COUNT(*) FILTER (WHERE event_type = 'error') AS n_error,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6)))
+        |    FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+        |    AS purchase_value,
+        |  COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+        |  COUNT(*) FILTER (WHERE event_type = 'view') AS n_view
+        |FROM events GROUP BY user_id""".stripMargin) { (s, dir) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(38,6)")).cast("double").as("pv"))
+        // pivot names multi-agg columns {value}_{alias}; absent cells count
+        // as null where the oracle's FILTER count gives 0 — normalize both
+        .select(col("user_id") +:
+          (types.map(t => coalesce(col(s"${t}_n"), lit(0L)).as(s"n_$t")) :+
+            col("purchase_pv").as("purchase_value")): _*)
+        .select("user_id", "n_click", "n_error", "n_purchase",
+          "purchase_value", "n_signup", "n_view")
+    },
+
+    // ------------------------------------------------------------------ A19
+    // Tumbling-window aggregation (the batch half of the streaming windowed
+    // aggs in streaming/Streams): per (hour, event_type) traffic rollup via
+    // Spark's native window() operator — at scale this is a plain hash agg
+    // whose key includes the bucket (map-side combinable, one exchange),
+    // NOT a sort or a range join; window() compiles to exactly the integer
+    // bucket arithmetic the oracle states. Parity: bucket compared as
+    // epoch-micros of the window start (integer floor-div on both sides,
+    // UTC session so hour alignment is epoch-hour division); the value sum
+    // runs decimal-exact.
+    QueryDef("a19_tumble",
+      """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS value_sum
+        |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      events(s, dir)
+        .groupBy(window(timestamp_micros(col("ts_us")), "1 hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(38,6)")).cast("double").as("value_sum"))
+        .select(unix_micros(col("window.start")).as("bucket_us"),
+          col("event_type"), col("n"), col("value_sum"))
+    },
+
     // -------------------------------------------------------------- SKETCH-4
     // HyperLogLog cardinality sketch (m=64 registers): the industry-default
     // distinct counter at 100 TB — per group the sketch is 64 six-bit

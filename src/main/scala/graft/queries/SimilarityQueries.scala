@@ -89,6 +89,87 @@ object SimilarityQueries {
       |    i -> CASE WHEN embedding[1 + i * (64 // w)] >= 0
       |         THEN '1' ELSE '0' END), 'string_agg', '')""".stripMargin
 
+  /** Centroid-assignment primitives shared by ann_ivf_kmeans and c_kmeans.
+    * argmaxCell: rank the (broadcast) codebook per vector by exact-integer
+    * cosine and keep the top k cells. kmeansFrames: one Lloyd round —
+    * stride-sampled seed codebook, assignment, exact element-wise
+    * floor-mean update (one LongVecSum aggregate pass, no explode), final
+    * assignment. cent/assign are persisted: each feeds 2+ consumers. */
+  private def argmaxCell(vs: DataFrame, cents: DataFrame, k: Int): DataFrame = {
+    val centCos = expr("long_dot(qv, c_qv)").cast("double") /
+      (sqrt(col("nq").cast("double")) * sqrt(col("c_nq").cast("double")))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("cid"))
+    vs.crossJoin(broadcast(cents))
+      .withColumn("c_cos", centCos)
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") <= k)
+  }
+
+  /** (vectors, refined codebook, final assignment) after one Lloyd round. */
+  private def kmeansFrames(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val n = emb(s, dir).select("vec_id", "qv", "nq")
+    // count the frame already in hand (projection prunes to a metadata
+    // row count) rather than opening a second scan of the table
+    val stride = centroidStride(n.count())
+    val cent0 = n.filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .select(col("vec_id").as("cid"), col("qv").as("c_qv"), col("nq").as("c_nq"))
+    val assign0 = argmaxCell(n, cent0, 1).select(col("vec_id"), col("cid"))
+    // Lloyd update: exact element-wise floor-mean, one aggregate pass.
+    // persist(): cent feeds the re-assignment AND the probe ranking, and
+    // assign feeds the cell lists — without it each consumer re-executes
+    // the corpus x codebook cross-join + window from scratch
+    val cent = assign0.join(n, "vec_id").groupBy("cid")
+      .agg(graft.functions.VectorExprs.longVecSum(col("qv")).as("s"),
+        count(lit(1)).as("c"))
+      .select(col("cid"),
+        expr("transform(s, x -> (x - ((x % c) + c) % c) div c)").as("c_qv"))
+      .withColumn("c_nq", expr("long_dot(c_qv, c_qv)"))
+      .persist()
+    val assign = argmaxCell(n, cent, 1).select(col("vec_id"), col("cid")).persist()
+    (n, cent, assign)
+  }
+
+  /** Shared k-means CTE chain (quantize -> stride-sampled seed codebook
+    * -> assign -> exact floor-mean Lloyd update -> final assignment):
+    * the textual prefix of BOTH the ann_ivf_kmeans oracle and the
+    * c_kmeans cluster-summary oracle, so the two cannot drift apart. */
+  private val kmeansAssignSql: String =
+    s"""WITH n AS (
+         |  SELECT vec_id, $quantSql AS qv,
+         |    CAST(list_sum(list_transform($quantSql, x -> x * x)) AS BIGINT) AS nq
+         |  FROM embeddings),
+         |sp AS (SELECT GREATEST(1, CAST(floor(sqrt(COUNT(*))) AS BIGINT)) AS stride FROM n),
+         |cent0 AS (SELECT vec_id AS cid, qv AS cqv, nq AS cnq FROM n
+         |          WHERE vec_id % (SELECT stride FROM sp) = 0),
+         |assign0 AS (
+         |  SELECT vec_id, cid, qv FROM (
+         |    SELECT v.vec_id, c.cid, v.qv,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+         |        CAST(CAST(list_sum(list_transform(list_zip(v.qv, c.cqv), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
+         |          / (sqrt(CAST(v.nq AS DOUBLE)) * sqrt(CAST(c.cnq AS DOUBLE))) DESC, c.cid) AS rn
+         |    FROM n v CROSS JOIN cent0 c)
+         |  WHERE rn = 1),
+         |sums AS (
+         |  SELECT a.cid, t.pos, SUM(a.qv[t.pos]) AS s, COUNT(*) AS c
+         |  FROM assign0 a, UNNEST(generate_series(1, len(a.qv))) AS t(pos)
+         |  GROUP BY a.cid, t.pos),
+         |cent1 AS (
+         |  SELECT cid, list((s - ((s % c) + c) % c) // c ORDER BY pos) AS cqv
+         |  FROM sums GROUP BY cid),
+         |cent AS (
+         |  SELECT cid, cqv,
+         |    CAST(list_sum(list_transform(cqv, x -> x * x)) AS BIGINT) AS cnq
+         |  FROM cent1),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT v.vec_id, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+         |        CAST(CAST(list_sum(list_transform(list_zip(v.qv, c.cqv), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
+         |          / (sqrt(CAST(v.nq AS DOUBLE)) * sqrt(CAST(c.cnq AS DOUBLE))) DESC, c.cid) AS rn
+         |    FROM n v CROSS JOIN cent c)
+         |  WHERE rn = 1)"""
+      .stripMargin
+
   private val core: Seq[QueryDef] = Seq(
 
     // ----------------------------------------------------------------- ANN-1
@@ -267,40 +348,7 @@ object SimilarityQueries {
     // Lloyd rounds repeat the same two steps; one round already separates
     // refined from sampled behavior for the gate.
     QueryDef("ann_ivf_kmeans",
-      s"""WITH n AS (
-         |  SELECT vec_id, $quantSql AS qv,
-         |    CAST(list_sum(list_transform($quantSql, x -> x * x)) AS BIGINT) AS nq
-         |  FROM embeddings),
-         |sp AS (SELECT GREATEST(1, CAST(floor(sqrt(COUNT(*))) AS BIGINT)) AS stride FROM n),
-         |cent0 AS (SELECT vec_id AS cid, qv AS cqv, nq AS cnq FROM n
-         |          WHERE vec_id % (SELECT stride FROM sp) = 0),
-         |assign0 AS (
-         |  SELECT vec_id, cid, qv FROM (
-         |    SELECT v.vec_id, c.cid, v.qv,
-         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
-         |        CAST(CAST(list_sum(list_transform(list_zip(v.qv, c.cqv), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
-         |          / (sqrt(CAST(v.nq AS DOUBLE)) * sqrt(CAST(c.cnq AS DOUBLE))) DESC, c.cid) AS rn
-         |    FROM n v CROSS JOIN cent0 c)
-         |  WHERE rn = 1),
-         |sums AS (
-         |  SELECT a.cid, t.pos, SUM(a.qv[t.pos]) AS s, COUNT(*) AS c
-         |  FROM assign0 a, UNNEST(generate_series(1, len(a.qv))) AS t(pos)
-         |  GROUP BY a.cid, t.pos),
-         |cent1 AS (
-         |  SELECT cid, list((s - ((s % c) + c) % c) // c ORDER BY pos) AS cqv
-         |  FROM sums GROUP BY cid),
-         |cent AS (
-         |  SELECT cid, cqv,
-         |    CAST(list_sum(list_transform(cqv, x -> x * x)) AS BIGINT) AS cnq
-         |  FROM cent1),
-         |assign AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT v.vec_id, c.cid,
-         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
-         |        CAST(CAST(list_sum(list_transform(list_zip(v.qv, c.cqv), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
-         |          / (sqrt(CAST(v.nq AS DOUBLE)) * sqrt(CAST(c.cnq AS DOUBLE))) DESC, c.cid) AS rn
-         |    FROM n v CROSS JOIN cent c)
-         |  WHERE rn = 1),
+      s"""$kmeansAssignSql,
          |probes AS (
          |  SELECT vec_id AS q_id, cid FROM (
          |    SELECT q.vec_id, c.cid,
@@ -321,33 +369,7 @@ object SimilarityQueries {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
          |    ORDER BY cos_sim DESC, n_id) AS rank FROM pairs)
          |SELECT q_id, rank, n_id, cos_sim FROM ranked WHERE rank <= 5""".stripMargin) { (s, dir) =>
-      val n = emb(s, dir).select("vec_id", "qv", "nq")
-      // count the frame already in hand (projection prunes to a metadata
-      // row count) rather than opening a second scan of the table
-      val stride = centroidStride(n.count())
-      val cent0 = n.filter(pmod(col("vec_id"), lit(stride)) === 0)
-        .select(col("vec_id").as("cid"), col("qv").as("c_qv"), col("nq").as("c_nq"))
-      val centCos = expr("long_dot(qv, c_qv)").cast("double") /
-        (sqrt(col("nq").cast("double")) * sqrt(col("c_nq").cast("double")))
-      val wAssign = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("cid"))
-      def argmaxCell(vs: DataFrame, cents: DataFrame, k: Int): DataFrame =
-        vs.crossJoin(broadcast(cents))
-          .withColumn("c_cos", centCos)
-          .withColumn("rn", row_number().over(wAssign))
-          .filter(col("rn") <= k)
-      val assign0 = argmaxCell(n, cent0, 1).select(col("vec_id"), col("cid"))
-      // Lloyd update: exact element-wise floor-mean, one aggregate pass.
-      // persist(): cent feeds the re-assignment AND the probe ranking, and
-      // assign feeds the cell lists — without it each consumer re-executes
-      // the corpus x codebook cross-join + window from scratch
-      val cent = assign0.join(n, "vec_id").groupBy("cid")
-        .agg(graft.functions.VectorExprs.longVecSum(col("qv")).as("s"),
-          count(lit(1)).as("c"))
-        .select(col("cid"),
-          expr("transform(s, x -> (x - ((x % c) + c) % c) div c)").as("c_qv"))
-        .withColumn("c_nq", expr("long_dot(c_qv, c_qv)"))
-        .persist()
-      val assign = argmaxCell(n, cent, 1).select(col("vec_id"), col("cid")).persist()
+      val (n, cent, assign) = kmeansFrames(s, dir)
       val probes = argmaxCell(n.filter(col("vec_id") < 8), cent, 4)
         .select(col("vec_id").as("q_id"), col("cid"))
       val cells = assign.join(n, "vec_id")
@@ -365,6 +387,31 @@ object SimilarityQueries {
         .withColumn("rank", row_number().over(wRank))
         .filter(col("rank") <= 5)
         .select("q_id", "rank", "n_id", "cos_sim")
+    },
+
+    // --------------------------------------------------------------- CLUST-1
+    // K-means document clustering as a DELIVERABLE (topic-bucketing the
+    // corpus for mixture design / per-cluster sampling) rather than as an
+    // ANN index: same exact-integral Lloyd round as ann_ivf_kmeans (shared
+    // kmeansFrames/kmeansAssignSql — the queries cannot drift), summarized
+    // per cluster. The integer membership fingerprints (SUM/MIN of
+    // vec_id) make the oracle sensitive to ANY assignment difference, not
+    // just size drift. Scale: the summary is a map-side-combinable hash
+    // agg over the |V|-row assignment — the Lloyd round's cost dominates,
+    // and that is one broadcast cross-join + one LongVecSum aggregate per
+    // iteration (no per-element explode).
+    QueryDef("c_kmeans",
+      s"""$kmeansAssignSql
+         |SELECT a.cid, COUNT(*) AS n_vecs,
+         |  CAST(SUM(a.vec_id) AS BIGINT) AS sum_vec,
+         |  MIN(a.vec_id) AS min_vec
+         |FROM assign a GROUP BY a.cid""".stripMargin) { (s, dir) =>
+      val (_, _, assign) = kmeansFrames(s, dir)
+      assign.groupBy("cid")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum("vec_id").as("sum_vec"),
+          min("vec_id").as("min_vec"))
+        .select("cid", "n_vecs", "sum_vec", "min_vec")
     },
 
     // ----------------------------------------------------------------- ANN-5

@@ -765,6 +765,41 @@ object TextQueries {
         .join(alloc, "source")
         .filter(col("pick_rank") <= col("n_keep"))
         .select("doc_id", "source", "pick_rank", "n_keep", "source_weight")
+    },
+
+    // --------------------------------------------------------------- TEXT-21
+    // Bigram language model estimation (the KenLM counting core): adjacent
+    // word pairs → count c12, predecessor mass c1, conditional probability
+    // P(w2|w1) = c12/c1; top-100 bigrams. The adjacency expansion happens
+    // INSIDE codegen (indexed transform over the token array — no
+    // positional self-join of an exploded corpus, which would shuffle
+    // |tokens| rows twice); the only corpus-sized exchange is the
+    // map-side-combinable (w1,w2) count. c1 comes from a window over the
+    // aggregated bigram VOCABULARY (≪ corpus), not a second scan, and the
+    // top-k is TakeOrderedAndProject — no global sort materialization.
+    // P is one int/int IEEE division: bit-identical across engines.
+    QueryDef("t_bigram_lm",
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |pairs AS (
+        |  SELECT t[g.i] AS w1, t[g.i + 1] AS w2
+        |  FROM tk, UNNEST(generate_series(1, len(t) - 1)) AS g(i)),
+        |c AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY w1, w2),
+        |p AS (SELECT w1, w2, c12,
+        |  CAST(SUM(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1 FROM c)
+        |SELECT w1, w2, c12, c1, c12 / c1 AS p_cond
+        |FROM p ORDER BY c12 DESC, w1, w2 LIMIT 100""".stripMargin) { (s, dir) =>
+      val pairs = docs(s, dir)
+        .select(explode(expr(
+          """transform(slice(tk, 1, size(tk) - 1),
+            |  (w, i) -> struct(w AS w1, element_at(tk, i + 2) AS w2))"""
+            .stripMargin)).as("pr"))
+        .select("pr.w1", "pr.w2")
+      pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .withColumn("c1", sum("c12").over(Window.partitionBy("w1")))
+        .withColumn("p_cond", col("c12") / col("c1"))
+        .orderBy(col("c12").desc, col("w1"), col("w2"))
+        .limit(100)
+        .select("w1", "w2", "c12", "c1", "p_cond")
     }
   )
 }

@@ -231,11 +231,13 @@ object ExtraQueries {
     // ------------------------------------------------------------------ A18
     // PIVOT: per-user activity matrix — event_type becomes columns, one
     // row per user. The value-type list is EXPLICIT (the 5 fixture types):
-    // with it, Spark pivots inside a single aggregate pass (conditional
-    // aggregates per type — exactly the oracle's FILTER clauses) with NO
-    // values-discovery pre-query, and the output schema is stable however
-    // the data shifts — both properties the 100 TB path needs. Sums run
-    // decimal-exact (shared float-parity convention), counts stay long.
+    // no values-discovery pre-query, and the output schema is stable
+    // however the data shifts — both properties the 100 TB path needs.
+    // With multiple aggregates Spark plans the two-phase rewrite (agg by
+    // (user, type), then PivotFirst by user): two map-side-combinable
+    // exchanges over ever-shrinking data — the skew-friendlier shape,
+    // since the first agg collapses hot users' rows before the second
+    // groups them. Sums run decimal-exact, counts stay long.
     QueryDef("a18_pivot",
       """SELECT user_id,
         |  COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
@@ -260,6 +262,32 @@ object ExtraQueries {
             col("purchase_pv").as("purchase_value")): _*)
         .select("user_id", "n_click", "n_error", "n_purchase",
           "purchase_value", "n_signup", "n_view")
+    },
+
+    // ----------------------------------------------------------------- A18b
+    // UNPIVOT (melt): the pivot's inverse — wide per-doc metrics into long
+    // (doc_id, metric, val) form, the shape metric stores and plotting
+    // pipelines ingest. Spark's native unpivot is a codegen'd Expand (k
+    // output rows per input row, NO shuffle, NO join) — the operator is
+    // scan-shaped at any scale; the only cost is the k× row multiplier the
+    // semantics demand. Metrics are cast to one integral type up front
+    // (unpivot requires a common value type; BIGINT keeps parity exact).
+    QueryDef("a18b_unpivot",
+      """SELECT doc_id, metric, val FROM (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |    CAST(length(text) AS BIGINT) AS n_len,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
+        |  FROM documents)
+        |UNPIVOT (val FOR metric IN (n_chars, n_len, n_ws_tokens))""".stripMargin) {
+      (s, dir) =>
+      Graft.table(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          length(col("text")).cast("long").as("n_len"),
+          size(split(col("text"), " ")).cast("long").as("n_ws_tokens"))
+        .unpivot(Array(col("doc_id")),
+          Array(col("n_chars"), col("n_len"), col("n_ws_tokens")),
+          "metric", "val")
+        .select("doc_id", "metric", "val")
     },
 
     // ------------------------------------------------------------------ A19

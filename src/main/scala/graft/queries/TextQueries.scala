@@ -26,6 +26,36 @@ object TextQueries {
   private val stops = Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
   private val stopsSqlList = stops.map(w => s"'$w'").mkString(", ")
 
+  /** The BM25 scoring SQL (3 literal probe terms, fixed association
+    * t1 + (t2 + t3)) — shared by t_bm25 (full-corpus scan) and
+    * t_bm25s (stored inverted-index probe), which must agree. */
+  private val bm25Sql: String =
+    """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |stats AS (
+        |  SELECT COUNT(*) AS n_docs,
+        |    CAST(SUM(len(tk)) AS BIGINT) AS total_len,
+        |    CAST(SUM(CASE WHEN len(list_filter(tk, x -> x = 'join')) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+        |    CAST(SUM(CASE WHEN len(list_filter(tk, x -> x = 'vector')) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+        |    CAST(SUM(CASE WHEN len(list_filter(tk, x -> x = 'stream')) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df3
+        |  FROM t)
+        |SELECT doc_id,
+        |  tf1 * 2.2::DOUBLE / (tf1 + 1.2::DOUBLE * bden) * ((n_docs - df1 + 0.5::DOUBLE) / (df1 + 0.5::DOUBLE))
+        |  + (tf2 * 2.2::DOUBLE / (tf2 + 1.2::DOUBLE * bden) * ((n_docs - df2 + 0.5::DOUBLE) / (df2 + 0.5::DOUBLE))
+        |  + tf3 * 2.2::DOUBLE / (tf3 + 1.2::DOUBLE * bden) * ((n_docs - df3 + 0.5::DOUBLE) / (df3 + 0.5::DOUBLE))) AS bm25
+        |FROM (
+        |  SELECT doc_id,
+        |    len(list_filter(tk, x -> x = 'join')) AS tf1,
+        |    len(list_filter(tk, x -> x = 'vector')) AS tf2,
+        |    len(list_filter(tk, x -> x = 'stream')) AS tf3,
+        |    0.25::DOUBLE + 0.75::DOUBLE * len(tk) * (SELECT n_docs FROM stats)
+        |      / (SELECT total_len FROM stats) AS bden,
+        |    (SELECT n_docs FROM stats) AS n_docs,
+        |    (SELECT df1 FROM stats) AS df1,
+        |    (SELECT df2 FROM stats) AS df2,
+        |    (SELECT df3 FROM stats) AS df3
+        |  FROM t)""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     // ---------------------------------------------------------------- TEXT-1
@@ -444,31 +474,7 @@ object TextQueries {
     // engines (each * and / a single correctly-rounded IEEE op), with the
     // three per-term scores added in fixed order, never via SUM.
     QueryDef("t_bm25",
-      """WITH t AS (
-        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-        |stats AS (
-        |  SELECT COUNT(*) AS n_docs,
-        |    CAST(SUM(len(tk)) AS BIGINT) AS total_len,
-        |    CAST(SUM(CASE WHEN len(list_filter(tk, x -> x = 'join')) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
-        |    CAST(SUM(CASE WHEN len(list_filter(tk, x -> x = 'vector')) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
-        |    CAST(SUM(CASE WHEN len(list_filter(tk, x -> x = 'stream')) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df3
-        |  FROM t)
-        |SELECT doc_id,
-        |  tf1 * 2.2::DOUBLE / (tf1 + 1.2::DOUBLE * bden) * ((n_docs - df1 + 0.5::DOUBLE) / (df1 + 0.5::DOUBLE))
-        |  + (tf2 * 2.2::DOUBLE / (tf2 + 1.2::DOUBLE * bden) * ((n_docs - df2 + 0.5::DOUBLE) / (df2 + 0.5::DOUBLE))
-        |  + tf3 * 2.2::DOUBLE / (tf3 + 1.2::DOUBLE * bden) * ((n_docs - df3 + 0.5::DOUBLE) / (df3 + 0.5::DOUBLE))) AS bm25
-        |FROM (
-        |  SELECT doc_id,
-        |    len(list_filter(tk, x -> x = 'join')) AS tf1,
-        |    len(list_filter(tk, x -> x = 'vector')) AS tf2,
-        |    len(list_filter(tk, x -> x = 'stream')) AS tf3,
-        |    0.25::DOUBLE + 0.75::DOUBLE * len(tk) * (SELECT n_docs FROM stats)
-        |      / (SELECT total_len FROM stats) AS bden,
-        |    (SELECT n_docs FROM stats) AS n_docs,
-        |    (SELECT df1 FROM stats) AS df1,
-        |    (SELECT df2 FROM stats) AS df2,
-        |    (SELECT df3 FROM stats) AS df3
-        |  FROM t)""".stripMargin) { (s, dir) =>
+      bm25Sql) { (s, dir) =>
       val terms = Seq("join", "vector", "stream")
       val t = docs(s, dir).select(col("doc_id"), col("tk"))
       def tf(term: String) = expr(s"size(filter(tk, x -> x = '$term'))")
@@ -800,6 +806,33 @@ object TextQueries {
         .orderBy(col("c12").desc, col("w1"), col("w2"))
         .limit(100)
         .select("w1", "w2", "c12", "c1", "p_cond")
+    },
+
+    // --------------------------------------------------------------- TEXT-22
+    // The PERSISTED inverted-index form of t_bm25 (pipeline/TextIndexStore —
+    // AnnStore's stored-serving idiom applied to lexical retrieval): the
+    // postings table is bucketed on term, a probe's `term IN (...)` prunes
+    // buckets at planning time, per-term df is a window over the PRUNED
+    // posting lists, and scoring reproduces t_bm25's arithmetic exactly —
+    // so the stored path sits under the same oracle restricted to documents
+    // containing at least one probe term (bm25 > 0 ⟺ some tf > 0: every
+    // present-term contribution is strictly positive in this non-log idf
+    // variant), top-20. Store cache keyed on the source data version, like
+    // the dedup and ANN stores: a regenerated documents.parquet rebuilds.
+    QueryDef("t_bm25s",
+      s"""WITH base AS ($bm25Sql)
+         |SELECT doc_id, bm25 FROM base WHERE bm25 > 0
+         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      val src = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+      val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val fp = java.lang.Long.toHexString(
+        fs.listStatus(src).map(st => st.getLen + st.getModificationTime).sum)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_text_store/v1/" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_") + s"_$fp"
+      graft.pipeline.TextIndexStore.ensureBuilt(s, root,
+        Graft.table(s, dir, "documents"))
+      graft.pipeline.TextIndexStore.probe(s, root,
+        Seq("join", "vector", "stream"), k = 20)
     }
   )
 }

@@ -1,0 +1,63 @@
+package graft
+
+import graft.pipeline.TextIndexStore
+import org.apache.spark.sql.functions._
+
+/** The persisted inverted index: a stored-index probe must reproduce the
+  * full-corpus BM25 ranking, the postings scan must plan bucket-pruned to
+  * the probed terms, and document admission must be O(delta) + replay-safe
+  * (the AnnStore contract applied to text). */
+class TextIndexStoreSpec extends SparkSpec {
+
+  private val terms = Seq("join", "vector", "stream")
+  private def documents = graft.core.Graft.table(spark, sf, "documents")
+
+  test("stored probe == full-corpus t_bm25 top-20, and rebuild is a no-op") {
+    val inline = SparkEntry.queries("t_bm25")(spark, sf)
+      .filter(col("bm25") > 0)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+      .collect().toSeq
+    val root = tmpDir("text-store-eq")
+    assert(TextIndexStore.ensureBuilt(spark, root, documents))
+    val stored = TextIndexStore.probe(spark, root, terms, k = 20).collect().toSeq
+    assert(stored == inline,
+      "persisted inverted-index probe diverged from the full-corpus query")
+    assert(!TextIndexStore.ensureBuilt(spark, root,
+      { fail("corpus must not be re-tokenized when the store exists"); documents }))
+  }
+
+  test("probe scan is bucket-pruned to the probed terms") {
+    val root = tmpDir("text-store-prune")
+    TextIndexStore.ensureBuilt(spark, root, documents)
+    val out = TextIndexStore.probe(spark, root, terms)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    val m = """SelectedBucketsCount: (\d+) out of (\d+)""".r.findFirstMatchIn(plan)
+    assert(m.isDefined, s"no bucket pruning in probe plan:\n$plan")
+    val (sel, tot) = (m.get.group(1).toInt, m.get.group(2).toInt)
+    assert(sel < tot, s"probe scanned every bucket ($sel of $tot)")
+  }
+
+  test("appendDocuments is O(delta), stats-correct, and replay-safe") {
+    val root = tmpDir("text-store-append")
+    val maxId = documents.agg(max("doc_id")).head.getLong(0)
+    val cut = maxId * 4 / 5
+    TextIndexStore.ensureBuilt(spark, root, documents.filter(col("doc_id") <= cut))
+    val before = spark.table(TextIndexStore.postingsTable(root)).count()
+    val delta = documents.filter(col("doc_id") > cut)
+    TextIndexStore.appendDocuments(spark, root, delta)
+    val after = spark.table(TextIndexStore.postingsTable(root)).count()
+    assert(after > before, "delta postings must land")
+    // replayed delivery: postings must not duplicate (a duplicate would
+    // double tf contributions in every probe of those terms)
+    TextIndexStore.appendDocuments(spark, root, delta)
+    assert(spark.table(TextIndexStore.postingsTable(root)).count() == after,
+      "replayed append must be a no-op")
+    // steady state ≡ fresh full build: same stats, same probe answer
+    val fullRoot = tmpDir("text-store-full")
+    TextIndexStore.ensureBuilt(spark, fullRoot, documents)
+    val inc = TextIndexStore.probe(spark, root, terms, k = 20).collect().toSeq
+    val full = TextIndexStore.probe(spark, fullRoot, terms, k = 20).collect().toSeq
+    assert(inc == full, "incrementally-built index diverged from full rebuild")
+  }
+}

@@ -69,7 +69,11 @@ object TextIndexStore {
     val docs = documents.select(col("doc_id"), col("text"))
     val stats = docs
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
-      .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
+      // coalesce: a stream bootstraps the store from an EMPTY frame (sum
+      // over nothing is null, and a null total_len would poison the first
+      // real stats merge)
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum("dl"), lit(0L)).as("total_len"))
     Lakehouse.ctas(stats, statsPath(root))
     Lakehouse.ctasBucketed(toPostings(docs), postingsTable(root), "term", Buckets,
       sortCols = Seq("term"), path = Some(postingsPath(root)))

@@ -314,6 +314,57 @@ object ExtraQueries {
           col("event_type"), col("n"), col("value_sum"))
     },
 
+    // ------------------------------------------------------------------ W17
+    // RANGE-framed trailing time window: per event, the count/sum/avg of
+    // the user's activity in the PRECEDING HOUR — the sliding-window
+    // velocity feature (tx-per-hour risk signals) that tumbling buckets
+    // (a19) can't express because every row anchors its own window. RANGE
+    // (not ROWS) so equal-timestamp peers always share a frame. One
+    // user_id exchange + one ordered-frame pass; at 100 TB the frame state
+    // is bounded by the hour's events per user, and whale users are the
+    // same straggler shape the skew notes cover (cap or exclude). The avg
+    // is the exact decimal sum / exact count in ONE IEEE division.
+    QueryDef("w17_range_frame",
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  COUNT(*) OVER w AS n_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+        |    AS value_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+        |    / (COUNT(*) OVER w) AS avg_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin) {
+      (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+        .rangeBetween(-3600000000L, 0)
+      val vsum = sum(col("value").cast("decimal(38,6)")).over(w).cast("double")
+      events(s, dir).select(
+        col("event_id"), col("user_id"), col("ts_us"),
+        count(lit(1)).over(w).as("n_1h"),
+        vsum.as("value_1h"),
+        (vsum / count(lit(1)).over(w)).as("avg_1h"))
+    },
+
+    // ------------------------------------------------------------------ A21
+    // String aggregation: the per-group CSV roster (dataset-card "sources
+    // present per language" cell). Portability pins the semantics to a
+    // DETERMINISTIC form — distinct, sorted, fixed separator: Spark
+    // builds it as concat_ws over a sorted collect_set (ObjectHashAgg with
+    // bounded per-group state), DuckDB as string_agg(DISTINCT .. ORDER BY)
+    // — an order-UNSPECIFIED listagg would be a different string per run
+    // at any parallelism.
+    QueryDef("a21_stringagg",
+      """SELECT lang,
+        |  string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
+        |  COUNT(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY lang""".stripMargin) { (s, dir) =>
+      Graft.table(s, dir, "documents")
+        .groupBy("lang")
+        .agg(
+          concat_ws(",", array_sort(collect_set(col("source")))).as("sources"),
+          countDistinct(col("source")).as("n_sources"))
+    },
+
     // -------------------------------------------------------------- SKETCH-4
     // HyperLogLog cardinality sketch (m=64 registers): the industry-default
     // distinct counter at 100 TB — per group the sketch is 64 six-bit

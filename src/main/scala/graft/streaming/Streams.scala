@@ -270,6 +270,32 @@ object Streams {
       }
       .start()
 
+  /** Streaming inverted-index ingestion — the live twin of
+    * [[graft.pipeline.TextIndexStore.appendDocuments]]: each micro-batch of
+    * documents is tokenized and bucket-appended to the persisted postings
+    * table, and the collection stats fold forward, so BM25 probes against
+    * the store see the stream's documents with no rebuild. Per-batch cost
+    * is O(batch tokens); replay (checkpoint recovery) is a no-op through
+    * the store's doc_id anti-join, so postings can never double-count a
+    * re-delivered batch's term frequencies. */
+  def textIndexIngestion(
+      docs: DataFrame,
+      root: String,
+      checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        if (!batch0.isEmpty) {
+          val spark = batch0.sparkSession
+          import graft.pipeline.TextIndexStore
+          // bootstrap an empty index on the very first batch
+          TextIndexStore.ensureBuilt(spark, root, batch0.filter(lit(false)))
+          TextIndexStore.appendDocuments(spark, root, batch0)
+        }
+      }
+      .start()
+
   /** KMV sketch entry / state / output for [[kmvDistinct]]. Public: the
     * state encoder's generated code needs constructor access. */
   case class KmvEntry(h: String, seg: String)

@@ -60,4 +60,34 @@ class TextIndexStoreSpec extends SparkSpec {
     val full = TextIndexStore.probe(spark, fullRoot, terms, k = 20).collect().toSeq
     assert(inc == full, "incrementally-built index diverged from full rebuild")
   }
+
+  test("streaming ingestion builds the same index as one batch build") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val root = tmpDir("text-store-stream")
+    val ckpt = tmpDir("text-store-stream-ck")
+    val rows = Seq(
+      1L -> "join the vector stream now",
+      2L -> "vector vector stream",
+      3L -> "plain text with no probes",
+      4L -> "join join join",
+      5L -> "stream of words")
+    val q = graft.streaming.Streams.textIndexIngestion(
+      docs.toDF().toDF("doc_id", "text"), root, ckpt)
+    try {
+      docs.addData(rows.take(2): _*); q.processAllAvailable()
+      docs.addData(rows.drop(2): _*); q.processAllAvailable()
+      // replayed delivery: index unchanged
+      val before = spark.table(TextIndexStore.postingsTable(root)).count()
+      docs.addData(rows.drop(2): _*); q.processAllAvailable()
+      assert(spark.table(TextIndexStore.postingsTable(root)).count() == before)
+    } finally q.stop()
+    val batchRoot = tmpDir("text-store-batch")
+    TextIndexStore.ensureBuilt(spark, batchRoot, rows.toDF("doc_id", "text"))
+    val streamed = TextIndexStore.probe(spark, root, terms, k = 5).collect().toSeq
+    val batch = TextIndexStore.probe(spark, batchRoot, terms, k = 5).collect().toSeq
+    assert(streamed == batch, "streamed index diverged from one-shot build")
+  }
 }

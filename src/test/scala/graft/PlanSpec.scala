@@ -118,6 +118,36 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), p)
   }
 
+  test("cube/grouping-sets expand inside one aggregate pass (one exchange)") {
+    for (q <- Seq("a12b_cube", "a12c_gsets")) {
+      val p = planString(q)
+      assert(p.contains("Expand"), s"$q: no Expand\n$p")
+      assert(countOccurrences(p, "Exchange hashpartitioning") == 1, s"$q:\n$p")
+    }
+  }
+
+  test("a18b_unpivot is scan-shaped: an Expand, no shuffle at all") {
+    val p = planString("a18b_unpivot")
+    assert(p.contains("Expand"), p)
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("a19_tumble buckets inside one hash-agg exchange") {
+    val p = planString("a19_tumble")
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 1, p)
+  }
+
+  test("t_bigram_lm takes its top-k without materializing a global sort") {
+    val p = planString("t_bigram_lm")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("w17_range_frame runs count/sum/avg on ONE user exchange and window") {
+    val p = planString("w17_range_frame")
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 1, p)
+    assert(countOccurrences(p, "Window") == 1, p)
+  }
+
   test("no query in the inventory plans a CartesianProduct") {
     // every deliberate cross join in the inventory is against a bounded
     // broadcast side (1-row scalars, centroid codebooks) and must compile

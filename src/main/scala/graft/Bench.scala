@@ -71,10 +71,7 @@ object Bench {
     // (>3x AND >0.5s absolute — micro-query jitter is not an outlier)
     // gets ONE re-run and reports the min: a transient host artifact
     // (page-cache eviction, a background compile) vanishes on the retry,
-    // a real regression reproduces and stays in the record. Capped at the
-    // 8 slowest suspects — if MORE than that moved 3x, the host is
-    // systematically slower and re-running everything would just double
-    // the wall-clock to confirm it.
+    // a real regression reproduces and stays in the record.
     val history: Map[String, Double] =
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
@@ -83,10 +80,23 @@ object Bench {
         val tail = txt.substring(math.max(0, txt.indexOf("\"queries\"")))
         kv.findAllMatchIn(tail).map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
+    // Re-run budget: round 8's record had 15 queries >3x history under a
+    // cap of 8, while the MEDIAN query sat at 1.0x — i.e. the host was NOT
+    // globally slower, the movers were individual page-cache/GC artifacts,
+    // and the cap let 7 inflated values into the official record. So the
+    // cap now keys on the median inflation: median ~1.0 -> every mover
+    // re-runs (each retry is cheap next to a 3x-17x phantom); median
+    // itself elevated -> whole host is slower, re-running everything would
+    // only re-measure the slow host, keep the old cap of 8.
+    val ratios = first.collect {
+      case (n, t) if t > 0 && history.get(n).exists(_ > 0) => t / history(n)
+    }.sorted
+    val medianRatio = if (ratios.isEmpty) 1.0 else ratios(ratios.size / 2)
+    val moverCap = if (medianRatio <= 1.3) Int.MaxValue else 8
     val suspects = first
       .filter { case (n, t) =>
         t > 0 && history.get(n).exists(h => h > 0 && t > 3 * h && t - h > 0.5) }
-      .sortBy(-_._2).take(8).map(_._1).toSet
+      .sortBy(-_._2).take(moverCap).map(_._1).toSet
     val results = first.map { case (n, t) =>
       if (!suspects(n)) n -> t
       else {

@@ -62,10 +62,40 @@ object Graft {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   /** Read one synthetic table from an sf directory. Plain parquet scan —
-    * column pruning + predicate pushdown happen in the consumer's plan.
+    * column pruning + predicate pushdown happen in the consumer's plan —
+    * plus width canonicalization for the id columns the engine reads back
+    * as driver scalars (see [[canonicalize]]).
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    canonicalize(spark.read.parquet(s"$sfDir/$name.parquet"), name)
+
+  /** Id columns the engine consumes as 64-bit driver scalars (watermark
+    * fetches like `agg(max("doc_id")).head.getLong(0)`) or as join keys
+    * whose arithmetic assumes BIGINT. The fixture has drifted encodings
+    * before (events.ts, round 7); if a regeneration narrows these to
+    * int32, every getLong would throw mid-query. */
+  private val canonicalLongCols: Map[String, Seq[String]] = Map(
+    "documents" -> Seq("doc_id", "n_chars"),
+    "embeddings" -> Seq("vec_id"),
+    "events" -> Seq("event_id", "user_id"))
+
+  /** Widen drifted integral id columns back to LongType. A no-op (no added
+    * projection, the plan stays the bare scan) while the stored type
+    * already IS int64 — the adaptive-loader discipline `events.ts`
+    * established, applied to the id columns. Element-type drift on
+    * `embeddings.embedding` (float32 vs float64) needs no loader help:
+    * every consumer quantizes through an explicit `cast(x as double)`
+    * (EmbeddingParity.quantExpr). */
+  private def canonicalize(df: DataFrame, name: String): DataFrame =
+    canonicalLongCols.get(name) match {
+      case Some(cols) =>
+        val drifted = cols.filter(c =>
+          df.schema.fieldNames.contains(c) &&
+            df.schema(c).dataType != LongType &&
+            Seq[DataType](IntegerType, ShortType, ByteType).contains(df.schema(c).dataType))
+        drifted.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(LongType)))
+      case None => df
+    }
 
   /** `events` with the canonical microsecond-epoch column `ts_us` appended.
     *
@@ -80,6 +110,25 @@ object Graft {
     */
   def events(spark: SparkSession, sfDir: String): DataFrame =
     withEpochUs(table(spark, sfDir, "events"), "ts", "ts_us", table = "events")
+
+  /** Content-version fingerprint of a table directory for keying persisted
+    * serving stores (AnnStore / DedupStore / TextIndexStore roots): md5
+    * over the ORDERED (name, length, mtime) file tuples, metadata-only.
+    * The previous scheme SUMMED length+mtime per file, which is additive —
+    * two regenerations that swap sizes while preserving the sum collide,
+    * and a collision silently serves a STALE index for the new data. A
+    * hash of the ordered tuples cannot collide that way.
+    */
+  def dataFingerprint(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(p).map(st =>
+        s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("\n")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(parts.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(16)
+  }
 
   /** Append `asCol` = epoch-microseconds of `tsCol`, adapting to how the
     * writer stored it. Unknown types fail loudly with the table/column/type

@@ -704,17 +704,24 @@ object Lakehouse {
   // file's parquet footer min/max on BOTH columns is tight and a 2-d
   // range predicate can skip most files from metadata alone.
 
-  /** Morton interleave of two 10-bit bin columns (codegen'd bit ops —
-    * no UDF): bit i of `bx` lands at position 2i, bit i of `by` at 2i+1. */
-  private def morton10(bx: Column, by: Column): Column =
-    (0 until 10).map { i =>
-      shiftleft(shiftright(bx, i).bitwiseAND(lit(1L)), 2 * i)
-        .bitwiseOR(shiftleft(shiftright(by, i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }.reduce(_ bitwiseOR _)
+  /** Morton interleave of k `bits`-bit bin columns (codegen'd bit ops —
+    * no UDF): bit i of dimension d lands at position i*k + d, so the 2-d
+    * case reproduces the classic (x at 2i, y at 2i+1) code exactly. */
+  private def mortonK(bins: Seq[Column], bits: Int): Column =
+    (for { i <- 0 until bits; d <- bins.indices } yield
+      shiftleft(shiftright(bins(d), i).bitwiseAND(lit(1L)), i * bins.size + d))
+      .reduce(_ bitwiseOR _)
 
-  /** Equi-DEPTH 1024-way bin of a numeric column: rank of x among the
-    * 1023 approxQuantile cut points, computed as a codegen'd fold over a
-    * literal array (O(1024) comparisons per row — noise next to the
+  /** Bits per dimension for a k-d Morton code: 10 bits (1024 bins) while
+    * the interleave fits a signed 64-bit long, fewer beyond 6 dims.
+    * Resolution loss at high k is inherent to z-ordering (each extra
+    * dimension dilutes per-dimension locality) — the read path stays
+    * correct at ANY resolution because pruning consults footer stats. */
+  private def zBits(k: Int): Int = math.min(10, 63 / k)
+
+  /** Equi-DEPTH bin of a numeric column: rank of x among the
+    * approxQuantile cut points, computed as a codegen'd fold over a
+    * literal array (O(bins) comparisons per row — noise next to the
     * write's I/O; no UDF, no join). Equi-depth is what makes the Morton
     * rectangles carry equal ROW counts per bin, so a heavily skewed
     * dimension (amounts, balances — the common case) still yields tight
@@ -722,51 +729,65 @@ object Lakehouse {
     * full domain. An equi-width fallback covers the no-spread case, and
     * the read path is correct under ANY binning (pruning consults the
     * files' OWN footer stats, never the binning). */
-  private def binEquiDepth(c: String, cuts: Array[Double]): Column =
+  private def binEquiDepth(c: String, cuts: Array[Double], maxBin: Long): Column =
     if (cuts.isEmpty) lit(0L)
     else {
       val arr = typedlit(cuts)
-      least(lit(1023L),
+      least(lit(maxBin),
         aggregate(arr, lit(0L), (acc, b) =>
           acc + when(col(c).cast("double") >= b, lit(1L)).otherwise(lit(0L))))
     }
 
-  /** Z-order clustered write: equi-depth-bin both dimensions (cut points
-    * from ONE approxQuantile sketch pass over both columns — the same
-    * machinery a cluster-scale OPTIMIZE job would use; duplicate
-    * quantiles collapse to one cut, costing bin resolution only where
-    * the data has no spread), range-partition on the Morton code (one
-    * shuffle — the range partitioner's sample pass is the same cost
+  /** k-dimensional z-order clustered write: equi-depth-bin every
+    * dimension (cut points from ONE approxQuantile sketch pass over all k
+    * columns — the same machinery a cluster-scale OPTIMIZE job would use;
+    * duplicate quantiles collapse to one cut, costing bin resolution only
+    * where the data has no spread), range-partition on the Morton code
+    * (one shuffle — the range partitioner's sample pass is the same cost
     * structure as any sort-based write), sort within partitions so row
-    * groups inside a file are rectangles too, and write plain parquet.
-    */
-  def writeZOrdered(df: DataFrame, path: String, cx: String, cy: String,
+    * groups inside a file are hyper-rectangles too, and write plain
+    * parquet. Delta/Iceberg's OPTIMIZE ZORDER BY (c1, ..., ck) on plain
+    * files. */
+  def writeZOrderedK(df: DataFrame, path: String, cols: Seq[String],
       numFiles: Int = 32): Unit = {
-    val prepped = df
-      .withColumn(s"__zd_$cx", col(cx).cast("double"))
-      .withColumn(s"__zd_$cy", col(cy).cast("double"))
-    val probs = (1 until 1024).map(_ / 1024.0).toArray
+    require(cols.size >= 2, s"z-order needs >= 2 dimensions (got $cols); " +
+      "one dimension is a plain sort")
+    val bits = zBits(cols.size)
+    val nBins = 1L << bits
+    val prepped = cols.foldLeft(df)((d, c) =>
+      d.withColumn(s"__zd_$c", col(c).cast("double")))
+    val probs = (1L until nBins).map(_ / nBins.toDouble).toArray
     val cuts = prepped.stat.approxQuantile(
-      Array(s"__zd_$cx", s"__zd_$cy"), probs, 0.001)
-    val z = morton10(binEquiDepth(s"__zd_$cx", cuts(0).distinct.sorted),
-      binEquiDepth(s"__zd_$cy", cuts(1).distinct.sorted))
-    prepped.withColumn("__z", z)
-      .repartitionByRange(numFiles, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z").drop(s"__zd_$cx").drop(s"__zd_$cy")
+      cols.map(c => s"__zd_$c").toArray, probs, 0.001)
+    val z = mortonK(
+      cols.zipWithIndex.map { case (c, i) =>
+        binEquiDepth(s"__zd_$c", cuts(i).distinct.sorted, nBins - 1) },
+      bits)
+    cols.foldLeft(
+        prepped.withColumn("__z", z)
+          .repartitionByRange(numFiles, col("__z"))
+          .sortWithinPartitions("__z")
+          .drop("__z"))((d, c) => d.drop(s"__zd_$c"))
       .write.mode(SaveMode.Overwrite).option("compression", "snappy").parquet(path)
   }
 
-  /** Per-file [min, max] zone maps for two columns, read from parquet
+  /** 2-d z-order write — the common (wallet x time / user x amount)
+    * shape, delegating to the k-d core. */
+  def writeZOrdered(df: DataFrame, path: String, cx: String, cy: String,
+      numFiles: Int = 32): Unit =
+    writeZOrderedK(df, path, Seq(cx, cy), numFiles)
+
+  /** Per-file [min, max] zone maps for k columns, read from parquet
     * FOOTERS only — KB-scale metadata I/O, zero data pages. A file whose
-    * stats are absent for either column maps to (-inf, +inf): never
-    * pruned, so correctness cannot depend on stats quality. At 100 TB the
-    * same numbers come from the table format's manifests (Delta add-file
-    * stats, Iceberg datafile bounds) instead of per-file footer reads —
-    * this is the manifest-free expression of the same design.
+    * stats are absent for a column maps to (-inf, +inf) on that column:
+    * never pruned, so correctness cannot depend on stats quality. At
+    * 100 TB the same numbers come from the table format's manifests
+    * (Delta add-file stats, Iceberg datafile bounds) instead of per-file
+    * footer reads — this is the manifest-free expression of the same
+    * design.
     */
-  def zoneMap(spark: SparkSession, path: String, cx: String, cy: String)
-      : Seq[(String, (Double, Double), (Double, Double))] = {
+  def zoneMapK(spark: SparkSession, path: String, cols: Seq[String])
+      : Seq[(String, Seq[(Double, Double)])] = {
     val hp = new org.apache.hadoop.fs.Path(path)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = hp.getFileSystem(conf)
@@ -794,10 +815,15 @@ object Lakehouse {
             (Double.NegativeInfinity, Double.PositiveInfinity)
           else (mins.flatten.min, maxs.flatten.max)
         }
-        (f.getPath.toString, range(cx), range(cy))
+        (f.getPath.toString, cols.map(range))
       } finally reader.close()
     }
   }
+
+  /** 2-d zone map — delegates to the k-d core. */
+  def zoneMap(spark: SparkSession, path: String, cx: String, cy: String)
+      : Seq[(String, (Double, Double), (Double, Double))] =
+    zoneMapK(spark, path, Seq(cx, cy)).map { case (f, Seq(rx, ry)) => (f, rx, ry) }
 
   /** S11, Z-order flavor: OPTIMIZE ZORDER BY — rewrite a table clustered
     * on the Morton code of two dimensions, file count sized from the
@@ -808,7 +834,7 @@ object Lakehouse {
     * swap and same bucketed-layout refusal as [[compact]] (z-ordering
     * writes plain file names, which would orphan a bucketed catalog
     * entry). */
-  def compactZOrdered(spark: SparkSession, path: String, cx: String, cy: String,
+  def compactZOrderedK(spark: SparkSession, path: String, cols: Seq[String],
       targetFileMB: Int = 256): Unit = {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -819,10 +845,15 @@ object Lakehouse {
     val bytes = fs.getContentSummary(hp).getLength
     val nFiles = math.max(1, (bytes / (targetFileMB.toLong << 20)).toInt)
     val staging = path.stripSuffix("/") + ".compact"
-    writeZOrdered(read(spark, path), staging, cx, cy, nFiles)
+    writeZOrderedK(read(spark, path), staging, cols, nFiles)
     fs.delete(hp, true)
     fs.rename(new org.apache.hadoop.fs.Path(staging), hp)
   }
+
+  /** 2-d OPTIMIZE ZORDER — delegates to the k-d core. */
+  def compactZOrdered(spark: SparkSession, path: String, cx: String, cy: String,
+      targetFileMB: Int = 256): Unit =
+    compactZOrderedK(spark, path, Seq(cx, cy), targetFileMB)
 
   // ---------------------------------------------------------------- EVOLUTION
   /** Schema-evolved append: new columns may appear over a table's life
@@ -938,20 +969,23 @@ object Lakehouse {
     doomed
   }
 
-  /** Zone-map pruned 2-d range read: keep only the files whose
-    * [min, max] boxes intersect the predicate box, then apply the exact
-    * predicate as a residual filter (pruning is a file-list optimization,
-    * never a semantic one — the result is identical to a full scan with
-    * the same filter, which is what ZOrderSpec pins). */
-  def readZPruned(spark: SparkSession, path: String,
-      cx: String, xlo: Double, xhi: Double,
-      cy: String, ylo: Double, yhi: Double): DataFrame = {
-    val kept = zoneMap(spark, path, cx, cy).collect {
-      case (file, (xmin, xmax), (ymin, ymax))
-          if xmax >= xlo && xmin <= xhi && ymax >= ylo && ymin <= yhi => file
+  /** Zone-map pruned k-d box read: keep only the files whose per-column
+    * [min, max] boxes intersect the predicate box on EVERY dimension, then
+    * apply the exact predicate as a residual filter (pruning is a
+    * file-list optimization, never a semantic one — the result is
+    * identical to a full scan with the same filter, which is what
+    * ZOrderSpec and the z3_pruned_scan oracle pin). `box` is
+    * (column, lo, hi) per pruned dimension. */
+  def readZPrunedK(spark: SparkSession, path: String,
+      box: Seq[(String, Double, Double)]): DataFrame = {
+    require(box.nonEmpty, "at least one pruning dimension")
+    val kept = zoneMapK(spark, path, box.map(_._1)).collect {
+      case (file, ranges)
+          if ranges.zip(box).forall { case ((mn, mx), (_, lo, hi)) =>
+            mx >= lo && mn <= hi } => file
     }
-    val residual = col(cx).cast("double").between(xlo, xhi) &&
-      col(cy).cast("double").between(ylo, yhi)
+    val residual = box.map { case (c, lo, hi) =>
+      col(c).cast("double").between(lo, hi) }.reduce(_ && _)
     if (kept.isEmpty)
       // preserve the schema without reading data: full listing, impossible filter
       read(spark, path).filter(lit(false))
@@ -962,4 +996,10 @@ object Lakehouse {
       spark.read.schema(schema).parquet(kept: _*).filter(residual)
     }
   }
+
+  /** 2-d pruned read — delegates to the k-d core. */
+  def readZPruned(spark: SparkSession, path: String,
+      cx: String, xlo: Double, xhi: Double,
+      cy: String, ylo: Double, yhi: Double): DataFrame =
+    readZPrunedK(spark, path, Seq((cx, xlo, xhi), (cy, ylo, yhi)))
 }

@@ -27,8 +27,15 @@ object Curation {
 
   /** kept: surviving docs with (source_rank, n_tokens, chunk_id);
     * dropped: (doc_id, stage, reason); report: per-(stage, reason) counts +
-    * the kept row. */
-  case class CurationResult(kept: DataFrame, dropped: DataFrame, report: DataFrame)
+    * the kept row. `caches` are the inter-stage persisted frames the three
+    * outputs read through — the in-session stand-ins for the lake tables a
+    * production funnel writes between stages. The CALLER owns their
+    * lifetime: materialize whatever outputs it needs, then `release()`
+    * (the repo-wide cache discipline — CacheDisciplineSpec). */
+  case class CurationResult(kept: DataFrame, dropped: DataFrame, report: DataFrame,
+      caches: Seq[DataFrame] = Nil) {
+    def release(): Unit = caches.foreach(_.unpersist())
+  }
 
   private val stops = Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
   private val stopsSqlList = stops.map(w => s"'$w'").mkString(", ")
@@ -62,10 +69,12 @@ object Curation {
 
   /** Near-dup victims among `docs`: the larger doc_id of every verified
     * pair (keep-one-per-group without connected components). */
-  private def nearDupVictims(docs: DataFrame, jaccardMin: Double): DataFrame = {
+  private def nearDupVictims(docs: DataFrame, jaccardMin: Double): (DataFrame, DataFrame) = {
     graft.functions.VectorExprs.register(docs.sparkSession)
     // persist: the candidate join consumes the band rows on BOTH sides —
-    // without it the signature pass (explode + 8-way min groupBy) runs twice
+    // without it the signature pass (explode + 8-way min groupBy) runs twice.
+    // The handle is returned so the caller releases it once the victims are
+    // materialized (the victims frame is lazy — see curate's stage 3).
     val b = bands(docs).persist()
     val cand = b.select(col("doc_id").as("a_id"), col("band"), col("bh"))
       .join(b.select(col("doc_id").as("b_id"), col("band").as("band2"), col("bh").as("bh2")),
@@ -76,11 +85,12 @@ object Curation {
         |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1),
         |                 element_at(tk, i + 2)))), s -> xxhash64(s)))""".stripMargin).as("hs"))
     val inter = expr("sorted_intersect_count(a_hs, b_hs)")
-    cand
+    val victims = cand
       .join(hsh.select(col("doc_id").as("a_id"), col("hs").as("a_hs")), "a_id")
       .join(hsh.select(col("doc_id").as("b_id"), col("hs").as("b_hs")), "b_id")
       .filter(inter / (size(col("a_hs")) + size(col("b_hs")) - inter) >= jaccardMin)
       .select(col("b_id").as("doc_id")).distinct()
+    (victims, b)
   }
 
   private val shingleExpr = expr(
@@ -136,7 +146,12 @@ object Curation {
     // With a store, victims come from the persisted-index admission
     // instead — same construction, plus cross-batch duplicates.
     val victims = dedupStore match {
-      case None => nearDupVictims(afterExact, jaccardMin).persist()
+      case None =>
+        val (v0, bandCache) = nearDupVictims(afterExact, jaccardMin)
+        val v = v0.persist()
+        v.count() // materialize so the band-rows cache can release now
+        bandCache.unpersist()
+        v
       case Some(root) =>
         val spark = docs.sparkSession
         DedupStore.ensureBuilt(spark, root, afterExact.filter(lit(false)))
@@ -153,8 +168,8 @@ object Curation {
       .select(col("doc_id"), lit("near_dedup").as("stage"), lit("near_duplicate").as("reason"))
 
     // 3b. decontamination vs the held-out benchmark (when provided)
-    val (afterContam, dropContam) = benchmark match {
-      case None => (afterNear, None)
+    val (afterContam, dropContam, contamCache) = benchmark match {
+      case None => (afterNear, None, None)
       case Some(b) =>
         val benchShingles = b.withColumn("tk", split(col("text"), " "))
           .filter(size(col("tk")) >= 3)
@@ -168,7 +183,8 @@ object Curation {
           .select("doc_id").persist()
         (afterNear.join(contaminated, Seq("doc_id"), "left_anti"),
           Some(contaminated.select(col("doc_id"),
-            lit("contamination").as("stage"), lit("benchmark_overlap").as("reason"))))
+            lit("contamination").as("stage"), lit("benchmark_overlap").as("reason"))),
+          Some(contaminated))
     }
 
     // 4. per-source cap, longest preferred (WindowGroupLimit shape)
@@ -207,6 +223,7 @@ object Curation {
     val report = dropped.groupBy("stage", "reason").agg(count(lit(1)).as("n_docs"))
       .unionByName(kept.select(lit("kept").as("stage"), lit("kept").as("reason"))
         .groupBy("stage", "reason").agg(count(lit(1)).as("n_docs")))
-    CurationResult(kept, dropped, report)
+    CurationResult(kept, dropped, report,
+      caches = Seq(judged, exact, victims, ranked) ++ contamCache.toSeq)
   }
 }

@@ -10,7 +10,9 @@ import org.apache.spark.sql.functions._
   * scanning every document per query batch; a serving deployment builds the
   * index ONCE and each query touches only its terms' posting lists:
   *
-  *   - stats    (n_docs, total_len)            1-row parquet, broadcast.
+  *   - stats    (n_docs, total_len)            1-row parquet, broadcast —
+  *     stamped with a postings-directory snapshot so a crash between the
+  *     two admission writes is detected and repaired ([[currentStats]]).
   *   - postings (term, doc_id, tf, dl)         [[Lakehouse.ctasBucketed]]
   *     on `term`, sorted by term — a probe's `term IN (...)` filter prunes
   *     whole buckets at planning time (SelectedBucketsCount), so the scan
@@ -57,9 +59,71 @@ object TextIndexStore {
       .select("term", "doc_id", "tf", "dl")
   }
 
+  /** Snapshot of the postings directory (data-file count, total bytes) —
+    * recorded INSIDE the stats row at write time. Postings and stats are
+    * two non-atomic filesystem actions; the snapshot is what makes a crash
+    * between them detectable: stale-snapshot stats are rebuilt from the
+    * postings themselves ([[currentStats]]) instead of silently serving
+    * undercounted n_docs/total_len (which would skew every probe's bden/
+    * idf forever — the doc_id anti-join means replay never repairs it). */
+  private def postingsDirState(spark: SparkSession, root: String): (Long, Long) = {
+    val p = new org.apache.hadoop.fs.Path(postingsPath(root))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) (0L, 0L)
+    else {
+      val files = fs.listStatus(p).filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      (files.length.toLong, files.map(_.getLen).sum)
+    }
+  }
+
+  /** Stats write, stamped with the CURRENT postings dir snapshot — call
+    * only after the postings the scalars describe are fully on disk. */
+  private def writeStats(spark: SparkSession, root: String,
+      nDocs: Long, totalLen: Long): Unit = {
+    val (pf, pb) = postingsDirState(spark, root)
+    val spark2 = spark
+    import spark2.implicits._
+    Lakehouse.ctas(
+      Seq((nDocs, totalLen, pf, pb)).toDF("n_docs", "total_len", "p_files", "p_bytes"),
+      statsPath(root))
+  }
+
+  /** (n_docs, total_len), crash-repairing: when the stored snapshot does
+    * not match the postings directory (a crash landed between the postings
+    * append and the stats fold — or the stats file itself is torn/absent),
+    * the scalars are recomputed FROM the postings (dl is constant per doc,
+    * so one row per doc via groupBy) and re-stamped. The recompute is a
+    * corpus-sized pass, paid only on actual crash recovery; the steady
+    * state is a 1-row read + a directory listing. */
+  def currentStats(spark: SparkSession, root: String): (Long, Long) = {
+    val (pf, pb) = postingsDirState(spark, root)
+    val stored: Option[(Long, Long)] =
+      try {
+        Lakehouse.read(spark, statsPath(root))
+          .select("n_docs", "total_len", "p_files", "p_bytes")
+          .collect().headOption.collect {
+            case r if r.getLong(2) == pf && r.getLong(3) == pb =>
+              (r.getLong(0), r.getLong(1))
+          }
+      } catch { case _: Exception => None } // absent, torn, or pre-snapshot schema
+    stored.getOrElse {
+      val Seq(r) = spark.table(postingsTable(root))
+        .groupBy("doc_id").agg(first(col("dl")).as("dl"))
+        .agg(count(lit(1)).as("n_docs"), coalesce(sum("dl"), lit(0L)).as("total_len"))
+        .collect().toSeq
+      val (n, l) = (r.getLong(0), r.getLong(1))
+      writeStats(spark, root, n, l)
+      (n, l)
+    }
+  }
+
   /** Idempotent bootstrap: re-register an existing on-disk index on a fresh
     * session; build from `documents` only when absent. Returns true when
-    * (re)built. */
+    * (re)built. Postings land FIRST, stats (with their dir snapshot) last —
+    * a crash in between leaves no stats, so the next call rebuilds. */
   def ensureBuilt(spark: SparkSession, root: String,
       documents: => DataFrame): Boolean = {
     val havePostings = Lakehouse.ensureBucketedTable(spark, postingsTable(root),
@@ -67,25 +131,32 @@ object TextIndexStore {
     if (havePostings && Lakehouse.tableExists(spark, statsPath(root)))
       return false
     val docs = documents.select(col("doc_id"), col("text"))
-    val stats = docs
+    // coalesce: a stream bootstraps the store from an EMPTY frame (sum
+    // over nothing is null, and a null total_len would poison the first
+    // real stats merge)
+    val Seq(t) = docs
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
-      // coalesce: a stream bootstraps the store from an EMPTY frame (sum
-      // over nothing is null, and a null total_len would poison the first
-      // real stats merge)
       .agg(count(lit(1)).as("n_docs"),
         coalesce(sum("dl"), lit(0L)).as("total_len"))
-    Lakehouse.ctas(stats, statsPath(root))
+      .collect().toSeq
     Lakehouse.ctasBucketed(toPostings(docs), postingsTable(root), "term", Buckets,
       sortCols = Seq("term"), path = Some(postingsPath(root)))
+    writeStats(spark, root, t.getLong(0), t.getLong(1))
     true
   }
 
   /** O(delta) document admission: tokenize ONLY the new documents,
     * bucket-append their postings, and fold their counts into stats.
     * Replay-safe: a re-delivered doc_id must not double its postings (a
-    * duplicated posting would double the doc's tf in every probe). */
+    * duplicated posting would double the doc's tf in every probe) —
+    * neither across batches (the anti-join) nor WITHIN a batch (the
+    * dropDuplicates: at-least-once sources can duplicate a doc inside one
+    * micro-batch, and intra-batch dups all pass the store anti-join). */
   def appendDocuments(spark: SparkSession, root: String, newDocs: DataFrame): Unit = {
-    val fresh = newDocs.join(
+    // read stats through the repairing path FIRST, so a crash-torn store
+    // heals before the fold instead of baking the divergence in
+    val (n0, l0) = currentStats(spark, root)
+    val fresh = newDocs.dropDuplicates("doc_id").join(
       spark.table(postingsTable(root)).select("doc_id").distinct(),
       Seq("doc_id"), "left_anti")
     // Collect the stats delta BEFORE the postings insert: `fresh` is a lazy
@@ -100,13 +171,11 @@ object TextIndexStore {
       .collect().toSeq
     Lakehouse.appendBucketed(toPostings(fresh), postingsTable(root), "term",
       Buckets, sortCols = Seq("term"))
-    val Seq(o) = Lakehouse.read(spark, statsPath(root)).collect().toSeq
-    val spark2 = spark
-    import spark2.implicits._
-    Lakehouse.ctas(
-      Seq((o.getLong(0) + d.getLong(0), o.getLong(1) + d.getLong(1)))
-        .toDF("n_docs", "total_len"),
-      statsPath(root))
+    // the fold carries the POST-append snapshot: a crash before this line
+    // leaves the old stats with a stale snapshot, which the next
+    // currentStats detects and rebuilds from the postings — the batch is
+    // never lost and never double-counted
+    writeStats(spark, root, n0 + d.getLong(0), l0 + d.getLong(1))
   }
 
   /** BM25 top-k over the stored index for a literal term set: bucket-pruned
@@ -114,7 +183,14 @@ object TextIndexStore {
     * Exactly `t_bm25`'s arithmetic for every returned document. */
   def probe(spark: SparkSession, root: String, terms: Seq[String],
       k: Int = 20): DataFrame = {
-    val stats = Lakehouse.read(spark, statsPath(root))
+    require(terms.nonEmpty,
+      "TextIndexStore.probe needs at least one term (an empty probe has no " +
+        "posting lists to score — and would otherwise fail opaquely in the " +
+        "per-term score association)")
+    val (nDocs, totalLen) = currentStats(spark, root)
+    val spark2 = spark
+    import spark2.implicits._
+    val stats = Seq((nDocs, totalLen)).toDF("n_docs", "total_len")
     val posts = spark.table(postingsTable(root))
       .filter(col("term").isin(terms: _*))
     val withDf = posts

@@ -77,13 +77,17 @@ object DedupQueries {
   /** Spark side: distinct candidate (a_id < b_id) pairs sharing any band.
     * The input is persisted before the self-join — both join sides consume
     * it, and without the persist the whole signature pass (explode +
-    * 8-way min groupBy, the expensive stage) executes twice. */
-  private def candidatePairs(bands0: DataFrame): DataFrame = {
+    * 8-way min groupBy, the expensive stage) executes twice. Returns the
+    * persisted bands handle alongside the pairs: the CALLER owns the
+    * release (CacheScope.sealResult once its result is materialized) —
+    * the pairs frame is lazy, so releasing here would undo the persist. */
+  private def candidatePairs(bands0: DataFrame): (DataFrame, DataFrame) = {
     val bands = bands0.persist()
-    bands.select(col("doc_id").as("a_id"), col("band"), col("bh"))
+    val pairs = bands.select(col("doc_id").as("a_id"), col("band"), col("bh"))
       .join(bands.select(col("doc_id").as("b_id"), col("band").as("band2"), col("bh").as("bh2")),
         col("band") === col("band2") && col("bh") === col("bh2") && col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
+    (pairs, bands)
   }
 
   private def emb(s: SparkSession, dir: String): DataFrame = {
@@ -409,12 +413,14 @@ object DedupQueries {
         .orderBy(col("true_cnt").desc, col("w")).limit(20)
       val c1 = cm.filter(col("j") === 1).select(col("b").as("b1"), col("c").as("ec1"))
       val c2 = cm.filter(col("j") === 2).select(col("b").as("b2"), col("c").as("ec2"))
-      truth
-        .join(c1, bucketC(1) === col("b1"))
-        .join(c2, bucketC(2) === col("b2"))
-        .select(col("w"), col("true_cnt"),
-          least(col("ec1"), col("ec2")).as("est_cnt"),
-          (least(col("ec1"), col("ec2")) - col("true_cnt")).as("overcount"))
+      CacheScope.sealResult(
+        truth
+          .join(c1, bucketC(1) === col("b1"))
+          .join(c2, bucketC(2) === col("b2"))
+          .select(col("w"), col("true_cnt"),
+            least(col("ec1"), col("ec2")).as("est_cnt"),
+            (least(col("ec1"), col("ec2")) - col("true_cnt")).as("overcount")),
+        tok, cm)
     },
 
     // -------------------------------------------------------------- SKETCH-3
@@ -487,10 +493,12 @@ object DedupQueries {
       // on already-distinct sets — the pair loop is the sf-scaling hot path.
       val inter = expr("sorted_intersect_count(a_sh, b_sh)")
       val jac = inter / (size(col("a_sh")) + size(col("b_sh")) - inter)
-      a.join(b, col("blk") === col("b_blk") && col("a_id") < col("b_id"))
-        .withColumn("jaccard", jac)
-        .filter(col("jaccard") >= 0.1)
-        .select("a_id", "b_id", "jaccard")
+      CacheScope.sealResult(
+        a.join(b, col("blk") === col("b_blk") && col("a_id") < col("b_id"))
+          .withColumn("jaccard", jac)
+          .filter(col("jaccard") >= 0.1)
+          .select("a_id", "b_id", "jaccard"),
+        sh)
     },
 
     // --------------------------------------------------------------- DEDUP-3
@@ -516,7 +524,8 @@ object DedupQueries {
       // shuffle on string shingle keys costs more than the saved md5 calls).
       val sh = docs(s, dir).filter(size(col("tk")) >= 3)
         .select(col("doc_id"), explode(shinglesExpr).as("s"))
-      candidatePairs(minhashBands(sh))
+      val (pairs, bands) = candidatePairs(minhashBands(sh))
+      CacheScope.sealResult(pairs, bands)
     },
 
     // ------------------------------------------------------------- DEDUP-3b
@@ -549,17 +558,19 @@ object DedupQueries {
       graft.functions.VectorExprs.register(s)
       val base = docs(s, dir).filter(size(col("tk")) >= 3)
       val sh = base.select(col("doc_id"), explode(shinglesExpr).as("s"))
-      val cand = candidatePairs(minhashBands(sh))
+      val (cand, bands) = candidatePairs(minhashBands(sh))
       // verify on hashed sorted shingle sets via the native merge intersect
       val hsh = base.select(col("doc_id"), hashedShinglesExpr.as("hs"))
       val verified = cand
         .join(hsh.select(col("doc_id").as("a_id"), col("hs").as("a_hs")), "a_id")
         .join(hsh.select(col("doc_id").as("b_id"), col("hs").as("b_hs")), "b_id")
       val inter = expr("sorted_intersect_count(a_hs, b_hs)")
-      verified
-        .withColumn("jaccard", inter / (size(col("a_hs")) + size(col("b_hs")) - inter))
-        .filter(col("jaccard") >= 0.1)
-        .select("a_id", "b_id", "jaccard")
+      CacheScope.sealResult(
+        verified
+          .withColumn("jaccard", inter / (size(col("a_hs")) + size(col("b_hs")) - inter))
+          .filter(col("jaccard") >= 0.1)
+          .select("a_id", "b_id", "jaccard"),
+        bands)
     },
 
     // --------------------------------------------------------------- DEDUP-4
@@ -672,7 +683,7 @@ object DedupQueries {
       graft.functions.VectorExprs.register(s)
       val base = docs(s, dir).filter(size(col("tk")) >= 3)
       val sh = base.select(col("doc_id"), explode(shinglesExpr).as("s"))
-      val cand = candidatePairs(minhashBands(sh))
+      val (cand, bands) = candidatePairs(minhashBands(sh))
       val hsh = base.select(col("doc_id"), hashedShinglesExpr.as("hs"))
       val inter = expr("sorted_intersect_count(a_hs, b_hs)")
       val edges = cand
@@ -689,6 +700,9 @@ object DedupQueries {
         .select(col("src").as("doc_id"),
           least(col("src"), col("m")).as("cluster_id"))
         .localCheckpoint(true)
+      // the eager seed checkpoint has materialized adj (and through it the
+      // band rows): the signature-pass cache is dead from here on
+      bands.unpersist()
       var changed = 1L
       while (changed > 0) {
         val nmin = adj.join(labels, adj("dst") === labels("doc_id"))
@@ -704,11 +718,21 @@ object DedupQueries {
               least(coalesce(col("nmin"), col("cluster_id")),
                 coalesce(col("jc"), col("cluster_id")))).as("next_id"))
           .localCheckpoint(true)
+        // `updated` is checkpointed eagerly, so the PREVIOUS round's
+        // checkpoint is dead — release its blocks now instead of stacking
+        // one |V|-row checkpoint per round until the ContextCleaner runs
+        CacheScope.freeCheckpoint(labels)
         changed = updated.filter(col("next_id") < col("cluster_id")).count()
         labels = updated.select(col("doc_id"), col("next_id").as("cluster_id"))
       }
+      // re-home the converged labels into a result-sized CacheManager cache
+      // and drop the final round's checkpoint: the escaping frame's storage
+      // is then releasable by the caller's plain unpersist()
+      val out = labels.persist()
+      out.count()
+      CacheScope.freeCheckpoint(labels)
       adj.unpersist()
-      labels
+      out
     },
 
     // -------------------------------------------------------------- DEDUP-6b
@@ -749,13 +773,15 @@ object DedupQueries {
       val agg = ver.groupBy(col("b_id").as("doc_id")).agg(
         count(when(col("a_id") < cut, lit(1))).as("n_dups_stored"),
         count(when(col("a_id") >= cut, lit(1))).as("n_dups_batch"))
-      all.filter(col("doc_id") >= cut).select(col("doc_id"))
-        .join(agg.withColumnRenamed("doc_id", "agg_id"),
-          col("doc_id") === col("agg_id"), "left_outer")
-        .select(col("doc_id"),
-          coalesce(col("n_dups_stored"), lit(0L)).as("n_dups_stored"),
-          coalesce(col("n_dups_batch"), lit(0L)).as("n_dups_batch"),
-          col("agg_id").isNull.as("admitted"))
+      CacheScope.sealResult(
+        all.filter(col("doc_id") >= cut).select(col("doc_id"))
+          .join(agg.withColumnRenamed("doc_id", "agg_id"),
+            col("doc_id") === col("agg_id"), "left_outer")
+          .select(col("doc_id"),
+            coalesce(col("n_dups_stored"), lit(0L)).as("n_dups_stored"),
+            coalesce(col("n_dups_batch"), lit(0L)).as("n_dups_batch"),
+            col("agg_id").isNull.as("admitted")),
+        bands)
     },
 
     // -------------------------------------------------------------- DEDUP-6c
@@ -772,13 +798,10 @@ object DedupQueries {
       val cut = all.agg(max("doc_id")).head.getLong(0) * 4 / 5
       // the cached store must key on the SOURCE DATA VERSION, not just the
       // path: a regenerated documents.parquet with the same shape would
-      // otherwise admit against a stale index (metadata-only fingerprint —
-      // file lengths + mtimes — no data scan)
-      val src = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
-      val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val fp = java.lang.Long.toHexString(
-        fs.listStatus(src).map(st => st.getLen + st.getModificationTime).sum)
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_dedup_store/v1/" +
+      // otherwise admit against a stale index (Graft.dataFingerprint —
+      // ordered (name, len, mtime) tuple hash, metadata-only, no data scan)
+      val fp = Graft.dataFingerprint(s, s"$dir/documents.parquet")
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_dedup_store/v2/" +
         dir.replaceAll("[^a-zA-Z0-9]", "_") + s"_${cut}_$fp"
       graft.pipeline.DedupStore.ensureBuilt(s, root, all.filter(col("doc_id") < cut))
       graft.pipeline.DedupStore.admit(s, root, all.filter(col("doc_id") >= cut), cut)
@@ -845,9 +868,11 @@ object DedupQueries {
       val dups = a.join(b, col("cid") === col("b_cid") && col("a_id") < col("b_id"))
         .filter(cos >= 0.3)
         .select(col("b_id").as("dup_id")).distinct()
-      assign.join(dups, assign("vec_id") === dups("dup_id"), "left_outer")
-        .select(col("vec_id"), col("cid").as("cell_id"),
-          col("dup_id").isNull.as("is_kept"))
+      CacheScope.sealResult(
+        assign.join(dups, assign("vec_id") === dups("dup_id"), "left_outer")
+          .select(col("vec_id"), col("cid").as("cell_id"),
+            col("dup_id").isNull.as("is_kept")),
+        assign)
     },
 
     // -------------------------------------------------------------- DEDUP-7b
@@ -955,9 +980,11 @@ object DedupQueries {
       val dups = a.join(b, col("cid") === col("b_cid") && col("a_id") < col("b_id"))
         .filter(pcos >= 0.3)
         .select(col("b_id").as("dup_id")).distinct()
-      assign.join(dups, assign("vec_id") === dups("dup_id"), "left_outer")
-        .select(col("vec_id"), col("cid").as("cell_id"),
-          col("dup_id").isNull.as("is_kept"))
+      CacheScope.sealResult(
+        assign.join(dups, assign("vec_id") === dups("dup_id"), "left_outer")
+          .select(col("vec_id"), col("cid").as("cell_id"),
+            col("dup_id").isNull.as("is_kept")),
+        assign)
     },
 
     // --------------------------------------------------------------- DEDUP-8
@@ -1036,10 +1063,12 @@ object DedupQueries {
          |UNION ALL
          |SELECT 'kept' AS stage, 'kept' AS reason, COUNT(*) AS n_docs FROM ac""".stripMargin) { (s, dir) =>
       val d = Graft.table(s, dir, "documents")
-      graft.pipeline.Curation
+      val r = graft.pipeline.Curation
         .curate(d, maxPerSource = 15,
           benchmark = Some(d.filter(col("doc_id") < 25)))
-        .report
+      val out = CacheScope.sealResult(r.report)
+      r.release()
+      out
     },
 
     // -------------------------------------------------------------- DEDUP-13
@@ -1116,11 +1145,13 @@ object DedupQueries {
         .groupBy("doc_id", "n_tokens", "island")
         .agg((max("pos") - min("pos") + lit(k)).as("span_words"),
           count(lit(1)).as("n_positions"))
-      spans.groupBy("doc_id", "n_tokens")
-        .agg(
-          sum("n_positions").cast("long").as("n_dup_positions"),
-          count(lit(1)).cast("long").as("n_dup_spans"),
-          sum("span_words").cast("long").as("dup_span_words"))
+      CacheScope.sealResult(
+        spans.groupBy("doc_id", "n_tokens")
+          .agg(
+            sum("n_positions").cast("long").as("n_dup_positions"),
+            count(lit(1)).cast("long").as("n_dup_spans"),
+            sum("span_words").cast("long").as("dup_span_words")),
+        flat)
     }
   )
 }

@@ -473,6 +473,45 @@ object ExtraQueries {
           stripped("[0-9]").as("n_digit"),
           stripped(" ").as("n_space"),
           (stripped("[a-zA-Z]") / length(t).cast("double")).as("alpha_ratio"))
+    },
+
+    // ------------------------------------------------------------- STORAGE-Z3
+    // 3-d z-order data skipping under the oracle gate (round-9 capability:
+    // Lakehouse.writeZOrderedK generalizes the 2-d Morton layout to k
+    // dims). A z-ordered copy of events clustered on (user_id, value,
+    // event_id) is built ONCE per fixture version (a lake-maintenance
+    // artifact, cached like the ANN/dedup/text serving stores), then the
+    // query answers a 3-d box predicate through readZPrunedK — zone-map
+    // file pruning + residual filter. The oracle is the SAME predicate as
+    // a plain full scan: pruning is a file-list optimization and must be
+    // SEMANTICALLY INVISIBLE, which is exactly what the hash check proves
+    // (ZOrderSpec separately pins that the pruning actually skips files).
+    // Box bounds derive from integer scalar subqueries (MAX // k) so both
+    // engines compute identical constants at any sf.
+    QueryDef("z3_pruned_scan",
+      """SELECT event_id, user_id, event_type, value
+        |FROM events
+        |WHERE user_id BETWEEN (SELECT MAX(user_id) // 4 FROM events)
+        |                  AND (SELECT MAX(user_id) // 2 FROM events)
+        |  AND value BETWEEN 10 AND 200
+        |  AND event_id BETWEEN (SELECT MAX(event_id) // 8 FROM events)
+        |                   AND (SELECT MAX(event_id) // 2 FROM events)""".stripMargin) { (s, dir) =>
+      import graft.core.Lakehouse
+      val ev = events(s, dir)
+        .select("event_id", "user_id", "event_type", "value")
+      val fp = Graft.dataFingerprint(s, s"$dir/events.parquet")
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_store/v1/" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_") + s"_$fp"
+      if (!Lakehouse.tableExists(s, root))
+        Lakehouse.writeZOrderedK(ev, root, Seq("user_id", "value", "event_id"),
+          numFiles = 32)
+      val m = ev.agg(max("user_id").as("mu"), max("event_id").as("me")).head
+      val (mu, me) = (m.getLong(0), m.getLong(1))
+      Lakehouse.readZPrunedK(s, root, Seq(
+          ("user_id", (mu / 4).toDouble, (mu / 2).toDouble),
+          ("value", 10.0, 200.0),
+          ("event_id", (me / 8).toDouble, (me / 2).toDouble)))
+        .select("event_id", "user_id", "event_type", "value")
     }
   )
 }

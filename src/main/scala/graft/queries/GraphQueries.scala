@@ -18,13 +18,25 @@ import org.apache.spark.sql.functions._
   *    query — into a persisted |V|-row adjacency-list relation
   *    (collect_set dedupes parallel edges, so size(nbrs) IS the
   *    out-degree).
-  *  - A superstep is: broadcast-join the |V|-row state relation to the
-  *    adjacency, explode neighbors into messages (codegen'd, no |E|-row
-  *    shuffle read), and aggregate by receiver (map-side partial agg,
-  *    then a |V|-group exchange). On a billion-node graph the broadcasts
-  *    flip to co-partitioned joins against a src-bucketed adjacency
-  *    table (Lakehouse.ctasBucketed) — the GraphX/Pregel partitioning
-  *    argument re-expressed in the DataFrame layer.
+  *  - A superstep is: join the |V|-row state relation to the adjacency,
+  *    explode neighbors into messages (codegen'd, no |E|-row shuffle
+  *    read), and aggregate by receiver (map-side partial agg, then a
+  *    |V|-group exchange). The state side's broadcast is SIZE-GUARDED,
+  *    not pinned: |V| grows linearly with the data, so an unconditional
+  *    broadcast hint is a driver-OOM/8 GB-limit wall at 100× scale. The
+  *    query already needs |V| (the adjacency materialization count), and
+  *    the superstep hints broadcast only while |V| ≤ 1M rows
+  *    (~16 MB of (node, value) pairs); beyond that the join stays
+  *    shuffle-based against the persisted adjacency. (A hint-free join
+  *    was measured first: Catalyst's estimate for the state side — a
+  *    projection of the cached adjacency — is array-inflated, so
+  *    superstep 1 planned SortMergeJoin even at test scale; the explicit
+  *    row-count guard gives the broadcast where it is provably safe and
+  *    the shuffle where it isn't. PlanSpec pins BOTH regimes.) On a
+  *    billion-node graph the shuffled joins co-partition against a
+  *    src-bucketed adjacency table (Lakehouse.ctasBucketed) — the
+  *    GraphX/Pregel partitioning argument re-expressed in the DataFrame
+  *    layer.
   *  - All arithmetic is BIGINT (ranks: mass scaled by 1e6, damping 0.85
   *    as (85*x) div 100; labels: integer MIN): order-independent at any
   *    parallelism and exactly reproducible in the DuckDB oracle.
@@ -73,7 +85,7 @@ object GraphQueries {
   /** Spark-side shared graph build: the persisted |V|-row adjacency-list
     * relation (src, nbrs, outdeg). Caller MUST materialize everything it
     * derives before unpersisting (see the Pregel comment below). */
-  private def adjacency(s: SparkSession, dir: String, edgePred: Column): DataFrame = {
+  private[graft] def adjacency(s: SparkSession, dir: String, edgePred: Column): DataFrame = {
     val orders = Graft.table(s, dir, "orders")
     val lineitem = Graft.table(s, dir, "lineitem")
     // No .distinct() here: collect_set below dedupes parallel edges, so
@@ -100,6 +112,39 @@ object GraphQueries {
       .select(col("src"), col("nbrs"), size(col("nbrs")).cast("long").as("outdeg"))
       .persist()
   }
+
+  /** The state relation broadcasts while it has at most this many rows:
+    * 1M (node, value) pairs ≈ 16 MB serialized — comfortably inside
+    * executor memory and far from the 8 GB broadcast wall. Past it, the
+    * superstep join degrades to a shuffle against the persisted (at
+    * extreme scale: src-bucketed) adjacency. */
+  private[graft] val broadcastStateMaxRows = 1000000L
+
+  private def stateSide(state: DataFrame, stateRows: Long): DataFrame =
+    if (stateRows <= broadcastStateMaxRows) broadcast(state) else state
+
+  /** One PageRank superstep: messages = explode the senders' neighbor
+    * lists carrying rank/outdeg shares; new rank = damped sum by receiver.
+    * `stateRows` (= |V|, known from the adjacency materialization) guards
+    * the rank-side broadcast — see the object doc. */
+  private[graft] def prSuperstep(adj: DataFrame, ranks: DataFrame,
+      stateRows: Long): DataFrame =
+    adj.join(stateSide(ranks, stateRows), col("src") === col("node"))
+      .select(explode(col("nbrs")).as("dst"), expr("pr div outdeg").as("c"))
+      .groupBy(col("dst"))
+      .agg(sum(col("c")).as("contrib"))
+      .select(col("dst").as("node"),
+        (lit(150000L) + expr("(85 * contrib) div 100")).as("pr"))
+
+  /** One min-label superstep over the self-looped adjacency (so a node's
+    * own label competes): new label = MIN over the neighborhood. */
+  private[graft] def ccSuperstep(adjSelf: DataFrame, labels: DataFrame,
+      stateRows: Long): DataFrame =
+    adjSelf.join(stateSide(labels, stateRows), col("src") === col("node"))
+      .select(explode(col("nbrs")).as("dst"), col("cc"))
+      .groupBy(col("dst"))
+      .agg(min(col("cc")).as("cc"))
+      .select(col("dst").as("node"), col("cc"))
 
   /** Eager materialization splits the Pregel phases: the supersteps run
     * inside the query function, while the |E|-scale adjacency cache is
@@ -130,16 +175,11 @@ object GraphQueries {
          |r3 AS (${prStepSql("r2")})
          |SELECT node, pr FROM r3""".stripMargin) { (s, dir) =>
       val adj = adjacency(s, dir, lit(true))
+      // |V|: materializes the persisted adjacency up front AND decides the
+      // state-side broadcast for every superstep
+      val nV = adj.count()
       var ranks = adj.select(col("src").as("node"), lit(1000000L).as("pr"))
-      for (_ <- 1 to iterations) {
-        ranks = adj
-          .join(broadcast(ranks), col("src") === col("node"))
-          .select(explode(col("nbrs")).as("dst"), expr("pr div outdeg").as("c"))
-          .groupBy(col("dst"))
-          .agg(sum(col("c")).as("contrib"))
-          .select(col("dst").as("node"),
-            (lit(150000L) + expr("(85 * contrib) div 100")).as("pr"))
-      }
+      for (_ <- 1 to iterations) ranks = prSuperstep(adj, ranks, nV)
       materialize(ranks, adj)
     },
 
@@ -161,18 +201,12 @@ object GraphQueries {
          |c3 AS (${ccStepSql("c2")})
          |SELECT node, cc FROM c3""".stripMargin) { (s, dir) =>
       val adj = adjacency(s, dir, col("l_quantity") >= 50)
+      val nV = adj.count()
       // self-loop via array_union so MIN(label over nbrs) includes own
       val adjSelf = adj.select(col("src"),
         array_union(col("nbrs"), array(col("src"))).as("nbrs"))
       var labels = adj.select(col("src").as("node"), col("src").as("cc"))
-      for (_ <- 1 to iterations) {
-        labels = adjSelf
-          .join(broadcast(labels), col("src") === col("node"))
-          .select(explode(col("nbrs")).as("dst"), col("cc"))
-          .groupBy(col("dst"))
-          .agg(min(col("cc")).as("cc"))
-          .select(col("dst").as("node"), col("cc"))
-      }
+      for (_ <- 1 to iterations) labels = ccSuperstep(adjSelf, labels, nV)
       materialize(labels, adj)
     }
   )

@@ -712,14 +712,37 @@ object PipelineQueries {
     },
 
     // ----------------------------------------------------------------- MISC
-    // uuid() per row (ethereum_blocks.sql:35) — nondeterministic, so no
-    // oracle: the driver records a rows-only check. Shape: every row tagged
-    // with a v4 uuid + the deterministic month partition column.
-    QueryDef.noOracle("f_uuid_tag") { (s, dir) =>
-      events(s, dir).select(
+    // uuid() per row (ethereum_blocks.sql:35). The generated VALUES are
+    // nondeterministic by design, so the oracle pins the operator's
+    // CONTRACT instead of the draws: every row gets a tag that (a) is a
+    // well-formed RFC-4122 v4 uuid and (b) is globally unique across the
+    // table, alongside the deterministic month partition column — which
+    // makes the query fully rows+schema+hash checkable (previously the one
+    // rows-only entry in the registry). The per-row frame persists once:
+    // uuid() is nondeterministic, so the format branch and the uniqueness
+    // aggregate must read the SAME draw, not two independent ones.
+    QueryDef("f_uuid_tag",
+      """SELECT event_id,
+        |  strftime(make_timestamp(epoch_us(ts)), '%Y-%m') AS date_partition,
+        |  TRUE AS uuid_ok, TRUE AS uuid_unique
+        |FROM events""".stripMargin) { (s, dir) =>
+      val tagged = events(s, dir).select(
         col("event_id"),
         expr("uuid()").as("row_uuid"),
         date_format(timestamp_micros(col("ts_us")), "yyyy-MM").as("date_partition"))
+        .persist()
+      val v4 = "^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$"
+      // global-uniqueness check as a 1-row broadcast, not a global window:
+      // countDistinct distributes (partial sets per partition), where a
+      // whole-table window would funnel every row through one partition
+      val uniq = tagged.agg(
+        (countDistinct(col("row_uuid")) === count(lit(1))).as("uuid_unique"))
+      CacheScope.sealResult(
+        tagged
+          .withColumn("uuid_ok", col("row_uuid").rlike(v4))
+          .crossJoin(broadcast(uniq))
+          .select("event_id", "date_partition", "uuid_ok", "uuid_unique"),
+        tagged)
     }
   )
 }

@@ -14,8 +14,48 @@ final case class QueryDef(
 object QueryDef {
   def apply(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, fn, Some(oracle))
-  def noOracle(name: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
-    QueryDef(name, fn, None)
+}
+
+/** The repo-wide cache discipline for query bodies that `persist()`
+  * intermediates consumed by several branches of the result plan (self-join
+  * sides, sketch + verification branches, funnel forks): a query function
+  * returns a LAZY frame, so an intermediate cache cannot be released before
+  * the caller's terminal action — unless the result is materialized EAGERLY
+  * into its own (result-sized) cache first. `sealResult` is that
+  * materialize-then-release idiom in one place; CacheDisciplineSpec asserts
+  * that after running each such query and dropping its result cache, zero
+  * cached blocks remain in the session. The only exemptions are declared
+  * shared fixtures (the flagship queries' wallet_transactions stand-in,
+  * which deliberately persists across queries keyed by logical plan) and
+  * the returned result caches themselves, which the caller releases.
+  */
+private[graft] object CacheScope {
+
+  /** Materialize `result` into its own cache (one eager count), then
+    * release the intermediate caches it was derived from. The extra count
+    * is a pass over the RESULT (already small by construction for these
+    * queries), not over the inputs — the intermediates are read exactly
+    * once, and long sessions (the 119-query bench) no longer accumulate
+    * per-invocation cached blocks until LRU pressure. */
+  def sealResult(result: DataFrame, intermediates: DataFrame*): DataFrame = {
+    val out = result.persist()
+    out.count()
+    intermediates.foreach(_.unpersist())
+    out
+  }
+
+  /** Release the storage behind an (eager) `localCheckpoint`ed frame — or
+    * any frame derived from one. `DataFrame.unpersist` only clears
+    * CacheManager entries; a local checkpoint's RDD blocks are otherwise
+    * held until the ContextCleaner notices the dropped reference, so an
+    * iterative query (pointer-jumping label propagation) would stack one
+    * dead |V|-row checkpoint per round for the rest of the session. */
+  def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }
 
 /** Shared embedding-parity primitives (used by the dedup and ANN queries):

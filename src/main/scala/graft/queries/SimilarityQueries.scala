@@ -105,11 +105,14 @@ object SimilarityQueries {
       .filter(col("rn") <= k)
   }
 
-  /** (vectors, refined codebook, final assignment) after one Lloyd round. */
+  /** (vectors, refined codebook, final assignment) after one Lloyd round.
+    * `cent` and `assign` come back persisted — the CALLER seals its result
+    * and releases both (CacheScope.sealResult), since both consumers
+    * (ann_ivf_kmeans, c_kmeans) read them through lazy result plans. */
   private def kmeansFrames(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     val n = emb(s, dir).select("vec_id", "qv", "nq")
-    // count the frame already in hand (projection prunes to a metadata
-    // row count) rather than opening a second scan of the table
+    // one count job over the quantized projection (column-pruned scan of
+    // the embeddings table) — the codebook stride needs |N| up front
     val stride = centroidStride(n.count())
     val cent0 = n.filter(pmod(col("vec_id"), lit(stride)) === 0)
       .select(col("vec_id").as("cid"), col("qv").as("c_qv"), col("nq").as("c_nq"))
@@ -294,8 +297,8 @@ object SimilarityQueries {
          |    ORDER BY cos_sim DESC, n_id) AS rank FROM pairs)
          |SELECT q_id, rank, n_id, cos_sim FROM ranked WHERE rank <= 5""".stripMargin) { (s, dir) =>
       val n = emb(s, dir).select("vec_id", "qv", "nq")
-      // count the frame already in hand (projection prunes to a metadata
-      // row count) rather than opening a second scan of the table
+      // one count job over the quantized projection (column-pruned scan) —
+      // the codebook stride needs |N| before the plan can be built
       val stride = centroidStride(n.count())
       val cent = n.filter(pmod(col("vec_id"), lit(stride)) === 0)
         .select(col("vec_id").as("cid"), col("qv").as("c_qv"), col("nq").as("c_nq"))
@@ -380,13 +383,15 @@ object SimilarityQueries {
       val pairCos = expr("long_dot(q_qv, c_qv2)").cast("double") /
         (sqrt(col("q_nq").cast("double")) * sqrt(col("c_nq2").cast("double")))
       val wRank = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
-      broadcast(probes)
-        .join(cells, col("a_cid") === col("cid") && col("n_id") =!= col("q_id"))
-        .join(broadcast(qv), col("qq_id") === col("q_id"))
-        .withColumn("cos_sim", pairCos)
-        .withColumn("rank", row_number().over(wRank))
-        .filter(col("rank") <= 5)
-        .select("q_id", "rank", "n_id", "cos_sim")
+      graft.queries.CacheScope.sealResult(
+        broadcast(probes)
+          .join(cells, col("a_cid") === col("cid") && col("n_id") =!= col("q_id"))
+          .join(broadcast(qv), col("qq_id") === col("q_id"))
+          .withColumn("cos_sim", pairCos)
+          .withColumn("rank", row_number().over(wRank))
+          .filter(col("rank") <= 5)
+          .select("q_id", "rank", "n_id", "cos_sim"),
+        cent, assign)
     },
 
     // --------------------------------------------------------------- CLUST-1
@@ -406,12 +411,14 @@ object SimilarityQueries {
          |  CAST(SUM(a.vec_id) AS BIGINT) AS sum_vec,
          |  MIN(a.vec_id) AS min_vec
          |FROM assign a GROUP BY a.cid""".stripMargin) { (s, dir) =>
-      val (_, _, assign) = kmeansFrames(s, dir)
-      assign.groupBy("cid")
-        .agg(count(lit(1)).as("n_vecs"),
-          sum("vec_id").as("sum_vec"),
-          min("vec_id").as("min_vec"))
-        .select("cid", "n_vecs", "sum_vec", "min_vec")
+      val (_, cent, assign) = kmeansFrames(s, dir)
+      graft.queries.CacheScope.sealResult(
+        assign.groupBy("cid")
+          .agg(count(lit(1)).as("n_vecs"),
+            sum("vec_id").as("sum_vec"),
+            min("vec_id").as("min_vec"))
+          .select("cid", "n_vecs", "sum_vec", "min_vec"),
+        cent, assign)
     },
 
     // ----------------------------------------------------------------- ANN-5
@@ -495,7 +502,9 @@ object SimilarityQueries {
         .select(col("vec_id"), expr("transform(qv, x -> bigint(floor(" +
           "cast(x as double) * 1000000 / sqrt(cast(greatest(nq, 1) as double)))))")
           .as("qv"))
-      // metadata-only count of the frame in hand, not a second table scan
+      // one count job over the normalized projection (a column-pruned scan
+      // of the embeddings table — NOT metadata-free, but cheap next to the
+      // subspace explode it sizes): the codebook stride needs |N| up front
       val stride = math.max(1L, base.count() / 16)
       // subspace explode: 8 rows per vector, each an exact-int subvector
       val sub = base
@@ -559,15 +568,13 @@ object SimilarityQueries {
   // cell pick + bucket-PRUNED scan of only the probed cells. Same oracle
   // as ann_ivf — the index changes WHERE the compute happens, not the
   // answer (all math exact-integral, so stored ≡ inline bit-for-bit).
-  // Store cache keyed on the source data version (file lengths + mtimes),
-  // like the dedup store: a regenerated embeddings.parquet must rebuild.
+  // Store cache keyed on the source data version (Graft.dataFingerprint —
+  // ordered-tuple hash), like the dedup store: a regenerated
+  // embeddings.parquet must rebuild.
   val all: Seq[QueryDef] = core :+
     QueryDef("ann_ivfs", core.find(_.name == "ann_ivf").get.oracle.get) { (s, dir) =>
-      val src = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
-      val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val fp = java.lang.Long.toHexString(
-        fs.listStatus(src).map(st => st.getLen + st.getModificationTime).sum)
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_ann_store/v1/" +
+      val fp = Graft.dataFingerprint(s, s"$dir/embeddings.parquet")
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_ann_store/v2/" +
         dir.replaceAll("[^a-zA-Z0-9]", "_") + s"_$fp"
       val emb = Graft.table(s, dir, "embeddings")
       graft.pipeline.AnnStore.ensureBuilt(s, root, emb)

@@ -260,10 +260,12 @@ object TextQueries {
             |                 element_at(tk, i + 2))))""".stripMargin)).as("s"))
         .persist()
       val bench = shingles.filter(col("doc_id") < 25).select("s").distinct()
-      shingles.filter(col("doc_id") >= 25)
-        .join(broadcast(bench), "s")
-        .groupBy("doc_id")
-        .agg(countDistinct(col("s")).as("n_shared_ngrams"))
+      CacheScope.sealResult(
+        shingles.filter(col("doc_id") >= 25)
+          .join(broadcast(bench), "s")
+          .groupBy("doc_id")
+          .agg(countDistinct(col("s")).as("n_shared_ngrams")),
+        shingles)
     },
 
     // ---------------------------------------------------------------- TEXT-9
@@ -624,7 +626,9 @@ object TextQueries {
       def row(k: Int, t: DataFrame) = t.select(
         lit(k).as("merge_round"), col("l"), col("r"),
         concat(col("l"), col("r")).as("merged"), col("n").cast("long").as("n"))
-      row(1, t1).unionAll(row(2, t2)).unionAll(row(3, t3))
+      CacheScope.sealResult(
+        row(1, t1).unionAll(row(2, t2)).unionAll(row(3, t3)),
+        e1p, e2p)
     },
 
     // --------------------------------------------------------------- TEXT-17
@@ -823,11 +827,8 @@ object TextQueries {
       s"""WITH base AS ($bm25Sql)
          |SELECT doc_id, bm25 FROM base WHERE bm25 > 0
          |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
-      val src = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
-      val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val fp = java.lang.Long.toHexString(
-        fs.listStatus(src).map(st => st.getLen + st.getModificationTime).sum)
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_text_store/v1/" +
+      val fp = graft.core.Graft.dataFingerprint(s, s"$dir/documents.parquet")
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_text_store/v2/" +
         dir.replaceAll("[^a-zA-Z0-9]", "_") + s"_$fp"
       graft.pipeline.TextIndexStore.ensureBuilt(s, root,
         Graft.table(s, dir, "documents"))

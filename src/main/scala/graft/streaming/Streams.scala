@@ -276,8 +276,13 @@ object Streams {
     * table, and the collection stats fold forward, so BM25 probes against
     * the store see the stream's documents with no rebuild. Per-batch cost
     * is O(batch tokens); replay (checkpoint recovery) is a no-op through
-    * the store's doc_id anti-join, so postings can never double-count a
-    * re-delivered batch's term frequencies. */
+    * the store's doc_id anti-join (and intra-batch duplicate deliveries
+    * collapse in the store's dropDuplicates), so postings can never
+    * double-count a re-delivered document's term frequencies. The
+    * postings/stats pair is two filesystem actions: a crash between them
+    * leaves stats stale, which the store detects via its postings-dir
+    * snapshot and repairs on the next read (TextIndexStore.currentStats) —
+    * so the folded stats converge to exactly-once too. */
   def textIndexIngestion(
       docs: DataFrame,
       root: String,

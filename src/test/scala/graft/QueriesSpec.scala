@@ -10,8 +10,10 @@ class QueriesSpec extends SparkSpec {
     val names = SparkEntry.queries.keys.toSeq
     assert(names.distinct.size == names.size)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    // all but the explicitly nondeterministic ops carry an oracle
-    assert((SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet) == Set("f_uuid_tag"))
+    // every registered query carries an oracle — including f_uuid_tag,
+    // whose oracle pins the uuid contract (format + uniqueness) rather
+    // than the nondeterministic draws
+    assert((SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet).isEmpty)
   }
 
   test("entry (flagship) returns rows") {

@@ -97,6 +97,31 @@ class SchemaContractSpec extends SparkSpec {
     assert(legacy.exceptAll(current).isEmpty && current.exceptAll(legacy).isEmpty)
   }
 
+  test("narrowed ids and widened embeddings still run (documents/embeddings drift shield)") {
+    // the round-7 class of break, applied to the OTHER fixture tables: a
+    // regeneration that writes doc_id/vec_id as int32 (or the embedding as
+    // float64) must flow through the loader's width canonicalization, not
+    // explode in the engine's getLong watermark fetches mid-query
+    val dir = tmpDir("schema-drift")
+    Graft.table(spark, sf, "documents")
+      .withColumn("doc_id", col("doc_id").cast("int"))
+      .withColumn("n_chars", col("n_chars").cast("int"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Graft.table(spark, sf, "embeddings")
+      .withColumn("vec_id", col("vec_id").cast("int"))
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    assert(Graft.table(spark, dir, "documents").schema("doc_id").dataType == LongType,
+      "documents.doc_id must canonicalize back to bigint")
+    assert(Graft.table(spark, dir, "embeddings").schema("vec_id").dataType == LongType,
+      "embeddings.vec_id must canonicalize back to bigint")
+    // d_incremental_dedup exercises the driver-scalar watermark
+    // (agg(max(doc_id)).head.getLong) that int32 would break
+    assert(SparkEntry.queries("d_incremental_dedup")(spark, dir).count() > 0)
+    // the ANN path quantizes float64 through the same cast as float32
+    assert(SparkEntry.queries("ann_bruteforce_topk")(spark, dir).count() > 0)
+  }
+
   test("an unsupported ts encoding fails loudly, naming table/column/type") {
     val dir = tmpDir("schema-bad")
     spark.range(3).selectExpr("id AS event_id", "CAST(id AS STRING) AS ts")

@@ -61,6 +61,54 @@ class TextIndexStoreSpec extends SparkSpec {
     assert(inc == full, "incrementally-built index diverged from full rebuild")
   }
 
+  test("stats self-heal after a crash between the postings append and the stats fold") {
+    import spark.implicits._
+    val root = tmpDir("text-store-crash")
+    val cut = documents.agg(max("doc_id")).head.getLong(0) * 4 / 5
+    TextIndexStore.ensureBuilt(spark, root, documents.filter(col("doc_id") <= cut))
+    TextIndexStore.appendDocuments(spark, root, documents.filter(col("doc_id") > cut))
+    val (nTrue, lTrue) = TextIndexStore.currentStats(spark, root)
+    // simulate the crash state: postings hold the batch, stats still carry
+    // the PRE-append values and snapshot (write a doctored stale row)
+    Seq((nTrue - 7, lTrue - 999, 1L, 1L))
+      .toDF("n_docs", "total_len", "p_files", "p_bytes")
+      .write.mode("overwrite").parquet(TextIndexStore.statsPath(root))
+    // the repairing read must rebuild the true scalars from the postings...
+    assert(TextIndexStore.currentStats(spark, root) == (nTrue, lTrue),
+      "stale-snapshot stats must be recomputed from postings")
+    // ...and persist the healed row (the next read is steady-state again)
+    val healed = spark.read.parquet(TextIndexStore.statsPath(root))
+      .select("n_docs", "total_len").head
+    assert((healed.getLong(0), healed.getLong(1)) == (nTrue, lTrue))
+  }
+
+  test("intra-batch duplicate doc_ids are admitted once (at-least-once micro-batch)") {
+    import spark.implicits._
+    val root = tmpDir("text-store-dup")
+    TextIndexStore.ensureBuilt(spark, root,
+      Seq((1L, "join the stream")).toDF("doc_id", "text"))
+    // the same doc delivered TWICE within one delta batch — the store-level
+    // anti-join alone would pass both copies, doubling tf and the stats
+    val dupBatch = Seq((2L, "vector join"), (2L, "vector join"))
+      .toDF("doc_id", "text")
+    TextIndexStore.appendDocuments(spark, root, dupBatch)
+    val tf = spark.table(TextIndexStore.postingsTable(root))
+      .filter(col("doc_id") === 2 && col("term") === "vector")
+      .agg(sum("tf")).head.getLong(0)
+    assert(tf == 1, s"duplicated in-batch doc doubled its tf ($tf)")
+    assert(TextIndexStore.currentStats(spark, root) == (2L, 5L),
+      "stats must count the duplicated doc once")
+  }
+
+  test("probe refuses an empty term set with a clear message") {
+    val root = tmpDir("text-store-empty")
+    TextIndexStore.ensureBuilt(spark, root, documents.limit(5))
+    val e = intercept[IllegalArgumentException] {
+      TextIndexStore.probe(spark, root, Seq.empty)
+    }
+    assert(e.getMessage.contains("at least one term"))
+  }
+
   test("streaming ingestion builds the same index as one batch build") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

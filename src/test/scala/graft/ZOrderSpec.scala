@@ -109,6 +109,42 @@ class ZOrderSpec extends SparkSpec {
     }
   }
 
+  test("3-d z-order: pruned box read ≡ full filter, and all three dims prune") {
+    val zpath = tmpDir("zorder") + "/ev_z3d"
+    val ev = spark.read.parquet(s"$sf001/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    Lakehouse.writeZOrderedK(ev, zpath,
+      Seq("user_id", "value", "event_id"), numFiles = 27)
+    val s = ev.agg(
+      expr("percentile(user_id, 0.35)"), expr("percentile(user_id, 0.65)"),
+      expr("percentile(value, 0.35)"), expr("percentile(value, 0.65)"),
+      expr("percentile(event_id, 0.35)"), expr("percentile(event_id, 0.65)")).head()
+    val box = Seq(
+      ("user_id", s.getDouble(0), s.getDouble(1)),
+      ("value", s.getDouble(2), s.getDouble(3)),
+      ("event_id", s.getDouble(4), s.getDouble(5)))
+    val pruned = Lakehouse.readZPrunedK(spark, zpath, box)
+    val full = spark.read.parquet(zpath).filter(box.map { case (c, lo, hi) =>
+      col(c).cast("double").between(lo, hi) }.reduce(_ && _))
+    assert(full.count() > 0, "empty test box proves nothing")
+    assert(pruned.count() == full.count())
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+    // pruning power: a ~(1/3)^3 box must skip files in the 3-d layout;
+    // the same box over a hash layout keeps (almost) everything
+    val kept = Lakehouse.zoneMapK(spark, zpath, box.map(_._1)).count {
+      case (_, ranges) => ranges.zip(box).forall { case ((mn, mx), (_, lo, hi)) =>
+        mx >= lo && mn <= hi }
+    }
+    assert(kept < 27, s"3-d z-order kept every file ($kept/27)")
+    val ppath = tmpDir("zorder") + "/ev_plain3d"
+    ev.repartition(27).write.parquet(ppath)
+    val pkept = Lakehouse.zoneMapK(spark, ppath, box.map(_._1)).count {
+      case (_, ranges) => ranges.zip(box).forall { case ((mn, mx), (_, lo, hi)) =>
+        mx >= lo && mn <= hi }
+    }
+    assert(kept < pkept, s"z-ordered ($kept) must out-prune hash layout ($pkept)")
+  }
+
   test("degenerate dimension (constant column) still writes and reads correctly") {
     val zpath = tmpDir("zorder") + "/ev_z3"
     Lakehouse.writeZOrdered(events.limit(1000).withColumn("k", lit(7L)),

@@ -409,6 +409,93 @@ object Lakehouse {
     }
   }
 
+  /** S6 at 100 TB: [[antiJoinAppend]] behind a persistent key-set Bloom
+    * guard ([[BloomSkipping.mergeKeyBloom]]).
+    *
+    * The plain guard scans the (possibly partition-pruned) store every
+    * batch. Here a whole-table Bloom filter over `xxhash64(key tuple)` —
+    * maintained incrementally, MBs regardless of store size — proves most
+    * of a mostly-new batch fresh at the SCAN (no shuffle, no store read);
+    * only probable duplicates (true dups + fpp of the rest) pay the exact
+    * null-safe anti join, which also absorbs hash collisions. Commit order
+    * is bloom-first: the guard may run AHEAD of the data (false positives,
+    * safe) but never behind (which would re-admit silently) — a crash
+    * between guard write and data append therefore costs exact checks,
+    * not correctness. The guard is advisory state: delete `_key_bloom`
+    * and the next batch falls back to the plain exact path and rebuilds
+    * forward. Tables fed through any OTHER append path must not carry a
+    * guard (a bypassing append breaks the superset invariant — the same
+    * exclusive-maintenance contract as the bucketed catalog layouts).
+    * Dedup admission ≡ the plain path is pinned in BloomSkipSpec. */
+  def antiJoinAppendBloomGuarded(
+      spark: SparkSession,
+      newRows: DataFrame,
+      path: String,
+      keys: Seq[String],
+      partitionCols: Seq[String],
+      prunePartitions: Option[Column] = None,
+      expectedKeys: Long = 4000000L): Unit = {
+    val keyHash = xxhash64(keys.map(col): _*)
+    if (!tableExists(spark, path)) {
+      ctas(newRows, path, partitionCols)
+      // guard creation AFTER first data write: a crash in between leaves
+      // no guard -> the next batch takes the exact path (safe)
+      BloomSkipping.mergeKeyBloom(spark, path,
+        newRows.select(keyHash.as("h")), expectedKeys)
+    } else {
+      val guardOpt = BloomSkipping.loadKeyBloom(spark, path)
+      val fresh = guardOpt match {
+        case Some((_, _, guard)) =>
+          val bytes = {
+            val bos = new java.io.ByteArrayOutputStream()
+            guard.writeTo(bos)
+            bos.toByteArray
+          }
+          val probable =
+            BloomSkipping.mightContainHashed(spark, bytes, keyHash)
+          val target0 = read(spark, path)
+          val target = prunePartitions.fold(target0)(target0.filter)
+            .select(keys.map(col): _*)
+          val t = target.alias("t")
+          val cond = keys.map(k => newRows(k) <=> col(s"t.$k")).reduce(_ && _)
+          newRows.filter(!probable).unionByName(
+            newRows.filter(probable).join(t, cond, "left_anti"))
+        case None => // no/torn guard: the plain exact path
+          val target0 = read(spark, path)
+          val target = prunePartitions.fold(target0)(target0.filter)
+            .select(keys.map(col): _*)
+          val t = target.alias("t")
+          val cond = keys.map(k => newRows(k) <=> col(s"t.$k")).reduce(_ && _)
+          newRows.join(t, cond, "left_anti")
+      }
+      // the admitted slice feeds the guard merge AND the data append:
+      // persist once, release after both (CacheScope discipline)
+      val admitted = fresh.persist()
+      admitted.count()
+      try {
+        guardOpt match {
+          case Some(_) =>
+            BloomSkipping.mergeKeyBloom(spark, path,
+              admitted.select(keyHash.as("h")), expectedKeys)
+          case None =>
+            // a lost guard on an existing table CANNOT be re-seeded from
+            // the batch alone: a guard holding only this batch's keys
+            // would claim older stored rows fresh and re-admit them on
+            // the next replay. Self-heal instead: rebuild from the WHOLE
+            // store's keys (unpruned — the superset invariant is over
+            // the full table) plus this batch, one recovery-time scan —
+            // the same rebuild-from-ground-truth discipline as
+            // TextIndexStore's stats snapshot.
+            BloomSkipping.mergeKeyBloom(spark, path,
+              read(spark, path).select(keyHash.as("h"))
+                .unionByName(admitted.select(keyHash.as("h"))),
+              expectedKeys)
+        }
+        appendPartitioned(admitted, path, partitionCols)
+      } finally admitted.unpersist()
+    }
+  }
+
   /** S7: MERGE INTO emulation on plain parquet — keyed UPDATE-or-INSERT.
     *
     * Semantics of the reference's Iceberg MERGE (WHEN MATCHED UPDATE SET all

@@ -512,6 +512,100 @@ object ExtraQueries {
           ("value", 10.0, 200.0),
           ("event_id", (me / 8).toDouble, (me / 2).toDouble)))
         .select("event_id", "user_id", "event_type", "value")
+    },
+
+    // ------------------------------------------------------------ STORAGE-BF1
+    // Bloom semi-join: the runtime-filter join shape made explicit. The
+    // delta (top 1/64 of the order-key domain — the incremental slice an
+    // exists-probe load would admit) is aggregated into a native
+    // BloomFilterAggregate ONCE, shipped as a literal into a codegen'd
+    // bloom_might_contain prefilter on the lineitem scan, and the exact
+    // left-semi join then removes the bloom's false positives. Semantics
+    // are those of the plain semi join — which IS the oracle — while at
+    // scale the fact exchange carries only probable matches (a 1 MB bloom
+    // replaces an unbroadcastable exact key set). BloomSkipSpec pins the
+    // no-false-negative property and the prefilter's plan placement.
+    QueryDef("bf_semi_join",
+      """WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+        |delta AS (SELECT o_orderkey FROM orders, mx WHERE o_orderkey > m - m // 64)
+        |SELECT l_orderkey, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sum_price
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM delta)
+        |GROUP BY l_orderkey""".stripMargin) { (s, dir) =>
+      import graft.core.BloomSkipping
+      val orders = Graft.table(s, dir, "orders")
+      val li = Graft.table(s, dir, "lineitem")
+      val m = orders.agg(max("o_orderkey")).head.getLong(0)
+      val delta = orders.filter(col("o_orderkey") > m - m / 64).select("o_orderkey")
+      // size the bloom from the delta's actual cardinality: one count job
+      // over a pruned single-column scan of the (small) delta side
+      val nd = delta.count()
+      BloomSkipping
+        .bloomSemiJoin(li, delta, "l_orderkey", "o_orderkey", math.max(nd, 1L))
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_items"),
+          sum(floor(col("l_extendedprice")).cast("long")).as("sum_price"))
+    },
+
+    // ------------------------------------------------------------ STORAGE-BF2
+    // Bloom-sidecar file pruning under the oracle gate: a bloom-indexed
+    // copy of events, range-clustered on event_id with one serialized
+    // bloom per file (built once per fixture version, cached like the
+    // z-order/ANN/text serving stores), answers a point-SET probe (the
+    // banded id replay shape: every 13th id in the second octile of the
+    // domain) by consulting the sidecar on the driver and reading only
+    // files that might contain a probe. The oracle is the SAME predicate
+    // as a plain full scan — file pruning must be semantically invisible,
+    // which the hash check proves; BloomSkipSpec separately pins that the
+    // sidecar actually skips files AND that membership pruning beats
+    // min/max range pruning on probes that fall inside every file's hull
+    // but inside no file's key SET.
+    QueryDef("bf_pruned_scan",
+      """SELECT event_id, user_id, event_type, value
+        |FROM events
+        |WHERE event_id % 13 = 3
+        |  AND event_id BETWEEN (SELECT MAX(event_id) // 4 FROM events)
+        |                   AND (SELECT MAX(event_id) // 4 + MAX(event_id) // 8 FROM events)""".stripMargin) { (s, dir) =>
+      import graft.core.{BloomSkipping, Lakehouse}
+      val ev = events(s, dir).select("event_id", "user_id", "event_type", "value")
+      val fp = Graft.dataFingerprint(s, s"$dir/events.parquet")
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_bloom_store/v1/" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_") + s"_$fp"
+      if (!Lakehouse.tableExists(s, root))
+        BloomSkipping.writeBloomIndexed(ev, root, "event_id", numFiles = 32)
+      val m = ev.agg(max("event_id")).head.getLong(0)
+      val (lo, hi) = (m / 4, m / 4 + m / 8)
+      val probes = (lo to hi).filter(_ % 13 == 3)
+      BloomSkipping.readBloomPruned(s, root, "event_id", probes)
+        .select("event_id", "user_id", "event_type", "value")
+    },
+
+    // ------------------------------------------------------------ STORAGE-BF3
+    // Bloom-accelerated anti join — the dedup-admission shape (S6's
+    // anti-join-guarded INSERT at 100 TB). might_contain = false PROVES a
+    // key is absent from the delta (no false negatives), so the
+    // provably-new branch is admitted map-side with NO shuffle; only the
+    // probable-duplicate sliver (true matches + fpp of the rest) pays the
+    // exact anti join. The branches are disjoint by the predicate, so the
+    // union is exactly the plain anti join — which is the oracle.
+    QueryDef("bf_anti_join",
+      """WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+        |delta AS (SELECT o_orderkey FROM orders, mx WHERE o_orderkey > m - m // 64)
+        |SELECT l_orderkey, COUNT(*) AS n_items
+        |FROM lineitem
+        |WHERE l_orderkey NOT IN (SELECT o_orderkey FROM delta)
+        |GROUP BY l_orderkey""".stripMargin) { (s, dir) =>
+      import graft.core.BloomSkipping
+      val orders = Graft.table(s, dir, "orders")
+      val li = Graft.table(s, dir, "lineitem")
+      val m = orders.agg(max("o_orderkey")).head.getLong(0)
+      val delta = orders.filter(col("o_orderkey") > m - m / 64).select("o_orderkey")
+      val nd = delta.count()
+      BloomSkipping
+        .bloomAntiJoin(li, delta, "l_orderkey", "o_orderkey", math.max(nd, 1L))
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_items"))
     }
   )
 }

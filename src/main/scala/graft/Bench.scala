@@ -38,7 +38,8 @@ object Bench {
     // probe (the stores exist in production; their one-time builds are not
     // the recurring cost the bench tracks).
     Seq("q1_agg", "flagship_priced_features", "d_incremental_dedup_stored",
-        "ann_ivfs", "t_bm25s", "z3_pruned_scan", "bf_pruned_scan").foreach { q =>
+        "ann_ivfs", "t_bm25s", "z3_pruned_scan", "bf_pruned_scan",
+        "snap_manifest_read").foreach { q =>
       try SparkEntry.queries(q)(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }

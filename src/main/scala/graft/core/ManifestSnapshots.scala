@@ -1,0 +1,350 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Manifest-based snapshots: time travel WITHOUT per-version data copies.
+  *
+  * [[Lakehouse.writeSnapshot]] versions a table by rewriting it whole —
+  * correct, but at 100 TB a daily snapshot cadence would copy the table
+  * daily (O(table) write amplification). Here a version is a MANIFEST: a
+  * small self-contained file list over immutable, shared data files —
+  * the Iceberg/Delta snapshot idea expressed on plain parquet + JSON:
+  *
+  *   dir/
+  *     data/d-<v>/...          immutable parquet, written once by version v
+  *     manifests/m-<v>.json    the COMPLETE file list of version v
+  *     _latest                 committed-version pointer (written last)
+  *
+  *  - [[appendDelta]] writes ONLY the delta's files and a manifest that
+  *    extends the previous list — O(delta) bytes per version.
+  *  - [[replacePartitions]] is copy-on-write at partition granularity:
+  *    the new manifest drops the predecessor's files for the touched
+  *    partitions and adds the delta's — the MERGE-shaped snapshot.
+  *  - Manifests are SELF-CONTAINED (every version lists every file it
+  *    reads), so there is no log replay and no manifest-chain compaction
+  *    problem: each manifest is its own checkpoint, and reading version v
+  *    touches exactly one KB-scale JSON before the data. At extreme file
+  *    counts the same listing would live in parquet manifests; JSON keeps
+  *    the recovery story greppable.
+  *  - [[compactData]] is OPTIMIZE as a new version: bin-pack the current
+  *    file list into target-sized files; older versions keep reading
+  *    their original files until [[vacuum]] reference-counts data files
+  *    across the kept manifests and deletes only the unreachable ones —
+  *    a file shared by a kept version is never deleted.
+  *
+  * Commit order (crash safety as an order, like the rest of the lake):
+  * data files first, manifest via tmp+rename second, `_latest` pointer
+  * last. A crash leaves either the old committed state (pointer not yet
+  * moved; orphaned data/manifest are invisible and re-writable) or the
+  * new one — readers never observe a half version. Torn manifests are
+  * ignored by recovery (newest PARSEABLE manifest wins).
+  *
+  * Reference behavior served: the features_db export pin-by-version
+  * discipline (SURVEY §3.3) — a training run records the snapshot
+  * version it read; incremental exports stop paying full-table copies.
+  */
+object ManifestSnapshots {
+
+  /** One data file of a version: lake-relative path, optional hive-style
+    * partition spec ("k=v", string-valued like the lake's hive
+    * partitions), row count (manifest-only statistics). */
+  final case class Entry(path: String, partition: Option[String], rows: Long)
+
+  private val LatestMarker = "_latest"
+
+  private def fs(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // ----------------------------------------------------------- MANIFEST I/O
+
+  private def manifestPath(dir: String, v: Long): Path =
+    new Path(s"${dir.stripSuffix("/")}/manifests/m-$v.json")
+
+  private def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  private def writeManifest(hfs: FileSystem, dir: String, v: Long,
+      entries: Seq[Entry]): Unit = {
+    val body = entries.map { e =>
+      val part = e.partition.map(p => "\"" + esc(p) + "\"").getOrElse("null")
+      s"""{"path":"${esc(e.path)}","partition":$part,"rows":${e.rows}}"""
+    }.mkString(s"""{"version":$v,"files":[""", ",", "]}")
+    val tmp = new Path(manifestPath(dir, v).toString + ".tmp")
+    val out = hfs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    hfs.delete(manifestPath(dir, v), false)
+    hfs.rename(tmp, manifestPath(dir, v))
+  }
+
+  /** Parse a manifest; None when absent or torn (recovery skips it). The
+    * format is this object's own flat JSON — a hand-rolled parser keeps
+    * the zero-dependency rule and fails closed on any malformation. */
+  private def readManifest(hfs: FileSystem, dir: String, v: Long): Option[Seq[Entry]] =
+    try {
+      val p = manifestPath(dir, v)
+      if (!hfs.exists(p)) None
+      else {
+        val in = hfs.open(p)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        val entry =
+          """\{"path":"((?:[^"\\]|\\.)*)","partition":(null|"(?:[^"\\]|\\.)*"),"rows":(\d+)\}""".r
+        def unesc(s: String): String = {
+          val b = new StringBuilder
+          var i = 0
+          while (i < s.length) {
+            if (s(i) == '\\' && i + 1 < s.length) {
+              s(i + 1) match {
+                case 'u' => b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+                case c => b.append(c); i += 2
+              }
+            } else { b.append(s(i)); i += 1 }
+          }
+          b.toString
+        }
+        if (!txt.startsWith(s"""{"version":$v,"files":[""") || !txt.endsWith("]}"))
+          None
+        else Some(entry.findAllMatchIn(txt).map { m =>
+          val part = m.group(2) match {
+            case "null" => None
+            case quoted => Some(unesc(quoted.substring(1, quoted.length - 1)))
+          }
+          Entry(unesc(m.group(1)), part, m.group(3).toLong)
+        }.toSeq)
+      }
+    } catch { case _: Exception => None }
+
+  /** All versions with a parseable manifest, ascending. */
+  def versions(spark: SparkSession, dir: String): Seq[Long] = {
+    val hfs = fs(spark, dir)
+    val mdir = new Path(s"${dir.stripSuffix("/")}/manifests")
+    if (!hfs.exists(mdir)) Nil
+    else hfs.listStatus(mdir).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("m-") && n.endsWith(".json") =>
+        n.stripPrefix("m-").stripSuffix(".json") }
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .filter(v => readManifest(hfs, dir, v).isDefined)
+      .sorted
+  }
+
+  /** The committed version: `_latest` when it points at a parseable
+    * manifest, else the newest parseable manifest (pointer-crash
+    * recovery — same discipline as [[Lakehouse.latestSnapshotVersion]]). */
+  def latestVersion(spark: SparkSession, dir: String): Option[Long] = {
+    val hfs = fs(spark, dir)
+    val marker = new Path(s"${dir.stripSuffix("/")}/$LatestMarker")
+    val fromMarker =
+      try {
+        if (!hfs.exists(marker)) None
+        else {
+          val in = hfs.open(marker)
+          val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+          Some(txt.toLong).filter(v => readManifest(hfs, dir, v).isDefined)
+        }
+      } catch { case _: Exception => None }
+    fromMarker.orElse(versions(spark, dir).lastOption)
+  }
+
+  private def commitPointer(hfs: FileSystem, dir: String, v: Long): Unit = {
+    val tmp = new Path(s"${dir.stripSuffix("/")}/$LatestMarker.tmp")
+    val out = hfs.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    val dst = new Path(s"${dir.stripSuffix("/")}/$LatestMarker")
+    hfs.delete(dst, false)
+    hfs.rename(tmp, dst)
+  }
+
+  // -------------------------------------------------------------- WRITERS
+
+  /** Write `df` into this version's OWN immutable directory and return its
+    * manifest entries. Partitioned layouts nest hive dirs under d-<v>;
+    * entries carry the "k=v" spec parsed from the path. */
+  private def writeDataFiles(df: DataFrame, dir: String, v: Long,
+      partitionCols: Seq[String]): Seq[Entry] = {
+    val spark = df.sparkSession
+    val dataDir = s"${dir.stripSuffix("/")}/data/d-$v"
+    val w = df.write.mode(SaveMode.Overwrite).option("compression", "snappy")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(dataDir)
+    val hfs = fs(spark, dir)
+    val root = hfs.makeQualified(new Path(dataDir))
+    def walk(p: Path): Seq[Path] =
+      hfs.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.startsWith("part-")) Seq(st.getPath)
+        else Nil
+      }
+    walk(root).map { p =>
+      val rel = hfs.makeQualified(p).toString
+        .stripPrefix(root.toString).stripPrefix("/")
+      val part = rel.split('/').dropRight(1).mkString("/") match {
+        case "" => None
+        case spec => Some(spec)
+      }
+      // rows per file: manifest statistic, read from the parquet footer
+      // (metadata-only, like zoneMapK)
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(p, spark.sparkContext.hadoopConfiguration)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val rows = try reader.getRecordCount finally reader.close()
+      Entry(s"data/d-$v/$rel", part, rows)
+    }
+  }
+
+  private def nextVersion(spark: SparkSession, dir: String): Long =
+    versions(spark, dir).lastOption.getOrElse(0L) + 1
+
+  /** Full snapshot: version 1 of a table, or a complete re-statement. */
+  def writeFull(df: DataFrame, dir: String,
+      partitionCols: Seq[String] = Nil): Long = {
+    val spark = df.sparkSession
+    val hfs = fs(spark, dir)
+    val v = nextVersion(spark, dir)
+    val entries = writeDataFiles(df, dir, v, partitionCols)
+    writeManifest(hfs, dir, v, entries)
+    commitPointer(hfs, dir, v)
+    v
+  }
+
+  /** O(delta) append version: the new manifest = predecessor's list +
+    * the delta's fresh files. Nothing is rewritten or copied. */
+  def appendDelta(df: DataFrame, dir: String,
+      partitionCols: Seq[String] = Nil): Long = {
+    val spark = df.sparkSession
+    val hfs = fs(spark, dir)
+    val prev = latestVersion(spark, dir)
+      .flatMap(v => readManifest(hfs, dir, v)).getOrElse(Nil)
+    val v = nextVersion(spark, dir)
+    val entries = writeDataFiles(df, dir, v, partitionCols)
+    require(prev.isEmpty || prev.forall(_.partition.isDefined) == entries.forall(_.partition.isDefined),
+      "appendDelta must keep the table's partitioning shape: mixing " +
+        "partitioned and unpartitioned versions would break the union read")
+    writeManifest(hfs, dir, v, prev ++ entries)
+    commitPointer(hfs, dir, v)
+    v
+  }
+
+  /** Copy-on-write at partition granularity: the delta's partitions
+    * replace the predecessor's files for EXACTLY those partitions;
+    * untouched partitions keep their existing files by reference. The
+    * MERGE-shaped snapshot — a 0.1% daily delta writes 0.1% of the
+    * table and one manifest. */
+  def replacePartitions(df: DataFrame, dir: String,
+      partitionCols: Seq[String]): Long = {
+    require(partitionCols.nonEmpty, "replacePartitions needs partition columns")
+    val spark = df.sparkSession
+    val hfs = fs(spark, dir)
+    val prev = latestVersion(spark, dir)
+      .flatMap(v => readManifest(hfs, dir, v)).getOrElse(Nil)
+    val v = nextVersion(spark, dir)
+    val entries = writeDataFiles(df, dir, v, partitionCols)
+    val touched = entries.flatMap(_.partition).toSet
+    val kept = prev.filterNot(_.partition.exists(touched.contains))
+    writeManifest(hfs, dir, v, kept ++ entries)
+    commitPointer(hfs, dir, v)
+    v
+  }
+
+  // --------------------------------------------------------------- READERS
+
+  /** Read one version: exactly its manifest's files. Partitioned layouts
+    * recover the partition columns from the hive paths via basePath
+    * (string-typed, the lake's hive-partition convention). */
+  def read(spark: SparkSession, dir: String, version: Long): DataFrame = {
+    val hfs = fs(spark, dir)
+    val entries = readManifest(hfs, dir, version).getOrElse(
+      throw new IllegalStateException(s"no parseable manifest for version $version under $dir"))
+    require(entries.nonEmpty, s"version $version is empty")
+    val base = dir.stripSuffix("/")
+    val files = entries.map(e => s"$base/${e.path}")
+    if (entries.exists(_.partition.isDefined))
+      // every version dir is its own hive root; read per version-dir and
+      // union (partition columns come from the paths under each basePath)
+      entries.groupBy(_.path.split('/').take(2).mkString("/")).toSeq
+        .sortBy(_._1)
+        .map { case (vdir, es) =>
+          spark.read.option("basePath", s"$base/$vdir")
+            .parquet(es.map(e => s"$base/${e.path}"): _*)
+        }
+        .reduce(_ unionByName _)
+    else spark.read.parquet(files: _*)
+  }
+
+  def readLatest(spark: SparkSession, dir: String): DataFrame = {
+    val v = latestVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed manifest snapshot under $dir"))
+    read(spark, dir, v)
+  }
+
+  /** Manifest-only row count — the statistic a planner would use; zero
+    * data I/O. */
+  def rowCount(spark: SparkSession, dir: String, version: Long): Long =
+    readManifest(fs(spark, dir), dir, version)
+      .map(_.map(_.rows).sum)
+      .getOrElse(throw new IllegalStateException(s"no manifest for $version"))
+
+  // ----------------------------------------------------------- MAINTENANCE
+
+  /** OPTIMIZE as a new version: bin-pack the committed file list into
+    * ~targetFileMB files (count from actual referenced bytes, like
+    * [[Lakehouse.compact]]). Previous versions keep reading their
+    * original files; nothing is deleted here. */
+  def compactData(spark: SparkSession, dir: String,
+      targetFileMB: Int = 256, partitionCols: Seq[String] = Nil): Long = {
+    val hfs = fs(spark, dir)
+    val cur = latestVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"nothing to compact under $dir"))
+    val entries = readManifest(hfs, dir, cur).get
+    val base = dir.stripSuffix("/")
+    val bytes = entries.map(e => hfs.getFileStatus(new Path(s"$base/${e.path}")).getLen).sum
+    val nFiles = math.max(1, (bytes / (targetFileMB.toLong << 20)).toInt)
+    val current = read(spark, dir, cur)
+    val v = nextVersion(spark, dir)
+    val packed =
+      if (partitionCols.nonEmpty) current // partition dirs bound file shape
+      else current.repartition(nFiles)
+    val newEntries = writeDataFiles(packed, dir, v, partitionCols)
+    writeManifest(hfs, dir, v, newEntries)
+    commitPointer(hfs, dir, v)
+    v
+  }
+
+  /** Reclaim: drop all but the newest `keep` versions' manifests, then
+    * delete the data files no KEPT manifest references — reference
+    * counting across manifests, so a file shared by any kept version
+    * survives. Returns (dropped versions, deleted data files). */
+  def vacuum(spark: SparkSession, dir: String, keep: Int = 2): (Seq[Long], Int) = {
+    require(keep >= 1, "keep at least the committed version")
+    val hfs = fs(spark, dir)
+    val all = versions(spark, dir)
+    val pinned = latestVersion(spark, dir)
+    val doomed = all.dropRight(keep).filterNot(pinned.contains)
+    val keptVersions = all.filterNot(doomed.contains)
+    val referenced = keptVersions
+      .flatMap(v => readManifest(hfs, dir, v).getOrElse(Nil))
+      .map(_.path).toSet
+    val base = dir.stripSuffix("/")
+    // delete unreferenced files from the DOOMED versions' lists, then
+    // their manifests; empty d-<v> dirs go last
+    val doomedFiles = doomed
+      .flatMap(v => readManifest(hfs, dir, v).getOrElse(Nil))
+      .map(_.path).distinct
+      .filterNot(referenced.contains)
+    doomedFiles.foreach(p => hfs.delete(new Path(s"$base/$p"), false))
+    doomed.foreach(v => hfs.delete(manifestPath(dir, v), false))
+    val dataRoot = new Path(s"$base/data")
+    if (hfs.exists(dataRoot))
+      hfs.listStatus(dataRoot).foreach { st =>
+        if (st.isDirectory && hfs.listStatus(st.getPath).isEmpty)
+          hfs.delete(st.getPath, false)
+      }
+    (doomed, doomedFiles.size)
+  }
+}

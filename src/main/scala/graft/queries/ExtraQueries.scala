@@ -606,6 +606,34 @@ object ExtraQueries {
         .bloomAntiJoin(li, delta, "l_orderkey", "o_orderkey", math.max(nd, 1L))
         .groupBy("l_orderkey")
         .agg(count(lit(1)).as("n_items"))
+    },
+
+    // ------------------------------------------------------------ STORAGE-MS
+    // Manifest-snapshot read under the oracle gate: an events copy built
+    // as a 3-version append CHAIN (ManifestSnapshots.writeFull +
+    // 2 × appendDelta — O(delta) versions over shared immutable files,
+    // built once per fixture version like the other serving stores) must
+    // read back EXACTLY the plain table: version manifests are a file-list
+    // indirection, never a semantic one. ManifestSnapshotSpec separately
+    // pins time travel, partition-level copy-on-write, compaction, vacuum
+    // refcounting, and crash recovery.
+    QueryDef("snap_manifest_read",
+      "SELECT event_id, user_id, value FROM events") { (s, dir) =>
+      import graft.core.ManifestSnapshots
+      val ev = events(s, dir).select("event_id", "user_id", "value")
+      val fp = Graft.dataFingerprint(s, s"$dir/events.parquet")
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_msnap_store/v1/" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_") + s"_$fp"
+      if (ManifestSnapshots.latestVersion(s, root).isEmpty) {
+        val m = ev.agg(max("event_id")).head.getLong(0)
+        ManifestSnapshots.writeFull(
+          ev.filter(col("event_id") <= m / 3), root)
+        ManifestSnapshots.appendDelta(
+          ev.filter(col("event_id") > m / 3 && col("event_id") <= 2 * (m / 3)), root)
+        ManifestSnapshots.appendDelta(
+          ev.filter(col("event_id") > 2 * (m / 3)), root)
+      }
+      ManifestSnapshots.readLatest(s, root)
     }
   )
 }

@@ -1,0 +1,139 @@
+package graft
+
+import graft.core.ManifestSnapshots
+import org.apache.spark.sql.functions._
+
+/** Manifest-based snapshots (core/ManifestSnapshots): time travel with
+  * shared immutable data files. Pins
+  *  (1) the append chain — every version reads exactly its manifest,
+  *      O(delta) bytes written per version,
+  *  (2) partition-granular copy-on-write — untouched partitions are
+  *      SHARED by reference, old versions keep their pre-image,
+  *  (3) compaction as a version — readers see identical content, old
+  *      versions stay readable,
+  *  (4) vacuum reference counting — only files unreachable from every
+  *      kept manifest are deleted,
+  *  (5) crash recovery — torn manifests and stale pointers are ignored,
+  *      orphaned data dirs are re-writable.
+  */
+class ManifestSnapshotSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def slice(lo: Long, hi: Long) =
+    (lo until hi).toDF("id").withColumn("v", col("id") * 3)
+
+  test("append chain: O(delta) versions, each version reads its own manifest") {
+    val dir = tmpDir("msnap") + "/t"
+    val v1 = ManifestSnapshots.writeFull(slice(0, 300), dir)
+    val v2 = ManifestSnapshots.appendDelta(slice(300, 500), dir)
+    val v3 = ManifestSnapshots.appendDelta(slice(500, 600), dir)
+    assert(Seq(v1, v2, v3) == Seq(1L, 2L, 3L))
+
+    assert(ManifestSnapshots.read(spark, dir, 1).count() == 300)
+    assert(ManifestSnapshots.read(spark, dir, 2).count() == 500)
+    val latest = ManifestSnapshots.readLatest(spark, dir)
+    assert(latest.count() == 600)
+    assert(latest.exceptAll(slice(0, 600)).isEmpty &&
+      slice(0, 600).exceptAll(latest).isEmpty)
+
+    // manifest-only statistics agree with the data (zero data I/O)
+    assert(ManifestSnapshots.rowCount(spark, dir, 2) == 500)
+
+    // O(delta): version 2's own directory holds only the delta's rows
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d2 = new org.apache.hadoop.fs.Path(s"$dir/data/d-2")
+    assert(fs.exists(d2))
+    assert(spark.read.parquet(d2.toString).count() == 200,
+      "appendDelta must write the delta only, never restate the table")
+  }
+
+  test("replacePartitions: copy-on-write shares untouched partitions by reference") {
+    val dir = tmpDir("msnapcow") + "/t"
+    val base = slice(0, 300).withColumn("p",
+      when(col("id") < 100, "a").when(col("id") < 200, "b").otherwise("c"))
+    ManifestSnapshots.writeFull(base, dir, Seq("p"))
+
+    // rewrite partition b only (values change)
+    val newB = (100L until 200L).toDF("id")
+      .withColumn("v", col("id") * 1000).withColumn("p", lit("b"))
+    val v2 = ManifestSnapshots.replacePartitions(newB, dir, Seq("p"))
+
+    val latest = ManifestSnapshots.read(spark, dir, v2)
+    assert(latest.count() == 300)
+    assert(latest.filter(col("p") === "b" && col("v") === col("id") * 1000).count() == 100,
+      "touched partition must carry the new image")
+    assert(latest.filter(col("p") === "a" && col("v") === col("id") * 3).count() == 100,
+      "untouched partition must carry the old image")
+    // time travel: version 1 still shows the pre-image of b
+    val old = ManifestSnapshots.read(spark, dir, 1)
+    assert(old.filter(col("p") === "b" && col("v") === col("id") * 3).count() == 100)
+    // sharing is by reference: v2 reads a/c files from d-1, b files from d-2
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/data/d-2")))
+    assert(spark.read.parquet(s"$dir/data/d-2").count() == 100,
+      "only the touched partition's rows are written")
+  }
+
+  test("compactData is a version: content identical, older versions intact; vacuum refcounts") {
+    val dir = tmpDir("msnapopt") + "/t"
+    ManifestSnapshots.writeFull(slice(0, 100), dir)
+    (1 to 5).foreach(i => ManifestSnapshots.appendDelta(slice(i * 100L, i * 100L + 100L), dir))
+    val before = ManifestSnapshots.readLatest(spark, dir)
+    val beforeRows = before.collect().toSet
+
+    val vC = ManifestSnapshots.compactData(spark, dir, targetFileMB = 256)
+    val after = ManifestSnapshots.readLatest(spark, dir)
+    assert(after.collect().toSet == beforeRows, "compaction changed content")
+    // pre-compaction version still readable (its files untouched)
+    assert(ManifestSnapshots.read(spark, dir, vC - 1).count() == 600)
+
+    // vacuum to the compacted version only: every pre-compaction file is
+    // unreferenced and goes; the compacted files stay
+    val (dropped, deleted) = ManifestSnapshots.vacuum(spark, dir, keep = 1)
+    assert(dropped.nonEmpty && deleted > 0)
+    assert(ManifestSnapshots.readLatest(spark, dir).collect().toSet == beforeRows,
+      "vacuum deleted a file the committed version references")
+    assert(ManifestSnapshots.versions(spark, dir) == Seq(vC))
+  }
+
+  test("vacuum never deletes a file shared with a kept version") {
+    val dir = tmpDir("msnapshare") + "/t"
+    ManifestSnapshots.writeFull(slice(0, 100), dir)   // v1: files F1
+    ManifestSnapshots.appendDelta(slice(100, 200), dir) // v2: F1 + F2
+    ManifestSnapshots.appendDelta(slice(200, 300), dir) // v3: F1 + F2 + F3
+    // keep v2 and v3 — v1's manifest goes, but F1 is shared by BOTH kept
+    // versions and must survive
+    val (dropped, deleted) = ManifestSnapshots.vacuum(spark, dir, keep = 2)
+    assert(dropped == Seq(1L))
+    assert(deleted == 0, s"shared files must survive, deleted $deleted")
+    assert(ManifestSnapshots.read(spark, dir, 2).count() == 200)
+    assert(ManifestSnapshots.readLatest(spark, dir).count() == 300)
+  }
+
+  test("torn manifest and stale pointer are ignored; orphaned data dir is re-writable") {
+    val dir = tmpDir("msnapcrash") + "/t"
+    ManifestSnapshots.writeFull(slice(0, 100), dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a torn manifest for v2 (crash mid-write) + a pointer that reached it
+    val torn = new org.apache.hadoop.fs.Path(s"$dir/manifests/m-2.json")
+    val out = fs.create(torn, true)
+    out.write("""{"version":2,"files":[{"path":"data/d-2/part-x""".getBytes("UTF-8"))
+    out.close()
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_latest")
+    val mo = fs.create(marker, true); mo.write("2".getBytes("UTF-8")); mo.close()
+
+    // recovery: the torn version does not exist; v1 is the committed state
+    assert(ManifestSnapshots.versions(spark, dir) == Seq(1L))
+    assert(ManifestSnapshots.latestVersion(spark, dir).contains(1L))
+    assert(ManifestSnapshots.readLatest(spark, dir).count() == 100)
+
+    // the next writer lands on version 2 again, overwriting the orphan
+    val v2 = ManifestSnapshots.appendDelta(slice(100, 150), dir)
+    assert(v2 == 2L)
+    assert(ManifestSnapshots.readLatest(spark, dir).count() == 150)
+  }
+}

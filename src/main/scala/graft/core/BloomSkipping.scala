@@ -325,18 +325,35 @@ object BloomSkipping {
   /** The pruning decision itself — (kept data files, total data files) for
     * a probe set — exposed so specs and diagnostics can assert skipping
     * power without re-deriving it. A file the sidecar does not know is
-    * always kept. */
+    * always kept.
+    *
+    * The decision is computed DISTRIBUTED over the sidecar table: per-file
+    * bloom bytes scale with rows-per-file, so at 100 TB the sidecar as a
+    * whole is ~bits-per-row × |table| — far too big to collect. Each
+    * executor deserializes its partition's blooms, tests the (small,
+    * broadcast-by-closure) hashed probe set, and only FILE NAMES travel to
+    * the driver: O(|files|) strings, the same boundedness class as any
+    * file listing. mapPartitions is justified here the same way the image
+    * decode is — amortizing object (bloom) deserialization per batch over
+    * opaque binary, not expressible as a Catalyst predicate without a
+    * per-row re-parse. */
   def pruneDecision(spark: SparkSession, path: String,
       probes: Seq[Long]): (Seq[String], Int) = {
     import org.apache.spark.sql.catalyst.expressions.XxHash64Function
-    val hashed = probes.map(v => XxHash64Function.hash(v, LongType, XxSeed))
-    val sidecar = spark.read.parquet(s"${path.stripSuffix("/")}/$SidecarDir")
-      .select("file", "bloom").collect()
-    val admitted = sidecar.iterator.filter { r =>
-      val bf = BloomFilter.readFrom(r.getAs[Array[Byte]]("bloom"))
-      hashed.exists(bf.mightContainLong)
-    }.map(r => fileName(r.getString(0))).toSet
-    val indexed = sidecar.iterator.map(r => fileName(r.getString(0))).toSet
+    val hashed = probes.map(v => XxHash64Function.hash(v, LongType, XxSeed)).toArray
+    import spark.implicits._
+    val decisions: Array[(String, Boolean)] =
+      spark.read.parquet(s"${path.stripSuffix("/")}/$SidecarDir")
+        .select("file", "bloom").as[(String, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (file, bytes) =>
+            val bf = BloomFilter.readFrom(bytes)
+            (file, hashed.exists(bf.mightContainLong))
+          }
+        }.collect()
+    val admitted = decisions.iterator.collect {
+      case (f, true) => fileName(f) }.toSet
+    val indexed = decisions.iterator.map { case (f, _) => fileName(f) }.toSet
 
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)

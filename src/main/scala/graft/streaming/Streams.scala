@@ -218,6 +218,31 @@ object Streams {
       }
       .start()
 
+  /** [[foreachBatchRawAppend]] behind the persistent key-set Bloom guard
+    * ([[Lakehouse.antiJoinAppendBloomGuarded]]): the replay guard stops
+    * scanning the store per micro-batch — a mostly-new batch proves
+    * itself fresh AT THE SCAN via the whole-table key bloom, and only
+    * probable duplicates pay the exact anti join. The guard's bloom-first
+    * commit order composes with checkpoint recovery: a batch replayed
+    * after a crash between guard write and data append routes through
+    * the exact check (the guard ran ahead — false positives only) and
+    * still lands exactly once. */
+  def foreachBatchBloomGuardedAppend(
+      stream: DataFrame,
+      path: String,
+      keys: Seq[String],
+      partitionCols: Seq[String],
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          Lakehouse.antiJoinAppendBloomGuarded(
+            batch.sparkSession, batch, path, keys, partitionCols)
+      }
+      .start()
+
   /** Streaming corpus admission — the training-data pipeline's ingest
     * gate as a stream: each micro-batch of documents dedups against the
     * PERSISTED MinHash index ([[graft.pipeline.DedupStore]]); only

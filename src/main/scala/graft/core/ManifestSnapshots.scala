@@ -283,6 +283,59 @@ object ManifestSnapshots {
     read(spark, dir, v)
   }
 
+  /** A version's complete manifest entry list (metadata-only). */
+  def entriesOf(spark: SparkSession, dir: String, v: Long): Seq[Entry] =
+    readManifest(fs(spark, dir), dir, v).getOrElse(
+      throw new IllegalStateException(s"no parseable manifest for version $v under $dir"))
+
+  /** The manifest entries version `toV` ADDS over `fromV` — a pure
+    * file-list set difference, zero data I/O. */
+  def addedEntries(spark: SparkSession, dir: String,
+      fromV: Long, toV: Long): Seq[Entry] = {
+    require(fromV <= toV, s"changes need fromV <= toV, got $fromV > $toV")
+    val before = entriesOf(spark, dir, fromV).map(_.path).toSet
+    entriesOf(spark, dir, toV).filterNot(e => before.contains(e.path))
+  }
+
+  /** The entries `fromV` had that `toV` DROPPED — nonempty exactly when
+    * a rewriting version ([[replacePartitions]], [[compactData]]) sits
+    * in the range, i.e. when the range is NOT append-only. Incremental
+    * consumers use this as their soundness gate. */
+  def removedEntries(spark: SparkSession, dir: String,
+      fromV: Long, toV: Long): Seq[Entry] = {
+    require(fromV <= toV, s"changes need fromV <= toV, got $fromV > $toV")
+    val after = entriesOf(spark, dir, toV).map(_.path).toSet
+    entriesOf(spark, dir, fromV).filterNot(e => after.contains(e.path))
+  }
+
+  /** CDC read: the rows versions (fromV, toV] added, recovered from the
+    * manifest DIFF — because data files are immutable and manifests are
+    * complete file lists, "what changed" is a path-set difference
+    * resolved entirely on KB-scale metadata, and the read touches ONLY
+    * the delta's files: O(delta) whatever the table size. For an
+    * append-only chain this is exactly the inserted rows; a
+    * [[replacePartitions]] version surfaces the touched partitions'
+    * full new content (file-granular CDC, the Iceberg/Delta
+    * incremental-read semantics without a per-row change log). Returns
+    * an empty frame in the table's schema when nothing changed. */
+  def readChanges(spark: SparkSession, dir: String,
+      fromV: Long, toV: Long): DataFrame = {
+    val added = addedEntries(spark, dir, fromV, toV)
+    val base = dir.stripSuffix("/")
+    if (added.isEmpty) {
+      val schema = read(spark, dir, toV).schema
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else if (added.exists(_.partition.isDefined))
+      added.groupBy(_.path.split('/').take(2).mkString("/")).toSeq
+        .sortBy(_._1)
+        .map { case (vdir, es) =>
+          spark.read.option("basePath", s"$base/$vdir")
+            .parquet(es.map(e => s"$base/${e.path}"): _*)
+        }
+        .reduce(_ unionByName _)
+    else spark.read.parquet(added.map(e => s"$base/${e.path}"): _*)
+  }
+
   /** Manifest-only row count — the statistic a planner would use; zero
     * data I/O. */
   def rowCount(spark: SparkSession, dir: String, version: Long): Long =

@@ -1,0 +1,82 @@
+package graft.core
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Atomic publication for fingerprint-keyed serving-store roots (the
+  * z-order / bloom-index / manifest-snapshot stores under the shared
+  * tmpdir).
+  *
+  * The naive `if (!exists(root)) build(root)` has two failure modes the
+  * r8 advice called out: a crash mid-build leaves a half-written root
+  * that every later session trusts, and two concurrent JVMs on the same
+  * fixture race the build with one reading the other's partial output.
+  * Here a build always goes to a PRIVATE sibling directory and is
+  * published by rename — the unit of visibility is the completed store:
+  *
+  *   - `_STORE_READY` is written inside the build dir LAST, so even a
+  *     torn rename target is distinguishable from a completed one;
+  *   - the loser of a publish race (or a builder whose rename landed
+  *     NESTED inside the winner's root — Hadoop rename moves src INTO an
+  *     existing dst directory) deletes its copy and reads the winner's;
+  *   - a crashed build leaves only an orphaned `.build-*` sibling that no
+  *     reader ever consults and any later builder sweeps.
+  *
+  * The bucketed catalog-backed stores (ANN / dedup / text index) publish
+  * differently — their location is a catalog registration and their
+  * partial states self-heal (TextIndexStore's stats snapshot) — so they
+  * keep their own discipline; this helper is for plain-directory stores
+  * whose readers trust the directory contents as a whole.
+  */
+object StoreRoots {
+
+  private val ReadyMarker = "_STORE_READY"
+
+  /** True when `root` holds a completely published store. */
+  def isReady(spark: SparkSession, root: String): Boolean = {
+    val rp = new Path(root)
+    val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new Path(rp, ReadyMarker))
+  }
+
+  /** Ensure `root` holds a completed store, running `build` against a
+    * private directory and publishing atomically if nobody has yet.
+    * Returns true when THIS call performed the build-and-publish. */
+  def ensure(spark: SparkSession, root: String)(build: String => Unit): Boolean = {
+    val rp = new Path(root)
+    val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def ready = fs.exists(new Path(rp, ReadyMarker))
+    if (ready) return false
+    // a root that exists WITHOUT the marker is a pre-discipline or torn
+    // publish: rebuild it from scratch rather than trust partial contents
+    // (marker re-checked right before the delete — a racer may have
+    // published in between)
+    if (fs.exists(rp) && !ready) fs.delete(rp, true)
+    fs.mkdirs(rp.getParent)
+    // sweep orphaned tmp dirs of crashed builders (never consulted by
+    // readers, reclaimed here so the shared tmpdir stays bounded) —
+    // age-gated so a CONCURRENT builder's live tmp dir is never swept
+    val staleBefore = System.currentTimeMillis() - 6L * 3600 * 1000
+    fs.globStatus(new Path(rp.getParent, rp.getName + ".build-*"))
+      .filter(_.getModificationTime < staleBefore)
+      .foreach(st => fs.delete(st.getPath, true))
+    val tmpName = rp.getName + ".build-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(rp.getParent, tmpName)
+    build(tmp.toString)
+    val mk = fs.create(new Path(tmp, ReadyMarker), true)
+    mk.close()
+    val won = !fs.exists(rp) && fs.rename(tmp, rp)
+    // Unconditionally drop any copy that did not BECOME the root: the
+    // lost-race tmp still sitting beside it, or a rename that landed
+    // NESTED inside a concurrently-published root (Hadoop rename moves
+    // src INTO an existing dst directory, so even a rename that returned
+    // true can have nested us if the winner published between our exists
+    // check and the rename). When we won cleanly both paths are gone and
+    // these are no-ops.
+    fs.delete(tmp, true)
+    fs.delete(new Path(rp, tmpName), true)
+    require(ready, s"store publish failed for $root")
+    won
+  }
+}

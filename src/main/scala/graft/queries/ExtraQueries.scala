@@ -15,6 +15,30 @@ object ExtraQueries {
   private def events(s: SparkSession, dir: String): DataFrame =
     Graft.events(s, dir)
 
+  /** The shared manifest-snapshot copy of `events` (projected to
+    * (event_id, user_id, value)), built ONCE per fixture version as a
+    * 3-version append chain: v1 = ids ≤ m/3, v2 adds (m/3, 2m/3],
+    * v3 adds the rest. snap_manifest_read / snap_time_travel /
+    * snap_changes / mv_incremental all serve from this one store, so the
+    * chain's exact version boundaries are part of its contract. */
+  private def msnapStore(s: SparkSession, dir: String): String = {
+    import graft.core.ManifestSnapshots
+    val ev = events(s, dir).select("event_id", "user_id", "value")
+    val fp = Graft.dataFingerprint(s, s"$dir/events.parquet")
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_msnap_store/v1/" +
+      dir.replaceAll("[^a-zA-Z0-9]", "_") + s"_$fp"
+    graft.core.StoreRoots.ensure(s, root) { tmp =>
+      val m = ev.agg(max("event_id")).head.getLong(0)
+      ManifestSnapshots.writeFull(
+        ev.filter(col("event_id") <= m / 3), tmp)
+      ManifestSnapshots.appendDelta(
+        ev.filter(col("event_id") > m / 3 && col("event_id") <= 2 * (m / 3)), tmp)
+      ManifestSnapshots.appendDelta(
+        ev.filter(col("event_id") > 2 * (m / 3)), tmp)
+    }
+    root
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // --------------------------------------------------------------- DEDUP-6
@@ -502,9 +526,9 @@ object ExtraQueries {
       val fp = Graft.dataFingerprint(s, s"$dir/events.parquet")
       val root = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_store/v1/" +
         dir.replaceAll("[^a-zA-Z0-9]", "_") + s"_$fp"
-      if (!Lakehouse.tableExists(s, root))
-        Lakehouse.writeZOrderedK(ev, root, Seq("user_id", "value", "event_id"),
-          numFiles = 32)
+      graft.core.StoreRoots.ensure(s, root)(tmp =>
+        Lakehouse.writeZOrderedK(ev, tmp, Seq("user_id", "value", "event_id"),
+          numFiles = 32))
       val m = ev.agg(max("user_id").as("mu"), max("event_id").as("me")).head
       val (mu, me) = (m.getLong(0), m.getLong(1))
       Lakehouse.readZPrunedK(s, root, Seq(
@@ -567,13 +591,13 @@ object ExtraQueries {
         |WHERE event_id % 13 = 3
         |  AND event_id BETWEEN (SELECT MAX(event_id) // 4 FROM events)
         |                   AND (SELECT MAX(event_id) // 4 + MAX(event_id) // 8 FROM events)""".stripMargin) { (s, dir) =>
-      import graft.core.{BloomSkipping, Lakehouse}
+      import graft.core.BloomSkipping
       val ev = events(s, dir).select("event_id", "user_id", "event_type", "value")
       val fp = Graft.dataFingerprint(s, s"$dir/events.parquet")
       val root = s"${System.getProperty("java.io.tmpdir")}/graft_bloom_store/v1/" +
         dir.replaceAll("[^a-zA-Z0-9]", "_") + s"_$fp"
-      if (!Lakehouse.tableExists(s, root))
-        BloomSkipping.writeBloomIndexed(ev, root, "event_id", numFiles = 32)
+      graft.core.StoreRoots.ensure(s, root)(tmp =>
+        BloomSkipping.writeBloomIndexed(ev, tmp, "event_id", numFiles = 32))
       val m = ev.agg(max("event_id")).head.getLong(0)
       val (lo, hi) = (m / 4, m / 4 + m / 8)
       val probes = (lo to hi).filter(_ % 13 == 3)
@@ -619,21 +643,76 @@ object ExtraQueries {
     // refcounting, and crash recovery.
     QueryDef("snap_manifest_read",
       "SELECT event_id, user_id, value FROM events") { (s, dir) =>
+      graft.core.ManifestSnapshots.readLatest(s, msnapStore(s, dir))
+    },
+
+    // ------------------------------------------------------------ STORAGE-TT
+    // Time travel under the oracle gate: reading version 1 of the
+    // 3-version chain must yield EXACTLY the rows that version froze
+    // (ids ≤ max/3) — a manifest is a complete, immutable file list, so
+    // a historical read is one KB-scale JSON plus only that version's
+    // files, at any table size. This is the pin-by-version discipline a
+    // training run needs: the snapshot it recorded stays byte-identical
+    // however many appends land after it.
+    QueryDef("snap_time_travel",
+      """SELECT event_id, user_id, value FROM events
+        |WHERE event_id <= (SELECT MAX(event_id) // 3 FROM events)""".stripMargin) { (s, dir) =>
+      graft.core.ManifestSnapshots.read(s, msnapStore(s, dir), version = 1L)
+    },
+
+    // ----------------------------------------------------------- STORAGE-CDC
+    // Incremental read (CDC) via manifest diff: "what did versions
+    // (1, latest] add" is a file-list SET DIFFERENCE resolved on
+    // metadata, and the read touches only the delta's files — O(delta)
+    // whatever the table size, where an engine without snapshot
+    // manifests pays an anti join over the full table to answer the
+    // same question. The oracle states the semantic contract directly:
+    // the added rows are exactly ids > max/3.
+    QueryDef("snap_changes",
+      """SELECT event_id, user_id, value FROM events
+        |WHERE event_id > (SELECT MAX(event_id) // 3 FROM events)""".stripMargin) { (s, dir) =>
       import graft.core.ManifestSnapshots
-      val ev = events(s, dir).select("event_id", "user_id", "value")
+      val root = msnapStore(s, dir)
+      val latest = ManifestSnapshots.latestVersion(s, root).get
+      ManifestSnapshots.readChanges(s, root, fromV = 1L, toV = latest)
+    },
+
+    // ------------------------------------------------------------ STORAGE-MV
+    // Incrementally-maintained materialized view: per-user rollup
+    // (exact decimal sum, min/max, count) refreshed O(delta) against the
+    // snapshot chain — state at v1 full, then ONE incremental refresh
+    // folds v2+v3's delta files into the stored partials
+    // (pipeline/MaterializedView; the build REQUIRES the second refresh
+    // to take the incremental path). The oracle is the full GROUP BY
+    // over the whole table: incremental maintenance must be
+    // semantically invisible, which the hash check proves exactly
+    // (decimal partials make the sum associative — no float drift
+    // between merge orders). MaterializedViewSpec separately pins
+    // delta-only processing, the rewrite fallback, and crash safety.
+    QueryDef("mv_incremental",
+      """SELECT user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+        |  MIN(value) AS min_value, MAX(value) AS max_value,
+        |  COUNT(*) AS n_rows
+        |FROM events GROUP BY user_id""".stripMargin) { (s, dir) =>
+      import graft.pipeline.MaterializedView
+      import graft.pipeline.MaterializedView.MvSpec
+      val base = msnapStore(s, dir)
+      val spec = MvSpec(keys = Seq("user_id"),
+        sums = Seq("value"), mins = Seq("value"), maxs = Seq("value"))
       val fp = Graft.dataFingerprint(s, s"$dir/events.parquet")
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_msnap_store/v1/" +
+      val viewRoot = s"${System.getProperty("java.io.tmpdir")}/graft_mv_store/v1/" +
         dir.replaceAll("[^a-zA-Z0-9]", "_") + s"_$fp"
-      if (ManifestSnapshots.latestVersion(s, root).isEmpty) {
-        val m = ev.agg(max("event_id")).head.getLong(0)
-        ManifestSnapshots.writeFull(
-          ev.filter(col("event_id") <= m / 3), root)
-        ManifestSnapshots.appendDelta(
-          ev.filter(col("event_id") > m / 3 && col("event_id") <= 2 * (m / 3)), root)
-        ManifestSnapshots.appendDelta(
-          ev.filter(col("event_id") > 2 * (m / 3)), root)
+      graft.core.StoreRoots.ensure(s, viewRoot) { tmp =>
+        MaterializedView.refresh(s, base, tmp, spec, asOf = Some(1L))
+        val inc = MaterializedView.refresh(s, base, tmp, spec)
+        require(inc.mode == "incremental",
+          s"second refresh must fold the delta, not restate; got ${inc.mode}")
       }
-      ManifestSnapshots.readLatest(s, root)
+      MaterializedView.serve(s, viewRoot)
+        .select(col("user_id"),
+          col("sum_value").cast("double").as("sum_value"),
+          col("min_value"), col("max_value"), col("n_rows"))
     }
   )
 }

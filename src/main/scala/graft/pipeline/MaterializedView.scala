@@ -127,7 +127,12 @@ object MaterializedView {
       case Some(bv) if bv == curV =>
         RefreshStats("noop", curV, 0L, 0L)
       case Some(bv) if bv < curV
-          && ManifestSnapshots.removedEntries(spark, baseDir, bv, curV).isEmpty =>
+          // the incremental path needs version bv's manifest (the diff
+          // base) AND an append-only range; a vacuumed-away manifest or
+          // a rewriting version both demote to the full restate below
+          && scala.util.Try(
+            ManifestSnapshots.removedEntries(spark, baseDir, bv, curV))
+            .toOption.exists(_.isEmpty) =>
         val added = ManifestSnapshots.addedEntries(spark, baseDir, bv, curV)
         val delta = ManifestSnapshots.readChanges(spark, baseDir, bv, curV)
         val prior = ManifestSnapshots.readLatest(spark, viewDir).drop(BaseVersionCol)

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.core.Lakehouse
+import graft.core.{Lakehouse, ManifestSnapshots}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
@@ -465,6 +465,60 @@ object Streams {
           }
         })
   }
+
+  /** Streaming materialized-view maintenance — the live twin of
+    * [[graft.pipeline.MaterializedView.refresh]]: each micro-batch lands
+    * in the manifest-snapshot base as an O(delta) append version, then
+    * the view folds exactly that delta into its stored partials. Batch
+    * and stream share EVERY line of the maintenance logic (aggregate /
+    * merge / commit), so stream-maintained state ≡ a one-shot batch
+    * recompute — which the spec pins.
+    *
+    * Exactly-once across checkpoint replay, as an ORDER not a
+    * transaction, composing two already-idempotent primitives:
+    *  - admission is the S6 anti-join guard vs the chain's committed
+    *    head, so a batch replayed after its append landed admits zero
+    *    rows and creates no version (at 100 TB the same guard runs
+    *    behind the persistent key bloom, exactly like
+    *    [[foreachBatchBloomGuardedAppend]] — only probable duplicates
+    *    pay the exact probe);
+    *  - a crash INSIDE appendDelta leaves a torn, invisible version
+    *    (data → manifest → pointer commit order), so the replay
+    *    re-admits cleanly;
+    *  - refresh is the idempotence ledger for the VIEW side: its state
+    *    carries the base version it incorporates, so a replayed refresh
+    *    is a noop and a skipped one (crash between append and refresh)
+    *    is caught up incrementally by the next batch — or by any later
+    *    batch-mode refresh, because the two modes share the state.
+    *
+    * `keys` are the ROW-identity columns the replay guard dedupes on
+    * (e.g. event_id) — NOT the view's group keys: guarding on
+    * `spec.keys` would reject every new row for an already-seen group. */
+  def foreachBatchViewMaintenance(
+      deltas: DataFrame,
+      baseDir: String,
+      viewDir: String,
+      spec: graft.pipeline.MaterializedView.MvSpec,
+      keys: Seq[String],
+      checkpoint: String): StreamingQuery =
+    deltas.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        if (!batch.isEmpty) {
+          val fresh = ManifestSnapshots.latestVersion(s, baseDir) match {
+            case None => batch
+            case Some(v) =>
+              batch.join(ManifestSnapshots.read(s, baseDir, v)
+                .select(keys.map(org.apache.spark.sql.functions.col): _*),
+                keys, "left_anti")
+          }
+          if (!fresh.isEmpty) ManifestSnapshots.appendDelta(fresh, baseDir)
+        }
+        graft.pipeline.MaterializedView.refresh(s, baseDir, viewDir, spec): Unit
+      }
+      .start()
 
   /** Sink: MERGE each micro-batch into a lake table by key — streaming and
     * batch share [[Lakehouse.mergeUpsert]] so the exactly-once-per-key

@@ -124,6 +124,22 @@ class MaterializedViewSpec extends SparkSpec {
     assertSame(MaterializedView.serve(spark, view), fullRecompute(rows(0 until 80)))
   }
 
+  test("a vacuumed-away diff base demotes refresh to a full restate, not a throw") {
+    val base = tmpDir("mvvac") + "/t"
+    val view = tmpDir("mvvacv") + "/v"
+    ManifestSnapshots.writeFull(rows(0 until 40), base)
+    MaterializedView.refresh(spark, base, view, spec) // view @ base v1
+    ManifestSnapshots.appendDelta(rows(40 until 60), base)
+    ManifestSnapshots.appendDelta(rows(60 until 90), base)
+    // retention drops v1's manifest (keep v2,v3) — the view's diff base
+    val (dropped, _) = ManifestSnapshots.vacuum(spark, base, keep = 2)
+    assert(dropped == Seq(1L))
+    val s = MaterializedView.refresh(spark, base, view, spec)
+    assert(s.mode == "full",
+      s"diff base vacuumed away; refresh must restate, got ${s.mode}")
+    assertSame(MaterializedView.serve(spark, view), fullRecompute(rows(0 until 90)))
+  }
+
   test("CDC read: manifest diff yields exactly the appended rows, empty when nothing changed") {
     val base = tmpDir("mvcdc") + "/t"
     ManifestSnapshots.writeFull(rows(0 until 30), base)

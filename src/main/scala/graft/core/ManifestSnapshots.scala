@@ -214,13 +214,31 @@ object ManifestSnapshots {
   }
 
   /** O(delta) append version: the new manifest = predecessor's list +
-    * the delta's fresh files. Nothing is rewritten or copied. */
+    * the delta's fresh files. Nothing is rewritten or copied.
+    *
+    * Schema evolution: a delta may ADD columns (older versions read them
+    * as NULL — [[readEntries]]'s missing-column union), but RETYPING a
+    * column is refused before any data lands: a type change under a
+    * union read would corrupt or fail every consumer, and at lake scale
+    * that class of break must die at the writer, not in a reader
+    * minutes later. */
   def appendDelta(df: DataFrame, dir: String,
       partitionCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val hfs = fs(spark, dir)
-    val prev = latestVersion(spark, dir)
-      .flatMap(v => readManifest(hfs, dir, v)).getOrElse(Nil)
+    val prevV = latestVersion(spark, dir)
+    val prev = prevV.flatMap(v => readManifest(hfs, dir, v)).getOrElse(Nil)
+    prevV.filter(_ => prev.nonEmpty).foreach { pv =>
+      val stored = read(spark, dir, pv).schema.map(f => f.name -> f.dataType).toMap
+      // partition columns are excluded: their read-side type is a session
+      // convention (path inference), not a property of the stored files
+      df.schema.filterNot(f => partitionCols.contains(f.name)).foreach { f =>
+        stored.get(f.name).filter(_ != f.dataType).foreach { was =>
+          throw new IllegalArgumentException(
+            s"appendDelta refuses to retype column '${f.name}': stored $was, delta ${f.dataType}")
+        }
+      }
+    }
     val v = nextVersion(spark, dir)
     val entries = writeDataFiles(df, dir, v, partitionCols)
     require(prev.isEmpty || prev.forall(_.partition.isDefined) == entries.forall(_.partition.isDefined),
@@ -254,27 +272,37 @@ object ManifestSnapshots {
 
   // --------------------------------------------------------------- READERS
 
-  /** Read one version: exactly its manifest's files. Partitioned layouts
-    * recover the partition columns from the hive paths via basePath
-    * (string-typed, the lake's hive-partition convention). */
-  def read(spark: SparkSession, dir: String, version: Long): DataFrame = {
-    val hfs = fs(spark, dir)
-    val entries = readManifest(hfs, dir, version).getOrElse(
-      throw new IllegalStateException(s"no parseable manifest for version $version under $dir"))
-    require(entries.nonEmpty, s"version $version is empty")
-    val base = dir.stripSuffix("/")
-    val files = entries.map(e => s"$base/${e.path}")
-    if (entries.exists(_.partition.isDefined))
-      // every version dir is its own hive root; read per version-dir and
-      // union (partition columns come from the paths under each basePath)
+  /** Assemble a frame from manifest entries, tolerant of ADDED columns
+    * (they read as NULL for versions written before they existed;
+    * [[appendDelta]] refuses the unsound case — retyping — at write
+    * time). Unpartitioned chains are ONE scan over the explicit file
+    * list with parquet schema merging (footer reads parallelize on the
+    * driver; a single FileSourceScan keeps planning O(1) in the version
+    * count — a long-lived chain is hundreds of versions even with
+    * compaction). Partitioned layouts need one read per contributing
+    * version-dir (each is its own hive basePath), unioned by name —
+    * there the version count is bounded by [[compactData]] cadence. */
+  private def readEntries(spark: SparkSession, base: String,
+      entries: Seq[Entry]): DataFrame =
+    if (entries.forall(_.partition.isEmpty))
+      spark.read.option("mergeSchema", "true")
+        .parquet(entries.map(e => s"$base/${e.path}"): _*)
+    else
       entries.groupBy(_.path.split('/').take(2).mkString("/")).toSeq
         .sortBy(_._1)
         .map { case (vdir, es) =>
           spark.read.option("basePath", s"$base/$vdir")
             .parquet(es.map(e => s"$base/${e.path}"): _*)
         }
-        .reduce(_ unionByName _)
-    else spark.read.parquet(files: _*)
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** Read one version: exactly its manifest's files. Partitioned layouts
+    * recover the partition columns from the hive paths via basePath
+    * (string-typed, the lake's hive-partition convention). */
+  def read(spark: SparkSession, dir: String, version: Long): DataFrame = {
+    val entries = entriesOf(spark, dir, version)
+    require(entries.nonEmpty, s"version $version is empty")
+    readEntries(spark, dir.stripSuffix("/"), entries)
   }
 
   def readLatest(spark: SparkSession, dir: String): DataFrame = {
@@ -321,19 +349,25 @@ object ManifestSnapshots {
   def readChanges(spark: SparkSession, dir: String,
       fromV: Long, toV: Long): DataFrame = {
     val added = addedEntries(spark, dir, fromV, toV)
-    val base = dir.stripSuffix("/")
     if (added.isEmpty) {
       val schema = read(spark, dir, toV).schema
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    } else if (added.exists(_.partition.isDefined))
-      added.groupBy(_.path.split('/').take(2).mkString("/")).toSeq
-        .sortBy(_._1)
-        .map { case (vdir, es) =>
-          spark.read.option("basePath", s"$base/$vdir")
-            .parquet(es.map(e => s"$base/${e.path}"): _*)
-        }
-        .reduce(_ unionByName _)
-    else spark.read.parquet(added.map(e => s"$base/${e.path}"): _*)
+    } else readEntries(spark, dir.stripSuffix("/"), added)
+  }
+
+  /** The table's commit history as a metadata frame — (version, n_files,
+    * n_rows, committed), resolved entirely from manifests plus the
+    * pointer: zero data I/O, the DESCRIBE HISTORY surface a snapshot
+    * consumer audits retention and pin-by-version decisions against. */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val committed = latestVersion(spark, dir)
+    versions(spark, dir)
+      .map { v =>
+        val es = entriesOf(spark, dir, v)
+        (v, es.size.toLong, es.map(_.rows).sum, committed.contains(v))
+      }
+      .toDF("version", "n_files", "n_rows", "committed")
   }
 
   /** Manifest-only row count — the statistic a planner would use; zero

@@ -136,4 +136,54 @@ class ManifestSnapshotSpec extends SparkSpec {
     assert(v2 == 2L)
     assert(ManifestSnapshots.readLatest(spark, dir).count() == 150)
   }
+
+  test("reads touch ONLY their manifest's files: time travel stays in its version, CDC in the delta") {
+    val dir = tmpDir("msnapio") + "/t"
+    ManifestSnapshots.writeFull(slice(0, 200), dir)
+    ManifestSnapshots.appendDelta(slice(200, 260), dir)
+    val tt = ManifestSnapshots.read(spark, dir, 1L)
+    assert(tt.inputFiles.nonEmpty && tt.inputFiles.forall(_.contains("/data/d-1/")),
+      s"time-travel read leaked outside d-1: ${tt.inputFiles.toSeq}")
+    val cdc = ManifestSnapshots.readChanges(spark, dir, 1L, 2L)
+    assert(cdc.inputFiles.nonEmpty && cdc.inputFiles.forall(_.contains("/data/d-2/")),
+      s"CDC read touched pre-image files: ${cdc.inputFiles.toSeq}")
+  }
+
+  test("schema evolution: added column reads as NULL for old versions; retyping refused before data lands") {
+    val dir = tmpDir("msnapevo") + "/t"
+    ManifestSnapshots.writeFull(slice(0, 100), dir)
+    ManifestSnapshots.appendDelta(
+      slice(100, 140).withColumn("w", col("id") + 1000), dir)
+    val out = ManifestSnapshots.readLatest(spark, dir)
+    assert(out.columns.toSet == Set("id", "v", "w"))
+    assert(out.filter(col("w").isNull).count() == 100,
+      "pre-evolution rows must read the added column as NULL")
+    assert(out.filter(col("w") === col("id") + 1000).count() == 40)
+
+    val hfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataDirsBefore = hfs.listStatus(
+      new org.apache.hadoop.fs.Path(dir + "/data")).length
+    intercept[IllegalArgumentException] {
+      ManifestSnapshots.appendDelta(
+        slice(140, 150).withColumn("v", col("v").cast("string")), dir)
+    }
+    assert(hfs.listStatus(new org.apache.hadoop.fs.Path(dir + "/data")).length
+        == dataDirsBefore,
+      "a refused retype must not leave a new data dir behind")
+    assert(ManifestSnapshots.latestVersion(spark, dir).contains(2L))
+  }
+
+  test("history: versions, file and row counts from manifests alone") {
+    val dir = tmpDir("msnaphist") + "/t"
+    ManifestSnapshots.writeFull(slice(0, 120), dir)
+    ManifestSnapshots.appendDelta(slice(120, 150), dir)
+    val h = ManifestSnapshots.history(spark, dir)
+      .orderBy("version")
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(h.map(_._1).toSeq == Seq(1L, 2L))
+    assert(h(0)._3 == 120 && h(1)._3 == 150,
+      s"manifest row-count statistics wrong: ${h.toSeq}")
+    assert(!h(0)._4 && h(1)._4, "only the pointer's version is committed")
+  }
 }

@@ -377,6 +377,135 @@ object ManifestSnapshots {
       .map(_.map(_.rows).sum)
       .getOrElse(throw new IllegalStateException(s"no manifest for $version"))
 
+  /** Row-level DELETE as copy-on-write at FILE granularity — the
+    * right-to-be-forgotten operation a 100 TB lake needs without
+    * rewriting the table. Two passes:
+    *
+    *   1. one column-pruned, predicate-pushed scan finds WHICH files
+    *      contain matching rows (`input_file_name` + distinct — for a
+    *      selective predicate over a clustered layout this prunes to a
+    *      handful of files via row-group stats);
+    *   2. only those files are rewritten minus the matching rows; every
+    *      untouched file is carried into the new manifest BY REFERENCE.
+    *
+    * The new version's manifest drops the rewritten files' old entries,
+    * so [[removedEntries]] is nonempty across the delete — incremental
+    * consumers (the materialized views) detect the rewrite and restate
+    * rather than double-count, with no coupling to this code. Older
+    * versions keep reading the pre-image files until [[vacuum]].
+    * Returns the current version unchanged when nothing matches (no
+    * empty commit). */
+  def deleteWhere(spark: SparkSession, dir: String,
+      predicate: org.apache.spark.sql.Column,
+      partitionCols: Seq[String] = Nil): Long = {
+    val hfs = fs(spark, dir)
+    val cur = latestVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"nothing to delete under $dir"))
+    val entries = entriesOf(spark, dir, cur)
+    val base = dir.stripSuffix("/")
+    val touched = readEntries(spark, base, entries)
+      .filter(predicate)
+      .select(org.apache.spark.sql.functions.input_file_name().as("f"))
+      .distinct().collect().map(_.getString(0)).toSet
+    def isTouched(e: Entry): Boolean = touched.exists(_.endsWith("/" + e.path))
+    val rewritten = entries.filter(isTouched)
+    if (rewritten.isEmpty) return cur
+    val kept = entries.filterNot(isTouched)
+    // delete exactly where the predicate is TRUE: a NULL evaluation must
+    // KEEP the row (plain !predicate would silently drop it)
+    val survivors = readEntries(spark, base, rewritten).filter(
+      org.apache.spark.sql.functions.not(org.apache.spark.sql.functions.coalesce(
+        predicate, org.apache.spark.sql.functions.lit(false))))
+    val v = nextVersion(spark, dir)
+    val newEntries = writeDataFiles(survivors, dir, v, partitionCols)
+    writeManifest(hfs, dir, v, kept ++ newEntries)
+    commitPointer(hfs, dir, v)
+    v
+  }
+
+  /** Row-level UPDATE as copy-on-write at file granularity — same
+    * touched-file discovery as [[deleteWhere]], but the rewritten files
+    * keep every row, applying `sets` where the predicate is TRUE. All
+    * set expressions read the PRE-image (simultaneous assignment, the
+    * SQL UPDATE semantics — one select, not a fold of withColumns), so
+    * `a -> b, b -> a` swaps. Set columns must already exist (UPDATE
+    * never changes the schema — that is [[appendDelta]]'s evolution
+    * path). Returns the current version when nothing matches. */
+  def updateWhere(spark: SparkSession, dir: String,
+      predicate: org.apache.spark.sql.Column,
+      sets: Seq[(String, org.apache.spark.sql.Column)],
+      partitionCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{coalesce, input_file_name, lit, when, col}
+    val hfs = fs(spark, dir)
+    val cur = latestVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"nothing to update under $dir"))
+    val entries = entriesOf(spark, dir, cur)
+    val base = dir.stripSuffix("/")
+    val touched = readEntries(spark, base, entries)
+      .filter(predicate)
+      .select(input_file_name().as("f"))
+      .distinct().collect().map(_.getString(0)).toSet
+    def isTouched(e: Entry): Boolean = touched.exists(_.endsWith("/" + e.path))
+    val rewritten = entries.filter(isTouched)
+    if (rewritten.isEmpty) return cur
+    val kept = entries.filterNot(isTouched)
+    val src = readEntries(spark, base, rewritten)
+    val setMap = sets.toMap
+    val unknown = setMap.keySet -- src.columns.toSet
+    require(unknown.isEmpty, s"updateWhere sets unknown columns: $unknown")
+    val cond = coalesce(predicate, lit(false))
+    val updated = src.select(src.columns.toSeq.map { c =>
+      setMap.get(c).map(e => when(cond, e).otherwise(col(c)).as(c)).getOrElse(col(c))
+    }: _*)
+    val v = nextVersion(spark, dir)
+    val newEntries = writeDataFiles(updated, dir, v, partitionCols)
+    writeManifest(hfs, dir, v, kept ++ newEntries)
+    commitPointer(hfs, dir, v)
+    v
+  }
+
+  /** MERGE by key as copy-on-write — the Iceberg/Delta MERGE INTO shape
+    * on the snapshot store: rows whose `keys` appear in `delta` are
+    * REPLACED by the delta's row, unseen keys are INSERTED, and only
+    * the files that contain a matched key are rewritten (touched-file
+    * discovery is a semi join against the delta's distinct key set —
+    * at scale the runtime filter the optimizer derives from the small
+    * side prunes the probe scan). Untouched files carry by reference;
+    * a pure-insert delta rewrites nothing and appends like
+    * [[appendDelta]]. The rewritten pre-image entries make
+    * [[removedEntries]] nonempty, so incremental consumers restate —
+    * the same soundness gate every rewriting version trips. */
+  def mergeByKey(spark: SparkSession, dir: String, delta: DataFrame,
+      keys: Seq[String], partitionCols: Seq[String] = Nil): Long = {
+    require(keys.nonEmpty, "mergeByKey needs at least one key column")
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val hfs = fs(spark, dir)
+    val cur = latestVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"nothing to merge into under $dir"))
+    val entries = entriesOf(spark, dir, cur)
+    val base = dir.stripSuffix("/")
+    val keyDf = delta.select(keys.map(col): _*).distinct()
+    val touched = readEntries(spark, base, entries)
+      .withColumn("_gf", input_file_name())
+      .join(keyDf, keys, "left_semi")
+      .select("_gf").distinct().collect().map(_.getString(0)).toSet
+    def isTouched(e: Entry): Boolean = touched.exists(_.endsWith("/" + e.path))
+    val rewritten = entries.filter(isTouched)
+    val kept = entries.filterNot(isTouched)
+    val survivors =
+      if (rewritten.isEmpty) None
+      else Some(readEntries(spark, base, rewritten).join(keyDf, keys, "left_anti"))
+    val newData = survivors match {
+      case Some(sv) => sv.unionByName(delta, allowMissingColumns = true)
+      case None => delta
+    }
+    val v = nextVersion(spark, dir)
+    val newEntries = writeDataFiles(newData, dir, v, partitionCols)
+    writeManifest(hfs, dir, v, kept ++ newEntries)
+    commitPointer(hfs, dir, v)
+    v
+  }
+
   // ----------------------------------------------------------- MAINTENANCE
 
   /** OPTIMIZE as a new version: bin-pack the committed file list into

@@ -677,6 +677,106 @@ object ExtraQueries {
       ManifestSnapshots.readChanges(s, root, fromV = 1L, toV = latest)
     },
 
+    // ------------------------------------------------------------ STORAGE-DEL
+    // Row-level DELETE under the oracle gate: a range-clustered snapshot
+    // copy of events drops one event_id band via
+    // ManifestSnapshots.deleteWhere — copy-on-write at FILE granularity
+    // (only files containing matches are rewritten; the clustered layout
+    // makes that a small fraction, the rest carry by reference — the
+    // GDPR-delete shape at 100 TB, where rewriting the table for a
+    // 0.001% delete is not an option). The oracle states the surviving
+    // set directly; ManifestSnapshotSpec separately pins the file
+    // sharing, the time-travelable pre-image, and that the rewrite
+    // trips the materialized views' restate gate.
+    QueryDef("snap_delete_where",
+      """SELECT event_id, user_id, value FROM events
+        |WHERE event_id < (SELECT MAX(event_id) // 4 FROM events)
+        |   OR event_id > (SELECT MAX(event_id) // 4 + MAX(event_id) // 16 FROM events)""".stripMargin) { (s, dir) =>
+      import graft.core.ManifestSnapshots
+      val ev = events(s, dir).select("event_id", "user_id", "value")
+      val fp = Graft.dataFingerprint(s, s"$dir/events.parquet")
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_msnapdel_store/v1/" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_") + s"_$fp"
+      graft.core.StoreRoots.ensure(s, root) { tmp =>
+        val m = ev.agg(max("event_id")).head.getLong(0)
+        ManifestSnapshots.writeFull(
+          ev.repartitionByRange(16, col("event_id")), tmp)
+        ManifestSnapshots.deleteWhere(s, tmp,
+          col("event_id").between(m / 4, m / 4 + m / 16))
+      }
+      ManifestSnapshots.readLatest(s, root)
+    },
+
+    // ------------------------------------------------------------ STORAGE-UPD
+    // Row-level UPDATE under the oracle gate: the same copy-on-write
+    // discovery as DELETE, but rewritten files keep every row with the
+    // set expressions applied where the predicate holds (pre-image
+    // semantics — all sets read the state before the update). The
+    // oracle is the CASE expression over the plain table: COW update
+    // must be semantically invisible next to a full rewrite. Parity is
+    // exact: value*2 is one IEEE double op, identical in both engines.
+    QueryDef("snap_update_where",
+      """SELECT event_id, user_id,
+        |  CASE WHEN event_id BETWEEN (SELECT MAX(event_id) // 4 FROM events)
+        |                         AND (SELECT MAX(event_id) // 4 + MAX(event_id) // 16 FROM events)
+        |       THEN value * 2 ELSE value END AS value
+        |FROM events""".stripMargin) { (s, dir) =>
+      import graft.core.ManifestSnapshots
+      val ev = events(s, dir).select("event_id", "user_id", "value")
+      val fp = Graft.dataFingerprint(s, s"$dir/events.parquet")
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_msnapupd_store/v1/" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_") + s"_$fp"
+      graft.core.StoreRoots.ensure(s, root) { tmp =>
+        val m = ev.agg(max("event_id")).head.getLong(0)
+        ManifestSnapshots.writeFull(
+          ev.repartitionByRange(16, col("event_id")), tmp)
+        ManifestSnapshots.updateWhere(s, tmp,
+          col("event_id").between(m / 4, m / 4 + m / 16),
+          Seq("value" -> (col("value") * 2)))
+      }
+      ManifestSnapshots.readLatest(s, root)
+    },
+
+    // ----------------------------------------------------------- STORAGE-MRG
+    // MERGE INTO the snapshot store under the oracle gate: one delta
+    // carries both UPDATES (the top event_id 1/16th, value tripled) and
+    // INSERTS (every 97th id, re-keyed beyond the domain) — matched
+    // keys are replaced, new keys appended, and only files containing
+    // a matched key are rewritten (the top-band update touches the tail
+    // files of the range-clustered layout; inserts touch nothing). The
+    // oracle restates the merged table directly in SQL. This is S7's
+    // MERGE upsert lifted onto the versioned store: the same semantics
+    // Lakehouse.mergeUpsert gives a live table, now with a
+    // time-travelable pre-image and file-granular write amplification.
+    QueryDef("snap_merge_keys",
+      """WITH mx AS (SELECT MAX(event_id) AS m FROM events)
+        |SELECT event_id, user_id, value FROM (
+        |  SELECT e.event_id, e.user_id,
+        |    CASE WHEN e.event_id > m - m // 16 THEN e.value * 3 ELSE e.value END AS value
+        |  FROM events e, mx
+        |  UNION ALL
+        |  SELECT e.event_id + 10 * m AS event_id, e.user_id, e.value + 1.0 AS value
+        |  FROM events e, mx WHERE e.event_id % 97 = 11
+        |) t""".stripMargin) { (s, dir) =>
+      import graft.core.ManifestSnapshots
+      val ev = events(s, dir).select("event_id", "user_id", "value")
+      val fp = Graft.dataFingerprint(s, s"$dir/events.parquet")
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_msnapmrg_store/v1/" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_") + s"_$fp"
+      graft.core.StoreRoots.ensure(s, root) { tmp =>
+        val m = ev.agg(max("event_id")).head.getLong(0)
+        ManifestSnapshots.writeFull(
+          ev.repartitionByRange(16, col("event_id")), tmp)
+        val upd = ev.filter(col("event_id") > m - m / 16)
+          .withColumn("value", col("value") * 3)
+        val ins = ev.filter(col("event_id") % 97 === 11)
+          .withColumn("event_id", col("event_id") + 10 * m)
+          .withColumn("value", col("value") + 1.0)
+        ManifestSnapshots.mergeByKey(s, tmp, upd.unionByName(ins), Seq("event_id"))
+      }
+      ManifestSnapshots.readLatest(s, root)
+    },
+
     // ------------------------------------------------------------ STORAGE-MV
     // Incrementally-maintained materialized view: per-user rollup
     // (exact decimal sum, min/max, count) refreshed O(delta) against the

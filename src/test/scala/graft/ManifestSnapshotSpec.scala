@@ -174,6 +174,91 @@ class ManifestSnapshotSpec extends SparkSpec {
     assert(ManifestSnapshots.latestVersion(spark, dir).contains(2L))
   }
 
+  test("deleteWhere: only files with matches rewritten, rest shared by reference; pre-image time-travels") {
+    val dir = tmpDir("msnapdel") + "/t"
+    // range-clustered layout: matches land in few files, like a real lake
+    ManifestSnapshots.writeFull(
+      slice(0, 400).repartitionByRange(4, col("id")), dir)
+    val before = ManifestSnapshots.entriesOf(spark, dir, 1L)
+    assert(before.size == 4)
+
+    val v = ManifestSnapshots.deleteWhere(spark, dir, col("id").between(10, 30))
+    assert(v == 2L)
+    val after = ManifestSnapshots.entriesOf(spark, dir, 2L)
+    val shared = after.map(_.path).toSet intersect before.map(_.path).toSet
+    assert(shared.size == 3,
+      s"3 of 4 range-clustered files contain no matches and must carry by reference: $after")
+
+    val now = ManifestSnapshots.readLatest(spark, dir)
+    assert(now.count() == 379)
+    assert(now.filter(col("id").between(10, 30)).isEmpty)
+    // the pre-image is still one time travel away
+    assert(ManifestSnapshots.read(spark, dir, 1L).count() == 400)
+
+    // no-match delete is a no-op, not an empty commit
+    assert(ManifestSnapshots.deleteWhere(spark, dir, col("id") > 10000) == 2L)
+    assert(ManifestSnapshots.versions(spark, dir) == Seq(1L, 2L))
+
+    // the IVM soundness gate sees the rewrite
+    assert(ManifestSnapshots.removedEntries(spark, dir, 1L, 2L).nonEmpty)
+  }
+
+  test("updateWhere: pre-image simultaneous assignment, file sharing, noop on no match") {
+    val dir = tmpDir("msnapupd") + "/t"
+    ManifestSnapshots.writeFull(
+      slice(0, 400).repartitionByRange(4, col("id")), dir)
+    val v = ManifestSnapshots.updateWhere(spark, dir,
+      col("id").between(10, 30), Seq("v" -> (col("v") * 10)))
+    assert(v == 2L)
+    val now = ManifestSnapshots.readLatest(spark, dir)
+    assert(now.count() == 400, "UPDATE never changes the row count")
+    assert(now.filter(col("id").between(10, 30) && col("v") =!= col("id") * 30).isEmpty)
+    assert(now.filter(!col("id").between(10, 30) && col("v") =!= col("id") * 3).isEmpty)
+    val shared = ManifestSnapshots.entriesOf(spark, dir, 2L).map(_.path).toSet
+      .intersect(ManifestSnapshots.entriesOf(spark, dir, 1L).map(_.path).toSet)
+    assert(shared.size == 3, "files without matches must carry by reference")
+    assert(ManifestSnapshots.read(spark, dir, 1L)
+      .filter(col("v") =!= col("id") * 3).isEmpty, "pre-image intact")
+    assert(ManifestSnapshots.updateWhere(spark, dir,
+      col("id") > 10000, Seq("v" -> lit(0L))) == 2L)
+
+    // simultaneous assignment: a<->b swap reads the PRE-image on both sides
+    val sw = tmpDir("msnapswap") + "/t"
+    ManifestSnapshots.writeFull(
+      (0L until 10L).toDF("a").withColumn("b", col("a") * 2), sw)
+    ManifestSnapshots.updateWhere(spark, sw, lit(true),
+      Seq("a" -> col("b"), "b" -> col("a")))
+    val s2 = ManifestSnapshots.readLatest(spark, sw)
+    assert(s2.filter(col("a") =!= col("b") * 2).isEmpty, s"swap broke: ${s2.collect().toSeq}")
+  }
+
+  test("mergeByKey: matched keys replaced, new keys inserted, untouched files shared") {
+    val dir = tmpDir("msnapmrg") + "/t"
+    ManifestSnapshots.writeFull(
+      slice(0, 400).repartitionByRange(4, col("id")), dir)
+    val delta = (20L until 26L).toDF("id").withColumn("v", lit(999L))
+      .unionByName((1000L until 1005L).toDF("id").withColumn("v", lit(-1L)))
+    val v = ManifestSnapshots.mergeByKey(spark, dir, delta, Seq("id"))
+    assert(v == 2L)
+    val now = ManifestSnapshots.readLatest(spark, dir)
+    assert(now.count() == 405, "6 replaced in place + 5 inserted")
+    assert(now.filter(col("id").between(20, 25) && col("v") =!= 999).isEmpty)
+    assert(now.filter(col("id") >= 1000).count() == 5)
+    val shared = ManifestSnapshots.entriesOf(spark, dir, 2L).map(_.path).toSet
+      .intersect(ManifestSnapshots.entriesOf(spark, dir, 1L).map(_.path).toSet)
+    assert(shared.size == 3,
+      "only the file holding ids 20-25 is rewritten; inserts touch nothing")
+    assert(ManifestSnapshots.removedEntries(spark, dir, 1L, 2L).nonEmpty)
+
+    // pure-insert delta: no file qualifies for rewrite — append-shaped
+    val v3 = ManifestSnapshots.mergeByKey(spark, dir,
+      (2000L until 2003L).toDF("id").withColumn("v", lit(5L)), Seq("id"))
+    assert(v3 == 3L)
+    assert(ManifestSnapshots.readLatest(spark, dir).count() == 408)
+    assert(ManifestSnapshots.removedEntries(spark, dir, 2L, 3L).isEmpty,
+      "a pure insert must not trip the incremental consumers' restate gate")
+  }
+
   test("history: versions, file and row counts from manifests alone") {
     val dir = tmpDir("msnaphist") + "/t"
     ManifestSnapshots.writeFull(slice(0, 120), dir)

@@ -48,8 +48,13 @@ object ManifestSnapshots {
 
   /** One data file of a version: lake-relative path, optional hive-style
     * partition spec ("k=v", string-valued like the lake's hive
-    * partitions), row count (manifest-only statistics). */
-  final case class Entry(path: String, partition: Option[String], rows: Long)
+    * partitions), row count, and per-column numeric (min, max) zone maps
+    * — all manifest-only statistics, harvested from the parquet footer
+    * during the write's existing footer pass. `stats` may be empty
+    * (pre-stats manifests, non-numeric or stat-less columns): absence
+    * only disables pruning, never correctness. */
+  final case class Entry(path: String, partition: Option[String], rows: Long,
+      stats: Map[String, (Double, Double)] = Map.empty)
 
   private val LatestMarker = "_latest"
 
@@ -72,7 +77,12 @@ object ManifestSnapshots {
       entries: Seq[Entry]): Unit = {
     val body = entries.map { e =>
       val part = e.partition.map(p => "\"" + esc(p) + "\"").getOrElse("null")
-      s"""{"path":"${esc(e.path)}","partition":$part,"rows":${e.rows}}"""
+      val stats =
+        if (e.stats.isEmpty) ""
+        else e.stats.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+          s""""${esc(c)}":[$mn,$mx]"""
+        }.mkString(""","stats":{""", ",", "}")
+      s"""{"path":"${esc(e.path)}","partition":$part,"rows":${e.rows}$stats}"""
     }.mkString(s"""{"version":$v,"files":[""", ",", "]}")
     val tmp = new Path(manifestPath(dir, v).toString + ".tmp")
     val out = hfs.create(tmp, true)
@@ -92,8 +102,13 @@ object ManifestSnapshots {
         val in = hfs.open(p)
         val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
+        // "stats" is optional: manifests written before zone maps (and
+        // entries whose files had no numeric stats) parse identically —
+        // the stats object holds only "col":[min,max] pairs, so a
+        // no-inner-brace match is exact, not an approximation
         val entry =
-          """\{"path":"((?:[^"\\]|\\.)*)","partition":(null|"(?:[^"\\]|\\.)*"),"rows":(\d+)\}""".r
+          """\{"path":"((?:[^"\\]|\\.)*)","partition":(null|"(?:[^"\\]|\\.)*"),"rows":(\d+)(?:,"stats":(\{[^{}]*\}))?\}""".r
+        val statPair = """"((?:[^"\\]|\\.)*)":\[([^,\]]+),([^,\]]+)\]""".r
         def unesc(s: String): String = {
           val b = new StringBuilder
           var i = 0
@@ -114,7 +129,12 @@ object ManifestSnapshots {
             case "null" => None
             case quoted => Some(unesc(quoted.substring(1, quoted.length - 1)))
           }
-          Entry(unesc(m.group(1)), part, m.group(3).toLong)
+          val stats = Option(m.group(4)).map { s =>
+            statPair.findAllMatchIn(s).map { p =>
+              unesc(p.group(1)) -> ((p.group(2).toDouble, p.group(3).toDouble))
+            }.toMap
+          }.getOrElse(Map.empty[String, (Double, Double)])
+          Entry(unesc(m.group(1)), part, m.group(3).toLong, stats)
         }.toSeq)
       }
     } catch { case _: Exception => None }
@@ -188,14 +208,63 @@ object ManifestSnapshots {
         case "" => None
         case spec => Some(spec)
       }
-      // rows per file: manifest statistic, read from the parquet footer
-      // (metadata-only, like zoneMapK)
+      // rows + per-column numeric zone maps: manifest statistics, read
+      // from the parquet footer the write just produced (metadata-only,
+      // like zoneMapK) — one footer open serves both
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
         .fromPath(p, spark.sparkContext.hadoopConfiguration)
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      val rows = try reader.getRecordCount finally reader.close()
-      Entry(s"data/d-$v/$rel", part, rows)
+      val (rows, stats) = try (reader.getRecordCount, footerZoneMaps(reader))
+      finally reader.close()
+      Entry(s"data/d-$v/$rel", part, rows, stats)
     }
+  }
+
+  /** Per-column (min, max) over a file's row groups, numeric primitive
+    * columns only. A column is dropped the moment any row group lacks
+    * usable stats (all-null chunk, NaN bounds, non-numeric type) — an
+    * absent zone map only disables pruning for that column. */
+  private def footerZoneMaps(
+      reader: org.apache.parquet.hadoop.ParquetFileReader): Map[String, (Double, Double)] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val perCol = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    val dropped = scala.collection.mutable.Set[String]()
+    for (block <- reader.getFooter.getBlocks.asScala;
+         cc <- block.getColumns.asScala) {
+      val name = cc.getPath.toDotString
+      if (!dropped(name)) {
+        val st = cc.getStatistics
+        val mm: Option[(Double, Double)] =
+          if (st == null || st.isEmpty || !st.hasNonNullValue) None
+          else cc.getPrimitiveType.getPrimitiveTypeName match {
+            case INT64 => Some((
+              st.genericGetMin.asInstanceOf[java.lang.Long].toDouble,
+              st.genericGetMax.asInstanceOf[java.lang.Long].toDouble))
+            case INT32 => Some((
+              st.genericGetMin.asInstanceOf[java.lang.Integer].toDouble,
+              st.genericGetMax.asInstanceOf[java.lang.Integer].toDouble))
+            case DOUBLE => Some((
+              st.genericGetMin.asInstanceOf[java.lang.Double].toDouble,
+              st.genericGetMax.asInstanceOf[java.lang.Double].toDouble))
+            case FLOAT => Some((
+              st.genericGetMin.asInstanceOf[java.lang.Float].toDouble,
+              st.genericGetMax.asInstanceOf[java.lang.Float].toDouble))
+            case _ => None
+          }
+        mm match {
+          case Some((mn, mx)) if !mn.isNaN && !mx.isNaN =>
+            perCol(name) = perCol.get(name) match {
+              case Some((a, b)) => (math.min(a, mn), math.max(b, mx))
+              case None => (mn, mx)
+            }
+          case _ =>
+            dropped += name
+            perCol.remove(name): Unit
+        }
+      }
+    }
+    perCol.toMap
   }
 
   private def nextVersion(spark: SparkSession, dir: String): Long =
@@ -353,6 +422,36 @@ object ManifestSnapshots {
       val schema = read(spark, dir, toV).schema
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else readEntries(spark, dir.stripSuffix("/"), added)
+  }
+
+  /** Box-predicate read with MANIFEST-level data skipping: files whose
+    * zone maps are disjoint from `bounds` (inclusive [lo, hi] per
+    * column) are pruned before the scan is even planned — the file list
+    * shrinks on KB-scale metadata, no footer I/O, composing with time
+    * travel ("version v, where k in box" reads only v's matching
+    * files). The residual filter is applied to the survivors, so the
+    * result EQUALS the unpruned filtered read whatever the stats say —
+    * an entry without a zone map for a bound column simply always
+    * survives pruning. Iceberg's manifest-stats skipping on plain
+    * parquet; the footer-level twin is Lakehouse.readZPrunedK. */
+  def readWhere(spark: SparkSession, dir: String, version: Long,
+      bounds: Seq[(String, Double, Double)]): DataFrame = {
+    require(bounds.nonEmpty, "readWhere needs at least one column bound")
+    import org.apache.spark.sql.functions.{col, lit}
+    val entries = entriesOf(spark, dir, version)
+    val hit = entries.filter { e =>
+      bounds.forall { case (c, lo, hi) =>
+        e.stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+      }
+    }
+    val residual = bounds.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    }.reduce(_ && _)
+    if (hit.isEmpty) {
+      val schema = read(spark, dir, version).schema
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else readEntries(spark, dir.stripSuffix("/"), hit).filter(residual)
   }
 
   /** The table's commit history as a metadata frame — (version, n_files,

@@ -707,6 +707,37 @@ object ExtraQueries {
       ManifestSnapshots.readLatest(s, root)
     },
 
+    // ----------------------------------------------------------- STORAGE-ZM
+    // Manifest-level data skipping under the oracle gate: a
+    // range-clustered snapshot answers a 2-d box predicate through
+    // ManifestSnapshots.readWhere — files whose manifest zone maps are
+    // disjoint from the box never reach the plan (KB-scale metadata
+    // decides, zero footer I/O; the footer-level twin is z3's
+    // readZPrunedK). The oracle is the same predicate as a plain full
+    // scan: manifest pruning must be semantically invisible, which the
+    // hash check proves; ManifestSnapshotSpec separately pins that
+    // files are actually skipped and that stats-less (pre-format)
+    // manifests degrade to no-pruning, never to wrong answers.
+    QueryDef("snap_stats_pruned",
+      """SELECT event_id, user_id, value FROM events
+        |WHERE event_id BETWEEN (SELECT MAX(event_id) // 8 FROM events)
+        |                   AND (SELECT MAX(event_id) // 2 FROM events)
+        |  AND value BETWEEN 10 AND 200""".stripMargin) { (s, dir) =>
+      import graft.core.ManifestSnapshots
+      val ev = events(s, dir).select("event_id", "user_id", "value")
+      val fp = Graft.dataFingerprint(s, s"$dir/events.parquet")
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_msnapzm_store/v1/" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_") + s"_$fp"
+      graft.core.StoreRoots.ensure(s, root)(tmp =>
+        ManifestSnapshots.writeFull(
+          ev.repartitionByRange(16, col("event_id")), tmp))
+      val m = ev.agg(max("event_id")).head.getLong(0)
+      val latest = ManifestSnapshots.latestVersion(s, root).get
+      ManifestSnapshots.readWhere(s, root, latest, Seq(
+        ("event_id", (m / 8).toDouble, (m / 2).toDouble),
+        ("value", 10.0, 200.0)))
+    },
+
     // ------------------------------------------------------------ STORAGE-UPD
     // Row-level UPDATE under the oracle gate: the same copy-on-write
     // discovery as DELETE, but rewritten files keep every row with the

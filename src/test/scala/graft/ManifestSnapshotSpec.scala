@@ -259,6 +259,59 @@ class ManifestSnapshotSpec extends SparkSpec {
       "a pure insert must not trip the incremental consumers' restate gate")
   }
 
+  test("manifest zone maps: readWhere prunes files on metadata alone, result ≡ full filter") {
+    val dir = tmpDir("msnapzm") + "/t"
+    ManifestSnapshots.writeFull(
+      slice(0, 400).repartitionByRange(4, col("id")), dir)
+    val entries = ManifestSnapshots.entriesOf(spark, dir, 1L)
+    assert(entries.forall(e => e.stats.contains("id") && e.stats.contains("v")),
+      s"numeric zone maps must be harvested at write time: $entries")
+
+    val pruned = ManifestSnapshots.readWhere(spark, dir, 1L,
+      Seq(("id", 50.0, 120.0)))
+    val full = ManifestSnapshots.read(spark, dir, 1L)
+      .filter(col("id") >= 50 && col("id") <= 120)
+    assert(pruned.inputFiles.length < entries.size,
+      "a range-clustered box read must skip disjoint files from the manifest")
+    assert(pruned.count() == full.count() && pruned.except(full).isEmpty)
+
+    // empty box: zero files, empty frame in the table's schema
+    val none = ManifestSnapshots.readWhere(spark, dir, 1L, Seq(("id", 5000.0, 6000.0)))
+    assert(none.isEmpty && none.columns.toSet == Set("id", "v"))
+  }
+
+  test("pre-zone-map manifests (no stats) parse, read, and never mis-prune") {
+    val dir = tmpDir("msnapold") + "/t"
+    ManifestSnapshots.writeFull(
+      slice(0, 200).repartitionByRange(2, col("id")), dir)
+    // strip the stats objects in place: the on-disk format rounds 1-8 wrote
+    val hfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mp = new org.apache.hadoop.fs.Path(dir + "/manifests/m-1.json")
+    val txt = {
+      val in = hfs.open(mp)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    val stripped = txt.replaceAll(""","stats":\{[^}]*\}""", "")
+    assert(stripped != txt, "fixture must actually exercise the old format")
+    val out = hfs.create(mp, true)
+    try out.write(stripped.getBytes("UTF-8")) finally out.close()
+
+    val entries = ManifestSnapshots.entriesOf(spark, dir, 1L)
+    assert(entries.nonEmpty && entries.forall(_.stats.isEmpty))
+    assert(ManifestSnapshots.readLatest(spark, dir).count() == 200)
+    // no stats -> no pruning, still the right answer
+    val r = ManifestSnapshots.readWhere(spark, dir, 1L, Seq(("id", 0.0, 10.0)))
+    assert(r.count() == 11 && r.inputFiles.length == entries.size)
+
+    // a delta over the old-format manifest writes a MIXED manifest that
+    // round-trips: old entries stay stats-less, new ones carry zone maps
+    ManifestSnapshots.appendDelta(slice(200, 250), dir)
+    val mixed = ManifestSnapshots.entriesOf(spark, dir, 2L)
+    assert(mixed.exists(_.stats.isEmpty) && mixed.exists(_.stats.nonEmpty))
+    assert(ManifestSnapshots.readLatest(spark, dir).count() == 250)
+  }
+
   test("history: versions, file and row counts from manifests alone") {
     val dir = tmpDir("msnaphist") + "/t"
     ManifestSnapshots.writeFull(slice(0, 120), dir)

@@ -444,14 +444,29 @@ object ManifestSnapshots {
         e.stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
       }
     }
-    val residual = bounds.map { case (c, lo, hi) =>
-      col(c) >= lit(lo) && col(c) <= lit(hi)
-    }.reduce(_ && _)
     if (hit.isEmpty) {
       val schema = read(spark, dir, version).schema
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    } else readEntries(spark, dir.stripSuffix("/"), hit).filter(residual)
+    } else {
+      val df = readEntries(spark, dir.stripSuffix("/"), hit)
+      // type the bound literals to the COLUMN: `longCol >= 12.0` would
+      // wrap the column in a cast and block parquet filter pushdown —
+      // the residual must reach the surviving files' scan so their row
+      // groups footer-skip too (two pruning tiers, one plan)
+      val types = df.schema.map(f => f.name -> f.dataType).toMap
+      import org.apache.spark.sql.types.{IntegerType, LongType}
+      val residual = bounds.map { case (c, lo, hi) =>
+        types.get(c) match {
+          case Some(LongType) =>
+            col(c) >= lit(math.ceil(lo).toLong) && col(c) <= lit(math.floor(hi).toLong)
+          case Some(IntegerType) =>
+            col(c) >= lit(math.ceil(lo).toInt) && col(c) <= lit(math.floor(hi).toInt)
+          case _ => col(c) >= lit(lo) && col(c) <= lit(hi)
+        }
+      }.reduce(_ && _)
+      df.filter(residual)
+    }
   }
 
   /** The table's commit history as a metadata frame — (version, n_files,
@@ -626,6 +641,40 @@ object ManifestSnapshots {
       if (partitionCols.nonEmpty) current // partition dirs bound file shape
       else current.repartition(nFiles)
     val newEntries = writeDataFiles(packed, dir, v, partitionCols)
+    writeManifest(hfs, dir, v, newEntries)
+    commitPointer(hfs, dir, v)
+    v
+  }
+
+  /** OPTIMIZE + CLUSTER as a version: bin-pack the committed file list
+    * into ~targetFileMB files RANGE-CLUSTERED on `sortCols` — after an
+    * append chain scatters a key across every delta's files, one sorted
+    * compaction restores the layout where [[readWhere]]'s manifest zone
+    * maps (and the engine's footer pruning) skip almost everything.
+    * Same versioning contract as [[compactData]]: content identical
+    * (the oracle for any read), older versions keep their files until
+    * [[vacuum]]. Unpartitioned tables only — partition dirs already
+    * bound file shape. */
+  def compactDataSorted(spark: SparkSession, dir: String,
+      sortCols: Seq[String], targetFileMB: Int = 256,
+      numFiles: Option[Int] = None): Long = {
+    require(sortCols.nonEmpty, "sorted compaction needs cluster columns")
+    import org.apache.spark.sql.functions.col
+    val hfs = fs(spark, dir)
+    val cur = latestVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"nothing to compact under $dir"))
+    val entries = entriesOf(spark, dir, cur)
+    require(entries.forall(_.partition.isEmpty),
+      "sorted compaction applies to unpartitioned tables")
+    val base = dir.stripSuffix("/")
+    val bytes = entries.map(e => hfs.getFileStatus(new Path(s"$base/${e.path}")).getLen).sum
+    val nFiles = numFiles.getOrElse(
+      math.max(1, (bytes / (targetFileMB.toLong << 20)).toInt))
+    val packed = read(spark, dir, cur)
+      .repartitionByRange(nFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+    val v = nextVersion(spark, dir)
+    val newEntries = writeDataFiles(packed, dir, v, Nil)
     writeManifest(hfs, dir, v, newEntries)
     commitPointer(hfs, dir, v)
     v

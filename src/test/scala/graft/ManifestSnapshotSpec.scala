@@ -312,6 +312,27 @@ class ManifestSnapshotSpec extends SparkSpec {
     assert(ManifestSnapshots.readLatest(spark, dir).count() == 250)
   }
 
+  test("sorted compaction restores pruning power an append chain scattered") {
+    val dir = tmpDir("msnapsc") + "/t"
+    // three deltas, each spanning the WHOLE id domain: every file's zone
+    // map covers everything, so a box read can prune nothing
+    def scattered(seed: Long) =
+      slice(0, 300).withColumn("id", (col("id") * 7919 + seed) % 300)
+    ManifestSnapshots.writeFull(scattered(0).repartition(3), dir)
+    ManifestSnapshots.appendDelta(scattered(1).repartition(3), dir)
+    ManifestSnapshots.appendDelta(scattered(2).repartition(3), dir)
+    val before = ManifestSnapshots.readWhere(spark, dir, 3L, Seq(("id", 0.0, 30.0)))
+    assert(before.inputFiles.length == 9, "scattered layout prunes nothing")
+
+    val v = ManifestSnapshots.compactDataSorted(spark, dir, Seq("id"), numFiles = Some(6))
+    val after = ManifestSnapshots.readWhere(spark, dir, v, Seq(("id", 0.0, 30.0)))
+    assert(after.inputFiles.length < ManifestSnapshots.entriesOf(spark, dir, v).size,
+      "after sorted compaction the box read must skip files")
+    // content identical across the rewrite, and the pre-image intact
+    assert(ManifestSnapshots.read(spark, dir, v).orderBy("id", "v").collect().toSeq
+      == ManifestSnapshots.read(spark, dir, 3L).orderBy("id", "v").collect().toSeq)
+  }
+
   test("history: versions, file and row counts from manifests alone") {
     val dir = tmpDir("msnaphist") + "/t"
     ManifestSnapshots.writeFull(slice(0, 120), dir)

@@ -193,6 +193,18 @@ class PlanSpec extends SparkSpec {
     } finally adj.unpersist()
   }
 
+  test("readWhere's residual filter reaches the parquet scan of the pruned file list") {
+    // manifest zone maps shrink the FILE LIST; the residual box predicate
+    // must still land in the scan as PushedFilters so surviving files
+    // row-group-skip on their footers — two pruning tiers, one plan
+    val p = planString("snap_stats_pruned")
+    assert(p.contains("PushedFilters: [IsNotNull(event_id)"), p)
+    // the plan string TRUNCATES long filter lists, so pin the leading
+    // typed-literal comparison (the one a double-cast residual would
+    // lose) rather than the full set
+    assert(p.contains("GreaterThanOrEqual(event_id,"), p)
+  }
+
   test("no query in the inventory plans a CartesianProduct") {
     // every deliberate cross join in the inventory is against a bounded
     // broadcast side (1-row scalars, centroid codebooks) and must compile

@@ -1071,8 +1071,6 @@ object Lakehouse {
           if ranges.zip(box).forall { case ((mn, mx), (_, lo, hi)) =>
             mx >= lo && mn <= hi } => file
     }
-    val residual = box.map { case (c, lo, hi) =>
-      col(c).cast("double").between(lo, hi) }.reduce(_ && _)
     if (kept.isEmpty)
       // preserve the schema without reading data: full listing, impossible filter
       read(spark, path).filter(lit(false))
@@ -1080,6 +1078,19 @@ object Lakehouse {
       // pin the schema from the directory so a subset read can't drop
       // columns that happen to be all-null in the kept files
       val schema = spark.read.parquet(path).schema
+      // type the bound literals to the column: comparing through a
+      // double CAST would block parquet filter pushdown, losing the
+      // row-group footer-skipping tier inside the surviving files
+      val types = schema.map(f => f.name -> f.dataType).toMap
+      val residual = box.map { case (c, lo, hi) =>
+        types.get(c) match {
+          case Some(org.apache.spark.sql.types.LongType) =>
+            col(c) >= lit(math.ceil(lo).toLong) && col(c) <= lit(math.floor(hi).toLong)
+          case Some(org.apache.spark.sql.types.IntegerType) =>
+            col(c) >= lit(math.ceil(lo).toInt) && col(c) <= lit(math.floor(hi).toInt)
+          case _ => col(c).cast("double").between(lo, hi)
+        }
+      }.reduce(_ && _)
       spark.read.schema(schema).parquet(kept: _*).filter(residual)
     }
   }

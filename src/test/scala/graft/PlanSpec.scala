@@ -203,6 +203,10 @@ class PlanSpec extends SparkSpec {
     // typed-literal comparison (the one a double-cast residual would
     // lose) rather than the full set
     assert(p.contains("GreaterThanOrEqual(event_id,"), p)
+    // the footer-pruned twin (z-order store) pushes its residual the same way
+    val z = planString("z3_pruned_scan")
+    assert(z.contains("PushedFilters: [IsNotNull("), z)
+    assert(z.contains("GreaterThanOrEqual(user_id,"), z)
   }
 
   test("no query in the inventory plans a CartesianProduct") {

@@ -1082,12 +1082,24 @@ object Lakehouse {
       // double CAST would block parquet filter pushdown, losing the
       // row-group footer-skipping tier inside the surviving files
       val types = schema.map(f => f.name -> f.dataType).toMap
+      // .toLong/.toInt saturate out-of-range doubles — impossible bounds
+      // resolve to FALSE / no-constraint instead of a boundary value
       val residual = box.map { case (c, lo, hi) =>
+        def intish(tmin: Double, tmax: Double,
+            mk: Double => org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+          val l = math.ceil(lo); val h = math.floor(hi)
+          if (l > tmax || h < tmin || l > h) lit(false)
+          else {
+            val lc = if (l < tmin) lit(true) else col(c) >= mk(l)
+            val hc = if (h > tmax) lit(true) else col(c) <= mk(h)
+            lc && hc
+          }
+        }
         types.get(c) match {
           case Some(org.apache.spark.sql.types.LongType) =>
-            col(c) >= lit(math.ceil(lo).toLong) && col(c) <= lit(math.floor(hi).toLong)
+            intish(Long.MinValue.toDouble, Long.MaxValue.toDouble, d => lit(d.toLong))
           case Some(org.apache.spark.sql.types.IntegerType) =>
-            col(c) >= lit(math.ceil(lo).toInt) && col(c) <= lit(math.floor(hi).toInt)
+            intish(Int.MinValue.toDouble, Int.MaxValue.toDouble, d => lit(d.toInt))
           case _ => col(c).cast("double").between(lo, hi)
         }
       }.reduce(_ && _)

@@ -124,6 +124,13 @@ object ManifestSnapshots {
         }
         if (!txt.startsWith(s"""{"version":$v,"files":[""") || !txt.endsWith("]}"))
           None
+        // fail CLOSED on per-entry corruption: the regex silently skips a
+        // mangled entry, which would read back as a SUBSET of the version's
+        // files — so the number of matches must equal the number of entry
+        // openers, or the whole manifest is treated as torn
+        else if (entry.findAllMatchIn(txt).size !=
+            """\{"path":"""".r.findAllMatchIn(txt).size)
+          None
         else Some(entry.findAllMatchIn(txt).map { m =>
           val part = m.group(2) match {
             case "null" => None
@@ -139,9 +146,9 @@ object ManifestSnapshots {
       }
     } catch { case _: Exception => None }
 
-  /** All versions with a parseable manifest, ascending. */
-  def versions(spark: SparkSession, dir: String): Seq[Long] = {
-    val hfs = fs(spark, dir)
+  /** Version numbers present by manifest file NAME, ascending — a pure
+    * listing, no manifest is opened. */
+  private def versionNames(hfs: FileSystem, dir: String): Seq[Long] = {
     val mdir = new Path(s"${dir.stripSuffix("/")}/manifests")
     if (!hfs.exists(mdir)) Nil
     else hfs.listStatus(mdir).toSeq
@@ -149,8 +156,22 @@ object ManifestSnapshots {
       .collect { case n if n.startsWith("m-") && n.endsWith(".json") =>
         n.stripPrefix("m-").stripSuffix(".json") }
       .flatMap(s => scala.util.Try(s.toLong).toOption)
-      .filter(v => readManifest(hfs, dir, v).isDefined)
       .sorted
+  }
+
+  /** Newest version whose manifest parses — names walked DESCENDING,
+    * parsing stops at the first valid one, so commit-path metadata cost
+    * is O(torn + 1) manifest reads, not O(chain length). */
+  private def newestParseable(hfs: FileSystem, dir: String): Option[Long] =
+    versionNames(hfs, dir).reverseIterator
+      .find(v => readManifest(hfs, dir, v).isDefined)
+
+  /** All versions with a parseable manifest, ascending. (Opens every
+    * manifest — the audit/maintenance surface; the commit path uses
+    * the bounded [[newestParseable]] walk instead.) */
+  def versions(spark: SparkSession, dir: String): Seq[Long] = {
+    val hfs = fs(spark, dir)
+    versionNames(hfs, dir).filter(v => readManifest(hfs, dir, v).isDefined)
   }
 
   /** The committed version: `_latest` when it points at a parseable
@@ -169,7 +190,7 @@ object ManifestSnapshots {
           Some(txt.toLong).filter(v => readManifest(hfs, dir, v).isDefined)
         }
       } catch { case _: Exception => None }
-    fromMarker.orElse(versions(spark, dir).lastOption)
+    fromMarker.orElse(newestParseable(hfs, dir))
   }
 
   private def commitPointer(hfs: FileSystem, dir: String, v: Long): Unit = {
@@ -268,7 +289,7 @@ object ManifestSnapshots {
   }
 
   private def nextVersion(spark: SparkSession, dir: String): Long =
-    versions(spark, dir).lastOption.getOrElse(0L) + 1
+    newestParseable(fs(spark, dir), dir).getOrElse(0L) + 1
 
   /** Full snapshot: version 1 of a table, or a complete re-statement. */
   def writeFull(df: DataFrame, dir: String,
@@ -295,27 +316,52 @@ object ManifestSnapshots {
       partitionCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val hfs = fs(spark, dir)
-    val prevV = latestVersion(spark, dir)
-    val prev = prevV.flatMap(v => readManifest(hfs, dir, v)).getOrElse(Nil)
-    prevV.filter(_ => prev.nonEmpty).foreach { pv =>
-      val stored = read(spark, dir, pv).schema.map(f => f.name -> f.dataType).toMap
-      // partition columns are excluded: their read-side type is a session
-      // convention (path inference), not a property of the stored files
-      df.schema.filterNot(f => partitionCols.contains(f.name)).foreach { f =>
-        stored.get(f.name).filter(_ != f.dataType).foreach { was =>
-          throw new IllegalArgumentException(
-            s"appendDelta refuses to retype column '${f.name}': stored $was, delta ${f.dataType}")
-        }
-      }
-    }
-    val v = nextVersion(spark, dir)
-    val entries = writeDataFiles(df, dir, v, partitionCols)
-    require(prev.isEmpty || prev.forall(_.partition.isDefined) == entries.forall(_.partition.isDefined),
+    val prev = latestVersion(spark, dir)
+      .flatMap(v => readManifest(hfs, dir, v)).getOrElse(Nil)
+    // both guards run BEFORE any data lands: a refused append must leave
+    // nothing behind, not an orphaned data dir
+    require(prev.isEmpty || prev.forall(_.partition.isDefined) == partitionCols.nonEmpty,
       "appendDelta must keep the table's partitioning shape: mixing " +
         "partitioned and unpartitioned versions would break the union read")
+    if (prev.nonEmpty)
+      requireNoRetype(spark, dir, prev, df.schema, partitionCols.toSet, "appendDelta")
+    val v = nextVersion(spark, dir)
+    val entries = writeDataFiles(df, dir, v, partitionCols)
     writeManifest(hfs, dir, v, prev ++ entries)
     commitPointer(hfs, dir, v)
     v
+  }
+
+  /** The chain's merged schema from ONE representative file per version
+    * dir (files written together share a schema) — O(version dirs)
+    * footer reads, not O(files), so the per-append guard cost stays
+    * bounded by compaction cadence on a long chain. Partition columns
+    * are not in file schemas and are excluded by callers anyway. */
+  private def storedSchema(spark: SparkSession, base: String,
+      entries: Seq[Entry]): org.apache.spark.sql.types.StructType = {
+    val reps = entries.groupBy(_.path.split('/').take(2).mkString("/"))
+      .values.map(_.head).toSeq.sortBy(_.path)
+    spark.read.option("mergeSchema", "true")
+      .parquet(reps.map(e => s"$base/${e.path}"): _*).schema
+  }
+
+  /** Refuse a delta that RETYPES a stored column: a type change under
+    * the union read would corrupt or fail every consumer, and at lake
+    * scale that class of break must die at the writer, not in a reader
+    * minutes later. Partition columns are excluded: their read-side
+    * type is a session convention (path inference), not a property of
+    * the stored files. */
+  private def requireNoRetype(spark: SparkSession, dir: String,
+      entries: Seq[Entry], delta: org.apache.spark.sql.types.StructType,
+      exclude: Set[String], op: String): Unit = {
+    val stored = storedSchema(spark, dir.stripSuffix("/"), entries)
+      .map(f => f.name -> f.dataType).toMap
+    delta.filterNot(f => exclude.contains(f.name)).foreach { f =>
+      stored.get(f.name).filter(_ != f.dataType).foreach { was =>
+        throw new IllegalArgumentException(
+          s"$op refuses to retype column '${f.name}': stored $was, delta ${f.dataType}")
+      }
+    }
   }
 
   /** Copy-on-write at partition granularity: the delta's partitions
@@ -421,7 +467,15 @@ object ManifestSnapshots {
     if (added.isEmpty) {
       val schema = read(spark, dir, toV).schema
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    } else readEntries(spark, dir.stripSuffix("/"), added)
+    } else readFiles(spark, dir, added)
+  }
+
+  /** Read an explicit entry subset of a store — for callers that
+    * already hold a manifest diff ([[addedEntries]]) and must not pay
+    * a second one. */
+  def readFiles(spark: SparkSession, dir: String, entries: Seq[Entry]): DataFrame = {
+    require(entries.nonEmpty, "readFiles needs at least one entry")
+    readEntries(spark, dir.stripSuffix("/"), entries)
   }
 
   /** Box-predicate read with MANIFEST-level data skipping: files whose
@@ -456,12 +510,26 @@ object ManifestSnapshots {
       // groups footer-skip too (two pruning tiers, one plan)
       val types = df.schema.map(f => f.name -> f.dataType).toMap
       import org.apache.spark.sql.types.{IntegerType, LongType}
+      // .toLong/.toInt SATURATE out-of-range doubles (ceil(3e9).toInt ==
+      // Int.MaxValue), which would turn an impossible bound into a
+      // boundary-value match — out-of-type-range bounds are resolved to
+      // FALSE / no-constraint here instead of converted
       val residual = bounds.map { case (c, lo, hi) =>
+        def intish(tmin: Double, tmax: Double,
+            mk: Double => org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+          val l = math.ceil(lo); val h = math.floor(hi)
+          if (l > tmax || h < tmin || l > h) lit(false)
+          else {
+            val lc = if (l < tmin) lit(true) else col(c) >= mk(l)
+            val hc = if (h > tmax) lit(true) else col(c) <= mk(h)
+            lc && hc
+          }
+        }
         types.get(c) match {
           case Some(LongType) =>
-            col(c) >= lit(math.ceil(lo).toLong) && col(c) <= lit(math.floor(hi).toLong)
+            intish(Long.MinValue.toDouble, Long.MaxValue.toDouble, d => lit(d.toLong))
           case Some(IntegerType) =>
-            col(c) >= lit(math.ceil(lo).toInt) && col(c) <= lit(math.floor(hi).toInt)
+            intish(Int.MinValue.toDouble, Int.MaxValue.toDouble, d => lit(d.toInt))
           case _ => col(c) >= lit(lo) && col(c) <= lit(hi)
         }
       }.reduce(_ && _)
@@ -512,26 +580,42 @@ object ManifestSnapshots {
   def deleteWhere(spark: SparkSession, dir: String,
       predicate: org.apache.spark.sql.Column,
       partitionCols: Seq[String] = Nil): Long = {
-    val hfs = fs(spark, dir)
     val cur = latestVersion(spark, dir).getOrElse(
       throw new IllegalStateException(s"nothing to delete under $dir"))
     val entries = entriesOf(spark, dir, cur)
     val base = dir.stripSuffix("/")
-    val touched = readEntries(spark, base, entries)
-      .filter(predicate)
-      .select(org.apache.spark.sql.functions.input_file_name().as("f"))
-      .distinct().collect().map(_.getString(0)).toSet
-    def isTouched(e: Entry): Boolean = touched.exists(_.endsWith("/" + e.path))
-    val rewritten = entries.filter(isTouched)
+    val (rewritten, kept) = splitTouched(entries,
+      touchedFiles(readEntries(spark, base, entries).filter(predicate)))
     if (rewritten.isEmpty) return cur
-    val kept = entries.filterNot(isTouched)
     // delete exactly where the predicate is TRUE: a NULL evaluation must
     // KEEP the row (plain !predicate would silently drop it)
     val survivors = readEntries(spark, base, rewritten).filter(
       org.apache.spark.sql.functions.not(org.apache.spark.sql.functions.coalesce(
         predicate, org.apache.spark.sql.functions.lit(false))))
+    commitRewrite(spark, dir, kept, survivors, partitionCols)
+  }
+
+  /** The qualified file names `df`'s rows come from — the COW
+    * touched-file discovery (one predicate-pushed / semi-joined scan). */
+  private def touchedFiles(df: DataFrame): Set[String] =
+    df.select(org.apache.spark.sql.functions.input_file_name().as("f"))
+      .distinct().collect().map(_.getString(0)).toSet
+
+  /** Split a manifest on membership in a touched-file set: (rewritten,
+    * kept-by-reference). Matching is by lake-relative path suffix —
+    * unique within a store. */
+  private def splitTouched(entries: Seq[Entry],
+      touched: Set[String]): (Seq[Entry], Seq[Entry]) =
+    entries.partition(e => touched.exists(_.endsWith("/" + e.path)))
+
+  /** The shared COW commit tail: write `data` as the new version's
+    * files, manifest = kept-by-reference ++ fresh entries, move the
+    * pointer. Crash order identical to every other writer. */
+  private def commitRewrite(spark: SparkSession, dir: String,
+      kept: Seq[Entry], data: DataFrame, partitionCols: Seq[String]): Long = {
+    val hfs = fs(spark, dir)
     val v = nextVersion(spark, dir)
-    val newEntries = writeDataFiles(survivors, dir, v, partitionCols)
+    val newEntries = writeDataFiles(data, dir, v, partitionCols)
     writeManifest(hfs, dir, v, kept ++ newEntries)
     commitPointer(hfs, dir, v)
     v
@@ -549,20 +633,14 @@ object ManifestSnapshots {
       predicate: org.apache.spark.sql.Column,
       sets: Seq[(String, org.apache.spark.sql.Column)],
       partitionCols: Seq[String] = Nil): Long = {
-    import org.apache.spark.sql.functions.{coalesce, input_file_name, lit, when, col}
-    val hfs = fs(spark, dir)
+    import org.apache.spark.sql.functions.{coalesce, lit, when, col}
     val cur = latestVersion(spark, dir).getOrElse(
       throw new IllegalStateException(s"nothing to update under $dir"))
     val entries = entriesOf(spark, dir, cur)
     val base = dir.stripSuffix("/")
-    val touched = readEntries(spark, base, entries)
-      .filter(predicate)
-      .select(input_file_name().as("f"))
-      .distinct().collect().map(_.getString(0)).toSet
-    def isTouched(e: Entry): Boolean = touched.exists(_.endsWith("/" + e.path))
-    val rewritten = entries.filter(isTouched)
+    val (rewritten, kept) = splitTouched(entries,
+      touchedFiles(readEntries(spark, base, entries).filter(predicate)))
     if (rewritten.isEmpty) return cur
-    val kept = entries.filterNot(isTouched)
     val src = readEntries(spark, base, rewritten)
     val setMap = sets.toMap
     val unknown = setMap.keySet -- src.columns.toSet
@@ -571,11 +649,17 @@ object ManifestSnapshots {
     val updated = src.select(src.columns.toSeq.map { c =>
       setMap.get(c).map(e => when(cond, e).otherwise(col(c)).as(c)).getOrElse(col(c))
     }: _*)
-    val v = nextVersion(spark, dir)
-    val newEntries = writeDataFiles(updated, dir, v, partitionCols)
-    writeManifest(hfs, dir, v, kept ++ newEntries)
-    commitPointer(hfs, dir, v)
-    v
+    // UPDATE never changes the schema: a set expression that COERCES the
+    // column (when/otherwise widening long -> double, say) would commit a
+    // version whose files disagree with the kept ones and brick the
+    // union read — the retype class appendDelta refuses, refused here too
+    src.schema.zip(updated.schema).foreach { case (a, b) =>
+      if (a.dataType != b.dataType)
+        throw new IllegalArgumentException(
+          s"updateWhere refuses to retype column '${a.name}': " +
+            s"stored ${a.dataType}, set expression yields ${b.dataType}")
+    }
+    commitRewrite(spark, dir, kept, updated, partitionCols)
   }
 
   /** MERGE by key as copy-on-write — the Iceberg/Delta MERGE INTO shape
@@ -593,31 +677,28 @@ object ManifestSnapshots {
       keys: Seq[String], partitionCols: Seq[String] = Nil): Long = {
     require(keys.nonEmpty, "mergeByKey needs at least one key column")
     import org.apache.spark.sql.functions.{col, input_file_name}
-    val hfs = fs(spark, dir)
     val cur = latestVersion(spark, dir).getOrElse(
       throw new IllegalStateException(s"nothing to merge into under $dir"))
     val entries = entriesOf(spark, dir, cur)
     val base = dir.stripSuffix("/")
+    // a delta that RETYPES a stored column would coerce the union below
+    // (unionByName inserts widening casts) and commit files disagreeing
+    // with the kept ones — refused before anything lands, like appendDelta
+    requireNoRetype(spark, dir, entries, delta.schema, partitionCols.toSet, "mergeByKey")
     val keyDf = delta.select(keys.map(col): _*).distinct()
+    // input_file_name() must be captured ON the scan lineage, BEFORE the
+    // join (after a shuffle it evaluates empty), so the semi-join path
+    // carries the file name through as a column
     val touched = readEntries(spark, base, entries)
       .withColumn("_gf", input_file_name())
       .join(keyDf, keys, "left_semi")
       .select("_gf").distinct().collect().map(_.getString(0)).toSet
-    def isTouched(e: Entry): Boolean = touched.exists(_.endsWith("/" + e.path))
-    val rewritten = entries.filter(isTouched)
-    val kept = entries.filterNot(isTouched)
-    val survivors =
-      if (rewritten.isEmpty) None
-      else Some(readEntries(spark, base, rewritten).join(keyDf, keys, "left_anti"))
-    val newData = survivors match {
-      case Some(sv) => sv.unionByName(delta, allowMissingColumns = true)
-      case None => delta
-    }
-    val v = nextVersion(spark, dir)
-    val newEntries = writeDataFiles(newData, dir, v, partitionCols)
-    writeManifest(hfs, dir, v, kept ++ newEntries)
-    commitPointer(hfs, dir, v)
-    v
+    val (rewritten, kept) = splitTouched(entries, touched)
+    val newData =
+      if (rewritten.isEmpty) delta
+      else readEntries(spark, base, rewritten).join(keyDf, keys, "left_anti")
+        .unionByName(delta, allowMissingColumns = true)
+    commitRewrite(spark, dir, kept, newData, partitionCols)
   }
 
   // ----------------------------------------------------------- MAINTENANCE
@@ -625,25 +706,36 @@ object ManifestSnapshots {
   /** OPTIMIZE as a new version: bin-pack the committed file list into
     * ~targetFileMB files (count from actual referenced bytes, like
     * [[Lakehouse.compact]]). Previous versions keep reading their
-    * original files; nothing is deleted here. */
+    * original files; nothing is deleted here.
+    *
+    * Partitioned tables compact at PARTITION granularity: only
+    * partitions fragmented across >1 file are rewritten (coalesced to
+    * one file per partition); single-file partitions — the already-
+    * compact bulk of a large table — carry by reference, so the write
+    * amplification is proportional to the fragmentation, not the
+    * table. Returns the current version when nothing is fragmented. */
   def compactData(spark: SparkSession, dir: String,
       targetFileMB: Int = 256, partitionCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.col
     val hfs = fs(spark, dir)
     val cur = latestVersion(spark, dir).getOrElse(
       throw new IllegalStateException(s"nothing to compact under $dir"))
-    val entries = readManifest(hfs, dir, cur).get
+    val entries = entriesOf(spark, dir, cur)
     val base = dir.stripSuffix("/")
-    val bytes = entries.map(e => hfs.getFileStatus(new Path(s"$base/${e.path}")).getLen).sum
-    val nFiles = math.max(1, (bytes / (targetFileMB.toLong << 20)).toInt)
-    val current = read(spark, dir, cur)
-    val v = nextVersion(spark, dir)
-    val packed =
-      if (partitionCols.nonEmpty) current // partition dirs bound file shape
-      else current.repartition(nFiles)
-    val newEntries = writeDataFiles(packed, dir, v, partitionCols)
-    writeManifest(hfs, dir, v, newEntries)
-    commitPointer(hfs, dir, v)
-    v
+    if (partitionCols.nonEmpty) {
+      val byPart = entries.groupBy(_.partition)
+      val fragmented = byPart.filter(_._2.size > 1).values.flatten.toSeq
+      if (fragmented.isEmpty) return cur
+      val kept = byPart.filter(_._2.size <= 1).values.flatten.toSeq
+      val packed = readEntries(spark, base, fragmented)
+        .repartition(partitionCols.map(col): _*)
+      commitRewrite(spark, dir, kept, packed, partitionCols)
+    } else {
+      val bytes = entries.map(e => hfs.getFileStatus(new Path(s"$base/${e.path}")).getLen).sum
+      val nFiles = math.max(1, (bytes / (targetFileMB.toLong << 20)).toInt)
+      val packed = read(spark, dir, cur).repartition(nFiles)
+      commitRewrite(spark, dir, Nil, packed, Nil)
+    }
   }
 
   /** OPTIMIZE + CLUSTER as a version: bin-pack the committed file list

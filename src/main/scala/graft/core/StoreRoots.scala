@@ -64,19 +64,25 @@ object StoreRoots {
       java.util.UUID.randomUUID().toString.take(8)
     val tmp = new Path(rp.getParent, tmpName)
     build(tmp.toString)
+    // the marker carries THIS builder's token so "did my rename publish"
+    // is decidable after the fact — rename's return value alone cannot
+    // distinguish a clean publish from a rename that landed NESTED
+    // inside a racer's just-published root (Hadoop moves src INTO an
+    // existing dst directory and still returns true)
     val mk = fs.create(new Path(tmp, ReadyMarker), true)
-    mk.close()
-    val won = !fs.exists(rp) && fs.rename(tmp, rp)
+    try mk.write(tmpName.getBytes("UTF-8")) finally mk.close()
+    val renamed = !fs.exists(rp) && fs.rename(tmp, rp)
     // Unconditionally drop any copy that did not BECOME the root: the
-    // lost-race tmp still sitting beside it, or a rename that landed
-    // NESTED inside a concurrently-published root (Hadoop rename moves
-    // src INTO an existing dst directory, so even a rename that returned
-    // true can have nested us if the winner published between our exists
-    // check and the rename). When we won cleanly both paths are gone and
-    // these are no-ops.
+    // lost-race tmp still sitting beside it, or a nested rename target.
+    // When we won cleanly both paths are gone and these are no-ops.
     fs.delete(tmp, true)
     fs.delete(new Path(rp, tmpName), true)
     require(ready, s"store publish failed for $root")
-    won
+    val publishedToken =
+      try {
+        val in = fs.open(new Path(rp, ReadyMarker))
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      } catch { case _: Exception => "" }
+    renamed && publishedToken == tmpName
   }
 }

@@ -107,10 +107,16 @@ object MaterializedView {
         .maxOption
     }
 
-  private def commit(partials: DataFrame, viewDir: String, baseV: Long): Unit =
+  private def commit(partials: DataFrame, viewDir: String, baseV: Long): Unit = {
     ManifestSnapshots.writeFull(
       partials.withColumn(BaseVersionCol, lit(baseV)),
       viewDir, partitionCols = Seq(BaseVersionCol))
+    // every refresh is a full restatement of the (tiny) view, and a
+    // long-running stream refreshes once per micro-batch — without
+    // retention the view store would accrete one complete copy per
+    // batch. Keep the committed state plus one rollback step.
+    ManifestSnapshots.vacuum(partials.sparkSession, viewDir, keep = 2): Unit
+  }
 
   /** Bring the view up to the base's committed version (or to `asOf`, a
     * pinned earlier version — manifests are self-contained, so a
@@ -134,10 +140,17 @@ object MaterializedView {
             ManifestSnapshots.removedEntries(spark, baseDir, bv, curV))
             .toOption.exists(_.isEmpty) =>
         val added = ManifestSnapshots.addedEntries(spark, baseDir, bv, curV)
-        val delta = ManifestSnapshots.readChanges(spark, baseDir, bv, curV)
         val prior = ManifestSnapshots.readLatest(spark, viewDir).drop(BaseVersionCol)
-        commit(merge(prior, aggregate(delta, spec), spec), viewDir, curV)
-        RefreshStats("incremental", curV, added.size.toLong, added.map(_.rows).sum)
+        if (added.isEmpty) {
+          // versions advanced without adding files (possible via an
+          // empty-delta append): just restamp the state at curV
+          commit(prior, viewDir, curV)
+          RefreshStats("incremental", curV, 0L, 0L)
+        } else {
+          val delta = ManifestSnapshots.readFiles(spark, baseDir, added)
+          commit(merge(prior, aggregate(delta, spec), spec), viewDir, curV)
+          RefreshStats("incremental", curV, added.size.toLong, added.map(_.rows).sum)
+        }
       case _ =>
         // first refresh, a rewriting base version (entries removed), or a
         // view state AHEAD of the base (base rolled back): restate fully

@@ -203,6 +203,24 @@ class ManifestSnapshotSpec extends SparkSpec {
     assert(ManifestSnapshots.removedEntries(spark, dir, 1L, 2L).nonEmpty)
   }
 
+  test("every DML writer refuses a retyping change before data lands") {
+    val dir = tmpDir("msnaprt") + "/t"
+    ManifestSnapshots.writeFull(slice(0, 50), dir)
+    intercept[IllegalArgumentException] {
+      ManifestSnapshots.mergeByKey(spark, dir,
+        slice(0, 5).withColumn("v", col("v").cast("double")), Seq("id"))
+    }
+    intercept[IllegalArgumentException] {
+      // when/otherwise coerces the long column to double — refused, not
+      // committed as a version that bricks the union read
+      ManifestSnapshots.updateWhere(spark, dir,
+        col("id") < 5, Seq("v" -> (col("v") / 2.0)))
+    }
+    assert(ManifestSnapshots.versions(spark, dir) == Seq(1L),
+      "a refused retype must not commit anything")
+    assert(ManifestSnapshots.readLatest(spark, dir).count() == 50)
+  }
+
   test("updateWhere: pre-image simultaneous assignment, file sharing, noop on no match") {
     val dir = tmpDir("msnapupd") + "/t"
     ManifestSnapshots.writeFull(

@@ -61,6 +61,16 @@ class MaterializedViewSpec extends SparkSpec {
 
     val s3 = MaterializedView.refresh(spark, base, view, spec)
     assert(s3.mode == "noop" && s3.deltaRows == 0)
+
+    // view-store retention: refreshes must not accrete one full copy of
+    // the partials per refresh (a stream refreshes per micro-batch)
+    (0 until 4).foreach { i =>
+      ManifestSnapshots.appendDelta(rows(470 + i * 10 until 480 + i * 10), base)
+      MaterializedView.refresh(spark, base, view, spec)
+    }
+    assert(ManifestSnapshots.versions(spark, view).size <= 2,
+      "the view store must keep committed + one rollback step, not every refresh")
+    assertSame(MaterializedView.serve(spark, view), fullRecompute(rows(0 until 510)))
   }
 
   test("a rewriting base version forces a full restate, never a double count") {

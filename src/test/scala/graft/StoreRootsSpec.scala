@@ -78,6 +78,10 @@ class StoreRootsSpec extends SparkSpec {
     threads.foreach(_.join(60000))
 
     assert(StoreRoots.isReady(spark, root))
+    // exactly ONE call may report having published (the nested-rename
+    // racer must not also claim the win)
+    assert(results.toArray(Array.empty[java.lang.Boolean]).count(_ == true) == 1,
+      s"exactly one builder must win: $results")
     val out = spark.read.parquet(root)
     assert(out.count() == 20)
     // one builder's content, never a mix

@@ -332,6 +332,72 @@ object ManifestSnapshots {
     v
   }
 
+  /** [[appendDelta]] behind the row-identity replay guard — the
+    * streaming chain's admission shape at 100 TB, where the plain
+    * anti join against the committed chain costs O(table) per batch.
+    * Composes two bounded pieces:
+    *
+    *  - the PERSISTENT key bloom ([[BloomSkipping]]'s `_key_bloom` at
+    *    the chain root): a mostly-new batch proves itself fresh at the
+    *    guard (O(batch), no chain scan) and only probable duplicates
+    *    (true matches + fpp of the rest) pay the exact anti join;
+    *  - guard-AHEAD commit order: the guard merges the admitted keys
+    *    BEFORE the version commits, so a crash between the two leaves
+    *    a guard claiming keys the chain lacks — replay routes exactly
+    *    those rows through the exact probe (false positives only),
+    *    which re-admits them: exactly once, as an ordering. A torn or
+    *    missing guard degrades to the exact path and self-heals from
+    *    the whole chain's keys — never re-seeded from one batch, which
+    *    would claim older stored rows fresh.
+    *
+    * Returns the committed version (unchanged when the whole batch was
+    * a replay). First write seeds data-then-guard, like the lake's
+    * bloom-guarded ingest: a crash between leaves no guard, and the
+    * next batch takes the exact path. */
+  def appendDeltaGuarded(spark: SparkSession, dir: String, batch: DataFrame,
+      keys: Seq[String], partitionCols: Seq[String] = Nil,
+      expectedKeys: Long = 4000000L): Long = {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    val keyHash = xxhash64(keys.map(col): _*)
+    latestVersion(spark, dir) match {
+      case None =>
+        val v = appendDelta(batch, dir, partitionCols)
+        BloomSkipping.mergeKeyBloom(spark, dir,
+          batch.select(keyHash.as("h")), expectedKeys)
+        v
+      case Some(cur) =>
+        val chainKeys = readLatest(spark, dir).select(keys.map(col): _*)
+        val guardOpt = BloomSkipping.loadKeyBloom(spark, dir)
+        val fresh = guardOpt match {
+          case Some((_, _, guard)) =>
+            val bos = new java.io.ByteArrayOutputStream()
+            guard.writeTo(bos)
+            val probable = BloomSkipping.mightContainHashed(spark, bos.toByteArray, keyHash)
+            batch.filter(!probable).unionByName(
+              batch.filter(probable).join(chainKeys, keys, "left_anti"))
+          case None =>
+            batch.join(chainKeys, keys, "left_anti")
+        }
+        val admitted = fresh.persist()
+        try {
+          if (admitted.isEmpty) cur
+          else {
+            guardOpt match {
+              case Some(_) =>
+                BloomSkipping.mergeKeyBloom(spark, dir,
+                  admitted.select(keyHash.as("h")), expectedKeys)
+              case None => // self-heal from ground truth, not the batch
+                BloomSkipping.mergeKeyBloom(spark, dir,
+                  chainKeys.select(keyHash.as("h"))
+                    .unionByName(admitted.select(keyHash.as("h"))),
+                  expectedKeys)
+            }
+            appendDelta(admitted, dir, partitionCols)
+          }
+        } finally { admitted.unpersist(): Unit }
+    }
+  }
+
   /** The chain's merged schema from ONE representative file per version
     * dir (files written together share a schema) — O(version dirs)
     * footer reads, not O(files), so the per-append guard cost stays

@@ -476,12 +476,12 @@ object Streams {
     *
     * Exactly-once across checkpoint replay, as an ORDER not a
     * transaction, composing two already-idempotent primitives:
-    *  - admission is the S6 anti-join guard vs the chain's committed
-    *    head, so a batch replayed after its append landed admits zero
-    *    rows and creates no version (at 100 TB the same guard runs
-    *    behind the persistent key bloom, exactly like
-    *    [[foreachBatchBloomGuardedAppend]] — only probable duplicates
-    *    pay the exact probe);
+    *  - admission is [[ManifestSnapshots.appendDeltaGuarded]]: the S6
+    *    anti-join guard vs the chain's committed head, run BEHIND the
+    *    persistent key bloom, so a mostly-new batch proves itself fresh
+    *    at the guard (O(batch), no chain scan) and a replayed batch
+    *    admits zero rows and creates no version — only probable
+    *    duplicates pay the exact probe;
     *  - a crash INSIDE appendDelta leaves a torn, invisible version
     *    (data → manifest → pointer commit order), so the replay
     *    re-admits cleanly;
@@ -506,16 +506,8 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
-        if (!batch.isEmpty) {
-          val fresh = ManifestSnapshots.latestVersion(s, baseDir) match {
-            case None => batch
-            case Some(v) =>
-              batch.join(ManifestSnapshots.read(s, baseDir, v)
-                .select(keys.map(org.apache.spark.sql.functions.col): _*),
-                keys, "left_anti")
-          }
-          if (!fresh.isEmpty) ManifestSnapshots.appendDelta(fresh, baseDir)
-        }
+        if (!batch.isEmpty)
+          ManifestSnapshots.appendDeltaGuarded(s, baseDir, batch, keys): Unit
         graft.pipeline.MaterializedView.refresh(s, baseDir, viewDir, spec): Unit
       }
       .start()

@@ -351,6 +351,43 @@ class ManifestSnapshotSpec extends SparkSpec {
       == ManifestSnapshots.read(spark, dir, 3L).orderBy("id", "v").collect().toSeq)
   }
 
+  test("guarded append: replay lands exactly once; a guard ahead of the chain never loses rows") {
+    import graft.core.BloomSkipping
+    import org.apache.spark.sql.functions.xxhash64
+    val dir = tmpDir("msnapguard") + "/t"
+    val b1 = slice(0, 100)
+    assert(ManifestSnapshots.appendDeltaGuarded(spark, dir, b1, Seq("id")) == 1L)
+    assert(BloomSkipping.loadKeyBloom(spark, dir).isDefined, "first write seeds the guard")
+
+    // full replay of batch 1: nothing admitted, NO new version
+    assert(ManifestSnapshots.appendDeltaGuarded(spark, dir, b1, Seq("id")) == 1L)
+    assert(ManifestSnapshots.versions(spark, dir) == Seq(1L))
+
+    // partial overlap: only the new half lands
+    assert(ManifestSnapshots.appendDeltaGuarded(spark, dir, slice(50, 150), Seq("id")) == 2L)
+    assert(ManifestSnapshots.readLatest(spark, dir).count() == 150)
+
+    // crash window: guard merged but the version never committed — the
+    // guard now claims keys the chain lacks. The replay must route those
+    // rows through the exact probe and ADMIT them (guard-ahead = false
+    // positives only, never lost rows).
+    val b3 = slice(150, 180)
+    BloomSkipping.mergeKeyBloom(spark, dir,
+      b3.select(xxhash64(col("id")).as("h")), 4000000L)
+    assert(ManifestSnapshots.appendDeltaGuarded(spark, dir, b3, Seq("id")) == 3L)
+    assert(ManifestSnapshots.readLatest(spark, dir).count() == 180)
+
+    // torn guard degrades to the exact path and self-heals
+    val hfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.delete(new org.apache.hadoop.fs.Path(dir + "/_key_bloom"), false)
+    assert(ManifestSnapshots.appendDeltaGuarded(spark, dir, slice(170, 200), Seq("id")) == 4L)
+    assert(ManifestSnapshots.readLatest(spark, dir).count() == 200)
+    assert(BloomSkipping.loadKeyBloom(spark, dir).isDefined, "guard self-healed")
+    // and the healed guard is a SUPERSET guard: a full replay admits nothing
+    assert(ManifestSnapshots.appendDeltaGuarded(spark, dir, slice(0, 200), Seq("id")) == 4L)
+  }
+
   test("history: versions, file and row counts from manifests alone") {
     val dir = tmpDir("msnaphist") + "/t"
     ManifestSnapshots.writeFull(slice(0, 120), dir)

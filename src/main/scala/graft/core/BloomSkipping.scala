@@ -231,10 +231,20 @@ object BloomSkipping {
     * sidecar is never pruned (stats-missing discipline shared with the
     * zone maps — correctness cannot depend on sidecar freshness). */
   def readBloomPruned(spark: SparkSession, path: String, key: String,
-      probes: Seq[Long]): DataFrame = {
+      probes: Seq[Long]): DataFrame =
+    readBloomPrunedWhere(spark, path, key, probes, col(key).isin(probes: _*))
+
+  /** [[readBloomPruned]] with a caller-supplied residual predicate — for
+    * probe sets with a compact closed form (`key % 13 = 3 AND key BETWEEN
+    * lo AND hi`): the sidecar decision still tests every probe key, but
+    * the scan-side residual stays a bounded expression instead of a
+    * |probes|-literal `In`, so the plan size (and codegen) is independent
+    * of the probe count. CONTRACT: `residual` must hold exactly on the
+    * probe set — rows outside it may be pruned at file granularity. */
+  def readBloomPrunedWhere(spark: SparkSession, path: String, key: String,
+      probes: Seq[Long], residual: Column): DataFrame = {
     require(probes.nonEmpty, "readBloomPruned needs a non-empty probe set")
-    val (kept, _) = pruneDecision(spark, path, probes)
-    val residual = col(key).isin(probes: _*)
+    val (kept, _) = pruneDecision(spark, path, key, probes)
     if (kept.isEmpty) Lakehouse.read(spark, path).filter(lit(false))
     else {
       // pin the schema from the directory so a subset read cannot drop
@@ -265,62 +275,139 @@ object BloomSkipping {
 
   private val KeyBloomFile = "_key_bloom"
 
-  /** (expectedItems, numBits, filter) from the guard file, or None when
-    * absent/torn (safe fallback). */
-  def loadKeyBloom(spark: SparkSession, path: String): Option[(Long, Long, BloomFilter)] = {
-    val p = new org.apache.hadoop.fs.Path(s"${path.stripSuffix("/")}/$KeyBloomFile")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else try {
-      val in = new java.io.DataInputStream(fs.open(p))
-      try {
-        val items = in.readLong()
-        val bits = in.readLong()
-        Some((items, bits, BloomFilter.readFrom(in)))
-      } finally in.close()
-    } catch { case _: Exception => None } // torn file: fall back to exact
-  }
+  /** Guard generation number from a file name: the legacy single file is
+    * generation 0, `_key_bloom.g<N>` is generation N. None for anything
+    * else (tmp droppings from pre-generation writers). */
+  private def guardGen(name: String): Option[Long] =
+    if (name == KeyBloomFile) Some(0L)
+    else if (name.startsWith(KeyBloomFile + ".g"))
+      scala.util.Try(name.stripPrefix(KeyBloomFile + ".g").toLong).toOption
+    else None
 
-  private def saveKeyBloom(spark: SparkSession, path: String, items: Long,
-      bits: Long, bloom: BloomFilter): Unit = {
+  /** All guard generation files under the table root, newest first. */
+  private def guardFiles(spark: SparkSession,
+      path: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(dir, KeyBloomFile + ".tmp")
-    val out = new java.io.DataOutputStream(fs.create(tmp, true))
-    try { out.writeLong(items); out.writeLong(bits); bloom.writeTo(out) }
-    finally out.close()
-    val dst = new org.apache.hadoop.fs.Path(dir, KeyBloomFile)
-    fs.delete(dst, false)
-    fs.rename(tmp, dst) // readers of a half-state see the OLD file or none
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq
+      .flatMap(st => guardGen(st.getPath.getName).map(_ -> st.getPath))
+      .sortBy(-_._1)
+  }
+
+  /** (expectedItems, numBits, filter) from the newest PARSEABLE guard
+    * generation, or None when absent/torn (safe fallback: the exact anti
+    * join). A torn newest generation (crashed writer) falls through to
+    * the previous one — the guard may be BEHIND the data by one batch in
+    * that window, which only re-routes that batch's keys through the
+    * exact probe. */
+  def loadKeyBloom(spark: SparkSession, path: String): Option[(Long, Long, BloomFilter)] = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    guardFiles(spark, path).iterator
+      .flatMap { case (_, p) =>
+        try {
+          val in = new java.io.DataInputStream(fs.open(p))
+          try Some((in.readLong(), in.readLong(), BloomFilter.readFrom(in)))
+          finally in.close()
+        } catch { case _: Exception => None }
+      }
+      .nextOption()
   }
 
   /** Merge `hashedKeys` (a single LongType column of xxhash64'd key
     * tuples) into the table's guard, creating it at `expectedItems`/`fpp`
     * geometry if absent. One aggregate pass over the batch; the stored
     * filter is OR-merged on the driver (bit arrays of identical
-    * geometry). */
+    * geometry).
+    *
+    * CONCURRENCY: the guard commit is OPTIMISTIC, not last-writer-wins.
+    * Generations are immutable files (`_key_bloom.g<N>`); a merge loads
+    * the newest parseable generation, ORs the batch in, and commits as
+    * generation max+1 with CREATE-IF-ABSENT — a concurrent committer
+    * racing the same slot makes the create FAIL, and the loser reloads
+    * (now seeing the winner's keys) and retries at the next slot, so the
+    * chain converges to the union of all writers' key sets and the
+    * guard-superset invariant survives concurrency. The filesystem's
+    * exclusive-create is the arbiter (atomic on HDFS/ABFS; on S3 use a
+    * conditional-PUT-enabled client); same-JVM writers additionally
+    * serialize on a process lock so local-FS create races cannot occur
+    * in tests. Older generations are swept down to the previous one
+    * (kept for in-flight readers). After bounded retries the call FAILS
+    * rather than clobbering. */
   def mergeKeyBloom(spark: SparkSession, path: String, hashedKeys: DataFrame,
       expectedItems: Long, fpp: Double = 0.03): Unit = {
     val (defItems, defBits) = sizing(spark, expectedItems, fpp)
-    val (items, bits, existing) = loadKeyBloom(spark, path)
-      .map { case (i, b, bf) => (i, b, Some(bf)) }
-      .getOrElse((defItems, defBits, None))
     register(spark)
     val kc = hashedKeys.columns.head
-    val row = hashedKeys
-      .agg(call_function("bloom_agg", col(kc), lit(items), lit(bits)).as("bf"))
-      .head()
-    val batch =
-      if (row.isNullAt(0)) None
-      else Some(BloomFilter.readFrom(row.getAs[Array[Byte]](0)))
-    val merged = (existing, batch) match {
-      case (Some(a), Some(b)) => a.mergeInPlace(b); a
-      case (Some(a), None) => a
-      case (None, Some(b)) => b
-      case (None, None) => return
+    // the batch bloom is built ONCE per geometry; retries reuse it
+    var batchGeom: Option[(Long, Long)] = None
+    var batchBloom: Option[BloomFilter] = None
+    def batchAt(items: Long, bits: Long): Option[BloomFilter] = {
+      if (!batchGeom.contains((items, bits))) {
+        val row = hashedKeys
+          .agg(call_function("bloom_agg", col(kc), lit(items), lit(bits)).as("bf"))
+          .head()
+        batchBloom =
+          if (row.isNullAt(0)) None
+          else Some(BloomFilter.readFrom(row.getAs[Array[Byte]](0)))
+        batchGeom = Some((items, bits))
+      }
+      batchBloom
     }
-    saveKeyBloom(spark, path, items, bits, merged)
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    jvmLock(fs.makeQualified(dir).toString).synchronized {
+      var attempt = 0
+      while (attempt < 8) {
+        attempt += 1
+        val gens = guardFiles(spark, path)
+        val (items, bits, existing) = loadKeyBloom(spark, path)
+          .map { case (i, b, bf) => (i, b, Some(bf)) }
+          .getOrElse((defItems, defBits, None))
+        // `existing` is parsed fresh each attempt, so merging in place
+        // mutates a private copy; the batch bloom stays pristine
+        val merged = (existing, batchAt(items, bits)) match {
+          case (Some(a), Some(b)) => a.mergeInPlace(b); a
+          case (Some(a), None) => a
+          case (None, Some(b)) => b
+          case (None, None) => return
+        }
+        val nextGen = gens.headOption.map(_._1 + 1).getOrElse(1L)
+        val target = new org.apache.hadoop.fs.Path(dir,
+          s"$KeyBloomFile.g$nextGen")
+        val committed =
+          try {
+            fs.mkdirs(dir)
+            val out = new java.io.DataOutputStream(fs.create(target, false))
+            try { out.writeLong(items); out.writeLong(bits); merged.writeTo(out) }
+            finally out.close()
+            true
+          } catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+            case _: java.io.IOException if fs.exists(target) => false
+          }
+        if (committed) {
+          // sweep generations older than the PREVIOUS one: an in-flight
+          // reader of the prior newest generation keeps its file
+          gens.drop(1).foreach { case (_, p) => fs.delete(p, false): Unit }
+          return
+        }
+        // lost the slot to a concurrent committer: reload and retry
+      }
+      throw new IllegalStateException(
+        s"mergeKeyBloom: lost the guard-commit race 8 times under $path — " +
+          "pathological contention; serialize ingest through one committer")
+    }
   }
+
+  /** Same-process commit lock per (qualified) table root — makes the
+    * exclusive-create protocol race-free within one JVM even on local
+    * filesystems whose create(overwrite=false) is check-then-act. */
+  private val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[core] def jvmLock(key: String): Object =
+    jvmLocks.computeIfAbsent(key, _ => new Object)
 
   /** The pruning decision itself — (kept data files, total data files) for
     * a probe set — exposed so specs and diagnostics can assert skipping
@@ -337,10 +424,59 @@ object BloomSkipping {
     * decode is — amortizing object (bloom) deserialization per batch over
     * opaque binary, not expressible as a Catalyst predicate without a
     * per-row re-parse. */
-  def pruneDecision(spark: SparkSession, path: String,
+  def pruneDecision(spark: SparkSession, path: String, key: String,
       probes: Seq[Long]): (Seq[String], Int) = {
     import org.apache.spark.sql.catalyst.expressions.XxHash64Function
-    val hashed = probes.map(v => XxHash64Function.hash(v, LongType, XxSeed)).toArray
+    import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
+    // Hash the driver-side probes with the KEY COLUMN'S type, not an
+    // assumed LongType: the sidecar blooms were built with
+    // `xxhash64(col(key))`, which hashes the column's own physical type
+    // (xxhash64 folds an Int's 4 bytes, a Long's 8 — different values for
+    // the same number). A LongType-hashed probe against an IntegerType
+    // sidecar would make the bloom report FALSE NEGATIVES and silently
+    // prune files that contain probe keys. A probe value outside the
+    // column type's range provably matches no stored key and drops from
+    // the sidecar test (its residual row set is empty anyway); a
+    // non-integral key type disables pruning entirely (every file kept —
+    // correct, just unskipped) rather than guessing a hash encoding.
+    val keyType = spark.read.parquet(path).schema
+      .find(_.name == key)
+      .getOrElse(throw new IllegalArgumentException(
+        s"pruneDecision: no column '$key' under $path"))
+      .dataType
+    val hashedOpt: Option[Array[Long]] = keyType match {
+      case LongType =>
+        Some(probes.map(v => XxHash64Function.hash(v, LongType, XxSeed)).toArray)
+      case IntegerType =>
+        Some(probes.collect { case v if v >= Int.MinValue && v <= Int.MaxValue =>
+          XxHash64Function.hash(v.toInt, IntegerType, XxSeed) }.toArray)
+      case ShortType =>
+        Some(probes.collect { case v if v >= Short.MinValue && v <= Short.MaxValue =>
+          XxHash64Function.hash(v.toShort, ShortType, XxSeed) }.toArray)
+      case ByteType =>
+        Some(probes.collect { case v if v >= Byte.MinValue && v <= Byte.MaxValue =>
+          XxHash64Function.hash(v.toByte, ByteType, XxSeed) }.toArray)
+      case _ => None
+    }
+    hashedOpt match {
+      case Some(hashed) => pruneDecisionHashed(spark, path, hashed)
+      case None => // unsupported key type: keep everything, prune nothing
+        val all = listDataFiles(spark, path)
+        (all.map(_.toString), all.size)
+    }
+  }
+
+  private def listDataFiles(spark: SparkSession,
+      path: String): Seq[org.apache.hadoop.fs.Path] = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(hp).toSeq
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+      .map(_.getPath)
+  }
+
+  private def pruneDecisionHashed(spark: SparkSession, path: String,
+      hashed: Array[Long]): (Seq[String], Int) = {
     import spark.implicits._
     val decisions: Array[(String, Boolean)] =
       spark.read.parquet(s"${path.stripSuffix("/")}/$SidecarDir")
@@ -355,11 +491,7 @@ object BloomSkipping {
       case (f, true) => fileName(f) }.toSet
     val indexed = decisions.iterator.map { case (f, _) => fileName(f) }.toSet
 
-    val hp = new org.apache.hadoop.fs.Path(path)
-    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dataFiles = fs.listStatus(hp).toSeq
-      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
-      .map(_.getPath)
+    val dataFiles = listDataFiles(spark, path)
     val kept = dataFiles.filter { p =>
       val n = p.getName
       admitted.contains(n) || !indexed.contains(n) // unindexed: never pruned

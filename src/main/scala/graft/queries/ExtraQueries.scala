@@ -600,8 +600,17 @@ object ExtraQueries {
         BloomSkipping.writeBloomIndexed(ev, tmp, "event_id", numFiles = 32))
       val m = ev.agg(max("event_id")).head.getLong(0)
       val (lo, hi) = (m / 4, m / 4 + m / 8)
-      val probes = (lo to hi).filter(_ % 13 == 3)
-      BloomSkipping.readBloomPruned(s, root, "event_id", probes)
+      // probe ids by stride (first hit, then +13) — no filter pass over a
+      // materialized range; the SCAN-side residual is the closed form
+      // `event_id % 13 = 3 AND BETWEEN`, so the plan carries a 3-node
+      // predicate whatever the probe count, instead of a |probes|-literal
+      // `In` (driver memory + plan-size blowup at larger SFs). The probe
+      // ARRAY still enumerates every id for the sidecar decision — file
+      // pruning must test each key against each file's bloom to skip it.
+      val first = lo + ((3 - lo % 13) + 13) % 13
+      val probes = first to hi by 13
+      BloomSkipping.readBloomPrunedWhere(s, root, "event_id", probes,
+        col("event_id") % 13 === 3 && col("event_id").between(lo, hi))
         .select("event_id", "user_id", "event_type", "value")
     },
 

@@ -34,7 +34,7 @@ class BloomSkipSpec extends SparkSpec {
     assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
     assert(full.count() == probes.size, "every probe id exists by construction")
 
-    val (kept, total) = BloomSkipping.pruneDecision(spark, path, probes)
+    val (kept, total) = BloomSkipping.pruneDecision(spark, path, "id", probes)
     assert(total == 16)
     assert(kept.size <= 3,
       s"a 2%-of-domain band should touch ≤3 of 16 range-clustered files, kept ${kept.size}")
@@ -48,7 +48,7 @@ class BloomSkipSpec extends SparkSpec {
     BloomSkipping.writeBloomIndexed(df, path, "id", numFiles = 16)
 
     val oddProbes = (501L until 19000L by 1000L).toSeq // all absent, all in-hull
-    val (kept, total) = BloomSkipping.pruneDecision(spark, path, oddProbes)
+    val (kept, total) = BloomSkipping.pruneDecision(spark, path, "id", oddProbes)
     assert(total == 16)
     assert(kept.size <= 1, // fpp 0.01 x 16 files: allow one false-positive file
       s"absent probes should bloom-prune ~all files, kept ${kept.size}")
@@ -162,7 +162,8 @@ class BloomSkipSpec extends SparkSpec {
     // underscore files, torn write)
     val fs = new org.apache.hadoop.fs.Path(p)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(fs.delete(new org.apache.hadoop.fs.Path(p, "_key_bloom"), false))
+    val guards = fs.globStatus(new org.apache.hadoop.fs.Path(p, "_key_bloom*"))
+    assert(guards.nonEmpty && guards.forall(g => fs.delete(g.getPath, false)))
     // next batch takes the exact path AND rebuilds the guard from the store
     Lakehouse.antiJoinAppendBloomGuarded(spark, guardBatch(250, 400), p, Seq("id"), Seq("pcol"))
     assert(BloomSkipping.loadKeyBloom(spark, p).isDefined, "guard not rebuilt")
@@ -180,6 +181,68 @@ class BloomSkipSpec extends SparkSpec {
     Lakehouse.antiJoinAppendBloomGuarded(spark, rows, p, Seq("k", "v"), Seq("pcol"))
     assert(spark.read.parquet(p).count() == 2,
       "NULL-keyed row duplicated or dropped on replay")
+  }
+
+  test("sidecar pruning is type-faithful: an INT key column never false-negative-prunes") {
+    // regression: the sidecar blooms hash the column's OWN type via
+    // xxhash64; probing with LongType-hashed values against an
+    // IntegerType-built sidecar yields different hashes, the blooms
+    // report false negatives, and files holding probe keys get pruned —
+    // silent wrong results. pruneDecision must hash with the key's type.
+    val path = tmpDir("bloomint") + "/t"
+    val df = (0 until 10000).toDF("id") // IntegerType key
+      .withColumn("payload", col("id") * 3 + 1)
+    BloomSkipping.writeBloomIndexed(df, path, "id", numFiles = 16)
+    val probes = (1000L to 1200L by 7L)
+    val pruned = BloomSkipping.readBloomPruned(spark, path, "id", probes)
+    assert(pruned.count() == probes.size,
+      "present INT keys must never be pruned away (type-mismatched probe hash)")
+    // and pruning still has power on the int-typed sidecar
+    val (kept, total) = BloomSkipping.pruneDecision(spark, path, "id", probes)
+    assert(total == 16 && kept.size <= 3,
+      s"int-keyed sidecar should still prune (kept ${kept.size}/16)")
+    // unsupported key types disable pruning, never break it
+    val spath = tmpDir("bloomstr") + "/t"
+    BloomSkipping.writeBloomIndexed(
+      (0 until 100).toDF("n").select(col("n").cast("string").as("id"), col("n")),
+      spath, "id", numFiles = 2)
+    val (keptS, totalS) = BloomSkipping.pruneDecision(spark, spath, "id", Seq(1L, 2L))
+    assert(keptS.size == totalS, "non-integral key type must keep every file")
+  }
+
+  test("readBloomPrunedWhere: closed-form residual ≡ literal-In residual") {
+    val path = tmpDir("bloomresid") + "/t"
+    BloomSkipping.writeBloomIndexed(
+      (0L until 20000L).toDF("id").withColumn("v", col("id") % 7),
+      path, "id", numFiles = 16)
+    val (lo, hi) = (5000L, 7000L)
+    val first = lo + ((3 - lo % 13) + 13) % 13
+    val probes = first to hi by 13
+    val viaWhere = BloomSkipping.readBloomPrunedWhere(spark, path, "id", probes,
+      col("id") % 13 === 3 && col("id").between(lo, hi))
+    val viaIn = BloomSkipping.readBloomPruned(spark, path, "id", probes)
+    assert(viaWhere.exceptAll(viaIn).isEmpty && viaIn.exceptAll(viaWhere).isEmpty)
+    assert(viaIn.count() == probes.size)
+  }
+
+  test("concurrent guard merges converge to the union (no lost keys)") {
+    val p = tmpDir("bloomrace") + "/t"
+    // 8 writers, disjoint key ranges, all racing the generation chain
+    val threads = (0 until 8).map { i =>
+      new Thread(() =>
+        BloomSkipping.mergeKeyBloom(spark, p,
+          (i * 1000L until (i + 1) * 1000L).toDF("id")
+            .select(xxhash64(col("id")).as("h")),
+          expectedItems = 100000L))
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val (_, _, guard) = BloomSkipping.loadKeyBloom(spark, p).get
+    // every writer's keys must be present — a lost RMW would drop a range
+    val hashes = (0L until 8000L).toDF("id").select(xxhash64(col("id")).as("h"))
+      .collect().map(_.getLong(0))
+    assert(hashes.forall(guard.mightContainLong),
+      "a concurrent merge lost another writer's keys (superset invariant broken)")
   }
 
   test("empty probe set is refused, empty build side matches nothing") {

@@ -33,12 +33,19 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *    across the kept manifests and deletes only the unreachable ones —
   *    a file shared by a kept version is never deleted.
   *
-  * Commit order (crash safety as an order, like the rest of the lake):
-  * data files first, manifest via tmp+rename second, `_latest` pointer
-  * last. A crash leaves either the old committed state (pointer not yet
-  * moved; orphaned data/manifest are invisible and re-writable) or the
-  * new one — readers never observe a half version. Torn manifests are
-  * ignored by recovery (newest PARSEABLE manifest wins).
+  * Commit protocol (optimistic concurrency, Iceberg's contract): data
+  * files land first in a per-writer directory, then the manifest is
+  * created at the next free version slot with CREATE-IF-ABSENT — that
+  * exclusive create IS the commit point, so two concurrent committers
+  * cannot lose a commit: exactly one wins the slot, the loser rebases
+  * (appends/replaces re-extend the winner's list and retry at the next
+  * slot; rewriting ops fail with ConcurrentModificationException, their
+  * touched-file analysis being stale). A crash leaves either the old
+  * committed state (orphaned data dir / torn manifest — both invisible)
+  * or the new one — readers never observe a half version. Torn
+  * manifests are ignored by recovery (newest PARSEABLE manifest wins)
+  * and their slots are burned, never reused. `_latest` is a best-effort
+  * hint, not the source of truth.
   *
   * Reference behavior served: the features_db export pin-by-version
   * discipline (SURVEY §3.3) — a training run records the snapshot
@@ -73,8 +80,21 @@ object ManifestSnapshots {
     case c => c.toString
   }
 
-  private def writeManifest(hfs: FileSystem, dir: String, v: Long,
-      entries: Seq[Entry]): Unit = {
+  /** Attempt to commit version `v`'s manifest with CREATE-IF-ABSENT —
+    * the optimistic-concurrency arbiter (Iceberg's commit contract): the
+    * manifest file's exclusive creation IS the commit, so two writers
+    * racing the same version slot cannot interleave a delete+rename and
+    * silently lose a commit — exactly one create succeeds, the loser
+    * sees `false` and rebases onto the winner. A crash mid-write leaves
+    * a TORN manifest in the slot: readers skip it (fail-closed parse)
+    * and writers burn the slot ([[nextSlot]] counts names, not
+    * parseability). Same-JVM writers additionally serialize on the
+    * process lock so local filesystems' check-then-act create cannot
+    * race within one process; across JVMs the filesystem's atomic
+    * exclusive-create is the contract (HDFS/ABFS native; S3 via
+    * conditional PUT). */
+  private def tryCommitManifest(hfs: FileSystem, dir: String, v: Long,
+      entries: Seq[Entry]): Boolean = {
     val body = entries.map { e =>
       val part = e.partition.map(p => "\"" + esc(p) + "\"").getOrElse("null")
       val stats =
@@ -84,11 +104,16 @@ object ManifestSnapshots {
         }.mkString(""","stats":{""", ",", "}")
       s"""{"path":"${esc(e.path)}","partition":$part,"rows":${e.rows}$stats}"""
     }.mkString(s"""{"version":$v,"files":[""", ",", "]}")
-    val tmp = new Path(manifestPath(dir, v).toString + ".tmp")
-    val out = hfs.create(tmp, true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
-    hfs.delete(manifestPath(dir, v), false)
-    hfs.rename(tmp, manifestPath(dir, v))
+    val dst = manifestPath(dir, v)
+    hfs.mkdirs(dst.getParent)
+    try {
+      val out = hfs.create(dst, false) // fail-if-exists: the commit point
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.io.IOException if hfs.exists(dst) => false
+    }
   }
 
   /** Parse a manifest; None when absent or torn (recovery skips it). The
@@ -174,43 +199,60 @@ object ManifestSnapshots {
     versionNames(hfs, dir).filter(v => readManifest(hfs, dir, v).isDefined)
   }
 
-  /** The committed version: `_latest` when it points at a parseable
-    * manifest, else the newest parseable manifest (pointer-crash
-    * recovery — same discipline as [[Lakehouse.latestSnapshotVersion]]). */
-  def latestVersion(spark: SparkSession, dir: String): Option[Long] = {
-    val hfs = fs(spark, dir)
-    val marker = new Path(s"${dir.stripSuffix("/")}/$LatestMarker")
-    val fromMarker =
+  /** The committed version: the newest PARSEABLE manifest. Under the
+    * optimistic commit protocol the manifest's exclusive creation IS the
+    * commit point, so the file list is the single source of truth;
+    * `_latest` is a best-effort HINT for humans and external tooling
+    * (it can lag when two committers' pointer writes interleave), never
+    * consulted for correctness — which also makes stale/torn pointers a
+    * non-event for recovery. */
+  def latestVersion(spark: SparkSession, dir: String): Option[Long] =
+    newestParseable(fs(spark, dir), dir)
+
+  /** Advance the `_latest` hint, best-effort: never moved BACKWARDS
+    * (a slower committer of an older version must not shadow a newer
+    * one), written via tmp+rename so readers see old-or-new. */
+  private def commitPointer(hfs: FileSystem, dir: String, v: Long): Unit = {
+    val dst = new Path(s"${dir.stripSuffix("/")}/$LatestMarker")
+    val current =
       try {
-        if (!hfs.exists(marker)) None
+        if (!hfs.exists(dst)) None
         else {
-          val in = hfs.open(marker)
+          val in = hfs.open(dst)
           val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
           finally in.close()
-          Some(txt.toLong).filter(v => readManifest(hfs, dir, v).isDefined)
+          scala.util.Try(txt.toLong).toOption
         }
       } catch { case _: Exception => None }
-    fromMarker.orElse(newestParseable(hfs, dir))
-  }
-
-  private def commitPointer(hfs: FileSystem, dir: String, v: Long): Unit = {
-    val tmp = new Path(s"${dir.stripSuffix("/")}/$LatestMarker.tmp")
-    val out = hfs.create(tmp, true)
-    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    val dst = new Path(s"${dir.stripSuffix("/")}/$LatestMarker")
-    hfs.delete(dst, false)
-    hfs.rename(tmp, dst)
+    if (current.forall(_ < v)) {
+      val tmp = new Path(s"${dir.stripSuffix("/")}/$LatestMarker.tmp")
+      val out = hfs.create(tmp, true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+      hfs.delete(dst, false)
+      hfs.rename(tmp, dst): Unit
+    }
   }
 
   // -------------------------------------------------------------- WRITERS
 
-  /** Write `df` into this version's OWN immutable directory and return its
-    * manifest entries. Partitioned layouts nest hive dirs under d-<v>;
-    * entries carry the "k=v" spec parsed from the path. */
+  /** Write `df` into this WRITER'S own immutable directory and return its
+    * manifest entries. Partitioned layouts nest hive dirs under the
+    * version dir; entries carry the "k=v" spec parsed from the path.
+    *
+    * The directory name carries the slot the writer FIRST aimed at plus
+    * a per-writer token (`d-<v>-<tok>`): two committers racing the same
+    * slot then write disjoint directories, so losing the manifest race
+    * costs a retry of the KB-scale manifest only — the data files are
+    * written once and re-referenced by the rebased commit (whose final
+    * version may exceed the dir-name slot; the name is an opaque label,
+    * manifests are the truth). A writer that dies before committing
+    * leaves an orphaned dir no manifest references — invisible to every
+    * reader. */
   private def writeDataFiles(df: DataFrame, dir: String, v: Long,
       partitionCols: Seq[String]): Seq[Entry] = {
     val spark = df.sparkSession
-    val dataDir = s"${dir.stripSuffix("/")}/data/d-$v"
+    val tok = java.util.UUID.randomUUID().toString.take(8)
+    val dataDir = s"${dir.stripSuffix("/")}/data/d-$v-$tok"
     val w = df.write.mode(SaveMode.Overwrite).option("compression", "snappy")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(dataDir)
@@ -237,7 +279,7 @@ object ManifestSnapshots {
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       val (rows, stats) = try (reader.getRecordCount, footerZoneMaps(reader))
       finally reader.close()
-      Entry(s"data/d-$v/$rel", part, rows, stats)
+      Entry(s"data/d-$v-$tok/$rel", part, rows, stats)
     }
   }
 
@@ -288,19 +330,72 @@ object ManifestSnapshots {
     perCol.toMap
   }
 
-  private def nextVersion(spark: SparkSession, dir: String): Long =
-    newestParseable(fs(spark, dir), dir).getOrElse(0L) + 1
+  /** The next commit SLOT: one past the highest manifest NAME present —
+    * parseable or torn. A torn slot (crashed writer) is burned, never
+    * reused: reusing it would need a delete+recreate, which reopens the
+    * lost-commit window the exclusive create exists to close. */
+  private def nextSlot(hfs: FileSystem, dir: String): Long =
+    versionNames(hfs, dir).lastOption.getOrElse(0L) + 1
 
-  /** Full snapshot: version 1 of a table, or a complete re-statement. */
+  private def qualified(hfs: FileSystem, dir: String): String =
+    hfs.makeQualified(new Path(dir)).toString
+
+  /** Commit `entriesAt(v)` as a new version, retrying on slot conflicts.
+    * `entriesAt` is re-evaluated per attempt so append-shaped writers
+    * rebase onto the winner's file list. Rewrite-shaped writers instead
+    * pass `expectedBase`: their kept/rewritten split is only valid
+    * against that exact committed state, so ANY base movement — a
+    * concurrent append included, whose files a stale rewrite manifest
+    * would silently drop — raises ConcurrentModificationException for
+    * the caller to re-run. The base check, entry evaluation, and
+    * exclusive create run under the per-table process lock (same-JVM
+    * determinism on local filesystems whose create(overwrite=false) is
+    * check-then-act); across JVMs the exclusive create arbitrates slots
+    * and the base check closes the append-vs-rewrite interleaving
+    * (an append that wins the slot fails our create → CME; an append
+    * that loses the slot rebases onto our committed list). */
+  private def commitLoop(hfs: FileSystem, dir: String,
+      entriesAt: Long => Seq[Entry],
+      expectedBase: Option[Long] = None): Long = {
+    val lock = BloomSkipping.jvmLock(qualified(hfs, dir) + "#manifest")
+    var v = nextSlot(hfs, dir)
+    var attempts = 0
+    while (true) {
+      val committed = lock.synchronized {
+        expectedBase.foreach { b =>
+          if (!newestParseable(hfs, dir).contains(b))
+            throw new java.util.ConcurrentModificationException(
+              s"snapshot commit conflict under $dir: the table moved past " +
+                s"version $b while a rewriting operation (MERGE/DELETE/" +
+                "UPDATE/OPTIMIZE) was computing its touched files — " +
+                "re-run it against the new committed state")
+        }
+        v = math.max(v, nextSlot(hfs, dir))
+        tryCommitManifest(hfs, dir, v, entriesAt(v))
+      }
+      if (committed) {
+        commitPointer(hfs, dir, v)
+        return v
+      }
+      attempts += 1
+      if (attempts >= 64)
+        throw new IllegalStateException(
+          s"snapshot commit lost $attempts slot races under $dir — " +
+            "pathological contention")
+      v = v + 1
+    }
+    -1L // unreachable
+  }
+
+  /** Full snapshot: version 1 of a table, or a complete re-statement.
+    * Safe to retry under concurrency (content independent of the
+    * predecessor). */
   def writeFull(df: DataFrame, dir: String,
       partitionCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val hfs = fs(spark, dir)
-    val v = nextVersion(spark, dir)
-    val entries = writeDataFiles(df, dir, v, partitionCols)
-    writeManifest(hfs, dir, v, entries)
-    commitPointer(hfs, dir, v)
-    v
+    val entries = writeDataFiles(df, dir, nextSlot(hfs, dir), partitionCols)
+    commitLoop(hfs, dir, _ => entries)
   }
 
   /** O(delta) append version: the new manifest = predecessor's list +
@@ -316,20 +411,25 @@ object ManifestSnapshots {
       partitionCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val hfs = fs(spark, dir)
-    val prev = latestVersion(spark, dir)
+    def prevEntries: Seq[Entry] = latestVersion(spark, dir)
       .flatMap(v => readManifest(hfs, dir, v)).getOrElse(Nil)
+    def guard(prev: Seq[Entry]): Seq[Entry] = {
+      require(prev.isEmpty || prev.forall(_.partition.isDefined) == partitionCols.nonEmpty,
+        "appendDelta must keep the table's partitioning shape: mixing " +
+          "partitioned and unpartitioned versions would break the union read")
+      if (prev.nonEmpty)
+        requireNoRetype(spark, dir, prev, df.schema, partitionCols.toSet, "appendDelta")
+      prev
+    }
     // both guards run BEFORE any data lands: a refused append must leave
     // nothing behind, not an orphaned data dir
-    require(prev.isEmpty || prev.forall(_.partition.isDefined) == partitionCols.nonEmpty,
-      "appendDelta must keep the table's partitioning shape: mixing " +
-        "partitioned and unpartitioned versions would break the union read")
-    if (prev.nonEmpty)
-      requireNoRetype(spark, dir, prev, df.schema, partitionCols.toSet, "appendDelta")
-    val v = nextVersion(spark, dir)
-    val entries = writeDataFiles(df, dir, v, partitionCols)
-    writeManifest(hfs, dir, v, prev ++ entries)
-    commitPointer(hfs, dir, v)
-    v
+    guard(prevEntries)
+    val entries = writeDataFiles(df, dir, nextSlot(hfs, dir), partitionCols)
+    // per-attempt rebase: a lost slot race re-reads the winner's list (and
+    // re-guards against it — the winner may have evolved the schema), then
+    // re-extends it with OUR files; appends commute, so this is the
+    // serializable outcome at the cost of re-trying the KB-scale manifest
+    commitLoop(hfs, dir, _ => guard(prevEntries) ++ entries)
   }
 
   /** [[appendDelta]] behind the row-identity replay guard — the
@@ -359,6 +459,14 @@ object ManifestSnapshots {
       expectedKeys: Long = 4000000L): Long = {
     import org.apache.spark.sql.functions.{col, xxhash64}
     val keyHash = xxhash64(keys.map(col): _*)
+    // The admission CHECK and the version COMMIT are two steps, so two
+    // concurrent guarded appends of overlapping batches could both pass
+    // the check before either commits. Same-JVM callers serialize here
+    // (the streaming micro-batch loop is single-threaded anyway); across
+    // JVMs run one guarded committer per chain — plain appendDelta and
+    // the read paths stay fully concurrent under the manifest OCC.
+    BloomSkipping.jvmLock(
+      qualified(fs(spark, dir), dir) + "#guarded").synchronized {
     latestVersion(spark, dir) match {
       case None =>
         val v = appendDelta(batch, dir, partitionCols)
@@ -395,6 +503,7 @@ object ManifestSnapshots {
             appendDelta(admitted, dir, partitionCols)
           }
         } finally { admitted.unpersist(): Unit }
+    }
     }
   }
 
@@ -440,15 +549,18 @@ object ManifestSnapshots {
     require(partitionCols.nonEmpty, "replacePartitions needs partition columns")
     val spark = df.sparkSession
     val hfs = fs(spark, dir)
-    val prev = latestVersion(spark, dir)
-      .flatMap(v => readManifest(hfs, dir, v)).getOrElse(Nil)
-    val v = nextVersion(spark, dir)
-    val entries = writeDataFiles(df, dir, v, partitionCols)
+    val entries = writeDataFiles(df, dir, nextSlot(hfs, dir), partitionCols)
     val touched = entries.flatMap(_.partition).toSet
-    val kept = prev.filterNot(_.partition.exists(touched.contains))
-    writeManifest(hfs, dir, v, kept ++ entries)
-    commitPointer(hfs, dir, v)
-    v
+    // rebase on conflict: partition replacement is declarative ("these
+    // partitions now read THIS"), so re-deriving kept from the winner's
+    // list is the serialized outcome — concurrent appends to untouched
+    // partitions survive, concurrent writes to the touched ones are
+    // replaced exactly as if this commit had run second
+    commitLoop(hfs, dir, _ => {
+      val prev = latestVersion(spark, dir)
+        .flatMap(v => readManifest(hfs, dir, v)).getOrElse(Nil)
+      prev.filterNot(_.partition.exists(touched.contains)) ++ entries
+    })
   }
 
   // --------------------------------------------------------------- READERS
@@ -658,7 +770,7 @@ object ManifestSnapshots {
     val survivors = readEntries(spark, base, rewritten).filter(
       org.apache.spark.sql.functions.not(org.apache.spark.sql.functions.coalesce(
         predicate, org.apache.spark.sql.functions.lit(false))))
-    commitRewrite(spark, dir, kept, survivors, partitionCols)
+    commitRewrite(spark, dir, cur, kept, survivors, partitionCols)
   }
 
   /** The qualified file names `df`'s rows come from — the COW
@@ -675,17 +787,22 @@ object ManifestSnapshots {
     entries.partition(e => touched.exists(_.endsWith("/" + e.path)))
 
   /** The shared COW commit tail: write `data` as the new version's
-    * files, manifest = kept-by-reference ++ fresh entries, move the
-    * pointer. Crash order identical to every other writer. */
-  private def commitRewrite(spark: SparkSession, dir: String,
+    * files, manifest = kept-by-reference ++ fresh entries. Rewriting
+    * versions must NOT rebase — their kept/rewritten split was derived
+    * from a specific committed state — so a slot conflict surfaces as a
+    * ConcurrentModificationException for the caller to re-run. */
+  private def commitRewrite(spark: SparkSession, dir: String, base: Long,
       kept: Seq[Entry], data: DataFrame, partitionCols: Seq[String]): Long = {
+    onBeforeRewriteCommit()
     val hfs = fs(spark, dir)
-    val v = nextVersion(spark, dir)
-    val newEntries = writeDataFiles(data, dir, v, partitionCols)
-    writeManifest(hfs, dir, v, kept ++ newEntries)
-    commitPointer(hfs, dir, v)
-    v
+    val newEntries = writeDataFiles(data, dir, nextSlot(hfs, dir), partitionCols)
+    commitLoop(hfs, dir, _ => kept ++ newEntries, expectedBase = Some(base))
   }
+
+  /** Test seam: runs after a rewriting operation finished its
+    * touched-file discovery and before its commit — lets specs land a
+    * concurrent commit deterministically inside the conflict window. */
+  private[graft] var onBeforeRewriteCommit: () => Unit = () => ()
 
   /** Row-level UPDATE as copy-on-write at file granularity — same
     * touched-file discovery as [[deleteWhere]], but the rewritten files
@@ -725,7 +842,7 @@ object ManifestSnapshots {
           s"updateWhere refuses to retype column '${a.name}': " +
             s"stored ${a.dataType}, set expression yields ${b.dataType}")
     }
-    commitRewrite(spark, dir, kept, updated, partitionCols)
+    commitRewrite(spark, dir, cur, kept, updated, partitionCols)
   }
 
   /** MERGE by key as copy-on-write — the Iceberg/Delta MERGE INTO shape
@@ -764,7 +881,7 @@ object ManifestSnapshots {
       if (rewritten.isEmpty) delta
       else readEntries(spark, base, rewritten).join(keyDf, keys, "left_anti")
         .unionByName(delta, allowMissingColumns = true)
-    commitRewrite(spark, dir, kept, newData, partitionCols)
+    commitRewrite(spark, dir, cur, kept, newData, partitionCols)
   }
 
   // ----------------------------------------------------------- MAINTENANCE
@@ -795,12 +912,12 @@ object ManifestSnapshots {
       val kept = byPart.filter(_._2.size <= 1).values.flatten.toSeq
       val packed = readEntries(spark, base, fragmented)
         .repartition(partitionCols.map(col): _*)
-      commitRewrite(spark, dir, kept, packed, partitionCols)
+      commitRewrite(spark, dir, cur, kept, packed, partitionCols)
     } else {
       val bytes = entries.map(e => hfs.getFileStatus(new Path(s"$base/${e.path}")).getLen).sum
       val nFiles = math.max(1, (bytes / (targetFileMB.toLong << 20)).toInt)
       val packed = read(spark, dir, cur).repartition(nFiles)
-      commitRewrite(spark, dir, Nil, packed, Nil)
+      commitRewrite(spark, dir, cur, Nil, packed, Nil)
     }
   }
 
@@ -831,11 +948,8 @@ object ManifestSnapshots {
     val packed = read(spark, dir, cur)
       .repartitionByRange(nFiles, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
-    val v = nextVersion(spark, dir)
-    val newEntries = writeDataFiles(packed, dir, v, Nil)
-    writeManifest(hfs, dir, v, newEntries)
-    commitPointer(hfs, dir, v)
-    v
+    val newEntries = writeDataFiles(packed, dir, nextSlot(hfs, dir), Nil)
+    commitLoop(hfs, dir, _ => newEntries, expectedBase = Some(cur))
   }
 
   /** Reclaim: drop all but the newest `keep` versions' manifests, then

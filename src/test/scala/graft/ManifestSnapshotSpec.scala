@@ -40,13 +40,11 @@ class ManifestSnapshotSpec extends SparkSpec {
     // manifest-only statistics agree with the data (zero data I/O)
     assert(ManifestSnapshots.rowCount(spark, dir, 2) == 500)
 
-    // O(delta): version 2's own directory holds only the delta's rows
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val d2 = new org.apache.hadoop.fs.Path(s"$dir/data/d-2")
-    assert(fs.exists(d2))
-    assert(spark.read.parquet(d2.toString).count() == 200,
+    // O(delta): version 2 ADDS only the delta's rows (its own files)
+    val added = ManifestSnapshots.addedEntries(spark, dir, 1L, 2L)
+    assert(added.nonEmpty && added.map(_.rows).sum == 200,
       "appendDelta must write the delta only, never restate the table")
+    assert(ManifestSnapshots.readFiles(spark, dir, added).count() == 200)
   }
 
   test("replacePartitions: copy-on-write shares untouched partitions by reference") {
@@ -69,12 +67,15 @@ class ManifestSnapshotSpec extends SparkSpec {
     // time travel: version 1 still shows the pre-image of b
     val old = ManifestSnapshots.read(spark, dir, 1)
     assert(old.filter(col("p") === "b" && col("v") === col("id") * 3).count() == 100)
-    // sharing is by reference: v2 reads a/c files from d-1, b files from d-2
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/data/d-2")))
-    assert(spark.read.parquet(s"$dir/data/d-2").count() == 100,
+    // sharing is by reference: v2 keeps a/c entries from v1 and writes
+    // ONLY the touched partition's rows as fresh files
+    val v1Paths = ManifestSnapshots.entriesOf(spark, dir, 1L).map(_.path).toSet
+    val v2Entries = ManifestSnapshots.entriesOf(spark, dir, v2)
+    val fresh = v2Entries.filterNot(e => v1Paths.contains(e.path))
+    assert(fresh.nonEmpty && fresh.map(_.rows).sum == 100,
       "only the touched partition's rows are written")
+    assert(v2Entries.count(e => v1Paths.contains(e.path)) > 0,
+      "untouched partitions must carry by reference")
   }
 
   test("compactData is a version: content identical, older versions intact; vacuum refcounts") {
@@ -131,9 +132,10 @@ class ManifestSnapshotSpec extends SparkSpec {
     assert(ManifestSnapshots.latestVersion(spark, dir).contains(1L))
     assert(ManifestSnapshots.readLatest(spark, dir).count() == 100)
 
-    // the next writer lands on version 2 again, overwriting the orphan
-    val v2 = ManifestSnapshots.appendDelta(slice(100, 150), dir)
-    assert(v2 == 2L)
+    // the next writer BURNS the torn slot (reusing it would reopen the
+    // lost-commit window the exclusive create closes) and lands on v3
+    val v3 = ManifestSnapshots.appendDelta(slice(100, 150), dir)
+    assert(v3 == 3L)
     assert(ManifestSnapshots.readLatest(spark, dir).count() == 150)
   }
 
@@ -141,11 +143,15 @@ class ManifestSnapshotSpec extends SparkSpec {
     val dir = tmpDir("msnapio") + "/t"
     ManifestSnapshots.writeFull(slice(0, 200), dir)
     ManifestSnapshots.appendDelta(slice(200, 260), dir)
+    val v1Paths = ManifestSnapshots.entriesOf(spark, dir, 1L).map(_.path).toSet
     val tt = ManifestSnapshots.read(spark, dir, 1L)
-    assert(tt.inputFiles.nonEmpty && tt.inputFiles.forall(_.contains("/data/d-1/")),
-      s"time-travel read leaked outside d-1: ${tt.inputFiles.toSeq}")
+    assert(tt.inputFiles.nonEmpty &&
+      tt.inputFiles.forall(f => v1Paths.exists(p => f.endsWith(p))),
+      s"time-travel read leaked outside v1's manifest: ${tt.inputFiles.toSeq}")
+    val addedPaths = ManifestSnapshots.addedEntries(spark, dir, 1L, 2L).map(_.path).toSet
     val cdc = ManifestSnapshots.readChanges(spark, dir, 1L, 2L)
-    assert(cdc.inputFiles.nonEmpty && cdc.inputFiles.forall(_.contains("/data/d-2/")),
+    assert(cdc.inputFiles.nonEmpty &&
+      cdc.inputFiles.forall(f => addedPaths.exists(p => f.endsWith(p))),
       s"CDC read touched pre-image files: ${cdc.inputFiles.toSeq}")
   }
 
@@ -380,12 +386,68 @@ class ManifestSnapshotSpec extends SparkSpec {
     // torn guard degrades to the exact path and self-heals
     val hfs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    hfs.delete(new org.apache.hadoop.fs.Path(dir + "/_key_bloom"), false)
+    val guardFiles = hfs.globStatus(new org.apache.hadoop.fs.Path(dir, "_key_bloom*"))
+    assert(guardFiles.nonEmpty)
+    guardFiles.foreach(g => hfs.delete(g.getPath, false))
     assert(ManifestSnapshots.appendDeltaGuarded(spark, dir, slice(170, 200), Seq("id")) == 4L)
     assert(ManifestSnapshots.readLatest(spark, dir).count() == 200)
     assert(BloomSkipping.loadKeyBloom(spark, dir).isDefined, "guard self-healed")
     // and the healed guard is a SUPERSET guard: a full replay admits nothing
     assert(ManifestSnapshots.appendDeltaGuarded(spark, dir, slice(0, 200), Seq("id")) == 4L)
+  }
+
+  test("two racing appenders both commit, serialized: no lost rows, no lost versions") {
+    val dir = tmpDir("msnaprace") + "/t"
+    ManifestSnapshots.writeFull(slice(0, 100), dir)
+    // 8 concurrent appenders with disjoint deltas race the commit slots;
+    // the exclusive-create protocol must serialize them with every delta
+    // surviving — the silent-lost-commit mode of delete+rename commits
+    import scala.jdk.CollectionConverters._
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 8).map { i =>
+      new Thread(() =>
+        try results.add(ManifestSnapshots.appendDelta(
+          slice(100L + i * 50L, 100L + (i + 1) * 50L), dir)): Unit
+        catch { case t: Throwable => errors.add(t): Unit })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(errors.isEmpty, s"appender died: ${errors.asScala.headOption}")
+    val vs = results.asScala.toSeq
+    assert(vs.size == 8 && vs.distinct.size == 8,
+      s"two appenders claimed the same version: $vs")
+    val latest = ManifestSnapshots.readLatest(spark, dir)
+    assert(latest.count() == 500, "a racing append lost rows")
+    assert(latest.exceptAll(slice(0, 500)).isEmpty &&
+      slice(0, 500).exceptAll(latest).isEmpty)
+    // every intermediate version is a parseable superset chain
+    val committed = ManifestSnapshots.versions(spark, dir)
+    assert(committed.size == 9, s"expected 9 committed versions, got $committed")
+  }
+
+  test("a rewriting commit on a moved base fails loudly instead of losing the race") {
+    val dir = tmpDir("msnapconf") + "/t"
+    ManifestSnapshots.writeFull(slice(0, 100), dir)
+    // land a concurrent APPEND deterministically inside the conflict
+    // window — after deleteWhere's touched-file discovery, before its
+    // commit. A stale rewrite that committed anyway would carry a file
+    // list WITHOUT the appended delta: silent row loss.
+    ManifestSnapshots.onBeforeRewriteCommit = () => {
+      ManifestSnapshots.onBeforeRewriteCommit = () => () // fire once
+      ManifestSnapshots.appendDelta(slice(100, 140), dir): Unit
+    }
+    try {
+      intercept[java.util.ConcurrentModificationException] {
+        ManifestSnapshots.deleteWhere(spark, dir, col("id") < 10)
+      }
+    } finally ManifestSnapshots.onBeforeRewriteCommit = () => ()
+    // nothing was committed by the failed rewrite; the append's rows live
+    assert(ManifestSnapshots.latestVersion(spark, dir).contains(2L))
+    assert(ManifestSnapshots.readLatest(spark, dir).count() == 140)
+    // and a fresh rewrite against the new state succeeds, keeping them
+    val v3 = ManifestSnapshots.deleteWhere(spark, dir, col("id") < 10)
+    assert(v3 == 3L && ManifestSnapshots.readLatest(spark, dir).count() == 130)
   }
 
   test("history: versions, file and row counts from manifests alone") {

@@ -757,13 +757,25 @@ object ManifestSnapshots {
     * empty commit). */
   def deleteWhere(spark: SparkSession, dir: String,
       predicate: org.apache.spark.sql.Column,
-      partitionCols: Seq[String] = Nil): Long = {
+      partitionCols: Seq[String] = Nil,
+      pruneBounds: Seq[(String, Double, Double)] = Nil): Long = {
     val cur = latestVersion(spark, dir).getOrElse(
       throw new IllegalStateException(s"nothing to delete under $dir"))
     val entries = entriesOf(spark, dir, cur)
     val base = dir.stripSuffix("/")
-    val (rewritten, kept) = splitTouched(entries,
-      touchedFiles(readEntries(spark, base, entries).filter(predicate)))
+    // `pruneBounds` is the caller's PROMISE that every predicate-matching
+    // row lies inside the box (e.g. the predicate IS a range on a
+    // clustered key): files whose manifest zone maps are disjoint from it
+    // skip the discovery scan entirely, so a selective DELETE reads
+    // candidate files only — KB-scale metadata decides, like readWhere.
+    // An empty bounds list (default) preserves the exact full discovery.
+    val (candidates, skipped) = entries.partition(e => !statsDisjoint(e, pruneBounds))
+    lastDiscoveryCandidates = candidates
+    val (rewritten, keptCand) =
+      if (candidates.isEmpty) (Nil, Nil)
+      else splitTouched(candidates,
+        touchedFiles(readEntries(spark, base, candidates).filter(predicate)))
+    val kept = skipped ++ keptCand
     if (rewritten.isEmpty) return cur
     // delete exactly where the predicate is TRUE: a NULL evaluation must
     // KEEP the row (plain !predicate would silently drop it)
@@ -778,6 +790,58 @@ object ManifestSnapshots {
   private def touchedFiles(df: DataFrame): Set[String] =
     df.select(org.apache.spark.sql.functions.input_file_name().as("f"))
       .distinct().collect().map(_.getString(0)).toSet
+
+  /** True when `e`'s manifest zone maps PROVE no row can satisfy every
+    * bound: some bound column has stats on the file and the ranges are
+    * disjoint. An entry lacking stats for a bound column is never
+    * excluded — stats-missing discipline shared with [[readWhere]]. */
+  private def statsDisjoint(e: Entry,
+      bounds: Seq[(String, Double, Double)]): Boolean =
+    bounds.exists { case (c, lo, hi) =>
+      e.stats.get(c).exists { case (mn, mx) => mx < lo || mn > hi }
+    }
+
+  /** Per-key-column [min, max] of the delta, for the numeric key types
+    * the zone maps cover — one tiny aggregate over the (small by
+    * construction) delta side. Bounds are widened a ULP each way: the
+    * long→double conversion both here and in the manifests rounds to
+    * nearest, and pruning must never exclude a file on a rounding
+    * artifact. Non-numeric keys contribute no bound (those columns
+    * simply cannot prune). */
+  private def deltaKeyBounds(delta: DataFrame,
+      keys: Seq[String]): Seq[(String, Double, Double)] = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    import org.apache.spark.sql.types._
+    val numericKeys = delta.schema
+      .filter(f => keys.contains(f.name))
+      .filter(_.dataType match {
+        case LongType | IntegerType | ShortType | ByteType |
+             DoubleType | FloatType => true
+        case _ => false
+      })
+      .map(_.name)
+    if (numericKeys.isEmpty) Nil
+    else {
+      val aggs = numericKeys.flatMap(k => Seq(
+        min(col(k).cast("double")).as(s"mn_$k"),
+        max(col(k).cast("double")).as(s"mx_$k")))
+      val row = delta.agg(aggs.head, aggs.tail: _*).head()
+      numericKeys.flatMap { k =>
+        val mn = row.getAs[Any](s"mn_$k")
+        val mx = row.getAs[Any](s"mx_$k")
+        if (mn == null || mx == null) None
+        else Some((k,
+          math.nextDown(mn.asInstanceOf[Double]),
+          math.nextUp(mx.asInstanceOf[Double])))
+      }
+    }
+  }
+
+  /** Diagnostics: the manifest entries the LAST rewriting operation's
+    * touched-file discovery actually scanned (after metadata pruning) —
+    * lets specs pin that a selective DML read candidate files only,
+    * never the whole table. Same-thread read-after-call use only. */
+  private[graft] var lastDiscoveryCandidates: Seq[Entry] = Nil
 
   /** Split a manifest on membership in a touched-file set: (rewritten,
     * kept-by-reference). Matching is by lake-relative path suffix —
@@ -815,14 +879,21 @@ object ManifestSnapshots {
   def updateWhere(spark: SparkSession, dir: String,
       predicate: org.apache.spark.sql.Column,
       sets: Seq[(String, org.apache.spark.sql.Column)],
-      partitionCols: Seq[String] = Nil): Long = {
+      partitionCols: Seq[String] = Nil,
+      pruneBounds: Seq[(String, Double, Double)] = Nil): Long = {
     import org.apache.spark.sql.functions.{coalesce, lit, when, col}
     val cur = latestVersion(spark, dir).getOrElse(
       throw new IllegalStateException(s"nothing to update under $dir"))
     val entries = entriesOf(spark, dir, cur)
     val base = dir.stripSuffix("/")
-    val (rewritten, kept) = splitTouched(entries,
-      touchedFiles(readEntries(spark, base, entries).filter(predicate)))
+    // same caller contract as deleteWhere's pruneBounds: predicate ⇒ box
+    val (candidates, skipped) = entries.partition(e => !statsDisjoint(e, pruneBounds))
+    lastDiscoveryCandidates = candidates
+    val (rewritten, keptCand) =
+      if (candidates.isEmpty) (Nil, Nil)
+      else splitTouched(candidates,
+        touchedFiles(readEntries(spark, base, candidates).filter(predicate)))
+    val kept = skipped ++ keptCand
     if (rewritten.isEmpty) return cur
     val src = readEntries(spark, base, rewritten)
     val setMap = sets.toMap
@@ -869,14 +940,30 @@ object ManifestSnapshots {
     // with the kept ones — refused before anything lands, like appendDelta
     requireNoRetype(spark, dir, entries, delta.schema, partitionCols.toSet, "mergeByKey")
     val keyDf = delta.select(keys.map(col): _*).distinct()
+    // Metadata pruning BEFORE the discovery scan: the delta's per-key
+    // [min, max] (one tiny aggregate — the delta is the small side by
+    // construction) is checked against each file's manifest zone maps,
+    // and stats-disjoint files PROVABLY contain no matching key tuple —
+    // a disjoint range on ANY key column rules the whole tuple out. On a
+    // key-clustered table (compactDataSorted) a narrow-band MERGE then
+    // reads candidate files only instead of the whole table; derived
+    // internally from the delta, the bounds are always sound (unlike
+    // deleteWhere's caller-promised box). Files without stats for a key
+    // column always remain candidates.
+    val bounds = deltaKeyBounds(delta, keys)
+    val (candidates, skipped) = entries.partition(e => !statsDisjoint(e, bounds))
+    lastDiscoveryCandidates = candidates
     // input_file_name() must be captured ON the scan lineage, BEFORE the
     // join (after a shuffle it evaluates empty), so the semi-join path
     // carries the file name through as a column
-    val touched = readEntries(spark, base, entries)
-      .withColumn("_gf", input_file_name())
-      .join(keyDf, keys, "left_semi")
-      .select("_gf").distinct().collect().map(_.getString(0)).toSet
-    val (rewritten, kept) = splitTouched(entries, touched)
+    val touched =
+      if (candidates.isEmpty) Set.empty[String]
+      else readEntries(spark, base, candidates)
+        .withColumn("_gf", input_file_name())
+        .join(keyDf, keys, "left_semi")
+        .select("_gf").distinct().collect().map(_.getString(0)).toSet
+    val (rewritten, keptCand) = splitTouched(candidates, touched)
+    val kept = skipped ++ keptCand
     val newData =
       if (rewritten.isEmpty) delta
       else readEntries(spark, base, rewritten).join(keyDf, keys, "left_anti")

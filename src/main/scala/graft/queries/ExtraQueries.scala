@@ -710,8 +710,12 @@ object ExtraQueries {
         val m = ev.agg(max("event_id")).head.getLong(0)
         ManifestSnapshots.writeFull(
           ev.repartitionByRange(16, col("event_id")), tmp)
+        // the predicate IS a range on the clustered key, so its box is a
+        // sound pruneBounds promise: discovery skips stats-disjoint files
+        // on manifest metadata before the exact scan
         ManifestSnapshots.deleteWhere(s, tmp,
-          col("event_id").between(m / 4, m / 4 + m / 16))
+          col("event_id").between(m / 4, m / 4 + m / 16),
+          pruneBounds = Seq(("event_id", (m / 4).toDouble, (m / 4 + m / 16).toDouble)))
       }
       ManifestSnapshots.readLatest(s, root)
     },
@@ -813,6 +817,44 @@ object ExtraQueries {
           .withColumn("event_id", col("event_id") + 10 * m)
           .withColumn("value", col("value") + 1.0)
         ManifestSnapshots.mergeByKey(s, tmp, upd.unionByName(ins), Seq("event_id"))
+      }
+      ManifestSnapshots.readLatest(s, root)
+    },
+
+    // ----------------------------------------------------------- STORAGE-MRG2
+    // Metadata-pruned MERGE under the oracle gate: the store is first
+    // key-CLUSTERED (compactDataSorted on event_id), then a narrow
+    // top-band delta (ids > m - m/64, value*5) merges in. Touched-file
+    // discovery derives the delta's key [min,max] with one tiny
+    // aggregate and drops every manifest-stats-disjoint file BEFORE the
+    // discovery scan — a 1.5% MERGE reads the tail files of the
+    // clustered layout, never the table (the Iceberg metadata-filtered
+    // MERGE; reference analog: the partition-scoped MERGE chunks of the
+    // features pipeline). The oracle restates the merged table in SQL —
+    // pruning must be semantically invisible; ManifestSnapshotSpec
+    // separately pins that the discovery's candidate set is a strict
+    // subset excluding stats-disjoint files.
+    QueryDef("snap_merge_pruned",
+      """WITH mx AS (SELECT MAX(event_id) AS m FROM events)
+        |SELECT e.event_id, e.user_id,
+        |  CASE WHEN e.event_id > m - m // 64 THEN e.value * 5 ELSE e.value END AS value
+        |FROM events e, mx""".stripMargin) { (s, dir) =>
+      import graft.core.ManifestSnapshots
+      val ev = events(s, dir).select("event_id", "user_id", "value")
+      val fp = Graft.dataFingerprint(s, s"$dir/events.parquet")
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_msnapmrgp_store/v1/" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_") + s"_$fp"
+      graft.core.StoreRoots.ensure(s, root) { tmp =>
+        val m = ev.agg(max("event_id")).head.getLong(0)
+        // an append CHAIN scatters keys across version files; the sorted
+        // compaction restores the clustering the metadata pruning rides
+        ManifestSnapshots.writeFull(ev.filter(col("event_id") <= m / 2), tmp)
+        ManifestSnapshots.appendDelta(ev.filter(col("event_id") > m / 2), tmp)
+        ManifestSnapshots.compactDataSorted(s, tmp, Seq("event_id"),
+          numFiles = Some(16))
+        val delta = ev.filter(col("event_id") > m - m / 64)
+          .withColumn("value", col("value") * 5)
+        ManifestSnapshots.mergeByKey(s, tmp, delta, Seq("event_id"))
       }
       ManifestSnapshots.readLatest(s, root)
     },

@@ -396,6 +396,66 @@ class ManifestSnapshotSpec extends SparkSpec {
     assert(ManifestSnapshots.appendDeltaGuarded(spark, dir, slice(0, 200), Seq("id")) == 4L)
   }
 
+  test("DML discovery prunes on manifest zone maps: candidates are a strict stats-subset") {
+    val dir = tmpDir("msnapdmlp") + "/t"
+    // key-clustered layout: 8 range files over ids 0..799
+    ManifestSnapshots.writeFull(
+      slice(0, 800).repartitionByRange(8, col("id")), dir)
+    val all = ManifestSnapshots.entriesOf(spark, dir,
+      ManifestSnapshots.latestVersion(spark, dir).get)
+    assert(all.size == 8)
+
+    // MERGE with a narrow top-band delta: bounds derive from the delta
+    val delta = slice(780, 800).withColumn("v", col("id") * 7)
+    ManifestSnapshots.mergeByKey(spark, dir, delta, Seq("id"))
+    val mergeCand = ManifestSnapshots.lastDiscoveryCandidates
+    assert(mergeCand.size < all.size,
+      s"merge discovery scanned ${mergeCand.size}/${all.size} files — no pruning")
+    assert(mergeCand.forall(e => e.stats.get("id").exists(_._2 >= 780.0)),
+      "a stats-disjoint file survived merge discovery pruning")
+    val afterMerge = ManifestSnapshots.readLatest(spark, dir)
+    assert(afterMerge.count() == 800)
+    assert(afterMerge.filter(col("id") >= 780 && col("v") =!= col("id") * 7).count() == 0,
+      "pruned merge missed a matching row")
+    assert(afterMerge.filter(col("id") < 780 && col("v") =!= col("id") * 3).count() == 0,
+      "pruned merge corrupted an untouched row")
+
+    // DELETE with a caller-promised box on the clustered key
+    ManifestSnapshots.deleteWhere(spark, dir, col("id").between(10, 20),
+      pruneBounds = Seq(("id", 10.0, 20.0)))
+    val delCand = ManifestSnapshots.lastDiscoveryCandidates
+    assert(delCand.size < all.size, "delete discovery did not prune")
+    assert(ManifestSnapshots.readLatest(spark, dir).count() == 789)
+
+    // UPDATE likewise
+    ManifestSnapshots.updateWhere(spark, dir, col("id").between(700, 710),
+      Seq("v" -> (col("v") + 1)), pruneBounds = Seq(("id", 700.0, 710.0)))
+    val updCand = ManifestSnapshots.lastDiscoveryCandidates
+    assert(updCand.size < all.size, "update discovery did not prune")
+    val afterUpd = ManifestSnapshots.readLatest(spark, dir)
+    assert(afterUpd.filter(col("id").between(700, 710)).count() == 11)
+
+    // soundness backstop: stats-less entries are NEVER pruned — strip the
+    // stats from the committed manifest and re-run a pruned delete
+    val hfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vNow = ManifestSnapshots.latestVersion(spark, dir).get
+    val mp = new org.apache.hadoop.fs.Path(dir + s"/manifests/m-$vNow.json")
+    val txt = {
+      val in = hfs.open(mp)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    val out = hfs.create(mp, true)
+    try out.write(txt.replaceAll(""","stats":\{[^}]*\}""", "").getBytes("UTF-8"))
+    finally out.close()
+    ManifestSnapshots.deleteWhere(spark, dir, col("id").between(30, 40),
+      pruneBounds = Seq(("id", 30.0, 40.0)))
+    assert(ManifestSnapshots.lastDiscoveryCandidates.size ==
+      ManifestSnapshots.entriesOf(spark, dir, vNow).size,
+      "stats-less entries must all stay candidates")
+    assert(ManifestSnapshots.readLatest(spark, dir).count() == 778)
+  }
+
   test("two racing appenders both commit, serialized: no lost rows, no lost versions") {
     val dir = tmpDir("msnaprace") + "/t"
     ManifestSnapshots.writeFull(slice(0, 100), dir)

@@ -49,14 +49,19 @@ object Curation {
       .otherwise("pass")
   }
 
-  /** MinHash band rows (k=8 salted md5 permutations folded into 4 bands) —
-    * the d_minhash_lsh construction over the survivors only. */
-  private def bands(docs: DataFrame): DataFrame = {
-    val shingles = docs.filter(size(col("tk")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        """array_distinct(transform(sequence(1, size(tk) - 2),
-          |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1),
-          |                 element_at(tk, i + 2))))""".stripMargin)).as("s"))
+  /** The per-doc distinct word-3-gram set — computed ONCE over the
+    * exact-dedup survivors and persisted: the near-dup bands, the
+    * exact-Jaccard verify, AND the decontamination stage all consume it
+    * (shingle construction is the funnel's dominant per-row CPU; deriving
+    * it three times tripled that cost in earlier rounds). */
+  private def shingleSets(docs: DataFrame): DataFrame =
+    docs.filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), shingleExpr.as("sh"))
+
+  /** MinHash band rows (k=8 salted md5 permutations folded into 4 bands)
+    * over the shared shingle frame — the d_minhash_lsh construction. */
+  private def bands(sh: DataFrame): DataFrame = {
+    val shingles = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     val sig = shingles.groupBy("doc_id").agg(
       (0 until 8).map(i => min(md5(concat(lit(s"$i:"), col("s")))).as(s"h$i")).head,
       (1 until 8).map(i => min(md5(concat(lit(s"$i:"), col("s")))).as(s"h$i")): _*)
@@ -67,23 +72,23 @@ object Curation {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
   }
 
-  /** Near-dup victims among `docs`: the larger doc_id of every verified
-    * pair (keep-one-per-group without connected components). */
-  private def nearDupVictims(docs: DataFrame, jaccardMin: Double): (DataFrame, DataFrame) = {
-    graft.functions.VectorExprs.register(docs.sparkSession)
+  /** Near-dup victims among the docs behind `sh` (the shared shingle
+    * frame): the larger doc_id of every verified pair (keep-one-per-group
+    * without connected components). Returns (victims, band cache) — the
+    * caller releases the band cache once victims materialize. */
+  private def nearDupVictims(sh: DataFrame, jaccardMin: Double): (DataFrame, DataFrame) = {
+    graft.functions.VectorExprs.register(sh.sparkSession)
     // persist: the candidate join consumes the band rows on BOTH sides —
     // without it the signature pass (explode + 8-way min groupBy) runs twice.
-    // The handle is returned so the caller releases it once the victims are
-    // materialized (the victims frame is lazy — see curate's stage 3).
-    val b = bands(docs).persist()
+    val b = bands(sh).persist()
     val cand = b.select(col("doc_id").as("a_id"), col("band"), col("bh"))
       .join(b.select(col("doc_id").as("b_id"), col("band").as("band2"), col("bh").as("bh2")),
         col("band") === col("band2") && col("bh") === col("bh2") && col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-    val hsh = docs.filter(size(col("tk")) >= 3).select(col("doc_id"),
-      expr("""array_sort(transform(array_distinct(transform(sequence(1, size(tk) - 2),
-        |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1),
-        |                 element_at(tk, i + 2)))), s -> xxhash64(s)))""".stripMargin).as("hs"))
+    // the verify side reuses the SAME cached shingle sets, hashed — no
+    // second shingle pass over the corpus
+    val hsh = sh.select(col("doc_id"),
+      expr("array_sort(transform(sh, s -> xxhash64(s)))").as("hs"))
     val inter = expr("sorted_intersect_count(a_hs, b_hs)")
     val victims = cand
       .join(hsh.select(col("doc_id").as("a_id"), col("hs").as("a_hs")), "a_id")
@@ -141,13 +146,18 @@ object Curation {
     val dropExact = exact.filter(col("doc_id") =!= col("keep_id"))
       .select(col("doc_id"), lit("exact_dedup").as("stage"), lit("duplicate").as("reason"))
 
+    // shared shingle frame: stage 3 (bands + verify) and stage 3b
+    // (decontamination) both read THIS cache — the corpus is shingled
+    // exactly once per funnel run
+    val sh = shingleSets(afterExact).persist()
+
     // 3. near-dup dedup over exact-dedup survivors (victims persist: the
     // anti-join AND the drop report both consume the full LSH detection).
     // With a store, victims come from the persisted-index admission
     // instead — same construction, plus cross-batch duplicates.
     val victims = dedupStore match {
       case None =>
-        val (v0, bandCache) = nearDupVictims(afterExact, jaccardMin)
+        val (v0, bandCache) = nearDupVictims(sh, jaccardMin)
         val v = v0.persist()
         v.count() // materialize so the band-rows cache can release now
         bandCache.unpersist()
@@ -167,15 +177,17 @@ object Curation {
     val dropNear = victims
       .select(col("doc_id"), lit("near_dedup").as("stage"), lit("near_duplicate").as("reason"))
 
-    // 3b. decontamination vs the held-out benchmark (when provided)
+    // 3b. decontamination vs the held-out benchmark (when provided) —
+    // the corpus side reads the CACHED shingle sets (near-dup survivors =
+    // shingled docs minus victims), not a third shingle pass
     val (afterContam, dropContam, contamCache) = benchmark match {
       case None => (afterNear, None, None)
       case Some(b) =>
         val benchShingles = b.withColumn("tk", split(col("text"), " "))
           .filter(size(col("tk")) >= 3)
           .select(explode(shingleExpr).as("s")).distinct()
-        val contaminated = afterNear.filter(size(col("tk")) >= 3)
-          .select(col("doc_id"), explode(shingleExpr).as("s"))
+        val contaminated = sh.join(victims, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), explode(col("sh")).as("s"))
           .join(broadcast(benchShingles), "s")
           .groupBy("doc_id")
           .agg(countDistinct(col("s")).as("n_shared"))
@@ -207,14 +219,15 @@ object Curation {
         afterCap.join(already, Seq("doc_id"), "left_anti"))
     }
 
-    // 5. token packing per language (t_token_pack shape)
-    val wPack = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val kept = afterCap
-      .withColumn("n_tokens",
-        expr("aggregate(transform(tk, w -> bigint((length(w) + 3) div 4)), 0L, (a, x) -> a + x)"))
-      .withColumn("chunk_id",
-        ((sum(col("n_tokens")).over(wPack) - col("n_tokens")) / lit(tokensPerChunk)).cast("long"))
+    // 5. token packing per language (t_token_pack shape) — distributed
+    // prefix sums via TokenPacking: the per-lang unbounded cumsum window
+    // would pack the dominant language in ONE task at training scale;
+    // range-bucketed windows + broadcast offsets give the identical
+    // chunk ids with bucket-level parallelism
+    val kept = graft.functions.TokenPacking.packChunks(
+        afterCap.withColumn("n_tokens",
+          expr("aggregate(transform(tk, w -> bigint((length(w) + 3) div 4)), 0L, (a, x) -> a + x)")),
+        "lang", "doc_id", "n_tokens", tokensPerChunk)
       .drop("tk", "verdict")
 
     val dropped = dropContam.foldLeft(
@@ -224,6 +237,6 @@ object Curation {
       .unionByName(kept.select(lit("kept").as("stage"), lit("kept").as("reason"))
         .groupBy("stage", "reason").agg(count(lit(1)).as("n_docs")))
     CurationResult(kept, dropped, report,
-      caches = Seq(judged, exact, victims, ranked) ++ contamCache.toSeq)
+      caches = Seq(judged, exact, sh, victims, ranked) ++ contamCache.toSeq)
   }
 }

@@ -272,7 +272,13 @@ object TextQueries {
     // Token-budget packing: per language, documents fill 4096-token context
     // chunks in doc_id order — chunk_id = the running token count's bin,
     // each doc assigned to the chunk its FIRST token lands in (sequential
-    // greedy fill). One partitioned cumulative-sum window.
+    // greedy fill). The oracle states the naive per-language unbounded
+    // cumsum window; the Spark side computes the SAME prefix sums
+    // distributively (TokenPacking: doc_id range buckets + broadcast
+    // cumulative offsets + bucket-local window) so no language ever packs
+    // in a single task — at training scale the dominant language is most
+    // of the corpus, and the one-window form would serialize it on one
+    // core. PlanSpec pins the bucketed window shape.
     QueryDef("t_token_pack",
       """WITH t AS (
         |  SELECT doc_id, lang,
@@ -284,13 +290,11 @@ object TextQueries {
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 4096
         |    AS BIGINT) AS chunk_id
         |FROM t""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy("lang").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      docs(s, dir).select(col("doc_id"), col("lang"),
-          expr("aggregate(transform(tk, w -> bigint((length(w) + 3) div 4)), 0L, (a, x) -> a + x)")
-            .as("n_tokens"))
-        .withColumn("chunk_id",
-          ((sum(col("n_tokens")).over(w) - col("n_tokens")) / lit(4096)).cast("long"))
+      val t = docs(s, dir).select(col("doc_id"), col("lang"),
+        expr("aggregate(transform(tk, w -> bigint((length(w) + 3) div 4)), 0L, (a, x) -> a + x)")
+          .as("n_tokens"))
+      graft.functions.TokenPacking.packChunks(t, "lang", "doc_id", "n_tokens", 4096L)
+        .select("doc_id", "lang", "n_tokens", "chunk_id")
     },
 
     // --------------------------------------------------------------- TEXT-10

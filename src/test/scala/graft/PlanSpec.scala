@@ -111,6 +111,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(bkt"), p)
   }
 
+  test("t_token_pack never packs a whole language in one window partition") {
+    val p = planString("t_token_pack")
+    // the data-side cumulative window must partition by (lang, bucket),
+    // not lang alone — a lang-only window serializes the dominant
+    // language into one task at corpus scale (mirror of the t_shards
+    // global-rank pin). The only lang-alone window allowed is the one
+    // over the tiny offsets dim, which rides a broadcast, so the DATA
+    // exchange must carry the bucket column.
+    assert(p.contains("hashpartitioning(lang") && p.contains("_pk_bkt"), p)
+    assert(countOccurrences(p, "Exchange SinglePartition") == 0, p)
+    val dataExchanges = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning(lang"))
+      .toSeq
+    assert(dataExchanges.exists(_.contains("_pk_bkt")),
+      s"no (lang, bucket) data exchange found:\n$p")
+  }
+
   test("d_substr probes the census with a semi join, never a pair join") {
     val p = planString("d_substr")
     // the duplicate census must come back as LeftSemi (existence), not an

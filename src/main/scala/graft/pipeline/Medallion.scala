@@ -96,20 +96,22 @@ object Medallion {
   // ---------------------------------------------------------- ANALYTICS
   /** §2.7 role pivot: each event doubled into an actor view and a
     * counterparty view (counterparty from the JSON props, §2.8), fee borne
-    * by the actor side only — the wallet_transactions shape. */
+    * by the actor side only — the wallet_transactions shape. Shared by
+    * the watermark pipeline here and the CDC pipeline ([[MedallionCdc]]). */
+  private[pipeline] def pivoted(from: DataFrame): DataFrame = {
+    val base = from.withColumn("counterparty",
+      coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(-1L)))
+    val actor = base.select(col("event_id"), col("ts_us"), col("date_partition"),
+      col("user_id").as("party"), lit("actor").as("role"),
+      col("event_type"), col("value"),
+      (col("value") * lit(0.001)).as("fee"))
+    val counter = base.select(col("event_id"), col("ts_us"), col("date_partition"),
+      col("counterparty").as("party"), lit("counterparty").as("role"),
+      col("event_type"), col("value"), lit(0.0).as("fee"))
+    actor.unionByName(counter)
+  }
+
   def analytics(spark: SparkSession, root: String): Unit = {
-    def pivoted(from: DataFrame): DataFrame = {
-      val base = from.withColumn("counterparty",
-        coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(-1L)))
-      val actor = base.select(col("event_id"), col("ts_us"), col("date_partition"),
-        col("user_id").as("party"), lit("actor").as("role"),
-        col("event_type"), col("value"),
-        (col("value") * lit(0.001)).as("fee"))
-      val counter = base.select(col("event_id"), col("ts_us"), col("date_partition"),
-        col("counterparty").as("party"), lit("counterparty").as("role"),
-        col("event_type"), col("value"), lit(0.0).as("fee"))
-      actor.unionByName(counter)
-    }
     val stageDf = Lakehouse.read(spark, stagePath(root))
     // catalog-bucketed on party: the features layer windows and rolls up
     // on the user key, so its per-run shuffle is paid once here at write
@@ -140,32 +142,60 @@ object Medallion {
     *   max'   = max(max_old, final_old + running_max(delta_new))
     *
     * so the running-balance path never has to be replayed. */
+  /** New-events aggregate: per-user count/sums plus the running-balance
+    * path summary (total delta + max prefix of the delta path). Shared
+    * by the watermark features refresh and [[MedallionCdc]]. */
+  private[pipeline] def featureDelta(events: DataFrame): DataFrame = {
+    val signed = when(col("event_type") === "purchase", col("value"))
+      .when(col("event_type") === "error", -col("value")).otherwise(lit(0.0))
+    val wRun = Window.partitionBy("party").orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("run", sum(signed.cast("decimal(38,6)")).over(wRun).cast("double"))
+      .groupBy(col("party").as("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", col("value")).otherwise(lit(0.0))
+          .cast("decimal(38,6)")).cast("double").as("total_purchase_value"),
+        min("ts_us").as("first_ts_us"),
+        max("ts_us").as("last_ts_us"),
+        sum(signed.cast("decimal(38,6)")).cast("double").as("delta_balance"),
+        max("run").as("delta_max_run"))
+  }
+
+  /** The A7/W10 boundary-stitch merge of a delta aggregate (aliased `d`)
+    * against stored per-user state (aliased `o`, covering the delta's
+    * users via left join) — shared by the watermark and CDC refreshes. */
+  private[pipeline] def stitchFeatures(d: DataFrame, old: DataFrame): DataFrame =
+    d.alias("d").join(old.alias("o"), col("d.user_id") === col("o.user_id"), "left_outer")
+      .select(
+        col("d.user_id").as("user_id"),
+        (col("d.n_events") + coalesce(col("o.n_events"), lit(0L))).as("n_events"),
+        (col("d.total_purchase_value") + coalesce(col("o.total_purchase_value"), lit(0.0)))
+          .as("total_purchase_value"),
+        least(col("d.first_ts_us"), coalesce(col("o.first_ts_us"), col("d.first_ts_us")))
+          .as("first_ts_us"),
+        greatest(col("d.last_ts_us"), coalesce(col("o.last_ts_us"), col("d.last_ts_us")))
+          .as("last_ts_us"),
+        (coalesce(col("o.final_balance"), lit(0.0)) + col("d.delta_balance"))
+          .as("final_balance"),
+        greatest(
+          coalesce(col("o.max_balance"), lit(Double.MinValue)),
+          coalesce(col("o.final_balance"), lit(0.0)) + col("d.delta_max_run"))
+          .as("max_balance"),
+        userPartition(col("d.user_id")).as("user_partition"))
+
+  /** The features bucket key for a user id — shared with [[MedallionCdc]]. */
+  private[pipeline] def userPartitionOf(userId: org.apache.spark.sql.Column) =
+    userPartition(userId)
+
   def features(spark: SparkSession, root: String): Unit = {
     val path = featuresPath(root)
     // bucketed read: the delta window + rollup run on the scan's party
     // clustering — zero exchanges (MedallionSpec proves it on the plan)
     val actor = readAnalytics(spark, root).filter(col("role") === "actor")
 
-    val signed = when(col("event_type") === "purchase", col("value"))
-      .when(col("event_type") === "error", -col("value")).otherwise(lit(0.0))
-
-    /** New-events aggregate: per-user count/sums plus the running-balance
-      * path summary (total delta + max prefix of the delta path). */
-    def delta(events: DataFrame): DataFrame = {
-      val wRun = Window.partitionBy("party").orderBy(col("ts_us"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      events
-        .withColumn("run", sum(signed.cast("decimal(38,6)")).over(wRun).cast("double"))
-        .groupBy(col("party").as("user_id"))
-        .agg(
-          count(lit(1)).as("n_events"),
-          sum(when(col("event_type") === "purchase", col("value")).otherwise(lit(0.0))
-            .cast("decimal(38,6)")).cast("double").as("total_purchase_value"),
-          min("ts_us").as("first_ts_us"),
-          max("ts_us").as("last_ts_us"),
-          sum(signed.cast("decimal(38,6)")).cast("double").as("delta_balance"),
-          max("run").as("delta_max_run"))
-    }
+    def delta(events: DataFrame): DataFrame = featureDelta(events)
 
     if (!Lakehouse.tableExists(spark, path)) {
       val d = delta(actor)
@@ -188,32 +218,16 @@ object Medallion {
       // Persist the (small, per-user) delta aggregate: it feeds BOTH the
       // touched-partition probe and the merge write — without the cache the
       // whole delta window+agg would run twice.
-      val d = delta(actor.filter(col("ts_us") > lit(wm))).persist().alias("d")
-      val old = readFeatures(spark, root).alias("o")
+      val d = delta(actor.filter(col("ts_us") > lit(wm))).persist()
+      val old = readFeatures(spark, root)
       // A7 state merge with W10 boundary stitch, touched users only.
-      val merged = d.join(old, col("d.user_id") === col("o.user_id"), "left_outer")
-        .select(
-          col("d.user_id").as("user_id"),
-          (col("d.n_events") + coalesce(col("o.n_events"), lit(0L))).as("n_events"),
-          (col("d.total_purchase_value") + coalesce(col("o.total_purchase_value"), lit(0.0)))
-            .as("total_purchase_value"),
-          least(col("d.first_ts_us"), coalesce(col("o.first_ts_us"), col("d.first_ts_us")))
-            .as("first_ts_us"),
-          greatest(col("d.last_ts_us"), coalesce(col("o.last_ts_us"), col("d.last_ts_us")))
-            .as("last_ts_us"),
-          (coalesce(col("o.final_balance"), lit(0.0)) + col("d.delta_balance"))
-            .as("final_balance"),
-          greatest(
-            coalesce(col("o.max_balance"), lit(Double.MinValue)),
-            coalesce(col("o.final_balance"), lit(0.0)) + col("d.delta_max_run"))
-            .as("max_balance"),
-          userPartition(col("d.user_id")).as("user_partition"))
+      val merged = stitchFeatures(d, old)
       // O(delta) merge: only the 256-bucket partitions the delta touches are
       // joined against and rewritten; every other partition dir is untouched
       // on disk (MedallionSpec asserts byte-identity). `touched` comes from
       // the DELTA alone — merged's partitions are a function of d.user_id —
       // so the probe never pays for the join against the stored state.
-      val touched = d.select(userPartition(col("d.user_id")).as("p")).distinct()
+      val touched = d.select(userPartition(col("user_id")).as("p")).distinct()
         .collect().map(_.getString(0)).toSeq
       if (touched.nonEmpty)
         Lakehouse.mergeUpsertBucketed(spark, merged, featuresTable(root), path,

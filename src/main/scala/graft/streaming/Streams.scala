@@ -436,9 +436,9 @@ object Streams {
     * Caveat the KMV/HLL twins don't have, demonstrated in the spec: a
     * COUNTING sketch is not replay-idempotent — re-delivered batches
     * re-count (set/max-semantics sketches absorb replays silently).
-    * Production wiring therefore feeds CMS from an exactly-once source
-    * or behind the dedup admission, exactly like the reference's
-    * counting aggregates. */
+    * Production wiring therefore feeds CMS from an exactly-once source,
+    * or uses [[cmsFrequencyLedgered]] — the batch-id-ledger variant that
+    * makes redelivery land exactly once. */
   def cmsFrequency(words: DataFrame): Dataset[CmsOut] = {
     import words.sparkSession.implicits._
     def bucket(salt: Int, w: String): Int = {
@@ -460,6 +460,68 @@ object Streams {
           }
           state.update(CmsState(cells))
           seen.iterator.map { w =>
+            val est = math.min(cells(bucket(0, w)), cells(256 + bucket(1, w))).toLong
+            CmsOut(key, w, est)
+          }
+        })
+  }
+
+  /** State for [[cmsFrequencyLedgered]]: the counter grid plus the
+    * bounded batch-id ledger. Public for the state encoder. */
+  case class CmsLedgerState(cells: Array[Int], seenBatches: Array[Long])
+
+  /** [[cmsFrequency]] with EXACTLY-ONCE counting across source replays —
+    * the appendDeltaGuarded admission idiom applied to sketch state.
+    *
+    * A counting sketch cannot distinguish a genuine repeat of a word
+    * from a redelivered batch, so the replay identity must ride WITH the
+    * data: `words` carries a `batch_id` column naming the atomic
+    * delivery unit (source offset/epoch — whatever the upstream replays
+    * whole). Per key, the state keeps a LEDGER of incorporated batch
+    * ids; rows of a ledgered batch still EMIT the current estimate
+    * (idempotent re-emission under Update mode) but never count again —
+    * the sketch-state analog of the anti-join-guarded INSERT.
+    *
+    * The ledger is bounded (most-recent 256 batch ids per key): replays
+    * are checkpoint-recovery-shaped and therefore recent; a replay older
+    * than the window re-counts — the bounded-state trade documented
+    * here, the same class of bound as every other per-key sketch state.
+    * Contract: a batch id arrives WHOLE within one micro-batch (the
+    * delivery unit is atomic); splitting one id across micro-batches
+    * would skip its later half. */
+  def cmsFrequencyLedgered(words: DataFrame): Dataset[CmsOut] = {
+    import words.sparkSession.implicits._
+    def bucket(salt: Int, w: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$salt:$w".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(2)
+      (Character.digit(hex(0), 16)) * 16 + Character.digit(hex(1), 16)
+    }
+    words.select(col("source"), col("w"), col("batch_id").cast("long"))
+      .as[(String, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[(String, String, Long)],
+            state: GroupState[CmsLedgerState]) => {
+          val st = state.getOption
+            .getOrElse(CmsLedgerState(new Array[Int](512), Array.empty))
+          val cells = st.cells.clone()
+          val ledger = st.seenBatches.toSet
+          val fresh = scala.collection.mutable.LinkedHashSet.empty[Long]
+          val emit = scala.collection.mutable.LinkedHashSet.empty[String]
+          rows.foreach { case (_, w, b) =>
+            // ledger membership is judged against PRIOR invocations only:
+            // every row of a batch new to this invocation counts, however
+            // the rows interleave
+            if (!ledger.contains(b)) {
+              cells(bucket(0, w)) += 1
+              cells(256 + bucket(1, w)) += 1
+              fresh += b
+            }
+            emit += w
+          }
+          val mergedLedger = (st.seenBatches ++ fresh).distinct.sorted.takeRight(256)
+          state.update(CmsLedgerState(cells, mergedLedger))
+          emit.iterator.map { w =>
             val est = math.min(cells(bucket(0, w)), cells(256 + bucket(1, w))).toLong
             CmsOut(key, w, est)
           }

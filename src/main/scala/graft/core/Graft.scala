@@ -130,6 +130,29 @@ object Graft {
       .map(b => f"$b%02x").mkString.take(16)
   }
 
+  /** Table row count from parquet FOOTER metadata alone — the statistic
+    * stride/width sizing needs WITHOUT a count job: no task launch, no
+    * data pages read, one footer open per file on the driver (bounded by
+    * file count — at 100 TB the same number lives in the table format's
+    * manifests, e.g. [[ManifestSnapshots.rowCount]]). Works for a single
+    * parquet file or a directory of part files. */
+  def parquetRowCount(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files =
+      if (fs.getFileStatus(p).isFile) Seq(p)
+      else fs.listStatus(p).toSeq
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_")
+          && !st.getPath.getName.startsWith("."))
+        .map(_.getPath)
+    files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(f, spark.sparkContext.hadoopConfiguration)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
   /** Append `asCol` = epoch-microseconds of `tsCol`, adapting to how the
     * writer stored it. Unknown types fail loudly with the table/column/type
     * named, so the NEXT regeneration break is diagnosable from the message

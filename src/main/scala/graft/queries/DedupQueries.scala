@@ -933,7 +933,8 @@ object DedupQueries {
          |SELECT s.vec_id, s.cid AS cell_id, d.dup_id IS NULL AS is_kept
          |FROM assign s LEFT JOIN dups d ON s.vec_id = d.dup_id""".stripMargin) { (s, dir) =>
       val n = emb(s, dir).select("vec_id", "qv", "nq")
-      val nAll = n.count()
+      // |N| from parquet footer metadata — stride sizing costs no scan
+      val nAll = Graft.parquetRowCount(s, s"$dir/embeddings.parquet")
       val s1 = SimilarityQueries.centroidStride(nAll)
       val nFine = (nAll + s1 - 1) / s1
       val s2 = s1 * math.max(1L, math.floor(math.sqrt(nFine.toDouble)).toLong)

@@ -111,9 +111,9 @@ object SimilarityQueries {
     * (ann_ivf_kmeans, c_kmeans) read them through lazy result plans. */
   private def kmeansFrames(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     val n = emb(s, dir).select("vec_id", "qv", "nq")
-    // one count job over the quantized projection (column-pruned scan of
-    // the embeddings table) — the codebook stride needs |N| up front
-    val stride = centroidStride(n.count())
+    // |N| from parquet footer metadata (no count job, no scan) — the
+    // codebook stride needs it before the plan can be built
+    val stride = centroidStride(Graft.parquetRowCount(s, s"$dir/embeddings.parquet"))
     val cent0 = n.filter(pmod(col("vec_id"), lit(stride)) === 0)
       .select(col("vec_id").as("cid"), col("qv").as("c_qv"), col("nq").as("c_nq"))
     val assign0 = argmaxCell(n, cent0, 1).select(col("vec_id"), col("cid"))
@@ -234,7 +234,7 @@ object SimilarityQueries {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
          |    ORDER BY cos_sim DESC, n_id) AS rank FROM pairs)
          |SELECT q_id, rank, n_id, cos_sim FROM ranked WHERE rank <= 5""".stripMargin) { (s, dir) =>
-      val w = codeWidth(Graft.table(s, dir, "embeddings").count())
+      val w = codeWidth(Graft.parquetRowCount(s, s"$dir/embeddings.parquet"))
       val n = emb(s, dir).withColumn("code", lshExpr(w))
       val q = n.filter(col("vec_id") < 8)
         .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("nq").as("q_nq"),
@@ -297,9 +297,8 @@ object SimilarityQueries {
          |    ORDER BY cos_sim DESC, n_id) AS rank FROM pairs)
          |SELECT q_id, rank, n_id, cos_sim FROM ranked WHERE rank <= 5""".stripMargin) { (s, dir) =>
       val n = emb(s, dir).select("vec_id", "qv", "nq")
-      // one count job over the quantized projection (column-pruned scan) —
-      // the codebook stride needs |N| before the plan can be built
-      val stride = centroidStride(n.count())
+      // |N| from parquet footer metadata (no count job, no scan)
+      val stride = centroidStride(Graft.parquetRowCount(s, s"$dir/embeddings.parquet"))
       val cent = n.filter(pmod(col("vec_id"), lit(stride)) === 0)
         .select(col("vec_id").as("cid"), col("qv").as("c_qv"), col("nq").as("c_nq"))
       val centCos = expr("long_dot(qv, c_qv)").cast("double") /
@@ -502,10 +501,9 @@ object SimilarityQueries {
         .select(col("vec_id"), expr("transform(qv, x -> bigint(floor(" +
           "cast(x as double) * 1000000 / sqrt(cast(greatest(nq, 1) as double)))))")
           .as("qv"))
-      // one count job over the normalized projection (a column-pruned scan
-      // of the embeddings table — NOT metadata-free, but cheap next to the
-      // subspace explode it sizes): the codebook stride needs |N| up front
-      val stride = math.max(1L, base.count() / 16)
+      // |N| from parquet footer metadata (no count job, no scan): the
+      // codebook stride needs it before the subspace explode it sizes
+      val stride = math.max(1L, Graft.parquetRowCount(s, s"$dir/embeddings.parquet") / 16)
       // subspace explode: 8 rows per vector, each an exact-int subvector
       val sub = base
         .select(col("vec_id"), col("qv"), explode(expr("sequence(0, 7)")).as("j"))

@@ -131,4 +131,13 @@ class SchemaContractSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("events.ts") && e.getMessage.contains("string"))
   }
+
+  test("parquetRowCount (footer metadata) equals the scan count for every table") {
+    for (t <- Seq("events", "documents", "embeddings", "orders", "lineitem")) {
+      val meta = graft.core.Graft.parquetRowCount(spark, s"$sf/$t.parquet")
+      val scan = spark.read.parquet(s"$sf/$t.parquet").count()
+      assert(meta == scan, s"$t: footer says $meta, scan says $scan")
+      assert(meta > 0, s"$t is empty at sf0.001")
+    }
+  }
 }

@@ -47,11 +47,30 @@ object StoreRoots {
     val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def ready = fs.exists(new Path(rp, ReadyMarker))
     if (ready) return false
-    // a root that exists WITHOUT the marker is a pre-discipline or torn
-    // publish: rebuild it from scratch rather than trust partial contents
-    // (marker re-checked right before the delete — a racer may have
-    // published in between)
-    if (fs.exists(rp) && !ready) fs.delete(rp, true)
+    // A root that exists WITHOUT the marker is a pre-discipline or torn
+    // publish: rebuild it rather than trust partial contents. The
+    // takeover is RENAME-BASED, not a delete — between our `ready` check
+    // and the removal a racer may have completed a publish into rp, and
+    // a plain delete would destroy that finished store (and fail its
+    // in-flight readers). Renaming the suspect root aside first makes
+    // the marker re-check atomic with the removal: if the moved-aside
+    // copy turns out completed, it is put back (or, if yet another
+    // publish landed meanwhile, simply dropped — rp is complete either
+    // way) and no build runs.
+    if (fs.exists(rp) && !ready) {
+      val doomed = new Path(rp.getParent, rp.getName + ".doomed-" +
+        java.util.UUID.randomUUID().toString.take(8))
+      if (fs.rename(rp, doomed)) {
+        if (fs.exists(new Path(doomed, ReadyMarker))) {
+          if (fs.rename(doomed, rp) && ready) return false
+          if (ready) { fs.delete(doomed, true); return false }
+          // neither copy serves: fall through and rebuild from scratch
+          fs.delete(doomed, true): Unit
+        } else fs.delete(doomed, true): Unit // truly partial: discard
+      }
+      // rename failure: a concurrent takeover owns the suspect root;
+      // proceed to build privately — publish arbitration below decides
+    }
     fs.mkdirs(rp.getParent)
     // sweep orphaned tmp dirs of crashed builders (never consulted by
     // readers, reclaimed here so the shared tmpdir stays bounded) —

@@ -1,0 +1,163 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-validation harness: measure how the heavy queries GROW, not just
+  * how fast they are at one size.
+  *
+  * The per-round bench proves the 2× bar at sf0.1; the scale-out claims
+  * (bucketed joins, bloom guards, manifest pruning, blocked dedup) are
+  * spec-pinned plan shapes but unmeasured beyond ~12M rows. This main
+  * DERIVES a factor-F corpus from an existing fixture dir (never touching
+  * the read-only fixtures — everything lands under the system tmpdir),
+  * runs a heavy-query panel at 1× and F×, and reports each query's
+  * scaling exponent `ln(tF/t1)/ln(F)` — ≈1 is linear, sublinear is
+  * metadata-bounded work, meaningfully >1 is a scale bug.
+  *
+  * Derivation preserves the statistical shape instead of cloning rows:
+  *  - ids shift per copy (disjoint key spaces, so joins/dedup stay
+  *    honest — no artificial 10-way duplicates),
+  *  - document text is re-tokened per copy (`w -> w_k`): shingle spaces
+  *    stay disjoint across copies, so near-dup structure per copy is
+  *    preserved and the LSH pair space grows linearly, as a real corpus
+  *    grows — NOT quadratically as verbatim copies would force,
+  *  - embeddings get per-(copy, dimension) deterministic perturbation so
+  *    cosine structure isn't 10 exact duplicates of every vector.
+  *
+  * Each query runs twice per scale and reports the SECOND time:
+  * steady-state (serving stores built, page cache warm) is the recurring
+  * cost the exponent should grade, not one-time store builds.
+  *
+  * Usage: runMain graft.tools.ScaleBench [baseSfDir] [factor]
+  * Prints one JSON line per query plus a summary line; the committed
+  * record lives in COVERAGE.md.
+  */
+object ScaleBench {
+
+  private val Panel = Seq(
+    "q1_agg", "j4_join_rollup", "a15_hll", "a16_kx", "g_pr",
+    "flagship_wallet_features", "flagship_auc_features",
+    "snap_merge_pruned", "bf_anti_join",
+    "curation_funnel", "d_exact_dedup", "d_lsh_verified", "d_dup_clusters",
+    "t_shards", "t_token_pack", "ann_ivf_pq", "d_semantic_dedup_hier")
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = if (args.length > 1) args(1).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions())
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val scaled = s"${System.getProperty("java.io.tmpdir")}/graft_scalebench/" +
+      base.replaceAll("[^a-zA-Z0-9]", "_") + s"_x$factor"
+    generate(spark, base, scaled, factor)
+
+    def run(name: String, dir: String): Double = {
+      spark.sharedState.cacheManager.clearCache()
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def steady(name: String, dir: String): Double = {
+      run(name, dir) // store builds / cache warm (untimed)
+      run(name, dir)
+    }
+
+    val rows = Panel.map { q =>
+      val r =
+        try {
+          val t1 = steady(q, base)
+          val tF = steady(q, scaled)
+          val exp = math.log(tF / t1) / math.log(factor.toDouble)
+          println(f"""{"query":"$q","t1":$t1%.2f,"t$factor":$tF%.2f,"exponent":$exp%.2f}""")
+          (q, t1, tF, exp)
+        } catch {
+          case e: Throwable =>
+            println(s"""{"query":"$q","error":"${e.getClass.getSimpleName}"}""")
+            (q, -1.0, -1.0, Double.NaN)
+        }
+      r
+    }
+    spark.stop()
+    val ok = rows.filter(_._2 > 0)
+    println(f"""{"panel":${ok.size},"factor":$factor,"median_exponent":${
+      val es = ok.map(_._4).sorted
+      if (es.isEmpty) Double.NaN else es(es.size / 2)
+    }%.2f}""")
+  }
+
+  /** Derive the factor-F corpus (idempotent per (base, factor): skipped
+    * when the marker exists). */
+  private def generate(spark: SparkSession, base: String, out: String,
+      factor: Int): Unit = {
+    val done = new org.apache.hadoop.fs.Path(s"$out/_SCALED_READY")
+    val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(done)) return
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode(SaveMode.Overwrite)
+        .option("compression", "snappy").parquet(s"$out/$name.parquet")
+    def copies(df: DataFrame)(xform: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until factor).map(k => xform(df, k)).reduce(_ unionByName _)
+
+    // events: disjoint id/user spaces per copy, timestamps untouched
+    val ev = spark.read.parquet(s"$base/events.parquet")
+    val evIds = ev.agg(max("event_id"), max("user_id")).head()
+    val (evM, evU) = (evIds.getLong(0) + 1, evIds.getLong(1) + 1)
+    write(copies(ev) { (d, k) =>
+      d.withColumn("event_id", col("event_id") + lit(k * evM))
+        .withColumn("user_id", col("user_id") + lit(k * evU))
+    }, "events")
+
+    // documents: disjoint doc ids AND disjoint token spaces per copy
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    val docM = docs.agg(max("doc_id")).head().getLong(0) + 1
+    write(copies(docs) { (d, k) =>
+      val retok =
+        if (k == 0) d
+        else d.withColumn("text",
+          concat_ws(" ", expr(s"transform(split(text, ' '), x -> concat(x, '_$k'))")))
+      retok.withColumn("doc_id", col("doc_id") + lit(k * docM))
+    }, "documents")
+
+    // embeddings: disjoint ids, per-(copy, dim) deterministic perturbation
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    val embM = emb.agg(max("vec_id")).head().getLong(0) + 1
+    write(copies(emb) { (d, k) =>
+      val pert =
+        if (k == 0) d
+        else d.withColumn("embedding", expr(
+          s"transform(embedding, (x, i) -> cast(x + (($k * 31 + i) % 7 - 3) * 0.01 as float))"))
+      pert.withColumn("vec_id", col("vec_id") + lit(k * embM))
+    }, "embeddings")
+
+    // orders + lineitem: ONE shared key shift keeps the join consistent
+    val ord = spark.read.parquet(s"$base/orders.parquet")
+    val li = spark.read.parquet(s"$base/lineitem.parquet")
+    val ordM = ord.agg(max("o_orderkey")).head().getLong(0) + 1
+    write(copies(ord)((d, k) =>
+      d.withColumn("o_orderkey", col("o_orderkey") + lit(k * ordM))), "orders")
+    write(copies(li)((d, k) =>
+      d.withColumn("l_orderkey", col("l_orderkey") + lit(k * ordM))), "lineitem")
+    // customer is a DIM (j4 broadcasts it): copied once, unscaled — the
+    // o_custkey foreign keys are untouched, so the join stays total
+    write(spark.read.parquet(s"$base/customer.parquet"), "customer")
+
+    val outS = fs.create(done, true)
+    try outS.write(s"$base x$factor".getBytes("UTF-8")) finally outS.close()
+  }
+}

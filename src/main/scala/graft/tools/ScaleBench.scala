@@ -46,6 +46,7 @@ object ScaleBench {
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = if (args.length > 1) args(1).toInt else 10
+    val panel = if (args.length > 2) Panel.filter(args.drop(2).contains(_)) else Panel
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions())
@@ -76,7 +77,7 @@ object ScaleBench {
       run(name, dir)
     }
 
-    val rows = Panel.map { q =>
+    val rows = panel.map { q =>
       val r =
         try {
           val t1 = steady(q, base)
@@ -153,9 +154,13 @@ object ScaleBench {
       d.withColumn("o_orderkey", col("o_orderkey") + lit(k * ordM))), "orders")
     write(copies(li)((d, k) =>
       d.withColumn("l_orderkey", col("l_orderkey") + lit(k * ordM))), "lineitem")
-    // customer is a DIM (j4 broadcasts it): copied once, unscaled — the
-    // o_custkey foreign keys are untouched, so the join stays total
-    write(spark.read.parquet(s"$base/customer.parquet"), "customer")
+    // dims are copied once, unscaled (j4 broadcasts customer/nation):
+    // the foreign keys on the scaled facts are untouched, so joins stay
+    // total — and a dim that stays dim-sized at 10x is also the honest
+    // shape (customers grow slower than their orders)
+    for (dim <- Seq("customer", "nation", "region", "supplier", "part"))
+      try write(spark.read.parquet(s"$base/$dim.parquet"), dim)
+      catch { case _: Exception => () } // absent in this fixture: skip
 
     val outS = fs.create(done, true)
     try outS.write(s"$base x$factor".getBytes("UTF-8")) finally outS.close()

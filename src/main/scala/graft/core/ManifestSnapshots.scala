@@ -264,7 +264,7 @@ object ManifestSnapshots {
         else if (st.getPath.getName.startsWith("part-")) Seq(st.getPath)
         else Nil
       }
-    walk(root).map { p =>
+    val entries = walk(root).map { p =>
       val rel = hfs.makeQualified(p).toString
         .stripPrefix(root.toString).stripPrefix("/")
       val part = rel.split('/').dropRight(1).mkString("/") match {
@@ -281,6 +281,8 @@ object ManifestSnapshots {
       finally reader.close()
       Entry(s"data/d-$v-$tok/$rel", part, rows, stats)
     }
+    writeBloomSidecar(spark, dir, entries)
+    entries
   }
 
   /** Per-column (min, max) over a file's row groups, numeric primitive
@@ -843,6 +845,144 @@ object ManifestSnapshots {
     * never the whole table. Same-thread read-after-call use only. */
   private[graft] var lastDiscoveryCandidates: Seq[Entry] = Nil
 
+  // -------------------------------------------------------- BLOOM SIDECARS
+  // Zone maps prune DML discovery by numeric RANGE; a string-keyed table
+  // (wallet addresses — the reference's primary key shape) gets nothing
+  // from them. Per-FILE Bloom filters answer "might this file contain
+  // THIS key" for any type: enabling the index on a store makes every
+  // subsequent version write one bloom row per fresh data file (a
+  // `_bloom/` parquet sidecar, one distributed aggregate pass over the
+  // files just written), and mergeByKey consults the sidecars to drop
+  // files that provably contain none of the delta's keys BEFORE the
+  // discovery scan. The high-value case is the chain-shaped one: an
+  // append chain keeps each batch's keys in that batch's files, so a
+  // MERGE updating recent entities prunes to the recent versions'
+  // files — undoable by any range statistic. Safety mirrors the zone
+  // maps: a file without a sidecar row is never pruned, an oversized
+  // delta key set (> the driver-probe cap) skips bloom pruning, and the
+  // exact semi join downstream removes bloom false positives.
+
+  private val BloomKeysFile = "_bloom_keys"
+  private val BloomDirName = "_bloom"
+
+  /** Driver-side probe cap: above this many distinct delta keys the
+    * bloom pruning pass is skipped (the probe set rides in the task
+    * closure; a huge delta also touches ~everything anyway). */
+  private val BloomProbeCap = 1 << 16
+
+  /** Declare the store's bloom-indexed key columns. Versions written
+    * AFTER this call carry sidecars; earlier files simply never prune
+    * (stats-missing discipline). One declaration per store — re-calls
+    * must agree (changing the key set would silently disable pruning
+    * for mismatched merges, so it fails loudly instead). */
+  def enableBloomIndex(spark: SparkSession, dir: String, keys: Seq[String],
+      expectedKeysPerFile: Long = 1 << 20, fpp: Double = 0.01): Unit = {
+    require(keys.nonEmpty, "enableBloomIndex needs at least one key column")
+    val hfs = fs(spark, dir)
+    bloomIndexKeys(spark, dir).foreach { existing =>
+      require(existing == keys,
+        s"bloom index already declared on $existing; cannot redeclare as $keys")
+      return
+    }
+    val p = new Path(s"${dir.stripSuffix("/")}/$BloomKeysFile")
+    hfs.mkdirs(p.getParent)
+    val body = keys.map(k => "\"" + esc(k) + "\"")
+      .mkString(s"""{"keys":[""", ",", s"""],"items":$expectedKeysPerFile,"fpp":$fpp}""")
+    val out = hfs.create(p, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The declared bloom key columns, or None (no index). */
+  def bloomIndexKeys(spark: SparkSession, dir: String): Option[Seq[String]] =
+    bloomIndexDecl(spark, dir).map(_._1)
+
+  private def bloomIndexDecl(spark: SparkSession,
+      dir: String): Option[(Seq[String], Long, Double)] = {
+    val hfs = fs(spark, dir)
+    val p = new Path(s"${dir.stripSuffix("/")}/$BloomKeysFile")
+    if (!hfs.exists(p)) None
+    else try {
+      val in = hfs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      val keys = """"((?:[^"\\]|\\.)+)"""".r.findAllMatchIn(
+        txt.substring(txt.indexOf('['), txt.indexOf(']'))).map(_.group(1)).toSeq
+      val items = """"items":(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+        .getOrElse(1L << 20)
+      val fpp = """"fpp":([0-9.]+)""".r.findFirstMatchIn(txt).map(_.group(1).toDouble)
+        .getOrElse(0.01)
+      if (keys.isEmpty) None else Some((keys, items, fpp))
+    } catch { case _: Exception => None } // torn declaration: no pruning
+  }
+
+  /** Build the bloom sidecar for a freshly written version dir: one row
+    * per data file — (lake-relative path, serialized bloom over the
+    * xxhash64'd key tuple). Skipped silently when any declared key
+    * column is absent from the files (a schema-evolution delta written
+    * before the column existed cannot be indexed — those files just
+    * never prune). */
+  private def writeBloomSidecar(spark: SparkSession, dir: String,
+      entries: Seq[Entry]): Unit =
+    bloomIndexDecl(spark, dir).foreach { case (keys, items, fpp) =>
+      if (entries.isEmpty) return
+      val base = dir.stripSuffix("/")
+      val df = readEntries(spark, base, entries)
+      if (!keys.forall(df.columns.contains(_))) return
+      BloomSkipping.register(spark)
+      import org.apache.spark.sql.functions.{col => c, input_file_name, xxhash64, element_at, split => fsplit}
+      val vdir = entries.head.path.split('/').take(2).mkString("/")
+      val sidecar = df
+        .groupBy(input_file_name().as("file"))
+        .agg(org.apache.spark.sql.functions.call_function("bloom_agg",
+          xxhash64(keys.map(c): _*),
+          org.apache.spark.sql.functions.lit(items),
+          org.apache.spark.sql.functions.lit(
+            org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(items, fpp)))
+          .as("bloom"))
+        .withColumn("file", element_at(fsplit(c("file"), "/"), -1))
+      sidecar.write.mode(SaveMode.Overwrite)
+        .parquet(s"$base/$BloomDirName/${vdir.split('/').last}.parquet")
+    }
+
+  /** Bloom-sidecar candidate pruning for a key-tuple probe: drop entries
+    * whose sidecar bloom provably contains none of `hashedProbes`.
+    * Entries without a sidecar row are always kept. The decision runs
+    * DISTRIBUTED over the sidecar rows (per-file blooms deserialize in
+    * tasks, only file names travel back), same shape as
+    * [[BloomSkipping.pruneDecision]]. */
+  private def bloomPrune(spark: SparkSession, dir: String,
+      entries: Seq[Entry], hashedProbes: Array[Long]): Seq[Entry] = {
+    val base = dir.stripSuffix("/")
+    val hfs = fs(spark, dir)
+    val bdir = new Path(s"$base/$BloomDirName")
+    if (!hfs.exists(bdir)) return entries
+    import spark.implicits._
+    val rejected: Set[String] =
+      try {
+        spark.read.parquet(s"$base/$BloomDirName/*.parquet")
+          .select("file", "bloom").as[(String, Array[Byte])]
+          .mapPartitions { it =>
+            it.flatMap { case (file, bytes) =>
+              val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+                new java.io.ByteArrayInputStream(bytes))
+              if (hashedProbes.exists(bf.mightContainLong)) None else Some(file)
+            }
+          }.collect().toSet
+      } catch { case _: Exception => return entries } // torn sidecar: keep all
+    entries.filterNot(e => rejected.contains(e.path.split('/').last))
+  }
+
+  /** The delta's distinct xxhash64'd key tuples, when they fit the
+    * driver-probe cap — None (skip bloom pruning) beyond it. */
+  private def deltaKeyHashes(delta: DataFrame,
+      keys: Seq[String]): Option[Array[Long]] = {
+    import org.apache.spark.sql.functions.{col => c, xxhash64}
+    val rows = delta.select(xxhash64(keys.map(c): _*).as("h"))
+      .distinct().limit(BloomProbeCap + 1).collect()
+    if (rows.length > BloomProbeCap) None
+    else Some(rows.map(_.getLong(0)))
+  }
+
   /** Split a manifest on membership in a touched-file set: (rewritten,
     * kept-by-reference). Matching is by lake-relative path suffix —
     * unique within a store. */
@@ -951,7 +1091,23 @@ object ManifestSnapshots {
     // deleteWhere's caller-promised box). Files without stats for a key
     // column always remain candidates.
     val bounds = deltaKeyBounds(delta, keys)
-    val (candidates, skipped) = entries.partition(e => !statsDisjoint(e, bounds))
+    val zmCandidates = entries.filter(e => !statsDisjoint(e, bounds))
+    // second pruning tier, for the key shapes zone maps are blind to
+    // (string keys, sparse point sets inside every file's hull): the
+    // per-file bloom sidecars, when the store declared this key set.
+    // Bounded-driver contract: the probe set is the delta's DISTINCT key
+    // hashes up to a cap — an over-cap delta skips this tier (it touches
+    // ~everything anyway). The exact semi join below removes bloom false
+    // positives; false negatives are impossible, and files without a
+    // sidecar row are never pruned.
+    val candidates =
+      if (bloomIndexKeys(spark, dir).contains(keys))
+        deltaKeyHashes(delta, keys)
+          .map(bloomPrune(spark, dir, zmCandidates, _))
+          .getOrElse(zmCandidates)
+      else zmCandidates
+    val candidatePaths = candidates.map(_.path).toSet
+    val skipped = entries.filterNot(e => candidatePaths.contains(e.path))
     lastDiscoveryCandidates = candidates
     // input_file_name() must be captured ON the scan lineage, BEFORE the
     // join (after a shuffle it evaluates empty), so the semi-join path
@@ -1067,6 +1223,15 @@ object ManifestSnapshots {
       hfs.listStatus(dataRoot).foreach { st =>
         if (st.isDirectory && hfs.listStatus(st.getPath).isEmpty)
           hfs.delete(st.getPath, false)
+      }
+    // bloom sidecars of version dirs that no longer exist are unreachable
+    // (pruning keys off entry paths) — reclaim them with the data
+    val bloomRoot = new Path(s"$base/$BloomDirName")
+    if (hfs.exists(bloomRoot))
+      hfs.listStatus(bloomRoot).foreach { st =>
+        val vdirName = st.getPath.getName.stripSuffix(".parquet")
+        if (!hfs.exists(new Path(dataRoot, vdirName)))
+          hfs.delete(st.getPath, true)
       }
     (doomed, doomedFiles.size)
   }

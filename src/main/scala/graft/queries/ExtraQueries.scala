@@ -859,6 +859,43 @@ object ExtraQueries {
       ManifestSnapshots.readLatest(s, root)
     },
 
+    // ----------------------------------------------------------- STORAGE-MRG3
+    // STRING-keyed metadata-pruned MERGE: the store keys on an opaque
+    // string id (the wallet-address shape — the reference's primary
+    // keys are hex strings, for which numeric zone maps are blind), as
+    // an append CHAIN whose second version holds exactly the top band.
+    // The per-file bloom sidecars (enableBloomIndex) let the MERGE's
+    // touched-file discovery reject the first version's files on
+    // metadata — membership, not range — before the exact scan; the
+    // oracle restates the merged table in SQL, proving the pruning
+    // semantically invisible. ManifestSnapshotSpec separately pins the
+    // candidate-set subset and sidecar vacuum.
+    QueryDef("snap_merge_bloom",
+      """WITH mx AS (SELECT MAX(event_id) AS m FROM events)
+        |SELECT printf('u%09d', e.event_id) AS ek, e.user_id,
+        |  CASE WHEN e.event_id > m - m // 64 THEN e.value * 7 ELSE e.value END AS value
+        |FROM events e, mx""".stripMargin) { (s, dir) =>
+      import graft.core.ManifestSnapshots
+      val ev = events(s, dir)
+        .select(format_string("u%09d", col("event_id")).as("ek"),
+          col("user_id"), col("value"), col("event_id"))
+      val fp = Graft.dataFingerprint(s, s"$dir/events.parquet")
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_msnapmrgb_store/v1/" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_") + s"_$fp"
+      graft.core.StoreRoots.ensure(s, root) { tmp =>
+        val m = ev.agg(max("event_id")).head.getLong(0)
+        ManifestSnapshots.enableBloomIndex(s, tmp, Seq("ek"))
+        ManifestSnapshots.writeFull(
+          ev.filter(col("event_id") <= m - m / 64).drop("event_id"), tmp)
+        ManifestSnapshots.appendDelta(
+          ev.filter(col("event_id") > m - m / 64).drop("event_id"), tmp)
+        val delta = ev.filter(col("event_id") > m - m / 64).drop("event_id")
+          .withColumn("value", col("value") * 7)
+        ManifestSnapshots.mergeByKey(s, tmp, delta, Seq("ek"))
+      }
+      ManifestSnapshots.readLatest(s, root)
+    },
+
     // ------------------------------------------------------------ STORAGE-MV
     // Incrementally-maintained materialized view: per-user rollup
     // (exact decimal sum, min/max, count) refreshed O(delta) against the

@@ -456,6 +456,58 @@ class ManifestSnapshotSpec extends SparkSpec {
     assert(ManifestSnapshots.readLatest(spark, dir).count() == 778)
   }
 
+  test("string-keyed MERGE prunes discovery with bloom sidecars over an append chain") {
+    val dir = tmpDir("msnapbloomk") + "/t"
+    // zone maps are BLIND here: the key is a string, so deltaKeyBounds
+    // yields nothing and every file stays a candidate — the bloom
+    // sidecars are the only statistic that can prune this shape
+    ManifestSnapshots.enableBloomIndex(spark, dir, Seq("k"))
+    def batch(lo: Int, hi: Int) = (lo until hi).toDF("n")
+      .select(format_string("key_%06d", col("n")).as("k"),
+        (col("n") * 3L).as("v"))
+      .coalesce(2)
+    ManifestSnapshots.writeFull(batch(0, 200), dir)
+    (1 to 4).foreach(i =>
+      ManifestSnapshots.appendDelta(batch(i * 200, (i + 1) * 200), dir): Unit)
+    val all = ManifestSnapshots.entriesOf(spark, dir,
+      ManifestSnapshots.latestVersion(spark, dir).get)
+    assert(all.size >= 5)
+
+    // the delta updates only the LAST batch's keys — an append chain
+    // keeps each batch's keys in its own files, so the older versions'
+    // blooms must reject the probe set
+    val delta = batch(900, 1000).withColumn("v", lit(-1L))
+    ManifestSnapshots.mergeByKey(spark, dir, delta, Seq("k"))
+    val cand = ManifestSnapshots.lastDiscoveryCandidates
+    assert(cand.size < all.size,
+      s"bloom sidecars pruned nothing: scanned ${cand.size}/${all.size} files")
+    assert(cand.size <= 3, // the last batch's ≤2 files + possible fp
+      s"expected ~the last batch's files as candidates, got ${cand.size}")
+    val after = ManifestSnapshots.readLatest(spark, dir)
+    assert(after.count() == 1000)
+    assert(after.filter(col("k") >= "key_000900").filter(col("v") =!= -1L).count() == 0,
+      "bloom-pruned merge missed a matching row")
+    assert(after.filter(col("k") < "key_000900").filter(col("v") === -1L).count() == 0,
+      "bloom-pruned merge corrupted an untouched row")
+
+    // vacuum after compaction reclaims unreachable sidecars with the data
+    ManifestSnapshots.compactData(spark, dir)
+    ManifestSnapshots.vacuum(spark, dir, keep = 1)
+    val hfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sidecars = hfs.listStatus(new org.apache.hadoop.fs.Path(dir + "/_bloom"))
+      .map(_.getPath.getName.stripSuffix(".parquet")).toSet
+    val liveDirs = hfs.listStatus(new org.apache.hadoop.fs.Path(dir + "/data"))
+      .map(_.getPath.getName).toSet
+    assert(sidecars.subsetOf(liveDirs),
+      s"orphaned sidecars survived vacuum: ${sidecars -- liveDirs}")
+    // and the compacted store still merges correctly through its sidecar
+    ManifestSnapshots.mergeByKey(spark, dir,
+      batch(0, 10).withColumn("v", lit(-7L)), Seq("k"))
+    assert(ManifestSnapshots.readLatest(spark, dir)
+      .filter(col("v") === -7L).count() == 10)
+  }
+
   test("two racing appenders both commit, serialized: no lost rows, no lost versions") {
     val dir = tmpDir("msnaprace") + "/t"
     ManifestSnapshots.writeFull(slice(0, 100), dir)

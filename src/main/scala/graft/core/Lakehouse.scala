@@ -426,6 +426,12 @@ object Lakehouse {
     * forward. Tables fed through any OTHER append path must not carry a
     * guard (a bypassing append breaks the superset invariant — the same
     * exclusive-maintenance contract as the bucketed catalog layouts).
+    * CONCURRENCY: the guard's own commits are optimistic and lose no
+    * keys under races ([[BloomSkipping.mergeKeyBloom]]'s generation
+    * chain), but the admission CHECK and the data append are two steps —
+    * run ONE guarded committer per table; concurrent guarded appends of
+    * overlapping batches could both admit the overlap. Plain reads and
+    * non-overlapping writers need no coordination.
     * Dedup admission ≡ the plain path is pinned in BloomSkipSpec. */
   def antiJoinAppendBloomGuarded(
       spark: SparkSession,

@@ -137,13 +137,16 @@ object Curation {
     val dropQuality = judged.filter(col("verdict") =!= "pass")
       .select(col("doc_id"), lit("quality").as("stage"), col("verdict").as("reason"))
 
-    // 2. exact dedup: keep the lowest doc_id per content hash
-    val keyed = q.withColumn("content_key", md5(col("text")))
-    val keeper = keyed.groupBy("content_key").agg(min("doc_id").as("keep_id"))
-    val exact = keyed.join(keeper, "content_key").persist()
-    val afterExact = exact.filter(col("doc_id") === col("keep_id"))
-      .drop("content_key", "keep_id")
-    val dropExact = exact.filter(col("doc_id") =!= col("keep_id"))
+    // 2. exact dedup: keep the lowest doc_id per content hash — ONE
+    // content-key window shuffle (doc_id is unique, so rank 1 IS the
+    // min), not the agg + join back that pays the same shuffle twice
+    val wExact = Window.partitionBy("content_key").orderBy("doc_id")
+    val exact = q.withColumn("content_key", md5(col("text")))
+      .withColumn("dup_rank", row_number().over(wExact))
+      .persist()
+    val afterExact = exact.filter(col("dup_rank") === 1)
+      .drop("content_key", "dup_rank")
+    val dropExact = exact.filter(col("dup_rank") > 1)
       .select(col("doc_id"), lit("exact_dedup").as("stage"), lit("duplicate").as("reason"))
 
     // shared shingle frame: stage 3 (bands + verify) and stage 3b

@@ -297,10 +297,13 @@ object BloomSkipping {
 
   /** (expectedItems, numBits, filter) from the newest PARSEABLE guard
     * generation, or None when absent/torn (safe fallback: the exact anti
-    * join). A torn newest generation (crashed writer) falls through to
-    * the previous one — the guard may be BEHIND the data by one batch in
-    * that window, which only re-routes that batch's keys through the
-    * exact probe. */
+    * join). Generations are complete by construction (tmp + rename
+    * commit), so falling through past an unparseable file only happens
+    * for legacy/corrupted state; and because every caller merges the
+    * guard BEFORE appending data (guard-ahead order), a crashed writer
+    * leaves no generation AND no data — the surviving guard is never
+    * behind the committed rows, which is the invariant that matters:
+    * a guard missing committed keys would silently re-admit them. */
   def loadKeyBloom(spark: SparkSession, path: String): Option[(Long, Long, BloomFilter)] = {
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -376,16 +379,29 @@ object BloomSkipping {
         val nextGen = gens.headOption.map(_._1 + 1).getOrElse(1L)
         val target = new org.apache.hadoop.fs.Path(dir,
           s"$KeyBloomFile.g$nextGen")
+        // full content to a hidden tmp, then rename into the generation
+        // slot — the commit point must not precede content durability
+        // (a concurrent merger reading a mid-write generation as torn
+        // would fall back a generation and commit a successor missing
+        // our keys: a guard BEHIND the data silently re-admits
+        // duplicates). Rename semantics contract as in
+        // [[ManifestSnapshots]]: atomic fail-on-existing on HDFS-like
+        // stores; same-process writers serialize on the lock.
+        val tmp = new org.apache.hadoop.fs.Path(dir,
+          s".$KeyBloomFile.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
         val committed =
           try {
             fs.mkdirs(dir)
-            val out = new java.io.DataOutputStream(fs.create(target, false))
+            val out = new java.io.DataOutputStream(fs.create(tmp, true))
             try { out.writeLong(items); out.writeLong(bits); merged.writeTo(out) }
             finally out.close()
-            true
+            val ok = !fs.exists(target) && fs.rename(tmp, target)
+            if (!ok) fs.delete(tmp, false): Unit
+            ok
           } catch {
-            case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-            case _: java.io.IOException if fs.exists(target) => false
+            case _: java.io.IOException =>
+              fs.delete(tmp, false): Unit
+              false
           }
         if (committed) {
           // sweep generations older than the PREVIOUS one: an in-flight

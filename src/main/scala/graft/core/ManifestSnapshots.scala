@@ -106,13 +106,30 @@ object ManifestSnapshots {
     }.mkString(s"""{"version":$v,"files":[""", ",", "]}")
     val dst = manifestPath(dir, v)
     hfs.mkdirs(dst.getParent)
+    // Write the COMPLETE body to a hidden tmp name first, then RENAME
+    // into the slot: the commit point must not precede content
+    // durability, or a concurrent committer could read our in-progress
+    // slot as torn, burn it, and commit a successor that silently drops
+    // our rows (create-then-write had exactly that window). Rename of a
+    // closed file is atomic and fails on an occupied slot on HDFS-like
+    // stores (the multi-writer target — same contract as Iceberg's
+    // HadoopTableOperations); on POSIX local filesystems rename
+    // overwrites, so cross-PROCESS writers on a local path are outside
+    // the contract while same-process writers are serialized by the
+    // commit lock. The hidden "." prefix keeps tmp names out of
+    // [[versionNames]], so an abandoned tmp can never look like a slot.
+    val tmp = new Path(dst.getParent,
+      s".m-$v.json.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     try {
-      val out = hfs.create(dst, false) // fail-if-exists: the commit point
+      val out = hfs.create(tmp, true)
       try out.write(body.getBytes("UTF-8")) finally out.close()
-      true
+      val committed = !hfs.exists(dst) && hfs.rename(tmp, dst)
+      if (!committed) hfs.delete(tmp, false): Unit
+      committed
     } catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      case _: java.io.IOException if hfs.exists(dst) => false
+      case _: java.io.IOException =>
+        hfs.delete(tmp, false): Unit
+        false
     }
   }
 
@@ -397,7 +414,7 @@ object ManifestSnapshots {
     val spark = df.sparkSession
     val hfs = fs(spark, dir)
     val entries = writeDataFiles(df, dir, nextSlot(hfs, dir), partitionCols)
-    commitLoop(hfs, dir, _ => entries)
+    commitCleanly(hfs, dir, entries)(commitLoop(hfs, dir, _ => entries))
   }
 
   /** O(delta) append version: the new manifest = predecessor's list +
@@ -431,7 +448,8 @@ object ManifestSnapshots {
     // re-guards against it — the winner may have evolved the schema), then
     // re-extends it with OUR files; appends commute, so this is the
     // serializable outcome at the cost of re-trying the KB-scale manifest
-    commitLoop(hfs, dir, _ => guard(prevEntries) ++ entries)
+    commitCleanly(hfs, dir, entries)(
+      commitLoop(hfs, dir, _ => guard(prevEntries) ++ entries))
   }
 
   /** [[appendDelta]] behind the row-identity replay guard — the
@@ -558,11 +576,11 @@ object ManifestSnapshots {
     // list is the serialized outcome — concurrent appends to untouched
     // partitions survive, concurrent writes to the touched ones are
     // replaced exactly as if this commit had run second
-    commitLoop(hfs, dir, _ => {
+    commitCleanly(hfs, dir, entries)(commitLoop(hfs, dir, _ => {
       val prev = latestVersion(spark, dir)
         .flatMap(v => readManifest(hfs, dir, v)).getOrElse(Nil)
       prev.filterNot(_.partition.exists(touched.contains)) ++ entries
-    })
+    }))
   }
 
   // --------------------------------------------------------------- READERS
@@ -1000,8 +1018,33 @@ object ManifestSnapshots {
     onBeforeRewriteCommit()
     val hfs = fs(spark, dir)
     val newEntries = writeDataFiles(data, dir, nextSlot(hfs, dir), partitionCols)
-    commitLoop(hfs, dir, _ => kept ++ newEntries, expectedBase = Some(base))
+    // the COW output is uncommitted and uniquely OURS until the loop
+    // returns: a refused rewrite (the DESIGNED conflict path) or an
+    // exhausted loop must reclaim it rather than leak a table-scale
+    // orphan per retry
+    commitCleanly(hfs, dir, newEntries)(
+      commitLoop(hfs, dir, _ => kept ++ newEntries, expectedBase = Some(base)))
   }
+
+  /** Run a commit loop; if it THROWS (conflict, exhausted slots), the
+    * fresh data files were never referenced by any manifest — delete the
+    * writer's own version dir (and sidecar) before propagating, so
+    * failed commits cannot leak storage. */
+  private def commitCleanly(hfs: FileSystem, dir: String,
+      fresh: Seq[Entry])(commit: => Long): Long =
+    try commit
+    catch { case e: Throwable => deleteWriterDir(hfs, dir, fresh); throw e }
+
+  /** Remove one writer's uncommitted version dir and its bloom sidecar. */
+  private def deleteWriterDir(hfs: FileSystem, dir: String,
+      entries: Seq[Entry]): Unit =
+    entries.headOption.foreach { e =>
+      val vdir = e.path.split('/').take(2).mkString("/")
+      val base = dir.stripSuffix("/")
+      hfs.delete(new Path(s"$base/$vdir"), true)
+      hfs.delete(new Path(
+        s"$base/$BloomDirName/${vdir.split('/').last}.parquet"), true): Unit
+    }
 
   /** Test seam: runs after a rewriting operation finished its
     * touched-file discovery and before its commit — lets specs land a
@@ -1192,14 +1235,16 @@ object ManifestSnapshots {
       .repartitionByRange(nFiles, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
     val newEntries = writeDataFiles(packed, dir, nextSlot(hfs, dir), Nil)
-    commitLoop(hfs, dir, _ => newEntries, expectedBase = Some(cur))
+    commitCleanly(hfs, dir, newEntries)(
+      commitLoop(hfs, dir, _ => newEntries, expectedBase = Some(cur)))
   }
 
   /** Reclaim: drop all but the newest `keep` versions' manifests, then
     * delete the data files no KEPT manifest references — reference
     * counting across manifests, so a file shared by any kept version
     * survives. Returns (dropped versions, deleted data files). */
-  def vacuum(spark: SparkSession, dir: String, keep: Int = 2): (Seq[Long], Int) = {
+  def vacuum(spark: SparkSession, dir: String, keep: Int = 2,
+      orphanGraceHours: Int = 6): (Seq[Long], Int) = {
     require(keep >= 1, "keep at least the committed version")
     val hfs = fs(spark, dir)
     val all = versions(spark, dir)
@@ -1219,11 +1264,27 @@ object ManifestSnapshots {
     doomedFiles.foreach(p => hfs.delete(new Path(s"$base/$p"), false))
     doomed.foreach(v => hfs.delete(manifestPath(dir, v), false))
     val dataRoot = new Path(s"$base/data")
-    if (hfs.exists(dataRoot))
+    if (hfs.exists(dataRoot)) {
+      // crash-shaped orphans: a writer that died before its commit (or
+      // whose cleanup-on-conflict itself crashed) leaves a version dir
+      // no manifest references — without a sweep, storage grows
+      // unboundedly under concurrency. Referenced = any KEPT manifest's
+      // dirs; the sweep is AGE-GATED so an in-flight writer's dir
+      // (written, commit pending) is never yanked from under it.
+      val referencedDirs = keptVersions
+        .flatMap(v => readManifest(hfs, dir, v).getOrElse(Nil))
+        .map(_.path.split('/')(1)).toSet
+      val staleBefore =
+        System.currentTimeMillis() - orphanGraceHours.toLong * 3600 * 1000
       hfs.listStatus(dataRoot).foreach { st =>
-        if (st.isDirectory && hfs.listStatus(st.getPath).isEmpty)
-          hfs.delete(st.getPath, false)
+        val orphan = st.isDirectory &&
+          !referencedDirs.contains(st.getPath.getName) &&
+          st.getModificationTime < staleBefore
+        if (orphan) hfs.delete(st.getPath, true)
+        else if (st.isDirectory && hfs.listStatus(st.getPath).isEmpty)
+          hfs.delete(st.getPath, false): Unit
       }
+    }
     // bloom sidecars of version dirs that no longer exist are unreachable
     // (pruning keys off entry paths) — reclaim them with the data
     val bloomRoot = new Path(s"$base/$BloomDirName")

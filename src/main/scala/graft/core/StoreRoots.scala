@@ -76,9 +76,14 @@ object StoreRoots {
     // readers, reclaimed here so the shared tmpdir stays bounded) —
     // age-gated so a CONCURRENT builder's live tmp dir is never swept
     val staleBefore = System.currentTimeMillis() - 6L * 3600 * 1000
-    fs.globStatus(new Path(rp.getParent, rp.getName + ".build-*"))
-      .filter(_.getModificationTime < staleBefore)
-      .foreach(st => fs.delete(st.getPath, true))
+    // .build-* = crashed builders' private dirs; .doomed-* = takeover
+    // dirs whose owner died between the rename-aside and the
+    // delete/put-back — both never consulted by readers, both swept
+    // age-gated so a LIVE racer's dir is never touched
+    for (pat <- Seq(".build-*", ".doomed-*"))
+      fs.globStatus(new Path(rp.getParent, rp.getName + pat))
+        .filter(_.getModificationTime < staleBefore)
+        .foreach(st => fs.delete(st.getPath, true))
     val tmpName = rp.getName + ".build-" +
       java.util.UUID.randomUUID().toString.take(8)
     val tmp = new Path(rp.getParent, tmpName)

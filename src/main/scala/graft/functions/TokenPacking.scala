@@ -60,10 +60,18 @@ object TokenPacking {
       .select(col(partCol), col("_pk_bkt"), col("_pk_off"))
     val w = Window.partitionBy(partCol, "_pk_bkt").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    b.join(broadcast(offs), Seq(partCol, "_pk_bkt"))
+    // NULL-SAFE group join: Window.partitionBy treats NULL as its own
+    // group (the semantics being replaced), but a plain usingColumns
+    // join drops NULL-keyed rows (null == null is never true) — silent
+    // row loss for a null-language doc. <=> keeps them.
+    val offsA = offs
+      .withColumnRenamed(partCol, "_pk_grp")
+      .withColumnRenamed("_pk_bkt", "_pk_bkt2")
+    b.join(broadcast(offsA),
+        col(partCol) <=> col("_pk_grp") && col("_pk_bkt") === col("_pk_bkt2"))
       .withColumn(chunkCol,
         ((col("_pk_off") + sum(col(tokensCol)).over(w) - col(tokensCol))
           / lit(budget)).cast("long"))
-      .drop("_pk_bkt", "_pk_off")
+      .drop("_pk_bkt", "_pk_bkt2", "_pk_grp", "_pk_off")
   }
 }

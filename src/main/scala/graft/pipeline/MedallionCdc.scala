@@ -107,6 +107,15 @@ object MedallionCdc {
     val fDir = featuresDir(root)
     val curV = ManifestSnapshots.latestVersion(spark, aDir).getOrElse(
       throw new IllegalStateException(s"no committed analytics chain under $aDir"))
+    def fullRestate(): CdcRefreshStats = {
+      val entries = ManifestSnapshots.entriesOf(spark, aDir, curV)
+      val all = ManifestSnapshots.read(spark, aDir, curV)
+        .filter(col("role") === "actor")
+      val image = featureImage(Medallion.featureDelta(all))
+        .withColumn("base_version", lit(curV))
+      ManifestSnapshots.writeFull(image, fDir, Seq("user_partition"))
+      CdcRefreshStats("full", curV, entries.size.toLong, entries.map(_.rows).sum)
+    }
     incorporatedVersion(spark, root) match {
       case Some(bv) if bv == curV =>
         CdcRefreshStats("noop", curV, 0L, 0L)
@@ -131,26 +140,36 @@ object MedallionCdc {
             // of the SAME buckets (partition pruning bounds the old read)
             val oldTouched = serveFeatures(spark, root)
               .filter(col("user_partition").isin(touched: _*))
-            val stitched = Medallion.stitchFeatures(d, oldTouched)
-            val carried = oldTouched
-              .join(d.select("user_id"), Seq("user_id"), "left_anti")
-            val image = stitched.unionByName(carried)
-              .withColumn("base_version", lit(curV))
-            ManifestSnapshots.replacePartitions(image, fDir, Seq("user_partition"))
-            CdcRefreshStats("incremental", curV,
-              added.size.toLong, added.map(_.rows).sum)
+            // ORDER gate: the boundary-stitch algebra (max' = max(max_old,
+            // final_old + running_max(delta))) is exact only when every
+            // delta event sorts AFTER the user's incorporated events. A
+            // LATE event (delta first_ts ≤ stored last_ts) would make the
+            // incremental state diverge from a full restate — so it
+            // demotes this refresh to the restate instead, the same
+            // soundness-gate discipline as the rewritten-chain case. The
+            // probe rides the join the stitch pays anyway (bucket-pruned,
+            // delta-user-sized).
+            val late = d.alias("d")
+              .join(oldTouched.alias("o"), col("d.user_id") === col("o.user_id"))
+              .filter(col("d.first_ts_us") <= col("o.last_ts_us"))
+              .limit(1).count() > 0
+            if (late) fullRestate()
+            else {
+              val stitched = Medallion.stitchFeatures(d, oldTouched)
+              val carried = oldTouched
+                .join(d.select("user_id"), Seq("user_id"), "left_anti")
+              val image = stitched.unionByName(carried)
+                .withColumn("base_version", lit(curV))
+              ManifestSnapshots.replacePartitions(image, fDir, Seq("user_partition"))
+              CdcRefreshStats("incremental", curV,
+                added.size.toLong, added.map(_.rows).sum)
+            }
           }
         } finally { d.unpersist(): Unit }
       case _ =>
         // first refresh, rewritten chain range, or state ahead of a
         // rolled-back chain: restate from the chain's committed version
-        val entries = ManifestSnapshots.entriesOf(spark, aDir, curV)
-        val all = ManifestSnapshots.read(spark, aDir, curV)
-          .filter(col("role") === "actor")
-        val image = featureImage(Medallion.featureDelta(all))
-          .withColumn("base_version", lit(curV))
-        ManifestSnapshots.writeFull(image, fDir, Seq("user_partition"))
-        CdcRefreshStats("full", curV, entries.size.toLong, entries.map(_.rows).sum)
+        fullRestate()
     }
   }
 

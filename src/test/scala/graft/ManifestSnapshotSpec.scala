@@ -557,9 +557,40 @@ class ManifestSnapshotSpec extends SparkSpec {
     // nothing was committed by the failed rewrite; the append's rows live
     assert(ManifestSnapshots.latestVersion(spark, dir).contains(2L))
     assert(ManifestSnapshots.readLatest(spark, dir).count() == 140)
+    // and the refused rewrite reclaimed its own COW output: every data
+    // dir on disk is referenced by some manifest (no orphan leak per
+    // conflict — the conflict is the designed retry path)
+    val hfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val referenced = ManifestSnapshots.versions(spark, dir)
+      .flatMap(v => ManifestSnapshots.entriesOf(spark, dir, v))
+      .map(_.path.split('/')(1)).toSet
+    val onDisk = hfs.listStatus(new org.apache.hadoop.fs.Path(dir + "/data"))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    assert(onDisk.subsetOf(referenced),
+      s"refused rewrite leaked uncommitted data dirs: ${onDisk -- referenced}")
     // and a fresh rewrite against the new state succeeds, keeping them
     val v3 = ManifestSnapshots.deleteWhere(spark, dir, col("id") < 10)
     assert(v3 == 3L && ManifestSnapshots.readLatest(spark, dir).count() == 130)
+  }
+
+  test("vacuum sweeps crash-orphaned data dirs, age-gated") {
+    val dir = tmpDir("msnaporph") + "/t"
+    ManifestSnapshots.writeFull(slice(0, 100), dir)
+    val hfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // fabricate a crashed writer's dir: data landed, no manifest ever
+    val orphan = new org.apache.hadoop.fs.Path(dir + "/data/d-9-dead")
+    slice(0, 10).write.parquet(orphan.toString)
+    // fresh orphan: inside the grace window, must survive (it could be a
+    // LIVE writer between data write and commit)
+    ManifestSnapshots.vacuum(spark, dir, keep = 2)
+    assert(hfs.exists(orphan), "grace window violated: live-writer dir swept")
+    // age it past the grace window: swept
+    hfs.setTimes(orphan, System.currentTimeMillis() - 7L * 3600 * 1000, -1)
+    ManifestSnapshots.vacuum(spark, dir, keep = 2)
+    assert(!hfs.exists(orphan), "stale orphan survived vacuum")
+    assert(ManifestSnapshots.readLatest(spark, dir).count() == 100)
   }
 
   test("history: versions, file and row counts from manifests alone") {

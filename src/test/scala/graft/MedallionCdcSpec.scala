@@ -87,6 +87,23 @@ class MedallionCdcSpec extends SparkSpec {
       MedallionCdc.serveFeatures(spark, root2))
   }
 
+  test("a LATE delta (out-of-order ts) demotes to a full restate — incremental stays ≡ full") {
+    val root = tmpDir("mcdclate")
+    MedallionCdc.runCycle(spark, root, stageBatch(100, 300))
+    // batch 2 carries ids 0..100 whose ts_us SORT BEFORE the incorporated
+    // events: the stitch algebra would mis-state max_balance, so the
+    // refresh must restate instead of stitching
+    val s = MedallionCdc.runCycle(spark, root, stageBatch(0, 100))
+    assert(s.mode == "full", s"late delta must demote to restate, got ${s.mode}")
+    val root2 = tmpDir("mcdclatef")
+    MedallionCdc.runCycle(spark, root2, stageBatch(0, 300))
+    assertSame(MedallionCdc.serveFeatures(spark, root),
+      MedallionCdc.serveFeatures(spark, root2))
+    // and an in-order follow-up goes back to the incremental path
+    val s2 = MedallionCdc.runCycle(spark, root, stageBatch(300, 320))
+    assert(s2.mode == "incremental")
+  }
+
   test("a rewriting chain version demotes the refresh to a full restate") {
     val root = tmpDir("mcdcrw")
     MedallionCdc.runCycle(spark, root, stageBatch(0, 200))

@@ -63,6 +63,20 @@ class TokenPackingSpec extends SparkSpec {
     check(Seq((1L, "a", 3L), (2L, "a", 4L)), budget = 5, buckets = 64)
   }
 
+  test("NULL group keys survive: packChunks keeps null-lang docs as their own group") {
+    // Window.partitionBy treats NULL as a group; the bucketed join must
+    // not silently drop those rows (null-unsafe equality would)
+    val rows = Seq[(java.lang.Long, String, java.lang.Long)](
+      (1L, null, 10L), (2L, null, 4090L), (3L, null, 20L),
+      (10L, "en", 5L), (11L, "en", 6L))
+      .toDF("doc_id", "lang", "n_tokens")
+    val got = TokenPacking.packChunks(rows, "lang", "doc_id", "n_tokens", 4096L)
+    assert(got.count() == 5, "a NULL-group row was dropped")
+    val nulls = got.filter(col("lang").isNull)
+      .orderBy("doc_id").select("chunk_id").as[Long].collect().toSeq
+    assert(nulls == Seq(0L, 0L, 1L), s"null-group chunk ids wrong: $nulls")
+  }
+
   test("empty input yields the shape, not a crash") {
     val empty = Seq.empty[(Long, String, Long)].toDF("doc_id", "lang", "n_tokens")
     val out = TokenPacking.packChunks(empty, "lang", "doc_id", "n_tokens", 10)

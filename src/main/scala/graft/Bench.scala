@@ -41,7 +41,7 @@ object Bench {
         "ann_ivfs", "t_bm25s", "z3_pruned_scan", "bf_pruned_scan",
         "snap_manifest_read", "mv_incremental", "snap_delete_where",
         "snap_update_where", "snap_merge_keys", "snap_stats_pruned",
-        "snap_merge_pruned", "snap_merge_bloom").foreach { q =>
+        "snap_merge_pruned", "snap_merge_bloom", "snap_sstats_pruned").foreach { q =>
       try SparkEntry.queries(q)(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }

@@ -55,13 +55,17 @@ object ManifestSnapshots {
 
   /** One data file of a version: lake-relative path, optional hive-style
     * partition spec ("k=v", string-valued like the lake's hive
-    * partitions), row count, and per-column numeric (min, max) zone maps
-    * — all manifest-only statistics, harvested from the parquet footer
-    * during the write's existing footer pass. `stats` may be empty
-    * (pre-stats manifests, non-numeric or stat-less columns): absence
+    * partitions), row count, per-column numeric (min, max) zone maps,
+    * and per-column STRING (min, max) zone maps (`sstats` — the
+    * address-shaped key ranges numeric stats cannot carry; compared in
+    * unsigned UTF-8 byte order, Spark's own string order) — all
+    * manifest-only statistics, harvested from the parquet footer during
+    * the write's existing footer pass. Either map may be empty
+    * (pre-stats manifests, unsupported or stat-less columns): absence
     * only disables pruning, never correctness. */
   final case class Entry(path: String, partition: Option[String], rows: Long,
-      stats: Map[String, (Double, Double)] = Map.empty)
+      stats: Map[String, (Double, Double)] = Map.empty,
+      sstats: Map[String, (String, String)] = Map.empty)
 
   private val LatestMarker = "_latest"
 
@@ -78,6 +82,18 @@ object ManifestSnapshots {
     case '\\' => "\\\\"
     case c if c < ' ' => f"\\u${c.toInt}%04x"
     case c => c.toString
+  }
+
+  /** Strict escaper for string-statistic VALUES: anything outside a safe
+    * alphabet becomes \uXXXX, so braces/quotes/brackets in arbitrary key
+    * bytes can never confuse the flat-object manifest parse. Surrogate
+    * pairs escape as two \u units and reassemble on [[readManifest]]'s
+    * unesc. */
+  private def escStat(s: String): String = s.flatMap {
+    case c if (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '_' || c == '-' || c == '.' || c == ' ' =>
+      c.toString
+    case c => f"\\u${c.toInt}%04x"
   }
 
   /** Attempt to commit version `v`'s manifest with CREATE-IF-ABSENT —
@@ -102,7 +118,15 @@ object ManifestSnapshots {
         else e.stats.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
           s""""${esc(c)}":[$mn,$mx]"""
         }.mkString(""","stats":{""", ",", "}")
-      s"""{"path":"${esc(e.path)}","partition":$part,"rows":${e.rows}$stats}"""
+      // string stats values go through the STRICT escaper (everything
+      // outside a safe alphabet as \uXXXX) so the flat-object parse
+      // below — `sstats` may contain arbitrary key bytes — stays exact
+      val sstats =
+        if (e.sstats.isEmpty) ""
+        else e.sstats.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+          s""""${esc(c)}":["${escStat(mn)}","${escStat(mx)}"]"""
+        }.mkString(""","sstats":{""", ",", "}")
+      s"""{"path":"${esc(e.path)}","partition":$part,"rows":${e.rows}$stats$sstats}"""
     }.mkString(s"""{"version":$v,"files":[""", ",", "]}")
     val dst = manifestPath(dir, v)
     hfs.mkdirs(dst.getParent)
@@ -149,8 +173,10 @@ object ManifestSnapshots {
         // the stats object holds only "col":[min,max] pairs, so a
         // no-inner-brace match is exact, not an approximation
         val entry =
-          """\{"path":"((?:[^"\\]|\\.)*)","partition":(null|"(?:[^"\\]|\\.)*"),"rows":(\d+)(?:,"stats":(\{[^{}]*\}))?\}""".r
-        val statPair = """"((?:[^"\\]|\\.)*)":\[([^,\]]+),([^,\]]+)\]""".r
+          """\{"path":"((?:[^"\\]|\\.)*)","partition":(null|"(?:[^"\\]|\\.)*"),"rows":(\d+)(?:,"stats":(\{[^{}]*\}))?(?:,"sstats":(\{[^{}]*\}))?\}""".r
+        val statPair = """"((?:[^"\\]|\\.)*)":\[([^,\]"]+),([^,\]"]+)\]""".r
+        val sstatPair =
+          """"((?:[^"\\]|\\.)*)":\["((?:[^"\\]|\\.)*)","((?:[^"\\]|\\.)*)"\]""".r
         def unesc(s: String): String = {
           val b = new StringBuilder
           var i = 0
@@ -183,7 +209,12 @@ object ManifestSnapshots {
               unesc(p.group(1)) -> ((p.group(2).toDouble, p.group(3).toDouble))
             }.toMap
           }.getOrElse(Map.empty[String, (Double, Double)])
-          Entry(unesc(m.group(1)), part, m.group(3).toLong, stats)
+          val sstats = Option(m.group(5)).map { s =>
+            sstatPair.findAllMatchIn(s).map { p =>
+              unesc(p.group(1)) -> ((unesc(p.group(2)), unesc(p.group(3))))
+            }.toMap
+          }.getOrElse(Map.empty[String, (String, String)])
+          Entry(unesc(m.group(1)), part, m.group(3).toLong, stats, sstats)
         }.toSeq)
       }
     } catch { case _: Exception => None }
@@ -294,32 +325,71 @@ object ManifestSnapshots {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
         .fromPath(p, spark.sparkContext.hadoopConfiguration)
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      val (rows, stats) = try (reader.getRecordCount, footerZoneMaps(reader))
-      finally reader.close()
-      Entry(s"data/d-$v-$tok/$rel", part, rows, stats)
+      val (rows, (stats, sstats)) =
+        try (reader.getRecordCount, footerZoneMaps(reader))
+        finally reader.close()
+      Entry(s"data/d-$v-$tok/$rel", part, rows, stats, sstats)
     }
     writeBloomSidecar(spark, dir, entries)
     entries
   }
 
-  /** Per-column (min, max) over a file's row groups, numeric primitive
-    * columns only. A column is dropped the moment any row group lacks
-    * usable stats (all-null chunk, NaN bounds, non-numeric type) — an
-    * absent zone map only disables pruning for that column. */
+  /** Per-column (min, max) over a file's row groups — numeric primitives
+    * into `stats`, UTF-8 string primitives into `sstats` (bounded: a
+    * value longer than [[MaxStrStat]] drops the column — a truncated max
+    * is NOT an upper bound, so truncation cannot be used safely without
+    * the increment-last-code-point trick; addresses are 42 chars and fit
+    * whole). A column is dropped the moment any row group lacks usable
+    * stats (all-null chunk, NaN bounds, unsupported type) — an absent
+    * zone map only disables pruning for that column. */
   private def footerZoneMaps(
-      reader: org.apache.parquet.hadoop.ParquetFileReader): Map[String, (Double, Double)] = {
+      reader: org.apache.parquet.hadoop.ParquetFileReader)
+      : (Map[String, (Double, Double)], Map[String, (String, String)]) = {
     import scala.jdk.CollectionConverters._
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     val perCol = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    val perStr = scala.collection.mutable.LinkedHashMap[String, (String, String)]()
     val dropped = scala.collection.mutable.Set[String]()
+    val droppedStr = scala.collection.mutable.Set[String]()
     for (block <- reader.getFooter.getBlocks.asScala;
          cc <- block.getColumns.asScala) {
       val name = cc.getPath.toDotString
-      if (!dropped(name)) {
-        val st = cc.getStatistics
+      val st = cc.getStatistics
+      val usable = st != null && !st.isEmpty && st.hasNonNullValue
+      val ptype = cc.getPrimitiveType
+      val isString = ptype.getPrimitiveTypeName == BINARY &&
+        ptype.getLogicalTypeAnnotation != null &&
+        ptype.getLogicalTypeAnnotation.isInstanceOf[
+          org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+      if (isString) {
+        if (!droppedStr(name)) {
+          val mm: Option[(String, String)] =
+            if (!usable) None
+            else {
+              val mn = st.genericGetMin
+                .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+              val mx = st.genericGetMax
+                .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+              if (mn.length > MaxStrStat || mx.length > MaxStrStat) None
+              else Some((mn, mx))
+            }
+          mm match {
+            case Some((mn, mx)) =>
+              perStr(name) = perStr.get(name) match {
+                case Some((a, b)) => (
+                  if (utf8Compare(mn, a) < 0) mn else a,
+                  if (utf8Compare(mx, b) > 0) mx else b)
+                case None => (mn, mx)
+              }
+            case None =>
+              droppedStr += name
+              perStr.remove(name): Unit
+          }
+        }
+      } else if (!dropped(name)) {
         val mm: Option[(Double, Double)] =
-          if (st == null || st.isEmpty || !st.hasNonNullValue) None
-          else cc.getPrimitiveType.getPrimitiveTypeName match {
+          if (!usable) None
+          else ptype.getPrimitiveTypeName match {
             case INT64 => Some((
               st.genericGetMin.asInstanceOf[java.lang.Long].toDouble,
               st.genericGetMax.asInstanceOf[java.lang.Long].toDouble))
@@ -346,7 +416,26 @@ object ManifestSnapshots {
         }
       }
     }
-    perCol.toMap
+    (perCol.toMap, perStr.toMap)
+  }
+
+  /** Longest string value kept in `sstats`. */
+  private val MaxStrStat = 128
+
+  /** Unsigned UTF-8 byte order — Spark's own string comparison (binary
+    * UnsafeRow compare), and the sort order parquet writes string stats
+    * in. Java's String.compareTo (UTF-16 code units) disagrees for
+    * supplementary characters, so pruning must NOT use it. */
+  private[graft] def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
   }
 
   /** The next commit SLOT: one past the highest manifest NAME present —
@@ -687,13 +776,18 @@ object ManifestSnapshots {
     * survives pruning. Iceberg's manifest-stats skipping on plain
     * parquet; the footer-level twin is Lakehouse.readZPrunedK. */
   def readWhere(spark: SparkSession, dir: String, version: Long,
-      bounds: Seq[(String, Double, Double)]): DataFrame = {
-    require(bounds.nonEmpty, "readWhere needs at least one column bound")
+      bounds: Seq[(String, Double, Double)],
+      strBounds: Seq[(String, String, String)] = Nil): DataFrame = {
+    require(bounds.nonEmpty || strBounds.nonEmpty,
+      "readWhere needs at least one column bound")
     import org.apache.spark.sql.functions.{col, lit}
     val entries = entriesOf(spark, dir, version)
     val hit = entries.filter { e =>
       bounds.forall { case (c, lo, hi) =>
         e.stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+      } && strBounds.forall { case (c, lo, hi) =>
+        e.sstats.get(c).forall { case (mn, mx) =>
+          utf8Compare(mx, lo) >= 0 && utf8Compare(mn, hi) <= 0 }
       }
     }
     if (hit.isEmpty) {
@@ -712,7 +806,7 @@ object ManifestSnapshots {
       // Int.MaxValue), which would turn an impossible bound into a
       // boundary-value match — out-of-type-range bounds are resolved to
       // FALSE / no-constraint here instead of converted
-      val residual = bounds.map { case (c, lo, hi) =>
+      val residual = (bounds.map { case (c, lo, hi) =>
         def intish(tmin: Double, tmax: Double,
             mk: Double => org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
           val l = math.ceil(lo); val h = math.floor(hi)
@@ -730,7 +824,11 @@ object ManifestSnapshots {
             intish(Int.MinValue.toDouble, Int.MaxValue.toDouble, d => lit(d.toInt))
           case _ => col(c) >= lit(lo) && col(c) <= lit(hi)
         }
-      }.reduce(_ && _)
+      } ++ strBounds.map { case (c, lo, hi) =>
+        // Spark string comparison is binary UTF-8 — the same order the
+        // sstats pruning above used, so residual and pruning agree
+        col(c) >= lit(lo) && col(c) <= lit(hi)
+      }).reduce(_ && _)
       df.filter(residual)
     }
   }
@@ -778,18 +876,20 @@ object ManifestSnapshots {
   def deleteWhere(spark: SparkSession, dir: String,
       predicate: org.apache.spark.sql.Column,
       partitionCols: Seq[String] = Nil,
-      pruneBounds: Seq[(String, Double, Double)] = Nil): Long = {
+      pruneBounds: Seq[(String, Double, Double)] = Nil,
+      pruneStrBounds: Seq[(String, String, String)] = Nil): Long = {
     val cur = latestVersion(spark, dir).getOrElse(
       throw new IllegalStateException(s"nothing to delete under $dir"))
     val entries = entriesOf(spark, dir, cur)
     val base = dir.stripSuffix("/")
-    // `pruneBounds` is the caller's PROMISE that every predicate-matching
-    // row lies inside the box (e.g. the predicate IS a range on a
-    // clustered key): files whose manifest zone maps are disjoint from it
-    // skip the discovery scan entirely, so a selective DELETE reads
-    // candidate files only — KB-scale metadata decides, like readWhere.
-    // An empty bounds list (default) preserves the exact full discovery.
-    val (candidates, skipped) = entries.partition(e => !statsDisjoint(e, pruneBounds))
+    // `pruneBounds`/`pruneStrBounds` are the caller's PROMISE that every
+    // predicate-matching row lies inside the box (e.g. the predicate IS a
+    // range on a clustered key): files whose manifest zone maps are
+    // disjoint from it skip the discovery scan entirely, so a selective
+    // DELETE reads candidate files only — KB-scale metadata decides, like
+    // readWhere. Empty bounds (default) preserve the exact full discovery.
+    val (candidates, skipped) = entries.partition(e =>
+      !statsDisjoint(e, pruneBounds) && !sstatsDisjoint(e, pruneStrBounds))
     lastDiscoveryCandidates = candidates
     val (rewritten, keptCand) =
       if (candidates.isEmpty) (Nil, Nil)
@@ -820,6 +920,38 @@ object ManifestSnapshots {
     bounds.exists { case (c, lo, hi) =>
       e.stats.get(c).exists { case (mn, mx) => mx < lo || mn > hi }
     }
+
+  /** String twin of [[statsDisjoint]] over the `sstats` zone maps,
+    * compared in unsigned UTF-8 order (Spark's string order). */
+  private def sstatsDisjoint(e: Entry,
+      bounds: Seq[(String, String, String)]): Boolean =
+    bounds.exists { case (c, lo, hi) =>
+      e.sstats.get(c).exists { case (mn, mx) =>
+        utf8Compare(mx, lo) < 0 || utf8Compare(mn, hi) > 0 }
+    }
+
+  /** Per-key-column string [min, max] of the delta for StringType keys —
+    * the sstats-side twin of [[deltaKeyBounds]]. Spark's min/max on
+    * strings use the same binary UTF-8 order the sstats carry. */
+  private def deltaKeyStrBounds(delta: DataFrame,
+      keys: Seq[String]): Seq[(String, String, String)] = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val strKeys = delta.schema
+      .filter(f => keys.contains(f.name))
+      .filter(_.dataType == org.apache.spark.sql.types.StringType)
+      .map(_.name)
+    if (strKeys.isEmpty) Nil
+    else {
+      val aggs = strKeys.flatMap(k =>
+        Seq(min(col(k)).as(s"mn_$k"), max(col(k)).as(s"mx_$k")))
+      val row = delta.agg(aggs.head, aggs.tail: _*).head()
+      strKeys.flatMap { k =>
+        val mn = row.getAs[String](s"mn_$k")
+        val mx = row.getAs[String](s"mx_$k")
+        if (mn == null || mx == null) None else Some((k, mn, mx))
+      }
+    }
+  }
 
   /** Per-key-column [min, max] of the delta, for the numeric key types
     * the zone maps cover — one tiny aggregate over the (small by
@@ -1063,14 +1195,16 @@ object ManifestSnapshots {
       predicate: org.apache.spark.sql.Column,
       sets: Seq[(String, org.apache.spark.sql.Column)],
       partitionCols: Seq[String] = Nil,
-      pruneBounds: Seq[(String, Double, Double)] = Nil): Long = {
+      pruneBounds: Seq[(String, Double, Double)] = Nil,
+      pruneStrBounds: Seq[(String, String, String)] = Nil): Long = {
     import org.apache.spark.sql.functions.{coalesce, lit, when, col}
     val cur = latestVersion(spark, dir).getOrElse(
       throw new IllegalStateException(s"nothing to update under $dir"))
     val entries = entriesOf(spark, dir, cur)
     val base = dir.stripSuffix("/")
     // same caller contract as deleteWhere's pruneBounds: predicate ⇒ box
-    val (candidates, skipped) = entries.partition(e => !statsDisjoint(e, pruneBounds))
+    val (candidates, skipped) = entries.partition(e =>
+      !statsDisjoint(e, pruneBounds) && !sstatsDisjoint(e, pruneStrBounds))
     lastDiscoveryCandidates = candidates
     val (rewritten, keptCand) =
       if (candidates.isEmpty) (Nil, Nil)
@@ -1134,7 +1268,9 @@ object ManifestSnapshots {
     // deleteWhere's caller-promised box). Files without stats for a key
     // column always remain candidates.
     val bounds = deltaKeyBounds(delta, keys)
-    val zmCandidates = entries.filter(e => !statsDisjoint(e, bounds))
+    val strBounds = deltaKeyStrBounds(delta, keys)
+    val zmCandidates = entries.filter(e =>
+      !statsDisjoint(e, bounds) && !sstatsDisjoint(e, strBounds))
     // second pruning tier, for the key shapes zone maps are blind to
     // (string keys, sparse point sets inside every file's hull): the
     // per-file bloom sidecars, when the store declared this key set.

@@ -859,6 +859,38 @@ object ExtraQueries {
       ManifestSnapshots.readLatest(s, root)
     },
 
+    // ----------------------------------------------------------- STORAGE-ZM2
+    // STRING zone-map skipping under the oracle gate: the events copy is
+    // keyed by an opaque string id (printf over event_id — the address
+    // shape) and range-clustered on it; readWhere's sstats bounds prune
+    // files whose string [min,max] (unsigned UTF-8 order, harvested from
+    // the parquet footers into the manifest) are disjoint from the box.
+    // The oracle is the same predicate as a plain scan: string-range
+    // pruning must be semantically invisible. ManifestSnapshotSpec
+    // separately pins that files are actually skipped and that hostile
+    // key bytes round-trip the manifest format.
+    QueryDef("snap_sstats_pruned",
+      """WITH mx AS (SELECT MAX(event_id) AS m FROM events),
+        |k AS (SELECT printf('u%09d', event_id) AS ek, user_id, value, event_id
+        |      FROM events)
+        |SELECT ek, user_id, value FROM k, mx
+        |WHERE ek BETWEEN printf('u%09d', m // 8) AND printf('u%09d', m // 4)""".stripMargin) { (s, dir) =>
+      import graft.core.ManifestSnapshots
+      val ev = events(s, dir)
+        .select(format_string("u%09d", col("event_id")).as("ek"),
+          col("user_id"), col("value"))
+      val fp = Graft.dataFingerprint(s, s"$dir/events.parquet")
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_msnapzms_store/v1/" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_") + s"_$fp"
+      graft.core.StoreRoots.ensure(s, root)(tmp =>
+        ManifestSnapshots.writeFull(
+          ev.repartitionByRange(16, col("ek")), tmp))
+      val m = events(s, dir).agg(max("event_id")).head.getLong(0)
+      val latest = ManifestSnapshots.latestVersion(s, root).get
+      ManifestSnapshots.readWhere(s, root, latest, Nil,
+        strBounds = Seq(("ek", f"u${m / 8}%09d", f"u${m / 4}%09d")))
+    },
+
     // ----------------------------------------------------------- STORAGE-MRG3
     // STRING-keyed metadata-pruned MERGE: the store keys on an opaque
     // string id (the wallet-address shape — the reference's primary

@@ -456,6 +456,69 @@ class ManifestSnapshotSpec extends SparkSpec {
     assert(ManifestSnapshots.readLatest(spark, dir).count() == 778)
   }
 
+  test("string zone maps: readWhere and MERGE discovery prune on sstats ranges") {
+    val dir = tmpDir("msnapsstat") + "/t"
+    // address-shaped string keys, range-clustered: sstats are the ONLY
+    // statistic that can range-prune this layout (numeric stats blind)
+    val rows = (0 until 1000).toDF("n")
+      .select(format_string("0xadd%06d", col("n")).as("addr"),
+        (col("n") * 3L).as("v"))
+    ManifestSnapshots.writeFull(
+      rows.repartitionByRange(8, col("addr")), dir)
+    val entries = ManifestSnapshots.entriesOf(spark, dir, 1L)
+    assert(entries.forall(_.sstats.contains("addr")),
+      "string zone maps missing from the manifest")
+
+    // box read on a narrow key range: few files planned, result exact
+    val pruned = ManifestSnapshots.readWhere(spark, dir, 1L, Nil,
+      strBounds = Seq(("addr", "0xadd000100", "0xadd000199")))
+    assert(pruned.inputFiles.length < entries.size,
+      "sstats pruning planned every file")
+    assert(pruned.count() == 100)
+    val full = ManifestSnapshots.read(spark, dir, 1L)
+      .filter(col("addr") >= "0xadd000100" && col("addr") <= "0xadd000199")
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+
+    // string-keyed MERGE: delta bounds derive from the delta's own
+    // min/max addr, discovery scans the overlapping files only
+    val delta = (990 until 1000).toDF("n")
+      .select(format_string("0xadd%06d", col("n")).as("addr"), lit(-1L).as("v"))
+    ManifestSnapshots.mergeByKey(spark, dir, delta, Seq("addr"))
+    val cand = ManifestSnapshots.lastDiscoveryCandidates
+    assert(cand.size < entries.size,
+      s"string-bounds merge discovery scanned ${cand.size}/${entries.size}")
+    val after = ManifestSnapshots.readLatest(spark, dir)
+    assert(after.filter(col("v") === -1L).count() == 10)
+    assert(after.count() == 1000)
+
+    // caller-promised string box on DELETE
+    ManifestSnapshots.deleteWhere(spark, dir,
+      col("addr").between("0xadd000000", "0xadd000009"),
+      pruneStrBounds = Seq(("addr", "0xadd000000", "0xadd000009")))
+    assert(ManifestSnapshots.lastDiscoveryCandidates.size < entries.size)
+    assert(ManifestSnapshots.readLatest(spark, dir).count() == 990)
+  }
+
+  test("hostile string-stat bytes round-trip the manifest format (strict escaping)") {
+    val dir = tmpDir("msnapsesc") + "/t"
+    // keys containing every character that could confuse a flat JSON
+    // parse: braces, quotes, backslashes, brackets, commas, newlines,
+    // non-ASCII — the manifest must round-trip them and stay parseable
+    val nasty = Seq("""a{"}][\,x""", "b\nnewline", "cé漢字🎉", "d plain")
+    val rows = nasty.zipWithIndex.toDF("k", "v")
+    ManifestSnapshots.writeFull(rows.coalesce(1), dir)
+    val es = ManifestSnapshots.entriesOf(spark, dir, 1L)
+    assert(es.nonEmpty && es.forall(_.sstats.contains("k")),
+      "hostile keys dropped the string stats entirely")
+    val (mn, mx) = es.head.sstats("k")
+    assert(nasty.contains(mn) && nasty.contains(mx),
+      s"string stats corrupted by escaping: ($mn, $mx)")
+    assert(ManifestSnapshots.readLatest(spark, dir).count() == 4)
+    // and the chain still extends (parse survived the round-trip)
+    ManifestSnapshots.appendDelta(Seq(("e", 9)).toDF("k", "v"), dir)
+    assert(ManifestSnapshots.readLatest(spark, dir).count() == 5)
+  }
+
   test("string-keyed MERGE prunes discovery with bloom sidecars over an append chain") {
     val dir = tmpDir("msnapbloomk") + "/t"
     // zone maps are BLIND here: the key is a string, so deltaKeyBounds

@@ -574,6 +574,32 @@ object Streams {
       }
       .start()
 
+  /** Streaming medallion on the CDC substrate: each micro-batch of STAGE
+    * rows lands in the analytics chain behind the row-identity replay
+    * guard and folds into the per-user feature state via the CDC refresh
+    * — stream and batch share EVERY line
+    * ([[graft.pipeline.MedallionCdc.runCycle]]), so stream-maintained
+    * features ≡ a batch run over the same data (the spec pins it).
+    * Exactly-once composes the same way as
+    * [[foreachBatchViewMaintenance]]: a redelivered micro-batch admits
+    * zero rows at the guard, creates no chain version, and the refresh
+    * no-ops on its version ledger; a crash inside the cycle leaves
+    * either the old committed state or the new one at every step (chain
+    * commit is atomic, feature commit is atomic, the ledger rides the
+    * feature rows). */
+  def foreachBatchMedallionCdc(
+      stage: DataFrame,
+      root: String,
+      checkpoint: String): StreamingQuery =
+    stage.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.pipeline.MedallionCdc.runCycle(batch.sparkSession, root, batch): Unit
+      }
+      .start()
+
   /** Sink: MERGE each micro-batch into a lake table by key — streaming and
     * batch share [[Lakehouse.mergeUpsert]] so the exactly-once-per-key
     * upsert semantics are identical in both modes. */

@@ -895,7 +895,25 @@ object Lakehouse {
           val chunks = reader.getFooter.getBlocks.asScala
             .flatMap(_.getColumns.asScala)
             .filter(_.getPath.toDotString == name)
-          val stats = chunks.map(_.getStatistics)
+          // plain ints/floats ONLY: an INT32/INT64 with a logical type
+          // stores a DIFFERENT UNIT than the read-side value (decimal
+          // unscaled, timestamp micros, date days) — a zone map in the
+          // wrong unit prunes files that contain matching rows. Such
+          // columns get the no-prune hull instead.
+          def plainNumeric(cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData): Boolean = {
+            import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+            val t = cc.getPrimitiveType
+            val logical = t.getLogicalTypeAnnotation
+            t.getPrimitiveTypeName match {
+              case DOUBLE | FLOAT => true
+              case INT32 | INT64 => logical == null ||
+                logical.isInstanceOf[
+                  org.apache.parquet.schema.LogicalTypeAnnotation.IntLogicalTypeAnnotation]
+              case _ => false
+            }
+          }
+          val stats = chunks.map(cc =>
+            if (plainNumeric(cc)) cc.getStatistics else null)
           def num(v: Any): Option[Double] = v match {
             case n: java.lang.Number => Some(n.doubleValue())
             case _ => None // non-numeric stats: refuse to prune this file
@@ -1084,31 +1102,11 @@ object Lakehouse {
       // pin the schema from the directory so a subset read can't drop
       // columns that happen to be all-null in the kept files
       val schema = spark.read.parquet(path).schema
-      // type the bound literals to the column: comparing through a
-      // double CAST would block parquet filter pushdown, losing the
-      // row-group footer-skipping tier inside the surviving files
+      // residual typing shared with ManifestSnapshots.readWhere
+      // (ZoneResidual): typed bound literals keep parquet pushdown,
+      // saturating conversions are refused
       val types = schema.map(f => f.name -> f.dataType).toMap
-      // .toLong/.toInt saturate out-of-range doubles — impossible bounds
-      // resolve to FALSE / no-constraint instead of a boundary value
-      val residual = box.map { case (c, lo, hi) =>
-        def intish(tmin: Double, tmax: Double,
-            mk: Double => org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-          val l = math.ceil(lo); val h = math.floor(hi)
-          if (l > tmax || h < tmin || l > h) lit(false)
-          else {
-            val lc = if (l < tmin) lit(true) else col(c) >= mk(l)
-            val hc = if (h > tmax) lit(true) else col(c) <= mk(h)
-            lc && hc
-          }
-        }
-        types.get(c) match {
-          case Some(org.apache.spark.sql.types.LongType) =>
-            intish(Long.MinValue.toDouble, Long.MaxValue.toDouble, d => lit(d.toLong))
-          case Some(org.apache.spark.sql.types.IntegerType) =>
-            intish(Int.MinValue.toDouble, Int.MaxValue.toDouble, d => lit(d.toInt))
-          case _ => col(c).cast("double").between(lo, hi)
-        }
-      }.reduce(_ && _)
+      val residual = ZoneResidual.numeric(types, box).reduce(_ && _)
       spark.read.schema(schema).parquet(kept: _*).filter(residual)
     }
   }

@@ -113,18 +113,20 @@ object ManifestSnapshots {
       entries: Seq[Entry]): Boolean = {
     val body = entries.map { e =>
       val part = e.partition.map(p => "\"" + esc(p) + "\"").getOrElse("null")
+      // stat column NAMES and string VALUES both go through the STRICT
+      // escaper (everything outside a safe alphabet as \uXXXX): the
+      // flat-object stats parse requires a brace-free object, and a
+      // column legally named `a{b` under plain esc would write a
+      // manifest the fail-closed parser rejects — an invisible commit
       val stats =
         if (e.stats.isEmpty) ""
         else e.stats.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
-          s""""${esc(c)}":[$mn,$mx]"""
+          s""""${escStat(c)}":[$mn,$mx]"""
         }.mkString(""","stats":{""", ",", "}")
-      // string stats values go through the STRICT escaper (everything
-      // outside a safe alphabet as \uXXXX) so the flat-object parse
-      // below — `sstats` may contain arbitrary key bytes — stays exact
       val sstats =
         if (e.sstats.isEmpty) ""
         else e.sstats.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
-          s""""${esc(c)}":["${escStat(mn)}","${escStat(mx)}"]"""
+          s""""${escStat(c)}":["${escStat(mn)}","${escStat(mx)}"]"""
         }.mkString(""","sstats":{""", ",", "}")
       s"""{"path":"${esc(e.path)}","partition":$part,"rows":${e.rows}$stats$sstats}"""
     }.mkString(s"""{"version":$v,"files":[""", ",", "]}")
@@ -259,11 +261,16 @@ object ManifestSnapshots {
 
   /** Advance the `_latest` hint, best-effort: never moved BACKWARDS
     * (a slower committer of an older version must not shadow a newer
-    * one), written via tmp+rename so readers see old-or-new. */
-  private def commitPointer(hfs: FileSystem, dir: String, v: Long): Unit = {
-    val dst = new Path(s"${dir.stripSuffix("/")}/$LatestMarker")
-    val current =
-      try {
+    * one), written via tmp+rename so readers see old-or-new. The WHOLE
+    * body swallows failures: this runs AFTER the manifest committed,
+    * and a hint-write IOException propagating out of the commit path
+    * would trip the caller's failed-commit cleanup and delete data
+    * files a committed manifest references — the hint must never be
+    * able to damage the commit it annotates. */
+  private def commitPointer(hfs: FileSystem, dir: String, v: Long): Unit =
+    try {
+      val dst = new Path(s"${dir.stripSuffix("/")}/$LatestMarker")
+      val current =
         if (!hfs.exists(dst)) None
         else {
           val in = hfs.open(dst)
@@ -271,15 +278,14 @@ object ManifestSnapshots {
           finally in.close()
           scala.util.Try(txt.toLong).toOption
         }
-      } catch { case _: Exception => None }
-    if (current.forall(_ < v)) {
-      val tmp = new Path(s"${dir.stripSuffix("/")}/$LatestMarker.tmp")
-      val out = hfs.create(tmp, true)
-      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-      hfs.delete(dst, false)
-      hfs.rename(tmp, dst): Unit
-    }
-  }
+      if (current.forall(_ < v)) {
+        val tmp = new Path(s"${dir.stripSuffix("/")}/$LatestMarker.tmp")
+        val out = hfs.create(tmp, true)
+        try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+        hfs.delete(dst, false)
+        hfs.rename(tmp, dst): Unit
+      }
+    } catch { case _: Exception => () }
 
   // -------------------------------------------------------------- WRITERS
 
@@ -387,13 +393,23 @@ object ManifestSnapshots {
           }
         }
       } else if (!dropped(name)) {
+        // only PLAIN ints/floats: an INT32/INT64 carrying a logical type
+        // stores a different unit than the read-side value (decimal
+        // unscaled, timestamp micros, date days) — zone maps in the
+        // wrong unit would prune files that CONTAIN matching rows, a
+        // silent wrong answer. Those columns get no stats (no pruning,
+        // always correct) until a typed bounds surface exists.
+        val logical = ptype.getLogicalTypeAnnotation
+        val plainInt = logical == null ||
+          logical.isInstanceOf[
+            org.apache.parquet.schema.LogicalTypeAnnotation.IntLogicalTypeAnnotation]
         val mm: Option[(Double, Double)] =
           if (!usable) None
           else ptype.getPrimitiveTypeName match {
-            case INT64 => Some((
+            case INT64 if plainInt => Some((
               st.genericGetMin.asInstanceOf[java.lang.Long].toDouble,
               st.genericGetMax.asInstanceOf[java.lang.Long].toDouble))
-            case INT32 => Some((
+            case INT32 if plainInt => Some((
               st.genericGetMin.asInstanceOf[java.lang.Integer].toDouble,
               st.genericGetMax.asInstanceOf[java.lang.Integer].toDouble))
             case DOUBLE => Some((
@@ -584,16 +600,24 @@ object ManifestSnapshots {
         v
       case Some(cur) =>
         val chainKeys = readLatest(spark, dir).select(keys.map(col): _*)
+        // NULL-SAFE exact probe (<=>): a plain USING anti join never
+        // matches a NULL key against its stored copy, so a NULL-keyed
+        // row would be re-admitted on EVERY replay — the exact failure
+        // Lakehouse.antiJoinAppend documents and guards against.
+        def exactAnti(b: DataFrame): DataFrame = {
+          val t = chainKeys.alias("t")
+          val cond = keys.map(k => b(k) <=> col(s"t.$k")).reduce(_ && _)
+          b.join(t, cond, "left_anti")
+        }
         val guardOpt = BloomSkipping.loadKeyBloom(spark, dir)
         val fresh = guardOpt match {
           case Some((_, _, guard)) =>
             val bos = new java.io.ByteArrayOutputStream()
             guard.writeTo(bos)
             val probable = BloomSkipping.mightContainHashed(spark, bos.toByteArray, keyHash)
-            batch.filter(!probable).unionByName(
-              batch.filter(probable).join(chainKeys, keys, "left_anti"))
+            batch.filter(!probable).unionByName(exactAnti(batch.filter(probable)))
           case None =>
-            batch.join(chainKeys, keys, "left_anti")
+            exactAnti(batch)
         }
         val admitted = fresh.persist()
         try {
@@ -658,6 +682,17 @@ object ManifestSnapshots {
     require(partitionCols.nonEmpty, "replacePartitions needs partition columns")
     val spark = df.sparkSession
     val hfs = fs(spark, dir)
+    // same writer guards as appendDelta, BEFORE any data lands: a
+    // replacement must keep the partitioned shape and may not retype a
+    // stored column (the union read would coerce or fail downstream)
+    val prev0 = latestVersion(spark, dir)
+      .flatMap(v => readManifest(hfs, dir, v)).getOrElse(Nil)
+    require(prev0.isEmpty || prev0.forall(_.partition.isDefined),
+      "replacePartitions must target a partitioned table: the committed " +
+        "versions are unpartitioned and the union read would break")
+    if (prev0.nonEmpty)
+      requireNoRetype(spark, dir, prev0, df.schema, partitionCols.toSet,
+        "replacePartitions")
     val entries = writeDataFiles(df, dir, nextSlot(hfs, dir), partitionCols)
     val touched = entries.flatMap(_.partition).toSet
     // rebase on conflict: partition replacement is declarative ("these
@@ -703,8 +738,27 @@ object ManifestSnapshots {
     * (string-typed, the lake's hive-partition convention). */
   def read(spark: SparkSession, dir: String, version: Long): DataFrame = {
     val entries = entriesOf(spark, dir, version)
-    require(entries.nonEmpty, s"version $version is empty")
-    readEntries(spark, dir.stripSuffix("/"), entries)
+    if (entries.isEmpty) emptyVersion(spark, dir, version)
+    else readEntries(spark, dir.stripSuffix("/"), entries)
+  }
+
+  /** An EMPTY version (a deleteWhere that removed every row commits a
+    * zero-file manifest — the right-to-be-forgotten end state) reads as
+    * an empty frame in the table's schema, recovered from the newest
+    * earlier version that still has files. A chain whose every
+    * schema-bearing version was vacuumed away has no recoverable schema
+    * and fails with that diagnosis rather than a bare require. */
+  private def emptyVersion(spark: SparkSession, dir: String,
+      version: Long): DataFrame = {
+    val donor = versions(spark, dir)
+      .filter(_ < version).sorted.reverse
+      .map(v => entriesOf(spark, dir, v))
+      .find(_.nonEmpty)
+      .getOrElse(throw new IllegalStateException(
+        s"version $version of $dir is empty and no earlier version " +
+          "retains files to recover the schema from (vacuumed away) — " +
+          "re-seed the chain with a writeFull/appendDelta"))
+    readEntries(spark, dir.stripSuffix("/"), donor).limit(0)
   }
 
   def readLatest(spark: SparkSession, dir: String): DataFrame = {
@@ -796,39 +850,16 @@ object ManifestSnapshots {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else {
       val df = readEntries(spark, dir.stripSuffix("/"), hit)
-      // type the bound literals to the COLUMN: `longCol >= 12.0` would
-      // wrap the column in a cast and block parquet filter pushdown —
-      // the residual must reach the surviving files' scan so their row
-      // groups footer-skip too (two pruning tiers, one plan)
+      // residual typing shared with readZPrunedK (ZoneResidual): typed
+      // bound literals keep parquet pushdown, saturating conversions
+      // are refused — two pruning tiers, one plan
       val types = df.schema.map(f => f.name -> f.dataType).toMap
-      import org.apache.spark.sql.types.{IntegerType, LongType}
-      // .toLong/.toInt SATURATE out-of-range doubles (ceil(3e9).toInt ==
-      // Int.MaxValue), which would turn an impossible bound into a
-      // boundary-value match — out-of-type-range bounds are resolved to
-      // FALSE / no-constraint here instead of converted
-      val residual = (bounds.map { case (c, lo, hi) =>
-        def intish(tmin: Double, tmax: Double,
-            mk: Double => org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-          val l = math.ceil(lo); val h = math.floor(hi)
-          if (l > tmax || h < tmin || l > h) lit(false)
-          else {
-            val lc = if (l < tmin) lit(true) else col(c) >= mk(l)
-            val hc = if (h > tmax) lit(true) else col(c) <= mk(h)
-            lc && hc
-          }
-        }
-        types.get(c) match {
-          case Some(LongType) =>
-            intish(Long.MinValue.toDouble, Long.MaxValue.toDouble, d => lit(d.toLong))
-          case Some(IntegerType) =>
-            intish(Int.MinValue.toDouble, Int.MaxValue.toDouble, d => lit(d.toInt))
-          case _ => col(c) >= lit(lo) && col(c) <= lit(hi)
-        }
-      } ++ strBounds.map { case (c, lo, hi) =>
-        // Spark string comparison is binary UTF-8 — the same order the
-        // sstats pruning above used, so residual and pruning agree
-        col(c) >= lit(lo) && col(c) <= lit(hi)
-      }).reduce(_ && _)
+      val residual = (ZoneResidual.numeric(types, bounds) ++
+        strBounds.map { case (c, lo, hi) =>
+          // Spark string comparison is binary UTF-8 — the same order the
+          // sstats pruning above used, so residual and pruning agree
+          col(c) >= lit(lo) && col(c) <= lit(hi)
+        }).reduce(_ && _)
       df.filter(residual)
     }
   }
@@ -1336,6 +1367,14 @@ object ManifestSnapshots {
         .repartition(partitionCols.map(col): _*)
       commitRewrite(spark, dir, cur, kept, packed, partitionCols)
     } else {
+      // refuse the silent layout change: compacting a PARTITIONED store
+      // without partitionCols would flatten its hive partition columns
+      // into plain data columns and break every later partition-shaped
+      // writer — the same guard compactDataSorted carries
+      require(entries.forall(_.partition.isEmpty),
+        "compactData without partitionCols applies to unpartitioned " +
+          "tables; pass the table's partitionCols to compact a " +
+          "partitioned store")
       val bytes = entries.map(e => hfs.getFileStatus(new Path(s"$base/${e.path}")).getLen).sum
       val nFiles = math.max(1, (bytes / (targetFileMB.toLong << 20)).toInt)
       val packed = read(spark, dir, cur).repartition(nFiles)
@@ -1383,18 +1422,22 @@ object ManifestSnapshots {
       orphanGraceHours: Int = 6): (Seq[Long], Int) = {
     require(keep >= 1, "keep at least the committed version")
     val hfs = fs(spark, dir)
-    val all = versions(spark, dir)
-    val pinned = latestVersion(spark, dir)
+    // ONE parse per manifest, shared by every consumer below (the
+    // reference set, the doomed list, and the orphan sweep previously
+    // re-read each manifest up to four times)
+    val manifests: Seq[(Long, Seq[Entry])] = versionNames(hfs, dir)
+      .flatMap(v => readManifest(hfs, dir, v).map(v -> _))
+    val byV = manifests.toMap
+    val all = manifests.map(_._1)
+    val pinned = all.lastOption // committed = newest parseable
     val doomed = all.dropRight(keep).filterNot(pinned.contains)
     val keptVersions = all.filterNot(doomed.contains)
-    val referenced = keptVersions
-      .flatMap(v => readManifest(hfs, dir, v).getOrElse(Nil))
-      .map(_.path).toSet
+    val referenced = keptVersions.flatMap(byV(_)).map(_.path).toSet
     val base = dir.stripSuffix("/")
     // delete unreferenced files from the DOOMED versions' lists, then
     // their manifests; empty d-<v> dirs go last
     val doomedFiles = doomed
-      .flatMap(v => readManifest(hfs, dir, v).getOrElse(Nil))
+      .flatMap(byV(_))
       .map(_.path).distinct
       .filterNot(referenced.contains)
     doomedFiles.foreach(p => hfs.delete(new Path(s"$base/$p"), false))
@@ -1407,8 +1450,7 @@ object ManifestSnapshots {
       // unboundedly under concurrency. Referenced = any KEPT manifest's
       // dirs; the sweep is AGE-GATED so an in-flight writer's dir
       // (written, commit pending) is never yanked from under it.
-      val referencedDirs = keptVersions
-        .flatMap(v => readManifest(hfs, dir, v).getOrElse(Nil))
+      val referencedDirs = keptVersions.flatMap(byV(_))
         .map(_.path.split('/')(1)).toSet
       val staleBefore =
         System.currentTimeMillis() - orphanGraceHours.toLong * 3600 * 1000

@@ -62,7 +62,15 @@ object StoreRoots {
         java.util.UUID.randomUUID().toString.take(8))
       if (fs.rename(rp, doomed)) {
         if (fs.exists(new Path(doomed, ReadyMarker))) {
-          if (fs.rename(doomed, rp) && ready) return false
+          // put the completed copy back — but Hadoop rename moves src
+          // INTO an existing dst dir, so if a racer republished rp in
+          // the meantime our rename "succeeds" by NESTING the doomed
+          // copy inside the published root: detect and drop the nested
+          // junk (rp is complete either way)
+          val renamedBack = fs.rename(doomed, rp)
+          val nested = new Path(rp, doomed.getName)
+          if (fs.exists(nested)) fs.delete(nested, true): Unit
+          if (renamedBack && ready) return false
           if (ready) { fs.delete(doomed, true); return false }
           // neither copy serves: fall through and rebuild from scratch
           fs.delete(doomed, true): Unit

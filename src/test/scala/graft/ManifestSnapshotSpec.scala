@@ -571,6 +571,107 @@ class ManifestSnapshotSpec extends SparkSpec {
       .filter(col("v") === -7L).count() == 10)
   }
 
+  test("NULL-keyed rows land exactly once through the guarded append (<=> probe)") {
+    val dir = tmpDir("msnapnullk") + "/t"
+    val rows = Seq[(java.lang.Long, Long)]((1L, 10L), (null, 20L), (2L, 30L))
+      .toDF("k", "v")
+    ManifestSnapshots.appendDeltaGuarded(spark, dir, rows, Seq("k"))
+    // full replays: the NULL-keyed row must not re-admit (a plain USING
+    // anti join never matches NULL against its stored copy)
+    ManifestSnapshots.appendDeltaGuarded(spark, dir, rows, Seq("k"))
+    ManifestSnapshots.appendDeltaGuarded(spark, dir, rows, Seq("k"))
+    assert(ManifestSnapshots.readLatest(spark, dir).count() == 3,
+      "NULL-keyed row duplicated (or dropped) across replays")
+  }
+
+  test("logically-typed INT columns get NO zone maps — never wrong-unit pruning") {
+    val dir = tmpDir("msnaplogic") + "/t"
+    // DecimalType(10,2) stores INT64 UNSCALED in parquet: stats say
+    // 15000 for value 150.00 — a zone map in that unit would prune a
+    // file whose every row matches bounds like [100, 200]
+    val rows = (0 until 400).toDF("id")
+      .select(col("id").cast("long").as("id"),
+        (col("id").cast("decimal(10,2)") / 2).cast("decimal(10,2)").as("dec"),
+        to_date(lit("2024-01-01")).as("d"))
+    ManifestSnapshots.writeFull(rows.repartitionByRange(4, col("id")), dir)
+    val es = ManifestSnapshots.entriesOf(spark, dir, 1L)
+    assert(es.forall(e => !e.stats.contains("dec") && !e.stats.contains("d")),
+      s"logical-typed column leaked a wrong-unit zone map: ${es.head.stats}")
+    assert(es.forall(_.stats.contains("id")), "plain long column lost its stats")
+    // bounds on the stat-less column: no pruning, exact result
+    val r = ManifestSnapshots.readWhere(spark, dir, 1L, Seq(("dec", 50.0, 60.0)))
+    assert(r.count() ==
+      ManifestSnapshots.read(spark, dir, 1L)
+        .filter(col("dec") >= 50.0 && col("dec") <= 60.0).count())
+  }
+
+  test("replacePartitions refuses retypes and unpartitioned targets") {
+    val dir = tmpDir("msnaprpg") + "/t"
+    val base = slice(0, 100).withColumn("p", (col("id") % 2).cast("string"))
+    ManifestSnapshots.writeFull(base, dir, Seq("p"))
+    intercept[IllegalArgumentException] {
+      ManifestSnapshots.replacePartitions(
+        base.withColumn("v", col("v").cast("double")), dir, Seq("p"))
+    }
+    val udir = tmpDir("msnaprpg2") + "/t"
+    ManifestSnapshots.writeFull(slice(0, 50), udir) // unpartitioned
+    intercept[IllegalArgumentException] {
+      ManifestSnapshots.replacePartitions(
+        slice(0, 10).withColumn("p", lit("a")), udir, Seq("p"))
+    }
+  }
+
+  test("compactData refuses to flatten a partitioned store") {
+    val dir = tmpDir("msnapflat") + "/t"
+    ManifestSnapshots.writeFull(
+      slice(0, 100).withColumn("p", (col("id") % 2).cast("string")),
+      dir, Seq("p"))
+    intercept[IllegalArgumentException] {
+      ManifestSnapshots.compactData(spark, dir) // no partitionCols
+    }
+    // with the partition columns it compacts fine
+    ManifestSnapshots.appendDelta(
+      slice(100, 150).withColumn("p", lit("0")), dir, Seq("p"))
+    ManifestSnapshots.compactData(spark, dir, partitionCols = Seq("p"))
+    assert(ManifestSnapshots.readLatest(spark, dir).count() == 150)
+  }
+
+  test("deleting every row leaves an EMPTY but readable store") {
+    val dir = tmpDir("msnapempty") + "/t"
+    ManifestSnapshots.writeFull(
+      slice(0, 60).withColumn("p", (col("id") % 3).cast("string")),
+      dir, Seq("p"))
+    val v2 = ManifestSnapshots.deleteWhere(spark, dir, lit(true), Seq("p"))
+    val latest = ManifestSnapshots.readLatest(spark, dir)
+    assert(latest.count() == 0, "full delete left rows behind")
+    assert(latest.columns.toSet == Set("id", "v", "p"),
+      "empty store lost its schema")
+    // CDC across the wipe reports the rewrite, doesn't crash
+    assert(ManifestSnapshots.removedEntries(spark, dir, 1L, v2).nonEmpty)
+    assert(ManifestSnapshots.readChanges(spark, dir, 1L, v2).count() == 0)
+    // and the chain continues
+    ManifestSnapshots.appendDelta(
+      slice(0, 10).withColumn("p", lit("0")), dir, Seq("p"))
+    assert(ManifestSnapshots.readLatest(spark, dir).count() == 10)
+  }
+
+  test("brace-and-quote column names round-trip the manifest stats") {
+    val dir = tmpDir("msnapbrace") + "/t"
+    val rows = (0 until 50).toDF("n")
+      .select(col("n").cast("long").as("""a{b"c}"""),
+        format_string("s%03d", col("n")).as("""x{y"""))
+    ManifestSnapshots.writeFull(rows.coalesce(1), dir)
+    val es = ManifestSnapshots.entriesOf(spark, dir, 1L)
+    assert(es.nonEmpty, "brace-named columns made the manifest unparseable")
+    assert(es.head.stats.contains("""a{b"c}"""),
+      s"numeric stats lost the hostile name: ${es.head.stats.keySet}")
+    assert(es.head.sstats.contains("""x{y"""),
+      s"string stats lost the hostile name: ${es.head.sstats.keySet}")
+    assert(ManifestSnapshots.readLatest(spark, dir).count() == 50)
+    ManifestSnapshots.appendDelta(rows.limit(5), dir)
+    assert(ManifestSnapshots.readLatest(spark, dir).count() == 55)
+  }
+
   test("two racing appenders both commit, serialized: no lost rows, no lost versions") {
     val dir = tmpDir("msnaprace") + "/t"
     ManifestSnapshots.writeFull(slice(0, 100), dir)

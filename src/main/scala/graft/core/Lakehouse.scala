@@ -293,8 +293,14 @@ object Lakehouse {
         ctasBucketed(full(), table, bucketKey, buckets, sortCols, partitionCols, Some(path))
       case Some(wm) =>
         val newRows = incremental(wm)
-        // same null-safe identity guard as antiJoinAppend, key-pruned scan
-        val t = read(spark, path).select(keys.map(col): _*).alias("t")
+        // same null-safe identity guard as antiJoinAppend, key-pruned
+        // scan — ALSO partition-pruned to the batch's own partitions
+        // (sound because the identity keys carry the partition columns;
+        // see batchPartitionPrune)
+        val target0 = read(spark, path)
+        val target = batchPartitionPrune(newRows, partitionCols, keys)
+          .fold(target0)(target0.filter)
+        val t = target.select(keys.map(col): _*).alias("t")
         val cond = keys.map(k => newRows(k) <=> col(s"t.$k")).reduce(_ && _)
         val fresh = newRows.join(t, cond, "left_anti")
         if (registered)
@@ -737,9 +743,32 @@ object Lakehouse {
       incremental: Any => DataFrame): Unit = {
     watermark(spark, path, watermarkCol, partitionCols.headOption.getOrElse(watermarkCol)) match {
       case None    => ctas(full(), path, partitionCols)
-      case Some(w) => antiJoinAppend(spark, incremental(w), path, keys, partitionCols)
+      case Some(w) =>
+        val batch = incremental(w)
+        antiJoinAppend(spark, batch, path, keys, partitionCols,
+          prunePartitions = batchPartitionPrune(batch, partitionCols, keys))
     }
   }
+
+  /** Partition predicate restricting an identity anti-join's TARGET scan
+    * to the partitions the batch actually touches — SOUND exactly when
+    * the identity keys include every partition column (then a row's key
+    * determines its partition, so untouched partitions cannot hold a
+    * duplicate). Costs one partition-column-pruned distinct over the
+    * batch; without it every incremental cycle anti-joins against the
+    * FULL target key scan — O(table) per batch at lake scale, when the
+    * duplicates can only live in the hot partitions. An empty batch
+    * returns `lit(false)` (skip the target scan entirely). */
+  private def batchPartitionPrune(batch: DataFrame,
+      partitionCols: Seq[String], keys: Seq[String]): Option[Column] =
+    if (partitionCols.isEmpty || !partitionCols.forall(keys.contains)) None
+    else {
+      val vals = batch.select(partitionCols.map(col): _*).distinct().collect()
+      if (vals.isEmpty) Some(lit(false))
+      else Some(vals.toSeq.map(r =>
+        partitionCols.zipWithIndex.map { case (c, i) =>
+          col(c) <=> lit(r.get(i)) }.reduce(_ && _)).reduce(_ || _))
+    }
 
   /** The reference's weekly OPTIMIZE schedule (features_pipeline.py:
     * 128-138): compaction runs only on Sundays, riding along the normal

@@ -105,8 +105,10 @@ object AnnStore {
   def appendVectors(spark: SparkSession, root: String, newEmbeddings: DataFrame): Unit = {
     // replay-safe (same contract as the dedup index): a re-delivered batch
     // must not duplicate inverted-file rows — a duplicated vector would
-    // surface twice in every probe of its cell
-    val fresh = newEmbeddings.join(
+    // surface twice in every probe of its cell. dropDuplicates covers the
+    // INTRA-batch copy the stored-table anti join cannot see (both copies
+    // are absent from the store, both would pass the guard).
+    val fresh = newEmbeddings.dropDuplicates("vec_id").join(
       spark.table(assignTable(root)).select("vec_id"), Seq("vec_id"), "left_anti")
     val assign = rankCells(quantized(fresh), centroids(spark, root), 1)
       .select(col("cid"), col("vec_id"), col("qv"), col("nq"))

@@ -44,27 +44,38 @@ object DomainTransforms {
     * against the (small, hinted) rugpull list. */
   private def withRugpullFlags(df: DataFrame, rugpulls: DataFrame,
       matchCol: Column): DataFrame = {
-    val r1 = rugpulls.select(lower(col("contract_address")).as("rp1_addr"),
-      col("rugpull_date").as("rp1_date"))
-    val r2 = rugpulls.select(lower(col("contract_address")).as("rp2_addr"),
-      col("rugpull_date").as("rp2_date"))
-    df.join(broadcast(r1),
-        lower(matchCol) === col("rp1_addr") &&
-          rugpullWindow(col("rp1_date"), col("block_timestamp")), "left_outer")
-      .join(broadcast(r2),
-        lower(col("to_address")) === col("rp2_addr") &&
-          rugpullWindow(col("rp2_date"), col("block_timestamp")), "left_outer")
-      .withColumn("is_rugpull", col("rp1_addr").isNotNull)
-      .withColumn("to_address_is_rugpull", col("rp2_addr").isNotNull)
-      .drop("rp1_addr", "rp1_date", "rp2_addr", "rp2_date")
+    // The flags are EXISTENCE checks, so the join side must be UNIQUE
+    // per address or a list carrying one contract on two in-window dates
+    // (or a duplicate row) fans every matching transaction out through
+    // the left join — double-counting its amount through every
+    // downstream rollup. Collapsing to one row per address with the
+    // date SET makes fan-out structurally impossible; the window test
+    // moves into an `exists` over the (tiny) per-address set.
+    val r1 = rugpulls.groupBy(lower(col("contract_address")).as("rp1_addr"))
+      .agg(collect_set(col("rugpull_date")).as("rp1_dates"))
+    val r2 = rugpulls.groupBy(lower(col("contract_address")).as("rp2_addr"))
+      .agg(collect_set(col("rugpull_date")).as("rp2_dates"))
+    df.join(broadcast(r1), lower(matchCol) === col("rp1_addr"), "left_outer")
+      .join(broadcast(r2), lower(col("to_address")) === col("rp2_addr"), "left_outer")
+      .withColumn("is_rugpull", coalesce(
+        exists(col("rp1_dates"), d => rugpullWindow(d, col("block_timestamp"))),
+        lit(false)))
+      .withColumn("to_address_is_rugpull", coalesce(
+        exists(col("rp2_dates"), d => rugpullWindow(d, col("block_timestamp"))),
+        lit(false)))
+      .drop("rp1_addr", "rp1_dates", "rp2_addr", "rp2_dates")
   }
 
   /** Append from_is_contract / to_is_contract existence flags (:64-72,
     * :85-90) — shuffle joins on the address (hash_partition-co-located in
     * the reference; never broadcast). */
   private def withContractFlags(df: DataFrame, contracts: DataFrame): DataFrame = {
-    val fromFlag = contracts.select(col("address").as("c_from"))
-    val toFlag = contracts.select(col("address").as("c_to"))
+    // distinct dims: the stage table dedups full ROWS, so a contract
+    // re-exported under a new block/date yields two rows with the same
+    // address — a non-distinct flag join would duplicate every
+    // transaction touching it
+    val fromFlag = contracts.select(col("address").as("c_from")).distinct()
+    val toFlag = contracts.select(col("address").as("c_to")).distinct()
     df.join(fromFlag, col("from_address") === col("c_from"), "left_outer")
       .join(toFlag, col("to_address") === col("c_to"), "left_outer")
       .withColumn("from_is_contract", col("c_from").isNotNull)
@@ -135,13 +146,17 @@ object DomainTransforms {
       .join(blocks.select(col("number"), col("base_fee_per_gas").as("gas_fee")),
         col("block_number") === col("number"))
       .drop("number")
-    val traceStatus = traces.select(
-      col("transaction_hash").as("tc_hash"), col("block_number").as("tc_block"),
-      col("from_address").as("tc_from"), col("to_address").as("tc_to"),
-      col("status").as("tc_status"))
-      // re-exported traces can share (hash, block, from, to) under new
-      // trace ids — without dedup the join would fan the transaction out
-      .distinct()
+    // re-exported traces can share (hash, block, from, to) under new
+    // trace ids — and a re-export that CORRECTED the status yields two
+    // rows differing only there, which a full-row distinct would keep
+    // both of (fanning the transaction out). Aggregate to one row per
+    // key; MAX(status) means "errored unless any trace succeeded",
+    // matching the is_error derivation below.
+    val traceStatus = traces
+      .groupBy(
+        col("transaction_hash").as("tc_hash"), col("block_number").as("tc_block"),
+        col("from_address").as("tc_from"), col("to_address").as("tc_to"))
+      .agg(max(col("status")).as("tc_status"))
     val withError = withBlock
       .join(traceStatus,
         col("hash") === col("tc_hash") && col("block_number") === col("tc_block") &&

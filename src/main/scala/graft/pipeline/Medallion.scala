@@ -291,7 +291,17 @@ object Medallion {
       Lakehouse.appendPartitioned(batch, staging, Nil)
     }
     if (Lakehouse.tableExists(spark, staging)) {
+      // the inbox may hold one row per wallet PER EXPORT RUN: a crashed
+      // prior run's chunks plus this run's full re-export. The merge
+      // needs unique keys or both copies land as duplicate serving
+      // documents — keep the freshest state per wallet (last_ts_us is
+      // monotone across feature refreshes; walletAddress breaks ties
+      // deterministically for byte-identical replays)
+      val wDedup = Window.partitionBy("walletAddress")
+        .orderBy(col("last_ts_us").desc, col("walletAddress"))
       val inbox = Lakehouse.read(spark, staging)
+        .withColumn("_inbox_rank", row_number().over(wDedup))
+        .filter(col("_inbox_rank") === 1).drop("_inbox_rank")
       // touched partitions MUST come from the inbox table, not the rows
       // streamed this run: a previous run that crashed between append and
       // cleanup leaves its chunks in the inbox, and scoping the merge to

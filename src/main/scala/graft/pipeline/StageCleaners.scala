@@ -73,6 +73,12 @@ object StageCleaners {
       Seq("transaction_hash", "log_index", "block_number", "date_partition")
     case "ethereum_traces" =>
       Seq("transaction_hash", "trace_id", "block_number", "date_partition")
+    // contracts/tokens carry `address` (Schemas.contracts,
+    // cleanContracts/cleanTokens); only tokens_metadata has
+    // `contract_address` — keying the wrong name wedged every
+    // incremental contracts batch on an AnalysisException
+    case "ethereum_contracts" | "ethereum_tokens" =>
+      Seq("address", "date_partition")
     case _ => Seq("contract_address", "date_partition")
   }
 

@@ -156,26 +156,31 @@ object TextIndexStore {
     // read stats through the repairing path FIRST, so a crash-torn store
     // heals before the fold instead of baking the divergence in
     val (n0, l0) = currentStats(spark, root)
+    // PERSIST the admitted frame: it is consumed by TWO actions (the
+    // stats collect, then the postings write), and dropDuplicates is
+    // nondeterministic per evaluation — an intra-batch duplicate doc_id
+    // with DIFFERENT text could contribute one copy's length to the
+    // stats and the other's tokens to the postings, silently skewing
+    // every later BM25 denominator. One materialization pins one choice
+    // for both consumers. (The pre-insert collect below additionally
+    // guards against the plan re-reading the postings table post-insert.)
     val fresh = newDocs.dropDuplicates("doc_id").join(
       spark.table(postingsTable(root)).select("doc_id").distinct(),
       Seq("doc_id"), "left_anti")
-    // Collect the stats delta BEFORE the postings insert: `fresh` is a lazy
-    // anti-join AGAINST the postings table, and the insert invalidates any
-    // cache of plans reading that table — a post-insert re-evaluation would
-    // see every delta doc as already present and fold in a zero delta
-    // (while the postings write, running first, would have admitted them:
-    // stats and postings silently diverge).
-    val Seq(d) = fresh
-      .select(size(split(col("text"), " ")).cast("long").as("dl"))
-      .agg(count(lit(1)).as("d_docs"), coalesce(sum("dl"), lit(0L)).as("d_len"))
-      .collect().toSeq
-    Lakehouse.appendBucketed(toPostings(fresh), postingsTable(root), "term",
-      Buckets, sortCols = Seq("term"))
-    // the fold carries the POST-append snapshot: a crash before this line
-    // leaves the old stats with a stale snapshot, which the next
-    // currentStats detects and rebuilds from the postings — the batch is
-    // never lost and never double-counted
-    writeStats(spark, root, n0 + d.getLong(0), l0 + d.getLong(1))
+      .persist()
+    try {
+      val Seq(d) = fresh
+        .select(size(split(col("text"), " ")).cast("long").as("dl"))
+        .agg(count(lit(1)).as("d_docs"), coalesce(sum("dl"), lit(0L)).as("d_len"))
+        .collect().toSeq
+      Lakehouse.appendBucketed(toPostings(fresh), postingsTable(root), "term",
+        Buckets, sortCols = Seq("term"))
+      // the fold carries the POST-append snapshot: a crash before this line
+      // leaves the old stats with a stale snapshot, which the next
+      // currentStats detects and rebuilds from the postings — the batch is
+      // never lost and never double-counted
+      writeStats(spark, root, n0 + d.getLong(0), l0 + d.getLong(1))
+    } finally { fresh.unpersist(): Unit }
   }
 
   /** BM25 top-k over the stored index for a literal term set: bucket-pruned

@@ -53,6 +53,14 @@ class AnnStoreSpec extends SparkSpec {
     AnnStore.appendVectors(spark, root, delta)
     assert(spark.table(AnnStore.assignTable(root)).count() == after,
       "replayed append must be a no-op")
+    // INTRA-batch duplicate: both copies are absent from the store, so
+    // the stored-table anti join alone cannot catch them
+    val root2 = tmpDir("ann-store-intra")
+    AnnStore.ensureBuilt(spark, root2, emb.filter(col("vec_id") <= cut))
+    val before2 = spark.table(AnnStore.assignTable(root2)).count()
+    AnnStore.appendVectors(spark, root2, delta.unionByName(delta.limit(3)))
+    assert(spark.table(AnnStore.assignTable(root2)).count() == before2 + delta.count(),
+      "an intra-batch duplicate vec_id landed twice in the inverted file")
     // restart shape: a fresh session re-registers the on-disk layout
     // (including the sort spec — a mismatch would fail the next append)
     spark.sql(s"DROP TABLE ${AnnStore.assignTable(root)}")

@@ -178,6 +178,39 @@ class DomainSpec extends SparkSpec {
     assert(pri == Map("normal" -> 1, "internal" -> 2, "erc20" -> 3))
   }
 
+  test("existence-flag joins never fan a transaction out (duplicate dims, multi-date rugpulls, conflicting trace statuses)") {
+    val txs = df(Schemas.transactions,
+      tx("t1", "u1", "0xrug", "1000000000000000000",
+        ts = 1704067200L + 86400L), // matches TWO in-window rugpull dates
+      tx("t2", "u2", "0xdup", "2000000000000000000"))
+    val blocks = df(Schemas.blocks,
+      Row(1704067200L, null, 100L, "bh", "ph", "n", "m", dec("1"), dec("1"),
+        1L, 1L, 1L, 1L, 7L, "2024-01"))
+    // the same contract address twice (re-export under a new block), and
+    // a rugpull announced on two consecutive days, both inside t1's window
+    val contracts = df(Schemas.contracts,
+      Row("0xdup", "0x60", true, false, 1704067200L, 99L, "c1", "2024-01"),
+      Row("0xdup", "0x60", true, false, 1704067300L, 100L, "c1", "2024-01"))
+    val rugs = df(Schemas.rugpullMarketData,
+      Row("0xRUG", Date.valueOf("2024-01-01")),
+      Row("0xRUG", Date.valueOf("2024-01-02")))
+    // conflicting statuses for the same (hash, block, from, to): a
+    // re-export corrected status 0 -> 1
+    val traces = df(Schemas.traces,
+      trace("t2", "u2", "0xdup", "call", "call", null, "1", status = 0L),
+      trace("t2", "u2", "0xdup", "call", "call", null, "1", status = 1L))
+    val out = DomainTransforms.normalTransactions(txs, blocks, contracts, rugs, traces)
+    assert(out.count() == 2,
+      s"a flag join fanned transactions out: ${out.count()} rows for 2 txs")
+    val byHash = out.collect().map(r => r.getAs[String]("hash") -> r).toMap
+    assert(byHash("t1").getAs[Boolean]("to_address_is_rugpull"),
+      "multi-date rugpull lost the flag while deduping")
+    assert(byHash("t2").getAs[Boolean]("to_is_contract"),
+      "duplicate contract rows lost the flag while deduping")
+    assert(!byHash("t2").getAs[Boolean]("is_error"),
+      "corrected trace status must win (max(status) semantics)")
+  }
+
   test("normalTransactions: contracts side is never hard-broadcast (scale guard)") {
     // With the auto-broadcast threshold off, the ONLY BroadcastExchanges
     // allowed are the hinted rugpull dims (a bounded external list, joined

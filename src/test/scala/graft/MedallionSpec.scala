@@ -175,6 +175,23 @@ class MedallionSpec extends SparkSpec {
     // a second export (same features) leaves the doc count stable
     Medallion.servingExport(spark, root, chunkRows = 37)
     assert(Lakehouse.read(spark, Medallion.servingPath(root)).count() == nUsers)
+
+    // crashed-run inbox: a prior export died after appending chunks but
+    // before the merge, leaving STALE rows for wallets this run also
+    // re-exports — the merge must keep exactly one (the freshest) doc
+    // per wallet, never both
+    val staging = Medallion.servingPath(root).stripSuffix("/") + ".inbox"
+    val stale = Medallion.servingDocs(Medallion.readFeatures(spark, root))
+      .withColumn("last_ts_us", col("last_ts_us") - 999999L) // older state
+    Lakehouse.appendPartitioned(stale, staging, Nil)
+    Medallion.servingExport(spark, root, chunkRows = 37)
+    val merged = Lakehouse.read(spark, Medallion.servingPath(root))
+    assert(merged.count() == nUsers,
+      "orphan inbox chunks produced duplicate serving documents")
+    val freshTs = Medallion.readFeatures(spark, root)
+      .agg(max("last_ts_us")).head.getLong(0)
+    assert(merged.agg(max("last_ts_us")).head.getLong(0) == freshTs,
+      "the stale orphan state shadowed the fresh export")
   }
 
   test("features MERGE and serving export plan zero user-key exchanges " +

@@ -27,6 +27,34 @@ class StageCleanersSpec extends SparkSpec {
       Seq("hash", "number", "date_partition"))
     assert(StageCleaners.identityKeys("ethereum_logs") ==
       Seq("transaction_hash", "block_number", "log_index", "date_partition"))
+    // contracts/tokens key on `address` — their cleaned frames have no
+    // contract_address column, and keying the wrong name wedged every
+    // incremental contracts batch on an AnalysisException
+    assert(StageCleaners.identityKeys("ethereum_contracts") ==
+      Seq("address", "date_partition"))
+    assert(StageCleaners.identityKeys("ethereum_tokens") ==
+      Seq("address", "date_partition"))
+    assert(StageCleaners.identityKeys("ethereum_tokens_metadata") ==
+      Seq("contract_address", "date_partition"))
+  }
+
+  test("contracts stage load survives the incremental path (identity keys exist)") {
+    import org.apache.spark.sql.Row
+    val root = tmpDir("stage-contracts")
+    def rawContracts(rows: Row*) =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+        graft.core.Schemas.contracts)
+    def c(addr: String, tsSec: Long) =
+      Row(addr, "0x60", true, false, tsSec, 100L, "c", "2024-01")
+    // run 1: full CTAS; run 2: the previously-wedged anti-join path
+    StageCleaners.stageLoad(spark, "ethereum_contracts",
+      rawContracts(c("0xa", 1704067200L)), root, StageCleaners.cleanContracts)
+    StageCleaners.stageLoad(spark, "ethereum_contracts",
+      rawContracts(c("0xa", 1704067200L), c("0xb", 1704067300L)),
+      root, StageCleaners.cleanContracts)
+    val out = Lakehouse.read(spark, s"$root/ethereum_contracts")
+    assert(out.count() == 2, "incremental contracts batch wedged or duplicated")
+    assert(out.select("address").distinct().count() == 2)
   }
 
   test("cleanBlocks: DISTINCT collapse, transaction_count default, readable ts, uuid") {

@@ -90,8 +90,11 @@ object Multimodal {
           val docId = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
           val img =
+            // NonFatal only: swallowing OutOfMemoryError (decompression
+            // bombs) or InterruptedException into the stub fallback would
+            // mask executor memory corruption and break task cancellation
             try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            catch { case _: Throwable => null }
+            catch { case scala.util.control.NonFatal(_) => null }
           if (img != null) {
             val (w, h) = (img.getWidth, img.getHeight)
             val hist = new Array[Double](4)

@@ -67,11 +67,17 @@ object TokenPacking {
     val offsA = offs
       .withColumnRenamed(partCol, "_pk_grp")
       .withColumnRenamed("_pk_bkt", "_pk_bkt2")
+    // both join keys <=>: a null orderCol yields a null bucket, which a
+    // plain === would silently drop like the null group case
     b.join(broadcast(offsA),
-        col(partCol) <=> col("_pk_grp") && col("_pk_bkt") === col("_pk_bkt2"))
-      .withColumn(chunkCol,
-        ((col("_pk_off") + sum(col(tokensCol)).over(w) - col(tokensCol))
-          / lit(budget)).cast("long"))
-      .drop("_pk_bkt", "_pk_bkt2", "_pk_grp", "_pk_off")
+        col(partCol) <=> col("_pk_grp") && col("_pk_bkt") <=> col("_pk_bkt2"))
+      // integer `div`, not double `/`: double division loses ULPs above
+      // 2^53 total tokens (reachable at corpus scale) and could round a
+      // prefix of k*budget-1 into chunk k — the promised
+      // `prefix_tokens div budget` must stay exact at any magnitude
+      .withColumn("_pk_prefix",
+        col("_pk_off") + sum(col(tokensCol)).over(w) - col(tokensCol))
+      .withColumn(chunkCol, expr(s"_pk_prefix div ${budget}L"))
+      .drop("_pk_bkt", "_pk_bkt2", "_pk_grp", "_pk_off", "_pk_prefix")
   }
 }

@@ -110,7 +110,13 @@ object Streams {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.lastTs <= gapMs =>
-                  cur = Some(SessionState(s.start, t, s.n + 1, s.total + e.value))
+                  // LATE event (in-watermark, earlier micro-batch carried a
+                  // newer one): extend the session's hull, never REGRESS
+                  // lastTs/start — a regressed lastTs would wrongly split
+                  // the session at the next on-time event and emit
+                  // end < start (the sort only orders within one batch)
+                  cur = Some(SessionState(math.min(s.start, t),
+                    math.max(s.lastTs, t), s.n + 1, s.total + e.value))
                 case Some(s) =>
                   closed += close(uid, s)
                   cur = Some(SessionState(t, t, 1, e.value))
@@ -266,7 +272,12 @@ object Streams {
       .foreachBatch { (batch0: DataFrame, _: Long) =>
         if (!batch0.isEmpty) {
           val spark = batch0.sparkSession
-          val batch = batch0.persist()
+          // intra-batch duplicate guard: the same doc delivered twice in
+          // one micro-batch would multiply through the kept join (2x2
+          // rows) and land duplicate signature rows — the exact
+          // inflation hazard the admission exists to prevent (the
+          // text-index sink guards identically)
+          val batch = batch0.dropDuplicates("doc_id").persist()
           try {
             import graft.pipeline.DedupStore
             // bootstrap an empty index on the very first batch
@@ -403,13 +414,16 @@ object Streams {
         (key: String, rows: Iterator[(String, String)],
             state: GroupState[HllState]) => {
           val regs = state.getOption.map(_.regs.clone()).getOrElse(new Array[Int](64))
-          rows.foreach { case (_, hex) =>
+          // a NULL user_id hashes to a NULL hex (md5 of null propagates):
+          // skip it like the batch twin's SQL null propagation does — an
+          // NPE here would kill the whole streaming query on one bad row
+          rows.foreach { case (_, hex) => if (hex != null) {
             val hv = hex.take(12).foldLeft(0L)((a, c) => a * 16 + Character.digit(c, 16))
             val reg = (hv % 64).toInt
             val q = hv / 64
             val rho = if (q == 0) 43 else 43 - java.lang.Long.toBinaryString(q).length
             if (rho > regs(reg)) regs(reg) = rho
-          }
+          } }
           state.update(HllState(regs))
           val vEmpty = regs.count(_ == 0).toLong
           val denom = regs.map(mj => 1L << (43 - mj)).sum
@@ -418,6 +432,16 @@ object Streams {
             if (vEmpty > 0 && raw <= 160.0) 64 * math.log(64.0 / vEmpty) else raw
           HllOut(key, vEmpty, est)
         })
+  }
+
+  /** Count-Min cell for (salt, word) — md5-prefix bucketing IDENTICAL to
+    * the batch a13_cm grid (salts 1 and 2; first two hex chars as the
+    * 0..255 column), so stream and batch estimates reconcile exactly
+    * over the same rows. One home for both sketch variants. */
+  private def cmsBucket(salt: Int, w: String): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$salt:$w".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(2)
+    (Character.digit(hex(0), 16)) * 16 + Character.digit(hex(1), 16)
   }
 
   /** Count-Min state / output for [[cmsFrequency]]. Public: the state
@@ -441,11 +465,6 @@ object Streams {
     * makes redelivery land exactly once. */
   def cmsFrequency(words: DataFrame): Dataset[CmsOut] = {
     import words.sparkSession.implicits._
-    def bucket(salt: Int, w: String): Int = {
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$salt:$w".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(2)
-      (Character.digit(hex(0), 16)) * 16 + Character.digit(hex(1), 16)
-    }
     words.select(col("source"), col("w")).as[(String, String)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
@@ -454,13 +473,13 @@ object Streams {
           val cells = state.getOption.map(_.cells.clone()).getOrElse(new Array[Int](512))
           val seen = scala.collection.mutable.LinkedHashSet.empty[String]
           rows.foreach { case (_, w) =>
-            cells(bucket(0, w)) += 1
-            cells(256 + bucket(1, w)) += 1
+            cells(cmsBucket(1, w)) += 1
+            cells(256 + cmsBucket(2, w)) += 1
             seen += w
           }
           state.update(CmsState(cells))
           seen.iterator.map { w =>
-            val est = math.min(cells(bucket(0, w)), cells(256 + bucket(1, w))).toLong
+            val est = math.min(cells(cmsBucket(1, w)), cells(256 + cmsBucket(2, w))).toLong
             CmsOut(key, w, est)
           }
         })
@@ -491,11 +510,6 @@ object Streams {
     * would skip its later half. */
   def cmsFrequencyLedgered(words: DataFrame): Dataset[CmsOut] = {
     import words.sparkSession.implicits._
-    def bucket(salt: Int, w: String): Int = {
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$salt:$w".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(2)
-      (Character.digit(hex(0), 16)) * 16 + Character.digit(hex(1), 16)
-    }
     words.select(col("source"), col("w"), col("batch_id").cast("long"))
       .as[(String, String, Long)]
       .groupByKey(_._1)
@@ -513,8 +527,8 @@ object Streams {
             // every row of a batch new to this invocation counts, however
             // the rows interleave
             if (!ledger.contains(b)) {
-              cells(bucket(0, w)) += 1
-              cells(256 + bucket(1, w)) += 1
+              cells(cmsBucket(1, w)) += 1
+              cells(256 + cmsBucket(2, w)) += 1
               fresh += b
             }
             emit += w
@@ -522,7 +536,7 @@ object Streams {
           val mergedLedger = (st.seenBatches ++ fresh).distinct.sorted.takeRight(256)
           state.update(CmsLedgerState(cells, mergedLedger))
           emit.iterator.map { w =>
-            val est = math.min(cells(bucket(0, w)), cells(256 + bucket(1, w))).toLong
+            val est = math.min(cells(cmsBucket(1, w)), cells(256 + cmsBucket(2, w))).toLong
             CmsOut(key, w, est)
           }
         })

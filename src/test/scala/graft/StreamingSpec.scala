@@ -81,6 +81,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize absorbs an in-watermark LATE event without regressing the session") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.sessionize(mem.toDS(), gapMs = 30 * 60000L, watermarkAge = "2 hours")
+      .writeStream.format("memory").queryName("sessl").outputMode("append").start()
+    try {
+      mem.addData(Ev(1, ts(10), 1, "purchase", 1.0))
+      q.processAllAvailable()
+      // LATE event (ts 5 < the state's lastTs 10, inside the watermark):
+      // must extend the session hull, not regress lastTs — a regressed
+      // lastTs would split the session at the next on-time event
+      mem.addData(Ev(2, ts(5), 1, "purchase", 2.0))
+      q.processAllAvailable()
+      mem.addData(Ev(3, ts(35), 1, "purchase", 4.0)) // within gap of ts(10)
+      q.processAllAvailable()
+      // advance the watermark far enough to fire the timeout
+      mem.addData(Ev(4, ts(600), 2, "purchase", 0.5))
+      q.processAllAvailable()
+      mem.addData(Ev(5, ts(601), 2, "purchase", 0.5))
+      q.processAllAvailable()
+      val out = spark.table("sessl")
+        .as[(Long, Timestamp, Timestamp, Long, Double)].collect()
+        .filter(_._1 == 1L)
+      assert(out.length == 1,
+        s"late event split the session: $out")
+      assert(out.head == ((1L, ts(5), ts(35), 3L, 7.0)), out.head.toString)
+      assert(out.forall(s => !s._3.before(s._2)), "session end < start emitted")
+    } finally q.stop()
+  }
+
+  test("hllDistinct survives NULL user ids (batch twin tolerates them)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Option[Long])]
+    val q = Streams.hllDistinct(mem.toDF().toDF("event_type", "user_id"))
+      .writeStream.format("memory").queryName("hlln").outputMode("update").start()
+    try {
+      mem.addData(("a", Some(1L)), ("a", None), ("a", Some(2L)))
+      q.processAllAvailable()
+      val got = spark.table("hlln")
+        .as[(String, Long, Double)].collect()
+      assert(got.nonEmpty, "null user_id killed the streaming query")
+      // two non-null distinct ids, well inside linear counting's range
+      assert(math.abs(got.map(_._3).max - 2.0) < 1.5, got.toSeq.toString)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join ≡ batch join; left-outer emits after watermark") {
     import graft.streaming.Streams.{Tx, Receipt}
     implicit val sqlCtx = spark.sqlContext
@@ -510,12 +556,12 @@ class StreamingSpec extends SparkSpec {
         val c = cells.getOrElse(src, new Array[Int](512))
         val seen = scala.collection.mutable.LinkedHashSet.empty[String]
         rows.foreach { case (_, w) =>
-          c(bucket(0, w)) += 1; c(256 + bucket(1, w)) += 1; seen += w
+          c(bucket(1, w)) += 1; c(256 + bucket(2, w)) += 1; seen += w
           truth += (src, w) -> (truth.getOrElse((src, w), 0L) + 1)
         }
         cells += src -> c
         seen.foreach(w => expected +=
-          ((src, w, math.min(c(bucket(0, w)), c(256 + bucket(1, w))).toLong)))
+          ((src, w, math.min(c(bucket(1, w)), c(256 + bucket(2, w))).toLong)))
       }
     }
     try {

@@ -75,6 +75,13 @@ class TokenPackingSpec extends SparkSpec {
     val nulls = got.filter(col("lang").isNull)
       .orderBy("doc_id").select("chunk_id").as[Long].collect().toSeq
     assert(nulls == Seq(0L, 0L, 1L), s"null-group chunk ids wrong: $nulls")
+    // a null ORDER column yields a null bucket — it must survive the
+    // bucket join too (null-safe on both keys), not silently vanish
+    val withNullOrd = Seq[(java.lang.Long, String, java.lang.Long)](
+      (null, "en", 7L), (1L, "en", 5L))
+      .toDF("doc_id", "lang", "n_tokens")
+    assert(TokenPacking.packChunks(withNullOrd, "lang", "doc_id", "n_tokens", 10L)
+      .count() == 2, "null-orderCol row dropped by the bucket join")
   }
 
   test("empty input yields the shape, not a crash") {

@@ -32,6 +32,15 @@ object StoreRoots {
 
   private val ReadyMarker = "_STORE_READY"
 
+  /** Canonical root for a fingerprint-keyed serving store under the
+    * shared tmpdir — ONE home for the sanitization / format-version /
+    * content-fingerprint keying every such store shares (a change to the
+    * keying scheme must not need 14 call-site edits). */
+  def rootFor(store: String, version: String, dir: String, fp: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/$store/$version/" +
+      dir.replaceAll("[^a-zA-Z0-9]", "_") + s"_$fp"
+
+
   /** True when `root` holds a completely published store. */
   def isReady(spark: SparkSession, root: String): Boolean = {
     val rp = new Path(root)

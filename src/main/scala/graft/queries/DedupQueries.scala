@@ -258,15 +258,11 @@ object DedupQueries {
         .groupBy("source").agg(
           max("rn").as("k_used"),
           max(when(col("rn") === 64, expr(hex12))).as("kth"))
-      val out = k.join(n, "source").select(col("source"), col("n_exact"), col("k_used"),
-        when(col("k_used") < 64, col("n_exact").cast("double"))
-          .otherwise(lit(17732923532771328.0) / col("kth")).as("est_distinct"))
-        .persist()
-      // materialize the (per-source) result, then release the distinct
-      // frame's cache — no per-invocation cached-block leak
-      out.count()
-      sh.unpersist()
-      out
+      CacheScope.sealResult(
+        k.join(n, "source").select(col("source"), col("n_exact"), col("k_used"),
+          when(col("k_used") < 64, col("n_exact").cast("double"))
+            .otherwise(lit(17732923532771328.0) / col("kth")).as("est_distinct")),
+        sh)
     },
 
     // ------------------------------------------------------------- SKETCH-1b
@@ -354,17 +350,14 @@ object DedupQueries {
         count(lit(1)).as("k_used"),
         sum(when(col("in_a") === 1 && col("in_b") === 1, 1).otherwise(0)).as("n_both"),
         max(when(col("rn") === 64, expr(hex12))).as("kth"))
-      val out = k2
-        .withColumn("est_union",
-          when(col("k_used") < 64, col("k_used").cast("double"))
-            .otherwise(lit(17732923532771328.0) / col("kth")))
-        .select(col("sa"), col("sb"), col("k_used"), col("n_both"), col("est_union"),
-          (col("n_both") / col("k_used").cast("double")).as("est_j"),
-          ((col("n_both") / col("k_used").cast("double")) * col("est_union")).as("est_i"))
-        .persist()
-      out.count()
-      sk.unpersist()
-      out
+      CacheScope.sealResult(
+        k2.withColumn("est_union",
+            when(col("k_used") < 64, col("k_used").cast("double"))
+              .otherwise(lit(17732923532771328.0) / col("kth")))
+          .select(col("sa"), col("sb"), col("k_used"), col("n_both"), col("est_union"),
+            (col("n_both") / col("k_used").cast("double")).as("est_j"),
+            ((col("n_both") / col("k_used").cast("double")) * col("est_union")).as("est_i")),
+        sk)
     },
 
     // -------------------------------------------------------------- SKETCH-2
@@ -801,8 +794,8 @@ object DedupQueries {
       // otherwise admit against a stale index (Graft.dataFingerprint —
       // ordered (name, len, mtime) tuple hash, metadata-only, no data scan)
       val fp = Graft.dataFingerprint(s, s"$dir/documents.parquet")
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_dedup_store/v2/" +
-        dir.replaceAll("[^a-zA-Z0-9]", "_") + s"_${cut}_$fp"
+      val root = graft.core.StoreRoots.rootFor("graft_dedup_store", "v2", dir,
+        s"${cut}_$fp")
       graft.pipeline.DedupStore.ensureBuilt(s, root, all.filter(col("doc_id") < cut))
       graft.pipeline.DedupStore.admit(s, root, all.filter(col("doc_id") >= cut), cut)
     },

@@ -25,8 +25,7 @@ object ExtraQueries {
     import graft.core.ManifestSnapshots
     val ev = events(s, dir).select("event_id", "user_id", "value")
     val fp = Graft.dataFingerprint(s, s"$dir/events.parquet")
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_msnap_store/v1/" +
-      dir.replaceAll("[^a-zA-Z0-9]", "_") + s"_$fp"
+    val root = graft.core.StoreRoots.rootFor("graft_msnap_store", "v1", dir, fp)
     graft.core.StoreRoots.ensure(s, root) { tmp =>
       val m = ev.agg(max("event_id")).head.getLong(0)
       ManifestSnapshots.writeFull(
@@ -459,19 +458,16 @@ object ExtraQueries {
         (sum(expr("shiftleft(cast(1 as bigint), cast(43 - mj as int))"))
           + (lit(64) - count(lit(1))) * lit(1L << 43)).as("denom"),
         (lit(64) - count(lit(1))).cast("long").as("v_empty"))
-      val out = z.withColumn("raw_est",
+      CacheScope.sealResult(
+        z.withColumn("raw_est",
           expr("cast(0.709 as double) * 4096 * 8796093022208 / denom"))
         .join(n, "event_type")
         .select(col("event_type"), col("n_exact"), col("v_empty"),
           when(col("v_empty") > 0 && col("raw_est") <= 160.0,
             lit(64) * element_at(tab, col("v_empty").cast("int")))
             .otherwise(col("raw_est")).as("est_distinct"))
-        .persist()
-      // materialize the (group-count-sized) result, then release the
-      // distinct frame's cache — no per-invocation cached-block leak
-      out.count()
-      h.unpersist()
-      out
+      ,
+        h)
     },
 
     // ---------------------------------------------------------------- TEXT-6
@@ -524,8 +520,7 @@ object ExtraQueries {
       val ev = events(s, dir)
         .select("event_id", "user_id", "event_type", "value")
       val fp = Graft.dataFingerprint(s, s"$dir/events.parquet")
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_store/v1/" +
-        dir.replaceAll("[^a-zA-Z0-9]", "_") + s"_$fp"
+      val root = graft.core.StoreRoots.rootFor("graft_zorder_store", "v1", dir, fp)
       graft.core.StoreRoots.ensure(s, root)(tmp =>
         Lakehouse.writeZOrderedK(ev, tmp, Seq("user_id", "value", "event_id"),
           numFiles = 32))
@@ -594,8 +589,7 @@ object ExtraQueries {
       import graft.core.BloomSkipping
       val ev = events(s, dir).select("event_id", "user_id", "event_type", "value")
       val fp = Graft.dataFingerprint(s, s"$dir/events.parquet")
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_bloom_store/v1/" +
-        dir.replaceAll("[^a-zA-Z0-9]", "_") + s"_$fp"
+      val root = graft.core.StoreRoots.rootFor("graft_bloom_store", "v1", dir, fp)
       graft.core.StoreRoots.ensure(s, root)(tmp =>
         BloomSkipping.writeBloomIndexed(ev, tmp, "event_id", numFiles = 32))
       val m = ev.agg(max("event_id")).head.getLong(0)
@@ -704,8 +698,7 @@ object ExtraQueries {
       import graft.core.ManifestSnapshots
       val ev = events(s, dir).select("event_id", "user_id", "value")
       val fp = Graft.dataFingerprint(s, s"$dir/events.parquet")
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_msnapdel_store/v1/" +
-        dir.replaceAll("[^a-zA-Z0-9]", "_") + s"_$fp"
+      val root = graft.core.StoreRoots.rootFor("graft_msnapdel_store", "v1", dir, fp)
       graft.core.StoreRoots.ensure(s, root) { tmp =>
         val m = ev.agg(max("event_id")).head.getLong(0)
         ManifestSnapshots.writeFull(
@@ -739,8 +732,7 @@ object ExtraQueries {
       import graft.core.ManifestSnapshots
       val ev = events(s, dir).select("event_id", "user_id", "value")
       val fp = Graft.dataFingerprint(s, s"$dir/events.parquet")
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_msnapzm_store/v1/" +
-        dir.replaceAll("[^a-zA-Z0-9]", "_") + s"_$fp"
+      val root = graft.core.StoreRoots.rootFor("graft_msnapzm_store", "v1", dir, fp)
       graft.core.StoreRoots.ensure(s, root)(tmp =>
         ManifestSnapshots.writeFull(
           ev.repartitionByRange(16, col("event_id")), tmp))
@@ -768,8 +760,7 @@ object ExtraQueries {
       import graft.core.ManifestSnapshots
       val ev = events(s, dir).select("event_id", "user_id", "value")
       val fp = Graft.dataFingerprint(s, s"$dir/events.parquet")
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_msnapupd_store/v1/" +
-        dir.replaceAll("[^a-zA-Z0-9]", "_") + s"_$fp"
+      val root = graft.core.StoreRoots.rootFor("graft_msnapupd_store", "v1", dir, fp)
       graft.core.StoreRoots.ensure(s, root) { tmp =>
         val m = ev.agg(max("event_id")).head.getLong(0)
         ManifestSnapshots.writeFull(
@@ -805,8 +796,7 @@ object ExtraQueries {
       import graft.core.ManifestSnapshots
       val ev = events(s, dir).select("event_id", "user_id", "value")
       val fp = Graft.dataFingerprint(s, s"$dir/events.parquet")
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_msnapmrg_store/v1/" +
-        dir.replaceAll("[^a-zA-Z0-9]", "_") + s"_$fp"
+      val root = graft.core.StoreRoots.rootFor("graft_msnapmrg_store", "v1", dir, fp)
       graft.core.StoreRoots.ensure(s, root) { tmp =>
         val m = ev.agg(max("event_id")).head.getLong(0)
         ManifestSnapshots.writeFull(
@@ -842,8 +832,7 @@ object ExtraQueries {
       import graft.core.ManifestSnapshots
       val ev = events(s, dir).select("event_id", "user_id", "value")
       val fp = Graft.dataFingerprint(s, s"$dir/events.parquet")
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_msnapmrgp_store/v1/" +
-        dir.replaceAll("[^a-zA-Z0-9]", "_") + s"_$fp"
+      val root = graft.core.StoreRoots.rootFor("graft_msnapmrgp_store", "v1", dir, fp)
       graft.core.StoreRoots.ensure(s, root) { tmp =>
         val m = ev.agg(max("event_id")).head.getLong(0)
         // an append CHAIN scatters keys across version files; the sorted
@@ -880,8 +869,7 @@ object ExtraQueries {
         .select(format_string("u%09d", col("event_id")).as("ek"),
           col("user_id"), col("value"))
       val fp = Graft.dataFingerprint(s, s"$dir/events.parquet")
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_msnapzms_store/v1/" +
-        dir.replaceAll("[^a-zA-Z0-9]", "_") + s"_$fp"
+      val root = graft.core.StoreRoots.rootFor("graft_msnapzms_store", "v1", dir, fp)
       graft.core.StoreRoots.ensure(s, root)(tmp =>
         ManifestSnapshots.writeFull(
           ev.repartitionByRange(16, col("ek")), tmp))
@@ -912,8 +900,7 @@ object ExtraQueries {
         .select(format_string("u%09d", col("event_id")).as("ek"),
           col("user_id"), col("value"), col("event_id"))
       val fp = Graft.dataFingerprint(s, s"$dir/events.parquet")
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_msnapmrgb_store/v1/" +
-        dir.replaceAll("[^a-zA-Z0-9]", "_") + s"_$fp"
+      val root = graft.core.StoreRoots.rootFor("graft_msnapmrgb_store", "v1", dir, fp)
       graft.core.StoreRoots.ensure(s, root) { tmp =>
         val m = ev.agg(max("event_id")).head.getLong(0)
         ManifestSnapshots.enableBloomIndex(s, tmp, Seq("ek"))
@@ -952,8 +939,7 @@ object ExtraQueries {
       val spec = MvSpec(keys = Seq("user_id"),
         sums = Seq("value"), mins = Seq("value"), maxs = Seq("value"))
       val fp = Graft.dataFingerprint(s, s"$dir/events.parquet")
-      val viewRoot = s"${System.getProperty("java.io.tmpdir")}/graft_mv_store/v1/" +
-        dir.replaceAll("[^a-zA-Z0-9]", "_") + s"_$fp"
+      val viewRoot = graft.core.StoreRoots.rootFor("graft_mv_store", "v1", dir, fp)
       graft.core.StoreRoots.ensure(s, viewRoot) { tmp =>
         MaterializedView.refresh(s, base, tmp, spec, asOf = Some(1L))
         val inc = MaterializedView.refresh(s, base, tmp, spec)

@@ -155,12 +155,8 @@ object GraphQueries {
     * would cut lineage more aggressively but measures ~0.9 s slower
     * here: its materialization job re-executes outside AQE's coalesced
     * shuffle reads. */
-  private def materialize(result: DataFrame, adj: DataFrame): DataFrame = {
-    val out = result.persist()
-    out.count()
-    adj.unpersist()
-    out
-  }
+  private def materialize(result: DataFrame, adj: DataFrame): DataFrame =
+    CacheScope.sealResult(result, adj)
 
   val all: Seq[QueryDef] = Seq(
 

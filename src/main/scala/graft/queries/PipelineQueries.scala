@@ -16,15 +16,9 @@ object PipelineQueries {
   private def events(s: SparkSession, dir: String): DataFrame =
     Graft.events(s, dir)
 
-  private val typePriority =
-    when(col("event_type") === "signup", 1)
-      .when(col("event_type") === "purchase", 2)
-      .when(col("event_type") === "click", 3)
-      .otherwise(4)
-
-  private val typePrioritySql =
-    """CASE event_type WHEN 'signup' THEN 1 WHEN 'purchase' THEN 2
-      |                WHEN 'click' THEN 3 ELSE 4 END""".stripMargin
+  // event-order key single-sourced in EventOrder (QueryDef.scala)
+  private val typePriority = EventOrder.typePriority
+  private val typePrioritySql = EventOrder.typePrioritySql
 
   /** Deterministic wallet-transactions + daily-prices fixture for the
     * priced flagship program. Every event yields a sender and a receiver
@@ -91,6 +85,10 @@ object PipelineQueries {
       .crossJoin(Seq("ETH", "signup", "click", "tok0", "tok1", "tok2").toDF("address"))
       .select(col("address"),
         explode(sequence(col("dmin") - 9, col("dmax") + 9)).as("day"))
+      // PARITY CAVEAT: Spark pmod (always-positive) vs DuckDB `%`
+      // (sign-of-dividend) agree only while day >= 0 — true for every
+      // 2024-dated fixture; a regeneration with events within 9 days of
+      // epoch would need both sides aligned on one modulo convention.
       .filter(pmod(col("day") + expr("ascii(right(address, 1))"), lit(5L)) =!= 0)
       .select(col("address"),
         ((pmod(col("day") * (length(col("address")) + 1) + expr("ascii(right(address, 1))"),

@@ -58,6 +58,25 @@ private[graft] object CacheScope {
     }
 }
 
+
+/** The reference's deterministic event-order key: timestamp, then a CASE
+  * priority on type, then id (ethereum_wallet_features.sql:16-39) — ONE
+  * home for the Column and SQL forms, which must stay byte-equivalent
+  * for the window family and the flagship programs to tie-break
+  * identically. */
+private[graft] object EventOrder {
+  val typePriority: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, when}
+    when(col("event_type") === "signup", 1)
+      .when(col("event_type") === "purchase", 2)
+      .when(col("event_type") === "click", 3)
+      .otherwise(4)
+  }
+  val typePrioritySql: String =
+    """CASE event_type WHEN 'signup' THEN 1 WHEN 'purchase' THEN 2
+      |              WHEN 'click' THEN 3 ELSE 4 END""".stripMargin
+}
+
 /** Shared embedding-parity primitives (used by the dedup and ANN queries):
   * quantize float vectors to BIGINT (floor(x*1e6)) so dot products and
   * norms are exact integer arithmetic — bit-identical across engines and

@@ -572,8 +572,7 @@ object SimilarityQueries {
   val all: Seq[QueryDef] = core :+
     QueryDef("ann_ivfs", core.find(_.name == "ann_ivf").get.oracle.get) { (s, dir) =>
       val fp = Graft.dataFingerprint(s, s"$dir/embeddings.parquet")
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_ann_store/v2/" +
-        dir.replaceAll("[^a-zA-Z0-9]", "_") + s"_$fp"
+      val root = graft.core.StoreRoots.rootFor("graft_ann_store", "v2", dir, fp)
       val emb = Graft.table(s, dir, "embeddings")
       graft.pipeline.AnnStore.ensureBuilt(s, root, emb)
       graft.pipeline.AnnStore.probe(s, root,

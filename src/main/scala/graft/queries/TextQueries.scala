@@ -832,8 +832,7 @@ object TextQueries {
          |SELECT doc_id, bm25 FROM base WHERE bm25 > 0
          |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
       val fp = graft.core.Graft.dataFingerprint(s, s"$dir/documents.parquet")
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_text_store/v2/" +
-        dir.replaceAll("[^a-zA-Z0-9]", "_") + s"_$fp"
+      val root = graft.core.StoreRoots.rootFor("graft_text_store", "v2", dir, fp)
       graft.pipeline.TextIndexStore.ensureBuilt(s, root,
         Graft.table(s, dir, "documents"))
       graft.pipeline.TextIndexStore.probe(s, root,

@@ -16,17 +16,10 @@ object WindowQueries {
   private def events(s: SparkSession, dir: String): DataFrame =
     Graft.events(s, dir)
 
-  /** The reference's deterministic event-order key: timestamp, then a CASE
-    * priority on type, then id (ethereum_wallet_features.sql:16-39). */
-  private val typePriority =
-    when(col("event_type") === "signup", 1)
-      .when(col("event_type") === "purchase", 2)
-      .when(col("event_type") === "click", 3)
-      .otherwise(4)
-
-  private val typePrioritySql =
-    """CASE event_type WHEN 'signup' THEN 1 WHEN 'purchase' THEN 2
-      |              WHEN 'click' THEN 3 ELSE 4 END""".stripMargin
+  // event-order key shared across the window family and the flagship
+  // programs — single-sourced in EventOrder (QueryDef.scala)
+  private val typePriority = EventOrder.typePriority
+  private val typePrioritySql = EventOrder.typePrioritySql
 
   val all: Seq[QueryDef] = Seq(
 
@@ -53,6 +46,11 @@ object WindowQueries {
          |  DENSE_RANK() OVER (PARTITION BY user_id, epoch_us(ts) // 86400000000
          |    ORDER BY $typePrioritySql) AS hash_rank
          |FROM events""".stripMargin) { (s, dir) =>
+      // PARITY CAVEAT: Spark `div` truncates toward zero; DuckDB `//`
+      // floors. They agree on the whole non-negative domain (every
+      // fixture is 2024-dated) but diverge for pre-1970 timestamps — if
+      // a regeneration ever ships negative ts_us, BOTH sides of this
+      // day-bucketing must move to an explicit floor form together.
       val w = Window.partitionBy(col("user_id"), expr("ts_us div 86400000000"))
         .orderBy(typePriority)
       events(s, dir).select(col("event_id"), col("user_id"),

@@ -170,7 +170,11 @@ object Curation {
         DedupStore.ensureBuilt(spark, root, afterExact.filter(lit(false)))
         val minRow = afterExact.agg(min("doc_id")).head
         val cut = if (minRow.isNullAt(0)) Long.MaxValue else minRow.getLong(0)
-        val verdicts = DedupStore.admit(spark, root, afterExact, cut, jaccardMin)
+        // admission reads the SHARED shingle cache — without preShingled
+        // the store would re-derive shingles from raw text (the funnel's
+        // dominant per-row CPU, paid a second time per batch)
+        val verdicts = DedupStore.admit(spark, root, afterExact, cut, jaccardMin,
+          preShingled = Some(sh))
         val v = verdicts.filter(!col("admitted")).select("doc_id").persist()
         v.count() // materialize so admit's verdict cache can release now
         verdicts.unpersist()
@@ -218,8 +222,11 @@ object Curation {
     dedupStore.foreach { root =>
       val spark = docs.sparkSession
       val already = spark.table(DedupStore.shinglesTable(root)).select("doc_id")
-      DedupStore.appendAdmitted(spark, root,
-        afterCap.join(already, Seq("doc_id"), "left_anti"))
+      val toIndex = afterCap.join(already, Seq("doc_id"), "left_anti")
+      // the fold-back also reads the shared shingle cache (third shingle
+      // pass eliminated): sh scoped to the kept ids by join
+      DedupStore.appendAdmitted(spark, root, toIndex,
+        preShingled = Some(sh.join(toIndex.select("doc_id"), "doc_id")))
     }
 
     // 5. token packing per language (t_token_pack shape) — distributed

@@ -56,6 +56,21 @@ object DedupStore {
     (bands, hsh)
   }
 
+  /** [[signatures]] from a PRECOMPUTED per-doc distinct-shingle frame
+    * `(doc_id, sh: array<string>)` — the caller's shared shingle cache
+    * (the curation funnel computes shingles once for its LSH, verify,
+    * and decontamination stages; shingling is the dominant per-row CPU,
+    * so admission must not re-derive it from raw text). Values are
+    * identical to [[signatures]] by construction: same distinct-3-gram
+    * sets, same band fold, same sorted-xxhash64 verification arrays. */
+  def signaturesFromShingles(sh: DataFrame): (DataFrame, DataFrame) = {
+    val bands = DedupQueries.minhashBands(
+      sh.select(col("doc_id"), explode(col("sh")).as("s")))
+    val hsh = sh.select(col("doc_id"),
+      expr("array_sort(transform(sh, s -> xxhash64(s)))").as("hs"))
+    (bands, hsh)
+  }
+
   /** Idempotent store bootstrap: re-register an existing on-disk index on a
     * fresh session, build it from `corpus` only when absent. Returns true
     * when the store was (re)built, false when it already existed. */
@@ -76,8 +91,10 @@ object DedupStore {
   /** Fold an admitted batch's signatures into the index (call after
     * [[admit]], with the batch filtered to the rows actually kept) — the
     * next batch then dedups against them without any recompute. */
-  def appendAdmitted(spark: SparkSession, root: String, admitted: DataFrame): Unit = {
-    val (bands, hsh) = signatures(admitted)
+  def appendAdmitted(spark: SparkSession, root: String, admitted: DataFrame,
+      preShingled: Option[DataFrame] = None): Unit = {
+    val (bands, hsh) = preShingled
+      .map(signaturesFromShingles).getOrElse(signatures(admitted))
     Lakehouse.appendBucketed(bands, bandsTable(root), "bh", Buckets)
     Lakehouse.appendBucketed(hsh, shinglesTable(root), "doc_id", Buckets)
   }
@@ -94,9 +111,11 @@ object DedupStore {
     * verdict cache per batch. */
   def admit(spark: SparkSession, root: String, batch: DataFrame,
       storedIdUpperBound: Long,
-      threshold: Double = JaccardThreshold): DataFrame = {
+      threshold: Double = JaccardThreshold,
+      preShingled: Option[DataFrame] = None): DataFrame = {
     graft.functions.VectorExprs.register(spark)
-    val (bBands0, bHsh) = signatures(batch)
+    val (bBands0, bHsh) = preShingled
+      .map(signaturesFromShingles).getOrElse(signatures(batch))
     // both admission joins (vs stored, vs batch) consume the batch bands
     val bBands = bBands0.persist()
 

@@ -71,10 +71,13 @@ object Bench {
 
     // Noise immunity: a single-shot time is one sample of a contended
     // host. Any query measuring far above its own BENCH_FULL.json history
-    // (>3x AND >0.5s absolute — micro-query jitter is not an outlier)
+    // (>2x AND >0.5s absolute — micro-query jitter is not an outlier)
     // gets ONE re-run and reports the min: a transient host artifact
     // (page-cache eviction, a background compile) vanishes on the retry,
-    // a real regression reproduces and stays in the record.
+    // a real regression reproduces and stays in the record. The trigger
+    // was 3x through round 10, which let four 2.2-2.7x host-noise
+    // inflations (~10s total) into the official record — 2x catches that
+    // band while the 0.5s floor still keeps micro-query jitter out.
     val history: Map[String, Double] =
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
@@ -98,7 +101,7 @@ object Bench {
     val moverCap = if (medianRatio <= 1.3) Int.MaxValue else 8
     val suspects = first
       .filter { case (n, t) =>
-        t > 0 && history.get(n).exists(h => h > 0 && t > 3 * h && t - h > 0.5) }
+        t > 0 && history.get(n).exists(h => h > 0 && t > 2 * h && t - h > 0.5) }
       .sortBy(-_._2).take(moverCap).map(_._1).toSet
     val results = first.map { case (n, t) =>
       if (!suspects(n)) n -> t

@@ -1110,8 +1110,17 @@ object ManifestSnapshots {
       val df = readEntries(spark, base, entries)
       if (!keys.forall(df.columns.contains(_))) return
       BloomSkipping.register(spark)
-      import org.apache.spark.sql.functions.{col => c, input_file_name, xxhash64, element_at, split => fsplit}
+      import org.apache.spark.sql.functions.{col => c, input_file_name, xxhash64, substring_index, concat, lit => flit}
       val vdir = entries.head.path.split('/').take(2).mkString("/")
+      // Sidecar rows key by the LAKE-RELATIVE entry path, not the bare
+      // part-file name: a dynamically-partitioned write emits the SAME
+      // part-NNNNN-<uuid> name into every partition dir it touches, so a
+      // bare-name key would let one file's bloom reject prune its
+      // same-named sibling that does hold probe keys (silent duplicate
+      // keys after mergeByKey). input_file_name()'s URI qualification
+      // varies by filesystem; the suffix after the store's own
+      // "/data/d-" marker is qualification-independent and (hive
+      // partition values being escaped) unambiguous.
       val sidecar = df
         .groupBy(input_file_name().as("file"))
         .agg(org.apache.spark.sql.functions.call_function("bloom_agg",
@@ -1120,7 +1129,8 @@ object ManifestSnapshots {
           org.apache.spark.sql.functions.lit(
             org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(items, fpp)))
           .as("bloom"))
-        .withColumn("file", element_at(fsplit(c("file"), "/"), -1))
+        .withColumn("file",
+          concat(flit("data/d-"), substring_index(c("file"), "/data/d-", -1)))
       sidecar.write.mode(SaveMode.Overwrite)
         .parquet(s"$base/$BloomDirName/${vdir.split('/').last}.parquet")
     }
@@ -1150,7 +1160,19 @@ object ManifestSnapshots {
             }
           }.collect().toSet
       } catch { case _: Exception => return entries } // torn sidecar: keep all
-    entries.filterNot(e => rejected.contains(e.path.split('/').last))
+    // New sidecars key by lake-relative path (exact match); sidecars
+    // written before the path-keying fix hold bare part-file names — a
+    // bare-name rejection is honored only when the name maps to exactly
+    // ONE live entry (ambiguous names stay un-pruned: keeping a file the
+    // bloom could have dropped costs a scan, pruning the wrong sibling
+    // costs silent duplicate keys).
+    val bareCounts = entries.groupBy(_.path.split('/').last)
+      .view.mapValues(_.size).toMap
+    entries.filterNot { e =>
+      val bare = e.path.split('/').last
+      rejected.contains(e.path) ||
+        (rejected.contains(bare) && bareCounts(bare) == 1)
+    }
   }
 
   /** The delta's distinct xxhash64'd key tuples, when they fit the

@@ -1,7 +1,8 @@
 package graft.pipeline
 
-import graft.core.Lakehouse
+import graft.core.{Graft, Lakehouse, StoreRoots}
 import graft.queries.{EmbeddingParity, SimilarityQueries}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -22,12 +23,31 @@ import org.apache.spark.sql.functions._
   * driver-bounded `IN` list over the bucket column, so the scan touches
   * nprobe·|queries| buckets of data, not N.
   *
-  * Layout:
-  *  - centroids (cid, c_qv, c_nq)        plain parquet — ~√N rows, always
-  *    broadcast.
-  *  - assign    (cid, vec_id, qv, nq)    [[Lakehouse.ctasBucketed]] on
-  *    `cid`, sorted by cid — the probe filter `cid IN (...)` prunes whole
-  *    buckets at planning time (SelectedBucketsCount in the scan).
+  * Layout (GENERATIONS — drift maintenance, see [[refresh]]):
+  *  - generation 0 (the initial build):
+  *      centroids   `$root/ann/centroids`          plain parquet, ~√N rows
+  *      assign      `$root/ann/assign`             [[Lakehouse.ctasBucketed]]
+  *                                                 on `cid`, sorted by cid
+  *  - generation g>0 (each refresh):  `$root/ann/gen-<g>/{centroids,assign}`
+  *    published atomically through [[StoreRoots.ensure]] (build in a
+  *    private sibling, `_STORE_READY` written last, rename-publish), so a
+  *    crashed refresh is invisible and the previous generation keeps
+  *    serving. The live generation is the max READY one.
+  *
+  * DRIFT: [[appendVectors]] assigns new vectors against the live FROZEN
+  * codebook (standard IVF practice — the codebook samples the
+  * distribution, not every row). Under sustained appends from a SHIFTED
+  * distribution the frozen codebook stops resembling the corpus: appended
+  * mass crowds into few cells (probe cost grows toward O(append batch))
+  * and semantic clusters straddle stale Voronoi boundaries (recall at
+  * fixed nprobe decays). [[shouldRefresh]] detects both — appended
+  * fraction from parquet FOOTER metadata alone, then cell skew
+  * (max/median cell size) from one column-pruned aggregate — and
+  * [[refresh]] retrains the codebook on the CURRENT stored corpus
+  * (stride seed + one exact floor-mean Lloyd round, the ann_ivf_kmeans
+  * math) and reassigns, as the next generation. Mirrors the reference's
+  * continuously re-upserted serving store (features_pipeline.py:203-256),
+  * which never lets the serving layer drift from the corpus it serves.
   *
   * All math inherits the engine's exact-integer embedding convention
   * (floor(x·1e6) quantization, native long_dot, one IEEE division at the
@@ -44,6 +64,45 @@ object AnnStore {
   def assignTable(root: String): String = "ann_assign_" + ident(root)
   def centroidsPath(root: String): String = s"$root/ann/centroids"
   def assignPath(root: String): String = s"$root/ann/assign"
+
+  // ---------------------------------------------------------- GENERATIONS
+
+  private def annBase(root: String): String = s"${root.stripSuffix("/")}/ann"
+  private def genDir(root: String, g: Long): String = s"${annBase(root)}/gen-$g"
+  def assignTable(root: String, g: Long): String =
+    if (g == 0L) assignTable(root) else s"${assignTable(root)}_g$g"
+  def centroidsPath(root: String, g: Long): String =
+    if (g == 0L) centroidsPath(root) else s"${genDir(root, g)}/centroids"
+  def assignPath(root: String, g: Long): String =
+    if (g == 0L) assignPath(root) else s"${genDir(root, g)}/assign"
+
+  /** The live generation: the max gen-<g> dir with a completed
+    * [[StoreRoots]] publish, 0 (the initial layout) when none. */
+  def currentGen(spark: SparkSession, root: String): Long = {
+    val base = new Path(annBase(root))
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return 0L
+    Option(fs.globStatus(new Path(base, "gen-*"))).map(_.toSeq).getOrElse(Nil)
+      .flatMap(st => st.getPath.getName.stripPrefix("gen-").toLongOption)
+      .filter(g => StoreRoots.isReady(spark, genDir(root, g)))
+      .sorted.lastOption.getOrElse(0L)
+  }
+
+  /** Resolve the live generation AND make its assign table usable on this
+    * session (a restart loses the in-memory catalog; re-register from the
+    * on-disk layout marker, [[Lakehouse.ensureBucketedTable]]). */
+  private def resolve(spark: SparkSession, root: String): Long = {
+    val g = currentGen(spark, root)
+    Lakehouse.ensureBucketedTable(spark, assignTable(root, g),
+      assignPath(root, g), "cid", Buckets, sortCols = Seq("cid"))
+    g
+  }
+
+  /** The live generation's assign table name, registered on this session. */
+  def assignTableCurrent(spark: SparkSession, root: String): String =
+    assignTable(root, resolve(spark, root))
+
+  // -------------------------------------------------------------- BUILD
 
   /** Raw embeddings → the exact-integer form (vec_id, qv, nq). */
   def quantized(embeddings: DataFrame): DataFrame = {
@@ -70,20 +129,24 @@ object AnnStore {
   /** Idempotent store bootstrap: re-register an existing on-disk index on a
     * fresh session, build from `embeddings` only when absent. The codebook
     * is the engine's deterministic √N stride sample (the k-means-refined
-    * variant would slot in here unchanged — the store contract only needs
-    * SOME frozen codebook). Returns true when (re)built. */
+    * variant is what [[refresh]] produces — the store contract only needs
+    * SOME frozen codebook per generation). Returns true when (re)built. */
   def ensureBuilt(spark: SparkSession, root: String,
       embeddings: => DataFrame): Boolean = {
+    val g = currentGen(spark, root)
     // sortCols must match the CTAS layout: a post-restart re-registration
     // without them would make the next appendBucketed (which sorts) fail
     // on a bucketing-spec mismatch
-    val haveAssign = Lakehouse.ensureBucketedTable(spark, assignTable(root),
-      assignPath(root), "cid", Buckets, sortCols = Seq("cid"))
-    if (haveAssign && Lakehouse.tableExists(spark, centroidsPath(root)))
+    val haveAssign = Lakehouse.ensureBucketedTable(spark, assignTable(root, g),
+      assignPath(root, g), "cid", Buckets, sortCols = Seq("cid"))
+    if (haveAssign && Lakehouse.tableExists(spark, centroidsPath(root, g)))
       return false
     val n = quantized(embeddings).persist()
     try {
-      val stride = SimilarityQueries.centroidStride(n.count())
+      // the count doubles as cache materialization: `n` is an arbitrary
+      // (possibly non-parquet-backed) plan scanned twice more below
+      val total = n.count()
+      val stride = SimilarityQueries.centroidStride(total)
       val cent = n.filter(pmod(col("vec_id"), lit(stride)) === 0)
         .select(col("vec_id").as("cid"), col("qv").as("c_qv"), col("nq").as("c_nq"))
       Lakehouse.ctas(cent, centroidsPath(root))
@@ -91,30 +154,169 @@ object AnnStore {
         .select(col("cid"), col("vec_id"), col("qv"), col("nq"))
       Lakehouse.ctasBucketed(assign, assignTable(root), "cid", Buckets,
         sortCols = Seq("cid"), path = Some(assignPath(root)))
+      writeBaseRows(spark, annBase(root), total)
       true
-    } finally n.unpersist()
+    } finally { n.unpersist(); () }
   }
 
   def centroids(spark: SparkSession, root: String): DataFrame =
-    Lakehouse.read(spark, centroidsPath(root))
+    Lakehouse.read(spark, centroidsPath(root, currentGen(spark, root)))
+
+  // -------------------------------------------------------------- APPEND
 
   /** O(delta) vector admission: assign ONLY the new vectors against the
-    * FROZEN stored codebook (standard IVF practice — the codebook is a
-    * sample of the distribution, not of every row) and bucket-append them
-    * into the inverted file. The next probe sees them with no rebuild. */
+    * live generation's FROZEN codebook and bucket-append them into its
+    * inverted file. The next probe sees them with no rebuild. Sustained
+    * appends drift the corpus away from the frozen codebook — that is
+    * [[shouldRefresh]]/[[refresh]]'s job, not this call's. */
   def appendVectors(spark: SparkSession, root: String, newEmbeddings: DataFrame): Unit = {
+    val g = resolve(spark, root)
     // replay-safe (same contract as the dedup index): a re-delivered batch
     // must not duplicate inverted-file rows — a duplicated vector would
     // surface twice in every probe of its cell. dropDuplicates covers the
     // INTRA-batch copy the stored-table anti join cannot see (both copies
     // are absent from the store, both would pass the guard).
     val fresh = newEmbeddings.dropDuplicates("vec_id").join(
-      spark.table(assignTable(root)).select("vec_id"), Seq("vec_id"), "left_anti")
+      spark.table(assignTable(root, g)).select("vec_id"), Seq("vec_id"), "left_anti")
     val assign = rankCells(quantized(fresh), centroids(spark, root), 1)
       .select(col("cid"), col("vec_id"), col("qv"), col("nq"))
-    Lakehouse.appendBucketed(assign, assignTable(root), "cid", Buckets,
+    Lakehouse.appendBucketed(assign, assignTable(root, g), "cid", Buckets,
       sortCols = Seq("cid"))
   }
+
+  // ------------------------------------------------------------- REFRESH
+
+  /** Rows the live codebook was trained on, recorded beside it at build /
+    * refresh time — the denominator of the appended-fraction trigger. */
+  private val BaseRowsFile = "_BASE_ROWS"
+
+  private def writeBaseRows(spark: SparkSession, dir: String, rows: Long): Unit = {
+    val p = new Path(dir, BaseRowsFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(rows.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readBaseRows(spark: SparkSession, dir: String): Option[Long] = {
+    val p = new Path(dir, BaseRowsFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else try {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      s.trim.toLongOption
+    } catch { case _: Exception => None }
+  }
+
+  private def baseDirOf(root: String, g: Long): String =
+    if (g == 0L) annBase(root) else genDir(root, g)
+
+  /** Fraction of the inverted file appended since the live codebook was
+    * trained: (rowsNow − rowsAtTrain) / rowsAtTrain. METADATA-ONLY — rows
+    * now comes from the assign files' parquet footers, rowsAtTrain from
+    * the marker beside the codebook; no job, no scan. A store predating
+    * the marker reports the conservative maximum (refresh-worthy). */
+  def appendedFraction(spark: SparkSession, root: String): Double = {
+    val g = currentGen(spark, root)
+    readBaseRows(spark, baseDirOf(root, g)) match {
+      case None => Double.MaxValue
+      case Some(base) if base <= 0 => Double.MaxValue
+      case Some(base) =>
+        val now = Graft.parquetRowCount(spark, assignPath(root, g))
+        math.max(0.0, (now - base).toDouble / base.toDouble)
+    }
+  }
+
+  /** max/median cell size of the live inverted file — the probe-cost shape
+    * of the index (a probe scans whole cells, so the worst cell bounds the
+    * worst probe). One column-pruned aggregate over `cid` (map-side
+    * partial → ~√N cells on the driver); the ONLY refresh signal that
+    * needs a job, so [[shouldRefresh]] checks it last. */
+  def cellSkew(spark: SparkSession, root: String): Double = {
+    val g = resolve(spark, root)
+    val sizes = spark.table(assignTable(root, g))
+      .groupBy("cid").count().select("count")
+      .collect().map(_.getLong(0)).sorted
+    if (sizes.isEmpty) 0.0
+    else sizes.last.toDouble / math.max(1L, sizes(sizes.length / 2)).toDouble
+  }
+
+  /** Should the codebook be retrained? True when sustained appends have
+    * outgrown it (appended fraction — footer metadata only, checked
+    * first) or when cell sizes have skewed past `maxSkew` (shifted
+    * appends crowding stale cells). Thresholds are maintenance policy,
+    * not correctness: a probe is exact over whatever cells it scans at
+    * ANY skew — refresh restores the ~√N cost/recall shape. */
+  def shouldRefresh(spark: SparkSession, root: String,
+      maxAppendedFraction: Double = 0.5, maxSkew: Double = 8.0): Boolean =
+    appendedFraction(spark, root) >= maxAppendedFraction ||
+      cellSkew(spark, root) >= maxSkew
+
+  /** Retrain the codebook on the CURRENT stored corpus and republish the
+    * index as the next generation: stride-sampled seed → one exact
+    * floor-mean Lloyd round (the ann_ivf_kmeans update — integer
+    * element-wise floor mean via one LongVecSum pass) → full
+    * reassignment. Built in a PRIVATE sibling and published by rename
+    * ([[StoreRoots.ensure]]): a crash mid-refresh leaves the previous
+    * generation serving and an orphan the next refresh sweeps; readers
+    * never see a partial index. Superseded generations' registrations
+    * and data are dropped after the flip (single-maintenance-writer
+    * contract, same as OPTIMIZE). Returns the live generation id. */
+  def refresh(spark: SparkSession, root: String): Long = {
+    val g = resolve(spark, root)
+    val next = g + 1
+    val stored = spark.table(assignTable(root, g)).select("vec_id", "qv", "nq")
+    val buildTable = assignTable(root, next) + "_build"
+    StoreRoots.ensure(spark, genDir(root, next)) { tmp =>
+      val n = stored.persist()
+      try {
+        val total = n.count()
+        val stride = SimilarityQueries.centroidStride(total)
+        val seed = n.filter(pmod(col("vec_id"), lit(stride)) === 0)
+          .select(col("vec_id").as("cid"), col("qv").as("c_qv"), col("nq").as("c_nq"))
+        val assign0 = rankCells(n, seed, 1).select("vec_id", "cid")
+        // Lloyd update: exact element-wise floor-mean, one aggregate pass
+        // (identical math to SimilarityQueries.kmeansFrames, so a
+        // refreshed codebook is the ann_ivf_kmeans codebook of the
+        // current corpus)
+        val cent = assign0.join(n, "vec_id").groupBy("cid")
+          .agg(graft.functions.VectorExprs.longVecSum(col("qv")).as("s"),
+            count(lit(1)).as("c"))
+          .select(col("cid"),
+            expr("transform(s, x -> (x - ((x % c) + c) % c) div c)").as("c_qv"))
+          .withColumn("c_nq", expr("long_dot(c_qv, c_qv)"))
+        Lakehouse.ctas(cent, s"$tmp/centroids")
+        val centStored = Lakehouse.read(spark, s"$tmp/centroids")
+        val assign = rankCells(n, centStored, 1)
+          .select(col("cid"), col("vec_id"), col("qv"), col("nq"))
+        Lakehouse.ctasBucketed(assign, buildTable, "cid", Buckets,
+          sortCols = Seq("cid"), path = Some(s"$tmp/assign"))
+        // the build registration points at the PRIVATE dir — drop it (the
+        // table is external, the files stay); the published location is
+        // re-registered from its layout marker after the rename
+        spark.sql(s"DROP TABLE IF EXISTS $buildTable")
+        writeBaseRows(spark, tmp, total)
+      } finally { n.unpersist(); () }
+    }
+    val live = resolve(spark, root)
+    // sweep superseded generations: registrations first, then data —
+    // they are already invisible to currentGen, this reclaims storage
+    val fs = new Path(annBase(root))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (0L until live).foreach { old =>
+      spark.sql(s"DROP TABLE IF EXISTS ${assignTable(root, old)}")
+      if (old == 0L) {
+        fs.delete(new Path(centroidsPath(root)), true)
+        fs.delete(new Path(assignPath(root)), true)
+        fs.delete(new Path(annBase(root), BaseRowsFile), false)
+      } else fs.delete(new Path(genDir(root, old)), true)
+      ()
+    }
+    live
+  }
+
+  // -------------------------------------------------------------- PROBE
 
   /** Serve a query batch from the stored index: top-k neighbors per query
     * by exact cosine, searching only the nprobe nearest cells per query.
@@ -126,6 +328,7 @@ object AnnStore {
     * reads the probed cells' files, never the corpus. */
   def probe(spark: SparkSession, root: String, queries: DataFrame,
       nprobe: Int = 4, k: Int = 5): DataFrame = {
+    val g = resolve(spark, root)
     val cent = centroids(spark, root)
     val q = quantized(queries)
       .select(col("vec_id"), col("qv"), col("nq"))
@@ -136,7 +339,7 @@ object AnnStore {
     try {
       val cellIds = probes.select("cid").distinct()
         .collect().map(_.getLong(0)).sorted
-      val cells = spark.table(assignTable(root))
+      val cells = spark.table(assignTable(root, g))
         .filter(col("cid").isin(cellIds: _*))
         .select(col("cid").as("a_cid"), col("vec_id").as("n_id"),
           col("qv").as("c_qv2"), col("nq").as("c_nq2"))
@@ -153,6 +356,6 @@ object AnnStore {
       // contract as DedupStore.admit: no leaked per-call caches)
       out.persist().count()
       out
-    } finally probes.unpersist()
+    } finally { probes.unpersist(); () }
   }
 }

@@ -294,12 +294,19 @@ object Medallion {
       // the inbox may hold one row per wallet PER EXPORT RUN: a crashed
       // prior run's chunks plus this run's full re-export. The merge
       // needs unique keys or both copies land as duplicate serving
-      // documents — keep the freshest state per wallet (last_ts_us is
-      // monotone across feature refreshes; walletAddress breaks ties
-      // deterministically for byte-identical replays)
+      // documents — keep the freshest state per wallet. last_ts_us is
+      // monotone across feature refreshes; equal-timestamp survivors tie-
+      // break on a CONTENT hash of the whole payload (the partition key
+      // alone is constant within the window and would break nothing):
+      // byte-identical replays pick the same bytes either way, and two
+      // genuinely different same-timestamp payloads now resolve the same
+      // way on every run. Hashed through a JSON serialization because
+      // xxhash64 refuses MAP columns (the features map) outright.
+      val inboxRaw = Lakehouse.read(spark, staging)
       val wDedup = Window.partitionBy("walletAddress")
-        .orderBy(col("last_ts_us").desc, col("walletAddress"))
-      val inbox = Lakehouse.read(spark, staging)
+        .orderBy(col("last_ts_us").desc,
+          xxhash64(to_json(struct(inboxRaw.columns.map(col).toSeq: _*))))
+      val inbox = inboxRaw
         .withColumn("_inbox_rank", row_number().over(wDedup))
         .filter(col("_inbox_rank") === 1).drop("_inbox_rank")
       // touched partitions MUST come from the inbox table, not the rows

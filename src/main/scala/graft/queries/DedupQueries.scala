@@ -835,8 +835,10 @@ object DedupQueries {
          |SELECT s.vec_id, s.cid AS cell_id, d.dup_id IS NULL AS is_kept
          |FROM assign s LEFT JOIN dups d ON s.vec_id = d.dup_id""".stripMargin) { (s, dir) =>
       val n = emb(s, dir).select("vec_id", "qv", "nq")
+      // row count from parquet footer metadata, not a count() scan job —
+      // same stride the hierarchical variant and SimilarityQueries use
       val stride = SimilarityQueries.centroidStride(
-        Graft.table(s, dir, "embeddings").count())
+        Graft.parquetRowCount(s, s"$dir/embeddings.parquet"))
       val cent = n.filter(pmod(col("vec_id"), lit(stride)) === 0)
         .select(col("vec_id").as("cid"), col("qv").as("c_qv"), col("nq").as("c_nq"))
       val centCos = qdot("qv", "c_qv").cast("double") /

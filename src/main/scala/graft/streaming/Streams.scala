@@ -109,6 +109,18 @@ object Streams {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
+                case Some(s) if t < s.start - gapMs =>
+                  // STALE in-watermark event: gap-disjoint from the open
+                  // session's whole hull on the EARLY side — a sorted batch
+                  // sessionization would have closed it into an earlier
+                  // session, so merging it here would corrupt the open
+                  // session's start. Emit it as its own closed session and
+                  // leave the open session untouched. Residual divergence:
+                  // two stale events within a gap of EACH OTHER emit as two
+                  // singletons (state holds one open session) where batch
+                  // would pair them — bounded to that corner, vs swallowing
+                  // every stale event into the wrong session.
+                  closed += close(uid, SessionState(t, t, 1, e.value))
                 case Some(s) if t - s.lastTs <= gapMs =>
                   // LATE event (in-watermark, earlier micro-batch carried a
                   // newer one): extend the session's hull, never REGRESS
@@ -462,7 +474,17 @@ object Streams {
     * re-count (set/max-semantics sketches absorb replays silently).
     * Production wiring therefore feeds CMS from an exactly-once source,
     * or uses [[cmsFrequencyLedgered]] — the batch-id-ledger variant that
-    * makes redelivery land exactly once. */
+    * makes redelivery land exactly once.
+    *
+    * STATE-SCHEMA NOTE: the row salts moved from (0,1) to (1,2) when the
+    * batch twin a13_cm pinned its grid (the two must agree cell-for-cell
+    * or the spec's stream≡batch pin is vacuous). The counter GRID layout
+    * is unchanged, so Spark's state-schema check cannot catch a resume:
+    * a query resuming a checkpoint written under the old salts would keep
+    * counting in the old cells while probing the new ones — silently
+    * wrong estimates. Checkpoints from before that change must be
+    * discarded (fresh checkpoint dir), the standard discipline for any
+    * semantic change to stateful-operator hashing. */
   def cmsFrequency(words: DataFrame): Dataset[CmsOut] = {
     import words.sparkSession.implicits._
     words.select(col("source"), col("w")).as[(String, String)]
@@ -489,6 +511,10 @@ object Streams {
     * bounded batch-id ledger. Public for the state encoder. */
   case class CmsLedgerState(cells: Array[Int], seenBatches: Array[Long])
 
+  /** Per-key batch-id ledger capacity for [[cmsFrequencyLedgered]] —
+    * also fixes the replay horizon (see its scaladoc). */
+  val LedgerCap = 256
+
   /** [[cmsFrequency]] with EXACTLY-ONCE counting across source replays —
     * the appendDeltaGuarded admission idiom applied to sketch state.
     *
@@ -501,10 +527,16 @@ object Streams {
     * (idempotent re-emission under Update mode) but never count again —
     * the sketch-state analog of the anti-join-guarded INSERT.
     *
-    * The ledger is bounded (most-recent 256 batch ids per key): replays
-    * are checkpoint-recovery-shaped and therefore recent; a replay older
-    * than the window re-counts — the bounded-state trade documented
-    * here, the same class of bound as every other per-key sketch state.
+    * The ledger is bounded (most-recent 256 batch ids per key) but the
+    * CONTRACT is not silently lossy: once the ledger has ever been full,
+    * its smallest retained id is the replay HORIZON — for any id at or
+    * above it, ledger membership is exact (the ledger holds precisely
+    * the largest 256 distinct ids seen, so an absent id ≥ horizon was
+    * provably never counted); an unseen id BELOW it is undecidable
+    * (it may have been counted and evicted) and FAILS LOUDLY instead of
+    * re-counting. Replays are checkpoint-recovery-shaped and therefore
+    * recent — landing above the horizon in practice; a source that
+    * replays from beyond it must re-key or reset, and now finds out.
     * Contract: a batch id arrives WHOLE within one micro-batch (the
     * delivery unit is atomic); splitting one id across micro-batches
     * would skip its later half. */
@@ -520,6 +552,16 @@ object Streams {
             .getOrElse(CmsLedgerState(new Array[Int](512), Array.empty))
           val cells = st.cells.clone()
           val ledger = st.seenBatches.toSet
+          // seenBatches is kept sorted ascending; once it has filled to
+          // capacity its minimum is the replay horizon: an id >= horizon
+          // absent from the ledger was provably never counted (the ledger
+          // is exactly the largest LedgerCap distinct ids seen), an
+          // absent id BELOW it is undecidable — counted-and-evicted and
+          // genuinely-new look identical, so re-counting would silently
+          // break exactly-once. Fail loudly instead.
+          val horizon =
+            if (st.seenBatches.length >= LedgerCap) st.seenBatches.head
+            else Long.MinValue
           val fresh = scala.collection.mutable.LinkedHashSet.empty[Long]
           val emit = scala.collection.mutable.LinkedHashSet.empty[String]
           rows.foreach { case (_, w, b) =>
@@ -527,13 +569,21 @@ object Streams {
             // every row of a batch new to this invocation counts, however
             // the rows interleave
             if (!ledger.contains(b)) {
+              if (b < horizon)
+                throw new IllegalStateException(
+                  s"cmsFrequencyLedgered: batch id $b for key '$key' is " +
+                    s"below the replay horizon $horizon — the ledger " +
+                    s"(most-recent $LedgerCap ids) cannot decide whether " +
+                    "it was already counted; counting it could double, " +
+                    "skipping it could drop. Re-key or reset the sketch " +
+                    "to replay from that far back.")
               cells(cmsBucket(1, w)) += 1
               cells(256 + cmsBucket(2, w)) += 1
               fresh += b
             }
             emit += w
           }
-          val mergedLedger = (st.seenBatches ++ fresh).distinct.sorted.takeRight(256)
+          val mergedLedger = (st.seenBatches ++ fresh).distinct.sorted.takeRight(LedgerCap)
           state.update(CmsLedgerState(cells, mergedLedger))
           emit.iterator.map { w =>
             val est = math.min(cells(cmsBucket(1, w)), cells(256 + cmsBucket(2, w))).toLong

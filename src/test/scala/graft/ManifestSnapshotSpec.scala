@@ -571,6 +571,44 @@ class ManifestSnapshotSpec extends SparkSpec {
       .filter(col("v") === -7L).count() == 10)
   }
 
+  test("bloom pruning keys by lake-relative path: same-named partitioned siblings stay independent") {
+    val dir = tmpDir("msnapbloompart") + "/t"
+    // A single-task dynamically-partitioned write emits the SAME
+    // part-00000-<uuid> file name into EVERY partition dir it touches.
+    // Keys interleave across partitions (evens in pt=a, odds in pt=b)
+    // so both files span the full key range — string zone maps cannot
+    // separate them and the bloom sidecar is the deciding statistic.
+    // Under bare-name sidecar keying, pt=b's bloom reject would prune
+    // its same-named pt=a sibling that DOES hold the delta's keys,
+    // keeping the old rows by reference while appending the delta —
+    // silent duplicate keys.
+    ManifestSnapshots.enableBloomIndex(spark, dir, Seq("k"))
+    val rows = (0 until 200).toDF("n")
+      .select(format_string("key_%06d", col("n")).as("k"),
+        (col("n") * 3L).as("v"),
+        when(col("n") % 2 === 0, "a").otherwise("b").as("pt"))
+      .coalesce(1)
+    ManifestSnapshots.writeFull(rows, dir, partitionCols = Seq("pt"))
+    val all = ManifestSnapshots.entriesOf(spark, dir, 1L)
+    val bares = all.map(_.path.split('/').last)
+    assert(bares.distinct.size < bares.size,
+      "precondition lost: partitioned write no longer shares part-file names")
+
+    // ten EVEN keys — present only in pt=a's file
+    val delta = (0 until 20 by 2).toDF("n")
+      .select(format_string("key_%06d", col("n")).as("k"), lit(-1L).as("v"),
+        lit("a").as("pt"))
+    ManifestSnapshots.mergeByKey(spark, dir, delta, Seq("k"),
+      partitionCols = Seq("pt"))
+    val after = ManifestSnapshots.readLatest(spark, dir)
+    assert(after.count() == 200,
+      s"duplicate keys after partitioned bloom-pruned merge: ${after.count()}")
+    assert(after.filter(col("v") === -1L).count() == 10,
+      "merge missed (or duplicated) the delta's rows")
+    assert(after.groupBy(col("k")).count().filter(col("count") > 1).count() == 0,
+      "same-named sibling was wrongly bloom-pruned: keys duplicated")
+  }
+
   test("NULL-keyed rows land exactly once through the guarded append (<=> probe)") {
     val dir = tmpDir("msnapnullk") + "/t"
     val rows = Seq[(java.lang.Long, Long)]((1L, 10L), (null, 20L), (2L, 30L))

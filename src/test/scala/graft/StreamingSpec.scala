@@ -609,6 +609,66 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ledgered CMS sketch: a replay from beyond the ledger horizon fails loudly") {
+    implicit val sqlCtx = spark.sqlContext
+    val words = MemoryStream[(String, String, Long)]
+    val q = Streams.cmsFrequencyLedgered(
+        words.toDF().toDF("source", "w", "batch_id"))
+      .writeStream.format("memory").queryName("cmsl_hz").outputMode("update").start()
+    try {
+      // fill the ledger past capacity: LedgerCap+1 distinct batch ids —
+      // the retained window becomes ids 2..LedgerCap+1, horizon = 2
+      words.addData((1 to Streams.LedgerCap + 1).map(b => ("s", "w", b.toLong)): _*)
+      q.processAllAvailable()
+      // a replay ABOVE the horizon is decidable and absorbed silently
+      words.addData(("s", "w", 5L))
+      q.processAllAvailable()
+      // batch id 1 was evicted: counted-and-evicted vs genuinely-new is
+      // undecidable — the sketch must refuse rather than silently re-count
+      words.addData(("s", "w", 1L))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(e).exists(c => c.isInstanceOf[IllegalStateException] &&
+        c.getMessage.contains("replay horizon")),
+        s"expected the replay-horizon refusal, got: $e")
+    } finally q.stop()
+  }
+
+  test("sessionize: a stale in-watermark event becomes its own session, not a hull corruption") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.sessionize(mem.toDS(), gapMs = 30 * 60000L, watermarkAge = "4 hours")
+      .writeStream.format("memory").queryName("sessstale").outputMode("append").start()
+    try {
+      mem.addData(Ev(1, ts(100), 1, "purchase", 1.0))
+      q.processAllAvailable()
+      // STALE event: ts 10 is 90 min before the open session's start —
+      // gap-disjoint on the early side. A sorted batch sessionization
+      // would close it into its own earlier session; merging it here
+      // would drag the open session's start back 90 minutes.
+      mem.addData(Ev(2, ts(10), 1, "purchase", 2.0))
+      q.processAllAvailable()
+      mem.addData(Ev(3, ts(120), 1, "purchase", 4.0)) // within gap of ts(100)
+      q.processAllAvailable()
+      // fire the timeout for user 1's open session
+      mem.addData(Ev(4, ts(2000), 2, "purchase", 0.5))
+      q.processAllAvailable()
+      mem.addData(Ev(5, ts(2001), 2, "purchase", 0.5))
+      q.processAllAvailable()
+      val out = spark.table("sessstale")
+        .as[(Long, Timestamp, Timestamp, Long, Double)].collect()
+        .filter(_._1 == 1L).sortBy(_._2.getTime)
+      assert(out.length == 2, s"expected stale singleton + main session: ${out.toSeq}")
+      assert(out(0) == ((1L, ts(10), ts(10), 1L, 2.0)),
+        s"stale event did not close as its own session: ${out(0)}")
+      assert(out(1) == ((1L, ts(100), ts(120), 2L, 5.0)),
+        s"open session corrupted by the stale event: ${out(1)}")
+    } finally q.stop()
+  }
+
   test("bloom-guarded streaming append: replayed micro-batches land exactly once") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]

@@ -123,6 +123,55 @@ object Multimodal {
       }(enc)
   }
 
+  /** Schema of [[embedBatch]]'s output: the media-derived exact-integer
+    * embedding the dedup/ANN spine consumes. */
+  val embeddedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("qv", ArrayType(LongType))))
+
+  /** Media → embedding feature extraction: a 64-bucket byte-count
+    * histogram over the payload, as EXACT integers — the vision/audio
+    * encoder stand-in that lets media columns ride the engine's
+    * embedding convention (integer `qv`, native long_dot, one IEEE
+    * division at the cosine) with no quantization step and therefore
+    * bit-identical cross-engine parity. Per-partition like the decoders
+    * (model/codec init amortizes across each task's rows); downstream
+    * the vectors flow into the SAME semantic-dedup / IVF machinery the
+    * text corpus uses — see the `mm_embed_dup` query. */
+  def embedBatch(withMediaDf: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(embeddedSchema)
+    withMediaDf
+      .select(col("doc_id"), col("media"))
+      .mapPartitions { rows =>
+        // real pipeline: val model = Encoder.load()  // once per partition
+        rows.map { r =>
+          val hist = new Array[Long](64)
+          r.getAs[Array[Byte]](1).foreach(b => hist((b & 0xff) / 4) += 1L)
+          Row(r.getLong(0), hist.toSeq)
+        }
+      }(enc)
+  }
+
+  /** Audio-shaped OVERLAPPING windowing: fixed-size windows every `hop`
+    * bytes (hop < window — the STFT/VAD frame shape, vs
+    * [[frameSample]]'s disjoint slices), as a generator so it
+    * distributes and Catalyst can prune below it. Windows start at
+    * i·hop for every start inside the payload; the tail windows run
+    * short (substring semantics), matching how a streaming featurizer
+    * pads or drops the last frames downstream. */
+  def audioWindows(withMediaDf: DataFrame, windowBytes: Int = 400,
+      hopBytes: Int = 160): DataFrame =
+    withMediaDf
+      .withColumn("n_win",
+        ceil(length(col("media")) / lit(hopBytes.toDouble)).cast("int"))
+      // same n<=0 guard as frameSample: sequence(0,-1) counts DOWN
+      .select(col("doc_id"), col("media"),
+        posexplode(expr(
+          s"""CASE WHEN n_win <= 0 THEN array()
+             |ELSE transform(sequence(0, n_win - 1),
+             |       i -> substring(media, i * $hopBytes + 1, $windowBytes)) END""".stripMargin)))
+      .select(col("doc_id"), col("pos").as("win_idx"), col("col").as("window"))
+
   /** Frame sampling: slice the payload into fixed-size frames (256 bytes
     * stands in for a video GOP / audio window) and explode — a generator,
     * not a collect, so it distributes. */

@@ -97,6 +97,106 @@ object MultimodalQueries {
       val px = col("resized_w") * col("resized_h")
       r.withColumn("batch_id",
         ((sum(px).over(w) - px) / lit(65536)).cast("long"))
+    },
+
+    // ------------------------------------------------------------------ MM-4
+    // Audio-shaped OVERLAPPING windows (400-byte window, 160-byte hop —
+    // the STFT/VAD frame shape, vs mm_frame_sample's disjoint slices):
+    // Spark windows the real BinaryType payload through a generator and
+    // sums per-window byte energy; the oracle re-derives the same windows
+    // from the (ASCII) text. Start index, window bytes (md5), and the
+    // integer energy must all agree.
+    QueryDef("mm_audio_windows",
+      """WITH w AS (
+        |  SELECT doc_id, CAST(i AS INT) AS win_idx,
+        |    substr(text, CAST(i * 160 + 1 AS INT), 400) AS win
+        |  FROM documents,
+        |    unnest(range(0, CAST(ceil(length(text) / 160.0) AS BIGINT))) AS t(i))
+        |SELECT doc_id, win_idx, length(win) AS win_len, md5(win) AS win_md5,
+        |  CAST(list_sum(list_transform(range(1, length(win) + 1),
+        |    j -> ascii(substr(win, CAST(j AS INT), 1)))) AS BIGINT) AS energy
+        |FROM w""".stripMargin) { (s, dir) =>
+      Multimodal.audioWindows(media(s, dir), windowBytes = 400, hopBytes = 160)
+        .withColumn("wstr", col("window").cast("string")) // ASCII-safe: 1 byte = 1 char
+        .select(col("doc_id"), col("win_idx"),
+          length(col("window")).as("win_len"),
+          md5(col("window")).as("win_md5"),
+          expr("""aggregate(
+                 |  transform(sequence(1, length(wstr)),
+                 |            j -> bigint(ascii(substring(wstr, j, 1)))),
+                 |  bigint(0), (acc, x) -> acc + x)""".stripMargin).as("energy"))
+    },
+
+    // ------------------------------------------------------------------ MM-5
+    // Media vectors through the SEMANTIC-DEDUP spine: embedBatch derives
+    // a 64-bucket exact-integer byte histogram per payload (the encoder
+    // stand-in), and the d_semantic_dedup centroid-blocking machinery —
+    // √N stride codebook, broadcast argmax assignment, within-cell
+    // pairwise exact-integer cosine — dedups them, proving the dedup/ANN
+    // path serves non-text columns unchanged. Same cost shape as
+    // d_semantic_dedup: one broadcast cross-join + per-cell pairs, never
+    // all-pairs.
+    QueryDef("mm_embed_dup",
+      """WITH n0 AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 64), b -> CAST(length(list_filter(
+        |      list_transform(range(1, length(text) + 1),
+        |                     i -> ascii(substr(text, CAST(i AS INT), 1))),
+        |      c -> c // 4 = b)) AS BIGINT)) AS qv
+        |  FROM documents),
+        |n AS (SELECT doc_id, qv,
+        |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nq FROM n0),
+        |sp AS (SELECT GREATEST(1, CAST(floor(sqrt(COUNT(*))) AS BIGINT)) AS stride FROM n),
+        |cent AS (SELECT doc_id AS cid, qv AS cqv, nq AS cnq FROM n
+        |         WHERE doc_id % (SELECT stride FROM sp) = 0),
+        |assign AS (
+        |  SELECT doc_id, cid, qv, nq FROM (
+        |    SELECT v.doc_id, c.cid, v.qv, v.nq,
+        |      ROW_NUMBER() OVER (PARTITION BY v.doc_id ORDER BY
+        |        CAST(CAST(list_sum(list_transform(list_zip(v.qv, c.cqv), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
+        |          / (sqrt(CAST(v.nq AS DOUBLE)) * sqrt(CAST(c.cnq AS DOUBLE))) DESC, c.cid) AS rn
+        |    FROM n v CROSS JOIN cent c)
+        |  WHERE rn = 1),
+        |dups AS (
+        |  SELECT DISTINCT b.doc_id AS dup_id
+        |  FROM assign a JOIN assign b ON a.cid = b.cid AND a.doc_id < b.doc_id
+        |  WHERE CAST(CAST(list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) >= 0.998)
+        |SELECT s.doc_id, s.cid AS cell_id, d.dup_id IS NULL AS is_kept
+        |FROM assign s LEFT JOIN dups d ON s.doc_id = d.dup_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.VectorExprs.register(s)
+      val n = Multimodal.embedBatch(media(s, dir))
+        .withColumn("nq", expr("long_dot(qv, qv)"))
+      // |documents| from footer metadata — no count job for the stride
+      val stride = SimilarityQueries.centroidStride(
+        Graft.parquetRowCount(s, s"$dir/documents.parquet"))
+      val cent = n.filter(pmod(col("doc_id"), lit(stride)) === 0)
+        .select(col("doc_id").as("cid"), col("qv").as("c_qv"), col("nq").as("c_nq"))
+      val centCos = expr("long_dot(qv, c_qv)").cast("double") /
+        (sqrt(col("nq").cast("double")) * sqrt(col("c_nq").cast("double")))
+      val wAssign = Window.partitionBy("doc_id").orderBy(col("c_cos").desc, col("cid"))
+      // persist(): the assignment feeds both pair sides and the final
+      // keep-flag projection, like d_semantic_dedup
+      val assign = n.crossJoin(broadcast(cent))
+        .withColumn("c_cos", centCos)
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("cid"), col("qv"), col("nq"))
+        .persist()
+      val a = assign.select(col("doc_id").as("a_id"), col("cid"),
+        col("qv").as("a_qv"), col("nq").as("a_nq"))
+      val b = assign.select(col("doc_id").as("b_id"), col("cid").as("b_cid"),
+        col("qv").as("b_qv"), col("nq").as("b_nq"))
+      val pairCos = expr("long_dot(a_qv, b_qv)").cast("double") /
+        (sqrt(col("a_nq").cast("double")) * sqrt(col("b_nq").cast("double")))
+      val dups = a.join(b, col("cid") === col("b_cid") && col("a_id") < col("b_id"))
+        .filter(pairCos >= 0.998)
+        .select(col("b_id").as("dup_id")).distinct()
+      val out = assign.join(dups, col("doc_id") === col("dup_id"), "left")
+        .select(col("doc_id"), col("cid").as("cell_id"),
+          col("dup_id").isNull.as("is_kept"))
+      CacheScope.sealResult(out, assign)
     }
   )
 }

@@ -65,6 +65,50 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(t._5.sum - 1.0) < 1e-9)
   }
 
+  test("audioWindows overlap by the hop and reassemble the payload prefix-exactly") {
+    val out = Multimodal.audioWindows(media, windowBytes = 400, hopBytes = 160)
+    val byDoc = out.select(col("doc_id"), col("win_idx"), col("window"))
+      .as[(Long, Int, Array[Byte])].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val payloads = media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])].collect().toMap
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (id, wins) =>
+      val bytes = payloads(id)
+      assert(wins.length == math.ceil(bytes.length / 160.0).toInt,
+        s"doc $id: window count off")
+      wins.foreach { case (_, i, w) =>
+        val expect = bytes.slice(i * 160, math.min(i * 160 + 400, bytes.length))
+        assert(java.util.Arrays.equals(w, expect), s"doc $id window $i bytes differ")
+      }
+      // consecutive windows share window-hop bytes: real overlap, not slices
+      wins.sliding(2).foreach {
+        case Array((_, i, w1), (_, _, w2)) if w1.length == 400 =>
+          assert(java.util.Arrays.equals(w1.drop(160), w2.take(240)),
+            s"doc $id windows $i/${i + 1} do not overlap by hop")
+        case _ => ()
+      }
+    }
+  }
+
+  test("media embeddings ride the ANN serving store end-to-end") {
+    // embedBatch output feeds AnnStore's embedding convention directly:
+    // qv is ALREADY the exact-integer vector, so quantization (floor of
+    // x*1e6) must be the identity on its float image — prove the spine
+    // accepts media vectors by building a store from them and probing it
+    val emb = Multimodal.embedBatch(media)
+      .select(col("doc_id").as("vec_id"),
+        expr("transform(qv, x -> cast(x as float))").as("embedding"))
+    val root = tmpDir("ann-media")
+    assert(graft.pipeline.AnnStore.ensureBuilt(spark, root, emb))
+    val res = graft.pipeline.AnnStore.probe(spark, root,
+      emb.filter(col("vec_id") < 8), nprobe = 2, k = 5)
+    assert(res.groupBy("q_id").count().filter(col("count") =!= 5).count() == 0,
+      "media-vector probe did not return top-5 per query")
+    // neighbors really are high-cosine byte-histogram matches
+    assert(res.agg(min("cos_sim")).head.getDouble(0) > 0.5)
+  }
+
   test("frameSample emits zero frames for an empty payload") {
     import org.apache.spark.sql.functions.lit
     val empty = Multimodal.withMedia(

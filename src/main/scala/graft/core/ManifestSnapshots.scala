@@ -140,9 +140,10 @@ object ManifestSnapshots {
     // closed file is atomic and fails on an occupied slot on HDFS-like
     // stores (the multi-writer target — same contract as Iceberg's
     // HadoopTableOperations); on POSIX local filesystems rename
-    // overwrites, so cross-PROCESS writers on a local path are outside
-    // the contract while same-process writers are serialized by the
-    // commit lock. The hidden "." prefix keeps tmp names out of
+    // overwrites, so cross-PROCESS writers there are serialized by
+    // [[withLocalCommitLock]]'s O_CREAT|O_EXCL table lock around the
+    // whole commit section (same-process writers additionally by the
+    // JVM lock). The hidden "." prefix keeps tmp names out of
     // [[versionNames]], so an abandoned tmp can never look like a slot.
     val tmp = new Path(dst.getParent,
       s".m-$v.json.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -461,6 +462,71 @@ object ManifestSnapshots {
   private def nextSlot(hfs: FileSystem, dir: String): Long =
     versionNames(hfs, dir).lastOption.getOrElse(0L) + 1
 
+  // ----------------------------------------- LOCAL CROSS-PROCESS ARBITRATION
+
+  /** Age past which a local commit lock is presumed orphaned by a dead
+    * process. The locked section is KB-scale manifest I/O (milliseconds)
+    * — data files are written BEFORE the lock — so 60 s is orders of
+    * magnitude above any live holder. */
+  private val LocalLockStaleMs = 60000L
+
+  /** Cross-PROCESS commit arbitration for `file://` stores. The HDFS-like
+    * protocol relies on rename failing into an occupied slot; POSIX
+    * rename OVERWRITES, so on local filesystems two processes could both
+    * "win" a slot and one commit would vanish. Per-slot exclusive claims
+    * don't fix it either — a loser that skips past a claimed-but-not-yet-
+    * visible slot commits a successor that omits the owner's rows (the
+    * same lost-commit shape). So local commits serialize the WHOLE
+    * manifest section (base check → slot re-read → write → rename) under
+    * one table-level lock file, claimed with an atomic O_CREAT|O_EXCL
+    * create (`Files.createFile`). A lock orphaned by a crash is taken
+    * over after [[LocalLockStaleMs]] — the takeover RENAMES the stale
+    * lock aside first (atomic: exactly one contender's rename of the same
+    * inode succeeds), so two waiters cannot delete each other's fresh
+    * claims. Non-local filesystems return to the rename-arbitrated
+    * protocol untouched; the commit lock makes the optimistic contract
+    * hold everywhere the tests run, including two JVMs on one machine
+    * (ManifestSnapshotSpec races it with a forked JVM). */
+  private def withLocalCommitLock[T](hfs: FileSystem, dir: String)(body: => T): T = {
+    if (hfs.getScheme != "file") return body
+    val mdir = new Path(s"${dir.stripSuffix("/")}/manifests")
+    hfs.mkdirs(mdir)
+    val nio = java.nio.file.Paths.get(
+      hfs.makeQualified(mdir).toUri.getPath, ".commit.lock")
+    var waitedMs = 0L
+    var held = false
+    while (!held) {
+      try { java.nio.file.Files.createFile(nio); held = true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val age =
+            try System.currentTimeMillis() -
+              java.nio.file.Files.getLastModifiedTime(nio).toMillis
+            catch { case _: Exception => 0L } // vanished: retry the create
+          if (age > LocalLockStaleMs) {
+            // claim-to-remove by rename: only the contender whose rename
+            // of the stale inode succeeds deletes it; everyone else just
+            // re-loops (and finds either a free slot or a fresh lock)
+            val doomed = nio.resolveSibling(
+              s".commit.lock.stale-${java.util.UUID.randomUUID().toString.take(8)}")
+            try {
+              java.nio.file.Files.move(nio, doomed)
+              java.nio.file.Files.deleteIfExists(doomed): Unit
+            } catch { case _: Exception => () }
+          } else {
+            Thread.sleep(5L)
+            waitedMs += 5
+            if (waitedMs > 120000L)
+              throw new IllegalStateException(
+                s"local commit lock under $dir held for >120s — " +
+                  "a live holder this slow breaks the staleness contract")
+          }
+      }
+    }
+    try body
+    finally { try java.nio.file.Files.deleteIfExists(nio) catch { case _: Exception => () }; () }
+  }
+
   private def qualified(hfs: FileSystem, dir: String): String =
     hfs.makeQualified(new Path(dir)).toString
 
@@ -485,7 +551,7 @@ object ManifestSnapshots {
     var v = nextSlot(hfs, dir)
     var attempts = 0
     while (true) {
-      val committed = lock.synchronized {
+      val committed = lock.synchronized { withLocalCommitLock(hfs, dir) {
         expectedBase.foreach { b =>
           if (!newestParseable(hfs, dir).contains(b))
             throw new java.util.ConcurrentModificationException(
@@ -496,7 +562,7 @@ object ManifestSnapshots {
         }
         v = math.max(v, nextSlot(hfs, dir))
         tryCommitManifest(hfs, dir, v, entriesAt(v))
-      }
+      } }
       if (committed) {
         commitPointer(hfs, dir, v)
         return v

@@ -174,10 +174,78 @@ object DomainPipeline {
       buckets: Int = DefaultFactBuckets): DataFrame =
     readFeatureTable(spark, coinBalancesTable(lake), coinBalancesPath(lake), buckets)
 
+  // ----------------------------------------------------- CDC DELTA DISCOVERY
+
+  /** How the last [[features]] refresh found its delta — the spec's pin
+    * surface for the CDC-vs-watermark routing. */
+  final case class FeatureDiscovery(mode: String, // "cdc" | "watermark" | "full"
+      deltaFiles: Seq[String])
+  @volatile private[graft] var lastFeatureDiscovery: Option[FeatureDiscovery] = None
+
+  /** File-set ledger beside the features table: the analytics-fact data
+    * files the committed feature state incorporates. Underscore-prefixed
+    * so every data listing skips it. */
+  private def cdcLedgerPath(lake: String) =
+    new org.apache.hadoop.fs.Path(featuresPath(lake), "_graft_cdc_files")
+
+  /** The fact's current data files, lake-relative (date_partition dir +
+    * name) — one recursive metadata listing, no data I/O. */
+  private[graft] def factDataFiles(spark: SparkSession, lake: String): Set[String] = {
+    val root = new org.apache.hadoop.fs.Path(walletTxPath(lake))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Set.empty
+    def walk(p: org.apache.hadoop.fs.Path): Seq[String] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Nil
+        else if (st.isDirectory) walk(st.getPath)
+        else Seq(fs.makeQualified(st.getPath).toString
+          .stripPrefix(fs.makeQualified(root).toString).stripPrefix("/"))
+      }
+    walk(root).toSet
+  }
+
+  private def readCdcLedger(spark: SparkSession, lake: String): Option[Set[String]] = {
+    val p = cdcLedgerPath(lake)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else try {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      Some(txt.linesIterator.filter(_.nonEmpty).toSet)
+    } catch { case _: Exception => None } // torn ledger: watermark fallback
+  }
+
+  private def writeCdcLedger(spark: SparkSession, lake: String,
+      files: Set[String]): Unit = {
+    val p = cdcLedgerPath(lake)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(files.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
   /** FEATURES: wallet features + coin balances, full load on first run,
     * the reference MERGEs afterwards. `prices` = the daily token price
     * table; the token gate comes from stage tokens_metadata (decimals > 0)
     * when present.
+    *
+    * DELTA DISCOVERY IS CDC-FIRST (the round-9 unification): the wallet-
+    * features increment diffs the fact's current FILE SET against the
+    * file-set ledger the committed state incorporates — a metadata-only
+    * listing — and reads ONLY the added files, never scanning the fact to
+    * find its own delta (at 100 TB, "read the fact to find 0.1% of it" is
+    * the cost this removes; the analytics append is file-granular, so
+    * added files ARE the delta). The watermark filter stays ON the delta
+    * read as the idempotence belt (a crash between merge and ledger write
+    * replays to an empty delta), which also makes the CDC read row-for-row
+    * identical to the watermark scan it replaces. A lake with no ledger,
+    * a torn ledger, or a REWRITTEN fact (compaction: incorporated files
+    * vanished) falls back to the watermark scan — the soundness gate —
+    * and re-seeds the ledger for the next cycle. The delta pays one
+    * delta-sized wallet shuffle to re-align to the bucket layout
+    * (alignToBuckets), the right trade against a full-fact discovery scan.
     *
     * Both tables are written CATALOG-BUCKETED on wallet_address, like the
     * fact they derive from: the reference MERGEs into wallet-keyed Iceberg
@@ -207,6 +275,9 @@ object DomainPipeline {
       updates.select("address_partition").distinct().collect().map(_.getString(0)).toSeq
 
     val fPath = featuresPath(lake)
+    // the fact's file set, captured ONCE: the delta diff and the post-
+    // merge ledger must describe the same snapshot of the fact
+    val factFiles = factDataFiles(spark, lake)
     if (!exists(spark, fPath)) {
       // domain timestamps are epoch SECONDS — dayUnit follows.
       // preClustered: the rollup comes off the bucketed fact wallet-clustered
@@ -214,13 +285,34 @@ object DomainPipeline {
         featuresTable(lake), "wallet_address", buckets,
         partitionCols = Seq("address_partition"), path = Some(fPath),
         preClustered = Lakehouse.scanBucketedOn(wtx, "wallet_address"))
+      lastFeatureDiscovery = Some(FeatureDiscovery("full", factFiles.toSeq.sorted))
+      writeCdcLedger(spark, lake, factFiles)
     } else {
       val stored = readFeatures(spark, lake, buckets)
       val wm = stored.agg(max("wallet_last_tx")).head.getLong(0)
-      val newTx = wtx.filter(col("block_timestamp") > wm)
+      // CDC-first delta: fresh fact files (file-set diff vs the ledger),
+      // watermark-filtered for idempotence — row-identical to the
+      // watermark scan, reading only the delta's files. Fallback to the
+      // watermark scan when the ledger is absent/torn or the fact was
+      // rewritten under it (compaction).
+      val base = walletTxPath(lake).stripSuffix("/")
+      val newTx = readCdcLedger(spark, lake) match {
+        case Some(led) if led.subsetOf(factFiles) =>
+          val fresh = (factFiles -- led).toSeq.sorted
+          lastFeatureDiscovery = Some(FeatureDiscovery("cdc", fresh))
+          if (fresh.isEmpty) wtx.limit(0)
+          else spark.read.option("basePath", base)
+            .parquet(fresh.map(f => s"$base/$f"): _*)
+            .filter(col("block_timestamp") > wm)
+        case _ =>
+          lastFeatureDiscovery =
+            Some(FeatureDiscovery("watermark", factFiles.toSeq.sorted))
+          wtx.filter(col("block_timestamp") > wm)
+      }
       // aligned to the target's bucket layout BEFORE the cache, so the
       // merge's full-outer join plans zero exchanges (free when the rollup
-      // already ends wallet-partitioned at `buckets`)
+      // already ends wallet-partitioned at `buckets`; the CDC file read
+      // pays one delta-sized shuffle here)
       val updates = Lakehouse.alignToBuckets(WalletFeatures
         .incrementalUpdates(newTx, stored, prices, gate, dayUnit = 86400L),
         "wallet_address", buckets)
@@ -232,6 +324,9 @@ object DomainPipeline {
         partitionCols = Seq("address_partition"),
         touchedPartitions = Some(col("address_partition").isin(touchedOf(updates): _*)))
       updates.unpersist()
+      // ledger LAST: a crash before this line leaves the old ledger, and
+      // the replayed delta filters to empty rows behind the watermark
+      writeCdcLedger(spark, lake, factFiles)
     }
 
     val cPath = coinBalancesPath(lake)

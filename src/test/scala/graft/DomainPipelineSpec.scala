@@ -124,6 +124,57 @@ class DomainPipelineSpec extends SparkSpec {
     assert(Lakehouse.read(spark, DomainPipeline.walletTxPath(lake)).count() == 8)
   }
 
+  test("features delta discovery is CDC by default: added files only, watermark fallback after a rewrite") {
+    val lake = tmpDir("domain-lake-cdc")
+    val csv1 = tmpDir("domain-csv-cdc1")
+    writeBatch1(csv1)
+    val prices = Some(Seq(("ETH", 1.0, 1704067200L), ("0xtok", 2.0, 1704067200L))
+      .toDF("address", "price", "price_ts"))
+    DomainPipeline.run(spark, csv1, lake, prices = prices)
+    assert(DomainPipeline.lastFeatureDiscovery.exists(_.mode == "full"),
+      "first load must record the full-build discovery")
+    val filesAfter1 = DomainPipeline.factDataFiles(spark, lake)
+
+    // incremental batch: discovery must be the FILE-SET DIFF — exactly
+    // the files analytics added, never a scan of the fact
+    val csv2 = tmpDir("domain-csv-cdc2")
+    writeBatch2(csv2)
+    DomainPipeline.run(spark, csv2, lake, prices = prices)
+    val filesAfter2 = DomainPipeline.factDataFiles(spark, lake)
+    val fresh = filesAfter2 -- filesAfter1
+    assert(fresh.nonEmpty, "precondition: batch 2 must add fact files")
+    val d = DomainPipeline.lastFeatureDiscovery.get
+    assert(d.mode == "cdc", s"expected CDC discovery, got ${d.mode}")
+    assert(d.deltaFiles.toSet == fresh,
+      s"CDC delta != added files: ${d.deltaFiles.toSet} vs $fresh")
+    // O(delta) pin: the delta is a strict file subset of the fact
+    assert(d.deltaFiles.size < filesAfter2.size)
+    // and the CDC-discovered increment computed the SAME state the
+    // watermark path is pinned to elsewhere
+    val f2 = Lakehouse.read(spark, DomainPipeline.featuresPath(lake))
+    val b2 = f2.filter(col("wallet_address") === "0xbbbb22").head()
+    assert(math.abs(b2.getAs[Double]("wallet_total_balance_eth_only") - 1.49998) < 1e-9)
+
+    // a REWRITTEN fact (weekly compaction) invalidates the ledger: the
+    // next refresh demotes to the watermark scan (soundness gate), then
+    // re-seeds the ledger so the cycle after returns to CDC
+    assert(DomainPipeline.weeklyMaintain(spark, lake,
+      java.time.LocalDate.of(2024, 1, 7))) // a Sunday
+    assert(DomainPipeline.factDataFiles(spark, lake) != filesAfter2,
+      "precondition: compaction must rewrite fact files")
+    DomainPipeline.features(spark, lake, prices)
+    assert(DomainPipeline.lastFeatureDiscovery.exists(_.mode == "watermark"),
+      "a rewritten fact must demote discovery to the watermark scan")
+    DomainPipeline.features(spark, lake, prices)
+    val d3 = DomainPipeline.lastFeatureDiscovery.get
+    assert(d3.mode == "cdc" && d3.deltaFiles.isEmpty,
+      s"ledger not re-seeded after the fallback: $d3")
+    // state unchanged through fallback + empty-delta cycles
+    val f3 = Lakehouse.read(spark, DomainPipeline.featuresPath(lake))
+    assert(math.abs(f3.filter(col("wallet_address") === "0xbbbb22").head()
+      .getAs[Double]("wallet_total_balance_eth_only") - 1.49998) < 1e-9)
+  }
+
   test("an empty incremental batch (headers-only CSVs) is a clean no-op") {
     val lake = tmpDir("domain-lake-empty")
     val csv1 = tmpDir("domain-csv-full")

@@ -571,6 +571,52 @@ class ManifestSnapshotSpec extends SparkSpec {
       .filter(col("v") === -7L).count() == 10)
   }
 
+  test("two PROCESSES race appends on a local store: no lost commit (O_EXCL commit lock)") {
+    val dir = tmpDir("msnapxproc") + "/t"
+    ManifestSnapshots.writeFull(Seq(("seed", 0L)).toDF("k", "v").coalesce(1), dir)
+    val n = 6
+    // a SECOND JVM (own FileSystem/lock instances — only the on-disk
+    // O_CREAT|O_EXCL arbiter is shared) appends `n` tagged rows through
+    // the public API while this process appends its own `n`
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    // re-emit this JVM's --add-opens flags (Spark-on-JDK17 needs them);
+    // they arrive as SEPARATE (flag, value) argument pairs
+    val inArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.toArray.map(_.toString)
+    val jvmArgs = inArgs.zipWithIndex.flatMap { case (a, i) =>
+      if (a == "--add-opens" || a == "--add-exports")
+        Seq(a, inArgs(i + 1))
+      else if (a.startsWith("--add-opens=") || a.startsWith("--add-exports="))
+        Seq(a)
+      else Nil
+    }
+    val cmd = Seq(javaBin) ++ jvmArgs ++ Seq("-Xmx2g", "-cp",
+      System.getProperty("java.class.path"),
+      "graft.ForkedCommitterMain", dir, "child", n.toString)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(ProcessBuilder.Redirect.to(
+      new java.io.File(tmpDir("msnapxproc-log"), "child.log")))
+    val child = pb.start()
+    (0 until n).foreach { i =>
+      ManifestSnapshots.appendDelta(
+        Seq((s"parent-$i", i.toLong)).toDF("k", "v").coalesce(1), dir): Unit
+    }
+    assert(child.waitFor(5, java.util.concurrent.TimeUnit.MINUTES),
+      "forked committer did not finish")
+    assert(child.exitValue() == 0, "forked committer failed — see child.log")
+    val rows = ManifestSnapshots.readLatest(spark, dir)
+    assert(rows.count() == 1 + 2L * n,
+      s"lost commit across processes: ${rows.count()} of ${1 + 2 * n} rows")
+    assert(rows.filter(col("k").startsWith("child-")).count() == n)
+    assert(rows.filter(col("k").startsWith("parent-")).count() == n)
+    // every committed version parses and the chain is gap-free enough to
+    // serve history (burned slots allowed, lost manifests are not):
+    // 1 full + 2n appends = 2n+1 parseable versions
+    assert(ManifestSnapshots.versions(spark, dir).size == 1 + 2 * n,
+      "a racing committer's manifest vanished")
+  }
+
   test("bloom pruning keys by lake-relative path: same-named partitioned siblings stay independent") {
     val dir = tmpDir("msnapbloompart") + "/t"
     // A single-task dynamically-partitioned write emits the SAME

@@ -318,14 +318,23 @@ object AnnStore {
 
   // -------------------------------------------------------------- PROBE
 
+  /** Max probed-cell ids pushed as a literal `IN` — the planning-time
+    * form bucket pruning needs. A batch probing more distinct cells than
+    * this switches to a broadcast semi join on `cid` (no bucket pruning,
+    * but a batch touching >4096 cells was going to read most buckets
+    * anyway, and the plan size stays bounded). */
+  val ProbeCellCap = 4096
+
   /** Serve a query batch from the stored index: top-k neighbors per query
     * by exact cosine, searching only the nprobe nearest cells per query.
     *
-    * The probed cell ids are collected to the driver (bounded by
-    * |queries| × nprobe — this is a SERVING call, the query batch is small
-    * by contract) and pushed as an `IN` filter on the bucket column, so
-    * the inverted-file scan plans with bucket pruning: at 100 TB the scan
-    * reads the probed cells' files, never the corpus. */
+    * Under [[ProbeCellCap]] distinct probed cells, the cell ids are
+    * collected to the driver and pushed as an `IN` filter on the bucket
+    * column, so the inverted-file scan plans with bucket pruning: at
+    * 100 TB the scan reads the probed cells' files, never the corpus.
+    * A larger batch (bulk re-scoring, not serving) switches to a
+    * broadcast semi join on `cid` — the plan no longer grows with the
+    * probe set, removing the old small-batch-contract reliance. */
   def probe(spark: SparkSession, root: String, queries: DataFrame,
       nprobe: Int = 4, k: Int = 5): DataFrame = {
     val g = resolve(spark, root)
@@ -338,9 +347,14 @@ object AnnStore {
       .persist()
     try {
       val cellIds = probes.select("cid").distinct()
-        .collect().map(_.getLong(0)).sorted
-      val cells = spark.table(assignTable(root, g))
-        .filter(col("cid").isin(cellIds: _*))
+        .limit(ProbeCellCap + 1).collect().map(_.getLong(0)).sorted
+      val assignDf = spark.table(assignTable(root, g))
+      val pruned =
+        if (cellIds.length <= ProbeCellCap)
+          assignDf.filter(col("cid").isin(cellIds: _*))
+        else assignDf.join(
+          broadcast(probes.select("cid").distinct()), Seq("cid"), "left_semi")
+      val cells = pruned
         .select(col("cid").as("a_cid"), col("vec_id").as("n_id"),
           col("qv").as("c_qv2"), col("nq").as("c_nq2"))
       val pairCos = expr("long_dot(q_qv, c_qv2)").cast("double") /

@@ -168,6 +168,50 @@ object LongVecSum
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
 }
 
+/** Sum of a binary payload's UNSIGNED byte values — the media windows'
+  * "energy" statistic. The SQL-function form
+  * (`aggregate(transform(sequence(1, len), j -> ascii(substring(s, j, 1)))`)
+  * is quadratic: each substring re-scans the prefix for UTF-8 boundaries,
+  * so a 400-byte window costs ~80k character probes. This is one generated
+  * loop over the raw bytes, fully inside whole-stage codegen; on ASCII
+  * payloads it equals the per-char ascii sum the DuckDB oracle computes. */
+case class ByteSum(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"byte_sum requires a binary arg, got $other")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "byte_sum"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val bytes = a.asInstanceOf[Array[Byte]]
+    var s = 0L
+    var i = 0
+    while (i < bytes.length) { s += (bytes(i) & 0xff); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |long $s = 0L;
+         |for (int $i = 0; $i < $a.length; $i++) {
+         |  $s += ($a[$i] & 0xff);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ByteSum =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   /** Register the native expressions on the session's function registry
     * (idempotent) so query code can use them via `expr(...)`. */
@@ -178,6 +222,8 @@ object VectorExprs {
       "sorted_intersect_count", exprs => SortedIntersectCount(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "plan_barrier", exprs => PlanBarrier(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "byte_sum", exprs => ByteSum(exprs.head), "built-in")
   }
 
   /** [[LongVecSum]] as a column aggregate. */

@@ -116,15 +116,62 @@ object MultimodalQueries {
         |  CAST(list_sum(list_transform(range(1, length(win) + 1),
         |    j -> ascii(substr(win, CAST(j AS INT), 1)))) AS BIGINT) AS energy
         |FROM w""".stripMargin) { (s, dir) =>
+      graft.functions.VectorExprs.register(s)
+      // energy via the native byte_sum expression: the SQL per-char form
+      // (aggregate over substring(s, j, 1)) re-scans the prefix per char
+      // — quadratic per window; byte_sum is one codegen'd loop over the
+      // raw bytes, and equals the oracle's ascii sum on ASCII payloads
       Multimodal.audioWindows(media(s, dir), windowBytes = 400, hopBytes = 160)
-        .withColumn("wstr", col("window").cast("string")) // ASCII-safe: 1 byte = 1 char
         .select(col("doc_id"), col("win_idx"),
           length(col("window")).as("win_len"),
           md5(col("window")).as("win_md5"),
-          expr("""aggregate(
-                 |  transform(sequence(1, length(wstr)),
-                 |            j -> bigint(ascii(substring(wstr, j, 1)))),
-                 |  bigint(0), (acc, x) -> acc + x)""".stripMargin).as("energy"))
+          expr("byte_sum(window)").as("energy"))
+    },
+
+    // ------------------------------------------------------------------ MM-6
+    // VAD-shaped segmentation over the audio windows: threshold the
+    // per-window mean byte energy (integer compare — exact), then
+    // collapse consecutive active windows into segments with the classic
+    // gaps-and-islands idiom (win_idx − ROW_NUMBER over (doc, active) is
+    // constant within each run). The speech-segmenter shape a real audio
+    // pipeline runs between windowing and transcription, as one window
+    // pass + one aggregation — no self-join, no iteration.
+    QueryDef("mm_vad_segments",
+      """WITH w AS (
+        |  SELECT doc_id, CAST(i AS INT) AS win_idx,
+        |    substr(text, CAST(i * 160 + 1 AS INT), 400) AS win
+        |  FROM documents,
+        |    unnest(range(0, CAST(ceil(length(text) / 160.0) AS BIGINT))) AS t(i)),
+        |e AS (
+        |  SELECT doc_id, win_idx,
+        |    CAST(list_sum(list_transform(range(1, length(win) + 1),
+        |      j -> ascii(substr(win, CAST(j AS INT), 1)))) AS BIGINT) AS energy,
+        |    length(win) AS win_len
+        |  FROM w),
+        |a AS (SELECT doc_id, win_idx, energy >= 95 * win_len AS active FROM e),
+        |g AS (
+        |  SELECT doc_id, win_idx, active,
+        |    win_idx - ROW_NUMBER() OVER (PARTITION BY doc_id, active ORDER BY win_idx) AS grp
+        |  FROM a)
+        |SELECT doc_id, CAST(MIN(win_idx) AS INT) AS seg_start,
+        |  CAST(MAX(win_idx) AS INT) AS seg_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n_windows
+        |FROM g WHERE active GROUP BY doc_id, grp""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.VectorExprs.register(s)
+      val e = Multimodal.audioWindows(media(s, dir), windowBytes = 400, hopBytes = 160)
+        .select(col("doc_id"), col("win_idx"),
+          expr("byte_sum(window)").as("energy"),
+          length(col("window")).as("win_len"))
+      val act = e.withColumn("active", col("energy") >= lit(95) * col("win_len"))
+      val grp = col("win_idx") -
+        row_number().over(Window.partitionBy("doc_id", "active").orderBy("win_idx"))
+      act.withColumn("grp", grp)
+        .filter(col("active"))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(min("win_idx").as("seg_start"), max("win_idx").as("seg_end"),
+          count(lit(1)).as("n_windows"))
+        .select(col("doc_id"), col("seg_start"), col("seg_end"), col("n_windows"))
     },
 
     // ------------------------------------------------------------------ MM-5

@@ -50,4 +50,27 @@ class VectorExprsSpec extends SparkSpec {
     val df = Seq((Some(Seq(1L)), None: Option[Seq[Long]])).toDF("a", "b")
     assert(df.select(expr("long_dot(a, b)")).head().isNullAt(0))
   }
+
+  test("byte_sum: codegen == interpreted == Scala reference; unsigned; null-safe") {
+    VectorExprs.register(spark)
+    val rnd = new scala.util.Random(11)
+    // include high-bit bytes: (b & 0xff) must treat them UNSIGNED
+    val payloads = Seq.fill(100)(Array.fill(rnd.nextInt(500))(rnd.nextInt(256).toByte)) :+
+      Array.empty[Byte]
+    val df = payloads.map(Tuple1(_)).toDF("b")
+    val got = df.select(expr("byte_sum(b)")).as[Long].collect().toSeq
+    val want = payloads.map(_.map(x => (x & 0xff).toLong).sum)
+    assert(got == want)
+    val viaEval = graft.functions.ByteSum(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array[Byte](1, -1, 127), org.apache.spark.sql.types.BinaryType)).eval(null)
+    assert(viaEval == (1 + 255 + 127).toLong)
+    val nulls = Seq(Tuple1(None: Option[Array[Byte]])).toDF("b")
+    assert(nulls.select(expr("byte_sum(b)")).head().isNullAt(0))
+    // on ASCII payloads byte_sum ≡ the per-char ascii sum (the oracle form)
+    val ascii = Seq(Tuple1("hello world 123")).toDF("s")
+      .withColumn("b", col("s").cast("binary"))
+    val bs = ascii.select(expr("byte_sum(b)")).as[Long].head()
+    assert(bs == "hello world 123".map(_.toLong).sum)
+  }
 }

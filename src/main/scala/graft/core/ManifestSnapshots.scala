@@ -464,12 +464,6 @@ object ManifestSnapshots {
 
   // ----------------------------------------- LOCAL CROSS-PROCESS ARBITRATION
 
-  /** Age past which a local commit lock is presumed orphaned by a dead
-    * process. The locked section is KB-scale manifest I/O (milliseconds)
-    * — data files are written BEFORE the lock — so 60 s is orders of
-    * magnitude above any live holder. */
-  private val LocalLockStaleMs = 60000L
-
   /** Cross-PROCESS commit arbitration for `file://` stores. The HDFS-like
     * protocol relies on rename failing into an occupied slot; POSIX
     * rename OVERWRITES, so on local filesystems two processes could both
@@ -478,53 +472,45 @@ object ManifestSnapshots {
     * visible slot commits a successor that omits the owner's rows (the
     * same lost-commit shape). So local commits serialize the WHOLE
     * manifest section (base check → slot re-read → write → rename) under
-    * one table-level lock file, claimed with an atomic O_CREAT|O_EXCL
-    * create (`Files.createFile`). A lock orphaned by a crash is taken
-    * over after [[LocalLockStaleMs]] — the takeover RENAMES the stale
-    * lock aside first (atomic: exactly one contender's rename of the same
-    * inode succeeds), so two waiters cannot delete each other's fresh
-    * claims. Non-local filesystems return to the rename-arbitrated
-    * protocol untouched; the commit lock makes the optimistic contract
-    * hold everywhere the tests run, including two JVMs on one machine
-    * (ManifestSnapshotSpec races it with a forked JVM). */
+    * one table-level OS FILE LOCK (`FileChannel.tryLock` — fcntl/flock):
+    * the KERNEL releases it when the holding process exits for any
+    * reason, so there is no staleness heuristic and no
+    * check-mtime-then-steal window (a delete-after-age takeover is a
+    * TOCTOU: two waiters can free the same "stale" path twice and the
+    * second steals the first's fresh claim). The lock FILE persists
+    * empty between commits — only the kernel lock state matters.
+    * Same-JVM re-entry cannot happen (callers already serialize on the
+    * per-table JVM lock, and OverlappingFileLockException would surface
+    * loudly if that ever changed). Non-local filesystems return to the
+    * rename-arbitrated protocol untouched; the commit lock makes the
+    * optimistic contract hold everywhere the tests run, including two
+    * JVMs on one machine (ManifestSnapshotSpec races it with a forked
+    * JVM). */
   private def withLocalCommitLock[T](hfs: FileSystem, dir: String)(body: => T): T = {
     if (hfs.getScheme != "file") return body
     val mdir = new Path(s"${dir.stripSuffix("/")}/manifests")
     hfs.mkdirs(mdir)
     val nio = java.nio.file.Paths.get(
       hfs.makeQualified(mdir).toUri.getPath, ".commit.lock")
-    var waitedMs = 0L
-    var held = false
-    while (!held) {
-      try { java.nio.file.Files.createFile(nio); held = true }
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          val age =
-            try System.currentTimeMillis() -
-              java.nio.file.Files.getLastModifiedTime(nio).toMillis
-            catch { case _: Exception => 0L } // vanished: retry the create
-          if (age > LocalLockStaleMs) {
-            // claim-to-remove by rename: only the contender whose rename
-            // of the stale inode succeeds deletes it; everyone else just
-            // re-loops (and finds either a free slot or a fresh lock)
-            val doomed = nio.resolveSibling(
-              s".commit.lock.stale-${java.util.UUID.randomUUID().toString.take(8)}")
-            try {
-              java.nio.file.Files.move(nio, doomed)
-              java.nio.file.Files.deleteIfExists(doomed): Unit
-            } catch { case _: Exception => () }
-          } else {
-            Thread.sleep(5L)
-            waitedMs += 5
-            if (waitedMs > 120000L)
-              throw new IllegalStateException(
-                s"local commit lock under $dir held for >120s — " +
-                  "a live holder this slow breaks the staleness contract")
-          }
+    val ch = java.nio.channels.FileChannel.open(nio,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      var lock: java.nio.channels.FileLock = null
+      var waitedMs = 0L
+      while (lock == null) {
+        lock = ch.tryLock()
+        if (lock == null) {
+          Thread.sleep(5L)
+          waitedMs += 5
+          if (waitedMs > 120000L)
+            throw new IllegalStateException(
+              s"local commit lock under $dir held for >120s — the locked " +
+                "section is KB-scale manifest I/O; a holder this slow is stuck")
+        }
       }
-    }
-    try body
-    finally { try java.nio.file.Files.deleteIfExists(nio) catch { case _: Exception => () }; () }
+      try body finally lock.release()
+    } finally ch.close()
   }
 
   private def qualified(hfs: FileSystem, dir: String): String =

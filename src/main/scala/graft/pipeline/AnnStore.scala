@@ -149,18 +149,28 @@ object AnnStore {
       val stride = SimilarityQueries.centroidStride(total)
       val cent = n.filter(pmod(col("vec_id"), lit(stride)) === 0)
         .select(col("vec_id").as("cid"), col("qv").as("c_qv"), col("nq").as("c_nq"))
-      Lakehouse.ctas(cent, centroidsPath(root))
-      val assign = rankCells(n, centroids(spark, root), 1)
+      // (re)build lands at generation g's OWN paths: a store whose live
+      // generation lost its artifacts must be repaired where currentGen
+      // serves it, not at the gen-0 paths nobody reads past a refresh
+      Lakehouse.ctas(cent, centroidsPath(root, g))
+      val assign = rankCells(n, centroids(spark, root, g), 1)
         .select(col("cid"), col("vec_id"), col("qv"), col("nq"))
-      Lakehouse.ctasBucketed(assign, assignTable(root), "cid", Buckets,
-        sortCols = Seq("cid"), path = Some(assignPath(root)))
-      writeBaseRows(spark, annBase(root), total)
+      Lakehouse.ctasBucketed(assign, assignTable(root, g), "cid", Buckets,
+        sortCols = Seq("cid"), path = Some(assignPath(root, g)))
+      writeBaseRows(spark, baseDirOf(root, g), total)
       true
     } finally { n.unpersist(); () }
   }
 
   def centroids(spark: SparkSession, root: String): DataFrame =
-    Lakehouse.read(spark, centroidsPath(root, currentGen(spark, root)))
+    centroids(spark, root, currentGen(spark, root))
+
+  /** Generation-pinned codebook read: every internal caller that resolved
+    * a generation for the assign table must read THIS codebook, not
+    * re-resolve — a refresh flipping generations between the two reads
+    * would otherwise mix cid spaces across codebooks. */
+  private def centroids(spark: SparkSession, root: String, g: Long): DataFrame =
+    Lakehouse.read(spark, centroidsPath(root, g))
 
   // -------------------------------------------------------------- APPEND
 
@@ -178,7 +188,7 @@ object AnnStore {
     // are absent from the store, both would pass the guard).
     val fresh = newEmbeddings.dropDuplicates("vec_id").join(
       spark.table(assignTable(root, g)).select("vec_id"), Seq("vec_id"), "left_anti")
-    val assign = rankCells(quantized(fresh), centroids(spark, root), 1)
+    val assign = rankCells(quantized(fresh), centroids(spark, root, g), 1)
       .select(col("cid"), col("vec_id"), col("qv"), col("nq"))
     Lakehouse.appendBucketed(assign, assignTable(root, g), "cid", Buckets,
       sortCols = Seq("cid"))
@@ -190,24 +200,12 @@ object AnnStore {
     * refresh time — the denominator of the appended-fraction trigger. */
   private val BaseRowsFile = "_BASE_ROWS"
 
-  private def writeBaseRows(spark: SparkSession, dir: String, rows: Long): Unit = {
-    val p = new Path(dir, BaseRowsFile)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(rows.toString.getBytes("UTF-8")) finally out.close()
-  }
+  private def writeBaseRows(spark: SparkSession, dir: String, rows: Long): Unit =
+    graft.core.Markers.write(spark, new Path(dir, BaseRowsFile), rows.toString)
 
-  private def readBaseRows(spark: SparkSession, dir: String): Option[Long] = {
-    val p = new Path(dir, BaseRowsFile)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else try {
-      val in = fs.open(p)
-      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-      s.trim.toLongOption
-    } catch { case _: Exception => None }
-  }
+  private def readBaseRows(spark: SparkSession, dir: String): Option[Long] =
+    graft.core.Markers.read(spark, new Path(dir, BaseRowsFile))
+      .flatMap(_.trim.toLongOption)
 
   private def baseDirOf(root: String, g: Long): String =
     if (g == 0L) annBase(root) else genDir(root, g)
@@ -260,9 +258,20 @@ object AnnStore {
     * reassignment. Built in a PRIVATE sibling and published by rename
     * ([[StoreRoots.ensure]]): a crash mid-refresh leaves the previous
     * generation serving and an orphan the next refresh sweeps; readers
-    * never see a partial index. Superseded generations' registrations
-    * and data are dropped after the flip (single-maintenance-writer
-    * contract, same as OPTIMIZE). Returns the live generation id. */
+    * never see a partial index.
+    *
+    * CONCURRENT SERVING/INGEST (refresh itself is single-maintenance-
+    * writer, like OPTIMIZE, but appends and probes are not quiesced):
+    *  - appends that land in the OLD generation while the retrain runs
+    *    are CARRIED after the flip — an anti-join of the old inverted
+    *    file against the new one finds them, and they admit against the
+    *    NEW codebook like any delta (an append racing the carry itself
+    *    is picked up by the next refresh's carry, same O(delta) shape);
+    *  - the sweep keeps the PREVIOUS generation on disk (deletes only
+    *    generations before it), so a probe that resolved the old
+    *    generation just before the flip still scans live files; the
+    *    previous generation is reclaimed by the NEXT refresh.
+    * Returns the live generation id. */
   def refresh(spark: SparkSession, root: String): Long = {
     val g = resolve(spark, root)
     val next = g + 1
@@ -300,11 +309,28 @@ object AnnStore {
       } finally { n.unpersist(); () }
     }
     val live = resolve(spark, root)
-    // sweep superseded generations: registrations first, then data —
-    // they are already invisible to currentGen, this reclaims storage
+    // CARRY: vectors appended into the old generation while the retrain
+    // was reading its snapshot are absent from the new inverted file —
+    // admit them against the new codebook (O(carried), usually zero)
+    if (live > g) {
+      val old = spark.table(assignTable(root, g)).select("vec_id", "qv", "nq")
+      val missed = old.join(
+        spark.table(assignTable(root, live)).select("vec_id"),
+        Seq("vec_id"), "left_anti")
+      if (!missed.isEmpty) {
+        val carried = rankCells(missed, centroids(spark, root, live), 1)
+          .select(col("cid"), col("vec_id"), col("qv"), col("nq"))
+        Lakehouse.appendBucketed(carried, assignTable(root, live), "cid",
+          Buckets, sortCols = Seq("cid"))
+      }
+    }
+    // sweep generations BEFORE the previous one: the previous generation
+    // stays on disk for probes that resolved it just before the flip
+    // (reclaimed by the next refresh); older ones are invisible to every
+    // resolution path and only hold storage
     val fs = new Path(annBase(root))
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    (0L until live).foreach { old =>
+    (0L until math.max(0L, live - 1)).foreach { old =>
       spark.sql(s"DROP TABLE IF EXISTS ${assignTable(root, old)}")
       if (old == 0L) {
         fs.delete(new Path(centroidsPath(root)), true)
@@ -338,7 +364,7 @@ object AnnStore {
   def probe(spark: SparkSession, root: String, queries: DataFrame,
       nprobe: Int = 4, k: Int = 5): DataFrame = {
     val g = resolve(spark, root)
-    val cent = centroids(spark, root)
+    val cent = centroids(spark, root, g)
     val q = quantized(queries)
       .select(col("vec_id"), col("qv"), col("nq"))
     val probes = rankCells(q, cent, nprobe)

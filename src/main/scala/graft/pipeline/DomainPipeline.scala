@@ -205,26 +205,16 @@ object DomainPipeline {
     walk(root).toSet
   }
 
-  private def readCdcLedger(spark: SparkSession, lake: String): Option[Set[String]] = {
-    val p = cdcLedgerPath(lake)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else try {
-      val in = fs.open(p)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-      Some(txt.linesIterator.filter(_.nonEmpty).toSet)
-    } catch { case _: Exception => None } // torn ledger: watermark fallback
-  }
+  // torn/absent ledger reads as None → watermark fallback; the write is
+  // atomic-visible via the shared marker idiom (old-or-new, never torn)
+  private def readCdcLedger(spark: SparkSession, lake: String): Option[Set[String]] =
+    graft.core.Markers.read(spark, cdcLedgerPath(lake))
+      .map(_.linesIterator.filter(_.nonEmpty).toSet)
 
   private def writeCdcLedger(spark: SparkSession, lake: String,
-      files: Set[String]): Unit = {
-    val p = cdcLedgerPath(lake)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(files.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
-    finally out.close()
-  }
+      files: Set[String]): Unit =
+    graft.core.Markers.write(spark, cdcLedgerPath(lake),
+      files.toSeq.sorted.mkString("\n"))
 
   /** FEATURES: wallet features + coin balances, full load on first run,
     * the reference MERGEs afterwards. `prices` = the daily token price

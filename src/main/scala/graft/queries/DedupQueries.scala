@@ -839,35 +839,9 @@ object DedupQueries {
       // same stride the hierarchical variant and SimilarityQueries use
       val stride = SimilarityQueries.centroidStride(
         Graft.parquetRowCount(s, s"$dir/embeddings.parquet"))
-      val cent = n.filter(pmod(col("vec_id"), lit(stride)) === 0)
-        .select(col("vec_id").as("cid"), col("qv").as("c_qv"), col("nq").as("c_nq"))
-      val centCos = qdot("qv", "c_qv").cast("double") /
-        (sqrt(col("nq").cast("double")) * sqrt(col("c_nq").cast("double")))
-      val wAssign = org.apache.spark.sql.expressions.Window
-        .partitionBy("vec_id").orderBy(col("c_cos").desc, col("cid"))
-      // persist(): the assignment feeds both pair sides and the final
-      // keep-flag projection — three consumers of the corpus x centroid
-      // cross-join + window otherwise re-executed per consumer
-      val assign = n.crossJoin(broadcast(cent))
-        .withColumn("c_cos", centCos)
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid"), col("qv"), col("nq"))
-        .persist()
-      val a = assign.select(col("vec_id").as("a_id"), col("cid"),
-        col("qv").as("a_qv"), col("nq").as("a_nq"))
-      val b = assign.select(col("vec_id").as("b_id"), col("cid").as("b_cid"),
-        col("qv").as("b_qv"), col("nq").as("b_nq"))
-      val cos = qdot("a_qv", "b_qv").cast("double") /
-        (sqrt(col("a_nq").cast("double")) * sqrt(col("b_nq").cast("double")))
-      val dups = a.join(b, col("cid") === col("b_cid") && col("a_id") < col("b_id"))
-        .filter(cos >= 0.3)
-        .select(col("b_id").as("dup_id")).distinct()
-      CacheScope.sealResult(
-        assign.join(dups, assign("vec_id") === dups("dup_id"), "left_outer")
-          .select(col("vec_id"), col("cid").as("cell_id"),
-            col("dup_id").isNull.as("is_kept")),
-        assign)
+      // the single-sourced flat spine (QueryDef.CentroidBlockDedup) —
+      // mm_embed_dup rides the identical machinery over media vectors
+      CentroidBlockDedup(n, "vec_id", stride, tau = 0.3)
     },
 
     // -------------------------------------------------------------- DEDUP-7b

@@ -211,39 +211,15 @@ object MultimodalQueries {
         |      / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) >= 0.998)
         |SELECT s.doc_id, s.cid AS cell_id, d.dup_id IS NULL AS is_kept
         |FROM assign s LEFT JOIN dups d ON s.doc_id = d.dup_id""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       graft.functions.VectorExprs.register(s)
       val n = Multimodal.embedBatch(media(s, dir))
         .withColumn("nq", expr("long_dot(qv, qv)"))
       // |documents| from footer metadata — no count job for the stride
       val stride = SimilarityQueries.centroidStride(
         Graft.parquetRowCount(s, s"$dir/documents.parquet"))
-      val cent = n.filter(pmod(col("doc_id"), lit(stride)) === 0)
-        .select(col("doc_id").as("cid"), col("qv").as("c_qv"), col("nq").as("c_nq"))
-      val centCos = expr("long_dot(qv, c_qv)").cast("double") /
-        (sqrt(col("nq").cast("double")) * sqrt(col("c_nq").cast("double")))
-      val wAssign = Window.partitionBy("doc_id").orderBy(col("c_cos").desc, col("cid"))
-      // persist(): the assignment feeds both pair sides and the final
-      // keep-flag projection, like d_semantic_dedup
-      val assign = n.crossJoin(broadcast(cent))
-        .withColumn("c_cos", centCos)
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
-        .select(col("doc_id"), col("cid"), col("qv"), col("nq"))
-        .persist()
-      val a = assign.select(col("doc_id").as("a_id"), col("cid"),
-        col("qv").as("a_qv"), col("nq").as("a_nq"))
-      val b = assign.select(col("doc_id").as("b_id"), col("cid").as("b_cid"),
-        col("qv").as("b_qv"), col("nq").as("b_nq"))
-      val pairCos = expr("long_dot(a_qv, b_qv)").cast("double") /
-        (sqrt(col("a_nq").cast("double")) * sqrt(col("b_nq").cast("double")))
-      val dups = a.join(b, col("cid") === col("b_cid") && col("a_id") < col("b_id"))
-        .filter(pairCos >= 0.998)
-        .select(col("b_id").as("dup_id")).distinct()
-      val out = assign.join(dups, col("doc_id") === col("dup_id"), "left")
-        .select(col("doc_id"), col("cid").as("cell_id"),
-          col("dup_id").isNull.as("is_kept"))
-      CacheScope.sealResult(out, assign)
+      // the SAME single-sourced spine d_semantic_dedup runs — the media
+      // path cannot drift from the text path
+      CentroidBlockDedup(n, "doc_id", stride, tau = 0.998)
     }
   )
 }

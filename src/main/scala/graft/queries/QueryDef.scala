@@ -88,3 +88,51 @@ private[graft] object EmbeddingParity {
     org.apache.spark.sql.functions
       .expr("transform(embedding, x -> bigint(floor(cast(x as double) * 1000000)))")
 }
+
+/** The FLAT centroid-blocking semantic-dedup spine, single-sourced for
+  * every vector family that rides it (text embeddings in
+  * `d_semantic_dedup`, media vectors in `mm_embed_dup`): stride-sampled
+  * codebook → broadcast argmax cell assignment (deterministic
+  * (cosine DESC, cid) order) → within-cell pairwise exact-integer cosine
+  * at `tau` → per-id keep flag. One broadcast cross-join + per-cell
+  * pairs, never all-pairs; the hierarchical variant for extreme N lives
+  * in `d_semantic_dedup_hier`. */
+private[graft] object CentroidBlockDedup {
+  import org.apache.spark.sql.functions._
+
+  /** `n` must carry (`idCol`, qv: array<bigint>, nq: bigint) and the
+    * session must have `long_dot` registered. Returns (`idCol`, cell_id,
+    * is_kept), sealed — no intermediate caches survive the call. */
+  def apply(n: org.apache.spark.sql.DataFrame, idCol: String, stride: Long,
+      tau: Double): org.apache.spark.sql.DataFrame = {
+    val cent = n.filter(pmod(col(idCol), lit(stride)) === 0)
+      .select(col(idCol).as("cid"), col("qv").as("c_qv"), col("nq").as("c_nq"))
+    val centCos = expr("long_dot(qv, c_qv)").cast("double") /
+      (sqrt(col("nq").cast("double")) * sqrt(col("c_nq").cast("double")))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("c_cos").desc, col("cid"))
+    // persist(): the assignment feeds both pair sides and the final
+    // keep-flag projection — three consumers of the corpus x centroid
+    // cross-join + window otherwise re-executed per consumer
+    val assign = n.crossJoin(broadcast(cent))
+      .withColumn("c_cos", centCos)
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("cid"), col("qv"), col("nq"))
+      .persist()
+    val a = assign.select(col(idCol).as("a_id"), col("cid"),
+      col("qv").as("a_qv"), col("nq").as("a_nq"))
+    val b = assign.select(col(idCol).as("b_id"), col("cid").as("b_cid"),
+      col("qv").as("b_qv"), col("nq").as("b_nq"))
+    val cos = expr("long_dot(a_qv, b_qv)").cast("double") /
+      (sqrt(col("a_nq").cast("double")) * sqrt(col("b_nq").cast("double")))
+    val dups = a.join(b, col("cid") === col("b_cid") && col("a_id") < col("b_id"))
+      .filter(cos >= tau)
+      .select(col("b_id").as("dup_id")).distinct()
+    CacheScope.sealResult(
+      assign.join(dups, assign(idCol) === dups("dup_id"), "left_outer")
+        .select(col(idCol), col("cid").as("cell_id"),
+          col("dup_id").isNull.as("is_kept")),
+      assign)
+  }
+}

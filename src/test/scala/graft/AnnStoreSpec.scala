@@ -87,12 +87,12 @@ class AnnStoreSpec extends SparkSpec {
     * boundary and splits across cells, while a codebook retrained on the
     * full corpus gives each sub-cluster its own cell. */
   private val dim = 8
-  private def vecs(rng: scala.util.Random, ids: Range, mk: Int => Array[Float]) =
+  private def vecs(ids: Range, mk: Int => Array[Float]) =
     ids.map(i => (i.toLong, mk(i)))
   private def noise(rng: scala.util.Random, amp: Float): Float =
     (rng.nextFloat() * 2 - 1) * amp
   private def baseCorpus(rng: scala.util.Random) =
-    vecs(rng, 0 until 200, { i =>
+    vecs(0 until 200, { i =>
       val a = Array.fill(dim)(noise(rng, 0.03f))
       a(i / 50) += 1f; a
     })
@@ -102,7 +102,7 @@ class AnnStoreSpec extends SparkSpec {
   private val pairs = Seq((0, 1, 1f), (0, 2, 1f), (0, 3, 1f), (1, 2, 1f),
     (1, 3, 1f), (2, 3, 1f), (0, 1, 0.6f), (0, 2, 0.6f), (1, 3, 0.6f), (2, 3, 0.6f))
   private def shiftedBatch(rng: scala.util.Random) =
-    vecs(rng, 1000 until 1200, { i =>
+    vecs(1000 until 1200, { i =>
       val j = (i - 1000) / 20; val m = (i - 1000) % 20
       val (p, q, w) = pairs(j)
       val t = if (m % 2 == 0) 0.08f else -0.08f
@@ -110,7 +110,7 @@ class AnnStoreSpec extends SparkSpec {
       a(p) += 1f + t; a(q) += w * (1f - t); a
     })
   private def queryBatch(rng: scala.util.Random) =
-    vecs(rng, 2000 until 2010, { i =>
+    vecs(2000 until 2010, { i =>
       val (p, q, w) = pairs(i - 2000)
       val a = Array.fill(dim)(noise(rng, 0.01f))
       a(p) += 1f; a(q) += w; a
@@ -182,7 +182,9 @@ class AnnStoreSpec extends SparkSpec {
     assert(spark.table(AnnStore.assignTableCurrent(spark, root)).count() == 400)
 
     // append + probe keep working against the refreshed generation
-    val more = vecs(new scala.util.Random(7), 3000 until 3020, { _ =>
+    // draws continue from the test's single seeded rng — one generator,
+    // one deterministic draw order
+    val more = vecs(3000 until 3020, { _ =>
       val a = Array.fill(dim)(noise(rng, 0.03f)); a(0) += 1f; a
     }).toDF("vec_id", "embedding")
     AnnStore.appendVectors(spark, root, more)

@@ -487,7 +487,10 @@ object ManifestSnapshots {
     * JVMs on one machine (ManifestSnapshotSpec races it with a forked
     * JVM). */
   private def withLocalCommitLock[T](hfs: FileSystem, dir: String)(body: => T): T = {
-    if (hfs.getScheme != "file") return body
+    // getUri.getScheme, NOT FileSystem.getScheme: the base-class getScheme
+    // throws UnsupportedOperationException, so a third-party FS that never
+    // overrides it would fail every commit instead of skipping the lock
+    if (hfs.getUri.getScheme != "file") return body
     val mdir = new Path(s"${dir.stripSuffix("/")}/manifests")
     hfs.mkdirs(mdir)
     val nio = java.nio.file.Paths.get(

@@ -20,11 +20,24 @@ object Markers {
       s".${path.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
-    // HDFS-like rename refuses an occupied destination: drop the old
-    // marker first (readers between the delete and rename see "absent",
-    // which every marker consumer treats as the conservative no-record)
-    if (fs.exists(path)) fs.delete(path, false)
-    if (!fs.rename(tmp, path)) fs.delete(tmp, false): Unit
+    // rename FIRST (POSIX overwrites in place — the old marker is never
+    // destroyed ahead of its replacement); HDFS-like stores refuse an
+    // occupied destination, so only then drop the old marker and retry
+    // (readers between the delete and rename see "absent" = the
+    // conservative no-record). A rename that STILL fails is logged: a
+    // persistent marker-write failure silently demotes its consumers
+    // (CDC discovery to watermark scans, appendedFraction pinned to
+    // refresh-worthy) — an invisible performance regression otherwise.
+    if (!fs.rename(tmp, path)) {
+      if (fs.exists(path)) fs.delete(path, false)
+      if (!fs.rename(tmp, path)) {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"marker write failed: rename $tmp -> $path refused twice; " +
+            "consumers of this marker fall back to their conservative " +
+            "no-record path until a later write succeeds")
+        fs.delete(tmp, false): Unit
+      }
+    }
   }
 
   def read(spark: SparkSession, path: Path): Option[String] = {

@@ -104,11 +104,18 @@ object AnnStore {
 
   // -------------------------------------------------------------- BUILD
 
-  /** Raw embeddings → the exact-integer form (vec_id, qv, nq). */
+  /** Vectors → the exact-integer form (vec_id, qv, nq). Accepts either
+    * raw float embeddings (an `embedding` column, quantized floor(x·1e6))
+    * or ALREADY-integral vectors (a `qv` array<bigint> column — the media
+    * encoders emit exact integer histograms directly), so every vector
+    * family rides the same store. */
   def quantized(embeddings: DataFrame): DataFrame = {
     graft.functions.VectorExprs.register(embeddings.sparkSession)
-    embeddings.select(col("vec_id"), EmbeddingParity.quantExpr.as("qv"))
-      .withColumn("nq", expr("long_dot(qv, qv)"))
+    val base =
+      if (embeddings.columns.contains("qv"))
+        embeddings.select(col("vec_id"), col("qv"))
+      else embeddings.select(col("vec_id"), EmbeddingParity.quantExpr.as("qv"))
+    base.withColumn("nq", expr("long_dot(qv, qv)"))
   }
 
   /** Exact cosine of (qv, nq) against centroid columns (c_qv, c_nq). */
@@ -130,7 +137,15 @@ object AnnStore {
     * fresh session, build from `embeddings` only when absent. The codebook
     * is the engine's deterministic √N stride sample (the k-means-refined
     * variant is what [[refresh]] produces — the store contract only needs
-    * SOME frozen codebook per generation). Returns true when (re)built. */
+    * SOME frozen codebook per generation). Returns true when (re)built.
+    *
+    * Repairing a generation g>0 that lost its artifacts goes through the
+    * SAME private-build/rename-publish discipline as [[refresh]] (as
+    * generation g+1): writing into the already-READY gen-g dir in place
+    * would let a concurrent reader of that generation observe a partial
+    * index mid-repair. Generation 0 (the initial layout) builds in place
+    * only when the store has never existed — there is no published
+    * generation for a reader to be holding. */
   def ensureBuilt(spark: SparkSession, root: String,
       embeddings: => DataFrame): Boolean = {
     val g = currentGen(spark, root)
@@ -147,17 +162,33 @@ object AnnStore {
       // (possibly non-parquet-backed) plan scanned twice more below
       val total = n.count()
       val stride = SimilarityQueries.centroidStride(total)
-      val cent = n.filter(pmod(col("vec_id"), lit(stride)) === 0)
-        .select(col("vec_id").as("cid"), col("qv").as("c_qv"), col("nq").as("c_nq"))
-      // (re)build lands at generation g's OWN paths: a store whose live
-      // generation lost its artifacts must be repaired where currentGen
-      // serves it, not at the gen-0 paths nobody reads past a refresh
-      Lakehouse.ctas(cent, centroidsPath(root, g))
-      val assign = rankCells(n, centroids(spark, root, g), 1)
-        .select(col("cid"), col("vec_id"), col("qv"), col("nq"))
-      Lakehouse.ctasBucketed(assign, assignTable(root, g), "cid", Buckets,
-        sortCols = Seq("cid"), path = Some(assignPath(root, g)))
-      writeBaseRows(spark, baseDirOf(root, g), total)
+      def build(centPath: String, assignTbl: String, assignDir: String,
+          markerDir: String): Unit = {
+        val cent = n.filter(pmod(col("vec_id"), lit(stride)) === 0)
+          .select(col("vec_id").as("cid"), col("qv").as("c_qv"), col("nq").as("c_nq"))
+        Lakehouse.ctas(cent, centPath)
+        val assign = rankCells(n, Lakehouse.read(spark, centPath), 1)
+          .select(col("cid"), col("vec_id"), col("qv"), col("nq"))
+        Lakehouse.ctasBucketed(assign, assignTbl, "cid", Buckets,
+          sortCols = Seq("cid"), path = Some(assignDir))
+        writeBaseRows(spark, markerDir, total)
+      }
+      if (g == 0L)
+        build(centroidsPath(root, 0L), assignTable(root, 0L),
+          assignPath(root, 0L), baseDirOf(root, 0L))
+      else {
+        val next = g + 1
+        val buildTbl = assignTable(root, next) + "_build"
+        StoreRoots.ensure(spark, genDir(root, next)) { tmp =>
+          build(s"$tmp/centroids", buildTbl, s"$tmp/assign", tmp)
+          // the build registration points at the PRIVATE dir — drop it
+          // (external table, files stay); re-registered post-rename
+          spark.sql(s"DROP TABLE IF EXISTS $buildTbl")
+          ()
+        }
+        resolve(spark, root)
+        ()
+      }
       true
     } finally { n.unpersist(); () }
   }
@@ -251,6 +282,49 @@ object AnnStore {
     appendedFraction(spark, root) >= maxAppendedFraction ||
       cellSkew(spark, root) >= maxSkew
 
+  /** Generations whose assign data is still present on disk (gen 0's
+    * initial layout plus every READY gen-<g>), ascending — the pre-carry
+    * sweep surface. A generation whose artifacts were lost (a repaired
+    * store) simply has nothing to carry and is skipped. */
+  private def onDiskGens(spark: SparkSession, root: String): Seq[Long] = {
+    val base = new Path(annBase(root))
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return Nil
+    val g0 = if (Lakehouse.tableExists(spark, assignPath(root))) Seq(0L) else Nil
+    val gs = Option(fs.globStatus(new Path(base, "gen-*"))).map(_.toSeq).getOrElse(Nil)
+      .flatMap(st => st.getPath.getName.stripPrefix("gen-").toLongOption)
+      .filter(g => StoreRoots.isReady(spark, genDir(root, g)) &&
+        Lakehouse.tableExists(spark, assignPath(root, g)))
+    (g0 ++ gs).distinct.sorted
+  }
+
+  /** Admit every vector present in generation `from` but absent from
+    * generation `to` against `to`'s codebook — LOOPED until the anti-join
+    * drains, so an append racing one carry pass is caught by the next
+    * (an append exactly concurrent with the LAST pass is left for the
+    * next refresh's pre-carry, which runs before `from` is ever swept). */
+  private def carryInto(spark: SparkSession, root: String,
+      from: Long, to: Long): Unit = {
+    if (!Lakehouse.ensureBucketedTable(spark, assignTable(root, from),
+        assignPath(root, from), "cid", Buckets, sortCols = Seq("cid"))) return
+    var pass = 0
+    var drained = false
+    while (!drained && pass < 4) {
+      val missed = spark.table(assignTable(root, from))
+        .select("vec_id", "qv", "nq")
+        .join(spark.table(assignTable(root, to)).select("vec_id"),
+          Seq("vec_id"), "left_anti")
+      if (missed.isEmpty) drained = true
+      else {
+        val carried = rankCells(missed, centroids(spark, root, to), 1)
+          .select(col("cid"), col("vec_id"), col("qv"), col("nq"))
+        Lakehouse.appendBucketed(carried, assignTable(root, to), "cid",
+          Buckets, sortCols = Seq("cid"))
+      }
+      pass += 1
+    }
+  }
+
   /** Retrain the codebook on the CURRENT stored corpus and republish the
     * index as the next generation: stride-sampled seed → one exact
     * floor-mean Lloyd round (the ann_ivf_kmeans update — integer
@@ -264,16 +338,28 @@ object AnnStore {
     * writer, like OPTIMIZE, but appends and probes are not quiesced):
     *  - appends that land in the OLD generation while the retrain runs
     *    are CARRIED after the flip — an anti-join of the old inverted
-    *    file against the new one finds them, and they admit against the
-    *    NEW codebook like any delta (an append racing the carry itself
-    *    is picked up by the next refresh's carry, same O(delta) shape);
+    *    file against the new one finds them (looped until it drains),
+    *    and they admit against the NEW codebook like any delta;
+    *  - a generation is only DELETED after a LATER refresh has carried
+    *    from it: each refresh starts with a PRE-CARRY pass over every
+    *    older generation still on disk (an append that resolved the old
+    *    generation and landed after the previous refresh's carry — or a
+    *    crash between the publish and the carry — left rows only there;
+    *    the pre-carry admits them into the live generation before the
+    *    retrain snapshots it, so they survive into the new codebook);
     *  - the sweep keeps the PREVIOUS generation on disk (deletes only
-    *    generations before it), so a probe that resolved the old
-    *    generation just before the flip still scans live files; the
-    *    previous generation is reclaimed by the NEXT refresh.
+    *    generations before it, all of which this call just pre-carried
+    *    from), so a probe that resolved the old generation just before
+    *    the flip still scans live files; the previous generation is
+    *    reclaimed by the NEXT refresh — after ITS pre-carry.
     * Returns the live generation id. */
   def refresh(spark: SparkSession, root: String): Long = {
     val g = resolve(spark, root)
+    // PRE-CARRY: drain every older on-disk generation into the live one
+    // BEFORE the retrain reads its snapshot — vectors stranded there by a
+    // previous refresh's carry race (or a crash before its carry) rejoin
+    // the corpus and train into the new codebook
+    onDiskGens(spark, root).filter(_ < g).foreach(carryInto(spark, root, _, g))
     val next = g + 1
     val stored = spark.table(assignTable(root, g)).select("vec_id", "qv", "nq")
     val buildTable = assignTable(root, next) + "_build"
@@ -312,22 +398,12 @@ object AnnStore {
     // CARRY: vectors appended into the old generation while the retrain
     // was reading its snapshot are absent from the new inverted file —
     // admit them against the new codebook (O(carried), usually zero)
-    if (live > g) {
-      val old = spark.table(assignTable(root, g)).select("vec_id", "qv", "nq")
-      val missed = old.join(
-        spark.table(assignTable(root, live)).select("vec_id"),
-        Seq("vec_id"), "left_anti")
-      if (!missed.isEmpty) {
-        val carried = rankCells(missed, centroids(spark, root, live), 1)
-          .select(col("cid"), col("vec_id"), col("qv"), col("nq"))
-        Lakehouse.appendBucketed(carried, assignTable(root, live), "cid",
-          Buckets, sortCols = Seq("cid"))
-      }
-    }
+    if (live > g) carryInto(spark, root, g, live)
     // sweep generations BEFORE the previous one: the previous generation
     // stays on disk for probes that resolved it just before the flip
-    // (reclaimed by the next refresh); older ones are invisible to every
-    // resolution path and only hold storage
+    // (reclaimed by the next refresh, AFTER its pre-carry drains it);
+    // older ones were all pre-carried by THIS call, are invisible to
+    // every resolution path, and only hold storage
     val fs = new Path(annBase(root))
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     (0L until math.max(0L, live - 1)).foreach { old =>

@@ -204,4 +204,107 @@ class AnnStoreSpec extends SparkSpec {
     assert(AnnStore.currentGen(spark, root) == gen,
       "a torn refresh dir must not become the live generation")
   }
+
+  test("pipeline ingestion runs the maintenance step: drift causes exactly one refresh") {
+    import graft.pipeline.VectorPipeline
+    val rng = new scala.util.Random(19)
+    val root = tmpDir("ann-pipeline-drift")
+    val base = baseCorpus(rng).toDF("vec_id", "embedding")
+    val shifted = shiftedBatch(rng).toDF("vec_id", "embedding")
+    val queries = queryBatch(rng).toDF("vec_id", "embedding")
+
+    // run 1: first contact bootstraps, never refreshes
+    val r1 = VectorPipeline.ingest(spark, root, base)
+    assert(r1.bootstrapped && !r1.refreshed && r1.generation == 0L)
+
+    // run 2: the drifted batch lands under a LENIENT maintenance policy
+    // (the run where drift accumulates but the gate hasn't fired) — the
+    // pipeline admits it and leaves the frozen codebook serving
+    val r2 = VectorPipeline.ingest(spark, root, shifted,
+      maxAppendedFraction = Double.PositiveInfinity, maxSkew = Double.PositiveInfinity)
+    assert(!r2.bootstrapped && !r2.refreshed && r2.generation == 0L)
+    val truth = bruteTop5(base.unionByName(shifted), queries)
+    val frozenRecall = recallOf(
+      AnnStore.probe(spark, root, queries, nprobe = 1, k = 5), truth)
+    assert(frozenRecall <= 0.8,
+      f"frozen recall $frozenRecall%.2f — drift scenario lost its teeth")
+
+    // run 3: the next batch under DEFAULT policy — the appended fraction
+    // is now past the gate, so THIS run's maintenance step retrains
+    val more = vecs(3000 until 3020, { _ =>
+      val a = Array.fill(dim)(noise(rng, 0.03f)); a(0) += 1f; a
+    }).toDF("vec_id", "embedding")
+    val r3 = VectorPipeline.ingest(spark, root, more)
+    assert(r3.refreshed, "the drifted run must refresh inline")
+    assert(r3.generation == 1L && AnnStore.currentGen(spark, root) == 1L)
+    val refreshedRecall = recallOf(
+      AnnStore.probe(spark, root, queries, nprobe = 1, k = 5), truth)
+    assert(refreshedRecall >= 0.9 && refreshedRecall > frozenRecall,
+      f"pipeline refresh did not restore recall: $refreshedRecall%.2f vs $frozenRecall%.2f")
+
+    // run 4: trigger cleared — the next routine batch must NOT refresh
+    // again (exactly one refresh across the drift episode)
+    val routine = vecs(4000 until 4020, { _ =>
+      val a = Array.fill(dim)(noise(rng, 0.03f)); a(1) += 1f; a
+    }).toDF("vec_id", "embedding")
+    val r4 = VectorPipeline.ingest(spark, root, routine)
+    assert(!r4.refreshed && r4.generation == 1L,
+      "a cleared trigger must not refresh again on the next run")
+    assert(spark.table(AnnStore.assignTableCurrent(spark, root)).count() == 440L)
+  }
+
+  test("a vector stranded in the old generation survives the next refresh's sweep") {
+    val rng = new scala.util.Random(7)
+    val root = tmpDir("ann-store-strand")
+    val base = baseCorpus(rng).toDF("vec_id", "embedding")
+    AnnStore.ensureBuilt(spark, root, base)
+    val gen1 = AnnStore.refresh(spark, root)
+    assert(gen1 == 1)
+    // simulate an appendVectors that resolved generation 0 and landed
+    // AFTER refresh #1's carry pass (or a crash between publish and
+    // carry): a row present ONLY in the swept-next generation's file
+    graft.core.Lakehouse.ensureBucketedTable(spark, AnnStore.assignTable(root),
+      AnnStore.assignPath(root), "cid", AnnStore.Buckets, sortCols = Seq("cid"))
+    val stranded = spark.table(AnnStore.assignTable(root)).limit(1)
+      .withColumn("vec_id", lit(999999L))
+    graft.core.Lakehouse.appendBucketed(stranded, AnnStore.assignTable(root),
+      "cid", AnnStore.Buckets, sortCols = Seq("cid"))
+    assert(spark.table(AnnStore.assignTable(root, gen1))
+      .filter(col("vec_id") === 999999L).isEmpty,
+      "precondition: the stranded row must be absent from the live generation")
+    // the next refresh must PRE-CARRY from generation 0 before sweeping it
+    val gen2 = AnnStore.refresh(spark, root)
+    assert(gen2 == 2)
+    assert(!spark.table(AnnStore.assignTable(root, gen2))
+      .filter(col("vec_id") === 999999L).isEmpty,
+      "the stranded vector vanished across the refresh that swept its generation")
+    val g0 = new org.apache.hadoop.fs.Path(AnnStore.assignPath(root))
+    val hfs = g0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!hfs.exists(g0), "generation 0 should be swept once carried from")
+  }
+
+  test("repairing a refreshed generation republishes instead of writing in place") {
+    val rng = new scala.util.Random(11)
+    val root = tmpDir("ann-store-repair")
+    val base = baseCorpus(rng).toDF("vec_id", "embedding")
+    val queries = queryBatch(rng).toDF("vec_id", "embedding")
+    AnnStore.ensureBuilt(spark, root, base)
+    val gen1 = AnnStore.refresh(spark, root)
+    assert(gen1 == 1)
+    // artifact loss inside the published generation (a partial vacuum, a
+    // corrupted object): the centroids dir vanishes but gen-1 stays READY
+    val centP = new org.apache.hadoop.fs.Path(s"$root/ann/gen-1/centroids")
+    val hfs = centP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.delete(centP, true)
+    assert(AnnStore.ensureBuilt(spark, root, base), "repair must rebuild")
+    // the repair must have gone through a FRESH generation's private-build/
+    // rename-publish — never into the READY gen-1 dir a reader may hold
+    assert(AnnStore.currentGen(spark, root) == 2,
+      "repair must publish a new generation, not patch the broken one")
+    assert(!hfs.exists(centP),
+      "repair wrote centroids into the already-published gen-1 dir")
+    val out = AnnStore.probe(spark, root, queries, nprobe = 1, k = 5)
+    assert(out.groupBy("q_id").count().filter(col("count") =!= 5).count() == 0,
+      "post-repair probe failed")
+  }
 }

@@ -47,26 +47,24 @@ object Multimodal {
         (lit(16) * (lit(1) + pmod(length(col("media")), lit(7)))).as("height"),
         length(col("media")).cast("long").as("n_bytes")))
 
-  /** STUB decode for formats with no codec in this container (video/audio
-    * — for images use [[decodeImageBatch]], which really decodes): a
-    * deterministic 4-bucket byte histogram so tests can assert shape +
-    * determinism. Runs per-partition so codec init (the expensive part in
-    * real decoders) happens once per task, not once per row. */
+  /** STUB decode for formats with no codec in this container (video — for
+    * images use [[decodeImageBatch]], for WAV audio [[decodeAudioBatch]],
+    * which really decode): a deterministic 4-bucket byte histogram so
+    * tests can assert shape + determinism. The histogram runs as the
+    * native codegen'd `byte_hist` expression — the whole decode-stub
+    * projection stays inside one whole-stage-codegen span, where the old
+    * per-partition closure fenced it off (the mapPartitions-as-codec-init
+    * pattern lives on in [[decodeImageBatch]], which has a real codec to
+    * amortize). */
   def decodeBatch(withMediaDf: DataFrame): DataFrame = {
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(decodedSchema)
+    graft.functions.VectorExprs.register(withMediaDf.sparkSession)
     withMediaDf
-      .select(col("doc_id"), col("media"), col("meta.width"), col("meta.height"))
-      .mapPartitions { rows =>
-        // real pipeline: val codec = Codec.init()  // once per partition
-        rows.map { r =>
-          val docId = r.getLong(0)
-          val bytes = r.getAs[Array[Byte]](1)
-          val hist = new Array[Double](4)
-          bytes.foreach(b => hist((b & 0xff) / 64) += 1.0)
-          val n = math.max(bytes.length, 1).toDouble
-          Row(docId, r.getInt(2), r.getInt(3), bytes.length.toLong, hist.map(_ / n).toSeq)
-        }
-      }(enc)
+      .select(col("doc_id"), col("meta.width").as("width"),
+        col("meta.height").as("height"),
+        length(col("media")).cast("long").as("n_bytes"),
+        expr("transform(byte_hist(media, 4), " +
+          "x -> x / cast(greatest(length(media), 1) as double))").as("features"))
+      .to(decodedSchema)
   }
 
   /** [[decodedSchema]] plus which decode path ran ("imageio" | "stub"). */
@@ -123,6 +121,64 @@ object Multimodal {
       }(enc)
   }
 
+  /** Schema of [[decodeAudioBatch]]'s output: container metadata a real
+    * audio pipeline reads from the header, plus the decoded PCM payload
+    * that feeds the [[audioWindows]]/VAD/energy chain. */
+  val decodedAudioSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("duration_us", LongType),
+    StructField("pcm", BinaryType),
+    StructField("decoder", StringType)))
+
+  /** REAL audio decode, pure JVM: javax.sound.sampled reads WAV/AIFF/AU
+    * containers without native codecs (the same pattern
+    * [[decodeImageBatch]] proved for images). Sample rate / channels /
+    * frame count come from the decoded stream; `pcm` is the raw decoded
+    * sample payload, which feeds the existing [[audioWindows]] → VAD →
+    * `byte_sum` energy chain unchanged (rename `pcm` to `media`).
+    * Payloads the JVM has no codec for (compressed audio, video, text
+    * fixtures) degrade to the stub — the bytes pass through as "pcm" at a
+    * nominal 8 kHz mono so the downstream windowing shape still runs —
+    * with `decoder` recording which path ran. Per-partition mapPartitions
+    * like the image decoder: codec/registry init amortizes across each
+    * task's rows, the real shape of a media pipeline's decode stage. */
+  def decodeAudioBatch(withMediaDf: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(decodedAudioSchema)
+    withMediaDf
+      .select(col("doc_id"), col("media"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val docId = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          // NonFatal only, like the image path: OOM/interrupt must surface
+          val decoded =
+            try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              try {
+                val fmt = ais.getFormat
+                val pcm = ais.readAllBytes()
+                val frames =
+                  if (ais.getFrameLength >= 0) ais.getFrameLength
+                  else pcm.length.toLong / math.max(1, fmt.getFrameSize)
+                Some((math.round(fmt.getSampleRate), fmt.getChannels, frames, pcm))
+              } finally ais.close()
+            } catch { case scala.util.control.NonFatal(_) => None }
+          decoded match {
+            case Some((rate, ch, frames, pcm)) =>
+              Row(docId, rate, ch, frames,
+                frames * 1000000L / math.max(1, rate), pcm, "javasound")
+            case None =>
+              Row(docId, 8000, 1, bytes.length.toLong,
+                bytes.length.toLong * 1000000L / 8000L, bytes, "stub")
+          }
+        }
+      }(enc)
+  }
+
   /** Schema of [[embedBatch]]'s output: the media-derived exact-integer
     * embedding the dedup/ANN spine consumes. */
   val embeddedSchema: StructType = StructType(Seq(
@@ -134,22 +190,17 @@ object Multimodal {
     * encoder stand-in that lets media columns ride the engine's
     * embedding convention (integer `qv`, native long_dot, one IEEE
     * division at the cosine) with no quantization step and therefore
-    * bit-identical cross-engine parity. Per-partition like the decoders
-    * (model/codec init amortizes across each task's rows); downstream
-    * the vectors flow into the SAME semantic-dedup / IVF machinery the
-    * text corpus uses — see the `mm_embed_dup` query. */
+    * bit-identical cross-engine parity. The histogram is the native
+    * codegen'd `byte_hist` expression, so embedding extraction fuses
+    * into the surrounding stage (a REAL encoder would instead amortize
+    * model init per partition — [[decodeImageBatch]] keeps that shape);
+    * downstream the vectors flow into the SAME semantic-dedup / IVF
+    * machinery the text corpus uses — see `mm_embed_dup`/`mm_ann_probe`. */
   def embedBatch(withMediaDf: DataFrame): DataFrame = {
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(embeddedSchema)
+    graft.functions.VectorExprs.register(withMediaDf.sparkSession)
     withMediaDf
-      .select(col("doc_id"), col("media"))
-      .mapPartitions { rows =>
-        // real pipeline: val model = Encoder.load()  // once per partition
-        rows.map { r =>
-          val hist = new Array[Long](64)
-          r.getAs[Array[Byte]](1).foreach(b => hist((b & 0xff) / 4) += 1L)
-          Row(r.getLong(0), hist.toSeq)
-        }
-      }(enc)
+      .select(col("doc_id"), expr("byte_hist(media, 64)").as("qv"))
+      .to(embeddedSchema)
   }
 
   /** Audio-shaped OVERLAPPING windowing: fixed-size windows every `hop`

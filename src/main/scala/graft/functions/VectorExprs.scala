@@ -212,6 +212,61 @@ case class ByteSum(child: Expression)
     copy(child = newChild)
 }
 
+/** Bucketed histogram of a binary payload's unsigned byte values —
+  * the media feature-extraction kernel ([[graft.functions.Multimodal]]'s
+  * encoder stand-in: 64 buckets = the embedding, 4 buckets = the decode
+  * stub's features). One generated loop over the raw bytes into a
+  * primitive long[] (UnsafeArrayData, no boxing), fully inside
+  * whole-stage codegen — replacing a per-partition mapPartitions closure
+  * that broke the codegen stage around it. Bucket of byte b is
+  * (b & 0xff) * nbuckets / 256; `nbuckets` must be a foldable positive
+  * int (the plan-time histogram shape). */
+case class ByteHist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.BinaryType,
+            org.apache.spark.sql.types.IntegerType) if right.foldable =>
+        val n = right.eval()
+        if (n != null && n.asInstanceOf[Int] > 0 && n.asInstanceOf[Int] <= 256)
+          TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          s"byte_hist bucket count must be a literal in 1..256, got $n")
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"byte_hist requires (binary, int literal) args, got $l / $r")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "byte_hist"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val bytes = a.asInstanceOf[Array[Byte]]
+    val n = b.asInstanceOf[Int]
+    val hist = new Array[Long](n)
+    var i = 0
+    while (i < bytes.length) { hist(((bytes(i) & 0xff) * n) / 256) += 1L; i += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(hist)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      s"""
+         |long[] $h = new long[$b];
+         |for (int $i = 0; $i < $a.length; $i++) {
+         |  $h[(($a[$i] & 0xff) * $b) / 256] += 1L;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($h);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ByteHist =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
   /** Register the native expressions on the session's function registry
     * (idempotent) so query code can use them via `expr(...)`. */
@@ -224,6 +279,8 @@ object VectorExprs {
       "plan_barrier", exprs => PlanBarrier(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "byte_sum", exprs => ByteSum(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "byte_hist", exprs => ByteHist(exprs.head, exprs(1)), "built-in")
   }
 
   /** [[LongVecSum]] as a column aggregate. */

@@ -220,6 +220,66 @@ object MultimodalQueries {
       // the SAME single-sourced spine d_semantic_dedup runs — the media
       // path cannot drift from the text path
       CentroidBlockDedup(n, "doc_id", stride, tau = 0.998)
+    },
+
+    // ------------------------------------------------------------------ MM-7
+    // Media vectors through the PERSISTED ANN SERVING store (mm_embed_dup
+    // proves the dedup spine; this proves serving): embedBatch's exact-
+    // integer byte-histogram vectors build the same generational IVF index
+    // text embeddings use (codebook + cell-bucketed inverted file as lake
+    // tables, AnnStore), and a query batch probes it — broadcast cell pick,
+    // bucket-pruned scan of only the probed cells, exact re-rank. All math
+    // integral (the histograms ARE integers, no quantization step), so the
+    // stored probe is bit-identical to this from-scratch oracle — the
+    // ann_ivf ≡ ann_ivfs equivalence, replayed for the media flank.
+    QueryDef("mm_ann_probe",
+      """WITH n0 AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 64), b -> CAST(length(list_filter(
+        |      list_transform(range(1, length(text) + 1),
+        |                     i -> ascii(substr(text, CAST(i AS INT), 1))),
+        |      c -> c // 4 = b)) AS BIGINT)) AS qv
+        |  FROM documents),
+        |n AS (SELECT doc_id AS vec_id, qv,
+        |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nq FROM n0),
+        |sp AS (SELECT GREATEST(1, CAST(floor(sqrt(COUNT(*))) AS BIGINT)) AS stride FROM n),
+        |cent AS (SELECT vec_id AS cid, qv AS cqv, nq AS cnq FROM n
+        |         WHERE vec_id % (SELECT stride FROM sp) = 0),
+        |assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT v.vec_id, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+        |        CAST(CAST(list_sum(list_transform(list_zip(v.qv, c.cqv), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
+        |          / (sqrt(CAST(v.nq AS DOUBLE)) * sqrt(CAST(c.cnq AS DOUBLE))) DESC, c.cid) AS rn
+        |    FROM n v CROSS JOIN cent c)
+        |  WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS q_id, cid FROM (
+        |    SELECT q.vec_id, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |        CAST(CAST(list_sum(list_transform(list_zip(q.qv, c.cqv), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
+        |          / (sqrt(CAST(q.nq AS DOUBLE)) * sqrt(CAST(c.cnq AS DOUBLE))) DESC, c.cid) AS rn
+        |    FROM n q CROSS JOIN cent c WHERE q.vec_id < 8)
+        |  WHERE rn <= 4),
+        |pairs AS (
+        |  SELECT p.q_id, a.vec_id AS n_id,
+        |    CAST(CAST(list_sum(list_transform(list_zip(q.qv, v.qv), x -> x[1] * x[2])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(q.nq AS DOUBLE)) * sqrt(CAST(v.nq AS DOUBLE))) AS cos_sim
+        |  FROM probes p
+        |  JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.q_id
+        |  JOIN n q ON q.vec_id = p.q_id
+        |  JOIN n v ON v.vec_id = a.vec_id),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+        |    ORDER BY cos_sim DESC, n_id) AS rank FROM pairs)
+        |SELECT q_id, rank, n_id, cos_sim FROM ranked WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      val fp = Graft.dataFingerprint(s, s"$dir/documents.parquet")
+      val root = graft.core.StoreRoots.rootFor("graft_mm_ann_store", "v1", dir, fp)
+      val vecs = Multimodal.embedBatch(media(s, dir))
+        .withColumnRenamed("doc_id", "vec_id")
+      graft.pipeline.AnnStore.ensureBuilt(s, root, vecs)
+      graft.pipeline.AnnStore.probe(s, root,
+        vecs.filter(col("vec_id") < 8), nprobe = 4, k = 5)
     }
   )
 }

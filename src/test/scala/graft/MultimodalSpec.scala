@@ -65,6 +65,54 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(t._5.sum - 1.0) < 1e-9)
   }
 
+  test("decodeAudioBatch really decodes WAV and feeds the windowing chain; non-audio falls back") {
+    // deterministic in-memory WAV fixture: 16-bit signed LE mono 8 kHz,
+    // 400 frames of a 440 Hz integer-sine — written through the SAME
+    // javax.sound.sampled container writer a producer would use
+    val rate = 8000
+    val frames = 400
+    val pcmRef = new Array[Byte](frames * 2)
+    for (i <- 0 until frames) {
+      val s = (math.sin(2 * math.Pi * 440 * i / rate) * 12000).toInt.toShort
+      pcmRef(2 * i) = (s & 0xff).toByte
+      pcmRef(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcmRef), fmt, frames.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    val textBytes = "definitely not audio".getBytes("UTF-8")
+
+    val df = Seq((1L, wav), (2L, textBytes)).toDF("doc_id", "media")
+    val out = Multimodal.decodeAudioBatch(df)
+    assert(out.schema == Multimodal.decodedAudioSchema)
+    val rows = out.orderBy("doc_id")
+      .as[(Long, Int, Int, Long, Long, Array[Byte], String)].collect()
+    val Array(w, t) = rows
+    assert(w._7 == "javasound", "WAV must take the real decode path")
+    assert(w._2 == rate && w._3 == 1 && w._4 == frames.toLong)
+    assert(w._5 == frames.toLong * 1000000L / rate)
+    assert(java.util.Arrays.equals(w._6, pcmRef),
+      "decoded PCM differs from the samples the container was written from")
+    assert(t._7 == "stub" && t._4 == textBytes.length.toLong)
+
+    // the decoded PCM rides the existing audio chain unchanged:
+    // pcm -> audioWindows -> byte_sum energy
+    graft.functions.VectorExprs.register(spark)
+    val wins = Multimodal.audioWindows(
+      out.select(col("doc_id"), col("pcm").as("media")),
+      windowBytes = 400, hopBytes = 160)
+      .withColumn("energy", expr("byte_sum(window)"))
+    val wavWins = wins.filter(col("doc_id") === 1L).orderBy("win_idx")
+      .as[(Long, Int, Array[Byte], Long)].collect()
+    assert(wavWins.length == math.ceil(pcmRef.length / 160.0).toInt)
+    assert(java.util.Arrays.equals(wavWins(0)._3, pcmRef.slice(0, 400)))
+    assert(wavWins(0)._4 == pcmRef.slice(0, 400).map(b => (b & 0xff).toLong).sum)
+  }
+
   test("audioWindows overlap by the hop and reassemble the payload prefix-exactly") {
     val out = Multimodal.audioWindows(media, windowBytes = 400, hopBytes = 160)
     val byDoc = out.select(col("doc_id"), col("win_idx"), col("window"))

@@ -73,4 +73,33 @@ class VectorExprsSpec extends SparkSpec {
     val bs = ascii.select(expr("byte_sum(b)")).as[Long].head()
     assert(bs == "hello world 123".map(_.toLong).sum)
   }
+
+  test("byte_hist: codegen == interpreted == Scala reference; unsigned; null-safe") {
+    VectorExprs.register(spark)
+    val rnd = new scala.util.Random(23)
+    val payloads = Seq.fill(100)(Array.fill(rnd.nextInt(500))(rnd.nextInt(256).toByte)) :+
+      Array.empty[Byte]
+    def ref(bytes: Array[Byte], n: Int): Seq[Long] = {
+      val h = new Array[Long](n)
+      bytes.foreach(b => h(((b & 0xff) * n) / 256) += 1L)
+      h.toSeq
+    }
+    val df = payloads.map(Tuple1(_)).toDF("b")
+    for (n <- Seq(4, 64)) {
+      val got = df.select(expr(s"byte_hist(b, $n)")).as[Seq[Long]].collect().toSeq
+      assert(got == payloads.map(ref(_, n)), s"byte_hist($n) drifted from reference")
+    }
+    // interpreted eval path agrees with the plan (codegen) path
+    val viaEval = graft.functions.ByteHist(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array[Byte](0, -1, 127, 64), org.apache.spark.sql.types.BinaryType),
+      org.apache.spark.sql.catalyst.expressions.Literal(4))
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray.toSeq
+    // 0 -> bucket 0; 64, 127 -> bucket 1; -1 (=255 unsigned) -> bucket 3
+    assert(viaEval == Seq(1L, 2L, 0L, 1L))
+    assert(viaEval == ref(Array[Byte](0, -1, 127, 64), 4))
+    val nulls = Seq(Tuple1(None: Option[Array[Byte]])).toDF("b")
+    assert(nulls.select(expr("byte_hist(b, 4)")).head().isNullAt(0))
+  }
 }

@@ -54,8 +54,30 @@ import org.apache.spark.sql.functions._
   * end), so a stored-index probe returns bit-identically what the
   * from-scratch `ann_ivf` query computes — which is how the stored path
   * stays under the same DuckDB oracle.
+  *
+  * Lifecycle contract: [[ServingStore]] — this store is the contract's
+  * fullest instance (generational publish, replay-safe admission AND a
+  * live maintenance trigger). [[VectorPipeline.ingest]] is the
+  * parameterized lifecycle (policy thresholds exposed); the trait's
+  * [[ServingStore.ingestBatch]] runs the same shape at the defaults.
   */
-object AnnStore {
+object AnnStore extends ServingStore {
+
+  override def storeName: String = "ann"
+
+  /** [[ServingStore.appendBatch]] = [[appendVectors]]. */
+  override def appendBatch(spark: SparkSession, root: String,
+      batch: DataFrame): Unit = appendVectors(spark, root, batch)
+
+  /** [[ServingStore.shouldMaintain]] = [[shouldRefresh]] at the default
+    * drift thresholds. */
+  override def shouldMaintain(spark: SparkSession, root: String): Boolean =
+    shouldRefresh(spark, root)
+
+  /** [[ServingStore.maintain]] = [[refresh]] (generational retrain). */
+  override def maintain(spark: SparkSession, root: String): Unit = {
+    refresh(spark, root); ()
+  }
 
   val Buckets = 32
 

@@ -28,8 +28,28 @@ import org.apache.spark.sql.functions._
   * Id contract (the watermark ordering the demo also relies on): stored
   * doc_ids precede batch doc_ids, so `a_id < b_id` uniformly means
   * "stored partner or earlier batch doc".
+  *
+  * Lifecycle contract: [[ServingStore]]. The near-dup admission DECISION
+  * ([[admit]]) stays an explicit call — the generic [[appendBatch]] folds
+  * a batch in replay-safely without judging it.
   */
-object DedupStore {
+object DedupStore extends ServingStore {
+
+  override def storeName: String = "dedup"
+
+  /** [[ServingStore.appendBatch]]: identity-replay-safe fold of a batch
+    * into the index — intra-batch `dropDuplicates` plus the stored-doc_id
+    * anti join (contract rule 2), then the same bucket-appends
+    * [[appendAdmitted]] performs. Near-dup POLICY (should this doc enter
+    * the corpus at all?) is [[admit]]'s job and is deliberately not
+    * applied here: a store fed through the generic surface indexes
+    * everything it is given, once. */
+  override def appendBatch(spark: SparkSession, root: String,
+      batch: DataFrame): Unit = {
+    val fresh = batch.dropDuplicates("doc_id").join(
+      spark.table(shinglesTable(root)).select("doc_id"), Seq("doc_id"), "left_anti")
+    appendAdmitted(spark, root, fresh)
+  }
 
   val Buckets = 32
   val JaccardThreshold = 0.1

@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** THE serving-store lifecycle contract — the one documented home for the
+  * discipline [[DedupStore]] (MinHash index), [[TextIndexStore]] (BM25
+  * postings) and [[AnnStore]] (IVF inverted file) each grew independently
+  * over rounds 7–12, extracted so the next store (and the next pipeline
+  * wiring) inherits it instead of re-deriving it.
+  *
+  * A serving store is a DERIVED structure that outlives the job that built
+  * it: queries probe it in O(probe), batches fold into it in O(delta), and
+  * a full rebuild is the rare, explicitly-triggered event. The reference
+  * keeps equivalent structures as managed tables refreshed by its
+  * scheduled pipeline (features_pipeline.py's OPTIMIZE/VACUUM gating);
+  * here each store is parquet + bucketed tables under a caller-chosen
+  * root. Three rules make that safe on a cluster where builders, appenders
+  * and readers overlap:
+  *
+  *  1. '''Atomic publish''' ([[graft.core.StoreRoots]]): anything that
+  *     (re)creates a readable layout builds in a PRIVATE directory and
+  *     enters service by rename + READY marker. Readers either see the
+  *     whole structure or none of it; concurrent builders race on the
+  *     rename and exactly one wins ([[graft.core.StoreRoots.ensure]]).
+  *     Repairing a published generation republishes as a NEW generation —
+  *     never writes into a dir a reader may hold (AnnStore.ensureBuilt's
+  *     g>0 path).
+  *
+  *  2. '''Replay-safe admission''': at-least-once delivery means every
+  *     batch can arrive twice, and a duplicated index row silently skews
+  *     every later probe (a doubled posting doubles tf; a doubled vector
+  *     surfaces twice per probe). Admission therefore dedups WITHIN the
+  *     batch (`dropDuplicates` on the store key — both intra-batch copies
+  *     pass any store-side guard) and anti-joins AGAINST the stored keys
+  *     (the cross-batch replay), before any append.
+  *
+  *  3. '''Maintenance as policy, not correctness''': sustained appends
+  *     degrade the structure's COST shape (codebook drift, cell skew,
+  *     postings fragmentation) but never its answers. The trigger check
+  *     ([[shouldMaintain]]) is metadata-cheap so every ingest can afford
+  *     it; the action ([[maintain]]) is the only corpus-sized job and runs
+  *     exactly when the trigger fires — wired into ingestion
+  *     ([[ingestBatch]], [[VectorPipeline.ingest]]) so decay is bounded by
+  *     one batch window, not by an operator's memory.
+  */
+trait ServingStore {
+
+  /** Short name for logs / reports. */
+  def storeName: String
+
+  /** Idempotent bootstrap: re-register an existing on-disk store on a
+    * fresh session; build from `corpus` (evaluated only when needed) when
+    * absent. Returns true when this call performed the build. */
+  def ensureBuilt(spark: SparkSession, root: String, corpus: => DataFrame): Boolean
+
+  /** Replay-safe O(delta) admission of one batch into the live structure
+    * (contract rule 2). The batch schema is the store's ingest schema —
+    * the same frame [[ensureBuilt]] accepts as corpus. */
+  def appendBatch(spark: SparkSession, root: String, batch: DataFrame): Unit
+
+  /** Metadata-cheap maintenance trigger (contract rule 3). Default: the
+    * store has no corpus-sized maintenance (its structure does not decay
+    * under appends). */
+  def shouldMaintain(spark: SparkSession, root: String): Boolean = false
+
+  /** The corpus-sized maintenance action; must publish atomically
+    * (contract rule 1) so probes never pause. Default no-op for stores
+    * whose [[shouldMaintain]] never fires. */
+  def maintain(spark: SparkSession, root: String): Unit = ()
+
+  /** The canonical per-batch lifecycle a scheduled pipeline runs:
+    * bootstrap on first contact, O(delta) admission afterwards, then the
+    * trigger check and (if fired) inline maintenance. Stores with
+    * policy knobs expose parameterized variants beside this
+    * ([[VectorPipeline.ingest]]); the shape is always this one. */
+  final def ingestBatch(spark: SparkSession, root: String,
+      batch: DataFrame): ServingStore.Ingest = {
+    val bootstrapped = ensureBuilt(spark, root, batch)
+    if (!bootstrapped) appendBatch(spark, root, batch)
+    val fired = !bootstrapped && shouldMaintain(spark, root)
+    if (fired) maintain(spark, root)
+    ServingStore.Ingest(bootstrapped, fired)
+  }
+}
+
+object ServingStore {
+  /** What one [[ServingStore.ingestBatch]] did. */
+  final case class Ingest(bootstrapped: Boolean, maintained: Boolean)
+
+  /** The engine's stores, for tooling that sweeps all of them. */
+  def all: Seq[ServingStore] = Seq(DedupStore, TextIndexStore, AnnStore)
+}

@@ -37,8 +37,18 @@ import org.apache.spark.sql.functions._
   * their buckets, which is why the bucket count scales with the corpus
   * and the probe path never groups BY term across buckets (the window
   * stays inside the pruned scan's partitioning).
+  *
+  * Lifecycle contract: [[ServingStore]].
   */
-object TextIndexStore {
+object TextIndexStore extends ServingStore {
+
+  override def storeName: String = "text-index"
+
+  /** [[ServingStore.appendBatch]] = [[appendDocuments]] (already the
+    * contract's replay-safe admission: intra-batch dropDuplicates + the
+    * stored-doc_id anti join, stats folded crash-safely). */
+  override def appendBatch(spark: SparkSession, root: String,
+      batch: DataFrame): Unit = appendDocuments(spark, root, batch)
 
   val Buckets = 32
 

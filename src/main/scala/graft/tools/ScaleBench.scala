@@ -76,6 +76,21 @@ object ScaleBench {
       run(name, dir) // store builds / cache warm (untimed)
       run(name, dir)
     }
+    // Plan-shape census: exchange counts at both scales, reported beside
+    // the exponent. Raw totals are context, not an invariant — AQE
+    // legitimately re-plans with scale (a dim crossing the broadcast
+    // threshold adds an exchange), and composite queries embed store-build
+    // plans whose string dumps repeat. The PINNED property is the flagship
+    // AUC family's single-wallet-exchange shape: every window rides ONE
+    // hashpartitioning(wallet_address) shuffle (linear-in-that-exchange is
+    // the accepted 100x growth mode, PlanSpec pins it at test scale); a
+    // second wallet exchange AT THE SCALED SIZE is a regression even when
+    // the timing looks fine — `wallet_exchange_ok` goes false.
+    def census(name: String, dir: String): (Int, Int) = {
+      val p = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+      def cnt(sub: String) = p.sliding(sub.length).count(_ == sub)
+      (cnt("Exchange hashpartitioning"), cnt("Exchange hashpartitioning(wallet_address"))
+    }
 
     val rows = panel.map { q =>
       val r =
@@ -83,7 +98,13 @@ object ScaleBench {
           val t1 = steady(q, base)
           val tF = steady(q, scaled)
           val exp = math.log(tF / t1) / math.log(factor.toDouble)
-          println(f"""{"query":"$q","t1":$t1%.2f,"t$factor":$tF%.2f,"exponent":$exp%.2f}""")
+          val ((ex1, wx1), (exF, wxF)) = (census(q, base), census(q, scaled))
+          // flagship_wallet_features partitions on user_id (its own
+          // PlanSpec pin); the wallet_address pin covers the priced family
+          val walletOk = !q.startsWith("flagship_auc") || (wx1 == 1 && wxF == 1)
+          println(f"""{"query":"$q","t1":$t1%.2f,"t$factor":$tF%.2f,"exponent":$exp%.2f,""" +
+            s""""exchanges_1x":$ex1,"exchanges_${factor}x":$exF,""" +
+            s""""wallet_exchange_ok":$walletOk}""")
           (q, t1, tF, exp)
         } catch {
           case e: Throwable =>

@@ -28,6 +28,20 @@ class PlanSpec extends SparkSpec {
     assert(countOccurrences(p, "Window") >= 3, p)
   }
 
+  test("flagship_auc runs its ten windows on one wallet exchange") {
+    // The 100x ScaleBench exponent (0.46) is accepted BECAUSE the program
+    // is linear-in-one-exchange: every wallet-wide AND (wallet, contract)
+    // window reuses the single hashpartitioning(wallet_address) shuffle —
+    // HashPartitioning(wallet) satisfies ClusteredDistribution(wallet,
+    // contract), so the by-contract windows only re-sort, never re-shuffle.
+    // A second wallet-carrying exchange here is the regression this pin
+    // exists to catch: it would double the dominant term at 100 TB. The
+    // remaining exchanges all sit on the tiny price-fixture side.
+    val p = planString("flagship_auc_features")
+    assert(countOccurrences(p, "Exchange hashpartitioning(wallet_address") == 1, p)
+    assert(countOccurrences(p, "windowspecdefinition(wallet_address") >= 10, p)
+  }
+
   test("incremental watermark predicate is pushed into the parquet scan") {
     val p = planString("p3_incremental_filter")
     assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThan(ts,"), p)

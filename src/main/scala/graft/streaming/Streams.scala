@@ -349,6 +349,40 @@ object Streams {
       }
       .start()
 
+  /** Streaming ingestion into ANY serving store through the unified
+    * lifecycle ([[graft.pipeline.ServingStore.ingestBatch]]): bootstrap on
+    * the first micro-batch, replay-safe O(batch) admission afterwards, and
+    * the store's maintenance trigger checked INSIDE every batch — which is
+    * what makes this safe to leave running forever: foreachBatch is
+    * at-least-once (checkpoint recovery re-delivers), and the lifecycle's
+    * admission discipline (intra-batch dropDuplicates + stored-key anti
+    * join) turns that into effectively-exactly-once index state, while a
+    * store whose cost shape decays under appends (the ANN store's codebook
+    * drift) retrains itself mid-stream instead of waiting for an operator.
+    *
+    * This is the generic form of [[documentAdmission]] (which adds corpus
+    * admission POLICY on top of the dedup store) and [[textIndexIngestion]]
+    * (now expressible as `servingStoreIngestion(TextIndexStore, ...)`);
+    * for the ANN store it is the streaming twin of
+    * [[graft.pipeline.VectorPipeline.ingest]] at the default drift
+    * thresholds — a vector stream keeps a probe-ready IVF index current,
+    * retrains included, with no batch scheduler in the loop. */
+  def servingStoreIngestion(
+      store: graft.pipeline.ServingStore,
+      batches: DataFrame,
+      root: String,
+      checkpoint: String): StreamingQuery =
+    batches.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          store.ingestBatch(batch.sparkSession, root, batch)
+          ()
+        }
+      }
+      .start()
+
   /** KMV sketch entry / state / output for [[kmvDistinct]]. Public: the
     * state encoder's generated code needs constructor access. */
   case class KmvEntry(h: String, seg: String)

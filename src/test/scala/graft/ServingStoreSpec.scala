@@ -79,4 +79,46 @@ class ServingStoreSpec extends SparkSpec {
     assert(ServingStore.all.map(_.storeName).toSet ==
       Set("dedup", "text-index", "ann"))
   }
+
+  test("one generic streaming sink serves every store: ANN stream == batch build") {
+    // servingStoreIngestion is the lifecycle as a foreachBatch sink — the
+    // at-least-once delivery Structured Streaming guarantees is exactly
+    // the replay the admission discipline absorbs. Proven on the store
+    // with the most moving parts (generations + drift trigger): a vector
+    // stream with a redelivered batch must end bit-identical to a
+    // one-shot batch build of the same vectors.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])]
+    val root = tmpDir("svstore_stream_")
+    val ckpt = tmpDir("svstore_stream_ck_")
+    val rows = (0 until 60).map(i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 7 + d * 3) % 19).toFloat)))
+    val q = graft.streaming.Streams.servingStoreIngestion(
+      AnnStore, mem.toDF().toDF("vec_id", "embedding"), root, ckpt)
+    try {
+      mem.addData(rows.take(40): _*); q.processAllAvailable()
+      mem.addData(rows.drop(40): _*); q.processAllAvailable()
+      val before = spark.table(AnnStore.assignTableCurrent(spark, root)).count()
+      mem.addData(rows.drop(40): _*); q.processAllAvailable() // redelivery
+      assert(spark.table(AnnStore.assignTableCurrent(spark, root)).count() == before,
+        "replayed micro-batch changed the inverted file")
+    } finally q.stop()
+
+    // equivalence target: the SAME lifecycle run as batch calls (build on
+    // batch 1, append batch 2) — the codebook is seeded from the first
+    // batch in both paths, so probes must match bit-identically. (A
+    // one-shot build over all 60 would train a different codebook and
+    // legitimately probe different cells.)
+    val batchRoot = tmpDir("svstore_batch_")
+    AnnStore.ensureBuilt(spark, batchRoot, vecs(0 until 40))
+    AnnStore.appendVectors(spark, batchRoot, vecs(40 until 60))
+    val queries = vecs(0 until 5)
+    val streamed = AnnStore.probe(spark, root, queries, nprobe = 2, k = 3)
+      .collect().toSeq.sortBy(r => (r.getLong(0), r.getInt(1)))
+    val batch = AnnStore.probe(spark, batchRoot, queries, nprobe = 2, k = 3)
+      .collect().toSeq.sortBy(r => (r.getLong(0), r.getInt(1)))
+    assert(streamed == batch, "streamed store diverged from the batch lifecycle")
+  }
 }

@@ -280,6 +280,80 @@ object MultimodalQueries {
       graft.pipeline.AnnStore.ensureBuilt(s, root, vecs)
       graft.pipeline.AnnStore.probe(s, root,
         vecs.filter(col("vec_id") < 8), nprobe = 4, k = 5)
+    },
+
+    // ------------------------------------------------------------------ MM-8
+    // Perceptual-hash image near-dup — the dHash shape: sample the payload
+    // into an 8×9 "grayscale grid" (here the raw bytes stand in for decoded
+    // luma — the grid arithmetic is what's under test; a real vision
+    // pipeline feeds decodeImageBatch's pixels into the SAME expressions),
+    // take the 64 horizontal gradient bits, and pair documents by Hamming
+    // distance ≤ 3. The 64-bit signature is carried as four 16-bit bands —
+    // exactly the simhash/LSH banding trick: by pigeonhole, Hamming ≤ 3
+    // over 4 bands forces at least one band EQUAL, so four equality
+    // self-joins on a band value find every qualifying pair with no
+    // all-pairs scan. At 100 TB: signatures are one map-side codegen
+    // projection (no shuffle), the candidate space is 4 hash-partitioned
+    // equi-joins on 16-bit band keys (a degenerate band value — e.g. flat
+    // images — is the j_salted_skew case and takes the same salting), and
+    // the Hamming verify is bit_count(xor) on already-joined ints.
+    QueryDef("mm_phash", {
+      def bandSql(k: Int): String = (0 until 16).map { j =>
+        val b = 16 * k + j; val r = b / 8; val c = b % 8
+        val l = r * 9 + c + 1
+        s"CASE WHEN p[$l] > p[${l + 1}] THEN ${1 << j} ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH px AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, 72),
+         |      i -> ascii(substr(text, CAST(i % length(text) AS INT) + 1, 1))) AS p
+         |  FROM documents),
+         |sig AS (
+         |  SELECT doc_id, ${(0 until 4).map(k => s"${bandSql(k)} AS b$k").mkString(", ")}
+         |  FROM px),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.b0 AS a0, a.b1 AS a1, a.b2 AS a2, a.b3 AS a3,
+         |    b.b0 AS c0, b.b1 AS c1, b.b2 AS c2, b.b3 AS c3
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |    AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3))
+         |SELECT doc_a, doc_b,
+         |  CAST(bit_count(xor(a0, c0)) + bit_count(xor(a1, c1))
+         |     + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3)) AS INT) AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(a0, c0)) + bit_count(xor(a1, c1))
+         |    + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3)) <= 3""".stripMargin
+    }) { (s, dir) =>
+      def band(k: Int): org.apache.spark.sql.Column = (0 until 16).map { j =>
+        val b = 16 * k + j; val r = b / 8; val c = b % 8
+        val l = r * 9 + c + 1
+        when(expr(s"element_at(p, $l) > element_at(p, ${l + 1})"), lit(1 << j))
+          .otherwise(lit(0))
+      }.reduce(_ + _).as(s"b$k")
+      // the signature table feeds eight join sides — compute it once
+      val sig = media(s, dir)
+        .withColumn("p", expr(
+          """transform(sequence(0, 71),
+            |  i -> ascii(cast(substring(media, cast(i % length(media) as int) + 1, 1) as string)))"""
+            .stripMargin))
+        .select(col("doc_id"), band(0), band(1), band(2), band(3))
+        .persist()
+      val cands = (0 until 4).map { k =>
+        sig.as("a").join(sig.as("b"),
+          col(s"a.b$k") === col(s"b.b$k") && col("a.doc_id") < col("b.doc_id"))
+          .select(
+            col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            col("a.b0").as("a0"), col("a.b1").as("a1"),
+            col("a.b2").as("a2"), col("a.b3").as("a3"),
+            col("b.b0").as("c0"), col("b.b1").as("c1"),
+            col("b.b2").as("c2"), col("b.b3").as("c3"))
+      }.reduce(_ union _).distinct()
+      val ham = expr(
+        "bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + bit_count(a2 ^ c2) + bit_count(a3 ^ c3)")
+      CacheScope.sealResult(
+        cands.filter(ham <= 3)
+          .select(col("doc_a"), col("doc_b"), ham.cast("int").as("hamming")),
+        sig)
     }
   )
 }

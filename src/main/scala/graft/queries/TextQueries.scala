@@ -837,6 +837,122 @@ object TextQueries {
         Graft.table(s, dir, "documents"))
       graft.pipeline.TextIndexStore.probe(s, root,
         Seq("join", "vector", "stream"), k = 20)
+    },
+
+    // --------------------------------------------------------------- TEXT-23
+    // Sliding-window document chunking — the RAG/embedding prep step: each
+    // document splits into 32-token windows on a 24-token stride (25%
+    // overlap), each chunk carrying its provenance (doc_id, chunk ordinal,
+    // 1-based token offset) and a content digest. Pure per-row generator
+    // arithmetic (sequence → explode → slice), so at 100 TB it runs
+    // map-side inside whole-stage codegen with zero shuffles — the chunk
+    // stream feeds the embedding/ANN spine partitioned however its consumer
+    // wants. Spark `slice`/DuckDB `list_slice` both cap at the array end,
+    // so the ragged tail chunk needs no special case.
+    QueryDef("t_chunk",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+        |SELECT doc_id,
+        |  CAST((g.i - 1) // 24 AS INT) AS chunk_idx,
+        |  CAST(g.i AS INT) AS start_tok,
+        |  CAST(len(list_slice(tk, CAST(g.i AS INT), CAST(g.i AS INT) + 31)) AS INT) AS n_tok,
+        |  length(array_to_string(list_slice(tk, CAST(g.i AS INT), CAST(g.i AS INT) + 31), ' ')) AS n_chars,
+        |  md5(array_to_string(list_slice(tk, CAST(g.i AS INT), CAST(g.i AS INT) + 31), ' ')) AS chunk_md5
+        |FROM t, UNNEST(generate_series(1, len(tk), 24)) AS g(i)""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), col("tk"),
+          explode(expr("sequence(1, size(tk), 24)")).as("i"))
+        .withColumn("chunk", expr("slice(tk, i, 32)"))
+        .select(
+          col("doc_id"),
+          expr("cast((i - 1) div 24 as int)").as("chunk_idx"),
+          col("i").cast("int").as("start_tok"),
+          size(col("chunk")).as("n_tok"),
+          length(array_join(col("chunk"), " ")).as("n_chars"),
+          md5(array_join(col("chunk"), " ")).as("chunk_md5"))
+    },
+
+    // --------------------------------------------------------------- TEXT-24
+    // Hashed-n-gram importance scoring for data selection — the DSIR shape
+    // (Xie et al. 2023, "Data Selection for Language Models via Importance
+    // Resampling"): featurize every token into one of 256 hash buckets,
+    // estimate the bucket distribution of a TARGET slice (here the de/fr
+    // strata) and of the RAW corpus with add-one smoothing, score each
+    // document by its mean per-token importance ratio, and keep the top
+    // 100. Two deviations from the paper, both deliberate: the per-bucket
+    // statistic is the smoothed probability RATIO summed per token rather
+    // than its log (log-sum needs libm `ln`, whose last-ulp rounding is not
+    // pinned across engines — the ratio is one exact-int division, so the
+    // score is bit-identical in Spark and DuckDB), and selection is
+    // deterministic top-k rather than Gumbel sampling (reproducibility at
+    // any parallelism). Cost shape at 100 TB: ONE pass over the exploded
+    // token stream into a (doc_id, lang, bucket) partial-agg (the only
+    // corpus-sized shuffle — map-side combinable), bucket stats reduce to
+    // ≤256 rows broadcast back over the per-doc rollup, the per-doc sum
+    // folds a ≤256-entry sorted list (deterministic IEEE order), and the
+    // top-k is TakeOrderedAndProject, never a global sort.
+    QueryDef("t_dsir", {
+      val bucket = (c: String) =>
+        s"(instr('0123456789abcdef', substr(md5($c), 1, 1)) - 1) * 16" +
+          s" + (instr('0123456789abcdef', substr(md5($c), 2, 1)) - 1)"
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t FROM documents),
+         |db AS (
+         |  SELECT doc_id, lang, ${bucket("t")} AS bucket, COUNT(*) AS n_b
+         |  FROM tok GROUP BY doc_id, lang, bucket),
+         |stats AS (
+         |  SELECT bucket,
+         |    CAST(COALESCE(SUM(n_b) FILTER (WHERE lang IN ('de', 'fr')), 0) AS BIGINT) AS ct,
+         |    CAST(SUM(n_b) AS BIGINT) AS cr
+         |  FROM db GROUP BY bucket),
+         |tot AS (
+         |  SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cr) AS BIGINT) AS nr FROM stats),
+         |w AS (
+         |  SELECT bucket,
+         |    CAST((ct + 1) * (SELECT nr + 256 FROM tot) AS DOUBLE)
+         |      / CAST((cr + 1) * (SELECT nt + 256 FROM tot) AS DOUBLE) AS ratio
+         |  FROM stats),
+         |score AS (
+         |  SELECT doc_id, lang,
+         |    list_reduce(
+         |      list_prepend(0.0::DOUBLE, list(n_b * ratio ORDER BY bucket)),
+         |      (a, x) -> a + x) / CAST(SUM(n_b) AS DOUBLE) AS dsir_score
+         |  FROM db JOIN w USING (bucket) GROUP BY doc_id, lang)
+         |SELECT doc_id, lang, dsir_score
+         |FROM score ORDER BY dsir_score DESC, doc_id LIMIT 100""".stripMargin
+    }) { (s, dir) =>
+      val bucketCol = expr(
+        "(instr('0123456789abcdef', substring(md5(t), 1, 1)) - 1) * 16" +
+          " + (instr('0123456789abcdef', substring(md5(t), 2, 1)) - 1)")
+      // one corpus pass: the (doc, bucket) rollup feeds the bucket stats
+      // AND the per-doc scoring — cached (≤256 rows per doc, ≪ the
+      // exploded token stream) so neither branch re-reads the corpus
+      val db = docs(s, dir)
+        .select(col("doc_id"), col("lang"), explode(col("tk")).as("t"))
+        .withColumn("bucket", bucketCol)
+        .groupBy("doc_id", "lang", "bucket")
+        .agg(count(lit(1)).as("n_b"))
+        .persist()
+      val stats = db.groupBy("bucket").agg(
+        coalesce(sum(when(col("lang").isin("de", "fr"), col("n_b"))), lit(0L)).as("ct"),
+        sum("n_b").cast("long").as("cr"))
+      val tot = stats.agg(
+        sum("ct").cast("long").as("nt"), sum("cr").cast("long").as("nr"))
+      val w = stats.crossJoin(broadcast(tot)).select(
+        col("bucket"),
+        (((col("ct") + 1) * (col("nr") + 256)).cast("double") /
+          ((col("cr") + 1) * (col("nt") + 256)).cast("double")).as("ratio"))
+      CacheScope.sealResult(
+        db.join(broadcast(w), "bucket")
+          .groupBy("doc_id", "lang")
+          .agg(
+            collect_list(struct(col("bucket"), (col("n_b") * col("ratio")).as("contrib"))).as("lst"),
+            sum("n_b").cast("long").as("ntok"))
+          .select(col("doc_id"), col("lang"),
+            (expr("aggregate(transform(array_sort(lst), p -> p.contrib), cast(0 as double), (a, x) -> a + x)")
+              / col("ntok").cast("double")).as("dsir_score"))
+          .orderBy(col("dsir_score").desc, col("doc_id"))
+          .limit(100),
+        db)
     }
   )
 }

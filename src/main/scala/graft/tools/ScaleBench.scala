@@ -41,7 +41,8 @@ object ScaleBench {
     "flagship_wallet_features", "flagship_auc_features",
     "snap_merge_pruned", "bf_anti_join",
     "curation_funnel", "d_exact_dedup", "d_lsh_verified", "d_dup_clusters",
-    "t_shards", "t_token_pack", "ann_ivf_pq", "d_semantic_dedup_hier")
+    "t_shards", "t_token_pack", "ann_ivf_pq", "d_semantic_dedup_hier",
+    "t_chunk", "t_dsir", "mm_phash")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

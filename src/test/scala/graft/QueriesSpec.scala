@@ -419,4 +419,92 @@ class QueriesSpec extends SparkSpec {
       .agg(avg(col("pr")).as("m")).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(bySide(1L) > 10 * bySide(0L))
   }
+
+  test("t_chunk: chunks tile every document — full coverage, exact stride, ragged tail only at the end") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("t_chunk")(spark, sf)
+    val docs = graft.core.Graft.table(spark, sf, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok_doc"))
+    // per-chunk length law: every chunk holds exactly the tokens from its
+    // start to min(start+31, end of doc)
+    val badLen = out.join(docs, "doc_id")
+      .filter(col("n_tok") =!= least(lit(32), col("n_tok_doc") - col("start_tok") + 1))
+      .count()
+    assert(badLen == 0)
+    // coverage: chunks start at token 1, the furthest chunk reaches the
+    // last token, and starts advance by exactly the stride (count matches)
+    val j = out.groupBy("doc_id").agg(
+      count(lit(1)).as("n_chunks"),
+      max(col("start_tok") + col("n_tok") - 1).as("last_tok"),
+      min("start_tok").as("first_tok")).join(docs, "doc_id")
+    val bad = j.filter(
+      col("first_tok") =!= 1 ||
+        col("last_tok") =!= col("n_tok_doc") ||
+        col("n_chunks") =!= expr("bigint((n_tok_doc + 23) div 24)")).count()
+    assert(bad == 0)
+  }
+
+  test("t_dsir: scores equal an independent per-token join path; target slice is up-weighted on average") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("t_dsir")(spark, sf)
+    // independent recomputation: per-token explode + bucket stats via SQL,
+    // score = mean ratio over token INSTANCES (same math, join-per-token
+    // instead of the rollup+ordered-fold the query uses)
+    val tok = graft.core.Graft.table(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("t"))
+      .withColumn("bucket", expr(
+        "(instr('0123456789abcdef', substring(md5(t), 1, 1)) - 1) * 16" +
+          " + (instr('0123456789abcdef', substring(md5(t), 2, 1)) - 1)"))
+    val stats = tok.groupBy("bucket").agg(
+      coalesce(sum(when(col("lang").isin("de", "fr"), lit(1L))), lit(0L)).as("ct"),
+      count(lit(1)).as("cr"))
+    val Array(nt, nr) = stats.agg(sum("ct"), sum("cr")).head
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    val scored = tok.join(stats, "bucket")
+      .groupBy("doc_id")
+      .agg((sum(((col("ct") + 1) * (nr + 256)).cast("double") /
+        ((col("cr") + 1) * (nt + 256)).cast("double")) / count(lit(1))).as("ref_score"))
+    // per-doc equality within IEEE reassociation noise of the reference sum
+    val drift = out.join(scored, "doc_id")
+      .filter(abs(col("dsir_score") - col("ref_score")) > 1e-9).count()
+    assert(drift == 0)
+    // the selection tilts toward the target slice: de/fr share of the top
+    // 100 strictly exceeds their corpus share
+    val total = graft.core.Graft.table(spark, sf, "documents").count().toDouble
+    val targetShare = graft.core.Graft.table(spark, sf, "documents")
+      .filter(col("lang").isin("de", "fr")).count() / total
+    val pickedShare = out.filter(col("lang").isin("de", "fr")).count() / 100.0
+    assert(pickedShare > targetShare,
+      s"top-100 target share $pickedShare should exceed corpus share $targetShare")
+  }
+
+  test("mm_phash: banded candidate generation finds EVERY Hamming<=3 pair (pigeonhole completeness)") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("mm_phash")(spark, sf)
+      .select("doc_a", "doc_b", "hamming")
+    // brute-force reference: all-pairs over the same signatures
+    val sig = graft.functions.Multimodal
+      .withMedia(graft.core.Graft.table(spark, sf, "documents"))
+      .withColumn("p", expr(
+        """transform(sequence(0, 71),
+          |  i -> ascii(cast(substring(media, cast(i % length(media) as int) + 1, 1) as string)))"""
+          .stripMargin))
+      .select(col("doc_id") +: (0 until 4).map { k =>
+        (0 until 16).map { j =>
+          val b = 16 * k + j; val r = b / 8; val c = b % 8
+          val l = r * 9 + c + 1
+          when(expr(s"element_at(p, $l) > element_at(p, ${l + 1})"), lit(1 << j))
+            .otherwise(lit(0))
+        }.reduce(_ + _).as(s"b$k")
+      }: _*)
+    val brute = sig.as("a").join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.b0 ^ b.b0) + bit_count(a.b1 ^ b.b1) + " +
+          "bit_count(a.b2 ^ b.b2) + bit_count(a.b3 ^ b.b3)").cast("int").as("hamming"))
+      .filter(col("hamming") <= 3)
+    assert(out.except(brute).isEmpty && brute.except(out).isEmpty,
+      "banded pair set must equal the brute-force all-pairs set")
+    assert(out.count() == brute.count())
+  }
 }

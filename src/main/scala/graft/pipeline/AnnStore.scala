@@ -65,6 +65,8 @@ object AnnStore extends ServingStore {
 
   override def storeName: String = "ann"
 
+  override def ingestKey: String = "vec_id"
+
   /** [[ServingStore.appendBatch]] = [[appendVectors]]. */
   override def appendBatch(spark: SparkSession, root: String,
       batch: DataFrame): Unit = appendVectors(spark, root, batch)

@@ -37,18 +37,40 @@ object DedupStore extends ServingStore {
 
   override def storeName: String = "dedup"
 
+  override def ingestKey: String = "doc_id"
+
   /** [[ServingStore.appendBatch]]: identity-replay-safe fold of a batch
     * into the index — intra-batch `dropDuplicates` plus the stored-doc_id
     * anti join (contract rule 2), then the same bucket-appends
     * [[appendAdmitted]] performs. Near-dup POLICY (should this doc enter
     * the corpus at all?) is [[admit]]'s job and is deliberately not
     * applied here: a store fed through the generic surface indexes
-    * everything it is given, once. */
+    * everything it is given, once.
+    *
+    * `fresh` is PERSISTED before the append: [[appendAdmitted]] runs two
+    * actions (bands write, then shingles write), and `dropDuplicates` is
+    * nondeterministic under re-evaluation — unpinned, a doc_id duplicated
+    * with DIFFERENT text could land copy A's bands and copy B's shingles
+    * (a self-inconsistent index: candidates found from A verified against
+    * B). Same hazard, same fix as [[TextIndexStore.appendDocuments]].
+    *
+    * Replay guard ordering (crash-consistency contract): the anti join
+    * keys on the SHINGLES table, which [[appendAdmitted]] writes LAST. A
+    * crash between the two writes leaves bands rows whose doc is absent
+    * from shingles; the redelivered batch then passes the guard and
+    * re-runs both appends — shingles lands exactly once (the verify-join
+    * multiplier stays correct), and the only residue is duplicate BAND
+    * rows, which [[admit]]'s candidate `.distinct()` absorbs (cost, not
+    * correctness). Guarding on the first-written table would invert that:
+    * the replay would skip the doc and leave it permanently invisible to
+    * candidate generation. */
   override def appendBatch(spark: SparkSession, root: String,
       batch: DataFrame): Unit = {
     val fresh = batch.dropDuplicates("doc_id").join(
       spark.table(shinglesTable(root)).select("doc_id"), Seq("doc_id"), "left_anti")
-    appendAdmitted(spark, root, fresh)
+      .persist()
+    try appendAdmitted(spark, root, fresh)
+    finally { fresh.unpersist(); () }
   }
 
   val Buckets = 32

@@ -48,6 +48,11 @@ trait ServingStore {
   /** Short name for logs / reports. */
   def storeName: String
 
+  /** The identity column admission dedups on (contract rule 2): a batch
+    * row is one entity keyed by this column; two batch rows sharing it are
+    * the same entity delivered twice. */
+  def ingestKey: String
+
   /** Idempotent bootstrap: re-register an existing on-disk store on a
     * fresh session; build from `corpus` (evaluated only when needed) when
     * absent. Returns true when this call performed the build. */
@@ -75,8 +80,16 @@ trait ServingStore {
     * ([[VectorPipeline.ingest]]); the shape is always this one. */
   final def ingestBatch(spark: SparkSession, root: String,
       batch: DataFrame): ServingStore.Ingest = {
-    val bootstrapped = ensureBuilt(spark, root, batch)
-    if (!bootstrapped) appendBatch(spark, root, batch)
+    // rule 2 applies to the BOOTSTRAP batch too: an at-least-once source
+    // can duplicate a key inside the stream's first micro-batch, and the
+    // build paths index their corpus verbatim (a doubled doc doubles its
+    // tf in every posting / surfaces its vector twice per probe — and the
+    // corruption is permanent, since later batches anti-join against the
+    // store). appendBatch dedups internally; the build path gets the
+    // dedup here, once, for every store.
+    val b = batch.dropDuplicates(ingestKey)
+    val bootstrapped = ensureBuilt(spark, root, b)
+    if (!bootstrapped) appendBatch(spark, root, b)
     val fired = !bootstrapped && shouldMaintain(spark, root)
     if (fired) maintain(spark, root)
     ServingStore.Ingest(bootstrapped, fired)

@@ -44,6 +44,8 @@ object TextIndexStore extends ServingStore {
 
   override def storeName: String = "text-index"
 
+  override def ingestKey: String = "doc_id"
+
   /** [[ServingStore.appendBatch]] = [[appendDocuments]] (already the
     * contract's replay-safe admission: intra-batch dropDuplicates + the
     * stored-doc_id anti join, stats folded crash-safely). */

@@ -297,6 +297,10 @@ object MultimodalQueries {
     // equi-joins on 16-bit band keys (a degenerate band value — e.g. flat
     // images — is the j_salted_skew case and takes the same salting), and
     // the Hamming verify is bit_count(xor) on already-joined ints.
+    // Engine parity note: Spark samples BYTE positions of the binary
+    // payload, the oracle CHAR positions of the text — equal only while
+    // 1 char = 1 byte, which SchemaContractSpec pins for the fixture
+    // (the ASCII contract the whole media-oracle idiom rests on).
     QueryDef("mm_phash", {
       def bandSql(k: Int): String = (0 until 16).map { j =>
         val b = 16 * k + j; val r = b / 8; val c = b % 8

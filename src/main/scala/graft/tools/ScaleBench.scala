@@ -66,14 +66,20 @@ object ScaleBench {
       base.replaceAll("[^a-zA-Z0-9]", "_") + s"_x$factor"
     generate(spark, base, scaled, factor)
 
-    def run(name: String, dir: String): Double = {
+    // run returns the plan string BESIDE the time: several panel queries
+    // have EAGER builders (sealResult's persist+count, localCheckpoint
+    // iteration loops), so a separate census call through
+    // SparkEntry.queries would re-execute the whole query at both scales
+    // just to string-count the plan — the census must ride the frame the
+    // timed run already built
+    def run(name: String, dir: String): (Double, String) = {
       spark.sharedState.cacheManager.clearCache()
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir)
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.write.format("noop").mode("overwrite").save()
+      ((System.nanoTime() - t0) / 1e9, df.queryExecution.executedPlan.toString)
     }
-    def steady(name: String, dir: String): Double = {
+    def steady(name: String, dir: String): (Double, String) = {
       run(name, dir) // store builds / cache warm (untimed)
       run(name, dir)
     }
@@ -87,19 +93,18 @@ object ScaleBench {
     // the accepted 100x growth mode, PlanSpec pins it at test scale); a
     // second wallet exchange AT THE SCALED SIZE is a regression even when
     // the timing looks fine — `wallet_exchange_ok` goes false.
-    def census(name: String, dir: String): (Int, Int) = {
-      val p = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
-      def cnt(sub: String) = p.sliding(sub.length).count(_ == sub)
+    def census(plan: String): (Int, Int) = {
+      def cnt(sub: String) = plan.sliding(sub.length).count(_ == sub)
       (cnt("Exchange hashpartitioning"), cnt("Exchange hashpartitioning(wallet_address"))
     }
 
     val rows = panel.map { q =>
       val r =
         try {
-          val t1 = steady(q, base)
-          val tF = steady(q, scaled)
+          val (t1, p1) = steady(q, base)
+          val (tF, pF) = steady(q, scaled)
           val exp = math.log(tF / t1) / math.log(factor.toDouble)
-          val ((ex1, wx1), (exF, wxF)) = (census(q, base), census(q, scaled))
+          val ((ex1, wx1), (exF, wxF)) = (census(p1), census(pF))
           // flagship_wallet_features partitions on user_id (its own
           // PlanSpec pin); the wallet_address pin covers the priced family
           val walletOk = !q.startsWith("flagship_auc") || (wx1 == 1 && wxF == 1)

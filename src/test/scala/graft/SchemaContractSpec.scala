@@ -140,4 +140,22 @@ class SchemaContractSpec extends SparkSpec {
       assert(meta > 0, s"$t is empty at sf0.001")
     }
   }
+
+  test("documents.text is pure ASCII — the media-oracle byte/char parity contract") {
+    // The multimodal oracles verify Spark's genuine BinaryType arithmetic
+    // from DuckDB's text side (MultimodalQueries header): that only holds
+    // while one character IS one byte. mm_phash (byte-position sampling vs
+    // char-position sampling) and mm_frame_sample (byte slices vs char
+    // slices) would silently diverge on a multi-byte code point, so a
+    // fixture regeneration that introduces one must fail HERE, loudly,
+    // not as an opaque oracle hash mismatch.
+    import org.apache.spark.sql.functions._
+    val nonAscii = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(length(col("text")) =!= octet_length(col("text")) ||
+        col("text").rlike("[^\\x00-\\x7F]"))
+      .count()
+    assert(nonAscii == 0,
+      s"$nonAscii documents carry non-ASCII text: the byte-side multimodal " +
+        "oracles (mm_phash, mm_frame_sample) assume 1 char = 1 byte")
+  }
 }

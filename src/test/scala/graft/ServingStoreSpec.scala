@@ -63,6 +63,65 @@ class ServingStoreSpec extends SparkSpec {
     }
   }
 
+  test("bootstrap batch with a duplicated key builds the same index as its dedup (rule 2 on FIRST contact)") {
+    // an at-least-once source can duplicate a key inside the stream's
+    // FIRST micro-batch — before the store exists, so no store-side guard
+    // can catch it; ingestBatch must dedup the build corpus itself, or
+    // the doubled entity is indexed twice permanently (every later batch
+    // anti-joins against the corrupt store)
+    for (c <- cases) {
+      val dupRoot = tmpDir(s"svboot_dup_${c.store.storeName}_")
+      val cleanRoot = tmpDir(s"svboot_clean_${c.store.storeName}_")
+      val r = c.store.ingestBatch(spark, dupRoot, c.b1.union(c.b1.limit(3)))
+      assert(r.bootstrapped)
+      c.store.ingestBatch(spark, cleanRoot, c.b1)
+      assert(c.indexedRows(dupRoot) == c.indexedRows(cleanRoot),
+        s"${c.store.storeName}: duplicated bootstrap key changed the index")
+    }
+    // the sharpest corruption is the text index: a doubled doc doubles tf
+    // in every posting — pin the posting VALUES, not just the row count
+    val dupRoot = tmpDir("svboot_tf_dup_")
+    val cleanRoot = tmpDir("svboot_tf_clean_")
+    TextIndexStore.ingestBatch(spark, dupRoot, docs(0 until 20).union(docs(0 until 3)))
+    TextIndexStore.ingestBatch(spark, cleanRoot, docs(0 until 20))
+    val d = spark.table(TextIndexStore.postingsTable(dupRoot))
+      .select("term", "doc_id", "tf", "dl")
+    val cl = spark.table(TextIndexStore.postingsTable(cleanRoot))
+      .select("term", "doc_id", "tf", "dl")
+    assert(d.except(cl).isEmpty && cl.except(d).isEmpty,
+      "bootstrap dup skewed posting tf values")
+  }
+
+  test("DedupStore crash window between the two appends heals on replay (guard keys on the last-written table)") {
+    import graft.pipeline.DedupStore._
+    val root = tmpDir("svcrash_")
+    val healthyRoot = tmpDir("svcrash_ref_")
+    val b1 = docs(0 until 20)
+    val b2 = docs(20 until 30)
+    DedupStore.ingestBatch(spark, root, b1)
+    DedupStore.ingestBatch(spark, healthyRoot, b1)
+    // simulate the crash: batch 2's BANDS land, its shingles never do
+    val (bands2, _) = DedupStore.signatures(b2)
+    graft.core.Lakehouse.appendBucketed(bands2, bandsTable(root), "bh", Buckets)
+    // the redelivered batch passes the shingles-keyed guard and re-runs
+    // both appends
+    DedupStore.appendBatch(spark, root, b2)
+    DedupStore.appendBatch(spark, healthyRoot, b2)
+    // shingles (the verify-join multiplier) land EXACTLY once per doc
+    val shingleDups = spark.table(shinglesTable(root))
+      .groupBy("doc_id").count().filter(col("count") > 1).count()
+    assert(shingleDups == 0, "crash replay duplicated shingle rows")
+    // residue is duplicate BAND rows only — and admission verdicts are
+    // unchanged vs a store that never crashed (candidate .distinct()
+    // absorbs them)
+    val probe = docs(25 until 35) // overlaps stored docs -> real dups found
+    val vCrash = DedupStore.admit(spark, root, probe, storedIdUpperBound = 30L)
+    val vRef = DedupStore.admit(spark, healthyRoot, probe, storedIdUpperBound = 30L)
+    val diff = vCrash.except(vRef).count() + vRef.except(vCrash).count()
+    vCrash.unpersist(); vRef.unpersist()
+    assert(diff == 0, "crash-window replay changed admission verdicts")
+  }
+
   test("maintenance trigger is store policy: only the ANN store decays") {
     // dedup + text indexes do not degrade under appends — their trigger
     // never fires through the generic surface; the ANN store's trigger is

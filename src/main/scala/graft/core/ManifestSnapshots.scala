@@ -717,14 +717,93 @@ object ManifestSnapshots {
   private def requireNoRetype(spark: SparkSession, dir: String,
       entries: Seq[Entry], delta: org.apache.spark.sql.types.StructType,
       exclude: Set[String], op: String): Unit = {
+    // declared (metadata-only) columns guard like stored ones: a delta
+    // materializing a declared column must carry its declared type
     val stored = storedSchema(spark, dir.stripSuffix("/"), entries)
-      .map(f => f.name -> f.dataType).toMap
+      .map(f => f.name -> f.dataType).toMap ++
+      declaredColumns(spark, dir)
+        .map(c => c.name -> org.apache.spark.sql.types.DataType.fromDDL(c.ddl))
+        .toMap
     delta.filterNot(f => exclude.contains(f.name)).foreach { f =>
       stored.get(f.name).filter(_ != f.dataType).foreach { was =>
         throw new IllegalArgumentException(
           s"$op refuses to retype column '${f.name}': stored $was, delta ${f.dataType}")
       }
     }
+  }
+
+  // ------------------------------------------------------ SCHEMA EVOLUTION
+
+  /** One metadata-declared column: added by [[addColumn]] at version
+    * `since`; physically present only in files written afterwards.
+    * Reads of version ≥ since materialize it — `defaultSql` (or NULL)
+    * fills file GROUPS that predate the declaration; stored values,
+    * NULLs included, are never overwritten. */
+  final case class DeclaredColumn(name: String, ddl: String,
+      defaultSql: Option[String], since: Long)
+
+  private val SchemaColsFile = "_schema_cols"
+
+  private def encMarker(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def decMarker(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  /** The table's metadata-declared columns, oldest first. */
+  def declaredColumns(spark: SparkSession, dir: String): Seq[DeclaredColumn] =
+    Markers.read(spark, new Path(dir.stripSuffix("/"), SchemaColsFile))
+      .map(_.linesIterator.filter(_.nonEmpty).toSeq.flatMap { ln =>
+        ln.split('\t') match {
+          case Array(n, t, since, d) =>
+            Some(DeclaredColumn(decMarker(n), decMarker(t),
+              if (d.startsWith("=")) Some(decMarker(d.drop(1))) else None,
+              since.toLong))
+          case _ => None
+        }
+      }).getOrElse(Nil)
+
+  /** Declare a NEW column as a METADATA-ONLY commit — Iceberg's
+    * add-column-with-default: no data file is touched (the new manifest
+    * carries the predecessor's entries verbatim), and the declaration
+    * becomes visible to reads of the returned version ONWARD. Time
+    * travel keeps old schemas: `read(v)` for v before this commit does
+    * not carry the column. Files written after the declaration store it
+    * physically (their own values, stored NULLs preserved — the default
+    * fills only file groups that PREDATE the column). The default
+    * literal is validated against the declared type HERE, writer-side,
+    * not in a reader minutes later; retyping the declared column in a
+    * later delta is refused by the same guard that protects stored
+    * columns. Like OPTIMIZE/refresh, addColumn is single-maintenance-
+    * writer: two concurrent declarations can lose one marker line. */
+  def addColumn(spark: SparkSession, dir: String, name: String,
+      ddlType: String, defaultSql: Option[String] = None): Long = {
+    import org.apache.spark.sql.functions.expr
+    val hfs = fs(spark, dir)
+    val dt = org.apache.spark.sql.types.DataType.fromDDL(ddlType)
+    defaultSql.foreach { d =>
+      val v = spark.range(1).select(expr(d).cast(dt)).head.get(0)
+      require(v != null || d.trim.equalsIgnoreCase("null"),
+        s"addColumn default `$d` does not cast to $ddlType")
+    }
+    val prev = latestVersion(spark, dir).getOrElse(throw new IllegalStateException(
+      s"addColumn needs a committed snapshot under $dir"))
+    val entries = entriesOf(spark, dir, prev)
+    val physical: Set[String] =
+      if (entries.isEmpty) Set.empty
+      else storedSchema(spark, dir.stripSuffix("/"), entries).map(_.name).toSet
+    val declared = declaredColumns(spark, dir).map(_.name).toSet
+    require(!physical.contains(name) && !declared.contains(name),
+      s"addColumn: column '$name' already exists on $dir")
+    val v = commitLoop(hfs, dir, _ => entries, expectedBase = Some(prev))
+    // commit first, then declare (the declaration cites the committed
+    // version): a crash between the two leaves a no-op metadata version
+    // — benign — never a declaration pointing at a missing version
+    val line = Seq(encMarker(name), encMarker(ddlType), v.toString,
+      defaultSql.map("=" + encMarker(_)).getOrElse("-")).mkString("\t")
+    val p = new Path(dir.stripSuffix("/"), SchemaColsFile)
+    val old = Markers.read(spark, p).getOrElse("")
+    Markers.write(spark, p, old + line + "\n")
+    v
   }
 
   /** Copy-on-write at partition granularity: the delta's partitions
@@ -775,26 +854,44 @@ object ManifestSnapshots {
     * version-dir (each is its own hive basePath), unioned by name —
     * there the version count is bounded by [[compactData]] cadence. */
   private def readEntries(spark: SparkSession, base: String,
-      entries: Seq[Entry]): DataFrame =
-    if (entries.forall(_.partition.isEmpty))
+      entries: Seq[Entry], declared: Seq[DeclaredColumn] = Nil): DataFrame = {
+    // Declared-column fill is applied PER WRITE GROUP (one d-<v>-<tok>
+    // dir = one physical schema): a group that physically lacks the
+    // column predates its declaration and gets the typed default; a
+    // group that stores it keeps its values — INCLUDING stored NULLs,
+    // which a frame-wide coalesce would silently overwrite.
+    def fill(df: DataFrame): DataFrame = declared.foldLeft(df) { (d, c) =>
+      if (d.columns.contains(c.name)) d
+      else d.withColumn(c.name,
+        c.defaultSql.map(org.apache.spark.sql.functions.expr)
+          .getOrElse(org.apache.spark.sql.functions.lit(null))
+          .cast(org.apache.spark.sql.types.DataType.fromDDL(c.ddl)))
+    }
+    if (declared.isEmpty && entries.forall(_.partition.isEmpty))
       spark.read.option("mergeSchema", "true")
         .parquet(entries.map(e => s"$base/${e.path}"): _*)
     else
       entries.groupBy(_.path.split('/').take(2).mkString("/")).toSeq
         .sortBy(_._1)
         .map { case (vdir, es) =>
-          spark.read.option("basePath", s"$base/$vdir")
-            .parquet(es.map(e => s"$base/${e.path}"): _*)
+          fill(spark.read.option("basePath", s"$base/$vdir")
+            .parquet(es.map(e => s"$base/${e.path}"): _*))
         }
         .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 
   /** Read one version: exactly its manifest's files. Partitioned layouts
     * recover the partition columns from the hive paths via basePath
-    * (string-typed, the lake's hive-partition convention). */
+    * (string-typed, the lake's hive-partition convention). The schema
+    * travels with the version: columns declared by [[addColumn]] AT OR
+    * BEFORE `version` are materialized (default-filled for file groups
+    * that predate them); a read of an earlier version keeps the earlier
+    * schema. */
   def read(spark: SparkSession, dir: String, version: Long): DataFrame = {
     val entries = entriesOf(spark, dir, version)
-    if (entries.isEmpty) emptyVersion(spark, dir, version)
-    else readEntries(spark, dir.stripSuffix("/"), entries)
+    val declared = declaredColumns(spark, dir).filter(_.since <= version)
+    if (entries.isEmpty) emptyVersion(spark, dir, version, declared)
+    else readEntries(spark, dir.stripSuffix("/"), entries, declared)
   }
 
   /** An EMPTY version (a deleteWhere that removed every row commits a
@@ -804,7 +901,7 @@ object ManifestSnapshots {
     * schema-bearing version was vacuumed away has no recoverable schema
     * and fails with that diagnosis rather than a bare require. */
   private def emptyVersion(spark: SparkSession, dir: String,
-      version: Long): DataFrame = {
+      version: Long, declared: Seq[DeclaredColumn] = Nil): DataFrame = {
     val donor = versions(spark, dir)
       .filter(_ < version).sorted.reverse
       .map(v => entriesOf(spark, dir, v))
@@ -813,7 +910,7 @@ object ManifestSnapshots {
         s"version $version of $dir is empty and no earlier version " +
           "retains files to recover the schema from (vacuumed away) — " +
           "re-seed the chain with a writeFull/appendDelta"))
-    readEntries(spark, dir.stripSuffix("/"), donor).limit(0)
+    readEntries(spark, dir.stripSuffix("/"), donor, declared).limit(0)
   }
 
   def readLatest(spark: SparkSession, dir: String): DataFrame = {
@@ -904,7 +1001,8 @@ object ManifestSnapshots {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else {
-      val df = readEntries(spark, dir.stripSuffix("/"), hit)
+      val df = readEntries(spark, dir.stripSuffix("/"), hit,
+        declaredColumns(spark, dir).filter(_.since <= version))
       // residual typing shared with readZPrunedK (ZoneResidual): typed
       // bound literals keep parquet pushdown, saturating conversions
       // are refused — two pruning tiers, one plan

@@ -680,6 +680,44 @@ object ExtraQueries {
       ManifestSnapshots.readChanges(s, root, fromV = 1L, toV = latest)
     },
 
+    // --------------------------------------------------------- STORAGE-EVOLVE
+    // Schema evolution as a METADATA-ONLY commit (Iceberg's add-column-
+    // with-default): v1 stores (event_id, user_id, value); addColumn
+    // declares `channel STRING DEFAULT 'legacy'` touching no data file;
+    // v3 appends rows that STORE channel — including genuine NULLs. The
+    // evolved read must show the default for pre-declaration file groups
+    // and the stored values (NULLs preserved, never coalesced away) for
+    // post-declaration ones; the oracle states exactly that contract
+    // over the raw events. Time travel keeps old schemas (read(v1) has
+    // no channel — ManifestSnapshotSpec pins that plus the retype
+    // refusals); at 100 TB the declaration costs one KB-scale manifest
+    // and one marker line, never a table rewrite.
+    QueryDef("snap_schema_evolve",
+      """SELECT event_id, user_id, value,
+        |  CASE WHEN event_id <= (SELECT MAX(event_id) // 2 FROM events) THEN 'legacy'
+        |       WHEN event_id % 5 = 0 THEN NULL
+        |       ELSE concat('ch', CAST(event_id % 3 AS VARCHAR)) END AS channel
+        |FROM events""".stripMargin) { (s, dir) =>
+      import graft.core.ManifestSnapshots
+      val ev = events(s, dir).select("event_id", "user_id", "value")
+      val fp = Graft.dataFingerprint(s, s"$dir/events.parquet")
+      val root = graft.core.StoreRoots.rootFor("graft_msnap_evolve", "v1", dir, fp)
+      graft.core.StoreRoots.ensure(s, root) { tmp =>
+        val m = ev.agg(max("event_id")).head.getLong(0)
+        ManifestSnapshots.writeFull(ev.filter(col("event_id") <= m / 2), tmp)
+        ManifestSnapshots.addColumn(s, tmp, "channel", "string", Some("'legacy'"))
+        ManifestSnapshots.appendDelta(
+          ev.filter(col("event_id") > m / 2)
+            .withColumn("channel",
+              when(col("event_id") % 5 === 0, lit(null).cast("string"))
+                .otherwise(concat(lit("ch"), (col("event_id") % 3).cast("string")))),
+          tmp)
+        ()
+      }
+      ManifestSnapshots.readLatest(s, root)
+        .select("event_id", "user_id", "value", "channel")
+    },
+
     // ------------------------------------------------------------ STORAGE-DEL
     // Row-level DELETE under the oracle gate: a range-clustered snapshot
     // copy of events drops one event_id band via

@@ -180,6 +180,67 @@ class ManifestSnapshotSpec extends SparkSpec {
     assert(ManifestSnapshots.latestVersion(spark, dir).contains(2L))
   }
 
+  test("addColumn: metadata-only declaration — defaults fill old groups, stored NULLs survive, schema travels with the version") {
+    val dir = tmpDir("msnapaddcol") + "/t"
+    val v1 = ManifestSnapshots.writeFull(slice(0, 100), dir)
+    val hfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataDirsBefore = hfs.listStatus(
+      new org.apache.hadoop.fs.Path(dir + "/data")).length
+
+    val vDecl = ManifestSnapshots.addColumn(spark, dir, "tag", "string",
+      Some("'legacy'"))
+    assert(vDecl == 2L)
+    assert(hfs.listStatus(new org.apache.hadoop.fs.Path(dir + "/data")).length
+        == dataDirsBefore, "addColumn must not write any data file")
+
+    // the declaring version reads all-default; the PRE-declaration
+    // version keeps the old schema (time travel)
+    val atDecl = ManifestSnapshots.read(spark, dir, vDecl)
+    assert(atDecl.filter(col("tag") === "legacy").count() == 100)
+    assert(!ManifestSnapshots.read(spark, dir, v1).columns.contains("tag"))
+
+    // a post-declaration delta STORES the column — its values, genuine
+    // NULLs included, are never overwritten by the default
+    ManifestSnapshots.appendDelta(
+      slice(100, 140).withColumn("tag",
+        when(col("id") % 2 === 0, lit(null).cast("string"))
+          .otherwise(lit("new"))), dir)
+    val out = ManifestSnapshots.readLatest(spark, dir)
+    assert(out.filter(col("tag") === "legacy").count() == 100)
+    assert(out.filter(col("tag").isNull).count() == 20)
+    assert(out.filter(col("tag") === "new").count() == 20)
+
+    // writer guards: retyping the declared column, re-declaring any
+    // existing name, and a default that does not cast all die before
+    // anything lands
+    intercept[IllegalArgumentException] {
+      ManifestSnapshots.appendDelta(
+        slice(140, 150).withColumn("tag", lit(7)), dir)
+    }
+    intercept[IllegalArgumentException] {
+      ManifestSnapshots.addColumn(spark, dir, "tag", "string")
+    }
+    intercept[IllegalArgumentException] {
+      ManifestSnapshots.addColumn(spark, dir, "v", "bigint")
+    }
+    intercept[Exception] {
+      ManifestSnapshots.addColumn(spark, dir, "bad", "int", Some("'zz'"))
+    }
+
+    // DML and pruned reads compose with the declaration: a rewrite of a
+    // pre-declaration file still default-fills (the rewritten group
+    // remains physically column-less), and readWhere carries the column
+    ManifestSnapshots.deleteWhere(spark, dir, col("id") === 5)
+    val after = ManifestSnapshots.readLatest(spark, dir)
+    assert(after.count() == 139)
+    assert(after.filter(col("tag") === "legacy").count() == 99)
+    val rw = ManifestSnapshots.readWhere(spark, dir,
+      ManifestSnapshots.latestVersion(spark, dir).get, Seq(("id", 0.0, 10.0)))
+    assert(rw.columns.contains("tag") &&
+      rw.filter(col("tag") =!= "legacy").count() == 0)
+  }
+
   test("deleteWhere: only files with matches rewritten, rest shared by reference; pre-image time-travels") {
     val dir = tmpDir("msnapdel") + "/t"
     // range-clustered layout: matches land in few files, like a real lake

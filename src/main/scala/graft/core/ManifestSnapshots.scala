@@ -724,7 +724,13 @@ object ManifestSnapshots {
       declaredColumns(spark, dir)
         .map(c => c.name -> org.apache.spark.sql.types.DataType.fromDDL(c.ddl))
         .toMap
+    val droppedNow = droppedColumns(spark, dir).map(_.name).toSet
     delta.filterNot(f => exclude.contains(f.name)).foreach { f =>
+      if (droppedNow.contains(f.name))
+        throw new IllegalArgumentException(
+          s"$op refuses column '${f.name}': dropped from this table's " +
+            "schema (a delta resurrecting it would shadow the old groups' " +
+            "retired values)")
       stored.get(f.name).filter(_ != f.dataType).foreach { was =>
         throw new IllegalArgumentException(
           s"$op refuses to retype column '${f.name}': stored $was, delta ${f.dataType}")
@@ -749,18 +755,36 @@ object ManifestSnapshots {
   private def decMarker(s: String): String =
     java.net.URLDecoder.decode(s, "UTF-8")
 
+  /** One metadata-declared column DROP: reads of version ≥ `since`
+    * project the column out; earlier versions keep it (time travel). */
+  final case class DroppedColumn(name: String, since: Long)
+
+  /** A drop line's sentinel first field — '!' URL-encodes to %21, so no
+    * encoded column name can collide with it. */
+  private val DropKind = "!drop"
+
+  private def schemaLines(spark: SparkSession, dir: String): Seq[Array[String]] =
+    Markers.read(spark, new Path(dir.stripSuffix("/"), SchemaColsFile))
+      .map(_.linesIterator.filter(_.nonEmpty).toSeq.map(_.split('\t')))
+      .getOrElse(Nil)
+
   /** The table's metadata-declared columns, oldest first. */
   def declaredColumns(spark: SparkSession, dir: String): Seq[DeclaredColumn] =
-    Markers.read(spark, new Path(dir.stripSuffix("/"), SchemaColsFile))
-      .map(_.linesIterator.filter(_.nonEmpty).toSeq.flatMap { ln =>
-        ln.split('\t') match {
-          case Array(n, t, since, d) =>
-            Some(DeclaredColumn(decMarker(n), decMarker(t),
-              if (d.startsWith("=")) Some(decMarker(d.drop(1))) else None,
-              since.toLong))
-          case _ => None
-        }
-      }).getOrElse(Nil)
+    schemaLines(spark, dir).flatMap {
+      case Array(n, t, since, d) if n != DropKind =>
+        Some(DeclaredColumn(decMarker(n), decMarker(t),
+          if (d.startsWith("=")) Some(decMarker(d.drop(1))) else None,
+          since.toLong))
+      case _ => None
+    }
+
+  /** The table's metadata-dropped columns, oldest first. */
+  def droppedColumns(spark: SparkSession, dir: String): Seq[DroppedColumn] =
+    schemaLines(spark, dir).flatMap {
+      case Array(DropKind, n, since, _) =>
+        Some(DroppedColumn(decMarker(n), since.toLong))
+      case _ => None
+    }
 
   /** Declare a NEW column as a METADATA-ONLY commit — Iceberg's
     * add-column-with-default: no data file is touched (the new manifest
@@ -794,15 +818,54 @@ object ManifestSnapshots {
     val declared = declaredColumns(spark, dir).map(_.name).toSet
     require(!physical.contains(name) && !declared.contains(name),
       s"addColumn: column '$name' already exists on $dir")
+    require(!droppedColumns(spark, dir).exists(_.name == name),
+      s"addColumn: '$name' was dropped — old file groups still store " +
+        "values under that name and a re-add would resurface them; " +
+        "use a fresh name (field-id-free evolution cannot re-add)")
     val v = commitLoop(hfs, dir, _ => entries, expectedBase = Some(prev))
     // commit first, then declare (the declaration cites the committed
     // version): a crash between the two leaves a no-op metadata version
     // — benign — never a declaration pointing at a missing version
-    val line = Seq(encMarker(name), encMarker(ddlType), v.toString,
-      defaultSql.map("=" + encMarker(_)).getOrElse("-")).mkString("\t")
+    appendSchemaLine(spark, dir, Seq(encMarker(name), encMarker(ddlType),
+      v.toString, defaultSql.map("=" + encMarker(_)).getOrElse("-")))
+    v
+  }
+
+  private def appendSchemaLine(spark: SparkSession, dir: String,
+      fields: Seq[String]): Unit = {
     val p = new Path(dir.stripSuffix("/"), SchemaColsFile)
     val old = Markers.read(spark, p).getOrElse("")
-    Markers.write(spark, p, old + line + "\n")
+    Markers.write(spark, p, old + fields.mkString("\t") + "\n")
+  }
+
+  /** Drop a column as a METADATA-ONLY commit: no data file is touched —
+    * reads of the returned version onward project the column out; time
+    * travel before it keeps the column (old manifests, old schema). The
+    * name leaves the writer surface too: a later delta carrying it is
+    * refused (the files under old versions still store the bytes until
+    * their versions are vacuumed — this is schema removal, not data
+    * erasure; [[deleteWhere]] is the data-erasure path). Re-adding a
+    * dropped name is refused: the old groups still store values under
+    * that name, and a re-add would resurface them as the "new" column's
+    * data (Iceberg separates the two by field id; a name-keyed model
+    * must refuse instead). Single-maintenance-writer, like addColumn. */
+  def dropColumn(spark: SparkSession, dir: String, name: String): Long = {
+    val hfs = fs(spark, dir)
+    val prev = latestVersion(spark, dir).getOrElse(throw new IllegalStateException(
+      s"dropColumn needs a committed snapshot under $dir"))
+    val entries = entriesOf(spark, dir, prev)
+    val physical: Set[String] =
+      if (entries.isEmpty) Set.empty
+      else storedSchema(spark, dir.stripSuffix("/"), entries).map(_.name).toSet
+    val declared = declaredColumns(spark, dir).map(_.name).toSet
+    val droppedNow = droppedColumns(spark, dir).map(_.name).toSet
+    require((physical.contains(name) || declared.contains(name)) &&
+        !droppedNow.contains(name),
+      s"dropColumn: no live column '$name' on $dir")
+    require((physical ++ declared -- droppedNow - name).nonEmpty,
+      s"dropColumn: '$name' is the table's last live column")
+    val v = commitLoop(hfs, dir, _ => entries, expectedBase = Some(prev))
+    appendSchemaLine(spark, dir, Seq(DropKind, encMarker(name), v.toString, "-"))
     v
   }
 
@@ -890,8 +953,11 @@ object ManifestSnapshots {
   def read(spark: SparkSession, dir: String, version: Long): DataFrame = {
     val entries = entriesOf(spark, dir, version)
     val declared = declaredColumns(spark, dir).filter(_.since <= version)
-    if (entries.isEmpty) emptyVersion(spark, dir, version, declared)
-    else readEntries(spark, dir.stripSuffix("/"), entries, declared)
+    val dropped = droppedColumns(spark, dir).filter(_.since <= version).map(_.name)
+    val base =
+      if (entries.isEmpty) emptyVersion(spark, dir, version, declared)
+      else readEntries(spark, dir.stripSuffix("/"), entries, declared)
+    if (dropped.isEmpty) base else base.drop(dropped: _*)
   }
 
   /** An EMPTY version (a deleteWhere that removed every row commits a
@@ -1001,8 +1067,11 @@ object ManifestSnapshots {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else {
-      val df = readEntries(spark, dir.stripSuffix("/"), hit,
+      val dropped = droppedColumns(spark, dir)
+        .filter(_.since <= version).map(_.name)
+      val df0 = readEntries(spark, dir.stripSuffix("/"), hit,
         declaredColumns(spark, dir).filter(_.since <= version))
+      val df = if (dropped.isEmpty) df0 else df0.drop(dropped: _*)
       // residual typing shared with readZPrunedK (ZoneResidual): typed
       // bound literals keep parquet pushdown, saturating conversions
       // are refused — two pruning tiers, one plan

@@ -241,6 +241,39 @@ class ManifestSnapshotSpec extends SparkSpec {
       rw.filter(col("tag") =!= "legacy").count() == 0)
   }
 
+  test("dropColumn: metadata-only removal — projected out from the drop version on, writer refusals, no re-add") {
+    val dir = tmpDir("msnapdropcol") + "/t"
+    ManifestSnapshots.writeFull(slice(0, 100), dir) // v1: (id, v)
+    val vDrop = ManifestSnapshots.dropColumn(spark, dir, "v")
+    assert(!ManifestSnapshots.read(spark, dir, vDrop).columns.contains("v"))
+    assert(ManifestSnapshots.read(spark, dir, 1L).columns.contains("v"),
+      "time travel before the drop keeps the column")
+
+    // the writer surface refuses a delta resurrecting the dropped name
+    intercept[IllegalArgumentException] {
+      ManifestSnapshots.appendDelta(slice(100, 110), dir)
+    }
+    ManifestSnapshots.appendDelta(slice(100, 110).drop("v"), dir)
+    assert(ManifestSnapshots.readLatest(spark, dir).columns.toSeq == Seq("id"))
+    assert(ManifestSnapshots.readLatest(spark, dir).count() == 110)
+
+    // no re-add under the retired name (old groups still store bytes
+    // under it); a fresh name declares fine and default-fills everywhere
+    intercept[IllegalArgumentException] {
+      ManifestSnapshots.addColumn(spark, dir, "v", "bigint")
+    }
+    ManifestSnapshots.addColumn(spark, dir, "v2", "bigint", Some("7"))
+    assert(ManifestSnapshots.readLatest(spark, dir)
+      .filter(col("v2") === 7).count() == 110)
+
+    // declared columns drop too; the last live column cannot
+    ManifestSnapshots.dropColumn(spark, dir, "v2")
+    assert(ManifestSnapshots.readLatest(spark, dir).columns.toSeq == Seq("id"))
+    intercept[IllegalArgumentException] {
+      ManifestSnapshots.dropColumn(spark, dir, "id")
+    }
+  }
+
   test("deleteWhere: only files with matches rewritten, rest shared by reference; pre-image time-travels") {
     val dir = tmpDir("msnapdel") + "/t"
     // range-clustered layout: matches land in few files, like a real lake

@@ -300,11 +300,23 @@ object AnnStore extends ServingStore {
     * first) or when cell sizes have skewed past `maxSkew` (shifted
     * appends crowding stale cells). Thresholds are maintenance policy,
     * not correctness: a probe is exact over whatever cells it scans at
-    * ANY skew — refresh restores the ~√N cost/recall shape. */
+    * ANY skew — refresh restores the ~√N cost/recall shape.
+    *
+    * The cellSkew aggregate (the ONLY trigger signal that needs a job)
+    * runs only once appends since the last train clear
+    * `minAppendedForSkew`: skew can only MOVE when rows land (the
+    * trained assignment's own skew is the published shape, already
+    * judged healthy), so a steady-state ingest loop over a quiet index
+    * pays footer metadata per batch, never an O(index) aggregate —
+    * ServingStore contract rule 3's "metadata-cheap trigger" made
+    * literal. */
   def shouldRefresh(spark: SparkSession, root: String,
-      maxAppendedFraction: Double = 0.5, maxSkew: Double = 8.0): Boolean =
-    appendedFraction(spark, root) >= maxAppendedFraction ||
-      cellSkew(spark, root) >= maxSkew
+      maxAppendedFraction: Double = 0.5, maxSkew: Double = 8.0,
+      minAppendedForSkew: Double = 0.05): Boolean = {
+    val af = appendedFraction(spark, root)
+    af >= maxAppendedFraction ||
+      (af >= minAppendedForSkew && cellSkew(spark, root) >= maxSkew)
+  }
 
   /** Generations whose assign data is still present on disk (gen 0's
     * initial layout plus every READY gen-<g>), ascending — the pre-carry

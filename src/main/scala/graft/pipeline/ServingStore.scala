@@ -79,7 +79,18 @@ trait ServingStore {
     * policy knobs expose parameterized variants beside this
     * ([[VectorPipeline.ingest]]); the shape is always this one. */
   final def ingestBatch(spark: SparkSession, root: String,
-      batch: DataFrame): ServingStore.Ingest = {
+      batch: DataFrame): ServingStore.Ingest =
+    ingestBatchWith(spark, root, batch, shouldMaintain)
+
+  /** [[ingestBatch]] with the maintenance trigger swapped for a
+    * parameterized policy — the ONE lifecycle implementation, shared by
+    * the default surface above and policy-threshold wrappers like
+    * [[VectorPipeline.ingest]] (a second hand-synchronized copy of these
+    * five lines has already diverged once — the bootstrap-dedup fix
+    * landed only here). */
+  final def ingestBatchWith(spark: SparkSession, root: String,
+      batch: DataFrame,
+      trigger: (SparkSession, String) => Boolean): ServingStore.Ingest = {
     // rule 2 applies to the BOOTSTRAP batch too: an at-least-once source
     // can duplicate a key inside the stream's first micro-batch, and the
     // build paths index their corpus verbatim (a doubled doc doubles its
@@ -90,7 +101,7 @@ trait ServingStore {
     val b = batch.dropDuplicates(ingestKey)
     val bootstrapped = ensureBuilt(spark, root, b)
     if (!bootstrapped) appendBatch(spark, root, b)
-    val fired = !bootstrapped && shouldMaintain(spark, root)
+    val fired = !bootstrapped && trigger(spark, root)
     if (fired) maintain(spark, root)
     ServingStore.Ingest(bootstrapped, fired)
   }

@@ -44,15 +44,17 @@ object VectorPipeline {
     * depends on them, only the probe cost/recall shape. */
   def ingest(spark: SparkSession, root: String, batch: DataFrame,
       maxAppendedFraction: Double = 0.5, maxSkew: Double = 8.0): IngestReport = {
-    val bootstrapped = AnnStore.ensureBuilt(spark, root, batch)
-    if (!bootstrapped) AnnStore.appendVectors(spark, root, batch)
-    // MAINTENANCE, inside the run: a fired trigger retrains now — the
-    // next probe already sees the re-owned cells — instead of decaying
-    // until someone notices recall dropped
-    val fire = !bootstrapped &&
-      AnnStore.shouldRefresh(spark, root, maxAppendedFraction, maxSkew)
-    if (fire) AnnStore.refresh(spark, root)
-    IngestReport(bootstrapped, fire, AnnStore.currentGen(spark, root))
+    // ONE lifecycle implementation (ServingStore.ingestBatchWith) with
+    // the policy thresholds as the trigger — this wrapper used to carry
+    // its own copy of the five lifecycle lines and missed the
+    // bootstrap-dedup fix the trait copy got; delegation makes that
+    // class of drift impossible. MAINTENANCE runs inside the batch: a
+    // fired trigger retrains now — the next probe already sees the
+    // re-owned cells — instead of decaying until someone notices recall
+    // dropped.
+    val r = AnnStore.ingestBatchWith(spark, root, batch,
+      (s, rt) => AnnStore.shouldRefresh(s, rt, maxAppendedFraction, maxSkew))
+    IngestReport(r.bootstrapped, r.maintained, AnnStore.currentGen(spark, root))
   }
 
   /** The media flank: documents with payloads → [[Multimodal.embedBatch]]

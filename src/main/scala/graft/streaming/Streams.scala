@@ -288,9 +288,15 @@ object Streams {
           // one micro-batch would multiply through the kept join (2x2
           // rows) and land duplicate signature rows — the exact
           // inflation hazard the admission exists to prevent (the
-          // text-index sink guards identically)
-          val batch = batch0.dropDuplicates("doc_id").persist()
-          try {
+          // text-index sink guards identically). NULL doc_ids drop up
+          // front: a doc without identity cannot be admitted, deduped,
+          // or replay-guarded, and letting one through would NPE the
+          // min() watermark below and kill the query on one malformed
+          // upstream batch (the HLL twin's null-hash skip is the same
+          // discipline).
+          val batch = batch0.filter(col("doc_id").isNotNull)
+            .dropDuplicates("doc_id").persist()
+          try if (!batch.isEmpty) {
             import graft.pipeline.DedupStore
             // bootstrap an empty index on the very first batch
             DedupStore.ensureBuilt(spark, root, batch.filter(lit(false)))
@@ -422,8 +428,7 @@ object Streams {
             if (n < k) n.toDouble
             else {
               // first 48 bits of the kth smallest hash, exactly as batch
-              val kth = merged.last.h.take(12)
-                .foldLeft(0L)((a, c) => a * 16 + Character.digit(c, 16))
+              val kth = hex48(merged.last.h)
               (k - 1).toDouble * 281474976710656.0 / kth
             }
           KmvOut(src, n, est)
@@ -464,7 +469,7 @@ object Streams {
           // skip it like the batch twin's SQL null propagation does — an
           // NPE here would kill the whole streaming query on one bad row
           rows.foreach { case (_, hex) => if (hex != null) {
-            val hv = hex.take(12).foldLeft(0L)((a, c) => a * 16 + Character.digit(c, 16))
+            val hv = hex48(hex)
             val reg = (hv % 64).toInt
             val q = hv / 64
             val rho = if (q == 0) 43 else 43 - java.lang.Long.toBinaryString(q).length
@@ -480,19 +485,38 @@ object Streams {
         })
   }
 
+  /** First 48 bits of an md5 hex string as a Long — ONE home for the
+    * hex12 fold both sketch twins (KMV, HLL) must keep bit-identical to
+    * the batch queries' SQL form. */
+  private def hex48(h: String): Long =
+    h.take(12).foldLeft(0L)((a, c) => a * 16 + Character.digit(c, 16))
+
   /** Count-Min cell for (salt, word) — md5-prefix bucketing IDENTICAL to
     * the batch a13_cm grid (salts 1 and 2; first two hex chars as the
-    * 0..255 column), so stream and batch estimates reconcile exactly
-    * over the same rows. One home for both sketch variants. */
+    * 0..255 column = the digest's FIRST BYTE, computed directly), so
+    * stream and batch estimates reconcile exactly over the same rows.
+    * One home for both sketch variants. Runs up to 4× per row in the
+    * state-function hot loop, so the digest instance is thread-local and
+    * no hex string is ever built. */
+  private val cmsMd5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
   private def cmsBucket(salt: Int, w: String): Int = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$salt:$w".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(2)
-    (Character.digit(hex(0), 16)) * 16 + Character.digit(hex(1), 16)
+    val md = cmsMd5.get()
+    md.reset()
+    md.digest(s"$salt:$w".getBytes("UTF-8"))(0) & 0xff
   }
 
   /** Count-Min state / output for [[cmsFrequency]]. Public: the state
-    * encoder's generated code needs constructor access. */
-  case class CmsState(cells: Array[Int])
+    * encoder's generated code needs constructor access. Cells are LONG:
+    * the batch twin counts in BIGINT, and a hot cell in a forever-
+    * running stream would wrap an Int at 2^31 into negative estimates —
+    * breaking the est ≥ truth invariant precisely on the heaviest
+    * hitter. (Int→Long is a state-SCHEMA change: checkpoints written
+    * under the Int layout must be discarded, the same discipline as the
+    * salt note below.) */
+  case class CmsState(cells: Array[Long])
   case class CmsOut(source: String, w: String, est_cnt: Long)
 
   /** Streaming Count-Min frequency sketch — the streaming twin of batch
@@ -526,7 +550,7 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
         (key: String, rows: Iterator[(String, String)],
             state: GroupState[CmsState]) => {
-          val cells = state.getOption.map(_.cells.clone()).getOrElse(new Array[Int](512))
+          val cells = state.getOption.map(_.cells.clone()).getOrElse(new Array[Long](512))
           val seen = scala.collection.mutable.LinkedHashSet.empty[String]
           rows.foreach { case (_, w) =>
             cells(cmsBucket(1, w)) += 1
@@ -535,7 +559,7 @@ object Streams {
           }
           state.update(CmsState(cells))
           seen.iterator.map { w =>
-            val est = math.min(cells(cmsBucket(1, w)), cells(256 + cmsBucket(2, w))).toLong
+            val est = math.min(cells(cmsBucket(1, w)), cells(256 + cmsBucket(2, w)))
             CmsOut(key, w, est)
           }
         })
@@ -543,7 +567,7 @@ object Streams {
 
   /** State for [[cmsFrequencyLedgered]]: the counter grid plus the
     * bounded batch-id ledger. Public for the state encoder. */
-  case class CmsLedgerState(cells: Array[Int], seenBatches: Array[Long])
+  case class CmsLedgerState(cells: Array[Long], seenBatches: Array[Long])
 
   /** Per-key batch-id ledger capacity for [[cmsFrequencyLedgered]] —
     * also fixes the replay horizon (see its scaladoc). */
@@ -583,7 +607,7 @@ object Streams {
         (key: String, rows: Iterator[(String, String, Long)],
             state: GroupState[CmsLedgerState]) => {
           val st = state.getOption
-            .getOrElse(CmsLedgerState(new Array[Int](512), Array.empty))
+            .getOrElse(CmsLedgerState(new Array[Long](512), Array.empty))
           val cells = st.cells.clone()
           val ledger = st.seenBatches.toSet
           // seenBatches is kept sorted ascending; once it has filled to
@@ -620,7 +644,7 @@ object Streams {
           val mergedLedger = (st.seenBatches ++ fresh).distinct.sorted.takeRight(LedgerCap)
           state.update(CmsLedgerState(cells, mergedLedger))
           emit.iterator.map { w =>
-            val est = math.min(cells(cmsBucket(1, w)), cells(256 + cmsBucket(2, w))).toLong
+            val est = math.min(cells(cmsBucket(1, w)), cells(256 + cmsBucket(2, w)))
             CmsOut(key, w, est)
           }
         })
@@ -668,7 +692,14 @@ object Streams {
         val s = batch.sparkSession
         if (!batch.isEmpty)
           ManifestSnapshots.appendDeltaGuarded(s, baseDir, batch, keys): Unit
-        graft.pipeline.MaterializedView.refresh(s, baseDir, viewDir, spec): Unit
+        // the refresh deliberately runs OUTSIDE the emptiness guard (an
+        // empty or fully-replayed batch catches up a crash between a
+        // previous append and its refresh) — but only once the base
+        // chain EXISTS: an empty micro-batch before the first committed
+        // version must idle, not kill the query on refresh's
+        // missing-snapshot refusal
+        if (ManifestSnapshots.latestVersion(s, baseDir).nonEmpty)
+          graft.pipeline.MaterializedView.refresh(s, baseDir, viewDir, spec): Unit
       }
       .start()
 

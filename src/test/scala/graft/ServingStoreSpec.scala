@@ -92,6 +92,22 @@ class ServingStoreSpec extends SparkSpec {
       "bootstrap dup skewed posting tf values")
   }
 
+  test("VectorPipeline.ingest rides the shared lifecycle: dup-key bootstrap == clean build") {
+    // the parameterized wrapper used to carry its own copy of the
+    // lifecycle and missed the bootstrap-dedup fix — it now delegates to
+    // ingestBatchWith, so a duplicated vec_id in the first batch builds
+    // the same index a clean batch does
+    val dupRoot = tmpDir("vp_dup_")
+    val cleanRoot = tmpDir("vp_clean_")
+    val b = vecs(0 until 40)
+    val r1 = graft.pipeline.VectorPipeline.ingest(spark, dupRoot, b.union(b.limit(2)))
+    assert(r1.bootstrapped && !r1.refreshed)
+    graft.pipeline.VectorPipeline.ingest(spark, cleanRoot, b)
+    assert(spark.table(AnnStore.assignTableCurrent(spark, dupRoot)).count() ==
+      spark.table(AnnStore.assignTableCurrent(spark, cleanRoot)).count(),
+      "duplicated bootstrap vec_id changed the inverted file")
+  }
+
   test("DedupStore crash window between the two appends heals on replay (guard keys on the last-written table)") {
     import graft.pipeline.DedupStore._
     val root = tmpDir("svcrash_")

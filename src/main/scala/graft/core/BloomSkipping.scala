@@ -318,6 +318,38 @@ object BloomSkipping {
       .nextOption()
   }
 
+  /** The newest parseable guard generation's SERIALIZED filter bytes —
+    * for callers that only feed [[mightContainHashed]] (which ships the
+    * bytes to executors and deserializes there): [[loadKeyBloom]] plus
+    * a `writeTo` would deserialize AND re-serialize the multi-MB filter
+    * on the driver every micro-batch for nothing. The stored bytes past
+    * the two header longs ARE the `writeTo` encoding, so they stream out
+    * raw; parseability is still validated (same fall-through-to-older-
+    * generation contract as loadKeyBloom) by one readFrom over the
+    * in-memory copy. */
+  def loadKeyBloomBytes(spark: SparkSession, path: String): Option[Array[Byte]] = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    guardFiles(spark, path).iterator
+      .flatMap { case (_, p) =>
+        try {
+          val in = new java.io.DataInputStream(fs.open(p))
+          val bytes =
+            try {
+              in.readLong(); in.readLong()
+              val bos = new java.io.ByteArrayOutputStream()
+              val buf = new Array[Byte](1 << 16)
+              var n = in.read(buf)
+              while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+              bos.toByteArray
+            } finally in.close()
+          BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+          Some(bytes)
+        } catch { case _: Exception => None }
+      }
+      .nextOption()
+  }
+
   /** Merge `hashedKeys` (a single LongType column of xxhash64'd key
     * tuples) into the table's guard, creating it at `expectedItems`/`fpp`
     * geometry if absent. One aggregate pass over the batch; the stored

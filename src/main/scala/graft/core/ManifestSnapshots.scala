@@ -568,11 +568,30 @@ object ManifestSnapshots {
 
   /** Full snapshot: version 1 of a table, or a complete re-statement.
     * Safe to retry under concurrency (content independent of the
-    * predecessor). */
+    * predecessor). A re-statement stays bound by the table's evolution
+    * metadata: a frame carrying a DROPPED name is refused (its bytes
+    * would land but every reader hides the column — the operator
+    * believes the re-statement restored it, and the right-to-be-
+    * forgotten story silently keeps the data), and retyping a DECLARED
+    * column is refused like every other writer. */
   def writeFull(df: DataFrame, dir: String,
       partitionCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val hfs = fs(spark, dir)
+    val droppedNow = droppedColumns(spark, dir).map(_.name).toSet
+    val bad = df.schema.map(_.name).filter(droppedNow.contains)
+    require(bad.isEmpty,
+      s"writeFull refuses dropped column(s) ${bad.mkString(", ")}: readers " +
+        "hide them, so the bytes would persist invisibly — re-add is not " +
+        "supported; use a fresh name")
+    declaredColumns(spark, dir).foreach { c =>
+      df.schema.find(_.name == c.name).foreach { f =>
+        val dt = org.apache.spark.sql.types.DataType.fromDDL(c.ddl)
+        require(f.dataType == dt,
+          s"writeFull refuses to retype declared column '${c.name}': " +
+            s"declared $dt, frame ${f.dataType}")
+      }
+    }
     val entries = writeDataFiles(df, dir, nextSlot(hfs, dir), partitionCols)
     commitCleanly(hfs, dir, entries)(commitLoop(hfs, dir, _ => entries))
   }
@@ -602,14 +621,29 @@ object ManifestSnapshots {
     }
     // both guards run BEFORE any data lands: a refused append must leave
     // nothing behind, not an orphaned data dir
-    guard(prevEntries)
+    var guardedAt: Option[Long] = None
+    def guardIfMoved(): Seq[Entry] = {
+      val v = latestVersion(spark, dir)
+      val prev = v.flatMap(readManifest(hfs, dir, _)).getOrElse(Nil)
+      if (guardedAt != Some(v.getOrElse(-1L))) {
+        guard(prev)
+        guardedAt = Some(v.getOrElse(-1L))
+      }
+      prev
+    }
+    guardIfMoved()
     val entries = writeDataFiles(df, dir, nextSlot(hfs, dir), partitionCols)
     // per-attempt rebase: a lost slot race re-reads the winner's list (and
     // re-guards against it — the winner may have evolved the schema), then
     // re-extends it with OUR files; appends commute, so this is the
-    // serializable outcome at the cost of re-trying the KB-scale manifest
+    // serializable outcome at the cost of re-trying the KB-scale manifest.
+    // The schema guard re-runs ONLY when the table moved since it last
+    // passed (guardIfMoved): requireNoRetype's storedSchema is a Spark
+    // footer job, and running it unconditionally inside the commit lock
+    // would hold the cross-process lock for a job's duration — the
+    // watchdog's KB-scale-manifest-I/O assumption must stay true
     commitCleanly(hfs, dir, entries)(
-      commitLoop(hfs, dir, _ => guard(prevEntries) ++ entries))
+      commitLoop(hfs, dir, _ => guardIfMoved() ++ entries))
   }
 
   /** [[appendDelta]] behind the row-identity replay guard — the
@@ -664,12 +698,12 @@ object ManifestSnapshots {
           val cond = keys.map(k => b(k) <=> col(s"t.$k")).reduce(_ && _)
           b.join(t, cond, "left_anti")
         }
-        val guardOpt = BloomSkipping.loadKeyBloom(spark, dir)
+        // raw stored bytes, not deserialize-then-reserialize: this runs
+        // once per micro-batch and the guard is multi-MB
+        val guardOpt = BloomSkipping.loadKeyBloomBytes(spark, dir)
         val fresh = guardOpt match {
-          case Some((_, _, guard)) =>
-            val bos = new java.io.ByteArrayOutputStream()
-            guard.writeTo(bos)
-            val probable = BloomSkipping.mightContainHashed(spark, bos.toByteArray, keyHash)
+          case Some(guardBytes) =>
+            val probable = BloomSkipping.mightContainHashed(spark, guardBytes, keyHash)
             batch.filter(!probable).unionByName(exactAnti(batch.filter(probable)))
           case None =>
             exactAnti(batch)
@@ -749,6 +783,7 @@ object ManifestSnapshots {
       defaultSql: Option[String], since: Long)
 
   private val SchemaColsFile = "_schema_cols"
+  private val SchemaDirName = "_schema"
 
   private def encMarker(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
@@ -763,10 +798,33 @@ object ManifestSnapshots {
     * encoded column name can collide with it. */
   private val DropKind = "!drop"
 
-  private def schemaLines(spark: SparkSession, dir: String): Seq[Array[String]] =
-    Markers.read(spark, new Path(dir.stripSuffix("/"), SchemaColsFile))
+  /** Schema-evolution declarations live as ONE IMMUTABLE FILE PER
+    * DECLARING COMMIT under `_schema/` (`decl-<version>`), written by
+    * create-tmp-then-rename to a never-occupied name: there is no
+    * delete-then-rename window in which a concurrent reader would see
+    * NO metadata (and silently read every declared column away / admit
+    * a retyping delta past the guard), and two concurrent declarations
+    * cannot lose each other's line — they write different files. The
+    * legacy single `_schema_cols` marker is still read for stores
+    * declared before this layout. Lines sort by `since`, so column
+    * order is commit order whatever the listing order. */
+  private def schemaLines(spark: SparkSession, dir: String): Seq[Array[String]] = {
+    val base = dir.stripSuffix("/")
+    val legacy = Markers.read(spark, new Path(base, SchemaColsFile))
       .map(_.linesIterator.filter(_.nonEmpty).toSeq.map(_.split('\t')))
       .getOrElse(Nil)
+    val sdir = new Path(base, SchemaDirName)
+    val hfs = sdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val perVersion =
+      if (!hfs.exists(sdir)) Nil
+      else Option(hfs.globStatus(new Path(sdir, "decl-*"))).map(_.toSeq).getOrElse(Nil)
+        .flatMap(st => Markers.read(spark, st.getPath))
+        .flatMap(_.linesIterator.filter(_.nonEmpty).toSeq.map(_.split('\t')))
+    // the since-version is field 2 in both line kinds
+    (legacy ++ perVersion).sortBy(f =>
+      if (f.length == 4) f(2).toLongOption.getOrElse(Long.MaxValue)
+      else Long.MaxValue)
+  }
 
   /** The table's metadata-declared columns, oldest first. */
   def declaredColumns(spark: SparkSession, dir: String): Seq[DeclaredColumn] =
@@ -804,10 +862,29 @@ object ManifestSnapshots {
     import org.apache.spark.sql.functions.expr
     val hfs = fs(spark, dir)
     val dt = org.apache.spark.sql.types.DataType.fromDDL(ddlType)
-    defaultSql.foreach { d =>
+    // the default is FROZEN at declaration: evaluated once, stored as a
+    // plain CAST literal. Re-evaluating the caller's expression at every
+    // read would give pre-declaration rows a DIFFERENT value per read
+    // for non-deterministic defaults (current_timestamp()), breaking the
+    // pin-by-version reproducibility the store exists for. Freezing
+    // needs an atomic declared type (the literal round-trips through its
+    // string form); non-atomic defaults are refused.
+    val frozen: Option[String] = defaultSql.map { d =>
+      val atomicOk = dt match {
+        case _: org.apache.spark.sql.types.ArrayType => false
+        case _: org.apache.spark.sql.types.MapType => false
+        case _: org.apache.spark.sql.types.StructType => false
+        case org.apache.spark.sql.types.BinaryType => false
+        case _ => true
+      }
+      require(atomicOk,
+        s"addColumn: a DEFAULT needs an atomic declared type, got $ddlType " +
+          "(declare without a default to read NULL for old groups)")
       val v = spark.range(1).select(expr(d).cast(dt)).head.get(0)
       require(v != null || d.trim.equalsIgnoreCase("null"),
         s"addColumn default `$d` does not cast to $ddlType")
+      if (v == null) "NULL"
+      else s"CAST('${v.toString.replace("'", "''")}' AS $ddlType)"
     }
     val prev = latestVersion(spark, dir).getOrElse(throw new IllegalStateException(
       s"addColumn needs a committed snapshot under $dir"))
@@ -826,17 +903,21 @@ object ManifestSnapshots {
     // commit first, then declare (the declaration cites the committed
     // version): a crash between the two leaves a no-op metadata version
     // — benign — never a declaration pointing at a missing version
-    appendSchemaLine(spark, dir, Seq(encMarker(name), encMarker(ddlType),
-      v.toString, defaultSql.map("=" + encMarker(_)).getOrElse("-")))
+    appendSchemaLine(spark, dir, v, Seq(encMarker(name), encMarker(ddlType),
+      v.toString, frozen.map("=" + encMarker(_)).getOrElse("-")))
     v
   }
 
+  /** One immutable declaration file per declaring commit (see
+    * [[schemaLines]]): the write is create-tmp-then-rename to a name no
+    * other commit can claim (the version is unique), so declarations
+    * are never rewritten and readers never observe an absent-metadata
+    * window. */
   private def appendSchemaLine(spark: SparkSession, dir: String,
-      fields: Seq[String]): Unit = {
-    val p = new Path(dir.stripSuffix("/"), SchemaColsFile)
-    val old = Markers.read(spark, p).getOrElse("")
-    Markers.write(spark, p, old + fields.mkString("\t") + "\n")
-  }
+      since: Long, fields: Seq[String]): Unit =
+    Markers.write(spark,
+      new Path(new Path(dir.stripSuffix("/"), SchemaDirName), s"decl-$since"),
+      fields.mkString("\t") + "\n")
 
   /** Drop a column as a METADATA-ONLY commit: no data file is touched —
     * reads of the returned version onward project the column out; time
@@ -865,7 +946,7 @@ object ManifestSnapshots {
     require((physical ++ declared -- droppedNow - name).nonEmpty,
       s"dropColumn: '$name' is the table's last live column")
     val v = commitLoop(hfs, dir, _ => entries, expectedBase = Some(prev))
-    appendSchemaLine(spark, dir, Seq(DropKind, encMarker(name), v.toString, "-"))
+    appendSchemaLine(spark, dir, v, Seq(DropKind, encMarker(name), v.toString, "-"))
     v
   }
 
@@ -1031,11 +1112,44 @@ object ManifestSnapshots {
 
   /** Read an explicit entry subset of a store — for callers that
     * already hold a manifest diff ([[addedEntries]]) and must not pay
-    * a second one. */
+    * a second one. Served at the CURRENT schema (declared columns
+    * filled, dropped columns projected out) so CDC consumers see the
+    * same shape [[read]] serves — a physical-schema read here would
+    * hand a materialized view a frame missing a declared column its
+    * spec aggregates, or resurrect a dropped one. */
   def readFiles(spark: SparkSession, dir: String, entries: Seq[Entry]): DataFrame = {
     require(entries.nonEmpty, "readFiles needs at least one entry")
-    readEntries(spark, dir.stripSuffix("/"), entries)
+    readEntriesCurrent(spark, dir, entries)
   }
+
+  /** Evolution-aware physical read of `entries` at the CURRENT schema.
+    * Every COW REWRITE reads its pre-image through this: a rewrite that
+    * read raw physical files would physically store NULL where the
+    * declared default belonged (the survivors' new file group carries
+    * whatever the frame held), silently shadowing the default for rows
+    * the operation never touched. */
+  private def readEntriesCurrent(spark: SparkSession, dir: String,
+      entries: Seq[Entry]): DataFrame = {
+    val dropped = droppedColumns(spark, dir).map(_.name)
+    val df = readEntries(spark, dir.stripSuffix("/"), entries,
+      declaredColumns(spark, dir))
+    if (dropped.isEmpty) df else df.drop(dropped: _*)
+  }
+
+  /** Write-default fill for an EXTERNAL delta frame (mergeByKey): a
+    * delta omitting a declared column gets the declared default
+    * materialized, matching what a read of an [[appendDelta]]-shaped
+    * column-less group would show — without this, the union with the
+    * (filled) stored side would store NULL for the delta's rows. */
+  private def fillDeclaredCols(spark: SparkSession, dir: String,
+      df: DataFrame): DataFrame =
+    declaredColumns(spark, dir).foldLeft(df) { (d, c) =>
+      if (d.columns.contains(c.name)) d
+      else d.withColumn(c.name,
+        c.defaultSql.map(org.apache.spark.sql.functions.expr)
+          .getOrElse(org.apache.spark.sql.functions.lit(null))
+          .cast(org.apache.spark.sql.types.DataType.fromDDL(c.ddl)))
+    }
 
   /** Box-predicate read with MANIFEST-level data skipping: files whose
     * zone maps are disjoint from `bounds` (inclusive [lo, hi] per
@@ -1134,7 +1248,7 @@ object ManifestSnapshots {
     val cur = latestVersion(spark, dir).getOrElse(
       throw new IllegalStateException(s"nothing to delete under $dir"))
     val entries = entriesOf(spark, dir, cur)
-    val base = dir.stripSuffix("/")
+    requireShape(entries, partitionCols, "deleteWhere")
     // `pruneBounds`/`pruneStrBounds` are the caller's PROMISE that every
     // predicate-matching row lies inside the box (e.g. the predicate IS a
     // range on a clustered key): files whose manifest zone maps are
@@ -1144,19 +1258,38 @@ object ManifestSnapshots {
     val (candidates, skipped) = entries.partition(e =>
       !statsDisjoint(e, pruneBounds) && !sstatsDisjoint(e, pruneStrBounds))
     lastDiscoveryCandidates = candidates
+    // discovery and the survivor read run at the CURRENT schema
+    // (readEntriesCurrent): the predicate may target a declared column,
+    // and the rewritten files must materialize the declared defaults —
+    // a raw physical read here would store NULL where the default
+    // belonged for every surviving pre-declaration row
     val (rewritten, keptCand) =
       if (candidates.isEmpty) (Nil, Nil)
       else splitTouched(candidates,
-        touchedFiles(readEntries(spark, base, candidates).filter(predicate)))
+        touchedFiles(readEntriesCurrent(spark, dir, candidates).filter(predicate)))
     val kept = skipped ++ keptCand
     if (rewritten.isEmpty) return cur
     // delete exactly where the predicate is TRUE: a NULL evaluation must
     // KEEP the row (plain !predicate would silently drop it)
-    val survivors = readEntries(spark, base, rewritten).filter(
+    val survivors = readEntriesCurrent(spark, dir, rewritten).filter(
       org.apache.spark.sql.functions.not(org.apache.spark.sql.functions.coalesce(
         predicate, org.apache.spark.sql.functions.lit(false))))
     commitRewrite(spark, dir, cur, kept, survivors, partitionCols)
   }
+
+  /** The partitioning-shape guard every writer shares ([[appendDelta]]'s
+    * rule applied to the rewriting DML too): a rewrite called without
+    * the table's partitionCols would commit a manifest mixing
+    * partitioned and unpartitioned entries — bricking every later
+    * partition-shaped writer — and one called WITH partitionCols on an
+    * unpartitioned table would do the inverse. */
+  private def requireShape(entries: Seq[Entry], partitionCols: Seq[String],
+      op: String): Unit =
+    require(entries.isEmpty ||
+        entries.forall(_.partition.isDefined) == partitionCols.nonEmpty,
+      s"$op must keep the table's partitioning shape: pass the table's " +
+        "partitionCols for a partitioned store (and none for an " +
+        "unpartitioned one) — a mixed-shape manifest breaks the union read")
 
   /** The qualified file names `df`'s rows come from — the COW
     * touched-file discovery (one predicate-pushed / semi-joined scan). */
@@ -1476,18 +1609,20 @@ object ManifestSnapshots {
     val cur = latestVersion(spark, dir).getOrElse(
       throw new IllegalStateException(s"nothing to update under $dir"))
     val entries = entriesOf(spark, dir, cur)
-    val base = dir.stripSuffix("/")
+    requireShape(entries, partitionCols, "updateWhere")
     // same caller contract as deleteWhere's pruneBounds: predicate ⇒ box
     val (candidates, skipped) = entries.partition(e =>
       !statsDisjoint(e, pruneBounds) && !sstatsDisjoint(e, pruneStrBounds))
     lastDiscoveryCandidates = candidates
+    // current-schema reads, like deleteWhere: sets/predicate may target
+    // declared columns, and the rewrite must materialize defaults
     val (rewritten, keptCand) =
       if (candidates.isEmpty) (Nil, Nil)
       else splitTouched(candidates,
-        touchedFiles(readEntries(spark, base, candidates).filter(predicate)))
+        touchedFiles(readEntriesCurrent(spark, dir, candidates).filter(predicate)))
     val kept = skipped ++ keptCand
     if (rewritten.isEmpty) return cur
-    val src = readEntries(spark, base, rewritten)
+    val src = readEntriesCurrent(spark, dir, rewritten)
     val setMap = sets.toMap
     val unknown = setMap.keySet -- src.columns.toSet
     require(unknown.isEmpty, s"updateWhere sets unknown columns: $unknown")
@@ -1526,7 +1661,7 @@ object ManifestSnapshots {
     val cur = latestVersion(spark, dir).getOrElse(
       throw new IllegalStateException(s"nothing to merge into under $dir"))
     val entries = entriesOf(spark, dir, cur)
-    val base = dir.stripSuffix("/")
+    requireShape(entries, partitionCols, "mergeByKey")
     // a delta that RETYPES a stored column would coerce the union below
     // (unionByName inserts widening casts) and commit files disagreeing
     // with the kept ones — refused before anything lands, like appendDelta
@@ -1568,16 +1703,23 @@ object ManifestSnapshots {
     // carries the file name through as a column
     val touched =
       if (candidates.isEmpty) Set.empty[String]
-      else readEntries(spark, base, candidates)
+      else readEntriesCurrent(spark, dir, candidates)
         .withColumn("_gf", input_file_name())
         .join(keyDf, keys, "left_semi")
         .select("_gf").distinct().collect().map(_.getString(0)).toSet
     val (rewritten, keptCand) = splitTouched(candidates, touched)
     val kept = skipped ++ keptCand
+    // both union sides carry the CURRENT schema: the stored side reads
+    // through readEntriesCurrent (declared defaults materialized for
+    // survivors — a raw read would store NULL where the default
+    // belonged), and a delta OMITTING a declared column gets the
+    // write-default fill (matching what an appendDelta of the same rows
+    // would show at read time)
+    val deltaFilled = fillDeclaredCols(spark, dir, delta)
     val newData =
-      if (rewritten.isEmpty) delta
-      else readEntries(spark, base, rewritten).join(keyDf, keys, "left_anti")
-        .unionByName(delta, allowMissingColumns = true)
+      if (rewritten.isEmpty) deltaFilled
+      else readEntriesCurrent(spark, dir, rewritten).join(keyDf, keys, "left_anti")
+        .unionByName(deltaFilled, allowMissingColumns = true)
     commitRewrite(spark, dir, cur, kept, newData, partitionCols)
   }
 
@@ -1607,7 +1749,10 @@ object ManifestSnapshots {
       val fragmented = byPart.filter(_._2.size > 1).values.flatten.toSeq
       if (fragmented.isEmpty) return cur
       val kept = byPart.filter(_._2.size <= 1).values.flatten.toSeq
-      val packed = readEntries(spark, base, fragmented)
+      // current-schema read, like the unpartitioned branch's read():
+      // compaction materializes declared defaults and drops dropped
+      // columns' bytes for the rewritten partitions
+      val packed = readEntriesCurrent(spark, dir, fragmented)
         .repartition(partitionCols.map(col): _*)
       commitRewrite(spark, dir, cur, kept, packed, partitionCols)
     } else {
@@ -1716,6 +1861,27 @@ object ManifestSnapshots {
         if (!hfs.exists(new Path(dataRoot, vdirName)))
           hfs.delete(st.getPath, true)
       }
+    // the manifests dir accumulates its own crash debris: abandoned
+    // hidden tmp files (a writer that died with a non-IO error before
+    // its rename) and TORN manifest slots (unparseable, so never in the
+    // doomed list above — versionNames lists them forever and every
+    // listing slows). Both are age-gated like the data-dir orphan sweep:
+    // an in-flight writer's fresh tmp, or a slot a concurrent committer
+    // is mid-renaming into, is never yanked.
+    val manifestRoot = new Path(s"$base/manifests")
+    if (hfs.exists(manifestRoot)) {
+      val staleBefore =
+        System.currentTimeMillis() - orphanGraceHours.toLong * 3600 * 1000
+      hfs.listStatus(manifestRoot).foreach { st =>
+        val n = st.getPath.getName
+        val aged = st.getModificationTime < staleBefore
+        val tornSlot = n.startsWith("m-") && n.endsWith(".json") &&
+          n.stripPrefix("m-").stripSuffix(".json").toLongOption
+            .exists(v => !byV.contains(v) && !doomed.contains(v))
+        if (aged && (n.startsWith(".m-") || tornSlot))
+          hfs.delete(st.getPath, false): Unit
+      }
+    }
     (doomed, doomedFiles.size)
   }
 }

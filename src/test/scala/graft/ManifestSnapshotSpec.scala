@@ -274,6 +274,102 @@ class ManifestSnapshotSpec extends SparkSpec {
     }
   }
 
+  test("COW rewrites materialize declared defaults — survivors never shadow the default with NULL") {
+    val dir = tmpDir("msnapevorw") + "/t"
+    ManifestSnapshots.writeFull(slice(0, 100), dir) // (id, v)
+    ManifestSnapshots.addColumn(spark, dir, "score", "int", Some("7"))
+    // a merge rewriting files that PREDATE the declaration: the
+    // survivors' rewritten group must store the default, not NULL
+    val delta = (0L until 10L).toDF("id").withColumn("v", col("id") * 3)
+      .withColumn("score", lit(99))
+    ManifestSnapshots.mergeByKey(spark, dir, delta, Seq("id"))
+    val out = ManifestSnapshots.readLatest(spark, dir)
+    assert(out.count() == 100)
+    assert(out.filter(col("score").isNull).count() == 0,
+      "merge survivors shadowed the declared default with stored NULLs")
+    assert(out.filter(col("id") < 10 && col("score") === 99).count() == 10)
+    assert(out.filter(col("id") >= 10 && col("score") === 7).count() == 90)
+    // a delta OMITTING the declared column takes the write-default
+    val delta2 = (200L until 205L).toDF("id").withColumn("v", col("id") * 3)
+    ManifestSnapshots.mergeByKey(spark, dir, delta2, Seq("id"))
+    assert(ManifestSnapshots.readLatest(spark, dir)
+      .filter(col("id") >= 200 && col("score") === 7).count() == 5)
+    // DML predicates can target the declared column, and delete
+    // survivors keep their defaults through the rewrite
+    ManifestSnapshots.deleteWhere(spark, dir, col("score") === 99 && col("id") === 0)
+    val after = ManifestSnapshots.readLatest(spark, dir)
+    assert(after.count() == 104)
+    assert(after.filter(col("score").isNull).count() == 0)
+    // updateWhere can SET a declared column
+    ManifestSnapshots.updateWhere(spark, dir, col("id") === 42,
+      Seq("score" -> lit(1000)))
+    assert(ManifestSnapshots.readLatest(spark, dir)
+      .filter(col("score") === 1000).count() == 1)
+  }
+
+  test("CDC reads serve the current schema: declared columns reach readChanges/readFiles") {
+    val dir = tmpDir("msnapevocdc") + "/t"
+    ManifestSnapshots.writeFull(slice(0, 50), dir)
+    ManifestSnapshots.addColumn(spark, dir, "flag", "int", Some("1"))
+    ManifestSnapshots.appendDelta(slice(50, 60), dir) // delta omits flag
+    val latest = ManifestSnapshots.latestVersion(spark, dir).get
+    val ch = ManifestSnapshots.readChanges(spark, dir, 1L, latest)
+    assert(ch.columns.contains("flag"),
+      "an incremental consumer would union a flag-less frame into a flagged view")
+    assert(ch.filter(col("flag") === 1).count() == 10)
+  }
+
+  test("rewriting DML keeps the partitioning shape or is refused") {
+    val dir = tmpDir("msnapshape") + "/t"
+    val base = slice(0, 100).withColumn("p",
+      when(col("id") < 50, "a").otherwise("b"))
+    ManifestSnapshots.writeFull(base, dir, Seq("p"))
+    intercept[IllegalArgumentException] {
+      ManifestSnapshots.deleteWhere(spark, dir, col("id") === 1)
+    }
+    intercept[IllegalArgumentException] {
+      ManifestSnapshots.updateWhere(spark, dir, col("id") === 1, Seq("v" -> lit(0L)))
+    }
+    intercept[IllegalArgumentException] {
+      ManifestSnapshots.mergeByKey(spark, dir,
+        base.filter(col("id") === 1), Seq("id"))
+    }
+    // with the partitionCols passed, the same delete commits fine
+    ManifestSnapshots.deleteWhere(spark, dir, col("id") === 1, Seq("p"))
+    assert(ManifestSnapshots.readLatest(spark, dir).count() == 99)
+  }
+
+  test("writeFull re-statements obey the evolution metadata") {
+    val dir = tmpDir("msnapevowf") + "/t"
+    ManifestSnapshots.writeFull(slice(0, 50), dir)
+    ManifestSnapshots.dropColumn(spark, dir, "v")
+    // a re-statement carrying the dropped name would store bytes every
+    // reader hides — refused
+    intercept[IllegalArgumentException] {
+      ManifestSnapshots.writeFull(slice(0, 50), dir)
+    }
+    ManifestSnapshots.writeFull(slice(0, 60).drop("v"), dir)
+    assert(ManifestSnapshots.readLatest(spark, dir).columns.toSeq == Seq("id"))
+    // retyping a declared column in a re-statement is refused too
+    ManifestSnapshots.addColumn(spark, dir, "s", "string", Some("'x'"))
+    intercept[IllegalArgumentException] {
+      ManifestSnapshots.writeFull(
+        (0L until 10L).toDF("id").withColumn("s", lit(5)), dir)
+    }
+  }
+
+  test("declared defaults are frozen at declaration: non-deterministic expressions read stably") {
+    val dir = tmpDir("msnapevofrz") + "/t"
+    ManifestSnapshots.writeFull(slice(0, 20), dir)
+    ManifestSnapshots.addColumn(spark, dir, "r", "double", Some("rand()"))
+    val a = ManifestSnapshots.readLatest(spark, dir)
+      .select("r").distinct().collect().map(_.getDouble(0)).toSeq
+    val b = ManifestSnapshots.readLatest(spark, dir)
+      .select("r").distinct().collect().map(_.getDouble(0)).toSeq
+    assert(a.size == 1 && a == b,
+      "a re-evaluated default would give pinned versions different values per read")
+  }
+
   test("deleteWhere: only files with matches rewritten, rest shared by reference; pre-image time-travels") {
     val dir = tmpDir("msnapdel") + "/t"
     // range-clustered layout: matches land in few files, like a real lake

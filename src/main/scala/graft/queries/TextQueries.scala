@@ -56,6 +56,52 @@ object TextQueries {
         |    (SELECT df3 FROM stats) AS df3
         |  FROM t)""".stripMargin
 
+  /** Train three BPE merges on the corpus VOCABULARY — the shared spine
+    * of t_bpe3 (the trainer demo, which reports the merges) and
+    * t_bpe_apply (train → tokenize the corpus). Words pre-aggregate to
+    * (word, count); each round is one vocabulary-sized pair count with a
+    * 1-row broadcast argmax (count DESC, then lexicographic — total
+    * order, both engines agree) and a greedy left-to-right merge via the
+    * double-separator replace trick. Returns the three 1-row top-pair
+    * frames in merge order plus the persisted intermediates the caller
+    * must release (CacheScope.sealResult). */
+  private def bpeMerges3(s: SparkSession, dir: String): (Seq[DataFrame], Seq[DataFrame]) = {
+    val words = Graft.table(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    // per-char '||' separators via regex (split(w, "") keeps a trailing
+    // empty token in Java regex semantics — regexp_replace avoids it)
+    val e1 = words.select(
+      concat(lit("||"), regexp_replace(col("w"), "(.)", "$1||")).as("enc"),
+      col("cnt"))
+    // one merge round: pair counts -> 1-row argmax -> broadcast merge
+    def mergeRound(e: DataFrame): (DataFrame, DataFrame) = {
+      // sequence(1, n-1) infers step -1 when n < 2 — guard like t_repetition
+      val withTk = e.withColumn("tk",
+        split(expr("trim(BOTH '|' FROM enc)"), "\\|\\|"))
+      val pairs = withTk
+        .withColumn("u", explode(when(size(col("tk")) >= 2,
+          expr("""transform(sequence(1, size(tk) - 1),
+                 |  i -> named_struct('l', element_at(tk, i), 'r', element_at(tk, i + 1)))""".stripMargin))
+          .otherwise(expr("cast(array() as array<struct<l: string, r: string>>)"))))
+        .select(col("u.l").as("l"), col("u.r").as("r"), col("cnt"))
+        .groupBy("l", "r").agg(sum("cnt").as("n"))
+      val top = pairs.orderBy(col("n").desc, col("l"), col("r")).limit(1)
+      val merged = e.crossJoin(broadcast(top))
+        .select(
+          expr("replace(enc, '|' || l || '||' || r || '|', '|' || l || r || '|')").as("enc"),
+          col("cnt"))
+      (merged, top)
+    }
+    val e1p = e1.persist()
+    val (e2, t1) = mergeRound(e1p)
+    val e2p = e2.persist()
+    val (e3, t2) = mergeRound(e2p)
+    val (_, t3) = mergeRound(e3)
+    (Seq(t1, t2, t3), Seq(e1p, e2p))
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // ---------------------------------------------------------------- TEXT-1
@@ -594,45 +640,109 @@ object TextQueries {
         |UNION ALL
         |SELECT 3 AS merge_round, l, r, l || r AS merged, CAST(n AS BIGINT) AS n
         |FROM t3""".stripMargin) { (s, dir) =>
-      val words = Graft.table(s, dir, "documents")
-        .select(explode(split(col("text"), " ")).as("w"))
-        .filter(length(col("w")) >= 1)
-        .groupBy("w").agg(count(lit(1)).as("cnt"))
-      // per-char '||' separators via regex (split(w, "") keeps a trailing
-      // empty token in Java regex semantics — regexp_replace avoids it)
-      val e1 = words.select(
-        concat(lit("||"), regexp_replace(col("w"), "(.)", "$1||")).as("enc"),
-        col("cnt"))
-      // one merge round: pair counts -> 1-row argmax -> broadcast merge
-      def mergeRound(e: DataFrame): (DataFrame, DataFrame) = {
-        // sequence(1, n-1) infers step -1 when n < 2 — guard like t_repetition
-        val withTk = e.withColumn("tk",
-          split(expr("trim(BOTH '|' FROM enc)"), "\\|\\|"))
-        val pairs = withTk
-          .withColumn("u", explode(when(size(col("tk")) >= 2,
-            expr("""transform(sequence(1, size(tk) - 1),
-                   |  i -> named_struct('l', element_at(tk, i), 'r', element_at(tk, i + 1)))""".stripMargin))
-            .otherwise(expr("cast(array() as array<struct<l: string, r: string>>)"))))
-          .select(col("u.l").as("l"), col("u.r").as("r"), col("cnt"))
-          .groupBy("l", "r").agg(sum("cnt").as("n"))
-        val top = pairs.orderBy(col("n").desc, col("l"), col("r")).limit(1)
-        val merged = e.crossJoin(broadcast(top))
-          .select(
-            expr("replace(enc, '|' || l || '||' || r || '|', '|' || l || r || '|')").as("enc"),
-            col("cnt"))
-        (merged, top)
-      }
-      val e1p = e1.persist()
-      val (e2, t1) = mergeRound(e1p)
-      val e2p = e2.persist()
-      val (e3, t2) = mergeRound(e2p)
-      val (_, t3) = mergeRound(e3)
+      val (tops, caches) = bpeMerges3(s, dir)
       def row(k: Int, t: DataFrame) = t.select(
         lit(k).as("merge_round"), col("l"), col("r"),
         concat(col("l"), col("r")).as("merged"), col("n").cast("long").as("n"))
       CacheScope.sealResult(
-        row(1, t1).unionAll(row(2, t2)).unionAll(row(3, t3)),
-        e1p, e2p)
+        row(1, tops(0)).unionAll(row(2, tops(1))).unionAll(row(3, tops(2))),
+        caches: _*)
+    },
+
+    // --------------------------------------------------------------- TEXT-25
+    // BPE APPLICATION — the deploy-time half t_bpe3 trains for: the three
+    // learned merges, applied IN ORDER to every word instance of the
+    // corpus, i.e. "tokenize 100 TB with the trained tokenizer". Each
+    // merge is the same double-separator replace the trainer used (exact
+    // greedy non-overlapping semantics, identical in both engines), and
+    // each trained pair stays a 1-row broadcast — so the application is
+    // three map-side replaces over the corpus, no shuffle until the
+    // per-doc rollup (one doc_id aggregation). The per-doc token digest
+    // (md5 over the position-ordered encodings) pins the tokenization
+    // byte-for-byte, not just the counts.
+    QueryDef("t_bpe_apply", {
+      val trainCtes =
+        """w0 AS (
+          |  SELECT w, COUNT(*) AS cnt FROM (
+          |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          |  WHERE length(w) >= 1 GROUP BY w),
+          |e1 AS (
+          |  SELECT '||' || regexp_replace(w, '(.)', '\1||', 'g') AS enc, cnt
+          |  FROM w0),
+          |p1 AS (
+          |  SELECT u.l AS l, u.r AS r, SUM(cnt) AS n FROM (
+          |    SELECT cnt, unnest(list_transform(range(1, len(tk)),
+          |      i -> struct_pack(l := tk[i], r := tk[i+1]))) AS u
+          |    FROM (SELECT string_split(trim(enc, '|'), '||') AS tk, cnt FROM e1))
+          |  GROUP BY u.l, u.r),
+          |t1 AS (SELECT l, r FROM p1 ORDER BY n DESC, l, r LIMIT 1),
+          |e2 AS (
+          |  SELECT replace(enc, '|' || t.l || '||' || t.r || '|',
+          |                      '|' || t.l || t.r || '|') AS enc, cnt
+          |  FROM e1, t1 t),
+          |p2 AS (
+          |  SELECT u.l AS l, u.r AS r, SUM(cnt) AS n FROM (
+          |    SELECT cnt, unnest(list_transform(range(1, len(tk)),
+          |      i -> struct_pack(l := tk[i], r := tk[i+1]))) AS u
+          |    FROM (SELECT string_split(trim(enc, '|'), '||') AS tk, cnt FROM e2))
+          |  GROUP BY u.l, u.r),
+          |t2 AS (SELECT l, r FROM p2 ORDER BY n DESC, l, r LIMIT 1),
+          |e3 AS (
+          |  SELECT replace(enc, '|' || t.l || '||' || t.r || '|',
+          |                      '|' || t.l || t.r || '|') AS enc, cnt
+          |  FROM e2, t2 t),
+          |p3 AS (
+          |  SELECT u.l AS l, u.r AS r, SUM(cnt) AS n FROM (
+          |    SELECT cnt, unnest(list_transform(range(1, len(tk)),
+          |      i -> struct_pack(l := tk[i], r := tk[i+1]))) AS u
+          |    FROM (SELECT string_split(trim(enc, '|'), '||') AS tk, cnt FROM e3))
+          |  GROUP BY u.l, u.r),
+          |t3 AS (SELECT l, r FROM p3 ORDER BY n DESC, l, r LIMIT 1)""".stripMargin
+      s"""WITH $trainCtes,
+         |inst AS (
+         |  SELECT doc_id, g.i AS i,
+         |    '||' || regexp_replace(tk[g.i], '(.)', '\\1||', 'g') AS enc,
+         |    length(tk[g.i]) AS wlen
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) t,
+         |    UNNEST(generate_series(1, len(tk))) AS g(i)),
+         |a1 AS (SELECT doc_id, i, wlen,
+         |  replace(enc, '|' || t.l || '||' || t.r || '|',
+         |               '|' || t.l || t.r || '|') AS enc FROM inst, t1 t),
+         |a2 AS (SELECT doc_id, i, wlen,
+         |  replace(enc, '|' || t.l || '||' || t.r || '|',
+         |               '|' || t.l || t.r || '|') AS enc FROM a1, t2 t),
+         |a3 AS (SELECT doc_id, i, wlen,
+         |  replace(enc, '|' || t.l || '||' || t.r || '|',
+         |               '|' || t.l || t.r || '|') AS enc FROM a2, t3 t)
+         |SELECT doc_id,
+         |  CAST(SUM(len(string_split(trim(enc, '|'), '||'))) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(SUM(wlen) AS BIGINT) AS n_chars,
+         |  md5(string_agg(enc, ' ' ORDER BY i)) AS tok_md5
+         |FROM a3 GROUP BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val (tops, caches) = bpeMerges3(s, dir)
+      val inst = docs(s, dir)
+        .select(col("doc_id"), posexplode(col("tk")).as(Seq("i0", "w")))
+        .select(col("doc_id"), (col("i0") + 1).as("i"),
+          concat(lit("||"), regexp_replace(col("w"), "(.)", "$1||")).as("enc"),
+          length(col("w")).as("wlen"))
+      val applied = tops.foldLeft(inst) { (e, top) =>
+        e.crossJoin(broadcast(top.select("l", "r")))
+          .withColumn("enc",
+            expr("replace(enc, '|' || l || '||' || r || '|', '|' || l || r || '|')"))
+          .drop("l", "r")
+      }
+      CacheScope.sealResult(
+        applied
+          .groupBy("doc_id")
+          .agg(
+            sum(expr("size(split(trim(BOTH '|' FROM enc), '\\\\|\\\\|'))"))
+              .cast("long").as("n_bpe_tokens"),
+            sum("wlen").cast("long").as("n_chars"),
+            md5(concat_ws(" ", expr(
+              "transform(array_sort(collect_list(struct(i, enc))), p -> p.enc)")))
+              .as("tok_md5")),
+        caches: _*)
     },
 
     // --------------------------------------------------------------- TEXT-17

@@ -280,6 +280,27 @@ class QueriesSpec extends SparkSpec {
       (3, "aa", "ab", "aaab", 2L)))
   }
 
+  test("bpe apply: trained merges tokenize a constructed corpus exactly") {
+    import spark.implicits._
+    // same corpus as the trainer golden: learned merges (a,a) -> aa,
+    // (a,b) -> ab, (aa,ab) -> aaab. Applying them in order collapses
+    // every 'aaab' instance to ONE token and every 'ab' to one token —
+    // and the md5 digest pins the exact final encodings, so a merge-order
+    // or greedy-overlap bug can't hide behind matching token counts.
+    val corpus = Seq((0L, "aaab ab"), (1L, "aaab")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bpeapply").toString
+    corpus.write.parquet(s"$dir/documents.parquet")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val out = SparkEntry.queries("t_bpe_apply")(spark, dir)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (0L, 2L, 6L, md5hex("||aaab|| ||ab||")),
+      (1L, 1L, 4L, md5hex("||aaab||"))))
+  }
+
   test("perplexity buckets: per-lang thirds are balanced and exhaustive") {
     import org.apache.spark.sql.functions._
     val out = SparkEntry.queries("t_ppl")(spark, sf)

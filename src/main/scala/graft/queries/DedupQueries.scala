@@ -566,6 +566,88 @@ object DedupQueries {
         bands)
     },
 
+    // ------------------------------------------------------------- DEDUP-3c
+    // Cross-split leakage sweep: deterministic train/val/test assignment
+    // (md5(doc_id) first-two-hex bucket — the t_stratified_sample trick, so
+    // the split is reproducible at any parallelism with no global state) +
+    // the MinHash-LSH candidate spine, keeping only verified near-dup pairs
+    // that CROSS the train/eval boundary — the held-out docs a training run
+    // has effectively memorized via their train-side twins. This is the
+    // split-hygiene audit every train/val/test cut needs (t_contamination
+    // covers external benchmarks; this covers the pipeline's own split).
+    // Scale shape: the split is computed INLINE on the pair columns (a pure
+    // function of doc_id — zero extra joins or shuffles over d_lsh_verified);
+    // the eval side is ~20% of docs so the boundary filter prunes ~68% of
+    // candidate pairs before the shingle-set verify join.
+    QueryDef("d_split_leakage", {
+      def splitSql(c: String) =
+        s"""CASE WHEN (instr('0123456789abcdef', substr(md5(CAST($c AS VARCHAR)), 1, 1)) - 1) * 16
+           |     + (instr('0123456789abcdef', substr(md5(CAST($c AS VARCHAR)), 2, 1)) - 1) < 204 THEN 'train'
+           |     WHEN (instr('0123456789abcdef', substr(md5(CAST($c AS VARCHAR)), 1, 1)) - 1) * 16
+           |     + (instr('0123456789abcdef', substr(md5(CAST($c AS VARCHAR)), 2, 1)) - 1) < 230 THEN 'val'
+           |     ELSE 'test' END""".stripMargin
+      s"""WITH sh AS (
+         |  SELECT doc_id, $shinglesSql AS sh
+         |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+         |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+         |sig AS (SELECT doc_id, $sigSqlCols FROM ex GROUP BY doc_id),
+         |bands AS (
+         |  $bandsSqlUnion),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |xsplit AS (
+         |  SELECT CASE WHEN a_split = 'train' THEN b_id ELSE a_id END AS eval_id,
+         |         CASE WHEN a_split = 'train' THEN a_id ELSE b_id END AS train_id,
+         |         CASE WHEN a_split = 'train' THEN b_split ELSE a_split END AS split
+         |  FROM (SELECT a_id, b_id, ${splitSql("a_id")} AS a_split, ${splitSql("b_id")} AS b_split
+         |        FROM cand)
+         |  WHERE (a_split = 'train') <> (b_split = 'train')),
+         |ver AS (
+         |  SELECT x.eval_id, x.split, x.train_id,
+         |    len(list_intersect(se.sh, st.sh))
+         |      / len(list_distinct(list_concat(se.sh, st.sh))) AS jaccard
+         |  FROM xsplit x
+         |  JOIN sh se ON se.doc_id = x.eval_id
+         |  JOIN sh st ON st.doc_id = x.train_id
+         |  WHERE len(list_intersect(se.sh, st.sh))
+         |      / len(list_distinct(list_concat(se.sh, st.sh))) >= 0.1)
+         |SELECT eval_id, split, CAST(COUNT(*) AS BIGINT) AS n_train_dups,
+         |  MAX(jaccard) AS max_jaccard
+         |FROM ver GROUP BY eval_id, split""".stripMargin
+    }) { (s, dir) =>
+      graft.functions.VectorExprs.register(s)
+      def splitOf(c: String) = {
+        val b = (expr(s"instr('0123456789abcdef', substr(md5(cast($c AS string)), 1, 1)) - 1") * 16) +
+          expr(s"instr('0123456789abcdef', substr(md5(cast($c AS string)), 2, 1)) - 1")
+        when(b < 204, "train").when(b < 230, "val").otherwise("test")
+      }
+      val base = docs(s, dir).filter(size(col("tk")) >= 3)
+      val sh = base.select(col("doc_id"), explode(shinglesExpr).as("s"))
+      val (cand, bands) = candidatePairs(minhashBands(sh))
+      val x = cand
+        .withColumn("a_split", splitOf("a_id")).withColumn("b_split", splitOf("b_id"))
+        .filter((col("a_split") === "train") =!= (col("b_split") === "train"))
+        .select(
+          when(col("a_split") === "train", col("b_id")).otherwise(col("a_id")).as("eval_id"),
+          when(col("a_split") === "train", col("a_id")).otherwise(col("b_id")).as("train_id"),
+          when(col("a_split") === "train", col("b_split")).otherwise(col("a_split")).as("split"))
+      val hsh = base.select(col("doc_id"), hashedShinglesExpr.as("hs"))
+      val verified = x
+        .join(hsh.select(col("doc_id").as("eval_id"), col("hs").as("e_hs")), "eval_id")
+        .join(hsh.select(col("doc_id").as("train_id"), col("hs").as("t_hs")), "train_id")
+      val inter = expr("sorted_intersect_count(e_hs, t_hs)")
+      CacheScope.sealResult(
+        verified
+          .withColumn("jaccard", inter / (size(col("e_hs")) + size(col("t_hs")) - inter))
+          .filter(col("jaccard") >= 0.1)
+          .groupBy("eval_id", "split")
+          .agg(count(lit(1)).cast("long").as("n_train_dups"),
+            max("jaccard").as("max_jaccard")),
+        bands)
+    },
+
     // --------------------------------------------------------------- DEDUP-4
     // SimHash: 16-bit signature — per distinct token take 16 bits of its md5,
     // sum ±1 votes per bit position over the doc, sign-pack into an int.

@@ -28,6 +28,34 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("split leakage: crossing twin flagged once, in-split twins and singletons not") {
+    import spark.implicits._
+    // pick doc_ids whose md5 bucket lands each side of the 204/230 cuts so
+    // the constructed corpus has a known split: one train/val twin pair
+    // (must be flagged, exactly once, with jaccard 1.0), one train/train
+    // twin pair (in-split dup — NOT leakage), and a val singleton.
+    def bucket(id: Long): Int = {
+      val hx = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      Integer.parseInt(hx.substring(0, 2), 16)
+    }
+    val ids = (0L until 200L)
+    val train = ids.filter(bucket(_) < 204)
+    val eval = ids.filter(b => bucket(b) >= 204 && bucket(b) < 230)
+    assert(train.size >= 3 && eval.size >= 2)
+    val twin = "alpha beta gamma delta epsilon zeta"
+    val other = "one two three four five six seven"
+    val corpus = Seq(
+      (train(0), twin), (eval(0), twin),    // crossing pair -> flagged
+      (train(1), other), (train(2), other), // in-split pair -> silent
+      (eval(1), "lone wolf text nothing shared here")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("splitleak").toString
+    corpus.write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("d_split_leakage")(spark, dir)
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(out == Seq((eval(0), "val", 1L, 1.0)))
+  }
+
   test("dedup semantics: d_exact_dedup keeps one representative per content key") {
     val out = SparkEntry.queries("d_exact_dedup")(spark, sf)
     import org.apache.spark.sql.functions._

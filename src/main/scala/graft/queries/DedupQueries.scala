@@ -685,6 +685,91 @@ object DedupQueries {
         .withColumn("n_bucket", count(lit(1)).over(Window.partitionBy("simhash")))
     },
 
+    // -------------------------------------------------------------- DEDUP-4b
+    // SimHash near-dup at Hamming distance ≤ 3 — the Manku et al. (WWW'07)
+    // web-dedup scheme: a 32-bit signature split into 4 byte pieces; any
+    // pair within Hamming 3 differs in at most 3 pieces, so it MUST agree
+    // on at least one (pigeonhole) — candidates come from a piece-value
+    // bucket join, never an all-pairs scan. Two scale moves on top:
+    // (1) the pair space is over DISTINCT signatures, not docs — exact
+    // collisions (the bulk of a template-heavy corpus) collapse into one
+    // sig row before any join; (2) the output is the per-doc DROP LIST
+    // (keeper = min doc id over own-sig docs ∪ verified neighbor sigs'
+    // reps, a unique total order), not the O(cluster²) pair list. One-hop
+    // keeper only — transitive closure is d_dup_clusters' job. At 100 TB
+    // the signature widens to 64 bits / 8 pieces; the shape is unchanged.
+    QueryDef("d_simhash_hamming", {
+      val voteSqls = (0 until 32).map { j =>
+        val di = j / 4 + 1; val p = 1 << (3 - j % 4)
+        s"SUM(CASE WHEN ((instr('0123456789abcdef', substr(hx, $di, 1)) - 1) // $p) % 2 = 1 THEN 1 ELSE -1 END) AS s$j"
+      }
+      val packSql = (0 until 32).map(j =>
+        s"CASE WHEN s$j >= 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END").mkString(" + ")
+      s"""WITH ex AS (
+         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+         |  FROM documents),
+         |h AS (SELECT doc_id, md5(t) AS hx FROM ex),
+         |votes AS (SELECT doc_id, ${voteSqls.mkString(", ")} FROM h GROUP BY doc_id),
+         |sig AS (SELECT doc_id, $packSql AS simhash FROM votes),
+         |sigs AS (SELECT simhash, MIN(doc_id) AS rep FROM sig GROUP BY simhash),
+         |pieces AS (
+         |  SELECT simhash, p, (simhash >> (8 * p)) & 255 AS pv
+         |  FROM sigs, range(4) t(p)),
+         |spairs AS (
+         |  SELECT DISTINCT a.simhash AS s1, b.simhash AS s2
+         |  FROM pieces a JOIN pieces b
+         |    ON a.p = b.p AND a.pv = b.pv AND a.simhash <> b.simhash),
+         |cands AS (
+         |  SELECT simhash, rep AS krep, CAST(0 AS BIGINT) AS hamming FROM sigs
+         |  UNION ALL
+         |  SELECT p.s1 AS simhash, g.rep AS krep,
+         |    CAST(bit_count(xor(p.s1, p.s2)) AS BIGINT) AS hamming
+         |  FROM spairs p JOIN sigs g ON g.simhash = p.s2
+         |  WHERE bit_count(xor(p.s1, p.s2)) <= 3),
+         |best AS (SELECT simhash, krep, hamming FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY simhash ORDER BY krep) AS rn
+         |  FROM cands) WHERE rn = 1)
+         |SELECT d.doc_id, b.krep AS keeper_id, b.hamming
+         |FROM sig d JOIN best b ON b.simhash = d.simhash
+         |WHERE b.krep < d.doc_id""".stripMargin
+    }) { (s, dir) =>
+      val ex = docs(s, dir)
+        .select(col("doc_id"), explode(array_distinct(col("tk"))).as("t"))
+        .withColumn("hx", md5(col("t")))
+      def vote(j: Int): Column = {
+        val di = j / 4 + 1; val p = 1 << (3 - j % 4)
+        sum(when(expr(s"((instr('0123456789abcdef', substring(hx, $di, 1)) - 1) div $p) % 2") === 1,
+          lit(1)).otherwise(lit(-1))).as(s"s$j")
+      }
+      val votes = ex.groupBy("doc_id").agg(vote(0), (1 until 32).map(vote): _*)
+      val pack = (0 until 32).map(j =>
+        when(col(s"s$j") >= 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+      val sig = votes.select(col("doc_id"), pack.as("simhash")).persist()
+      val sigs = sig.groupBy("simhash").agg(min("doc_id").as("rep")).persist()
+      val pieces = sigs.select(col("simhash"), explode(expr("sequence(0, 3)")).as("p"))
+        .withColumn("pv", expr("shiftright(simhash, 8 * p) & 255"))
+      val spairs = pieces.select(col("simhash").as("s1"), col("p"), col("pv"))
+        .join(pieces.select(col("simhash").as("s2"), col("p").as("p2"), col("pv").as("pv2")),
+          col("p") === col("p2") && col("pv") === col("pv2") && col("s1") =!= col("s2"))
+        .select("s1", "s2").distinct()
+      val cands = sigs.select(col("simhash"), col("rep").as("krep"), lit(0L).as("hamming"))
+        .unionAll(spairs
+          .filter(expr("bit_count(s1 ^ s2)") <= 3)
+          .join(sigs.select(col("simhash").as("s2"), col("rep").as("krep")), "s2")
+          .select(col("s1").as("simhash"), col("krep"),
+            expr("cast(bit_count(s1 ^ s2) AS bigint)").as("hamming")))
+      import org.apache.spark.sql.expressions.Window
+      val best = cands
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("simhash").orderBy("krep")))
+        .filter(col("rn") === 1).drop("rn")
+      CacheScope.sealResult(
+        sig.join(best, "simhash")
+          .filter(col("krep") < col("doc_id"))
+          .select(col("doc_id"), col("krep").as("keeper_id"), col("hamming")),
+        sig, sigs)
+    },
+
     // --------------------------------------------------------------- DEDUP-5
     // Embedding-cosine near-dup: label-blocked pair join over quantized
     // vectors; cosine = int dot / (sqrt·sqrt) — exact ints then three IEEE

@@ -56,6 +56,24 @@ class QueriesSpec extends SparkSpec {
     assert(out == Seq((eval(0), "val", 1L, 1.0)))
   }
 
+  test("simhash hamming: exact twins drop to the min id, disjoint-vocab docs survive") {
+    import spark.implicits._
+    // three identical docs collapse to one signature -> the two higher ids
+    // drop to keeper 10 at hamming 0; the disjoint-vocabulary docs sit ~16
+    // bits away (deterministic md5 votes, same every run) and are kept
+    val corpus = Seq(
+      (0L, "zebra quark nimbus fjord waltz vex"),
+      (1L, "apple orange banana cherry mango plum"),
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (20L, "the quick brown fox jumps over the lazy dog"),
+      (30L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("simhham").toString
+    corpus.write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("d_simhash_hamming")(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((20L, 10L, 0L), (30L, 10L, 0L)))
+  }
+
   test("dedup semantics: d_exact_dedup keeps one representative per content key") {
     val out = SparkEntry.queries("d_exact_dedup")(spark, sf)
     import org.apache.spark.sql.functions._

@@ -204,6 +204,74 @@ object SimilarityQueries {
         .select("q_id", "rank", "n_id", "cos_sim")
     },
 
+    // ---------------------------------------------------------------- ANN-1b
+    // Hybrid retrieval with reciprocal-rank fusion: the RAG-serving shape —
+    // per query doc, a LEXICAL ranking (distinct-token overlap, the native
+    // sorted_intersect_count over hashed token sets) and a VECTOR ranking
+    // (exact-int cosine) are fused as 1/(60+r_lex) + 1/(60+r_vec), the
+    // standard RRF with k=60. Every rank uses a (score DESC, id) total
+    // order and the fused score is two IEEE divisions in fixed order, so
+    // the fusion is bit-identical across engines and parallelism. Scale
+    // shape: the query side broadcasts (scan of the corpus stays
+    // shuffle-free, one window shuffle on q_id); at 100 TB each ranking's
+    // candidate set comes from its index (ann_ivfs / t_bm25s) instead of
+    // the full corpus — the fusion math is unchanged.
+    QueryDef("ann_hybrid_rrf",
+      s"""WITH n AS (
+         |  SELECT vec_id, $quantSql AS qv,
+         |    CAST(list_sum(list_transform($quantSql, x -> x * x)) AS BIGINT) AS nq
+         |  FROM embeddings),
+         |tok AS (
+         |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS tks
+         |  FROM documents),
+         |base AS (
+         |  SELECT n.vec_id AS id, qv, nq, tks
+         |  FROM n JOIN tok ON tok.doc_id = n.vec_id),
+         |pairs AS (
+         |  SELECT q.id AS q_id, c.id AS n_id,
+         |    len(list_intersect(q.tks, c.tks)) AS lex,
+         |    CAST(CAST(list_sum(list_transform(list_zip(q.qv, c.qv), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
+         |      / (sqrt(CAST(q.nq AS DOUBLE)) * sqrt(CAST(c.nq AS DOUBLE))) AS cos_sim
+         |  FROM base q JOIN base c ON q.id < 8 AND c.id <> q.id),
+         |ranked AS (
+         |  SELECT q_id, n_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY lex DESC, n_id) AS lex_rank,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS vec_rank
+         |  FROM pairs),
+         |fused AS (
+         |  SELECT q_id, n_id,
+         |    CAST(lex_rank AS BIGINT) AS lex_rank, CAST(vec_rank AS BIGINT) AS vec_rank,
+         |    (CAST(1 AS DOUBLE) / (60 + lex_rank)) + (CAST(1 AS DOUBLE) / (60 + vec_rank)) AS rrf
+         |  FROM ranked)
+         |SELECT q_id, rank, n_id, lex_rank, vec_rank, rrf FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rrf DESC, n_id) AS rank
+         |  FROM fused)
+         |WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      val n = emb(s, dir)
+      val tok = Graft.table(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("array_sort(transform(array_distinct(split(text, ' ')), t -> xxhash64(t)))").as("ht"))
+      val base = n.join(tok, n("vec_id") === tok("doc_id"))
+        .select(col("vec_id").as("id"), col("qv"), col("nq"), col("ht"))
+      val q = base.filter(col("id") < 8).select(col("id").as("q_id"),
+        col("qv").as("q_qv"), col("nq").as("q_nq"), col("ht").as("q_ht"))
+      val c = base.select(col("id").as("n_id"),
+        col("qv").as("c_qv"), col("nq").as("c_nq"), col("ht").as("c_ht"))
+      val wl = Window.partitionBy("q_id").orderBy(col("lex").desc, col("n_id"))
+      val wv = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
+      val wr = Window.partitionBy("q_id").orderBy(col("rrf").desc, col("n_id"))
+      broadcast(q).join(c, col("n_id") =!= col("q_id"))
+        .withColumn("lex", expr("sorted_intersect_count(q_ht, c_ht)"))
+        .withColumn("cos_sim", cosCol)
+        .withColumn("lex_rank", row_number().over(wl).cast("long"))
+        .withColumn("vec_rank", row_number().over(wv).cast("long"))
+        .withColumn("rrf",
+          (lit(1.0) / (lit(60) + col("lex_rank"))) + (lit(1.0) / (lit(60) + col("vec_rank"))))
+        .withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= 5)
+        .select("q_id", "rank", "n_id", "lex_rank", "vec_rank", "rrf")
+    },
+
     // ----------------------------------------------------------------- ANN-2
     // LSH-bucketed ANN with multiprobe: both sides carry a W-bit sign code
     // (W from the corpus size — see codeWidth); the candidate join is equi

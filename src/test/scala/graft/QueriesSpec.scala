@@ -74,6 +74,30 @@ class QueriesSpec extends SparkSpec {
     assert(out == Set((20L, 10L, 0L), (30L, 10L, 0L)))
   }
 
+  test("hybrid rrf: a doc topping both rankings tops the fusion with rrf 2/61") {
+    import spark.implicits._
+    // query doc 0; candidate 10 is its exact twin in BOTH modalities
+    // (same text, same embedding) -> lex_rank 1 and vec_rank 1, so fusion
+    // MUST put it first with the maximum possible score 1/61 + 1/61
+    val docRows = Seq(
+      (0L, "alpha beta gamma delta"),
+      (10L, "alpha beta gamma delta"),
+      (11L, "alpha beta unrelated words"),
+      (12L, "totally disjoint vocabulary here")).toDF("doc_id", "text")
+    val embRows = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (10L, Array(1.0f, 0.0f, 0.0f), 0),
+      (11L, Array(0.0f, 1.0f, 0.0f), 0),
+      (12L, Array(0.0f, 0.0f, 1.0f), 0)).toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("hybrid").toString
+    docRows.write.parquet(s"$dir/documents.parquet")
+    embRows.write.parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("ann_hybrid_rrf")(spark, dir)
+      .as[(Long, Int, Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(out.head == (0L, 1, 10L, 1L, 1L, 1.0 / 61 + 1.0 / 61))
+    assert(out.map(_._3).toSet == Set(10L, 11L, 12L))
+  }
+
   test("dedup semantics: d_exact_dedup keeps one representative per content key") {
     val out = SparkEntry.queries("d_exact_dedup")(spark, sf)
     import org.apache.spark.sql.functions._

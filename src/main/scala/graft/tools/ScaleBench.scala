@@ -42,7 +42,9 @@ object ScaleBench {
     "snap_merge_pruned", "bf_anti_join",
     "curation_funnel", "d_exact_dedup", "d_lsh_verified", "d_dup_clusters",
     "t_shards", "t_token_pack", "ann_ivf_pq", "d_semantic_dedup_hier",
-    "t_chunk", "t_dsir", "mm_phash")
+    "t_chunk", "t_dsir", "mm_phash",
+    // round-13 additions with data-dependent pair/instance spaces
+    "d_simhash_hamming", "d_split_leakage", "t_bpe_apply")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

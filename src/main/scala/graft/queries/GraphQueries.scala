@@ -204,6 +204,68 @@ object GraphQueries {
       var labels = adj.select(col("src").as("node"), col("src").as("cc"))
       for (_ <- 1 to iterations) labels = ccSuperstep(adjSelf, labels, nV)
       materialize(labels, adj)
+    },
+
+    // --------------------------------------------------------------- GRAPH-3
+    // Butterfly (bipartite 4-cycle) counting — the bipartite analog of
+    // triangle counting, and the co-occurrence primitive underneath
+    // "customers who bought X also bought Y": wedges join the customer-part
+    // edge set to itself on the part key, per-pair shared-part counts roll
+    // up map-side, and each pair contributes C(n,2) butterflies. Scale
+    // controls, both mirrored in the oracle: (1) hub keys are degree-capped
+    // at 4096 BEFORE the wedge join (a key of degree d contributes C(d,2)
+    // wedges — one viral part must not quadratically dominate the shuffle;
+    // inactive at test scale where maxdeg ≈ 53, the j_salted_skew argument
+    // in cap form), and (2) the Spark top-20 is TakeOrderedAndProject —
+    // never a single-partition global-window rank over the pair space; the
+    // rank is assigned AFTER the limit, over 20 rows. The global butterfly
+    // total rides every row via a 1-row broadcast (the j13 scalar shape).
+    QueryDef("g_butterfly",
+      """WITH e AS (
+        |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS k
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |kd AS (SELECT k, COUNT(*) AS d FROM e GROUP BY k),
+        |ek AS (SELECT e.c, e.k FROM e JOIN kd ON kd.k = e.k WHERE kd.d <= 4096),
+        |pairs AS (
+        |  SELECT a.c AS c1, b.c AS c2, CAST(COUNT(*) AS BIGINT) AS shared_parts
+        |  FROM ek a JOIN ek b ON a.k = b.k AND a.c < b.c
+        |  GROUP BY a.c, b.c),
+        |tot AS (SELECT CAST(SUM(shared_parts * (shared_parts - 1) // 2) AS BIGINT)
+        |        AS total_butterflies FROM pairs)
+        |SELECT c1, c2, shared_parts,
+        |  CAST(shared_parts * (shared_parts - 1) // 2 AS BIGINT) AS pair_butterflies,
+        |  total_butterflies, rank
+        |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY shared_parts DESC, c1, c2) AS rank
+        |      FROM pairs), tot
+        |WHERE rank <= 20""".stripMargin) { (s, dir) =>
+      val e = Graft.table(s, dir, "orders")
+        .join(Graft.table(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("k"))
+        .distinct()
+      val kd = e.groupBy("k").agg(count(lit(1)).as("d"))
+      val ek = e.join(kd.filter(col("d") <= 4096), "k").select("c", "k")
+      // pairs feeds BOTH the global total and the top-20 — one persisted
+      // materialization instead of two wedge joins
+      val pairs = ek.select(col("c").as("c1"), col("k"))
+        .join(ek.select(col("c").as("c2"), col("k").as("k2")),
+          col("k") === col("k2") && col("c1") < col("c2"))
+        .groupBy("c1", "c2").agg(count(lit(1)).cast("long").as("shared_parts"))
+        .persist()
+      val tot = pairs.agg(
+        sum(expr("shared_parts * (shared_parts - 1) div 2")).cast("long")
+          .as("total_butterflies"))
+      import org.apache.spark.sql.expressions.Window
+      val rankOrder = Seq(col("shared_parts").desc, col("c1"), col("c2"))
+      CacheScope.sealResult(
+        pairs.orderBy(rankOrder: _*).limit(20)
+          .withColumn("rank", row_number().over(Window.orderBy(rankOrder: _*)))
+          .crossJoin(broadcast(tot))
+          .select(col("c1"), col("c2"), col("shared_parts"),
+            expr("cast(shared_parts * (shared_parts - 1) div 2 AS bigint)")
+              .as("pair_butterflies"),
+            col("total_butterflies"), col("rank")),
+        pairs)
     }
   )
 }

@@ -98,6 +98,26 @@ class QueriesSpec extends SparkSpec {
     assert(out.map(_._3).toSet == Set(10L, 11L, 12L))
   }
 
+  test("butterfly count: hand-countable co-purchase graph, repeat purchases deduped") {
+    import spark.implicits._
+    // c1 buys {A,B} (A twice — the edge set must dedup), c2 buys {A,B},
+    // c3 buys {A}: pair (1,2) shares 2 parts -> C(2,2)=1 butterfly;
+    // (1,3) and (2,3) share 1 -> 0. Global total = 1 on every row.
+    val orders = Seq((100L, 1L), (200L, 2L), (300L, 3L))
+      .toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq((100L, 11L), (100L, 11L), (100L, 12L),
+      (200L, 11L), (200L, 12L), (300L, 11L)).toDF("l_orderkey", "l_partkey")
+    val dir = java.nio.file.Files.createTempDirectory("butterfly").toString
+    orders.write.parquet(s"$dir/orders.parquet")
+    lineitem.write.parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry.queries("g_butterfly")(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Int)].collect().sortBy(_._6)
+    assert(out.toSeq == Seq(
+      (1L, 2L, 2L, 1L, 1L, 1),
+      (1L, 3L, 1L, 0L, 1L, 2),
+      (2L, 3L, 1L, 0L, 1L, 3)))
+  }
+
   test("dedup semantics: d_exact_dedup keeps one representative per content key") {
     val out = SparkEntry.queries("d_exact_dedup")(spark, sf)
     import org.apache.spark.sql.functions._

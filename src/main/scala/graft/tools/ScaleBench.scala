@@ -44,7 +44,8 @@ object ScaleBench {
     "t_shards", "t_token_pack", "ann_ivf_pq", "d_semantic_dedup_hier",
     "t_chunk", "t_dsir", "mm_phash",
     // round-13 additions with data-dependent pair/instance spaces
-    "d_simhash_hamming", "d_split_leakage", "t_bpe_apply")
+    "d_simhash_hamming", "d_split_leakage", "t_bpe_apply",
+    "g_butterfly", "ann_hybrid_rrf")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

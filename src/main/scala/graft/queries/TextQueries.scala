@@ -949,6 +949,54 @@ object TextQueries {
         Seq("join", "vector", "stream"), k = 20)
     },
 
+    // -------------------------------------------------------------- TEXT-22b
+    // Per-document keyword extraction — top-3 TF-IDF terms per doc, the
+    // tagging/indexing step a corpus card or faceted search needs. The idf
+    // is the RATIONAL N/df (one exact-int product, one IEEE division —
+    // libm log is never trusted across engines; same ranking), stopwords
+    // and 1-char tokens drop before counting, and the per-doc top-3 uses a
+    // (score DESC, term) total order. Cost shape: one (doc, term) count
+    // shuffle (map-side combinable), a vocabulary-sized df join, a 1-row
+    // broadcast N, and a per-doc window whose partitions are doc-sized —
+    // nothing global, everything keyed, scales with the corpus.
+    QueryDef("t_keywords",
+      s"""WITH tf AS (
+         |  SELECT doc_id, t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+         |  WHERE length(t) >= 2 AND t NOT IN ($stopsSqlList)
+         |  GROUP BY doc_id, t),
+         |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         |    CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS tfidf
+         |  FROM tf JOIN df ON df.term = tf.term, n)
+         |SELECT doc_id, rank, term, tf, df, tfidf FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |    ORDER BY tfidf DESC, term) AS rank
+         |  FROM scored)
+         |WHERE rank <= 3""".stripMargin) { (s, dir) =>
+      // tf feeds BOTH the scored join and the df rollup — one persisted
+      // materialization instead of two explode+count passes
+      val tf = Graft.table(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) >= 2 && !col("term").isin(stops: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).cast("long").as("tf"))
+        .persist()
+      val df = tf.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+      val n = Graft.table(s, dir, "documents")
+        .agg(count(lit(1)).cast("long").as("n_docs"))
+      val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+      CacheScope.sealResult(
+        tf.join(df, "term")
+          .crossJoin(broadcast(n))
+          .withColumn("tfidf", (col("tf") * col("n_docs")).cast("double") / col("df"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select("doc_id", "rank", "term", "tf", "df", "tfidf"),
+        tf)
+    },
+
     // --------------------------------------------------------------- TEXT-23
     // Sliding-window document chunking — the RAG/embedding prep step: each
     // document splits into 32-token windows on a 24-token stride (25%

@@ -118,6 +118,22 @@ class QueriesSpec extends SparkSpec {
       (2L, 3L, 1L, 0L, 1L, 3)))
   }
 
+  test("keywords: rational tf-idf ranks doc-specific terms over shared ones") {
+    import spark.implicits._
+    // N=2: 'apple'/'cherry' are doc-unique (idf 2), 'banana' shared
+    // (idf 1), 'the' is a stopword and must never appear
+    val corpus = Seq(
+      (0L, "apple apple banana the"),
+      (1L, "banana cherry cherry the")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("keywords").toString
+    corpus.write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("t_keywords")(spark, dir)
+      .as[(Long, Int, String, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq == Seq(
+      (0L, 1, "apple", 2L, 1L, 4.0), (0L, 2, "banana", 1L, 2L, 1.0),
+      (1L, 1, "cherry", 2L, 1L, 4.0), (1L, 2, "banana", 1L, 2L, 1.0)))
+  }
+
   test("dedup semantics: d_exact_dedup keeps one representative per content key") {
     val out = SparkEntry.queries("d_exact_dedup")(spark, sf)
     import org.apache.spark.sql.functions._

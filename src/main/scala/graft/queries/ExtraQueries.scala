@@ -186,6 +186,61 @@ object ExtraQueries {
           .as("median_value"))
     },
 
+    // ------------------------------------------------------------------ A22
+    // Per-entity winsorization (robust feature clipping): clamp each
+    // user's values into their own exact [p5, p95] — the outlier control a
+    // feature pipeline applies before aggregating skewed monetary columns.
+    // The quantile bounds are EXACT and engine-agnostic: value counts per
+    // (user, value) first (so the cumulative window orders DISTINCT values
+    // — no tie-order nondeterminism, and the window length is the value
+    // domain, not the row count), then the smallest value whose cumulative
+    // count reaches ceil(n/20) / ceil(19n/20) in pure integer arithmetic —
+    // never an interpolating percentile whose rounding differs across
+    // engines. Clamped sums ride the DECIMAL(38,6) parity route. Cost
+    // shape: one (user, value) count shuffle, per-user windows (group
+    // count scales with the data), a user-keyed bounds join back. The
+    // sketched alternative for unbounded domains is a14_qs.
+    QueryDef("a22_winsorize",
+      """WITH vc AS (
+        |  SELECT user_id, value, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY user_id, value),
+        |cum AS (
+        |  SELECT user_id, value, c,
+        |    SUM(c) OVER (PARTITION BY user_id ORDER BY value) AS cum,
+        |    SUM(c) OVER (PARTITION BY user_id) AS n
+        |  FROM vc),
+        |bounds AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN cum >= (n + 19) // 20 THEN value END) AS lo,
+        |    MIN(CASE WHEN cum >= (19 * n + 19) // 20 THEN value END) AS hi
+        |  FROM cum GROUP BY user_id)
+        |SELECT e.user_id, b.lo, b.hi,
+        |  CAST(SUM(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+        |  CAST(SUM(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+        |  CAST(SUM(CAST(LEAST(GREATEST(e.value, b.lo), b.hi) AS DECIMAL(38,6))) AS DOUBLE)
+        |    AS sum_winsorized
+        |FROM events e JOIN bounds b ON b.user_id = e.user_id
+        |GROUP BY e.user_id, b.lo, b.hi""".stripMargin) { (s, dir) =>
+      val ev = events(s, dir).select(col("user_id"), col("value"))
+      val vc = ev.groupBy("user_id", "value").agg(count(lit(1)).cast("long").as("c"))
+      val wCum = Window.partitionBy("user_id").orderBy("value")
+      val wAll = Window.partitionBy("user_id")
+      val bounds = vc
+        .withColumn("cum", sum("c").over(wCum))
+        .withColumn("n", sum("c").over(wAll))
+        .groupBy("user_id").agg(
+          min(when(col("cum") >= expr("(n + 19) div 20"), col("value"))).as("lo"),
+          min(when(col("cum") >= expr("(19 * n + 19) div 20"), col("value"))).as("hi"))
+      ev.join(bounds, "user_id")
+        .groupBy("user_id", "lo", "hi")
+        .agg(
+          sum(when(col("value") < col("lo"), 1).otherwise(0)).cast("long").as("n_below"),
+          sum(when(col("value") > col("hi"), 1).otherwise(0)).cast("long").as("n_above"),
+          sum(least(greatest(col("value"), col("lo")), col("hi")).cast("decimal(38,6)"))
+            .cast("double").as("sum_winsorized"))
+        .select("user_id", "lo", "hi", "n_below", "n_above", "sum_winsorized")
+    },
+
     // ------------------------------------------------------------------ A12
     // Multi-level aggregation: ROLLUP over (lang, source) — the dataset-card
     // summary table (per-cell, per-language, grand total) in ONE pass

@@ -134,6 +134,30 @@ class QueriesSpec extends SparkSpec {
       (1L, 1, "cherry", 2L, 1L, 4.0), (1L, 2, "banana", 1L, 2L, 1.0)))
   }
 
+  test("winsorize: exact integer-rank p5/p95 bounds, dup-heavy user uncapped") {
+    import spark.implicits._
+    // user 1: values 1..100 -> lo = 5th smallest = 5, hi = 95th = 95;
+    // clamp 1..4 up (4 rows) and 96..100 down (5 rows):
+    // sum = 4*5 + sum(5..95) + 5*95 = 20 + 4550 + 475 = 5045.
+    // user 2: nine 1s + one 100 -> ceil(10/20)=1 keeps lo=1,
+    // ceil(190/20)=10 keeps hi=100 — nothing clipped (rank math over the
+    // cumulative counts, not distinct-value positions)
+    val rows = (1 to 100).map(v => (v.toLong, 1L, v.toDouble)) ++
+      (101 to 109).map(i => (i.toLong, 2L, 1.0)) :+ (110L, 2L, 100.0)
+    val ev = rows.toDF("event_id", "user_id", "value")
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(event_id * 1000000)"))
+      .withColumn("event_type", org.apache.spark.sql.functions.lit("t"))
+      .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("winsor").toString
+    ev.write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("a22_winsorize")(spark, dir)
+      .as[(Long, Double, Double, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 5.0, 95.0, 4L, 5L, 5045.0),
+      (2L, 1.0, 100.0, 0L, 0L, 109.0)))
+  }
+
   test("dedup semantics: d_exact_dedup keeps one representative per content key") {
     val out = SparkEntry.queries("d_exact_dedup")(spark, sf)
     import org.apache.spark.sql.functions._

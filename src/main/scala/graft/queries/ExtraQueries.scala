@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Graft
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -184,6 +184,59 @@ object ExtraQueries {
         .groupBy("user_id")
         .agg((sum(col("value").cast("decimal(38,6)")).cast("double") / count(lit(1)))
           .as("median_value"))
+    },
+
+    // ------------------------------------------------------------------ A23
+    // Ordered conversion funnel (view → click → purchase): each stage is
+    // the user's FIRST qualifying event STRICTLY AFTER their previous
+    // stage — the product-analytics primitive, and a strict-sequence
+    // constraint a bare per-type MIN cannot express (a click before the
+    // first view must not count). Three type-filtered scans (predicate
+    // pushed to the parquet reader) each reduced user-keyed before the
+    // user-sized stage joins; stage times stay exact integer micros, the
+    // per-stage mean converts to double in one final division. The
+    // user-sized stage frames persist (each feeds the next stage AND the
+    // rollup) and release via sealResult.
+    QueryDef("a23_funnel",
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |s1 AS (SELECT user_id, MIN(ts_us) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(e.ts_us) AS t2
+        |  FROM e JOIN s1 ON s1.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts_us > s1.t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(e.ts_us) AS t3
+        |  FROM e JOIN s2 ON s2.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts_us > s2.t2 GROUP BY e.user_id)
+        |SELECT 1 AS stage, 'view' AS event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(0 AS DOUBLE) AS avg_us_from_prev FROM s1
+        |UNION ALL
+        |SELECT 2, 'click', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(s2.t2 - s1.t1) AS DOUBLE) / COUNT(*)
+        |FROM s2 JOIN s1 ON s1.user_id = s2.user_id
+        |UNION ALL
+        |SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(s3.t3 - s2.t2) AS DOUBLE) / COUNT(*)
+        |FROM s3 JOIN s2 ON s2.user_id = s3.user_id""".stripMargin) { (s, dir) =>
+      val e = events(s, dir).select(col("user_id"), col("event_type"), col("ts_us"))
+      val s1 = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts_us").as("t1")).persist()
+      val s2 = e.filter(col("event_type") === "click")
+        .join(s1, "user_id").filter(col("ts_us") > col("t1"))
+        .groupBy("user_id").agg(min("ts_us").as("t2")).persist()
+      val s3 = e.filter(col("event_type") === "purchase")
+        .join(s2, "user_id").filter(col("ts_us") > col("t2"))
+        .groupBy("user_id").agg(min("ts_us").as("t3"))
+      def row(stage: Int, tpe: String, joined: DataFrame, gap: Column) = joined.agg(
+        count(lit(1)).cast("long").as("n_users"), gap.as("avg_us_from_prev"))
+        .select(lit(stage).as("stage"), lit(tpe).as("event_type"),
+          col("n_users"), col("avg_us_from_prev"))
+      CacheScope.sealResult(
+        row(1, "view", s1, lit(0.0))
+          .unionAll(row(2, "click", s2.join(s1, "user_id"),
+            sum(col("t2") - col("t1")).cast("double") / count(lit(1))))
+          .unionAll(row(3, "purchase", s3.join(s2, "user_id"),
+            sum(col("t3") - col("t2")).cast("double") / count(lit(1)))),
+        s1, s2)
     },
 
     // ------------------------------------------------------------------ A22

@@ -158,6 +158,30 @@ class QueriesSpec extends SparkSpec {
       (2L, 1.0, 100.0, 0L, 0L, 109.0)))
   }
 
+  test("funnel: strict event order — a click before the first view never counts") {
+    import spark.implicits._
+    // user 1: click@10s, view@20s, click@30s, purchase@40s — stage 2 must
+    // pick the 30s click (after the first view), NOT the 10s one;
+    // user 2: purchase then view only — reaches stage 1, converts no further
+    val rows = Seq(
+      (1L, 1L, "click", 10L), (2L, 1L, "view", 20L),
+      (3L, 1L, "click", 30L), (4L, 1L, "purchase", 40L),
+      (5L, 2L, "purchase", 5L), (6L, 2L, "view", 15L))
+    import org.apache.spark.sql.functions.{expr, lit}
+    val ev = rows.toDF("event_id", "user_id", "event_type", "sec")
+      .withColumn("ts", expr("timestamp_micros(sec * 1000000)"))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .drop("sec")
+    val dir = java.nio.file.Files.createTempDirectory("funnel").toString
+    ev.write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("a23_funnel")(spark, dir)
+      .as[(Int, String, Long, Double)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1, "view", 2L, 0.0),
+      (2, "click", 1L, 1.0e7),
+      (3, "purchase", 1L, 1.0e7)))
+  }
+
   test("dedup semantics: d_exact_dedup keeps one representative per content key") {
     val out = SparkEntry.queries("d_exact_dedup")(spark, sf)
     import org.apache.spark.sql.functions._

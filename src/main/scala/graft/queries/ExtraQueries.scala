@@ -186,6 +186,35 @@ object ExtraQueries {
           .as("median_value"))
     },
 
+    // ------------------------------------------------------------------ A24
+    // Cohort retention: users grouped by their first-activity week, counted
+    // in every later week they return — the (cohort, week-offset) triangle
+    // behind every retention curve. All arithmetic is integer floor
+    // division on epoch micros (never date truncation, whose week-start
+    // convention differs across engines). Cost shape: one DISTINCT
+    // (user, week) shuffle over the raw events, a user-keyed MIN rollup,
+    // a user-keyed join back, and a cohort-cell-sized final aggregate —
+    // every step keyed and map-side combinable.
+    QueryDef("a24_cohort",
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
+        |  FROM events),
+        |c AS (SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id)
+        |SELECT c.cohort_week, uw.week - c.cohort_week AS week_offset,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM uw JOIN c ON c.user_id = uw.user_id
+        |GROUP BY c.cohort_week, week_offset""".stripMargin) { (s, dir) =>
+      val uw = events(s, dir)
+        .select(col("user_id"), expr("ts_us div 604800000000").as("week"))
+        .distinct().persist()
+      val c = uw.groupBy("user_id").agg(min("week").as("cohort_week"))
+      CacheScope.sealResult(
+        uw.join(c, "user_id")
+          .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+          .agg(count(lit(1)).cast("long").as("n_users")),
+        uw)
+    },
+
     // ------------------------------------------------------------------ A23
     // Ordered conversion funnel (view → click → purchase): each stage is
     // the user's FIRST qualifying event STRICTLY AFTER their previous

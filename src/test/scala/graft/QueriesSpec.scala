@@ -182,6 +182,28 @@ class QueriesSpec extends SparkSpec {
       (3, "purchase", 1L, 1.0e7)))
   }
 
+  test("cohort retention: offsets anchor to each user's own first week") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{expr, lit}
+    // weeks via day offsets: u1 active weeks {0,1,3}, u2 {1,3} (cohort 1,
+    // so offsets {0,2}), u3 {0} — cells (0,0):2 (0,1):1 (0,3):1 (1,0):1 (1,2):1
+    val rows = Seq(
+      (1L, 1L, 0L), (2L, 1L, 8L), (3L, 1L, 22L), (4L, 1L, 22L),
+      (5L, 2L, 8L), (6L, 2L, 25L),
+      (7L, 3L, 1L))
+    val ev = rows.toDF("event_id", "user_id", "day")
+      .withColumn("ts", expr("timestamp_micros(day * 86400000000)"))
+      .withColumn("event_type", lit("view"))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .drop("day")
+    val dir = java.nio.file.Files.createTempDirectory("cohort").toString
+    ev.write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("a24_cohort")(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((0L, 0L, 2L), (0L, 1L, 1L), (0L, 3L, 1L),
+      (1L, 0L, 1L), (1L, 2L, 1L)))
+  }
+
   test("dedup semantics: d_exact_dedup keeps one representative per content key") {
     val out = SparkEntry.queries("d_exact_dedup")(spark, sf)
     import org.apache.spark.sql.functions._

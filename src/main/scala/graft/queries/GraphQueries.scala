@@ -238,18 +238,28 @@ object GraphQueries {
         |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY shared_parts DESC, c1, c2) AS rank
         |      FROM pairs), tot
         |WHERE rank <= 20""".stripMargin) { (s, dir) =>
-      val e = Graft.table(s, dir, "orders")
+      // ONE key-shuffle builds the capped adjacency: collect_set dedups
+      // (customer, part) edges AND yields the degree (set size) in the
+      // same pass — folding the oracle's e/kd/ek CTE chain (distinct +
+      // degree count + cap join) into a single ObjectHashAggregate. The
+      // sorted set makes c1 < c2 free, and wedge pairs generate MAP-SIDE
+      // from each key's list (bounded by the cap: ≤ C(4096,2) per key)
+      // instead of a second edge-set shuffle for a self-join.
+      val byK = Graft.table(s, dir, "orders")
         .join(Graft.table(s, dir, "lineitem"),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("c"), col("l_partkey").as("k"))
-        .distinct()
-      val kd = e.groupBy("k").agg(count(lit(1)).as("d"))
-      val ek = e.join(kd.filter(col("d") <= 4096), "k").select("c", "k")
+        .groupBy("k").agg(sort_array(collect_set(col("c"))).as("cs"))
+        .filter(size(col("cs")).between(2, 4096))
       // pairs feeds BOTH the global total and the top-20 — one persisted
-      // materialization instead of two wedge joins
-      val pairs = ek.select(col("c").as("c1"), col("k"))
-        .join(ek.select(col("c").as("c2"), col("k").as("k2")),
-          col("k") === col("k2") && col("c1") < col("c2"))
+      // materialization instead of two wedge passes
+      val pairs = byK
+        .select(explode(expr(
+          """flatten(transform(sequence(1, size(cs) - 1),
+            |  i -> transform(sequence(i + 1, size(cs)),
+            |    j -> named_struct('c1', element_at(cs, i), 'c2', element_at(cs, j)))))""".stripMargin))
+          .as("p"))
+        .select(col("p.c1").as("c1"), col("p.c2").as("c2"))
         .groupBy("c1", "c2").agg(count(lit(1)).cast("long").as("shared_parts"))
         .persist()
       val tot = pairs.agg(

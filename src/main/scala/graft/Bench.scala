@@ -20,6 +20,15 @@ object Bench {
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // AQE partition coalescing optimizes for shuffle BYTES and cannot
+      // see compute amplification past the exchange: a 400x explode or a
+      // 4.5M-group aggregate downstream of a few-MB shuffle gets packed
+      // onto 1-2 cores (g_butterfly measured 6.4s coalesced vs 2.6s not).
+      // On a real cluster at 100 TB every such shuffle exceeds the target
+      // size and coalescing is a no-op - disabling it locally only
+      // removes a small-scale artifact. Skew-join and the rest of AQE
+      // stay on.
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -25,7 +25,13 @@ object Graft {
       .withExtensions(new graft.plans.GraftExtensions())
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Coalescing optimizes for shuffle BYTES and cannot see compute
+      // amplification past the exchange: a 400x explode or a multi-M-group
+      // aggregate downstream of a few-MB shuffle gets packed onto 1-2
+      // cores (g_butterfly: 6.4s coalesced vs 2.6s not). At 100 TB every
+      // such shuffle exceeds the target size and coalescing is a no-op,
+      // so disabling it locally only removes a small-scale artifact.
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // collect_set/collect_list/map-agg run as ObjectHashAggregate; the

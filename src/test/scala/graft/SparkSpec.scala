@@ -64,6 +64,8 @@ object SparkSpec {
       // mirrors Graft.session: bucket-subset co-partitioned merge joins
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // match the engine sessions: no AQE partition coalescing (see Graft.session)
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)

@@ -45,7 +45,8 @@ object ScaleBench {
     "t_chunk", "t_dsir", "mm_phash",
     // round-13 additions with data-dependent pair/instance spaces
     "d_simhash_hamming", "d_split_leakage", "t_bpe_apply",
-    "g_butterfly", "ann_hybrid_rrf")
+    "g_butterfly", "ann_hybrid_rrf",
+    "t_keywords", "a22_winsorize", "a23_funnel", "a24_cohort")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

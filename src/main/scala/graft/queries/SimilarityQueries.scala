@@ -272,6 +272,59 @@ object SimilarityQueries {
         .select("q_id", "rank", "n_id", "lex_rank", "vec_rank", "rrf")
     },
 
+    // ---------------------------------------------------------------- ANN-1c
+    // Contrastive triplet mining — the training-pair generation step for
+    // embedding models: per anchor, the nearest SAME-label vector (the
+    // positive) and the nearest DIFFERENT-label vector (the hard negative,
+    // the pair that most needs margin), plus the current margin. ONE
+    // window pass does both sides — rank partitioned by (anchor, same?) —
+    // then a per-anchor conditional-max pivot, so the corpus is scanned
+    // once (at 100 TB the candidate set per side comes from the ANN
+    // serving store; the mining math is unchanged). Exact-int cosine,
+    // (cos DESC, id) total order, margin = one IEEE subtraction.
+    QueryDef("ann_triplet_mine",
+      s"""WITH n AS (
+         |  SELECT vec_id, label, $quantSql AS qv,
+         |    CAST(list_sum(list_transform($quantSql, x -> x * x)) AS BIGINT) AS nq
+         |  FROM embeddings),
+         |pairs AS (
+         |  SELECT q.vec_id AS a_id, c.vec_id AS c_id,
+         |    (c.label = q.label) AS same,
+         |    CAST(CAST(list_sum(list_transform(list_zip(q.qv, c.qv), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
+         |      / (sqrt(CAST(q.nq AS DOUBLE)) * sqrt(CAST(c.nq AS DOUBLE))) AS cos_sim
+         |  FROM n q JOIN n c ON q.vec_id < 8 AND c.vec_id <> q.vec_id),
+         |best AS (
+         |  SELECT a_id, c_id, same, cos_sim FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id, same
+         |      ORDER BY cos_sim DESC, c_id) AS r FROM pairs) WHERE r = 1)
+         |SELECT a_id AS anchor_id,
+         |  MAX(CASE WHEN same THEN c_id END) AS pos_id,
+         |  MAX(CASE WHEN same THEN cos_sim END) AS pos_cos,
+         |  MAX(CASE WHEN NOT same THEN c_id END) AS neg_id,
+         |  MAX(CASE WHEN NOT same THEN cos_sim END) AS neg_cos,
+         |  MAX(CASE WHEN same THEN cos_sim END)
+         |    - MAX(CASE WHEN NOT same THEN cos_sim END) AS margin
+         |FROM best GROUP BY a_id""".stripMargin) { (s, dir) =>
+      val n = emb(s, dir)
+      val q = n.filter(col("vec_id") < 8).select(col("vec_id").as("a_id"),
+        col("label").as("a_label"), col("qv").as("q_qv"), col("nq").as("q_nq"))
+      val c = n.select(col("vec_id").as("c_id"), col("label").as("c_label"),
+        col("qv").as("c_qv"), col("nq").as("c_nq"))
+      val w = Window.partitionBy("a_id", "same").orderBy(col("cos_sim").desc, col("c_id"))
+      broadcast(q).join(c, col("c_id") =!= col("a_id"))
+        .withColumn("same", col("c_label") === col("a_label"))
+        .withColumn("cos_sim", cosCol)
+        .withColumn("r", row_number().over(w)).filter(col("r") === 1)
+        .groupBy(col("a_id").as("anchor_id"))
+        .agg(
+          max(when(col("same"), col("c_id"))).as("pos_id"),
+          max(when(col("same"), col("cos_sim"))).as("pos_cos"),
+          max(when(!col("same"), col("c_id"))).as("neg_id"),
+          max(when(!col("same"), col("cos_sim"))).as("neg_cos"),
+          (max(when(col("same"), col("cos_sim")))
+            - max(when(!col("same"), col("cos_sim")))).as("margin"))
+    },
+
     // ----------------------------------------------------------------- ANN-2
     // LSH-bucketed ANN with multiprobe: both sides carry a W-bit sign code
     // (W from the corpus size — see codeWidth); the candidate join is equi

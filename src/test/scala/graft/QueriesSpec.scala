@@ -204,6 +204,30 @@ class QueriesSpec extends SparkSpec {
       (1L, 0L, 1L), (1L, 2L, 1L)))
   }
 
+  test("triplet mining: nearest same-label positive, hardest cross-label negative") {
+    import spark.implicits._
+    // anchor 0 (label 0, x-axis): 10 is the aligned same-label positive,
+    // 12 is a DIFFERENT-label vector aligned even closer — the hard
+    // negative the miner exists to find — so the margin must be negative;
+    // 11 (same label, orthogonal) and 13 (other label, orthogonal) lose
+    val embRows = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (10L, Array(0.9f, 0.1f, 0.0f), 0),
+      (11L, Array(0.0f, 1.0f, 0.0f), 0),
+      (12L, Array(0.95f, 0.05f, 0.0f), 1),
+      (13L, Array(0.0f, 0.0f, 1.0f), 1)).toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("triplet").toString
+    embRows.write.parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("ann_triplet_mine")(spark, dir)
+      .as[(Long, Long, Double, Long, Double, Double)].collect()
+      .filter(_._1 == 0L)
+    assert(out.length == 1)
+    val (_, posId, posCos, negId, negCos, margin) = out.head
+    assert(posId == 10L && negId == 12L)
+    assert(posCos > 0.9 && negCos > posCos && margin < 0)
+    assert(math.abs(margin - (posCos - negCos)) == 0.0)
+  }
+
   test("dedup semantics: d_exact_dedup keeps one representative per content key") {
     val out = SparkEntry.queries("d_exact_dedup")(spark, sf)
     import org.apache.spark.sql.functions._

@@ -186,6 +186,38 @@ object ExtraQueries {
           .as("median_value"))
     },
 
+    // ------------------------------------------------------------------ A25
+    // Event-transition matrix (first-order Markov estimate): per user, each
+    // event's successor by a (ts, event_id) total order; counts roll up per
+    // (prev, next) pair and normalize to row-stochastic probabilities. The
+    // behavioral-model / anomaly-baseline primitive. One per-user window
+    // pass (user-keyed partitions — scales with the user count), a
+    // type-pair-sized count aggregate, and a window over the TINY matrix
+    // for the row sums; probability = exact-int count over exact-int row
+    // sum, one IEEE division.
+    QueryDef("a25_transitions",
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS prev_type
+        |  FROM events),
+        |cnt AS (
+        |  SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM seq WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type)
+        |SELECT prev_type, next_type, n,
+        |  CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type) AS p
+        |FROM cnt""".stripMargin) { (s, dir) =>
+      val wSeq = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      val wRow = Window.partitionBy("prev_type")
+      events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"))
+        .withColumn("prev_type", lag("event_type", 1).over(wSeq))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .withColumn("p", col("n").cast("double") / sum("n").over(wRow))
+    },
+
     // ------------------------------------------------------------------ A24
     // Cohort retention: users grouped by their first-activity week, counted
     // in every later week they return — the (cohort, week-offset) triangle

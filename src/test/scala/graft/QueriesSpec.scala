@@ -228,6 +228,25 @@ class QueriesSpec extends SparkSpec {
     assert(math.abs(margin - (posCos - negCos)) == 0.0)
   }
 
+  test("transition matrix: per-user order, row-stochastic, no cross-user edges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{expr, lit}
+    // u1: a->b->a ; u2: b->a — transitions (a,b):1 (b,a):2; the u1->u2
+    // boundary must NOT create an edge; each row's p = n / row total
+    val rows = Seq(
+      (1L, 1L, "a", 10L), (2L, 1L, "b", 20L), (3L, 1L, "a", 30L),
+      (4L, 2L, "b", 5L), (5L, 2L, "a", 15L))
+    val ev = rows.toDF("event_id", "user_id", "event_type", "sec")
+      .withColumn("ts", expr("timestamp_micros(sec * 1000000)"))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .drop("sec")
+    val dir = java.nio.file.Files.createTempDirectory("trans").toString
+    ev.write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("a25_transitions")(spark, dir)
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(out == Set(("a", "b", 1L, 1.0), ("b", "a", 2L, 1.0)))
+  }
+
   test("dedup semantics: d_exact_dedup keeps one representative per content key") {
     val out = SparkEntry.queries("d_exact_dedup")(spark, sf)
     import org.apache.spark.sql.functions._

@@ -389,6 +389,75 @@ object Streams {
       }
       .start()
 
+  /** Funnel state / output for [[funnelProgress]]. Times are epoch millis;
+    * -1 encodes "not reached" (Option[Long] in state costs an extra object
+    * per field in the state encoder for no benefit at this width). */
+  case class FunnelState(t1: Long, t2: Long, t3: Long,
+      minClick: Long, minPurchase: Long)
+  case class FunnelOut(user_id: Long, stage: Int, ts: java.sql.Timestamp)
+
+  /** Streaming conversion funnel — the streaming twin of batch `a23_funnel`:
+    * per user, stage k completes at the FIRST qualifying event strictly
+    * after stage k-1, and completion emits ONCE (Append mode), the row a
+    * downstream alerting/feature sink consumes.
+    *
+    * Ordering contract (the part a batch MIN can ignore): micro-batch
+    * iterators are unsorted, so each batch sorts by (ts, event_id) before
+    * folding — in-order and intra-batch-disordered streams reproduce the
+    * batch funnel exactly. Cross-batch disorder inside the watermark is
+    * absorbed via two extra state fields: the globally smallest click and
+    * purchase ever seen. A LATE view that moves t1 earlier re-qualifies the
+    * stored global-min click (and transitively the purchase), so the common
+    * reordering (view delayed past its click) still converges to the batch
+    * answer. Residual divergence, documented: a click that was ineligible
+    * at arrival (≤ the then-current t1) and is NOT the global minimum is
+    * not reconstructible from bounded state — if a later view re-qualifies
+    * that region, the stream may report a later stage-2 time than a batch
+    * recompute. Stage times already emitted are never retracted (Append).
+    * State is 5 longs per user — bounded by the user population, like the
+    * batch query's own output. */
+  def funnelProgress(events: Dataset[Ev],
+      watermarkAge: String = "1 hour"): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    val NA = Long.MaxValue
+    def mn(a: Long, b: Long) = math.min(a, b)
+    events
+      .withWatermark("ts", watermarkAge)
+      .filter(e => e.event_type == "view" || e.event_type == "click" ||
+        e.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, evs: Iterator[Ev], state: GroupState[FunnelState]) => {
+          val before = state.getOption.getOrElse(FunnelState(NA, NA, NA, NA, NA))
+          var s = before
+          // micro-batch iterators are NOT time-ordered — sort before folding
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            e.event_type match {
+              case "view" => s = s.copy(t1 = mn(s.t1, t))
+              case "click" =>
+                s = s.copy(minClick = mn(s.minClick, t))
+                if (s.t1 < t) s = s.copy(t2 = mn(s.t2, t))
+              case _ =>
+                s = s.copy(minPurchase = mn(s.minPurchase, t))
+                if (s.t2 < t) s = s.copy(t3 = mn(s.t3, t))
+            }
+          }
+          // re-qualification after the fold: a late view (t1 moved earlier)
+          // can make the stored global-min click eligible, and a lowered t2
+          // can make the stored global-min purchase eligible
+          if (s.t1 < s.minClick) s = s.copy(t2 = mn(s.t2, s.minClick))
+          if (s.t2 < s.minPurchase) s = s.copy(t3 = mn(s.t3, s.minPurchase))
+          state.update(s)
+          def emit(stage: Int, prev: Long, cur: Long): Option[FunnelOut] =
+            if (prev == NA && cur != NA)
+              Some(FunnelOut(uid, stage, new java.sql.Timestamp(cur))) else None
+          (emit(1, before.t1, s.t1) ++ emit(2, before.t2, s.t2) ++
+            emit(3, before.t3, s.t3)).iterator
+        })
+  }
+
   /** KMV sketch entry / state / output for [[kmvDistinct]]. Public: the
     * state encoder's generated code needs constructor access. */
   case class KmvEntry(h: String, seg: String)

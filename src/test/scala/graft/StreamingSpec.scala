@@ -14,6 +14,49 @@ class StreamingSpec extends SparkSpec {
 
   private def ts(minute: Int) = new Timestamp(1704067200000L + minute * 60000L)
 
+  test("funnelProgress emits stages once, in batch order, strict sequencing") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.funnelProgress(mem.toDS())
+      .writeStream.format("memory").queryName("funnel1").outputMode("append").start()
+    try {
+      // the a23_funnel golden corpus, split across batches: u1's click@10
+      // precedes their first view@20 and must never count; u2 purchases
+      // BEFORE viewing and converts no further
+      mem.addData(
+        Ev(1, ts(10), 1, "click", 1.0), Ev(2, ts(20), 1, "view", 1.0),
+        Ev(5, ts(5), 2, "purchase", 1.0), Ev(6, ts(15), 2, "view", 1.0))
+      q.processAllAvailable()
+      val b1 = spark.table("funnel1").as[(Long, Int, Timestamp)].collect().toSet
+      assert(b1 == Set((1L, 1, ts(20)), (2L, 1, ts(15))), b1.toString)
+      mem.addData(Ev(3, ts(30), 1, "click", 1.0), Ev(4, ts(40), 1, "purchase", 1.0))
+      q.processAllAvailable()
+      val b2 = spark.table("funnel1").as[(Long, Int, Timestamp)].collect().toSet
+      assert(b2 == Set((1L, 1, ts(20)), (2L, 1, ts(15)),
+        (1L, 2, ts(30)), (1L, 3, ts(40))), b2.toString)
+    } finally q.stop()
+  }
+
+  test("funnelProgress: a late view re-qualifies the stored global-min click") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.funnelProgress(mem.toDS(), watermarkAge = "2 hours")
+      .writeStream.format("memory").queryName("funnel2").outputMode("append").start()
+    try {
+      // click arrives before any view exists — ineligible at arrival, but
+      // retained as the global-min click in state
+      mem.addData(Ev(1, ts(30), 3, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("funnel2").isEmpty)
+      // the view arrives LATE (earlier event time, later batch): stage 1
+      // emits at the view's time AND the stored click re-qualifies stage 2
+      mem.addData(Ev(2, ts(20), 3, "view", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("funnel2").as[(Long, Int, Timestamp)].collect().toSet
+      assert(out == Set((3L, 1, ts(20)), (3L, 2, ts(30))), out.toString)
+    } finally q.stop()
+  }
+
   test("dedupedWindowedAgg drops in-watermark duplicate event_ids") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]

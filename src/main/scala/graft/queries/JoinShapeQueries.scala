@@ -200,6 +200,44 @@ object JoinShapeQueries {
         .select(col("p_id").as("event_id"), col("s_id").as("nearest_signup"), col("dt_us"))
     },
 
+    // ------------------------------------------------------------------ J16
+    // 5-way star join (the TPC-H Q5 shape): two fact-sized relations
+    // (orders, lineitem) joined through three dimensions (customer,
+    // supplier, nation→region), with the Q5 twist — the supplier must sit
+    // in the CUSTOMER's nation, a join condition spanning non-adjacent
+    // tables that forces the optimizer to reason about the whole star
+    // rather than a left-deep chain. The region filter prunes at the
+    // smallest dim and propagates inward; Catalyst broadcasts every dim
+    // (nation/region always; customer/supplier under the threshold at test
+    // scale — at 100 TB those two become shuffle joins on their keys while
+    // the plan shape is otherwise unchanged). Revenue is the exact
+    // DECIMAL(38,6) sum route.
+    QueryDef("j16_star_join",
+      """SELECT n.n_name,
+        |  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+        |    AS revenue
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |JOIN region r ON r.r_regionkey = n.n_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |GROUP BY n.n_name""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "supplier"),
+          col("s_suppkey") === col("l_suppkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+        .join(t(s, dir, "nation"), col("n_nationkey") === col("s_nationkey"))
+        .join(t(s, dir, "region"), col("r_regionkey") === col("n_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy("n_name")
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(38,6)")).cast("double").as("revenue"))
+    },
+
     // ------------------------------------------------------------------ J12
     // Lateral explode: CROSS JOIN UNNEST(sequence(a,b))
     // (raw_data_ingestion_pipeline.py:727-732 — the missing-block check).

@@ -186,6 +186,49 @@ object ExtraQueries {
           .as("median_value"))
     },
 
+    // ------------------------------------------------------------------ A26
+    // Per-entity standardization (z-score) with outlier accounting — the
+    // feature-scaling sibling of a22_winsorize: mean/std from EXACT decimal
+    // moments (Σx and Σx², each row's square cast back to DECIMAL(38,6)
+    // BEFORE summation so both engines round identically; the sums are
+    // order-independent at any parallelism), converted to double once, and
+    // the final mean/var/std arithmetic is a fixed IEEE expression tree —
+    // never a native stddev aggregate, whose accumulation order varies
+    // with parallelism. Outliers = |x − mean| > 2·std, counted per entity
+    // in a second pass against the broadcast-sized stats join.
+    QueryDef("a26_zscore",
+      """WITH x AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(38,6)) * CAST(value AS DECIMAL(38,6))
+        |      AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+        |  FROM events GROUP BY user_id),
+        |st AS (
+        |  SELECT user_id, n, sx / n AS mean,
+        |    sqrt(GREATEST(CAST(0 AS DOUBLE), (sxx / n) - (sx / n) * (sx / n))) AS std
+        |  FROM x)
+        |SELECT e.user_id, st.n, st.mean, st.std,
+        |  CAST(SUM(CASE WHEN abs(e.value - st.mean) > 2 * st.std THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM events e JOIN st ON st.user_id = e.user_id
+        |GROUP BY e.user_id, st.n, st.mean, st.std""".stripMargin) { (s, dir) =>
+      val ev = events(s, dir).select(col("user_id"), col("value"))
+      val dv = col("value").cast("decimal(38,6)")
+      val st = ev.groupBy("user_id").agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(dv).cast("double").as("sx"),
+        sum((dv * dv).cast("decimal(38,6)")).cast("double").as("sxx"))
+        .select(col("user_id"), col("n"), (col("sx") / col("n")).as("mean"),
+          sqrt(greatest(lit(0.0),
+            (col("sxx") / col("n")) - (col("sx") / col("n")) * (col("sx") / col("n"))))
+            .as("std"))
+      ev.join(st, "user_id")
+        .groupBy("user_id", "n", "mean", "std")
+        .agg(sum(when(abs(col("value") - col("mean")) > lit(2) * col("std"), 1)
+          .otherwise(0)).cast("long").as("n_outliers"))
+        .select("user_id", "n", "mean", "std", "n_outliers")
+    },
+
     // ------------------------------------------------------------------ A25
     // Event-transition matrix (first-order Markov estimate): per user, each
     // event's successor by a (ts, event_id) total order; counts roll up per

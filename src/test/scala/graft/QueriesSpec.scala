@@ -247,6 +247,28 @@ class QueriesSpec extends SparkSpec {
     assert(out == Set(("a", "b", 1L, 1.0), ("b", "a", 2L, 1.0)))
   }
 
+  test("zscore: textbook moments, strict outlier threshold") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{expr, lit}
+    // u1: the classic 2,4,4,4,5,5,7,9 -> mean 5, std 2, no |z|>2 outliers;
+    // u2: five 0s and a 12 -> mean 2, std sqrt(20), exactly one outlier
+    val vals = Seq(1L -> 2.0, 1L -> 4.0, 1L -> 4.0, 1L -> 4.0, 1L -> 5.0,
+      1L -> 5.0, 1L -> 7.0, 1L -> 9.0,
+      2L -> 0.0, 2L -> 0.0, 2L -> 0.0, 2L -> 0.0, 2L -> 0.0, 2L -> 12.0)
+    val ev = vals.zipWithIndex
+      .map { case ((u, v), i) => (i.toLong, u, v) }
+      .toDF("event_id", "user_id", "value")
+      .withColumn("ts", expr("timestamp_micros(event_id * 1000000)"))
+      .withColumn("event_type", lit("view")).withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("zscore").toString
+    ev.write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("a26_zscore")(spark, dir)
+      .as[(Long, Long, Double, Double, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 8L, 5.0, 2.0, 0L),
+      (2L, 6L, 2.0, math.sqrt(20.0), 1L)))
+  }
+
   test("dedup semantics: d_exact_dedup keeps one representative per content key") {
     val out = SparkEntry.queries("d_exact_dedup")(spark, sf)
     import org.apache.spark.sql.functions._

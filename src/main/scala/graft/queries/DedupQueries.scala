@@ -685,6 +685,73 @@ object DedupQueries {
         .withColumn("n_bucket", count(lit(1)).over(Window.partitionBy("simhash")))
     },
 
+    // ------------------------------------------------------------- DEDUP-3d
+    // Containment near-dup (Broder's asymmetric metric): |A∩B| / min(|A|,|B|)
+    // flags a document ENGULFED by another — the quote-a-whole-article case
+    // symmetric Jaccard under-scores whenever the host is much larger
+    // (inter/union shrinks with the host's size; inter/min does not). Same
+    // LSH band candidates and native sorted-set intersection as
+    // d_lsh_verified; the output names the contained side (fewer shingles,
+    // min id on ties) so the curation step knows WHICH doc to drop. Both
+    // metrics are reported — the (containment ≥ 0.8, jaccard ≪ 1) corner
+    // is exactly the engulfing signature. Honest limit: MinHash bands
+    // estimate JACCARD, so candidate recall for an engulfed pair decays
+    // with the size ratio (P[min of the host's set lands in the contained
+    // subset] = |A|/|B| per hash) — at extreme ratios the production
+    // answer is d_substr's positional-fingerprint census, which finds
+    // embedded spans regardless of host size.
+    QueryDef("d_containment",
+      s"""WITH sh AS (
+         |  SELECT doc_id, $shinglesSql AS sh
+         |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+         |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+         |sig AS (SELECT doc_id, $sigSqlCols FROM ex GROUP BY doc_id),
+         |bands AS (
+         |  $bandsSqlUnion),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |ver AS (
+         |  SELECT c.a_id, c.b_id,
+         |    len(list_intersect(sa.sh, sb.sh)) AS inter,
+         |    len(sa.sh) AS na, len(sb.sh) AS nb
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.a_id
+         |  JOIN sh sb ON sb.doc_id = c.b_id)
+         |SELECT a_id, b_id,
+         |  CASE WHEN na < nb OR (na = nb AND a_id < b_id) THEN a_id ELSE b_id END
+         |    AS contained_id,
+         |  CAST(inter AS DOUBLE) / LEAST(na, nb) AS containment,
+         |  CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+         |FROM ver
+         |WHERE CAST(inter AS DOUBLE) / LEAST(na, nb) >= 0.8""".stripMargin) { (s, dir) =>
+      graft.functions.VectorExprs.register(s)
+      val base = docs(s, dir).filter(size(col("tk")) >= 3)
+      val sh = base.select(col("doc_id"), explode(shinglesExpr).as("s"))
+      val (cand, bands) = candidatePairs(minhashBands(sh))
+      val hsh = base.select(col("doc_id"), hashedShinglesExpr.as("hs"))
+      val ver = cand
+        .join(hsh.select(col("doc_id").as("a_id"), col("hs").as("a_hs")), "a_id")
+        .join(hsh.select(col("doc_id").as("b_id"), col("hs").as("b_hs")), "b_id")
+        .select(col("a_id"), col("b_id"),
+          expr("sorted_intersect_count(a_hs, b_hs)").as("inter"),
+          size(col("a_hs")).as("na"), size(col("b_hs")).as("nb"))
+      CacheScope.sealResult(
+        ver
+          .withColumn("contained_id",
+            when(col("na") < col("nb") ||
+              (col("na") === col("nb") && col("a_id") < col("b_id")), col("a_id"))
+              .otherwise(col("b_id")))
+          .withColumn("containment",
+            col("inter").cast("double") / least(col("na"), col("nb")))
+          .withColumn("jaccard",
+            col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .filter(col("containment") >= 0.8)
+          .select("a_id", "b_id", "contained_id", "containment", "jaccard"),
+        bands)
+    },
+
     // -------------------------------------------------------------- DEDUP-4b
     // SimHash near-dup at Hamming distance ≤ 3 — the Manku et al. (WWW'07)
     // web-dedup scheme: a 32-bit signature split into 4 byte pieces; any

@@ -23,7 +23,7 @@ class CacheDisciplineSpec extends SparkSpec {
   /** Queries with internal persists (every one named in the round-8 audit)
     * plus the sealed sketch family that already followed the discipline. */
   private val checked = Seq(
-    "d_minhash_lsh", "d_lsh_verified", "d_split_leakage", "d_dup_clusters", "d_ngram_jaccard",
+    "d_minhash_lsh", "d_lsh_verified", "d_split_leakage", "d_containment", "d_dup_clusters", "d_ngram_jaccard",
     "d_incremental_dedup", "d_semantic_dedup", "d_semantic_dedup_hier", "d_simhash_hamming",
     "d_substr", "a13_cm", "a11_kmv", "a16_kx", "a15_hll",
     "ann_ivf_kmeans", "c_kmeans", "t_contamination", "t_bpe3", "t_bpe_apply", "t_keywords",

@@ -269,6 +269,25 @@ class QueriesSpec extends SparkSpec {
       (2L, 6L, 2.0, math.sqrt(20.0), 1L)))
   }
 
+  test("containment: an engulfed doc scores 1.0 with jaccard well below it") {
+    import spark.implicits._
+    // doc 9 = doc 5's full text plus a suffix: every shingle of 5 is in 9,
+    // so containment(5 in 9) = 1.0 while jaccard = 10/13 — the asymmetry
+    // the metric exists for; the disjoint doc 20 pairs with nothing.
+    // (Band recall for engulfed pairs is size-ratio dependent; this
+    // fixture's 10/13 ratio collides on the fixed md5 bands.)
+    val small = (1 to 12).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (5L, small),
+      (9L, small + " x1 x2 x3"),
+      (20L, "totally different vocabulary in this document here now")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("containment").toString
+    corpus.write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("d_containment")(spark, dir)
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(out == Seq((5L, 9L, 5L, 1.0, 10.0 / 13.0)))
+  }
+
   test("dedup semantics: d_exact_dedup keeps one representative per content key") {
     val out = SparkEntry.queries("d_exact_dedup")(spark, sf)
     import org.apache.spark.sql.functions._

@@ -186,6 +186,55 @@ object ExtraQueries {
           .as("median_value"))
     },
 
+    // ------------------------------------------------------------------ DQ-2
+    // Distribution-drift monitor (total-variation distance): the current
+    // window's value histogram against the reference window's — the gate a
+    // feature pipeline puts in front of model refresh ("has this week's
+    // data moved?"). TVD instead of PSI/KL on purpose: divergences need
+    // libm ln(), whose last-ulp rounding is not pinned across engines,
+    // while TVD = Σ|p−q|/2 is exact — computed here as integer cross
+    // products |n_ref·t_cur − n_cur·t_ref| over a common denominator with
+    // ONE double division at the end. Cost: one bucket-rollup shuffle over
+    // the raw scan, everything after is histogram-sized.
+    QueryDef("dq_drift_tvd",
+      """WITH e AS (
+        |  SELECT LEAST(CAST(floor(value / 20) AS BIGINT), 9) AS bucket,
+        |    epoch_us(ts) // 604800000000 AS week
+        |  FROM events),
+        |wk AS (SELECT MIN(week) AS w0 FROM e),
+        |counts AS (
+        |  SELECT bucket,
+        |    CAST(SUM(CASE WHEN week - w0 < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+        |    CAST(SUM(CASE WHEN week - w0 >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+        |  FROM e, wk GROUP BY bucket),
+        |tot AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+        |               CAST(SUM(n_cur) AS BIGINT) AS t_cur FROM counts)
+        |SELECT bucket, n_ref, n_cur,
+        |  CAST(abs(n_ref * t_cur - n_cur * t_ref) AS DOUBLE)
+        |    / CAST(2 * t_ref * t_cur AS DOUBLE) AS tvd_term,
+        |  CAST(SUM(abs(n_ref * t_cur - n_cur * t_ref)) OVER () AS DOUBLE)
+        |    / CAST(2 * t_ref * t_cur AS DOUBLE) AS tvd_total
+        |FROM counts, tot""".stripMargin) { (s, dir) =>
+      val e = events(s, dir).select(
+        least(floor(col("value") / 20).cast("long"), lit(9L)).as("bucket"),
+        expr("ts_us div 604800000000").as("week"))
+      val wk = e.agg(min("week").as("w0"))
+      val counts = e.crossJoin(broadcast(wk))
+        .groupBy("bucket")
+        .agg(
+          sum(when(col("week") - col("w0") < 2, 1).otherwise(0)).cast("long").as("n_ref"),
+          sum(when(col("week") - col("w0") >= 2, 1).otherwise(0)).cast("long").as("n_cur"))
+      val tot = counts.agg(sum("n_ref").cast("long").as("t_ref"),
+        sum("n_cur").cast("long").as("t_cur"))
+      val cross = abs(col("n_ref") * col("t_cur") - col("n_cur") * col("t_ref"))
+      val denom = (lit(2) * col("t_ref") * col("t_cur")).cast("double")
+      val wAll = Window.partitionBy()
+      counts.crossJoin(broadcast(tot))
+        .select(col("bucket"), col("n_ref"), col("n_cur"),
+          (cross.cast("double") / denom).as("tvd_term"),
+          (sum(cross).over(wAll).cast("double") / denom).as("tvd_total"))
+    },
+
     // ------------------------------------------------------------------ A26
     // Per-entity standardization (z-score) with outlier accounting — the
     // feature-scaling sibling of a22_winsorize: mean/std from EXACT decimal

@@ -288,6 +288,30 @@ class QueriesSpec extends SparkSpec {
     assert(out == Seq((5L, 9L, 5L, 1.0, 10.0 / 13.0)))
   }
 
+  test("drift tvd: hand-computed histogram shift, exact cross-product form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{expr, lit}
+    // ref window (weeks 0-1): 4+4 events across buckets 0/1 (p = .5/.5);
+    // current (week 2+): 2+6 (q = .25/.75) -> TVD = (.25+.25)/2 = 0.25
+    val rows =
+      (1 to 4).map(i => (i.toLong, 5.0, 0L)) ++      // ref bucket 0
+      (5 to 8).map(i => (i.toLong, 25.0, 0L)) ++     // ref bucket 1
+      (9 to 10).map(i => (i.toLong, 5.0, 15L)) ++    // cur bucket 0
+      (11 to 16).map(i => (i.toLong, 25.0, 15L))     // cur bucket 1
+    val ev = rows.toDF("event_id", "value", "day")
+      .withColumn("ts", expr("timestamp_micros(day * 86400000000)"))
+      .withColumn("user_id", lit(1L))
+      .withColumn("event_type", lit("view")).withColumn("props", lit("{}"))
+      .drop("day")
+    val dir = java.nio.file.Files.createTempDirectory("drift").toString
+    ev.write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("dq_drift_tvd")(spark, dir)
+      .as[(Long, Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (0L, 4L, 2L, 0.125, 0.25),
+      (1L, 4L, 6L, 0.125, 0.25)))
+  }
+
   test("dedup semantics: d_exact_dedup keeps one representative per content key") {
     val out = SparkEntry.queries("d_exact_dedup")(spark, sf)
     import org.apache.spark.sql.functions._

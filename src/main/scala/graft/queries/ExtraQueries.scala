@@ -186,6 +186,72 @@ object ExtraQueries {
           .as("median_value"))
     },
 
+    // ------------------------------------------------------------------ A27
+    // GLOBAL exact median by distributed selection — the scale-honest form
+    // of what a naive ORDER BY + ROW_NUMBER does in one task: a1024-bucket
+    // histogram pass locates the bucket(s) holding the middle positions
+    // (the only full-data work, one map-side-combinable rollup), then the
+    // exact rank is resolved INSIDE those buckets over their value domain
+    // (~n/1024 rows — bounded by construction, which is the point of the
+    // histogram phase). Driver-side state is bounded metadata: count,
+    // min/max, the 1024-row histogram, and the two selected values. The
+    // oracle states the same median positionally; positions are value-
+    // deterministic under ties, and the even-n average is one fixed
+    // IEEE (a+b)/2 in both engines. Per-group medians with small groups
+    // stay a10_exact_median's windowed form; THIS is the one-giant-group
+    // case where that form would serialize onto a single task.
+    QueryDef("a27_global_median",
+      """WITH r AS (
+        |  SELECT l_extendedprice AS x,
+        |    ROW_NUMBER() OVER (ORDER BY l_extendedprice) AS rn,
+        |    COUNT(*) OVER () AS n
+        |  FROM lineitem)
+        |SELECT CAST(MAX(n) AS BIGINT) AS n,
+        |  CAST(SUM(x) AS DOUBLE) / COUNT(*) AS median_price
+        |FROM r WHERE rn IN ((n + 1) // 2, (n + 2) // 2)""".stripMargin) { (s, dir) =>
+      val v = Graft.table(s, dir, "lineitem").select(col("l_extendedprice").as("x"))
+      val head = v.agg(count(lit(1)), min("x"), max("x")).head
+      val n = head.getLong(0); val mn = head.getDouble(1); val mx = head.getDouble(2)
+      val k1 = (n + 1) / 2; val k2 = (n + 2) / 2
+      val B = 1024
+      val width = (mx - mn) / B
+      if (n == 0 || width == 0.0) {
+        s.range(1).select(lit(n).as("n"), lit(mn).as("median_price"))
+      } else {
+        val bucket = least(floor((col("x") - mn) / width).cast("long"), lit(B - 1L))
+        val hist = v.groupBy(bucket.as("b")).agg(count(lit(1)).as("c"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // driver-side cumulative over ≤1024 rows: bucket holding position k
+        // and the exact count strictly below it
+        def locate(k: Long): (Long, Long) = {
+          var cum = 0L
+          for (b <- 0L until B.toLong) {
+            val c = hist.getOrElse(b, 0L)
+            if (cum + c >= k) return (b, cum)
+            cum += c
+          }
+          (B - 1L, cum - hist.getOrElse(B - 1L, 0L))
+        }
+        // exact rank inside one bucket, resolved over its VALUE DOMAIN
+        // (distinct-value counts + a cumulative over that bounded set)
+        def valueAt(b: Long, pos: Long): Double = {
+          val w = Window.orderBy("x")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          v.filter(bucket === b).groupBy("x").agg(count(lit(1)).as("c"))
+            .withColumn("cum", sum("c").over(w))
+            .filter(col("cum") >= pos)
+            .agg(min("x")).head.getDouble(0)
+        }
+        val (b1, below1) = locate(k1)
+        val v1 = valueAt(b1, k1 - below1)
+        val med = if (k2 == k1) v1 else {
+          val (b2, below2) = locate(k2)
+          (v1 + valueAt(b2, k2 - below2)) / 2
+        }
+        s.range(1).select(lit(n).as("n"), lit(med).as("median_price"))
+      }
+    },
+
     // ------------------------------------------------------------------ DQ-2
     // Distribution-drift monitor (total-variation distance): the current
     // window's value histogram against the reference window's — the gate a

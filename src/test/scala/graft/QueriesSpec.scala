@@ -312,6 +312,20 @@ class QueriesSpec extends SparkSpec {
       (1L, 4L, 6L, 0.125, 0.25)))
   }
 
+  test("global median: distributed selection matches positional definition") {
+    import spark.implicits._
+    def run(vals: Seq[Double]): (Long, Double) = {
+      val dir = java.nio.file.Files.createTempDirectory("gmed").toString
+      vals.toDF("l_extendedprice").write.parquet(s"$dir/lineitem.parquet")
+      SparkEntry.queries("a27_global_median")(spark, dir)
+        .as[(Long, Double)].collect().head
+    }
+    assert(run(Seq(5.0, 1.0, 3.0, 2.0, 4.0)) == (5L, 3.0))          // odd n
+    assert(run(Seq(4.0, 1.0, 3.0, 2.0)) == (4L, 2.5))               // even n
+    assert(run(Seq(1.0, 9.0, 1.0, 1.0)) == (4L, 1.0))               // dup-heavy
+    assert(run(Seq(7.0, 7.0, 7.0)) == (3L, 7.0))                    // degenerate range
+  }
+
   test("dedup semantics: d_exact_dedup keeps one representative per content key") {
     val out = SparkEntry.queries("d_exact_dedup")(spark, sf)
     import org.apache.spark.sql.functions._

@@ -325,6 +325,52 @@ object SimilarityQueries {
             - max(when(!col("same"), col("cos_sim")))).as("margin"))
     },
 
+    // ---------------------------------------------------------------- ANN-1d
+    // Corpus diversity in O(n) — mean pairwise squared distance WITHOUT a
+    // pair join, via the moment identity Σ_{x,y}||x−y||² =
+    // 2(n·Σ||x||² − Σ_d (Σ_x x_d)²): the before/after-dedup diversity
+    // gauge a curation pipeline reports, computable at any corpus size for
+    // the cost of one scan + a per-(label, dim) rollup. All moments are
+    // EXACT: quantized ints, with the overflow-prone products (n·Σ||x||²
+    // and the squared dimension sums — past 10^19 at modest corpus sizes)
+    // carried in DECIMAL(38,0) in BOTH engines; one double division at the
+    // end (÷ n² and the 10^12 quantization scale).
+    QueryDef("ann_diversity",
+      s"""WITH n AS (
+         |  SELECT vec_id, label, $quantSql AS qv FROM embeddings),
+         |ex AS (
+         |  SELECT label, g.i AS dim, qv[g.i] AS v
+         |  FROM n, UNNEST(generate_series(1, len(qv))) AS g(i)),
+         |dimsum AS (
+         |  SELECT label, dim, CAST(SUM(v) AS BIGINT) AS sd,
+         |    CAST(SUM(v * v) AS BIGINT) AS sq
+         |  FROM ex GROUP BY label, dim),
+         |agg AS (
+         |  SELECT label,
+         |    CAST(SUM(CAST(sq AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2,
+         |    CAST(SUM(CAST(sd AS DECIMAL(38,0)) * sd) AS DECIMAL(38,0)) AS sumsd2
+         |  FROM dimsum GROUP BY label),
+         |cnt AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS nv FROM n GROUP BY label)
+         |SELECT c.label, c.nv,
+         |  CAST(2 * (c.nv * a.s2 - a.sumsd2) AS DOUBLE)
+         |    / (CAST(c.nv AS DOUBLE) * c.nv * 1e12) AS mean_sq_dist
+         |FROM cnt c JOIN agg a ON a.label = c.label""".stripMargin) { (s, dir) =>
+      val n = emb(s, dir).select(col("vec_id"), col("label"), col("qv"))
+      val ex = n.select(col("label"), posexplode(col("qv")).as(Seq("dim0", "v")))
+      val dimsum = ex.groupBy(col("label"), col("dim0"))
+        .agg(sum("v").cast("long").as("sd"),
+          sum(col("v") * col("v")).cast("long").as("sq"))
+      val agg = dimsum.groupBy("label").agg(
+        sum(col("sq").cast("decimal(38,0)")).cast("decimal(38,0)").as("s2"),
+        sum(col("sd").cast("decimal(38,0)") * col("sd")).cast("decimal(38,0)")
+          .as("sumsd2"))
+      val cnt = n.groupBy("label").agg(count(lit(1)).cast("long").as("nv"))
+      cnt.join(agg, "label")
+        .select(col("label"), col("nv"),
+          ((lit(2) * (col("nv") * col("s2") - col("sumsd2"))).cast("double")
+            / (col("nv").cast("double") * col("nv") * lit(1e12))).as("mean_sq_dist"))
+    },
+
     // ----------------------------------------------------------------- ANN-2
     // LSH-bucketed ANN with multiprobe: both sides carry a W-bit sign code
     // (W from the corpus size — see codeWidth); the candidate join is equi

@@ -326,6 +326,25 @@ class QueriesSpec extends SparkSpec {
     assert(run(Seq(7.0, 7.0, 7.0)) == (3L, 7.0))                    // degenerate range
   }
 
+  test("diversity: moment identity equals brute-force pairwise on a tiny set") {
+    import spark.implicits._
+    // (1,0), (0,1), (1,1): ordered-pair squared distances sum to
+    // 2*(2+1+1) = 8 over n² = 9 -> mean 8/9, reproduced via the O(n)
+    // moments (s2 = 4e12, sum of squared dim-sums = 8e12, quant scale 1e12)
+    val embRows = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.0f, 1.0f), 0),
+      (2L, Array(1.0f, 1.0f), 0)).toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("diversity").toString
+    embRows.write.parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("ann_diversity")(spark, dir)
+      .as[(Int, Long, Double)].collect().toSeq
+    val expected = (2L * (3L * 4000000000000L - 8000000000000L)).toDouble /
+      (3.0 * 3 * 1e12)
+    assert(out == Seq((0, 3L, expected)))
+    assert(math.abs(expected - 8.0 / 9.0) < 1e-12)
+  }
+
   test("dedup semantics: d_exact_dedup keeps one representative per content key") {
     val out = SparkEntry.queries("d_exact_dedup")(spark, sf)
     import org.apache.spark.sql.functions._

@@ -102,6 +102,47 @@ object TextQueries {
     (Seq(t1, t2, t3), Seq(e1p, e2p))
   }
 
+  /** Oracle-side shared BPE training CTEs (w0..t3) — the three-merge
+    * trainer in DuckDB SQL, shared by t_bpe_apply and t_bpe_fertility the
+    * way bpeMerges3 is shared on the Spark side. */
+  private val bpeTrainCtesSql: String =
+    """w0 AS (
+          |  SELECT w, COUNT(*) AS cnt FROM (
+          |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          |  WHERE length(w) >= 1 GROUP BY w),
+          |e1 AS (
+          |  SELECT '||' || regexp_replace(w, '(.)', '\1||', 'g') AS enc, cnt
+          |  FROM w0),
+          |p1 AS (
+          |  SELECT u.l AS l, u.r AS r, SUM(cnt) AS n FROM (
+          |    SELECT cnt, unnest(list_transform(range(1, len(tk)),
+          |      i -> struct_pack(l := tk[i], r := tk[i+1]))) AS u
+          |    FROM (SELECT string_split(trim(enc, '|'), '||') AS tk, cnt FROM e1))
+          |  GROUP BY u.l, u.r),
+          |t1 AS (SELECT l, r FROM p1 ORDER BY n DESC, l, r LIMIT 1),
+          |e2 AS (
+          |  SELECT replace(enc, '|' || t.l || '||' || t.r || '|',
+          |                      '|' || t.l || t.r || '|') AS enc, cnt
+          |  FROM e1, t1 t),
+          |p2 AS (
+          |  SELECT u.l AS l, u.r AS r, SUM(cnt) AS n FROM (
+          |    SELECT cnt, unnest(list_transform(range(1, len(tk)),
+          |      i -> struct_pack(l := tk[i], r := tk[i+1]))) AS u
+          |    FROM (SELECT string_split(trim(enc, '|'), '||') AS tk, cnt FROM e2))
+          |  GROUP BY u.l, u.r),
+          |t2 AS (SELECT l, r FROM p2 ORDER BY n DESC, l, r LIMIT 1),
+          |e3 AS (
+          |  SELECT replace(enc, '|' || t.l || '||' || t.r || '|',
+          |                      '|' || t.l || t.r || '|') AS enc, cnt
+          |  FROM e2, t2 t),
+          |p3 AS (
+          |  SELECT u.l AS l, u.r AS r, SUM(cnt) AS n FROM (
+          |    SELECT cnt, unnest(list_transform(range(1, len(tk)),
+          |      i -> struct_pack(l := tk[i], r := tk[i+1]))) AS u
+          |    FROM (SELECT string_split(trim(enc, '|'), '||') AS tk, cnt FROM e3))
+          |  GROUP BY u.l, u.r),
+          |t3 AS (SELECT l, r FROM p3 ORDER BY n DESC, l, r LIMIT 1)""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     // ---------------------------------------------------------------- TEXT-1
@@ -661,43 +702,7 @@ object TextQueries {
     // (md5 over the position-ordered encodings) pins the tokenization
     // byte-for-byte, not just the counts.
     QueryDef("t_bpe_apply", {
-      val trainCtes =
-        """w0 AS (
-          |  SELECT w, COUNT(*) AS cnt FROM (
-          |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-          |  WHERE length(w) >= 1 GROUP BY w),
-          |e1 AS (
-          |  SELECT '||' || regexp_replace(w, '(.)', '\1||', 'g') AS enc, cnt
-          |  FROM w0),
-          |p1 AS (
-          |  SELECT u.l AS l, u.r AS r, SUM(cnt) AS n FROM (
-          |    SELECT cnt, unnest(list_transform(range(1, len(tk)),
-          |      i -> struct_pack(l := tk[i], r := tk[i+1]))) AS u
-          |    FROM (SELECT string_split(trim(enc, '|'), '||') AS tk, cnt FROM e1))
-          |  GROUP BY u.l, u.r),
-          |t1 AS (SELECT l, r FROM p1 ORDER BY n DESC, l, r LIMIT 1),
-          |e2 AS (
-          |  SELECT replace(enc, '|' || t.l || '||' || t.r || '|',
-          |                      '|' || t.l || t.r || '|') AS enc, cnt
-          |  FROM e1, t1 t),
-          |p2 AS (
-          |  SELECT u.l AS l, u.r AS r, SUM(cnt) AS n FROM (
-          |    SELECT cnt, unnest(list_transform(range(1, len(tk)),
-          |      i -> struct_pack(l := tk[i], r := tk[i+1]))) AS u
-          |    FROM (SELECT string_split(trim(enc, '|'), '||') AS tk, cnt FROM e2))
-          |  GROUP BY u.l, u.r),
-          |t2 AS (SELECT l, r FROM p2 ORDER BY n DESC, l, r LIMIT 1),
-          |e3 AS (
-          |  SELECT replace(enc, '|' || t.l || '||' || t.r || '|',
-          |                      '|' || t.l || t.r || '|') AS enc, cnt
-          |  FROM e2, t2 t),
-          |p3 AS (
-          |  SELECT u.l AS l, u.r AS r, SUM(cnt) AS n FROM (
-          |    SELECT cnt, unnest(list_transform(range(1, len(tk)),
-          |      i -> struct_pack(l := tk[i], r := tk[i+1]))) AS u
-          |    FROM (SELECT string_split(trim(enc, '|'), '||') AS tk, cnt FROM e3))
-          |  GROUP BY u.l, u.r),
-          |t3 AS (SELECT l, r FROM p3 ORDER BY n DESC, l, r LIMIT 1)""".stripMargin
+      val trainCtes = bpeTrainCtesSql
       s"""WITH $trainCtes,
          |inst AS (
          |  SELECT doc_id, g.i AS i,
@@ -742,6 +747,62 @@ object TextQueries {
             md5(concat_ws(" ", expr(
               "transform(array_sort(collect_list(struct(i, enc))), p -> p.enc)")))
               .as("tok_md5")),
+        caches: _*)
+    },
+
+    // -------------------------------------------------------------- TEXT-25b
+    // Tokenizer fertility by language — chars per BPE token under the
+    // corpus-trained merges: THE multilingual tokenizer-quality metric (a
+    // language with low chars-per-token burns more of the context window
+    // per character; mix design reads this table before fixing per-lang
+    // budgets). Same trained merges and application semantics as
+    // t_bpe_apply (shared bpeMerges3 spine / bpeTrainCtesSql oracle CTEs),
+    // rolled up per language; fertility = one IEEE division of exact
+    // integer sums.
+    QueryDef("t_bpe_fertility",
+      s"""WITH $bpeTrainCtesSql,
+         |inst AS (
+         |  SELECT lang, '||' || regexp_replace(tk[g.i], '(.)', '\\1||', 'g') AS enc,
+         |    length(tk[g.i]) AS wlen
+         |  FROM (SELECT lang, string_split(text, ' ') AS tk FROM documents) t,
+         |    UNNEST(generate_series(1, len(tk))) AS g(i)),
+         |a1 AS (SELECT lang, wlen,
+         |  replace(enc, '|' || t.l || '||' || t.r || '|',
+         |               '|' || t.l || t.r || '|') AS enc FROM inst, t1 t),
+         |a2 AS (SELECT lang, wlen,
+         |  replace(enc, '|' || t.l || '||' || t.r || '|',
+         |               '|' || t.l || t.r || '|') AS enc FROM a1, t2 t),
+         |a3 AS (SELECT lang, wlen,
+         |  replace(enc, '|' || t.l || '||' || t.r || '|',
+         |               '|' || t.l || t.r || '|') AS enc FROM a2, t3 t)
+         |SELECT lang,
+         |  CAST(SUM(len(string_split(trim(enc, '|'), '||'))) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(SUM(wlen) AS BIGINT) AS n_chars,
+         |  CAST(SUM(wlen) AS DOUBLE)
+         |    / CAST(SUM(len(string_split(trim(enc, '|'), '||'))) AS BIGINT)
+         |    AS chars_per_token
+         |FROM a3 GROUP BY lang""".stripMargin) { (s, dir) =>
+      val (tops, caches) = bpeMerges3(s, dir)
+      val inst = docs(s, dir)
+        .select(col("lang"), explode(col("tk")).as("w"))
+        .select(col("lang"),
+          concat(lit("||"), regexp_replace(col("w"), "(.)", "$1||")).as("enc"),
+          length(col("w")).as("wlen"))
+      val applied = tops.foldLeft(inst) { (e, top) =>
+        e.crossJoin(broadcast(top.select("l", "r")))
+          .withColumn("enc",
+            expr("replace(enc, '|' || l || '||' || r || '|', '|' || l || r || '|')"))
+          .drop("l", "r")
+      }
+      CacheScope.sealResult(
+        applied
+          .groupBy("lang")
+          .agg(
+            sum(expr("size(split(trim(BOTH '|' FROM enc), '\\\\|\\\\|'))"))
+              .cast("long").as("n_bpe_tokens"),
+            sum("wlen").cast("long").as("n_chars"))
+          .withColumn("chars_per_token",
+            col("n_chars").cast("double") / col("n_bpe_tokens")),
         caches: _*)
     },
 

@@ -345,6 +345,20 @@ class QueriesSpec extends SparkSpec {
     assert(math.abs(expected - 8.0 / 9.0) < 1e-12)
   }
 
+  test("bpe fertility: per-language chars-per-token under the trained merges") {
+    import spark.implicits._
+    // same merges as the trainer golden (aa, ab, aaab): 'aaab' -> 1 token
+    // of 4 chars, 'ab' -> 1 token of 2 chars; en carries both words,
+    // de only 'aaab' -> fertility 3.0 vs 4.0
+    val corpus = Seq((0L, "aaab ab", "en"), (1L, "aaab", "de"))
+      .toDF("doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("fertility").toString
+    corpus.write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("t_bpe_fertility")(spark, dir)
+      .as[(String, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(("de", 1L, 4L, 4.0), ("en", 2L, 6L, 3.0)))
+  }
+
   test("dedup semantics: d_exact_dedup keeps one representative per content key") {
     val out = SparkEntry.queries("d_exact_dedup")(spark, sf)
     import org.apache.spark.sql.functions._

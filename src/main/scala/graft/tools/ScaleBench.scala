@@ -46,7 +46,10 @@ object ScaleBench {
     // round-13 additions with data-dependent pair/instance spaces
     "d_simhash_hamming", "d_split_leakage", "t_bpe_apply",
     "g_butterfly", "ann_hybrid_rrf",
-    "t_keywords", "a22_winsorize", "a23_funnel", "a24_cohort")
+    "t_keywords", "a22_winsorize", "a23_funnel", "a24_cohort",
+    "a25_transitions", "a26_zscore", "a27_global_median", "dq_drift_tvd",
+    "d_containment", "ann_triplet_mine", "ann_diversity", "j16_star_join",
+    "t_bpe_fertility")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

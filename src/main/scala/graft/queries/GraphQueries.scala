@@ -206,6 +206,65 @@ object GraphQueries {
       materialize(labels, adj)
     },
 
+    // --------------------------------------------------------------- GRAPH-2b
+    // k-core peeling (3 unrolled rounds, k=8): repeatedly drop nodes whose
+    // CURRENT degree is below k — each removal lowers neighbors' degrees,
+    // so the peel cascades; what survives is the densely-embedded core the
+    // risk family treats as "established" counterparties (a raw degree
+    // threshold cannot express the cascade: a high-degree node whose
+    // neighbors all get peeled goes with them). Fixed 3 rounds keeps the
+    // result exactly oracle-reproducible whether or not the peel has
+    // converged — the g_pr/g_cc unrolling contract; production iterates to
+    // the fixpoint, each extra round the same two keyed shuffles (degree
+    // rollup + two semi-join filters on the shrinking edge set).
+    QueryDef("g_kcore",
+      """WITH e0 AS (
+        |  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |ed AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |d0 AS (SELECT src, COUNT(*) AS d FROM ed GROUP BY src),
+        |v1 AS (SELECT src FROM d0 WHERE d >= 8),
+        |e1 AS (SELECT ed.src, ed.dst FROM ed
+        |       JOIN v1 a ON a.src = ed.src JOIN v1 b ON b.src = ed.dst),
+        |d1 AS (SELECT src, COUNT(*) AS d FROM e1 GROUP BY src),
+        |v2 AS (SELECT src FROM d1 WHERE d >= 8),
+        |e2 AS (SELECT e1.src, e1.dst FROM e1
+        |       JOIN v2 a ON a.src = e1.src JOIN v2 b ON b.src = e1.dst),
+        |d2 AS (SELECT src, COUNT(*) AS d FROM e2 GROUP BY src),
+        |v3 AS (SELECT src FROM d2 WHERE d >= 8),
+        |e3 AS (SELECT e2.src, e2.dst FROM e2
+        |       JOIN v3 a ON a.src = e2.src JOIN v3 b ON b.src = e2.dst)
+        |SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+        |FROM e3 GROUP BY src""".stripMargin) { (s, dir) =>
+      val k = 8
+      val e0 = Graft.table(s, dir, "orders")
+        .join(Graft.table(s, dir, "lineitem"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      var ed = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .persist()
+      val rounds = Seq.newBuilder[DataFrame]
+      rounds += ed
+      for (_ <- 1 to 3) {
+        val surv = ed.groupBy("src").agg(count(lit(1)).as("d"))
+          .filter(col("d") >= k).select("src")
+        val next = ed
+          .join(surv, "src")
+          .join(surv.select(col("src").as("dst")), "dst")
+          .select("src", "dst")
+          .persist()
+        next.count() // materialize before the previous round is released
+        rounds += next
+        ed = next
+      }
+      val all = rounds.result()
+      CacheScope.sealResult(
+        ed.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).cast("long").as("core_degree")),
+        all: _*)
+    },
+
     // --------------------------------------------------------------- GRAPH-3
     // Butterfly (bipartite 4-cycle) counting — the bipartite analog of
     // triangle counting, and the co-occurrence primitive underneath

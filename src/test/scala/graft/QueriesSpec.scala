@@ -359,6 +359,29 @@ class QueriesSpec extends SparkSpec {
     assert(out.toSeq == Seq(("de", 1L, 4L, 4.0), ("en", 2L, 6L, 3.0)))
   }
 
+  test("kcore: the peel cascades — a leaf's removal drags its k-degree neighbor") {
+    import spark.implicits._
+    // core: complete 8x8 bipartite (every node degree 8 — a stable
+    // 8-core). Appendage: customer X buys from 7 core suppliers plus a
+    // private supplier Y. X starts AT degree 8 — a plain threshold keeps
+    // it — but Y (degree 1) peels in round 1, dropping X to 7, X peels
+    // in round 2, and the core suppliers fall back to exactly 8.
+    val coreOrders = (1 to 8).map(c => (c.toLong, c.toLong))
+    val xOrder = Seq((100L, 100L))
+    val orders = (coreOrders ++ xOrder).toDF("o_orderkey", "o_custkey")
+    val coreLines = for { c <- 1 to 8; s <- 1 to 8 } yield (c.toLong, s.toLong)
+    val xLines = (1 to 7).map(s => (100L, s.toLong)) :+ (100L, 99L)
+    val lineitem = (coreLines ++ xLines).toDF("l_orderkey", "l_suppkey")
+    val dir = java.nio.file.Files.createTempDirectory("kcore").toString
+    orders.write.parquet(s"$dir/orders.parquet")
+    lineitem.write.parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry.queries("g_kcore")(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    val expected = ((1 to 8).map(c => (c * 2L, 8L)) ++
+      (1 to 8).map(s => (s * 2L + 1, 8L))).toSet
+    assert(out == expected)
+  }
+
   test("dedup semantics: d_exact_dedup keeps one representative per content key") {
     val out = SparkEntry.queries("d_exact_dedup")(spark, sf)
     import org.apache.spark.sql.functions._

@@ -48,7 +48,7 @@ object ScaleBench {
     "g_butterfly", "ann_hybrid_rrf",
     "t_keywords", "a22_winsorize", "a23_funnel", "a24_cohort",
     "a25_transitions", "a26_zscore", "a27_global_median", "dq_drift_tvd",
-    "d_containment", "ann_triplet_mine", "ann_diversity", "j16_star_join",
+    "d_containment", "ann_triplet_mine", "ann_diversity", "j16_star_join", "g_kcore",
     "t_bpe_fertility")
 
   def main(args: Array[String]): Unit = {

@@ -1807,6 +1807,59 @@ object ManifestSnapshots {
     * delete the data files no KEPT manifest references — reference
     * counting across manifests, so a file shared by any kept version
     * survives. Returns (dropped versions, deleted data files). */
+  // ------------------------------------------------------------------ TAGS
+
+  private def tagPath(dir: String, name: String): Path =
+    new Path(s"${dir.stripSuffix("/")}/tags/$name")
+
+  private def validTagName(name: String): Boolean =
+    name.nonEmpty && name.length <= 64 &&
+      name.forall(c => c.isLetterOrDigit || c == '.' || c == '_' || c == '-')
+
+  /** Pin `version` under an immutable name (Iceberg-style tag — "the
+    * snapshot run X trained on"). A tag is one marker file naming the
+    * version; tagged versions are EXEMPT from [[vacuum]]'s retention
+    * window, so the pin means something: the bytes a tag names stay
+    * readable until [[untag]]. Tags are immutable by design — re-tagging
+    * an existing name is refused (a release pin that silently moves is
+    * worse than no pin); delete-then-retag is the explicit two-step. */
+  def tag(spark: SparkSession, dir: String, name: String, version: Long): Unit = {
+    require(validTagName(name),
+      s"tag name must be 1-64 chars of [A-Za-z0-9._-]: '$name'")
+    val hfs = fs(spark, dir)
+    require(readManifest(hfs, dir, version).isDefined,
+      s"cannot tag version $version: no parseable manifest")
+    require(Markers.read(spark, tagPath(dir, name)).isEmpty,
+      s"tag '$name' already exists (tags are immutable; untag first)")
+    Markers.write(spark, tagPath(dir, name), version.toString)
+  }
+
+  /** Resolve a tag to its pinned version (None if absent/torn). */
+  def tagVersion(spark: SparkSession, dir: String, name: String): Option[Long] =
+    Markers.read(spark, tagPath(dir, name)).flatMap(_.trim.toLongOption)
+
+  /** Read the snapshot a tag pins — exactly [[read]] at the tag's version. */
+  def readTag(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val v = tagVersion(spark, dir, name)
+      .getOrElse(sys.error(s"unknown tag '$name'"))
+    read(spark, dir, v)
+  }
+
+  /** Drop a tag; the version it pinned becomes vacuumable again. */
+  def untag(spark: SparkSession, dir: String, name: String): Unit =
+    fs(spark, dir).delete(tagPath(dir, name), false): Unit
+
+  /** All tags as (name, version), torn markers skipped. */
+  def tags(spark: SparkSession, dir: String): Seq[(String, Long)] = {
+    val hfs = fs(spark, dir)
+    val root = new Path(s"${dir.stripSuffix("/")}/tags")
+    if (!hfs.exists(root)) Seq.empty
+    else hfs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filterNot(_.startsWith("."))
+      .flatMap(n => tagVersion(spark, dir, n).map(n -> _))
+      .sortBy(_._1)
+  }
+
   def vacuum(spark: SparkSession, dir: String, keep: Int = 2,
       orphanGraceHours: Int = 6): (Seq[Long], Int) = {
     require(keep >= 1, "keep at least the committed version")
@@ -1819,7 +1872,11 @@ object ManifestSnapshots {
     val byV = manifests.toMap
     val all = manifests.map(_._1)
     val pinned = all.lastOption // committed = newest parseable
-    val doomed = all.dropRight(keep).filterNot(pinned.contains)
+    // tagged versions are retention-exempt: the whole point of a tag is
+    // that the snapshot it names outlives the rolling keep window
+    val tagged = tags(spark, dir).map(_._2).toSet
+    val doomed = all.dropRight(keep)
+      .filterNot(pinned.contains).filterNot(tagged.contains)
     val keptVersions = all.filterNot(doomed.contains)
     val referenced = keptVersions.flatMap(byV(_)).map(_.path).toSet
     val base = dir.stripSuffix("/")

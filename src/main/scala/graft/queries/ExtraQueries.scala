@@ -990,6 +990,31 @@ object ExtraQueries {
       graft.core.ManifestSnapshots.read(s, msnapStore(s, dir), version = 1L)
     },
 
+    // ----------------------------------------------------------- STORAGE-TAG
+    // Named tag under the oracle gate: tag version 1 of a fresh 3-version
+    // chain as 'baseline' DURING the build, then read BY NAME — the
+    // "snapshot run X trained on" pin. A tag is one marker file naming a
+    // version; tagged versions are exempt from vacuum's rolling keep
+    // window (ManifestSnapshotSpec pins survival through vacuum keep=1,
+    // the immutable-retag refusal, and untag-then-reclaim), and tags are
+    // immutable by design — a release pin that silently moves is worse
+    // than no pin. The read must equal exactly what version 1 froze.
+    QueryDef("snap_tag_read",
+      """SELECT event_id, user_id, value FROM events
+        |WHERE event_id <= (SELECT MAX(event_id) // 3 FROM events)""".stripMargin) { (s, dir) =>
+      import graft.core.ManifestSnapshots
+      val ev = events(s, dir).select("event_id", "user_id", "value")
+      val fp = Graft.dataFingerprint(s, s"$dir/events.parquet")
+      val root = graft.core.StoreRoots.rootFor("graft_msnap_tag", "v1", dir, fp)
+      graft.core.StoreRoots.ensure(s, root) { tmp =>
+        val m = ev.agg(max("event_id")).head.getLong(0)
+        ManifestSnapshots.writeFull(ev.filter(col("event_id") <= m / 3), tmp)
+        ManifestSnapshots.tag(s, tmp, "baseline", version = 1L)
+        ManifestSnapshots.appendDelta(ev.filter(col("event_id") > m / 3), tmp)
+      }
+      ManifestSnapshots.readTag(s, root, "baseline")
+    },
+
     // ----------------------------------------------------------- STORAGE-CDC
     // Incremental read (CDC) via manifest diff: "what did versions
     // (1, latest] add" is a file-list SET DIFFERENCE resolved on

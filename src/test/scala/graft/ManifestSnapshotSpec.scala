@@ -47,6 +47,38 @@ class ManifestSnapshotSpec extends SparkSpec {
     assert(ManifestSnapshots.readFiles(spark, dir, added).count() == 200)
   }
 
+  test("tags: vacuum-exempt pin, immutable name, untag reclaims") {
+    val dir = tmpDir("msnaptag") + "/t"
+    ManifestSnapshots.writeFull(slice(0, 100), dir)
+    ManifestSnapshots.appendDelta(slice(100, 200), dir)
+    ManifestSnapshots.appendDelta(slice(200, 300), dir)
+    ManifestSnapshots.tag(spark, dir, "baseline", 1L)
+    assert(ManifestSnapshots.tags(spark, dir) == Seq("baseline" -> 1L))
+    assert(ManifestSnapshots.readTag(spark, dir, "baseline").count() == 100)
+
+    // vacuum keep=1 would normally doom v1 and v2 — the tag pins v1
+    ManifestSnapshots.vacuum(spark, dir, keep = 1, orphanGraceHours = 9999)
+    assert(ManifestSnapshots.readTag(spark, dir, "baseline").count() == 100,
+      "tagged version must survive vacuum's retention window")
+    intercept[Exception](ManifestSnapshots.read(spark, dir, 2L)) // v2 reclaimed
+
+    // immutable: re-tagging the name is refused, even to the same version
+    intercept[IllegalArgumentException](
+      ManifestSnapshots.tag(spark, dir, "baseline", 3L))
+    // unknown version refused
+    intercept[IllegalArgumentException](
+      ManifestSnapshots.tag(spark, dir, "nope", 42L))
+    // bad name refused before touching storage
+    intercept[IllegalArgumentException](
+      ManifestSnapshots.tag(spark, dir, "bad/name", 3L))
+
+    // untag releases the pin; the next vacuum reclaims v1
+    ManifestSnapshots.untag(spark, dir, "baseline")
+    ManifestSnapshots.vacuum(spark, dir, keep = 1, orphanGraceHours = 9999)
+    intercept[Exception](ManifestSnapshots.read(spark, dir, 1L))
+    assert(ManifestSnapshots.readLatest(spark, dir).count() == 300)
+  }
+
   test("replacePartitions: copy-on-write shares untouched partitions by reference") {
     val dir = tmpDir("msnapcow") + "/t"
     val base = slice(0, 300).withColumn("p",

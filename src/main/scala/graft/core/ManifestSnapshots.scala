@@ -160,17 +160,67 @@ object ManifestSnapshots {
     }
   }
 
-  /** Parse a manifest; None when absent or torn (recovery skips it). The
-    * format is this object's own flat JSON — a hand-rolled parser keeps
-    * the zero-dependency rule and fails closed on any malformation. */
+  /** A manifest slot's observed state. The three non-Parsed cases are
+    * NOT interchangeable: `Torn` is a positive observation (the bytes
+    * were read in full and are garbage — a crashed writer's debris,
+    * safe to reclaim), while `Unreadable` is the ABSENCE of an
+    * observation (the read itself failed — object-store throttling, a
+    * flaky NFS mount) and the slot may hold a perfectly committed
+    * version. Vacuum deletes only on `Torn`; conflating the two would
+    * let one transient IO error permanently destroy a committed — even
+    * tagged — version. */
+  private sealed trait ManifestState
+  private object ManifestState {
+    final case class Parsed(entries: Seq[Entry]) extends ManifestState
+    case object Absent extends ManifestState
+    case object Torn extends ManifestState
+    case object Unreadable extends ManifestState
+  }
+
+  /** Read a manifest slot and classify it (see [[ManifestState]]). The
+    * IO layer retries once — one transient failure must not degrade a
+    * committed version to "unknown" on paths that can tolerate a
+    * second round-trip — and NEVER classifies an exception as torn:
+    * only content that was fully read and fails to parse is. */
+  private def readManifestState(hfs: FileSystem, dir: String, v: Long): ManifestState = {
+    val p = manifestPath(dir, v)
+    def fetch(): Either[Unit, Option[String]] =
+      try {
+        if (!hfs.exists(p)) Right(None)
+        else {
+          val in = hfs.open(p)
+          val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+          Right(Some(txt))
+        }
+      } catch { case _: Exception => Left(()) }
+    (fetch() match { case Left(_) => fetch(); case ok => ok }) match {
+      case Left(_)          => ManifestState.Unreadable
+      case Right(None)      => ManifestState.Absent
+      case Right(Some(txt)) =>
+        parseManifest(txt, v) match {
+          case Some(entries) => ManifestState.Parsed(entries)
+          case None          => ManifestState.Torn
+        }
+    }
+  }
+
+  /** Parse a manifest; None when absent, torn, or unreadable (recovery
+    * skips it — only [[vacuum]] needs the finer [[readManifestState]]
+    * distinction, because only vacuum DELETES based on the answer). */
   private def readManifest(hfs: FileSystem, dir: String, v: Long): Option[Seq[Entry]] =
+    readManifestState(hfs, dir, v) match {
+      case ManifestState.Parsed(entries) => Some(entries)
+      case _ => None
+    }
+
+  /** Parse manifest CONTENT (already read in full). None = confirmed
+    * garbage. The format is this object's own flat JSON — a hand-rolled
+    * parser keeps the zero-dependency rule and fails closed on any
+    * malformation. */
+  private def parseManifest(txt: String, v: Long): Option[Seq[Entry]] =
     try {
-      val p = manifestPath(dir, v)
-      if (!hfs.exists(p)) None
-      else {
-        val in = hfs.open(p)
-        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
+      {
         // "stats" is optional: manifests written before zone maps (and
         // entries whose files had no numeric stats) parse identically —
         // the stats object holds only "col":[min,max] pairs, so a
@@ -455,12 +505,27 @@ object ManifestSnapshots {
     x.length - y.length
   }
 
-  /** The next commit SLOT: one past the highest manifest NAME present —
-    * parseable or torn. A torn slot (crashed writer) is burned, never
-    * reused: reusing it would need a delete+recreate, which reopens the
-    * lost-commit window the exclusive create exists to close. */
-  private def nextSlot(hfs: FileSystem, dir: String): Long =
-    versionNames(hfs, dir).lastOption.getOrElse(0L) + 1
+  /** The next commit SLOT: one past the highest manifest OR declaration
+    * NAME present — parseable or torn. A torn slot (crashed writer) is
+    * burned, never reused: reusing it would need a delete+recreate,
+    * which reopens the lost-commit window the exclusive create exists
+    * to close. Declaration names burn their slot for the same reason:
+    * [[addColumn]]/[[dropColumn]] write `decl-<v>` BEFORE committing
+    * manifest v, so a crash between the two leaves an orphan decl-<v> —
+    * if a later committer could still claim slot v, the orphan would
+    * spring to life as that unrelated commit's schema change. Burning
+    * the slot keeps the orphan permanently manifest-less, which is
+    * exactly the state [[schemaLines]] ignores. */
+  private def nextSlot(hfs: FileSystem, dir: String): Long = {
+    val sdir = new Path(s"${dir.stripSuffix("/")}/$SchemaDirName")
+    val declMax =
+      if (!hfs.exists(sdir)) 0L
+      else Option(hfs.globStatus(new Path(sdir, "decl-*")))
+        .map(_.toSeq).getOrElse(Nil)
+        .flatMap(_.getPath.getName.stripPrefix("decl-").toLongOption)
+        .maxOption.getOrElse(0L)
+    math.max(versionNames(hfs, dir).lastOption.getOrElse(0L), declMax) + 1
+  }
 
   // ----------------------------------------- LOCAL CROSS-PROCESS ARBITRATION
 
@@ -615,8 +680,11 @@ object ManifestSnapshots {
       require(prev.isEmpty || prev.forall(_.partition.isDefined) == partitionCols.nonEmpty,
         "appendDelta must keep the table's partitioning shape: mixing " +
           "partitioned and unpartitioned versions would break the union read")
-      if (prev.nonEmpty)
-        requireNoRetype(spark, dir, prev, df.schema, partitionCols.toSet, "appendDelta")
+      // unconditional: the metadata checks (dropped names, declared
+      // types) hold even when the predecessor manifest is EMPTY — only
+      // the stored-footer comparison inside needs entries, and
+      // requireNoRetype itself gates that part
+      requireNoRetype(spark, dir, prev, df.schema, partitionCols.toSet, "appendDelta")
       prev
     }
     // both guards run BEFORE any data lands: a refused append must leave
@@ -752,9 +820,16 @@ object ManifestSnapshots {
       entries: Seq[Entry], delta: org.apache.spark.sql.types.StructType,
       exclude: Set[String], op: String): Unit = {
     // declared (metadata-only) columns guard like stored ones: a delta
-    // materializing a declared column must carry its declared type
-    val stored = storedSchema(spark, dir.stripSuffix("/"), entries)
-      .map(f => f.name -> f.dataType).toMap ++
+    // materializing a declared column must carry its declared type.
+    // The dropped/declared checks are metadata-only and need no stored
+    // entries, so they run even against an EMPTY predecessor manifest
+    // (e.g. a deleteWhere that removed every row): a delta resurrecting
+    // a dropped name, or retyping a declared column, is exactly as
+    // unsound on an empty table — the bytes would land and every read
+    // of current versions would project them out or coerce them.
+    val stored = (if (entries.isEmpty) Map.empty[String, org.apache.spark.sql.types.DataType]
+      else storedSchema(spark, dir.stripSuffix("/"), entries)
+        .map(f => f.name -> f.dataType).toMap) ++
       declaredColumns(spark, dir)
         .map(c => c.name -> org.apache.spark.sql.types.DataType.fromDDL(c.ddl))
         .toMap
@@ -815,11 +890,25 @@ object ManifestSnapshots {
       .getOrElse(Nil)
     val sdir = new Path(base, SchemaDirName)
     val hfs = sdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // decl-<v> is written BEFORE manifest v commits (same critical
+    // section — see commitDeclaration), so a declaration whose version
+    // has no manifest NAME is either a crashed declaration (its slot is
+    // burned by nextSlot, so it stays manifest-less forever — ignore)
+    // or one mid-commit (invisible until its manifest appears, which is
+    // the commit point — exactly the read-side contract we want). The
+    // check is by NAME (a pure listing): torn-vs-parseable doesn't
+    // matter here because a torn slot at the declaration's own version
+    // means the declaring commit itself never completed.
     val perVersion =
       if (!hfs.exists(sdir)) Nil
-      else Option(hfs.globStatus(new Path(sdir, "decl-*"))).map(_.toSeq).getOrElse(Nil)
-        .flatMap(st => Markers.read(spark, st.getPath))
-        .flatMap(_.linesIterator.filter(_.nonEmpty).toSeq.map(_.split('\t')))
+      else {
+        val committedNames = versionNames(hfs, dir).toSet
+        Option(hfs.globStatus(new Path(sdir, "decl-*"))).map(_.toSeq).getOrElse(Nil)
+          .filter(_.getPath.getName.stripPrefix("decl-").toLongOption
+            .exists(committedNames.contains))
+          .flatMap(st => Markers.read(spark, st.getPath))
+          .flatMap(_.linesIterator.filter(_.nonEmpty).toSeq.map(_.split('\t')))
+      }
     // the since-version is field 2 in both line kinds
     (legacy ++ perVersion).sortBy(f =>
       if (f.length == 4) f(2).toLongOption.getOrElse(Long.MaxValue)
@@ -899,25 +988,63 @@ object ManifestSnapshots {
       s"addColumn: '$name' was dropped — old file groups still store " +
         "values under that name and a re-add would resurface them; " +
         "use a fresh name (field-id-free evolution cannot re-add)")
-    val v = commitLoop(hfs, dir, _ => entries, expectedBase = Some(prev))
-    // commit first, then declare (the declaration cites the committed
-    // version): a crash between the two leaves a no-op metadata version
-    // — benign — never a declaration pointing at a missing version
-    appendSchemaLine(spark, dir, v, Seq(encMarker(name), encMarker(ddlType),
-      v.toString, frozen.map("=" + encMarker(_)).getOrElse("-")))
-    v
+    commitDeclaration(spark, hfs, dir, prev, entries,
+      v => Seq(encMarker(name), encMarker(ddlType),
+        v.toString, frozen.map("=" + encMarker(_)).getOrElse("-")))
   }
 
-  /** One immutable declaration file per declaring commit (see
-    * [[schemaLines]]): the write is create-tmp-then-rename to a name no
-    * other commit can claim (the version is unique), so declarations
-    * are never rewritten and readers never observe an absent-metadata
-    * window. */
-  private def appendSchemaLine(spark: SparkSession, dir: String,
-      since: Long, fields: Seq[String]): Unit =
-    Markers.write(spark,
-      new Path(new Path(dir.stripSuffix("/"), SchemaDirName), s"decl-$since"),
-      fields.mkString("\t") + "\n")
+  /** Commit a schema declaration ATOMICALLY with its no-op metadata
+    * version: the `decl-<v>` file is written BEFORE manifest v, inside
+    * the same commit-lock critical section as the manifest create, so
+    * no reader can ever observe the committed version without its
+    * declaration. (The old commit-then-declare order had a window in
+    * which a concurrent appendDelta's re-guard saw the moved version
+    * but not yet the declaration — it could admit a delta retyping the
+    * just-declared column or resurrecting the just-dropped name.)
+    *
+    * Failure shapes, all benign:
+    *  - crash AFTER decl, BEFORE manifest: the orphan decl's slot is
+    *    burned by [[nextSlot]] (no manifest will ever be named v) and
+    *    [[schemaLines]] ignores manifest-less declarations — the
+    *    declaration simply never happened;
+    *  - slot lost to a concurrent committer (HDFS-like stores, where
+    *    the exclusive create arbitrates): the decl is deleted and
+    *    ConcurrentModificationException surfaces for a re-run, same as
+    *    every expectedBase-guarded rewrite. On `file://` stores the
+    *    process lock makes this unreachable.
+    * One immutable declaration file per declaring commit (the version
+    * is unique), so declarations are never rewritten and readers never
+    * observe an absent-metadata window. */
+  private def commitDeclaration(spark: SparkSession, hfs: FileSystem,
+      dir: String, prev: Long, entries: Seq[Entry],
+      fields: Long => Seq[String]): Long = {
+    val lock = BloomSkipping.jvmLock(qualified(hfs, dir) + "#manifest")
+    lock.synchronized { withLocalCommitLock(hfs, dir) {
+      if (!newestParseable(hfs, dir).contains(prev))
+        throw new java.util.ConcurrentModificationException(
+          s"schema declaration conflict under $dir: the table moved past " +
+            s"version $prev while the declaration was being prepared — " +
+            "re-run it against the new committed state")
+      val v = nextSlot(hfs, dir)
+      val declPath = new Path(
+        new Path(dir.stripSuffix("/"), SchemaDirName), s"decl-$v")
+      Markers.write(spark, declPath, fields(v).mkString("\t") + "\n")
+      require(Markers.read(spark, declPath).isDefined,
+        s"declaration write failed under $dir — refusing to commit a " +
+          "schema-change version whose declaration is absent")
+      val committed =
+        try tryCommitManifest(hfs, dir, v, entries)
+        catch { case e: Throwable => hfs.delete(declPath, false); throw e }
+      if (!committed) {
+        hfs.delete(declPath, false)
+        throw new java.util.ConcurrentModificationException(
+          s"schema declaration under $dir lost slot $v to a concurrent " +
+            "committer — re-run it against the new committed state")
+      }
+      commitPointer(hfs, dir, v)
+      v
+    } }
+  }
 
   /** Drop a column as a METADATA-ONLY commit: no data file is touched —
     * reads of the returned version onward project the column out; time
@@ -945,9 +1072,8 @@ object ManifestSnapshots {
       s"dropColumn: no live column '$name' on $dir")
     require((physical ++ declared -- droppedNow - name).nonEmpty,
       s"dropColumn: '$name' is the table's last live column")
-    val v = commitLoop(hfs, dir, _ => entries, expectedBase = Some(prev))
-    appendSchemaLine(spark, dir, v, Seq(DropKind, encMarker(name), v.toString, "-"))
-    v
+    commitDeclaration(spark, hfs, dir, prev, entries,
+      v => Seq(DropKind, encMarker(name), v.toString, "-"))
   }
 
   /** Copy-on-write at partition granularity: the delta's partitions
@@ -968,9 +1094,8 @@ object ManifestSnapshots {
     require(prev0.isEmpty || prev0.forall(_.partition.isDefined),
       "replacePartitions must target a partitioned table: the committed " +
         "versions are unpartitioned and the union read would break")
-    if (prev0.nonEmpty)
-      requireNoRetype(spark, dir, prev0, df.schema, partitionCols.toSet,
-        "replacePartitions")
+    requireNoRetype(spark, dir, prev0, df.schema, partitionCols.toSet,
+      "replacePartitions")
     val entries = writeDataFiles(df, dir, nextSlot(hfs, dir), partitionCols)
     val touched = entries.flatMap(_.partition).toSet
     // rebase on conflict: partition replacement is declarative ("these
@@ -1866,9 +1991,26 @@ object ManifestSnapshots {
     val hfs = fs(spark, dir)
     // ONE parse per manifest, shared by every consumer below (the
     // reference set, the doomed list, and the orphan sweep previously
-    // re-read each manifest up to four times)
-    val manifests: Seq[(Long, Seq[Entry])] = versionNames(hfs, dir)
-      .flatMap(v => readManifest(hfs, dir, v).map(v -> _))
+    // re-read each manifest up to four times). Vacuum is the one caller
+    // that DELETES based on manifest state, so it reads the classified
+    // form: a slot whose read FAILED (vs. read-and-garbage) aborts the
+    // whole run — its version may be committed and its files referenced,
+    // and proceeding would both compute a reference set missing them
+    // (the data-orphan sweep would reap live files) and classify the
+    // slot itself as torn debris. Failing loudly costs one maintenance
+    // re-run; guessing costs a committed version.
+    val states: Seq[(Long, ManifestState)] = versionNames(hfs, dir)
+      .map(v => v -> readManifestState(hfs, dir, v))
+    val unreadable = states.collect { case (v, ManifestState.Unreadable) => v }
+    if (unreadable.nonEmpty)
+      throw new IllegalStateException(
+        s"vacuum aborted under $dir: manifest slot(s) " +
+          s"${unreadable.mkString(", ")} could not be READ (transient IO?) — " +
+          "their versions may be committed, so nothing was deleted; re-run " +
+          "when the store is reachable")
+    val tornSlots = states.collect { case (v, ManifestState.Torn) => v }.toSet
+    val manifests: Seq[(Long, Seq[Entry])] =
+      states.collect { case (v, ManifestState.Parsed(e)) => v -> e }
     val byV = manifests.toMap
     val all = manifests.map(_._1)
     val pinned = all.lastOption // committed = newest parseable
@@ -1924,7 +2066,13 @@ object ManifestSnapshots {
     // doomed list above — versionNames lists them forever and every
     // listing slows). Both are age-gated like the data-dir orphan sweep:
     // an in-flight writer's fresh tmp, or a slot a concurrent committer
-    // is mid-renaming into, is never yanked.
+    // is mid-renaming into, is never yanked. A slot is torn ONLY when
+    // the classified read above POSITIVELY observed garbage content
+    // (ManifestState.Torn) — never by mere absence from the parsed set,
+    // which the pre-sweep abort on Unreadable guarantees anyway, and
+    // never for names that appeared after the classification pass
+    // (a fresh concurrent commit is excluded by construction here, not
+    // just by the age gate).
     val manifestRoot = new Path(s"$base/manifests")
     if (hfs.exists(manifestRoot)) {
       val staleBefore =
@@ -1934,7 +2082,7 @@ object ManifestSnapshots {
         val aged = st.getModificationTime < staleBefore
         val tornSlot = n.startsWith("m-") && n.endsWith(".json") &&
           n.stripPrefix("m-").stripSuffix(".json").toLongOption
-            .exists(v => !byV.contains(v) && !doomed.contains(v))
+            .exists(tornSlots.contains)
         if (aged && (n.startsWith(".m-") || tornSlot))
           hfs.delete(st.getPath, false): Unit
       }

@@ -211,11 +211,20 @@ object ExtraQueries {
         |FROM r WHERE rn IN ((n + 1) // 2, (n + 2) // 2)""".stripMargin) { (s, dir) =>
       val v = Graft.table(s, dir, "lineitem").select(col("l_extendedprice").as("x"))
       val head = v.agg(count(lit(1)), min("x"), max("x")).head
-      val n = head.getLong(0); val mn = head.getDouble(1); val mx = head.getDouble(2)
+      // empty-input FIRST: min/max are NULL when n == 0, so the double
+      // accessors below would throw before ever reaching an n-based
+      // branch. The oracle's outer no-GROUP-BY aggregate over zero
+      // selected rows yields (NULL, NULL) — match that shape exactly.
+      val n = head.getLong(0)
+      if (n == 0) {
+        s.range(1).select(lit(null).cast("bigint").as("n"),
+          lit(null).cast("double").as("median_price"))
+      } else {
+      val mn = head.getDouble(1); val mx = head.getDouble(2)
       val k1 = (n + 1) / 2; val k2 = (n + 2) / 2
       val B = 1024
       val width = (mx - mn) / B
-      if (n == 0 || width == 0.0) {
+      if (width == 0.0) {
         s.range(1).select(lit(n).as("n"), lit(mn).as("median_price"))
       } else {
         val bucket = least(floor((col("x") - mn) / width).cast("long"), lit(B - 1L))
@@ -249,7 +258,110 @@ object ExtraQueries {
           (v1 + valueAt(b2, k2 - below2)) / 2
         }
         s.range(1).select(lit(n).as("n"), lit(med).as("median_price"))
+      } }
+    },
+
+    // ------------------------------------------------------------------ A28
+    // Robust per-entity scaling: median absolute deviation + MAD-gated
+    // outlier count — the heavy-tail-safe sibling of a26_zscore (mean/std
+    // are dragged by the very outliers they're meant to flag; median/MAD
+    // are not, which is why curation pipelines robust-scale features
+    // before clipping). Three bounded passes: positional median per group
+    // (a10's form — integer ranks, then ONE IEEE add + div over the ≤2
+    // middle rows, order-free by commutativity so no decimal detour is
+    // needed), the same selection over |x − med| for the MAD, and a final
+    // counting join. All group-keyed shuffles; the per-group windows
+    // parallelize across entities (the one-giant-group case would compose
+    // a27's histogram selection instead).
+    QueryDef("a28_mad",
+      """WITH r AS (
+        |  SELECT user_id, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events),
+        |med AS (
+        |  SELECT user_id, SUM(value) / COUNT(*) AS med
+        |  FROM r WHERE rn IN ((n + 1) // 2, (n + 2) // 2) GROUP BY user_id),
+        |d AS (
+        |  SELECT e.user_id, m.med, abs(e.value - m.med) AS dev,
+        |    ROW_NUMBER() OVER (PARTITION BY e.user_id
+        |      ORDER BY abs(e.value - m.med), e.event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY e.user_id) AS n
+        |  FROM events e JOIN med m ON m.user_id = e.user_id),
+        |mad AS (
+        |  SELECT user_id, MAX(med) AS median_value, SUM(dev) / COUNT(*) AS mad
+        |  FROM d WHERE rn IN ((n + 1) // 2, (n + 2) // 2) GROUP BY user_id)
+        |SELECT e.user_id, m.median_value, m.mad,
+        |  CAST(SUM(CASE WHEN abs(e.value - m.median_value) > 3 * m.mad
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM events e JOIN mad m ON m.user_id = e.user_id
+        |GROUP BY e.user_id, m.median_value, m.mad""".stripMargin) { (s, dir) =>
+      val ev = events(s, dir).select(col("user_id"), col("event_id"), col("value"))
+      val wAll = Window.partitionBy("user_id")
+      def positionalMedian(in: DataFrame, x: String, tie: String): DataFrame = {
+        val w = Window.partitionBy("user_id").orderBy(col(x), col(tie))
+        in.select(in.columns.map(col) :+
+            row_number().over(w).as("rn") :+ count(lit(1)).over(wAll).as("n"): _*)
+          .filter(col("rn") === expr("(n + 1) div 2") ||
+            col("rn") === expr("(n + 2) div 2"))
       }
+      val med = positionalMedian(ev, "value", "event_id")
+        .groupBy("user_id")
+        .agg((sum("value") / count(lit(1))).as("med"))
+      val devs = ev.join(med, "user_id")
+        .withColumn("dev", abs(col("value") - col("med")))
+      val mad = positionalMedian(devs, "dev", "event_id")
+        .groupBy("user_id")
+        .agg(max("med").as("median_value"),
+          (sum("dev") / count(lit(1))).as("mad"))
+      ev.join(mad, "user_id")
+        .groupBy("user_id", "median_value", "mad")
+        .agg(sum(when(abs(col("value") - col("median_value")) > lit(3) * col("mad"),
+          1).otherwise(0)).cast("long").as("n_outliers"))
+    },
+
+    // ------------------------------------------------------------------ DQ-3
+    // Categorical-association audit (chi-square contingency cells): which
+    // (event_type × value-bucket) cells are over/under-represented vs
+    // independence — the feature-leakage / sampling-bias gate next to
+    // dq_drift_tvd's time-drift gate. Per-cell output on purpose: each
+    // expected count, chi² contribution, and standardized residual is a
+    // FIXED IEEE expression over exact integer marginals (the diff
+    // o·n − r·c stays in BIGINT; its square is two exact double casts and
+    // one multiply), so every value is bit-identical across engines and
+    // parallelism — whereas a single chi² total would sum unlike-
+    // denominator doubles in engine-dependent order. Cost: one map-side-
+    // combinable rollup to cells, then broadcast-sized marginal joins.
+    QueryDef("dq_chi2_cells",
+      """WITH cells AS (
+        |  SELECT event_type, LEAST(CAST(floor(value / 20) AS BIGINT), 9) AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+        |ct AS (SELECT bucket, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells)
+        |SELECT cells.event_type, cells.bucket, o, r, c,
+        |  CAST(r * c AS DOUBLE) / n AS expected,
+        |  (CAST(o * n - r * c AS DOUBLE) * CAST(o * n - r * c AS DOUBLE))
+        |    / CAST(n * r * c AS DOUBLE) AS chi2_term,
+        |  CAST(o * n - r * c AS DOUBLE) / sqrt(CAST(n * r * c AS DOUBLE)) AS std_residual
+        |FROM cells JOIN rt USING (event_type) JOIN ct USING (bucket), t""".stripMargin) { (s, dir) =>
+      val e = events(s, dir).select(col("event_type"),
+        least(floor(col("value") / 20).cast("long"), lit(9L)).as("bucket"))
+      val cells = e.groupBy("event_type", "bucket").agg(count(lit(1)).as("o"))
+      val rt = cells.groupBy("event_type").agg(sum("o").cast("long").as("r"))
+      val ct = cells.groupBy("bucket").agg(sum("o").cast("long").as("c"))
+      val t = cells.agg(sum("o").cast("long").as("n"))
+      val diff = (col("o") * col("n") - col("r") * col("c")).cast("double")
+      val denom = (col("n") * col("r") * col("c")).cast("double")
+      val out = cells.join(broadcast(rt), "event_type")
+        .join(broadcast(ct), "bucket")
+        .crossJoin(broadcast(t))
+        .select(col("event_type"), col("bucket"), col("o"), col("r"), col("c"),
+          ((col("r") * col("c")).cast("double") / col("n")).as("expected"),
+          (diff * diff / denom).as("chi2_term"),
+          (diff / sqrt(denom)).as("std_residual"))
+      CacheScope.sealResult(out, cells.persist())
     },
 
     // ------------------------------------------------------------------ DQ-2

@@ -204,6 +204,75 @@ object SimilarityQueries {
         .select("q_id", "rank", "n_id", "cos_sim")
     },
 
+    // ---------------------------------------------------------------- ANN-1c
+    // kNN label-consistency audit — mislabeled-example detection by
+    // neighborhood vote: a deterministic 10% sample of vectors is checked
+    // against the majority label of its 5 nearest neighbors; disagreement
+    // flags probable label noise (the cleanlab-style gate a labeled
+    // training set runs before fine-tuning). Exact-cosine kNN against the
+    // full corpus for the AUDITED SAMPLE only, so cost is |sample|·N with
+    // the sample broadcast and the corpus scan shuffle-free — the audit
+    // fraction, not the corpus, is the knob at 100 TB (and the IVF cell
+    // route of ann_ivf composes here if even that is too hot). Majority
+    // pick is deterministic: count desc, label asc; cosine ties break on
+    // n_id like ann_bruteforce_topk.
+    QueryDef("ann_label_consistency",
+      s"""WITH n AS (
+         |  SELECT vec_id, label, $quantSql AS qv,
+         |    CAST(list_sum(list_transform($quantSql, x -> x * x)) AS BIGINT) AS nq
+         |  FROM embeddings),
+         |nn AS (
+         |  SELECT * FROM (
+         |    SELECT q.vec_id AS q_id, q.label AS q_label, c.label AS n_label,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        CAST(CAST(list_sum(list_transform(list_zip(q.qv, c.qv), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
+         |          / (sqrt(CAST(q.nq AS DOUBLE)) * sqrt(CAST(c.nq AS DOUBLE))) DESC,
+         |        c.vec_id) AS rank
+         |    FROM n q JOIN n c ON q.vec_id % 10 = 0 AND c.vec_id <> q.vec_id)
+         |  WHERE rank <= 5),
+         |votes AS (
+         |  SELECT q_id, q_label, n_label, COUNT(*) AS cnt
+         |  FROM nn GROUP BY 1, 2, 3),
+         |maj AS (
+         |  SELECT q_id, q_label, n_label AS maj_label, cnt,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cnt DESC, n_label) AS r
+         |  FROM votes)
+         |SELECT m.q_id, m.q_label, m.maj_label, CAST(m.cnt AS BIGINT) AS maj_cnt,
+         |  CAST(COALESCE(a.agree, 0) AS BIGINT) AS n_agree,
+         |  CASE WHEN m.maj_label <> m.q_label THEN 1 ELSE 0 END AS noisy
+         |FROM maj m LEFT JOIN (
+         |  SELECT q_id, cnt AS agree FROM votes WHERE n_label = q_label) a
+         |  ON a.q_id = m.q_id
+         |WHERE m.r = 1""".stripMargin) { (s, dir) =>
+      val n = emb(s, dir)
+      val q = n.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("qv").as("q_qv"), col("nq").as("q_nq"))
+      val c = n.select(col("vec_id").as("n_id"), col("label").as("n_label"),
+        col("qv").as("c_qv"), col("nq").as("c_nq"))
+      val wq = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
+      val nn = broadcast(q).join(c, col("n_id") =!= col("q_id"))
+        .withColumn("cos_sim", cosCol)
+        .withColumn("rank", row_number().over(wq))
+        .filter(col("rank") <= 5)
+        .select("q_id", "q_label", "n_label")
+      // two consumers below (majority pick + agreement count): persist the
+      // vote rollup so the |sample|·N pair scan runs once
+      val votes = nn.groupBy("q_id", "q_label", "n_label")
+        .agg(count(lit(1)).as("cnt")).persist()
+      val wv = Window.partitionBy("q_id").orderBy(col("cnt").desc, col("n_label"))
+      val maj = votes.withColumn("r", row_number().over(wv)).filter(col("r") === 1)
+        .select(col("q_id"), col("q_label"), col("n_label").as("maj_label"),
+          col("cnt").cast("long").as("maj_cnt"))
+      val agree = votes.filter(col("n_label") === col("q_label"))
+        .select(col("q_id"), col("cnt").cast("long").as("agree"))
+      val out = maj.join(agree, Seq("q_id"), "left")
+        .select(col("q_id"), col("q_label"), col("maj_label"), col("maj_cnt"),
+          coalesce(col("agree"), lit(0L)).as("n_agree"),
+          when(col("maj_label") =!= col("q_label"), 1).otherwise(0).as("noisy"))
+      graft.queries.CacheScope.sealResult(out, votes)
+    },
+
     // ---------------------------------------------------------------- ANN-1b
     // Hybrid retrieval with reciprocal-rank fusion: the RAG-serving shape —
     // per query doc, a LEXICAL ranking (distinct-token overlap, the native

@@ -292,6 +292,54 @@ object TextQueries {
         .select("doc_id", "lang", "bucket")
     },
 
+    // ---------------------------------------------------------------- TEXT-6b
+    // Deterministic WEIGHTED systematic sampling — the size-aware sibling
+    // of t_stratified_sample: pick ~K documents with probability
+    // proportional to length (n_chars), by laying the corpus on a weight
+    // line and taking every total/K-th tick. Entirely integer arithmetic
+    // ((cum·K) div total crossings), so the draw is exact, reproducible,
+    // and engine-identical — no RNG, no float thresholds. A long document
+    // spanning several ticks reports its multiplicity in `times` (the
+    // standard PPS-with-replacement accounting). The prefix sum is the
+    // scale story: computed as per-shard partials + an exclusive offset
+    // pass over the SHARD TOTALS (bounded metadata, broadcast back), never
+    // one global ORDER BY window that would serialize the corpus onto a
+    // single task at 100 TB. The oracle states the same sum globally —
+    // semantically identical, oracle-side scale irrelevant.
+    QueryDef("t_weighted_sample",
+      """WITH c AS (
+        |  SELECT doc_id, n_chars,
+        |    SUM(n_chars) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM documents),
+        |t AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS total FROM documents)
+        |SELECT doc_id, n_chars, CAST(cum AS BIGINT) AS cum,
+        |  CAST((cum * 64) // total - ((cum - n_chars) * 64) // total AS BIGINT) AS times
+        |FROM c, t
+        |WHERE (cum * 64) // total > ((cum - n_chars) * 64) // total""".stripMargin) { (s, dir) =>
+      val d = Graft.table(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      val ds = d.withColumn("shard", expr("doc_id div 64"))
+      val wIn = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val within = ds.withColumn("local_cum", sum("n_chars").over(wIn))
+      // exclusive prefix over the per-shard totals: one window over
+      // #shards rows — bounded driver-scale metadata, like a27's histogram
+      val wSh = Window.orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = ds.groupBy("shard").agg(sum("n_chars").as("st"))
+        .withColumn("off", coalesce(sum("st").over(wSh), lit(0L)))
+        .select(col("shard"), col("off"))
+      val tot = d.agg(sum("n_chars").cast("long").as("total"))
+      within.join(broadcast(offsets), "shard")
+        .withColumn("cum", (col("local_cum") + col("off")).cast("long"))
+        .crossJoin(broadcast(tot))
+        .withColumn("hi", expr("(cum * 64) div total"))
+        .withColumn("lo", expr("((cum - n_chars) * 64) div total"))
+        .filter(col("hi") > col("lo"))
+        .select(col("doc_id"), col("n_chars"), col("cum"),
+          (col("hi") - col("lo")).cast("long").as("times"))
+    },
+
     // ---------------------------------------------------------------- TEXT-7
     // Quality-filter funnel with reason codes: every document gets its
     // FIRST failing rule (or 'pass'), and the funnel reports per-reason

@@ -1063,6 +1063,117 @@ class ManifestSnapshotSpec extends SparkSpec {
     assert(ManifestSnapshots.readLatest(spark, dir).count() == 100)
   }
 
+  test("vacuum reclaims aged TORN slots but ABORTS on unreadable ones") {
+    val dir = tmpDir("msnapvactorn") + "/t"
+    ManifestSnapshots.writeFull(slice(0, 100), dir)
+    ManifestSnapshots.appendDelta(slice(100, 120), dir)
+    val hfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = System.currentTimeMillis() - 7L * 3600 * 1000
+    // a confirmed-garbage slot (crashed writer), aged past the grace
+    // window: positively observed torn → reclaimed
+    val torn = new org.apache.hadoop.fs.Path(s"$dir/manifests/m-50.json")
+    val o = hfs.create(torn, true)
+    o.write("""{"version":50,"files":[{"path":"data/d-50/part""".getBytes("UTF-8"))
+    o.close()
+    hfs.setTimes(torn, old, -1)
+    // an UNREADABLE slot: exists by name but the read itself fails (a
+    // directory stands in for object-store throttling — open() throws).
+    // Its version may be committed, so vacuum must refuse to touch
+    // ANYTHING rather than classify it as debris.
+    val unreadable = new org.apache.hadoop.fs.Path(s"$dir/manifests/m-60.json")
+    hfs.mkdirs(unreadable)
+    hfs.setTimes(unreadable, old, -1)
+    val ex = intercept[IllegalStateException] {
+      ManifestSnapshots.vacuum(spark, dir, keep = 1)
+    }
+    assert(ex.getMessage.contains("could not be READ"), ex.getMessage)
+    assert(hfs.exists(torn),
+      "vacuum deleted the torn slot despite aborting on an unreadable one")
+    assert(ManifestSnapshots.readLatest(spark, dir).count() == 120)
+    // the blockage cleared: the aged torn slot is now reclaimed, the
+    // kept manifests and data survive
+    hfs.delete(unreadable, true)
+    ManifestSnapshots.vacuum(spark, dir, keep = 1)
+    assert(!hfs.exists(torn), "aged torn slot survived a clean vacuum")
+    assert(ManifestSnapshots.readLatest(spark, dir).count() == 120)
+  }
+
+  test("orphan declaration (crash between decl and manifest) is ignored and its slot burned") {
+    val dir = tmpDir("msnapdeclorph") + "/t"
+    ManifestSnapshots.writeFull(slice(0, 50), dir)
+    val hfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // fabricate addColumn dying between its decl write and manifest
+    // commit: decl-2 exists, manifest m-2.json never will
+    val decl = new org.apache.hadoop.fs.Path(s"$dir/_schema/decl-2")
+    hfs.mkdirs(decl.getParent)
+    val o = hfs.create(decl, true)
+    o.write("ghost\tint\t2\t-\n".getBytes("UTF-8"))
+    o.close()
+    // manifest-less declaration: invisible to every reader
+    assert(ManifestSnapshots.declaredColumns(spark, dir).isEmpty,
+      "a declaration with no committed manifest version leaked into the schema")
+    assert(ManifestSnapshots.readLatest(spark, dir).columns.toSeq == Seq("id", "v"))
+    // the next committer BURNS slot 2 — if it landed there, the ghost
+    // declaration would spring to life as that commit's schema change
+    val v = ManifestSnapshots.appendDelta(slice(50, 80), dir)
+    assert(v == 3L, s"slot 2 was not burned: appendDelta landed at $v")
+    assert(ManifestSnapshots.declaredColumns(spark, dir).isEmpty)
+    assert(ManifestSnapshots.readLatest(spark, dir).columns.toSeq == Seq("id", "v"))
+    // a real declaration afterwards works and is visible with its version
+    val dv = ManifestSnapshots.addColumn(spark, dir, "bonus", "int", Some("7"))
+    assert(dv == 4L)
+    assert(ManifestSnapshots.declaredColumns(spark, dir).map(_.name) == Seq("bonus"))
+    assert(ManifestSnapshots.readLatest(spark, dir).columns.contains("bonus"))
+  }
+
+  test("declaration is never visible without its manifest, nor the manifest without it") {
+    val dir = tmpDir("msnapdeclatom") + "/t"
+    ManifestSnapshots.writeFull(slice(0, 40), dir)
+    val v = ManifestSnapshots.dropColumn(spark, dir, "v")
+    val hfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // both artifacts of the declaring commit exist the moment it returns:
+    // decl-<v> was written BEFORE the manifest inside the same critical
+    // section, so no reader interleaving can see the version without the
+    // declaration (the r13 race: a concurrent append's re-guard saw the
+    // moved version, missed the declaration, and admitted a resurrecting
+    // delta)
+    assert(hfs.exists(new org.apache.hadoop.fs.Path(s"$dir/_schema/decl-$v")))
+    assert(hfs.exists(new org.apache.hadoop.fs.Path(s"$dir/manifests/m-$v.json")))
+    assert(ManifestSnapshots.droppedColumns(spark, dir).map(_.name) == Seq("v"))
+    // and the guard the race would have bypassed holds
+    intercept[IllegalArgumentException] {
+      ManifestSnapshots.appendDelta(slice(100, 110), dir)
+    }
+  }
+
+  test("metadata guards hold against an EMPTY predecessor manifest") {
+    val dir = tmpDir("msnapemptyguard") + "/t"
+    ManifestSnapshots.writeFull(slice(0, 30), dir)
+    ManifestSnapshots.addColumn(spark, dir, "score", "double", None)
+    ManifestSnapshots.dropColumn(spark, dir, "v")
+    // wipe every row: the latest manifest is EMPTY, but the evolution
+    // metadata still governs writers — a delta resurrecting the dropped
+    // name (or retyping the declared column) is exactly as unsound here
+    ManifestSnapshots.deleteWhere(spark, dir, lit(true))
+    assert(ManifestSnapshots.readLatest(spark, dir).count() == 0)
+    val resurrect = intercept[IllegalArgumentException] {
+      ManifestSnapshots.appendDelta(slice(0, 5), dir) // carries dropped "v"
+    }
+    assert(resurrect.getMessage.contains("dropped"), resurrect.getMessage)
+    val retype = intercept[IllegalArgumentException] {
+      ManifestSnapshots.appendDelta(
+        (0L until 5L).toDF("id").withColumn("score", lit(1)), dir) // int, declared double
+    }
+    assert(retype.getMessage.contains("retype"), retype.getMessage)
+    // the sound shapes still land on the empty table
+    ManifestSnapshots.appendDelta(
+      (0L until 5L).toDF("id").withColumn("score", lit(1.5)), dir)
+    assert(ManifestSnapshots.readLatest(spark, dir).count() == 5)
+  }
+
   test("history: versions, file and row counts from manifests alone") {
     val dir = tmpDir("msnaphist") + "/t"
     ManifestSnapshots.writeFull(slice(0, 120), dir)

@@ -49,7 +49,11 @@ object ScaleBench {
     "t_keywords", "a22_winsorize", "a23_funnel", "a24_cohort",
     "a25_transitions", "a26_zscore", "a27_global_median", "dq_drift_tvd",
     "d_containment", "ann_triplet_mine", "ann_diversity", "j16_star_join", "g_kcore",
-    "t_bpe_fertility")
+    "t_bpe_fertility",
+    // round-14 additions: a28's two per-entity selection passes, chi2's
+    // cell rollup, PPS sampling's sharded prefix sum, and the |sample|·N
+    // label audit all have data-dependent growth worth pinning
+    "a28_mad", "dq_chi2_cells", "t_weighted_sample", "ann_label_consistency")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

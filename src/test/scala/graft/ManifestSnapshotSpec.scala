@@ -839,6 +839,66 @@ class ManifestSnapshotSpec extends SparkSpec {
       "a racing committer's manifest vanished")
   }
 
+  test("declarations race appends across PROCESSES: every success is atomic, every loss is loud") {
+    val dir = tmpDir("msnapxdecl") + "/t"
+    ManifestSnapshots.writeFull(Seq(("seed", 0L)).toDF("k", "v").coalesce(1), dir)
+    val n = 6
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val inArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.toArray.map(_.toString)
+    val jvmArgs = inArgs.zipWithIndex.flatMap { case (a, i) =>
+      if (a == "--add-opens" || a == "--add-exports")
+        Seq(a, inArgs(i + 1))
+      else if (a.startsWith("--add-opens=") || a.startsWith("--add-exports="))
+        Seq(a)
+      else Nil
+    }
+    val cmd = Seq(javaBin) ++ jvmArgs ++ Seq("-Xmx2g", "-cp",
+      System.getProperty("java.class.path"),
+      "graft.ForkedCommitterMain", dir, "child", n.toString)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(ProcessBuilder.Redirect.to(
+      new java.io.File(tmpDir("msnapxdecl-log"), "child.log")))
+    val child = pb.start()
+    // the maintenance writer declares 3 columns while the other PROCESS
+    // appends: each attempt either commits atomically (decl + manifest in
+    // one critical section) or fails loudly with CME when the child moved
+    // the base — there is no third outcome, and a CME'd attempt leaves no
+    // live declaration behind (its decl slot is burned, manifest-less)
+    val declared = (0 until 3).map { i =>
+      var v = -1L; var attempts = 0
+      while (v < 0 && attempts < 80) {
+        try v = ManifestSnapshots.addColumn(spark, dir, s"extra$i", "double", Some(s"$i.5"))
+        catch { case _: java.util.ConcurrentModificationException =>
+          attempts += 1; Thread.sleep(20L) }
+      }
+      assert(v > 0, s"addColumn extra$i never won a commit in $attempts retries")
+      v
+    }
+    assert(child.waitFor(5, java.util.concurrent.TimeUnit.MINUTES),
+      "forked committer did not finish")
+    assert(child.exitValue() == 0, "forked committer failed — see child.log")
+    // no lost append despite the interleaved metadata commits
+    val rows = ManifestSnapshots.readLatest(spark, dir)
+    assert(rows.filter(col("k").startsWith("child-")).count() == n,
+      "a child append vanished under racing declarations")
+    // every successful declaration is visible at exactly its version
+    assert(ManifestSnapshots.declaredColumns(spark, dir).map(_.name).sorted ==
+      Seq("extra0", "extra1", "extra2"))
+    declared.foreach { v =>
+      assert(ManifestSnapshots.versions(spark, dir).contains(v),
+        s"declaring version $v lost its manifest")
+    }
+    // defaults fill the pre-declaration rows; the guard the declarations
+    // installed holds for the next writer
+    assert(rows.filter(col("extra1") === 1.5).count() == rows.count())
+    intercept[IllegalArgumentException] {
+      ManifestSnapshots.appendDelta(
+        Seq(("late", 9L, 7)).toDF("k", "v", "extra0").coalesce(1), dir)
+    }
+  }
+
   test("bloom pruning keys by lake-relative path: same-named partitioned siblings stay independent") {
     val dir = tmpDir("msnapbloompart") + "/t"
     // A single-task dynamically-partitioned write emits the SAME

@@ -798,6 +798,76 @@ object Streams {
       }
       .start()
 
+  /** Per-window drift state / output for [[driftTvd]]. Public: the state
+    * encoder's generated code needs constructor access. */
+  case class DriftCounts(counts: Seq[Long])
+  case class DriftOut(window_start: java.sql.Timestamp, n_cur: Long, tvd: Double)
+
+  /** Streaming distribution-drift monitor — the streaming twin of batch
+    * `dq_drift_tvd`: each tumbling event-time window's 10-bucket value
+    * histogram is scored against a FROZEN reference histogram by
+    * total-variation distance, and the (window, tvd) row emits ONCE when
+    * the watermark proves the window complete — the live gate a feature
+    * pipeline puts in front of model refresh, alerting within one
+    * watermark delay of the drifted window closing instead of at the next
+    * batch audit.
+    *
+    * Same parity discipline as the batch query: TVD (never PSI/KL — libm
+    * ln isn't pinned across engines), computed as integer cross products
+    * |r_b·t_cur − c_b·t_ref| over a common denominator with ONE double
+    * division at the end, so the stream's row for a window equals the
+    * batch recompute bit-for-bit (StreamingSpec proves it). Buckets mirror
+    * the batch bucketing exactly: min(floor(value/20), 9), clamped at 0
+    * for the stream's benefit on adversarial negatives.
+    *
+    * State is 10 longs + a timeout per OPEN window — bounded by the
+    * watermark horizon over the window length, never by data volume: the
+    * 100 TB/day shape where a windowed COUNT per bucket via two chained
+    * aggregations would need multi-operator watermark plumbing for the
+    * same bounded state, with the emit-once close handled here by the
+    * event-time timeout. Closed windows leave the store immediately. */
+  def driftTvd(events: Dataset[Ev], ref: Seq[Long],
+      windowMs: Long = 604800000L,
+      watermarkAge: String = "1 hour"): Dataset[DriftOut] = {
+    import events.sparkSession.implicits._
+    require(ref.size == 10, "driftTvd needs the 10-bucket reference histogram")
+    val tRef = ref.sum
+    require(tRef > 0, "driftTvd needs a non-empty reference histogram")
+    events
+      .withWatermark("ts", watermarkAge)
+      .groupByKey(e => Math.floorDiv(e.ts.getTime, windowMs))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (win: Long, evs: Iterator[Ev], state: GroupState[DriftCounts]) => {
+          if (state.hasTimedOut) {
+            val counts = state.get.counts
+            state.remove()
+            val tCur = counts.sum
+            val num = ref.zip(counts)
+              .map { case (r, c) => math.abs(r * tCur - c * tRef) }.sum
+            val tvd =
+              if (tCur == 0) 0.0
+              else num.toDouble / (2.0 * tRef.toDouble * tCur.toDouble)
+            Iterator.single(DriftOut(
+              new java.sql.Timestamp(win * windowMs), tCur, tvd))
+          } else {
+            val cur = state.getOption.map(_.counts.toArray)
+              .getOrElse(Array.fill(10)(0L))
+            evs.foreach { e =>
+              val b = math.min(math.floor(e.value / 20).toLong, 9L)
+              cur(math.max(b, 0L).toInt) += 1
+            }
+            state.update(DriftCounts(cur.toSeq))
+            // close exactly when the watermark passes the window end; the
+            // max() guards the (late-data-within-allowance) case where the
+            // end is already at/behind the current watermark — Spark
+            // refuses a timeout that isn't strictly ahead of it
+            state.setTimeoutTimestamp(math.max(win * windowMs + windowMs,
+              state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+        })
+  }
+
   /** Sink: MERGE each micro-batch into a lake table by key — streaming and
     * batch share [[Lakehouse.mergeUpsert]] so the exactly-once-per-key
     * upsert semantics are identical in both modes. */

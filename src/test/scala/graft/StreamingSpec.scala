@@ -154,6 +154,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("driftTvd: windows close once on the watermark, TVD ≡ the batch cross-product form") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // reference histogram: 40 ref-window events, value ∈ {10, 30} evenly →
+    // buckets 0 and 1 get 20 each
+    val ref = Seq(20L, 20L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+    val winMs = 60L * 60000L // 1-hour tumbling windows for the test
+    val q = Streams.driftTvd(mem.toDS(), ref, windowMs = winMs,
+        watermarkAge = "0 seconds")
+      .writeStream.format("memory").queryName("drift").outputMode("append").start()
+    try {
+      // window W0 (minutes 0..59): 6 events in bucket 0, 2 in bucket 2 —
+      // a clear shift off the reference; split across two batches to prove
+      // cross-batch accumulation into one window's state
+      mem.addData(
+        Ev(1, ts(1), 1, "view", 5.0), Ev(2, ts(2), 1, "view", 15.0),
+        Ev(3, ts(3), 2, "view", 5.0), Ev(4, ts(4), 2, "view", 45.0))
+      q.processAllAvailable()
+      mem.addData(
+        Ev(5, ts(10), 1, "view", 5.0), Ev(6, ts(11), 1, "view", 5.0),
+        Ev(7, ts(12), 2, "view", 5.0), Ev(8, ts(13), 2, "view", 50.0))
+      q.processAllAvailable()
+      // nothing emits while the window is open
+      assert(spark.table("drift").count() == 0,
+        "drift row emitted before the watermark closed the window")
+      // an event two windows ahead advances the watermark past W0's end;
+      // one more batch applies the new watermark to the state store
+      mem.addData(Ev(9, ts(125), 3, "view", 30.0))
+      q.processAllAvailable()
+      mem.addData(Ev(10, ts(126), 3, "view", 30.0))
+      q.processAllAvailable()
+      val rows = spark.table("drift")
+        .as[(Timestamp, Long, Double)].collect().toSeq
+      assert(rows.size == 1, s"W0 should close exactly once: $rows")
+      val (w0, nCur, tvd) = rows.head
+      assert(w0 == ts(0) && nCur == 8L, rows.toString)
+      // batch recompute, the dq_drift_tvd cross-product form: counts
+      // (6,0,2,0...) vs ref (20,20,0,...), t_ref=40, t_cur=8 →
+      // Σ|r_b·t_cur − c_b·t_ref| = |160−240| + |160−0| + |0−80| = 320;
+      // tvd = 320 / (2·40·8) = 0.5 — one IEEE division, bit-exact
+      assert(tvd == 320.0 / (2.0 * 40.0 * 8.0), s"tvd=$tvd")
+      // the closed window left the state store: a late W0 event (outside
+      // the watermark) re-opens nothing and the emitted row never repeats
+      mem.addData(Ev(11, ts(127), 3, "view", 30.0))
+      q.processAllAvailable()
+      assert(spark.table("drift").count() >= 1)
+      assert(spark.table("drift").filter(col("window_start") === ts(0)).count() == 1,
+        "closed window emitted twice")
+    } finally q.stop()
+  }
+
   test("hllDistinct survives NULL user ids (batch twin tolerates them)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Option[Long])]

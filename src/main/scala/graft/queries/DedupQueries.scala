@@ -494,6 +494,55 @@ object DedupQueries {
         sh)
     },
 
+    // -------------------------------------------------------------- DEDUP-2b
+    // Cross-source duplication matrix — the dataset-card stat a corpus mix
+    // ships with: for every unordered source pair, how many near-dup pairs
+    // cross it (and how many are outright dups at ≥0.5), so mix design
+    // sees WHICH feeds copy from which before weighting them (two mirrors
+    // of the same crawl must not both get full budget). Rides the exact
+    // blk-blocked jaccard spine of d_ngram_jaccard, rolled up by the
+    // LEAST/GREATEST-normalized source pair; aggregate outputs are counts
+    // and a MAX (order-independent — never a cross-engine double SUM).
+    QueryDef("d_source_overlap",
+      s"""WITH sh AS (
+         |  SELECT doc_id, source, string_split(text,' ')[1] AS blk, $shinglesSql AS sh
+         |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+         |p AS (
+         |  SELECT LEAST(a.source, b.source) AS source_a,
+         |    GREATEST(a.source, b.source) AS source_b,
+         |    len(list_intersect(a.sh, b.sh))
+         |      / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+         |  FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh))
+         |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.1)
+         |SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_near,
+         |  CAST(SUM(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |  MAX(jaccard) AS max_jaccard
+         |FROM p GROUP BY source_a, source_b""".stripMargin) { (s, dir) =>
+      graft.functions.VectorExprs.register(s)
+      val sh = docs(s, dir).filter(size(col("tk")) >= 3)
+        .select(col("doc_id"), col("source"),
+          element_at(col("tk"), 1).as("blk"), hashedShinglesExpr.as("sh"))
+        .persist()
+      val a = sh.select(col("doc_id").as("a_id"), col("source").as("a_src"),
+        col("blk"), col("sh").as("a_sh"))
+      val b = sh.select(col("doc_id").as("b_id"), col("source").as("b_src"),
+        col("blk").as("b_blk"), col("sh").as("b_sh"))
+      val inter = expr("sorted_intersect_count(a_sh, b_sh)")
+      val jac = inter / (size(col("a_sh")) + size(col("b_sh")) - inter)
+      CacheScope.sealResult(
+        a.join(b, col("blk") === col("b_blk") && col("a_id") < col("b_id"))
+          .withColumn("jaccard", jac)
+          .filter(col("jaccard") >= 0.1)
+          .select(least(col("a_src"), col("b_src")).as("source_a"),
+            greatest(col("a_src"), col("b_src")).as("source_b"), col("jaccard"))
+          .groupBy("source_a", "source_b")
+          .agg(count(lit(1)).as("n_near"),
+            sum(when(col("jaccard") >= 0.5, 1).otherwise(0)).cast("long").as("n_dup"),
+            max("jaccard").as("max_jaccard")),
+        sh)
+    },
+
     // --------------------------------------------------------------- DEDUP-3
     // MinHash + LSH: k=8 signature (min of md5 under 8 salted "permutations")
     // folded into 4 bands of 2; docs sharing any band bucket are candidate

@@ -320,6 +320,39 @@ object ExtraQueries {
           1).otherwise(0)).cast("long").as("n_outliers"))
     },
 
+    // ------------------------------------------------------------------ DQ-4
+    // Feed-completeness audit (inter-event gaps): per entity, the largest
+    // silence, the average cadence, and how many gaps exceeded a day — the
+    // "is this feed actually delivering?" gate an ingestion SLA monitors
+    // (a wallet whose tx feed has a 3-week hole needs backfill before its
+    // features are trusted). One LAG pass per entity partition (parallel
+    // across entities), all integer micros; the mean is exact-int sum over
+    // exact-int count in one IEEE division.
+    QueryDef("dq_gaps",
+      """WITH g AS (
+        |  SELECT user_id,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS gap_us
+        |  FROM events)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |  CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+        |  CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) AS avg_gap_us,
+        |  CAST(SUM(CASE WHEN gap_us > 86400000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_day_gaps
+        |FROM g WHERE gap_us IS NOT NULL GROUP BY user_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      events(s, dir)
+        .select(col("user_id"),
+          (col("ts_us") - lag("ts_us", 1).over(w)).as("gap_us"))
+        .filter(col("gap_us").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"),
+          max("gap_us").cast("long").as("max_gap_us"),
+          (sum("gap_us").cast("double") / count(lit(1))).as("avg_gap_us"),
+          sum(when(col("gap_us") > 86400000000L, 1).otherwise(0)).cast("long")
+            .as("n_day_gaps"))
+    },
+
     // ------------------------------------------------------------------ DQ-3
     // Categorical-association audit (chi-square contingency cells): which
     // (event_type × value-bucket) cells are over/under-represented vs

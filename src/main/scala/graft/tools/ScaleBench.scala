@@ -53,7 +53,8 @@ object ScaleBench {
     // round-14 additions: a28's two per-entity selection passes, chi2's
     // cell rollup, PPS sampling's sharded prefix sum, and the |sample|·N
     // label audit all have data-dependent growth worth pinning
-    "a28_mad", "dq_chi2_cells", "t_weighted_sample", "ann_label_consistency")
+    "a28_mad", "dq_chi2_cells", "t_weighted_sample", "ann_label_consistency",
+    "d_source_overlap", "dq_gaps")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

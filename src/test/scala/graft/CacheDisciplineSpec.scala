@@ -28,7 +28,7 @@ class CacheDisciplineSpec extends SparkSpec {
     "d_substr", "a13_cm", "a11_kmv", "a16_kx", "a15_hll",
     "ann_ivf_kmeans", "c_kmeans", "t_contamination", "t_bpe3", "t_bpe_apply", "t_bpe_fertility", "t_keywords",
     "g_pr", "g_cc", "g_butterfly", "g_kcore", "curation_funnel", "t_dsir", "mm_phash", "a23_funnel", "a24_cohort",
-    "ann_label_consistency", "dq_chi2_cells")
+    "ann_label_consistency", "dq_chi2_cells", "d_source_overlap")
 
   for (name <- checked) {
     test(s"$name leaves no cached RDD blocks behind") {

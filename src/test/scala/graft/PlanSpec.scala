@@ -240,6 +240,66 @@ class PlanSpec extends SparkSpec {
     assert(z.contains("GreaterThanOrEqual(user_id,"), z)
   }
 
+  test("t_weighted_sample never funnels the corpus through a single partition") {
+    val p = planString("t_weighted_sample")
+    // the whole point of the sharded prefix sum: the only SinglePartition
+    // exchanges allowed are the #shards-row offsets dim and the 1-row
+    // grand-total aggregate (both carry bounded partials, never document
+    // rows), while the document-side cumulative window stays
+    // shard-partitioned. A THIRD single-partition exchange — or a window
+    // without the shard key — means the prefix sum regressed to a global
+    // window over the corpus.
+    assert(countOccurrences(p, "Exchange SinglePartition") <= 2, p)
+    assert(p.contains("hashpartitioning(shard"), p)
+    // the document-row cumulative sum is PARTITIONED by shard: a
+    // windowspecdefinition over n_chars that leads with the sort key
+    // instead of the shard key is the global-cumsum regression
+    val docWindows = p.linesIterator
+      .filter(l => l.contains("sum(n_chars") && l.contains("windowspecdefinition"))
+      .toSeq
+    assert(docWindows.nonEmpty &&
+      docWindows.forall(_.contains("windowspecdefinition(shard")), p)
+  }
+
+  test("ann_label_consistency broadcasts the audited sample; corpus scan never shuffles for pairs") {
+    val p = planString("ann_label_consistency")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    // downstream of the pair scan everything is keyed on the (small)
+    // q_id side: no data-sized single-partition funnel anywhere
+    assert(countOccurrences(p, "Exchange SinglePartition") == 0, p)
+  }
+
+  test("a28_mad runs every selection pass entity-partitioned") {
+    val p = planString("a28_mad")
+    // both positional-median windows and all rollups partition on
+    // user_id; a SinglePartition window here would serialize the events
+    // table onto one task (the exact failure a27's form exists to avoid
+    // for the one-giant-group case)
+    assert(p.contains("hashpartitioning(user_id"), p)
+    assert(countOccurrences(p, "Exchange SinglePartition") == 0, p)
+  }
+
+  test("dq_gaps shares one user exchange between the LAG window and the rollup") {
+    val p = planString("dq_gaps")
+    // HashPartitioning(user_id) satisfies both the window and the
+    // groupBy — a second user-keyed exchange is a wasted shuffle of the
+    // whole events table
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 1, p)
+    assert(countOccurrences(p, "Exchange SinglePartition") == 0, p)
+  }
+
+  test("dq_chi2_cells joins its marginals broadcast, never re-shuffling the cells") {
+    val p = planString("dq_chi2_cells")
+    // rt/ct ride BroadcastHashJoin, the 1-row total rides
+    // BroadcastNestedLoopJoin; the event-level work is exactly the one
+    // (event_type, bucket) cell rollup — every other exchange
+    // (marginal rollups, the 1-row total's SinglePartition finals)
+    // carries cell-count partials, bounded by the contingency size
+    assert(countOccurrences(p, "BroadcastHashJoin") >= 2, p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("hashpartitioning(event_type"), p)
+  }
+
   test("no query in the inventory plans a CartesianProduct") {
     // every deliberate cross join in the inventory is against a bounded
     // broadcast side (1-row scalars, centroid codebooks) and must compile

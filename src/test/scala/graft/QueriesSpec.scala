@@ -882,4 +882,112 @@ class QueriesSpec extends SparkSpec {
       "banded pair set must equal the brute-force all-pairs set")
     assert(out.count() == brute.count())
   }
+
+  test("mad: hand-computed median/MAD, strict 3-MAD outlier, degenerate single row") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{expr, lit}
+    // u1: values 1,1,2,2,4,10 -> median (2+2)/2 = 2; |x-2| sorted
+    // 0,0,1,1,2,8 -> MAD (1+1)/2 = 1; outliers |x-2| > 3: only the 10.
+    // u2: one row -> median = the value, MAD 0, 0 > 0 strict -> no outlier.
+    val vals = Seq(1L -> 1.0, 1L -> 1.0, 1L -> 2.0, 1L -> 2.0,
+      1L -> 4.0, 1L -> 10.0, 2L -> 5.0)
+    val ev = vals.zipWithIndex
+      .map { case ((u, v), i) => (i.toLong, u, v) }
+      .toDF("event_id", "user_id", "value")
+      .withColumn("ts", expr("timestamp_micros(event_id * 1000000)"))
+      .withColumn("event_type", lit("view")).withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("mad").toString
+    ev.write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("a28_mad")(spark, dir)
+      .as[(Long, Double, Double, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 2.0, 1.0, 1L), (2L, 5.0, 0.0, 0L)))
+  }
+
+  test("weighted sample: tick multiplicity is exact PPS accounting") {
+    import spark.implicits._
+    // total weight 64 = K, so every unit of weight is one tick: the
+    // 1-char doc takes exactly 1 tick, the 63-char doc takes 63 — the
+    // with-replacement multiplicity a long doc must report
+    val docs = Seq((1L, "a", 1L), (2L, "b", 63L))
+      .toDF("doc_id", "text", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("wsample").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("t_weighted_sample")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 1L, 1L, 1L), (2L, 63L, 64L, 63L)))
+  }
+
+  test("chi2 cells: textbook 2x2 association, exact expected/term/residual") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{expr, lit}
+    // 30/10 vs 10/30 over equal marginals (40 each, n=80): every cell's
+    // expected = 20, |o·n − r·c| = 800, chi² term = 800²/(80·40·40) = 5,
+    // residual = ±800/√128000 = ±√5 — all fixed IEEE expressions
+    val rows =
+      (1 to 30).map(i => (i.toLong, "A", 5.0)) ++
+      (31 to 40).map(i => (i.toLong, "A", 25.0)) ++
+      (41 to 50).map(i => (i.toLong, "B", 5.0)) ++
+      (51 to 80).map(i => (i.toLong, "B", 25.0))
+    val ev = rows.toDF("event_id", "event_type", "value")
+      .withColumn("ts", expr("timestamp_micros(event_id * 1000000)"))
+      .withColumn("user_id", lit(1L)).withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("chi2").toString
+    ev.write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("dq_chi2_cells")(spark, dir)
+      .as[(String, Long, Long, Long, Long, Double, Double, Double)]
+      .collect().map(r => (r._1, r._2, r._6, r._7, r._8)).sortBy(t => (t._1, t._2))
+    val s5 = math.sqrt(5.0)
+    assert(out.toSeq == Seq(
+      ("A", 0L, 20.0, 5.0, s5), ("A", 1L, 20.0, 5.0, -s5),
+      ("B", 0L, 20.0, 5.0, -s5), ("B", 1L, 20.0, 5.0, s5)), out.toSeq.toString)
+  }
+
+  test("gaps: max/mean/day-gap accounting; single-event entities are silent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{expr, lit}
+    // u1: events at 0s, 10s, 100000s -> gaps 10s and 99990s (the second
+    // crosses the 86400s day line); mean = (1e7 + 9.999e10)/2 exactly.
+    // u2: one event -> no gap rows, absent from the audit.
+    val rows = Seq((1L, 1L, 0L), (2L, 1L, 10L), (3L, 1L, 100000L), (4L, 2L, 5L))
+    val ev = rows.toDF("event_id", "user_id", "sec")
+      .withColumn("ts", expr("timestamp_micros(sec * 1000000)"))
+      .withColumn("event_type", lit("view")).withColumn("value", lit(1.0))
+      .withColumn("props", lit("{}")).drop("sec")
+    val dir = java.nio.file.Files.createTempDirectory("gaps").toString
+    ev.write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("dq_gaps")(spark, dir)
+      .as[(Long, Long, Long, Double, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L, 99990000000L, 50000000000.0, 1L)), out.toString)
+  }
+
+  test("label consistency: a mislabeled vector is outvoted by its neighborhood") {
+    import spark.implicits._
+    // vec 0 carries label 9 in a neighborhood of five label-1 vectors —
+    // its 5 NN vote 5-0 for label 1: maj_cnt 5, n_agree 0, noisy flag set
+    val vecs = (0 to 5).map { i =>
+      (i.toLong, Array(1.0f, 0.01f * i, 0.5f), if (i == 0) 9 else 1)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("labelcons").toString
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("ann_label_consistency")(spark, dir)
+      .as[(Long, Int, Int, Long, Long, Int)].collect().toSeq
+    assert(out == Seq((0L, 9, 1, 5L, 0L, 1)), out.toString)
+  }
+
+  test("source overlap: one crossing near-dup pair, jaccard 0.5 on the dup line") {
+    import spark.implicits._
+    // doc1 (s1) and doc2 (s2) share 2 of 4 distinct shingles -> jaccard
+    // exactly 0.5, which sits ON the >= 0.5 dup threshold; doc3 starts
+    // with a different word (different block) and pairs with nothing
+    val corpus = Seq(
+      (1L, "w1 w2 w3 w4 w5", "s2"),   // sources swapped vs doc order on
+      (2L, "w1 w2 w3 w4 w6", "s1"),   // purpose: LEAST/GREATEST must sort
+      (3L, "z1 z2 z3 z4 z5", "s3")).toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("srcoverlap").toString
+    corpus.write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("d_source_overlap")(spark, dir)
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(("s1", "s2", 1L, 1L, 0.5)), out.toString)
+  }
 }

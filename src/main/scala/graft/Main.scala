@@ -37,6 +37,14 @@ object Main {
               .filter(org.apache.spark.sql.functions.col("is_fail"))
         }
         DataQuality.gate(generic ++ domain)
+        // distribution drift rides the same task: this run's stage-layer
+        // value histogram vs the stored reference (seeded on first run,
+        // advanced only on pass — a failing run keeps the baseline that
+        // exposed it)
+        DataQuality.driftGate(spark,
+          Lakehouse.read(spark, Medallion.stagePath(lake)), "value",
+          lake, "stage_value", maxTvd = 0.5).foreach(d =>
+          println(f"[graft] drift gate: tvd=$d%.4f"))
         // the reference's Sunday-only OPTIMIZE rides the same task
         if (Lakehouse.weeklyCompact(spark, Medallion.featuresPath(lake),
             Seq("user_partition"), java.time.LocalDate.now()))

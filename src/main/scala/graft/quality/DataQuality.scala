@@ -92,6 +92,71 @@ object DataQuality {
       .select(col("c.constraint_name"), col("c.is_fail"))
   }
 
+  /** 10-bucket value histogram of a column — the dq_drift_tvd bucketing
+    * (min(floor(x / width), buckets − 1), clamped at 0): one map-side-
+    * combinable rollup, result bounded at `buckets` rows. */
+  def valueHistogram(df: DataFrame, valueCol: String,
+      width: Double = 20.0, buckets: Int = 10): Map[Long, Long] =
+    df.groupBy(greatest(lit(0L),
+        least(floor(col(valueCol) / width).cast("long"), lit(buckets - 1L)))
+        .as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Exact total-variation distance between two histograms — the
+    * dq_drift_tvd math: integer cross products |r_b·t_cur − c_b·t_ref|
+    * over a common denominator with ONE double division at the end
+    * (never a divergence needing libm ln). Empty-vs-anything is 1.0 by
+    * convention (maximal drift — a feed that went silent must trip the
+    * gate, not pass it vacuously). */
+  def tvd(ref: Map[Long, Long], cur: Map[Long, Long]): Double = {
+    val tRef = ref.values.sum
+    val tCur = cur.values.sum
+    if (tRef == 0L || tCur == 0L) return 1.0
+    val num = (ref.keySet ++ cur.keySet).toSeq.map { b =>
+      math.abs(ref.getOrElse(b, 0L) * tCur - cur.getOrElse(b, 0L) * tRef)
+    }.sum
+    num.toDouble / (2.0 * tRef.toDouble * tCur.toDouble)
+  }
+
+  /** Persisted drift gate — the pipeline-lifecycle wiring of the TVD
+    * monitor (the way the reference embeds its DQ checks in the DAG run
+    * rather than leaving them to an operator): compare this run's
+    * histogram of `valueCol` against the REFERENCE stored under
+    * `<root>/_dq/hist-<name>`, throw when TVD exceeds `maxTvd`, and only
+    * AFTER passing advance the reference to the current histogram — a
+    * failing run keeps the reference that exposed it, so re-runs keep
+    * failing until someone looks. First run seeds the reference and
+    * returns None (nothing to compare against); later runs return the
+    * measured TVD. The stored artifact is a bucket-count text marker
+    * (tmp+rename, crash-safe like every other marker). */
+  def driftGate(spark: SparkSession, df: DataFrame, valueCol: String,
+      root: String, name: String, maxTvd: Double,
+      width: Double = 20.0): Option[Double] = {
+    import org.apache.hadoop.fs.Path
+    require(name.matches("[A-Za-z0-9_]+"), s"unsafe drift-gate name '$name'")
+    val cur = valueHistogram(df, valueCol, width)
+    val path = new Path(s"${root.stripSuffix("/")}/_dq/hist-$name")
+    val stored = graft.core.Markers.read(spark, path).map(
+      _.linesIterator.filter(_.nonEmpty).map { l =>
+        val Array(b, n) = l.split('\t'); b.toLong -> n.toLong
+      }.toMap)
+    def persist(): Unit = graft.core.Markers.write(spark, path,
+      cur.toSeq.sorted.map { case (b, n) => s"$b\t$n" }.mkString("\n") + "\n")
+    stored match {
+      case None =>
+        persist(); None
+      case Some(ref) =>
+        val d = tvd(ref, cur)
+        require(d <= maxTvd,
+          f"data-quality drift gate '$name' failed: tvd=$d%.4f > $maxTvd " +
+            "(reference kept — fix the feed or re-baseline by deleting " +
+            s"$path)")
+        persist()
+        Some(d)
+    }
+  }
+
   /** Run checks; throw (failing the pipeline run, as the DAG does) if any
     * violations surface. */
   def gate(checks: Seq[(String, DataFrame)]): Unit = {

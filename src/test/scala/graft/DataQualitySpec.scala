@@ -50,6 +50,32 @@ class DataQualitySpec extends SparkSpec {
     assert(ex.getMessage.contains("features"))
   }
 
+  test("driftGate: seeds, passes on stability, fails on shift keeping the exposing baseline") {
+    val root = tmpDir("dq-drift-root")
+    def frame(lowN: Int, highN: Int) = {
+      val rows = (1 to lowN).map(_ => 5.0) ++ (1 to highN).map(_ => 25.0)
+      rows.toDF("value")
+    }
+    // first run seeds — nothing to compare against
+    assert(DataQuality.driftGate(spark, frame(40, 40), "value",
+      root, "v", maxTvd = 0.2).isEmpty)
+    // same distribution at a different size: TVD exactly 0, passes
+    assert(DataQuality.driftGate(spark, frame(10, 10), "value",
+      root, "v", maxTvd = 0.2).contains(0.0))
+    // shifted distribution (50/50 -> 10/90): TVD 0.4 > 0.2, throws
+    val ex = intercept[IllegalArgumentException] {
+      DataQuality.driftGate(spark, frame(8, 72), "value",
+        root, "v", maxTvd = 0.2)
+    }
+    assert(ex.getMessage.contains("tvd=0.4"), ex.getMessage)
+    // the failing run did NOT advance the reference: the original
+    // distribution still passes against the kept baseline
+    assert(DataQuality.driftGate(spark, frame(20, 20), "value",
+      root, "v", maxTvd = 0.2).contains(0.0))
+    // an empty current frame is maximal drift, never a vacuous pass
+    assert(DataQuality.tvd(Map(0L -> 10L), Map.empty) == 1.0)
+  }
+
   test("walletFeatureConstraints mirror the reference's three checks (data_quality_ethereum_wallet_features.sql)") {
     def feats(rows: (String, Long, Long, Double)*) =
       rows.toDF("wallet_address", "wallet_total_incoming_tx",

@@ -377,6 +377,39 @@ object RelationalQueries {
         lit("receiver").as("role"),
         col("o_totalprice").cast("double").as("amount"), lit(0.0).as("fee"))
       sender.unionByName(receiver)
+    },
+
+    // -------------------------------------------------------------- §2.7b
+    // INTERSECT / EXCEPT — the remaining ANSI set shapes beside the UNION
+    // family: cohort algebra over entity sets ("big spenders who also
+    // errored big" vs "who never did"), tagged and re-unioned so one
+    // result carries both. Spark's intersect/except are DISTINCT-semantics
+    // set ops compiling to left-semi/left-anti joins over de-duplicated
+    // sides — at 100 TB each arm is one keyed shuffle of an
+    // already-DISTINCT (small) user set, never of raw events (the
+    // type+value filters push to the parquet scan).
+    QueryDef("set_intersect_except",
+      """SELECT 'both' AS tag, user_id FROM (
+        |  SELECT DISTINCT user_id FROM events
+        |    WHERE event_type = 'purchase' AND value > 90
+        |  INTERSECT
+        |  SELECT DISTINCT user_id FROM events
+        |    WHERE event_type = 'error' AND value > 90)
+        |UNION ALL
+        |SELECT 'only_purchase' AS tag, user_id FROM (
+        |  SELECT DISTINCT user_id FROM events
+        |    WHERE event_type = 'purchase' AND value > 90
+        |  EXCEPT
+        |  SELECT DISTINCT user_id FROM events
+        |    WHERE event_type = 'error' AND value > 90)""".stripMargin) { (s, dir) =>
+      val ev = Graft.events(s, dir)
+      def side(tpe: String) = ev
+        .filter(col("event_type") === tpe && col("value") > 90)
+        .select("user_id").distinct()
+      val p = side("purchase"); val e = side("error")
+      p.intersect(e).select(lit("both").as("tag"), col("user_id"))
+        .unionByName(
+          p.except(e).select(lit("only_purchase").as("tag"), col("user_id")))
     }
   )
 }

@@ -677,9 +677,7 @@ object ManifestSnapshots {
     def prevEntries: Seq[Entry] = latestVersion(spark, dir)
       .flatMap(v => readManifest(hfs, dir, v)).getOrElse(Nil)
     def guard(prev: Seq[Entry]): Seq[Entry] = {
-      require(prev.isEmpty || prev.forall(_.partition.isDefined) == partitionCols.nonEmpty,
-        "appendDelta must keep the table's partitioning shape: mixing " +
-          "partitioned and unpartitioned versions would break the union read")
+      requireShape(prev, partitionCols, "appendDelta")
       // unconditional: the metadata checks (dropped names, declared
       // types) hold even when the predecessor manifest is EMPTY — only
       // the stored-footer comparison inside needs entries, and
@@ -1094,6 +1092,7 @@ object ManifestSnapshots {
     require(prev0.isEmpty || prev0.forall(_.partition.isDefined),
       "replacePartitions must target a partitioned table: the committed " +
         "versions are unpartitioned and the union read would break")
+    requireShape(prev0, partitionCols, "replacePartitions")
     requireNoRetype(spark, dir, prev0, df.schema, partitionCols.toSet,
       "replacePartitions")
     val entries = writeDataFiles(df, dir, nextSlot(hfs, dir), partitionCols)
@@ -1409,12 +1408,27 @@ object ManifestSnapshots {
     * partition-shaped writer — and one called WITH partitionCols on an
     * unpartitioned table would do the inverse. */
   private def requireShape(entries: Seq[Entry], partitionCols: Seq[String],
-      op: String): Unit =
+      op: String): Unit = {
     require(entries.isEmpty ||
         entries.forall(_.partition.isDefined) == partitionCols.nonEmpty,
       s"$op must keep the table's partitioning shape: pass the table's " +
         "partitionCols for a partitioned store (and none for an " +
         "unpartitioned one) — a mixed-shape manifest breaks the union read")
+    // COLUMN-level check: the stored hive specs carry the partition
+    // column NAMES (`p=0/q=1`), so a writer partitioning by different
+    // columns than the table's is refused outright — admitted, its rows
+    // would read the table's partition column as NULL through the
+    // allowMissingColumns union (hive escaping never puts '=' in the
+    // name side, so the prefix parse is exact)
+    entries.flatMap(_.partition)
+      .map(_.split('/').toSeq.map(_.takeWhile(_ != '=')))
+      .distinct.foreach { cols =>
+        require(cols == partitionCols,
+          s"$op must keep the table's partition columns " +
+            s"(${cols.mkString(", ")}); got (${partitionCols.mkString(", ")}) " +
+            "— evolve the layout explicitly with repartitionData instead")
+      }
+  }
 
   /** The qualified file names `df`'s rows come from — the COW
     * touched-file discovery (one predicate-pushed / semi-joined scan). */
@@ -1896,6 +1910,46 @@ object ManifestSnapshots {
     }
   }
 
+  /** PARTITION EVOLUTION as a version: rewrite the committed snapshot
+    * into a new hive-partition layout — including to or from
+    * unpartitioned — Iceberg's partition-spec change, realized as a full
+    * copy-on-write rewrite because this lake's layout lives in PATHS
+    * (there is no field-id indirection to relabel in place). Content is
+    * identical (any read is the oracle); TIME TRAVEL keeps old layouts
+    * because every version reads exactly its own manifest, so no union
+    * ever mixes shapes. The cross-version shape guard binds WRITERS to
+    * the current layout, which is precisely what changes here: appends
+    * after this commit must carry the NEW partitionCols and old-shape
+    * deltas are refused — the partition-pruning contract downstream
+    * consumers plan against moves atomically with the data.
+    *
+    * Going partitioned → unpartitioned (or changing columns) keeps the
+    * old partition column as a DATA column: [[read]] recovers partition
+    * values from the hive paths before the rewrite, so nothing is lost —
+    * with the documented convention that a path-recovered column is
+    * string-typed. Same conflict contract as every rewrite: expectedBase
+    * CME when the table moved; like OPTIMIZE, the rewrite also
+    * materializes declared defaults and drops dropped columns' bytes.
+    * Incremental (CDC) consumers see a rewriting version (removedEntries
+    * nonempty) and restate, exactly as they do across compaction. */
+  def repartitionData(spark: SparkSession, dir: String,
+      newPartitionCols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.col
+    val cur = latestVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"nothing to repartition under $dir"))
+    val df = read(spark, dir, cur)
+    val missing = newPartitionCols.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"repartitionData: partition column(s) ${missing.mkString(", ")} " +
+        s"not in the table's schema (${df.columns.mkString(", ")})")
+    require(newPartitionCols.size < df.columns.length,
+      "repartitionData: at least one data column must remain")
+    val packed =
+      if (newPartitionCols.nonEmpty) df.repartition(newPartitionCols.map(col): _*)
+      else df
+    commitRewrite(spark, dir, cur, Nil, packed, newPartitionCols)
+  }
+
   /** OPTIMIZE + CLUSTER as a version: bin-pack the committed file list
     * into ~targetFileMB files RANGE-CLUSTERED on `sortCols` — after an
     * append chain scatters a key across every delta's files, one sorted
@@ -2015,10 +2069,24 @@ object ManifestSnapshots {
     val all = manifests.map(_._1)
     val pinned = all.lastOption // committed = newest parseable
     // tagged versions are retention-exempt: the whole point of a tag is
-    // that the snapshot it names outlives the rolling keep window
+    // that the snapshot it names outlives the rolling keep window.
+    // DECLARING versions (those named by a decl-<v> schema file) are
+    // exempt too: schemaLines honors a declaration only while manifest v
+    // exists by name (the crashed-declaration guard), so vacuuming a
+    // declaring manifest would silently revert the table's schema — the
+    // manifest is KB-scale and schema changes are rare, so keeping it
+    // forever costs nothing next to that failure
     val tagged = tags(spark, dir).map(_._2).toSet
+    val declaring: Set[Long] = {
+      val sdir = new Path(s"${dir.stripSuffix("/")}/$SchemaDirName")
+      if (!hfs.exists(sdir)) Set.empty
+      else Option(hfs.globStatus(new Path(sdir, "decl-*")))
+        .map(_.toSeq).getOrElse(Nil)
+        .flatMap(_.getPath.getName.stripPrefix("decl-").toLongOption).toSet
+    }
     val doomed = all.dropRight(keep)
       .filterNot(pinned.contains).filterNot(tagged.contains)
+      .filterNot(declaring.contains)
     val keptVersions = all.filterNot(doomed.contains)
     val referenced = keptVersions.flatMap(byV(_)).map(_.path).toSet
     val base = dir.stripSuffix("/")
@@ -2084,6 +2152,28 @@ object ManifestSnapshots {
           n.stripPrefix("m-").stripSuffix(".json").toLongOption
             .exists(tornSlots.contains)
         if (aged && (n.startsWith(".m-") || tornSlot))
+          hfs.delete(st.getPath, false): Unit
+      }
+    }
+    // crashed DECLARATIONS (decl-<v> with no manifest named v — the
+    // writer died between the decl write and the manifest create) are
+    // ignored by readers and their slot is burned by nextSlot, so they
+    // are pure debris; age-gated like the tmp sweep so an in-flight
+    // declaration (decl written, manifest rename pending) is never
+    // yanked. Sweeping one un-burns its slot, which is safe EXACTLY
+    // because the decl no longer exists to spring to life. Successful
+    // declarations can never match: their versions are vacuum-exempt
+    // above, so their manifests always exist by name.
+    val schemaRoot = new Path(s"$base/$SchemaDirName")
+    if (hfs.exists(schemaRoot)) {
+      val staleBefore =
+        System.currentTimeMillis() - orphanGraceHours.toLong * 3600 * 1000
+      val liveNames = versionNames(hfs, dir).toSet
+      hfs.listStatus(schemaRoot).foreach { st =>
+        val n = st.getPath.getName
+        val orphanDecl = n.startsWith("decl-") &&
+          n.stripPrefix("decl-").toLongOption.exists(v => !liveNames.contains(v))
+        if (orphanDecl && st.getModificationTime < staleBefore)
           hfs.delete(st.getPath, false): Unit
       }
     }

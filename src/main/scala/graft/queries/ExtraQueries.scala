@@ -1135,6 +1135,35 @@ object ExtraQueries {
       graft.core.ManifestSnapshots.read(s, msnapStore(s, dir), version = 1L)
     },
 
+    // --------------------------------------------------------- STORAGE-EVOLVE
+    // Partition evolution under the oracle gate: a user_id%4-partitioned
+    // store is rewritten to UNPARTITIONED (repartitionData — Iceberg's
+    // partition-spec change as a COW version), and the read back must be
+    // byte-identical to the pre-evolution content, with the old partition
+    // column surviving as a (path-convention string) data column. The
+    // oracle states the same rows straight off the raw table — proving the
+    // layout change is pure physics, invisible to consumers.
+    QueryDef("snap_repartition",
+      """SELECT event_id, user_id, value,
+        |  CAST(user_id % 4 AS VARCHAR) AS part
+        |FROM events""".stripMargin) { (s, dir) =>
+      import graft.core.ManifestSnapshots
+      val ev = events(s, dir).select(col("event_id"), col("user_id"), col("value"),
+        (col("user_id") % 4).cast("string").as("part"))
+      val fp = Graft.dataFingerprint(s, s"$dir/events.parquet")
+      val root = graft.core.StoreRoots.rootFor("graft_msnap_repart", "v1", dir, fp)
+      graft.core.StoreRoots.ensure(s, root) { tmp =>
+        ManifestSnapshots.writeFull(ev, tmp, Seq("part"))
+        ManifestSnapshots.repartitionData(s, tmp, Nil): Unit
+      }
+      // the path-recovered column's read-side type is a session
+      // convention (partitionColumnTypeInference) — pin it to the
+      // declared string form so the oracle row is session-independent
+      ManifestSnapshots.readLatest(s, root)
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("part").cast("string").as("part"))
+    },
+
     // ----------------------------------------------------------- STORAGE-TAG
     // Named tag under the oracle gate: tag version 1 of a fresh 3-version
     // chain as 'baseline' DURING the build, then read BY NAME — the

@@ -1234,6 +1234,86 @@ class ManifestSnapshotSpec extends SparkSpec {
     assert(ManifestSnapshots.readLatest(spark, dir).count() == 5)
   }
 
+  test("repartitionData: layout evolves as a version, old layouts time-travel, writers rebind") {
+    val dir = tmpDir("msnaprepart") + "/t"
+    val df = slice(0, 120)
+      .withColumn("p", (col("id") % 3).cast("string"))
+      .withColumn("q", (col("id") % 2).cast("string"))
+    ManifestSnapshots.writeFull(df, dir, Seq("p"))
+    val before = ManifestSnapshots.readLatest(spark, dir)
+      .select("id", "v", "p", "q").collect().toSet
+    // unknown partition column refused before anything lands
+    intercept[IllegalArgumentException] {
+      ManifestSnapshots.repartitionData(spark, dir, Seq("nope"))
+    }
+    // evolve p-layout -> q-layout: content identical under the new paths
+    val v2 = ManifestSnapshots.repartitionData(spark, dir, Seq("q"))
+    assert(ManifestSnapshots.readLatest(spark, dir)
+      .select("id", "v", "p", "q").collect().toSet == before,
+      "partition evolution changed content")
+    // time travel: the pre-evolution version still reads its own layout
+    assert(ManifestSnapshots.read(spark, dir, v2 - 1)
+      .select("id", "v", "p", "q").collect().toSet == before)
+    // writers REBIND to the new layout atomically with the commit: the
+    // old column (and any other wrong column) is refused by name — not
+    // silently admitted to read back as NULLs through the union
+    val wrongCol = intercept[IllegalArgumentException] {
+      ManifestSnapshots.appendDelta(
+        slice(200, 210).withColumn("p", lit("9")).withColumn("q", lit("0")),
+        dir, Seq("p"))
+    }
+    assert(wrongCol.getMessage.contains("partition columns"), wrongCol.getMessage)
+    intercept[IllegalArgumentException] { // unpartitioned delta: shape guard
+      ManifestSnapshots.appendDelta(slice(200, 210)
+        .withColumn("p", lit("9")).withColumn("q", lit("0")), dir)
+    }
+    ManifestSnapshots.appendDelta(
+      slice(200, 210).withColumn("p", lit("9")).withColumn("q", lit("0")),
+      dir, Seq("q"))
+    assert(ManifestSnapshots.readLatest(spark, dir).count() == 130)
+    // and the evolution composes the other way: back to unpartitioned,
+    // the partition column surviving as a data column
+    ManifestSnapshots.repartitionData(spark, dir, Nil)
+    val flat = ManifestSnapshots.readLatest(spark, dir)
+    assert(flat.count() == 130 && flat.columns.contains("q"))
+    intercept[IllegalArgumentException] { // partitioned delta now refused
+      ManifestSnapshots.appendDelta(slice(300, 305)
+        .withColumn("p", lit("9")).withColumn("q", lit("0")), dir, Seq("q"))
+    }
+  }
+
+  test("vacuum: declaring versions are retention-exempt; crashed decls sweep once aged") {
+    val dir = tmpDir("msnapvacdecl") + "/t"
+    ManifestSnapshots.writeFull(slice(0, 50), dir)                    // v1
+    val dv = ManifestSnapshots.addColumn(spark, dir, "bonus", "int", Some("7")) // v2
+    ManifestSnapshots.appendDelta(slice(50, 60), dir)                 // v3
+    ManifestSnapshots.appendDelta(slice(60, 70), dir)                 // v4
+    ManifestSnapshots.vacuum(spark, dir, keep = 1)
+    // the declaring version outlives the keep window: vacuuming its
+    // manifest would make schemaLines drop the declaration (the
+    // crashed-decl guard keys on the manifest name) and silently revert
+    // the schema
+    assert(ManifestSnapshots.versions(spark, dir).contains(dv),
+      "declaring version was vacuumed; its declaration would vanish")
+    assert(ManifestSnapshots.declaredColumns(spark, dir).map(_.name) == Seq("bonus"))
+    val out = ManifestSnapshots.readLatest(spark, dir)
+    assert(out.count() == 70 && out.filter(col("bonus") === 7).count() == 70)
+    // a crashed declaration (no manifest ever) is debris: kept fresh,
+    // swept once aged, un-burning its slot
+    val hfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ghost = new org.apache.hadoop.fs.Path(s"$dir/_schema/decl-90")
+    val o = hfs.create(ghost, true)
+    o.write("ghost\tint\t90\t-\n".getBytes("UTF-8"))
+    o.close()
+    ManifestSnapshots.vacuum(spark, dir, keep = 1)
+    assert(hfs.exists(ghost), "fresh crashed decl swept inside the grace window")
+    hfs.setTimes(ghost, System.currentTimeMillis() - 7L * 3600 * 1000, -1)
+    ManifestSnapshots.vacuum(spark, dir, keep = 1)
+    assert(!hfs.exists(ghost), "aged crashed decl survived vacuum")
+    assert(ManifestSnapshots.declaredColumns(spark, dir).map(_.name) == Seq("bonus"))
+  }
+
   test("history: versions, file and row counts from manifests alone") {
     val dir = tmpDir("msnaphist") + "/t"
     ManifestSnapshots.writeFull(slice(0, 120), dir)

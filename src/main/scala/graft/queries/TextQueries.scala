@@ -340,6 +340,31 @@ object TextQueries {
           (col("hi") - col("lo")).cast("long").as("times"))
     },
 
+    // ---------------------------------------------------------------- TEXT-6c
+    // Exact per-stratum k-sample — the third sampling shape beside
+    // rate-based (t_stratified_sample) and size-proportional
+    // (t_weighted_sample): every language keeps EXACTLY min(k, n) docs,
+    // picked by md5-hash priority — the balanced-eval-set draw ("200 docs
+    // per language, reproducibly") a rate can't express when strata sizes
+    // differ by orders of magnitude. One window per stratum (parallel
+    // across strata; rank ≤ k compiles to WindowGroupLimit, so each
+    // partition keeps a bounded k-heap, never a full sort at 100 TB).
+    QueryDef("t_group_sample_k",
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+        |  FROM documents)
+        |WHERE r <= 8""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Graft.table(s, dir, "documents")
+        .select(col("lang"), col("doc_id"))
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") <= 8)
+        .select("lang", "doc_id")
+    },
+
     // ---------------------------------------------------------------- TEXT-7
     // Quality-filter funnel with reason codes: every document gets its
     // FIRST failing rule (or 'pass'), and the funnel reports per-reason

@@ -114,6 +114,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("t_group_sample_k's rank filter compiles to WindowGroupLimit") {
+    val p = planString("t_group_sample_k")
+    // exactly-k-per-stratum must keep a bounded k-heap per partition —
+    // a full per-language sort at 100 TB is the regression this pins
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(countOccurrences(p, "Exchange SinglePartition") == 0, p)
+  }
+
   test("t_shards never funnels the data path through a single partition") {
     val p = planString("t_shards")
     // the operator exists to avoid the naive global-window sort: exactly

@@ -2039,8 +2039,17 @@ object ManifestSnapshots {
       .sortBy(_._1)
   }
 
+  /** Reclaim unreferenced versions. Retention is COUNT-based (`keep`
+    * newest always survive) and, when `maxAgeHours` is set, ALSO
+    * time-based: a version outside the keep window still survives while
+    * its manifest is younger than the cutoff — Iceberg's
+    * expire_snapshots(olderThan, retainLast) and the reference's own
+    * 3-day snapshot retention (features_pipeline.py:128-138,
+    * ethereum_wallet_features.sql:5-6) expressed on this store. Tagged
+    * and declaring versions are exempt from both policies. */
   def vacuum(spark: SparkSession, dir: String, keep: Int = 2,
-      orphanGraceHours: Int = 6): (Seq[Long], Int) = {
+      orphanGraceHours: Int = 6,
+      maxAgeHours: Option[Int] = None): (Seq[Long], Int) = {
     require(keep >= 1, "keep at least the committed version")
     val hfs = fs(spark, dir)
     // ONE parse per manifest, shared by every consumer below (the
@@ -2084,9 +2093,20 @@ object ManifestSnapshots {
         .map(_.toSeq).getOrElse(Nil)
         .flatMap(_.getPath.getName.stripPrefix("decl-").toLongOption).toSet
     }
+    // time-based retention composes with the count floor: outside the
+    // keep window AND (when configured) older than the cutoff — a young
+    // version beyond the window still survives until it ages out
+    val youngEnough: Long => Boolean = maxAgeHours match {
+      case None => _ => false
+      case Some(h) =>
+        val cutoff = System.currentTimeMillis() - h.toLong * 3600 * 1000
+        v => (try hfs.getFileStatus(manifestPath(dir, v)).getModificationTime
+          catch { case _: Exception => Long.MaxValue }) >= cutoff
+    }
     val doomed = all.dropRight(keep)
       .filterNot(pinned.contains).filterNot(tagged.contains)
       .filterNot(declaring.contains)
+      .filterNot(youngEnough)
     val keptVersions = all.filterNot(doomed.contains)
     val referenced = keptVersions.flatMap(byV(_)).map(_.path).toSet
     val base = dir.stripSuffix("/")

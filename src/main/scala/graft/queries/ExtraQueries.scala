@@ -374,10 +374,12 @@ object ExtraQueries {
         |ct AS (SELECT bucket, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
         |t AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells)
         |SELECT cells.event_type, cells.bucket, o, r, c,
-        |  CAST(r * c AS DOUBLE) / n AS expected,
-        |  (CAST(o * n - r * c AS DOUBLE) * CAST(o * n - r * c AS DOUBLE))
-        |    / CAST(n * r * c AS DOUBLE) AS chi2_term,
-        |  CAST(o * n - r * c AS DOUBLE) / sqrt(CAST(n * r * c AS DOUBLE)) AS std_residual
+        |  CAST(CAST(r AS DECIMAL(38,0)) * c AS DOUBLE) / CAST(n AS DOUBLE) AS expected,
+        |  (CAST(CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c AS DOUBLE)
+        |     * CAST(CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE)) AS chi2_term,
+        |  CAST(CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c AS DOUBLE)
+        |    / sqrt(CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE)) AS std_residual
         |FROM cells JOIN rt USING (event_type) JOIN ct USING (bucket), t""".stripMargin) { (s, dir) =>
       val e = events(s, dir).select(col("event_type"),
         least(floor(col("value") / 20).cast("long"), lit(9L)).as("bucket"))
@@ -385,13 +387,23 @@ object ExtraQueries {
       val rt = cells.groupBy("event_type").agg(sum("o").cast("long").as("r"))
       val ct = cells.groupBy("bucket").agg(sum("o").cast("long").as("c"))
       val t = cells.agg(sum("o").cast("long").as("n"))
-      val diff = (col("o") * col("n") - col("r") * col("c")).cast("double")
-      val denom = (col("n") * col("r") * col("c")).cast("double")
+      // 100×-proof arithmetic (the 10× form overflowed BIGINT in n·r·c at
+      // 10M events under ANSI): the cross-product diff stays EXACT in
+      // DECIMAL(38,0) (covers any realistic corpus) with one rounding cast
+      // to double; the denominator is three exact long→double casts and
+      // two IEEE multiplications — syntax-pinned order, identical both
+      // engines at any scale
+      val dec = "decimal(38,0)"
+      val diff = (col("o").cast(dec) * col("n") - col("r").cast(dec) * col("c"))
+        .cast("double")
+      val denom = col("n").cast("double") * col("r").cast("double") *
+        col("c").cast("double")
       val out = cells.join(broadcast(rt), "event_type")
         .join(broadcast(ct), "bucket")
         .crossJoin(broadcast(t))
         .select(col("event_type"), col("bucket"), col("o"), col("r"), col("c"),
-          ((col("r") * col("c")).cast("double") / col("n")).as("expected"),
+          ((col("r").cast(dec) * col("c")).cast("double") /
+            col("n").cast("double")).as("expected"),
           (diff * diff / denom).as("chi2_term"),
           (diff / sqrt(denom)).as("std_residual"))
       CacheScope.sealResult(out, cells.persist())

@@ -1282,6 +1282,33 @@ class ManifestSnapshotSpec extends SparkSpec {
     }
   }
 
+  test("vacuum maxAgeHours: young versions survive past the keep window until they age out") {
+    val dir = tmpDir("msnapvacage") + "/t"
+    ManifestSnapshots.writeFull(slice(0, 30), dir)     // v1
+    ManifestSnapshots.appendDelta(slice(30, 40), dir)  // v2
+    ManifestSnapshots.appendDelta(slice(40, 50), dir)  // v3
+    val hfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mpath(v: Long) = new org.apache.hadoop.fs.Path(s"$dir/manifests/m-$v.json")
+    // time-based retention: all fresh -> NOTHING reclaimed even at keep=1
+    val (d0, _) = ManifestSnapshots.vacuum(spark, dir, keep = 1,
+      maxAgeHours = Some(72))
+    assert(d0.isEmpty, s"fresh versions expired: $d0")
+    assert(ManifestSnapshots.versions(spark, dir) == Seq(1L, 2L, 3L))
+    // age v1 past the 72h cutoff; v2 stays young -> only v1 expires
+    hfs.setTimes(mpath(1L), System.currentTimeMillis() - 73L * 3600 * 1000, -1)
+    val (d1, _) = ManifestSnapshots.vacuum(spark, dir, keep = 1,
+      maxAgeHours = Some(72))
+    assert(d1 == Seq(1L), s"expected exactly v1 expired: $d1")
+    assert(ManifestSnapshots.versions(spark, dir) == Seq(2L, 3L))
+    assert(ManifestSnapshots.readLatest(spark, dir).count() == 50)
+    // count-based floor still binds: aged-but-within-keep survives
+    hfs.setTimes(mpath(3L), System.currentTimeMillis() - 90L * 3600 * 1000, -1)
+    val (d2, _) = ManifestSnapshots.vacuum(spark, dir, keep = 2,
+      maxAgeHours = Some(72))
+    assert(d2.isEmpty, "keep floor violated by age-based expiry")
+  }
+
   test("vacuum: declaring versions are retention-exempt; crashed decls sweep once aged") {
     val dir = tmpDir("msnapvacdecl") + "/t"
     ManifestSnapshots.writeFull(slice(0, 50), dir)                    // v1

@@ -868,6 +868,53 @@ object Streams {
         })
   }
 
+  /** Stale-entity state / output for [[staleEntities]]. Public: the state
+    * encoder's generated code needs constructor access. */
+  case class StaleState(lastTs: Long, nEvents: Long)
+  case class StaleOut(user_id: Long, last_ts: java.sql.Timestamp,
+      n_events: Long, silent_ms: Long)
+
+  /** Streaming feed-staleness alert — the live twin of batch `dq_gaps`'s
+    * >threshold-gap accounting: an entity that goes SILENT for more than
+    * `silenceMs` of event time gets one alert row the moment the watermark
+    * PROVES the silence (no event with ts ≤ last + silence can still
+    * arrive) — the ingestion-SLA monitor firing while the batch audit
+    * would still be waiting for its next cycle. The batch query can only
+    * see a gap once the entity RETURNS; the streaming form alerts on
+    * entities that never do, which is exactly the feed-died case the SLA
+    * exists for.
+    *
+    * Emit-once per silence episode: the alert removes the state, so a
+    * returning entity re-seeds cleanly (its next silence alerts again)
+    * and state stays bounded by the ACTIVE entity population, not history.
+    * In-watermark late events fold into the stored max before any alert
+    * fires, so a disordered feed never alerts spuriously. */
+  def staleEntities(events: Dataset[Ev],
+      silenceMs: Long = 86400000L,
+      watermarkAge: String = "1 hour"): Dataset[StaleOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkAge)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (uid: Long, evs: Iterator[Ev], state: GroupState[StaleState]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(StaleOut(uid, new java.sql.Timestamp(s.lastTs),
+              s.nEvents, silenceMs))
+          } else {
+            val prev = state.getOption.getOrElse(StaleState(Long.MinValue, 0L))
+            var last = prev.lastTs; var n = prev.nEvents
+            evs.foreach { e => last = math.max(last, e.ts.getTime); n += 1 }
+            state.update(StaleState(last, n))
+            state.setTimeoutTimestamp(math.max(last + silenceMs,
+              state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+        })
+  }
+
   /** Sink: MERGE each micro-batch into a lake table by key — streaming and
     * batch share [[Lakehouse.mergeUpsert]] so the exactly-once-per-key
     * upsert semantics are identical in both modes. */

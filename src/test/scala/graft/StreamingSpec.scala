@@ -205,6 +205,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("staleEntities: silence alerts once when proven, activity resets, returns re-seed") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // silence threshold 30 min of event time; zero watermark delay so the
+    // test controls the clock precisely
+    val q = Streams.staleEntities(mem.toDS(), silenceMs = 30L * 60000L,
+        watermarkAge = "0 seconds")
+      .writeStream.format("memory").queryName("stale").outputMode("append").start()
+    try {
+      // u1 active at minutes 0 and 5; u2 active at minute 28 — u2's later
+      // activity keeps advancing the watermark without tripping itself
+      mem.addData(Ev(1, ts(0), 1, "view", 1.0), Ev(2, ts(5), 1, "view", 1.0))
+      q.processAllAvailable()
+      mem.addData(Ev(3, ts(28), 2, "view", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("stale").count() == 0,
+        "alert fired before any silence was proven")
+      // watermark jumps past u1's last(5) + 30 but NOT past u2's 28 + 30:
+      // exactly u1 alerts, with its last activity and event count
+      mem.addData(Ev(4, ts(40), 2, "view", 1.0))
+      q.processAllAvailable()
+      mem.addData(Ev(5, ts(41), 2, "view", 1.0))
+      q.processAllAvailable()
+      val a1 = spark.table("stale")
+        .as[(Long, Timestamp, Long, Long)].collect().toSeq
+      assert(a1 == Seq((1L, ts(5), 2L, 30L * 60000L)), a1.toString)
+      // u1 RETURNS at minute 50: state re-seeds; a second silence past
+      // 50 + 30 alerts AGAIN with the fresh episode's accounting
+      mem.addData(Ev(6, ts(50), 1, "view", 1.0))
+      q.processAllAvailable()
+      mem.addData(Ev(7, ts(90), 2, "view", 1.0))
+      q.processAllAvailable()
+      mem.addData(Ev(8, ts(91), 2, "view", 1.0))
+      q.processAllAvailable()
+      val a2 = spark.table("stale")
+        .as[(Long, Timestamp, Long, Long)].collect().toSet
+      assert(a2.contains((1L, ts(50), 1L, 30L * 60000L)), a2.toString)
+      assert(a2.size == 2, s"duplicate or spurious alerts: $a2")
+    } finally q.stop()
+  }
+
   test("hllDistinct survives NULL user ids (batch twin tolerates them)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Option[Long])]

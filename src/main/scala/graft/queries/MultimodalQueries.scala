@@ -128,6 +128,46 @@ object MultimodalQueries {
           expr("byte_sum(window)").as("energy"))
     },
 
+    // ----------------------------------------------------------------- MM-5b
+    // Keyframe selection by content change — the video-pipeline step
+    // between frame slicing and (expensive) per-frame embedding: a frame
+    // is a keyframe when its byte-energy signature moves >25% off its
+    // predecessor's (integer cross-multiplied compare — exact), plus every
+    // first frame. Energy rides the native codegen'd byte_sum over the
+    // real BinaryType frame; the delta is one LAG per doc partition. At
+    // 100 TB this is the decimation gate that keeps the embedding stage
+    // O(keyframes), not O(frames); the (stubbed-decode) signature swaps
+    // for a perceptual hash without touching the plan shape.
+    QueryDef("mm_keyframes",
+      """WITH f AS (
+        |  SELECT doc_id, CAST(i AS INT) AS frame_idx,
+        |    substr(text, CAST(i * 256 + 1 AS INT), 256) AS frame
+        |  FROM documents,
+        |    unnest(range(0, CAST(ceil(length(text) / 256.0) AS BIGINT))) AS t(i)),
+        |e AS (
+        |  SELECT doc_id, frame_idx,
+        |    CAST(list_sum(list_transform(range(1, length(frame) + 1),
+        |      j -> ascii(substr(frame, CAST(j AS INT), 1)))) AS BIGINT) AS energy
+        |  FROM f),
+        |d AS (
+        |  SELECT doc_id, frame_idx, energy,
+        |    lag(energy) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+        |  FROM e)
+        |SELECT doc_id, frame_idx, energy,
+        |  CAST(abs(energy - prev) AS BIGINT) AS delta
+        |FROM d WHERE prev IS NULL OR abs(energy - prev) * 4 > prev""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.VectorExprs.register(s)
+      val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+      Multimodal.frameSample(media(s, dir), 256)
+        .withColumn("energy", expr("byte_sum(frame)"))
+        .withColumn("prev", lag("energy", 1).over(w))
+        .filter(col("prev").isNull ||
+          abs(col("energy") - col("prev")) * 4 > col("prev"))
+        .select(col("doc_id"), col("frame_idx"), col("energy"),
+          abs(col("energy") - col("prev")).cast("long").as("delta"))
+    },
+
     // ------------------------------------------------------------------ MM-6
     // VAD-shaped segmentation over the audio windows: threshold the
     // per-window mean byte energy (integer compare — exact), then

@@ -365,6 +365,46 @@ object TextQueries {
         .select("lang", "doc_id")
     },
 
+    // ---------------------------------------------------------------- TEXT-6d
+    // Corpus concentration (Gini over per-source token mass) — the
+    // one-number inequality stat a dataset card reports beside the mix
+    // table: 0 = every source contributes equally, →1 = one source IS the
+    // corpus (and the mix needs re-weighting before training). Exact
+    // parity by construction: Gini = Σ(2i−n−1)·w_i / (n·Σw) over
+    // ascending-sorted integer masses — every term integer, ONE double
+    // division at the end (never a libm detour). The global window runs
+    // over the SOURCE rollup (#sources rows — bounded metadata, the a27
+    // argument), not the corpus; the only corpus-sized work is the
+    // map-side-combinable per-source sum.
+    QueryDef("t_source_gini",
+      """WITH s AS (
+        |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS w
+        |  FROM documents GROUP BY source),
+        |r AS (
+        |  SELECT w,
+        |    ROW_NUMBER() OVER (ORDER BY w, source) AS i,
+        |    COUNT(*) OVER () AS n,
+        |    CAST(SUM(w) OVER () AS BIGINT) AS tot
+        |  FROM s)
+        |SELECT CAST(MAX(n) AS BIGINT) AS n_sources,
+        |  CAST(MAX(tot) AS BIGINT) AS total_chars,
+        |  CAST(SUM((2 * i - n - 1) * w) AS DOUBLE)
+        |    / (CAST(MAX(n) AS DOUBLE) * CAST(MAX(tot) AS DOUBLE)) AS gini
+        |FROM r""".stripMargin) { (s, dir) =>
+      val masses = Graft.table(s, dir, "documents")
+        .groupBy("source").agg(sum("n_chars").cast("long").as("w"))
+      val wRank = Window.orderBy(col("w"), col("source"))
+      val wAll = Window.partitionBy()
+      masses
+        .withColumn("i", row_number().over(wRank))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("tot", sum("w").over(wAll).cast("long"))
+        .agg(max("n").cast("long").as("n_sources"),
+          max("tot").cast("long").as("total_chars"),
+          (sum((lit(2) * col("i") - col("n") - 1) * col("w")).cast("double") /
+            (max("n").cast("double") * max("tot").cast("double"))).as("gini"))
+    },
+
     // ---------------------------------------------------------------- TEXT-7
     // Quality-filter funnel with reason codes: every document gets its
     // FIRST failing rule (or 'pass'), and the funnel reports per-reason

@@ -975,6 +975,41 @@ class QueriesSpec extends SparkSpec {
     assert(out == Seq((0L, 9, 1, 5L, 0L, 1)), out.toString)
   }
 
+  test("group sample k: exactly min(k, n) per stratum, deterministic membership") {
+    import spark.implicits._
+    // lang 'aa' has 3 docs (< k=8: all kept), 'bb' has 20 (exactly 8 kept)
+    val docs = ((1 to 3).map(i => (i.toLong, s"text $i", "aa")) ++
+      (10 to 29).map(i => (i.toLong, s"text $i", "bb")))
+      .toDF("doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("gsample").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("t_group_sample_k")(spark, dir)
+      .as[(String, Long)].collect().toSeq
+    assert(out.count(_._1 == "aa") == 3 && out.count(_._1 == "bb") == 8, out.toString)
+    // deterministic: md5 priority — the same draw on every run
+    val again = SparkEntry.queries("t_group_sample_k")(spark, dir)
+      .as[(String, Long)].collect().toSeq
+    assert(out.toSet == again.toSet)
+  }
+
+  test("source gini: equal masses score 0, a dominant source scores the textbook value") {
+    import spark.implicits._
+    def run(masses: Seq[(String, Long)]): (Long, Long, Double) = {
+      val docs = masses.zipWithIndex.map { case ((src, w), i) =>
+        (i.toLong, "t", src, w) }.toDF("doc_id", "text", "source", "n_chars")
+      val dir = java.nio.file.Files.createTempDirectory("gini").toString
+      docs.write.parquet(s"$dir/documents.parquet")
+      SparkEntry.queries("t_source_gini")(spark, dir)
+        .as[(Long, Long, Double)].collect().head
+    }
+    assert(run(Seq("a" -> 10L, "b" -> 10L, "c" -> 10L, "d" -> 10L)) ==
+      (4L, 40L, 0.0))
+    // masses 1,1,1,7: Σ(2i−n−1)w over ascending = (−3−1+1)·1 + 3·7 = 18;
+    // gini = 18 / (4·10) = 0.45
+    assert(run(Seq("a" -> 1L, "b" -> 1L, "c" -> 1L, "d" -> 7L)) ==
+      (4L, 10L, 0.45))
+  }
+
   test("source overlap: one crossing near-dup pair, jaccard 0.5 on the dup line") {
     import spark.implicits._
     // doc1 (s1) and doc2 (s2) share 2 of 4 distinct shingles -> jaccard

@@ -1910,6 +1910,36 @@ object ManifestSnapshots {
     }
   }
 
+  /** RESTORE (Delta's RESTORE TABLE / Iceberg's rollback) as a FORWARD
+    * commit: the new version's manifest is the target version's file
+    * list verbatim — metadata-only, no data moves, O(manifest) cost.
+    * History is preserved (the bad versions stay time-travelable until
+    * vacuum; an undo of the undo is another restore), which is why this
+    * is not a pointer rewind: rewinding would re-open the slots the bad
+    * versions burned and lose the audit trail. The target's files must
+    * still exist (vacuum may have reclaimed an expired version — checked
+    * against the live reference set here, fail-before-commit).
+    * expectedBase semantics like every rewrite-shaped commit: the table
+    * moving underneath raises ConcurrentModificationException.
+    * Incremental (CDC) consumers see a rewriting version and restate. */
+  def restore(spark: SparkSession, dir: String, toVersion: Long): Long = {
+    val hfs = fs(spark, dir)
+    val cur = latestVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"nothing to restore under $dir"))
+    require(toVersion <= cur, s"restore target $toVersion is ahead of $cur")
+    if (toVersion == cur) return cur
+    val target = readManifest(hfs, dir, toVersion).getOrElse(
+      sys.error(s"restore target version $toVersion has no parseable " +
+        s"manifest under $dir (vacuumed or never committed)"))
+    val base = dir.stripSuffix("/")
+    val missing = target.filterNot(e => hfs.exists(new Path(s"$base/${e.path}")))
+    require(missing.isEmpty,
+      s"restore target $toVersion references ${missing.size} reclaimed " +
+        s"file(s) (e.g. ${missing.head.path}) — the version expired; " +
+        "restore from a tagged or retained version instead")
+    commitLoop(hfs, dir, _ => target, expectedBase = Some(cur))
+  }
+
   /** PARTITION EVOLUTION as a version: rewrite the committed snapshot
     * into a new hive-partition layout — including to or from
     * unpartitioned — Iceberg's partition-spec change, realized as a full

@@ -1147,6 +1147,28 @@ object ExtraQueries {
       graft.core.ManifestSnapshots.read(s, msnapStore(s, dir), version = 1L)
     },
 
+    // -------------------------------------------------------- STORAGE-RESTORE
+    // RESTORE under the oracle gate: a good version, a "bad load" on top,
+    // then restore — the read back must equal the good version exactly,
+    // committed FORWARD (history preserved; the proof the disaster-undo
+    // path returns byte-identical content, not approximately-rolled-back
+    // content). Oracle states the good half straight off the raw table.
+    QueryDef("snap_restore",
+      """SELECT event_id, user_id, value FROM events
+        |WHERE event_id <= (SELECT MAX(event_id) // 2 FROM events)""".stripMargin) { (s, dir) =>
+      import graft.core.ManifestSnapshots
+      val ev = events(s, dir).select("event_id", "user_id", "value")
+      val fp = Graft.dataFingerprint(s, s"$dir/events.parquet")
+      val root = graft.core.StoreRoots.rootFor("graft_msnap_restore", "v1", dir, fp)
+      graft.core.StoreRoots.ensure(s, root) { tmp =>
+        val m = ev.agg(max("event_id")).head.getLong(0)
+        ManifestSnapshots.writeFull(ev.filter(col("event_id") <= m / 2), tmp)
+        ManifestSnapshots.appendDelta(ev.filter(col("event_id") > m / 2), tmp)
+        ManifestSnapshots.restore(s, tmp, 1L): Unit
+      }
+      ManifestSnapshots.readLatest(s, root)
+    },
+
     // --------------------------------------------------------- STORAGE-EVOLVE
     // Partition evolution under the oracle gate: a user_id%4-partitioned
     // store is rewritten to UNPARTITIONED (repartitionData — Iceberg's

@@ -1282,6 +1282,37 @@ class ManifestSnapshotSpec extends SparkSpec {
     }
   }
 
+  test("restore: forward-commit undo — content rewinds, history and slots don't") {
+    val dir = tmpDir("msnaprestore") + "/t"
+    ManifestSnapshots.writeFull(slice(0, 40), dir)          // v1 (good)
+    ManifestSnapshots.appendDelta(slice(40, 500), dir)      // v2 (bad load)
+    ManifestSnapshots.appendDelta(slice(500, 510), dir)     // v3 (bad load)
+    val v4 = ManifestSnapshots.restore(spark, dir, 1L)
+    assert(v4 == 4L, "restore must be a FORWARD commit, not a rewind")
+    assert(ManifestSnapshots.readLatest(spark, dir).count() == 40)
+    // history preserved: the bad versions still time-travel until vacuum
+    assert(ManifestSnapshots.read(spark, dir, 3L).count() == 510)
+    // CDC across the restore reports a rewrite, not silent row loss
+    assert(ManifestSnapshots.removedEntries(spark, dir, 3L, v4).nonEmpty)
+    // the chain continues from the restored content
+    ManifestSnapshots.appendDelta(slice(40, 50), dir)
+    assert(ManifestSnapshots.readLatest(spark, dir).count() == 50)
+    // restoring to the current version is a no-op; ahead-of-head refused
+    assert(ManifestSnapshots.restore(spark, dir, 5L) == 5L)
+    intercept[IllegalArgumentException] {
+      ManifestSnapshots.restore(spark, dir, 99L)
+    }
+    // a vacuumed target fails BEFORE committing anything
+    ManifestSnapshots.vacuum(spark, dir, keep = 1)
+    val ex = intercept[RuntimeException] {
+      ManifestSnapshots.restore(spark, dir, 2L)
+    }
+    assert(ex.getMessage.contains("vacuumed") ||
+      ex.getMessage.contains("reclaimed"), ex.getMessage)
+    assert(ManifestSnapshots.readLatest(spark, dir).count() == 50,
+      "failed restore must leave the table untouched")
+  }
+
   test("vacuum maxAgeHours: young versions survive past the keep window until they age out") {
     val dir = tmpDir("msnapvacage") + "/t"
     ManifestSnapshots.writeFull(slice(0, 30), dir)     // v1

@@ -320,6 +320,35 @@ object ExtraQueries {
           1).otherwise(0)).cast("long").as("n_outliers"))
     },
 
+    // ------------------------------------------------------------------ DQ-5
+    // Column-profile audit — the first thing a data contract checks on an
+    // unfamiliar feed: per column, row/null/empty counts and the exact
+    // distinct cardinality (at 100 TB the distinct count swaps for the
+    // a15_hll sketch; the profile shape is unchanged). One Expand pass
+    // (the a18b unpivot plan — no shuffle until the per-column rollup);
+    // profiled columns are strings or exact long→string casts, never a
+    // double→string render, whose formatting is not pinned across
+    // engines.
+    QueryDef("dq_profile",
+      """WITH s AS (
+        |  SELECT 'event_type' AS col_name, event_type AS v FROM events
+        |  UNION ALL SELECT 'props', props FROM events
+        |  UNION ALL SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events)
+        |SELECT col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  CAST(SUM(CASE WHEN v = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+        |  CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct
+        |FROM s GROUP BY col_name""".stripMargin) { (s, dir) =>
+      events(s, dir)
+        .selectExpr("stack(3, 'event_type', event_type, 'props', props, " +
+          "'user_id', cast(user_id as string)) as (col_name, v)")
+        .groupBy("col_name")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("v").isNull, 1).otherwise(0)).cast("long").as("n_null"),
+          sum(when(col("v") === "", 1).otherwise(0)).cast("long").as("n_empty"),
+          countDistinct(col("v")).as("n_distinct"))
+    },
+
     // ------------------------------------------------------------------ DQ-4
     // Feed-completeness audit (inter-event gaps): per entity, the largest
     // silence, the average cadence, and how many gaps exceeded a day — the

@@ -54,7 +54,8 @@ object ScaleBench {
     // cell rollup, PPS sampling's sharded prefix sum, and the |sample|·N
     // label audit all have data-dependent growth worth pinning
     "a28_mad", "dq_chi2_cells", "t_weighted_sample", "ann_label_consistency",
-    "d_source_overlap", "dq_gaps", "t_group_sample_k")
+    "d_source_overlap", "dq_gaps", "t_group_sample_k",
+    "mm_keyframes", "dq_profile", "t_source_gini", "set_intersect_except")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

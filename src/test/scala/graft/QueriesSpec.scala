@@ -1010,6 +1010,23 @@ class QueriesSpec extends SparkSpec {
       (4L, 10L, 0.45))
   }
 
+  test("keyframes: a hand-computed energy jump keys, a static payload doesn't") {
+    import spark.implicits._
+    // doc 1: 256 'a' then 256 'z' — energies 97·256=24832 and 122·256=31232,
+    // delta 6400; 6400·4 = 25600 > 24832 -> frame 1 keys.
+    // doc 2: two identical 'm' (=109) frames — delta 0, only frame 0 keys.
+    val docs = Seq(
+      (1L, "a" * 256 + "z" * 256),
+      (2L, "m" * 512)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("keyframes").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("mm_keyframes")(spark, dir)
+      .as[(Long, Int, Long, Option[Long])].collect().toSet
+    assert(out == Set(
+      (1L, 0, 24832L, None), (1L, 1, 31232L, Some(6400L)),
+      (2L, 0, 27904L, None)), out.toString)
+  }
+
   test("source overlap: one crossing near-dup pair, jaccard 0.5 on the dup line") {
     import spark.implicits._
     // doc1 (s1) and doc2 (s2) share 2 of 4 distinct shingles -> jaccard

@@ -1313,6 +1313,33 @@ class ManifestSnapshotSpec extends SparkSpec {
       "failed restore must leave the table untouched")
   }
 
+  test("restore across a partition evolution rebinds writers to the restored layout") {
+    val dir = tmpDir("msnaprestoreevo") + "/t"
+    val df = slice(0, 60)
+      .withColumn("p", (col("id") % 3).cast("string"))
+      .withColumn("q", (col("id") % 2).cast("string"))
+    ManifestSnapshots.writeFull(df, dir, Seq("p"))                 // v1: p-layout
+    ManifestSnapshots.repartitionData(spark, dir, Seq("q"))       // v2: q-layout
+    ManifestSnapshots.appendDelta(
+      slice(60, 70).withColumn("p", lit("9")).withColumn("q", lit("0")),
+      dir, Seq("q"))                                              // v3
+    // undo the evolution era entirely: back to v1's files and layout
+    val v4 = ManifestSnapshots.restore(spark, dir, 1L)
+    assert(ManifestSnapshots.readLatest(spark, dir).count() == 60)
+    // writers now rebind to the RESTORED layout: q-shaped deltas refused,
+    // p-shaped land — the shape contract follows the manifest, not history
+    intercept[IllegalArgumentException] {
+      ManifestSnapshots.appendDelta(slice(100, 105)
+        .withColumn("p", lit("9")).withColumn("q", lit("0")), dir, Seq("q"))
+    }
+    ManifestSnapshots.appendDelta(slice(100, 105)
+      .withColumn("p", lit("9")).withColumn("q", lit("0")), dir, Seq("p"))
+    assert(ManifestSnapshots.readLatest(spark, dir).count() == 65)
+    // and the evolution era still time-travels intact
+    assert(ManifestSnapshots.read(spark, dir, 3L).count() == 70)
+    assert(v4 == 4L)
+  }
+
   test("vacuum maxAgeHours: young versions survive past the keep window until they age out") {
     val dir = tmpDir("msnapvacage") + "/t"
     ManifestSnapshots.writeFull(slice(0, 30), dir)     // v1

@@ -1405,6 +1405,41 @@ object DedupQueries {
             count(lit(1)).cast("long").as("n_dup_spans"),
             sum("span_words").cast("long").as("dup_span_words")),
         flat)
+    },
+
+    // ---------------------------------------------------------------- DUP-14
+    // Prefix-duplicate clustering — the crawl-corpus screen for shared
+    // boilerplate HEADS (mirror pages, templated intros, licence
+    // preambles all share their first tokens while the tails diverge, so
+    // whole-document hashing misses them). The key is the exact first-5-
+    // token prefix; clusters keep their MIN doc_id as the canonical
+    // survivor — the d_exact_dedup keep rule, applied to a prefix key.
+    // One key shuffle on the prefix; at 100 TB the prefix string is a
+    // fixed small projection of each document (the scan never carries
+    // full text past the substring), and the join back is key-to-key.
+    QueryDef("d_prefix_cluster",
+      """WITH pref AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS prefix
+        |  FROM documents),
+        |cl AS (SELECT prefix, MIN(doc_id) AS cluster_id,
+        |         CAST(COUNT(*) AS BIGINT) AS cluster_size
+        |       FROM pref GROUP BY prefix HAVING COUNT(*) >= 2)
+        |SELECT p.doc_id, cl.cluster_id, cl.cluster_size,
+        |  p.doc_id = cl.cluster_id AS is_kept
+        |FROM pref p JOIN cl ON cl.prefix = p.prefix""".stripMargin) { (s, dir) =>
+      val pref = Graft.table(s, dir, "documents")
+        .select(col("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 5), " ").as("prefix"))
+        .persist() // feeds the cluster rollup AND the membership join
+      val cl = pref.groupBy("prefix")
+        .agg(min("doc_id").as("cluster_id"), count(lit(1)).cast("long").as("cluster_size"))
+        .filter(col("cluster_size") >= 2)
+      CacheScope.sealResult(
+        pref.join(cl, "prefix")
+          .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+            (col("doc_id") === col("cluster_id")).as("is_kept")),
+        pref)
     }
   )
 }

@@ -1577,6 +1577,198 @@ object ExtraQueries {
         .select(col("user_id"),
           col("sum_value").cast("double").as("sum_value"),
           col("min_value"), col("max_value"), col("n_rows"))
+    },
+
+    // ------------------------------------------------------------------ DQ-5
+    // Benford first-digit audit — the classic fabricated-amounts screen
+    // (synthetic or tampered financial data drifts from the logarithmic
+    // first-digit law long before summary stats move). One scan, one
+    // 9-group rollup; expected frequencies are ppm literals (log10 ratios
+    // baked in — no libm in either engine) and the per-digit χ²
+    // contribution is exact integer arithmetic on ppm deviations. At
+    // 100 TB this is the cheapest DQ gate in the file: the aggregate is
+    // map-side to 9 cells.
+    QueryDef("dq_benford",
+      """WITH digits AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR),
+        |                     1, 1) AS INT) AS digit
+        |  FROM lineitem WHERE l_extendedprice >= 1),
+        |cnts AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS cnt FROM digits GROUP BY digit),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM cnts),
+        |exp AS (SELECT * FROM (VALUES (1, CAST(301030 AS BIGINT)), (2, 176091),
+        |  (3, 124939), (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+        |  (9, 45757)) AS t(digit, exp_ppm))
+        |SELECT c.digit, c.cnt, (c.cnt * 1000000) // tot.total AS obs_ppm, e.exp_ppm,
+        |  (((c.cnt * 1000000) // tot.total - e.exp_ppm)
+        |    * ((c.cnt * 1000000) // tot.total - e.exp_ppm)) // e.exp_ppm AS chi2_scaled
+        |FROM cnts c JOIN exp e ON e.digit = c.digit, tot""".stripMargin) { (s, dir) =>
+      val benford = Seq(1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L,
+        5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+      val expPpm = benford.tail.foldLeft(
+        when(col("digit") === benford.head._1, benford.head._2)) {
+        case (acc, (d, p)) => acc.when(col("digit") === d, p)
+      }
+      val cnts = Graft.table(s, dir, "lineitem")
+        .filter(col("l_extendedprice") >= 1)
+        .select(substring(floor(col("l_extendedprice")).cast("long").cast("string"),
+          1, 1).cast("int").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).cast("long").as("cnt"))
+      val tot = cnts.agg(sum("cnt").cast("long").as("total"))
+      cnts.crossJoin(broadcast(tot))
+        .withColumn("obs_ppm", expr("cnt * 1000000 div total"))
+        .withColumn("exp_ppm", expPpm.cast("long"))
+        .select(col("digit"), col("cnt"), col("obs_ppm"), col("exp_ppm"),
+          expr("(obs_ppm - exp_ppm) * (obs_ppm - exp_ppm) div exp_ppm")
+            .as("chi2_scaled"))
+    },
+
+    // ------------------------------------------------------------------ DQ-6
+    // Exact two-sample Kolmogorov-Smirnov distance (purchase vs click
+    // value distributions) — the continuous-distribution drift test TVD's
+    // fixed buckets can't give (KS is bucket-free: sup |F1 − F2| over the
+    // observed support). Values quantize to exact cents, the support
+    // collapses to its distinct-value domain FIRST (one group-by — the
+    // raw-row sort never happens), and both CDFs ride one cumulative
+    // window over that domain. The statistic stays integer to the end:
+    // D_num = max |c1·n2 − c2·n1| over the common n1·n2 denominator, ONE
+    // integer division to ppm. Scale: the unpartitioned cumulative window
+    // runs over the DOMAIN (cents cardinality, bounded by the value range
+    // — ~50k rows here, invariant in the row count), not the data; a
+    // genuinely unbounded domain would range-partition the prefix sum.
+    QueryDef("dq_ks",
+      """WITH pts AS (
+        |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g2
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |byv AS (SELECT v, CAST(SUM(g1) AS BIGINT) AS n1v, CAST(SUM(g2) AS BIGINT) AS n2v
+        |        FROM pts GROUP BY v),
+        |tot AS (SELECT CAST(SUM(n1v) AS BIGINT) AS n1, CAST(SUM(n2v) AS BIGINT) AS n2
+        |        FROM byv),
+        |cum AS (SELECT v, CAST(SUM(n1v) OVER (ORDER BY v) AS BIGINT) AS c1,
+        |               CAST(SUM(n2v) OVER (ORDER BY v) AS BIGINT) AS c2 FROM byv),
+        |d AS (SELECT cum.v, abs(cum.c1 * tot.n2 - cum.c2 * tot.n1) AS d_num,
+        |        tot.n1, tot.n2 FROM cum, tot)
+        |SELECT d_num, n1, n2, (d_num * 1000000) // (n1 * n2) AS ks_ppm, v AS at_v
+        |FROM d ORDER BY d_num DESC, v LIMIT 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val byv = events(s, dir)
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(floor(col("value") * 100 + 0.5).cast("long").as("v"),
+          when(col("event_type") === "purchase", 1).otherwise(0).as("g1"),
+          when(col("event_type") === "click", 1).otherwise(0).as("g2"))
+        .groupBy("v")
+        .agg(sum("g1").cast("long").as("n1v"), sum("g2").cast("long").as("n2v"))
+        .persist() // feeds the totals AND the cumulative window
+      val tot = byv.agg(sum("n1v").cast("long").as("n1"),
+        sum("n2v").cast("long").as("n2"))
+      val wCdf = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val out = byv
+        .select(col("v"), sum("n1v").over(wCdf).as("c1"), sum("n2v").over(wCdf).as("c2"))
+        .crossJoin(broadcast(tot))
+        .select(abs(col("c1") * col("n2") - col("c2") * col("n1")).as("d_num"),
+          col("n1"), col("n2"), col("v"))
+        .orderBy(col("d_num").desc, col("v")).limit(1)
+        .select(col("d_num"), col("n1"), col("n2"),
+          expr("d_num * 1000000 div (n1 * n2)").as("ks_ppm"), col("v").as("at_v"))
+      CacheScope.sealResult(out, byv)
+    },
+
+    // ------------------------------------------------------------------ A-29
+    // Lag-1 autocorrelation of the daily event-count series per event
+    // type — the seasonality/trend screen a feature pipeline runs before
+    // trusting rolling-window features ("is yesterday predictive of
+    // today?"). Day counts and all five regression moments stay BIGINT
+    // (one |rows|→|days| rollup, then a lag window over the tiny daily
+    // series); the Pearson r over the lagged pairs is exactly three
+    // correctly-rounded IEEE steps (cast, multiply, sqrt-divide) — the
+    // w9_auc/dq_chi2 parity discipline. Emitting the moments alongside r
+    // makes the row self-verifying.
+    QueryDef("a29_acf",
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT event_type, cnt AS y,
+        |    lag(cnt) OVER (PARTITION BY event_type ORDER BY day) AS x
+        |  FROM daily),
+        |m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |        CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |        CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy
+        |      FROM lagged WHERE x IS NOT NULL GROUP BY event_type)
+        |SELECT event_type, n, sx, sy, sxy, sxx, syy,
+        |  CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |           * CAST(n * syy - sy * sy AS DOUBLE)) AS acf1
+        |FROM m""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+      val lagged = daily.select(col("event_type"), col("cnt").as("y"),
+        lag("cnt", 1).over(
+          Window.partitionBy("event_type").orderBy("day")).as("x"))
+      lagged.filter(col("x").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum("x").cast("long").as("sx"), sum("y").cast("long").as("sy"),
+          sum(col("x") * col("y")).cast("long").as("sxy"),
+          sum(col("x") * col("x")).cast("long").as("sxx"),
+          sum(col("y") * col("y")).cast("long").as("syy"))
+        .withColumn("acf1",
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+              (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+    },
+
+    // ------------------------------------------------------------------ W-18
+    // Bounded-memory EWMA (α = ½, 8-tap) over each user's event-value
+    // series — the streaming-shaped smoother behind "recent activity
+    // level" features. The geometric tail is truncated at 8 taps so the
+    // weights are exact powers of two (128, 64, …, 1) over exact cents:
+    // the whole smoother is integer arithmetic with ONE final
+    // correctly-rounded IEEE division, and the window is a fixed 8-row
+    // lookback (constant state per row at any scale — the same reason
+    // production EWMAs carry bounded state). Short prefixes renormalize
+    // over the PRESENT taps' weight sum, so row 1's EWMA is its own value.
+    QueryDef("w18_ewma", {
+      val lags = (1 to 7).map { k =>
+        val w = 1 << (7 - k)
+        s"""    COALESCE(lag(cents, $k) OVER win, 0) AS x$k,
+           |    CASE WHEN lag(cents, $k) OVER win IS NULL THEN 0 ELSE $w END AS w$k""".stripMargin
+      }.mkString(",\n")
+      val numSql = "cents * 128 + " + (1 to 7).map(k => s"x$k * w$k").mkString(" + ")
+      val denSql = "128 + " + (1 to 7).map(k => s"w$k").mkString(" + ")
+      s"""WITH c AS (SELECT user_id, event_id, ts,
+         |             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+         |l AS (SELECT user_id, event_id, cents,
+         |$lags
+         |  FROM c WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))
+         |SELECT user_id, event_id, cents,
+         |  CAST($numSql AS BIGINT) AS ewma_num, CAST($denSql AS BIGINT) AS ewma_den,
+         |  CAST($numSql AS DOUBLE) / ($denSql) AS ewma_cents
+         |FROM l""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val c = events(s, dir).select(col("user_id"), col("event_id"), col("ts"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      val l = (1 to 7).foldLeft(c) { (df, k) =>
+        val lagged = lag("cents", k).over(win)
+        df.withColumn(s"x$k", coalesce(lagged, lit(0L)))
+          .withColumn(s"w$k", when(lagged.isNull, 0L).otherwise(1L << (7 - k)))
+      }
+      val num = (1 to 7).foldLeft(col("cents") * 128) { (acc, k) =>
+        acc + col(s"x$k") * col(s"w$k")
+      }
+      val den = (1 to 7).foldLeft(lit(128L).cast("long")) { (acc, k) =>
+        acc + col(s"w$k")
+      }
+      l.select(col("user_id"), col("event_id"), col("cents"),
+        num.as("ewma_num"), den.as("ewma_den"),
+        (num.cast("double") / den).as("ewma_cents"))
     }
   )
 }

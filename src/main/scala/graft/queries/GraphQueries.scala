@@ -345,6 +345,257 @@ object GraphQueries {
           expr("cast(shared_parts * (shared_parts - 1) div 2 AS bigint)")
             .as("pair_butterflies"),
           col("total_butterflies"), col("rank"))
+    },
+
+    // --------------------------------------------------------------- GRAPH-4
+    // Triangle counting over the thresholded co-purchase graph — the
+    // density primitive under community/collusion detection (a wallet ring
+    // shows up as a dense triangle cluster long before any single pair is
+    // suspicious). The unipartite edge set is the butterfly pair space
+    // thresholded at ≥3 shared parts (sparsifies 8.5M pairs → ~15k edges
+    // at sf0.1); counting then uses DEGREE-ORDERED orientation — every
+    // edge points from its lower-(deg, node) endpoint, so a node's
+    // oriented out-degree is bounded by O(√E) regardless of how skewed
+    // the raw degree distribution is, and the wedge space (the quadratic
+    // term) is arboricity-bounded instead of hub-squared. Wedges generate
+    // MAP-SIDE from each node's sorted oriented-adjacency list (the
+    // butterfly explode idiom) and close against the oriented edge set on
+    // a packed one-long key (primitive-key hashmap, no struct keys). The
+    // oracle counts the same triangle set via the simpler a<b<c
+    // orientation — identical triangles, per-node counts, and total.
+    QueryDef("g_triangles",
+      """WITH e AS (
+        |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS k
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |kd AS (SELECT k, COUNT(*) AS d FROM e GROUP BY k),
+        |ek AS (SELECT e.c, e.k FROM e JOIN kd ON kd.k = e.k WHERE kd.d <= 4096),
+        |pairs AS (
+        |  SELECT a.c AS c1, b.c AS c2 FROM ek a JOIN ek b ON a.k = b.k AND a.c < b.c
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |tri AS (
+        |  SELECT p1.c1 AS a, p1.c2 AS b, p2.c2 AS c
+        |  FROM pairs p1 JOIN pairs p2 ON p2.c1 = p1.c2
+        |  JOIN pairs p3 ON p3.c1 = p1.c1 AND p3.c2 = p2.c2),
+        |pernode AS (
+        |  SELECT node, CAST(COUNT(*) AS BIGINT) AS tri_count FROM (
+        |    SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri)
+        |  GROUP BY node),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_triangles FROM tri)
+        |SELECT node, tri_count, total_triangles, rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (ORDER BY tri_count DESC, node) AS rank
+        |  FROM pernode), tot
+        |WHERE rank <= 20""".stripMargin) { (s, dir) =>
+      val shuffleP = s.sessionState.conf.numShufflePartitions
+      // edge build = the butterfly pair space (one key-shuffle capped
+      // adjacency, map-side pair explode, packed-long pair key) with the
+      // ≥3-shared-parts threshold applied at the pair aggregate
+      val byK = Graft.table(s, dir, "orders")
+        .join(Graft.table(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("k"))
+        .groupBy("k").agg(sort_array(collect_set(col("c"))).as("cs"))
+        .filter(size(col("cs")).between(2, 4096))
+        .repartition(shuffleP, col("k"))
+      val edges = byK
+        .select(explode(expr(
+          """flatten(transform(sequence(1, size(cs) - 1),
+            |  i -> transform(sequence(i + 1, size(cs)),
+            |    j -> element_at(cs, i) * 4294967296L + element_at(cs, j))))""".stripMargin))
+          .as("pk"))
+        .groupBy("pk").agg(count(lit(1)).as("sp"))
+        .filter(col("sp") >= 3)
+        .select(expr("pk div 4294967296L").as("c1"),
+          expr("pk % 4294967296L").as("c2"))
+        .persist() // feeds degree, orientation, and (via oriented) probe
+      val deg = edges.select(col("c1").as("node"))
+        .unionAll(edges.select(col("c2").as("node")))
+        .groupBy("node").agg(count(lit(1)).cast("long").as("deg"))
+      // orient each edge from its lower (deg, node) endpoint; ordKey packs
+      // (deg, node) into one long so the orientation compare, the
+      // adjacency sort, and the wedge pair order are all the same compare
+      val en = edges
+        .join(deg.select(col("node").as("c1"), col("deg").as("d1")), "c1")
+        .join(deg.select(col("node").as("c2"), col("deg").as("d2")), "c2")
+        .select(expr("d1 * 4294967296L + c1").as("k1"),
+          expr("d2 * 4294967296L + c2").as("k2"))
+      val oriented = en
+        .select(when(col("k1") < col("k2"), col("k1")).otherwise(col("k2")).as("src_k"),
+          when(col("k1") < col("k2"), col("k2")).otherwise(col("k1")).as("dst_k"))
+        .persist() // feeds the adjacency AND the closing-edge probe set
+      val adj = oriented
+        .groupBy(expr("src_k % 4294967296L").as("src"))
+        .agg(sort_array(collect_list(col("dst_k"))).as("ks"))
+        .filter(size(col("ks")) >= 2)
+        // same AQE explode-amplification re-spread as g_butterfly
+        .repartition(shuffleP, col("src"))
+      // wedge (src; d1, d2) with ordKey(d1) < ordKey(d2) closes iff the
+      // oriented edge d1 → d2 exists; probe key = node(d1)·2^32 + node(d2)
+      val wedges = adj.select(col("src"), explode(expr(
+        """flatten(transform(sequence(1, size(ks) - 1),
+          |  i -> transform(sequence(i + 1, size(ks)),
+          |    j -> (element_at(ks, i) % 4294967296L) * 4294967296L
+          |         + (element_at(ks, j) % 4294967296L))))""".stripMargin)).as("pk2"))
+      val probe = oriented.select(
+        expr("(src_k % 4294967296L) * 4294967296L + (dst_k % 4294967296L)").as("pk2"))
+      val tri = wedges.join(probe, "pk2")
+        .select(col("src").as("a"), expr("pk2 div 4294967296L").as("b"),
+          expr("pk2 % 4294967296L").as("c"))
+        .persist() // feeds the per-node rollup AND the global total
+      val pernode = tri.select(col("a").as("node"))
+        .unionAll(tri.select(col("b").as("node")))
+        .unionAll(tri.select(col("c").as("node")))
+        .groupBy("node").agg(count(lit(1)).cast("long").as("tri_count"))
+      // degree-ordered enumeration emits each triangle exactly once (the
+      // wedge lives at the triangle's lowest-(deg, node) corner)
+      val tot = tri.agg(count(lit(1)).cast("long").as("total_triangles"))
+      import org.apache.spark.sql.expressions.Window
+      val rankOrder = Seq(col("tri_count").desc, col("node"))
+      CacheScope.sealResult(
+        pernode.orderBy(rankOrder: _*).limit(20)
+          .withColumn("rank", row_number().over(Window.orderBy(rankOrder: _*)))
+          .crossJoin(broadcast(tot))
+          .select(col("node"), col("tri_count"), col("total_triangles"), col("rank")),
+        edges, oriented, tri)
+    },
+
+    // --------------------------------------------------------------- GRAPH-5
+    // Neighbor-set Jaccard similarity between suppliers ("stores with the
+    // same customer base") — the node-similarity primitive under
+    // entity-resolution and substitute detection. Candidate pairs come
+    // ONLY from co-occurrence (two suppliers meet a pair row iff they
+    // share ≥1 customer — never |S|² all-pairs), blocked per customer
+    // with the same 4096 hub cap as the butterfly (a retail-giant
+    // customer connected to every supplier must not quadratically
+    // dominate; inactive at test scale). |A∩B| is the pair count,
+    // |A|,|B| are per-supplier degrees over the SAME capped edge set, and
+    // Jaccard is exact integer ppm — no floats anywhere.
+    QueryDef("g_jaccard",
+      """WITH e AS (
+        |  SELECT DISTINCT l.l_suppkey AS sk, o.o_custkey AS c
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |cd AS (SELECT c, COUNT(*) AS d FROM e GROUP BY c),
+        |ec AS (SELECT e.sk, e.c FROM e JOIN cd ON cd.c = e.c WHERE cd.d <= 4096),
+        |deg AS (SELECT sk, CAST(COUNT(*) AS BIGINT) AS deg FROM ec GROUP BY sk),
+        |inter AS (
+        |  SELECT a.sk AS s1, b.sk AS s2, CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM ec a JOIN ec b ON a.c = b.c AND a.sk < b.sk GROUP BY 1, 2),
+        |j AS (
+        |  SELECT i.s1, i.s2, i.inter, d1.deg AS deg1, d2.deg AS deg2,
+        |    (i.inter * 1000000) // (d1.deg + d2.deg - i.inter) AS jaccard_ppm
+        |  FROM inter i JOIN deg d1 ON d1.sk = i.s1 JOIN deg d2 ON d2.sk = i.s2)
+        |SELECT s1, s2, inter, deg1, deg2, jaccard_ppm, rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (ORDER BY jaccard_ppm DESC, s1, s2) AS rank
+        |  FROM j)
+        |WHERE rank <= 20""".stripMargin) { (s, dir) =>
+      val shuffleP = s.sessionState.conf.numShufflePartitions
+      // one key-shuffle builds the capped per-customer supplier sets (the
+      // cap folds into the same ObjectHashAggregate); a second projection
+      // of the SAME grouped relation yields the supplier degrees, so the
+      // capped edge set is materialized exactly once
+      val byC = Graft.table(s, dir, "orders")
+        .join(Graft.table(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("l_suppkey").as("sk"), col("o_custkey").as("c"))
+        .groupBy("c").agg(sort_array(collect_set(col("sk"))).as("ss"))
+        .filter(size(col("ss")) <= 4096)
+        .persist() // feeds the pair explode AND the degree rollup
+      val deg = byC.select(explode(col("ss")).as("sk"))
+        .groupBy("sk").agg(count(lit(1)).cast("long").as("deg"))
+      val inter = byC.filter(size(col("ss")) >= 2)
+        .repartition(shuffleP, col("c")) // g_butterfly's AQE re-spread
+        .select(explode(expr(
+          """flatten(transform(sequence(1, size(ss) - 1),
+            |  i -> transform(sequence(i + 1, size(ss)),
+            |    j -> element_at(ss, i) * 4294967296L + element_at(ss, j))))""".stripMargin))
+          .as("pk"))
+        .groupBy("pk").agg(count(lit(1)).cast("long").as("inter"))
+        .select(expr("pk div 4294967296L").as("s1"),
+          expr("pk % 4294967296L").as("s2"), col("inter"))
+      val j = inter
+        .join(deg.select(col("sk").as("s1"), col("deg").as("deg1")), "s1")
+        .join(deg.select(col("sk").as("s2"), col("deg").as("deg2")), "s2")
+        .withColumn("jaccard_ppm",
+          expr("inter * 1000000 div (deg1 + deg2 - inter)"))
+      import org.apache.spark.sql.expressions.Window
+      val rankOrder = Seq(col("jaccard_ppm").desc, col("s1"), col("s2"))
+      CacheScope.sealResult(
+        j.orderBy(rankOrder: _*).limit(20)
+          .withColumn("rank", row_number().over(Window.orderBy(rankOrder: _*)))
+          .select(col("s1"), col("s2"), col("inter"), col("deg1"), col("deg2"),
+            col("jaccard_ppm"), col("rank")),
+        byC)
+    },
+
+    // --------------------------------------------------------------- GRAPH-6
+    // HITS hubs/authorities on the bipartite customer→supplier graph —
+    // the natural bipartite centrality (PageRank's g_pr treats the graph
+    // as unipartite): a supplier's authority is the summed hub mass of
+    // its customers, a customer's hub mass the summed authority of its
+    // suppliers. Two unrolled iterations with L1 (sum) normalization to
+    // ppm after every half-step — all-BIGINT arithmetic (order-independent
+    // at any parallelism, exact in the oracle), instead of the classic
+    // L2 normalization whose sqrt would put a libm call inside the
+    // iteration. Per half-step cost: one |E|-row join + |V|-group
+    // aggregate — the g_pr superstep shape, linear at 100 TB. The 1-row
+    // normalizer rides a broadcast cross join (the j13 scalar idiom).
+    QueryDef("g_hits",
+      """WITH e AS (
+        |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS sk
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |h0 AS (SELECT DISTINCT c, CAST(1000000 AS BIGINT) AS h FROM e),
+        |a1 AS (SELECT e.sk, CAST(SUM(h0.h) AS BIGINT) AS a
+        |       FROM e JOIN h0 ON h0.c = e.c GROUP BY e.sk),
+        |a1n AS (SELECT sk, CAST((a * 1000000)
+        |          // (SELECT CAST(SUM(a) AS BIGINT) FROM a1) AS BIGINT) AS a FROM a1),
+        |h1 AS (SELECT e.c, CAST(SUM(a1n.a) AS BIGINT) AS h
+        |       FROM e JOIN a1n ON a1n.sk = e.sk GROUP BY e.c),
+        |h1n AS (SELECT c, CAST((h * 1000000)
+        |          // (SELECT CAST(SUM(h) AS BIGINT) FROM h1) AS BIGINT) AS h FROM h1),
+        |a2 AS (SELECT e.sk, CAST(SUM(h1n.h) AS BIGINT) AS a
+        |       FROM e JOIN h1n ON h1n.c = e.c GROUP BY e.sk),
+        |a2n AS (SELECT sk, CAST((a * 1000000)
+        |          // (SELECT CAST(SUM(a) AS BIGINT) FROM a2) AS BIGINT) AS a FROM a2)
+        |SELECT sk, a AS authority_ppm, rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (ORDER BY a DESC, sk) AS rank FROM a2n)
+        |WHERE rank <= 20""".stripMargin) { (s, dir) =>
+      // BIGINT headroom: each un-normalized score is ≤ deg·1e6 and the
+      // re-scale multiplies by 1e6 before the integer divide — safe to
+      // ~9e5 edges per node at ppm scale; a trillion-edge deployment
+      // drops the scale to 1e3 or widens to DECIMAL(38,0), same plan
+      val e0 = Graft.table(s, dir, "orders")
+        .join(Graft.table(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+        .distinct()
+        .persist() // the loop-invariant edge relation: four join consumers
+      // each un-normalized half-step aggregate feeds TWO consumers (its
+      // own L1 total and the normalized projection) — and the chain
+      // compounds: left lazy, a2n's lineage would re-execute a1 four
+      // times. Persist the |V|-row aggregate at every half-step (the g_pr
+      // superstep-state discipline) so each |E|-row join runs exactly once.
+      val steps = Seq.newBuilder[DataFrame]
+      def l1norm(df0: DataFrame, key: String, v: String): DataFrame = {
+        val df = df0.persist()
+        steps += df
+        val tot = df.agg(sum(v).as("t"))
+        df.crossJoin(broadcast(tot))
+          .select(col(key), expr(s"$v * 1000000 div t").as(v))
+      }
+      val h0 = e0.select("c").distinct().withColumn("h", lit(1000000L))
+      val a1n = l1norm(
+        e0.join(h0, "c").groupBy("sk").agg(sum("h").as("a")), "sk", "a")
+      val h1n = l1norm(
+        e0.join(a1n, "sk").groupBy("c").agg(sum("a").as("h")), "c", "h")
+      val a2n = l1norm(
+        e0.join(h1n, "c").groupBy("sk").agg(sum("h").as("a")), "sk", "a")
+      import org.apache.spark.sql.expressions.Window
+      val rankOrder = Seq(col("a").desc, col("sk"))
+      CacheScope.sealResult(
+        a2n.orderBy(rankOrder: _*).limit(20)
+          .withColumn("rank", row_number().over(Window.orderBy(rankOrder: _*)))
+          .select(col("sk"), col("a").as("authority_ppm"), col("rank")),
+        e0 +: steps.result(): _*)
     }
   )
 }

@@ -813,5 +813,35 @@ object SimilarityQueries {
       graft.pipeline.AnnStore.ensureBuilt(s, root, emb)
       graft.pipeline.AnnStore.probe(s, root,
         emb.filter(col("vec_id") < 8), nprobe = 4, k = 5)
+    } :+
+    // ---------------------------------------------------------------- ANN-7
+    // Radius (range) search — "everything within cosine τ of these
+    // queries", the retrieval shape dedup-verification and contamination
+    // scans want (top-k truncates; a radius query must not). Exact over
+    // the full corpus: the bounded query set broadcasts, the corpus scan
+    // stays shuffle-free, and cost is |Q|·N with the native long_dot in
+    // the hot loop — the ann_bruteforce economics, where |Q| (not N) is
+    // the knob at 100 TB. The IVF route (ann_ivf/ann_ivfs) composes when
+    // the query set itself is large; at τ this low the exact scan IS the
+    // recall guarantee.
+    QueryDef("ann_range_search",
+      s"""WITH n AS (
+         |  SELECT vec_id, $quantSql AS qv,
+         |    CAST(list_sum(list_transform($quantSql, x -> x * x)) AS BIGINT) AS nq
+         |  FROM embeddings)
+         |SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |  CAST(CAST(list_sum(list_transform(list_zip(q.qv, c.qv), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
+         |    / (sqrt(CAST(q.nq AS DOUBLE)) * sqrt(CAST(c.nq AS DOUBLE))) AS cos_sim
+         |FROM n q JOIN n c ON q.vec_id % 97 = 0 AND c.vec_id <> q.vec_id
+         |WHERE CAST(CAST(list_sum(list_transform(list_zip(q.qv, c.qv), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
+         |    / (sqrt(CAST(q.nq AS DOUBLE)) * sqrt(CAST(c.nq AS DOUBLE))) >= 0.3""".stripMargin) { (s, dir) =>
+      val n = emb(s, dir)
+      val q = n.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("nq").as("q_nq"))
+      val c = n.select(col("vec_id").as("n_id"), col("qv").as("c_qv"), col("nq").as("c_nq"))
+      broadcast(q).join(c, col("n_id") =!= col("q_id"))
+        .withColumn("cos_sim", cosCol)
+        .filter(col("cos_sim") >= 0.3)
+        .select("q_id", "n_id", "cos_sim")
     }
 }

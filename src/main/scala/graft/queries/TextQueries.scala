@@ -1285,6 +1285,33 @@ object TextQueries {
           .orderBy(col("dsir_score").desc, col("doc_id"))
           .limit(100),
         db)
+    },
+
+    // ----------------------------------------------------------------- T-23
+    // Frequency-of-frequencies spectrum per source (Good-Turing's N_c
+    // table, decimal-bucketed) — the corpus-health profile behind
+    // smoothing choices and "is this source natural language?" checks: a
+    // natural corpus has a fat hapax band and a long magnitude tail; a
+    // templated/bot source collapses to a few magnitude buckets. The
+    // bucket is the count's DIGIT LENGTH (⌊log10⌋+1) — exact integer
+    // string length in both engines, no libm log whose ulp isn't pinned.
+    // Cost: one token rollup (the t_unigram shuffle), then a
+    // vocabulary-sized regroup — scale-free above the first shuffle.
+    QueryDef("t_freq_spectrum",
+      """WITH words AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+        |freq AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cnt
+        |         FROM words GROUP BY 1, 2)
+        |SELECT source, CAST(length(CAST(cnt AS VARCHAR)) AS INT) AS mag,
+        |  CAST(COUNT(*) AS BIGINT) AS n_types, CAST(SUM(cnt) AS BIGINT) AS n_tokens
+        |FROM freq GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      Graft.table(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).cast("long").as("cnt"))
+        .groupBy(col("source"),
+          length(col("cnt").cast("string")).cast("int").as("mag"))
+        .agg(count(lit(1)).cast("long").as("n_types"),
+          sum("cnt").cast("long").as("n_tokens"))
     }
   )
 }

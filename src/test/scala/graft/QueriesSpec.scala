@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.{expr, lit}
+
 /** Registry-wide smoke: every declared operator query runs at sf0.001,
   * returns rows, and the contract between `queries` and `oracleSql` holds
   * (names line up; per-query value parity is the driver's DuckDB diff —
@@ -1041,5 +1043,171 @@ class QueriesSpec extends SparkSpec {
     val out = SparkEntry.queries("d_source_overlap")(spark, dir)
       .as[(String, String, Long, Long, Double)].collect().toSeq
     assert(out == Seq(("s1", "s2", 1L, 1L, 0.5)), out.toString)
+  }
+
+  /** Shared co-purchase fixture writer for the graph goldens: one order
+    * per customer, one lineitem row per (customer, part | supplier). */
+  private def writeGraphDir(rows: Seq[(Long, Long, Long)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graphgold").toString
+    rows.map(_._1).distinct.map(c => (c, c)).toDF("o_orderkey", "o_custkey")
+      .write.parquet(s"$dir/orders.parquet")
+    rows.map { case (c, p, sk) => (c, p, sk) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    dir
+  }
+
+  test("triangles: one 3-shared-part triangle counted once, dangling edge silent") {
+    import spark.implicits._
+    // customers 1,2,3 all buy parts 101-103 (every pair shares 3 -> edges);
+    // 2 and 4 share parts 104-106 (edge 2-4). Edge set = triangle {1,2,3}
+    // plus the dangling 2-4: exactly ONE triangle, each corner counts 1.
+    val rows = for {
+      c <- Seq(1L, 2L, 3L); p <- Seq(101L, 102L, 103L)
+    } yield (c, p, 0L)
+    val extra = for { c <- Seq(2L, 4L); p <- Seq(104L, 105L, 106L) } yield (c, p, 0L)
+    val dir = writeGraphDir(rows ++ extra)
+    val out = SparkEntry.queries("g_triangles")(spark, dir)
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._4)
+    assert(out.toSeq == Seq(
+      (1L, 1L, 1L, 1), (2L, 1L, 1L, 2), (3L, 1L, 1L, 3)), out.toSeq.toString)
+  }
+
+  test("jaccard: |{2,3}| over |{1,2,3}| is exactly 666666 ppm") {
+    // supplier 11 serves customers {1,2,3}; supplier 22 serves {2,3}:
+    // inter 2, degrees 3 and 2, union 3 -> floor(2e6/3) = 666666 ppm
+    val rows = Seq((1L, 0L, 11L), (2L, 0L, 11L), (3L, 0L, 11L),
+      (2L, 0L, 22L), (3L, 0L, 22L))
+    import spark.implicits._
+    val dir = writeGraphDir(rows)
+    val out = SparkEntry.queries("g_jaccard")(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Int)].collect().toSeq
+    assert(out == Seq((11L, 22L, 2L, 3L, 2L, 666666L, 1)), out.toString)
+  }
+
+  test("hits: two-iteration L1-normalized authority is exact integer ppm") {
+    import spark.implicits._
+    // c1,c2 -> s11; c3 -> s22. By hand: a1n = (666666, 333333);
+    // h1n = (400000, 400000, 200000) — both divisions land EXACT
+    // (1666665 * 400000 = 666666000000); a2 = (800000, 200000),
+    // total 1000000, so a2n is itself.
+    val rows = Seq((1L, 0L, 11L), (2L, 0L, 11L), (3L, 0L, 22L))
+    val dir = writeGraphDir(rows)
+    val out = SparkEntry.queries("g_hits")(spark, dir)
+      .as[(Long, Long, Int)].collect().sortBy(_._3)
+    assert(out.toSeq == Seq((11L, 800000L, 1), (22L, 200000L, 2)), out.toSeq.toString)
+  }
+
+  test("benford: first digits of 1.5/19/25, sub-1 price filtered out") {
+    import spark.implicits._
+    // digits: 1.5 -> 1, 19 -> 1, 25 -> 2, (0.5 drops). total 3:
+    // obs_ppm = (666666, 333333); chi2 via the same integer formula
+    val li = Seq((1L, 1.5), (2L, 19.0), (3L, 25.0), (4L, 0.5))
+      .toDF("l_orderkey", "l_extendedprice")
+    val dir = java.nio.file.Files.createTempDirectory("benford").toString
+    li.write.parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry.queries("dq_benford")(spark, dir)
+      .as[(Int, Long, Long, Long, Long)].collect().sortBy(_._1)
+    def chi2(obs: Long, exp: Long) = (obs - exp) * (obs - exp) / exp
+    assert(out.toSeq == Seq(
+      (1, 2L, 666666L, 301030L, chi2(666666L, 301030L)),
+      (2, 1L, 333333L, 176091L, chi2(333333L, 176091L))), out.toSeq.toString)
+  }
+
+  test("ks: sup gap of two 2-point CDFs sits at the lower support point") {
+    import spark.implicits._
+    // purchase {1.00, 2.00} vs click {2.00}: at v=100 cents F1=1/2,
+    // F2=0 -> |c1*n2 - c2*n1| = 1; at v=200 both CDFs reach 1 -> 0.
+    // D = 1/(2*1) -> 500000 ppm at v=100.
+    val rows = Seq((1L, "purchase", 1.0), (2L, "purchase", 2.0), (3L, "click", 2.0))
+    val ev = rows.toDF("event_id", "event_type", "value")
+      .withColumn("ts", expr("timestamp_micros(event_id * 1000000)"))
+      .withColumn("user_id", lit(1L)).withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("ks").toString
+    ev.write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("dq_ks")(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L, 1L, 500000L, 100L)), out.toString)
+  }
+
+  test("ewma: 8-tap power-of-two weights renormalize over short prefixes") {
+    import spark.implicits._
+    // one user, values 1.00/2.00/4.00 cents 100/200/400:
+    // row1 100*128/128 = 100; row2 (200*128+100*64)/192 = 166.666…;
+    // row3 (400*128+200*64+100*32)/224 = 67200/224 = 300 exactly
+    val rows = Seq((1L, 1.0), (2L, 2.0), (3L, 4.0))
+    val ev = rows.toDF("event_id", "value")
+      .withColumn("ts", expr("timestamp_micros(event_id * 1000000)"))
+      .withColumn("user_id", lit(7L)).withColumn("event_type", lit("t"))
+      .withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("ewma").toString
+    ev.write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("w18_ewma")(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().sortBy(_._2)
+    assert(out.toSeq == Seq(
+      (7L, 1L, 100L, 12800L, 128L, 100.0),
+      (7L, 2L, 200L, 32000L, 192L, 32000.0 / 192),
+      (7L, 3L, 400L, 67200L, 224L, 300.0)), out.toSeq.toString)
+  }
+
+  test("acf: a perfectly linear daily series has lag-1 correlation exactly 1") {
+    import spark.implicits._
+    // one event day 1, two day 2, three day 3: pairs (1,2),(2,3) ->
+    // n=2 sx=3 sy=5 sxy=8 sxx=5 syy=13; num = 16-15 = 1,
+    // den = sqrt((10-9)(26-25)) = 1 -> acf1 = 1.0 exactly
+    val rows = (1 to 1).map(i => (i.toLong, 1L)) ++
+      (2 to 3).map(i => (i.toLong + 10, 2L)) ++
+      (4 to 6).map(i => (i.toLong + 20, 3L))
+    val ev = rows.toDF("event_id", "day")
+      .withColumn("ts", expr("timestamp_micros(day * 86400000000)"))
+      .withColumn("user_id", lit(1L)).withColumn("event_type", lit("t"))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .drop("day")
+    val dir = java.nio.file.Files.createTempDirectory("acf").toString
+    ev.write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("a29_acf")(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(("t", 2L, 3L, 5L, 8L, 5L, 13L, 1.0)), out.toString)
+  }
+
+  test("freq spectrum: hapax lands in mag 1, a 10-count type in mag 2") {
+    import spark.implicits._
+    val docs = Seq((1L, ("a " * 10).trim + " b", "s"))
+      .toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("spectrum").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("t_freq_spectrum")(spark, dir)
+      .as[(String, Int, Long, Long)].collect().sortBy(_._2)
+    assert(out.toSeq == Seq(("s", 1, 1L, 1L), ("s", 2, 1L, 10L)), out.toSeq.toString)
+  }
+
+  test("prefix cluster: 5-token head match clusters, keeper is min doc_id") {
+    import spark.implicits._
+    // docs 0 and 5 share their first five tokens (tails differ); doc 9's
+    // head is unique -> silent
+    val docs = Seq(
+      (0L, "the terms of this licence apply broadly"),
+      (5L, "the terms of this licence differ entirely after the head"),
+      (9L, "completely different document body here")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("prefix").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("d_prefix_cluster")(spark, dir)
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((0L, 0L, 2L, true), (5L, 0L, 2L, false)), out.toSeq.toString)
+  }
+
+  test("range search: exact twin at cosine 1.0 returned, antipode filtered") {
+    import spark.implicits._
+    // vec 0 is the only query (0 % 97 = 0); vec 1 is its exact twin
+    // (cos = 1.0 in exact integer math), vec 2 the antipode (cos = -1)
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(-1.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("rangesearch").toString
+    emb.write.parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("ann_range_search")(spark, dir)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((0L, 1L, 1.0)), out.toString)
   }
 }

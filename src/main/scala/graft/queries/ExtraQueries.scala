@@ -1769,6 +1769,44 @@ object ExtraQueries {
       l.select(col("user_id"), col("event_id"), col("cents"),
         num.as("ewma_num"), den.as("ewma_den"),
         (num.cast("double") / den).as("ewma_cents"))
+    },
+
+    // ------------------------------------------------------------------ W-19
+    // Maximum drawdown per user — the largest drop from a running peak in
+    // the user's value series, the canonical risk statistic for "how far
+    // did this wallet fall from its high". One running-MAX window pass
+    // (exact cents, explicit ROWS frame) computes the per-row drawdown;
+    // the per-user argmax rides a second window over the SAME
+    // user-partitioned exchange (deterministic tie-break: earliest
+    // event), so the whole query is one shuffle on user_id. All integer.
+    QueryDef("w19_drawdown",
+      """WITH c AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |r AS (SELECT user_id, event_id, cents,
+        |    CAST(MAX(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS peak
+        |  FROM c),
+        |g AS (SELECT user_id, event_id, peak, peak - cents AS dd FROM r)
+        |SELECT user_id, dd AS max_dd_cents, peak AS at_peak_cents,
+        |  event_id AS at_event
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |        ORDER BY dd DESC, event_id) AS rn FROM g)
+        |WHERE rn = 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val wRun = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wPick = Window.partitionBy("user_id")
+        .orderBy(col("dd").desc, col("event_id"))
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        .withColumn("peak", max("cents").over(wRun))
+        .withColumn("dd", col("peak") - col("cents"))
+        .withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("dd").as("max_dd_cents"),
+          col("peak").as("at_peak_cents"), col("event_id").as("at_event"))
     }
   )
 }

@@ -596,6 +596,62 @@ object GraphQueries {
           .withColumn("rank", row_number().over(Window.orderBy(rankOrder: _*)))
           .select(col("sk"), col("a").as("authority_ppm"), col("rank")),
         e0 +: steps.result(): _*)
+    },
+
+    // --------------------------------------------------------------- GRAPH-7
+    // Degree assortativity — the Pearson correlation between endpoint
+    // degrees across the bipartite edge set ("do busy customers
+    // concentrate on busy suppliers?"): the one-number mixing summary a
+    // risk model reads before trusting degree features (strong
+    // disassortativity means hub wash-trading structure). Two degree
+    // rollups + one edge join, moments in exact integers — the cross
+    // products ride DECIMAL(38,0) (the dq_chi2_cells 100×-overflow
+    // lesson: n·Σx² exceeds BIGINT at ~10^8 edges with 10^5-degree hubs)
+    // with correctly-rounded IEEE cast/multiply/sqrt at the very end.
+    QueryDef("g_assortativity",
+      """WITH e AS (
+        |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS sk
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |dc AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS dx FROM e GROUP BY c),
+        |ds AS (SELECT sk, CAST(COUNT(*) AS BIGINT) AS dy FROM e GROUP BY sk),
+        |xy AS (SELECT dc.dx AS x, ds.dy AS y
+        |       FROM e JOIN dc USING (c) JOIN ds USING (sk)),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |        CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |        CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |        CAST(SUM(y * y) AS BIGINT) AS syy FROM xy)
+        |SELECT n, sx, sy, sxy, sxx, syy,
+        |  CAST(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+        |    / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sxx
+        |                - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
+        |         * CAST(CAST(n AS DECIMAL(38,0)) * syy
+        |                - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE)) AS assortativity
+        |FROM m""".stripMargin) { (s, dir) =>
+      val e0 = Graft.table(s, dir, "orders")
+        .join(Graft.table(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+        .distinct()
+        .persist() // feeds both degree rollups AND the edge probe join
+      val dc = e0.groupBy("c").agg(count(lit(1)).cast("long").as("dx"))
+      val ds = e0.groupBy("sk").agg(count(lit(1)).cast("long").as("dy"))
+      val m = e0.join(dc, "c").join(ds, "sk")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum("dx").cast("long").as("sx"), sum("dy").cast("long").as("sy"),
+          sum(col("dx") * col("dy")).cast("long").as("sxy"),
+          sum(col("dx") * col("dx")).cast("long").as("sxx"),
+          sum(col("dy") * col("dy")).cast("long").as("syy"))
+      val dec = "decimal(38,0)"
+      CacheScope.sealResult(
+        m.withColumn("assortativity",
+          (col("n").cast(dec) * col("sxy") - col("sx").cast(dec) * col("sy"))
+            .cast("double") /
+            sqrt((col("n").cast(dec) * col("sxx") - col("sx").cast(dec) * col("sx"))
+              .cast("double") *
+              (col("n").cast(dec) * col("syy") - col("sy").cast(dec) * col("sy"))
+                .cast("double"))),
+        e0)
     }
   )
 }

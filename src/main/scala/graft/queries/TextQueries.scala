@@ -1312,6 +1312,50 @@ object TextQueries {
           length(col("cnt").cast("string")).cast("int").as("mag"))
         .agg(count(lit(1)).cast("long").as("n_types"),
           sum("cnt").cast("long").as("n_tokens"))
+    },
+
+    // ----------------------------------------------------------------- T-24
+    // First-seen novelty rate — per document, the fraction of its distinct
+    // bigrams no EARLIER document (by ingestion order = doc_id) has
+    // contributed: the marginal-information score a crawl pipeline uses to
+    // decide whether a feed is still adding content or re-serving what the
+    // corpus already holds (novelty decays to ~0 as a template saturates).
+    // Global first-seen is one MIN-by-shingle rollup; the probe back is a
+    // key join — exactly the d_exact_dedup economics on the bigram space.
+    // Integer counts, one final exact bigint/bigint IEEE division.
+    QueryDef("t_novelty",
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(string_split(text, ' '))),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))) AS s
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |first AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s),
+        |per AS (
+        |  SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |    CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_novel
+        |  FROM sh JOIN first f ON f.s = sh.s GROUP BY sh.doc_id)
+        |SELECT doc_id, n_shingles, n_novel,
+        |  CAST(n_novel AS DOUBLE) / n_shingles AS novelty
+        |FROM per""".stripMargin) { (s, dir) =>
+      val sh = Graft.table(s, dir, "documents")
+        .withColumn("tk", split(col("text"), " "))
+        .filter(size(col("tk")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """array_distinct(transform(sequence(1, size(tk) - 1),
+            |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1))))""".stripMargin))
+          .as("s"))
+        .persist() // feeds the first-seen rollup AND the probe join
+      val first = sh.groupBy("s").agg(min("doc_id").as("first_doc"))
+      CacheScope.sealResult(
+        sh.join(first, "s")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("long").as("n_shingles"),
+            sum(when(col("first_doc") === col("doc_id"), 1).otherwise(0))
+              .cast("long").as("n_novel"))
+          .withColumn("novelty",
+            col("n_novel").cast("double") / col("n_shingles")),
+        sh)
     }
   )
 }

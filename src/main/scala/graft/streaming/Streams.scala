@@ -915,6 +915,49 @@ object Streams {
         })
   }
 
+  /** Bounded EWMA state: the user's last ≤7 cents, most recent FIRST. */
+  case class EwmaState(recent: Seq[Long])
+  case class EwmaOut(user_id: Long, event_id: Long, cents: Long,
+      ewma_num: Long, ewma_den: Long, ewma_cents: Double)
+
+  /** Streaming twin of batch `w18_ewma`: the 8-tap power-of-two EWMA as
+    * keyed state — per user, exactly the last 7 cents values (most recent
+    * first), a CONSTANT-size state record regardless of history length
+    * (this bounded-tail truncation is precisely why the batch operator
+    * was specified with 8 taps: the same recurrence then streams with
+    * O(1) state instead of an unbounded geometric tail). Each micro-batch
+    * sorts by (ts, event_id) before folding (iterators are unsorted); the
+    * batch ≡ stream parity contract assumes in-order batch feeds, the
+    * runningBalance contract. Arithmetic parity is exact: integer cents,
+    * integer power-of-two weights, one final IEEE division — identical to
+    * the batch window form bit for bit. */
+  def ewma(events: Dataset[Ev]): Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, evs: Iterator[Ev], state: GroupState[EwmaState]) => {
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var recent = state.getOption.map(_.recent).getOrElse(Seq.empty[Long])
+          val out = Seq.newBuilder[EwmaOut]
+          sorted.foreach { e =>
+            // same rounding expression as the batch side: floor(v*100+0.5)
+            val cents = math.floor(e.value * 100 + 0.5).toLong
+            var num = cents * 128L
+            var den = 128L
+            recent.iterator.zipWithIndex.foreach { case (x, i) =>
+              val w = 1L << (6 - i) // lag k = i+1 carries weight 2^(7-k)
+              num += x * w
+              den += w
+            }
+            out += EwmaOut(uid, e.event_id, cents, num, den, num.toDouble / den)
+            recent = (cents +: recent).take(7)
+          }
+          state.update(EwmaState(recent))
+          out.result().iterator
+        })
+  }
+
   /** Sink: MERGE each micro-batch into a lake table by key — streaming and
     * batch share [[Lakehouse.mergeUpsert]] so the exactly-once-per-key
     * upsert semantics are identical in both modes. */

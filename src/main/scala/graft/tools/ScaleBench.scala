@@ -55,7 +55,13 @@ object ScaleBench {
     // label audit all have data-dependent growth worth pinning
     "a28_mad", "dq_chi2_cells", "t_weighted_sample", "ann_label_consistency",
     "d_source_overlap", "dq_gaps", "t_group_sample_k",
-    "mm_keyframes", "dq_profile", "t_source_gini", "set_intersect_except")
+    "mm_keyframes", "dq_profile", "t_source_gini", "set_intersect_except",
+    // round-15 additions: the three pair-space graph ops (capped explode
+    // + threshold / orientation), the domain-windowed KS, and the |Q|·N
+    // radius scan are the growth risks; Benford/ACF/EWMA/spectrum are
+    // plain rollups but ride along as cheap controls
+    "g_triangles", "g_jaccard", "g_hits", "dq_ks", "ann_range_search",
+    "dq_benford", "a29_acf", "w18_ewma", "t_freq_spectrum", "d_prefix_cluster")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -1197,6 +1197,45 @@ class QueriesSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 0L, 2L, true), (5L, 0L, 2L, false)), out.toSeq.toString)
   }
 
+  test("novelty: a bigram seen in an earlier doc stops being novel") {
+    import spark.implicits._
+    // doc0 contributes {a b, b c} (both novel); doc1 {a b, b d} — "a b"
+    // was first seen in doc0, so novelty = 1/2
+    val docs = Seq((0L, "a b c"), (1L, "a b d")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("novelty").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("t_novelty")(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((0L, 2L, 2L, 1.0), (1L, 2L, 1L, 0.5)), out.toSeq.toString)
+  }
+
+  test("drawdown: largest peak-to-trough drop, earliest event on ties") {
+    import spark.implicits._
+    // values 3.00 -> 1.00 -> 2.00: running peak stays 300 cents, the
+    // deepest drop is 200 at event 2
+    val rows = Seq((1L, 3.0), (2L, 1.0), (3L, 2.0))
+    val ev = rows.toDF("event_id", "value")
+      .withColumn("ts", expr("timestamp_micros(event_id * 1000000)"))
+      .withColumn("user_id", lit(7L)).withColumn("event_type", lit("t"))
+      .withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("drawdown").toString
+    ev.write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("w19_drawdown")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((7L, 200L, 300L, 2L)), out.toString)
+  }
+
+  test("assortativity: 3-edge star-ish graph has r exactly -0.5") {
+    import spark.implicits._
+    // edges (c1,s1),(c2,s1),(c2,s2): degree pairs (1,2),(2,2),(2,1) ->
+    // n=3 sx=5 sy=5 sxy=8 sxx=9 syy=9; r = (24-25)/sqrt(2*2) = -0.5
+    val rows = Seq((1L, 0L, 11L), (2L, 0L, 11L), (2L, 0L, 22L))
+    val dir = writeGraphDir(rows)
+    val out = SparkEntry.queries("g_assortativity")(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((3L, 5L, 5L, 8L, 9L, 9L, -0.5)), out.toString)
+  }
+
   test("range search: exact twin at cosine 1.0 returned, antipode filtered") {
     import spark.implicits._
     // vec 0 is the only query (0 % 97 = 0); vec 1 is its exact twin

@@ -827,4 +827,33 @@ class StreamingSpec extends SparkSpec {
       assert(graft.core.BloomSkipping.loadKeyBloom(spark, path).isDefined)
     } finally q.stop()
   }
+
+  test("ewma across micro-batches ≡ batch w18_ewma, state capped at 7 taps") {
+    implicit val sqlCtx = spark.sqlContext
+    // 10 events for user 7 (forces the 8-tap cap to engage past event 8)
+    // plus 2 for user 8, split mid-series so taps must carry across the
+    // batch boundary
+    val evs = (1 to 10).map(i => Ev(i.toLong, ts(i), 7L, "t", i * 1.5)) ++
+      Seq(Ev(11L, ts(1), 8L, "t", 2.0), Ev(12L, ts(2), 8L, "t", 4.0))
+    val mem = MemoryStream[Ev]
+    val q = Streams.ewma(mem.toDS())
+      .writeStream.format("memory").queryName("ewma").outputMode("append").start()
+    try {
+      mem.addData(evs.filter(_.event_id <= 5): _*)
+      q.processAllAvailable()
+      mem.addData(evs.filter(_.event_id > 5): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ewma")
+        .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+      // batch twin over the identical rows
+      val dir = java.nio.file.Files.createTempDirectory("sewma").toString
+      evs.toDF().withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+        .write.parquet(s"$dir/events.parquet")
+      val batch = SparkEntry.queries("w18_ewma")(spark, dir)
+        .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+      assert(streamed == batch, s"stream ${streamed.size} vs batch ${batch.size}")
+      // the 9th/10th events prove the cap: den saturates at 255
+      assert(streamed.filter(r => r._1 == 7L && r._2 >= 9L).forall(_._5 == 255L))
+    } finally q.stop()
+  }
 }

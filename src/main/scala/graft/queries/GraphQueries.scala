@@ -247,6 +247,13 @@ object GraphQueries {
       val rounds = Seq.newBuilder[DataFrame]
       rounds += ed
       for (_ <- 1 to 3) {
+        // surv deliberately NOT persisted/broadcast: both endpoint joins
+        // read the SAME degree-rollup exchange and AQE's shuffle reuse
+        // serves the second join from the first's map output — an A/B
+        // with persist(surv) + size-guarded broadcast (the g_pr idiom)
+        // measured 8.3 s vs 4.5 s at sf0.1: the blocking per-round
+        // count() plus two driver broadcast builds cost more than the
+        // reused exchange they replace.
         val surv = ed.groupBy("src").agg(count(lit(1)).as("d"))
           .filter(col("d") >= k).select("src")
         val next = ed

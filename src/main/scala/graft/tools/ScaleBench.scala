@@ -61,7 +61,8 @@ object ScaleBench {
     // radius scan are the growth risks; Benford/ACF/EWMA/spectrum are
     // plain rollups but ride along as cheap controls
     "g_triangles", "g_jaccard", "g_hits", "dq_ks", "ann_range_search",
-    "dq_benford", "a29_acf", "w18_ewma", "t_freq_spectrum", "d_prefix_cluster")
+    "dq_benford", "a29_acf", "w18_ewma", "t_freq_spectrum", "d_prefix_cluster",
+    "t_novelty", "w19_drawdown", "g_assortativity")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -109,9 +109,11 @@ object ManifestSnapshots {
     * race within one process; across JVMs the filesystem's atomic
     * exclusive-create is the contract (HDFS/ABFS native; S3 via
     * conditional PUT). */
-  private def tryCommitManifest(hfs: FileSystem, dir: String, v: Long,
-      entries: Seq[Entry]): Boolean = {
-    val body = entries.map { e =>
+  /** The manifest wire form for version `v` — shared by the committed
+    * slots AND the branch markers (a branch body is the same format at
+    * its parent version, so [[parseManifest]] serves both). */
+  private def manifestBody(v: Long, entries: Seq[Entry]): String =
+    entries.map { e =>
       val part = e.partition.map(p => "\"" + esc(p) + "\"").getOrElse("null")
       // stat column NAMES and string VALUES both go through the STRICT
       // escaper (everything outside a safe alphabet as \uXXXX): the
@@ -130,6 +132,10 @@ object ManifestSnapshots {
         }.mkString(""","sstats":{""", ",", "}")
       s"""{"path":"${esc(e.path)}","partition":$part,"rows":${e.rows}$stats$sstats}"""
     }.mkString(s"""{"version":$v,"files":[""", ",", "]}")
+
+  private def tryCommitManifest(hfs: FileSystem, dir: String, v: Long,
+      entries: Seq[Entry]): Boolean = {
+    val body = manifestBody(v, entries)
     val dst = manifestPath(dir, v)
     hfs.mkdirs(dst.getParent)
     // Write the COMPLETE body to a hidden tmp name first, then RENAME
@@ -2069,6 +2075,126 @@ object ManifestSnapshots {
       .sortBy(_._1)
   }
 
+  // -------------------------------------------- WRITE-AUDIT-PUBLISH BRANCHES
+
+  private def branchPath(dir: String, name: String): Path =
+    new Path(s"${dir.stripSuffix("/")}/branches/$name")
+
+  /** Stage `df` as an append on an isolated branch — the WRITE half of
+    * write-audit-publish: the data files land in the table's data layout
+    * (written once — publish moves METADATA only), but the branch's
+    * manifest lives OUTSIDE the version chain, so `readLatest`, time
+    * travel, CDC and every other main-line reader cannot see the rows
+    * until [[publishBranch]]. The branch marker records the parent
+    * version it extends plus the full entry list (parent's entries + the
+    * staged files) in the standard manifest wire form.
+    *
+    * Same writer guards as [[appendDelta]] — a branch must not be the
+    * side door past partition-shape, dropped-name, or declared-type
+    * contracts (the audit step would pass and publish would land the
+    * violation on main). */
+  def stageBranch(spark: SparkSession, dir: String, name: String,
+      df: DataFrame, partitionCols: Seq[String] = Nil): Long = {
+    require(validTagName(name),
+      s"branch name must be 1-64 chars of [A-Za-z0-9._-]: '$name'")
+    require(Markers.read(spark, branchPath(dir, name)).isEmpty,
+      s"branch '$name' already exists (drop or publish it first)")
+    val hfs = fs(spark, dir)
+    val parent = latestVersion(spark, dir).getOrElse(0L)
+    val prev =
+      if (parent == 0L) Nil
+      else readManifest(hfs, dir, parent).getOrElse(
+        sys.error(s"branch parent version $parent is unreadable under $dir"))
+    requireShape(prev, partitionCols, "stageBranch")
+    requireNoRetype(spark, dir, prev, df.schema, partitionCols.toSet, "stageBranch")
+    val fresh = writeDataFiles(df, dir, nextSlot(hfs, dir), partitionCols)
+    Markers.write(spark, branchPath(dir, name),
+      s"$parent\n${manifestBody(parent, prev ++ fresh)}")
+    parent
+  }
+
+  /** A branch's (parent version, full entry list); None if absent/torn.
+    * Torn markers fail closed like torn manifests — an audit must never
+    * pass on a half-written branch. */
+  private def branchState(spark: SparkSession, dir: String,
+      name: String): Option[(Long, Seq[Entry])] =
+    Markers.read(spark, branchPath(dir, name)).flatMap { txt =>
+      txt.split("\n", 2) match {
+        case Array(p, body) => for {
+          parent <- p.trim.toLongOption
+          entries <- parseManifest(body, parent)
+        } yield (parent, entries)
+        case _ => None
+      }
+    }
+
+  /** Read the branch's staged table state — the AUDIT surface: quality
+    * gates run their checks against exactly the rows publish would make
+    * visible, with main untouched. */
+  def readBranch(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val (_, entries) = branchState(spark, dir, name)
+      .getOrElse(sys.error(s"unknown or torn branch '$name' under $dir"))
+    fillDeclaredCols(spark, dir, readFiles(spark, dir, entries))
+  }
+
+  /** The PUBLISH half: commit the branch's entry list as the next main
+    * version — fast-forward ONLY. The commit loop's expected-base check
+    * holds the cross-process commit lock, so a concurrent main-line
+    * writer either lands before us (we throw
+    * ConcurrentModificationException — the audit ran against a stale
+    * base, re-stage against the new head) or after (it rebases onto our
+    * published version). No data moves: the staged files are already in
+    * place, the publish is one KB-scale manifest commit — the O(1)
+    * promotion that makes WAP viable at 100 TB. The branch marker is
+    * dropped after the commit; a crash between the two leaves a
+    * published branch whose marker still exists — re-publishing throws
+    * the conflict error (main moved past the parent), and the stale
+    * marker is dropped explicitly. */
+  def publishBranch(spark: SparkSession, dir: String, name: String): Long = {
+    val hfs = fs(spark, dir)
+    val (parent, entries) = branchState(spark, dir, name)
+      .getOrElse(sys.error(s"unknown or torn branch '$name' under $dir"))
+    if (parent == 0L)
+      require(latestVersion(spark, dir).isEmpty,
+        s"branch '$name' staged against an empty table but $dir has versions")
+    val v = commitLoop(hfs, dir, _ => entries,
+      expectedBase = if (parent == 0L) None else Some(parent))
+    hfs.delete(branchPath(dir, name), false)
+    v
+  }
+
+  /** Abandon a staged branch: the AUDIT-FAILED exit. Metadata-only —
+    * the staged data dirs become unreferenced and [[vacuum]]'s age-gated
+    * orphan sweep reclaims them (exactly the crashed-writer cleanup
+    * path; an explicit eager delete would race a concurrent publish of
+    * the same branch). */
+  def dropBranch(spark: SparkSession, dir: String, name: String): Unit =
+    fs(spark, dir).delete(branchPath(dir, name), false): Unit
+
+  /** All branches as (name, parent version), torn markers skipped. */
+  def branches(spark: SparkSession, dir: String): Seq[(String, Long)] = {
+    val hfs = fs(spark, dir)
+    val root = new Path(s"${dir.stripSuffix("/")}/branches")
+    if (!hfs.exists(root)) Seq.empty
+    else hfs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filterNot(_.startsWith("."))
+      .flatMap(n => branchState(spark, dir, n).map(s => n -> s._1))
+      .sortBy(_._1)
+  }
+
+  /** Every file path a live branch references — vacuum's extra live set
+    * (staged-but-unpublished data must survive both the doomed-version
+    * file delete and the data-dir orphan sweep). */
+  private def branchReferencedPaths(spark: SparkSession, dir: String): Set[String] = {
+    val hfs = fs(spark, dir)
+    val root = new Path(s"${dir.stripSuffix("/")}/branches")
+    if (!hfs.exists(root)) Set.empty
+    else hfs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filterNot(_.startsWith("."))
+      .flatMap(n => branchState(spark, dir, n).toSeq.flatMap(_._2.map(_.path)))
+      .toSet
+  }
+
   /** Reclaim unreferenced versions. Retention is COUNT-based (`keep`
     * newest always survive) and, when `maxAgeHours` is set, ALSO
     * time-based: a version outside the keep window still survives while
@@ -2138,7 +2264,12 @@ object ManifestSnapshots {
       .filterNot(declaring.contains)
       .filterNot(youngEnough)
     val keptVersions = all.filterNot(doomed.contains)
-    val referenced = keptVersions.flatMap(byV(_)).map(_.path).toSet
+    // live WAP branches extend the reference set: their staged files are
+    // unreferenced by any committed manifest by design, and a branch's
+    // inherited parent files must stay readable even after the parent
+    // version ages out of the keep window
+    val branchPaths = branchReferencedPaths(spark, dir)
+    val referenced = keptVersions.flatMap(byV(_)).map(_.path).toSet ++ branchPaths
     val base = dir.stripSuffix("/")
     // delete unreferenced files from the DOOMED versions' lists, then
     // their manifests; empty d-<v> dirs go last
@@ -2156,8 +2287,8 @@ object ManifestSnapshots {
       // unboundedly under concurrency. Referenced = any KEPT manifest's
       // dirs; the sweep is AGE-GATED so an in-flight writer's dir
       // (written, commit pending) is never yanked from under it.
-      val referencedDirs = keptVersions.flatMap(byV(_))
-        .map(_.path.split('/')(1)).toSet
+      val referencedDirs = (keptVersions.flatMap(byV(_)).map(_.path) ++
+        branchPaths).map(_.split('/')(1)).toSet
       val staleBefore =
         System.currentTimeMillis() - orphanGraceHours.toLong * 3600 * 1000
       hfs.listStatus(dataRoot).foreach { st =>

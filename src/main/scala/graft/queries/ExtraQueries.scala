@@ -1198,6 +1198,48 @@ object ExtraQueries {
       ManifestSnapshots.readLatest(s, root)
     },
 
+    // ------------------------------------------------------------ STORAGE-WAP
+    // Write-audit-publish under the oracle gate — the staged-commit
+    // discipline production lakes run loads through (Iceberg's WAP): the
+    // second half of the table lands on an isolated BRANCH (data files in
+    // place, metadata outside the version chain), the audit reads exactly
+    // the rows publish would expose (row-conservation check here; the
+    // drift/chi2 gates compose the same way), and publish is ONE KB-scale
+    // manifest commit — no data moves. A poisoned batch then stages on a
+    // second branch, fails its audit (negative values), and is DROPPED:
+    // the final read must equal the plain table exactly, proving the
+    // audit gate is load-bearing (a leaked poison branch would flip the
+    // hash). ManifestSnapshotSpec pins the mechanics (invisibility before
+    // publish, fast-forward-only conflicts, vacuum sparing live branches).
+    QueryDef("snap_wap",
+      "SELECT event_id, user_id, value FROM events") { (s, dir) =>
+      import graft.core.ManifestSnapshots
+      val ev = events(s, dir).select("event_id", "user_id", "value")
+      val fp = Graft.dataFingerprint(s, s"$dir/events.parquet")
+      val root = graft.core.StoreRoots.rootFor("graft_msnap_wap", "v1", dir, fp)
+      graft.core.StoreRoots.ensure(s, root) { tmp =>
+        val m = ev.agg(max("event_id")).head.getLong(0)
+        ManifestSnapshots.writeFull(ev.filter(col("event_id") <= m / 2), tmp)
+        // WRITE: the load stages on an isolated branch
+        ManifestSnapshots.stageBranch(s, tmp, "load",
+          ev.filter(col("event_id") > m / 2))
+        // AUDIT: row conservation against the source, on the branch read
+        require(ManifestSnapshots.readBranch(s, tmp, "load").count() == ev.count(),
+          "WAP audit: staged state must conserve the source rows")
+        // PUBLISH: one metadata commit promotes the staged files
+        ManifestSnapshots.publishBranch(s, tmp, "load")
+        // a poisoned batch fails its audit and never reaches main
+        ManifestSnapshots.stageBranch(s, tmp, "poison",
+          ev.filter(col("event_id") > m / 2)
+            .withColumn("value", -col("value") - lit(1.0)))
+        require(ManifestSnapshots.readBranch(s, tmp, "poison")
+          .filter(col("value") < 0).count() > 0,
+          "fixture must trip the poison audit")
+        ManifestSnapshots.dropBranch(s, tmp, "poison")
+      }
+      ManifestSnapshots.readLatest(s, root)
+    },
+
     // --------------------------------------------------------- STORAGE-EVOLVE
     // Partition evolution under the oracle gate: a user_id%4-partitioned
     // store is rewritten to UNPARTITIONED (repartitionData — Iceberg's

@@ -1411,4 +1411,91 @@ class ManifestSnapshotSpec extends SparkSpec {
       s"manifest row-count statistics wrong: ${h.toSeq}")
     assert(!h(0)._4 && h(1)._4, "only the pointer's version is committed")
   }
+
+  test("WAP branch: staged rows invisible on main, audit reads them, publish is O(metadata)") {
+    val dir = tmpDir("msnapwap") + "/t"
+    val v1 = ManifestSnapshots.writeFull(slice(0, 100), dir)
+    val parent = ManifestSnapshots.stageBranch(spark, dir, "audit1", slice(100, 160))
+    assert(parent == v1)
+    // WRITE landed, main blind to it
+    assert(ManifestSnapshots.readLatest(spark, dir).count() == 100)
+    assert(ManifestSnapshots.versions(spark, dir) == Seq(v1))
+    assert(ManifestSnapshots.branches(spark, dir) == Seq("audit1" -> v1))
+    // AUDIT surface = parent + staged rows, exactly
+    assert(ManifestSnapshots.readBranch(spark, dir, "audit1").count() == 160)
+    // PUBLISH: one manifest commit, no data rewrite — the staged files'
+    // paths appear verbatim in the published version
+    val before = ManifestSnapshots.readBranch(spark, dir, "audit1")
+      .select("id").as[Long].collect().toSet
+    val v2 = ManifestSnapshots.publishBranch(spark, dir, "audit1")
+    assert(ManifestSnapshots.readLatest(spark, dir)
+      .select("id").as[Long].collect().toSet == before)
+    assert(ManifestSnapshots.branches(spark, dir).isEmpty,
+      "published branch marker must be dropped")
+    // time travel: the parent version still reads its pre-publish image
+    assert(ManifestSnapshots.read(spark, dir, v1).count() == 100)
+    assert(ManifestSnapshots.read(spark, dir, v2).count() == 160)
+  }
+
+  test("WAP publish is fast-forward only: a main commit after staging forces re-stage") {
+    val dir = tmpDir("msnapwapff") + "/t"
+    ManifestSnapshots.writeFull(slice(0, 100), dir)
+    ManifestSnapshots.stageBranch(spark, dir, "b", slice(100, 150))
+    // main moves while the audit runs
+    ManifestSnapshots.appendDelta(slice(1000, 1010), dir)
+    intercept[java.util.ConcurrentModificationException] {
+      ManifestSnapshots.publishBranch(spark, dir, "b")
+    }
+    // the staged branch is intact for inspection; dropping it abandons
+    // the rows without touching main
+    assert(ManifestSnapshots.readBranch(spark, dir, "b").count() == 150)
+    ManifestSnapshots.dropBranch(spark, dir, "b")
+    assert(ManifestSnapshots.readLatest(spark, dir).count() == 110)
+    assert(ManifestSnapshots.branches(spark, dir).isEmpty)
+  }
+
+  test("vacuum spares a live branch's staged files AND its aged-out parent; drop releases them") {
+    val dir = tmpDir("msnapwapvac") + "/t"
+    ManifestSnapshots.writeFull(slice(0, 100), dir)
+    ManifestSnapshots.stageBranch(spark, dir, "keepme", slice(100, 130))
+    // push the parent out of the keep window
+    ManifestSnapshots.appendDelta(slice(200, 210), dir)
+    ManifestSnapshots.appendDelta(slice(210, 220), dir)
+    ManifestSnapshots.vacuum(spark, dir, keep = 1, orphanGraceHours = 0)
+    // the branch still reads every row it staged — inherited parent
+    // files and its own data dirs both survived the sweep
+    assert(ManifestSnapshots.readBranch(spark, dir, "keepme").count() == 130)
+    // audit failed: drop, then the same sweep reclaims the staged dirs
+    val hfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataDirs() = hfs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/data"))
+      .count(_.isDirectory)
+    val withBranch = dataDirs()
+    ManifestSnapshots.dropBranch(spark, dir, "keepme")
+    ManifestSnapshots.vacuum(spark, dir, keep = 1, orphanGraceHours = 0)
+    assert(dataDirs() < withBranch,
+      "dropped branch's staged data dirs must be orphan-swept")
+    assert(ManifestSnapshots.readLatest(spark, dir).count() == 120)
+  }
+
+  test("stageBranch enforces the writer contracts; torn branch markers fail closed") {
+    val dir = tmpDir("msnapwapguard") + "/t"
+    ManifestSnapshots.writeFull(slice(0, 50), dir)
+    // retype refused BEFORE any data lands
+    intercept[IllegalArgumentException] {
+      ManifestSnapshots.stageBranch(spark, dir, "bad",
+        (50 until 60).toDF("id").withColumn("v", lit("not a long")))
+    }
+    assert(ManifestSnapshots.branches(spark, dir).isEmpty)
+    // a torn marker (half-written crash debris) is invisible and unreadable
+    val hfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val torn = new org.apache.hadoop.fs.Path(s"$dir/branches/torn1")
+    val out = hfs.create(torn, true)
+    out.write("1\n{\"version\":1,\"files\":[{\"path".getBytes("UTF-8")); out.close()
+    assert(ManifestSnapshots.branches(spark, dir).isEmpty)
+    intercept[RuntimeException] {
+      ManifestSnapshots.readBranch(spark, dir, "torn1")
+    }
+  }
 }

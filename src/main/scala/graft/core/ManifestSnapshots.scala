@@ -2128,6 +2128,14 @@ object ManifestSnapshots {
       }
     }
 
+  /** (parent version, full staged entry list) of a live branch — the
+    * replay-recovery surface for idempotent admission (a crashed
+    * publisher's successor decides "did my publish land?" by checking
+    * the staged paths against the committed manifest). */
+  def branchInfo(spark: SparkSession, dir: String,
+      name: String): Option[(Long, Seq[Entry])] =
+    branchState(spark, dir, name)
+
   /** Read the branch's staged table state — the AUDIT surface: quality
     * gates run their checks against exactly the rows publish would make
     * visible, with main untouched. */
@@ -2146,11 +2154,16 @@ object ManifestSnapshots {
     * published version). No data moves: the staged files are already in
     * place, the publish is one KB-scale manifest commit — the O(1)
     * promotion that makes WAP viable at 100 TB. The branch marker is
-    * dropped after the commit; a crash between the two leaves a
-    * published branch whose marker still exists — re-publishing throws
+    * dropped after the commit by default; a crash between the two leaves
+    * a published branch whose marker still exists — re-publishing throws
     * the conflict error (main moved past the parent), and the stale
-    * marker is dropped explicitly. */
-  def publishBranch(spark: SparkSession, dir: String, name: String): Long = {
+    * marker is dropped explicitly. Replayable callers that keep their
+    * own published-ledger (Streams.foreachBatchWapAppend) pass
+    * `dropMarker = false` so the marker outlives the commit until the
+    * ledger records the decision — the surviving marker is what lets a
+    * replay DETECT the publish instead of duplicating it. */
+  def publishBranch(spark: SparkSession, dir: String, name: String,
+      dropMarker: Boolean = true): Long = {
     val hfs = fs(spark, dir)
     val (parent, entries) = branchState(spark, dir, name)
       .getOrElse(sys.error(s"unknown or torn branch '$name' under $dir"))
@@ -2159,7 +2172,7 @@ object ManifestSnapshots {
         s"branch '$name' staged against an empty table but $dir has versions")
     val v = commitLoop(hfs, dir, _ => entries,
       expectedBase = if (parent == 0L) None else Some(parent))
-    hfs.delete(branchPath(dir, name), false)
+    if (dropMarker) hfs.delete(branchPath(dir, name), false): Unit
     v
   }
 

@@ -958,6 +958,88 @@ object Streams {
         })
   }
 
+  /** Sink: write-audit-publish admission per micro-batch — the streaming
+    * face of the snapshot store's WAP branches, EXACTLY-ONCE across
+    * replays. Each batch stages on a branch named by its (monotonic)
+    * batch id, the audit runs on the staged read, and publish is one
+    * fast-forward manifest commit; a single-marker LEDGER records the
+    * highest DECIDED batch id (decided = published or rejected), the
+    * cmsFrequencyLedgered discipline — bounded metadata, not one marker
+    * per batch. Every crash point replays safely:
+    *  - before stage / after a decision: the ledger (or the absent
+    *    branch) routes the replay;
+    *  - after stage, before publish: the surviving branch marker is
+    *    re-audited and published — the marker's CONTENT, not a restage,
+    *    so the decision is on the bytes the crashed attempt wrote;
+    *  - after publish, before the ledger write: the staged paths are
+    *    already a subset of the committed manifest — detected, ledger
+    *    repaired, NO duplicate rows.
+    * The subset probe assumes no EXTERNAL rewrite (MERGE/DELETE/OPTIMIZE)
+    * drops the staged paths between crash and replay — interleaving
+    * rewrites with a replaying admission stream is refused loudly (the
+    * re-publish throws the fast-forward conflict), never absorbed
+    * silently. */
+  def foreachBatchWapAppend(
+      stream: DataFrame,
+      path: String,
+      checkpoint: String,
+      audit: DataFrame => Boolean): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) wapAdmitBatch(batch.sparkSession, path, id, batch, audit)
+      }
+      .start()
+
+  private def wapLedgerPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"${path.stripSuffix("/")}/wap_ledger")
+
+  /** One idempotent WAP admission step (see [[foreachBatchWapAppend]]);
+    * package-visible so the spec can drive the crash-replay windows
+    * directly. */
+  private[graft] def wapAdmitBatch(s: org.apache.spark.sql.SparkSession,
+      path: String, id: Long, batch: DataFrame,
+      audit: DataFrame => Boolean): Unit = {
+    import graft.core.{ManifestSnapshots => MS, Markers}
+    val name = s"wapb-$id"
+    val decided = Markers.read(s, wapLedgerPath(path))
+      .flatMap(_.trim.toLongOption).getOrElse(-1L)
+    if (id <= decided) {
+      MS.dropBranch(s, path, name) // debris from a crash after the ledger write
+      return
+    }
+    def ledger(): Unit = Markers.write(s, wapLedgerPath(path), id.toString)
+    // decision order is publish-commit → ledger → drop-marker: the marker
+    // must OUTLIVE the commit until the ledger records it, or a crash in
+    // between leaves a markerless, unledgered publish a replay would
+    // duplicate (the reject path needs no such care — a replayed reject
+    // re-runs the deterministic audit to the same reject)
+    def decide(): Unit =
+      if (audit(MS.readBranch(s, path, name))) {
+        MS.publishBranch(s, path, name, dropMarker = false): Unit
+        ledger()
+        MS.dropBranch(s, path, name)
+      } else {
+        MS.dropBranch(s, path, name)
+        ledger()
+      }
+    MS.branchInfo(s, path, name) match {
+      case Some((_, entries)) =>
+        val committed = MS.latestVersion(s, path)
+          .map(v => MS.entriesOf(s, path, v).map(_.path).toSet)
+          .getOrElse(Set.empty[String])
+        if (entries.map(_.path).toSet.subsetOf(committed)) {
+          // the crashed attempt DID publish — repair the ledger only
+          ledger()
+          MS.dropBranch(s, path, name)
+        } else decide()
+      case None =>
+        MS.stageBranch(s, path, name, batch)
+        decide()
+    }
+  }
+
   /** Sink: MERGE each micro-batch into a lake table by key — streaming and
     * batch share [[Lakehouse.mergeUpsert]] so the exactly-once-per-key
     * upsert semantics are identical in both modes. */

@@ -856,4 +856,60 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.filter(r => r._1 == 7L && r._2 >= 9L).forall(_._5 == 255L))
     } finally q.stop()
   }
+
+  test("WAP admission stream: audited batches land once, a poison batch never lands") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.core.ManifestSnapshots
+    val root = tmpDir("swap") + "/t"
+    val ckpt = tmpDir("swapckpt")
+    val mem = MemoryStream[Ev]
+    def noNegatives(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.filter(col("value") < 0).isEmpty
+    val q = Streams.foreachBatchWapAppend(
+      mem.toDS().toDF(), root, ckpt, noNegatives)
+    try {
+      mem.addData(Ev(1, ts(1), 7, "t", 10.0), Ev(2, ts(2), 7, "t", 20.0))
+      q.processAllAvailable()
+      mem.addData(Ev(3, ts(3), 7, "t", -5.0)) // poisoned batch
+      q.processAllAvailable()
+      mem.addData(Ev(4, ts(4), 8, "t", 40.0))
+      q.processAllAvailable()
+      val ids = ManifestSnapshots.readLatest(spark, root)
+        .select("event_id").as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 4L), s"poison leaked or rows lost: $ids")
+      assert(ManifestSnapshots.branches(spark, root).isEmpty)
+    } finally q.stop()
+  }
+
+  test("WAP admission replay: every crash window re-admits without duplicating") {
+    import graft.core.ManifestSnapshots
+    val root = tmpDir("swapreplay") + "/t"
+    val good = Seq(Ev(1, ts(1), 7, "t", 10.0)).toDF()
+    val ok = (_: org.apache.spark.sql.DataFrame) => true
+    Streams.wapAdmitBatch(spark, root, 0L, good, ok)
+    assert(ManifestSnapshots.readLatest(spark, root).count() == 1)
+    // replay of a DECIDED id: ledger short-circuits, nothing lands twice
+    Streams.wapAdmitBatch(spark, root, 0L, good, ok)
+    assert(ManifestSnapshots.readLatest(spark, root).count() == 1)
+    // crash after stage, before publish: the marker's CONTENT is admitted
+    val b1 = Seq(Ev(2, ts(2), 7, "t", 20.0)).toDF()
+    ManifestSnapshots.stageBranch(spark, root, "wapb-1", b1)
+    Streams.wapAdmitBatch(spark, root, 1L, b1, ok)
+    assert(ManifestSnapshots.readLatest(spark, root).count() == 2)
+    assert(ManifestSnapshots.branches(spark, root).isEmpty)
+    // crash after publish, before the ledger write (marker kept — the
+    // admission flow's publish order): the subset probe detects the
+    // landed rows and repairs the ledger instead of re-publishing
+    val b2 = Seq(Ev(3, ts(3), 7, "t", 30.0)).toDF()
+    ManifestSnapshots.stageBranch(spark, root, "wapb-2", b2)
+    ManifestSnapshots.publishBranch(spark, root, "wapb-2", dropMarker = false)
+    Streams.wapAdmitBatch(spark, root, 2L, b2, ok)
+    assert(ManifestSnapshots.readLatest(spark, root).count() == 3,
+      "publish-then-crash window must not duplicate")
+    assert(ManifestSnapshots.branches(spark, root).isEmpty,
+      "replay must drop the crash-surviving marker")
+    // and the ledger now guards the id: a further replay is a no-op
+    Streams.wapAdmitBatch(spark, root, 2L, b2, ok)
+    assert(ManifestSnapshots.readLatest(spark, root).count() == 3)
+  }
 }

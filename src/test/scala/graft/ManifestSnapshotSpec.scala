@@ -1412,6 +1412,61 @@ class ManifestSnapshotSpec extends SparkSpec {
     assert(!h(0)._4 && h(1)._4, "only the pointer's version is committed")
   }
 
+  test("WAP publish races appends across PROCESSES: fast-forward only, no lost rows") {
+    val dir = tmpDir("msnapxwap") + "/t"
+    ManifestSnapshots.writeFull(Seq(("seed", 0L)).toDF("k", "v").coalesce(1), dir)
+    val n = 8
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val inArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.toArray.map(_.toString)
+    val jvmArgs = inArgs.zipWithIndex.flatMap { case (a, i) =>
+      if (a == "--add-opens" || a == "--add-exports")
+        Seq(a, inArgs(i + 1))
+      else if (a.startsWith("--add-opens=") || a.startsWith("--add-exports="))
+        Seq(a)
+      else Nil
+    }
+    val cmd = Seq(javaBin) ++ jvmArgs ++ Seq("-Xmx2g", "-cp",
+      System.getProperty("java.class.path"),
+      "graft.ForkedCommitterMain", dir, "child", n.toString)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(ProcessBuilder.Redirect.to(
+      new java.io.File(tmpDir("msnapxwap-log"), "child.log")))
+    val child = pb.start()
+    // this process runs WAP loads while the child appends: a publish
+    // whose base moved fails with CME (fast-forward only — never a
+    // silent merge that could drop the child's rows), and the load
+    // RE-STAGES against the new head. Exactly 3 loads must land exactly
+    // once each.
+    var published = 0
+    var attempt = 0
+    while (published < 3 && attempt < 200) {
+      val name = s"wapx-$published-$attempt"
+      attempt += 1
+      ManifestSnapshots.stageBranch(spark, dir, name,
+        Seq((s"wap-$published", published.toLong)).toDF("k", "v").coalesce(1))
+      try {
+        ManifestSnapshots.publishBranch(spark, dir, name)
+        published += 1
+      } catch {
+        case _: java.util.ConcurrentModificationException =>
+          ManifestSnapshots.dropBranch(spark, dir, name)
+      }
+    }
+    assert(published == 3, s"WAP loads starved after $attempt attempts")
+    assert(child.waitFor(5, java.util.concurrent.TimeUnit.MINUTES),
+      "forked committer did not finish")
+    assert(child.exitValue() == 0, "forked committer failed — see child.log")
+    val rows = ManifestSnapshots.readLatest(spark, dir)
+    assert(rows.filter(col("k").startsWith("child-")).count() == n,
+      "a WAP publish overwrote a concurrent append")
+    assert(rows.filter(col("k").startsWith("wap-")).count() == 3,
+      "a WAP load was lost or duplicated")
+    assert(ManifestSnapshots.branches(spark, dir).isEmpty,
+      "every decided branch marker must be gone")
+  }
+
   test("WAP branch: staged rows invisible on main, audit reads them, publish is O(metadata)") {
     val dir = tmpDir("msnapwap") + "/t"
     val v1 = ManifestSnapshots.writeFull(slice(0, 100), dir)

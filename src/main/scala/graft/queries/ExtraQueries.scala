@@ -1813,6 +1813,37 @@ object ExtraQueries {
         (num.cast("double") / den).as("ewma_cents"))
     },
 
+    // ------------------------------------------------------------------ W-20
+    // Rolling 5-point median per user — the robust smoother (the Hampel
+    // filter's core) that, unlike w18's EWMA, a single spike cannot drag:
+    // the window is a FIXED 5-row lookback, so the per-row state is
+    // constant at any scale, and the median of ≤5 exact-cents values is
+    // pure integer selection (sorted frame list, lower-middle element) —
+    // no quantile estimation, no floats anywhere. Short prefixes take
+    // the median of what exists (row 1's median is itself).
+    QueryDef("w20_rolling_median",
+      """WITH c AS (SELECT user_id, event_id, ts,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |w AS (SELECT user_id, event_id, cents,
+        |    list_sort(list(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS win
+        |  FROM c)
+        |SELECT user_id, event_id, cents,
+        |  win[(len(win) + 1) // 2] AS med_cents,
+        |  CAST(len(win) AS INT) AS win_n
+        |FROM w""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w5 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        .withColumn("win", sort_array(collect_list("cents").over(w5)))
+        .select(col("user_id"), col("event_id"), col("cents"),
+          expr("element_at(win, cast((size(win) + 1) div 2 as int))").as("med_cents"),
+          size(col("win")).as("win_n"))
+    },
+
     // ------------------------------------------------------------------ W-19
     // Maximum drawdown per user — the largest drop from a running peak in
     // the user's value series, the canonical risk statistic for "how far

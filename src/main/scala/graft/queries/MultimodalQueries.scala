@@ -398,6 +398,53 @@ object MultimodalQueries {
         cands.filter(ham <= 3)
           .select(col("doc_a"), col("doc_b"), ham.cast("int").as("hamming")),
         sig)
+    },
+
+    // ------------------------------------------------------------------ MM-9
+    // ViT-style patch-grid planning: the 16×16 patch lattice a vision
+    // transformer consumes, computed from the container metadata (the
+    // width/height the header declares are exact multiples of 16 here,
+    // so the grid divides evenly — a real pipeline pads first, which is
+    // the mm_resize_plan step). Per patch: grid coordinates, the
+    // row-major byte offset into the raw payload, and — where the
+    // payload actually extends that far — the md5 of the patch's first
+    // 16-byte row over the REAL BinaryType slice (the mm_frame_sample
+    // parity trick: the oracle recomputes it from the ASCII text side).
+    // One metadata-driven explode, codegen end to end; the fan-out is
+    // (w/16)·(h/16) ≤ 91 per document, bounded by the header fields.
+    QueryDef("mm_patch_grid",
+      """WITH m AS (
+        |  SELECT doc_id, text, length(text) AS n_bytes,
+        |    16 * (1 + length(text) % 13) AS width,
+        |    16 * (1 + length(text) % 7) AS height
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, n_bytes, width, height,
+        |    CAST(t.i % (width // 16) AS INT) AS px,
+        |    CAST(t.i // (width // 16) AS INT) AS py,
+        |    CAST(t.i AS INT) AS patch_idx, text
+        |  FROM m, UNNEST(range(0, (width // 16) * (height // 16))) AS t(i))
+        |SELECT doc_id, patch_idx, px, py,
+        |  CAST(py * 16 * width + px * 16 AS BIGINT) AS byte_offset,
+        |  CASE WHEN py * 16 * width + px * 16 < n_bytes
+        |    THEN md5(substr(text, CAST(py * 16 * width + px * 16 + 1 AS INT), 16))
+        |    ELSE NULL END AS row0_md5
+        |FROM g""".stripMargin) { (s, dir) =>
+      media(s, dir)
+        .select(col("doc_id"), col("media"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.n_bytes").as("n_bytes"))
+        .withColumn("patch_idx", explode(expr(
+          "sequence(0, cast((width div 16) * (height div 16) as int) - 1)")))
+        .withColumn("px", expr("cast(patch_idx % (width div 16) as int)"))
+        .withColumn("py", expr("cast(patch_idx div (width div 16) as int)"))
+        .withColumn("byte_offset",
+          expr("cast(py * 16 * width + px * 16 as bigint)"))
+        .select(col("doc_id"), col("patch_idx").cast("int").as("patch_idx"),
+          col("px"), col("py"), col("byte_offset"),
+          when(col("byte_offset") < col("n_bytes"),
+            md5(expr("substring(media, cast(byte_offset + 1 as int), 16)")))
+            .as("row0_md5"))
     }
   )
 }

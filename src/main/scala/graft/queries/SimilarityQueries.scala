@@ -656,6 +656,62 @@ object SimilarityQueries {
         cent, assign)
     },
 
+    // --------------------------------------------------------------- CLUST-2
+    // Simplified silhouette over the k-means clustering — the quality
+    // gate a curation pipeline reads before trusting cluster-balanced
+    // sampling: per vector, cohesion is the cosine to its OWN centroid
+    // and separation the best cosine to any OTHER centroid (the
+    // centroid-based simplified silhouette — the member-pairwise form is
+    // O(N²) and adds nothing at this granularity; MLlib's
+    // ClusteringEvaluator makes the same trade). Cost is exactly one
+    // more corpus × codebook broadcast pass over the frames c_kmeans
+    // already builds. Parity: each cosine is exact-int math + 3 IEEE
+    // steps; the per-vector score quantizes to ppm BEFORE the per-
+    // cluster sum, so the rollup is integer (never a float sum whose
+    // order could drift), with one final division for the mean.
+    QueryDef("c_silhouette",
+      s"""$kmeansAssignSql,
+         |allcos AS (
+         |  SELECT v.vec_id, c.cid,
+         |    CAST(CAST(list_sum(list_transform(list_zip(v.qv, c.cqv), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
+         |      / (sqrt(CAST(v.nq AS DOUBLE)) * sqrt(CAST(c.cnq AS DOUBLE))) AS cos
+         |  FROM n v CROSS JOIN cent c),
+         |own AS (SELECT o.vec_id, a.cid, o.cos AS a_cos FROM allcos o
+         |        JOIN assign a ON a.vec_id = o.vec_id AND a.cid = o.cid),
+         |oth AS (SELECT o.vec_id, MAX(o.cos) AS b_cos FROM allcos o
+         |        JOIN assign a ON a.vec_id = o.vec_id AND a.cid <> o.cid
+         |        GROUP BY o.vec_id),
+         |sil AS (SELECT own.vec_id, own.cid,
+         |          CAST(floor((a_cos - b_cos) * 1000000) AS BIGINT) AS sil_ppm
+         |        FROM own JOIN oth ON oth.vec_id = own.vec_id)
+         |SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |  CAST(SUM(sil_ppm) AS BIGINT) AS sum_sil_ppm,
+         |  CAST(CAST(SUM(sil_ppm) AS BIGINT) AS DOUBLE) / (COUNT(*) * 1000000)
+         |    AS mean_sil
+         |FROM sil GROUP BY cid""".stripMargin) { (s, dir) =>
+      val (n, cent, assign) = kmeansFrames(s, dir)
+      val cos = n.crossJoin(broadcast(cent))
+        .withColumn("cos", expr("long_dot(qv, c_qv)").cast("double") /
+          (sqrt(col("nq").cast("double")) * sqrt(col("c_nq").cast("double"))))
+        .select(col("vec_id"), col("cid").as("ccid"), col("cos"))
+        .join(assign, "vec_id")
+        .persist() // feeds the own-centroid pick AND the best-other rollup
+      val own = cos.filter(col("ccid") === col("cid"))
+        .select(col("vec_id"), col("cid"), col("cos").as("a_cos"))
+      val oth = cos.filter(col("ccid") =!= col("cid"))
+        .groupBy("vec_id").agg(max("cos").as("b_cos"))
+      graft.queries.CacheScope.sealResult(
+        own.join(oth, "vec_id")
+          .withColumn("sil_ppm",
+            floor((col("a_cos") - col("b_cos")) * 1000000).cast("long"))
+          .groupBy("cid")
+          .agg(count(lit(1)).cast("long").as("n_vecs"),
+            sum("sil_ppm").cast("long").as("sum_sil_ppm"))
+          .withColumn("mean_sil", col("sum_sil_ppm").cast("double") /
+            (col("n_vecs") * 1000000)),
+        cent, assign, cos)
+    },
+
     // ----------------------------------------------------------------- ANN-5
     // Product quantization + asymmetric distance (ADC): the memory-bound
     // 100 TB scan path. The corpus is compressed to m=8 one-byte codes per

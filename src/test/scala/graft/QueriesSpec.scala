@@ -1236,6 +1236,60 @@ class QueriesSpec extends SparkSpec {
     assert(out == Seq((3L, 5L, 5L, 8L, 9L, 9L, -0.5)), out.toString)
   }
 
+  test("silhouette: two clean orthogonal clusters score exactly 1.0") {
+    import spark.implicits._
+    // stride = floor(sqrt(4)) = 2 -> seed centroids at vecs 0 and 2; the
+    // Lloyd round lands exactly on [1e6,0] and [0,1e6]. Every vector has
+    // own-cos 1.0 and best-other-cos 0.0 -> sil_ppm 1000000 each.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f), 1), (3L, Array(0.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("silh").toString
+    emb.write.parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("c_silhouette")(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((0L, 2L, 2000000L, 1.0), (2L, 2L, 2000000L, 1.0)),
+      out.toSeq.toString)
+  }
+
+  test("rolling median: 5-point window resists the spike EWMA would follow") {
+    import spark.implicits._
+    // cents 300,100,200,1000,50: the 1000 spike never becomes the median
+    val rows = Seq((1L, 3.0), (2L, 1.0), (3L, 2.0), (4L, 10.0), (5L, 0.5))
+    val ev = rows.toDF("event_id", "value")
+      .withColumn("ts", expr("timestamp_micros(event_id * 1000000)"))
+      .withColumn("user_id", lit(7L)).withColumn("event_type", lit("t"))
+      .withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("rollmed").toString
+    ev.write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("w20_rolling_median")(spark, dir)
+      .as[(Long, Long, Long, Long, Int)].collect().sortBy(_._2)
+    assert(out.toSeq == Seq(
+      (7L, 1L, 300L, 300L, 1), (7L, 2L, 100L, 100L, 2), (7L, 3L, 200L, 200L, 3),
+      (7L, 4L, 1000L, 200L, 4), (7L, 5L, 50L, 200L, 5)), out.toSeq.toString)
+  }
+
+  test("patch grid: 32-byte payload -> 7x5 lattice, md5 only where bytes exist") {
+    import spark.implicits._
+    // len 32: width 112 (7 cols), height 80 (5 rows) -> 35 patches;
+    // only offsets 0 and 16 lie inside the payload
+    val text = "0123456789abcdef" * 2
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("patchgrid").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("mm_patch_grid")(spark, dir)
+      .as[(Long, Int, Int, Int, Long, Option[String])].collect().sortBy(_._2)
+    assert(out.length == 35)
+    assert(out.forall(r => r._3 == r._2 % 7 && r._4 == r._2 / 7))
+    assert(out.forall(r => r._5 == r._4.toLong * 16 * 112 + r._3 * 16))
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("0123456789abcdef".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out.filter(_._6.isDefined).map(r => (r._2, r._6.get)).toSeq ==
+      Seq((0, md), (1, md)), "md5 must cover exactly the in-payload patches")
+  }
+
   test("range search: exact twin at cosine 1.0 returned, antipode filtered") {
     import spark.implicits._
     // vec 0 is the only query (0 % 97 = 0); vec 1 is its exact twin

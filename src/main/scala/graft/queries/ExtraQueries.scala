@@ -1717,6 +1717,58 @@ object ExtraQueries {
       CacheScope.sealResult(out, byv)
     },
 
+    // ------------------------------------------------------------------ DQ-7
+    // Tukey-fence outlier audit — exact integer quartiles (rank-selected
+    // over cents, the a10 positional discipline: q1 at rank ⌈n/4⌉, q3 at
+    // ⌈3n/4⌉) and counts beyond the 1.5·IQR fences per event type. The
+    // fences are compared DOUBLED (2v < 2q1 − 3·IQR) so the half-unit
+    // never exists — no floats anywhere in a query whose entire point is
+    // robustness to weird values. Cost: one per-type positional sort
+    // (the exact-quantile price; the sketch route is a14_qs) + one
+    // broadcast-sized quartile join back over the same typed exchange.
+    QueryDef("dq_outlier_iqr",
+      """WITH c AS (SELECT event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events),
+        |r AS (SELECT event_type, v,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n FROM c),
+        |q AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+        |    CAST(MAX(CASE WHEN rn = (n + 3) // 4 THEN v END) AS BIGINT) AS q1,
+        |    CAST(MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN v END) AS BIGINT) AS q3
+        |  FROM r GROUP BY event_type)
+        |SELECT q.event_type, q.n, q.q1, q.q3, q.q3 - q.q1 AS iqr,
+        |  CAST(SUM(CASE WHEN 2 * c.v < 2 * q.q1 - 3 * (q.q3 - q.q1)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_out_low,
+        |  CAST(SUM(CASE WHEN 2 * c.v > 2 * q.q3 + 3 * (q.q3 - q.q1)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_out_high
+        |FROM q JOIN c ON c.event_type = q.event_type
+        |GROUP BY 1, 2, 3, 4, 5""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val c = events(s, dir)
+        .select(col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("v"))
+        .persist() // feeds the quartile ranks AND the fence probe
+      val byType = Window.partitionBy("event_type")
+      val q = c
+        .withColumn("rn", row_number().over(byType.orderBy("v")))
+        .withColumn("n", count(lit(1)).over(byType))
+        .groupBy("event_type")
+        .agg(max("n").cast("long").as("n"),
+          max(when(col("rn") === expr("(n + 3) div 4"), col("v")))
+            .cast("long").as("q1"),
+          max(when(col("rn") === expr("(3 * n + 3) div 4"), col("v")))
+            .cast("long").as("q3"))
+      val out = c.join(broadcast(q), "event_type")
+        .groupBy(col("event_type"), col("n"), col("q1"), col("q3"),
+          (col("q3") - col("q1")).as("iqr"))
+        .agg(
+          sum(when(lit(2) * col("v") < lit(2) * col("q1") - lit(3) * (col("q3") - col("q1")), 1)
+            .otherwise(0)).cast("long").as("n_out_low"),
+          sum(when(lit(2) * col("v") > lit(2) * col("q3") + lit(3) * (col("q3") - col("q1")), 1)
+            .otherwise(0)).cast("long").as("n_out_high"))
+      CacheScope.sealResult(out, c)
+    },
+
     // ------------------------------------------------------------------ A-29
     // Lag-1 autocorrelation of the daily event-count series per event
     // type — the seasonality/trend screen a feature pipeline runs before

@@ -158,6 +158,104 @@ object GraphQueries {
   private def materialize(result: DataFrame, adj: DataFrame): DataFrame =
     CacheScope.sealResult(result, adj)
 
+  /** The thresholded co-purchase edge set and its degree-ordered triangle
+    * enumeration, shared by g_triangles and g_clustering_coef. Edge build
+    * = the butterfly pair space (one key-shuffle capped adjacency,
+    * map-side pair explode, packed-long pair key) with the
+    * ≥3-shared-parts threshold applied at the pair aggregate; every edge
+    * then points from its lower-(deg, node) endpoint, so a node's
+    * oriented out-degree is arboricity-bounded and wedges generate
+    * MAP-SIDE from each node's sorted oriented-adjacency list, closing
+    * against the oriented edge set on a packed one-long key. Returns
+    * (edges c1<c2, oriented, tri) — ALL persisted; the caller seals its
+    * result and releases all three. */
+  private def triangleFrames(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val shuffleP = s.sessionState.conf.numShufflePartitions
+    val byK = Graft.table(s, dir, "orders")
+      .join(Graft.table(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("k"))
+      .groupBy("k").agg(sort_array(collect_set(col("c"))).as("cs"))
+      .filter(size(col("cs")).between(2, 4096))
+      .repartition(shuffleP, col("k"))
+    val edges = byK
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(cs) - 1),
+          |  i -> transform(sequence(i + 1, size(cs)),
+          |    j -> element_at(cs, i) * 4294967296L + element_at(cs, j))))""".stripMargin))
+        .as("pk"))
+      .groupBy("pk").agg(count(lit(1)).as("sp"))
+      .filter(col("sp") >= 3)
+      .select(expr("pk div 4294967296L").as("c1"),
+        expr("pk % 4294967296L").as("c2"))
+      .persist() // feeds degree, orientation, and (via oriented) probe
+    val deg = edges.select(col("c1").as("node"))
+      .unionAll(edges.select(col("c2").as("node")))
+      .groupBy("node").agg(count(lit(1)).cast("long").as("deg"))
+    // orient each edge from its lower (deg, node) endpoint; ordKey packs
+    // (deg, node) into one long so the orientation compare, the
+    // adjacency sort, and the wedge pair order are all the same compare
+    val en = edges
+      .join(deg.select(col("node").as("c1"), col("deg").as("d1")), "c1")
+      .join(deg.select(col("node").as("c2"), col("deg").as("d2")), "c2")
+      .select(expr("d1 * 4294967296L + c1").as("k1"),
+        expr("d2 * 4294967296L + c2").as("k2"))
+    val oriented = en
+      .select(when(col("k1") < col("k2"), col("k1")).otherwise(col("k2")).as("src_k"),
+        when(col("k1") < col("k2"), col("k2")).otherwise(col("k1")).as("dst_k"))
+      .persist() // feeds the adjacency AND the closing-edge probe set
+    val adj = oriented
+      .groupBy(expr("src_k % 4294967296L").as("src"))
+      .agg(sort_array(collect_list(col("dst_k"))).as("ks"))
+      .filter(size(col("ks")) >= 2)
+      // same AQE explode-amplification re-spread as g_butterfly
+      .repartition(shuffleP, col("src"))
+    // wedge (src; d1, d2) with ordKey(d1) < ordKey(d2) closes iff the
+    // oriented edge d1 → d2 exists; probe key = node(d1)·2^32 + node(d2)
+    val wedges = adj.select(col("src"), explode(expr(
+      """flatten(transform(sequence(1, size(ks) - 1),
+        |  i -> transform(sequence(i + 1, size(ks)),
+        |    j -> (element_at(ks, i) % 4294967296L) * 4294967296L
+        |         + (element_at(ks, j) % 4294967296L))))""".stripMargin)).as("pk2"))
+    val probe = oriented.select(
+      expr("(src_k % 4294967296L) * 4294967296L + (dst_k % 4294967296L)").as("pk2"))
+    val tri = wedges.join(probe, "pk2")
+      .select(col("src").as("a"), expr("pk2 div 4294967296L").as("b"),
+        expr("pk2 % 4294967296L").as("c"))
+      .persist() // feeds the per-node rollup AND the global total
+    (edges, oriented, tri)
+  }
+
+  /** Per-node triangle participation counts from the (a, b, c) triples. */
+  private def triPerNode(tri: DataFrame): DataFrame =
+    tri.select(col("a").as("node"))
+      .unionAll(tri.select(col("b").as("node")))
+      .unionAll(tri.select(col("c").as("node")))
+      .groupBy("node").agg(count(lit(1)).cast("long").as("tri_count"))
+
+  /** Oracle-side CTE chain for the thresholded co-purchase graph and its
+    * per-node triangle counts (the a<b<c orientation — same triangle
+    * set as the Spark side's degree-ordered enumeration). */
+  private val triangleSql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS k
+      |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      |kd AS (SELECT k, COUNT(*) AS d FROM e GROUP BY k),
+      |ek AS (SELECT e.c, e.k FROM e JOIN kd ON kd.k = e.k WHERE kd.d <= 4096),
+      |pairs AS (
+      |  SELECT a.c AS c1, b.c AS c2 FROM ek a JOIN ek b ON a.k = b.k AND a.c < b.c
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+      |tri AS (
+      |  SELECT p1.c1 AS a, p1.c2 AS b, p2.c2 AS c
+      |  FROM pairs p1 JOIN pairs p2 ON p2.c1 = p1.c2
+      |  JOIN pairs p3 ON p3.c1 = p1.c1 AND p3.c2 = p2.c2),
+      |pernode AS (
+      |  SELECT node, CAST(COUNT(*) AS BIGINT) AS tri_count FROM (
+      |    SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+      |    UNION ALL SELECT c FROM tri)
+      |  GROUP BY node)""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     // --------------------------------------------------------------- GRAPH-1
@@ -371,88 +469,14 @@ object GraphQueries {
     // oracle counts the same triangle set via the simpler a<b<c
     // orientation — identical triangles, per-node counts, and total.
     QueryDef("g_triangles",
-      """WITH e AS (
-        |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS k
-        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
-        |kd AS (SELECT k, COUNT(*) AS d FROM e GROUP BY k),
-        |ek AS (SELECT e.c, e.k FROM e JOIN kd ON kd.k = e.k WHERE kd.d <= 4096),
-        |pairs AS (
-        |  SELECT a.c AS c1, b.c AS c2 FROM ek a JOIN ek b ON a.k = b.k AND a.c < b.c
-        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
-        |tri AS (
-        |  SELECT p1.c1 AS a, p1.c2 AS b, p2.c2 AS c
-        |  FROM pairs p1 JOIN pairs p2 ON p2.c1 = p1.c2
-        |  JOIN pairs p3 ON p3.c1 = p1.c1 AND p3.c2 = p2.c2),
-        |pernode AS (
-        |  SELECT node, CAST(COUNT(*) AS BIGINT) AS tri_count FROM (
-        |    SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
-        |    UNION ALL SELECT c FROM tri)
-        |  GROUP BY node),
+      s"""$triangleSql,
         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_triangles FROM tri)
         |SELECT node, tri_count, total_triangles, rank FROM (
         |  SELECT *, ROW_NUMBER() OVER (ORDER BY tri_count DESC, node) AS rank
         |  FROM pernode), tot
         |WHERE rank <= 20""".stripMargin) { (s, dir) =>
-      val shuffleP = s.sessionState.conf.numShufflePartitions
-      // edge build = the butterfly pair space (one key-shuffle capped
-      // adjacency, map-side pair explode, packed-long pair key) with the
-      // ≥3-shared-parts threshold applied at the pair aggregate
-      val byK = Graft.table(s, dir, "orders")
-        .join(Graft.table(s, dir, "lineitem"),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_partkey").as("k"))
-        .groupBy("k").agg(sort_array(collect_set(col("c"))).as("cs"))
-        .filter(size(col("cs")).between(2, 4096))
-        .repartition(shuffleP, col("k"))
-      val edges = byK
-        .select(explode(expr(
-          """flatten(transform(sequence(1, size(cs) - 1),
-            |  i -> transform(sequence(i + 1, size(cs)),
-            |    j -> element_at(cs, i) * 4294967296L + element_at(cs, j))))""".stripMargin))
-          .as("pk"))
-        .groupBy("pk").agg(count(lit(1)).as("sp"))
-        .filter(col("sp") >= 3)
-        .select(expr("pk div 4294967296L").as("c1"),
-          expr("pk % 4294967296L").as("c2"))
-        .persist() // feeds degree, orientation, and (via oriented) probe
-      val deg = edges.select(col("c1").as("node"))
-        .unionAll(edges.select(col("c2").as("node")))
-        .groupBy("node").agg(count(lit(1)).cast("long").as("deg"))
-      // orient each edge from its lower (deg, node) endpoint; ordKey packs
-      // (deg, node) into one long so the orientation compare, the
-      // adjacency sort, and the wedge pair order are all the same compare
-      val en = edges
-        .join(deg.select(col("node").as("c1"), col("deg").as("d1")), "c1")
-        .join(deg.select(col("node").as("c2"), col("deg").as("d2")), "c2")
-        .select(expr("d1 * 4294967296L + c1").as("k1"),
-          expr("d2 * 4294967296L + c2").as("k2"))
-      val oriented = en
-        .select(when(col("k1") < col("k2"), col("k1")).otherwise(col("k2")).as("src_k"),
-          when(col("k1") < col("k2"), col("k2")).otherwise(col("k1")).as("dst_k"))
-        .persist() // feeds the adjacency AND the closing-edge probe set
-      val adj = oriented
-        .groupBy(expr("src_k % 4294967296L").as("src"))
-        .agg(sort_array(collect_list(col("dst_k"))).as("ks"))
-        .filter(size(col("ks")) >= 2)
-        // same AQE explode-amplification re-spread as g_butterfly
-        .repartition(shuffleP, col("src"))
-      // wedge (src; d1, d2) with ordKey(d1) < ordKey(d2) closes iff the
-      // oriented edge d1 → d2 exists; probe key = node(d1)·2^32 + node(d2)
-      val wedges = adj.select(col("src"), explode(expr(
-        """flatten(transform(sequence(1, size(ks) - 1),
-          |  i -> transform(sequence(i + 1, size(ks)),
-          |    j -> (element_at(ks, i) % 4294967296L) * 4294967296L
-          |         + (element_at(ks, j) % 4294967296L))))""".stripMargin)).as("pk2"))
-      val probe = oriented.select(
-        expr("(src_k % 4294967296L) * 4294967296L + (dst_k % 4294967296L)").as("pk2"))
-      val tri = wedges.join(probe, "pk2")
-        .select(col("src").as("a"), expr("pk2 div 4294967296L").as("b"),
-          expr("pk2 % 4294967296L").as("c"))
-        .persist() // feeds the per-node rollup AND the global total
-      val pernode = tri.select(col("a").as("node"))
-        .unionAll(tri.select(col("b").as("node")))
-        .unionAll(tri.select(col("c").as("node")))
-        .groupBy("node").agg(count(lit(1)).cast("long").as("tri_count"))
+      val (edges, oriented, tri) = triangleFrames(s, dir)
+      val pernode = triPerNode(tri)
       // degree-ordered enumeration emits each triangle exactly once (the
       // wedge lives at the triangle's lowest-(deg, node) corner)
       val tot = tri.agg(count(lit(1)).cast("long").as("total_triangles"))
@@ -463,6 +487,41 @@ object GraphQueries {
           .withColumn("rank", row_number().over(Window.orderBy(rankOrder: _*)))
           .crossJoin(broadcast(tot))
           .select(col("node"), col("tri_count"), col("total_triangles"), col("rank")),
+        edges, oriented, tri)
+    },
+
+    // -------------------------------------------------------------- GRAPH-4b
+    // Local clustering coefficient — per node, the fraction of its
+    // neighbor pairs that are themselves connected (2·T / d·(d−1)): THE
+    // per-node cohesion score ("is this wallet embedded in a clique or a
+    // hub-and-spoke?") that separates organic communities from
+    // wash-trading stars at a glance. Rides the exact triangle spine
+    // g_triangles builds (same frames, one extra degree rollup + left
+    // join); integer-ppm arithmetic throughout, triangle-free nodes read
+    // coefficient 0 — never NULL, so the column is safely aggregable.
+    QueryDef("g_clustering_coef",
+      s"""$triangleSql,
+        |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        |  SELECT c1 AS node FROM pairs UNION ALL SELECT c2 FROM pairs)
+        |  GROUP BY node)
+        |SELECT d.node, d.deg, COALESCE(t.tri_count, 0) AS tri_count,
+        |  CASE WHEN d.deg >= 2
+        |    THEN (2 * COALESCE(t.tri_count, 0) * 1000000) // (d.deg * (d.deg - 1))
+        |    ELSE 0 END AS coef_ppm
+        |FROM deg d LEFT JOIN pernode t ON t.node = d.node""".stripMargin) { (s, dir) =>
+      val (edges, oriented, tri) = triangleFrames(s, dir)
+      val pernode = triPerNode(tri)
+      val deg = edges.select(col("c1").as("node"))
+        .unionAll(edges.select(col("c2").as("node")))
+        .groupBy("node").agg(count(lit(1)).cast("long").as("deg"))
+      CacheScope.sealResult(
+        deg.join(pernode, Seq("node"), "left")
+          .withColumn("tri_count", coalesce(col("tri_count"), lit(0L)))
+          .withColumn("coef_ppm",
+            when(col("deg") >= 2,
+              expr("2 * tri_count * 1000000 div (deg * (deg - 1))"))
+              .otherwise(0L))
+          .select("node", "deg", "tri_count", "coef_ppm"),
         edges, oriented, tri)
     },
 

@@ -1074,6 +1074,38 @@ class QueriesSpec extends SparkSpec {
       (1L, 1L, 1L, 1), (2L, 1L, 1L, 2), (3L, 1L, 1L, 3)), out.toSeq.toString)
   }
 
+  test("clustering coefficient: triangle corners score by degree, leaf scores 0") {
+    import spark.implicits._
+    // same graph as the triangle golden: triangle {1,2,3} + pendant edge
+    // 2-4. Degrees 2,3,2,1; coefficients 2T/d(d-1): 1.0, 1/3, 1.0, 0.
+    val rows = (for {
+      c <- Seq(1L, 2L, 3L); p <- Seq(101L, 102L, 103L)
+    } yield (c, p, 0L)) ++
+      (for { c <- Seq(2L, 4L); p <- Seq(104L, 105L, 106L) } yield (c, p, 0L))
+    val dir = writeGraphDir(rows)
+    val out = SparkEntry.queries("g_clustering_coef")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 2L, 1L, 1000000L), (2L, 3L, 1L, 333333L),
+      (3L, 2L, 1L, 1000000L), (4L, 1L, 0L, 0L)), out.toSeq.toString)
+  }
+
+  test("IQR outliers: rank-exact quartiles, only the spike crosses the fence") {
+    import spark.implicits._
+    // cents [1,2,3,4,100]: q1 = rank-2 value 2, q3 = rank-4 value 4,
+    // IQR 2 -> high fence 4 + 3 = 7, so only the 100 trips it
+    val rows = Seq((1L, 0.01), (2L, 0.02), (3L, 0.03), (4L, 0.04), (5L, 1.0))
+    val ev = rows.toDF("event_id", "value")
+      .withColumn("ts", expr("timestamp_micros(event_id * 1000000)"))
+      .withColumn("user_id", lit(1L)).withColumn("event_type", lit("t"))
+      .withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("iqr").toString
+    ev.write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("dq_outlier_iqr")(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(("t", 5L, 2L, 4L, 2L, 0L, 1L)), out.toString)
+  }
+
   test("jaccard: |{2,3}| over |{1,2,3}| is exactly 666666 ppm") {
     // supplier 11 serves customers {1,2,3}; supplier 22 serves {2,3}:
     // inter 2, degrees 3 and 2, union 3 -> floor(2e6/3) = 666666 ppm

@@ -958,6 +958,40 @@ object Streams {
         })
   }
 
+  /** Bounded rolling-median state: the user's last ≤4 cents, most recent
+    * first. */
+  case class MedState(recent: Seq[Long])
+  case class MedOut(user_id: Long, event_id: Long, cents: Long,
+      med_cents: Long, win_n: Int)
+
+  /** Streaming twin of batch `w20_rolling_median`: the 5-point robust
+    * smoother as keyed state — exactly the last 4 cents per user, so the
+    * state record is constant-size like [[ewma]]'s, and the median of
+    * the ≤5-value window is pure integer selection (sorted, lower-middle
+    * element), bit-identical to the batch window form. Same ordering
+    * contract as the other keyed twins: each micro-batch sorts by
+    * (ts, event_id); parity assumes in-order batch feeds. */
+  def rollingMedian(events: Dataset[Ev]): Dataset[MedOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, evs: Iterator[Ev], state: GroupState[MedState]) => {
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var recent = state.getOption.map(_.recent).getOrElse(Seq.empty[Long])
+          val out = Seq.newBuilder[MedOut]
+          sorted.foreach { e =>
+            val cents = math.floor(e.value * 100 + 0.5).toLong
+            val win = (cents +: recent).sorted
+            val med = win((win.size + 1) / 2 - 1) // 1-based (n+1)/2, the lower median
+            out += MedOut(uid, e.event_id, cents, med, win.size)
+            recent = (cents +: recent).take(4)
+          }
+          state.update(MedState(recent))
+          out.result().iterator
+        })
+  }
+
   /** Sink: write-audit-publish admission per micro-batch — the streaming
     * face of the snapshot store's WAP branches, EXACTLY-ONCE across
     * replays. Each batch stages on a branch named by its (monotonic)

@@ -308,6 +308,42 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(event_type"), p)
   }
 
+  test("ann_range_search broadcasts the query set; the corpus scan never shuffles") {
+    val p = planString("ann_range_search")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 0, p)
+  }
+
+  test("g_triangles takes its top-20 as TakeOrdered, never a global-window sort") {
+    val p = planString("g_triangles")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("the round-15 window family runs on ONE user exchange each") {
+    // w18's 7 lags, w19's running-peak + argmax pick, and w20's 5-row
+    // frame all partition by user_id: each must reuse a single
+    // hashpartitioning(user_id) shuffle — a second one doubles the
+    // dominant cost at 100 TB for a pure window program
+    Seq("w18_ewma", "w19_drawdown", "w20_rolling_median").foreach { q =>
+      val p = planString(q)
+      assert(countOccurrences(p, "Exchange hashpartitioning") == 1, s"$q:\n$p")
+    }
+  }
+
+  test("dq_outlier_iqr joins its quartiles broadcast over the typed exchange") {
+    val p = planString("dq_outlier_iqr")
+    // the fence probe joins the 5-row quartile table BROADCAST — the raw
+    // rows never shuffle for the join; the other exchanges are the rank
+    // windows' per-type partitioning and the final rollup's exchange,
+    // which carries only per-type PARTIAL sums (map-side combined)
+    assert(countOccurrences(p, "BroadcastHashJoin") >= 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // 2 distinct exchanges (window partitioning + final partial rollup),
+    // each RENDERED twice: the persisted cents relation embeds its child
+    // plan in both consuming branches of the string dump
+    assert(countOccurrences(p, "Exchange hashpartitioning") <= 4, p)
+  }
+
   test("no query in the inventory plans a CartesianProduct") {
     // every deliberate cross join in the inventory is against a bounded
     // broadcast side (1-row scalars, centroid codebooks) and must compile

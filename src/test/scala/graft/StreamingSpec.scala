@@ -857,6 +857,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rollingMedian across micro-batches ≡ batch w20_rolling_median") {
+    implicit val sqlCtx = spark.sqlContext
+    // 7 events for one user split mid-window (taps must carry across the
+    // batch boundary), plus a second user for key isolation
+    val evs = (1 to 7).map(i => Ev(i.toLong, ts(i), 7L, "t", (i * 7 % 5) + 1.0)) ++
+      Seq(Ev(11L, ts(1), 8L, "t", 2.0))
+    val mem = MemoryStream[Ev]
+    val q = Streams.rollingMedian(mem.toDS())
+      .writeStream.format("memory").queryName("rmed").outputMode("append").start()
+    try {
+      mem.addData(evs.filter(_.event_id <= 3): _*)
+      q.processAllAvailable()
+      mem.addData(evs.filter(_.event_id > 3): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("rmed")
+        .as[(Long, Long, Long, Long, Int)].collect().toSet
+      val dir = java.nio.file.Files.createTempDirectory("srmed").toString
+      evs.toDF().withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+        .write.parquet(s"$dir/events.parquet")
+      val batch = SparkEntry.queries("w20_rolling_median")(spark, dir)
+        .as[(Long, Long, Long, Long, Int)].collect().toSet
+      assert(streamed == batch, s"stream ${streamed.size} vs batch ${batch.size}")
+    } finally q.stop()
+  }
+
   test("WAP admission stream: audited batches land once, a poison batch never lands") {
     implicit val sqlCtx = spark.sqlContext
     import graft.core.ManifestSnapshots

@@ -2176,6 +2176,48 @@ object ManifestSnapshots {
     v
   }
 
+  /** Re-stage a conflicted branch onto the CURRENT head WITHOUT touching
+    * its data files — the recovery from a fast-forward publish conflict
+    * that doesn't re-run the load: fresh files (the branch's entries
+    * minus its recorded parent's) are carried onto the new head's entry
+    * list and the branch marker re-written at the new parent. Metadata
+    * only, like publish itself. Preconditions fail loudly: the old
+    * parent manifest must still parse (otherwise fresh can't be
+    * separated from inherited — drop and re-stage from source), and a
+    * branch whose fresh files ALREADY sit in the head was published (a
+    * crash-surviving marker) — rebasing it would double-reference the
+    * rows. No new schema guard is needed: stage checked the fresh files
+    * against the declared/dropped contracts, and every main-line writer
+    * refuses retypes, so head's schema cannot have diverged in a way the
+    * union read doesn't absorb (a column dropped after staging is hidden
+    * by readers, the same as any pre-drop version's files). Re-auditing
+    * after a rebase is the CALLER's decision — the staged rows are
+    * unchanged, but an audit that reads the whole branch state (e.g.
+    * drift vs the head) may now see a different base. */
+  def rebaseBranch(spark: SparkSession, dir: String, name: String): Long = {
+    val hfs = fs(spark, dir)
+    val (parent, entries) = branchState(spark, dir, name)
+      .getOrElse(sys.error(s"unknown or torn branch '$name' under $dir"))
+    val head = latestVersion(spark, dir).getOrElse(0L)
+    if (head == parent) return parent
+    val parentPaths =
+      if (parent == 0L) Set.empty[String]
+      else readManifest(hfs, dir, parent).getOrElse(
+        sys.error(s"branch '$name' parent manifest $parent is gone " +
+          s"(vacuumed?) — cannot separate staged files; drop and re-stage"))
+        .map(_.path).toSet
+    val fresh = entries.filterNot(e => parentPaths(e.path))
+    val headEntries = readManifest(hfs, dir, head).getOrElse(
+      sys.error(s"head manifest $head unreadable under $dir"))
+    val headPaths = headEntries.map(_.path).toSet
+    require(!fresh.forall(e => headPaths(e.path)),
+      s"branch '$name' was already published (its staged files are in " +
+        s"version $head) — drop the stale marker instead of rebasing")
+    Markers.write(spark, branchPath(dir, name),
+      s"$head\n${manifestBody(head, headEntries ++ fresh.filterNot(e => headPaths(e.path)))}")
+    head
+  }
+
   /** Abandon a staged branch: the AUDIT-FAILED exit. Metadata-only —
     * the staged data dirs become unreferenced and [[vacuum]]'s age-gated
     * orphan sweep reclaims them (exactly the crashed-writer cleanup

@@ -1865,6 +1865,81 @@ object ExtraQueries {
         (num.cast("double") / den).as("ewma_cents"))
     },
 
+    // ------------------------------------------------------------------ A-33
+    // Exact mode per group — the missing member of the descriptive-stats
+    // family (a10 median / a28 MAD / a34 skewness): the most frequent
+    // cents value per event type, deterministic tie-break on the smaller
+    // value. One value-rollup shuffle, then a per-type top-1 that
+    // compiles to a bounded WindowGroupLimit heap — never a full sort of
+    // the frequency table.
+    QueryDef("a33_mode",
+      """WITH c AS (SELECT event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events),
+        |f AS (SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM c GROUP BY 1, 2)
+        |SELECT event_type, v AS mode_cents, n AS n_occurrences FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        |    ORDER BY n DESC, v) AS rn FROM f)
+        |WHERE rn = 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      events(s, dir)
+        .select(col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("v"))
+        .groupBy("event_type", "v").agg(count(lit(1)).cast("long").as("n"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy(col("n").desc, col("v"))))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("v").as("mode_cents"),
+          col("n").as("n_occurrences"))
+    },
+
+    // ------------------------------------------------------------------ A-34
+    // Exact moment skewness per group — distribution-shape DQ beside the
+    // robust a28_mad: g1 = m3/m2^(3/2) computed from the raw power sums
+    // as g1 = A / B^(3/2) with A = n²s3 − 3n·s1·s2 + 2s1³ and
+    // B = n·s2 − s1², both EXACT in DECIMAL(38,0) (s3 alone overflows
+    // BIGINT at 100× — Σv³ is ~10²⁰ at 10⁸ rows of 10⁴-cent values; the
+    // dq_chi2 lesson applied before it bites). The n³ normalizers cancel
+    // algebraically, so the only inexact steps are the final three IEEE
+    // ops — identical in both engines.
+    QueryDef("a34_skewness",
+      """WITH c AS (SELECT event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events),
+        |m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(v) AS BIGINT) AS s1, CAST(SUM(v * v) AS BIGINT) AS s2,
+        |        CAST(SUM(CAST(v AS DECIMAL(38,0)) * v * v) AS DECIMAL(38,0)) AS s3
+        |      FROM c GROUP BY event_type)
+        |SELECT event_type, n, CAST(s1 AS DOUBLE) / n AS mean_cents,
+        |  CAST(CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)) * s3
+        |       - 3 * CAST(n AS DECIMAL(38,0)) * CAST(s1 AS DECIMAL(38,0)) * s2
+        |       + 2 * CAST(s1 AS DECIMAL(38,0)) * CAST(s1 AS DECIMAL(38,0)) * s1
+        |       AS DOUBLE)
+        |    / (CAST(CAST(n AS DECIMAL(38,0)) * s2
+        |            - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE)
+        |       * sqrt(CAST(CAST(n AS DECIMAL(38,0)) * s2
+        |                   - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE)))
+        |    AS skewness
+        |FROM m""".stripMargin) { (s, dir) =>
+      val dec = "decimal(38,0)"
+      val m = events(s, dir)
+        .select(col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("v"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum("v").cast("long").as("s1"),
+          sum(col("v") * col("v")).cast("long").as("s2"),
+          sum(col("v").cast(dec) * col("v") * col("v")).cast(dec).as("s3"))
+      val a = (col("n").cast(dec) * col("n").cast(dec) * col("s3")
+        - lit(3) * col("n").cast(dec) * col("s1").cast(dec) * col("s2")
+        + lit(2) * col("s1").cast(dec) * col("s1").cast(dec) * col("s1"))
+        .cast("double")
+      val b = (col("n").cast(dec) * col("s2") - col("s1").cast(dec) * col("s1"))
+        .cast("double")
+      m.select(col("event_type"), col("n"),
+        (col("s1").cast("double") / col("n")).as("mean_cents"),
+        (a / (b * sqrt(b))).as("skewness"))
+    },
+
     // ------------------------------------------------------------------ W-20
     // Rolling 5-point median per user — the robust smoother (the Hampel
     // filter's core) that, unlike w18's EWMA, a single spike cannot drag:

@@ -1509,6 +1509,36 @@ class ManifestSnapshotSpec extends SparkSpec {
     assert(ManifestSnapshots.branches(spark, dir).isEmpty)
   }
 
+  test("WAP rebase: a conflicted branch re-parents onto the head, data files untouched") {
+    val dir = tmpDir("msnapwapreb") + "/t"
+    ManifestSnapshots.writeFull(slice(0, 100), dir)
+    ManifestSnapshots.stageBranch(spark, dir, "b", slice(100, 150))
+    val stagedPaths = ManifestSnapshots.branchInfo(spark, dir, "b").get._2
+      .map(_.path).toSet
+    // main moves: publish conflicts, rebase recovers WITHOUT a re-stage
+    ManifestSnapshots.appendDelta(slice(1000, 1010), dir)
+    intercept[java.util.ConcurrentModificationException] {
+      ManifestSnapshots.publishBranch(spark, dir, "b")
+    }
+    val newParent = ManifestSnapshots.rebaseBranch(spark, dir, "b")
+    assert(newParent == ManifestSnapshots.latestVersion(spark, dir).get)
+    // the branch's fresh files are the SAME paths — no data rewrite
+    val rebasedPaths = ManifestSnapshots.branchInfo(spark, dir, "b").get._2
+      .map(_.path).toSet
+    assert(stagedPaths.subsetOf(rebasedPaths), "rebase rewrote staged files")
+    // the rebased state now includes the interleaved append
+    assert(ManifestSnapshots.readBranch(spark, dir, "b").count() == 160)
+    val v = ManifestSnapshots.publishBranch(spark, dir, "b")
+    assert(ManifestSnapshots.read(spark, dir, v).count() == 160)
+    // a published-but-marker-surviving branch is refused (no double refs)
+    ManifestSnapshots.stageBranch(spark, dir, "c", slice(2000, 2010))
+    ManifestSnapshots.publishBranch(spark, dir, "c", dropMarker = false)
+    intercept[IllegalArgumentException] {
+      ManifestSnapshots.rebaseBranch(spark, dir, "c")
+    }
+    ManifestSnapshots.dropBranch(spark, dir, "c")
+  }
+
   test("vacuum spares a live branch's staged files AND its aged-out parent; drop releases them") {
     val dir = tmpDir("msnapwapvac") + "/t"
     ManifestSnapshots.writeFull(slice(0, 100), dir)

@@ -1090,6 +1090,37 @@ class QueriesSpec extends SparkSpec {
       (3L, 2L, 1L, 1000000L), (4L, 1L, 0L, 0L)), out.toSeq.toString)
   }
 
+  test("mode: most frequent cents wins, frequency ties break to the smaller value") {
+    import spark.implicits._
+    // type 'a': 100 appears twice -> mode 100 x2; type 'b': all singletons
+    // -> tie broken to the smallest value 100
+    val rows = Seq((1L, "a", 1.0), (2L, "a", 1.0), (3L, "a", 2.0),
+      (4L, "b", 2.0), (5L, "b", 1.0))
+    val ev = rows.toDF("event_id", "event_type", "value")
+      .withColumn("ts", expr("timestamp_micros(event_id * 1000000)"))
+      .withColumn("user_id", lit(1L)).withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("mode").toString
+    ev.write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("a33_mode")(spark, dir)
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(("a", 100L, 2L), ("b", 100L, 1L)), out.toSeq.toString)
+  }
+
+  test("skewness: a symmetric series scores exactly 0, the moments cancel") {
+    import spark.implicits._
+    // cents 100/200/300: A = n²s3 - 3n*s1*s2 + 2s1³ = 0 exactly
+    val rows = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0))
+    val ev = rows.toDF("event_id", "value")
+      .withColumn("ts", expr("timestamp_micros(event_id * 1000000)"))
+      .withColumn("user_id", lit(1L)).withColumn("event_type", lit("t"))
+      .withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("skew").toString
+    ev.write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("a34_skewness")(spark, dir)
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(out == Seq(("t", 3L, 200.0, 0.0)), out.toString)
+  }
+
   test("IQR outliers: rank-exact quartiles, only the spike crosses the fence") {
     import spark.implicits._
     // cents [1,2,3,4,100]: q1 = rank-2 value 2, q3 = rank-4 value 4,

@@ -1051,7 +1051,30 @@ object Streams {
     // re-runs the deterministic audit to the same reject)
     def decide(): Unit =
       if (audit(MS.readBranch(s, path, name))) {
-        MS.publishBranch(s, path, name, dropMarker = false): Unit
+        // a CONCURRENT main-line writer between stage and publish
+        // surfaces as the fast-forward conflict: rebase (metadata-only,
+        // staged files untouched), RE-AUDIT against the new base, retry.
+        // Bounded like the commit loop — pathological contention must
+        // fail the stream loudly, never spin.
+        var attempts = 0
+        var done = false
+        while (!done) {
+          try {
+            MS.publishBranch(s, path, name, dropMarker = false): Unit
+            done = true
+          } catch {
+            case e: java.util.ConcurrentModificationException =>
+              attempts += 1
+              if (attempts >= 8) throw e
+              MS.rebaseBranch(s, path, name)
+              if (!audit(MS.readBranch(s, path, name))) {
+                // the rebased base flips the audit: reject wins
+                MS.dropBranch(s, path, name)
+                ledger()
+                return
+              }
+          }
+        }
         ledger()
         MS.dropBranch(s, path, name)
       } else {

@@ -937,4 +937,25 @@ class StreamingSpec extends SparkSpec {
     Streams.wapAdmitBatch(spark, root, 2L, b2, ok)
     assert(ManifestSnapshots.readLatest(spark, root).count() == 3)
   }
+
+  test("WAP admission self-heals a concurrent-writer conflict via rebase") {
+    import graft.core.ManifestSnapshots
+    val root = tmpDir("swapconf") + "/t"
+    val ok = (_: org.apache.spark.sql.DataFrame) => true
+    Streams.wapAdmitBatch(spark, root, 0L,
+      Seq(Ev(1, ts(1), 7, "t", 10.0)).toDF(), ok)
+    // crash shape: batch 1 staged, then an EXTERNAL writer commits before
+    // the replay publishes — the admission must rebase and land, never
+    // fail the stream or duplicate
+    ManifestSnapshots.stageBranch(spark, root, "wapb-1",
+      Seq(Ev(2, ts(2), 7, "t", 20.0)).toDF())
+    ManifestSnapshots.appendDelta(
+      Seq(Ev(3, ts(3), 8, "t", 30.0)).toDF(), root)
+    Streams.wapAdmitBatch(spark, root, 1L,
+      Seq(Ev(2, ts(2), 7, "t", 20.0)).toDF(), ok)
+    val ids = ManifestSnapshots.readLatest(spark, root)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L), s"conflict lost or duplicated rows: $ids")
+    assert(ManifestSnapshots.branches(spark, root).isEmpty)
+  }
 }

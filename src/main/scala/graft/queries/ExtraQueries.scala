@@ -1865,6 +1865,53 @@ object ExtraQueries {
         (num.cast("double") / den).as("ewma_cents"))
     },
 
+    // ------------------------------------------------------------------ A-35
+    // Interval-concurrency (sweep-line): for each event, how many events
+    // started within the trailing 30 s — the instantaneous load/collusion
+    // signal ("how many interactions were in flight when this one
+    // landed"). The oracle states it as ONE global RANGE window; the
+    // Spark plan is the DISTRIBUTED sweep: a day-partitioned RANGE count
+    // (every partition independent) plus a boundary correction for
+    // events within 30 s of their day start, joined against the previous
+    // day's last-30 s strip — the strip is rate·30 s rows per boundary
+    // at ANY corpus size, so the plan has no global ordering anywhere.
+    // Exact µs integers throughout (29,999,999 PRECEDING ⇔ strictly
+    // inside 30 s at µs granularity); RANGE peers count both ways in
+    // both engines, so identical timestamps need no tie-break.
+    QueryDef("a35_concurrency",
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events)
+        |SELECT event_id,
+        |  CAST(COUNT(*) OVER (ORDER BY ts_us
+        |    RANGE BETWEEN 29999999 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS concurrency
+        |FROM e""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val dayUs = 86400000000L
+      val e = events(s, dir)
+        .select(col("event_id"), col("ts_us"),
+          (col("ts_us") / dayUs).cast("long").as("day"))
+      val wDay = Window.partitionBy("day").orderBy("ts_us")
+        .rangeBetween(-29999999L, 0L)
+      val base = e
+        .withColumn("same_day", count(lit(1)).over(wDay))
+        .persist() // feeds the near-boundary probe AND the final stitch
+      val strips = e
+        .filter(pmod(col("ts_us"), lit(dayUs)) >= dayUs - 30000000L)
+        .select((col("day") + 1).as("day"), col("ts_us").as("prev_ts"))
+      val carry = base
+        .filter(pmod(col("ts_us"), lit(dayUs)) < 30000000L)
+        .join(strips, Seq("day"))
+        .filter(col("prev_ts") > col("ts_us") - 30000000L)
+        .groupBy(col("event_id").as("eid"))
+        .agg(count(lit(1)).as("x"))
+      CacheScope.sealResult(
+        base.join(carry, col("event_id") === col("eid"), "left")
+          .select(col("event_id"),
+            (col("same_day") + coalesce(col("x"), lit(0L))).cast("long")
+              .as("concurrency")),
+        base)
+    },
+
     // ------------------------------------------------------------------ A-33
     // Exact mode per group — the missing member of the descriptive-stats
     // family (a10 median / a28 MAD / a34 skewness): the most frequent

@@ -64,7 +64,8 @@ object ScaleBench {
     "dq_benford", "a29_acf", "w18_ewma", "t_freq_spectrum", "d_prefix_cluster",
     "t_novelty", "w19_drawdown", "g_assortativity",
     "c_silhouette", "w20_rolling_median", "mm_patch_grid", "snap_wap",
-    "g_clustering_coef", "dq_outlier_iqr", "a33_mode", "a34_skewness")
+    "g_clustering_coef", "dq_outlier_iqr", "a33_mode", "a34_skewness",
+    "a35_concurrency")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

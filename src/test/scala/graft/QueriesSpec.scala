@@ -1090,6 +1090,26 @@ class QueriesSpec extends SparkSpec {
       (3L, 2L, 1L, 1000000L), (4L, 1L, 0L, 0L)), out.toSeq.toString)
   }
 
+  test("concurrency: trailing-30s sweep counts, including across a day boundary") {
+    import spark.implicits._
+    // seconds 0/10/29/31/70 exercise the open left edge (31 no longer
+    // sees 0); 86395/86405 straddle the day boundary, so event 7's count
+    // can ONLY be right if the previous-day strip carry works
+    val rows = Seq((1L, 0L), (2L, 10L), (3L, 29L), (4L, 31L), (5L, 70L),
+      (6L, 86395L), (7L, 86405L))
+    val ev = rows.toDF("event_id", "sec")
+      .withColumn("ts", expr("timestamp_micros(sec * 1000000)"))
+      .withColumn("user_id", lit(1L)).withColumn("event_type", lit("t"))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .drop("sec")
+    val dir = java.nio.file.Files.createTempDirectory("conc").toString
+    ev.write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("a35_concurrency")(spark, dir)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 3L), (5L, 1L),
+      (6L, 1L), (7L, 2L)), out.toSeq.toString)
+  }
+
   test("mode: most frequent cents wins, frequency ties break to the smaller value") {
     import spark.implicits._
     // type 'a': 100 appears twice -> mode 100 x2; type 'b': all singletons

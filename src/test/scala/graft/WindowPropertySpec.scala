@@ -85,6 +85,33 @@ class WindowPropertySpec extends SparkSpec {
     assert(result.passed, result.status.toString)
   }
 
+  test("property: a35_concurrency sweep ≡ brute-force trailing-30s count") {
+    // timestamps cluster around a day boundary so the previous-day strip
+    // carry is exercised on most samples, not just at the golden's point
+    val tsGen = Gen.chooseNum(86400L - 90, 86400L + 90)
+    val prop = forAll(Gen.listOfN(30, tsGen)) { secs =>
+      if (secs.isEmpty) true
+      else {
+        val rows = secs.zipWithIndex.map { case (sec, i) => (i.toLong + 1, sec) }
+        val ev = rows.toDF("event_id", "sec")
+          .withColumn("ts", expr("timestamp_micros(sec * 1000000)"))
+          .withColumn("user_id", lit(1L)).withColumn("event_type", lit("t"))
+          .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+          .drop("sec")
+        val dir = java.nio.file.Files.createTempDirectory("concprop").toString
+        ev.write.parquet(s"$dir/events.parquet")
+        val got = SparkEntry.queries("a35_concurrency")(spark, dir)
+          .as[(Long, Long)].collect().toMap
+        val want = rows.map { case (eid, sec) =>
+          eid -> rows.count { case (_, s2) => s2 > sec - 30 && s2 <= sec }.toLong
+        }.toMap
+        got == want
+      }
+    }
+    val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("property: w19_drawdown ≡ pure-Scala running-peak argmax") {
     val prop = forAll(Gen.listOfN(40, rowGen)) { rows =>
       if (rows.isEmpty) true

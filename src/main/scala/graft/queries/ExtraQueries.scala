@@ -1865,6 +1865,52 @@ object ExtraQueries {
         (num.cast("double") / den).as("ewma_cents"))
     },
 
+    // ------------------------------------------------------------------ DQ-8
+    // Referential-integrity audit — orphan counts for the star schema's
+    // three foreign keys, the load-completeness gate that catches a
+    // partially-landed dimension before any join silently drops facts.
+    // Each check is one anti-join (broadcastable dims; at 100 TB the
+    // fact-to-fact check shuffles on the key like any equi join), and
+    // the row exists even at zero orphans — a disappearing audit row is
+    // itself a failure mode. The left-anti counts are exact, never
+    // sampled: at this shape the audit costs what one join stage of the
+    // real pipeline costs anyway.
+    QueryDef("dq_orphans",
+      """SELECT 'lineitem->orders' AS fk,
+        |  CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_child,
+        |  CAST((SELECT COUNT(*) FROM lineitem l
+        |        LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |        WHERE o.o_orderkey IS NULL) AS BIGINT) AS n_orphan
+        |UNION ALL SELECT 'orders->customer',
+        |  (SELECT COUNT(*) FROM orders),
+        |  (SELECT COUNT(*) FROM orders o
+        |   LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+        |   WHERE c.c_custkey IS NULL)
+        |UNION ALL SELECT 'lineitem->supplier',
+        |  (SELECT COUNT(*) FROM lineitem),
+        |  (SELECT COUNT(*) FROM lineitem l
+        |   LEFT JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |   WHERE s.s_suppkey IS NULL)""".stripMargin) { (s, dir) =>
+      def audit(fk: String, child: DataFrame, childKey: String,
+          parent: DataFrame, parentKey: String): DataFrame =
+        child.select(col(childKey))
+          // distinct defends the count against a (buggy) duplicated
+          // parent key: the audit must never inflate n_child
+          .join(parent.select(col(parentKey)).distinct(),
+            col(childKey) === col(parentKey), "left")
+          .agg(count(lit(1)).cast("long").as("n_child"),
+            sum(when(col(parentKey).isNull, 1).otherwise(0)).cast("long")
+              .as("n_orphan"))
+          .select(lit(fk).as("fk"), col("n_child"), col("n_orphan"))
+      val li = Graft.table(s, dir, "lineitem")
+      val o = Graft.table(s, dir, "orders")
+      audit("lineitem->orders", li, "l_orderkey", o, "o_orderkey")
+        .unionAll(audit("orders->customer", o, "o_custkey",
+          Graft.table(s, dir, "customer"), "c_custkey"))
+        .unionAll(audit("lineitem->supplier", li, "l_suppkey",
+          Graft.table(s, dir, "supplier"), "s_suppkey"))
+    },
+
     // ------------------------------------------------------------------ A-35
     // Interval-concurrency (sweep-line): for each event, how many events
     // started within the trailing 30 s — the instantaneous load/collusion

@@ -65,7 +65,7 @@ object ScaleBench {
     "t_novelty", "w19_drawdown", "g_assortativity",
     "c_silhouette", "w20_rolling_median", "mm_patch_grid", "snap_wap",
     "g_clustering_coef", "dq_outlier_iqr", "a33_mode", "a34_skewness",
-    "a35_concurrency")
+    "a35_concurrency", "dq_orphans")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

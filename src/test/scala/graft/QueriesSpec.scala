@@ -1090,6 +1090,24 @@ class QueriesSpec extends SparkSpec {
       (3L, 2L, 1L, 1000000L), (4L, 1L, 0L, 0L)), out.toSeq.toString)
   }
 
+  test("orphans: a dangling foreign key is counted, intact ones read zero") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("orphans").toString
+    Seq((1L, 1L), (2L, 2L)).toDF("o_orderkey", "o_custkey")
+      .write.parquet(s"$dir/orders.parquet")
+    // second lineitem row references order 99 (absent) and supplier 5 (absent)
+    Seq((1L, 101L, 0L), (99L, 102L, 5L))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    Seq(1L, 2L).toDF("c_custkey").write.parquet(s"$dir/customer.parquet")
+    Seq(0L).toDF("s_suppkey").write.parquet(s"$dir/supplier.parquet")
+    val out = SparkEntry.queries("dq_orphans")(spark, dir)
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(("lineitem->orders", 2L, 1L),
+      ("lineitem->supplier", 2L, 1L), ("orders->customer", 2L, 0L)),
+      out.toSeq.toString)
+  }
+
   test("concurrency: trailing-30s sweep counts, including across a day boundary") {
     import spark.implicits._
     // seconds 0/10/29/31/70 exercise the open left edge (31 no longer

@@ -1718,14 +1718,26 @@ object ExtraQueries {
     },
 
     // ------------------------------------------------------------------ DQ-7
-    // Tukey-fence outlier audit — exact integer quartiles (rank-selected
-    // over cents, the a10 positional discipline: q1 at rank ⌈n/4⌉, q3 at
-    // ⌈3n/4⌉) and counts beyond the 1.5·IQR fences per event type. The
-    // fences are compared DOUBLED (2v < 2q1 − 3·IQR) so the half-unit
-    // never exists — no floats anywhere in a query whose entire point is
-    // robustness to weird values. Cost: one per-type positional sort
-    // (the exact-quantile price; the sketch route is a14_qs) + one
-    // broadcast-sized quartile join back over the same typed exchange.
+    // Tukey-fence outlier audit — exact integer quartiles (q1 at rank
+    // ⌈n/4⌉, q3 at ⌈3n/4⌉ over sorted cents) and counts beyond the
+    // 1.5·IQR fences per event type. The fences are compared DOUBLED
+    // (2v < 2q1 − 3·IQR) so the half-unit never exists — no floats
+    // anywhere in a query whose entire point is robustness to weird
+    // values. The oracle states the quartiles positionally (ROW_NUMBER
+    // per type); the Spark plan deliberately does NOT — event_type is
+    // low-cardinality, so a per-type positional sort is a near-GLOBAL
+    // sort per type (measured 100× exponent 0.60, the r15 registry's
+    // worst). Instead this is a27_global_median's bucketed-histogram
+    // EXACT selection applied per type: one map-side-combinable
+    // (type, bucket) rollup over exact-integer buckets (width chosen so
+    // truncating div is injective-monotone on cents — no FP anywhere),
+    // a driver cumulative over ≤|types|·1024 bounded rows to locate the
+    // bucket holding each rank, then ONE targeted pass resolving the
+    // exact rank inside only the hit buckets (~n/1024 rows each). Rank k
+    // over sorted v ≡ min v with cumcount(≤v) ≥ k, value-deterministic
+    // under ties, so the hash matches the oracle's positional statement.
+    // Cost: two map-side-combinable scans + a bucket-filtered probe + the
+    // broadcast fence join — NO sort, NO window over the full data.
     QueryDef("dq_outlier_iqr",
       """WITH c AS (SELECT event_type,
         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events),
@@ -1743,21 +1755,64 @@ object ExtraQueries {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_out_high
         |FROM q JOIN c ON c.event_type = q.event_type
         |GROUP BY 1, 2, 3, 4, 5""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val B = 1024L
       val c = events(s, dir)
         .select(col("event_type"),
           floor(col("value") * 100 + 0.5).cast("long").as("v"))
-        .persist() // feeds the quartile ranks AND the fence probe
-      val byType = Window.partitionBy("event_type")
-      val q = c
-        .withColumn("rn", row_number().over(byType.orderBy("v")))
-        .withColumn("n", count(lit(1)).over(byType))
-        .groupBy("event_type")
-        .agg(max("n").cast("long").as("n"),
-          max(when(col("rn") === expr("(n + 3) div 4"), col("v")))
-            .cast("long").as("q1"),
-          max(when(col("rn") === expr("(3 * n + 3) div 4"), col("v")))
-            .cast("long").as("q3"))
+        .persist() // feeds the histogram, the rank probe AND the fence probe
+      // pass 1 (map-side combinable): per-type count/min/max → bounded rows
+      val stats = c.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), min("v").as("mn"), max("v").as("mx"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // integer bucket width: width > (mx−mn)/B so (v−mn) div width < B,
+      // exact on longs (cents), monotone — the a27 discipline minus the FP
+      val widths = stats.map { case (t, _, mn, mx) =>
+        (t, mn, math.max(1L, (mx - mn) / B + 1L))
+      }
+      val widthDf = widths.toSeq.toDF("event_type", "mn", "w")
+      val bucketed = c.join(broadcast(widthDf), "event_type")
+        .select(col("event_type"), col("v"),
+          expr("(v - mn) div w").as("b"))
+      // pass 2 (map-side combinable): (type, bucket) histogram → ≤|types|·B
+      // bounded rows; driver cumulative locates the bucket holding each rank
+      val hist = bucketed.groupBy("event_type", "b").agg(count(lit(1)).as("cnt"))
+        .collect()
+        .groupBy(_.getString(0))
+        .map { case (t, rs) =>
+          t -> rs.map(r => r.getLong(1) -> r.getLong(2)).sortBy(_._1)
+        }
+      // rank k within a type = (bucket holding position k, k − count below)
+      def locate(t: String, k: Long): (Long, Long) = {
+        var cum = 0L
+        for ((b, cnt) <- hist(t)) {
+          if (cum + cnt >= k) return (b, k - cum)
+          cum += cnt
+        }
+        throw new IllegalStateException(s"rank $k beyond histogram of $t")
+      }
+      val targets = stats.flatMap { case (t, n, _, _) =>
+        val (b1, p1) = locate(t, (n + 3) / 4)
+        val (b3, p3) = locate(t, (3 * n + 3) / 4)
+        Seq((t, "q1", b1, p1), (t, "q3", b3, p3))
+      }
+      val targetDf = targets.toSeq.toDF("event_type", "tag", "b", "pos")
+      // targeted pass: exact rank INSIDE the hit buckets only (~n/B rows
+      // per bucket by construction) — distinct-value counts + a cumulative
+      // over that bounded set; min v with cum ≥ pos IS the positional value
+      val wCum = Window.partitionBy("event_type", "tag").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val resolved = bucketed.join(broadcast(targetDf), Seq("event_type", "b"))
+        .groupBy("event_type", "tag", "pos", "v").agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum("cnt").over(wCum))
+        .filter(col("cum") >= col("pos"))
+        .groupBy("event_type", "tag").agg(min("v").as("qv"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val q = stats.map { case (t, n, _, _) =>
+        (t, n, resolved((t, "q1")), resolved((t, "q3")))
+      }.toSeq.toDF("event_type", "n", "q1", "q3")
       val out = c.join(broadcast(q), "event_type")
         .groupBy(col("event_type"), col("n"), col("q1"), col("q3"),
           (col("q3") - col("q1")).as("iqr"))
@@ -1778,7 +1833,11 @@ object ExtraQueries {
     // series); the Pearson r over the lagged pairs is exactly three
     // correctly-rounded IEEE steps (cast, multiply, sqrt-divide) — the
     // w9_auc/dq_chi2 parity discipline. Emitting the moments alongside r
-    // makes the row self-verifying.
+    // makes the row self-verifying. The moment CROSS-products (n·sxy,
+    // sx·sy, …) are widened to DECIMAL(38,0) before multiplying: sx·sy is
+    // ~(total event count)² and overflows BIGINT past ~3e9 rows, where
+    // Spark wraps silently while DuckDB raises — the a34/g_assortativity
+    // lesson applied here too (r16 advice).
     QueryDef("a29_acf",
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -1793,11 +1852,15 @@ object ExtraQueries {
         |        CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy
         |      FROM lagged WHERE x IS NOT NULL GROUP BY event_type)
         |SELECT event_type, n, sx, sy, sxy, sxx, syy,
-        |  CAST(n * sxy - sx * sy AS DOUBLE)
-        |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-        |           * CAST(n * syy - sy * sy AS DOUBLE)) AS acf1
+        |  CAST(CAST(n AS DECIMAL(38,0)) * sxy
+        |       - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+        |    / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sxx
+        |                - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
+        |           * CAST(CAST(n AS DECIMAL(38,0)) * syy
+        |                  - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE)) AS acf1
         |FROM m""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
+      val dec = "decimal(38,0)"
       val daily = events(s, dir)
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(count(lit(1)).cast("long").as("cnt"))
@@ -1812,9 +1875,12 @@ object ExtraQueries {
           sum(col("x") * col("x")).cast("long").as("sxx"),
           sum(col("y") * col("y")).cast("long").as("syy"))
         .withColumn("acf1",
-          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-            sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
-              (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+          (col("n").cast(dec) * col("sxy") - col("sx").cast(dec) * col("sy"))
+            .cast("double") /
+            sqrt((col("n").cast(dec) * col("sxx")
+                - col("sx").cast(dec) * col("sx")).cast("double") *
+              (col("n").cast(dec) * col("syy")
+                - col("sy").cast(dec) * col("sy")).cast("double")))
     },
 
     // ------------------------------------------------------------------ W-18
@@ -1923,7 +1989,12 @@ object ExtraQueries {
     // at ANY corpus size, so the plan has no global ordering anywhere.
     // Exact µs integers throughout (29,999,999 PRECEDING ⇔ strictly
     // inside 30 s at µs granularity); RANGE peers count both ways in
-    // both engines, so identical timestamps need no tie-break.
+    // both engines, so identical timestamps need no tie-break. The day
+    // key is FLOOR division derived from pmod (ts_us − pmod(ts_us, day)
+    // is an exact multiple of day, so truncating `div` IS floor here) —
+    // never double division, whose truncate-toward-zero disagrees with
+    // pmod for pre-epoch timestamps and loses exactness past 2^53 µs
+    // (r16 advice).
     QueryDef("a35_concurrency",
       """WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events)
         |SELECT event_id,
@@ -1935,7 +2006,7 @@ object ExtraQueries {
       val dayUs = 86400000000L
       val e = events(s, dir)
         .select(col("event_id"), col("ts_us"),
-          (col("ts_us") / dayUs).cast("long").as("day"))
+          expr(s"(ts_us - pmod(ts_us, ${dayUs}L)) div ${dayUs}L").as("day"))
       val wDay = Window.partitionBy("day").orderBy("ts_us")
         .rangeBetween(-29999999L, 0L)
       val base = e

@@ -330,18 +330,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("dq_outlier_iqr joins its quartiles broadcast over the typed exchange") {
+  test("dq_outlier_iqr plans NO sort and NO window — fence probe only") {
     val p = planString("dq_outlier_iqr")
-    // the fence probe joins the 5-row quartile table BROADCAST — the raw
-    // rows never shuffle for the join; the other exchanges are the rank
-    // windows' per-type partitioning and the final rollup's exchange,
-    // which carries only per-type PARTIAL sums (map-side combined)
+    // quartiles come from the bucketed-histogram exact selection (r16):
+    // bounded side-jobs resolved before this plan exists. The returned
+    // plan is ONLY the fence probe — the 5-row quartile table joins
+    // BROADCAST, and the per-type positional sort that made the r15 form
+    // a near-global sort per type (100× exponent 0.60) must never
+    // reappear here
     assert(countOccurrences(p, "BroadcastHashJoin") >= 1, p)
     assert(!p.contains("SortMergeJoin"), p)
-    // 2 distinct exchanges (window partitioning + final partial rollup),
-    // each RENDERED twice: the persisted cents relation embeds its child
-    // plan in both consuming branches of the string dump
-    assert(countOccurrences(p, "Exchange hashpartitioning") <= 4, p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Sort "), p)
+    // one DISTINCT exchange — the final per-type rollup carrying map-side
+    // partials — rendered twice: the InMemoryRelation dump embeds the
+    // cached child plan alongside the outer scan
+    assert(countOccurrences(p, "Exchange hashpartitioning") <= 2, p)
   }
 
   test("no query in the inventory plans a CartesianProduct") {

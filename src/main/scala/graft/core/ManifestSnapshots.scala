@@ -613,11 +613,18 @@ object ManifestSnapshots {
     while (true) {
       val committed = lock.synchronized { withLocalCommitLock(hfs, dir) {
         expectedBase.foreach { b =>
-          if (!newestParseable(hfs, dir).contains(b))
+          // Some(0) = "computed against an EMPTY table": versions start
+          // at 1, so the fast-forward check degenerates to emptiness —
+          // held under the same cross-process lock as the create, closing
+          // the check-then-commit window a pre-lock emptiness require()
+          // would leave open (a concurrent v1 landing between them would
+          // be silently superseded, dropping its files from table state)
+          val cur = newestParseable(hfs, dir)
+          if (if (b == 0L) cur.nonEmpty else !cur.contains(b))
             throw new java.util.ConcurrentModificationException(
               s"snapshot commit conflict under $dir: the table moved past " +
                 s"version $b while a rewriting operation (MERGE/DELETE/" +
-                "UPDATE/OPTIMIZE) was computing its touched files — " +
+                "UPDATE/OPTIMIZE/publish) was computing its touched files — " +
                 "re-run it against the new committed state")
         }
         v = math.max(v, nextSlot(hfs, dir))
@@ -2136,6 +2143,61 @@ object ManifestSnapshots {
       name: String): Option[(Long, Seq[Entry])] =
     branchState(spark, dir, name)
 
+  /** Did a crashed publish of this live branch LAND? The sound replay
+    * discriminator behind exactly-once admission
+    * (Streams.foreachBatchWapAppend): a subset-of-head probe alone is
+    * defeated by a post-publish rewrite (OPTIMIZE/MERGE) that compacted
+    * the staged files out of head — the r16 advice's silent-duplicate
+    * window. This walks every manifest slot in (parent, head] instead;
+    * a staged-FRESH path can enter main ONLY via this branch's publish,
+    * so any committed manifest referencing one is positive proof.
+    *
+    *  - Some(true)  — a committed manifest in (parent, head] references
+    *    a fresh path: the publish landed (even if later compacted away).
+    *  - Some(false) — every slot in the range is accounted for (Parsed
+    *    without fresh paths, Torn = a crashed writer's non-commit, or
+    *    Absent-but-burnt by a decl-<v> schema slot) and none references
+    *    a fresh path: provably unpublished.
+    *  - None — evidence is INCOMPLETE: the branch's parent manifest or a
+    *    slot in the range was vacuumed, or a read failed. The caller
+    *    must fail loudly, not guess — republishing on a guess is the
+    *    duplicate-rows outcome this method exists to prevent.
+    *
+    * Cost: |head − parent| KB-scale manifest reads, on the replay path
+    * only — a crash-recovery window, never the steady-state ingest. */
+  def branchPublishEvidence(spark: SparkSession, dir: String,
+      name: String): Option[Boolean] = {
+    val hfs = fs(spark, dir)
+    val (parent, entries) = branchState(spark, dir, name)
+      .getOrElse(sys.error(s"unknown or torn branch '$name' under $dir"))
+    val parentPaths =
+      if (parent == 0L) Some(Set.empty[String])
+      else readManifest(hfs, dir, parent).map(_.map(_.path).toSet)
+    parentPaths match {
+      case None => None // parent manifest gone: fresh is inseparable
+      case Some(pp) =>
+        val fresh = entries.map(_.path).filterNot(pp).toSet
+        if (fresh.isEmpty) return Some(false) // nothing at stake to duplicate
+        val head = newestParseable(hfs, dir).getOrElse(0L)
+        val sdir = new Path(s"${dir.stripSuffix("/")}/$SchemaDirName")
+        var v = parent + 1
+        while (v <= head) {
+          readManifestState(hfs, dir, v) match {
+            case ManifestState.Parsed(es) =>
+              if (es.exists(e => fresh(e.path))) return Some(true)
+            case ManifestState.Torn => () // fully read garbage: never a commit
+            case ManifestState.Absent =>
+              // slots are dense except decl-burnt ones (nextSlot skips
+              // past decl-<v> schema slots, which never carry a manifest)
+              if (!hfs.exists(new Path(sdir, s"decl-$v"))) return None
+            case ManifestState.Unreadable => return None
+          }
+          v += 1
+        }
+        Some(false)
+    }
+  }
+
   /** Read the branch's staged table state — the AUDIT surface: quality
     * gates run their checks against exactly the rows publish would make
     * visible, with main untouched. */
@@ -2167,11 +2229,11 @@ object ManifestSnapshots {
     val hfs = fs(spark, dir)
     val (parent, entries) = branchState(spark, dir, name)
       .getOrElse(sys.error(s"unknown or torn branch '$name' under $dir"))
-    if (parent == 0L)
-      require(latestVersion(spark, dir).isEmpty,
-        s"branch '$name' staged against an empty table but $dir has versions")
-    val v = commitLoop(hfs, dir, _ => entries,
-      expectedBase = if (parent == 0L) None else Some(parent))
+    // parent==0 is NOT exempt from fast-forward: Some(0) makes commitLoop
+    // verify the table is STILL empty inside the commit lock, so a
+    // concurrent writeFull/appendDelta landing v1 raises the same CME as
+    // any base movement instead of being silently superseded (r16 advice)
+    val v = commitLoop(hfs, dir, _ => entries, expectedBase = Some(parent))
     if (dropMarker) hfs.delete(branchPath(dir, name), false): Unit
     v
   }
@@ -2210,11 +2272,16 @@ object ManifestSnapshots {
     val headEntries = readManifest(hfs, dir, head).getOrElse(
       sys.error(s"head manifest $head unreadable under $dir"))
     val headPaths = headEntries.map(_.path).toSet
-    require(!fresh.forall(e => headPaths(e.path)),
-      s"branch '$name' was already published (its staged files are in " +
-        s"version $head) — drop the stale marker instead of rebasing")
+    // ANY fresh path in head proves the branch was published (fresh
+    // files enter main only via this branch's publish) — the r15 form
+    // required ALL to remain, which a post-publish compaction of just
+    // one staged file defeated, letting a rebase double-reference the
+    // surviving rows (r16 advice)
+    require(!fresh.exists(e => headPaths(e.path)),
+      s"branch '$name' was already published (staged file(s) of its are " +
+        s"in version $head) — drop the stale marker instead of rebasing")
     Markers.write(spark, branchPath(dir, name),
-      s"$head\n${manifestBody(head, headEntries ++ fresh.filterNot(e => headPaths(e.path)))}")
+      s"$head\n${manifestBody(head, headEntries ++ fresh)}")
     head
   }
 

@@ -1005,14 +1005,18 @@ object Streams {
     *  - after stage, before publish: the surviving branch marker is
     *    re-audited and published — the marker's CONTENT, not a restage,
     *    so the decision is on the bytes the crashed attempt wrote;
-    *  - after publish, before the ledger write: the staged paths are
-    *    already a subset of the committed manifest — detected, ledger
-    *    repaired, NO duplicate rows.
-    * The subset probe assumes no EXTERNAL rewrite (MERGE/DELETE/OPTIMIZE)
-    * drops the staged paths between crash and replay — interleaving
-    * rewrites with a replaying admission stream is refused loudly (the
-    * re-publish throws the fast-forward conflict), never absorbed
-    * silently. */
+    *  - after publish, before the ledger write: a committed manifest in
+    *    (parent, head] references the staged paths — detected by
+    *    ManifestSnapshots.branchPublishEvidence's history walk (sound
+    *    even when a later OPTIMIZE/MERGE compacted every staged file out
+    *    of the CURRENT head, where a subset-of-head probe would lie),
+    *    ledger repaired, NO duplicate rows.
+    * When the evidence is INCOMPLETE — the walk hits a vacuumed or
+    * unreadable manifest slot, so "did the crashed publish land?" cannot
+    * be answered — admission throws IllegalStateException rather than
+    * guess: a wrong guess either duplicates rows or drops a batch. Keep
+    * vacuum retention above the replay window (its default keep already
+    * is) and the ambiguity never arises. */
   def foreachBatchWapAppend(
       stream: DataFrame,
       path: String,
@@ -1082,15 +1086,29 @@ object Streams {
         ledger()
       }
     MS.branchInfo(s, path, name) match {
-      case Some((_, entries)) =>
-        val committed = MS.latestVersion(s, path)
-          .map(v => MS.entriesOf(s, path, v).map(_.path).toSet)
-          .getOrElse(Set.empty[String])
-        if (entries.map(_.path).toSet.subsetOf(committed)) {
-          // the crashed attempt DID publish — repair the ledger only
-          ledger()
-          MS.dropBranch(s, path, name)
-        } else decide()
+      case Some(_) =>
+        // a surviving marker above the ledger: the crashed attempt may
+        // or may not have published. The manifest-history walk answers
+        // soundly (a staged-fresh path in ANY committed version since
+        // the stage parent is positive proof, surviving post-publish
+        // compaction); incomplete evidence fails the stream loudly —
+        // republish-on-guess is silent duplicates, drop-on-guess is a
+        // silently lost batch
+        MS.branchPublishEvidence(s, path, name) match {
+          case Some(true) =>
+            // the crashed attempt DID publish — repair the ledger only
+            ledger()
+            MS.dropBranch(s, path, name)
+          case Some(false) => decide()
+          case None => throw new IllegalStateException(
+            s"WAP replay of batch $id under $path is AMBIGUOUS: branch " +
+              s"'$name' survives above the decided ledger, but manifest " +
+              "history since its stage parent has vacuumed/unreadable " +
+              "slots, so whether the crashed publish landed cannot be " +
+              "proven. Refusing to guess (publish ⇒ possible duplicates, " +
+              "drop ⇒ possible loss) — inspect the table and either drop " +
+              "the branch or advance the ledger manually")
+        }
       case None =>
         MS.stageBranch(s, path, name, batch)
         decide()

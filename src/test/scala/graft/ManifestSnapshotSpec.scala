@@ -1583,4 +1583,94 @@ class ManifestSnapshotSpec extends SparkSpec {
       ManifestSnapshots.readBranch(spark, dir, "torn1")
     }
   }
+
+  test("publishBranch of an empty-table branch fast-forward-checks under the commit lock") {
+    val dir = tmpDir("msnapwap0") + "/t"
+    // stage against the EMPTY table: parent version 0
+    ManifestSnapshots.stageBranch(spark, dir, "first", slice(0, 40))
+    // a concurrent writer lands v1 between stage and publish — the
+    // publish must raise the SAME fast-forward conflict as any base
+    // movement (committing would supersede v1, silently dropping its
+    // files from table state); expectedBase=Some(0) carries the
+    // emptiness check INSIDE commitLoop's locked section
+    ManifestSnapshots.writeFull(slice(100, 150), dir)
+    intercept[java.util.ConcurrentModificationException] {
+      ManifestSnapshots.publishBranch(spark, dir, "first")
+    }
+    assert(ManifestSnapshots.readLatest(spark, dir).count() == 50,
+      "the conflicting publish must leave the winner's commit intact")
+    // standard conflict recovery applies: rebase, then publish lands both
+    ManifestSnapshots.rebaseBranch(spark, dir, "first")
+    ManifestSnapshots.publishBranch(spark, dir, "first")
+    assert(ManifestSnapshots.readLatest(spark, dir).count() == 90)
+    // and the uncontended empty-table publish still fast-forwards to v1
+    val dir2 = tmpDir("msnapwap0b") + "/t"
+    ManifestSnapshots.stageBranch(spark, dir2, "first", slice(0, 10))
+    assert(ManifestSnapshots.publishBranch(spark, dir2, "first") >= 1L)
+    assert(ManifestSnapshots.readLatest(spark, dir2).count() == 10)
+  }
+
+  test("rebaseBranch refuses when ANY staged file survives in head (partial rewrite)") {
+    val dir = tmpDir("msnapwapany") + "/t"
+    ManifestSnapshots.writeFull(slice(0, 100), dir)
+    // stage TWO files with a known id split so a pruned MERGE can later
+    // rewrite exactly one of them
+    val parentPaths = ManifestSnapshots.entriesOf(spark, dir,
+      ManifestSnapshots.latestVersion(spark, dir).get).map(_.path).toSet
+    ManifestSnapshots.stageBranch(spark, dir, "b",
+      slice(100, 150).repartitionByRange(2, col("id")))
+    val staged = ManifestSnapshots.branchInfo(spark, dir, "b").get._2
+      .map(_.path).toSet -- parentPaths
+    assert(staged.size == 2, s"expected 2 staged files, got $staged")
+    // crash shape: published, marker survives
+    ManifestSnapshots.publishBranch(spark, dir, "b", dropMarker = false)
+    // a zone-map-pruned MERGE rewrites only the file holding id 100 —
+    // the OTHER staged file stays in head by reference
+    ManifestSnapshots.mergeByKey(spark, dir,
+      Seq((100L, 999L)).toDF("id", "v"), Seq("id"))
+    val head = ManifestSnapshots.latestVersion(spark, dir).get
+    val headPaths = ManifestSnapshots.entriesOf(spark, dir, head).map(_.path).toSet
+    assert(!staged.subsetOf(headPaths) && staged.exists(headPaths),
+      "setup: exactly a PROPER subset of staged files should survive the merge")
+    // the r15 all-present guard missed this shape and would have rebased —
+    // double-referencing the surviving file's rows; ANY-present refuses
+    intercept[IllegalArgumentException] {
+      ManifestSnapshots.rebaseBranch(spark, dir, "b")
+    }
+    ManifestSnapshots.dropBranch(spark, dir, "b")
+    assert(ManifestSnapshots.readLatest(spark, dir).count() == 150)
+  }
+
+  test("branchPublishEvidence: history walk survives compaction, fails closed on vacuumed slots") {
+    val dir = tmpDir("msnapwapev") + "/t"
+    ManifestSnapshots.writeFull(slice(0, 100), dir)
+    ManifestSnapshots.stageBranch(spark, dir, "b", slice(100, 150))
+    // unpublished + head moved by an append: provably NOT published
+    ManifestSnapshots.appendDelta(slice(200, 220), dir)
+    assert(ManifestSnapshots.branchPublishEvidence(spark, dir, "b")
+      .contains(false))
+    // publish (marker kept), then compact EVERYTHING: no staged path
+    // remains in head, so a subset-of-head probe would answer
+    // "unpublished" — the manifest-history walk still finds the publish
+    ManifestSnapshots.rebaseBranch(spark, dir, "b")
+    ManifestSnapshots.publishBranch(spark, dir, "b", dropMarker = false)
+    ManifestSnapshots.compactData(spark, dir)
+    val head = ManifestSnapshots.latestVersion(spark, dir).get
+    val headPaths = ManifestSnapshots.entriesOf(spark, dir, head).map(_.path).toSet
+    val staged = ManifestSnapshots.branchInfo(spark, dir, "b").get._2
+      .map(_.path).toSet
+    assert(!staged.exists(headPaths),
+      "setup: compaction should have rewritten every staged file out of head")
+    assert(ManifestSnapshots.branchPublishEvidence(spark, dir, "b")
+      .contains(true))
+    // a vacuumed slot inside (parent, head] makes the answer UNPROVABLE:
+    // the walk must return None (fail closed), never guess either way
+    val hfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parent = ManifestSnapshots.branchInfo(spark, dir, "b").get._1
+    hfs.delete(new org.apache.hadoop.fs.Path(
+      s"$dir/manifests/m-${parent + 1}.json"), false)
+    assert(ManifestSnapshots.branchPublishEvidence(spark, dir, "b").isEmpty)
+    ManifestSnapshots.dropBranch(spark, dir, "b")
+  }
 }

@@ -938,6 +938,64 @@ class StreamingSpec extends SparkSpec {
     assert(ManifestSnapshots.readLatest(spark, root).count() == 3)
   }
 
+  test("WAP replay after a post-publish rewrite repairs the ledger, never re-publishes") {
+    import graft.core.ManifestSnapshots
+    val root = tmpDir("swapcompact") + "/t"
+    val ok = (_: org.apache.spark.sql.DataFrame) => true
+    Streams.wapAdmitBatch(spark, root, 0L,
+      Seq(Ev(1, ts(1), 7, "t", 10.0)).toDF(), ok)
+    // crash window: batch 1 published, ledger not yet written — and an
+    // OPTIMIZE compacted the staged files out of head before the replay.
+    // The r15 subset-of-head probe saw "not landed" here and re-published
+    // the staged rows (silent duplicates); the manifest-history walk
+    // proves the publish from the compacted-away version's manifest
+    val b1 = Seq(Ev(2, ts(2), 7, "t", 20.0)).toDF()
+    ManifestSnapshots.stageBranch(spark, root, "wapb-1", b1)
+    ManifestSnapshots.publishBranch(spark, root, "wapb-1", dropMarker = false)
+    ManifestSnapshots.compactData(spark, root)
+    val staged = ManifestSnapshots.branchInfo(spark, root, "wapb-1").get._2
+      .map(_.path).toSet
+    val head = ManifestSnapshots.latestVersion(spark, root).get
+    assert(!ManifestSnapshots.entriesOf(spark, root, head)
+      .exists(e => staged(e.path)),
+      "setup: compaction should have rewritten every staged path")
+    Streams.wapAdmitBatch(spark, root, 1L, b1, ok)
+    val ids = ManifestSnapshots.readLatest(spark, root)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L), s"replay duplicated or lost rows: $ids")
+    assert(ManifestSnapshots.branches(spark, root).isEmpty,
+      "replay must drop the crash-surviving marker after the ledger repair")
+    // the repaired ledger short-circuits any further replay
+    Streams.wapAdmitBatch(spark, root, 1L, b1, ok)
+    assert(ManifestSnapshots.readLatest(spark, root).count() == 2)
+  }
+
+  test("WAP replay with vacuumed publish evidence fails loudly, not silently") {
+    import graft.core.ManifestSnapshots
+    val root = tmpDir("swapvacd") + "/t"
+    val ok = (_: org.apache.spark.sql.DataFrame) => true
+    Streams.wapAdmitBatch(spark, root, 0L,
+      Seq(Ev(1, ts(1), 7, "t", 10.0)).toDF(), ok)
+    val b1 = Seq(Ev(2, ts(2), 7, "t", 20.0)).toDF()
+    ManifestSnapshots.stageBranch(spark, root, "wapb-1", b1)
+    ManifestSnapshots.publishBranch(spark, root, "wapb-1", dropMarker = false)
+    ManifestSnapshots.compactData(spark, root)
+    // the slot that proved the publish is gone: "did it land?" is now
+    // unanswerable — admission must refuse to guess (publish ⇒ possible
+    // duplicates, drop ⇒ possible loss) and fail the stream loudly
+    val parent = ManifestSnapshots.branchInfo(spark, root, "wapb-1").get._1
+    val hfs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.delete(new org.apache.hadoop.fs.Path(
+      s"$root/manifests/m-${parent + 1}.json"), false)
+    val e = intercept[IllegalStateException] {
+      Streams.wapAdmitBatch(spark, root, 1L, b1, ok)
+    }
+    assert(e.getMessage.contains("AMBIGUOUS"), e.getMessage)
+    // nothing was decided: the marker survives for the operator
+    assert(ManifestSnapshots.branches(spark, root).map(_._1) == Seq("wapb-1"))
+  }
+
   test("WAP admission self-heals a concurrent-writer conflict via rebase") {
     import graft.core.ManifestSnapshots
     val root = tmpDir("swapconf") + "/t"

@@ -89,47 +89,106 @@ object SimilarityQueries {
       |    i -> CASE WHEN embedding[1 + i * (64 // w)] >= 0
       |         THEN '1' ELSE '0' END), 'string_agg', '')""".stripMargin
 
-  /** Centroid-assignment primitives shared by ann_ivf_kmeans and c_kmeans.
-    * argmaxCell: rank the (broadcast) codebook per vector by exact-integer
-    * cosine and keep the top k cells. kmeansFrames: one Lloyd round —
-    * stride-sampled seed codebook, assignment, exact element-wise
-    * floor-mean update (one LongVecSum aggregate pass, no explode), final
-    * assignment. cent/assign are persisted: each feeds 2+ consumers. */
-  private def argmaxCell(vs: DataFrame, cents: DataFrame, k: Int): DataFrame = {
-    val centCos = expr("long_dot(qv, c_qv)").cast("double") /
-      (sqrt(col("nq").cast("double")) * sqrt(col("c_nq").cast("double")))
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("cid"))
+  /** Centroid-assignment primitives shared by ann_ivf_kmeans, c_kmeans
+    * and c_silhouette. argmaxCell: rank the codebook per vector by
+    * exact-integer cosine and keep the top k cells. kmeansFrames: one
+    * Lloyd round — stride-sampled seed codebook, assignment, exact
+    * element-wise floor-mean update (one LongVecSum aggregate pass, no
+    * explode), final assignment. cent/assign are persisted: each feeds
+    * 2+ consumers. */
+
+  private def vcCos: Column = expr("long_dot(qv, c_qv)").cast("double") /
+    (sqrt(col("nq").cast("double")) * sqrt(col("c_nq").cast("double")))
+
+  /** Rank the (broadcast) codebook per vector by exact-integer cosine and
+    * keep the top k cells — the bounded-input form (ann_ivf_kmeans'
+    * 8-query probe list): the window sorts |queries| × K rows, never a
+    * corpus-sized product. Corpus-wide assignment goes through
+    * [[argmaxAssign]] instead. */
+  private[graft] def argmaxCell(vs: DataFrame, cents: DataFrame,
+      k: Int): DataFrame = {
+    val wAssign =
+      Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("cid"))
     vs.crossJoin(broadcast(cents))
-      .withColumn("c_cos", centCos)
+      .withColumn("c_cos", vcCos)
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") <= k)
   }
 
-  /** (vectors, refined codebook, final assignment) after one Lloyd round.
-    * `cent` and `assign` come back persisted — the CALLER seals its result
-    * and releases both (CacheScope.sealResult), since both consumers
-    * (ann_ivf_kmeans, c_kmeans) read them through lazy result plans. */
-  private def kmeansFrames(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+  /** Seal `result` (materialize + release the plain persisted
+    * `persisted`), then free the eager checkpoints kmeansFrames left
+    * behind — unpersist alone would strand their RDD blocks until the
+    * ContextCleaner ran (the CacheScope.freeCheckpoint contract). */
+  private def sealWithCheckpoints(result: DataFrame, ckpts: Seq[DataFrame],
+      persisted: DataFrame*): DataFrame = {
+    val out = graft.queries.CacheScope.sealResult(result, persisted: _*)
+    ckpts.foreach(graft.queries.CacheScope.freeCheckpoint)
+    out
+  }
+
+  /** Top-1 centroid per vector as a MAP-SIDE-COMBINABLE aggregate — the
+    * shipped Lloyd-assignment shape, and the fix for the r15 weak item
+    * (c_silhouette family, 100× exponent 0.49). The windowed form
+    * shuffles the whole N × K corpus-codebook product into per-vector
+    * sort windows, and THAT exchange — 11M rows at ScaleBench's 100×
+    * corpus — was the measured cost, not the dot products (N·K 64-dim
+    * dots are <1 s of pure compute at that scale). A
+    * max(struct(cos, −cid)) hash aggregate computes the identical
+    * (cos DESC, cid ASC) argmax — struct ordering is lexicographic, and
+    * negating the id turns the ASC tie-break into a max — while the
+    * product never leaves the map side: the codebook is broadcast, each
+    * task folds its vectors' K candidates down to one running max, and
+    * only N one-row partials reach the exchange. The N·K dot-product
+    * FLOP term remains (the exact semantics demand every cosine), but
+    * it is embarrassingly parallel and shuffle-free.
+    *
+    * Measured NEGATIVE result, r16 (the g_kcore discipline — measure the
+    * obvious alternative before shipping it): an exact bound-pruned
+    * two-level search (√K coarse reps, per-cell max angular radius,
+    * spherical-triangle-inequality upper bounds, probe-then-candidates
+    * with a certified k-th-best threshold) was built, spec-proven
+    * equivalent on tie-dense corpora, and benchmarked — it admitted
+    * 225/225 cells per vector on the 100× corpus: one-Lloyd-round cells
+    * on 64-dim embeddings have near-90° radii, so angular bounds are
+    * vacuous, and the machinery only added fixed job overhead (2-3×
+    * slower at sf0.1) plus a driver-side plan-explosion hazard in the
+    * chained searches. Removed in favor of this aggregate, which attacks
+    * the exchange the measurements actually blamed. */
+  private def argmaxAssign(vs: DataFrame, cents: DataFrame): DataFrame =
+    vs.crossJoin(broadcast(cents))
+      .withColumn("c_cos", vcCos)
+      .groupBy("vec_id")
+      .agg(max(struct(col("c_cos").as("c"), (-col("cid")).as("nc"))).as("m"))
+      .select(col("vec_id"), (-col("m.nc")).as("cid"))
+
+  /** (vectors, refined codebook, final assignment, checkpointed frames)
+    * after one Lloyd round. `cent` and `assign` come back as EAGER
+    * localCheckpoints (cent is √N rows, assign N slim rows — the same
+    * bytes a persist would hold, with the chained stages' plan growth
+    * cut at each boundary; the d_dup_clusters lesson, where lazy chained
+    * stages re-embed every upstream tree per reference and the cost
+    * lands in the driver's optimizer); the CALLER seals its result and
+    * releases both via sealWithCheckpoints. */
+  private def kmeansFrames(s: SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame, Seq[DataFrame]) = {
     val n = emb(s, dir).select("vec_id", "qv", "nq")
     // |N| from parquet footer metadata (no count job, no scan) — the
     // codebook stride needs it before the plan can be built
-    val stride = centroidStride(Graft.parquetRowCount(s, s"$dir/embeddings.parquet"))
+    val stride = centroidStride(
+      Graft.parquetRowCount(s, s"$dir/embeddings.parquet"))
     val cent0 = n.filter(pmod(col("vec_id"), lit(stride)) === 0)
       .select(col("vec_id").as("cid"), col("qv").as("c_qv"), col("nq").as("c_nq"))
-    val assign0 = argmaxCell(n, cent0, 1).select(col("vec_id"), col("cid"))
-    // Lloyd update: exact element-wise floor-mean, one aggregate pass.
-    // persist(): cent feeds the re-assignment AND the probe ranking, and
-    // assign feeds the cell lists — without it each consumer re-executes
-    // the corpus x codebook cross-join + window from scratch
+    val assign0 = argmaxAssign(n, cent0)
+    // Lloyd update: exact element-wise floor-mean, one aggregate pass
     val cent = assign0.join(n, "vec_id").groupBy("cid")
       .agg(graft.functions.VectorExprs.longVecSum(col("qv")).as("s"),
         count(lit(1)).as("c"))
       .select(col("cid"),
         expr("transform(s, x -> (x - ((x % c) + c) % c) div c)").as("c_qv"))
       .withColumn("c_nq", expr("long_dot(c_qv, c_qv)"))
-      .persist()
-    val assign = argmaxCell(n, cent, 1).select(col("vec_id"), col("cid")).persist()
-    (n, cent, assign)
+      .localCheckpoint(true)
+    val assign = argmaxAssign(n, cent).localCheckpoint(true)
+    (n, cent, assign, Seq(cent, assign))
   }
 
   /** Shared k-means CTE chain (quantize -> stride-sampled seed codebook
@@ -607,7 +666,9 @@ object SimilarityQueries {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
          |    ORDER BY cos_sim DESC, n_id) AS rank FROM pairs)
          |SELECT q_id, rank, n_id, cos_sim FROM ranked WHERE rank <= 5""".stripMargin) { (s, dir) =>
-      val (n, cent, assign) = kmeansFrames(s, dir)
+      val (n, cent, assign, kmCached) = kmeansFrames(s, dir)
+      // 8 query vectors × K codebook rows: the windowed top-4 is bounded
+      // by the query list, not the corpus — no aggregate rewrite needed
       val probes = argmaxCell(n.filter(col("vec_id") < 8), cent, 4)
         .select(col("vec_id").as("q_id"), col("cid"))
       val cells = assign.join(n, "vec_id")
@@ -618,7 +679,7 @@ object SimilarityQueries {
       val pairCos = expr("long_dot(q_qv, c_qv2)").cast("double") /
         (sqrt(col("q_nq").cast("double")) * sqrt(col("c_nq2").cast("double")))
       val wRank = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
-      graft.queries.CacheScope.sealResult(
+      sealWithCheckpoints(
         broadcast(probes)
           .join(cells, col("a_cid") === col("cid") && col("n_id") =!= col("q_id"))
           .join(broadcast(qv), col("qq_id") === col("q_id"))
@@ -626,7 +687,7 @@ object SimilarityQueries {
           .withColumn("rank", row_number().over(wRank))
           .filter(col("rank") <= 5)
           .select("q_id", "rank", "n_id", "cos_sim"),
-        cent, assign)
+        kmCached)
     },
 
     // --------------------------------------------------------------- CLUST-1
@@ -646,14 +707,14 @@ object SimilarityQueries {
          |  CAST(SUM(a.vec_id) AS BIGINT) AS sum_vec,
          |  MIN(a.vec_id) AS min_vec
          |FROM assign a GROUP BY a.cid""".stripMargin) { (s, dir) =>
-      val (_, cent, assign) = kmeansFrames(s, dir)
-      graft.queries.CacheScope.sealResult(
+      val (_, cent, assign, kmCached) = kmeansFrames(s, dir)
+      sealWithCheckpoints(
         assign.groupBy("cid")
           .agg(count(lit(1)).as("n_vecs"),
             sum("vec_id").as("sum_vec"),
             min("vec_id").as("min_vec"))
           .select("cid", "n_vecs", "sum_vec", "min_vec"),
-        cent, assign)
+        kmCached)
     },
 
     // --------------------------------------------------------------- CLUST-2
@@ -663,11 +724,18 @@ object SimilarityQueries {
     // and separation the best cosine to any OTHER centroid (the
     // centroid-based simplified silhouette — the member-pairwise form is
     // O(N²) and adds nothing at this granularity; MLlib's
-    // ClusteringEvaluator makes the same trade). Cost is exactly one
-    // more corpus × codebook broadcast pass over the frames c_kmeans
-    // already builds. Parity: each cosine is exact-int math + 3 IEEE
-    // steps; the per-vector score quantizes to ppm BEFORE the per-
-    // cluster sum, so the rollup is integer (never a float sum whose
+    // ClusteringEvaluator makes the same trade). The oracle states the
+    // separation as a flat corpus × codebook max over per-vector
+    // windows; the Spark plan computes the identical values WITHOUT
+    // shuffling that product (the r15 weak item, 100× exponent 0.49):
+    // cohesion and separation are ONE when-split max aggregate over the
+    // broadcast codebook — fully map-side-combined, so only N one-row
+    // partials reach the exchange (see argmaxAssign for the A/B and the
+    // measured negative result on the bound-pruned alternative).
+    // Parity: the aggregate's maxes see the same exact-int dot +
+    // 3-IEEE-step cosines the window form sorted, and max-of-doubles is
+    // order-free; the per-vector score quantizes to ppm BEFORE the
+    // per-cluster sum, so the rollup is integer (never a float sum whose
     // order could drift), with one final division for the mean.
     QueryDef("c_silhouette",
       s"""$kmeansAssignSql,
@@ -689,27 +757,32 @@ object SimilarityQueries {
          |  CAST(CAST(SUM(sil_ppm) AS BIGINT) AS DOUBLE) / (COUNT(*) * 1000000)
          |    AS mean_sil
          |FROM sil GROUP BY cid""".stripMargin) { (s, dir) =>
-      val (n, cent, assign) = kmeansFrames(s, dir)
-      val cos = n.crossJoin(broadcast(cent))
-        .withColumn("cos", expr("long_dot(qv, c_qv)").cast("double") /
-          (sqrt(col("nq").cast("double")) * sqrt(col("c_nq").cast("double"))))
-        .select(col("vec_id"), col("cid").as("ccid"), col("cos"))
-        .join(assign, "vec_id")
-        .persist() // feeds the own-centroid pick AND the best-other rollup
-      val own = cos.filter(col("ccid") === col("cid"))
-        .select(col("vec_id"), col("cid"), col("cos").as("a_cos"))
-      val oth = cos.filter(col("ccid") =!= col("cid"))
-        .groupBy("vec_id").agg(max("cos").as("b_cos"))
-      graft.queries.CacheScope.sealResult(
-        own.join(oth, "vec_id")
+      val (n, cent, assign, kmCached) = kmeansFrames(s, dir)
+      // own cid rides ALONG the corpus rows into the codebook pass, so
+      // cohesion and separation come out of ONE when-split aggregate —
+      // the N × K product never shuffles (map-side partial maxes only),
+      // and the old own-pick/best-other split (two consumers over a
+      // persisted N × K frame) disappears entirely
+      val withOwn = n.join(assign.withColumnRenamed("cid", "own_cid"), "vec_id")
+      val scores = withOwn.crossJoin(broadcast(cent))
+        .withColumn("c_cos", vcCos)
+        .groupBy("vec_id", "own_cid")
+        .agg(
+          max(when(col("cid") === col("own_cid"), col("c_cos"))).as("a_cos"),
+          max(when(col("cid") =!= col("own_cid"), col("c_cos"))).as("b_cos"))
+        // a single-centroid codebook has no "other": the oracle's inner
+        // join drops such vectors, so the null b_cos must drop here too
+        .filter(col("b_cos").isNotNull)
+      sealWithCheckpoints(
+        scores
           .withColumn("sil_ppm",
             floor((col("a_cos") - col("b_cos")) * 1000000).cast("long"))
-          .groupBy("cid")
+          .groupBy(col("own_cid").as("cid"))
           .agg(count(lit(1)).cast("long").as("n_vecs"),
             sum("sil_ppm").cast("long").as("sum_sil_ppm"))
           .withColumn("mean_sil", col("sum_sil_ppm").cast("double") /
             (col("n_vecs") * 1000000)),
-        cent, assign, cos)
+        kmCached)
     },
 
     // ----------------------------------------------------------------- ANN-5

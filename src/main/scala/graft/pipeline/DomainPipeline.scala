@@ -349,6 +349,39 @@ object DomainPipeline {
     stage(spark, lake)
     analytics(spark, lake, rugpulls)
     features(spark, lake, prices)
+    qualityGate(spark, lake)
+  }
+
+  /** The DAG's FINAL task — the reference runs data quality as a gating
+    * pipeline step (features_data_quality_pipeline.py:17-58), not as an
+    * ad-hoc query. Gated here are the SIZE-INDEPENDENT invariants: the
+    * negative-counter constraints
+    * (data_quality_ethereum_wallet_features.sql:1-32) and the
+    * referential-integrity orphan audit across the star's construction
+    * invariants (every features/coin-balances row aggregates wallet-tx
+    * rows, so a wallet_address with no fact row is corruption — a
+    * partial delete, a bad restate, or a key-mangling bug). The
+    * reference's third check — ≤20% zero-min-ETH share — is a
+    * corpus-level HEURISTIC that false-positives on small lakes (2
+    * wallets, one legitimately at zero = 50%); it stays available via
+    * [[graft.quality.DataQuality.walletFeatureConstraints]] for
+    * operators to gate at corpus scale. Throws on any violation,
+    * failing the run the way the DAG alerts + fails. */
+  def qualityGate(spark: SparkSession, lake: String): Unit = {
+    import graft.quality.DataQuality
+    val wtx = readWalletTx(spark, lake)
+    val feats = readFeatures(spark, lake)
+    DataQuality.gate(Seq(
+      "wallet_feature_constraints" ->
+        DataQuality.walletFeatureConstraints(feats)
+          .filter(col("is_fail") &&
+            col("constraint_name").contains("negative_counts")),
+      "features->wallet_tx orphans" -> DataQuality.orphanedKeys(
+        feats, "wallet_address", wtx, "wallet_address",
+        "features_wallet_address"),
+      "coin_balances->wallet_tx orphans" -> DataQuality.orphanedKeys(
+        readCoinBalances(spark, lake), "wallet_address", wtx, "wallet_address",
+        "coin_balances_wallet_address")))
   }
 
   /** The reference's Sunday-only OPTIMIZE (features_pipeline.py:128-138)

@@ -69,6 +69,38 @@ object MedallionCdc {
     ManifestSnapshots.appendDeltaGuarded(spark, analyticsDir(root),
       Medallion.pivoted(stageRows), keys = Seq("event_id", "role"))
 
+  /** The analytics chain's WAP audit: the pivot invariants every row
+    * publish would make visible must satisfy — keyed identity present,
+    * a real party, a known role, non-negative money columns. Runs on
+    * the STAGED branch read (parent + fresh, exactly the post-publish
+    * image), and every predicate is parquet-pushdown-able, so the probe
+    * is a pruned scan + LIMIT 1, not a full materialization; an audit
+    * that needs tighter cost can re-audit only the fresh partitions. */
+  def analyticsAudit(staged: DataFrame): Boolean =
+    staged.filter(col("event_id").isNull || col("party").isNull ||
+        !col("role").isin("actor", "counterparty") ||
+        col("value") < 0 || col("fee") < 0)
+      .limit(1).isEmpty
+
+  /** The STREAMING front door — the exactly-once ingest the WAP layer
+    * exists for: each stage micro-batch is role-pivoted (the same
+    * [[Medallion.pivoted]] as the batch path, so both doors land the
+    * identical shape), staged on an isolated branch, AUDITED on exactly
+    * the rows publish would expose, and promoted by one fast-forward
+    * manifest commit. Streams.foreachBatchWapAppend's single-marker
+    * ledger + publish-evidence replay makes every crash window re-admit
+    * without duplicating (StreamingSpec pins the windows; the
+    * MedallionCdcSpec case pins this wiring end-to-end against the batch
+    * pipeline's incremental ≡ full law). A batch the audit rejects is
+    * dropped loudly-by-record: no chain version is created, the ledger
+    * advances past it, and downstream CDC refreshes never see it. */
+  def ingestAnalyticsStream(spark: SparkSession, root: String,
+      stageRows: DataFrame, checkpoint: String,
+      audit: DataFrame => Boolean = analyticsAudit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.Streams.foreachBatchWapAppend(
+      Medallion.pivoted(stageRows), analyticsDir(root), checkpoint, audit)
+
   /** The analytics-chain version the committed feature state
     * incorporates — recovered from the feature store's manifest zone
     * maps (max of the `base_version` column stats: metadata-only), with

@@ -92,6 +92,26 @@ object DataQuality {
       .select(col("c.constraint_name"), col("c.is_fail"))
   }
 
+  /** Referential-integrity audit: child-side foreign-key values with no
+    * parent row — the orphan check (the dq_orphans query shape) promoted
+    * into the PIPELINE gate, the way the reference runs its DQ as the
+    * DAG's final task. Returns the stacked violation shape (one row when
+    * the fk has orphans, empty = pass) so it composes into [[gate]] with
+    * the other checks. Scale: the child side projects to the key column
+    * before probing (the scan carries one column), the parent side is
+    * key-distinct (map-side combinable), and the anti-join shuffles on
+    * the key like any big-big equi join — broadcast when the parent key
+    * set fits. NULL child keys are not orphans (the star's optional
+    * relationships); missingIds covers required-dense identities. */
+  def orphanedKeys(child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String, fkName: String): DataFrame =
+    child.select(col(childKey).as("fk")).filter(col("fk").isNotNull)
+      .join(parent.select(col(parentKey).as("fk")).distinct(),
+        Seq("fk"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+      .select(lit(s"orphaned_$fkName").as("constraint"), col("n_orphans"))
+      .filter(col("n_orphans") > 0)
+
   /** 10-bucket value histogram of a column — the dq_drift_tvd bucketing
     * (min(floor(x / width), buckets − 1), clamped at 0): one map-side-
     * combinable rollup, result bounded at `buckets` rows. */

@@ -11,6 +11,45 @@ class DataQualitySpec extends SparkSpec {
 
   private lazy val events = graft.core.Graft.events(spark, sf)
 
+  test("orphanedKeys: referential-integrity violations fail the run; NULL fks are not orphans") {
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val clean = Seq(Some(1L), Some(2L), Some(2L), None).toDF("fk_col")
+    // NULL is an optional relationship, duplicates collapse — clean passes
+    DataQuality.gate(Seq("fk" ->
+      DataQuality.orphanedKeys(clean, "fk_col", parent, "pk", "child_parent")))
+    // two orphaned values → the gate throws, naming the failed check
+    val dirty = Seq(Some(1L), Some(9L), Some(9L), None).toDF("fk_col")
+    val viol = DataQuality.orphanedKeys(dirty, "fk_col", parent, "pk", "child_parent")
+    val row = viol.collect().toSeq
+    assert(row.map(r => (r.getString(0), r.getLong(1))) ==
+      Seq(("orphaned_child_parent", 2L)))
+    val ex = intercept[IllegalArgumentException] {
+      DataQuality.gate(Seq("fk orphans" -> viol))
+    }
+    assert(ex.getMessage.contains("fk orphans"))
+  }
+
+  test("the domain pipeline's final task is the DQ gate: orphans fail the run") {
+    // DomainPipeline.run ends in qualityGate (the reference's DAG shape);
+    // a healthy lake passes inside run() itself — here the ORPHAN path is
+    // driven directly: amputate the fact, keep the features, re-gate
+    val lake = tmpDir("dq-domain-lake")
+    val csv = tmpDir("dq-domain-csv")
+    DomainFixtures.writeCsvFixture(spark, csv)
+    graft.pipeline.DomainPipeline.run(spark, csv, lake) // gate passes here
+    val feats = graft.pipeline.DomainPipeline.readFeatures(spark, lake)
+    val wtx = graft.pipeline.DomainPipeline.readWalletTx(spark, lake)
+    // amputation: a fact missing some feature wallets → orphans
+    val someWallet = feats.select("wallet_address").head.getString(0)
+    val cut = wtx.filter(col("wallet_address") =!= someWallet)
+    val ex = intercept[IllegalArgumentException] {
+      DataQuality.gate(Seq("features->wallet_tx orphans" ->
+        DataQuality.orphanedKeys(feats, "wallet_address", cut,
+          "wallet_address", "features_wallet_address")))
+    }
+    assert(ex.getMessage.contains("features->wallet_tx orphans"))
+  }
+
   test("missingIds finds exactly the dropped ids") {
     val dropped = events.filter(!col("event_id").isin(3L, 7L))
     val missing = DataQuality.missingIds(spark, dropped, "event_id", 0L, 9L)

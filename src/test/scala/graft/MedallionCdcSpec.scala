@@ -22,17 +22,26 @@ class MedallionCdcSpec extends SparkSpec {
 
   import spark.implicits._
 
-  private def stageBatch(lo: Long, hi: Long): DataFrame =
-    (lo until hi).toDF("event_id")
-      .withColumn("ts_us", col("event_id") * 1000L)
-      .withColumn("user_id", col("event_id") % 200)
+  /** The stage-row shape from a frame of event ids — shared by the batch
+    * fixtures and the streaming WAP test (which maps a MemoryStream of
+    * ids through the SAME columns). A negative id is the poison pill:
+    * its value goes negative, which the analytics WAP audit refuses. */
+  private def stageShape(ids: DataFrame): DataFrame =
+    ids
+      .withColumn("ts_us", abs(col("event_id")) * 1000L)
+      .withColumn("user_id", abs(col("event_id")) % 200)
       .withColumn("event_type",
         when(col("event_id") % 3 === 0, "purchase")
           .when(col("event_id") % 3 === 1, "error")
           .otherwise("view"))
-      .withColumn("value", (col("event_id") % 8).cast("double") * 0.25 + 1)
-      .withColumn("props", format_string("{\"k\":%d}", col("event_id") % 11))
+      .withColumn("value",
+        when(col("event_id") < 0, lit(-5.0))
+          .otherwise((col("event_id") % 8).cast("double") * 0.25 + 1))
+      .withColumn("props", format_string("{\"k\":%d}", abs(col("event_id")) % 11))
       .withColumn("date_partition", lit("2024-01"))
+
+  private def stageBatch(lo: Long, hi: Long): DataFrame =
+    stageShape((lo until hi).toDF("event_id"))
 
   private def assertSame(a: DataFrame, b: DataFrame): Unit = {
     assert(a.columns.sorted.toSeq == b.columns.sorted.toSeq)
@@ -83,6 +92,49 @@ class MedallionCdcSpec extends SparkSpec {
     // exactly-once: a replayed batch admits nothing and moves nothing
     val s3 = MedallionCdc.runCycle(spark, root, stageBatch(300, 340))
     assert(s3.mode == "noop", s"replayed batch re-processed: $s3")
+    assertSame(MedallionCdc.serveFeatures(spark, root),
+      MedallionCdc.serveFeatures(spark, root2))
+  }
+
+  test("streaming ingest lands through WAP branches: exactly-once, audited, incremental ≡ full") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("mcdcwap")
+    val aDir = MedallionCdc.analyticsDir(root)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val q = MedallionCdc.ingestAnalyticsStream(spark, root,
+      stageShape(mem.toDF().withColumnRenamed("value", "event_id")),
+      tmpDir("mcdcwapck"))
+    try {
+      mem.addData(0L until 300L: _*)
+      q.processAllAvailable()
+      // the micro-batch landed as ONE published branch version; the CDC
+      // features refresh consumes it exactly like a batch append
+      assert(ManifestSnapshots.branches(spark, aDir).isEmpty,
+        "a decided WAP branch marker survived")
+      val s1 = MedallionCdc.refreshFeatures(spark, root)
+      assert(s1.mode == "full" && s1.baseVersion == 1L)
+
+      // a POISON batch (negative value) is refused by the analytics
+      // audit: no chain version, nothing downstream ever sees it
+      val vBefore = ManifestSnapshots.latestVersion(spark, aDir).get
+      mem.addData(-1L)
+      q.processAllAvailable()
+      assert(ManifestSnapshots.latestVersion(spark, aDir).get == vBefore,
+        "a rejected batch must not create a chain version")
+      assert(ManifestSnapshots.branches(spark, aDir).isEmpty)
+
+      // a later good batch still admits (the ledger advanced past the
+      // rejected id), and the incremental refresh folds ONLY its delta
+      mem.addData(300L until 340L: _*)
+      q.processAllAvailable()
+      val s2 = MedallionCdc.refreshFeatures(spark, root)
+      assert(s2.mode == "incremental", s"expected incremental, got $s2")
+      assert(s2.deltaRows == 80L, s"expected the 80 pivoted delta rows, got $s2")
+    } finally q.stop()
+    // end-to-end law: the WAP-streamed lake serves the SAME features as
+    // a batch root fed everything at once — the poison rows absent
+    val root2 = tmpDir("mcdcwapfull")
+    MedallionCdc.runCycle(spark, root2, stageBatch(0, 340))
     assertSame(MedallionCdc.serveFeatures(spark, root),
       MedallionCdc.serveFeatures(spark, root2))
   }

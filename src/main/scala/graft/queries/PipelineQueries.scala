@@ -74,6 +74,17 @@ object PipelineQueries {
     // of the flagship programs re-derives the 4-branch union from the
     // events scan (13 parquet scans per query). Spark's cache is keyed by
     // the logical plan, so the three flagship queries share one copy.
+    //
+    // Measured NEGATIVE result, r16 (the g_kcore discipline): serving this
+    // fixture from a ctasBucketed(wallet_address, 32) parquet layout
+    // instead was A/B'd at sf0.1 — family total 10.2 s cached vs 8.9 s
+    // bucketed (1.14x, below the 1.3x adoption bar; only the priced
+    // program moved, 3.3 -> 2.1 s). The flagship programs' dominant cost
+    // here is window compute over the (wallet, contract) grain plus the
+    // union build, not the first wallet exchange the bucketing elides.
+    // The PRODUCTION wallet fact is a different story and already ships
+    // bucketed (DomainPipeline.loadIncrementalBucketed + the zero-exchange
+    // pins in DomainPipelineSpec); this fixture stays cache-served.
     val wtx = sender.unionByName(receiver)
       .withColumn("address_partition", substring(col("wallet_address"), 1, 2))
       .persist()

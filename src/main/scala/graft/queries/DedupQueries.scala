@@ -889,8 +889,20 @@ object DedupQueries {
     // --------------------------------------------------------------- DEDUP-5
     // Embedding-cosine near-dup: label-blocked pair join over quantized
     // vectors; cosine = int dot / (sqrt·sqrt) — exact ints then three IEEE
-    // ops, so parallelism cannot change the result. At 100 TB the blocking
-    // key would be an LSH bucket (see ann_lsh_bucket); labels stand in here.
+    // ops, so parallelism cannot change the result.
+    //
+    // BOUNDED-BLOCK contract (the r16 full-registry sweep measured 0.71
+    // at 100×, the N²/|labels| term of a fixture whose label has ~10
+    // values): this operator is the EXACT within-block pair audit, and
+    // its cost is Σ_blocks |block|² by definition — sound blocking of an
+    // exact cosine threshold does not exist (any partition can separate
+    // a ≥0.35 pair), so the scale knob is the BLOCK KEY, not the plan.
+    // In production the key is a fine-grained bucket (an LSH code —
+    // ann_lsh_bucket — or a shard id) with bounded occupancy, making the
+    // pair space linear; when no bounded key exists, the centroid-blocked
+    // RECALL-traded semantics are d_semantic_dedup / mm_embed_dup
+    // (sweep exponents 0.38 / 0.37). The low-cardinality class label
+    // here stands in to keep the oracle's pair list verifiable.
     QueryDef("d_embedding_dup",
       s"""WITH n AS (
          |  SELECT vec_id, label, $quantSql AS qv,

@@ -38,6 +38,77 @@ object ExtraQueries {
     root
   }
 
+  /** EXACT per-type positional selection WITHOUT a positional sort — the
+    * a27_global_median bucketed-histogram search generalized to (type,
+    * rank) pairs, shared by dq_outlier_iqr (quartiles) and
+    * a37_percentile_bands (p10/p50/p90). `c` must be (event_type, v:
+    * BIGINT); `ranks(n)` names the wanted 1-based positional ranks per
+    * type. Three bounded passes: a map-side-combinable per-type
+    * count/min/max, a (type, exact-integer-bucket) histogram rollup
+    * (≤ |types|·1024 driver rows — the cumulative that locates each
+    * rank's bucket), then ONE targeted pass resolving the exact rank
+    * inside only the hit buckets (~n/1024 rows each). Rank k over sorted
+    * v ≡ min v with cumcount(≤ v) ≥ k — value-deterministic under ties,
+    * so results match a positional-ROW_NUMBER oracle bit-for-bit. NO
+    * sort, NO window over the full data; returns
+    * (type, tag) -> (n, value). */
+  private def typedPositionalSelect(s: SparkSession, c: DataFrame,
+      ranks: Long => Seq[(String, Long)])
+      : Map[(String, String), (Long, Long)] = {
+    import s.implicits._
+    val B = 1024L
+    // pass 1 (map-side combinable): per-type count/min/max → bounded rows
+    val stats = c.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), min("v").as("mn"), max("v").as("mx"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // integer bucket width: width > (mx−mn)/B so (v−mn) div w < B, exact
+    // on longs (cents), monotone — the a27 discipline minus the FP
+    val widthDf = stats.toSeq.map { case (t, _, mn, mx) =>
+      (t, mn, math.max(1L, (mx - mn) / B + 1L))
+    }.toDF("event_type", "mn", "w")
+    val bucketed = c.join(broadcast(widthDf), "event_type")
+      .select(col("event_type"), col("v"), expr("(v - mn) div w").as("b"))
+    // pass 2 (map-side combinable): (type, bucket) histogram → ≤|types|·B
+    // bounded rows; driver cumulative locates the bucket holding each rank
+    val hist = bucketed.groupBy("event_type", "b").agg(count(lit(1)).as("cnt"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (t, rs) =>
+        t -> rs.map(r => r.getLong(1) -> r.getLong(2)).sortBy(_._1)
+      }
+    def locate(t: String, k: Long): (Long, Long) = {
+      var cum = 0L
+      for ((b, cnt) <- hist(t)) {
+        if (cum + cnt >= k) return (b, k - cum)
+        cum += cnt
+      }
+      throw new IllegalStateException(s"rank $k beyond histogram of $t")
+    }
+    val targets = stats.flatMap { case (t, n, _, _) =>
+      ranks(n).map { case (tag, k) =>
+        val (b, pos) = locate(t, k)
+        (t, tag, b, pos)
+      }
+    }
+    val targetDf = targets.toSeq.toDF("event_type", "tag", "b", "pos")
+    // targeted pass: exact rank INSIDE the hit buckets only (~n/B rows
+    // per bucket by construction) — distinct-value counts + a cumulative
+    // over that bounded set; min v with cum ≥ pos IS the positional value
+    val wCum = Window.partitionBy("event_type", "tag").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byType = stats.map(t => t._1 -> t._2).toMap
+    bucketed.join(broadcast(targetDf), Seq("event_type", "b"))
+      .groupBy("event_type", "tag", "pos", "v").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(wCum))
+      .filter(col("cum") >= col("pos"))
+      .groupBy("event_type", "tag").agg(min("v").as("qv"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (byType(r.getString(0)), r.getLong(2)))
+      .toMap
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // --------------------------------------------------------------- DEDUP-6
@@ -436,6 +507,67 @@ object ExtraQueries {
           (diff * diff / denom).as("chi2_term"),
           (diff / sqrt(denom)).as("std_residual"))
       CacheScope.sealResult(out, cells.persist())
+    },
+
+    // ----------------------------------------------------------------- DQ-3b
+    // Cramér's V — the bounded [0,1] effect-size scalar over the same
+    // (event_type × value-bucket) contingency as dq_chi2_cells: the
+    // number a drift dashboard actually thresholds ("is the association
+    // MATERIAL?"), where raw chi² grows with n. Parity discipline for
+    // the one thing dq_chi2_cells deliberately avoids — a chi² TOTAL:
+    // unlike-denominator doubles must never be summed raw (engine-
+    // dependent order), so each cell's term (a fixed IEEE expression
+    // over exact DECIMAL(38,0) marginal products, the dq_chi2 form) is
+    // quantized to ppm BIGINT FIRST, the rollup is integer, and V is
+    // then three correctly-rounded IEEE steps (div, div, sqrt-of-ratio)
+    // off the exact sum. Cost: the same one cell rollup + broadcast
+    // marginals; the total is histogram-sized.
+    QueryDef("dq_cramers_v",
+      """WITH cells AS (
+        |  SELECT event_type, LEAST(CAST(floor(value / 20) AS BIGINT), 9) AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+        |ct AS (SELECT bucket, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+        |             CAST(COUNT(DISTINCT event_type) AS BIGINT) AS nr,
+        |             CAST(COUNT(DISTINCT bucket) AS BIGINT) AS nc FROM cells),
+        |terms AS (
+        |  SELECT CAST(floor(
+        |      (CAST(CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c AS DOUBLE)
+        |       * CAST(CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE)) * 1000000
+        |    ) AS BIGINT) AS term_ppm
+        |  FROM cells JOIN rt USING (event_type) JOIN ct USING (bucket), t)
+        |SELECT n, nr, nc, CAST(SUM(term_ppm) AS BIGINT) AS chi2_ppm,
+        |  sqrt(CAST(CAST(SUM(term_ppm) AS BIGINT) AS DOUBLE) / 1000000
+        |       / (CAST(n AS DOUBLE) * LEAST(nr - 1, nc - 1))) AS cramers_v
+        |FROM terms, t GROUP BY n, nr, nc""".stripMargin) { (s, dir) =>
+      val e = events(s, dir).select(col("event_type"),
+        least(floor(col("value") / 20).cast("long"), lit(9L)).as("bucket"))
+      val cells = e.groupBy("event_type", "bucket").agg(count(lit(1)).as("o"))
+        .persist() // feeds both marginals, the shape row AND the terms
+      val rt = cells.groupBy("event_type").agg(sum("o").cast("long").as("r"))
+      val ct = cells.groupBy("bucket").agg(sum("o").cast("long").as("c"))
+      val t = cells.agg(sum("o").cast("long").as("n"),
+        countDistinct("event_type").as("nr"),
+        countDistinct("bucket").as("nc"))
+      val dec = "decimal(38,0)"
+      val diff = (col("o").cast(dec) * col("n") - col("r").cast(dec) * col("c"))
+        .cast("double")
+      val denom = col("n").cast("double") * col("r").cast("double") *
+        col("c").cast("double")
+      val out = cells.join(broadcast(rt), "event_type")
+        .join(broadcast(ct), "bucket")
+        .crossJoin(broadcast(t))
+        .select(col("n"), col("nr"), col("nc"),
+          floor(diff * diff / denom * 1000000).cast("long").as("term_ppm"))
+        .groupBy("n", "nr", "nc")
+        .agg(sum("term_ppm").cast("long").as("chi2_ppm"))
+        .withColumn("cramers_v",
+          sqrt(col("chi2_ppm").cast("double") / 1000000 /
+            (col("n").cast("double") * least(col("nr") - 1, col("nc") - 1))))
+      CacheScope.sealResult(out, cells)
     },
 
     // ------------------------------------------------------------------ DQ-2
@@ -1756,63 +1888,15 @@ object ExtraQueries {
         |FROM q JOIN c ON c.event_type = q.event_type
         |GROUP BY 1, 2, 3, 4, 5""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val B = 1024L
       val c = events(s, dir)
         .select(col("event_type"),
           floor(col("value") * 100 + 0.5).cast("long").as("v"))
         .persist() // feeds the histogram, the rank probe AND the fence probe
-      // pass 1 (map-side combinable): per-type count/min/max → bounded rows
-      val stats = c.groupBy("event_type")
-        .agg(count(lit(1)).as("n"), min("v").as("mn"), max("v").as("mx"))
-        .collect()
-        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      // integer bucket width: width > (mx−mn)/B so (v−mn) div width < B,
-      // exact on longs (cents), monotone — the a27 discipline minus the FP
-      val widths = stats.map { case (t, _, mn, mx) =>
-        (t, mn, math.max(1L, (mx - mn) / B + 1L))
-      }
-      val widthDf = widths.toSeq.toDF("event_type", "mn", "w")
-      val bucketed = c.join(broadcast(widthDf), "event_type")
-        .select(col("event_type"), col("v"),
-          expr("(v - mn) div w").as("b"))
-      // pass 2 (map-side combinable): (type, bucket) histogram → ≤|types|·B
-      // bounded rows; driver cumulative locates the bucket holding each rank
-      val hist = bucketed.groupBy("event_type", "b").agg(count(lit(1)).as("cnt"))
-        .collect()
-        .groupBy(_.getString(0))
-        .map { case (t, rs) =>
-          t -> rs.map(r => r.getLong(1) -> r.getLong(2)).sortBy(_._1)
-        }
-      // rank k within a type = (bucket holding position k, k − count below)
-      def locate(t: String, k: Long): (Long, Long) = {
-        var cum = 0L
-        for ((b, cnt) <- hist(t)) {
-          if (cum + cnt >= k) return (b, k - cum)
-          cum += cnt
-        }
-        throw new IllegalStateException(s"rank $k beyond histogram of $t")
-      }
-      val targets = stats.flatMap { case (t, n, _, _) =>
-        val (b1, p1) = locate(t, (n + 3) / 4)
-        val (b3, p3) = locate(t, (3 * n + 3) / 4)
-        Seq((t, "q1", b1, p1), (t, "q3", b3, p3))
-      }
-      val targetDf = targets.toSeq.toDF("event_type", "tag", "b", "pos")
-      // targeted pass: exact rank INSIDE the hit buckets only (~n/B rows
-      // per bucket by construction) — distinct-value counts + a cumulative
-      // over that bounded set; min v with cum ≥ pos IS the positional value
-      val wCum = Window.partitionBy("event_type", "tag").orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val resolved = bucketed.join(broadcast(targetDf), Seq("event_type", "b"))
-        .groupBy("event_type", "tag", "pos", "v").agg(count(lit(1)).as("cnt"))
-        .withColumn("cum", sum("cnt").over(wCum))
-        .filter(col("cum") >= col("pos"))
-        .groupBy("event_type", "tag").agg(min("v").as("qv"))
-        .collect()
-        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-      val q = stats.map { case (t, n, _, _) =>
-        (t, n, resolved((t, "q1")), resolved((t, "q3")))
-      }.toSeq.toDF("event_type", "n", "q1", "q3")
+      val sel = typedPositionalSelect(s, c,
+        n => Seq("q1" -> (n + 3) / 4, "q3" -> (3 * n + 3) / 4))
+      val q = sel.keys.map(_._1).toSeq.distinct.sorted.map { t =>
+        (t, sel((t, "q1"))._1, sel((t, "q1"))._2, sel((t, "q3"))._2)
+      }.toDF("event_type", "n", "q1", "q3")
       val out = c.join(broadcast(q), "event_type")
         .groupBy(col("event_type"), col("n"), col("q1"), col("q3"),
           (col("q3") - col("q1")).as("iqr"))
@@ -1821,6 +1905,43 @@ object ExtraQueries {
             .otherwise(0)).cast("long").as("n_out_low"),
           sum(when(lit(2) * col("v") > lit(2) * col("q3") + lit(3) * (col("q3") - col("q1")), 1)
             .otherwise(0)).cast("long").as("n_out_high"))
+      CacheScope.sealResult(out, c)
+    },
+
+    // ------------------------------------------------------------------ A-37
+    // Percentile bands (p10/p50/p90) per event type — the robust range
+    // summary a feature catalog publishes beside each column (and the
+    // clip bounds a curation pipeline derives before winsorizing). The
+    // oracle states the bands positionally (rank ⌈n/10⌉, ⌈n/2⌉,
+    // ⌈9n/10⌉ over sorted cents); the Spark plan reuses
+    // typedPositionalSelect's bucketed-histogram EXACT selection — the
+    // same no-sort machinery dq_outlier_iqr ships, generalized to three
+    // ranks per type, so the whole query is two map-side-combinable
+    // scans plus a bucket-filtered probe. Pure integer selection: no
+    // floats anywhere.
+    QueryDef("a37_percentile_bands",
+      """WITH c AS (SELECT event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events),
+        |r AS (SELECT event_type, v,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n FROM c)
+        |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+        |  CAST(MAX(CASE WHEN rn = (n + 9) // 10 THEN v END) AS BIGINT) AS p10,
+        |  CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN v END) AS BIGINT) AS p50,
+        |  CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN v END) AS BIGINT) AS p90
+        |FROM r GROUP BY event_type""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val c = events(s, dir)
+        .select(col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("v"))
+        .persist() // feeds the helper's histogram AND rank-probe passes
+      val sel = typedPositionalSelect(s, c,
+        n => Seq("p10" -> (n + 9) / 10, "p50" -> (n + 1) / 2,
+          "p90" -> (9 * n + 9) / 10))
+      val out = sel.keys.map(_._1).toSeq.distinct.sorted.map { t =>
+        (t, sel((t, "p10"))._1, sel((t, "p10"))._2, sel((t, "p50"))._2,
+          sel((t, "p90"))._2)
+      }.toDF("event_type", "n", "p10", "p50", "p90")
       CacheScope.sealResult(out, c)
     },
 

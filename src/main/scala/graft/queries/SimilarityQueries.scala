@@ -161,6 +161,50 @@ object SimilarityQueries {
       .agg(max(struct(col("c_cos").as("c"), (-col("cid")).as("nc"))).as("m"))
       .select(col("vec_id"), (-col("m.nc")).as("cid"))
 
+  /** The ann_ivf_kmeans program: 4-probe IVF top-5 over the Lloyd-round
+    * codebook — (result frame, kmeans checkpoints for the caller to
+    * free). Shared with ann_recall so the graded ranking and the grading
+    * query cannot drift. */
+  private def ivfKmeansTop5(s: SparkSession,
+      dir: String): (DataFrame, Seq[DataFrame]) = {
+    val (n, cent, assign, kmCached) = kmeansFrames(s, dir)
+    // 8 query vectors × K codebook rows: the windowed top-4 is bounded
+    // by the query list, not the corpus — no aggregate rewrite needed
+    val probes = argmaxCell(n.filter(col("vec_id") < 8), cent, 4)
+      .select(col("vec_id").as("q_id"), col("cid"))
+    val cells = assign.join(n, "vec_id")
+      .select(col("cid").as("a_cid"), col("vec_id").as("n_id"),
+        col("qv").as("c_qv2"), col("nq").as("c_nq2"))
+    val qv = n.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qq_id"), col("qv").as("q_qv"), col("nq").as("q_nq"))
+    val pairCos = expr("long_dot(q_qv, c_qv2)").cast("double") /
+      (sqrt(col("q_nq").cast("double")) * sqrt(col("c_nq2").cast("double")))
+    val wRank = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
+    (broadcast(probes)
+      .join(cells, col("a_cid") === col("cid") && col("n_id") =!= col("q_id"))
+      .join(broadcast(qv), col("qq_id") === col("q_id"))
+      .withColumn("cos_sim", pairCos)
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 5)
+      .select("q_id", "rank", "n_id", "cos_sim"), kmCached)
+  }
+
+  /** Exact brute-force cosine top-5 for the 8-query probe set — the
+    * ann_bruteforce_topk program, shared with ann_recall as the ground
+    * truth. */
+  private def bruteTop5(s: SparkSession, dir: String): DataFrame = {
+    val n = emb(s, dir)
+    val q = n.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("nq").as("q_nq"))
+    val c = n.select(col("vec_id").as("n_id"), col("qv").as("c_qv"), col("nq").as("c_nq"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
+    broadcast(q).join(c, col("n_id") =!= col("q_id"))
+      .withColumn("cos_sim", cosCol)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("q_id", "rank", "n_id", "cos_sim")
+  }
+
   /** (vectors, refined codebook, final assignment, checkpointed frames)
     * after one Lloyd round. `cent` and `assign` come back as EAGER
     * localCheckpoints (cent is √N rows, assign N slim rows — the same
@@ -251,16 +295,7 @@ object SimilarityQueries {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
          |    ORDER BY cos_sim DESC, n_id) AS rank FROM pairs)
          |SELECT q_id, rank, n_id, cos_sim FROM ranked WHERE rank <= 5""".stripMargin) { (s, dir) =>
-      val n = emb(s, dir)
-      val q = n.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("nq").as("q_nq"))
-      val c = n.select(col("vec_id").as("n_id"), col("qv").as("c_qv"), col("nq").as("c_nq"))
-      val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
-      broadcast(q).join(c, col("n_id") =!= col("q_id"))
-        .withColumn("cos_sim", cosCol)
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select("q_id", "rank", "n_id", "cos_sim")
+      bruteTop5(s, dir)
     },
 
     // ---------------------------------------------------------------- ANN-1c
@@ -270,9 +305,10 @@ object SimilarityQueries {
     // flags probable label noise (the cleanlab-style gate a labeled
     // training set runs before fine-tuning). Exact-cosine kNN against the
     // full corpus for the AUDITED SAMPLE only, so cost is |sample|·N with
-    // the sample broadcast and the corpus scan shuffle-free — the audit
-    // fraction, not the corpus, is the knob at 100 TB (and the IVF cell
-    // route of ann_ivf composes here if even that is too hot). Majority
+    // the sample broadcast and the corpus scan shuffle-free — and the
+    // sample is a fixed BUDGET (≤ ~512, stride-derived from the corpus
+    // size), so the audit is linear in N at 100 TB (the IVF cell route
+    // of ann_ivf composes here if even that is too hot). Majority
     // pick is deterministic: count desc, label asc; cosine ties break on
     // n_id like ann_bruteforce_topk.
     QueryDef("ann_label_consistency",
@@ -280,6 +316,7 @@ object SimilarityQueries {
          |  SELECT vec_id, label, $quantSql AS qv,
          |    CAST(list_sum(list_transform($quantSql, x -> x * x)) AS BIGINT) AS nq
          |  FROM embeddings),
+         |sp AS (SELECT GREATEST(10, (COUNT(*) + 511) // 512) AS astride FROM n),
          |nn AS (
          |  SELECT * FROM (
          |    SELECT q.vec_id AS q_id, q.label AS q_label, c.label AS n_label,
@@ -287,7 +324,8 @@ object SimilarityQueries {
          |        CAST(CAST(list_sum(list_transform(list_zip(q.qv, c.qv), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
          |          / (sqrt(CAST(q.nq AS DOUBLE)) * sqrt(CAST(c.nq AS DOUBLE))) DESC,
          |        c.vec_id) AS rank
-         |    FROM n q JOIN n c ON q.vec_id % 10 = 0 AND c.vec_id <> q.vec_id)
+         |    FROM n q JOIN n c ON q.vec_id % (SELECT astride FROM sp) = 0
+         |      AND c.vec_id <> q.vec_id)
          |  WHERE rank <= 5),
          |votes AS (
          |  SELECT q_id, q_label, n_label, COUNT(*) AS cnt
@@ -304,7 +342,17 @@ object SimilarityQueries {
          |  ON a.q_id = m.q_id
          |WHERE m.r = 1""".stripMargin) { (s, dir) =>
       val n = emb(s, dir)
-      val q = n.filter(col("vec_id") % 10 === 0)
+      // fixed audit BUDGET, not a fixed fraction (r16): vec_id % 10 made
+      // the sample 10% of N, so the |sample|·N brute pass was quadratic
+      // by construction — the full-registry sweep's worst exponent (0.88,
+      // 0.45 → 25.6 s at 100×). The stride now grows with N so at most
+      // ~512 vectors are audited (exactly the old 10% at the sf0.01/sf0.1
+      // gate scales, so hashes are unchanged there), making the audit
+      // linear in N — the production shape, where the label-noise audit
+      // spends a fixed example budget regardless of corpus size.
+      val astride = math.max(10L,
+        (Graft.parquetRowCount(s, s"$dir/embeddings.parquet") + 511) / 512)
+      val q = n.filter(col("vec_id") % astride === 0)
         .select(col("vec_id").as("q_id"), col("label").as("q_label"),
           col("qv").as("q_qv"), col("nq").as("q_nq"))
       val c = n.select(col("vec_id").as("n_id"), col("label").as("n_label"),
@@ -666,27 +714,66 @@ object SimilarityQueries {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
          |    ORDER BY cos_sim DESC, n_id) AS rank FROM pairs)
          |SELECT q_id, rank, n_id, cos_sim FROM ranked WHERE rank <= 5""".stripMargin) { (s, dir) =>
-      val (n, cent, assign, kmCached) = kmeansFrames(s, dir)
-      // 8 query vectors × K codebook rows: the windowed top-4 is bounded
-      // by the query list, not the corpus — no aggregate rewrite needed
-      val probes = argmaxCell(n.filter(col("vec_id") < 8), cent, 4)
-        .select(col("vec_id").as("q_id"), col("cid"))
-      val cells = assign.join(n, "vec_id")
-        .select(col("cid").as("a_cid"), col("vec_id").as("n_id"),
-          col("qv").as("c_qv2"), col("nq").as("c_nq2"))
-      val qv = n.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("qq_id"), col("qv").as("q_qv"), col("nq").as("q_nq"))
-      val pairCos = expr("long_dot(q_qv, c_qv2)").cast("double") /
-        (sqrt(col("q_nq").cast("double")) * sqrt(col("c_nq2").cast("double")))
-      val wRank = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
+      val (top5, kmCached) = ivfKmeansTop5(s, dir)
+      sealWithCheckpoints(top5, kmCached)
+    },
+
+    // ---------------------------------------------------------------- ANN-2b
+    // IVF recall@5 — the evaluation query every deployed ANN index runs
+    // before its parameters ship: the 4-probe IVF ranking of
+    // ann_ivf_kmeans scored against the exact brute-force top-5 of
+    // ann_bruteforce_topk, per query. Both rankings are the SAME shared
+    // programs (ivfKmeansTop5 / bruteTop5 — oracle and plan cannot drift
+    // from the queries they grade), the intersection is an integer count
+    // over the two deterministic top-5 sets, and recall lands as exact
+    // ppm (n_hits·10⁶ div 5) — no float ratios to drift. Cost: the IVF
+    // probe side is cell-bounded; the truth side is the |queries|·N
+    // brute pass with the 8-row query set broadcast — the audit
+    // fraction, not the corpus, is the 100 TB knob (sample the queries).
+    QueryDef("ann_recall",
+      s"""$kmeansAssignSql,
+         |probes AS (
+         |  SELECT vec_id AS q_id, cid FROM (
+         |    SELECT q.vec_id, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        CAST(CAST(list_sum(list_transform(list_zip(q.qv, c.cqv), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
+         |          / (sqrt(CAST(q.nq AS DOUBLE)) * sqrt(CAST(c.cnq AS DOUBLE))) DESC, c.cid) AS rn
+         |    FROM n q CROSS JOIN cent c WHERE q.vec_id < 8)
+         |  WHERE rn <= 4),
+         |pairs AS (
+         |  SELECT p.q_id, a.vec_id AS n_id,
+         |    CAST(CAST(list_sum(list_transform(list_zip(q.qv, v.qv), x -> x[1] * x[2])) AS BIGINT) AS DOUBLE)
+         |      / (sqrt(CAST(q.nq AS DOUBLE)) * sqrt(CAST(v.nq AS DOUBLE))) AS cos_sim
+         |  FROM probes p
+         |  JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.q_id
+         |  JOIN n q ON q.vec_id = p.q_id
+         |  JOIN n v ON v.vec_id = a.vec_id),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY cos_sim DESC, n_id) AS rank FROM pairs),
+         |approx AS (SELECT q_id, n_id FROM ranked WHERE rank <= 5),
+         |truth0 AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |    CAST(CAST(list_sum(list_transform(list_zip(q.qv, c.qv), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
+         |      / (sqrt(CAST(q.nq AS DOUBLE)) * sqrt(CAST(c.nq AS DOUBLE))) AS cos_sim
+         |  FROM n q JOIN n c ON q.vec_id < 8 AND c.vec_id <> q.vec_id),
+         |truth AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY cos_sim DESC, n_id) AS rank FROM truth0) WHERE rank <= 5)
+         |SELECT t.q_id, CAST(COUNT(a.n_id) AS BIGINT) AS n_hits,
+         |  CAST(COUNT(a.n_id) * 1000000 // 5 AS BIGINT) AS recall_ppm
+         |FROM truth t LEFT JOIN approx a ON a.q_id = t.q_id AND a.n_id = t.n_id
+         |GROUP BY t.q_id""".stripMargin) { (s, dir) =>
+      val (approx, kmCached) = ivfKmeansTop5(s, dir)
+      val truth = bruteTop5(s, dir)
       sealWithCheckpoints(
-        broadcast(probes)
-          .join(cells, col("a_cid") === col("cid") && col("n_id") =!= col("q_id"))
-          .join(broadcast(qv), col("qq_id") === col("q_id"))
-          .withColumn("cos_sim", pairCos)
-          .withColumn("rank", row_number().over(wRank))
-          .filter(col("rank") <= 5)
-          .select("q_id", "rank", "n_id", "cos_sim"),
+        truth.select(col("q_id"), col("n_id"))
+          .join(approx.select(col("q_id"), col("n_id"), lit(1).as("hit")),
+            Seq("q_id", "n_id"), "left")
+          .groupBy("q_id")
+          .agg(count(col("hit")).cast("long").as("n_hits"))
+          .withColumn("recall_ppm", expr("n_hits * 1000000 div 5")),
         kmCached)
     },
 

@@ -70,7 +70,15 @@ object ScaleBench {
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = if (args.length > 1) args(1).toInt else 10
-    val panel = if (args.length > 2) Panel.filter(args.drop(2).contains(_)) else Panel
+    // "all" = the WHOLE registry (the r16 full-table sweep for
+    // COVERAGE.md); explicit names run regardless of Panel membership;
+    // no names = the curated growth-risk panel
+    val panel =
+      if (args.length > 2 && args(2) == "all")
+        graft.SparkEntry.queries.keys.toSeq.sorted
+      else if (args.length > 2)
+        args.drop(2).toSeq.filter(graft.SparkEntry.queries.contains)
+      else Panel
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions())

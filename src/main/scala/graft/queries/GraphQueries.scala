@@ -146,6 +146,34 @@ object GraphQueries {
       .agg(min(col("cc")).as("cc"))
       .select(col("dst").as("node"), col("cc"))
 
+  /** One synchronous label-propagation superstep: a node adopts its
+    * neighborhood's MOST FREQUENT label (count DESC, label ASC — the
+    * argmax rides a max(struct(c, −lbl)) hash aggregate, the r16
+    * map-side idiom, never a per-node sort window). Two keyed shuffles:
+    * the (node, label) vote rollup and the per-node argmax — both carry
+    * map-side partials only. */
+  private[graft] def lpaSuperstep(adj: DataFrame, labels: DataFrame,
+      stateRows: Long): DataFrame =
+    adj.join(stateSide(labels, stateRows), col("src") === col("node"))
+      .select(explode(col("nbrs")).as("dst"), col("lbl"))
+      .groupBy(col("dst"), col("lbl"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("dst"))
+      .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+      .select(col("dst").as("node"), (-col("m.nl")).as("lbl"))
+
+  /** One LPA step in SQL, parameterized by the previous label relation —
+    * textually identical across the unrolled iterations (the
+    * prStepSql/ccStepSql contract). */
+  private def lpaStepSql(prev: String): String =
+    s"""SELECT node, lbl FROM (
+       |  SELECT e.dst AS node, r.lbl,
+       |    ROW_NUMBER() OVER (PARTITION BY e.dst
+       |      ORDER BY COUNT(*) DESC, r.lbl) AS rn
+       |  FROM ed e JOIN $prev r ON e.src = r.node
+       |  GROUP BY e.dst, r.lbl)
+       |WHERE rn = 1""".stripMargin
+
   /** Eager materialization splits the Pregel phases: the supersteps run
     * inside the query function, while the |E|-scale adjacency cache is
     * alive; what escapes is the |V|-row cached RESULT (adj is released
@@ -302,6 +330,45 @@ object GraphQueries {
       var labels = adj.select(col("src").as("node"), col("src").as("cc"))
       for (_ <- 1 to iterations) labels = ccSuperstep(adjSelf, labels, nV)
       materialize(labels, adj)
+    },
+
+    // --------------------------------------------------------------- GRAPH-2c
+    // Community detection by synchronous label propagation (3 unrolled
+    // rounds): each node adopts its neighborhood's most frequent label,
+    // ties to the smallest — the near-linear community primitive
+    // (Raghavan et al.) that groups counterparties by interaction
+    // DENSITY where g_cc's min-label merges by mere reachability.
+    // Deterministic by construction: integer vote counts, (count DESC,
+    // label ASC) argmax, and SYNCHRONOUS rounds (the asynchronous form
+    // is order-dependent and could never hash-match an oracle). Fixed
+    // k=3 keeps the result exactly oracle-reproducible whether or not
+    // labels have stabilized — the g_pr/g_cc unrolling contract; the
+    // output is the community ROLLUP (size + integer membership
+    // fingerprints), the shape a risk pipeline joins back on. Scale: per
+    // superstep, one adjacency-explode and two map-side-combinable keyed
+    // rollups — no per-node sort anywhere (the vote argmax is the
+    // max(struct) idiom, not a window).
+    QueryDef("g_lpa",
+      s"""${graphSql("l.l_quantity >= 45")},
+         |l0 AS (SELECT src AS node, src AS lbl FROM deg),
+         |l1 AS (${lpaStepSql("l0")}),
+         |l2 AS (${lpaStepSql("l1")}),
+         |l3 AS (${lpaStepSql("l2")})
+         |SELECT CAST(lbl AS BIGINT) AS community,
+         |  CAST(COUNT(*) AS BIGINT) AS n_members,
+         |  CAST(MIN(node) AS BIGINT) AS min_node,
+         |  CAST(SUM(node) AS BIGINT) AS sum_nodes
+         |FROM l3 GROUP BY lbl""".stripMargin) { (s, dir) =>
+      val adj = adjacency(s, dir, col("l_quantity") >= 45)
+      val nV = adj.count()
+      var labels = adj.select(col("src").as("node"), col("src").as("lbl"))
+      for (_ <- 1 to iterations) labels = lpaSuperstep(adj, labels, nV)
+      materialize(
+        labels.groupBy(col("lbl").as("community"))
+          .agg(count(lit(1)).cast("long").as("n_members"),
+            min("node").cast("long").as("min_node"),
+            sum("node").cast("long").as("sum_nodes")),
+        adj)
     },
 
     // --------------------------------------------------------------- GRAPH-2b

@@ -200,6 +200,75 @@ object JoinShapeQueries {
         .select(col("p_id").as("event_id"), col("s_id").as("nearest_signup"), col("dt_us"))
     },
 
+    // ------------------------------------------------------------------ J17
+    // Bidirectional nearest-event join (the attribution shape): for each
+    // purchase, the SAME user's nearest click in time — either side —
+    // with the gap and which side won. Where j11's as-of join is banded
+    // and join-shaped, this is the UNBANDED nearest-neighbor-in-time,
+    // and the scalable plan is NOT a pair join at all: both event kinds
+    // ride ONE per-user timeline exchange, the nearest preceding click
+    // is a running MAX(click ts) over rows-before and the nearest
+    // following a running MIN over rows-after — two frames on the same
+    // window sort, zero candidate pairs materialized at ANY time spread
+    // (a banded join needs a band guess; a pair join over unbanded time
+    // is quadratic per user). Exact integer µs throughout; ties at the
+    // same timestamp are ordered by (ts, event_id) in the frame and the
+    // ≤-comparison prefers 'before' — all deterministic.
+    QueryDef("j17_nearest_event",
+      """WITH tl AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |w AS (
+        |  SELECT *,
+        |    MAX(CASE WHEN event_type = 'click' THEN ts_us END) OVER
+        |      (PARTITION BY user_id ORDER BY ts_us, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click_ts,
+        |    MIN(CASE WHEN event_type = 'click' THEN ts_us END) OVER
+        |      (PARTITION BY user_id ORDER BY ts_us, event_id
+        |       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_click_ts
+        |  FROM tl)
+        |SELECT user_id, event_id, ts_us,
+        |  CASE
+        |    WHEN prev_click_ts IS NULL AND next_click_ts IS NULL THEN NULL
+        |    WHEN next_click_ts IS NULL THEN ts_us - prev_click_ts
+        |    WHEN prev_click_ts IS NULL THEN next_click_ts - ts_us
+        |    WHEN ts_us - prev_click_ts <= next_click_ts - ts_us
+        |      THEN ts_us - prev_click_ts
+        |    ELSE next_click_ts - ts_us END AS gap_us,
+        |  CASE
+        |    WHEN prev_click_ts IS NULL AND next_click_ts IS NULL THEN NULL
+        |    WHEN next_click_ts IS NULL THEN 'before'
+        |    WHEN prev_click_ts IS NULL THEN 'after'
+        |    WHEN ts_us - prev_click_ts <= next_click_ts - ts_us THEN 'before'
+        |    ELSE 'after' END AS side
+        |FROM w WHERE event_type = 'purchase'""".stripMargin) { (s, dir) =>
+      val tl = events(s, dir)
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+      val order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val wPrev = order.rowsBetween(Window.unboundedPreceding, -1)
+      val wNext = order.rowsBetween(1, Window.unboundedFollowing)
+      val clickTs = when(col("event_type") === "click", col("ts_us"))
+      val before = col("ts_us") - col("prev_click_ts")
+      val after = col("next_click_ts") - col("ts_us")
+      tl.withColumn("prev_click_ts", max(clickTs).over(wPrev))
+        .withColumn("next_click_ts", min(clickTs).over(wNext))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          when(col("prev_click_ts").isNull && col("next_click_ts").isNull,
+            lit(null).cast("long"))
+            .when(col("next_click_ts").isNull, before)
+            .when(col("prev_click_ts").isNull, after)
+            .when(before <= after, before)
+            .otherwise(after).as("gap_us"),
+          when(col("prev_click_ts").isNull && col("next_click_ts").isNull,
+            lit(null).cast("string"))
+            .when(col("next_click_ts").isNull, lit("before"))
+            .when(col("prev_click_ts").isNull, lit("after"))
+            .when(before <= after, lit("before"))
+            .otherwise(lit("after")).as("side"))
+    },
+
     // ------------------------------------------------------------------ J16
     // 5-way star join (the TPC-H Q5 shape): two fact-sized relations
     // (orders, lineitem) joined through three dimensions (customer,

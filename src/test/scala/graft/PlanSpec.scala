@@ -348,6 +348,20 @@ class PlanSpec extends SparkSpec {
     assert(countOccurrences(p, "Exchange hashpartitioning") <= 2, p)
   }
 
+  test("j17_nearest_event rides ONE user exchange — no pair join, no band") {
+    val p = planString("j17_nearest_event")
+    // the nearest-neighbor-in-time is two frames over one per-user window
+    // sort; a join-shaped plan (banded or otherwise) here is a regression
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("g_lpa's vote argmax is an aggregate, never a per-node sort window") {
+    val p = planString("g_lpa")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("row_number"), p)
+  }
+
   test("no query in the inventory plans a CartesianProduct") {
     // every deliberate cross join in the inventory is against a bounded
     // broadcast side (1-row scalars, centroid codebooks) and must compile

@@ -958,6 +958,42 @@ object Streams {
         })
   }
 
+  /** Drawdown state: the user's running peak — ONE long per key, the
+    * smallest state record in the twin family. */
+  case class DdState(peak: Long)
+  case class DdOut(user_id: Long, event_id: Long, cents: Long,
+      peak: Long, dd: Long)
+
+  /** Streaming twin of batch `w19_drawdown`'s running columns: per event,
+    * the running peak over the user's (ts, event_id)-ordered cents and
+    * the drop from it. Constant per-key state (the peak alone — a
+    * running MAX needs no history), so the operator's memory is O(keys)
+    * at any stream length; the batch query's final per-user pick
+    * (max dd, tie on event_id) is a plain rollup over these outputs, so
+    * stream ≡ batch on the running columns implies it for the pick too
+    * (StreamingSpec pins both). Same ordering contract as the other
+    * keyed twins: each micro-batch sorts by (ts, event_id); parity
+    * assumes in-order batch feeds. */
+  def drawdown(events: Dataset[Ev]): Dataset[DdOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, evs: Iterator[Ev], state: GroupState[DdState]) => {
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var peak = state.getOption.map(_.peak).getOrElse(Long.MinValue)
+          val out = Seq.newBuilder[DdOut]
+          sorted.foreach { e =>
+            // same rounding expression as the batch side: floor(v*100+0.5)
+            val cents = math.floor(e.value * 100 + 0.5).toLong
+            peak = math.max(peak, cents)
+            out += DdOut(uid, e.event_id, cents, peak, peak - cents)
+          }
+          state.update(DdState(peak))
+          out.result().iterator
+        })
+  }
+
   /** Bounded rolling-median state: the user's last ≤4 cents, most recent
     * first. */
   case class MedState(recent: Seq[Long])

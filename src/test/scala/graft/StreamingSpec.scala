@@ -857,6 +857,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("drawdown across micro-batches ≡ batch w19_drawdown, state is one long per key") {
+    implicit val sqlCtx = spark.sqlContext
+    // a peak early (event 2), a deep trough later (event 5), recovery,
+    // then a NEW higher peak — split mid-series so the running peak must
+    // carry across the batch boundary; second user for key isolation
+    val vals = Seq(3.0, 9.0, 4.0, 2.0, 0.5, 7.0, 11.0, 6.0)
+    val evs = vals.zipWithIndex.map { case (v, i) =>
+      Ev(i + 1L, ts(i + 1), 7L, "t", v)
+    } ++ Seq(Ev(11L, ts(1), 8L, "t", 2.0), Ev(12L, ts(2), 8L, "t", 5.0))
+    val mem = MemoryStream[Ev]
+    val q = Streams.drawdown(mem.toDS())
+      .writeStream.format("memory").queryName("sdd").outputMode("append").start()
+    try {
+      mem.addData(evs.filter(_.event_id <= 4): _*)
+      q.processAllAvailable()
+      mem.addData(evs.filter(_.event_id > 4): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sdd")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      // running columns ≡ the batch window computation over the same rows
+      val dir = java.nio.file.Files.createTempDirectory("sdd").toString
+      evs.toDF().withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+        .write.parquet(s"$dir/events.parquet")
+      val wRun = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val batchRun = graft.core.Graft.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          org.apache.spark.sql.functions.floor(col("value") * 100 +
+            org.apache.spark.sql.functions.lit(0.5)).cast("long").as("cents"))
+        .withColumn("peak", org.apache.spark.sql.functions.max("cents").over(wRun))
+        .withColumn("dd", col("peak") - col("cents"))
+        .drop("ts")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      assert(streamed.toSet == batchRun.toSet,
+        s"running columns diverged: stream ${streamed.size} vs batch ${batchRun.size}")
+      // …and therefore the batch query's per-user PICK falls out of the
+      // stream outputs: max dd, tie on the earlier event
+      val pick = streamed.groupBy(_._1).map { case (u, rs) =>
+        val best = rs.minBy(r => (-r._5, r._2))
+        (u, best._5, best._4, best._2)
+      }.toSet
+      val batchPick = SparkEntry.queries("w19_drawdown")(spark, dir)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(pick == batchPick, s"pick diverged: $pick vs $batchPick")
+    } finally q.stop()
+  }
+
   test("rollingMedian across micro-batches ≡ batch w20_rolling_median") {
     implicit val sqlCtx = spark.sqlContext
     // 7 events for one user split mid-window (taps must carry across the

@@ -2264,6 +2264,62 @@ object ExtraQueries {
     // the per-user argmax rides a second window over the SAME
     // user-partitioned exchange (deterministic tie-break: earliest
     // event), so the whole query is one shuffle on user_id. All integer.
+    QueryDef("w21_cusum",
+      // ---------------------------------------------------------------- W-21
+      // CUSUM change detection per user — "has this wallet's value level
+      // SHIFTED upward?", the sequential-analysis alarm (Page's test)
+      // behind burst/anomaly monitors. The textbook recursion
+      // C_i = max(0, C_{i-1} + (x_i − k)) is not a window primitive, but
+      // its closed form IS: C_i = S_i − min_{j≤i} S_j over the prefix
+      // sums of the shifted series (the running min is where the max(0,·)
+      // resets) — so the whole statistic is two frames on ONE per-user
+      // window sort, exact integer cents throughout (the reference level
+      // k is the user's floor-mean — one exact integer division). Alarm
+      // threshold h = 500.00 in cents; the rollup reports the alarm
+      // count, the peak statistic, and the first alarm position.
+      """WITH c AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |k AS (SELECT user_id, CAST(SUM(cents) // COUNT(*) AS BIGINT) AS ref
+        |      FROM c GROUP BY user_id),
+        |s AS (
+        |  SELECT c.user_id, c.event_id, c.ts,
+        |    CAST(SUM(c.cents - k.ref) OVER (PARTITION BY c.user_id
+        |      ORDER BY c.ts, c.event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ps
+        |  FROM c JOIN k ON k.user_id = c.user_id),
+        |g AS (
+        |  SELECT user_id, event_id, ps,
+        |    ps - MIN(ps) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+        |  FROM s)
+        |SELECT user_id,
+        |  CAST(MAX(cusum) AS BIGINT) AS max_cusum,
+        |  CAST(SUM(CASE WHEN cusum > 50000 THEN 1 ELSE 0 END) AS BIGINT) AS n_over,
+        |  CAST(MIN(CASE WHEN cusum > 50000 THEN event_id END) AS BIGINT)
+        |    AS first_over
+        |FROM g GROUP BY user_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val c = events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      // per-user reference level: exact integer floor-mean (cents ≥ 0,
+      // so truncating div IS floor — matching DuckDB's //)
+      val k = c.groupBy("user_id")
+        .agg(expr("sum(cents) div count(1)").cast("long").as("ref"))
+      val wRun = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      c.join(k, "user_id")
+        .withColumn("ps", sum(col("cents") - col("ref")).over(wRun).cast("long"))
+        .withColumn("cusum", col("ps") - min("ps").over(wRun))
+        .groupBy("user_id")
+        .agg(max("cusum").cast("long").as("max_cusum"),
+          sum(when(col("cusum") > 50000, 1).otherwise(0)).cast("long")
+            .as("n_over"),
+          min(when(col("cusum") > 50000, col("event_id"))).cast("long")
+            .as("first_over"))
+    },
+
     QueryDef("w19_drawdown",
       """WITH c AS (
         |  SELECT user_id, event_id, ts,

@@ -52,7 +52,7 @@ object ExtraQueries {
     * so results match a positional-ROW_NUMBER oracle bit-for-bit. NO
     * sort, NO window over the full data; returns
     * (type, tag) -> (n, value). */
-  private def typedPositionalSelect(s: SparkSession, c: DataFrame,
+  private[graft] def typedPositionalSelect(s: SparkSession, c: DataFrame,
       ranks: Long => Seq[(String, Long)])
       : Map[(String, String), (Long, Long)] = {
     import s.implicits._

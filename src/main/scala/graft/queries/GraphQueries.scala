@@ -162,6 +162,25 @@ object GraphQueries {
       .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
       .select(col("dst").as("node"), (-col("m.nl")).as("lbl"))
 
+  /** One multi-source BFS superstep: the frontier's neighbors at d+1
+    * union the already-reached set, min per node — hop distances grow
+    * one level per round, and only REACHED nodes carry state (the
+    * unreached majority costs nothing until the wave arrives). */
+  private[graft] def bfsSuperstep(adj: DataFrame, dist: DataFrame,
+      stateRows: Long): DataFrame =
+    adj.join(stateSide(dist, stateRows), col("src") === col("node"))
+      .select(explode(col("nbrs")).as("node"), (col("d") + 1).as("d"))
+      .unionByName(dist)
+      .groupBy("node").agg(min("d").cast("long").as("d"))
+
+  /** One BFS step in SQL, parameterized by the previous distance
+    * relation (the unrolling contract). */
+  private def bfsStepSql(prev: String): String =
+    s"""SELECT node, CAST(MIN(d) AS BIGINT) AS d FROM (
+       |  SELECT e.dst AS node, r.d + 1 AS d
+       |  FROM ed e JOIN $prev r ON e.src = r.node
+       |  UNION ALL SELECT node, d FROM $prev) GROUP BY node""".stripMargin
+
   /** One LPA step in SQL, parameterized by the previous label relation —
     * textually identical across the unrolled iterations (the
     * prStepSql/ccStepSql contract). */
@@ -330,6 +349,41 @@ object GraphQueries {
       var labels = adj.select(col("src").as("node"), col("src").as("cc"))
       for (_ <- 1 to iterations) labels = ccSuperstep(adjSelf, labels, nV)
       materialize(labels, adj)
+    },
+
+    // --------------------------------------------------------------- GRAPH-2d
+    // Multi-source BFS hop distance (3 unrolled rounds): how many hops
+    // each node sits from a SEED SET (every 100th customer) — the
+    // proximity-to-known-entities feature (distance to flagged wallets,
+    // to exchange hubs) that degree/PageRank cannot express. Frontier
+    // semantics ride the same superstep contract as g_pr/g_cc: fixed
+    // k=3 keeps the result exactly oracle-reproducible mid-wave, and
+    // only REACHED nodes carry state, so early rounds are frontier-sized
+    // rather than |V|-sized. Output is the per-level rollup with integer
+    // membership fingerprints.
+    QueryDef("g_bfs",
+      s"""${graphSql("1 = 1")},
+         |d0 AS (SELECT src AS node, CAST(0 AS BIGINT) AS d FROM deg
+         |       WHERE src % 200 = 0),
+         |d1 AS (${bfsStepSql("d0")}),
+         |d2 AS (${bfsStepSql("d1")}),
+         |d3 AS (${bfsStepSql("d2")})
+         |SELECT d AS dist, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |  CAST(MIN(node) AS BIGINT) AS min_node,
+         |  CAST(SUM(node) AS BIGINT) AS sum_nodes
+         |FROM d3 GROUP BY d""".stripMargin) { (s, dir) =>
+      val adj = adjacency(s, dir, lit(true))
+      val nV = adj.count()
+      var dist = adj.select(col("src").as("node"))
+        .filter(pmod(col("node"), lit(200L)) === 0)
+        .withColumn("d", lit(0L))
+      for (_ <- 1 to iterations) dist = bfsSuperstep(adj, dist, nV)
+      materialize(
+        dist.groupBy(col("d").as("dist"))
+          .agg(count(lit(1)).cast("long").as("n_nodes"),
+            min("node").cast("long").as("min_node"),
+            sum("node").cast("long").as("sum_nodes")),
+        adj)
     },
 
     // --------------------------------------------------------------- GRAPH-2c

@@ -994,6 +994,48 @@ object Streams {
         })
   }
 
+  /** CUSUM state: the user's prefix sum and its running minimum — two
+    * longs per key, constant at any stream length. */
+  case class CusumState(ps: Long, minPs: Long)
+  case class CusumOut(user_id: Long, event_id: Long, cents: Long,
+      cusum: Long, alarm: Boolean)
+
+  /** Streaming twin of batch `w21_cusum`'s running statistic: Page's
+    * one-sided CUSUM as keyed state, C_i = S_i − min_{j≤i} S_j over the
+    * prefix sums of the ref-shifted cents. The batch query derives its
+    * reference level from the WHOLE series (per-user floor-mean) — a
+    * stream cannot know that, so the level is the caller's parameter
+    * here, which is also the production shape (CUSUM monitors run
+    * against a configured or trailing baseline, not an oracle mean).
+    * StreamingSpec pins stream ≡ an identically-parameterized batch
+    * window program across a mid-series batch boundary. */
+  def cusum(events: Dataset[Ev], refCents: Long,
+      alarmAt: Long): Dataset[CusumOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, evs: Iterator[Ev], state: GroupState[CusumState]) => {
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          // the running min ranges over OBSERVED prefixes only (so the
+          // first event's statistic is 0) — exactly the batch window's
+          // MIN(ps) OVER (unbounded preceding..current row), which is
+          // what the twin must reproduce bit-for-bit
+          var st = state.getOption.getOrElse(CusumState(0L, Long.MaxValue))
+          val out = Seq.newBuilder[CusumOut]
+          sorted.foreach { e =>
+            val cents = math.floor(e.value * 100 + 0.5).toLong
+            val ps = st.ps + (cents - refCents)
+            val minPs = math.min(st.minPs, ps)
+            out += CusumOut(uid, e.event_id, cents, ps - minPs,
+              ps - minPs > alarmAt)
+            st = CusumState(ps, minPs)
+          }
+          state.update(st)
+          out.result().iterator
+        })
+  }
+
   /** Bounded rolling-median state: the user's last ≤4 cents, most recent
     * first. */
   case class MedState(recent: Seq[Long])

@@ -132,4 +132,69 @@ class GraphPropertySpec extends SparkSpec {
     val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
     assert(result.passed, result.status.toString)
   }
+
+  // random small undirected graphs for the superstep-level properties
+  // (g_lpa / g_bfs run their supersteps on the shared adjacency spine;
+  // here the supersteps are driven directly against brute Scala folds)
+  private val undGen = Gen.listOfN(25, for {
+    a <- Gen.chooseNum(1L, 12L)
+    b <- Gen.chooseNum(1L, 12L)
+  } yield (a, b))
+
+  private def undirected(raw: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    raw.filter(p => p._1 != p._2).flatMap(p => Seq(p, p.swap)).distinct
+
+  test("property: lpaSuperstep ×3 ≡ brute synchronous label propagation") {
+    import org.apache.spark.sql.functions.{col, collect_set}
+    val prop = forAll(undGen) { raw =>
+      val und = undirected(raw)
+      und.isEmpty || {
+        val adj = und.toDF("src", "dst")
+          .groupBy("src").agg(collect_set("dst").as("nbrs"))
+        var labels = adj.select(col("src").as("node"), col("src").as("lbl"))
+        for (_ <- 1 to 3)
+          labels = graft.queries.GraphQueries.lpaSuperstep(adj, labels, 1000L)
+        val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val nbrs = und.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+        var lab: Map[Long, Long] = nbrs.keys.map(k => k -> k).toMap
+        for (_ <- 1 to 3) lab = nbrs.map { case (v, ns) =>
+          val votes = ns.toSeq.map(lab).groupBy(identity)
+            .map { case (l, xs) => (l, xs.size) }
+          v -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+        }
+        got == lab
+      }
+    }
+    val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(result.passed, result.status.toString)
+  }
+
+  test("property: bfsSuperstep ×3 ≡ brute multi-source hop distances") {
+    import org.apache.spark.sql.functions.{col, collect_set, lit, pmod}
+    val prop = forAll(undGen) { raw =>
+      val und = undirected(raw)
+      und.isEmpty || {
+        val adj = und.toDF("src", "dst")
+          .groupBy("src").agg(collect_set("dst").as("nbrs"))
+        var dist = adj.select(col("src").as("node"))
+          .filter(pmod(col("node"), lit(3L)) === 0)
+          .withColumn("d", lit(0L))
+        for (_ <- 1 to 3)
+          dist = graft.queries.GraphQueries.bfsSuperstep(adj, dist, 1000L)
+        val got = dist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val nbrs = und.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+        var d: Map[Long, Long] =
+          nbrs.keys.filter(_ % 3 == 0).map(k => k -> 0L).toMap
+        for (_ <- 1 to 3) {
+          val next = nbrs.toSeq.flatMap { case (v, ns) =>
+            ns.toSeq.collect { case u if d.contains(u) => v -> (d(u) + 1) }
+          } ++ d.toSeq
+          d = next.groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).min }
+        }
+        got == d
+      }
+    }
+    val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(result.passed, result.status.toString)
+  }
 }

@@ -1663,11 +1663,23 @@ class ManifestSnapshotSpec extends SparkSpec {
       "setup: compaction should have rewritten every staged file out of head")
     assert(ManifestSnapshots.branchPublishEvidence(spark, dir, "b")
       .contains(true))
-    // a vacuumed slot inside (parent, head] makes the answer UNPROVABLE:
-    // the walk must return None (fail closed), never guess either way
+    // a DECL-BURNT slot in the range is accounted for, not ambiguous:
+    // nextSlot skips past decl-<v> schema slots, which never carry a
+    // manifest — the walk must treat Absent-with-decl as a non-commit
+    // and keep walking (here: still Some(true), the publish evidence
+    // lives in a later slot)
     val hfs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val parent = ManifestSnapshots.branchInfo(spark, dir, "b").get._1
+    val declBurnt = new org.apache.hadoop.fs.Path(
+      s"$dir/_schema/decl-${ManifestSnapshots.latestVersion(spark, dir).get + 1}")
+    val out = hfs.create(declBurnt, true); out.write("x".getBytes); out.close()
+    ManifestSnapshots.appendDelta(slice(300, 310), dir) // lands PAST the burn
+    assert(ManifestSnapshots.branchPublishEvidence(spark, dir, "b")
+      .contains(true), "a decl-burnt slot must not degrade the evidence")
+    hfs.delete(declBurnt, false)
+    // a vacuumed slot inside (parent, head] makes the answer UNPROVABLE:
+    // the walk must return None (fail closed), never guess either way
     hfs.delete(new org.apache.hadoop.fs.Path(
       s"$dir/manifests/m-${parent + 1}.json"), false)
     assert(ManifestSnapshots.branchPublishEvidence(spark, dir, "b").isEmpty)

@@ -65,7 +65,13 @@ object ScaleBench {
     "t_novelty", "w19_drawdown", "g_assortativity",
     "c_silhouette", "w20_rolling_median", "mm_patch_grid", "snap_wap",
     "g_clustering_coef", "dq_outlier_iqr", "a33_mode", "a34_skewness",
-    "a35_concurrency", "dq_orphans")
+    "a35_concurrency", "dq_orphans",
+    // round-16 additions: the recall grader (its brute side is the
+    // |Q|·N term), both new graph waves, and the selection / window /
+    // join newcomers (ann_label_consistency already rides the r14 row)
+    "ann_recall", "g_lpa", "g_bfs",
+    "a37_percentile_bands", "dq_cramers_v", "w21_cusum",
+    "j17_nearest_event")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -281,6 +281,8 @@ object VectorExprs {
       "byte_sum", exprs => ByteSum(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "byte_hist", exprs => ByteHist(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ln_nanos", exprs => LnNanos(exprs.head, exprs(1)), "built-in")
   }
 
   /** [[LongVecSum]] as a column aggregate. */

@@ -714,6 +714,73 @@ object GraphQueries {
         byC)
     },
 
+    // -------------------------------------------------------------- GRAPH-5b
+    // Adamic–Adar link prediction over the same capped co-occurrence
+    // spine as g_jaccard — the standard "shared rare neighbors matter
+    // more" refinement (a customer shared by 2 suppliers is stronger
+    // evidence than one shared by 2000), and the first graph statistic
+    // here that NEEDS a logarithm: AA(s1,s2) = Σ_{c∈common} 1/ln(deg c).
+    // The per-neighbor weight is the PINNED fixed-point ln
+    // ([[graft.functions.PinnedLog]]): w_c = 1e18 // ln_nanos(deg_c) —
+    // 1/ln in 1e-9 units as pure BIGINT, so pair scores are exact
+    // integer sums (order-free at any parallelism, bit-equal in the
+    // oracle). Same hub cap (≤4096) and same never-all-pairs blocking;
+    // degree-1 customers drop out (they witness no pair), so ln(1)=0
+    // never reaches the division. One extra |customers|-row log pass
+    // over g_jaccard's shape.
+    QueryDef("g_adamic_adar", {
+      val wChain = graft.functions.PinnedLogSql.chain(
+        "SELECT c, d FROM cd WHERE d >= 2 AND d <= 4096",
+        Seq("c", "d"), Seq(("d", "1", "ln_d")))
+      s"""WITH e AS (
+        |  SELECT DISTINCT l.l_suppkey AS sk, o.o_custkey AS c
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |cd AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY c),
+        |w AS (SELECT c, d, 1000000000000000000 // ln_d AS wgt FROM ($wChain)),
+        |p AS (
+        |  SELECT a.sk AS s1, b.sk AS s2, CAST(COUNT(*) AS BIGINT) AS common,
+        |    CAST(SUM(w.wgt) AS BIGINT) AS aa_nanos
+        |  FROM e a JOIN e b ON a.c = b.c AND a.sk < b.sk JOIN w ON w.c = a.c
+        |  GROUP BY 1, 2)
+        |SELECT s1, s2, common, aa_nanos, rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (ORDER BY aa_nanos DESC, s1, s2) AS rank
+        |  FROM p)
+        |WHERE rank <= 20""".stripMargin
+    }) { (s, dir) =>
+      graft.functions.VectorExprs.register(s)
+      val shuffleP = s.sessionState.conf.numShufflePartitions
+      // g_jaccard's one-shuffle capped per-customer supplier sets, plus
+      // the per-customer AA weight computed once on the |customers|-row
+      // grouped relation (NOT per exploded pair)
+      val byC = Graft.table(s, dir, "orders")
+        .join(Graft.table(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("l_suppkey").as("sk"), col("o_custkey").as("c"))
+        .groupBy("c").agg(sort_array(collect_set(col("sk"))).as("ss"))
+        .filter(size(col("ss")) >= 2 && size(col("ss")) <= 4096)
+        .withColumn("wgt",
+          expr("1000000000000000000L div ln_nanos(cast(size(ss) as bigint), 1L)"))
+        .persist()
+      val pairs = byC
+        .repartition(shuffleP, col("c")) // g_butterfly's AQE re-spread
+        .select(col("wgt"), explode(expr(
+          """flatten(transform(sequence(1, size(ss) - 1),
+            |  i -> transform(sequence(i + 1, size(ss)),
+            |    j -> element_at(ss, i) * 4294967296L + element_at(ss, j))))""".stripMargin))
+          .as("pk"))
+        .groupBy("pk").agg(count(lit(1)).cast("long").as("common"),
+          sum("wgt").cast("long").as("aa_nanos"))
+        .select(expr("pk div 4294967296L").as("s1"),
+          expr("pk % 4294967296L").as("s2"), col("common"), col("aa_nanos"))
+      import org.apache.spark.sql.expressions.Window
+      val rankOrder = Seq(col("aa_nanos").desc, col("s1"), col("s2"))
+      CacheScope.sealResult(
+        pairs.orderBy(rankOrder: _*).limit(20)
+          .withColumn("rank", row_number().over(Window.orderBy(rankOrder: _*)))
+          .select(col("s1"), col("s2"), col("common"), col("aa_nanos"), col("rank")),
+        byC)
+    },
+
     // --------------------------------------------------------------- GRAPH-6
     // HITS hubs/authorities on the bipartite customer→supplier graph —
     // the natural bipartite centrality (PageRank's g_pr treats the graph

@@ -182,6 +182,354 @@ object StatQueries {
         pmi.cast("long").as("pmi_nanos"),
         (sum(col("n").cast(dec) * pmi).over(Window.partitionBy())
           .cast("double") / col("nn") / 1000000000L).as("mi_total"))
+    },
+
+    // --------------------------------------------------------------- TEXT-Z
+    // Zipf log-log fit over the corpus vocabulary — the distributional
+    // health check a curation pipeline runs on a text source (natural
+    // language sits near slope −1; machine-generated or boilerplate-heavy
+    // corpora drift off it; cf. t_freq_spectrum's Good-Turing view of the
+    // same table). OLS of ln(freq) on ln(rank) over the top-1000 tokens
+    // (deterministic (freq DESC, token) ranking): both lns are PINNED
+    // fixed-point nanos, every moment cross product DECIMAL(38,0)-exact
+    // with each multiply decimal×BIGINT (per-row x·y is ~5e20 — past
+    // BIGINT even at test scale), and slope/intercept/r² a fixed IEEE
+    // tail. Cost: one token-count shuffle (map-side combinable) + a
+    // vocabulary-sized top-k (TakeOrdered) — the t_bpe_pairs shape.
+    QueryDef("t_zipf_slope", {
+      val inner = PinnedLogSql.chain(
+        """SELECT w, freq, rank FROM (
+          |  SELECT w, freq, ROW_NUMBER() OVER (ORDER BY freq DESC, w) AS rank
+          |  FROM (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+          |        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          |        GROUP BY w))
+          |WHERE rank <= 1000""".stripMargin,
+        Seq("rank"), Seq(("rank", "1", "x"), ("freq", "1", "y")))
+      s"""WITH m AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |    SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+         |    SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+         |    SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy
+         |  FROM ($inner))
+         |SELECT n, sx, sy,
+         |  CAST(CAST(sxy AS DECIMAL(38,0)) * n - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+         |    / CAST(CAST(sxx AS DECIMAL(38,0)) * n - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
+         |    AS slope,
+         |  CAST(sy AS DOUBLE) / n
+         |    - (CAST(CAST(sxy AS DECIMAL(38,0)) * n - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+         |       / CAST(CAST(sxx AS DECIMAL(38,0)) * n - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE))
+         |      * (CAST(sx AS DOUBLE) / n) AS intercept_nanos,
+         |  (CAST(CAST(sxy AS DECIMAL(38,0)) * n - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+         |    / CAST(CAST(sxx AS DECIMAL(38,0)) * n - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE))
+         |  * (CAST(CAST(sxy AS DECIMAL(38,0)) * n - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+         |    / CAST(CAST(syy AS DECIMAL(38,0)) * n - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE))
+         |    AS r2
+         |FROM m""".stripMargin
+    }) { (s, dir) =>
+      VectorExprs.register(s)
+      val rankOrder = Seq(col("freq").desc, col("w"))
+      val top = Graft.table(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).cast("long").as("freq"))
+        .orderBy(rankOrder: _*).limit(1000)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(rankOrder: _*)).cast("long"))
+        .withColumn("x", expr("ln_nanos(rank, 1L)"))
+        .withColumn("y", expr("ln_nanos(freq, 1L)"))
+      val m = top.agg(count(lit(1)).cast("long").as("n"),
+        sum("x").cast("long").as("sx"), sum("y").cast("long").as("sy"),
+        sum(col("x").cast(dec) * col("y")).as("sxy"),
+        sum(col("x").cast(dec) * col("x")).as("sxx"),
+        sum(col("y").cast(dec) * col("y")).as("syy"))
+      val num = (col("sxy").cast(dec) * col("n")
+        - col("sx").cast(dec) * col("sy")).cast("double")
+      val den = (col("sxx").cast(dec) * col("n")
+        - col("sx").cast(dec) * col("sx")).cast("double")
+      val deny = (col("syy").cast(dec) * col("n")
+        - col("sy").cast(dec) * col("sy")).cast("double")
+      m.select(col("n"), col("sx"), col("sy"),
+        (num / den).as("slope"),
+        (col("sy").cast("double") / col("n")
+          - (num / den) * (col("sx").cast("double") / col("n")))
+          .as("intercept_nanos"),
+        ((num / den) * (num / deny)).as("r2"))
+    },
+
+    // ------------------------------------------------------------------ A-38
+    // Per-type OLS trend of the daily event-count series — the "is this
+    // signal growing or decaying, and how linearly" screen beside
+    // a29_acf's "is yesterday predictive" (same daily rollup, different
+    // statistic: slope per day + fit quality instead of lag correlation).
+    // x = epoch day, y = daily count; moments BIGINT with every cross
+    // product widened decimal×BIGINT (y² is ~9e18 at ~3e9 rows/day — the
+    // a29 overflow lesson); slope/intercept/r² the fixed IEEE tail, with
+    // degenerate fits (a single day, or a constant series) NULL via
+    // exact DECIMAL zero tests, never a NaN from 0/0.
+    QueryDef("a38_regression",
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS x,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |        SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+        |        SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+        |        SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy
+        |      FROM daily GROUP BY event_type)
+        |SELECT event_type, n, sx, sy,
+        |  CASE WHEN CAST(sxx AS DECIMAL(38,0)) * n - CAST(sx AS DECIMAL(38,0)) * sx = 0
+        |    THEN NULL ELSE
+        |    CAST(CAST(sxy AS DECIMAL(38,0)) * n - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+        |      / CAST(CAST(sxx AS DECIMAL(38,0)) * n - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
+        |  END AS slope,
+        |  CASE WHEN CAST(sxx AS DECIMAL(38,0)) * n - CAST(sx AS DECIMAL(38,0)) * sx = 0
+        |    THEN NULL ELSE
+        |    CAST(sy AS DOUBLE) / n
+        |      - (CAST(CAST(sxy AS DECIMAL(38,0)) * n - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+        |         / CAST(CAST(sxx AS DECIMAL(38,0)) * n - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE))
+        |        * (CAST(sx AS DOUBLE) / n)
+        |  END AS intercept,
+        |  CASE WHEN CAST(sxx AS DECIMAL(38,0)) * n - CAST(sx AS DECIMAL(38,0)) * sx = 0
+        |         OR CAST(syy AS DECIMAL(38,0)) * n - CAST(sy AS DECIMAL(38,0)) * sy = 0
+        |    THEN NULL ELSE
+        |    (CAST(CAST(sxy AS DECIMAL(38,0)) * n - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+        |      / CAST(CAST(sxx AS DECIMAL(38,0)) * n - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE))
+        |    * (CAST(CAST(sxy AS DECIMAL(38,0)) * n - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+        |      / CAST(CAST(syy AS DECIMAL(38,0)) * n - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE))
+        |  END AS r2
+        |FROM m""".stripMargin) { (s, dir) =>
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), expr("ts_us div 86400000000").as("x"))
+        .agg(count(lit(1)).cast("long").as("y"))
+      val m = daily.groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum("x").cast("long").as("sx"), sum("y").cast("long").as("sy"),
+          sum(col("x").cast(dec) * col("y")).as("sxy"),
+          sum(col("x").cast(dec) * col("x")).as("sxx"),
+          sum(col("y").cast(dec) * col("y")).as("syy"))
+      val denD = col("sxx").cast(dec) * col("n") - col("sx").cast(dec) * col("sx")
+      val denyD = col("syy").cast(dec) * col("n") - col("sy").cast(dec) * col("sy")
+      val num = (col("sxy").cast(dec) * col("n")
+        - col("sx").cast(dec) * col("sy")).cast("double")
+      val slope = num / denD.cast("double")
+      m.select(col("event_type"), col("n"), col("sx"), col("sy"),
+        when(denD === 0, lit(null)).otherwise(slope).as("slope"),
+        when(denD === 0, lit(null))
+          .otherwise(col("sy").cast("double") / col("n")
+            - slope * (col("sx").cast("double") / col("n"))).as("intercept"),
+        when(denD === 0 || denyD === 0, lit(null))
+          .otherwise(slope * (num / denyD.cast("double"))).as("r2"))
+    },
+
+    // ------------------------------------------------------------------ A-39
+    // Herfindahl–Hirschman concentration of customer balances per nation
+    // — the "is this segment dominated by a few whales" statistic behind
+    // both risk scoring (t_source_gini's Lorenz view, as an index) and
+    // skew planning (a high-HHI key IS a salting candidate). HHI in ppm
+    // = Σ shareᵢ² · 1e6 = Σ bᵢ² / T² · 1e6 — numerator Σbᵢ² exact via
+    // per-row decimal×BIGINT squares (cents² ~1e14 each; the sum
+    // overflows BIGINT at ~10⁵ customers/nation), ONE fixed IEEE tail.
+    // One map-side-combinable rollup; no window, no sort.
+    QueryDef("a39_hhi",
+      """WITH b AS (
+        |  SELECT c_nationkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM customer WHERE c_acctbal > 0),
+        |g AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust,
+        |        CAST(SUM(cents) AS BIGINT) AS t_cents,
+        |        SUM(CAST(cents AS DECIMAL(38,0)) * cents) AS ss
+        |      FROM b GROUP BY c_nationkey)
+        |SELECT c_nationkey, n_cust, t_cents,
+        |  CAST(ss AS DOUBLE) * 1000000
+        |    / (CAST(t_cents AS DOUBLE) * CAST(t_cents AS DOUBLE)) AS hhi_ppm
+        |FROM g""".stripMargin) { (s, dir) =>
+      Graft.table(s, dir, "customer")
+        .filter(col("c_acctbal") > 0)
+        .select(col("c_nationkey"),
+          floor(col("c_acctbal") * 100 + 0.5).cast("long").as("cents"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).cast("long").as("n_cust"),
+          sum("cents").cast("long").as("t_cents"),
+          sum(col("cents").cast(dec) * col("cents")).as("ss"))
+        .select(col("c_nationkey"), col("n_cust"), col("t_cents"),
+          (col("ss").cast("double") * 1000000L
+            / (col("t_cents").cast("double") * col("t_cents").cast("double")))
+            .as("hhi_ppm"))
+    },
+
+    // ------------------------------------------------------------------ W-22
+    // Bollinger-band breakout flags over each user's event-value series —
+    // the volatility-normalized anomaly marker beside w18_ewma's level
+    // smoother: z = (x−μ₂₀)/σ₂₀ over a 20-row lookback (population σ,
+    // ddof=0). Parity the integer way: the window emits BIGINT/DECIMAL
+    // moments (n, s1, Σx² decimal-widened), the BREAKOUT FLAGS are pure
+    // integer comparisons — (n·x−s1)² vs 4·n·(n·Σx²−s1²) decides |z|>2
+    // EXACTLY, no float in the decision — and z itself is two IEEE steps
+    // emitted for inspection (NULL on a zero-variance window, never
+    // 0/0). Constant state per row at any scale: the frame is a fixed
+    // 20-row lookback, one window program per user partition.
+    QueryDef("w22_bollinger",
+      """WITH c AS (SELECT user_id, event_id, ts,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |w AS (SELECT user_id, event_id, cents,
+        |    CAST(COUNT(*) OVER win AS BIGINT) AS n,
+        |    CAST(SUM(cents) OVER win AS BIGINT) AS s1,
+        |    SUM(CAST(cents AS DECIMAL(38,0)) * cents) OVER win AS s2
+        |  FROM c WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, cents, n, s1,
+        |  CASE WHEN CAST(s2 AS DECIMAL(38,0)) * n - CAST(s1 AS DECIMAL(38,0)) * s1 = 0
+        |    THEN NULL ELSE
+        |    CAST(n * cents - s1 AS DOUBLE)
+        |      / sqrt(CAST(CAST(s2 AS DECIMAL(38,0)) * n
+        |                  - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE))
+        |  END AS z,
+        |  CASE
+        |    WHEN n * cents - s1 > 0
+        |     AND CAST(n * cents - s1 AS DECIMAL(38,0)) * (n * cents - s1)
+        |         > 4 * (CAST(s2 AS DECIMAL(38,0)) * n - CAST(s1 AS DECIMAL(38,0)) * s1)
+        |      THEN 1
+        |    WHEN n * cents - s1 < 0
+        |     AND CAST(n * cents - s1 AS DECIMAL(38,0)) * (n * cents - s1)
+        |         > 4 * (CAST(s2 AS DECIMAL(38,0)) * n - CAST(s1 AS DECIMAL(38,0)) * s1)
+        |      THEN -1
+        |    ELSE 0 END AS breakout
+        |FROM w""".stripMargin) { (s, dir) =>
+      val win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-19, 0)
+      val c = events(s, dir).select(col("user_id"), col("event_id"), col("ts"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        .withColumn("n", count(lit(1)).over(win).cast("long"))
+        .withColumn("s1", sum("cents").over(win).cast("long"))
+        .withColumn("s2", sum(col("cents").cast(dec) * col("cents")).over(win))
+      val dev = col("n") * col("cents") - col("s1")
+      val v = col("s2").cast(dec) * col("n") - col("s1").cast(dec) * col("s1")
+      val devSq = dev.cast(dec) * dev
+      c.select(col("user_id"), col("event_id"), col("cents"), col("n"), col("s1"),
+        when(v === 0, lit(null))
+          .otherwise(dev.cast("double") / sqrt(v.cast("double"))).as("z"),
+        when(dev > 0 && devSq > lit(4) * v, 1)
+          .when(dev < 0 && devSq > lit(4) * v, -1)
+          .otherwise(0).as("breakout"))
+    },
+
+    // ------------------------------------------------------------------ A-41
+    // Lag-2 PARTIAL autocorrelation of the daily series — a29_acf's
+    // companion: "does the day before yesterday add signal once
+    // yesterday is accounted for" (the AR-order probe, Durbin–Levinson:
+    // φ₂₂ = (r₂ − r₁²)/(1 − r₁²)). r₁ and r₂ are Pearson estimates over
+    // the lag-1/lag-2 pair sets, each from BIGINT moments with
+    // DECIMAL(38,0)-widened cross products (the a29 discipline); the
+    // Durbin–Levinson step is four more fixed IEEE ops on the two
+    // doubles. Same |rows|→|days| rollup cost as a29, two lag columns
+    // off one window pass.
+    QueryDef("a41_pacf", {
+      def rSql(k: Int): String =
+        s"""CAST(CAST(n$k AS DECIMAL(38,0)) * sxy$k
+           |     - CAST(sx$k AS DECIMAL(38,0)) * sy$k AS DOUBLE)
+           |  / sqrt(CAST(CAST(n$k AS DECIMAL(38,0)) * sxx$k
+           |              - CAST(sx$k AS DECIMAL(38,0)) * sx$k AS DOUBLE)
+           |         * CAST(CAST(n$k AS DECIMAL(38,0)) * syy$k
+           |                - CAST(sy$k AS DECIMAL(38,0)) * sy$k AS DOUBLE))""".stripMargin
+      s"""WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT event_type, cnt AS y,
+        |    lag(cnt, 1) OVER (PARTITION BY event_type ORDER BY day) AS x1,
+        |    lag(cnt, 2) OVER (PARTITION BY event_type ORDER BY day) AS x2
+        |  FROM daily),
+        |m AS (SELECT event_type,
+        |        CAST(COUNT(x1) AS BIGINT) AS n1,
+        |        CAST(SUM(x1) AS BIGINT) AS sx1,
+        |        CAST(SUM(CASE WHEN x1 IS NOT NULL THEN y END) AS BIGINT) AS sy1,
+        |        SUM(CAST(x1 AS DECIMAL(38,0)) * y) AS sxy1,
+        |        SUM(CAST(x1 AS DECIMAL(38,0)) * x1) AS sxx1,
+        |        SUM(CASE WHEN x1 IS NOT NULL THEN CAST(y AS DECIMAL(38,0)) * y END) AS syy1,
+        |        CAST(COUNT(x2) AS BIGINT) AS n2,
+        |        CAST(SUM(x2) AS BIGINT) AS sx2,
+        |        CAST(SUM(CASE WHEN x2 IS NOT NULL THEN y END) AS BIGINT) AS sy2,
+        |        SUM(CAST(x2 AS DECIMAL(38,0)) * y) AS sxy2,
+        |        SUM(CAST(x2 AS DECIMAL(38,0)) * x2) AS sxx2,
+        |        SUM(CASE WHEN x2 IS NOT NULL THEN CAST(y AS DECIMAL(38,0)) * y END) AS syy2
+        |      FROM lagged GROUP BY event_type)
+        |SELECT event_type, n1, n2,
+        |  ${rSql(1)} AS r1,
+        |  ${rSql(2)} AS r2,
+        |  ((${rSql(2)}) - (${rSql(1)}) * (${rSql(1)}))
+        |    / (1 - (${rSql(1)}) * (${rSql(1)})) AS pacf2
+        |FROM m""".stripMargin
+    }) { (s, dir) =>
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+      val lagged = daily.select(col("event_type"), col("cnt").as("y"),
+        lag("cnt", 1).over(w).as("x1"), lag("cnt", 2).over(w).as("x2"))
+      def moments(k: Int) = {
+        val x = col(s"x$k")
+        Seq(count(x).cast("long").as(s"n$k"),
+          sum(x).cast("long").as(s"sx$k"),
+          sum(when(x.isNotNull, col("y"))).cast("long").as(s"sy$k"),
+          sum(x.cast(dec) * col("y")).as(s"sxy$k"),
+          sum(x.cast(dec) * x).as(s"sxx$k"),
+          sum(when(x.isNotNull, col("y").cast(dec) * col("y"))).as(s"syy$k"))
+      }
+      val m = lagged.groupBy("event_type")
+        .agg(moments(1).head, (moments(1).tail ++ moments(2)): _*)
+      def r(k: Int) =
+        (col(s"n$k").cast(dec) * col(s"sxy$k")
+          - col(s"sx$k").cast(dec) * col(s"sy$k")).cast("double") /
+          sqrt((col(s"n$k").cast(dec) * col(s"sxx$k")
+            - col(s"sx$k").cast(dec) * col(s"sx$k")).cast("double") *
+            (col(s"n$k").cast(dec) * col(s"syy$k")
+              - col(s"sy$k").cast(dec) * col(s"sy$k")).cast("double"))
+      m.select(col("event_type"), col("n1"), col("n2"),
+        r(1).as("r1"), r(2).as("r2"),
+        ((r(2) - r(1) * r(1)) / (lit(1) - r(1) * r(1))).as("pacf2"))
+    },
+
+    // ------------------------------------------------------------------ A-42
+    // Day-of-week seasonal indices per event type — the multiplicative
+    // seasonal decomposition a rolling-feature pipeline divides out
+    // before trend features are trustworthy (a29/a38 quantify trend and
+    // memory; this isolates the weekly cycle). Index = (mean on that
+    // dow)/(overall daily mean) = (n_dow·D_total)/(days_dow·N) — exact
+    // integer cross products (decimal-widened; n·D is past BIGINT at
+    // ~3e9 rows), ONE IEEE division. Day-of-week derives from the epoch
+    // day as (day+4) % 7 (1970-01-01 was a Thursday; 0=Sunday) — pure
+    // integer arithmetic, no engine calendar functions in the parity
+    // path. Per-dow day counts are exact because dows partition days.
+    QueryDef("a42_seasonal_dow",
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS ed FROM events),
+        |cells AS (
+        |  SELECT event_type, (ed + 4) % 7 AS dow,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(COUNT(DISTINCT ed) AS BIGINT) AS days
+        |  FROM e GROUP BY 1, 2),
+        |t AS (SELECT *,
+        |    CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS n_total,
+        |    CAST(SUM(days) OVER (PARTITION BY event_type) AS BIGINT) AS d_total
+        |  FROM cells)
+        |SELECT event_type, dow, n, days, n_total, d_total,
+        |  CAST(CAST(n AS DECIMAL(38,0)) * d_total AS DOUBLE)
+        |    / CAST(CAST(days AS DECIMAL(38,0)) * n_total AS DOUBLE) AS seasonal_idx
+        |FROM t""".stripMargin) { (s, dir) =>
+      val cells = events(s, dir)
+        .select(col("event_type"), expr("ts_us div 86400000000").as("ed"))
+        .groupBy(col("event_type"), pmod(col("ed") + 4, lit(7)).as("dow"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          countDistinct("ed").cast("long").as("days"))
+        .withColumn("n_total",
+          sum("n").over(Window.partitionBy("event_type")).cast("long"))
+        .withColumn("d_total",
+          sum("days").over(Window.partitionBy("event_type")).cast("long"))
+      cells.select(col("event_type"), col("dow"), col("n"), col("days"),
+        col("n_total"), col("d_total"),
+        ((col("n").cast(dec) * col("d_total")).cast("double")
+          / (col("days").cast(dec) * col("n_total")).cast("double"))
+          .as("seasonal_idx"))
     }
   )
 }

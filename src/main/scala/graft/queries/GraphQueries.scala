@@ -136,6 +136,30 @@ object GraphQueries {
       .select(col("dst").as("node"),
         (lit(150000L) + expr("(85 * contrib) div 100")).as("pr"))
 
+  /** One PERSONALIZED PageRank superstep: like [[prSuperstep]] but the
+    * teleport mass lands only on the seed set (MAX(b) is the per-node
+    * seed bonus riding the same single GROUP BY as the damped contrib
+    * sum — no second join). State stays SPARSE: only nodes holding mass
+    * or receiving it carry rows, so early rounds are
+    * seed-neighborhood-sized, not |V|-sized (PPR is local by design). */
+  private[graft] def pprSuperstep(adj: DataFrame, ranks: DataFrame,
+      seeds: DataFrame, stateRows: Long): DataFrame =
+    adj.join(stateSide(ranks.filter(col("pr") > 0), stateRows),
+        col("src") === col("node"))
+      .select(explode(col("nbrs")).as("node"),
+        expr("pr div outdeg").as("c"), lit(0L).as("b"))
+      .unionByName(seeds.select(col("node"), lit(0L).as("c"), lit(150000L).as("b")))
+      .groupBy("node")
+      .agg((max(col("b")) + expr("(85 * sum(c)) div 100")).cast("long").as("pr"))
+
+  /** One personalized-PageRank step in SQL (the prStepSql unrolling
+    * contract; `seeds` is a named CTE). */
+  private def pprStepSql(prev: String): String =
+    s"""SELECT node, CAST(MAX(b) + (85 * SUM(c)) // 100 AS BIGINT) AS pr FROM (
+       |  SELECT e.dst AS node, r.pr // e.outdeg AS c, 0 AS b
+       |  FROM edges e JOIN $prev r ON e.src = r.node AND r.pr > 0
+       |  UNION ALL SELECT node, 0 AS c, 150000 AS b FROM seeds) GROUP BY node""".stripMargin
+
   /** One min-label superstep over the self-looped adjacency (so a node's
     * own label competes): new label = MIN over the neighborhood. */
   private[graft] def ccSuperstep(adjSelf: DataFrame, labels: DataFrame,
@@ -384,6 +408,37 @@ object GraphQueries {
             min("node").cast("long").as("min_node"),
             sum("node").cast("long").as("sum_nodes")),
         adj)
+    },
+
+    // --------------------------------------------------------------- GRAPH-2e
+    // Personalized PageRank from the g_bfs seed set (every 100th
+    // customer): stationary-ish mass around KNOWN entities — the "risk
+    // proximity" score a wallet pipeline propagates outward from flagged
+    // addresses, where g_pr's uniform teleport answers global
+    // centrality and g_bfs answers hop DISTANCE but not connection
+    // STRENGTH. Same unrolled-superstep contract (fixed k=3, all-BIGINT
+    // mass arithmetic, exactly oracle-reproducible mid-convergence);
+    // the teleport bonus rides the SAME single GROUP BY as the damped
+    // contribution sum (a MAX over unioned bonus rows — no second join
+    // per round), and the state relation stays sparse: only the seed
+    // k-hop neighborhood ever carries rows, so cost tracks the
+    // neighborhood, not |V| — the reason PPR scales to billion-node
+    // graphs where global PR must touch everything.
+    QueryDef("g_ppr",
+      s"""${graphSql("1 = 1")},
+         |seeds AS (SELECT src AS node FROM deg WHERE src % 200 = 0),
+         |p0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM seeds),
+         |p1 AS (${pprStepSql("p0")}),
+         |p2 AS (${pprStepSql("p1")}),
+         |p3 AS (${pprStepSql("p2")})
+         |SELECT node, pr FROM p3""".stripMargin) { (s, dir) =>
+      val adj = adjacency(s, dir, lit(true))
+      val nV = adj.count()
+      val seeds = adj.select(col("src").as("node"))
+        .filter(pmod(col("node"), lit(200L)) === 0)
+      var ranks = seeds.withColumn("pr", lit(1000000L))
+      for (_ <- 1 to iterations) ranks = pprSuperstep(adj, ranks, seeds, nV)
+      materialize(ranks, adj)
     },
 
     // --------------------------------------------------------------- GRAPH-2c

@@ -184,6 +184,67 @@ object StatQueries {
           .cast("double") / col("nn") / 1000000000L).as("mi_total"))
     },
 
+    // --------------------------------------------------------------- TEXT-E
+    // Per-document character-class entropy — the gibberish/boilerplate
+    // screen beside t_quality_score's ratio features (near-zero entropy
+    // = one repeated class, e.g. digit dumps or padding; natural text
+    // sits in a narrow band). Demonstrates the pinned ln at ROW scale:
+    // five ln_nanos calls per document, all inside whole-stage codegen,
+    // zero shuffles — a pure map over the corpus at any scale. Class
+    // counts are exact integer lengths (regexp strip + length); zero
+    // counts need no branch because n·ln(GREATEST(n,1)) is exactly 0 at
+    // n=0; the per-doc weighted sum is DECIMAL-exact and the entropy one
+    // IEEE division.
+    QueryDef("t_char_entropy", {
+      val inner = PinnedLogSql.chain(
+        """SELECT doc_id, len, n_lower, n_digit, n_space,
+          |  len - n_lower - n_digit - n_space AS n_other
+          |FROM (
+          |  SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+          |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_lower,
+          |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+          |    CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS BIGINT) AS n_space
+          |  FROM documents WHERE length(text) > 0)""".stripMargin,
+        Seq("doc_id", "len", "n_lower", "n_digit", "n_space", "n_other"),
+        Seq(("GREATEST(n_lower, 1)", "1", "ln_lo"),
+          ("GREATEST(n_digit, 1)", "1", "ln_di"),
+          ("GREATEST(n_space, 1)", "1", "ln_sp"),
+          ("GREATEST(n_other, 1)", "1", "ln_ot"),
+          ("len", "1", "ln_len")))
+      s"""SELECT doc_id, len, n_lower, n_digit, n_space, n_other,
+         |  CAST(CAST(len AS DECIMAL(38,0)) * ln_len
+         |       - (CAST(n_lower AS DECIMAL(38,0)) * ln_lo
+         |          + CAST(n_digit AS DECIMAL(38,0)) * ln_di
+         |          + CAST(n_space AS DECIMAL(38,0)) * ln_sp
+         |          + CAST(n_other AS DECIMAL(38,0)) * ln_ot) AS DOUBLE)
+         |    / len AS entropy_nanos
+         |FROM ($inner)""".stripMargin
+    }) { (s, dir) =>
+      VectorExprs.register(s)
+      val counts = Graft.table(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("len"),
+          length(regexp_replace(col("text"), "[^a-z]", "")).cast("long").as("n_lower"),
+          length(regexp_replace(col("text"), "[^0-9]", "")).cast("long").as("n_digit"),
+          length(regexp_replace(col("text"), "[^ ]", "")).cast("long").as("n_space"))
+        .withColumn("n_other",
+          col("len") - col("n_lower") - col("n_digit") - col("n_space"))
+        .withColumn("ln_lo", expr("ln_nanos(greatest(n_lower, 1L), 1L)"))
+        .withColumn("ln_di", expr("ln_nanos(greatest(n_digit, 1L), 1L)"))
+        .withColumn("ln_sp", expr("ln_nanos(greatest(n_space, 1L), 1L)"))
+        .withColumn("ln_ot", expr("ln_nanos(greatest(n_other, 1L), 1L)"))
+        .withColumn("ln_len", expr("ln_nanos(len, 1L)"))
+      counts.select(col("doc_id"), col("len"), col("n_lower"), col("n_digit"),
+        col("n_space"), col("n_other"),
+        ((col("len").cast(dec) * col("ln_len")
+          - (col("n_lower").cast(dec) * col("ln_lo")
+            + col("n_digit").cast(dec) * col("ln_di")
+            + col("n_space").cast(dec) * col("ln_sp")
+            + col("n_other").cast(dec) * col("ln_ot"))).cast("double")
+          / col("len")).as("entropy_nanos"))
+    },
+
     // --------------------------------------------------------------- TEXT-Z
     // Zipf log-log fit over the corpus vocabulary — the distributional
     // health check a curation pipeline runs on a text source (natural

@@ -362,6 +362,53 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("row_number"), p)
   }
 
+  test("t_char_entropy is a pure map: zero exchanges, zero joins") {
+    // five pinned-ln calls per row inside the scan's codegen stage — any
+    // exchange or join appearing here means the per-row log stopped
+    // being free at 100 TB
+    val p = planString("t_char_entropy")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("the pinned-log DQ family rolls up once; log math runs on bounded relations") {
+    // dq_entropy / dq_mutual_info: ONE raw-scan exchange (the map-side-
+    // combinable count rollup); every window/log step downstream operates
+    // on the |types×buckets|-bounded relation. A second raw exchange (or
+    // a window before the rollup) re-shuffles the 100 TB scan.
+    Seq("dq_entropy", "dq_mutual_info").foreach { q =>
+      val p = planString(q)
+      assert(countOccurrences(p, "Exchange hashpartitioning") <= 3, s"$q:\n$p")
+      assert(countOccurrences(p, "ln_nanos") >= 1, s"$q:\n$p")
+    }
+    // dq_psi additionally broadcasts the 1-row w0 scalar — never a shuffle
+    val p = planString("dq_psi")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(countOccurrences(p, "Exchange hashpartitioning") <= 1, p)
+  }
+
+  test("w22_bollinger shares ONE user exchange across its moment windows") {
+    val p = planString("w22_bollinger")
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("g_adamic_adar takes its top-20 as TakeOrdered over exact-integer scores") {
+    // the g_triangles contract: candidate scores reduce via TakeOrdered
+    // (per-partition heaps + driver merge), never a global-window sort;
+    // the AA weight must come from the pinned log, not libm
+    val p = planString("g_adamic_adar")
+    assert(p.contains("TakeOrdered"), p)
+    assert(countOccurrences(p, "ln_nanos") >= 1, p)
+  }
+
+  test("a39_hhi is one map-side-combinable rollup") {
+    val p = planString("a39_hhi")
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 1, p)
+    assert(countOccurrences(p, "HashAggregate") == 2, p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("no query in the inventory plans a CartesianProduct") {
     // every deliberate cross join in the inventory is against a bounded
     // broadcast side (1-row scalars, centroid codebooks) and must compile

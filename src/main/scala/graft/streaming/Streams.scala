@@ -1070,6 +1070,118 @@ object Streams {
         })
   }
 
+  /** Bollinger state: the user's last ≤19 cents, most recent first —
+    * the w22 20-row lookback minus the current row. */
+  case class BollState(recent: Seq[Long])
+  case class BollOut(user_id: Long, event_id: Long, cents: Long,
+      n: Long, s1: Long, z: Option[Double], breakout: Int)
+
+  /** Streaming twin of batch `w22_bollinger`: the volatility-normalized
+    * breakout flag as keyed state — exactly the last 19 cents per user
+    * (constant-size state, the ewma/rollingMedian contract). Arithmetic
+    * parity is the batch query's exactly: BIGINT window moments, the
+    * |z|>2 decision a PURE INTEGER comparison ((n·x−s1)² vs 4·(n·Σx²−s1²),
+    * BigInt-exact like the batch DECIMALs), and z itself the same two
+    * IEEE steps (None on a zero-variance window). Ordering contract as
+    * the other keyed twins: each micro-batch sorts by (ts, event_id);
+    * parity assumes in-order batch feeds. */
+  def bollinger(events: Dataset[Ev]): Dataset[BollOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, evs: Iterator[Ev], state: GroupState[BollState]) => {
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var recent = state.getOption.map(_.recent).getOrElse(Seq.empty[Long])
+          val out = Seq.newBuilder[BollOut]
+          sorted.foreach { e =>
+            val cents = math.floor(e.value * 100 + 0.5).toLong
+            val win = cents +: recent
+            val n = win.size.toLong
+            val s1 = win.sum
+            val s2 = win.iterator.map(c => BigInt(c) * c).sum
+            val dev = n * cents - s1
+            val v = s2 * n - BigInt(s1) * s1
+            val z =
+              if (v == 0) None
+              else Some(dev.toDouble / math.sqrt(v.doubleValue))
+            val breakout =
+              if (dev > 0 && BigInt(dev) * dev > 4 * v) 1
+              else if (dev < 0 && BigInt(dev) * dev > 4 * v) -1
+              else 0
+            out += BollOut(uid, e.event_id, cents, n, s1, z, breakout)
+            recent = win.take(19)
+          }
+          state.update(BollState(recent))
+          out.result().iterator
+        })
+  }
+
+  /** Per-window PSI state / output for [[driftPsi]]. */
+  case class PsiCounts(counts: Seq[Long])
+  case class PsiOut(window_start: java.sql.Timestamp, n_cur: Long, psi: Double)
+
+  /** Streaming Population-Stability-Index monitor — [[driftTvd]]'s
+    * divergence-true sibling, possible ONLY since the pinned fixed-point
+    * ln landed ([[graft.functions.PinnedLog]]): driftTvd's doc records
+    * why PSI/KL were previously out of reach ("libm ln isn't pinned
+    * across engines"). Each closed tumbling window's smoothed 10-bucket
+    * histogram is scored against the frozen reference with the batch
+    * `dq_psi` arithmetic — add-one smoothing over the FIXED 10-bucket
+    * universe, exact integer/BigInt cross products, ln via the same
+    * PinnedLog.lnNanos STATIC the batch expression codegens to, and the
+    * identical two-IEEE-division tail — so a window's streamed PSI
+    * equals a batch recompute of the same rows bit for bit (equal to
+    * dq_psi's own form whenever every bucket is observed, which the
+    * smoothing makes the common case). State and close semantics are
+    * driftTvd's: 10 longs + an event-time timeout per open window. */
+  def driftPsi(events: Dataset[Ev], ref: Seq[Long],
+      windowMs: Long = 604800000L,
+      watermarkAge: String = "1 hour"): Dataset[PsiOut] = {
+    import events.sparkSession.implicits._
+    require(ref.size == 10, "driftPsi needs the 10-bucket reference histogram")
+    val refS = ref.map(_ + 1L) // add-one smoothing, the dq_psi floor
+    val tRef = refS.sum
+    val lnTRef = graft.functions.PinnedLog.lnNanos(tRef, 1L)
+    val lnRefS = refS.map(r => graft.functions.PinnedLog.lnNanos(r, 1L))
+    events
+      .withWatermark("ts", watermarkAge)
+      .groupByKey(e => Math.floorDiv(e.ts.getTime, windowMs))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (win: Long, evs: Iterator[Ev], state: GroupState[PsiCounts]) => {
+          if (state.hasTimedOut) {
+            val counts = state.get.counts
+            state.remove()
+            val nCurRaw = counts.sum
+            val curS = counts.map(_ + 1L)
+            val tCur = curS.sum
+            val lnTCur = graft.functions.PinnedLog.lnNanos(tCur, 1L)
+            // Σ (n_cur·t_ref − n_ref·t_cur)·(ln n_cur + ln t_ref − ln n_ref − ln t_cur),
+            // exact (BigInt ≡ the batch DECIMAL(38,0) sums)
+            val num = refS.indices.iterator.map { b =>
+              val nCur = curS(b); val nRef = refS(b)
+              val lnSum = graft.functions.PinnedLog.lnNanos(nCur, 1L) +
+                lnTRef - lnRefS(b) - lnTCur
+              (BigInt(nCur) * tRef - BigInt(nRef) * tCur) * lnSum
+            }.sum
+            val psi = num.doubleValue / (tRef.toDouble * tCur.toDouble) / 1e9
+            Iterator.single(PsiOut(
+              new java.sql.Timestamp(win * windowMs), nCurRaw, psi))
+          } else {
+            val cur = state.getOption.map(_.counts.toArray)
+              .getOrElse(Array.fill(10)(0L))
+            evs.foreach { e =>
+              val b = math.min(math.floor(e.value / 20).toLong, 9L)
+              cur(math.max(b, 0L).toInt) += 1
+            }
+            state.update(PsiCounts(cur.toSeq))
+            state.setTimeoutTimestamp(math.max(win * windowMs + windowMs,
+              state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+        })
+  }
+
   /** Sink: write-audit-publish admission per micro-batch — the streaming
     * face of the snapshot store's WAP branches, EXACTLY-ONCE across
     * replays. Each batch stages on a branch named by its (monotonic)

@@ -949,6 +949,91 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bollinger across micro-batches ≡ the batch w22 window program") {
+    implicit val sqlCtx = spark.sqlContext
+    // a calm stretch then a spike (value 50 vs ~2-3) so the +2σ breakout
+    // fires; split right before the spike so the 19-value lookback must
+    // carry across the batch boundary. A second user proves key isolation.
+    val vals = Seq(2.0, 3.0, 2.5, 2.0, 3.0, 2.5, 50.0, 2.0)
+    val evs = vals.zipWithIndex.map { case (v, i) =>
+      Ev(i + 1L, ts(i + 1), 7L, "t", v)
+    } ++ Seq(Ev(11L, ts(1), 8L, "t", 2.0), Ev(12L, ts(2), 8L, "t", 2.0))
+    val mem = MemoryStream[Ev]
+    val q = Streams.bollinger(mem.toDS())
+      .writeStream.format("memory").queryName("sboll").outputMode("append").start()
+    try {
+      mem.addData(evs.filter(_.event_id <= 5): _*)
+      q.processAllAvailable()
+      mem.addData(evs.filter(_.event_id > 5): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sboll")
+        .as[(Long, Long, Long, Long, Long, Option[Double], Int)].collect().toSet
+      // identically-parameterized batch recompute (the w22_bollinger form)
+      val dir = java.nio.file.Files.createTempDirectory("sboll").toString
+      evs.toDF().withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+        .write.parquet(s"$dir/events.parquet")
+      val batch = SparkEntry.queries("w22_bollinger")(spark, dir)
+        .as[(Long, Long, Long, Long, Long, Option[Double], Int)].collect().toSet
+      assert(streamed == batch, s"stream $streamed\nvs batch $batch")
+      // the spike actually breaks out upward, and its successor re-arms
+      assert(streamed.exists(_._7 == 1), "expected a +2σ breakout at the spike")
+    } finally q.stop()
+  }
+
+  test("driftPsi closes once on the watermark; PSI ≡ the batch dq_psi arithmetic") {
+    implicit val sqlCtx = spark.sqlContext
+    // the driftTvd fixture exactly: ref buckets (20,20,0,...), W0 observes
+    // 6 in bucket 0 and 2 in bucket 2, split across two batches
+    val ref = Seq(20L, 20L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+    val winMs = 60L * 60000L
+    val mem = MemoryStream[Ev]
+    val q = Streams.driftPsi(mem.toDS(), ref, windowMs = winMs,
+        watermarkAge = "0 seconds")
+      .writeStream.format("memory").queryName("spsi").outputMode("append").start()
+    try {
+      mem.addData(
+        Ev(1, ts(1), 1, "view", 5.0), Ev(2, ts(2), 1, "view", 15.0),
+        Ev(3, ts(3), 2, "view", 5.0), Ev(4, ts(4), 2, "view", 45.0))
+      q.processAllAvailable()
+      mem.addData(
+        Ev(5, ts(10), 1, "view", 5.0), Ev(6, ts(11), 1, "view", 5.0),
+        Ev(7, ts(12), 2, "view", 5.0), Ev(8, ts(13), 2, "view", 50.0))
+      q.processAllAvailable()
+      assert(spark.table("spsi").count() == 0,
+        "psi row emitted before the watermark closed the window")
+      mem.addData(Ev(9, ts(125), 3, "view", 30.0))
+      q.processAllAvailable()
+      mem.addData(Ev(10, ts(126), 3, "view", 30.0))
+      q.processAllAvailable()
+      val rows = spark.table("spsi")
+        .as[(Timestamp, Long, Double)].collect().toSeq
+      assert(rows.size == 1, s"W0 should close exactly once: $rows")
+      val (w0, nCur, psi) = rows.head
+      assert(w0 == ts(0) && nCur == 8L, rows.toString)
+      // independent recompute of the dq_psi arithmetic on the same counts:
+      // smoothed cur = (7,1,3,1,...,1) t_cur=18, smoothed ref =
+      // (21,21,1,...,1) t_ref=50, exact BigInt cross products over pinned
+      // logs, the identical two-division tail
+      val curS = Seq(7L, 1L, 3L) ++ Seq.fill(7)(1L)
+      val refS = ref.map(_ + 1L)
+      val (tCur, tRef) = (curS.sum, refS.sum)
+      import graft.functions.PinnedLog.lnNanos
+      val num = curS.indices.map { b =>
+        (BigInt(curS(b)) * tRef - BigInt(refS(b)) * tCur) *
+          (lnNanos(curS(b), 1L) + lnNanos(tRef, 1L)
+            - lnNanos(refS(b), 1L) - lnNanos(tCur, 1L))
+      }.sum
+      val want = num.doubleValue / (tRef.toDouble * tCur.toDouble) / 1e9
+      assert(psi == want, s"psi=$psi want=$want")
+      assert(psi > 0.0, "a shifted window must score positive PSI")
+      // the closed window never re-emits
+      mem.addData(Ev(11, ts(127), 3, "view", 30.0))
+      q.processAllAvailable()
+      assert(spark.table("spsi").filter(col("window_start") === ts(0)).count() == 1,
+        "closed window emitted twice")
+    } finally q.stop()
+  }
+
   test("rollingMedian across micro-batches ≡ batch w20_rolling_median") {
     implicit val sqlCtx = spark.sqlContext
     // 7 events for one user split mid-window (taps must carry across the

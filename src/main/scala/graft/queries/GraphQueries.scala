@@ -480,6 +480,76 @@ object GraphQueries {
         adj)
     },
 
+    // --------------------------------------------------------------- GRAPH-2f
+    // Modularity of the g_lpa partition — the quality number that says
+    // whether the communities MEAN anything (Newman's Q: intra-community
+    // edge fraction minus its degree-preserving random expectation;
+    // Q≈0 = no structure). Runs the identical 3-round LPA (same edge
+    // predicate, same superstep text), then scores the partition: per
+    // community, internal directed-edge count e_c2 and degree mass d_c —
+    // each ONE |E|-row join against the |V|-row label state (the
+    // superstep shape, linear at 100 TB) — and Q from exact integer
+    // cross products (e_c2·m2 − d_c², DECIMAL-widened; d_c² is ~4e24 at
+    // billion-edge scale) over the m2² denominator with ONE IEEE
+    // division; the total rides a DECIMAL window sum, never a float sum.
+    QueryDef("g_modularity",
+      s"""${graphSql("l.l_quantity >= 45")},
+         |l0 AS (SELECT src AS node, src AS lbl FROM deg),
+         |l1 AS (${lpaStepSql("l0")}),
+         |l2 AS (${lpaStepSql("l1")}),
+         |l3 AS (${lpaStepSql("l2")}),
+         |m2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM ed),
+         |dc AS (SELECT l3.lbl, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |         CAST(SUM(deg.outdeg) AS BIGINT) AS d_c
+         |       FROM l3 JOIN deg ON deg.src = l3.node GROUP BY l3.lbl),
+         |ec AS (SELECT a.lbl, CAST(COUNT(*) AS BIGINT) AS e_c2
+         |       FROM ed JOIN l3 a ON a.node = ed.src
+         |               JOIN l3 b ON b.node = ed.dst AND b.lbl = a.lbl
+         |       GROUP BY a.lbl)
+         |SELECT CAST(dc.lbl AS BIGINT) AS community, n_nodes, d_c,
+         |  CAST(COALESCE(ec.e_c2, 0) AS BIGINT) AS e_c2,
+         |  CAST(CAST(COALESCE(ec.e_c2, 0) AS DECIMAL(38,0)) * m2
+         |       - CAST(d_c AS DECIMAL(38,0)) * d_c AS DOUBLE)
+         |    / CAST(CAST(m2 AS DECIMAL(38,0)) * m2 AS DOUBLE) AS q_term,
+         |  CAST(SUM(CAST(COALESCE(ec.e_c2, 0) AS DECIMAL(38,0)) * m2
+         |           - CAST(d_c AS DECIMAL(38,0)) * d_c) OVER () AS DOUBLE)
+         |    / CAST(CAST(m2 AS DECIMAL(38,0)) * m2 AS DOUBLE) AS q_total
+         |FROM dc LEFT JOIN ec ON ec.lbl = dc.lbl, m2""".stripMargin) { (s, dir) =>
+      val adj = adjacency(s, dir, col("l_quantity") >= 45)
+      val nV = adj.count()
+      var labels = adj.select(col("src").as("node"), col("src").as("lbl"))
+      for (_ <- 1 to iterations) labels = lpaSuperstep(adj, labels, nV)
+      // the label state feeds THREE consumers (both e_c2 endpoint joins
+      // and the degree-mass rollup) — persist it like the adjacency
+      labels = labels.persist()
+      val m2 = adj.agg(sum("outdeg").cast("long").as("m2"))
+      val dc = labels.join(adj, col("node") === col("src"))
+        .groupBy("lbl")
+        .agg(count(lit(1)).cast("long").as("n_nodes"),
+          sum("outdeg").cast("long").as("d_c"))
+      val msgs = adj
+        .join(stateSide(labels.withColumnRenamed("lbl", "slbl"), nV),
+          col("src") === col("node"))
+        .select(explode(col("nbrs")).as("dnode"), col("slbl"))
+      val ec = msgs
+        .join(stateSide(labels.select(col("node").as("dnode"),
+          col("lbl").as("dlbl")), nV), "dnode")
+        .filter(col("slbl") === col("dlbl"))
+        .groupBy(col("slbl").as("lbl"))
+        .agg(count(lit(1)).cast("long").as("e_c2"))
+      val dec = "decimal(38,0)"
+      val num = coalesce(col("e_c2"), lit(0L)).cast(dec) * col("m2") -
+        col("d_c").cast(dec) * col("d_c")
+      val den = (col("m2").cast(dec) * col("m2")).cast("double")
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+      val out = dc.join(ec, Seq("lbl"), "left").crossJoin(broadcast(m2))
+        .select(col("lbl").cast("long").as("community"), col("n_nodes"),
+          col("d_c"), coalesce(col("e_c2"), lit(0L)).as("e_c2"),
+          (num.cast("double") / den).as("q_term"),
+          (sum(num).over(wAll).cast("double") / den).as("q_total"))
+      CacheScope.sealResult(out, adj, labels)
+    },
+
     // --------------------------------------------------------------- GRAPH-2b
     // k-core peeling (3 unrolled rounds, k=8): repeatedly drop nodes whose
     // CURRENT degree is below k — each removal lowers neighbors' degrees,

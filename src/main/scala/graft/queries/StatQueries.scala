@@ -184,6 +184,63 @@ object StatQueries {
           .cast("double") / col("nn") / 1000000000L).as("mi_total"))
     },
 
+    // --------------------------------------------------------------- TEXT-T
+    // TF·IDF with the TRUE logarithmic idf — the textbook relevance
+    // weighting t_bm25 had to approximate with a rational idf ("same
+    // ranking as the log form without trusting two libm ln()
+    // implementations"). With the pinned ln the log form itself is
+    // parity-safe, and — better — the scores become EXACT BIGINTS:
+    // tfidf_nanos = Σ_t tf_t · ln_nanos(N, df_t), integer end to end, no
+    // doubles anywhere in the result. Two corpus passes (the bm25
+    // shape): a 1-row df/N stats rollup (its three logs computed once,
+    // broadcast), then the per-doc tf scoring — a pure map. Zero-df
+    // probe terms are branchless: tf is 0 wherever df is, so
+    // GREATEST(df,1) never changes a nonzero product.
+    QueryDef("t_tfidf_log", {
+      val inner = PinnedLogSql.chain(
+        """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |  CAST(SUM(CASE WHEN len(list_filter(string_split(text, ' '), x -> x = 'join')) > 0
+          |           THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+          |  CAST(SUM(CASE WHEN len(list_filter(string_split(text, ' '), x -> x = 'vector')) > 0
+          |           THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+          |  CAST(SUM(CASE WHEN len(list_filter(string_split(text, ' '), x -> x = 'stream')) > 0
+          |           THEN 1 ELSE 0 END) AS BIGINT) AS df3
+          |FROM documents""".stripMargin,
+        Seq("n_docs", "df1", "df2", "df3"),
+        Seq(("n_docs", "GREATEST(df1, 1)", "idf1"),
+          ("n_docs", "GREATEST(df2, 1)", "idf2"),
+          ("n_docs", "GREATEST(df3, 1)", "idf3")))
+      s"""SELECT doc_id, tf1, tf2, tf3,
+         |  CAST(tf1 * idf1 + tf2 * idf2 + tf3 * idf3 AS BIGINT) AS tfidf_nanos
+         |FROM (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'join')) AS BIGINT) AS tf1,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'vector')) AS BIGINT) AS tf2,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'stream')) AS BIGINT) AS tf3
+         |  FROM documents), ($inner)""".stripMargin
+    }) { (s, dir) =>
+      VectorExprs.register(s)
+      val t = Graft.table(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      def tf(term: String) =
+        expr(s"cast(size(filter(tk, x -> x = '$term')) as bigint)")
+      val stats = t.agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(when(tf("join") > 0, 1).otherwise(0)).cast("long").as("df1"),
+        sum(when(tf("vector") > 0, 1).otherwise(0)).cast("long").as("df2"),
+        sum(when(tf("stream") > 0, 1).otherwise(0)).cast("long").as("df3"))
+        .withColumn("idf1", expr("ln_nanos(n_docs, greatest(df1, 1L))"))
+        .withColumn("idf2", expr("ln_nanos(n_docs, greatest(df2, 1L))"))
+        .withColumn("idf3", expr("ln_nanos(n_docs, greatest(df3, 1L))"))
+      t.crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          tf("join").as("tf1"), tf("vector").as("tf2"), tf("stream").as("tf3"),
+          col("idf1"), col("idf2"), col("idf3"))
+        .select(col("doc_id"), col("tf1"), col("tf2"), col("tf3"),
+          (col("tf1") * col("idf1") + col("tf2") * col("idf2")
+            + col("tf3") * col("idf3")).cast("long").as("tfidf_nanos"))
+    },
+
     // --------------------------------------------------------------- TEXT-E
     // Per-document character-class entropy — the gibberish/boilerplate
     // screen beside t_quality_score's ratio features (near-zero entropy

@@ -71,7 +71,11 @@ object ScaleBench {
     // join newcomers (ann_label_consistency already rides the r14 row)
     "ann_recall", "g_lpa", "g_bfs",
     "a37_percentile_bands", "dq_cramers_v", "w21_cusum",
-    "j17_nearest_event")
+    "j17_nearest_event",
+    // pinned-log wave: the two graph walkers and the per-row/window
+    // growth candidates (the bounded-relation DQ logs ride as controls)
+    "g_adamic_adar", "g_ppr", "w22_bollinger", "t_char_entropy",
+    "t_zipf_slope", "dq_psi", "dq_mutual_info")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -43,8 +43,9 @@ object Main {
         // exposed it)
         DataQuality.driftGate(spark,
           Lakehouse.read(spark, Medallion.stagePath(lake)), "value",
-          lake, "stage_value", maxTvd = 0.5).foreach(d =>
-          println(f"[graft] drift gate: tvd=$d%.4f"))
+          lake, "stage_value", maxTvd = 0.5, maxPsi = Some(0.25))
+          .foreach { case (d, p) =>
+            println(f"[graft] drift gate: tvd=$d%.4f psi=$p%.4f") }
         // the reference's Sunday-only OPTIMIZE rides the same task
         if (Lakehouse.weeklyCompact(spark, Medallion.featuresPath(lake),
             Seq("user_partition"), java.time.LocalDate.now()))

@@ -139,20 +139,49 @@ object DataQuality {
     num.toDouble / (2.0 * tRef.toDouble * tCur.toDouble)
   }
 
+  /** Population Stability Index between two histograms — the dq_psi /
+    * driftPsi arithmetic, available to the gate layer now that the
+    * pinned ln exists (this module's tvd doc used to rule divergences
+    * out): add-one smoothing over the FIXED bucket universe, exact
+    * BigInt cross products over [[graft.functions.PinnedLog.lnNanos]],
+    * the identical two-IEEE-division tail — so a gate's PSI for a
+    * window equals the dq_psi query / streaming twin bit for bit on the
+    * same counts. Empty-vs-anything is +∞ by the tvd convention (a
+    * silent feed trips the gate, never passes it vacuously). */
+  def psi(ref: Map[Long, Long], cur: Map[Long, Long],
+      buckets: Int = 10): Double = {
+    if (ref.values.sum == 0L || cur.values.sum == 0L)
+      return Double.PositiveInfinity
+    import graft.functions.PinnedLog.lnNanos
+    val refS = (0 until buckets).map(b => ref.getOrElse(b.toLong, 0L) + 1L)
+    val curS = (0 until buckets).map(b => cur.getOrElse(b.toLong, 0L) + 1L)
+    val tRef = refS.sum
+    val tCur = curS.sum
+    val lnT = lnNanos(tRef, 1L) - lnNanos(tCur, 1L)
+    val num = (0 until buckets).iterator.map { b =>
+      (BigInt(curS(b)) * tRef - BigInt(refS(b)) * tCur) *
+        (lnNanos(curS(b), 1L) - lnNanos(refS(b), 1L) + lnT)
+    }.sum
+    num.doubleValue / (tRef.toDouble * tCur.toDouble) / 1e9
+  }
+
   /** Persisted drift gate — the pipeline-lifecycle wiring of the TVD
     * monitor (the way the reference embeds its DQ checks in the DAG run
     * rather than leaving them to an operator): compare this run's
     * histogram of `valueCol` against the REFERENCE stored under
-    * `<root>/_dq/hist-<name>`, throw when TVD exceeds `maxTvd`, and only
-    * AFTER passing advance the reference to the current histogram — a
-    * failing run keeps the reference that exposed it, so re-runs keep
+    * `<root>/_dq/hist-<name>`, throw when TVD exceeds `maxTvd` (or, when
+    * `maxPsi` is set, when the smoothed PSI exceeds it — the
+    * industry-standard threshold language, 0.1 watch / 0.25 act), and
+    * only AFTER passing advance the reference to the current histogram —
+    * a failing run keeps the reference that exposed it, so re-runs keep
     * failing until someone looks. First run seeds the reference and
     * returns None (nothing to compare against); later runs return the
-    * measured TVD. The stored artifact is a bucket-count text marker
-    * (tmp+rename, crash-safe like every other marker). */
+    * measured (tvd, psi). The stored artifact is a bucket-count text
+    * marker (tmp+rename, crash-safe like every other marker). */
   def driftGate(spark: SparkSession, df: DataFrame, valueCol: String,
       root: String, name: String, maxTvd: Double,
-      width: Double = 20.0): Option[Double] = {
+      width: Double = 20.0,
+      maxPsi: Option[Double] = None): Option[(Double, Double)] = {
     import org.apache.hadoop.fs.Path
     require(name.matches("[A-Za-z0-9_]+"), s"unsafe drift-gate name '$name'")
     val cur = valueHistogram(df, valueCol, width)
@@ -172,8 +201,15 @@ object DataQuality {
           f"data-quality drift gate '$name' failed: tvd=$d%.4f > $maxTvd " +
             "(reference kept — fix the feed or re-baseline by deleting " +
             s"$path)")
+        val p = psi(ref, cur)
+        maxPsi.foreach { mp =>
+          require(p <= mp,
+            f"data-quality drift gate '$name' failed: psi=$p%.4f > $mp " +
+              "(reference kept — fix the feed or re-baseline by deleting " +
+              s"$path)")
+        }
         persist()
-        Some(d)
+        Some((d, p))
     }
   }
 

@@ -31,6 +31,55 @@ object StatQueries {
 
   private val dec = "decimal(38,0)"
 
+  /** The shared drift spine of dq_psi / dq_kl: the dq_drift_tvd window
+    * split (first two weeks = reference) and value buckets, ADD-ONE
+    * smoothed counts with window totals, and the four pinned
+    * single-count logs — as the oracle chain (SQL) and the Spark frame.
+    * The two queries differ only in the per-bucket weight ((p−q) vs p). */
+  private val driftChainSql: String = PinnedLogSql.chain(
+    """SELECT bucket, n_ref, n_cur,
+      |  CAST(SUM(n_ref) OVER () AS BIGINT) AS t_ref,
+      |  CAST(SUM(n_cur) OVER () AS BIGINT) AS t_cur
+      |FROM (
+      |  SELECT bucket,
+      |    CAST(1 + SUM(CASE WHEN week - w0 < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+      |    CAST(1 + SUM(CASE WHEN week - w0 >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+      |  FROM (SELECT LEAST(CAST(floor(value / 20) AS BIGINT), 9) AS bucket,
+      |          epoch_us(ts) // 604800000000 AS week FROM events) e,
+      |       (SELECT MIN(epoch_us(ts) // 604800000000) AS w0 FROM events) wk
+      |  GROUP BY bucket)""".stripMargin,
+    Seq("bucket", "n_ref", "n_cur", "t_ref", "t_cur"),
+    Seq(("n_cur", "1", "ln_ncur"), ("n_ref", "1", "ln_nref"),
+      ("t_cur", "1", "ln_tcur"), ("t_ref", "1", "ln_tref")))
+
+  /** ln(p/q) decomposed into the four pinned single-count logs (the
+    * product form would overflow BIGINT at ~3e9 rows) — SQL text. */
+  private val lnRatioSql = "(ln_ncur + ln_tref - ln_nref - ln_tcur)"
+
+  private def driftCounts(s: SparkSession, dir: String): DataFrame = {
+    VectorExprs.register(s)
+    val e = events(s, dir).select(
+      least(floor(col("value") / 20).cast("long"), lit(9L)).as("bucket"),
+      expr("ts_us div 604800000000").as("week"))
+    val wk = e.agg(min("week").as("w0"))
+    e.crossJoin(broadcast(wk))
+      .groupBy("bucket")
+      .agg(
+        (lit(1) + sum(when(col("week") - col("w0") < 2, 1).otherwise(0)))
+          .cast("long").as("n_ref"),
+        (lit(1) + sum(when(col("week") - col("w0") >= 2, 1).otherwise(0)))
+          .cast("long").as("n_cur"))
+      .withColumn("t_ref", sum("n_ref").over(Window.partitionBy()).cast("long"))
+      .withColumn("t_cur", sum("n_cur").over(Window.partitionBy()).cast("long"))
+      .withColumn("ln_ncur", expr("ln_nanos(n_cur, 1L)"))
+      .withColumn("ln_nref", expr("ln_nanos(n_ref, 1L)"))
+      .withColumn("ln_tcur", expr("ln_nanos(t_cur, 1L)"))
+      .withColumn("ln_tref", expr("ln_nanos(t_ref, 1L)"))
+  }
+
+  private def lnRatio: org.apache.spark.sql.Column =
+    col("ln_ncur") + col("ln_tref") - col("ln_nref") - col("ln_tcur")
+
   def all: Seq[QueryDef] = Seq(
 
     // ----------------------------------------------------------------- DQ-9
@@ -81,57 +130,46 @@ object StatQueries {
     // term is an exact DECIMAL cross product, the total ONE window sum
     // of DECIMALs and two fixed IEEE divisions. Bounded relation after
     // one rollup shuffle, like tvd.
-    QueryDef("dq_psi", {
-      val inner = PinnedLogSql.chain(
-        """SELECT bucket, n_ref, n_cur,
-          |  CAST(SUM(n_ref) OVER () AS BIGINT) AS t_ref,
-          |  CAST(SUM(n_cur) OVER () AS BIGINT) AS t_cur
-          |FROM (
-          |  SELECT bucket,
-          |    CAST(1 + SUM(CASE WHEN week - w0 < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
-          |    CAST(1 + SUM(CASE WHEN week - w0 >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
-          |  FROM (SELECT LEAST(CAST(floor(value / 20) AS BIGINT), 9) AS bucket,
-          |          epoch_us(ts) // 604800000000 AS week FROM events) e,
-          |       (SELECT MIN(epoch_us(ts) // 604800000000) AS w0 FROM events) wk
-          |  GROUP BY bucket)""".stripMargin,
-        Seq("bucket", "n_ref", "n_cur", "t_ref", "t_cur"),
-        Seq(("n_cur", "1", "ln_ncur"), ("n_ref", "1", "ln_nref"),
-          ("t_cur", "1", "ln_tcur"), ("t_ref", "1", "ln_tref")))
+    QueryDef("dq_psi",
       s"""SELECT bucket, n_ref, n_cur,
          |  CAST((CAST(n_cur AS DECIMAL(38,0)) * t_ref - CAST(n_ref AS DECIMAL(38,0)) * t_cur)
-         |       * (ln_ncur + ln_tref - ln_nref - ln_tcur) AS DOUBLE)
+         |       * $lnRatioSql AS DOUBLE)
          |    / CAST(CAST(t_ref AS DECIMAL(38,0)) * t_cur AS DOUBLE) / 1000000000 AS psi_term,
          |  CAST(SUM((CAST(n_cur AS DECIMAL(38,0)) * t_ref - CAST(n_ref AS DECIMAL(38,0)) * t_cur)
-         |           * (ln_ncur + ln_tref - ln_nref - ln_tcur)) OVER () AS DOUBLE)
+         |           * $lnRatioSql) OVER () AS DOUBLE)
          |    / CAST(CAST(t_ref AS DECIMAL(38,0)) * t_cur AS DOUBLE) / 1000000000 AS psi_total
-         |FROM ($inner)""".stripMargin
-    }) { (s, dir) =>
-      VectorExprs.register(s)
-      val e = events(s, dir).select(
-        least(floor(col("value") / 20).cast("long"), lit(9L)).as("bucket"),
-        expr("ts_us div 604800000000").as("week"))
-      val wk = e.agg(min("week").as("w0"))
-      val counts = e.crossJoin(broadcast(wk))
-        .groupBy("bucket")
-        .agg(
-          (lit(1) + sum(when(col("week") - col("w0") < 2, 1).otherwise(0)))
-            .cast("long").as("n_ref"),
-          (lit(1) + sum(when(col("week") - col("w0") >= 2, 1).otherwise(0)))
-            .cast("long").as("n_cur"))
-        .withColumn("t_ref", sum("n_ref").over(Window.partitionBy()).cast("long"))
-        .withColumn("t_cur", sum("n_cur").over(Window.partitionBy()).cast("long"))
-        .withColumn("ln_ncur", expr("ln_nanos(n_cur, 1L)"))
-        .withColumn("ln_nref", expr("ln_nanos(n_ref, 1L)"))
-        .withColumn("ln_tcur", expr("ln_nanos(t_cur, 1L)"))
-        .withColumn("ln_tref", expr("ln_nanos(t_ref, 1L)"))
+         |FROM ($driftChainSql)""".stripMargin) { (s, dir) =>
+      val counts = driftCounts(s, dir)
       val num = (col("n_cur").cast(dec) * col("t_ref")
-        - col("n_ref").cast(dec) * col("t_cur")) *
-        (col("ln_ncur") + col("ln_tref") - col("ln_nref") - col("ln_tcur"))
+        - col("n_ref").cast(dec) * col("t_cur")) * lnRatio
       val den = (col("t_ref").cast(dec) * col("t_cur")).cast("double")
       counts.select(col("bucket"), col("n_ref"), col("n_cur"),
         (num.cast("double") / den / 1000000000L).as("psi_term"),
         (sum(num).over(Window.partitionBy()).cast("double") / den / 1000000000L)
           .as("psi_total"))
+    },
+
+    // --------------------------------------------------------------- DQ-10b
+    // Directional KL divergence KL(cur ‖ ref) on the same smoothed
+    // spine — the asymmetric question PSI symmetrizes away: "how
+    // surprised is the REFERENCE model by current data" (the monitoring
+    // direction: train distribution as ref, production as cur). Weight
+    // is p alone: Σ pᵢ·ln(pᵢ/qᵢ) = Σ n_cur·ln-ratio / t_cur — per-bucket
+    // DECIMAL product, ONE window sum, two fixed IEEE divisions. ≥ 0 up
+    // to pinned-log rounding by Gibbs' inequality.
+    QueryDef("dq_kl",
+      s"""SELECT bucket, n_ref, n_cur,
+         |  CAST(CAST(n_cur AS DECIMAL(38,0)) * $lnRatioSql AS DOUBLE)
+         |    / t_cur / 1000000000 AS kl_term,
+         |  CAST(SUM(CAST(n_cur AS DECIMAL(38,0)) * $lnRatioSql) OVER () AS DOUBLE)
+         |    / t_cur / 1000000000 AS kl_total
+         |FROM ($driftChainSql)""".stripMargin) { (s, dir) =>
+      val counts = driftCounts(s, dir)
+      val num = col("n_cur").cast(dec) * lnRatio
+      counts.select(col("bucket"), col("n_ref"), col("n_cur"),
+        (num.cast("double") / col("t_cur") / 1000000000L).as("kl_term"),
+        (sum(num).over(Window.partitionBy()).cast("double")
+          / col("t_cur") / 1000000000L).as("kl_total"))
     },
 
     // ---------------------------------------------------------------- DQ-11

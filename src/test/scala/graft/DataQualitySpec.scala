@@ -98,9 +98,11 @@ class DataQualitySpec extends SparkSpec {
     // first run seeds — nothing to compare against
     assert(DataQuality.driftGate(spark, frame(40, 40), "value",
       root, "v", maxTvd = 0.2).isEmpty)
-    // same distribution at a different size: TVD exactly 0, passes
+    // same distribution at a different size: TVD exactly 0, passes (the
+    // smoothed PSI is near-zero but not exactly 0 — add-one smoothing
+    // shifts unequal-size histograms slightly)
     assert(DataQuality.driftGate(spark, frame(10, 10), "value",
-      root, "v", maxTvd = 0.2).contains(0.0))
+      root, "v", maxTvd = 0.2).exists(_._1 == 0.0))
     // shifted distribution (50/50 -> 10/90): TVD 0.4 > 0.2, throws
     val ex = intercept[IllegalArgumentException] {
       DataQuality.driftGate(spark, frame(8, 72), "value",
@@ -110,9 +112,47 @@ class DataQualitySpec extends SparkSpec {
     // the failing run did NOT advance the reference: the original
     // distribution still passes against the kept baseline
     assert(DataQuality.driftGate(spark, frame(20, 20), "value",
-      root, "v", maxTvd = 0.2).contains(0.0))
+      root, "v", maxTvd = 0.2).exists(_._1 == 0.0))
     // an empty current frame is maximal drift, never a vacuous pass
     assert(DataQuality.tvd(Map(0L -> 10L), Map.empty) == 1.0)
+  }
+
+  test("driftGate PSI threshold: the divergence fires where TVD is lenient") {
+    val root = tmpDir("dq-psi-root")
+    def frame(lowN: Int, highN: Int) = {
+      val rows = (1 to lowN).map(_ => 5.0) ++ (1 to highN).map(_ => 25.0)
+      rows.toDF("value")
+    }
+    assert(DataQuality.driftGate(spark, frame(50, 50), "value",
+      root, "v", maxTvd = 0.5, maxPsi = Some(0.25)).isEmpty)
+    // identical histogram: PSI exactly 0 (every smoothed cross product
+    // cancels), both thresholds pass
+    val m = DataQuality.driftGate(spark, frame(50, 50), "value",
+      root, "v", maxTvd = 0.5, maxPsi = Some(0.25))
+    assert(m.exists { case (d, p) => d == 0.0 && p == 0.0 }, m.toString)
+    // 50/50 -> 20/80 is TVD 0.3 (inside a lenient 0.5 bar) but PSI ~0.8:
+    // the industry 0.25 action threshold fires where TVD was tuned loose
+    val ex = intercept[IllegalArgumentException] {
+      DataQuality.driftGate(spark, frame(20, 80), "value",
+        root, "v", maxTvd = 0.5, maxPsi = Some(0.25))
+    }
+    assert(ex.getMessage.contains("psi="), ex.getMessage)
+    // PSI equals the dq_psi/driftPsi arithmetic on the same counts: the
+    // gate, the batch query, and the streaming twin share one definition
+    import graft.functions.PinnedLog.lnNanos
+    val (refH, curH) = (Map(0L -> 50L, 1L -> 50L), Map(0L -> 20L, 1L -> 80L))
+    val refS = (0 until 10).map(b => refH.getOrElse(b.toLong, 0L) + 1L)
+    val curS = (0 until 10).map(b => curH.getOrElse(b.toLong, 0L) + 1L)
+    val (tRef, tCur) = (refS.sum, curS.sum)
+    val num = (0 until 10).map { b =>
+      (BigInt(curS(b)) * tRef - BigInt(refS(b)) * tCur) *
+        (lnNanos(curS(b), 1L) + lnNanos(tRef, 1L)
+          - lnNanos(refS(b), 1L) - lnNanos(tCur, 1L))
+    }.sum
+    val want = num.doubleValue / (tRef.toDouble * tCur.toDouble) / 1e9
+    assert(DataQuality.psi(refH, curH) == want)
+    // silence is maximal drift here too
+    assert(DataQuality.psi(Map(0L -> 10L), Map.empty).isPosInfinity)
   }
 
   test("walletFeatureConstraints mirror the reference's three checks (data_quality_ethereum_wallet_features.sql)") {

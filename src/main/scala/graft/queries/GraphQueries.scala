@@ -520,10 +520,17 @@ object GraphQueries {
       var labels = adj.select(col("src").as("node"), col("src").as("lbl"))
       for (_ <- 1 to iterations) labels = lpaSuperstep(adj, labels, nV)
       // the label state feeds THREE consumers (both e_c2 endpoint joins
-      // and the degree-mass rollup) — persist it like the adjacency
+      // and the degree-mass rollup) — persist AND materialize it eagerly
+      // so the 3-superstep lineage runs exactly once, not once per
+      // consumer branch racing to populate the cache
       labels = labels.persist()
+      labels.count()
       val m2 = adj.agg(sum("outdeg").cast("long").as("m2"))
-      val dc = labels.join(adj, col("node") === col("src"))
+      // superstep join discipline: the |V|-row label state broadcasts
+      // under the same size guard (Catalyst's estimate for the cached
+      // adjacency is array-inflated — an unhinted join plans SMJ even at
+      // test scale, the adjacency() lesson)
+      val dc = adj.join(stateSide(labels, nV), col("src") === col("node"))
         .groupBy("lbl")
         .agg(count(lit(1)).cast("long").as("n_nodes"),
           sum("outdeg").cast("long").as("d_c"))

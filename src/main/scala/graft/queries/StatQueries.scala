@@ -222,6 +222,126 @@ object StatQueries {
           .cast("double") / col("nn") / 1000000000L).as("mi_total"))
     },
 
+    // ------------------------------------------------------------------ A-43
+    // Pairwise covariance/correlation matrix over lineitem's four
+    // numeric measures — the feature-preprocessing pass every training
+    // pipeline runs before scaling/decorrelating (and the input to
+    // a44_pca2). ONE aggregation pass computes all 4 first moments, 4
+    // second moments, and 6 cross moments over exact cents (decimal-
+    // widened products — price-cents² is ~1e16 per row, the sum is past
+    // BIGINT immediately); the 10 (i ≤ j) matrix cells then unpivot from
+    // the 1-row moment relation via a literal explode — no second scan,
+    // no join. cov and corr are the fixed a29 IEEE tail per cell.
+    QueryDef("a43_cov_matrix", {
+      val cols = Seq("qty" -> "l_quantity", "price" -> "l_extendedprice",
+        "disc" -> "l_discount", "tax" -> "l_tax")
+      val moments = cols.map { case (a, c) =>
+        s"CAST(SUM(CAST(floor($c * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s_$a"
+      } ++ (for ((a, ca) <- cols; (b, cb) <- cols if a <= b) yield
+        s"""SUM(CAST(CAST(floor($ca * 100 + 0.5) AS BIGINT) AS DECIMAL(38,0))
+           |    * CAST(floor($cb * 100 + 0.5) AS BIGINT)) AS s_${a}_$b""".stripMargin)
+      val cells = (for ((a, _) <- cols; (b, _) <- cols if a <= b) yield
+        s"""SELECT '$a' AS v1, '$b' AS v2, n, s_$a AS sx, s_$b AS sy,
+           |  s_${a}_$b AS sxy, s_${a}_$a AS sxx, s_${b}_$b AS syy FROM m""".stripMargin)
+        .mkString("\nUNION ALL\n")
+      s"""WITH m AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n, ${moments.mkString(", ")}
+         |  FROM lineitem)
+         |SELECT v1, v2, n,
+         |  CAST(CAST(sxy AS DECIMAL(38,0)) * n - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+         |    / (CAST(n AS DOUBLE) * n) AS cov_cents2,
+         |  CAST(CAST(sxy AS DECIMAL(38,0)) * n - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+         |    / sqrt(CAST(CAST(sxx AS DECIMAL(38,0)) * n - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
+         |           * CAST(CAST(syy AS DECIMAL(38,0)) * n - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE))
+         |    AS corr
+         |FROM ($cells)""".stripMargin
+    }) { (s, dir) =>
+      val cols = Seq("qty" -> "l_quantity", "price" -> "l_extendedprice",
+        "disc" -> "l_discount", "tax" -> "l_tax")
+      def cents(c: String) = floor(col(c) * 100 + 0.5).cast("long")
+      val momentCols =
+        cols.map { case (a, c) => sum(cents(c)).cast("long").as(s"s_$a") } ++
+          (for ((a, ca) <- cols; (b, cb) <- cols if a <= b)
+            yield sum(cents(ca).cast(dec) * cents(cb)).as(s"s_${a}_$b"))
+      val m = Graft.table(s, dir, "lineitem")
+        .agg(count(lit(1)).cast("long").as("n"), momentCols: _*)
+      val cells = (for ((a, _) <- cols; (b, _) <- cols if a <= b) yield
+        m.select(lit(a).as("v1"), lit(b).as("v2"), col("n"),
+          col(s"s_$a").as("sx"), col(s"s_$b").as("sy"),
+          col(s"s_${a}_$b").as("sxy"), col(s"s_${a}_$a").as("sxx"),
+          col(s"s_${b}_$b").as("syy"))).reduce(_ unionAll _)
+      val num = (col("sxy").cast(dec) * col("n")
+        - col("sx").cast(dec) * col("sy")).cast("double")
+      cells.select(col("v1"), col("v2"), col("n"),
+        (num / (col("n").cast("double") * col("n"))).as("cov_cents2"),
+        (num / sqrt((col("sxx").cast(dec) * col("n")
+          - col("sx").cast(dec) * col("sx")).cast("double") *
+          (col("syy").cast(dec) * col("n")
+            - col("sy").cast(dec) * col("sy")).cast("double"))).as("corr"))
+    },
+
+    // ------------------------------------------------------------------ A-44
+    // Closed-form 2-D PCA over (quantity, price) — the decorrelation /
+    // dimensionality screen on the a43 moments: eigenvalues of the 2×2
+    // covariance matrix via the quadratic formula, λ± = ((vx+vy) ±
+    // √((vx−vy)²+4c²))/2, and the explained-variance ratio λ₊/(λ₊+λ₋).
+    // Everything transcendental-free: moments are exact DECIMALs, the
+    // discriminant is two exact products, and sqrt is a correctly-
+    // rounded IEEE op in both engines (the ONLY non-rational step) — so
+    // the whole spectrum is parity-safe without the pinned log. One
+    // map-side-combinable scan; the spectrum math runs on one row.
+    QueryDef("a44_pca2",
+      """WITH m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sx,
+        |    CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sy,
+        |    SUM(CAST(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS DECIMAL(38,0))
+        |        * CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS sxx,
+        |    SUM(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS DECIMAL(38,0))
+        |        * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS syy,
+        |    SUM(CAST(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS DECIMAL(38,0))
+        |        * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sxy
+        |  FROM lineitem),
+        |v AS (
+        |  SELECT n,
+        |    CAST(CAST(sxx AS DECIMAL(38,0)) * n - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * n) AS vx,
+        |    CAST(CAST(syy AS DECIMAL(38,0)) * n - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * n) AS vy,
+        |    CAST(CAST(sxy AS DECIMAL(38,0)) * n - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * n) AS cxy
+        |  FROM m)
+        |SELECT n, vx, vy, cxy,
+        |  ((vx + vy) + sqrt((vx - vy) * (vx - vy) + 4 * (cxy * cxy))) / 2 AS lambda1,
+        |  ((vx + vy) - sqrt((vx - vy) * (vx - vy) + 4 * (cxy * cxy))) / 2 AS lambda2,
+        |  (((vx + vy) + sqrt((vx - vy) * (vx - vy) + 4 * (cxy * cxy))) / 2)
+        |    / (vx + vy) AS explained_ratio
+        |FROM v""".stripMargin) { (s, dir) =>
+      def cents(c: String) = floor(col(c) * 100 + 0.5).cast("long")
+      val m = Graft.table(s, dir, "lineitem").agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(cents("l_quantity")).cast("long").as("sx"),
+        sum(cents("l_extendedprice")).cast("long").as("sy"),
+        sum(cents("l_quantity").cast(dec) * cents("l_quantity")).as("sxx"),
+        sum(cents("l_extendedprice").cast(dec) * cents("l_extendedprice")).as("syy"),
+        sum(cents("l_quantity").cast(dec) * cents("l_extendedprice")).as("sxy"))
+      val nD = col("n").cast("double") * col("n")
+      val v = m.select(col("n"),
+        ((col("sxx").cast(dec) * col("n") - col("sx").cast(dec) * col("sx"))
+          .cast("double") / nD).as("vx"),
+        ((col("syy").cast(dec) * col("n") - col("sy").cast(dec) * col("sy"))
+          .cast("double") / nD).as("vy"),
+        ((col("sxy").cast(dec) * col("n") - col("sx").cast(dec) * col("sy"))
+          .cast("double") / nD).as("cxy"))
+      val disc = sqrt((col("vx") - col("vy")) * (col("vx") - col("vy"))
+        + lit(4) * (col("cxy") * col("cxy")))
+      v.select(col("n"), col("vx"), col("vy"), col("cxy"),
+        ((col("vx") + col("vy") + disc) / 2).as("lambda1"),
+        ((col("vx") + col("vy") - disc) / 2).as("lambda2"),
+        (((col("vx") + col("vy") + disc) / 2) / (col("vx") + col("vy")))
+          .as("explained_ratio"))
+    },
+
     // --------------------------------------------------------------- TEXT-T
     // TF·IDF with the TRUE logarithmic idf — the textbook relevance
     // weighting t_bm25 had to approximate with a rational idf ("same

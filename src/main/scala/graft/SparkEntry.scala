@@ -16,7 +16,7 @@ object SparkEntry {
     RelationalQueries.all ++ WindowQueries.all ++ JoinShapeQueries.all ++
       PipelineQueries.all ++ TextQueries.all ++ DedupQueries.all ++
       SimilarityQueries.all ++ MultimodalQueries.all ++ ExtraQueries.all ++
-      GraphQueries.all ++ StatQueries.all
+      GraphQueries.all ++ StatQueries.all ++ MiningQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,379 @@
+package graft.queries
+
+import graft.core.Graft
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-16 late wave: the mining/attribution statistics a training-data
+  * pipeline runs AFTER the drift gates pass — non-parametric trend tests
+  * on the daily series (Mann–Kendall, Theil–Sen, Spearman), market-basket
+  * co-occurrence projection, marketing attribution, momentum windows, and
+  * corpus burstiness. House parity discipline throughout: exact
+  * integer/decimal arithmetic end-to-end, a FIXED short sequence of
+  * correctly-rounded IEEE double steps only in the last projection.
+  * Integer division parity note: DuckDB `//` and Spark `div` BOTH
+  * truncate toward zero (verified on negative operands), so fixed-point
+  * quantities built with them are bit-identical across engines even when
+  * deltas go negative (Theil–Sen slopes).
+  *
+  * Scale spine shared by the trend tests: the |rows| → |days per type|
+  * rollup is the only pass over the data; everything pairwise/sorted
+  * runs on the BOUNDED daily relation (days grow with the calendar, not
+  * the row count — at 100 TB the daily series per type is still a few
+  * thousand rows), so the O(d²) pair joins are scale-invariant in the
+  * fact-table size.
+  */
+object MiningQueries {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Graft.events(s, dir)
+
+  private val dec = "decimal(38,0)"
+
+  /** The daily count series per event type — one map-side-combinable
+    * rollup, the single fact-table pass all three trend tests share. */
+  private def dailyCounts(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+
+  private val dailySql =
+    """SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------ A-45
+    // Mann–Kendall trend test per event type on the daily count series —
+    // the non-parametric "is this metric drifting" screen that does not
+    // assume linearity or normality (a38_regression's OLS does). The S
+    // statistic is a pure integer pair sum (sign of every forward pair),
+    // the tie-corrected variance numerator n(n−1)(2n+5) − Σt(t−1)(2t+5)
+    // stays BIGINT (n = DAYS per type, a few thousand at any fact-table
+    // scale — cubes of it are nowhere near the BIGINT edge), and the
+    // continuity-corrected z is exactly three IEEE steps
+    // (divide-by-18, sqrt, divide). The pairwise join runs on the
+    // bounded daily relation — broadcast both sides, zero fact-table
+    // shuffles beyond the one rollup.
+    QueryDef("a45_mann_kendall",
+      s"""WITH daily AS ($dailySql),
+        |s AS (SELECT a.event_type,
+        |        CAST(SUM(CASE WHEN b.cnt > a.cnt THEN 1
+        |                      WHEN b.cnt < a.cnt THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        |      FROM daily a JOIN daily b
+        |        ON a.event_type = b.event_type AND b.day > a.day
+        |      GROUP BY 1),
+        |n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM daily GROUP BY 1),
+        |ties AS (SELECT event_type,
+        |           CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+        |         FROM (SELECT event_type, cnt, CAST(COUNT(*) AS BIGINT) AS t
+        |               FROM daily GROUP BY 1, 2) g
+        |         GROUP BY 1),
+        |v AS (SELECT n.event_type, n.n, s.s_stat,
+        |        n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie_term AS var18
+        |      FROM n JOIN s ON s.event_type = n.event_type
+        |             JOIN ties ON ties.event_type = n.event_type)
+        |SELECT event_type, n, s_stat, var18,
+        |  CASE WHEN var18 <= 0 THEN NULL
+        |       WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+        |         / sqrt(CAST(var18 AS DOUBLE) / 18)
+        |       WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+        |         / sqrt(CAST(var18 AS DOUBLE) / 18)
+        |       ELSE CAST(0 AS DOUBLE) END AS z
+        |FROM v""".stripMargin) { (s, dir) =>
+      val daily = dailyCounts(s, dir).persist() // feeds pairs, ties AND n
+      val pairs = daily.as("a")
+        .join(broadcast(daily.as("b")),
+          col("a.event_type") === col("b.event_type") && col("b.day") > col("a.day"))
+        .groupBy(col("a.event_type").as("event_type"))
+        .agg(sum(when(col("b.cnt") > col("a.cnt"), 1L)
+          .when(col("b.cnt") < col("a.cnt"), -1L).otherwise(0L))
+          .cast("long").as("s_stat"))
+      val n = daily.groupBy("event_type").agg(count(lit(1)).cast("long").as("n"))
+      val ties = daily.groupBy(col("event_type"), col("cnt"))
+        .agg(count(lit(1)).cast("long").as("t"))
+        .groupBy("event_type")
+        .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))
+          .cast("long").as("tie_term"))
+      val v = n.join(pairs, "event_type").join(ties, "event_type")
+        .withColumn("var18",
+          col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) - col("tie_term"))
+      val z = when(col("var18") <= 0, lit(null))
+        .when(col("s_stat") > 0,
+          (col("s_stat") - 1).cast("double") / sqrt(col("var18").cast("double") / 18))
+        .when(col("s_stat") < 0,
+          (col("s_stat") + 1).cast("double") / sqrt(col("var18").cast("double") / 18))
+        .otherwise(lit(0.0))
+      val out = v.select(col("event_type"), col("n"), col("s_stat"),
+        col("var18"), z.as("z"))
+      CacheScope.sealResult(out, daily)
+    },
+
+    // ------------------------------------------------------------------ A-46
+    // Theil–Sen robust slope per event type — the median of all pairwise
+    // slopes of the daily series, the estimator that shrugs off the
+    // outlier days OLS chases. Slopes are quantized to 1e-9 fixed point
+    // with TRUNCATING integer division (identical in both engines, see
+    // the object note), and the statistic is DEFINED as the positional
+    // median of those quantized slopes — exact, deterministic, no float
+    // ordering anywhere. Overflow headroom: Δcnt·1e9 needs |Δcnt| <
+    // 9.2e9 — a per-type, per-day count delta of nine billion, far past
+    // 100 TB's ~3e9/day ceiling. The rank window runs per type over the
+    // bounded pair relation (d² of a few-thousand-day series).
+    QueryDef("a46_theil_sen",
+      s"""WITH daily AS ($dailySql),
+        |p AS (SELECT a.event_type,
+        |        ((b.cnt - a.cnt) * 1000000000) // (b.day - a.day) AS slope_fp
+        |      FROM daily a JOIN daily b
+        |        ON a.event_type = b.event_type AND b.day > a.day),
+        |r AS (SELECT event_type, slope_fp,
+        |        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope_fp) AS rn,
+        |        COUNT(*) OVER (PARTITION BY event_type) AS n_pairs FROM p)
+        |SELECT event_type, CAST(MAX(n_pairs) AS BIGINT) AS n_pairs,
+        |  CAST(MAX(CASE WHEN rn = (n_pairs + 1) // 2 THEN slope_fp END) AS BIGINT)
+        |    AS median_slope_fp,
+        |  CAST(MAX(CASE WHEN rn = (n_pairs + 1) // 2 THEN slope_fp END) AS DOUBLE)
+        |    / 1000000000 AS median_slope
+        |FROM r GROUP BY event_type""".stripMargin) { (s, dir) =>
+      val daily = dailyCounts(s, dir).persist()
+      val p = daily.as("a")
+        .join(broadcast(daily.as("b")),
+          col("a.event_type") === col("b.event_type") && col("b.day") > col("a.day"))
+        .select(col("a.event_type").as("event_type"),
+          expr("((b.cnt - a.cnt) * 1000000000L) div (b.day - a.day)").as("slope_fp"))
+      val w = Window.partitionBy("event_type").orderBy("slope_fp")
+      val r = p.withColumn("rn", row_number().over(w))
+        .withColumn("n_pairs",
+          count(lit(1)).over(Window.partitionBy("event_type")))
+      val out = r.groupBy("event_type")
+        .agg(max("n_pairs").cast("long").as("n_pairs"),
+          max(when(col("rn") === (col("n_pairs") + 1) / 2, col("slope_fp")))
+            .cast("long").as("median_slope_fp"))
+        .withColumn("median_slope",
+          col("median_slope_fp").cast("double") / 1000000000L)
+      CacheScope.sealResult(out, daily)
+    },
+
+    // ------------------------------------------------------------------ A-47
+    // Spearman rank correlation between the purchase and click daily
+    // count series — "do the two channels move together" measured on
+    // ranks, robust to the heavy right tail that distorts Pearson. Tied
+    // ranks use the textbook average-rank convention kept EXACT by
+    // doubling: 2·avgrank = 2·RANK + (ties − 1) is always an integer, so
+    // the rank moments stay BIGINT/DECIMAL and ρ (Pearson on the doubled
+    // ranks — doubling cancels) is three IEEE steps at the end. The rank
+    // windows run over the bounded shared-day relation; the single
+    // fact-table pass is the (day × type) rollup.
+    QueryDef("a47_spearman",
+      """WITH byday AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS pc,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS cc
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT day, pc, cc,
+        |    2 * RANK() OVER (ORDER BY pc) + COUNT(*) OVER (PARTITION BY pc) - 1 AS rx,
+        |    2 * RANK() OVER (ORDER BY cc) + COUNT(*) OVER (PARTITION BY cc) - 1 AS ry
+        |  FROM byday),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
+        |        SUM(CAST(rx AS DECIMAL(38,0)) * ry) AS sxy,
+        |        SUM(CAST(rx AS DECIMAL(38,0)) * rx) AS sxx,
+        |        SUM(CAST(ry AS DECIMAL(38,0)) * ry) AS syy
+        |      FROM r)
+        |SELECT n, sx, sy,
+        |  CASE WHEN CAST(sxx AS DECIMAL(38,0)) * n - CAST(sx AS DECIMAL(38,0)) * sx = 0
+        |         OR CAST(syy AS DECIMAL(38,0)) * n - CAST(sy AS DECIMAL(38,0)) * sy = 0
+        |    THEN NULL ELSE
+        |    CAST(CAST(sxy AS DECIMAL(38,0)) * n - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+        |      / sqrt(CAST(CAST(sxx AS DECIMAL(38,0)) * n
+        |                  - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
+        |             * CAST(CAST(syy AS DECIMAL(38,0)) * n
+        |                    - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE))
+        |  END AS rho
+        |FROM m""".stripMargin) { (s, dir) =>
+      val byday = events(s, dir)
+        .groupBy(expr("ts_us div 86400000000").as("day"))
+        .agg(sum(when(col("event_type") === "purchase", 1).otherwise(0))
+          .cast("long").as("pc"),
+          sum(when(col("event_type") === "click", 1).otherwise(0))
+            .cast("long").as("cc"))
+      val r = byday
+        .withColumn("rx", lit(2) * rank().over(Window.orderBy("pc"))
+          + count(lit(1)).over(Window.partitionBy("pc")) - 1)
+        .withColumn("ry", lit(2) * rank().over(Window.orderBy("cc"))
+          + count(lit(1)).over(Window.partitionBy("cc")) - 1)
+      val m = r.agg(count(lit(1)).cast("long").as("n"),
+        sum("rx").cast("long").as("sx"), sum("ry").cast("long").as("sy"),
+        sum(col("rx").cast(dec) * col("ry")).as("sxy"),
+        sum(col("rx").cast(dec) * col("rx")).as("sxx"),
+        sum(col("ry").cast(dec) * col("ry")).as("syy"))
+      val dxD = col("sxx").cast(dec) * col("n") - col("sx").cast(dec) * col("sx")
+      val dyD = col("syy").cast(dec) * col("n") - col("sy").cast(dec) * col("sy")
+      m.select(col("n"), col("sx"), col("sy"),
+        when(dxD === 0 || dyD === 0, lit(null))
+          .otherwise((col("sxy").cast(dec) * col("n")
+            - col("sx").cast(dec) * col("sy")).cast("double")
+            / sqrt(dxD.cast("double") * dyD.cast("double"))).as("rho"))
+    },
+
+    // ------------------------------------------------------------------ W-23
+    // Cutler's RSI (simple-moving-average momentum index) over each
+    // user's event-value series — the bounded 0..100 overbought/oversold
+    // oscillator beside w22_bollinger's volatility bands. The delta,
+    // gain and loss sums stay integer cents; the index is ONE truncating
+    // integer division to ppm (gains·1e6 // (gains+losses)) — no float
+    // anywhere, and the division operands are non-negative by
+    // construction. Rows are emitted only once the lookback holds the
+    // full 14 deltas, so warmup rows never enter the hash. Constant
+    // per-row state at any scale: a fixed 14-row frame per user
+    // partition, one window exchange.
+    QueryDef("w23_rsi",
+      """WITH c AS (SELECT user_id, event_id, ts,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |d AS (SELECT user_id, event_id, ts, cents,
+        |    cents - lag(cents) OVER win AS delta
+        |  FROM c WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT user_id, event_id, cents,
+        |    CAST(COUNT(delta) OVER rsi AS BIGINT) AS n_delta,
+        |    CAST(SUM(CASE WHEN delta > 0 THEN delta ELSE 0 END) OVER rsi AS BIGINT) AS gains,
+        |    CAST(SUM(CASE WHEN delta < 0 THEN -delta ELSE 0 END) OVER rsi AS BIGINT) AS losses
+        |  FROM d WINDOW rsi AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, cents, gains, losses,
+        |  CASE WHEN gains + losses = 0 THEN NULL
+        |       ELSE (gains * 1000000) // (gains + losses) END AS rsi_ppm
+        |FROM g WHERE n_delta = 14""".stripMargin) { (s, dir) =>
+      val ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val rsiW = ord.rowsBetween(-13, Window.currentRow)
+      val c = events(s, dir).select(col("user_id"), col("event_id"), col("ts"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      val d = c.withColumn("delta", col("cents") - lag("cents", 1).over(ord))
+      d.withColumn("n_delta", count("delta").over(rsiW).cast("long"))
+        .withColumn("gains",
+          sum(when(col("delta") > 0, col("delta")).otherwise(0L)).over(rsiW)
+            .cast("long"))
+        .withColumn("losses",
+          sum(when(col("delta") < 0, -col("delta")).otherwise(0L)).over(rsiW)
+            .cast("long"))
+        .filter(col("n_delta") === 14)
+        .select(col("user_id"), col("event_id"), col("cents"),
+          col("gains"), col("losses"),
+          when(col("gains") + col("losses") === 0, lit(null))
+            .otherwise(expr("(gains * 1000000) div (gains + losses)"))
+            .as("rsi_ppm"))
+    },
+
+    // ------------------------------------------------------------------ G-BP
+    // Bipartite co-occurrence projection (market-basket): project the
+    // order–part bipartite graph onto part–part edges weighted by the
+    // number of orders carrying both — the co-occurrence relation a
+    // recommender or negative-sampling stage trains on. The pair
+    // fan-out is bounded by the per-order line count (≤ 7 in this
+    // schema's TPC-H shape → ≤ 21 pairs per order), so the projection
+    // stays LINEAR in the fact table at any scale; the heavy key is the
+    // orderkey equi-join, co-partitioned by construction (both sides
+    // are the same deduped scan). Top-100 by weight via TakeOrdered —
+    // no global sort.
+    QueryDef("g_bipartite_proj",
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |            CAST(COUNT(*) AS BIGINT) AS n_orders
+        |          FROM op a JOIN op b
+        |            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |          GROUP BY 1, 2)
+        |SELECT part_a, part_b, n_orders FROM pairs
+        |ORDER BY n_orders DESC, part_a, part_b LIMIT 100""".stripMargin) { (s, dir) =>
+      val op = Graft.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct().persist()
+      val out = op.as("a")
+        .join(op.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey")
+            && col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+        .agg(count(lit(1)).cast("long").as("n_orders"))
+        .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+        .limit(100)
+      CacheScope.sealResult(out, op)
+    },
+
+    // ------------------------------------------------------------------ A-48
+    // Last-touch attribution: each purchase's value is credited to the
+    // channel (event type) of the user's most recent PRECEDING
+    // non-purchase event — the classic marketing rollup, and the same
+    // "carry the last qualifying row forward" window shape the flagship
+    // balance stitch uses. IGNORE-NULLS last_value over a
+    // rows-to-1-preceding frame (both engines support it natively);
+    // purchases with no preceding touch land in the 'organic' bucket.
+    // Revenue stays exact cents. One window exchange on user_id, one
+    // bounded (≤ |channels|+1) rollup.
+    QueryDef("a48_attribution",
+      """WITH o AS (SELECT user_id, event_id, event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |t AS (SELECT user_id, event_id, event_type, cents,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |               IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM o)
+        |SELECT COALESCE(touch, 'organic') AS channel,
+        |  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |  CAST(SUM(cents) AS BIGINT) AS revenue_cents
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"), col("ts_us"))
+        .withColumn("touch",
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("touch"), lit("organic")).as("channel"))
+        .agg(count(lit(1)).cast("long").as("n_purchases"),
+          sum("cents").cast("long").as("revenue_cents"))
+    },
+
+    // ---------------------------------------------------------------- TEXT-B
+    // Token burstiness (Church–Gale): for the 100 highest
+    // collection-frequency tokens, the doc frequency, the mean
+    // occurrences-per-carrying-doc in ppm (cf·1e6 // df — truncating
+    // integer, parity-exact), and the EXACT integer variance numerator
+    // of the per-doc counts (df·Σtf² − cf², decimal-widened). Function
+    // words spread evenly (burstiness ≈ 1); content words concentrate
+    // (≫ 1) — the signal topic-aware curation samples on. One
+    // (token, doc) rollup, one token rollup, TakeOrdered — no sort, no
+    // window; the token relation is vocabulary-bounded.
+    QueryDef("t_burstiness",
+      """WITH td AS (
+        |  SELECT t.token, d.doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM documents d, unnest(string_split(d.text, ' ')) AS t(token)
+        |  GROUP BY 1, 2),
+        |tok AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+        |          CAST(SUM(tf) AS BIGINT) AS cf,
+        |          SUM(CAST(tf AS DECIMAL(38,0)) * tf) AS stf2
+        |        FROM td GROUP BY token)
+        |SELECT token, df, cf, (cf * 1000000) // df AS burst_ppm,
+        |  CAST(CAST(df AS DECIMAL(38,0)) * stf2
+        |       - CAST(cf AS DECIMAL(38,0)) * cf AS DOUBLE)
+        |    / (CAST(df AS DOUBLE) * CAST(df AS DOUBLE)) AS tf_var
+        |FROM tok ORDER BY cf DESC, token LIMIT 100""".stripMargin) { (s, dir) =>
+      val td = Graft.table(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("token", "doc_id").agg(count(lit(1)).cast("long").as("tf"))
+      td.groupBy("token")
+        .agg(count(lit(1)).cast("long").as("df"),
+          sum("tf").cast("long").as("cf"),
+          sum(col("tf").cast(dec) * col("tf")).as("stf2"))
+        .select(col("token"), col("df"), col("cf"),
+          expr("(cf * 1000000) div df").as("burst_ppm"),
+          ((col("df").cast(dec) * col("stf2")
+            - col("cf").cast(dec) * col("cf")).cast("double")
+            / (col("df").cast("double") * col("df").cast("double"))).as("tf_var"))
+        .orderBy(col("cf").desc, col("token")).limit(100)
+    }
+  )
+}

@@ -272,10 +272,15 @@ object MiningQueries {
     // recommender or negative-sampling stage trains on. The pair
     // fan-out is bounded by the per-order line count (≤ 7 in this
     // schema's TPC-H shape → ≤ 21 pairs per order), so the projection
-    // stays LINEAR in the fact table at any scale; the heavy key is the
-    // orderkey equi-join, co-partitioned by construction (both sides
-    // are the same deduped scan). Top-100 by weight via TakeOrdered —
-    // no global sort.
+    // stays LINEAR in the fact table at any scale. The oracle states it
+    // as the classic DISTINCT + self-join; the Spark plan instead
+    // gathers each order's part SET in ONE exchange (partial collect_set
+    // combines map-side) and explodes the canonical i<j pairs from the
+    // sorted array WITHOUT a join — two exchanges total (orderkey
+    // gather, pair rollup) vs the join form's four. Top-100 by weight
+    // via TakeOrdered — no global sort. A pathological giant order
+    // would square inside one group; this schema caps lines per order,
+    // which is exactly what makes the basket projection feasible.
     QueryDef("g_bipartite_proj",
       """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
@@ -285,17 +290,18 @@ object MiningQueries {
         |          GROUP BY 1, 2)
         |SELECT part_a, part_b, n_orders FROM pairs
         |ORDER BY n_orders DESC, part_a, part_b LIMIT 100""".stripMargin) { (s, dir) =>
-      val op = Graft.table(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct().persist()
-      val out = op.as("a")
-        .join(op.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey")
-            && col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      Graft.table(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+            |  transform(slice(ps, i + 2, size(ps)),
+            |            y -> struct(x AS part_a, y AS part_b))))""".stripMargin))
+          .as("pr"))
+        .groupBy(col("pr.part_a").as("part_a"), col("pr.part_b").as("part_b"))
         .agg(count(lit(1)).cast("long").as("n_orders"))
         .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
         .limit(100)
-      CacheScope.sealResult(out, op)
     },
 
     // ------------------------------------------------------------------ A-48

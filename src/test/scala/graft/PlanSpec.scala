@@ -409,6 +409,40 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("the trend tests join their pairwise space broadcast on the bounded daily relation") {
+    // a45/a46's O(d²) pair join must ride BroadcastHashJoin over the
+    // persisted daily rollup — a sort-merge pair join here would drag
+    // the calendar-bounded relation through a needless exchange pair
+    Seq("a45_mann_kendall", "a46_theil_sen").foreach { q =>
+      val p = planString(q)
+      assert(countOccurrences(p, "BroadcastHashJoin") >= 1, s"$q:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q:\n$p")
+    }
+  }
+
+  test("w23_rsi shares ONE user exchange across the lag and the frame windows") {
+    val p = planString("w23_rsi")
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 1, p)
+  }
+
+  test("a48_attribution is one user window plus one bounded channel rollup") {
+    val p = planString("a48_attribution")
+    assert(p.contains("Window"), p)
+    // user_id window exchange + the ≤|channels|-cardinality rollup
+    // (carrying map-side partials only)
+    assert(countOccurrences(p, "Exchange hashpartitioning") <= 2, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("g_bipartite_proj explodes pairs join-free: two exchanges, TakeOrdered") {
+    val p = planString("g_bipartite_proj")
+    // collect_set gather on orderkey + pair rollup — the DISTINCT +
+    // self-join oracle shape (4 exchanges) must never be the plan
+    assert(!p.contains("Join"), p)
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 2, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("no query in the inventory plans a CartesianProduct") {
     // every deliberate cross join in the inventory is against a bounded
     // broadcast side (1-row scalars, centroid codebooks) and must compile

@@ -380,6 +380,137 @@ object MiningQueries {
             - col("cf").cast(dec) * col("cf")).cast("double")
             / (col("df").cast("double") * col("df").cast("double"))).as("tf_var"))
         .orderBy(col("cf").desc, col("token")).limit(100)
+    },
+
+    // ------------------------------------------------------------------ A-49
+    // Smoothed target encoding of part brand by return rate — the
+    // Bayesian mean encoding every tabular-ML feature pipeline ships
+    // (category → shrunk posterior rate, so rare categories pull toward
+    // the global prior instead of memorizing noise). te = (ret + m·prior)
+    // / (n + m) with m = 100, entirely in truncating-integer ppm —
+    // prior_ppm from ONE global rollup, the blend ONE division per
+    // category. Overflow headroom: ret·1e6 needs ret < 9.2e12 per brand
+    // (a 25-brand split of even 100 TB sits far below). The dimension
+    // join broadcasts `part`; the category relation is bounded (25
+    // brands), so everything after the one fact rollup is scalar work.
+    QueryDef("a49_target_encode",
+      """WITH j AS (SELECT p.p_brand,
+        |    CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+        |g AS (SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(r) AS BIGINT) AS ret FROM j GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tn,
+        |        CAST(SUM(ret) AS BIGINT) AS tret FROM g),
+        |pr AS (SELECT (tret * 1000000) // tn AS prior_ppm FROM t)
+        |SELECT g.p_brand, g.n, g.ret, pr.prior_ppm,
+        |  (g.ret * 1000000 + 100 * pr.prior_ppm) // (g.n + 100) AS te_ppm
+        |FROM g, pr""".stripMargin) { (s, dir) =>
+      val g = Graft.table(s, dir, "lineitem")
+        .join(broadcast(Graft.table(s, dir, "part")),
+          col("p_partkey") === col("l_partkey"))
+        .select(col("p_brand"),
+          when(col("l_returnflag") === "R", 1).otherwise(0).as("r"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).cast("long").as("n"), sum("r").cast("long").as("ret"))
+      val pr = g.agg(sum("n").cast("long").as("tn"),
+        sum("ret").cast("long").as("tret"))
+        .select(expr("(tret * 1000000) div tn").as("prior_ppm"))
+      g.crossJoin(broadcast(pr))
+        .select(col("p_brand"), col("n"), col("ret"), col("prior_ppm"),
+          expr("(ret * 1000000 + 100 * prior_ppm) div (n + 100)").as("te_ppm"))
+    },
+
+    // ------------------------------------------------------------------ A-50
+    // MASE-style forecast benchmark on the daily series: the seasonal-
+    // naive (lag-7) forecast's MAE against the naive (lag-1) MAE per
+    // event type — "does last week predict today better than yesterday
+    // does", the scale-free skill score a pipeline checks BEFORE
+    // trusting any seasonal feature (a42's indices only help if this
+    // ratio < 1). Absolute-delta sums stay exact BIGINT on the bounded
+    // daily relation; the ratio of the two rational MAEs is three IEEE
+    // steps. One fact rollup, two lag reads off one window sort.
+    QueryDef("a50_mase",
+      s"""WITH daily AS ($dailySql),
+        |d AS (SELECT event_type, cnt,
+        |        cnt - lag(cnt, 1) OVER w AS d1,
+        |        cnt - lag(cnt, 7) OVER w AS d7
+        |      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |m AS (SELECT event_type,
+        |        CAST(COUNT(d1) AS BIGINT) AS n1, CAST(SUM(ABS(d1)) AS BIGINT) AS s1,
+        |        CAST(COUNT(d7) AS BIGINT) AS n7, CAST(SUM(ABS(d7)) AS BIGINT) AS s7
+        |      FROM d GROUP BY 1)
+        |SELECT event_type, n1, s1, n7, s7,
+        |  CASE WHEN s1 = 0 OR n7 = 0 THEN NULL
+        |    ELSE (CAST(s7 AS DOUBLE) / n7) / (CAST(s1 AS DOUBLE) / n1) END AS mase
+        |FROM m""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val d = dailyCounts(s, dir)
+        .select(col("event_type"), col("cnt"),
+          (col("cnt") - lag("cnt", 1).over(w)).as("d1"),
+          (col("cnt") - lag("cnt", 7).over(w)).as("d7"))
+      d.groupBy("event_type")
+        .agg(count("d1").cast("long").as("n1"),
+          sum(abs(col("d1"))).cast("long").as("s1"),
+          count("d7").cast("long").as("n7"),
+          sum(abs(col("d7"))).cast("long").as("s7"))
+        .select(col("event_type"), col("n1"), col("s1"), col("n7"), col("s7"),
+          when(col("s1") === 0 || col("n7") === 0, lit(null))
+            .otherwise((col("s7").cast("double") / col("n7"))
+              / (col("s1").cast("double") / col("n1"))).as("mase"))
+    },
+
+    // ------------------------------------------------------------------ G-DG
+    // Gini coefficient of the interaction-graph degree distribution —
+    // the one-number inequality summary of graph health (a hub-dominated
+    // graph salts differently, samples differently, and breaks
+    // mean-field assumptions; t_source_gini's Lorenz machinery applied
+    // to degrees). The rank sum A = Σ i·d(i) over degrees sorted
+    // ascending NEVER sorts the nodes: degrees roll up to a HISTOGRAM
+    // over the degree-VALUE domain, and each value group's rank-block
+    // sum is closed-form ((cc−c)·c + c(c+1)/2, exact integers), so the
+    // cumulative window runs over the bounded histogram — degree-domain
+    // rows, not |V| rows. Products widen to DECIMAL(38,0) (cc·c is
+    // |V|² ≈ 1e18 at a billion nodes — the BIGINT edge). G emits as
+    // four fixed IEEE steps from exact integer moments.
+    QueryDef("g_degree_gini",
+      """WITH e0 AS (SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+        |            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |ed AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM ed GROUP BY src),
+        |h AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS c FROM deg GROUP BY d),
+        |cum AS (SELECT d, c, CAST(SUM(c) OVER (ORDER BY d) AS BIGINT) AS cc,
+        |               CAST(SUM(d * c) OVER () AS BIGINT) AS t,
+        |               CAST(SUM(c) OVER () AS BIGINT) AS n FROM h),
+        |a AS (SELECT MAX(n) AS n, MAX(t) AS t,
+        |        SUM(CAST(d AS DECIMAL(38,0))
+        |            * (CAST(cc - c AS DECIMAL(38,0)) * c + (c * (c + 1)) // 2)) AS ranksum
+        |      FROM cum)
+        |SELECT n, t, CAST(ranksum AS DOUBLE) AS ranksum,
+        |  2 * CAST(ranksum AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE))
+        |    - (CAST(n AS DOUBLE) + 1) / CAST(n AS DOUBLE) AS gini
+        |FROM a""".stripMargin) { (s, dir) =>
+      val e0 = Graft.table(s, dir, "orders")
+        .join(Graft.table(s, dir, "lineitem"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val ed = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+      val h = ed.groupBy("src").agg(count(lit(1)).cast("long").as("d"))
+        .groupBy("d").agg(count(lit(1)).cast("long").as("c"))
+      val wCum = Window.orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = h.select(col("d"), col("c"),
+        sum("c").over(wCum).cast("long").as("cc"),
+        sum(col("d") * col("c")).over(Window.partitionBy()).cast("long").as("t"),
+        sum("c").over(Window.partitionBy()).cast("long").as("n"))
+      cum.agg(max("n").as("n"), max("t").as("t"),
+        sum(col("d").cast(dec)
+          * ((col("cc") - col("c")).cast(dec) * col("c")
+            + expr("(c * (c + 1)) div 2"))).as("ranksum"))
+        .select(col("n"), col("t"), col("ranksum").cast("double").as("ranksum"),
+          (lit(2) * col("ranksum").cast("double")
+            / (col("n").cast("double") * col("t").cast("double"))
+            - (col("n").cast("double") + 1) / col("n").cast("double")).as("gini"))
     }
   )
 }

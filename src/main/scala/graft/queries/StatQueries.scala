@@ -806,6 +806,79 @@ object StatQueries {
         ((col("n").cast(dec) * col("d_total")).cast("double")
           / (col("days").cast(dec) * col("n_total")).cast("double"))
           .as("seasonal_idx"))
+    },
+
+    // ---------------------------------------------------------------- TEXT-J
+    // Jensen–Shannon divergence between two sources' unigram
+    // distributions — the SYMMETRIC, bounded (≤ ln 2) corpus-mixing
+    // distance a data-mixture designer reads where KL would blow up on
+    // disjoint support (JS never does). Distributions quantize to
+    // add-one-smoothed ppm FIRST (truncating integer, bit-identical in
+    // both engines; the statistic is DEFINED over the quantized
+    // distributions, the quantization error is a deterministic ≤1e-6
+    // per mass point), so the pinned-log arguments stay small products:
+    // ln(p/m) = ln(2·pa·Pb / (pa·Pb + pb·Pa)) with pa ≤ 1e6+1 and
+    // Pb ≤ 1e6 + |vocab| — BIGINT-safe to a trillion-type vocabulary.
+    // ONE (token × source-pair) rollup is the only fact-scale pass; the
+    // log chain and the two window sums run on the vocabulary-bounded
+    // relation. Terms are exact DECIMAL products; the total is four
+    // fixed IEEE steps.
+    QueryDef("t_js_sources", {
+      val inner = PinnedLogSql.chain(
+        """SELECT token, na, nb, pa, pb,
+          |  CAST(SUM(pa) OVER () AS BIGINT) AS pta,
+          |  CAST(SUM(pb) OVER () AS BIGINT) AS ptb
+          |FROM (
+          |  SELECT token, na, nb,
+          |    (na * 1000000) // ta + 1 AS pa, (nb * 1000000) // tb + 1 AS pb
+          |  FROM (
+          |    SELECT token, na, nb,
+          |      CAST(SUM(na) OVER () AS BIGINT) AS ta,
+          |      CAST(SUM(nb) OVER () AS BIGINT) AS tb
+          |    FROM (SELECT t.token,
+          |            CAST(SUM(CASE WHEN d.source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+          |            CAST(SUM(CASE WHEN d.source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+          |          FROM documents d, unnest(string_split(d.text, ' ')) AS t(token)
+          |          WHERE d.source IN ('src0', 'src1')
+          |          GROUP BY 1) c0) c1)""".stripMargin,
+        Seq("token", "na", "nb", "pa", "pb", "pta", "ptb"),
+        Seq(("2 * pa * ptb", "pa * ptb + pb * pta", "ln_a"),
+          ("2 * pb * pta", "pa * ptb + pb * pta", "ln_b")))
+      s"""SELECT token, na, nb, pa, pb,
+         |  (CAST(CAST(pa AS DECIMAL(38,0)) * ln_a AS DOUBLE) / pta
+         |   + CAST(CAST(pb AS DECIMAL(38,0)) * ln_b AS DOUBLE) / ptb)
+         |    / 2 / 1000000000 AS js_term,
+         |  (CAST(SUM(CAST(pa AS DECIMAL(38,0)) * ln_a) OVER () AS DOUBLE) / pta
+         |   + CAST(SUM(CAST(pb AS DECIMAL(38,0)) * ln_b) OVER () AS DOUBLE) / ptb)
+         |    / 2 / 1000000000 AS js_total
+         |FROM ($inner)""".stripMargin
+    }) { (s, dir) =>
+      VectorExprs.register(s)
+      val wAll = Window.partitionBy()
+      val c0 = Graft.table(s, dir, "documents")
+        .filter(col("source").isin("src0", "src1"))
+        .select(col("source"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("token")
+        .agg(sum(when(col("source") === "src0", 1).otherwise(0)).cast("long").as("na"),
+          sum(when(col("source") === "src1", 1).otherwise(0)).cast("long").as("nb"))
+      val c1 = c0
+        .withColumn("ta", sum("na").over(wAll).cast("long"))
+        .withColumn("tb", sum("nb").over(wAll).cast("long"))
+        .select(col("token"), col("na"), col("nb"),
+          expr("(na * 1000000) div ta + 1").as("pa"),
+          expr("(nb * 1000000) div tb + 1").as("pb"))
+      val withLogs = c1
+        .withColumn("pta", sum("pa").over(wAll).cast("long"))
+        .withColumn("ptb", sum("pb").over(wAll).cast("long"))
+        .withColumn("ln_a", expr("ln_nanos(2 * pa * ptb, pa * ptb + pb * pta)"))
+        .withColumn("ln_b", expr("ln_nanos(2 * pb * pta, pa * ptb + pb * pta)"))
+      withLogs.select(col("token"), col("na"), col("nb"), col("pa"), col("pb"),
+        (((col("pa").cast(dec) * col("ln_a")).cast("double") / col("pta")
+          + (col("pb").cast(dec) * col("ln_b")).cast("double") / col("ptb"))
+          / 2 / 1000000000L).as("js_term"),
+        ((sum(col("pa").cast(dec) * col("ln_a")).over(wAll).cast("double") / col("pta")
+          + sum(col("pb").cast(dec) * col("ln_b")).over(wAll).cast("double") / col("ptb"))
+          / 2 / 1000000000L).as("js_total"))
     }
   )
 }

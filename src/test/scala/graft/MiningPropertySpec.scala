@@ -139,6 +139,74 @@ class MiningPropertySpec extends SparkSpec {
     assert(rows.map(_._1).distinct.length == rows.length, "duplicate channel rows")
   }
 
+  test("a49_target_encode: shrinkage pulls every category toward the prior") {
+    val rows = SparkEntry.queries("a49_target_encode")(spark, dir)
+      .select("n", "ret", "prior_ppm", "te_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, ret, prior, te) =>
+      val rate = ret * 1000000L / n
+      // the encoded value lies between the raw rate and the prior, and
+      // is closer to the prior than the raw rate is (m > 0 shrinkage) —
+      // ±1 for the two independent truncations
+      assert(te >= math.min(rate, prior) - 1 && te <= math.max(rate, prior) + 1,
+        s"te=$te outside [$rate, $prior]")
+      assert(math.abs(te - prior) <= math.abs(rate - prior) + 1,
+        s"te=$te further from prior=$prior than rate=$rate")
+    }
+  }
+
+  test("a50_mase: positive where defined, exact deltas vs the brute series walk") {
+    val rows = SparkEntry.queries("a50_mase")(spark, dir)
+      .select("event_type", "n1", "s1", "n7", "s7")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, n1, s1, n7, s7) =>
+      val series = daily(t).map(_._2)
+      val b1 = series.sliding(2).map(w => math.abs(w(1) - w(0))).sum
+      val b7 = series.indices.drop(7).map(i => math.abs(series(i) - series(i - 7))).sum
+      assert(n1 == series.length - 1 && s1 == b1, s"$t: lag-1 MAE mismatch")
+      assert(n7 == math.max(series.length - 7, 0) && s7 == b7, s"$t: lag-7 MAE mismatch")
+    }
+  }
+
+  test("g_degree_gini: G ∈ [0, 1) and equals the brute sorted-degree recompute") {
+    val (n, t, _, gini) = SparkEntry.queries("g_degree_gini")(spark, dir)
+      .as[(Long, Long, Double, Double)].head()
+    val orders = graft.core.Graft.table(spark, dir, "orders")
+    val li = graft.core.Graft.table(spark, dir, "lineitem")
+    val e0 = orders.join(li, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val degs = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .groupBy("src").agg(count(lit(1)).cast("long").as("d"))
+      .as[(Long, Long)].collect().map(_._2).sorted
+    assert(n == degs.length && t == degs.sum)
+    val a = degs.zipWithIndex.map { case (d, i) => (i + 1).toDouble * d }.sum
+    val brute = 2 * a / (n.toDouble * t.toDouble) - (n + 1.0) / n
+    assert(math.abs(gini - brute) < 1e-9, s"gini=$gini vs brute=$brute")
+    assert(gini >= 0.0 && gini < 1.0, s"gini=$gini out of [0,1)")
+  }
+
+  test("t_js_sources: 0 ≤ JS ≤ ln 2, equal to the brute recompute on the quantized masses") {
+    val rows = SparkEntry.queries("t_js_sources")(spark, dir)
+      .select("pa", "pb", "js_term", "js_total")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    val js = rows.head._4
+    assert(rows.forall(_._4 == js), "js_total must be identical on every row")
+    assert(js >= -1e-6 && js <= math.log(2.0) + 1e-6, s"JS=$js outside [0, ln 2]")
+    val pta = rows.map(_._1).sum.toDouble
+    val ptb = rows.map(_._2).sum.toDouble
+    // brute on the SAME quantized masses via true ln, within the pinned
+    // bound (2 log calls per token, each < 1e-7 off)
+    val brute = rows.map { case (pa, pb, _, _) =>
+      val p = pa / pta; val q = pb / ptb; val m = (p + q) / 2
+      (p * math.log(p / m) + q * math.log(q / m)) / 2
+    }.sum
+    assert(math.abs(js - brute) < 1e-5, s"pinned JS=$js vs brute=$brute")
+  }
+
   test("t_burstiness: burst ≥ 1e6 (cf ≥ df), nonneg variance, df bounded by corpus") {
     val nDocs = graft.core.Graft.table(spark, dir, "documents").count()
     val rows = SparkEntry.queries("t_burstiness")(spark, dir)

@@ -471,7 +471,14 @@ object MiningQueries {
     // cumulative window runs over the bounded histogram — degree-domain
     // rows, not |V| rows. Products widen to DECIMAL(38,0) (cc·c is
     // |V|² ≈ 1e18 at a billion nodes — the BIGINT edge). G emits as
-    // four fixed IEEE steps from exact integer moments.
+    // four fixed IEEE steps from exact integer moments. Degrees come
+    // from the direct distinct-pair + count build, NOT the graph
+    // family's collect_set adjacency spine: gini needs only the degree
+    // NUMBER, and materializing neighbor arrays to take their size was
+    // measured SLOWER at both scales (ScaleBench 100×: 38.4 s spine vs
+    // 34.3 s direct; t1 7.6 vs 2.2 s). The 100× cost is the structural
+    // |E|-row dedup shuffle every exact-degree computation pays — the
+    // same class as the g_* spine, which costs more, not less.
     QueryDef("g_degree_gini",
       """WITH e0 AS (SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
         |            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),

@@ -1117,6 +1117,55 @@ object Streams {
         })
   }
 
+  /** RSI state: the user's last observed cents plus the last ≤13 value
+    * deltas, most recent first — exactly the w23 14-delta lookback minus
+    * the current delta. */
+  case class RsiState(prevCents: Long, deltas: Seq[Long])
+  case class RsiOut(user_id: Long, event_id: Long, cents: Long,
+      gains: Long, losses: Long, rsi_ppm: Option[Long])
+
+  /** Streaming twin of batch `w23_rsi` (Cutler's SMA momentum index):
+    * keyed state is the previous cents plus the last 13 deltas — the
+    * constant-size contract of the ewma/bollinger siblings. A row emits
+    * exactly when the 14-row lookback holds 14 deltas (the batch
+    * `n_delta = 14` warmup gate, which here is simply "13 deltas stored
+    * before this one"). Arithmetic parity is the batch query's: exact
+    * integer cents, gain/loss sums as BIGINTs, ONE truncating division
+    * to ppm (None when the window never moved). Ordering contract as
+    * the other keyed twins: each micro-batch sorts by (ts, event_id);
+    * parity assumes in-order batch feeds. */
+  def rsi(events: Dataset[Ev]): Dataset[RsiOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, evs: Iterator[Ev], state: GroupState[RsiState]) => {
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption
+          val out = Seq.newBuilder[RsiOut]
+          sorted.foreach { e =>
+            val cents = math.floor(e.value * 100 + 0.5).toLong
+            st match {
+              case None => st = Some(RsiState(cents, Seq.empty))
+              case Some(RsiState(prev, deltas)) =>
+                val d = cents - prev
+                if (deltas.size == 13) {
+                  val frame = d +: deltas
+                  val gains = frame.iterator.filter(_ > 0).sum
+                  val losses = -frame.iterator.filter(_ < 0).sum
+                  val rsi =
+                    if (gains + losses == 0) None
+                    else Some(gains * 1000000L / (gains + losses))
+                  out += RsiOut(uid, e.event_id, cents, gains, losses, rsi)
+                }
+                st = Some(RsiState(cents, (d +: deltas).take(13)))
+            }
+          }
+          st.foreach(state.update)
+          out.result().iterator
+        })
+  }
+
   /** Per-window PSI state / output for [[driftPsi]]. */
   case class PsiCounts(counts: Seq[Long])
   case class PsiOut(window_start: java.sql.Timestamp, n_cur: Long, psi: Double)

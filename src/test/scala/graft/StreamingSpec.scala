@@ -980,6 +980,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rsi across micro-batches ≡ the batch w23 window program") {
+    implicit val sqlCtx = spark.sqlContext
+    // 17 values for user 7: alternating moves then a rally, split so the
+    // 13-delta deque must carry across the batch boundary (emissions
+    // start at the 15th event). User 8 stays under warmup — no output.
+    val vals = Seq(2.0, 3.0, 2.5, 4.0, 3.5, 5.0, 4.5, 6.0, 5.5, 7.0,
+      6.5, 8.0, 7.5, 9.0, 8.5, 10.0, 12.0)
+    val evs = vals.zipWithIndex.map { case (v, i) =>
+      Ev(i + 1L, ts(i + 1), 7L, "t", v)
+    } ++ Seq(Ev(21L, ts(1), 8L, "t", 2.0), Ev(22L, ts(2), 8L, "t", 3.0))
+    val mem = MemoryStream[Ev]
+    val q = Streams.rsi(mem.toDS())
+      .writeStream.format("memory").queryName("srsi").outputMode("append").start()
+    try {
+      mem.addData(evs.filter(_.event_id <= 10): _*)
+      q.processAllAvailable()
+      mem.addData(evs.filter(_.event_id > 10): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("srsi")
+        .as[(Long, Long, Long, Long, Long, Option[Long])].collect().toSet
+      val dir = java.nio.file.Files.createTempDirectory("srsi").toString
+      evs.toDF().withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+        .write.parquet(s"$dir/events.parquet")
+      val batch = SparkEntry.queries("w23_rsi")(spark, dir)
+        .as[(Long, Long, Long, Long, Long, Option[Long])].collect().toSet
+      assert(streamed == batch, s"stream $streamed\nvs batch $batch")
+      assert(streamed.nonEmpty && streamed.forall(r => r._6.exists(v => v > 500000)),
+        "the rally fixture should emit gain-dominated RSI rows")
+    } finally q.stop()
+  }
+
   test("driftPsi closes once on the watermark; PSI ≡ the batch dq_psi arithmetic") {
     implicit val sqlCtx = spark.sqlContext
     // the driftTvd fixture exactly: ref buckets (20,20,0,...), W0 observes

@@ -43,6 +43,20 @@ object MiningQueries {
       |    CAST(COUNT(*) AS BIGINT) AS cnt
       |  FROM events GROUP BY 1, 2""".stripMargin
 
+  /** The distinct customer↔supplier interaction edges (the graph
+    * family's node numbering: 2·cust even / 2·supp+1 odd), shared by
+    * the degree-distribution queries here. */
+  private def bipartiteEdges(s: SparkSession, dir: String): DataFrame =
+    Graft.table(s, dir, "orders")
+      .join(Graft.table(s, dir, "lineitem"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+
+  private val bipartiteEdgesSql =
+    """SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+      |            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------ A-45
@@ -496,11 +510,7 @@ object MiningQueries {
         |  2 * CAST(ranksum AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE))
         |    - (CAST(n AS DOUBLE) + 1) / CAST(n AS DOUBLE) AS gini
         |FROM a""".stripMargin) { (s, dir) =>
-      val e0 = Graft.table(s, dir, "orders")
-        .join(Graft.table(s, dir, "lineitem"),
-          col("l_orderkey") === col("o_orderkey"))
-        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-        .distinct()
+      val e0 = bipartiteEdges(s, dir)
       val ed = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
       val h = ed.groupBy("src").agg(count(lit(1)).cast("long").as("d"))
         .groupBy("d").agg(count(lit(1)).cast("long").as("c"))
@@ -518,6 +528,110 @@ object MiningQueries {
           (lit(2) * col("ranksum").cast("double")
             / (col("n").cast("double") * col("t").cast("double"))
             - (col("n").cast("double") + 1) / col("n").cast("double")).as("gini"))
+    },
+
+    // ------------------------------------------------------------------ G-RC
+    // Rich-club connectivity of the hubs — top-10 customers × top-10
+    // suppliers by degree, the fraction of POSSIBLE hub-hub edges that
+    // exist: "do the whales transact with each other", the
+    // hub-collusion screen g_degree_gini's inequality number can't
+    // answer. (Per-SIDE top-k, not a global top-20: degree scales
+    // differ across the bipartite sides, so a global cut degenerates to
+    // one side and φ is undefined.) Hub sets are TakeOrdered top-10s
+    // (deterministic id tie-break); both membership probes BROADCAST
+    // them, so after the degree rollup the whole query is one linear
+    // edge scan with two broadcast semi-joins and a ppm division. No
+    // |V| sort, no pair join.
+    QueryDef("g_rich_club",
+      s"""WITH e0 AS ($bipartiteEdgesSql),
+        |ed AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM ed GROUP BY src),
+        |ch AS (SELECT src, d FROM deg WHERE src % 2 = 0 ORDER BY d DESC, src LIMIT 10),
+        |sh AS (SELECT src, d FROM deg WHERE src % 2 = 1 ORDER BY d DESC, src LIMIT 10),
+        |hubs AS (SELECT src FROM ch UNION ALL SELECT src FROM sh),
+        |k AS (SELECT CAST((SELECT COUNT(*) FROM ch) AS BIGINT) AS n_cust,
+        |             CAST((SELECT COUNT(*) FROM sh) AS BIGINT) AS n_supp),
+        |eh AS (SELECT CAST(COUNT(*) AS BIGINT) AS e_hub FROM e0
+        |       WHERE src IN (SELECT src FROM hubs) AND dst IN (SELECT src FROM hubs))
+        |SELECT k.n_cust, k.n_supp, eh.e_hub,
+        |  CASE WHEN k.n_cust * k.n_supp = 0 THEN NULL
+        |    ELSE (eh.e_hub * 1000000) // (k.n_cust * k.n_supp) END AS phi_ppm
+        |FROM k, eh""".stripMargin) { (s, dir) =>
+      val e0 = bipartiteEdges(s, dir).persist()
+      val ed = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+      val deg = ed.groupBy("src").agg(count(lit(1)).cast("long").as("d")).persist()
+      val ch = deg.filter(pmod(col("src"), lit(2)) === 0)
+        .orderBy(col("d").desc, col("src")).limit(10)
+      val sh = deg.filter(pmod(col("src"), lit(2)) === 1)
+        .orderBy(col("d").desc, col("src")).limit(10)
+      val hubs = ch.select("src").unionAll(sh.select("src")).persist()
+      val k = ch.agg(count(lit(1)).cast("long").as("n_cust"))
+        .crossJoin(sh.agg(count(lit(1)).cast("long").as("n_supp")))
+      val hubSet = hubs.select(col("src").as("hub"))
+      val eh = e0
+        .join(broadcast(hubSet), col("src") === col("hub"), "left_semi")
+        .join(broadcast(hubSet), col("dst") === col("hub"), "left_semi")
+        .agg(count(lit(1)).cast("long").as("e_hub"))
+      val out = k.crossJoin(eh)
+        .select(col("n_cust"), col("n_supp"), col("e_hub"),
+          when(col("n_cust") * col("n_supp") === 0, lit(null))
+            .otherwise(expr("(e_hub * 1000000) div (n_cust * n_supp)"))
+            .as("phi_ppm"))
+      CacheScope.sealResult(out, e0, deg, hubs)
+    },
+
+    // ------------------------------------------------------------------ A-52
+    // Time-decay multi-touch attribution — a48's last-touch rule, but
+    // every preceding touch inside a 7-day window shares the purchase's
+    // credit with geometrically decaying weight (halving per day: the
+    // classic time-decay model, and the weights are EXACT bit shifts —
+    // 1e6 >> days_back — so no float enters). Per-purchase shares
+    // normalize by the window's weight sum in truncating ppm; the
+    // credit rollup is exact DECIMAL cents×ppm. The pair space is the
+    // banded per-user join (j8's shape — one user-keyed shuffle, fan-in
+    // bounded by 7-day per-user activity); the share window partitions
+    // by purchase id. Purchases with no window touches carry no rows
+    // here by design (a48's 'organic' bucket is the last-touch view).
+    QueryDef("a52_decay_attribution",
+      """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |pt AS (SELECT p.event_id AS pid, p.cents, t.event_type AS channel,
+        |         (p.ts_us - t.ts_us) // 86400000000 AS days_back
+        |       FROM ev p JOIN ev t ON t.user_id = p.user_id
+        |         AND p.event_type = 'purchase' AND t.event_type <> 'purchase'
+        |         AND t.ts_us < p.ts_us
+        |         AND p.ts_us - t.ts_us <= 7 * 86400000000),
+        |w AS (SELECT pid, cents, channel, 1000000 >> days_back AS wt FROM pt),
+        |sw AS (SELECT pid, cents, channel, wt,
+        |         CAST(SUM(wt) OVER (PARTITION BY pid) AS BIGINT) AS swt FROM w),
+        |sh AS (SELECT channel, cents, (wt * 1000000) // swt AS share_ppm FROM sw)
+        |SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_touch,
+        |  CAST(SUM(CAST(cents AS DECIMAL(38,0)) * share_ppm) AS DOUBLE) AS credit
+        |FROM sh GROUP BY 1""".stripMargin) { (s, dir) =>
+      val dayUs = 86400000000L
+      val ev = events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts_us"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_uid"), col("event_id").as("pid"),
+          col("ts_us").as("p_ts"), col("cents"))
+      val t = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id").as("t_uid"), col("event_type").as("channel"),
+          col("ts_us").as("t_ts"))
+      val pt = p.join(t, col("t_uid") === col("p_uid")
+          && col("t_ts") < col("p_ts")
+          && col("p_ts") - col("t_ts") <= lit(7L * dayUs))
+        .select(col("pid"), col("cents"), col("channel"),
+          expr(s"(p_ts - t_ts) div ${dayUs}L").as("days_back"))
+      val sw = pt
+        .withColumn("wt", expr("shiftright(1000000L, cast(days_back as int))"))
+        .withColumn("swt",
+          sum("wt").over(Window.partitionBy("pid")).cast("long"))
+      sw.select(col("channel"), col("cents"),
+          expr("(wt * 1000000) div swt").as("share_ppm"))
+        .groupBy("channel")
+        .agg(count(lit(1)).cast("long").as("n_touch"),
+          sum(col("cents").cast(dec) * col("share_ppm")).cast("double").as("credit"))
     }
   )
 }

@@ -808,6 +808,56 @@ object StatQueries {
           .as("seasonal_idx"))
     },
 
+    // ---------------------------------------------------------------- A-51
+    // Entropy rate of the user-journey Markov chain — "how predictable
+    // is the next event given the current one", the sequence-level
+    // signal beside a25_transitions' raw matrix (a journey model is
+    // only worth training when this is well below the marginal
+    // entropy). Empirical rate weighted by row occupancy:
+    // H = −Σ_ij (n_ij/T)·ln(n_ij/r_i) = Σ_ij n_ij·ln(r_i/n_ij) / T,
+    // ONE pinned log per OBSERVED cell (the |types|²-bounded relation),
+    // exact DECIMAL cell products, and two fixed IEEE steps. The only
+    // fact-scale work is a25's lag window + cell rollup.
+    QueryDef("a51_markov_entropy", {
+      val inner = PinnedLogSql.chain(
+        """SELECT prev_type, next_type, n,
+          |  CAST(SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS r,
+          |  CAST(SUM(n) OVER () AS BIGINT) AS t
+          |FROM (
+          |  SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n
+          |  FROM (SELECT user_id, event_type,
+          |          LAG(event_type) OVER (PARTITION BY user_id
+          |            ORDER BY epoch_us(ts), event_id) AS prev_type
+          |        FROM events) seq
+          |  WHERE prev_type IS NOT NULL GROUP BY 1, 2)""".stripMargin,
+        Seq("prev_type", "next_type", "n", "r", "t"),
+        Seq(("r", "n", "ln_rn")))
+      s"""SELECT prev_type, next_type, n, r,
+         |  CAST(CAST(n AS DECIMAL(38,0)) * ln_rn AS DOUBLE) / r / 1000000000
+         |    AS cell_nats,
+         |  CAST(SUM(CAST(n AS DECIMAL(38,0)) * ln_rn) OVER () AS DOUBLE)
+         |    / t / 1000000000 AS h_rate
+         |FROM ($inner)""".stripMargin
+    }) { (s, dir) =>
+      VectorExprs.register(s)
+      val wSeq = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      val cells = events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"))
+        .withColumn("prev_type", lag("event_type", 1).over(wSeq))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .withColumn("r",
+          sum("n").over(Window.partitionBy("prev_type")).cast("long"))
+        .withColumn("t", sum("n").over(Window.partitionBy()).cast("long"))
+        .withColumn("ln_rn", expr("ln_nanos(r, n)"))
+      cells.select(col("prev_type"), col("next_type"), col("n"), col("r"),
+        ((col("n").cast(dec) * col("ln_rn")).cast("double")
+          / col("r") / 1000000000L).as("cell_nats"),
+        (sum(col("n").cast(dec) * col("ln_rn")).over(Window.partitionBy())
+          .cast("double") / col("t") / 1000000000L).as("h_rate"))
+    },
+
     // ---------------------------------------------------------------- TEXT-J
     // Jensen–Shannon divergence between two sources' unigram
     // distributions — the SYMMETRIC, bounded (≤ ln 2) corpus-mixing

@@ -207,6 +207,76 @@ class MiningPropertySpec extends SparkSpec {
     assert(math.abs(js - brute) < 1e-5, s"pinned JS=$js vs brute=$brute")
   }
 
+  test("a51_markov_entropy: 0 ≤ H ≤ ln k, equals the brute recompute from the cells") {
+    val rows = SparkEntry.queries("a51_markov_entropy")(spark, dir)
+      .select("prev_type", "n", "r", "h_rate")
+      .as[(String, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val h = rows.head._4
+    assert(rows.forall(_._4 == h), "h_rate must be identical on every row")
+    val k = rows.map(_._1).distinct.length
+    assert(h >= -1e-6 && h <= math.log(k.toDouble) + 1e-6, s"H=$h outside [0, ln $k]")
+    val t = rows.map(_._2).sum.toDouble
+    val brute = rows.map { case (_, n, r, _) => n * math.log(r.toDouble / n) }.sum / t
+    assert(math.abs(h - brute) < 1e-5, s"pinned H=$h vs brute=$brute")
+  }
+
+  test("g_rich_club: φ ∈ [0, 1e6], e_hub matches the brute hub-edge count") {
+    val (nc, ns, eHub, phi) = SparkEntry.queries("g_rich_club")(spark, dir)
+      .as[(Long, Long, Long, Option[Long])].head()
+    assert(nc <= 10 && ns <= 10)
+    assert(eHub <= nc * ns, "more hub edges than possible pairs")
+    phi.foreach(p => assert(p >= 0 && p <= 1000000L, s"phi_ppm=$p"))
+    phi.foreach(p => assert(p == eHub * 1000000L / (nc * ns), "phi != truncated ratio"))
+    // brute: recompute hubs and the hub-edge count from the raw edges
+    val e0 = graft.core.Graft.table(spark, dir, "orders")
+      .join(graft.core.Graft.table(spark, dir, "lineitem"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct().as[(Long, Long)].collect()
+    val degs = (e0.map(_._1) ++ e0.map(_._2)).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    def topSide(par: Int) = degs.filter(_._1 % 2 == par).toSeq
+      .sortBy { case (id, d) => (-d, id) }.take(10).map(_._1).toSet
+    val hubs = topSide(0) ++ topSide(1)
+    val brute = e0.count { case (s0, d0) => hubs(s0) && hubs(d0) }
+    assert(eHub == brute, s"e_hub=$eHub vs brute=$brute")
+  }
+
+  test("a52_decay_attribution: credit conserves up to per-purchase truncation slack") {
+    val rows = SparkEntry.queries("a52_decay_attribution")(spark, dir)
+      .as[(String, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._3 >= 0), "negative channel credit")
+    // brute walk of the same banded pair space in pure Scala
+    val evs = graft.core.Graft.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts_us"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .as[(Long, Long, String, Long, Long)].collect()
+    val dayUs = 86400000000L
+    val byUser = evs.groupBy(_._1)
+    var credit = Map.empty[String, Double].withDefaultValue(0.0)
+    var touches = Map.empty[String, Long].withDefaultValue(0L)
+    byUser.values.foreach { ue =>
+      val ps = ue.filter(_._3 == "purchase")
+      val ts = ue.filter(_._3 != "purchase")
+      ps.foreach { case (_, _, _, pTs, cents) =>
+        val win = ts.filter(t => t._4 < pTs && pTs - t._4 <= 7 * dayUs)
+          .map(t => (t._3, 1000000L >> ((pTs - t._4) / dayUs).toInt))
+        val swt = win.map(_._2).sum
+        win.foreach { case (ch, wt) =>
+          credit += ch -> (credit(ch) + cents.toDouble * (wt * 1000000L / swt))
+          touches += ch -> (touches(ch) + 1)
+        }
+      }
+    }
+    rows.foreach { case (ch, n, c) =>
+      assert(n == touches(ch), s"$ch: n_touch=$n vs brute=${touches(ch)}")
+      assert(math.abs(c - credit(ch)) < 1e-6 * math.max(1.0, credit(ch)),
+        s"$ch: credit=$c vs brute=${credit(ch)}")
+    }
+  }
+
   test("t_burstiness: burst ≥ 1e6 (cf ≥ df), nonneg variance, df bounded by corpus") {
     val nDocs = graft.core.Graft.table(spark, dir, "documents").count()
     val rows = SparkEntry.queries("t_burstiness")(spark, dir)

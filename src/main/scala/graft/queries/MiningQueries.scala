@@ -632,6 +632,60 @@ object MiningQueries {
         .groupBy("channel")
         .agg(count(lit(1)).cast("long").as("n_touch"),
           sum(col("cents").cast(dec) * col("share_ppm")).cast("double").as("credit"))
+    },
+
+    // ------------------------------------------------------------------ A-53
+    // Time-to-convert distribution: days from each user's FIRST signup
+    // to their first subsequent purchase — the funnel-velocity summary
+    // (n converted, min/median/p90/max days) a growth pipeline tracks
+    // beside a23_funnel's stage counts. The per-user lag relation is
+    // |users|-sized, NOT bounded, so the median/p90 never sort it: they
+    // ride the bucketed-histogram EXACT positional selection (the
+    // a27/dq_outlier_iqr machinery — two map-side-combinable passes +
+    // one bucket-filtered probe). The oracle states the same ranks
+    // positionally; rank k ≡ min v with cumcount(≤v) ≥ k makes them
+    // hash-equal. Min/max are plain aggregates on the same cached lag
+    // relation.
+    QueryDef("a53_time_to_convert",
+      """WITH s AS (SELECT user_id, MIN(epoch_us(ts)) AS s_ts
+        |           FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_ts
+        |      FROM events e JOIN s ON s.user_id = e.user_id
+        |      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.s_ts
+        |      GROUP BY 1),
+        |l AS (SELECT p.user_id, (p.p_ts - s.s_ts) // 86400000000 AS lag_days
+        |      FROM p JOIN s ON s.user_id = p.user_id),
+        |r AS (SELECT lag_days, ROW_NUMBER() OVER (ORDER BY lag_days) AS rn,
+        |             COUNT(*) OVER () AS n FROM l)
+        |SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
+        |  CAST(MIN(lag_days) AS BIGINT) AS min_days,
+        |  CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN lag_days END) AS BIGINT) AS p50_days,
+        |  CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN lag_days END) AS BIGINT) AS p90_days,
+        |  CAST(MAX(lag_days) AS BIGINT) AS max_days
+        |FROM r""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ev = events(s, dir)
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts_us").as("s_ts"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .join(su, "user_id")
+        .filter(col("ts_us") >= col("s_ts"))
+        .groupBy("user_id").agg(min("ts_us").as("p_ts"), min("s_ts").as("s_ts"))
+      val lags = pu
+        .select(lit("all").as("event_type"),
+          expr("(p_ts - s_ts) div 86400000000L").as("v"))
+        .persist() // feeds the selection passes AND the min/max rollup
+      val sel = ExtraQueries.typedPositionalSelect(s, lags,
+        n => Seq("p50" -> (n + 1) / 2, "p90" -> (9 * n + 9) / 10))
+      val mm = lags.agg(min("v").cast("long").as("min_days"),
+        max("v").cast("long").as("max_days"))
+      val bands = Seq((sel(("all", "p50"))._1, sel(("all", "p50"))._2,
+        sel(("all", "p90"))._2))
+        .toDF("n_converted", "p50_days", "p90_days")
+      val out = bands.crossJoin(mm)
+        .select(col("n_converted"), col("min_days"), col("p50_days"),
+          col("p90_days"), col("max_days"))
+      CacheScope.sealResult(out, lags)
     }
   )
 }

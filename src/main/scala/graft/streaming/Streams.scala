@@ -1166,6 +1166,36 @@ object Streams {
         })
   }
 
+  /** Last-touch state: the most recent non-purchase event type seen for
+    * the user — ONE string, the smallest state record in the file. */
+  case class TouchState(channel: String)
+  case class TouchOut(user_id: Long, event_id: Long, channel: String, cents: Long)
+
+  /** Streaming twin of batch `a48_attribution`'s assignment step: each
+    * purchase emits the channel (last PRECEDING non-purchase type, or
+    * 'organic') it is credited to, with exact cents — the per-event
+    * view whose per-channel rollup equals the batch query (pinned by
+    * StreamingSpec). Ordering contract as the other keyed twins. */
+  def lastTouch(events: Dataset[Ev]): Dataset[TouchOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, evs: Iterator[Ev], state: GroupState[TouchState]) => {
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var touch = state.getOption.map(_.channel)
+          val out = Seq.newBuilder[TouchOut]
+          sorted.foreach { e =>
+            if (e.event_type == "purchase")
+              out += TouchOut(uid, e.event_id, touch.getOrElse("organic"),
+                math.floor(e.value * 100 + 0.5).toLong)
+            else touch = Some(e.event_type)
+          }
+          touch.foreach(t => state.update(TouchState(t)))
+          out.result().iterator
+        })
+  }
+
   /** Per-window PSI state / output for [[driftPsi]]. */
   case class PsiCounts(counts: Seq[Long])
   case class PsiOut(window_start: java.sql.Timestamp, n_cur: Long, psi: Double)

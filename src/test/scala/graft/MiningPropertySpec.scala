@@ -277,6 +277,26 @@ class MiningPropertySpec extends SparkSpec {
     }
   }
 
+  test("a53_time_to_convert: ordered bands, exact positional values vs the brute sort") {
+    val (n, mn, p50, p90, mx) = SparkEntry.queries("a53_time_to_convert")(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(mn <= p50 && p50 <= p90 && p90 <= mx, s"bands disordered: $mn $p50 $p90 $mx")
+    val ev = graft.core.Graft.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts_us"))
+      .as[(Long, String, Long)].collect()
+    val lags = ev.groupBy(_._1).flatMap { case (_, ue) =>
+      val s = ue.filter(_._2 == "signup").map(_._3).minOption
+      s.flatMap { sTs =>
+        ue.filter(e => e._2 == "purchase" && e._3 >= sTs).map(_._3).minOption
+          .map(p => (p - sTs) / 86400000000L)
+      }
+    }.toSeq.sorted
+    assert(n == lags.length)
+    assert(mn == lags.head && mx == lags.last)
+    assert(p50 == lags(((n + 1) / 2 - 1).toInt), "median not the positional value")
+    assert(p90 == lags(((9 * n + 9) / 10 - 1).toInt), "p90 not the positional value")
+  }
+
   test("t_burstiness: burst ≥ 1e6 (cf ≥ df), nonneg variance, df bounded by corpus") {
     val nDocs = graft.core.Graft.table(spark, dir, "documents").count()
     val rows = SparkEntry.queries("t_burstiness")(spark, dir)

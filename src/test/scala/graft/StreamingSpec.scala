@@ -1011,6 +1011,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("lastTouch across micro-batches: per-channel rollup ≡ batch a48_attribution") {
+    implicit val sqlCtx = spark.sqlContext
+    // user 7: view → purchase (view credit), click → purchase (click),
+    // purchase FIRST in a batch whose preceding touch arrived last batch
+    // (carry), and user 8's leading purchase with no touch → organic
+    val evs = Seq(
+      Ev(1, ts(1), 7, "view", 10.0), Ev(2, ts(2), 7, "purchase", 5.0),
+      Ev(3, ts(3), 7, "click", 1.0),
+      Ev(4, ts(4), 7, "purchase", 7.0), Ev(5, ts(5), 7, "purchase", 3.0),
+      Ev(6, ts(1), 8, "purchase", 9.0), Ev(7, ts(2), 8, "error", 1.0))
+    val mem = MemoryStream[Ev]
+    val q = Streams.lastTouch(mem.toDS())
+      .writeStream.format("memory").queryName("stouch").outputMode("append").start()
+    try {
+      mem.addData(evs.filter(_.event_id <= 3): _*)
+      q.processAllAvailable()
+      mem.addData(evs.filter(_.event_id > 3): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("stouch")
+        .groupBy(org.apache.spark.sql.functions.col("channel"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).cast("long").as("n_purchases"),
+          org.apache.spark.sql.functions.sum("cents").cast("long").as("revenue_cents"))
+        .as[(String, Long, Long)].collect().toSet
+      val dir = java.nio.file.Files.createTempDirectory("stouch").toString
+      evs.toDF().withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+        .write.parquet(s"$dir/events.parquet")
+      val batch = SparkEntry.queries("a48_attribution")(spark, dir)
+        .as[(String, Long, Long)].collect().toSet
+      assert(streamed == batch, s"stream $streamed\nvs batch $batch")
+      assert(streamed.exists(_._1 == "organic"), "expected the organic bucket")
+    } finally q.stop()
+  }
+
   test("driftPsi closes once on the watermark; PSI ≡ the batch dq_psi arithmetic") {
     implicit val sqlCtx = spark.sqlContext
     // the driftTvd fixture exactly: ref buckets (20,20,0,...), W0 observes

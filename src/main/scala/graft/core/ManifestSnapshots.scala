@@ -1337,6 +1337,50 @@ object ManifestSnapshots {
     }
   }
 
+  /** A [[readVersionMatchingKeys]] result: the surviving frame plus the
+    * prune arithmetic the caller can pin ("the old-side read touched
+    * candidateFiles of totalFiles"). */
+  final case class KeyPrunedRead(df: DataFrame, candidateFiles: Long,
+      totalFiles: Long)
+
+  /** Version-pinned read KEEPING ONLY the files that may contain key
+    * tuples from `probe` — mergeByKey's two-tier discovery pruning
+    * (manifest zone maps on the probe's per-key [min, max], then the
+    * per-file bloom sidecars when the store indexes exactly `keys`)
+    * exposed as a read, for consumers that join a small delta against a
+    * big stored side (incremental join-view maintenance: the classic
+    * A_old ⋈ ΔB leg must NOT read all of A_old). File-granular and
+    * conservative: the result may contain non-matching ROWS (the
+    * caller's equi-join applies the exact predicate — bloom false
+    * positives and zone-map survivors wash out there), never misses a
+    * matching one, and an entry without stats or sidecar always
+    * survives. Composes with time travel: `version`'s manifest is the
+    * file universe, so the read is exact against that snapshot. */
+  def readVersionMatchingKeys(spark: SparkSession, dir: String,
+      version: Long, probe: DataFrame, keys: Seq[String]): KeyPrunedRead = {
+    require(keys.nonEmpty, "readVersionMatchingKeys needs key columns")
+    val entries = entriesOf(spark, dir, version)
+    val bounds = deltaKeyBounds(probe, keys)
+    val strBounds = deltaKeyStrBounds(probe, keys)
+    val zm = entries.filter(e =>
+      !statsDisjoint(e, bounds) && !sstatsDisjoint(e, strBounds))
+    val candidates =
+      if (bloomIndexKeys(spark, dir).contains(keys))
+        deltaKeyHashes(probe, keys).map(bloomPrune(spark, dir, zm, _))
+          .getOrElse(zm)
+      else zm
+    val declared = declaredColumns(spark, dir).filter(_.since <= version)
+    val dropped = droppedColumns(spark, dir).filter(_.since <= version).map(_.name)
+    val base =
+      if (candidates.nonEmpty)
+        readEntries(spark, dir.stripSuffix("/"), candidates, declared)
+      else if (entries.nonEmpty) // all pruned: empty frame in THIS version's schema
+        readEntries(spark, dir.stripSuffix("/"), entries, declared).limit(0)
+      else emptyVersion(spark, dir, version, declared)
+    val df = if (dropped.isEmpty) base else base.drop(dropped: _*)
+    KeyPrunedRead(df, candidates.size.toLong, entries.size.toLong)
+  }
+
   /** The table's commit history as a metadata frame — (version, n_files,
     * n_rows, committed), resolved entirely from manifests plus the
     * pointer: zero data I/O, the DESCRIBE HISTORY surface a snapshot

@@ -75,7 +75,7 @@ object MaterializedView {
 
   /** Aggregate raw base rows into partials (used for both the full and
     * the delta sides — same shape, so merge is closed). */
-  private def aggregate(df: DataFrame, spec: MvSpec): DataFrame = {
+  private[pipeline] def aggregate(df: DataFrame, spec: MvSpec): DataFrame = {
     val aggs: Seq[Column] =
       spec.sums.map(c => sum(col(c).cast("decimal(38,6)")).as(s"sum_$c")) ++
         spec.mins.map(c => min(col(c)).as(s"min_$c")) ++
@@ -86,7 +86,7 @@ object MaterializedView {
 
   /** Merge two partial frames: SUM partials add, MIN/MAX re-extremize,
     * counts add — one shuffle on the keys, map-side combinable. */
-  private def merge(a: DataFrame, b: DataFrame, spec: MvSpec): DataFrame = {
+  private[pipeline] def merge(a: DataFrame, b: DataFrame, spec: MvSpec): DataFrame = {
     val aggs: Seq[Column] =
       spec.sums.map(c => sum(col(s"sum_$c")).as(s"sum_$c")) ++
         spec.mins.map(c => min(col(s"min_$c")).as(s"min_$c")) ++

@@ -1753,6 +1753,64 @@ object ExtraQueries {
           col("min_value"), col("max_value"), col("n_rows"))
     },
 
+    // ------------------------------------------------------------ STORAGE-JMV
+    // Incrementally-maintained JOIN view: per-nation revenue over
+    // orders ⋈ customer where BOTH bases grow by appends, refreshed via
+    // the delta-join identity (ΔA⋈B_new ∪ A_old⋈ΔB — the build REQUIRES
+    // the second refresh to take the incremental path) with both
+    // stored-side reads pruned by the delta's join-key zone maps
+    // (pipeline/JoinMaterializedView + readVersionMatchingKeys). The
+    // oracle is the full join + GROUP BY over the whole tables:
+    // delta-join maintenance must be semantically invisible, which the
+    // hash check proves exactly (decimal partials). The cross term lands
+    // too: the orders delta includes orders of customers that only
+    // arrive in the CUSTOMER delta (ΔA⋈ΔB ⊂ ΔA⋈B_new).
+    // JoinMaterializedViewSpec separately pins delta-only processing,
+    // the prune arithmetic on a key-clustered layout, and the
+    // per-side rewrite fallback.
+    QueryDef("mv_join_incremental",
+      """SELECT c.c_nationkey,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+        |    AS sum_o_totalprice,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.core.ManifestSnapshots
+      import graft.pipeline.JoinMaterializedView
+      import graft.pipeline.JoinMaterializedView.JoinMvSpec
+      import graft.pipeline.MaterializedView.MvSpec
+      val orders = Graft.table(s, dir, "orders")
+      val customer = Graft.table(s, dir, "customer")
+      val fp = Graft.dataFingerprint(s, s"$dir/orders.parquet")
+      def store(name: String, df: DataFrame, splitCol: String): String = {
+        val root = graft.core.StoreRoots.rootFor(name, "v1", dir, fp)
+        graft.core.StoreRoots.ensure(s, root) { tmp =>
+          val m = df.agg(max(col(splitCol))).head.getLong(0)
+          ManifestSnapshots.writeFull(
+            df.filter(col(splitCol) <= m - m / 4), tmp)
+          ManifestSnapshots.appendDelta(
+            df.filter(col(splitCol) > m - m / 4), tmp)
+        }
+        root
+      }
+      val aRoot = store("graft_jmv_orders", orders, "o_orderkey")
+      val bRoot = store("graft_jmv_customer", customer, "c_custkey")
+      val jm = JoinMvSpec("o_custkey", "c_custkey",
+        MvSpec(keys = Seq("c_nationkey"), sums = Seq("o_totalprice")))
+      val viewRoot = graft.core.StoreRoots.rootFor("graft_jmv_view", "v1", dir, fp)
+      graft.core.StoreRoots.ensure(s, viewRoot) { tmp =>
+        JoinMaterializedView.refresh(s, aRoot, bRoot, tmp, jm,
+          asOfA = Some(1L), asOfB = Some(1L))
+        val inc = JoinMaterializedView.refresh(s, aRoot, bRoot, tmp, jm)
+        require(inc.mode == "incremental",
+          s"second refresh must walk the delta legs, not restate; got ${inc.mode}")
+      }
+      JoinMaterializedView.serve(s, viewRoot)
+        .select(col("c_nationkey"),
+          col("sum_o_totalprice").cast("double").as("sum_o_totalprice"),
+          col("n_rows"))
+    },
+
     // ------------------------------------------------------------------ DQ-5
     // Benford first-digit audit — the classic fabricated-amounts screen
     // (synthetic or tampered financial data drifts from the logarithmic

@@ -1,0 +1,123 @@
+package graft
+
+import graft.core.ManifestSnapshots
+import graft.pipeline.JoinMaterializedView
+import graft.pipeline.JoinMaterializedView.JoinMvSpec
+import graft.pipeline.MaterializedView.MvSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Delta-join view maintenance (pipeline/JoinMaterializedView): pins
+  *  (1) incremental ≡ full — a join view refreshed across appends ON
+  *      BOTH SIDES (including the ΔA⋈ΔB cross term) equals a one-shot
+  *      recompute of the full join EXACTLY,
+  *  (2) delta-leg-only processing — RefreshStats accounts the two legs'
+  *      delta rows, never the tables,
+  *  (3) the prune arithmetic — on a key-clustered stored side, the
+  *      A_old ⋈ ΔB leg reads only the files the delta's join keys can
+  *      touch (readVersionMatchingKeys' zone-map tier),
+  *  (4) the per-side soundness gate — a rewriting version on EITHER
+  *      base forces a full restate, and
+  *  (5) noop on an already-current view.
+  */
+class JoinMaterializedViewSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // facts reference dim keys; the view is per-group (g = dk % 5) sums
+  private val jm = JoinMvSpec("fk", "dk",
+    MvSpec(keys = Seq("g"), sums = Seq("v")))
+
+  private def facts(ids: Range, dimMod: Int): DataFrame =
+    ids.toDF("id").select(col("id").as("fact_id"),
+      (col("id") % dimMod).cast("long").as("fk"),
+      (col("id") * 0.5 + 1.0).as("v"))
+
+  private def dims(keys: Range): DataFrame =
+    keys.toDF("k").select(col("k").cast("long").as("dk"),
+      (col("k") % 5).cast("long").as("g"))
+
+  private def fullRecompute(a: DataFrame, b: DataFrame): DataFrame =
+    a.join(b, col("fk") === col("dk"))
+      .groupBy("g")
+      .agg(sum(col("v").cast("decimal(38,6)")).as("sum_v"),
+        count(lit(1)).as("n_rows"))
+
+  private def assertSame(x: DataFrame, y: DataFrame): Unit = {
+    val cols = x.columns.sorted.map(col(_))
+    assert(x.select(cols: _*).except(y.select(cols: _*)).isEmpty &&
+      y.select(cols: _*).except(x.select(cols: _*)).isEmpty,
+      "join view diverged from the full recompute")
+  }
+
+  test("incremental across two-sided appends ≡ one-shot; cross term lands; noop") {
+    val aDir = tmpDir("jmva") + "/a"
+    val bDir = tmpDir("jmvb") + "/b"
+    val view = tmpDir("jmvv") + "/v"
+    // v1: facts referencing dims 0..39 only; dims 0..39
+    ManifestSnapshots.writeFull(facts(0 until 400, 40), aDir)
+    ManifestSnapshots.writeFull(dims(0 until 40), bDir)
+    val s1 = JoinMaterializedView.refresh(spark, aDir, bDir, view, jm)
+    assert(s1.mode == "full")
+
+    // ΔA: 100 facts spanning dims 0..49 — fk 40..49 exist ONLY in ΔB
+    // (the cross term); ΔB: dims 40..49
+    ManifestSnapshots.appendDelta(facts(400 until 500, 50), aDir)
+    ManifestSnapshots.appendDelta(dims(40 until 50), bDir)
+    val s2 = JoinMaterializedView.refresh(spark, aDir, bDir, view, jm)
+    assert(s2.mode == "incremental", s"expected incremental, got ${s2.mode}")
+    assert(s2.deltaRowsA == 100 && s2.deltaRowsB == 10,
+      s"delta legs must carry 100/10 rows, saw ${s2.deltaRowsA}/${s2.deltaRowsB}")
+
+    assertSame(JoinMaterializedView.serve(spark, view),
+      fullRecompute(facts(0 until 500, 50), dims(0 until 50)))
+
+    val s3 = JoinMaterializedView.refresh(spark, aDir, bDir, view, jm)
+    assert(s3.mode == "noop")
+  }
+
+  test("A_old ⋈ ΔB reads only the zone-map-matched files of the clustered fact side") {
+    val aDir = tmpDir("jmvpa") + "/a"
+    val bDir = tmpDir("jmvpb") + "/b"
+    val view = tmpDir("jmvpv") + "/v"
+    // fact side key-clustered into 8 disjoint fk ranges (8 files with
+    // tight zone maps); dims complete
+    ManifestSnapshots.writeFull(
+      facts(0 until 800, 80).repartitionByRange(8, col("fk")), aDir)
+    ManifestSnapshots.writeFull(dims(0 until 70), bDir)
+    JoinMaterializedView.refresh(spark, aDir, bDir, view, jm)
+
+    // ΔB: the LAST dim decile only — its fk band lives in ~1 of A's 8 files
+    ManifestSnapshots.appendDelta(dims(70 until 80), bDir)
+    val s = JoinMaterializedView.refresh(spark, aDir, bDir, view, jm)
+    assert(s.mode == "incremental" && s.deltaRowsB == 10)
+    assert(s.aFilesTotal == 8, s"expected 8 clustered fact files, saw ${s.aFilesTotal}")
+    assert(s.aFilesRead < s.aFilesTotal,
+      s"the old-side read must prune: ${s.aFilesRead} of ${s.aFilesTotal}")
+    assertSame(JoinMaterializedView.serve(spark, view),
+      fullRecompute(facts(0 until 800, 80), dims(0 until 80)))
+  }
+
+  test("a rewriting version on either base forces a full restate") {
+    val aDir = tmpDir("jmvrwa") + "/a"
+    val bDir = tmpDir("jmvrwb") + "/b"
+    val view = tmpDir("jmvrwv") + "/v"
+    ManifestSnapshots.writeFull(
+      facts(0 until 200, 20).withColumn("p", col("fk") % 2),
+      aDir, partitionCols = Seq("p"))
+    ManifestSnapshots.writeFull(dims(0 until 20), bDir)
+    JoinMaterializedView.refresh(spark, aDir, bDir, view, jm)
+
+    // copy-on-write restate of fact partition p=0 with different values
+    ManifestSnapshots.replacePartitions(
+      facts(0 until 200, 20).withColumn("p", col("fk") % 2)
+        .filter(col("p") === 0).withColumn("v", col("v") * 3),
+      aDir, Seq("p"))
+    val s = JoinMaterializedView.refresh(spark, aDir, bDir, view, jm)
+    assert(s.mode == "full",
+      s"fact-side entries were removed; refresh must restate, got ${s.mode}")
+    assertSame(JoinMaterializedView.serve(spark, view),
+      fullRecompute(ManifestSnapshots.readLatest(spark, aDir).drop("p"),
+        dims(0 until 20)))
+  }
+}

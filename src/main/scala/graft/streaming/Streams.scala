@@ -772,6 +772,39 @@ object Streams {
       }
       .start()
 
+  /** Streaming JOIN-view maintenance — [[foreachBatchViewMaintenance]]'s
+    * two-table sibling: each micro-batch of FACT rows lands in the A
+    * base behind the same bloom-fronted row-identity replay guard, then
+    * [[graft.pipeline.JoinMaterializedView.refresh]] folds BOTH bases'
+    * outstanding deltas through the delta-join legs (the dim side may
+    * advance between batches via any other writer — batch appends,
+    * another stream; refresh reads versions, not this stream's state).
+    * Exactly-once composition and crash-window catch-up are inherited
+    * unchanged: the view state's (va, vb) stamp is the idempotence
+    * ledger, so a replayed refresh is a noop and a skipped one is
+    * caught up by the next batch or any batch-mode refresh. */
+  def foreachBatchJoinViewMaintenance(
+      factDeltas: DataFrame,
+      aDir: String,
+      bDir: String,
+      viewDir: String,
+      jm: graft.pipeline.JoinMaterializedView.JoinMvSpec,
+      keys: Seq[String],
+      checkpoint: String): StreamingQuery =
+    factDeltas.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        if (!batch.isEmpty)
+          ManifestSnapshots.appendDeltaGuarded(s, aDir, batch, keys): Unit
+        if (ManifestSnapshots.latestVersion(s, aDir).nonEmpty
+            && ManifestSnapshots.latestVersion(s, bDir).nonEmpty)
+          graft.pipeline.JoinMaterializedView.refresh(
+            s, aDir, bDir, viewDir, jm): Unit
+      }
+      .start()
+
   /** Streaming medallion on the CDC substrate: each micro-batch of STAGE
     * rows lands in the analytics chain behind the row-identity replay
     * guard and folds into the per-user feature state via the CDC refresh

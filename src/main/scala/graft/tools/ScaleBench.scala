@@ -75,7 +75,15 @@ object ScaleBench {
     // pinned-log wave: the two graph walkers and the per-row/window
     // growth candidates (the bounded-relation DQ logs ride as controls)
     "g_adamic_adar", "g_ppr", "w22_bollinger", "t_char_entropy",
-    "t_zipf_slope", "dq_psi", "dq_mutual_info")
+    "t_zipf_slope", "dq_psi", "dq_mutual_info",
+    // mining/attribution waves: the pair-relation projection, the
+    // banded multi-touch join, the |E|-dedup degree rollups, and the
+    // per-row windows are the growth risks; the bounded trend tests
+    // ride as controls
+    "g_bipartite_proj", "g_degree_gini", "g_rich_club",
+    "a52_decay_attribution", "a48_attribution", "w23_rsi",
+    "a51_markov_entropy", "t_js_sources", "t_burstiness",
+    "a45_mann_kendall", "mv_join_incremental")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

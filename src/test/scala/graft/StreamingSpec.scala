@@ -472,6 +472,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming join-view maintenance: two-sided deltas fold exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.core.ManifestSnapshots
+    import graft.pipeline.JoinMaterializedView
+    import graft.pipeline.JoinMaterializedView.JoinMvSpec
+    import graft.pipeline.MaterializedView.MvSpec
+    val aDir = tmpDir("sjmv-a") + "/a"
+    val bDir = tmpDir("sjmv-b") + "/b"
+    val viewDir = tmpDir("sjmv-v") + "/v"
+    val ckpt = tmpDir("sjmv-ck")
+    val jm = JoinMvSpec("fk", "dk", MvSpec(keys = Seq("g"), sums = Seq("v")))
+    // dims land OUTSIDE the stream (another writer's appends)
+    ManifestSnapshots.writeFull(
+      Seq((0L, 0L), (1L, 1L)).toDF("dk", "g"), bDir)
+    val mem = MemoryStream[(Long, Long, Double)] // (id, fk, v)
+    val q = Streams.foreachBatchJoinViewMaintenance(
+      mem.toDF().toDF("id", "fk", "v"), aDir, bDir, viewDir, jm,
+      keys = Seq("id"), checkpoint = ckpt)
+    try {
+      mem.addData((1L, 0L, 10.0), (2L, 1L, 5.0))
+      q.processAllAvailable()
+      // the dim side advances between micro-batches; batch 2 REDELIVERS
+      // id=2 and adds a fact referencing the NEW dim (the cross term)
+      ManifestSnapshots.appendDelta(Seq((2L, 0L)).toDF("dk", "g"), bDir)
+      mem.addData((3L, 2L, 2.5), (2L, 1L, 5.0))
+      q.processAllAvailable()
+
+      assert(ManifestSnapshots.readLatest(spark, aDir).count() == 3,
+        "replay guard must admit 3 distinct facts")
+      val served = JoinMaterializedView.serve(spark, viewDir)
+        .select(col("g"), col("sum_v").cast("double").as("s"), col("n_rows"))
+        .as[(Long, Double, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(served(0L) == ((12.5, 2L)), s"g=0 partials wrong: $served")
+      assert(served(1L) == ((5.0, 1L)), s"redelivered fact double-counted: $served")
+      // a batch-mode refresh on the same state is a noop — shared ledger
+      val s = JoinMaterializedView.refresh(spark, aDir, bDir, viewDir, jm)
+      assert(s.mode == "noop", s"stream state must BE the batch state, got ${s.mode}")
+    } finally q.stop()
+  }
+
   test("streaming medallion CDC: stream-maintained features ≡ batch cycle; redelivery lands once") {
     implicit val sqlCtx = spark.sqlContext
     import graft.pipeline.MedallionCdc

@@ -686,6 +686,145 @@ object MiningQueries {
         .select(col("n_converted"), col("min_days"), col("p50_days"),
           col("p90_days"), col("max_days"))
       CacheScope.sealResult(out, lags)
+    },
+
+    // ------------------------------------------------------------------ A-54
+    // Cohort lifetime value: cumulative purchase revenue per
+    // (first-activity-week cohort, week offset) with per-user LTV —
+    // a24_cohort's retention triangle upgraded from presence counts to
+    // exact revenue cents (the curve a growth model actually fits).
+    // Weeks are integer floor division on epoch micros (the a24
+    // discipline — never engine week-start conventions); the cumulative
+    // window runs over the BOUNDED (cohort × offset) triangle, and
+    // per-user LTV is ONE truncating division. Fact-scale cost: one
+    // (user, week) rollup + the user-keyed first-week join.
+    QueryDef("a54_cohort_ltv",
+      """WITH uw AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week,
+        |    CASE WHEN event_type = 'purchase'
+        |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END AS cents
+        |  FROM events),
+        |uwk AS (SELECT user_id, week, CAST(SUM(cents) AS BIGINT) AS rev
+        |        FROM uw GROUP BY 1, 2),
+        |fw AS (SELECT user_id, MIN(week) AS cohort FROM uwk GROUP BY 1),
+        |cell AS (SELECT f.cohort, u.week - f.cohort AS offs,
+        |           CAST(SUM(u.rev) AS BIGINT) AS rev
+        |         FROM uwk u JOIN fw f ON f.user_id = u.user_id GROUP BY 1, 2),
+        |cs AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_users FROM fw GROUP BY 1)
+        |SELECT c.cohort, c.offs, c.rev, cs.n_users,
+        |  CAST(SUM(c.rev) OVER (PARTITION BY c.cohort ORDER BY c.offs) AS BIGINT)
+        |    AS cum_rev,
+        |  CAST(SUM(c.rev) OVER (PARTITION BY c.cohort ORDER BY c.offs) AS BIGINT)
+        |    // cs.n_users AS ltv_cents
+        |FROM cell c JOIN cs ON cs.cohort = c.cohort""".stripMargin) { (s, dir) =>
+      val weekUs = 604800000000L
+      val uwk = events(s, dir)
+        .select(col("user_id"), expr(s"ts_us div ${weekUs}L").as("week"),
+          when(col("event_type") === "purchase",
+            floor(col("value") * 100 + 0.5).cast("long")).otherwise(0L).as("cents"))
+        .groupBy("user_id", "week").agg(sum("cents").cast("long").as("rev"))
+        .persist() // feeds the cohort min AND the cell rollup
+      val fw = uwk.groupBy("user_id").agg(min("week").as("cohort"))
+      val cell = uwk.join(fw, "user_id")
+        .groupBy(col("cohort"), (col("week") - col("cohort")).as("offs"))
+        .agg(sum("rev").cast("long").as("rev"))
+      val cs = fw.groupBy("cohort").agg(count(lit(1)).cast("long").as("n_users"))
+      val wCum = Window.partitionBy("cohort").orderBy("offs")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val out = cell.join(cs, "cohort")
+        .withColumn("cum_rev", sum("rev").over(wCum).cast("long"))
+        .select(col("cohort"), col("offs"), col("rev"), col("n_users"),
+          col("cum_rev"), expr("cum_rev div n_users").as("ltv_cents"))
+      CacheScope.sealResult(out, uwk)
+    },
+
+    // ------------------------------------------------------------------ A-55
+    // RFM segmentation: every user scored 1–5 on Recency (days since
+    // last activity vs the corpus max), Frequency (purchase count) and
+    // Monetary (purchase cents), bucketed by VALUE-quintile thresholds
+    // — the classic marketing segmentation grid, rolled up to the
+    // bounded (r, f, m) cell relation. Thresholds are EXACT positional
+    // ranks ⌈i·n/5⌉ over each measure: the oracle states them with
+    // ROW_NUMBER; the Spark side rides typedPositionalSelect (NO
+    // |users| sort — the a27 histogram machinery, three calls on one
+    // cached measure relation). A score is 1 + #(thresholds strictly
+    // below the value): value-deterministic under ties in both engines
+    // by construction, unlike NTILE (positional, tie-ambiguous). Scale:
+    // one fact rollup to |users| rows, bounded everything after.
+    QueryDef("a55_rfm",
+      """WITH gmax AS (SELECT MAX(epoch_us(ts)) AS mts FROM events),
+        |m AS (SELECT e.user_id,
+        |    (gmax.mts - MAX(epoch_us(e.ts))) // 86400000000 AS rec,
+        |    CAST(SUM(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS freq,
+        |    CAST(SUM(CASE WHEN e.event_type = 'purchase'
+        |      THEN CAST(floor(e.value * 100 + 0.5) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS mon
+        |  FROM events e, gmax GROUP BY e.user_id, gmax.mts),
+        |qr AS (SELECT CAST(MAX(CASE WHEN rn = (1 * n + 4) // 5 THEN v END) AS BIGINT) AS q1,
+        |         CAST(MAX(CASE WHEN rn = (2 * n + 4) // 5 THEN v END) AS BIGINT) AS q2,
+        |         CAST(MAX(CASE WHEN rn = (3 * n + 4) // 5 THEN v END) AS BIGINT) AS q3,
+        |         CAST(MAX(CASE WHEN rn = (4 * n + 4) // 5 THEN v END) AS BIGINT) AS q4
+        |       FROM (SELECT rec AS v, ROW_NUMBER() OVER (ORDER BY rec) AS rn,
+        |               COUNT(*) OVER () AS n FROM m)),
+        |qf AS (SELECT CAST(MAX(CASE WHEN rn = (1 * n + 4) // 5 THEN v END) AS BIGINT) AS q1,
+        |         CAST(MAX(CASE WHEN rn = (2 * n + 4) // 5 THEN v END) AS BIGINT) AS q2,
+        |         CAST(MAX(CASE WHEN rn = (3 * n + 4) // 5 THEN v END) AS BIGINT) AS q3,
+        |         CAST(MAX(CASE WHEN rn = (4 * n + 4) // 5 THEN v END) AS BIGINT) AS q4
+        |       FROM (SELECT freq AS v, ROW_NUMBER() OVER (ORDER BY freq) AS rn,
+        |               COUNT(*) OVER () AS n FROM m)),
+        |qm AS (SELECT CAST(MAX(CASE WHEN rn = (1 * n + 4) // 5 THEN v END) AS BIGINT) AS q1,
+        |         CAST(MAX(CASE WHEN rn = (2 * n + 4) // 5 THEN v END) AS BIGINT) AS q2,
+        |         CAST(MAX(CASE WHEN rn = (3 * n + 4) // 5 THEN v END) AS BIGINT) AS q3,
+        |         CAST(MAX(CASE WHEN rn = (4 * n + 4) // 5 THEN v END) AS BIGINT) AS q4
+        |       FROM (SELECT mon AS v, ROW_NUMBER() OVER (ORDER BY mon) AS rn,
+        |               COUNT(*) OVER () AS n FROM m)),
+        |scored AS (SELECT
+        |    1 + CASE WHEN m.rec > qr.q1 THEN 1 ELSE 0 END
+        |      + CASE WHEN m.rec > qr.q2 THEN 1 ELSE 0 END
+        |      + CASE WHEN m.rec > qr.q3 THEN 1 ELSE 0 END
+        |      + CASE WHEN m.rec > qr.q4 THEN 1 ELSE 0 END AS r_score,
+        |    1 + CASE WHEN m.freq > qf.q1 THEN 1 ELSE 0 END
+        |      + CASE WHEN m.freq > qf.q2 THEN 1 ELSE 0 END
+        |      + CASE WHEN m.freq > qf.q3 THEN 1 ELSE 0 END
+        |      + CASE WHEN m.freq > qf.q4 THEN 1 ELSE 0 END AS f_score,
+        |    1 + CASE WHEN m.mon > qm.q1 THEN 1 ELSE 0 END
+        |      + CASE WHEN m.mon > qm.q2 THEN 1 ELSE 0 END
+        |      + CASE WHEN m.mon > qm.q3 THEN 1 ELSE 0 END
+        |      + CASE WHEN m.mon > qm.q4 THEN 1 ELSE 0 END AS m_score,
+        |    m.mon
+        |  FROM m, qr, qf, qm)
+        |SELECT r_score, f_score, m_score,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(mon) AS BIGINT) AS cell_cents
+        |FROM scored GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ev = events(s, dir)
+      val gmax = ev.agg(max("ts_us")).head.getLong(0)
+      val m = ev.groupBy("user_id")
+        .agg(expr(s"(${gmax}L - max(ts_us)) div 86400000000L").as("rec"),
+          sum(when(col("event_type") === "purchase", 1).otherwise(0))
+            .cast("long").as("freq"),
+          sum(when(col("event_type") === "purchase",
+            floor(col("value") * 100 + 0.5).cast("long")).otherwise(0L))
+            .cast("long").as("mon"))
+        .persist() // feeds three selection passes AND the scoring scan
+      def quints(c: String): Seq[Long] = {
+        val sel = ExtraQueries.typedPositionalSelect(s,
+          m.select(lit("all").as("event_type"), col(c).as("v")),
+          n => (1 to 4).map(i => s"q$i" -> (i * n + 4) / 5))
+        (1 to 4).map(i => sel(("all", s"q$i"))._2)
+      }
+      val (rq, fq, mq) = (quints("rec"), quints("freq"), quints("mon"))
+      def score(c: String, qs: Seq[Long]) =
+        qs.foldLeft(lit(1)) { (acc, q) =>
+          acc + when(col(c) > q, 1).otherwise(0) }
+      val out = m.select(
+        score("rec", rq).as("r_score"), score("freq", fq).as("f_score"),
+        score("mon", mq).as("m_score"), col("mon"))
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(count(lit(1)).cast("long").as("n_users"),
+          sum("mon").cast("long").as("cell_cents"))
+      CacheScope.sealResult(out, m)
     }
   )
 }

@@ -297,6 +297,58 @@ class MiningPropertySpec extends SparkSpec {
     assert(p90 == lags(((9 * n + 9) / 10 - 1).toInt), "p90 not the positional value")
   }
 
+  test("a54_cohort_ltv: cumulative monotone per cohort, total conserves purchase cents") {
+    val rows = SparkEntry.queries("a54_cohort_ltv")(spark, dir)
+      .select("cohort", "offs", "rev", "n_users", "cum_rev", "ltv_cents")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).values.foreach { cohort =>
+      val byOff = cohort.sortBy(_._2)
+      assert(byOff.map(_._5).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)),
+        "cum_rev not monotone")
+      assert(byOff.last._5 == byOff.map(_._3).sum, "cum != running total of cells")
+      byOff.foreach { r => assert(r._6 == r._5 / r._4, "ltv != truncated cum/users") }
+    }
+    val totCents = graft.core.Graft.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).cast("long"))
+      .as[Long].head()
+    assert(rows.map(_._3).sum == totCents, "cells do not conserve purchase cents")
+  }
+
+  test("a55_rfm: scores in 1..5, users and cents conserve, scores match brute thresholds") {
+    val rows = SparkEntry.queries("a55_rfm")(spark, dir)
+      .as[(Int, Int, Int, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (r, f, m, _, _) =>
+      assert(r >= 1 && r <= 5 && f >= 1 && f <= 5 && m >= 1 && m <= 5) }
+    val ev = graft.core.Graft.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts_us"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .as[(Long, String, Long, Long)].collect()
+    val gmax = ev.map(_._3).max
+    val ms = ev.groupBy(_._1).map { case (_, ue) =>
+      ((gmax - ue.map(_._3).max) / 86400000000L,
+        ue.count(_._2 == "purchase").toLong,
+        ue.filter(_._2 == "purchase").map(_._4).sum)
+    }.toSeq
+    assert(rows.map(_._4).sum == ms.length, "user count not conserved")
+    assert(rows.map(_._5).sum == ms.map(_._3).sum, "monetary cents not conserved")
+    // brute score distribution from positional thresholds must match
+    def qs(vs: Seq[Long]): Seq[Long] = {
+      val s = vs.sorted; val n = s.length.toLong
+      (1 to 4).map(i => s(((i * n + 4) / 5 - 1).toInt))
+    }
+    val (rq, fq, mq) = (qs(ms.map(_._1)), qs(ms.map(_._2)), qs(ms.map(_._3)))
+    def sc(v: Long, q: Seq[Long]) = 1 + q.count(v > _)
+    val brute = ms.groupBy(u => (sc(u._1, rq), sc(u._2, fq), sc(u._3, mq)))
+      .view.mapValues(_.length.toLong).toMap
+    rows.foreach { case (r, f, m, n, _) =>
+      assert(brute.getOrElse((r, f, m), 0L) == n,
+        s"cell ($r,$f,$m): n=$n vs brute=${brute.getOrElse((r, f, m), 0L)}")
+    }
+  }
+
   test("t_burstiness: burst ≥ 1e6 (cf ≥ df), nonneg variance, df bounded by corpus") {
     val nDocs = graft.core.Graft.table(spark, dir, "documents").count()
     val rows = SparkEntry.queries("t_burstiness")(spark, dir)

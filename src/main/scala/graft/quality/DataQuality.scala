@@ -213,6 +213,67 @@ object DataQuality {
     }
   }
 
+  /** Mann–Kendall trend statistic over a value series — the
+    * a45_mann_kendall arithmetic as a library call for the gate layer:
+    * exact integer S (forward pair signs), exact tie-corrected variance
+    * numerator n(n−1)(2n+5) − Σt(t−1)(2t+5), continuity-corrected z in
+    * three IEEE steps. Intended for the BOUNDED series a gate watches
+    * (daily rollups — a few thousand points), where the O(d²) pair loop
+    * is trivial; returns (s, var18, z). */
+  def mannKendall(series: Seq[Long]): (Long, Long, Double) = {
+    val n = series.length.toLong
+    var s = 0L
+    for (i <- series.indices; j <- (i + 1) until series.length)
+      s += java.lang.Long.signum(series(j) - series(i)).toLong
+    val tieTerm = series.groupBy(identity).values
+      .map(g => { val t = g.length.toLong; t * (t - 1) * (2 * t + 5) }).sum
+    val var18 = n * (n - 1) * (2 * n + 5) - tieTerm
+    val z =
+      if (var18 <= 0) 0.0
+      else if (s > 0) (s - 1).toDouble / math.sqrt(var18.toDouble / 18)
+      else if (s < 0) (s + 1).toDouble / math.sqrt(var18.toDouble / 18)
+      else 0.0
+    (s, var18, z)
+  }
+
+  /** Persisted trend gate — [[driftGate]]'s sibling for SECULAR drift
+    * that per-window divergences never see (a metric can pass every
+    * windowed PSI check while ratcheting monotonically; the Mann–Kendall
+    * z on the accumulated daily series catches exactly that). Each run
+    * appends the day's observation to the `<root>/_dq/trend-<name>`
+    * marker (bounded: the series keeps the most recent `maxDays`),
+    * then fails the run when |z| exceeds `maxAbsZ` over at least
+    * `minDays` observations. A failing run KEEPS the series that
+    * exposed it — the driftGate contract. Returns the measured z once
+    * the series is long enough. */
+  def trendGate(spark: SparkSession, day: Long, value: Long,
+      root: String, name: String, maxAbsZ: Double,
+      minDays: Int = 14, maxDays: Int = 3650): Option[Double] = {
+    import org.apache.hadoop.fs.Path
+    require(name.matches("[A-Za-z0-9_]+"), s"unsafe trend-gate name '$name'")
+    val path = new Path(s"${root.stripSuffix("/")}/_dq/trend-$name")
+    val stored: Seq[(Long, Long)] = graft.core.Markers.read(spark, path)
+      .map(_.linesIterator.filter(_.nonEmpty).map { l =>
+        val Array(d, v) = l.split('\t'); d.toLong -> v.toLong
+      }.toSeq).getOrElse(Nil)
+    // re-running the same day REPLACES its observation (idempotent DAG
+    // retries must not duplicate a point and shift the statistic)
+    val series = (stored.filterNot(_._1 == day) :+ (day -> value))
+      .sortBy(_._1).takeRight(maxDays)
+    val zOpt =
+      if (series.length < minDays) None
+      else Some(mannKendall(series.map(_._2))._3)
+    zOpt.foreach { z =>
+      require(math.abs(z) <= maxAbsZ,
+        f"data-quality trend gate '$name' failed: |z|=${math.abs(z)}%.3f > " +
+          f"$maxAbsZ%.3f over ${series.length} days (series kept — fix the " +
+          s"feed or re-baseline by deleting $path)")
+    }
+    graft.core.Markers.write(spark, path,
+      series.map { case (d, v) => s"$d\t$v" }.mkString("\n") + "\n")
+    zOpt
+  }
+
   /** Run checks; throw (failing the pipeline run, as the DAG does) if any
     * violations surface. */
   def gate(checks: Seq[(String, DataFrame)]): Unit = {

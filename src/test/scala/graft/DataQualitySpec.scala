@@ -155,6 +155,43 @@ class DataQualitySpec extends SparkSpec {
     assert(DataQuality.psi(Map(0L -> 10L), Map.empty).isPosInfinity)
   }
 
+  test("trendGate: warms up, passes noise, fails a monotone ramp keeping the series; idempotent days") {
+    val root = tmpDir("dq-trend-root")
+    // warmup: below minDays nothing is measured
+    (0 until 13).zip(Seq(5L, 7, 4, 6, 5, 8, 3, 6, 5, 7, 4, 6, 5)).foreach {
+      case (d, v) =>
+        assert(DataQuality.trendGate(spark, d.toLong, v, root, "m",
+          maxAbsZ = 2.0).isEmpty, s"day $d must be warmup")
+    }
+    // 14th noisy point: measured, small |z|, passes
+    val z0 = DataQuality.trendGate(spark, 13L, 6L, root, "m", maxAbsZ = 2.0)
+    assert(z0.exists(z => math.abs(z) < 2.0), z0.toString)
+    // re-running the SAME day with the same value replaces, not appends:
+    // the statistic is unchanged (idempotent DAG retries)
+    val z1 = DataQuality.trendGate(spark, 13L, 6L, root, "m", maxAbsZ = 2.0)
+    assert(z1 == z0, s"same-day retry moved z: $z0 -> $z1")
+    // a secular ramp pushes z past the bar — every windowed check of a
+    // slowly ratcheting metric would still pass; the trend gate fires
+    val ex = intercept[IllegalArgumentException] {
+      (14 until 28).foreach { d =>
+        DataQuality.trendGate(spark, d.toLong, 10L + d, root, "m",
+          maxAbsZ = 2.0): Unit
+      }
+    }
+    assert(ex.getMessage.contains("trend gate 'm' failed"), ex.getMessage)
+    // the failing day was NOT absorbed: the kept series re-exposes the
+    // failure on retry (the driftGate reference-kept contract)
+    val ex2 = intercept[IllegalArgumentException] {
+      DataQuality.trendGate(spark, 27L, 37L, root, "m", maxAbsZ = 2.0)
+    }
+    assert(ex2.getMessage.contains("trend gate 'm' failed"), ex2.getMessage)
+    // the gate's z IS the a45_mann_kendall arithmetic: same statistic,
+    // one definition (here: strictly increasing 14-point series)
+    val (s, var18, z) = DataQuality.mannKendall((1L to 14L))
+    assert(s == 14 * 13 / 2 && var18 == 14L * 13 * 33)
+    assert(z == (s - 1).toDouble / math.sqrt(var18.toDouble / 18))
+  }
+
   test("walletFeatureConstraints mirror the reference's three checks (data_quality_ethereum_wallet_features.sql)") {
     def feats(rows: (String, Long, Long, Double)*) =
       rows.toDF("wallet_address", "wallet_total_incoming_tx",

@@ -808,6 +808,75 @@ object StatQueries {
           .as("seasonal_idx"))
     },
 
+    // ---------------------------------------------------------------- A-56
+    // Kaplan–Meier time-to-conversion survival — the censoring-aware
+    // answer to "how long until a user's first high-value purchase"
+    // (a53's percentile bands silently DROP the users who never
+    // convert; KM keeps them as right-censored mass, which is the whole
+    // point of survival analysis). Event = first purchase with value >
+    // 90; lifetime = days from the user's first activity to that event,
+    // or to the corpus max for the censored. The curve is emitted as
+    // ln S(t) in 1e-9 nats — EXACT BIGINT: Σ ln((nᵢ−dᵢ)/nᵢ) over death
+    // times is a cumulative sum of pinned single-ratio logs, so the
+    // hash check covers the whole curve bit-for-bit (emitting S itself
+    // would need libm exp, which is not pinned across engines — the
+    // PinnedLog doc's rule). At-risk counts ride one DESC cumulative
+    // over the BOUNDED distinct-lifetime relation (days domain); the
+    // only fact-scale pass is the per-user first/last rollup. If a
+    // death time ever exhausts the risk set (S hits exactly 0, ln
+    // undefined) the curve emits NULL from that point — the flag is a
+    // running MAX, not a filter, so earlier rows stay exact.
+    QueryDef("a56_kaplan_meier", {
+      val inner = PinnedLogSql.chain(
+        """SELECT lt, d, n_risk FROM (
+          |  SELECT lt, CAST(SUM(death) AS BIGINT) AS d,
+          |    CAST(SUM(COUNT(*)) OVER (ORDER BY lt DESC) AS BIGINT) AS n_risk
+          |  FROM (
+          |    SELECT user_id,
+          |      (COALESCE(MIN(CASE WHEN event_type = 'purchase' AND value > 90
+          |                  THEN epoch_us(ts) END),
+          |                (SELECT MAX(epoch_us(ts)) FROM events))
+          |       - MIN(epoch_us(ts))) // 86400000000 AS lt,
+          |      CASE WHEN MIN(CASE WHEN event_type = 'purchase' AND value > 90
+          |                  THEN epoch_us(ts) END) IS NULL
+          |        THEN 0 ELSE 1 END AS death
+          |    FROM events GROUP BY user_id) u
+          |  GROUP BY lt) c
+          |WHERE d > 0""".stripMargin,
+        Seq("lt", "d", "n_risk"),
+        Seq(("GREATEST(n_risk - d, 1)", "n_risk", "ln_t")))
+      s"""SELECT lt, d, n_risk,
+         |  CASE WHEN MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+         |             OVER (ORDER BY lt) = 1 THEN NULL
+         |    ELSE CAST(SUM(ln_t) OVER (ORDER BY lt) AS BIGINT)
+         |  END AS ln_surv_nanos
+         |FROM ($inner)""".stripMargin
+    }) { (s, dir) =>
+      VectorExprs.register(s)
+      val ev = events(s, dir)
+      val gmax = ev.agg(max("ts_us")).head.getLong(0)
+      val hit = min(when(col("event_type") === "purchase"
+        && col("value") > 90, col("ts_us")))
+      val u = ev.groupBy("user_id")
+        .agg(((coalesce(hit, lit(gmax)) - min("ts_us"))
+          .cast("long")).as("us_lt"),
+          when(hit.isNull, 0).otherwise(1).as("death"))
+        .select(expr("us_lt div 86400000000L").as("lt"), col("death"))
+      val wRisk = Window.orderBy(col("lt").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val c = u.groupBy("lt")
+        .agg(sum("death").cast("long").as("d"), count(lit(1)).as("cnt"))
+        .withColumn("n_risk", sum("cnt").over(wRisk).cast("long"))
+        .filter(col("d") > 0)
+        .withColumn("ln_t", expr("ln_nanos(GREATEST(n_risk - d, 1L), n_risk)"))
+      val wCum = Window.orderBy("lt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      c.select(col("lt"), col("d"), col("n_risk"),
+        when(max(when(col("d") >= col("n_risk"), 1).otherwise(0)).over(wCum) === 1,
+          lit(null))
+          .otherwise(sum("ln_t").over(wCum).cast("long")).as("ln_surv_nanos"))
+    },
+
     // ---------------------------------------------------------------- A-51
     // Entropy rate of the user-journey Markov chain — "how predictable
     // is the next event given the current one", the sequence-level

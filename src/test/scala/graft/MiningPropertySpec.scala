@@ -349,6 +349,28 @@ class MiningPropertySpec extends SparkSpec {
     }
   }
 
+  test("a56_kaplan_meier: ln S ≤ 0, non-increasing, within pinned bound of brute KM") {
+    val rows = SparkEntry.queries("a56_kaplan_meier")(spark, dir)
+      .select("lt", "d", "n_risk", "ln_surv_nanos")
+      .as[(Long, Long, Long, Option[Long])].collect().sortBy(_._1)
+    assert(rows.nonEmpty)
+    assert(rows.map(_._3).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)),
+      "risk set must shrink with time")
+    val defined = rows.takeWhile(_._4.isDefined)
+    assert(defined.map(_._4.get).forall(_ <= 0), "ln S must be ≤ 0")
+    assert(defined.map(_._4.get).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)),
+      "survival must be non-increasing")
+    // brute KM on the same (d, n_risk) pairs via true ln, within the
+    // pinned bound (one log per death time, each < 1e-7 nats off)
+    var acc = 0.0
+    defined.foreach { case (_, d, n, Some(lnS)) =>
+      acc += math.log((n - d).toDouble / n)
+      assert(math.abs(lnS / 1e9 - acc) < 1e-6 * defined.length,
+        s"pinned lnS=${lnS / 1e9} vs brute=$acc")
+    case _ => ()
+    }
+  }
+
   test("t_burstiness: burst ≥ 1e6 (cf ≥ df), nonneg variance, df bounded by corpus") {
     val nDocs = graft.core.Graft.table(spark, dir, "documents").count()
     val rows = SparkEntry.queries("t_burstiness")(spark, dir)

@@ -396,6 +396,61 @@ object MiningQueries {
         .orderBy(col("cf").desc, col("token")).limit(100)
     },
 
+    // ------------------------------------------------------------------ G-BL
+    // Association lift for the top-100 co-occurring part pairs — the
+    // market-basket significance score on top of g_bipartite_proj's raw
+    // counts (a high co-count of two universally-popular parts is
+    // noise; lift = P(a,b)/(P(a)·P(b)) normalizes it away, the statistic
+    // a recommender thresholds on). Counts stay exact BIGINT (the
+    // join-free pair gather + one distinct-pair item rollup); lift is
+    // three IEEE steps from exact integers (the BIGINT product n_ab·N
+    // overflows at ~1.5e9 orders, so the double form is the SAFE one —
+    // each operand exact, each step correctly rounded, deterministic in
+    // both engines). The top-100 joins its item frequencies broadcast.
+    QueryDef("g_basket_lift",
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM op),
+        |item AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_item FROM op GROUP BY 1),
+        |pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |            CAST(COUNT(*) AS BIGINT) AS n_ab
+        |          FROM op a JOIN op b
+        |            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |          GROUP BY 1, 2),
+        |top AS (SELECT part_a, part_b, n_ab FROM pairs
+        |        ORDER BY n_ab DESC, part_a, part_b LIMIT 100)
+        |SELECT t.part_a, t.part_b, t.n_ab, ia.n_item AS n_a, ib.n_item AS n_b,
+        |  CAST(t.n_ab AS DOUBLE) * n.n_orders
+        |    / (CAST(ia.n_item AS DOUBLE) * ib.n_item) AS lift
+        |FROM top t JOIN item ia ON ia.l_partkey = t.part_a
+        |           JOIN item ib ON ib.l_partkey = t.part_b, n""".stripMargin) { (s, dir) =>
+      val op = Graft.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct().persist()
+      val n = op.agg(countDistinct("l_orderkey").cast("long").as("n_orders"))
+      val item = op.groupBy("l_partkey")
+        .agg(count(lit(1)).cast("long").as("n_item"))
+      val top = Graft.table(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+            |  transform(slice(ps, i + 2, size(ps)),
+            |            y -> struct(x AS part_a, y AS part_b))))""".stripMargin))
+          .as("pr"))
+        .groupBy(col("pr.part_a").as("part_a"), col("pr.part_b").as("part_b"))
+        .agg(count(lit(1)).cast("long").as("n_ab"))
+        .orderBy(col("n_ab").desc, col("part_a"), col("part_b"))
+        .limit(100).persist()
+      val ia = item.select(col("l_partkey").as("part_a"), col("n_item").as("n_a"))
+      val ib = item.select(col("l_partkey").as("part_b"), col("n_item").as("n_b"))
+      val out = top
+        .join(ia, "part_a").join(ib, "part_b")
+        .crossJoin(broadcast(n))
+        .select(col("part_a"), col("part_b"), col("n_ab"), col("n_a"), col("n_b"),
+          (col("n_ab").cast("double") * col("n_orders")
+            / (col("n_a").cast("double") * col("n_b"))).as("lift"))
+      CacheScope.sealResult(out, op, top)
+    },
+
     // ------------------------------------------------------------------ A-49
     // Smoothed target encoding of part brand by return rate — the
     // Bayesian mean encoding every tabular-ML feature pipeline ships

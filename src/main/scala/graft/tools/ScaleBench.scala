@@ -83,7 +83,8 @@ object ScaleBench {
     "g_bipartite_proj", "g_degree_gini", "g_rich_club",
     "a52_decay_attribution", "a48_attribution", "w23_rsi",
     "a51_markov_entropy", "t_js_sources", "t_burstiness",
-    "a45_mann_kendall", "mv_join_incremental")
+    "a45_mann_kendall", "mv_join_incremental",
+    "g_basket_lift", "a54_cohort_ltv", "a55_rfm", "a56_kaplan_meier")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

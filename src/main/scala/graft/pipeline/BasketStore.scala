@@ -1,0 +1,219 @@
+package graft.pipeline
+
+import graft.core.{Lakehouse, ManifestSnapshots}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The PERSISTED pair/degree rollups behind the basket-graph family —
+  * `g_bipartite_proj` / `g_basket_lift` / `g_degree_gini` pay
+  * Ω(|pairs|) / Ω(|E|-dedup) per query BY DESIGN when recomputed from
+  * the fact table; this store maintains their rollups as materialized
+  * views so a serving query never touches `lineitem` at all:
+  *
+  *  - pairs    (part_a, part_b, n_ab)  — the basket co-occurrence
+  *    projection. Pair counts are ADDITIVE across whole-order batches
+  *    (a pair lives inside one order; the orderkey watermark guarantees
+  *    an order is never split across batches), so maintenance is
+  *    aggregate(Δ-orders' pair explode) ⊎ stored partials — the
+  *    [[MaterializedView]] identity, base read = the delta only.
+  *  - items    (l_partkey, n_item) and meta (n_orders, watermark) —
+  *    the lift denominators, additive the same way.
+  *  - edges    (src, dst) bucketed on src — the DISTINCT
+  *    customer↔supplier edge set. Distinctness is NOT additive, so a
+  *    batch's candidate edges anti-join the stored set (bucketed: the
+  *    stored side is pre-shuffled, only batch rows move — the
+  *    [[DedupStore]] probe discipline) and only genuinely new edges
+  *    append + bump degrees.
+  *  - degrees  (node, d) — maintained as stored ⊎ new-edge increments.
+  *
+  * Replay safety: every rollup commit carries the batch watermark in
+  * its hive partition spec (`_wm=<maxOrderkey>`, the
+  * [[MaterializedView]] `_base_version` convention), so a redelivered
+  * or crash-resumed batch skips every table that already incorporated
+  * it instead of double-merging; the edge append is idempotent via the
+  * anti-join. Rollup state commits are full restatements of O(|view|)
+  * rows through [[ManifestSnapshots]] (data → manifest → pointer, a
+  * torn refresh leaves the previous state serving); the O(delta) claim
+  * is about the BASE read, which is the delta frame itself.
+  *
+  * Ingest schema (the pre-joined order line relation):
+  *   (l_orderkey, l_partkey, o_custkey, l_suppkey).
+  */
+object BasketStore extends ServingStore {
+
+  override def storeName: String = "basket"
+  override def ingestKey: String = "l_orderkey"
+
+  val Buckets = 32
+
+  private def ident(root: String): String =
+    root.replaceAll("[^a-zA-Z0-9]", "_").toLowerCase
+  def edgesTable(root: String): String = "basket_edges_" + ident(root)
+  def edgesPath(root: String): String = s"$root/basket/edges"
+  def pairsDir(root: String): String = s"$root/basket/pairs"
+  def itemsDir(root: String): String = s"$root/basket/items"
+  def degreesDir(root: String): String = s"$root/basket/degrees"
+  def metaDir(root: String): String = s"$root/basket/meta"
+
+  private val WmCol = "_wm"
+
+  final case class AdmitStats(
+      mode: String, // "admitted" | "replayed" | "empty"
+      batchOrders: Long,
+      batchRows: Long,
+      newEdges: Long)
+
+  /** The canonical basket pair explode — one exchange gathers each
+    * order's part set (partial collect_set combines map-side), the i<j
+    * pairs explode from the sorted array WITHOUT a join. Shared by the
+    * from-scratch queries and this store so stored maintenance is
+    * provably the same arithmetic. */
+  def pairCounts(orderLines: DataFrame): DataFrame =
+    orderLines
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)),
+          |            y -> struct(x AS part_a, y AS part_b))))""".stripMargin))
+        .as("pr"))
+      .groupBy(col("pr.part_a").as("part_a"), col("pr.part_b").as("part_b"))
+      .agg(count(lit(1)).cast("long").as("n_ab"))
+
+  /** Per-part distinct-order counts + the distinct-order total. */
+  private def itemCounts(orderLines: DataFrame): DataFrame =
+    orderLines.select("l_orderkey", "l_partkey").distinct()
+      .groupBy("l_partkey").agg(count(lit(1)).cast("long").as("n_item"))
+
+  /** The graph family's node numbering: 2·cust even / 2·supp+1 odd. */
+  private def candidateEdges(orderLines: DataFrame): DataFrame =
+    orderLines.select((col("o_custkey") * 2).as("src"),
+      (col("l_suppkey") * 2 + 1).as("dst")).distinct()
+
+  private def storedWm(spark: SparkSession, dir: String): Option[Long] =
+    ManifestSnapshots.latestVersion(spark, dir).flatMap { v =>
+      ManifestSnapshots.entriesOf(spark, dir, v)
+        .flatMap(_.partition).flatMap(_.split('/'))
+        .find(_.startsWith(WmCol + "="))
+        .map(_.stripPrefix(WmCol + "=").toLong)
+    }
+
+  /** Merge-and-restate one rollup table at watermark `wm`, skipping when
+    * the stored state already incorporates it (replay/crash-resume). */
+  private def mergeRollup(spark: SparkSession, dir: String, wm: Long,
+      delta: => DataFrame, keys: Seq[String], measure: String): Unit = {
+    if (storedWm(spark, dir).exists(_ >= wm)) return
+    val prior = ManifestSnapshots.readLatest(spark, dir).drop(WmCol)
+    val merged = prior.unionByName(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(measure).cast("long").as(measure))
+    ManifestSnapshots.writeFull(merged.withColumn(WmCol, lit(wm)), dir,
+      partitionCols = Seq(WmCol)): Unit
+  }
+
+  override def ensureBuilt(spark: SparkSession, root: String,
+      corpus: => DataFrame): Boolean = {
+    val haveEdges = Lakehouse.ensureBucketedTable(spark, edgesTable(root),
+      edgesPath(root), "src", Buckets)
+    if (haveEdges && ManifestSnapshots.latestVersion(spark, pairsDir(root)).isDefined)
+      return false
+    val c = corpus.persist()
+    val wm = c.agg(max("l_orderkey")).head.getLong(0)
+    ManifestSnapshots.writeFull(pairCounts(c).withColumn(WmCol, lit(wm)),
+      pairsDir(root), partitionCols = Seq(WmCol))
+    ManifestSnapshots.writeFull(itemCounts(c).withColumn(WmCol, lit(wm)),
+      itemsDir(root), partitionCols = Seq(WmCol))
+    val edges = candidateEdges(c)
+    Lakehouse.ctasBucketed(edges, edgesTable(root), "src", Buckets,
+      path = Some(edgesPath(root)))
+    val deg = edges.unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .groupBy(col("src").as("node")).agg(count(lit(1)).cast("long").as("d"))
+    ManifestSnapshots.writeFull(deg.withColumn(WmCol, lit(wm)),
+      degreesDir(root), partitionCols = Seq(WmCol))
+    val nOrders = c.select("l_orderkey").distinct().count()
+    ManifestSnapshots.writeFull(
+      spark.range(1).select(lit(nOrders).as("n_orders"), lit(wm).as("watermark"))
+        .withColumn(WmCol, lit(wm)),
+      metaDir(root), partitionCols = Seq(WmCol))
+    c.unpersist()
+    true
+  }
+
+  override def appendBatch(spark: SparkSession, root: String,
+      batch: DataFrame): Unit = { admitBatch(spark, root, batch): Unit }
+
+  /** O(delta) admission of one whole-orders batch: only rows above the
+    * stored orderkey watermark are folded (replay guard #1); every
+    * rollup commit is watermark-stamped (replay guard #2). The base
+    * table is never read — the batch IS the base read. */
+  def admitBatch(spark: SparkSession, root: String,
+      batch: DataFrame): AdmitStats = {
+    val meta = ManifestSnapshots.readLatest(spark, metaDir(root))
+      .select("n_orders", "watermark").head()
+    val (nOrders0, wm0) = (meta.getLong(0), meta.getLong(1))
+    val fresh = batch.filter(col("l_orderkey") > wm0).persist()
+    val batchRows = fresh.count()
+    if (batchRows == 0) { fresh.unpersist(); return AdmitStats("empty", 0, 0, 0) }
+    val wm = fresh.agg(max("l_orderkey")).head.getLong(0)
+    val replay = storedWm(spark, metaDir(root)).exists(_ >= wm)
+
+    mergeRollup(spark, pairsDir(root), wm, pairCounts(fresh),
+      Seq("part_a", "part_b"), "n_ab")
+    mergeRollup(spark, itemsDir(root), wm, itemCounts(fresh),
+      Seq("l_partkey"), "n_item")
+
+    // distinct-edge admission: anti-join the bucketed stored set — the
+    // stored side never re-shuffles, only batch candidate rows move
+    val stored = spark.table(edgesTable(root))
+    val newEdges = candidateEdges(fresh)
+      .join(stored, Seq("src", "dst"), "left_anti").persist()
+    val nNew = newEdges.count()
+    // idempotent under replay: a re-run's candidates anti-join to zero
+    if (nNew > 0) {
+      // degree merge BEFORE the edge append: the anti-join plan READS the
+      // edges table, and InsertInto invalidates every cached plan over the
+      // inserted table — merging after would re-evaluate newEdges against
+      // the grown set and fold an EMPTY delta (found the hard way: -2·|new|
+      // on the degree total). Crash between the two: the replay's
+      // anti-join still finds the edges missing, re-appends them, and the
+      // degree merge skips on its watermark — consistent either way.
+      mergeRollup(spark, degreesDir(root), wm,
+        newEdges.unionAll(newEdges.select(col("dst").as("src"), col("src").as("dst")))
+          .groupBy(col("src").as("node")).agg(count(lit(1)).cast("long").as("d")),
+        Seq("node"), "d")
+      Lakehouse.appendBucketed(newEdges, edgesTable(root), "src", Buckets)
+    } else if (storedWm(spark, degreesDir(root)).forall(_ < wm)) {
+      // no new edges but the watermark must still advance on degrees so a
+      // later replay check sees one consistent frontier
+      mergeRollup(spark, degreesDir(root), wm,
+        ManifestSnapshots.readLatest(spark, degreesDir(root))
+          .select(col("node"), lit(0L).as("d")).limit(0),
+        Seq("node"), "d")
+    }
+    val batchOrders = fresh.select("l_orderkey").distinct().count()
+    if (!replay) {
+      ManifestSnapshots.writeFull(
+        spark.range(1).select(lit(nOrders0 + batchOrders).as("n_orders"),
+          lit(wm).as("watermark")).withColumn(WmCol, lit(wm)),
+        metaDir(root), partitionCols = Seq(WmCol)): Unit
+    }
+    fresh.unpersist(); newEdges.unpersist()
+    AdmitStats(if (replay) "replayed" else "admitted",
+      batchOrders, batchRows, nNew)
+  }
+
+  /** Serving reads — views only, the fact table never appears in these
+    * plans (BasketStoreSpec pins the scan list). */
+  def servePairs(spark: SparkSession, root: String): DataFrame =
+    ManifestSnapshots.readLatest(spark, pairsDir(root)).drop(WmCol)
+
+  def serveItems(spark: SparkSession, root: String): DataFrame =
+    ManifestSnapshots.readLatest(spark, itemsDir(root)).drop(WmCol)
+
+  def serveDegrees(spark: SparkSession, root: String): DataFrame =
+    ManifestSnapshots.readLatest(spark, degreesDir(root)).drop(WmCol)
+
+  def serveNOrders(spark: SparkSession, root: String): Long =
+    ManifestSnapshots.readLatest(spark, metaDir(root))
+      .select("n_orders").head().getLong(0)
+}

@@ -91,6 +91,19 @@ object JoinMaterializedView {
     scala.util.Try(ManifestSnapshots.removedEntries(spark, dir, from, to))
       .toOption.exists(_.isEmpty)
 
+  /** True when no column was declared (addColumn) or dropped on `dir`
+    * with `since` in (from, to]. The two delta legs union frames read at
+    * DIFFERENT versions (ΔA at the current schema vs A@va's schema); a
+    * schema change between them would make that union throw mid-refresh,
+    * wedging the view — so schema movement demotes to a full restate the
+    * same way a rewriting version does. */
+  private def schemaStable(spark: SparkSession, dir: String,
+      from: Long, to: Long): Boolean =
+    ManifestSnapshots.declaredColumns(spark, dir)
+      .forall(c => c.since <= from || c.since > to) &&
+      ManifestSnapshots.droppedColumns(spark, dir)
+        .forall(c => c.since <= from || c.since > to)
+
   /** Bring the view up to both bases' committed versions (or pinned
     * `asOfA`/`asOfB`). Incremental when stored state exists and BOTH
     * bases grew append-only since; full otherwise; no-op when current. */
@@ -107,7 +120,9 @@ object JoinMaterializedView {
         JoinRefreshStats("noop", curA, curB, 0L, 0L, 0L, 0L, 0L, 0L)
       case Some((va, vb)) if va <= curA && vb <= curB
           && appendOnly(spark, aDir, va, curA)
-          && appendOnly(spark, bDir, vb, curB) =>
+          && appendOnly(spark, bDir, vb, curB)
+          && schemaStable(spark, aDir, va, curA)
+          && schemaStable(spark, bDir, vb, curB) =>
         val addedA = ManifestSnapshots.addedEntries(spark, aDir, va, curA)
         val addedB = ManifestSnapshots.addedEntries(spark, bDir, vb, curB)
         val prior = ManifestSnapshots.readLatest(spark, viewDir)

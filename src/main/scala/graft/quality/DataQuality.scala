@@ -162,7 +162,10 @@ object DataQuality {
       (BigInt(curS(b)) * tRef - BigInt(refS(b)) * tCur) *
         (lnNanos(curS(b), 1L) - lnNanos(refS(b), 1L) + lnT)
     }.sum
-    num.doubleValue / (tRef.toDouble * tCur.toDouble) / 1e9
+    // Denominator as ONE rounding of the exact product (the batch oracle's
+    // CAST(t_ref*t_cur AS DOUBLE) tail) — tRef.toDouble * tCur.toDouble is
+    // two roundings and can differ by an ulp once the product passes 2^53.
+    num.doubleValue / (BigInt(tRef) * BigInt(tCur)).doubleValue / 1e9
   }
 
   /** Persisted drift gate — the pipeline-lifecycle wiring of the TVD

@@ -903,6 +903,19 @@ object DedupQueries {
     // RECALL-traded semantics are d_semantic_dedup / mm_embed_dup
     // (sweep exponents 0.38 / 0.37). The low-cardinality class label
     // here stands in to keep the oracle's pair list verifiable.
+    //
+    // ENFORCED (r17): a block-size census runs BEFORE the pair join.
+    // Blocks over `spark.graft.dedup.blockCap` (default 1024) either
+    // fail LOUDLY (`spark.graft.dedup.blockMode=fail`, the default — a
+    // hot key degenerating to all-pairs is an operator error, not a
+    // slow day) or, with blockMode=reroute, are LSH-sub-bucketed: each
+    // oversized block's rows take ceil(log2(bsz/cap)) sign-projection
+    // bits (≤16) as a refinement key, bounding EXPECTED occupancy at
+    // cap while bounded blocks keep the empty subcode and therefore the
+    // exact semantics bit for bit. Reroute trades recall exactly like
+    // ann_lsh_bucket (pairs split across sub-buckets are missed) and is
+    // spec-pinned as a subset of the exact pair list that stays
+    // complete within every sub-bucket.
     QueryDef("d_embedding_dup",
       s"""WITH n AS (
          |  SELECT vec_id, label, $quantSql AS qv,
@@ -914,14 +927,51 @@ object DedupQueries {
          |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE CAST(list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1] * p[2])) AS BIGINT)
          |    / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) >= 0.35""".stripMargin) { (s, dir) =>
-      val n = emb(s, dir)
-      val a = n.select(col("vec_id").as("a_id"), col("label"), col("qv").as("a_qv"), col("nq").as("a_nq"))
-      val b = n.select(col("vec_id").as("b_id"), col("label").as("b_label"), col("qv").as("b_qv"), col("nq").as("b_nq"))
+      val cap = s.conf.get("spark.graft.dedup.blockCap", "1024").toLong
+      val mode = s.conf.get("spark.graft.dedup.blockMode", "fail")
+      val n = emb(s, dir).persist()
+      // the census: one count rollup on the block key, O(N) with
+      // map-side combine — negligible next to the pair join it guards
+      val sizes = n.groupBy("label").agg(count(lit(1)).as("bsz"))
+      val coded = if (mode != "reroute") {
+        val hot = sizes.filter(col("bsz") > cap)
+          .orderBy(col("bsz").desc).limit(8).collect()
+        if (hot.nonEmpty) {
+          n.unpersist()
+          throw new IllegalStateException(
+            "d_embedding_dup: exact within-block pairs cost |block|² and " +
+              s"these blocks exceed blockCap=$cap: " +
+              hot.map(r => s"${r.get(0)}→${r.get(1)} rows").mkString(", ") +
+              " — choose a finer block key, raise spark.graft.dedup.blockCap," +
+              " or set spark.graft.dedup.blockMode=reroute (LSH sub-bucketing," +
+              " recall-traded)")
+        }
+        n.withColumn("subcode", lit(""))
+      } else {
+        // sub-bucket ONLY the oversized blocks: bits = ceil(log2(bsz/cap))
+        // sign-projection bits (≤16, stride-sampled like ann_lsh_bucket);
+        // bounded blocks keep subcode = '' and the exact semantics
+        val wMax = 16
+        val step = 64 / wMax
+        val code16 = concat((0 until wMax).map(i =>
+          when(element_at(col("qv"), 1 + i * step) >= 0, lit("1"))
+            .otherwise(lit("0"))): _*)
+        n.join(sizes, "label")
+          .withColumn("bits", when(col("bsz") <= cap, lit(0)).otherwise(
+            least(lit(wMax),
+              ceil(log(2.0, col("bsz").cast("double") / cap)).cast("int"))))
+          .withColumn("code16", code16)
+          .withColumn("subcode", expr("substring(code16, 1, bits)"))
+      }
+      val a = coded.select(col("vec_id").as("a_id"), col("label"), col("subcode"), col("qv").as("a_qv"), col("nq").as("a_nq"))
+      val b = coded.select(col("vec_id").as("b_id"), col("label").as("b_label"), col("subcode").as("b_subcode"), col("qv").as("b_qv"), col("nq").as("b_nq"))
       val cos = qdot("a_qv", "b_qv") / (sqrt(col("a_nq").cast("double")) * sqrt(col("b_nq").cast("double")))
-      a.join(b, col("label") === col("b_label") && col("a_id") < col("b_id"))
+      val out = a.join(b, col("label") === col("b_label")
+          && col("subcode") === col("b_subcode") && col("a_id") < col("b_id"))
         .withColumn("cos_sim", cos)
         .filter(col("cos_sim") >= 0.35)
         .select("a_id", "b_id", "cos_sim")
+      CacheScope.sealResult(out, n)
     },
 
     // --------------------------------------------------------------- DEDUP-6

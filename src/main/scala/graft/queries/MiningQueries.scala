@@ -43,6 +43,115 @@ object MiningQueries {
       |    CAST(COUNT(*) AS BIGINT) AS cnt
       |  FROM events GROUP BY 1, 2""".stripMargin
 
+  /** The lift projection over a top-pair list + item frequencies + the
+    * 1-row order total — shared by the recompute and `_mv` forms. */
+  private def liftTail(top: DataFrame, item: DataFrame, n: DataFrame): DataFrame = {
+    val ia = item.select(col("l_partkey").as("part_a"), col("n_item").as("n_a"))
+    val ib = item.select(col("l_partkey").as("part_b"), col("n_item").as("n_b"))
+    top.join(ia, "part_a").join(ib, "part_b")
+      .crossJoin(broadcast(n))
+      .select(col("part_a"), col("part_b"), col("n_ab"), col("n_a"), col("n_b"),
+        (col("n_ab").cast("double") * col("n_orders")
+          / (col("n_a").cast("double") * col("n_b"))).as("lift"))
+  }
+
+  /** Gini tail over a per-node degree table — histogram, cumulative
+    * ranks, exact decimal ranksum, two IEEE steps. Shared by the
+    * recompute and `_mv` forms. */
+  private def giniFromDegrees(deg: DataFrame): DataFrame = {
+    val h = deg.groupBy("d").agg(count(lit(1)).cast("long").as("c"))
+    val wCum = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = h.select(col("d"), col("c"),
+      sum("c").over(wCum).cast("long").as("cc"),
+      sum(col("d") * col("c")).over(Window.partitionBy()).cast("long").as("t"),
+      sum("c").over(Window.partitionBy()).cast("long").as("n"))
+    cum.agg(max("n").as("n"), max("t").as("t"),
+      sum(col("d").cast(dec)
+        * ((col("cc") - col("c")).cast(dec) * col("c")
+          + expr("(c * (c + 1)) div 2"))).as("ranksum"))
+      .select(col("n"), col("t"), col("ranksum").cast("double").as("ranksum"),
+        (lit(2) * col("ranksum").cast("double")
+          / (col("n").cast("double") * col("t").cast("double"))
+          - (col("n").cast("double") + 1) / col("n").cast("double")).as("gini"))
+  }
+
+  /** Oracle SQL shared by each basket-family recompute query and its
+    * `_mv` stored-view twin — where the rollup lives cannot change the
+    * answer, which is exactly what sharing the oracle proves. */
+  private val bipartiteProjSql =
+    """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+      |            CAST(COUNT(*) AS BIGINT) AS n_orders
+      |          FROM op a JOIN op b
+      |            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |          GROUP BY 1, 2)
+      |SELECT part_a, part_b, n_orders FROM pairs
+      |ORDER BY n_orders DESC, part_a, part_b LIMIT 100""".stripMargin
+
+  private val basketLiftSql =
+    """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM op),
+      |item AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_item FROM op GROUP BY 1),
+      |pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+      |            CAST(COUNT(*) AS BIGINT) AS n_ab
+      |          FROM op a JOIN op b
+      |            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |          GROUP BY 1, 2),
+      |top AS (SELECT part_a, part_b, n_ab FROM pairs
+      |        ORDER BY n_ab DESC, part_a, part_b LIMIT 100)
+      |SELECT t.part_a, t.part_b, t.n_ab, ia.n_item AS n_a, ib.n_item AS n_b,
+      |  CAST(t.n_ab AS DOUBLE) * n.n_orders
+      |    / (CAST(ia.n_item AS DOUBLE) * ib.n_item) AS lift
+      |FROM top t JOIN item ia ON ia.l_partkey = t.part_a
+      |           JOIN item ib ON ib.l_partkey = t.part_b, n""".stripMargin
+
+  private val degreeGiniSql =
+    """WITH e0 AS (SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+      |            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      |ed AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+      |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM ed GROUP BY src),
+      |h AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS c FROM deg GROUP BY d),
+      |cum AS (SELECT d, c, CAST(SUM(c) OVER (ORDER BY d) AS BIGINT) AS cc,
+      |               CAST(SUM(d * c) OVER () AS BIGINT) AS t,
+      |               CAST(SUM(c) OVER () AS BIGINT) AS n FROM h),
+      |a AS (SELECT MAX(n) AS n, MAX(t) AS t,
+      |        SUM(CAST(d AS DECIMAL(38,0))
+      |            * (CAST(cc - c AS DECIMAL(38,0)) * c + (c * (c + 1)) // 2)) AS ranksum
+      |      FROM cum)
+      |SELECT n, t, CAST(ranksum AS DOUBLE) AS ranksum,
+      |  2 * CAST(ranksum AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE))
+      |    - (CAST(n AS DOUBLE) + 1) / CAST(n AS DOUBLE) AS gini
+      |FROM a""".stripMargin
+
+  /** The joined order-line relation the [[graft.pipeline.BasketStore]]
+    * ingests: (l_orderkey, l_partkey, o_custkey, l_suppkey). */
+  private def orderLines(s: SparkSession, dir: String): DataFrame =
+    Graft.table(s, dir, "orders")
+      .join(Graft.table(s, dir, "lineitem"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_partkey"), col("o_custkey"), col("l_suppkey"))
+
+  /** Bootstrap-or-resume the persisted basket store for `dir` at the
+    * 4/5-orderkey watermark cut (the stored-corpus / live-batch split
+    * every *_stored query uses), admit the batch, return the root. The
+    * second and later calls replay to a cheap no-op (watermark guard). */
+  private def basketRoot(s: SparkSession, dir: String): String = {
+    val maxOk = Graft.table(s, dir, "orders")
+      .agg(max("o_orderkey")).head.getLong(0)
+    val cut = maxOk * 4 / 5
+    val fp = Graft.dataFingerprint(s, s"$dir/lineitem.parquet") + "_" +
+      Graft.dataFingerprint(s, s"$dir/orders.parquet")
+    val root = graft.core.StoreRoots.rootFor("graft_basket_store", "v2", dir,
+      s"${cut}_$fp")
+    val ol = orderLines(s, dir)
+    graft.pipeline.BasketStore.ensureBuilt(s, root,
+      ol.filter(col("l_orderkey") < cut))
+    graft.pipeline.BasketStore.admitBatch(s, root,
+      ol.filter(col("l_orderkey") >= cut))
+    root
+  }
+
   /** The distinct customer↔supplier interaction edges (the graph
     * family's node numbering: 2·cust even / 2·supp+1 odd), shared by
     * the degree-distribution queries here. */
@@ -163,7 +272,7 @@ object MiningQueries {
           count(lit(1)).over(Window.partitionBy("event_type")))
       val out = r.groupBy("event_type")
         .agg(max("n_pairs").cast("long").as("n_pairs"),
-          max(when(col("rn") === (col("n_pairs") + 1) / 2, col("slope_fp")))
+          max(when(col("rn") === expr("(n_pairs + 1) div 2"), col("slope_fp")))
             .cast("long").as("median_slope_fp"))
         .withColumn("median_slope",
           col("median_slope_fp").cast("double") / 1000000000L)
@@ -295,25 +404,9 @@ object MiningQueries {
     // via TakeOrdered — no global sort. A pathological giant order
     // would square inside one group; this schema caps lines per order,
     // which is exactly what makes the basket projection feasible.
-    QueryDef("g_bipartite_proj",
-      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        |pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
-        |            CAST(COUNT(*) AS BIGINT) AS n_orders
-        |          FROM op a JOIN op b
-        |            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        |          GROUP BY 1, 2)
-        |SELECT part_a, part_b, n_orders FROM pairs
-        |ORDER BY n_orders DESC, part_a, part_b LIMIT 100""".stripMargin) { (s, dir) =>
-      Graft.table(s, dir, "lineitem")
-        .groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-        .select(explode(expr(
-          """flatten(transform(ps, (x, i) ->
-            |  transform(slice(ps, i + 2, size(ps)),
-            |            y -> struct(x AS part_a, y AS part_b))))""".stripMargin))
-          .as("pr"))
-        .groupBy(col("pr.part_a").as("part_a"), col("pr.part_b").as("part_b"))
-        .agg(count(lit(1)).cast("long").as("n_orders"))
+    QueryDef("g_bipartite_proj", bipartiteProjSql) { (s, dir) =>
+      graft.pipeline.BasketStore.pairCounts(Graft.table(s, dir, "lineitem"))
+        .withColumnRenamed("n_ab", "n_orders")
         .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
         .limit(100)
     },
@@ -407,47 +500,17 @@ object MiningQueries {
     // overflows at ~1.5e9 orders, so the double form is the SAFE one —
     // each operand exact, each step correctly rounded, deterministic in
     // both engines). The top-100 joins its item frequencies broadcast.
-    QueryDef("g_basket_lift",
-      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        |n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM op),
-        |item AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_item FROM op GROUP BY 1),
-        |pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
-        |            CAST(COUNT(*) AS BIGINT) AS n_ab
-        |          FROM op a JOIN op b
-        |            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        |          GROUP BY 1, 2),
-        |top AS (SELECT part_a, part_b, n_ab FROM pairs
-        |        ORDER BY n_ab DESC, part_a, part_b LIMIT 100)
-        |SELECT t.part_a, t.part_b, t.n_ab, ia.n_item AS n_a, ib.n_item AS n_b,
-        |  CAST(t.n_ab AS DOUBLE) * n.n_orders
-        |    / (CAST(ia.n_item AS DOUBLE) * ib.n_item) AS lift
-        |FROM top t JOIN item ia ON ia.l_partkey = t.part_a
-        |           JOIN item ib ON ib.l_partkey = t.part_b, n""".stripMargin) { (s, dir) =>
+    QueryDef("g_basket_lift", basketLiftSql) { (s, dir) =>
       val op = Graft.table(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey")).distinct().persist()
       val n = op.agg(countDistinct("l_orderkey").cast("long").as("n_orders"))
       val item = op.groupBy("l_partkey")
         .agg(count(lit(1)).cast("long").as("n_item"))
-      val top = Graft.table(s, dir, "lineitem")
-        .groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-        .select(explode(expr(
-          """flatten(transform(ps, (x, i) ->
-            |  transform(slice(ps, i + 2, size(ps)),
-            |            y -> struct(x AS part_a, y AS part_b))))""".stripMargin))
-          .as("pr"))
-        .groupBy(col("pr.part_a").as("part_a"), col("pr.part_b").as("part_b"))
-        .agg(count(lit(1)).cast("long").as("n_ab"))
+      val top = graft.pipeline.BasketStore
+        .pairCounts(Graft.table(s, dir, "lineitem"))
         .orderBy(col("n_ab").desc, col("part_a"), col("part_b"))
         .limit(100).persist()
-      val ia = item.select(col("l_partkey").as("part_a"), col("n_item").as("n_a"))
-      val ib = item.select(col("l_partkey").as("part_b"), col("n_item").as("n_b"))
-      val out = top
-        .join(ia, "part_a").join(ib, "part_b")
-        .crossJoin(broadcast(n))
-        .select(col("part_a"), col("part_b"), col("n_ab"), col("n_a"), col("n_b"),
-          (col("n_ab").cast("double") * col("n_orders")
-            / (col("n_a").cast("double") * col("n_b"))).as("lift"))
+      val out = liftTail(top, item, n)
       CacheScope.sealResult(out, op, top)
     },
 
@@ -548,41 +611,10 @@ object MiningQueries {
     // 34.3 s direct; t1 7.6 vs 2.2 s). The 100× cost is the structural
     // |E|-row dedup shuffle every exact-degree computation pays — the
     // same class as the g_* spine, which costs more, not less.
-    QueryDef("g_degree_gini",
-      """WITH e0 AS (SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
-        |            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
-        |ed AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
-        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM ed GROUP BY src),
-        |h AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS c FROM deg GROUP BY d),
-        |cum AS (SELECT d, c, CAST(SUM(c) OVER (ORDER BY d) AS BIGINT) AS cc,
-        |               CAST(SUM(d * c) OVER () AS BIGINT) AS t,
-        |               CAST(SUM(c) OVER () AS BIGINT) AS n FROM h),
-        |a AS (SELECT MAX(n) AS n, MAX(t) AS t,
-        |        SUM(CAST(d AS DECIMAL(38,0))
-        |            * (CAST(cc - c AS DECIMAL(38,0)) * c + (c * (c + 1)) // 2)) AS ranksum
-        |      FROM cum)
-        |SELECT n, t, CAST(ranksum AS DOUBLE) AS ranksum,
-        |  2 * CAST(ranksum AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE))
-        |    - (CAST(n AS DOUBLE) + 1) / CAST(n AS DOUBLE) AS gini
-        |FROM a""".stripMargin) { (s, dir) =>
+    QueryDef("g_degree_gini", degreeGiniSql) { (s, dir) =>
       val e0 = bipartiteEdges(s, dir)
       val ed = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
-      val h = ed.groupBy("src").agg(count(lit(1)).cast("long").as("d"))
-        .groupBy("d").agg(count(lit(1)).cast("long").as("c"))
-      val wCum = Window.orderBy("d")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = h.select(col("d"), col("c"),
-        sum("c").over(wCum).cast("long").as("cc"),
-        sum(col("d") * col("c")).over(Window.partitionBy()).cast("long").as("t"),
-        sum("c").over(Window.partitionBy()).cast("long").as("n"))
-      cum.agg(max("n").as("n"), max("t").as("t"),
-        sum(col("d").cast(dec)
-          * ((col("cc") - col("c")).cast(dec) * col("c")
-            + expr("(c * (c + 1)) div 2"))).as("ranksum"))
-        .select(col("n"), col("t"), col("ranksum").cast("double").as("ranksum"),
-          (lit(2) * col("ranksum").cast("double")
-            / (col("n").cast("double") * col("t").cast("double"))
-            - (col("n").cast("double") + 1) / col("n").cast("double")).as("gini"))
+      giniFromDegrees(ed.groupBy("src").agg(count(lit(1)).cast("long").as("d")))
     },
 
     // ------------------------------------------------------------------ G-RC
@@ -854,7 +886,58 @@ object MiningQueries {
         |FROM scored GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
       import s.implicits._
       val ev = events(s, dir)
-      val gmax = ev.agg(max("ts_us")).head.getLong(0)
+      // max() over zero rows is NULL — guard the driver-side scalar so an
+      // empty events table yields the oracle's empty result instead of an
+      // NPE from getLong, and skips the quintile collects (undefined on ∅).
+      val gmaxOpt = Option(ev.agg(max("ts_us")).head.get(0))
+      if (gmaxOpt.isEmpty)
+        s.emptyDataset[(Int, Int, Int, Long, Long)]
+          .toDF("r_score", "f_score", "m_score", "n_users", "cell_cents")
+      else rfmBody(s, ev, gmaxOpt.get.asInstanceOf[Long])
+    },
+
+    // ------------------------------------------------------------ G-BP-mv
+    // The basket projection SERVED FROM the persisted pair rollup
+    // ([[graft.pipeline.BasketStore]]): the recompute form above pays
+    // Ω(|pairs|) per query by definition; here the pair view was
+    // maintained O(delta-orders) at ingest time and the query is a
+    // TakeOrdered over the stored view — `lineitem` never appears in
+    // the serving plan (BasketStoreSpec pins the scan list). Same
+    // oracle: where the rollup lives cannot change the answer.
+    QueryDef("g_bipartite_proj_mv", bipartiteProjSql) { (s, dir) =>
+      val root = basketRoot(s, dir)
+      graft.pipeline.BasketStore.servePairs(s, root)
+        .withColumnRenamed("n_ab", "n_orders")
+        .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+        .limit(100)
+    },
+
+    // ------------------------------------------------------------ G-BL-mv
+    // Lift from the stored views: top-100 pairs + item frequencies +
+    // the order total, all maintained additively per whole-orders batch
+    // — the serving plan touches view files only.
+    QueryDef("g_basket_lift_mv", basketLiftSql) { (s, dir) =>
+      val root = basketRoot(s, dir)
+      val top = graft.pipeline.BasketStore.servePairs(s, root)
+        .orderBy(col("n_ab").desc, col("part_a"), col("part_b"))
+        .limit(100)
+      val n = s.range(1).select(
+        lit(graft.pipeline.BasketStore.serveNOrders(s, root)).as("n_orders"))
+      liftTail(top, graft.pipeline.BasketStore.serveItems(s, root), n)
+    },
+
+    // ------------------------------------------------------------ G-DG-mv
+    // Degree Gini from the stored degree view: the Ω(|E|) distinct-edge
+    // dedup was paid once per batch at ingest (anti-join against the
+    // bucketed stored edge set — only NEW edges shuffle); serving is
+    // the bounded histogram tail over O(|V|) stored degrees.
+    QueryDef("g_degree_gini_mv", degreeGiniSql) { (s, dir) =>
+      val root = basketRoot(s, dir)
+      giniFromDegrees(graft.pipeline.BasketStore.serveDegrees(s, root))
+    }
+  )
+
+  private def rfmBody(s: SparkSession, ev: DataFrame, gmax: Long): DataFrame = {
       val m = ev.groupBy("user_id")
         .agg(expr(s"(${gmax}L - max(ts_us)) div 86400000000L").as("rec"),
           sum(when(col("event_type") === "purchase", 1).otherwise(0))
@@ -880,6 +963,5 @@ object MiningQueries {
         .agg(count(lit(1)).cast("long").as("n_users"),
           sum("mon").cast("long").as("cell_cents"))
       CacheScope.sealResult(out, m)
-    }
-  )
+  }
 }

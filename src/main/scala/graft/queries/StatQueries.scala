@@ -854,11 +854,14 @@ object StatQueries {
     }) { (s, dir) =>
       VectorExprs.register(s)
       val ev = events(s, dir)
-      val gmax = ev.agg(max("ts_us")).head.getLong(0)
+      // global max as a broadcast scalar (the J13 pattern, same as the
+      // oracle's scalar subquery) — not an eager head.getLong, which NPEs
+      // on an empty events table instead of yielding the empty result
+      val gmaxDf = ev.agg(max("ts_us").as("gmax_us"))
       val hit = min(when(col("event_type") === "purchase"
         && col("value") > 90, col("ts_us")))
-      val u = ev.groupBy("user_id")
-        .agg(((coalesce(hit, lit(gmax)) - min("ts_us"))
+      val u = ev.crossJoin(broadcast(gmaxDf)).groupBy("user_id")
+        .agg(((coalesce(hit, max("gmax_us")) - min("ts_us"))
           .cast("long")).as("us_lt"),
           when(hit.isNull, 0).otherwise(1).as("death"))
         .select(expr("us_lt div 86400000000L").as("lt"), col("death"))

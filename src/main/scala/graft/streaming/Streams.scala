@@ -1276,7 +1276,9 @@ object Streams {
                 lnTRef - lnRefS(b) - lnTCur
               (BigInt(nCur) * tRef - BigInt(nRef) * tCur) * lnSum
             }.sum
-            val psi = num.doubleValue / (tRef.toDouble * tCur.toDouble) / 1e9
+            // single rounding of the exact product — matches the batch
+            // CAST(t_ref*t_cur AS DOUBLE) tail past 2^53 (DataQuality.psi too)
+            val psi = num.doubleValue / (BigInt(tRef) * BigInt(tCur)).doubleValue / 1e9
             Iterator.single(PsiOut(
               new java.sql.Timestamp(win * windowMs), nCurRaw, psi))
           } else {

@@ -1,0 +1,97 @@
+package graft
+
+import graft.pipeline.BasketStore
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The persisted basket/degree view store behind the `_mv` graph family:
+  *  (1) stored-view serving ≡ the from-scratch recompute for all three
+  *      queries (same oracle SQL backs both registry entries),
+  *  (2) O(delta) maintenance — a second admission folds ONLY the batch
+  *      (stats account the rows), and a replayed batch is a no-op on
+  *      every rollup (watermark guards),
+  *  (3) the serving plans read VIEW files only — `lineitem` never
+  *      appears in a serving scan,
+  *  (4) distinct-edge admission is idempotent (anti-join), and degrees
+  *      stay exactly the distinct-edge degrees across batches.
+  */
+class BasketStoreSpec extends SparkSpec {
+
+  private def ol(upTo: Option[Long] = None, from: Option[Long] = None): DataFrame = {
+    val o = graft.core.Graft.table(spark, sf, "orders")
+    val l = graft.core.Graft.table(spark, sf, "lineitem")
+    val j = o.join(l, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_partkey"), col("o_custkey"), col("l_suppkey"))
+    val lo = upTo.map(c => j.filter(col("l_orderkey") < c)).getOrElse(j)
+    from.map(c => lo.filter(col("l_orderkey") >= c)).getOrElse(lo)
+  }
+
+  private def freshRoot(): String = tmpDir("basket-store") + "/s"
+
+  test("stored degrees equal the distinct-edge degrees after a two-batch build") {
+    val root = freshRoot()
+    val cut = graft.core.Graft.table(spark, sf, "orders")
+      .agg(max("o_orderkey")).head.getLong(0) * 4 / 5
+    assert(BasketStore.ensureBuilt(spark, root, ol(upTo = Some(cut))))
+    val stats = BasketStore.admitBatch(spark, root, ol(from = Some(cut)))
+    assert(stats.mode == "admitted" && stats.batchRows > 0, stats.toString)
+    assert(stats.newEdges > 0, "the batch must contribute new edges: " + stats)
+
+    val full = ol()
+    val e0 = full.select((col("o_custkey") * 2).as("src"),
+      (col("l_suppkey") * 2 + 1).as("dst")).distinct()
+    val want = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .groupBy(col("src").as("node")).agg(count(lit(1)).cast("long").as("d"))
+    val got = BasketStore.serveDegrees(spark, root)
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      s"degrees diverge: got ${got.count()} nodes, want ${want.count()}")
+
+    // pairs too: stored ≡ recompute
+    val wantPairs = BasketStore.pairCounts(full)
+    val gotPairs = BasketStore.servePairs(spark, root)
+    assert(gotPairs.except(wantPairs).isEmpty && wantPairs.except(gotPairs).isEmpty,
+      "pair rollup diverges from the one-shot recompute")
+    assert(BasketStore.serveNOrders(spark, root)
+      == full.select("l_orderkey").distinct().count())
+  }
+
+  test("replayed batch is a no-op on every rollup; third delta folds incrementally") {
+    val root = freshRoot()
+    val cut1 = 800L; val cut2 = 1200L // sf0.001 orderkeys run 1..1499
+    BasketStore.ensureBuilt(spark, root, ol(upTo = Some(cut1)))
+    val s1 = BasketStore.admitBatch(spark, root,
+      ol(upTo = Some(cut2), from = Some(cut1)))
+    assert(s1.mode == "admitted" && s1.batchRows > 0)
+
+    // exact replay: watermark guard melts it to an empty admission
+    val s2 = BasketStore.admitBatch(spark, root,
+      ol(upTo = Some(cut2), from = Some(cut1)))
+    assert(s2.mode == "empty" && s2.batchRows == 0, s2.toString)
+
+    // third batch folds on top; state equals the one-shot over everything
+    val s3 = BasketStore.admitBatch(spark, root, ol(from = Some(cut2)))
+    assert(s3.mode == "admitted")
+    val wantPairs = BasketStore.pairCounts(ol())
+    val gotPairs = BasketStore.servePairs(spark, root)
+    assert(gotPairs.except(wantPairs).isEmpty && wantPairs.except(gotPairs).isEmpty,
+      "pair rollup diverges after replay + third batch")
+  }
+
+  test("serving plans never scan lineitem — the fact table is ingest-only") {
+    Seq("g_bipartite_proj_mv", "g_basket_lift_mv", "g_degree_gini_mv").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val scans = df.queryExecution.executedPlan.toString
+      assert(!scans.contains("lineitem.parquet"),
+        s"$q serving plan scans the fact table:\n$scans")
+    }
+  }
+
+  test("mv registry twins equal their recompute forms exactly") {
+    Seq("g_bipartite_proj", "g_basket_lift", "g_degree_gini").foreach { q =>
+      val a = SparkEntry.queries(q)(spark, sf)
+      val b = SparkEntry.queries(q + "_mv")(spark, sf)
+      assert(a.except(b).isEmpty && b.except(a).isEmpty, s"$q vs ${q}_mv diverge")
+    }
+  }
+}

@@ -98,6 +98,44 @@ class JoinMaterializedViewSpec extends SparkSpec {
       fullRecompute(facts(0 until 800, 80), dims(0 until 80)))
   }
 
+  test("a schema change on a base between refreshes demotes to a full restate") {
+    // The two delta legs union frames read at DIFFERENT versions (ΔA at
+    // the current schema, A@va at the stored schema); a column declared
+    // between them would make that unionByName throw mid-refresh and
+    // wedge the view. The gate must demote to full instead — loudly
+    // correct, never stuck.
+    val aDir = tmpDir("jmvsca") + "/a"
+    val bDir = tmpDir("jmvscb") + "/b"
+    val view = tmpDir("jmvscv") + "/v"
+    ManifestSnapshots.writeFull(facts(0 until 200, 20), aDir)
+    ManifestSnapshots.writeFull(dims(0 until 20), bDir)
+    JoinMaterializedView.refresh(spark, aDir, bDir, view, jm)
+
+    // declare a column on the fact side, then append deltas on BOTH sides
+    ManifestSnapshots.addColumn(spark, aDir, "tag", "STRING")
+    ManifestSnapshots.appendDelta(
+      facts(200 until 260, 20).withColumn("tag", lit("late")), aDir)
+    ManifestSnapshots.appendDelta(dims(20 until 25), bDir)
+    val s = JoinMaterializedView.refresh(spark, aDir, bDir, view, jm)
+    assert(s.mode == "full",
+      s"schema moved on A since va; refresh must restate, got ${s.mode}")
+    assertSame(JoinMaterializedView.serve(spark, view),
+      fullRecompute(
+        ManifestSnapshots.readLatest(spark, aDir).select("fact_id", "fk", "v"),
+        dims(0 until 25)))
+
+    // and once restated at the new schema, incremental resumes
+    ManifestSnapshots.appendDelta(
+      facts(260 until 300, 25).withColumn("tag", lit("later")), aDir)
+    val s2 = JoinMaterializedView.refresh(spark, aDir, bDir, view, jm)
+    assert(s2.mode == "incremental",
+      s"stable schema after the restate must go back to incremental, got ${s2.mode}")
+    assertSame(JoinMaterializedView.serve(spark, view),
+      fullRecompute(
+        ManifestSnapshots.readLatest(spark, aDir).select("fact_id", "fk", "v"),
+        dims(0 until 25)))
+  }
+
   test("a rewriting version on either base forces a full restate") {
     val aDir = tmpDir("jmvrwa") + "/a"
     val bDir = tmpDir("jmvrwb") + "/b"

@@ -63,6 +63,34 @@ class MiningPropertySpec extends SparkSpec {
     }
   }
 
+  test("a46_theil_sen: EVEN pair count takes the lower median (div, not true /)") {
+    // The sf fixture's per-type C(d,2) pair counts all happen to be odd, so
+    // the oracle parity above never exercises the even branch — the exact
+    // branch where a true-division rank ((n+1)/2 = half-integer) would match
+    // NO row and return NULL. Pin it on a 4-day series: C(4,2) = 6 pairs,
+    // rank (6+1) div 2 = 3 → the 3rd-smallest quantized slope, never NULL.
+    val dir4 = tmpDir("theil-even")
+    val days = Seq(0L, 1L, 2L, 3L) // counts 1,2,4,3 below → distinct slopes
+    val rows = for {
+      (d, c) <- days.zip(Seq(1, 2, 4, 3)); i <- 0 until c
+    } yield (d * 100 + i, new java.sql.Timestamp(d * 86400000L), 1L, "click",
+      1.0, "{}")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir4/events.parquet")
+    val out = SparkEntry.queries("a46_theil_sen")(spark, dir4)
+      .select("event_type", "n_pairs", "median_slope_fp")
+      .as[(String, Long, Long)].collect()
+    assert(out.length == 1)
+    val (_, nPairs, med) = out.head
+    assert(nPairs == 6L, s"expected the even pair count 6, got $nPairs")
+    val cnts = Seq(1L, 2L, 4L, 3L)
+    val slopes = (for {
+      i <- 0 until 4; j <- (i + 1) until 4
+    } yield ((cnts(j) - cnts(i)) * 1000000000L) / (days(j) - days(i))).sorted
+    assert(med == slopes((slopes.length + 1) / 2 - 1),
+      s"even-count lower median: got $med, want ${slopes((slopes.length + 1) / 2 - 1)}")
+  }
+
   test("a47_spearman: ρ ∈ [−1, 1] and equals the brute average-rank Pearson") {
     val (n, _, _, rho) = SparkEntry.queries("a47_spearman")(spark, dir)
       .as[(Long, Long, Long, Option[Double])].head()

@@ -42,6 +42,21 @@ class PlanSpec extends SparkSpec {
     assert(countOccurrences(p, "windowspecdefinition(wallet_address") >= 10, p)
   }
 
+  test("flagship_coin_balances runs its whole window program on one wallet exchange") {
+    // Root cause of the 0.40 100× exponent (COVERAGE.md table): the program
+    // is per-EVENT output (every row keeps three running balances plus the
+    // min/max-ever analytics), so its work is Ω(N·log run-length) — and the
+    // measured 6.2× cost for 100× data is that linear term off a ~0.3 s
+    // scheduling floor, the flagship_auc class, NOT a second shuffle
+    // creeping in. The pin: hashpartitioning(wallet_address) satisfies
+    // ClusteredDistribution(wallet, contract), so the per-contract windows
+    // and the merge-state join must only re-sort — exactly ONE
+    // wallet-carrying exchange in the whole plan.
+    val p = planString("flagship_coin_balances")
+    assert(countOccurrences(p, "Exchange hashpartitioning(wallet_address") == 1, p)
+    assert(countOccurrences(p, "windowspecdefinition(wallet_address") >= 4, p)
+  }
+
   test("incremental watermark predicate is pushed into the parquet scan") {
     val p = planString("p3_incremental_filter")
     assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThan(ts,"), p)

@@ -47,7 +47,7 @@ object Bench {
     // probe (the stores exist in production; their one-time builds are not
     // the recurring cost the bench tracks).
     Seq("q1_agg", "flagship_priced_features", "d_incremental_dedup_stored",
-        "ann_ivfs", "t_bm25s", "z3_pruned_scan", "bf_pruned_scan",
+        "ann_ivfs", "t_bm25s", "g_basket_lift_mv", "z3_pruned_scan", "bf_pruned_scan",
         "snap_manifest_read", "mv_incremental", "snap_delete_where",
         "snap_update_where", "snap_merge_keys", "snap_stats_pruned",
         "snap_merge_pruned", "snap_merge_bloom", "snap_sstats_pruned").foreach { q =>

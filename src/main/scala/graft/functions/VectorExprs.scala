@@ -267,6 +267,80 @@ case class ByteHist(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Dedup-key text normalization — lowercase, strip non-[a-z0-9 ],
+  * collapse space runs, trim — in ONE generated byte scan. The composed
+  * form (`trim(regexp_replace(regexp_replace(lower(text), ...), ...))`)
+  * walks the string four times through two regex engines and three
+  * intermediate allocations; this emits the final bytes directly and
+  * stays inside whole-stage codegen. Parity contract: equals the
+  * composed form byte-for-byte on ASCII input (multi-byte UTF-8 units
+  * can never be [a-z0-9 ], so they strip exactly like the regex class;
+  * the divergence is only the handful of Unicode codepoints whose
+  * LOWER() maps INTO ascii — U+212A KELVIN, U+017F LONG S — which the
+  * corpus contract excludes and the oracle fixture is checked free of). */
+case class AsciiNormalize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"ascii_normalize requires a string arg, got $other")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "ascii_normalize"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val in = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    val out = new Array[Byte](in.length)
+    var o = 0
+    var pend = false
+    var i = 0
+    while (i < in.length) {
+      var b = in(i)
+      if (b >= 'A' && b <= 'Z') b = (b + 32).toByte
+      if ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')) {
+        if (pend && o > 0) { out(o) = ' '; o += 1 }
+        pend = false
+        out(o) = b; o += 1
+      } else if (b == ' ') pend = true
+      // every other byte (incl. negative = non-ASCII) strips
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(out, 0, o)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val in = ctx.freshName("in")
+      val out = ctx.freshName("out")
+      val o = ctx.freshName("o")
+      val pend = ctx.freshName("pend")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      s"""
+         |byte[] $in = $a.getBytes();
+         |byte[] $out = new byte[$in.length];
+         |int $o = 0;
+         |boolean $pend = false;
+         |for (int $i = 0; $i < $in.length; $i++) {
+         |  byte $b = $in[$i];
+         |  if ($b >= 'A' && $b <= 'Z') $b = (byte)($b + 32);
+         |  if (($b >= 'a' && $b <= 'z') || ($b >= '0' && $b <= '9')) {
+         |    if ($pend && $o > 0) { $out[$o++] = ' '; }
+         |    $pend = false;
+         |    $out[$o++] = $b;
+         |  } else if ($b == ' ') { $pend = true; }
+         |}
+         |${ev.value} = org.apache.spark.unsafe.types.UTF8String
+         |  .fromBytes($out, 0, $o);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): AsciiNormalize =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   /** Register the native expressions on the session's function registry
     * (idempotent) so query code can use them via `expr(...)`. */
@@ -283,6 +357,8 @@ object VectorExprs {
       "byte_hist", exprs => ByteHist(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "ln_nanos", exprs => LnNanos(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ascii_normalize", exprs => AsciiNormalize(exprs.head), "built-in")
   }
 
   /** [[LongVecSum]] as a column aggregate. */

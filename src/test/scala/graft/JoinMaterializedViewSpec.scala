@@ -98,6 +98,60 @@ class JoinMaterializedViewSpec extends SparkSpec {
       fullRecompute(facts(0 until 800, 80), dims(0 until 80)))
   }
 
+  test("refresh races concurrent two-sided deltas from another PROCESS: " +
+    "every refresh lands or demotes loudly, and the final state is the ∪-identity") {
+    // A second JVM appends ΔA (facts) and ΔB (dims) batches through the
+    // public API while THIS process refreshes the join view in a loop.
+    // Version resolution is per-side and non-atomic (curA and curB are
+    // read at different instants), so refreshes run against snapshot
+    // pairs the appender is actively outpacing — the delta-join identity
+    // A@va'⋈B@vb' = A@va⋈B@vb ∪ ΔA⋈B@vb' ∪ A@va⋈ΔB must hold for EVERY
+    // such pair, and a refresh must never wedge (throw) or double-count.
+    val aDir = tmpDir("jmvrca") + "/a"
+    val bDir = tmpDir("jmvrcb") + "/b"
+    val view = tmpDir("jmvrcv") + "/v"
+    ManifestSnapshots.writeFull(facts(0 until 200, 20).coalesce(2), aDir)
+    ManifestSnapshots.writeFull(dims(0 until 20).coalesce(1), bDir)
+    JoinMaterializedView.refresh(spark, aDir, bDir, view, jm)
+
+    val n = 6
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val inArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.toArray.map(_.toString)
+    val jvmArgs = inArgs.zipWithIndex.flatMap { case (a, i) =>
+      if (a == "--add-opens" || a == "--add-exports") Seq(a, inArgs(i + 1))
+      else if (a.startsWith("--add-opens=") || a.startsWith("--add-exports="))
+        Seq(a)
+      else Nil
+    }
+    val cmd = Seq(javaBin) ++ jvmArgs ++ Seq("-Xmx2g", "-cp",
+      System.getProperty("java.class.path"),
+      "graft.ForkedBaseAppenderMain", aDir, bDir, n.toString, "200", "20")
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(ProcessBuilder.Redirect.to(
+      new java.io.File(tmpDir("jmvrc-log"), "child.log")))
+    val child = pb.start()
+    // refresh continuously while the appender runs — every call must
+    // return a stats record (incremental, full, or noop), never throw
+    val modes = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (child.isAlive) {
+      modes += JoinMaterializedView.refresh(spark, aDir, bDir, view, jm).mode
+    }
+    assert(child.waitFor(5, java.util.concurrent.TimeUnit.MINUTES) &&
+      child.exitValue() == 0, "forked appender failed — see child.log")
+    // quiesced: one final refresh converges to the one-shot recompute
+    val fin = JoinMaterializedView.refresh(spark, aDir, bDir, view, jm)
+    assert(Seq("incremental", "noop", "full").contains(fin.mode))
+    assertSame(JoinMaterializedView.serve(spark, view),
+      fullRecompute(ManifestSnapshots.readLatest(spark, aDir),
+        ManifestSnapshots.readLatest(spark, bDir)))
+    // the race actually exercised the maintenance path, not just noops
+    assert(modes.nonEmpty)
+    assert((modes :+ fin.mode).exists(_ == "incremental"),
+      s"race never took the incremental path: $modes")
+  }
+
   test("a schema change on a base between refreshes demotes to a full restate") {
     // The two delta legs union frames read at DIFFERENT versions (ΔA at
     // the current schema, A@va at the stored schema); a column declared

@@ -102,4 +102,32 @@ class VectorExprsSpec extends SparkSpec {
     val nulls = Seq(Tuple1(None: Option[Array[Byte]])).toDF("b")
     assert(nulls.select(expr("byte_hist(b, 4)")).head().isNullAt(0))
   }
+
+  test("ascii_normalize == the composed lower/strip/collapse/trim form; null-safe") {
+    VectorExprs.register(spark)
+    // seeded random ASCII strings plus the nasty shapes: leading/trailing/
+    // repeated spaces, all-stripped, empty, punctuation runs between words
+    val rnd = new scala.util.Random(99)
+    val alphabet = "ABCdef012 !?.,-_@#\t"
+    val cases = Seq("", "   ", "!!!", "  Hello,  WORLD!! 42  ",
+      "a", " a ", "a!b", "A  .  B") ++
+      Seq.fill(300)(Seq.fill(rnd.nextInt(60))(
+        alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val df = cases.map(Tuple1(_)).toDF("text")
+    val got = df.select(expr("ascii_normalize(text)")).as[String].collect().toSeq
+    val want = df.select(
+      trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+        " +", " "))).as[String].collect().toSeq
+    assert(got == want, got.zip(want).zip(cases).find { case ((g, w), _) => g != w }
+      .map { case ((g, w), c) => s"'$c': got '$g' want '$w'" }.getOrElse(""))
+    // interpreted path (direct eval) agrees with the plan/codegen path
+    val viaEval = graft.functions.AsciiNormalize(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        org.apache.spark.unsafe.types.UTF8String.fromString("  Ab!  c9 "),
+        org.apache.spark.sql.types.StringType))
+      .eval(null).toString
+    assert(viaEval == "ab c9")
+    val nulls = Seq(Tuple1(None: Option[String])).toDF("text")
+    assert(nulls.select(expr("ascii_normalize(text)")).head().isNullAt(0))
+  }
 }

@@ -61,7 +61,13 @@ object BasketStore extends ServingStore {
       mode: String, // "admitted" | "replayed" | "empty"
       batchOrders: Long,
       batchRows: Long,
-      newEdges: Long)
+      newEdges: Long,
+      // rows at-or-below the stored watermark, dropped by the replay
+      // guard. all-rows-skipped = a clean redelivery; a MIXED batch
+      // (0 < skipped < raw) means the whole-orders contract was grazed —
+      // an overlapping redelivery is safe, a split order is not, and the
+      // caller is the one who knows which its source can produce
+      skippedRows: Long = 0L)
 
   /** The canonical basket pair explode — one exchange gathers each
     * order's part set (partial collect_set combines map-side), the i<j
@@ -151,9 +157,16 @@ object BasketStore extends ServingStore {
     val meta = ManifestSnapshots.readLatest(spark, metaDir(root))
       .select("n_orders", "watermark").head()
     val (nOrders0, wm0) = (meta.getLong(0), meta.getLong(1))
-    val fresh = batch.filter(col("l_orderkey") > wm0).persist()
+    val raw = batch.persist()
+    val rawRows = raw.count()
+    val fresh = raw.filter(col("l_orderkey") > wm0).persist()
     val batchRows = fresh.count()
-    if (batchRows == 0) { fresh.unpersist(); return AdmitStats("empty", 0, 0, 0) }
+    raw.unpersist()
+    val skipped = rawRows - batchRows
+    if (batchRows == 0) {
+      fresh.unpersist()
+      return AdmitStats("empty", 0, 0, 0, skipped)
+    }
     val wm = fresh.agg(max("l_orderkey")).head.getLong(0)
     val replay = storedWm(spark, metaDir(root)).exists(_ >= wm)
 
@@ -199,7 +212,7 @@ object BasketStore extends ServingStore {
     }
     fresh.unpersist(); newEdges.unpersist()
     AdmitStats(if (replay) "replayed" else "admitted",
-      batchOrders, batchRows, nNew)
+      batchOrders, batchRows, nNew, skipped)
   }
 
   /** Serving reads — views only, the fact table never appears in these

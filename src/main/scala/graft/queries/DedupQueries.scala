@@ -1502,6 +1502,61 @@ object DedupQueries {
           .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
             (col("doc_id") === col("cluster_id")).as("is_kept")),
         pref)
+    },
+
+    // -------------------------------------------------------------- DEDUP-13
+    // Typo-pair mining via SymSpell deletion-key blocking: vocabulary
+    // tokens within edit distance 1 — the spell-normalization primitive a
+    // token-level dedup/cleanup pass keys on. The blocking is LOSSLESS
+    // for ED ≤ 1 (a substitution pair shares the delete-at-i variant; an
+    // insert/delete pair has the short word AMONG the long word's
+    // deletions; identity covers ED 0), so the |V|² all-pairs scan never
+    // happens: |V|·(L+1) deletion keys, one equi-join, exact levenshtein
+    // verify on candidates only — vocabulary-bounded at any corpus size,
+    // the same census→block→verify shape as the MinHash family. The
+    // fixture vocabulary is typo-free (31 machine words), so each doc
+    // first injects ONE deterministic mutant of its leading token
+    // ('x' + tail — the t_pii_scrub injection discipline: the corpus
+    // carries no positives, the operator under test must find the
+    // injected ones). Candidate false positives (two deletions meeting at
+    // the same string with ED 2, e.g. ab↔ba) are killed by the verify.
+    QueryDef("d_typo_pairs",
+      """WITH w AS (
+        |  SELECT DISTINCT t.t AS w
+        |  FROM documents, unnest(string_split(text, ' ')) AS t(t)),
+        |m AS (
+        |  SELECT DISTINCT 'x' || substr(string_split(text, ' ')[1], 2) AS w
+        |  FROM documents WHERE length(string_split(text, ' ')[1]) >= 3),
+        |v AS (SELECT w FROM w UNION SELECT w FROM m),
+        |k AS (
+        |  SELECT w, unnest(list_prepend(w,
+        |    list_transform(generate_series(1, length(w)),
+        |      i -> substr(w, 1, i - 1) || substr(w, i + 1)))) AS key
+        |  FROM v),
+        |cand AS (
+        |  SELECT DISTINCT a.w AS w_a, b.w AS w_b
+        |  FROM k a JOIN k b ON a.key = b.key AND a.w < b.w)
+        |SELECT w_a, w_b, CAST(levenshtein(w_a, w_b) AS BIGINT) AS dist
+        |FROM cand WHERE levenshtein(w_a, w_b) <= 1""".stripMargin) { (s, dir) =>
+      val toks = Graft.table(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w")).distinct()
+      val mut = Graft.table(s, dir, "documents")
+        .select(element_at(split(col("text"), " "), 1).as("f"))
+        .filter(length(col("f")) >= 3)
+        .select(concat(lit("x"), expr("substring(f, 2, length(f))")).as("w"))
+        .distinct()
+      val v = toks.unionByName(mut).distinct()
+      val k = v.select(col("w"), explode(expr(
+        """concat(array(w), transform(sequence(1, length(w)),
+          |  i -> concat(substring(w, 1, i - 1),
+          |              substring(w, i + 1, length(w)))))""".stripMargin))
+        .as("key"))
+      val cand = k.select(col("w").as("w_a"), col("key"))
+        .join(k.select(col("w").as("w_b"), col("key").as("key2")),
+          col("key") === col("key2") && col("w_a") < col("w_b"))
+        .select("w_a", "w_b").distinct()
+      cand.withColumn("dist", levenshtein(col("w_a"), col("w_b")).cast("long"))
+        .filter(col("dist") <= 1)
     }
   )
 }

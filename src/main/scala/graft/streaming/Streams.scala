@@ -805,6 +805,33 @@ object Streams {
       }
       .start()
 
+  /** Streaming basket-view maintenance — the
+    * [[graft.pipeline.BasketStore]] admission loop as a stream sink:
+    * each micro-batch of pre-joined order lines (l_orderkey, l_partkey,
+    * o_custkey, l_suppkey) folds into the persisted pair/item/degree
+    * rollups through the SAME admitBatch the batch path runs, so
+    * stream-maintained views ≡ a batch build over the same orders
+    * (BasketStoreSpec pins it). Exactly-once: admitBatch's orderkey
+    * watermark is the replay ledger (a redelivered micro-batch melts to
+    * mode=empty), and every rollup commit is watermark-stamped, so a
+    * crash mid-admission resumes table-by-table. CONTRACT: the source
+    * must deliver WHOLE orders per micro-batch (pair counts are only
+    * additive over unsplit baskets) — a mixed batch (0 < skippedRows <
+    * raw) is surfaced in the returned stats for the caller's alarm. */
+  def foreachBatchBasketMaintenance(
+      orderLines: DataFrame,
+      root: String,
+      checkpoint: String): StreamingQuery =
+    orderLines.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.pipeline.BasketStore.admitBatch(
+            batch.sparkSession, root, batch): Unit
+      }
+      .start()
+
   /** Streaming medallion on the CDC substrate: each micro-batch of STAGE
     * rows lands in the analytics chain behind the row-identity replay
     * guard and folds into the per-user feature state via the CDC refresh

@@ -87,6 +87,46 @@ class BasketStoreSpec extends SparkSpec {
     }
   }
 
+  test("streaming admission ≡ batch build: two micro-batches + a redelivery " +
+    "land once; mixed overlap is surfaced, not silently eaten") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = freshRoot()
+    val cut1 = 800L; val cut2 = 1200L
+    BasketStore.ensureBuilt(spark, root, ol(upTo = Some(cut1)))
+
+    def rows(lo: Long, hi: Long): Seq[(Long, Long, Long, Long)] =
+      ol(upTo = Some(hi), from = Some(lo))
+        .select("l_orderkey", "l_partkey", "o_custkey", "l_suppkey")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+
+    val mem = MemoryStream[(Long, Long, Long, Long)]
+    val q = graft.streaming.Streams.foreachBatchBasketMaintenance(
+      mem.toDF().toDF("l_orderkey", "l_partkey", "o_custkey", "l_suppkey"),
+      root, tmpDir("basket-ck"))
+    try {
+      mem.addData(rows(cut1, cut2): _*)
+      q.processAllAvailable()
+      // batch 2 REDELIVERS the tail of batch 1 (overlap) plus the rest —
+      // the watermark guard folds only the genuinely new orders
+      mem.addData(rows(cut2 - 50, 10000L): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val wantPairs = BasketStore.pairCounts(ol())
+    val gotPairs = BasketStore.servePairs(spark, root)
+    assert(gotPairs.except(wantPairs).isEmpty && wantPairs.except(gotPairs).isEmpty,
+      "stream-maintained pair view diverged from the one-shot build")
+    assert(BasketStore.serveNOrders(spark, root)
+      == ol().select("l_orderkey").distinct().count())
+
+    // an exact redelivery through the BATCH api melts to empty, with the
+    // skipped rows accounted — the contract violation signal is visible
+    val s = BasketStore.admitBatch(spark, root, ol(from = Some(cut2)))
+    assert(s.mode == "empty" && s.skippedRows > 0, s.toString)
+  }
+
   test("mv registry twins equal their recompute forms exactly") {
     Seq("g_bipartite_proj", "g_basket_lift", "g_degree_gini").foreach { q =>
       val a = SparkEntry.queries(q)(spark, sf)

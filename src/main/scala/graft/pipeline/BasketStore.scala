@@ -148,6 +148,29 @@ object BasketStore extends ServingStore {
   override def appendBatch(spark: SparkSession, root: String,
       batch: DataFrame): Unit = { admitBatch(spark, root, batch): Unit }
 
+  /** Files per bucket that trigger edge-table compaction: every admission
+    * with new edges appends one file per touched bucket, so K batches ⇒
+    * up to K files/bucket and the anti-join probe reads all of them. */
+  val MaintainFilesPerBucket = 4
+
+  /** Metadata-cheap trigger (contract rule 3): average files/bucket of
+    * the edges table past [[MaintainFilesPerBucket]]. */
+  override def shouldMaintain(spark: SparkSession, root: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(edgesPath(root))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p)
+      .count(_.getPath.getName.startsWith("part-")) >
+      MaintainFilesPerBucket * Buckets
+  }
+
+  /** S11 for the edge set: collapse each bucket back to one sorted file —
+    * the stored side of every future admission anti-join reads one file
+    * per bucket again. Rollup tables need no maintenance (each commit is
+    * already a full restatement). */
+  override def maintain(spark: SparkSession, root: String): Unit =
+    Lakehouse.compactBucketed(spark, edgesTable(root), edgesPath(root),
+      "src", Buckets)
+
   /** O(delta) admission of one whole-orders batch: only rows above the
     * stored orderkey watermark are folded (replay guard #1); every
     * rollup commit is watermark-stamped (replay guard #2). The base

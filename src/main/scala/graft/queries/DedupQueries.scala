@@ -1557,6 +1557,70 @@ object DedupQueries {
         .select("w_a", "w_b").distinct()
       cand.withColumn("dist", levenshtein(col("w_a"), col("w_b")).cast("long"))
         .filter(col("dist") <= 1)
+    },
+
+    // -------------------------------------------------------------- DEDUP-14
+    // Typo CORRECTION — the rollup on top of d_typo_pairs' candidate
+    // machinery that a token-normalization pass actually applies: each
+    // out-of-vocabulary mutant maps to its highest-corpus-frequency ED≤1
+    // vocabulary neighbor (tie → lexicographically smallest, both engines
+    // agree). Same lossless deletion-key blocking, but ASYMMETRIC: mutant
+    // keys probe vocabulary keys only, so the join is |typos|-sided — at
+    // 100 TB the vocabulary key table is built once per batch and the
+    // probe side is the (tiny) OOV set.
+    QueryDef("d_typo_correct",
+      """WITH tf AS (
+        |  SELECT t.t AS w, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM documents, unnest(string_split(text, ' ')) AS t(t) GROUP BY 1),
+        |m AS (
+        |  SELECT 'x' || substr(string_split(text, ' ')[1], 2) AS typo,
+        |    CAST(COUNT(*) AS BIGINT) AS n_injected
+        |  FROM documents WHERE length(string_split(text, ' ')[1]) >= 3
+        |  GROUP BY 1),
+        |km AS (
+        |  SELECT typo, unnest(list_prepend(typo,
+        |    list_transform(generate_series(1, length(typo)),
+        |      i -> substr(typo, 1, i - 1) || substr(typo, i + 1)))) AS key
+        |  FROM m),
+        |kv AS (
+        |  SELECT w, n, unnest(list_prepend(w,
+        |    list_transform(generate_series(1, length(w)),
+        |      i -> substr(w, 1, i - 1) || substr(w, i + 1)))) AS key
+        |  FROM tf),
+        |ver AS (
+        |  SELECT DISTINCT km.typo, kv.w, kv.n
+        |  FROM km JOIN kv ON km.key = kv.key
+        |  WHERE levenshtein(km.typo, kv.w) <= 1),
+        |best AS (
+        |  SELECT typo, w AS correction, n AS corr_freq,
+        |    ROW_NUMBER() OVER (PARTITION BY typo ORDER BY n DESC, w) AS rn
+        |  FROM ver)
+        |SELECT m.typo, b.correction, m.n_injected, b.corr_freq
+        |FROM m JOIN best b ON b.typo = m.typo AND b.rn = 1""".stripMargin) { (s, dir) =>
+      def delKeys(c: String) = explode(expr(
+        s"""concat(array($c), transform(sequence(1, length($c)),
+           |  i -> concat(substring($c, 1, i - 1),
+           |              substring($c, i + 1, length($c)))))""".stripMargin))
+      val tf = Graft.table(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).cast("long").as("n"))
+      val m = Graft.table(s, dir, "documents")
+        .select(element_at(split(col("text"), " "), 1).as("f"))
+        .filter(length(col("f")) >= 3)
+        .select(concat(lit("x"), expr("substring(f, 2, length(f))")).as("typo"))
+        .groupBy("typo").agg(count(lit(1)).cast("long").as("n_injected"))
+      val km = m.select(col("typo"), delKeys("typo").as("key"))
+      val kv = tf.select(col("w"), col("n"), delKeys("w").as("key"))
+      val ver = km.join(kv, "key")
+        .filter(levenshtein(col("typo"), col("w")) <= 1)
+        .select("typo", "w", "n").distinct()
+      val wBest = org.apache.spark.sql.expressions.Window
+        .partitionBy("typo").orderBy(col("n").desc, col("w"))
+      val best = ver.withColumn("rn", row_number().over(wBest))
+        .filter(col("rn") === 1)
+        .select(col("typo"), col("w").as("correction"), col("n").as("corr_freq"))
+      m.join(best, "typo")
+        .select("typo", "correction", "n_injected", "corr_freq")
     }
   )
 }

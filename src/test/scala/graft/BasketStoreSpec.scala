@@ -87,6 +87,36 @@ class BasketStoreSpec extends SparkSpec {
     }
   }
 
+  test("maintenance compacts the edge buckets without changing served state") {
+    val root = freshRoot()
+    BasketStore.ensureBuilt(spark, root, ol(upTo = Some(200L)))
+    // many small admissions: each with new edges appends a file per
+    // touched bucket, inflating the anti-join's stored-side read
+    (200L until 1400L by 100L).foreach { c =>
+      BasketStore.admitBatch(spark, root,
+        ol(upTo = Some(c + 100L), from = Some(c))): Unit
+    }
+    val before = BasketStore.servePairs(spark, root).collect().toSet
+    val degBefore = BasketStore.serveDegrees(spark, root).collect().toSet
+    val edgesBefore = spark.table(BasketStore.edgesTable(root))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(BasketStore.shouldMaintain(spark, root),
+      "12 appended batches must trip the files-per-bucket trigger")
+    BasketStore.maintain(spark, root)
+    assert(!BasketStore.shouldMaintain(spark, root), "compaction must reset the trigger")
+    assert(spark.table(BasketStore.edgesTable(root))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == edgesBefore,
+      "compaction changed the edge set")
+    assert(BasketStore.servePairs(spark, root).collect().toSet == before)
+    assert(BasketStore.serveDegrees(spark, root).collect().toSet == degBefore)
+    // and admissions still work against the compacted layout
+    val s = BasketStore.admitBatch(spark, root, ol(from = Some(1400L)))
+    assert(s.mode == "admitted", s.toString)
+    val wantPairs = BasketStore.pairCounts(ol())
+    val gotPairs = BasketStore.servePairs(spark, root)
+    assert(gotPairs.except(wantPairs).isEmpty && wantPairs.except(gotPairs).isEmpty)
+  }
+
   test("streaming admission ≡ batch build: two micro-batches + a redelivery " +
     "land once; mixed overlap is surfaced, not silently eaten") {
     implicit val sqlCtx = spark.sqlContext

@@ -44,4 +44,23 @@ class TypoPairsSpec extends SparkSpec {
     assert(got.nonEmpty, "the injected mutants must produce pairs")
     assert(got.forall(_._3 <= 1))
   }
+
+  test("d_typo_correct: every mutant maps to the max-frequency ED<=1 vocab " +
+    "neighbor, ties to the smallest word") {
+    val docs = graft.core.Graft.table(spark, sf, "documents")
+    val freq = docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = SparkEntry.queries("d_typo_correct")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (typo, (corr, _, corrFreq)) =>
+      assert(ed(typo, corr) <= 1, s"$typo -> $corr is not ED<=1")
+      assert(corrFreq == freq(corr), s"$typo: stale frequency for $corr")
+      val brute = freq.keys.filter(w => ed(typo, w) <= 1)
+        .toSeq.sortBy(w => (-freq(w), w)).head
+      assert(corr == brute, s"$typo: got $corr, brute argmax is $brute")
+    }
+  }
 }

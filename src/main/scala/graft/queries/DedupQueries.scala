@@ -103,6 +103,61 @@ object DedupQueries {
     * slower at sf0.1). */
   private def qdot(a: String, b: String): Column = expr(s"long_dot($a, $b)")
 
+  /** The bounded-block-guarded embedding pair join shared by
+    * `d_embedding_dup` (conf-driven knobs, guarded-exact on the fixture)
+    * and `d_embedding_dup_rerouted` (cap pinned low so the reroute is
+    * oracle-checked). Census → loud fail or LSH sub-bucket → exact
+    * within-(label, subcode) cosine pairs. Bit widths are INTEGER
+    * threshold indicators Σ_j [bsz > cap·2^j] = ceil(log2(bsz/cap))
+    * clamped to 16 — no floating log whose 1-ulp engine drift at powers
+    * of two (ln x/ln 2 vs native log2) could flip a ceil and change the
+    * bucketing between engines. */
+  private def embeddingDupGuarded(s: SparkSession, dir: String,
+      cap: Long, mode: String): DataFrame = {
+    val n = emb(s, dir).persist()
+    // the census: one count rollup on the block key, O(N) with
+    // map-side combine — negligible next to the pair join it guards
+    val sizes = n.groupBy("label").agg(count(lit(1)).as("bsz"))
+    val coded = if (mode != "reroute") {
+      val hot = sizes.filter(col("bsz") > cap)
+        .orderBy(col("bsz").desc).limit(8).collect()
+      if (hot.nonEmpty) {
+        n.unpersist()
+        throw new IllegalStateException(
+          "d_embedding_dup: exact within-block pairs cost |block|² and " +
+            s"these blocks exceed blockCap=$cap: " +
+            hot.map(r => s"${r.get(0)}→${r.get(1)} rows").mkString(", ") +
+            " — choose a finer block key, raise spark.graft.dedup.blockCap," +
+            " or set spark.graft.dedup.blockMode=reroute (LSH sub-bucketing," +
+            " recall-traded)")
+      }
+      n.withColumn("subcode", lit(""))
+    } else {
+      // sub-bucket ONLY the oversized blocks; bounded blocks keep
+      // subcode = '' and therefore the exact semantics bit for bit
+      val wMax = 16
+      val step = 64 / wMax
+      val code16 = concat((0 until wMax).map(i =>
+        when(element_at(col("qv"), 1 + i * step) >= 0, lit("1"))
+          .otherwise(lit("0"))): _*)
+      val bits = (0 until wMax).map(j =>
+        when(col("bsz") > cap * (1L << j), 1).otherwise(0)).reduce(_ + _)
+      n.join(sizes, "label")
+        .withColumn("bits", bits)
+        .withColumn("code16", code16)
+        .withColumn("subcode", expr("substring(code16, 1, bits)"))
+    }
+    val a = coded.select(col("vec_id").as("a_id"), col("label"), col("subcode"), col("qv").as("a_qv"), col("nq").as("a_nq"))
+    val b = coded.select(col("vec_id").as("b_id"), col("label").as("b_label"), col("subcode").as("b_subcode"), col("qv").as("b_qv"), col("nq").as("b_nq"))
+    val cos = qdot("a_qv", "b_qv") / (sqrt(col("a_nq").cast("double")) * sqrt(col("b_nq").cast("double")))
+    val out = a.join(b, col("label") === col("b_label")
+        && col("subcode") === col("b_subcode") && col("a_id") < col("b_id"))
+      .withColumn("cos_sim", cos)
+      .filter(col("cos_sim") >= 0.35)
+      .select("a_id", "b_id", "cos_sim")
+    CacheScope.sealResult(out, n)
+  }
+
   /** Oracle for BOTH incremental-dedup forms (the self-contained demo and
     * the persisted-signature-store production form): the admitted set is
     * defined by the data, not by where the signatures live. */
@@ -927,51 +982,41 @@ object DedupQueries {
          |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE CAST(list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1] * p[2])) AS BIGINT)
          |    / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) >= 0.35""".stripMargin) { (s, dir) =>
-      val cap = s.conf.get("spark.graft.dedup.blockCap", "1024").toLong
-      val mode = s.conf.get("spark.graft.dedup.blockMode", "fail")
-      val n = emb(s, dir).persist()
-      // the census: one count rollup on the block key, O(N) with
-      // map-side combine — negligible next to the pair join it guards
-      val sizes = n.groupBy("label").agg(count(lit(1)).as("bsz"))
-      val coded = if (mode != "reroute") {
-        val hot = sizes.filter(col("bsz") > cap)
-          .orderBy(col("bsz").desc).limit(8).collect()
-        if (hot.nonEmpty) {
-          n.unpersist()
-          throw new IllegalStateException(
-            "d_embedding_dup: exact within-block pairs cost |block|² and " +
-              s"these blocks exceed blockCap=$cap: " +
-              hot.map(r => s"${r.get(0)}→${r.get(1)} rows").mkString(", ") +
-              " — choose a finer block key, raise spark.graft.dedup.blockCap," +
-              " or set spark.graft.dedup.blockMode=reroute (LSH sub-bucketing," +
-              " recall-traded)")
-        }
-        n.withColumn("subcode", lit(""))
-      } else {
-        // sub-bucket ONLY the oversized blocks: bits = ceil(log2(bsz/cap))
-        // sign-projection bits (≤16, stride-sampled like ann_lsh_bucket);
-        // bounded blocks keep subcode = '' and the exact semantics
-        val wMax = 16
-        val step = 64 / wMax
-        val code16 = concat((0 until wMax).map(i =>
-          when(element_at(col("qv"), 1 + i * step) >= 0, lit("1"))
-            .otherwise(lit("0"))): _*)
-        n.join(sizes, "label")
-          .withColumn("bits", when(col("bsz") <= cap, lit(0)).otherwise(
-            least(lit(wMax),
-              ceil(log(2.0, col("bsz").cast("double") / cap)).cast("int"))))
-          .withColumn("code16", code16)
-          .withColumn("subcode", expr("substring(code16, 1, bits)"))
-      }
-      val a = coded.select(col("vec_id").as("a_id"), col("label"), col("subcode"), col("qv").as("a_qv"), col("nq").as("a_nq"))
-      val b = coded.select(col("vec_id").as("b_id"), col("label").as("b_label"), col("subcode").as("b_subcode"), col("qv").as("b_qv"), col("nq").as("b_nq"))
-      val cos = qdot("a_qv", "b_qv") / (sqrt(col("a_nq").cast("double")) * sqrt(col("b_nq").cast("double")))
-      val out = a.join(b, col("label") === col("b_label")
-          && col("subcode") === col("b_subcode") && col("a_id") < col("b_id"))
-        .withColumn("cos_sim", cos)
-        .filter(col("cos_sim") >= 0.35)
-        .select("a_id", "b_id", "cos_sim")
-      CacheScope.sealResult(out, n)
+      embeddingDupGuarded(s, dir,
+        s.conf.get("spark.graft.dedup.blockCap", "1024").toLong,
+        s.conf.get("spark.graft.dedup.blockMode", "fail"))
+    },
+
+    // -------------------------------------------------------------- DEDUP-5r
+    // The REROUTE path of the bounded-block guard, oracle-checked (the
+    // registered d_embedding_dup exercises the guarded-exact path — the
+    // fixture's blocks sit under the default cap; this variant pins the
+    // cap at 16 so the fixture's ~50-row blocks genuinely sub-bucket at
+    // the correctness gate). The DuckDB oracle implements the identical
+    // semantics — census, integer-threshold bit widths, sign-bit subcode,
+    // within-(label, subcode) exact pairs — so the recall-traded form is
+    // engine-parity-checked, not just spec-checked.
+    QueryDef("d_embedding_dup_rerouted",
+      s"""WITH n AS (
+         |  SELECT vec_id, label, $quantSql AS qv,
+         |    CAST(list_sum(list_transform($quantSql, x -> x * x)) AS BIGINT) AS nq
+         |  FROM embeddings),
+         |s AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS bsz FROM n GROUP BY 1),
+         |c AS (
+         |  SELECT n.*, ${(0 until 16).map(j => s"(CASE WHEN s.bsz > ${16L * (1L << j)} THEN 1 ELSE 0 END)").mkString(" + ")} AS bits,
+         |    list_aggregate(list_transform(generate_series(0, 15),
+         |      i -> CASE WHEN n.qv[1 + i * 4] >= 0 THEN '1' ELSE '0' END),
+         |      'string_agg', '') AS code16
+         |  FROM n JOIN s USING (label)),
+         |k AS (SELECT vec_id, label, qv, nq, substr(code16, 1, bits) AS subcode FROM c)
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  CAST(list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1] * p[2])) AS BIGINT)
+         |    / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) AS cos_sim
+         |FROM k a JOIN k b ON a.label = b.label AND a.subcode = b.subcode
+         |  AND a.vec_id < b.vec_id
+         |WHERE CAST(list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1] * p[2])) AS BIGINT)
+         |    / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) >= 0.35""".stripMargin) { (s, dir) =>
+      embeddingDupGuarded(s, dir, cap = 16L, mode = "reroute")
     },
 
     // --------------------------------------------------------------- DEDUP-6

@@ -90,9 +90,9 @@ class EmbeddingBlockGuardSpec extends SparkSpec {
     "exact, complete inside every sub-bucket") {
     val cap = 8L
     val bsz = vecs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
-    def bits(l: Long): Int =
-      if (bsz(l) <= cap) 0
-      else math.min(16, math.ceil(math.log(bsz(l).toDouble / cap) / math.log(2.0)).toInt)
+    // the implementation's integer-threshold form: Σ_j [bsz > cap·2^j]
+    // (= ceil(log2(bsz/cap)) clamped to 16, with no floating log)
+    def bits(l: Long): Int = (0 until 16).count(j => bsz(l) > cap * (1L << j))
     def subcode(v: (Long, Long, Array[Long])): String =
       (0 until bits(v._2)).map(i => if (v._3(i * 4) >= 0) '1' else '0').mkString
     val want = brutePairs(v => (v._2, subcode(v)))

@@ -471,6 +471,50 @@ object DedupQueries {
         tok, cm)
     },
 
+    // ------------------------------------------------------------- SKETCH-2b
+    // Sketch-FILTERED exact heavy hitters — the two-pass pattern a13's
+    // sketch exists to enable: pass 1 builds the 512-cell Count-Min grid
+    // (corpus-size-independent shuffle), pass 2 re-scans tokens, keeps
+    // only those whose CM estimate clears the n/32 threshold (a 512-row
+    // broadcast lookup, map-side), and exact-counts the SURVIVORS only.
+    // CM can only OVERcount, so the filter admits every true heavy
+    // hitter — the final exact-count ≥ threshold cut makes the output
+    // IDENTICAL to the naive full-vocabulary rollup (which is the
+    // oracle), while the exact-count shuffle carries candidate tokens
+    // instead of the whole vocabulary. That asymmetry is the 100 TB
+    // story: a web-scale token stream has billions of distinct keys, of
+    // which a few hundred clear any heavy-hitter threshold.
+    QueryDef("a58_heavy_hitters",
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok)
+        |SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM tok, n GROUP BY w, n.n
+        |HAVING COUNT(*) > n // 32""".stripMargin) { (s, dir) =>
+      def bucketC(salt: Int): Column =
+        (expr(s"instr('0123456789abcdef', substr(md5('$salt:' || w), 1, 1)) - 1") * 16) +
+          expr(s"instr('0123456789abcdef', substr(md5('$salt:' || w), 2, 1)) - 1")
+      val tok = docs(s, dir).select(explode(col("tk")).as("w")).persist()
+      val nDf = tok.agg(count(lit(1)).cast("long").as("n"))
+      val cm = tok
+        .select(explode(array(
+          struct(lit(1).as("j"), bucketC(1).as("b")),
+          struct(lit(2).as("j"), bucketC(2).as("b")))).as("jb"))
+        .select(col("jb.j").as("j"), col("jb.b").as("b"))
+        .groupBy("j", "b").agg(count(lit(1)).as("c"))
+      val c1 = cm.filter(col("j") === 1).select(col("b").as("b1"), col("c").as("ec1"))
+      val c2 = cm.filter(col("j") === 2).select(col("b").as("b2"), col("c").as("ec2"))
+      val out = tok
+        .join(broadcast(c1), bucketC(1) === col("b1"))
+        .join(broadcast(c2), bucketC(2) === col("b2"))
+        .crossJoin(broadcast(nDf))
+        .filter(least(col("ec1"), col("ec2")) > expr("n div 32"))
+        .groupBy("w", "n").agg(count(lit(1)).cast("long").as("cnt"))
+        .filter(col("cnt") > expr("n div 32"))
+        .select("w", "cnt")
+      CacheScope.sealResult(out, tok)
+    },
+
     // -------------------------------------------------------------- SKETCH-3
     // Quantile estimation by deterministic hash sampling: p50/p90/p99 of
     // the value distribution per event type from the ~1/4 of rows whose

@@ -896,6 +896,70 @@ object MiningQueries {
       else rfmBody(s, ev, gmaxOpt.get.asInstanceOf[Long])
     },
 
+    // ------------------------------------------------------------------ A-57
+    // Kendall's τ-b between the purchase and click daily series — the
+    // third rank-correlation face beside Spearman (a47) and the
+    // Mann–Kendall trend S (a45): concordant/discordant PAIR counts,
+    // robust to any monotone rescaling and the statistic of choice when
+    // tie structure matters (τ-b's denominator corrects for ties on
+    // both margins). Everything is exact BIGINT — C, D, the tie terms
+    // n1 = Σ tx(tx−1)/2 and n2 — and τ is the FIXED two-step IEEE tail
+    // (C−D)/√((n0−n1)(n0−n2)), so both engines agree bit for bit. The
+    // pair loop runs on the bounded shared-day relation (d² of a few
+    // thousand days at any corpus size); the only fact-scale work is
+    // the one (day) rollup.
+    QueryDef("a57_kendall_tau",
+      """WITH byday AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS pc,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS cc
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN (a.pc - b.pc) * (a.cc - b.cc) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(SUM(CASE WHEN (a.pc - b.pc) * (a.cc - b.cc) < 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM byday a JOIN byday b ON b.day > a.day),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM byday),
+        |t1 AS (SELECT CAST(COALESCE(SUM(t * (t - 1) // 2), 0) AS BIGINT) AS n1
+        |       FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM byday GROUP BY pc)),
+        |t2 AS (SELECT CAST(COALESCE(SUM(t * (t - 1) // 2), 0) AS BIGINT) AS n2
+        |       FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM byday GROUP BY cc))
+        |SELECT c, d, n.n, n1, n2,
+        |  CASE WHEN n.n * (n.n - 1) // 2 - n1 = 0 OR n.n * (n.n - 1) // 2 - n2 = 0
+        |    THEN NULL
+        |    ELSE CAST(c - d AS DOUBLE)
+        |      / sqrt(CAST(n.n * (n.n - 1) // 2 - n1 AS DOUBLE)
+        |             * CAST(n.n * (n.n - 1) // 2 - n2 AS DOUBLE))
+        |  END AS tau_b
+        |FROM p, n, t1, t2""".stripMargin) { (s, dir) =>
+      val byday = events(s, dir)
+        .groupBy(expr("ts_us div 86400000000").as("day"))
+        .agg(sum(when(col("event_type") === "purchase", 1).otherwise(0))
+          .cast("long").as("pc"),
+          sum(when(col("event_type") === "click", 1).otherwise(0))
+            .cast("long").as("cc"))
+        .persist()
+      val pair = byday.as("a").join(broadcast(byday.as("b")),
+          col("b.day") > col("a.day"))
+        .select(((col("a.pc") - col("b.pc")) * (col("a.cc") - col("b.cc"))).as("s"))
+        .agg(sum(when(col("s") > 0, 1).otherwise(0)).cast("long").as("c"),
+          sum(when(col("s") < 0, 1).otherwise(0)).cast("long").as("d"))
+      val nDf = byday.agg(count(lit(1)).cast("long").as("n"))
+      def ties(c: String, out: String) = byday.groupBy(c)
+        .agg(count(lit(1)).cast("long").as("t"))
+        .agg(coalesce(sum(expr("t * (t - 1) div 2")), lit(0L)).cast("long").as(out))
+      val den1 = expr("n * (n - 1) div 2") - col("n1")
+      val den2 = expr("n * (n - 1) div 2") - col("n2")
+      val out = pair.crossJoin(broadcast(nDf))
+        .crossJoin(broadcast(ties("pc", "n1")))
+        .crossJoin(broadcast(ties("cc", "n2")))
+        .select(col("c"), col("d"), col("n"), col("n1"), col("n2"),
+          when(den1 === 0 || den2 === 0, lit(null))
+            .otherwise((col("c") - col("d")).cast("double")
+              / sqrt(den1.cast("double") * den2.cast("double"))).as("tau_b"))
+      CacheScope.sealResult(out, byday)
+    },
+
     // ------------------------------------------------------------ G-BP-mv
     // The basket projection SERVED FROM the persisted pair rollup
     // ([[graft.pipeline.BasketStore]]): the recompute form above pays

@@ -91,6 +91,32 @@ class MiningPropertySpec extends SparkSpec {
       s"even-count lower median: got $med, want ${slopes((slopes.length + 1) / 2 - 1)}")
   }
 
+  test("a57_kendall_tau: τ ∈ [−1, 1], equals the brute pair loop with tie terms") {
+    val row = SparkEntry.queries("a57_kendall_tau")(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Option[Double])].head()
+    val (c, d, n, n1, n2, tau) = row
+    val byday = graft.core.Graft.events(spark, dir)
+      .groupBy(expr("ts_us div 86400000000").as("day"))
+      .agg(count(when(col("event_type") === "purchase", 1)).cast("long").as("pc"),
+        count(when(col("event_type") === "click", 1)).cast("long").as("cc"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val pairs = for { i <- byday.indices; j <- (i + 1) until byday.length }
+      yield (byday(i)._2 - byday(j)._2) * (byday(i)._3 - byday(j)._3)
+    assert(n == byday.length)
+    assert(c == pairs.count(_ > 0), s"concordant: $c vs brute ${pairs.count(_ > 0)}")
+    assert(d == pairs.count(_ < 0), s"discordant: $d vs brute ${pairs.count(_ < 0)}")
+    def tieTerm(xs: Seq[Long]): Long =
+      xs.groupBy(identity).values.map(g => g.size.toLong * (g.size - 1) / 2).sum
+    assert(n1 == tieTerm(byday.map(_._2).toSeq) && n2 == tieTerm(byday.map(_._3).toSeq))
+    val n0 = n * (n - 1) / 2
+    assert(c + d <= n0, "C + D cannot exceed the pair count")
+    tau.foreach { t =>
+      assert(math.abs(t) <= 1.0 + 1e-12, s"|tau|=$t out of range")
+      val brute = (c - d).toDouble / math.sqrt((n0 - n1).toDouble * (n0 - n2).toDouble)
+      assert(t == brute, s"tau=$t vs brute=$brute (must be the identical IEEE tail)")
+    }
+  }
+
   test("a47_spearman: ρ ∈ [−1, 1] and equals the brute average-rank Pearson") {
     val (n, _, _, rho) = SparkEntry.queries("a47_spearman")(spark, dir)
       .as[(Long, Long, Long, Option[Double])].head()

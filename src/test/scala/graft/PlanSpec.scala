@@ -57,6 +57,15 @@ class PlanSpec extends SparkSpec {
     assert(countOccurrences(p, "windowspecdefinition(wallet_address") >= 4, p)
   }
 
+  test("a58_heavy_hitters: the CM lookup is broadcast — no vocabulary-wide merge join") {
+    // The two-pass design only pays off if the 512-cell grid reaches the
+    // token stream as a broadcast: a sort-merge join here would shuffle
+    // the whole token stream by bucket and erase the pattern's point.
+    val p = planString("a58_heavy_hitters")
+    assert(countOccurrences(p, "BroadcastHashJoin") >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("incremental watermark predicate is pushed into the parquet scan") {
     val p = planString("p3_incremental_filter")
     assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThan(ts,"), p)

@@ -269,6 +269,50 @@ object JoinShapeQueries {
             .otherwise(lit("after")).as("side"))
     },
 
+    // ------------------------------------------------------------------ J18
+    // INTERVAL-OVERLAP join — the non-equi range-join class J8 does NOT
+    // cover (J8 rides an equi key with a band predicate; here there is
+    // NO equi key at all): per-user activity intervals [first, last]
+    // against per-(event_type, week) intervals, pairs where the spans
+    // intersect. The Spark plan is the classical GRID bucketing: each
+    // user interval explodes into the week cells it covers (bounded by
+    // the calendar, not the data — an interval covers len/cell cells),
+    // the per-week type intervals carry their cell natively (they lie
+    // inside one week by construction, which also makes the grid
+    // LOSSLESS: any overlap must share the B side's week), and the join
+    // is EQUI on the cell with an exact residual verify. A naive θ-join
+    // here is a broadcast-nested-loop over |users|·|type-weeks| — fine
+    // for a dim-sized side, quadratic death when both sides are fact
+    // scale; the grid form shuffles on a key whose cardinality grows
+    // with the calendar and keeps every comparison cell-local.
+    QueryDef("j18_interval_overlap",
+      """WITH a AS (
+        |  SELECT user_id, CAST(MIN(epoch_us(ts)) AS BIGINT) AS a_s,
+        |    CAST(MAX(epoch_us(ts)) AS BIGINT) AS a_e
+        |  FROM events GROUP BY 1),
+        |b AS (
+        |  SELECT event_type, epoch_us(ts) // 604800000000 AS wk,
+        |    CAST(MIN(epoch_us(ts)) AS BIGINT) AS b_s,
+        |    CAST(MAX(epoch_us(ts)) AS BIGINT) AS b_e
+        |  FROM events GROUP BY 1, 2)
+        |SELECT a.user_id, b.event_type, b.wk,
+        |  CAST(LEAST(a.a_e, b.b_e) - GREATEST(a.a_s, b.b_s) AS BIGINT) AS overlap_us
+        |FROM a JOIN b ON a.a_s <= b.b_e AND b.b_s <= a.a_e""".stripMargin) { (s, dir) =>
+      val week = 604800000000L
+      val ev = events(s, dir)
+      val a = ev.groupBy("user_id")
+        .agg(min("ts_us").cast("long").as("a_s"), max("ts_us").cast("long").as("a_e"))
+      val b = ev.groupBy(col("event_type"), expr(s"ts_us div ${week}L").as("wk"))
+        .agg(min("ts_us").cast("long").as("b_s"), max("ts_us").cast("long").as("b_e"))
+      val cells = a.withColumn("wk",
+        explode(expr(s"sequence(a_s div ${week}L, a_e div ${week}L)")))
+      cells.join(b, "wk")
+        .filter(col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+        .select(col("user_id"), col("event_type"), col("wk"),
+          (least(col("a_e"), col("b_e")) - greatest(col("a_s"), col("b_s")))
+            .cast("long").as("overlap_us"))
+    },
+
     // ------------------------------------------------------------------ J16
     // 5-way star join (the TPC-H Q5 shape): two fact-sized relations
     // (orders, lineitem) joined through three dimensions (customer,

@@ -66,6 +66,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("j18_interval_overlap: grid join is EQUI on the week cell — never a nested loop") {
+    // The whole point of the grid form: Catalyst must see an equality on
+    // wk and plan a hash join; a BroadcastNestedLoopJoin means the θ-join
+    // leaked through and the plan is quadratic when both sides scale.
+    val p = planString("j18_interval_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("incremental watermark predicate is pushed into the parquet scan") {
     val p = planString("p3_incremental_filter")
     assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThan(ts,"), p)

@@ -960,6 +960,104 @@ object MiningQueries {
       CacheScope.sealResult(out, byday)
     },
 
+    // ------------------------------------------------------------------ A-59
+    // Durbin–Watson autocorrelation statistic of the daily count series
+    // — "are the residuals serially correlated", the lag-1 diagnostic a
+    // forecasting gate runs beside a29's ACF (DW ≈ 2(1−ρ₁); < 1 or > 3
+    // flags structure the mean model missed). Exact end-to-end:
+    // residuals are mean-centered as e_t = n·y_t − S (scaled by n so
+    // they stay BIGINT — the scale cancels in the ratio), both the
+    // Σ(e_t−e_{t−1})² numerator and the Σe² denominator are DECIMAL(38,0)
+    // sums of exact products, and DW is ONE division of two
+    // exactly-rounded doubles. Overflow headroom: e ~ n·y needs
+    // n·y < 3e18 — at 3650 days × 3e9 events/day the squares sit at
+    // ~1e26, well inside DECIMAL(38,0). One fact pass (the day rollup);
+    // the LAG window runs on the bounded day series.
+    QueryDef("a59_durbin_watson",
+      """WITH d AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s FROM d),
+        |e AS (
+        |  SELECT day, CAST(m.n * d.y - m.s AS DECIMAL(38,0)) AS e,
+        |    LAG(CAST(m.n * d.y - m.s AS DECIMAL(38,0))) OVER (ORDER BY day) AS ep
+        |  FROM d, m),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    SUM(CASE WHEN ep IS NULL THEN CAST(0 AS DECIMAL(38,0))
+        |        ELSE (e - ep) * (e - ep) END) AS num,
+        |    SUM(e * e) AS den
+        |  FROM e)
+        |SELECT n_days, CAST(num AS DOUBLE) AS num_d, CAST(den AS DOUBLE) AS den_d,
+        |  CASE WHEN den = 0 THEN NULL
+        |    ELSE CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS dw
+        |FROM a""".stripMargin) { (s, dir) =>
+      val d = events(s, dir)
+        .groupBy(expr("ts_us div 86400000000").as("day"))
+        .agg(count(lit(1)).cast("long").as("y"))
+      val m = d.agg(count(lit(1)).cast("long").as("n"), sum("y").cast("long").as("s"))
+      val e = d.crossJoin(broadcast(m))
+        .select(col("day"), (col("n") * col("y") - col("s")).cast(dec).as("e"))
+        .withColumn("ep", lag("e", 1).over(Window.orderBy("day")))
+      val a = e.agg(count(lit(1)).cast("long").as("n_days"),
+        sum(when(col("ep").isNull, lit(0).cast(dec))
+          .otherwise((col("e") - col("ep")) * (col("e") - col("ep")))).as("num"),
+        sum(col("e") * col("e")).as("den"))
+      a.select(col("n_days"),
+        col("num").cast("double").as("num_d"),
+        col("den").cast("double").as("den_d"),
+        when(col("den") === 0, lit(null))
+          .otherwise(col("num").cast("double") / col("den").cast("double")).as("dw"))
+    },
+
+    // ------------------------------------------------------------------ T-Z
+    // Zipf rank-frequency slope of the corpus vocabulary — the classic
+    // "is this natural-language-shaped text" fingerprint (clean prose
+    // fits ln f = c + β·ln r with β ≈ −1; templated/boilerplate corpora
+    // flatten, spam steepens — a corpus-level quality gate beside the
+    // per-doc scores). OLS of y = ln f on x = ln r with BOTH logs as
+    // PINNED fixed-point nanolog integers (ln_nanos — bit-identical in
+    // both engines), the four moment sums exact DECIMAL(38,0), and the
+    // slope ONE division of two exactly-rounded doubles. The vocabulary
+    // relation is bounded; the only fact-scale pass is the token rollup.
+    QueryDef("t_zipf_slope", {
+      val inner = graft.functions.PinnedLogSql.chain(
+        """SELECT w, f, ROW_NUMBER() OVER (ORDER BY f DESC, w) AS r
+          |FROM (SELECT t.t AS w, CAST(COUNT(*) AS BIGINT) AS f
+          |      FROM documents, unnest(string_split(text, ' ')) AS t(t)
+          |      GROUP BY 1)""".stripMargin,
+        Seq("w", "f", "r"),
+        Seq(("r", "1", "x"), ("f", "1", "y")))
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         |  CASE WHEN CAST(COUNT(*) AS BIGINT) * SUM(CAST(x AS DECIMAL(38,0)) * x)
+         |         - SUM(CAST(x AS DECIMAL(38,0))) * SUM(CAST(x AS DECIMAL(38,0))) = 0
+         |    THEN NULL
+         |    ELSE CAST(CAST(COUNT(*) AS BIGINT) * SUM(CAST(x AS DECIMAL(38,0)) * y)
+         |           - SUM(CAST(x AS DECIMAL(38,0))) * SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE)
+         |       / CAST(CAST(COUNT(*) AS BIGINT) * SUM(CAST(x AS DECIMAL(38,0)) * x)
+         |           - SUM(CAST(x AS DECIMAL(38,0))) * SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE)
+         |  END AS zipf_slope
+         |FROM ($inner)""".stripMargin
+    }) { (s, dir) =>
+      graft.functions.VectorExprs.register(s)
+      val f = Graft.table(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).cast("long").as("f"))
+      val r = f.withColumn("r",
+        row_number().over(Window.orderBy(col("f").desc, col("w"))).cast("long"))
+      val xy = r.select(expr("ln_nanos(r, 1L)").as("x"), expr("ln_nanos(f, 1L)").as("y"))
+      val mo = xy.agg(count(lit(1)).cast("long").as("k"),
+        sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+        sum(col("x").cast(dec) * col("y")).as("sxy"),
+        sum(col("x").cast(dec) * col("x")).as("sxx"))
+      val dn = col("k") * col("sxx") - col("sx") * col("sx")
+      mo.select(col("k"),
+        when(dn === 0, lit(null))
+          .otherwise((col("k") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / dn.cast("double")).as("zipf_slope"))
+    },
+
     // ------------------------------------------------------------ G-BP-mv
     // The basket projection SERVED FROM the persisted pair rollup
     // ([[graft.pipeline.BasketStore]]): the recompute form above pays

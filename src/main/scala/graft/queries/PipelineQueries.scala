@@ -752,6 +752,43 @@ object PipelineQueries {
           .crossJoin(broadcast(uniq))
           .select("event_id", "date_partition", "uuid_ok", "uuid_unique"),
         tagged)
+    },
+
+    // ------------------------------------------------------------------ F-FH
+    // The HASHING TRICK over an interaction feature — per user, the
+    // 64-dim hashed count vector of (event_type × day-of-week), the
+    // tabular-ML encoding that keeps dimensionality FIXED no matter how
+    // many interaction categories exist (one-hot of interactions blows
+    // up combinatorially; the hash projects them onto 64 buckets and
+    // collisions are the accepted trade). Bucket = two md5 hex nibbles
+    // of 'type:dow' ((h1 & 3)·16 + h2 — the a13 grid arithmetic), dow =
+    // (epoch_day + 4) % 7 (pure integer, no calendar functions — day 0
+    // is a Thursday). Output is the EXPLODED sparse form (user, dim,
+    // cnt): engine-parity-exact, and the dense assembly is a trivial
+    // downstream pivot. Scale: one fact pass, map-side combinable — the
+    // (user × ≤64) rollup is the only shuffle, and the dimension count
+    // never grows with category cardinality.
+    QueryDef("f_feature_hash",
+      """WITH f AS (
+        |  SELECT user_id,
+        |    event_type || ':' || CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS VARCHAR) AS cat
+        |  FROM events),
+        |h AS (
+        |  SELECT user_id,
+        |    ((instr('0123456789abcdef', substr(md5(cat), 1, 1)) - 1) % 4) * 16
+        |      + instr('0123456789abcdef', substr(md5(cat), 2, 1)) - 1 AS dim
+        |  FROM f)
+        |SELECT user_id, CAST(dim AS BIGINT) AS dim, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM h GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val cat = concat(col("event_type"), lit(":"),
+        expr("cast((ts_us div 86400000000 + 4) % 7 as string)"))
+      val dim = (expr(s"instr('0123456789abcdef', substr(md5(cat), 1, 1)) - 1") % 4) * 16 +
+        expr("instr('0123456789abcdef', substr(md5(cat), 2, 1)) - 1")
+      events(s, dir)
+        .select(col("user_id"), cat.as("cat"))
+        .select(col("user_id"), dim.cast("long").as("dim"))
+        .groupBy("user_id", "dim")
+        .agg(count(lit(1)).cast("long").as("cnt"))
     }
   )
 }

@@ -1011,53 +1011,6 @@ object MiningQueries {
           .otherwise(col("num").cast("double") / col("den").cast("double")).as("dw"))
     },
 
-    // ------------------------------------------------------------------ T-Z
-    // Zipf rank-frequency slope of the corpus vocabulary — the classic
-    // "is this natural-language-shaped text" fingerprint (clean prose
-    // fits ln f = c + β·ln r with β ≈ −1; templated/boilerplate corpora
-    // flatten, spam steepens — a corpus-level quality gate beside the
-    // per-doc scores). OLS of y = ln f on x = ln r with BOTH logs as
-    // PINNED fixed-point nanolog integers (ln_nanos — bit-identical in
-    // both engines), the four moment sums exact DECIMAL(38,0), and the
-    // slope ONE division of two exactly-rounded doubles. The vocabulary
-    // relation is bounded; the only fact-scale pass is the token rollup.
-    QueryDef("t_zipf_slope", {
-      val inner = graft.functions.PinnedLogSql.chain(
-        """SELECT w, f, ROW_NUMBER() OVER (ORDER BY f DESC, w) AS r
-          |FROM (SELECT t.t AS w, CAST(COUNT(*) AS BIGINT) AS f
-          |      FROM documents, unnest(string_split(text, ' ')) AS t(t)
-          |      GROUP BY 1)""".stripMargin,
-        Seq("w", "f", "r"),
-        Seq(("r", "1", "x"), ("f", "1", "y")))
-      s"""SELECT CAST(COUNT(*) AS BIGINT) AS k,
-         |  CASE WHEN CAST(COUNT(*) AS BIGINT) * SUM(CAST(x AS DECIMAL(38,0)) * x)
-         |         - SUM(CAST(x AS DECIMAL(38,0))) * SUM(CAST(x AS DECIMAL(38,0))) = 0
-         |    THEN NULL
-         |    ELSE CAST(CAST(COUNT(*) AS BIGINT) * SUM(CAST(x AS DECIMAL(38,0)) * y)
-         |           - SUM(CAST(x AS DECIMAL(38,0))) * SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE)
-         |       / CAST(CAST(COUNT(*) AS BIGINT) * SUM(CAST(x AS DECIMAL(38,0)) * x)
-         |           - SUM(CAST(x AS DECIMAL(38,0))) * SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE)
-         |  END AS zipf_slope
-         |FROM ($inner)""".stripMargin
-    }) { (s, dir) =>
-      graft.functions.VectorExprs.register(s)
-      val f = Graft.table(s, dir, "documents")
-        .select(explode(split(col("text"), " ")).as("w"))
-        .groupBy("w").agg(count(lit(1)).cast("long").as("f"))
-      val r = f.withColumn("r",
-        row_number().over(Window.orderBy(col("f").desc, col("w"))).cast("long"))
-      val xy = r.select(expr("ln_nanos(r, 1L)").as("x"), expr("ln_nanos(f, 1L)").as("y"))
-      val mo = xy.agg(count(lit(1)).cast("long").as("k"),
-        sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
-        sum(col("x").cast(dec) * col("y")).as("sxy"),
-        sum(col("x").cast(dec) * col("x")).as("sxx"))
-      val dn = col("k") * col("sxx") - col("sx") * col("sx")
-      mo.select(col("k"),
-        when(dn === 0, lit(null))
-          .otherwise((col("k") * col("sxy") - col("sx") * col("sy")).cast("double")
-            / dn.cast("double")).as("zipf_slope"))
-    },
-
     // ------------------------------------------------------------ G-BP-mv
     // The basket projection SERVED FROM the persisted pair rollup
     // ([[graft.pipeline.BasketStore]]): the recompute form above pays

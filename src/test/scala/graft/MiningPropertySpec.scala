@@ -136,29 +136,6 @@ class MiningPropertySpec extends SparkSpec {
     }
   }
 
-  test("t_zipf_slope: negative on the fixture, equals the brute pinned-log OLS") {
-    val (k, slope) = SparkEntry.queries("t_zipf_slope")(spark, dir)
-      .as[(Long, Option[Double])].head()
-    val freq = graft.core.Graft.table(spark, dir, "documents")
-      .select(explode(split(col("text"), " ")).as("w"))
-      .groupBy("w").agg(count(lit(1)).cast("long").as("f"))
-      .as[(String, Long)].collect()
-    assert(k == freq.length)
-    val ranked = freq.sortBy { case (w, f) => (-f, w) }.zipWithIndex
-      .map { case ((_, f), i) => (i + 1L, f) }
-    val xy = ranked.map { case (r, f) =>
-      (graft.functions.PinnedLog.lnNanos(r, 1L), graft.functions.PinnedLog.lnNanos(f, 1L)) }
-    val kk = BigInt(xy.length)
-    val sx = xy.map(p => BigInt(p._1)).sum; val sy = xy.map(p => BigInt(p._2)).sum
-    val sxy = xy.map(p => BigInt(p._1) * p._2).sum
-    val sxx = xy.map(p => BigInt(p._1) * p._1).sum
-    val brute = (kk * sxy - sx * sy).doubleValue / (kk * sxx - sx * sx).doubleValue
-    slope.foreach { v =>
-      assert(v < 0.0, s"rank-frequency slope must be negative, got $v")
-      assert(v == brute, s"slope=$v vs brute=$brute")
-    }
-  }
-
   test("a47_spearman: ρ ∈ [−1, 1] and equals the brute average-rank Pearson") {
     val (n, _, _, rho) = SparkEntry.queries("a47_spearman")(spark, dir)
       .as[(Long, Long, Long, Option[Double])].head()

@@ -44,6 +44,15 @@ object BasketStore extends ServingStore {
   override def storeName: String = "basket"
   override def ingestKey: String = "l_orderkey"
 
+  /** Rule-2 override — the ingest entity (an order) SPANS rows, so the
+    * trait's default dropDuplicates(ingestKey) would collapse every
+    * basket to one arbitrary line inside the canonical lifecycle. This
+    * store needs NO intra-batch dedup at all: every rollup it maintains
+    * is distinct-based (collect_set pairs, DISTINCT items/orders/edges),
+    * so duplicated rows — same-line redelivery inside one batch — cannot
+    * change any count, and cross-batch replay is the watermark's job. */
+  override protected def dedupBatch(batch: DataFrame): DataFrame = batch
+
   val Buckets = 32
 
   private def ident(root: String): String =
@@ -58,7 +67,7 @@ object BasketStore extends ServingStore {
   private val WmCol = "_wm"
 
   final case class AdmitStats(
-      mode: String, // "admitted" | "replayed" | "empty"
+      mode: String, // "admitted" | "empty" (a full redelivery melts to empty)
       batchOrders: Long,
       batchRows: Long,
       newEdges: Long,
@@ -190,8 +199,12 @@ object BasketStore extends ServingStore {
       fresh.unpersist()
       return AdmitStats("empty", 0, 0, 0, skipped)
     }
+    // batchRows > 0 ⇒ wm = max(fresh) > wm0 = the stored meta watermark,
+    // so this admission is always genuinely new work from here on (a full
+    // redelivery already melted to mode=empty above); the per-table _wm
+    // guards below exist for CRASH-RESUME inside one admission, where an
+    // earlier attempt merged some rollups but died before the meta write
     val wm = fresh.agg(max("l_orderkey")).head.getLong(0)
-    val replay = storedWm(spark, metaDir(root)).exists(_ >= wm)
 
     mergeRollup(spark, pairsDir(root), wm, pairCounts(fresh),
       Seq("part_a", "part_b"), "n_ab")
@@ -227,15 +240,15 @@ object BasketStore extends ServingStore {
         Seq("node"), "d")
     }
     val batchOrders = fresh.select("l_orderkey").distinct().count()
-    if (!replay) {
-      ManifestSnapshots.writeFull(
-        spark.range(1).select(lit(nOrders0 + batchOrders).as("n_orders"),
-          lit(wm).as("watermark")).withColumn(WmCol, lit(wm)),
-        metaDir(root), partitionCols = Seq(WmCol)): Unit
-    }
+    // meta commits LAST: its watermark is what melts a redelivery, so a
+    // crash anywhere above leaves the old watermark and the replay
+    // re-runs every step (each rollup skipping via its own _wm stamp)
+    ManifestSnapshots.writeFull(
+      spark.range(1).select(lit(nOrders0 + batchOrders).as("n_orders"),
+        lit(wm).as("watermark")).withColumn(WmCol, lit(wm)),
+      metaDir(root), partitionCols = Seq(WmCol))
     fresh.unpersist(); newEdges.unpersist()
-    AdmitStats(if (replay) "replayed" else "admitted",
-      batchOrders, batchRows, nNew, skipped)
+    AdmitStats("admitted", batchOrders, batchRows, nNew, skipped)
   }
 
   /** Serving reads — views only, the fact table never appears in these
@@ -252,4 +265,12 @@ object BasketStore extends ServingStore {
   def serveNOrders(spark: SparkSession, root: String): Long =
     ManifestSnapshots.readLatest(spark, metaDir(root))
       .select("n_orders").head().getLong(0)
+
+  /** The committed orderkey watermark — metadata-only (partition spec of
+    * the meta table's latest version). Lets a serving caller skip the
+    * whole admission path when the store is provably current instead of
+    * paying two aggregation jobs over a batch the watermark guard would
+    * melt anyway. */
+  def watermark(spark: SparkSession, root: String): Option[Long] =
+    storedWm(spark, metaDir(root))
 }

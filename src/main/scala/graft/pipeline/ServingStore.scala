@@ -53,6 +53,16 @@ trait ServingStore {
     * the same entity delivered twice. */
   def ingestKey: String
 
+  /** Rule 2's intra-batch dedup, store-defined: the default assumes ONE
+    * ROW PER ENTITY (two rows sharing `ingestKey` are the same entity
+    * delivered twice — the doc/vector stores). A store whose ingest
+    * entity SPANS rows ([[BasketStore]]: an order is many order lines)
+    * MUST override this — keying the default on its entity id would
+    * silently collapse each entity to one arbitrary row inside the
+    * canonical lifecycle and corrupt the store permanently. */
+  protected def dedupBatch(batch: DataFrame): DataFrame =
+    batch.dropDuplicates(ingestKey)
+
   /** Idempotent bootstrap: re-register an existing on-disk store on a
     * fresh session; build from `corpus` (evaluated only when needed) when
     * absent. Returns true when this call performed the build. */
@@ -97,8 +107,10 @@ trait ServingStore {
     // tf in every posting / surfaces its vector twice per probe — and the
     // corruption is permanent, since later batches anti-join against the
     // store). appendBatch dedups internally; the build path gets the
-    // dedup here, once, for every store.
-    val b = batch.dropDuplicates(ingestKey)
+    // dedup here, once, for every store — through the STORE'S dedup rule
+    // (dedupBatch), never a blind key-dedup: a multi-row-entity store
+    // would lose all but one row per entity under the default.
+    val b = dedupBatch(batch)
     val bootstrapped = ensureBuilt(spark, root, b)
     if (!bootstrapped) appendBatch(spark, root, b)
     val fired = !bootstrapped && trigger(spark, root)
@@ -112,5 +124,5 @@ object ServingStore {
   final case class Ingest(bootstrapped: Boolean, maintained: Boolean)
 
   /** The engine's stores, for tooling that sweeps all of them. */
-  def all: Seq[ServingStore] = Seq(DedupStore, TextIndexStore, AnnStore)
+  def all: Seq[ServingStore] = Seq(DedupStore, TextIndexStore, AnnStore, BasketStore)
 }

@@ -147,8 +147,13 @@ object MiningQueries {
     val ol = orderLines(s, dir)
     graft.pipeline.BasketStore.ensureBuilt(s, root,
       ol.filter(col("l_orderkey") < cut))
-    graft.pipeline.BasketStore.admitBatch(s, root,
-      ol.filter(col("l_orderkey") >= cut))
+    // warm-path short circuit: when the committed watermark already
+    // covers the table's max orderkey (metadata-only check), skip the
+    // admission entirely — admitBatch would scan the batch twice just to
+    // melt it, and a SERVING query must not pay fact-table I/O
+    if (graft.pipeline.BasketStore.watermark(s, root).forall(_ < maxOk))
+      graft.pipeline.BasketStore.admitBatch(s, root,
+        ol.filter(col("l_orderkey") >= cut)): Unit
     root
   }
 

@@ -816,19 +816,34 @@ object Streams {
     * mode=empty), and every rollup commit is watermark-stamped, so a
     * crash mid-admission resumes table-by-table. CONTRACT: the source
     * must deliver WHOLE orders per micro-batch (pair counts are only
-    * additive over unsplit baskets) — a mixed batch (0 < skippedRows <
-    * raw) is surfaced in the returned stats for the caller's alarm. */
+    * additive over unsplit baskets). A MIXED batch (0 < skippedRows <
+    * raw) is ambiguous — an overlapping at-least-once redelivery is
+    * safe, a split order is silent corruption — and only the caller
+    * knows which its source can produce: under the default
+    * `strictWholeOrders = false` the fresh part folds and the skip
+    * count is ignored (sources that may re-deliver overlapping ranges
+    * of WHOLE orders); with `strictWholeOrders = true` a mixed batch
+    * KILLS the query loudly (sources that never re-deliver — any skip
+    * alongside fresh rows can only be a split order). */
   def foreachBatchBasketMaintenance(
       orderLines: DataFrame,
       root: String,
-      checkpoint: String): StreamingQuery =
+      checkpoint: String,
+      strictWholeOrders: Boolean = false): StreamingQuery =
     orderLines.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
-          graft.pipeline.BasketStore.admitBatch(
-            batch.sparkSession, root, batch): Unit
+        if (!batch.isEmpty) {
+          val stats = graft.pipeline.BasketStore.admitBatch(
+            batch.sparkSession, root, batch)
+          if (strictWholeOrders && stats.skippedRows > 0 && stats.batchRows > 0)
+            throw new IllegalStateException(
+              "basket maintenance: mixed micro-batch under strictWholeOrders " +
+                s"(${stats.skippedRows} rows at/below the watermark next to " +
+                s"${stats.batchRows} fresh) — a split order would corrupt the " +
+                "pair rollup; fix the source's batch boundaries")
+        }
       }
       .start()
 

@@ -87,6 +87,33 @@ class BasketStoreSpec extends SparkSpec {
     }
   }
 
+  test("the canonical ServingStore lifecycle keeps whole baskets: ingestBatch " +
+    "bootstrap + delta ≡ one-shot (the rule-2 dedup must NOT collapse orders)") {
+    // Regression pin for the trait-contract hazard: the default rule-2
+    // dedup keys on ingestKey (l_orderkey) and would keep ONE arbitrary
+    // line per order — zero pairs, garbage degrees — inside the canonical
+    // ingestBatch path. BasketStore overrides dedupBatch to identity
+    // (every rollup is distinct-based); this drives the PUBLIC lifecycle
+    // end-to-end, with an intra-batch duplicated row to prove rule 2
+    // still holds.
+    val root = freshRoot()
+    val first = ol(upTo = Some(1000L))
+    val dupRow = first.limit(1)
+    val i1 = BasketStore.ingestBatch(spark, root, first.unionAll(dupRow))
+    assert(i1.bootstrapped)
+    val i2 = BasketStore.ingestBatch(spark, root, ol(from = Some(1000L)))
+    assert(!i2.bootstrapped)
+    val wantPairs = BasketStore.pairCounts(ol())
+    val gotPairs = BasketStore.servePairs(spark, root)
+    assert(gotPairs.except(wantPairs).isEmpty && wantPairs.except(gotPairs).isEmpty,
+      "lifecycle-ingested pair view diverged — the rule-2 dedup ate basket rows")
+    assert(BasketStore.serveNOrders(spark, root)
+      == ol().select("l_orderkey").distinct().count())
+    // warm-path accessor: the committed watermark covers the whole table
+    assert(BasketStore.watermark(spark, root)
+      .contains(ol().agg(max("l_orderkey")).head.getLong(0)))
+  }
+
   test("maintenance compacts the edge buckets without changing served state") {
     val root = freshRoot()
     BasketStore.ensureBuilt(spark, root, ol(upTo = Some(200L)))

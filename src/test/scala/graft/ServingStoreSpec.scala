@@ -152,7 +152,10 @@ class ServingStoreSpec extends SparkSpec {
     assert(!AnnStore.shouldMaintain(spark, root),
       "a freshly built ANN store reports no drift")
     assert(ServingStore.all.map(_.storeName).toSet ==
-      Set("dedup", "text-index", "ann"))
+      Set("dedup", "text-index", "ann", "basket"))
+    // the basket store's edge-compaction trigger is also live but keyed on
+    // files-per-bucket, not drift — BasketStoreSpec pins when it fires and
+    // that a fresh build (one file per bucket) stays quiet
   }
 
   test("one generic streaming sink serves every store: ANN stream == batch build") {

@@ -15,10 +15,16 @@ object Explain {
     val names = args(1).split(",").toSeq
     val full = args.length > 2 && args(2) == "full"
     val time = args.length > 2 && args(2) == "time"
+    // fmt — print the `.explain("formatted")` text (the plans/rNN artifact
+    // format: numbered operator list + per-operator details)
+    val fmt = args.length > 2 && args(2) == "fmt"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // mirror the Bench/Verify session exactly — a census from a session
-    // without the engine's extensions would report plans that never run
-    val spark = SparkSession.builder()
+    // without the engine's extensions would report plans that never run.
+    // SPARK_GRAFT_CONF (semicolon-separated k=v) overrides let an A/B
+    // reproduce an alternative planning environment (e.g. the pre-r18
+    // sort-merge-join preference) without editing this file.
+    var builder = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -31,6 +37,9 @@ object Explain {
       // sets themselves, which these queries bound by construction).
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // shuffled-hash-join preference — must mirror Bench so the reported
+      // plans are the benched plans (rationale in Bench.scala)
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.adaptive.enabled", "true")
       // AQE partition coalescing optimizes for shuffle BYTES and cannot
       // see compute amplification past the exchange: a 400x explode or a
@@ -42,7 +51,12 @@ object Explain {
       // stay on.
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder = builder.config(k, v)
+      })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def count(s: String, sub: String): Int = s.sliding(sub.length).count(_ == sub)
     names.foreach { name =>
@@ -54,6 +68,9 @@ object Explain {
         s" scans=${count(plan, "FileScan")}" +
         s" wholestage=${count(plan, "WholeStageCodegen")}")
       if (full) println(plan)
+      if (fmt) println(SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
       if (time) {
         def run(): Double = {
           val t0 = System.nanoTime()

@@ -1,27 +1,62 @@
 package graft
+
+/** Local timing harness for optimization A/Bs: mirrors graft.Bench's
+  * session EXACTLY (a timing from a differently-configured session is
+  * not evidence about the bench), then applies any `SPARK_GRAFT_CONF`
+  * overrides (semicolon-separated k=v pairs) so a candidate config can
+  * be A/B'd without editing Bench. Prints best-of-3 warm times per query
+  * — the bench's single-shot cold time is noisier, but a config/plan
+  * change that moves the warm minimum moves the bench the same way.
+  */
 object TimeQ {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val spark = org.apache.spark.sql.SparkSession.builder()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    var b = org.apache.spark.sql.SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions())
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        b = b.config(k, v)
+      })
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    spark.read.parquet(s"$sfDir/documents.parquet").count()
+    // same warmup as Bench: footer/page-cache touch + codegen warm
+    graft.core.Graft.tableNames.foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      catch { case _: Throwable => () }
+    }
     args.drop(1).foreach { q =>
-      // warm once, then best of 3
-      SparkEntry.queries(q)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      val times = (1 to 3).map { _ =>
+      // warm once, then best of 3; drop any cache the query leaves behind
+      // between runs so each timed run re-executes its full plan
+      def run1(): Double = {
         val t0 = System.nanoTime()
         SparkEntry.queries(q)(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      println(f"TIME $q ${times.min}%.3f")
+      try {
+        run1()
+        val times = (1 to 3).map { _ =>
+          spark.sharedState.cacheManager.clearCache()
+          run1()
+        }
+        println(f"TIME $q ${times.min}%.3f")
+      } catch { case e: Throwable =>
+        println(s"TIME $q FAILED ${e.getClass.getSimpleName}: " +
+          String.valueOf(e.getMessage).linesIterator.next().take(200))
+      }
     }
     spark.stop()
   }

@@ -23,6 +23,9 @@ object Verify {
       // sets themselves, which these queries bound by construction).
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // shuffled-hash-join preference — must mirror Bench so the verified
+      // plans are the benched plans (rationale in Bench.scala)
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.adaptive.enabled", "true")
       // AQE partition coalescing optimizes for shuffle BYTES and cannot
       // see compute amplification past the exchange: a 400x explode or a

@@ -78,15 +78,52 @@ object BasketStore extends ServingStore {
       // caller is the one who knows which its source can produce
       skippedRows: Long = 0L)
 
+  /** Max distinct parts per order before the pair explode is guarded
+    * (`spark.graft.basket.orderCap`): a basket of K parts emits C(K,2)
+    * pair structs inside ONE aggregation task, so a single mega-basket
+    * (a 100k-line order — the hot-entity shape the reference blocklists
+    * mega-wallets for) is an executor OOM at 100 TB, not just a slow
+    * task. 4096 matches the graph family's hub cap (g_butterfly /
+    * g_jaccard): C(4096,2) ≈ 8.4M structs ≈ 134 MB, the worst bounded
+    * task. TPC-H baskets are ≤ 7 lines, so the guard is pure insurance
+    * at fixture scale — results are bit-identical with it active. */
+  val DefaultOrderCap = 4096L
+
   /** The canonical basket pair explode — one exchange gathers each
     * order's part set (partial collect_set combines map-side), the i<j
     * pairs explode from the sorted array WITHOUT a join. Shared by the
     * from-scratch queries and this store so stored maintenance is
-    * provably the same arithmetic. */
-  def pairCounts(orderLines: DataFrame): DataFrame =
-    orderLines
+    * provably the same arithmetic.
+    *
+    * Basket-size guard (the d_embedding_dup census discipline, FUSED):
+    * the census d_embedding_dup pays a separate count rollup for is here
+    * a row-level predicate on the already-gathered set — zero extra
+    * passes, zero extra exchanges. Over-cap baskets under the default
+    * `spark.graft.basket.blockMode=fail` kill the query loudly NAMING
+    * the order and its size before one pair is emitted; `exclude` drops
+    * them from the pair space instead (the reference's mega-wallet
+    * blocklist rationale, ethereum_wallet_features.sql:381-390) — the
+    * caller opts in knowing the projection then ignores those baskets. */
+  def pairCounts(orderLines: DataFrame): DataFrame = {
+    val conf = orderLines.sparkSession.conf
+    val cap = conf.get("spark.graft.basket.orderCap",
+      DefaultOrderCap.toString).toLong
+    val mode = conf.get("spark.graft.basket.blockMode", "fail")
+    val gathered = orderLines
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+    val guarded = mode match {
+      case "exclude" => gathered.filter(size(col("ps")) <= cap)
+      case _ => gathered.withColumn("ps",
+        when(size(col("ps")) <= cap, col("ps")).otherwise(raise_error(concat(
+          lit("basket pair explode: order "), col("l_orderkey"),
+          lit(" has "), size(col("ps")),
+          lit(s" distinct parts > spark.graft.basket.orderCap=$cap — " +
+            "C(K,2) pairs in one task is the unguarded-quadratic shape; " +
+            "set spark.graft.basket.blockMode=exclude to drop mega-baskets " +
+            "(under-counts them) or raise the cap deliberately")))))
+    }
+    guarded
       .select(explode(expr(
         """flatten(transform(ps, (x, i) ->
           |  transform(slice(ps, i + 2, size(ps)),
@@ -94,6 +131,7 @@ object BasketStore extends ServingStore {
         .as("pr"))
       .groupBy(col("pr.part_a").as("part_a"), col("pr.part_b").as("part_b"))
       .agg(count(lit(1)).cast("long").as("n_ab"))
+  }
 
   /** Per-part distinct-order counts + the distinct-order total. */
   private def itemCounts(orderLines: DataFrame): DataFrame =
@@ -130,7 +168,13 @@ object BasketStore extends ServingStore {
       corpus: => DataFrame): Boolean = {
     val haveEdges = Lakehouse.ensureBucketedTable(spark, edgesTable(root),
       edgesPath(root), "src", Buckets)
-    if (haveEdges && ManifestSnapshots.latestVersion(spark, pairsDir(root)).isDefined)
+    // already-built gate keys on metaDir — the LAST-written table — so a
+    // crash after the edges CTAS but before the degrees/meta writes falls
+    // through here and rebuilds (every write below restates: writeFull is
+    // a full snapshot, the CTAS overwrites). Gating on an earlier-written
+    // artifact left a half-built store permanently "built", with every
+    // serving call then failing on the missing rollups.
+    if (haveEdges && ManifestSnapshots.latestVersion(spark, metaDir(root)).isDefined)
       return false
     val c = corpus.persist()
     val wm = c.agg(max("l_orderkey")).head.getLong(0)
@@ -183,9 +227,19 @@ object BasketStore extends ServingStore {
   /** O(delta) admission of one whole-orders batch: only rows above the
     * stored orderkey watermark are folded (replay guard #1); every
     * rollup commit is watermark-stamped (replay guard #2). The base
-    * table is never read — the batch IS the base read. */
+    * table is never read — the batch IS the base read.
+    *
+    * `strict`: the caller asserts its source NEVER redelivers, so ANY
+    * row at-or-below the stored watermark can only be the remainder of
+    * an order split across batches — corruption the pair rollup cannot
+    * survive. The check runs BEFORE any rollup merge (both counts are
+    * already needed for the watermark filter), so a strict violation
+    * PREVENTS the bad commit rather than detecting it afterwards — and
+    * it fires even when the batch carries no fresh rows at all (a
+    * remainder-only batch), which the old post-hoc check silently
+    * melted to mode=empty. */
   def admitBatch(spark: SparkSession, root: String,
-      batch: DataFrame): AdmitStats = {
+      batch: DataFrame, strict: Boolean = false): AdmitStats = {
     val meta = ManifestSnapshots.readLatest(spark, metaDir(root))
       .select("n_orders", "watermark").head()
     val (nOrders0, wm0) = (meta.getLong(0), meta.getLong(1))
@@ -195,6 +249,14 @@ object BasketStore extends ServingStore {
     val batchRows = fresh.count()
     raw.unpersist()
     val skipped = rawRows - batchRows
+    if (strict && skipped > 0) {
+      fresh.unpersist()
+      throw new IllegalStateException(
+        s"basket admission: $skipped rows at/below the stored watermark " +
+          s"$wm0 next to $batchRows fresh under strict whole-orders — the " +
+          "source claims it never redelivers, so these can only be a split " +
+          "order; nothing was committed, fix the source's batch boundaries")
+    }
     if (batchRows == 0) {
       fresh.unpersist()
       return AdmitStats("empty", 0, 0, 0, skipped)

@@ -137,8 +137,14 @@ object MiningQueries {
     * every *_stored query uses), admit the batch, return the root. The
     * second and later calls replay to a cheap no-op (watermark guard). */
   private def basketRoot(s: SparkSession, dir: String): String = {
-    val maxOk = Graft.table(s, dir, "orders")
-      .agg(max("o_orderkey")).head.getLong(0)
+    // maxOk comes from lineitem — the SAME quantity the store's watermark
+    // tracks (max l_orderkey of orders⋈lineitem ≡ max l_orderkey of
+    // lineitem under the FK). Deriving it from orders alone broke the
+    // warm-path short circuit whenever the highest-keyed order had no
+    // line rows: the watermark could never reach it, so every serving
+    // call re-paid the two admission aggregations just to melt the batch.
+    val maxOk = Graft.table(s, dir, "lineitem")
+      .agg(max("l_orderkey")).head.getLong(0)
     val cut = maxOk * 4 / 5
     val fp = Graft.dataFingerprint(s, s"$dir/lineitem.parquet") + "_" +
       Graft.dataFingerprint(s, s"$dir/orders.parquet")

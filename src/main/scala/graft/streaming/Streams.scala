@@ -834,16 +834,15 @@ object Streams {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val stats = graft.pipeline.BasketStore.admitBatch(
-            batch.sparkSession, root, batch)
-          if (strictWholeOrders && stats.skippedRows > 0 && stats.batchRows > 0)
-            throw new IllegalStateException(
-              "basket maintenance: mixed micro-batch under strictWholeOrders " +
-                s"(${stats.skippedRows} rows at/below the watermark next to " +
-                s"${stats.batchRows} fresh) — a split order would corrupt the " +
-                "pair rollup; fix the source's batch boundaries")
-        }
+        // strict rides INSIDE admitBatch: the skip census happens before
+        // any rollup merge there, so a violation PREVENTS the corrupt
+        // commit instead of detecting it after the fold — and it fires
+        // on a remainder-only batch (skipped > 0, fresh == 0) too, which
+        // a post-hoc mixed-batch check silently melted to mode=empty.
+        if (!batch.isEmpty)
+          graft.pipeline.BasketStore.admitBatch(
+            batch.sparkSession, root, batch,
+            strict = strictWholeOrders): Unit
       }
       .start()
 

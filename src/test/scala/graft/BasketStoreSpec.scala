@@ -184,6 +184,94 @@ class BasketStoreSpec extends SparkSpec {
     assert(s.mode == "empty" && s.skippedRows > 0, s.toString)
   }
 
+  test("pair explode guard: an over-cap basket fails loudly naming the order; " +
+    "exclude mode drops exactly the mega-baskets; small baskets stay exact") {
+    import spark.implicits._
+    // one 12-part mega-basket (order 99) next to two small ones
+    val mega = (1L to 12L).map(p => (99L, p, 1L, 1L))
+    val small = Seq((1L, 10L, 1L, 1L), (1L, 11L, 1L, 1L),
+      (2L, 10L, 1L, 1L), (2L, 12L, 1L, 1L), (2L, 13L, 1L, 1L))
+    val df = (mega ++ small)
+      .toDF("l_orderkey", "l_partkey", "o_custkey", "l_suppkey")
+    val capKey = "spark.graft.basket.orderCap"
+    val modeKey = "spark.graft.basket.blockMode"
+    try {
+      spark.conf.set(capKey, "8")
+      // default mode = fail: the job dies before one pair is emitted, and
+      // the error names the hot order, its size, and the conf knob
+      val e = intercept[Throwable] { BasketStore.pairCounts(df).collect() }
+      val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => String.valueOf(t.getMessage)).mkString(" | ")
+      assert(msgs.contains("orderCap") && msgs.contains("99"),
+        s"guard must name the knob and the hot order, got: $msgs")
+
+      // exclude mode: the mega-basket vanishes from the pair space, the
+      // small baskets' pairs are bit-identical to the unguarded explode
+      spark.conf.set(modeKey, "exclude")
+      val got = BasketStore.pairCounts(df).collect().toSet
+      spark.conf.set(capKey, "1000000")
+      val want = BasketStore.pairCounts(
+        df.filter(col("l_orderkey") =!= 99L)).collect().toSet
+      assert(got == want, s"exclude-mode pairs diverge: got $got want $want")
+
+      // and over-cap baskets keep the default guard pure insurance on the
+      // fixture: guarded ≡ unguarded arithmetic at the default cap
+      spark.conf.set(capKey, BasketStore.DefaultOrderCap.toString)
+      spark.conf.set(modeKey, "fail")
+      val fixture = BasketStore.pairCounts(ol(upTo = Some(400L))).collect().toSet
+      spark.conf.set(capKey, "1000000")
+      assert(BasketStore.pairCounts(ol(upTo = Some(400L))).collect().toSet
+        == fixture, "default-cap guard changed fixture pair arithmetic")
+    } finally {
+      spark.conf.unset(capKey); spark.conf.unset(modeKey)
+    }
+  }
+
+  test("strict admission throws BEFORE any rollup merge — on a mixed batch " +
+    "AND on a remainder-only batch — leaving stored state untouched") {
+    val root = freshRoot()
+    val cut = 1000L
+    BasketStore.ensureBuilt(spark, root, ol(upTo = Some(cut)))
+    val wantPairs = BasketStore.pairCounts(ol(upTo = Some(cut))).collect().toSet
+    // mixed: stale rows (below the watermark) next to fresh ones
+    intercept[IllegalStateException] {
+      BasketStore.admitBatch(spark, root, ol(from = Some(cut - 50)), strict = true)
+    }
+    // remainder-only: every row at/below the watermark, zero fresh — the
+    // old post-hoc check melted this to mode=empty and dropped it silently
+    intercept[IllegalStateException] {
+      BasketStore.admitBatch(spark, root,
+        ol(upTo = Some(cut), from = Some(cut - 50)), strict = true)
+    }
+    assert(BasketStore.servePairs(spark, root).collect().toSet == wantPairs,
+      "a strict violation must prevent the commit, not detect it afterwards")
+    // the same batches are fine under the default lenient contract
+    val s = BasketStore.admitBatch(spark, root, ol(from = Some(cut - 50)))
+    assert(s.mode == "admitted" && s.skippedRows > 0, s.toString)
+  }
+
+  test("half-built store (crash before the meta write) self-heals: ensureBuilt " +
+    "falls through to a rebuild instead of serving missing rollups") {
+    val root = freshRoot()
+    assert(BasketStore.ensureBuilt(spark, root, ol(upTo = Some(1000L))))
+    // simulate the crash window: edges CTAS landed, meta (written LAST)
+    // did not — the pre-fix gate keyed on edges+pairs and treated this
+    // half-built store as built forever
+    val metaPath = new org.apache.hadoop.fs.Path(BasketStore.metaDir(root))
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(metaPath, true))
+    assert(BasketStore.ensureBuilt(spark, root, ol(upTo = Some(1000L))),
+      "missing meta must trigger a rebuild")
+    val wantPairs = BasketStore.pairCounts(ol(upTo = Some(1000L)))
+    val gotPairs = BasketStore.servePairs(spark, root)
+    assert(gotPairs.except(wantPairs).isEmpty && wantPairs.except(gotPairs).isEmpty)
+    assert(BasketStore.serveNOrders(spark, root)
+      == ol(upTo = Some(1000L)).select("l_orderkey").distinct().count())
+    // and the healed store admits deltas normally
+    assert(BasketStore.admitBatch(spark, root, ol(from = Some(1000L))).mode
+      == "admitted")
+  }
+
   test("mv registry twins equal their recompute forms exactly") {
     Seq("g_bipartite_proj", "g_basket_lift", "g_degree_gini").foreach { q =>
       val a = SparkEntry.queries(q)(spark, sf)

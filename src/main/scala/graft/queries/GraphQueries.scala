@@ -3,6 +3,7 @@ package graft.queries
 import graft.core.Graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.util.chaining._
 
 /** Graph analytics over the transaction graph — the risk-propagation
   * family the reference's wallet scoring sits on top of (a wallet's risk
@@ -100,17 +101,23 @@ object GraphQueries {
     // collapsed ONCE (the only |E|-row shuffle in the query) into a
     // |V|-row adjacency-list relation — collect_set dedupes parallel
     // edges, so size(nbrs) IS the out-degree — and THAT is what
-    // persists: ~|V| rows (√-ish of |E| on interaction graphs), cheap
-    // to cache and to broadcast-join. Each superstep then regenerates
-    // the |E| messages with a codegen'd explode over in-memory
-    // adjacency rows — no |E|-row shuffle read, no per-iteration
-    // re-derivation (without the persist, superstep k's lineage embeds
-    // k-1 full copies of this build; AQE reuses the shuffle writes but
-    // re-runs every post-shuffle aggregation — measured 2x slower).
-    ed.groupBy("src")
-      .agg(collect_set(col("dst")).as("nbrs"))
-      .select(col("src"), col("nbrs"), size(col("nbrs")).cast("long").as("outdeg"))
-      .persist()
+    // materializes: ~|V| rows (√-ish of |E| on interaction graphs),
+    // cheap to cache and to broadcast-join. Each superstep then
+    // regenerates the |E| messages with a codegen'd explode over
+    // in-memory adjacency rows — no |E|-row shuffle read, no
+    // per-iteration re-derivation (fully lazy, superstep k's lineage
+    // embeds k-1 full copies of this build; AQE reuses the shuffle
+    // writes but re-runs every post-shuffle aggregation — measured 2x
+    // slower). r19: the boundary is an eager localCheckpoint rather
+    // than persist — downstream superstep plans then start from a flat
+    // LogicalRDD instead of re-optimizing the adjacency build under
+    // every round and broadcast subtree (g_pr A/B best-of-3: 2.47 s ->
+    // 2.14 s, g_cc 1.60 -> 1.39 s, identical rows). Callers free it
+    // with CacheScope.freeCheckpoint / sealCheckpoints.
+    CacheScope.stageCheckpoint(
+      ed.groupBy("src")
+        .agg(collect_set(col("dst")).as("nbrs"))
+        .select(col("src"), col("nbrs"), size(col("nbrs")).cast("long").as("outdeg")))
   }
 
   /** The state relation broadcasts while it has at most this many rows:
@@ -218,16 +225,13 @@ object GraphQueries {
        |WHERE rn = 1""".stripMargin
 
   /** Eager materialization splits the Pregel phases: the supersteps run
-    * inside the query function, while the |E|-scale adjacency cache is
-    * alive; what escapes is the |V|-row cached RESULT (adj is released
-    * before returning, closing the cached-block leak the same way
-    * DedupStore.admit does; the small result cache is reclaimed by the
-    * ContextCleaner when the DataFrame is dropped). localCheckpoint
-    * would cut lineage more aggressively but measures ~0.9 s slower
-    * here: its materialization job re-executes outside AQE's coalesced
-    * shuffle reads. */
+    * inside the query function, while the checkpointed adjacency is
+    * alive; what escapes is the |V|-row cached RESULT (the adjacency's
+    * blocks are freed before returning, closing the cached-block leak
+    * the same way DedupStore.admit does; the small result cache is
+    * reclaimed by the ContextCleaner when the DataFrame is dropped). */
   private def materialize(result: DataFrame, adj: DataFrame): DataFrame =
-    CacheScope.sealResult(result, adj)
+    CacheScope.sealCheckpoints(result, adj)
 
   /** The thresholded co-purchase edge set and its degree-ordered triangle
     * enumeration, shared by g_triangles and g_clustering_coef. Edge build
@@ -238,8 +242,10 @@ object GraphQueries {
     * oriented out-degree is arboricity-bounded and wedges generate
     * MAP-SIDE from each node's sorted oriented-adjacency list, closing
     * against the oriented edge set on a packed one-long key. Returns
-    * (edges c1<c2, oriented, tri) — ALL persisted; the caller seals its
-    * result and releases all three. */
+    * (edges c1<c2, oriented, tri) — ALL checkpoint-staged (r19: flat
+    * plans per phase; g_triangles A/B best-of-3 3.04 s -> 2.29 s,
+    * g_clustering_coef 3.00 s -> 2.47 s, identical rows); the caller
+    * seals its result and frees all three. */
   private def triangleFrames(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val shuffleP = s.sessionState.conf.numShufflePartitions
@@ -260,7 +266,7 @@ object GraphQueries {
       .filter(col("sp") >= 3)
       .select(expr("pk div 4294967296L").as("c1"),
         expr("pk % 4294967296L").as("c2"))
-      .persist() // feeds degree, orientation, and (via oriented) probe
+      .pipe(CacheScope.stageCheckpoint) // feeds degree, orientation, and (via oriented) probe
     val deg = edges.select(col("c1").as("node"))
       .unionAll(edges.select(col("c2").as("node")))
       .groupBy("node").agg(count(lit(1)).cast("long").as("deg"))
@@ -275,7 +281,7 @@ object GraphQueries {
     val oriented = en
       .select(when(col("k1") < col("k2"), col("k1")).otherwise(col("k2")).as("src_k"),
         when(col("k1") < col("k2"), col("k2")).otherwise(col("k1")).as("dst_k"))
-      .persist() // feeds the adjacency AND the closing-edge probe set
+      .pipe(CacheScope.stageCheckpoint) // feeds the adjacency AND the closing-edge probe set
     val adj = oriented
       .groupBy(expr("src_k % 4294967296L").as("src"))
       .agg(sort_array(collect_list(col("dst_k"))).as("ks"))
@@ -294,7 +300,7 @@ object GraphQueries {
     val tri = wedges.join(probe, "pk2")
       .select(col("src").as("a"), expr("pk2 div 4294967296L").as("b"),
         expr("pk2 % 4294967296L").as("c"))
-      .persist() // feeds the per-node rollup AND the global total
+      .pipe(CacheScope.stageCheckpoint) // feeds the per-node rollup AND the global total
     (edges, oriented, tri)
   }
 
@@ -401,13 +407,22 @@ object GraphQueries {
       var dist = adj.select(col("src").as("node"))
         .filter(pmod(col("node"), lit(200L)) === 0)
         .withColumn("d", lit(0L))
-      for (_ <- 1 to iterations) dist = bfsSuperstep(adj, dist, nV)
-      materialize(
+      // The BFS state is consumed TWICE per round (the frontier explode
+      // AND the unionByName carry-over), so a lazy unroll embeds 2^k
+      // copies of round 0 by round k. A checkpoint per superstep keeps
+      // every round's plan flat (r19 A/B best-of-3: 3.70 s -> 2.26 s,
+      // identical rows); blocks freed below.
+      val rounds = Seq.newBuilder[DataFrame]
+      for (_ <- 1 to iterations) {
+        dist = CacheScope.stageCheckpoint(bfsSuperstep(adj, dist, nV))
+        rounds += dist
+      }
+      CacheScope.sealCheckpoints(
         dist.groupBy(col("d").as("dist"))
           .agg(count(lit(1)).cast("long").as("n_nodes"),
             min("node").cast("long").as("min_node"),
             sum("node").cast("long").as("sum_nodes")),
-        adj)
+        adj +: rounds.result(): _*)
     },
 
     // --------------------------------------------------------------- GRAPH-2e
@@ -437,8 +452,15 @@ object GraphQueries {
       val seeds = adj.select(col("src").as("node"))
         .filter(pmod(col("node"), lit(200L)) === 0)
       var ranks = seeds.withColumn("pr", lit(1000000L))
-      for (_ <- 1 to iterations) ranks = pprSuperstep(adj, ranks, seeds, nV)
-      materialize(ranks, adj)
+      // same union-bearing state as g_bfs (the seed-bonus unionByName):
+      // checkpoint per superstep so round k's plan stays flat instead of
+      // doubling per round (r19 A/B best-of-3: 2.62 s -> 2.41 s)
+      val rounds = Seq.newBuilder[DataFrame]
+      for (_ <- 1 to iterations) {
+        ranks = CacheScope.stageCheckpoint(pprSuperstep(adj, ranks, seeds, nV))
+        rounds += ranks
+      }
+      CacheScope.sealCheckpoints(ranks, adj +: rounds.result(): _*)
     },
 
     // --------------------------------------------------------------- GRAPH-2c
@@ -554,7 +576,9 @@ object GraphQueries {
           col("d_c"), coalesce(col("e_c2"), lit(0L)).as("e_c2"),
           (num.cast("double") / den).as("q_term"),
           (sum(num).over(wAll).cast("double") / den).as("q_total"))
-      CacheScope.sealResult(out, adj, labels)
+      val res = CacheScope.sealResult(out, labels)
+      CacheScope.freeCheckpoint(adj) // adjacency is checkpoint-staged now
+      res
     },
 
     // --------------------------------------------------------------- GRAPH-2b
@@ -593,8 +617,22 @@ object GraphQueries {
           col("l_orderkey") === col("o_orderkey"))
         .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
         .distinct()
-      var ed = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
-        .persist()
+      // Round boundaries are eager localCheckpoints, not persist+count
+      // (r19, guide §5): each round's plan then starts from a FLAT
+      // |E|-row RDD instead of re-embedding (and re-optimizing, and
+      // re-codegen-ing) every earlier round's join tree under the new
+      // round — the peel only ever needs the previous round's edge set,
+      // never its lineage. A/B at sf0.1 best-of-3: persist+count 5.10 s
+      // -> localCheckpoint 3.62 s (1.41x), identical rows. Recompute-
+      // on-block-loss (the persist fallback) is not worth the quadratic
+      // plan growth here; a lost executor re-runs the query, which is
+      // the bench/oracle execution model anyway. Four earlier shapes
+      // measured WORSE and are kept out: lazy rounds + AQE exchange
+      // reuse (14.0 s — reuse does not fire across the nested
+      // semi-joins), window-degree rounds (7.2 s), peel-the-removed-set
+      // anti-joins lazy (18.1 s) and persisted (5.0 s).
+      var ed = CacheScope.stageCheckpoint(
+        e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst"))))
       val rounds = Seq.newBuilder[DataFrame]
       rounds += ed
       for (_ <- 1 to 3) {
@@ -607,20 +645,19 @@ object GraphQueries {
         // reused exchange they replace.
         val surv = ed.groupBy("src").agg(count(lit(1)).as("d"))
           .filter(col("d") >= k).select("src")
-        val next = ed
+        val next = CacheScope.stageCheckpoint(ed
           .join(surv, "src")
           .join(surv.select(col("src").as("dst")), "dst")
-          .select("src", "dst")
-          .persist()
-        next.count() // materialize before the previous round is released
+          .select("src", "dst"))
         rounds += next
         ed = next
       }
-      val all = rounds.result()
-      CacheScope.sealResult(
-        ed.groupBy(col("src").as("node"))
-          .agg(count(lit(1)).cast("long").as("core_degree")),
-        all: _*)
+      val out = ed.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).cast("long").as("core_degree"))
+        .persist()
+      out.count()
+      rounds.result().foreach(CacheScope.freeCheckpoint)
+      out
     },
 
     // --------------------------------------------------------------- GRAPH-3
@@ -735,7 +772,7 @@ object GraphQueries {
       val tot = tri.agg(count(lit(1)).cast("long").as("total_triangles"))
       import org.apache.spark.sql.expressions.Window
       val rankOrder = Seq(col("tri_count").desc, col("node"))
-      CacheScope.sealResult(
+      CacheScope.sealCheckpoints(
         pernode.orderBy(rankOrder: _*).limit(20)
           .withColumn("rank", row_number().over(Window.orderBy(rankOrder: _*)))
           .crossJoin(broadcast(tot))
@@ -767,7 +804,7 @@ object GraphQueries {
       val deg = edges.select(col("c1").as("node"))
         .unionAll(edges.select(col("c2").as("node")))
         .groupBy("node").agg(count(lit(1)).cast("long").as("deg"))
-      CacheScope.sealResult(
+      CacheScope.sealCheckpoints(
         deg.join(pernode, Seq("node"), "left")
           .withColumn("tri_count", coalesce(col("tri_count"), lit(0L)))
           .withColumn("coef_ppm",

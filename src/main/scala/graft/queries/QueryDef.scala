@@ -44,6 +44,40 @@ private[graft] object CacheScope {
     out
   }
 
+  /** An eager `localCheckpoint` as the stage boundary of an iterative or
+    * multi-stage query (r19, guide §5): unlike persist+count, every
+    * downstream plan then starts from a FLAT `LogicalRDD` instead of
+    * re-embedding (and re-analyzing, re-optimizing and re-codegen-ing)
+    * the full upstream lineage under each consumer — the growth that
+    * made the unrolled-superstep family's round-k plans carry k copies
+    * of the graph build (and g_bfs's union-bearing rounds 2^k copies).
+    * The traded-away property is recompute-on-block-loss, which the
+    * single-JVM bench/oracle execution model never exercises; on a
+    * cluster a lost executor re-runs the query.
+    *
+    * Constraint propagation is disabled around the cut: Spark 4.1's
+    * `LogicalRDD.fromDataset` rewrites the optimized plan's constraints
+    * through a union's attribute map and throws NoSuchElementException
+    * on union-bearing superstep plans (the g_bfs/g_ppr shape). The
+    * checkpoint boundary keeps no constraints either way. */
+  def stageCheckpoint(df: DataFrame): DataFrame = {
+    val conf = df.sparkSession.conf
+    val key = "spark.sql.constraintPropagation.enabled"
+    val old = conf.get(key)
+    conf.set(key, "false")
+    try df.localCheckpoint(eager = true) finally conf.set(key, old)
+  }
+
+  /** sealResult for checkpoint-staged queries: materialize the result
+    * into its own (small) cache, then free every stage checkpoint's
+    * blocks so the long bench session accumulates nothing. */
+  def sealCheckpoints(result: DataFrame, checkpointed: DataFrame*): DataFrame = {
+    val out = result.persist()
+    out.count()
+    checkpointed.foreach(freeCheckpoint)
+    out
+  }
+
   /** Release the storage behind an (eager) `localCheckpoint`ed frame — or
     * any frame derived from one. `DataFrame.unpersist` only clears
     * CacheManager entries; a local checkpoint's RDD blocks are otherwise

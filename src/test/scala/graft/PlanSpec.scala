@@ -262,7 +262,7 @@ class PlanSpec extends SparkSpec {
       } finally saved.foreach { case (k, v) =>
         if (v == null) conf.unset(k) else conf.set(k, v)
       }
-    } finally adj.unpersist()
+    } finally graft.queries.CacheScope.freeCheckpoint(adj) // checkpoint-staged since r19
   }
 
   test("readWhere's residual filter reaches the parquet scan of the pruned file list") {

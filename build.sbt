@@ -47,3 +47,34 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-XX:+UseParallelGC",
 ) ++ sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq
   .flatMap(_.split("\\s+").filter(_.nonEmpty))
+
+// r19 (VERDICT item 2): the suite ran 26.5 min sequentially in ONE forked
+// local[4] JVM on a 32-core host, so the driver's test budget killed it
+// mid-run (r18 `tests_ok:false` with zero failures). Suites are
+// independent — per-suite temp dirs, and the cross-process serving-store
+// roots publish atomically by design (StoreRootsSpec pins that race with a
+// real second JVM) — so split them into 4 forked JVMs run in parallel.
+// The known-heavy suites are seeded first so no two share a group; each
+// group JVM gets a modest heap (the fixtures are sf0.001) and its own
+// derby home.
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val n = 6
+  val heavy = Seq("StreamingSpec", "QueriesSpec", "ManifestSnapshotSpec",
+    "DomainPipelineSpec", "PlanSpec", "BasketStoreSpec", "MiningPropertySpec",
+    "CacheDisciplineSpec").zipWithIndex.toMap
+  val sorted = tests.sortBy(t => (heavy.getOrElse(t.name.split('.').last, 999), t.name))
+  val opts = (Test / javaOptions).value.toVector
+  sorted.zipWithIndex.groupBy(_._2 % n).toSeq.sortBy(_._1).map { case (i, ts) =>
+    Tests.Group(s"group$i", ts.map(_._1).toSeq,
+      Tests.SubProcess(ForkOptions().withRunJVMOptions(
+        opts ++ Vector("-Xmx12g",
+          // shuffle/spill files on tmpfs: /tmp is disk-backed here and six
+          // concurrent JVMs' tiny shuffle files turn into seek-bound sys
+          // time (measured 59 min sys on the 4-group run)
+          "-Dspark.local.dir=/dev/shm/graft-test-local",
+          s"-Dderby.system.home=/tmp/graft-test-derby-$i"))))
+  }
+}
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, 6), Tags.limitAll(10))

@@ -4,6 +4,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Config portability legend in core/Graft.session (r19): master and
+    // shuffle.partitions=cpus are LOCAL sizing per the driver contract;
+    // every other setting below is scale-portable (except coalescing,
+    // a documented judgment call there).
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions())
       .master(s"local[$cpus]")

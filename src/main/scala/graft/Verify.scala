@@ -11,6 +11,8 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Config portability legend in core/Graft.session (r19): master and
+    // shuffle.partitions=cpus are local sizing; the rest is scale-portable.
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions())
       .master(s"local[$cpus]")

@@ -16,6 +16,23 @@ object Graft {
     * settings: AQE on (runtime re-plan + skew-join handling), broadcast
     * threshold left at default, shuffle partitions = cores (the harness
     * machine), UTC timezone for oracle parity.
+    *
+    * PORTABILITY (r19, so a cluster port doesn't cargo-cult local sizing).
+    * Scale-portable — ship these to a cluster as-is:
+    *   adaptive.enabled, adaptive.skewJoin.enabled,
+    *   join.preferSortMergeJoin=false, objectHashAggregate fallback
+    *   threshold, requireAllClusterKeysForCoPartition=false, UTC,
+    *   nanosAsLong, partitionColumnTypeInference=false.
+    * Local-only sizing — REVISIT on a cluster:
+    *   master local[N] (cluster: spark-submit), shuffle.partitions=cores
+    *   (cluster: size for 100 MB-1 GB post-shuffle partitions, guide
+    *   §2.2, and let AQE coalesce), the 24g/-XX:+UseParallelGC JVM in
+    *   build.sbt (cluster: spark.executor.memory / GC per executor).
+    * Judgment call — adaptive.coalescePartitions=false: at this SF
+    * coalescing packs explode-amplifying stages onto 1-2 cores (comment
+    * below); at real scale those shuffles exceed the advisory size and
+    * coalescing is a no-op, but a cluster port handling MIXED sizes
+    * should re-enable it and re-measure the explode paths.
     */
   def session(cpus: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
     val spark = SparkSession

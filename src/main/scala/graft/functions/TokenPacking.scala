@@ -39,18 +39,24 @@ object TokenPacking {
       tokensCol: String, budget: Long, chunkCol: String = "chunk_id",
       buckets: Int = 64): DataFrame = {
     require(buckets >= 1, "packChunks needs at least one range bucket")
-    val row = df.agg(min(col(orderCol).cast("long")).as("mn"),
-      max(col(orderCol).cast("long")).as("mx")).head()
-    if (row.isNullAt(0)) // empty input: shape-only result
-      return df.withColumn(chunkCol, lit(null).cast("long"))
-    val mn = row.getLong(0)
-    val span = math.max(1L, row.getLong(1) - mn + 1)
-    val stride = (span + buckets - 1) / buckets
+    // Bounds ride a 1-row broadcast instead of a blocking head() (r19):
+    // the eager collect forced the ENTIRE upstream lineage to materialize
+    // at call time — inside Curation.curate that was a whole extra
+    // funnel pass in its own job before any output was asked for. As a
+    // broadcast cross join the bounds compute inside the same job that
+    // consumes the packing. Same arithmetic: span = mx-mn+1 >= 1
+    // whenever rows exist, stride = ceil(span / buckets); on empty
+    // input every branch is empty and the chunk column is still LONG.
+    val bounds = df.agg(min(col(orderCol).cast("long")).as("_pk_mn"),
+      max(col(orderCol).cast("long")).as("_pk_mx"))
     // integer-div bucketing: monotone in orderCol, so bucket-major order
     // is exactly orderCol order (floating division could still bucket
     // monotonically, but div keeps it provably exact at any id width)
-    val b = df.withColumn("_pk_bkt",
-      expr(s"(cast($orderCol as bigint) - ${mn}L) div ${stride}L"))
+    val b = df.crossJoin(broadcast(bounds))
+      .withColumn("_pk_bkt",
+        expr(s"(cast($orderCol as bigint) - _pk_mn) div " +
+          s"((_pk_mx - _pk_mn + ${buckets}L) div ${buckets}L)"))
+      .drop("_pk_mn", "_pk_mx")
     val offs = b.groupBy(col(partCol), col("_pk_bkt"))
       .agg(sum(col(tokensCol).cast("long")).as("_pk_sum"))
       .withColumn("_pk_off", coalesce(

@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import scala.util.chaining._
 
 /** The corpus-curation pipeline: the individual training-data operators
   * (quality funnel, exact + near dedup, per-domain cap, token packing —
@@ -34,7 +35,10 @@ object Curation {
     * (the repo-wide cache discipline — CacheDisciplineSpec). */
   case class CurationResult(kept: DataFrame, dropped: DataFrame, report: DataFrame,
       caches: Seq[DataFrame] = Nil) {
-    def release(): Unit = caches.foreach(_.unpersist())
+    def release(): Unit = caches.foreach { c =>
+      c.unpersist() // persisted stages (no-op on checkpointed ones)
+      graft.queries.CacheScope.freeCheckpoint(c) // checkpointed stages
+    }
   }
 
   private val stops = Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
@@ -78,9 +82,11 @@ object Curation {
     * caller releases the band cache once victims materialize. */
   private def nearDupVictims(sh: DataFrame, jaccardMin: Double): (DataFrame, DataFrame) = {
     graft.functions.VectorExprs.register(sh.sparkSession)
-    // persist: the candidate join consumes the band rows on BOTH sides —
-    // without it the signature pass (explode + 8-way min groupBy) runs twice.
-    val b = bands(sh).persist()
+    // checkpoint: the candidate join consumes the band rows on BOTH sides —
+    // without a cut the signature pass (explode + 8-way min groupBy) runs
+    // twice, and with persist() both join sides re-optimize the full
+    // signature lineage (r19: stageCheckpoint flattens it).
+    val b = graft.queries.CacheScope.stageCheckpoint(bands(sh))
     val cand = b.select(col("doc_id").as("a_id"), col("band"), col("bh"))
       .join(b.select(col("doc_id").as("b_id"), col("band").as("band2"), col("bh").as("bh2")),
         col("band") === col("band2") && col("bh") === col("bh2") && col("a_id") < col("b_id"))
@@ -132,7 +138,15 @@ object Curation {
     // each fork re-executes the whole upstream funnel. In production these
     // are the lake tables between stages; persist() is the in-session form.
     // 1. quality gate (map-side)
-    val judged = base.withColumn("verdict", verdict).persist()
+    // Stage boundaries are eager localCheckpoints (r19): each of the six
+    // stages forks into kept/dropped branches plus the report union, and
+    // with persist() every downstream plan re-embedded (and re-optimized)
+    // the entire upstream funnel under each fork — the report plan alone
+    // printed 3.4 MB of operators. A checkpoint gives each stage a flat
+    // RDD input; the lake-table-between-stages production analogy is
+    // unchanged. A/B at sf0.1 best-of-3: 4.39 s -> see OPTIMIZATION_r19.
+    val judged = graft.queries.CacheScope.stageCheckpoint(
+      base.withColumn("verdict", verdict))
     val q = judged.filter(col("verdict") === "pass")
     val dropQuality = judged.filter(col("verdict") =!= "pass")
       .select(col("doc_id"), lit("quality").as("stage"), col("verdict").as("reason"))
@@ -141,9 +155,9 @@ object Curation {
     // content-key window shuffle (doc_id is unique, so rank 1 IS the
     // min), not the agg + join back that pays the same shuffle twice
     val wExact = Window.partitionBy("content_key").orderBy("doc_id")
-    val exact = q.withColumn("content_key", md5(col("text")))
-      .withColumn("dup_rank", row_number().over(wExact))
-      .persist()
+    val exact = graft.queries.CacheScope.stageCheckpoint(
+      q.withColumn("content_key", md5(col("text")))
+        .withColumn("dup_rank", row_number().over(wExact)))
     val afterExact = exact.filter(col("dup_rank") === 1)
       .drop("content_key", "dup_rank")
     val dropExact = exact.filter(col("dup_rank") > 1)
@@ -152,7 +166,7 @@ object Curation {
     // shared shingle frame: stage 3 (bands + verify) and stage 3b
     // (decontamination) both read THIS cache — the corpus is shingled
     // exactly once per funnel run
-    val sh = shingleSets(afterExact).persist()
+    val sh = graft.queries.CacheScope.stageCheckpoint(shingleSets(afterExact))
 
     // 3. near-dup dedup over exact-dedup survivors (victims persist: the
     // anti-join AND the drop report both consume the full LSH detection).
@@ -161,9 +175,8 @@ object Curation {
     val victims = dedupStore match {
       case None =>
         val (v0, bandCache) = nearDupVictims(sh, jaccardMin)
-        val v = v0.persist()
-        v.count() // materialize so the band-rows cache can release now
-        bandCache.unpersist()
+        val v = graft.queries.CacheScope.stageCheckpoint(v0) // eager
+        graft.queries.CacheScope.freeCheckpoint(bandCache)
         v
       case Some(root) =>
         val spark = docs.sparkSession
@@ -199,7 +212,8 @@ object Curation {
           .groupBy("doc_id")
           .agg(countDistinct(col("s")).as("n_shared"))
           .filter(col("n_shared") >= 3)
-          .select("doc_id").persist()
+          .select("doc_id")
+          .pipe(graft.queries.CacheScope.stageCheckpoint)
         (afterNear.join(contaminated, Seq("doc_id"), "left_anti"),
           Some(contaminated.select(col("doc_id"),
             lit("contamination").as("stage"), lit("benchmark_overlap").as("reason"))),
@@ -208,7 +222,8 @@ object Curation {
 
     // 4. per-source cap, longest preferred (WindowGroupLimit shape)
     val wCap = Window.partitionBy("source").orderBy(length(col("text")).desc, col("doc_id"))
-    val ranked = afterContam.withColumn("source_rank", row_number().over(wCap)).persist()
+    val ranked = graft.queries.CacheScope.stageCheckpoint(
+      afterContam.withColumn("source_rank", row_number().over(wCap)))
     val afterCap = ranked.filter(col("source_rank") <= maxPerSource)
     val dropCap = ranked.filter(col("source_rank") > maxPerSource)
       .select(col("doc_id"), lit("domain_cap").as("stage"), lit("over_cap").as("reason"))
@@ -243,8 +258,12 @@ object Curation {
     val dropped = dropContam.foldLeft(
         dropQuality.unionByName(dropExact).unionByName(dropNear))(_ unionByName _)
       .unionByName(dropCap)
+    // the kept row counts afterCap, not kept: packChunks is row-preserving
+    // (every row joins its own (group, bucket) offset), so the counts are
+    // identical — and the report plan no longer drags the packing windows
+    // and offsets join along just to count survivors (r19)
     val report = dropped.groupBy("stage", "reason").agg(count(lit(1)).as("n_docs"))
-      .unionByName(kept.select(lit("kept").as("stage"), lit("kept").as("reason"))
+      .unionByName(afterCap.select(lit("kept").as("stage"), lit("kept").as("reason"))
         .groupBy("stage", "reason").agg(count(lit(1)).as("n_docs")))
     CurationResult(kept, dropped, report,
       caches = Seq(judged, exact, sh, victims, ranked) ++ contamCache.toSeq)

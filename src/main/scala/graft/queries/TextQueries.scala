@@ -743,15 +743,19 @@ object TextQueries {
         |    ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS merge_rank
         |  FROM counted)
         |WHERE merge_rank <= 20""".stripMargin) { (s, dir) =>
-      val w = Window.orderBy(col("n").desc, col("pair"))
+      // top-20 as TakeOrderedAndProject (the g_butterfly idiom, r19):
+      // the pair vocabulary is alphabet-bounded, but rank-then-filter
+      // still planned a single-partition global window over it — the
+      // orderBy().limit() form reduces map-side and ranks 20 rows
+      val rankOrder = Seq(col("n").desc, col("pair"))
       docs(s, dir)
         .select(explode(col("tk")).as("w"))
         .filter(length(col("w")) >= 2)
         .select(explode(expr(
           "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
         .groupBy("pair").agg(count(lit(1)).as("n"))
-        .withColumn("merge_rank", row_number().over(w))
-        .filter(col("merge_rank") <= 20)
+        .orderBy(rankOrder: _*).limit(20)
+        .withColumn("merge_rank", row_number().over(Window.orderBy(rankOrder: _*)))
         .select("pair", "n", "merge_rank")
     },
 

@@ -175,7 +175,20 @@ class PlanSpec extends SparkSpec {
     // over the tiny offsets dim, which rides a broadcast, so the DATA
     // exchange must carry the bucket column.
     assert(p.contains("hashpartitioning(lang") && p.contains("_pk_bkt"), p)
-    assert(countOccurrences(p, "Exchange SinglePartition") == 0, p)
+    // SinglePartition exchanges are allowed ONLY as packChunks' 1-row
+    // bounds aggregate (min/max of the order column, r19's lazy form —
+    // one partial row per upstream partition crosses, a scalar
+    // reduction, not a data funnel; it prints once per consumer branch
+    // before AQE dedupes it). Structurally: every such exchange's child
+    // must be the partial min/max aggregate — anything else would be a
+    // real single-partition data path.
+    val lines = p.linesIterator.toSeq
+    lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition")).foreach {
+      case (_, i) =>
+        val child = lines.drop(i + 1).find(_.trim.nonEmpty).getOrElse("")
+        assert(child.contains("HashAggregate") && child.contains("partial_min"),
+          s"non-scalar SinglePartition exchange at line $i:\n$p")
+    }
     val dataExchanges = p.linesIterator
       .filter(l => l.contains("Exchange hashpartitioning(lang"))
       .toSeq

@@ -41,6 +41,19 @@ object Explain {
       // plans are the benched plans (rationale in Bench.scala)
       .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE SMJ->SHJ conversion by RUNTIME size (guide §3.1): the static
+      // preferSortMergeJoin=false above only fires when Catalyst's
+      // ESTIMATES satisfy the size conditions, and cached-relation
+      // estimates are array-inflated (a cached |V|-row adjacency prints
+      // as TiB), so the heavy iterative queries still planned sort-merge.
+      // With this threshold AQE re-plans those joins from the MEASURED
+      // per-partition map output instead — the scale-adaptive guard: a
+      // partition over 128 MB keeps its sort legs. Local slots hold 24g/32
+      // = 750 MB, a cluster sizes executor memory per core above it (or
+      // lowers the threshold). r19 A/B, both run orders: g_modularity
+      // 3.0->2.5 s, flagship_contract_map 2.9->1.7/1.9 s, g_bfs/g_lpa/
+      // g_basket_lift ~1.1-1.2x, g_jaccard/d_source_overlap flat.
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "134217728")
       // AQE partition coalescing optimizes for shuffle BYTES and cannot
       // see compute amplification past the exchange: a 400x explode or a
       // 4.5M-group aggregate downstream of a few-MB shuffle gets packed

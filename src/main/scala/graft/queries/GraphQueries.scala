@@ -180,18 +180,29 @@ object GraphQueries {
   /** One synchronous label-propagation superstep: a node adopts its
     * neighborhood's MOST FREQUENT label (count DESC, label ASC — the
     * argmax rides a max(struct(c, −lbl)) hash aggregate, the r16
-    * map-side idiom, never a per-node sort window). Two keyed shuffles:
-    * the (node, label) vote rollup and the per-node argmax — both carry
-    * map-side partials only. */
+    * map-side idiom, never a per-node sort window). ONE keyed shuffle
+    * per superstep (r19, guide §2.4): the messages repartition by the
+    * RECEIVER only, and both rollups — the (node, label) vote count and
+    * the per-node argmax — then satisfy their required distribution
+    * from that single exchange (HashPartitioning(dst) clusters every
+    * (dst, lbl) group). The old two-exchange form paid a second
+    * |V·labels|-row shuffle for the argmax; its first exchange's
+    * map-side vote partials collapse almost nothing anyway (a mapper
+    * rarely sees the same (receiver, label) twice), so the fused
+    * exchange carries comparable bytes. A/B at sf0.1, both orders
+    * within one JVM: 2.48/2.19 s -> 1.69/1.58 s, identical rows. */
   private[graft] def lpaSuperstep(adj: DataFrame, labels: DataFrame,
-      stateRows: Long): DataFrame =
+      stateRows: Long): DataFrame = {
+    val shuffleP = adj.sparkSession.sessionState.conf.numShufflePartitions
     adj.join(stateSide(labels, stateRows), col("src") === col("node"))
       .select(explode(col("nbrs")).as("dst"), col("lbl"))
+      .repartition(shuffleP, col("dst"))
       .groupBy(col("dst"), col("lbl"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("dst"))
       .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
       .select(col("dst").as("node"), (-col("m.nl")).as("lbl"))
+  }
 
   /** One multi-source BFS superstep: the frontier's neighbors at d+1
     * union the already-reached set, min per node — hop distances grow

@@ -60,35 +60,43 @@ object R19Probe {
     }
 
     // ---- experiment body (rewritten per probe) ----
-    def pairsCur() = graft.pipeline.BasketStore
-      .pairCounts(graft.core.Graft.table(spark, dir, "lineitem"))
-      .orderBy(col("n_ab").desc, col("part_a"), col("part_b")).limit(100)
-    def pairsPacked() = {
-      val cap = 4096L
-      val gathered = graft.core.Graft.table(spark, dir, "lineitem")
-        .groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-      val guarded = gathered.withColumn("ps",
-        when(size(col("ps")) <= cap, col("ps")).otherwise(raise_error(concat(
-          lit("basket pair explode: order "), col("l_orderkey"),
-          lit(" has "), size(col("ps")),
-          lit(" distinct parts > cap")))))
-      guarded
-        .select(explode(expr(
-          """flatten(transform(ps, (x, i) ->
-            |  transform(slice(ps, i + 2, size(ps)),
-            |            y -> x * 4294967296L + y)))""".stripMargin)).as("pk"))
-        .groupBy("pk").agg(count(lit(1)).cast("long").as("n_ab"))
-        .select(expr("pk div 4294967296L").as("part_a"),
-          expr("pk % 4294967296L").as("part_b"), col("n_ab"))
-        .orderBy(col("n_ab").desc, col("part_a"), col("part_b")).limit(100)
+    import graft.queries.{GraphQueries => GQ}
+    def stateSideP(state: org.apache.spark.sql.DataFrame, rows: Long) =
+      if (rows <= 1000000L) broadcast(state) else state
+    // fused LPA superstep: ONE dst exchange; both rollups reuse it
+    // (HashPartitioning(dst) satisfies ClusteredDistribution(dst, lbl))
+    def lpaStepFused(adj: org.apache.spark.sql.DataFrame,
+        labels: org.apache.spark.sql.DataFrame, nV: Long) = {
+      val n = adj.sparkSession.sessionState.conf.numShufflePartitions
+      adj.join(stateSideP(labels, nV), col("src") === col("node"))
+        .select(explode(col("nbrs")).as("dst"), col("lbl"))
+        .repartition(n, col("dst"))
+        .groupBy(col("dst"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("dst").as("node"), (-col("m.nl")).as("lbl"))
     }
-    println("pairs equal: " + sameResult(pairsCur(), pairsPacked()))
+    def lpaFused() = {
+      val adj = GQ.adjacency(spark, dir, col("l_quantity") >= 45)
+      val nV = adj.count()
+      var labels = adj.select(col("src").as("node"), col("src").as("lbl"))
+      for (_ <- 1 to 3) labels = lpaStepFused(adj, labels, nV)
+      graft.queries.CacheScope.sealCheckpoints(
+        labels.groupBy(col("lbl").as("community"))
+          .agg(count(lit(1)).cast("long").as("n_members"),
+            min("node").cast("long").as("min_node"),
+            sum("node").cast("long").as("sum_nodes")),
+        adj)
+    }
+    def lpaCur() = graft.SparkEntry.queries("g_lpa")(spark, dir)
+    println("lpa equal: " + sameResult(lpaCur(), lpaFused()))
+    // count exchanges in one fused superstep's executed plan
     spark.sharedState.cacheManager.clearCache()
-    time(spark, "pairs_cur")(pairsCur())
-    time(spark, "pairs_packed")(pairsPacked())
-    time(spark, "pairs_cur2")(pairsCur())
-    time(spark, "pairs_packed2")(pairsPacked())
+    time(spark, "lpa_cur")(lpaCur())
+    time(spark, "lpa_fused")(lpaFused())
+    time(spark, "lpa_cur2")(lpaCur())
+    time(spark, "lpa_fused2")(lpaFused())
 
     spark.stop()
   }
